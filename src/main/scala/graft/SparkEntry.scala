@@ -1,13 +1,350 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.CleanFns._
+import graft.operators.{Dedup, Quarantine, Upsert}
+import graft.analytics.{EventAnalytics, StarAnalytics}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with DuckDB oracle SQL over the same fixture tables.
+  *
+  * Conventions (so the driver's column-sorted value-hash matches):
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - timestamps exported as microsecond strings (`tsMicros` ↔ strftime %f);
+  *  - derived integers cast to bigint on both sides (DuckDB year()/
+  *    row_number() are BIGINT; DuckDB SUM(int) is HUGEINT → CAST in SQL);
+  *  - deterministic ORDER BY everywhere, with tie-breaking keys.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Event-type whitelist after normalization (reference whitelist
+    * transform.py:8 adapted to the fixture's type domain — `error` is the
+    * quarantined type, FIXTURES.md §B). */
+  val AllowedRawTypes: Seq[String] = Seq("signup", "purchase", "view", "click")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    StarAnalytics.regionRevenue(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A1–A4, G5/G6, A7: the reference's analytics contract ----
+    "q_dau" -> ((s, d) => EventAnalytics.dau(Tables.events(s, d))),
+    "q_revenue" -> ((s, d) => EventAnalytics.revenue(Tables.events(s, d))),
+    "q_event_counts" -> ((s, d) =>
+      EventAnalytics.eventCounts(Tables.events(s, d))),
+    "q_funnel" -> ((s, d) => EventAnalytics.funnel(Tables.events(s, d))),
+    "q_intl_revenue" -> ((s, d) =>
+      EventAnalytics.substrRevenue(Tables.orders(s, d),
+        col("o_orderdate"), col("o_totalprice"))),
+    "q_quality_metrics" -> ((s, d) =>
+      EventAnalytics.qualityMetrics(Tables.events(s, d), AllowedRawTypes)),
+
+    // ---- A5: keyed dedup keep-latest ----
+    "q_dedup_latest" -> ((s, d) =>
+      Dedup.keepLatest(Tables.events(s, d), Seq("user_id", "event_type"),
+          col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          tsMicros(col("ts")).as("ts"), col("value"))
+        .orderBy("user_id", "event_type")),
+
+    // ---- F1/S2: validation + quarantine split; F5 outlier rule ----
+    "q_quarantine_bad" -> ((s, d) => {
+      val (_, bad) = Quarantine.split(Tables.events(s, d), Seq(
+        "invalid_event_type" ->
+          !col("event_type").isin(AllowedRawTypes.map(lit): _*),
+        "null_user" -> col("user_id").isNull,
+        "outlier_amount" -> (col("value") > 400.0)))
+      bad.select(col("event_id"), col("event_type"), col("value"),
+          col("reason"))
+        .orderBy("event_id")
+    }),
+    "q_quarantine_good_counts" -> ((s, d) => {
+      val (good, _) = Quarantine.split(Tables.events(s, d), Seq(
+        "invalid_event_type" ->
+          !col("event_type").isin(AllowedRawTypes.map(lit): _*),
+        "outlier_amount" -> (col("value") > 400.0)))
+      good.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // ---- U1: heterogeneous quarantine-stream union ----
+    "q_union_quarantine" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val badType = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("event_type"),
+          lit("invalid_event_type").as("reason"))
+      val badAmount = ev.filter(col("value") > 400.0)
+        .select(col("event_id"), col("value"),
+          lit("outlier_amount").as("reason"))
+      Quarantine.unionQuarantines(Seq(badType, badAmount))
+        .orderBy("reason", "event_id")
+    }),
+
+    // ---- G1/G2: normalization ----
+    "q_normalize_priority" -> ((s, d) =>
+      Tables.orders(s, d).select("o_orderpriority").distinct()
+        .withColumn("normalized", normalizeToken(col("o_orderpriority")))
+        .orderBy("o_orderpriority")),
+    "q_canonical_events" -> ((s, d) =>
+      Tables.events(s, d).select("event_type").distinct()
+        .withColumn("canonical", normalizeEventName(col("event_type")))
+        .orderBy("event_type")),
+
+    // ---- G17/G4: JSON extraction + numeric coercion ----
+    "q_props_coercion" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").try_cast("bigint").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+        .orderBy("event_type")),
+
+    // ---- G13: deterministic hash ids ----
+    "q_hash_id" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          hashId(col("event_id").cast("string"), col("event_type"))
+            .as("hid"))
+        .orderBy("event_id")),
+
+    // ---- G7: multi-format timestamp parse with noon-pinning ----
+    "q_multiformat_ts" -> ((s, d) => {
+      val fmts = Seq("MM-dd-yyyy", "dd/MM/yyyy", "yyyy-MM-dd HH:mm:ss")
+      val raw = when(col("o_orderkey") % 3 === 0,
+          date_format(col("o_orderdate"), "MM-dd-yyyy"))
+        .when(col("o_orderkey") % 3 === 1,
+          date_format(col("o_orderdate"), "dd/MM/yyyy"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), raw.as("raw"))
+        .withColumn("parsed", tsMicros(multiFormatTs(col("raw"), fmts)))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- G10: currency scrubbing ----
+    "q_money_scrub" -> ((s, d) => {
+      val str = col("l_extendedprice").cast("string")
+      val raw = when(col("l_orderkey") % 2 === 0, concat(lit("$"), str))
+        .otherwise(concat(lit("₹"), regexp_replace(str, "\\.", ",")))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), raw.as("raw"))
+        .withColumn("amount", moneyScrub(col("raw")))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- D1: keyed upsert (MERGE semantics) ----
+    "q_upsert" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select("event_id", "event_type", "value", "ts")
+      val existing = ev.filter(col("event_id") % 2 === 0)
+      val incoming = ev.filter(col("event_id") % 3 === 0)
+        .withColumn("value", col("value") + 100.0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+      Upsert.upsert(existing, incoming, Seq("event_id"), col("ts"),
+          col("event_id"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          tsMicros(col("ts")).as("ts"))
+        .orderBy("event_id")
+    }),
+
+    // ---- D2: deterministic surrogate keys ----
+    "q_surrogate_keys" -> ((s, d) =>
+      Upsert.withSurrogateKey(
+          Tables.events(s, d).select("event_type").distinct(),
+          "event_type", "event_type_id")
+        .orderBy("event_type")),
+
+    // ---- A8: dim_dates expansion ----
+    "q_dim_dates" -> ((s, d) =>
+      Upsert.dimDates(
+          Tables.events(s, d).select(eventDate(col("ts")).as("date_key")),
+          "date_key")
+        .orderBy("date_key")),
+
+    // ---- J1–J4: star joins; O1/O2: sort / top-k ----
+    "q_region_revenue" -> ((s, d) => StarAnalytics.regionRevenue(s, d)),
+    "q_top_orders" -> ((s, d) => StarAnalytics.topOrders(s, d)),
+    "q_events_preview" -> ((s, d) => StarAnalytics.eventsPreview(s, d)),
+  )
+
+  /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
+  def oracleSql: Map[String, String] = Map(
+    "q_dau" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+         count(DISTINCT user_id) AS dau
+         FROM events WHERE user_id IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+    "q_revenue" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+         round(sum(coalesce(value, 0)), 2) AS revenue
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
+    "q_event_counts" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+         count(*) AS n_events
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_funnel" ->
+      """WITH g AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+             count(DISTINCT CASE WHEN event_type = 'signup' THEN user_id END)
+               AS signup_users,
+             count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+               AS purchasers
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+         SELECT event_date, signup_users, purchasers,
+           CASE WHEN signup_users = 0 THEN 0.0
+                ELSE round(purchasers / signup_users, 4) END
+             AS signup_to_purchase_rate
+         FROM g ORDER BY event_date""",
+    "q_intl_revenue" ->
+      """SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 10) AS event_date,
+         round(sum(coalesce(o_totalprice, 0)), 2) AS revenue
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_quality_metrics" ->
+      """SELECT count(*) AS rows_total,
+         CAST(coalesce(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS null_user_rows,
+         count(DISTINCT user_id) AS distinct_users,
+         CAST(coalesce(sum(CASE WHEN event_type NOT IN
+           ('signup','purchase','view','click') THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS invalid_type_rows,
+         round(sum(coalesce(value, 0)), 2) AS total_value
+         FROM events""",
+    "q_dedup_latest" ->
+      """SELECT user_id, event_type, event_id,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, value
+         FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts),
+                 row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+    "q_quarantine_bad" ->
+      """SELECT event_id, event_type, value,
+         concat_ws(',',
+           CASE WHEN event_type NOT IN ('signup','purchase','view','click')
+             THEN 'invalid_event_type' END,
+           CASE WHEN user_id IS NULL THEN 'null_user' END,
+           CASE WHEN value > 400.0 THEN 'outlier_amount' END) AS reason
+         FROM events
+         WHERE event_type NOT IN ('signup','purchase','view','click')
+           OR user_id IS NULL OR value > 400.0
+         ORDER BY event_id""",
+    "q_quarantine_good_counts" ->
+      """SELECT event_type, count(*) AS n FROM events
+         WHERE event_type IN ('signup','purchase','view','click')
+           AND NOT (value > 400.0)
+         GROUP BY 1 ORDER BY 1""",
+    "q_union_quarantine" ->
+      """SELECT * FROM (
+           SELECT event_id, event_type, 'invalid_event_type' AS reason
+           FROM events WHERE event_type = 'error'
+           UNION ALL BY NAME
+           SELECT event_id, value, 'outlier_amount' AS reason
+           FROM events WHERE value > 400.0)
+         ORDER BY reason, event_id""",
+    "q_normalize_priority" ->
+      """SELECT DISTINCT o_orderpriority,
+         regexp_replace(lower(trim(o_orderpriority)), '[- ]', '_', 'g')
+           AS normalized
+         FROM orders ORDER BY o_orderpriority""",
+    "q_canonical_events" ->
+      """SELECT DISTINCT event_type,
+         CASE WHEN regexp_replace(lower(trim(event_type)), '[- ]', '_', 'g')
+                IN ('page_view', 'page view', 'view') THEN 'pageview'
+              ELSE regexp_replace(lower(trim(event_type)), '[- ]', '_', 'g')
+         END AS canonical
+         FROM events ORDER BY event_type""",
+    "q_props_coercion" ->
+      """SELECT event_type,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           AS BIGINT) AS sum_k,
+         count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_hash_id" ->
+      """SELECT event_id,
+         substr(sha256(concat_ws('|', CAST(event_id AS VARCHAR), event_type)),
+           1, 24) AS hid
+         FROM events ORDER BY event_id""",
+    "q_multiformat_ts" ->
+      """WITH s AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0
+                    THEN strftime(o_orderdate, '%m-%d-%Y')
+                  WHEN o_orderkey % 3 = 1
+                    THEN strftime(o_orderdate, '%d/%m/%Y')
+                  ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS raw
+           FROM orders),
+         p AS (
+           SELECT o_orderkey, raw,
+             coalesce(try_strptime(raw, '%m-%d-%Y'),
+                      try_strptime(raw, '%d/%m/%Y'),
+                      try_strptime(raw, '%Y-%m-%d %H:%M:%S')) AS t
+           FROM s)
+         SELECT o_orderkey, raw,
+           strftime(CASE WHEN length(raw) <= 10 AND t IS NOT NULL
+                         THEN t + INTERVAL 12 HOUR ELSE t END,
+                    '%Y-%m-%d %H:%M:%S.%f') AS parsed
+         FROM p ORDER BY o_orderkey""",
+    "q_money_scrub" ->
+      """WITH s AS (
+           SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey % 2 = 0
+                  THEN '$' || CAST(l_extendedprice AS VARCHAR)
+                  ELSE '₹' || replace(CAST(l_extendedprice AS VARCHAR),
+                                      '.', ',') END AS raw
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber, raw,
+           coalesce(TRY_CAST(regexp_replace(raw, '[,$₹€£]', '', 'g')
+             AS DOUBLE), 0.0) AS amount
+         FROM s ORDER BY l_orderkey, l_linenumber""",
+    "q_upsert" ->
+      """WITH existing AS (
+           SELECT event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_id % 2 = 0),
+         incoming AS (
+           SELECT event_id, event_type, value + 100.0 AS value,
+                  CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS ts
+           FROM events WHERE event_id % 3 = 0)
+         SELECT event_id, event_type, value,
+                strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+         FROM (
+           SELECT e.* FROM existing e
+           WHERE NOT EXISTS (SELECT 1 FROM incoming i
+                             WHERE i.event_id = e.event_id)
+           UNION ALL
+           SELECT * FROM incoming)
+         ORDER BY event_id""",
+    "q_surrogate_keys" ->
+      """SELECT event_type,
+         CAST(dense_rank() OVER (ORDER BY event_type) AS BIGINT)
+           AS event_type_id
+         FROM (SELECT DISTINCT event_type FROM events)
+         ORDER BY event_type""",
+    "q_dim_dates" ->
+      """SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS date_key,
+         CAST(year(ts) AS BIGINT) AS year,
+         CAST(month(ts) AS BIGINT) AS month,
+         CAST(day(ts) AS BIGINT) AS day
+         FROM events ORDER BY date_key""",
+    "q_region_revenue" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         count(*) AS n_lineitems
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""",
+    "q_events_preview" ->
+      """SELECT e.event_id,
+         strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
+         e.user_id, e.event_type, e.value, c.c_name AS user_name
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY 2, 1 LIMIT 50""",
+  )
 }

@@ -1,0 +1,86 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.CleanFns._
+
+/** The reference's five-query capability contract (analytics.py:21-118),
+  * re-expressed over the driver's `events` fixture (FIXTURES.md §B).
+  *
+  * Plans, by design:
+  *  - every query reads 2–3 columns → parquet column pruning;
+  *  - date bucketing happens pre-aggregation so the groupBy's partial
+  *    (map-side) HashAggregate collapses rows before the single shuffle;
+  *  - `countDistinct` stays exact to hash-match the oracle (swap in
+  *    `approx_count_distinct` at the 100 TB design point when exactness is
+  *    not contractual);
+  *  - final `orderBy` is a range-partitioned sort only at export boundaries
+  *    (the reference also sorts only on export, analytics.py:33 etc).
+  */
+object EventAnalytics {
+
+  private def withDate(ev: DataFrame): DataFrame =
+    ev.withColumn("event_date", eventDate(col("ts")))
+
+  /** A1 — DAU: COUNT(DISTINCT user_id) per day, null users excluded
+    * (analytics.py:26-34). */
+  def dau(ev: DataFrame): DataFrame =
+    withDate(ev)
+      .filter(col("user_id").isNotNull)
+      .groupBy("event_date")
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .orderBy("event_date")
+
+  /** A2 — daily revenue: ROUND(SUM(COALESCE(value,0)),2) over purchases
+    * (analytics.py:38-52). */
+  def revenue(ev: DataFrame): DataFrame =
+    withDate(ev)
+      .filter(col("event_type") === "purchase")
+      .groupBy("event_date")
+      .agg(round(sum(coalesce(col("value"), lit(0.0))), 2).as("revenue"))
+      .orderBy("event_date")
+
+  /** A3 — event counts per (day, type) (analytics.py:71-86). */
+  def eventCounts(ev: DataFrame): DataFrame =
+    withDate(ev)
+      .groupBy("event_date", "event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("event_date", "event_type")
+
+  /** A4 — signup→purchase funnel with divide-by-zero guard
+    * (analytics.py:89-118). One grouped pass (the reference's CTE collapses
+    * into a single partial+final HashAggregate), then a scalar projection. */
+  def funnel(ev: DataFrame): DataFrame =
+    withDate(ev)
+      .filter(col("user_id").isNotNull)
+      .groupBy("event_date")
+      .agg(
+        countDistinct(when(col("event_type") === "signup", col("user_id")))
+          .as("signup_users"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id")))
+          .as("purchasers"))
+      .withColumn("signup_to_purchase_rate",
+        when(col("signup_users") === 0, lit(0.0))
+          .otherwise(round(col("purchasers") / col("signup_users"), 4)))
+      .orderBy("event_date")
+
+  /** A2+G6 — "international revenue" analog: substring date-bucketing over
+    * the ISO text form of the timestamp (analytics.py:55-68). */
+  def substrRevenue(df: DataFrame, ts: Column, amount: Column): DataFrame =
+    df.select(substrDateKey(ts).as("event_date"),
+        coalesce(amount, lit(0.0)).as("__amt"))
+      .groupBy("event_date")
+      .agg(round(sum(col("__amt")), 2).as("revenue"))
+      .orderBy("event_date")
+
+  /** A7 — single-pass quality metrics (transform.py:104-119, quality.py):
+    * one aggregate, no repeated scans. */
+  def qualityMetrics(ev: DataFrame, allowedTypes: Seq[String]): DataFrame =
+    ev.agg(
+      count(lit(1)).as("rows_total"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("null_user_rows"),
+      countDistinct(col("user_id")).as("distinct_users"),
+      sum(when(!col("event_type").isin(allowedTypes.map(lit): _*), 1L)
+        .otherwise(0L)).as("invalid_type_rows"),
+      round(sum(coalesce(col("value"), lit(0.0))), 2).as("total_value"))
+}

@@ -1,0 +1,65 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Star-schema read-side queries over the TPC-H-ish fixtures — the analog of
+  * the reference's fact×dim joins (J2–J4, analytics.py:47,82,103;
+  * run_pipeline.py:94-96) at warehouse scale.
+  *
+  * Join strategy: `customer`/`nation`/`region`/`part`/`supplier` are
+  * broadcast (dims are KBs–MBs even at 100 TB fact scale), so the only
+  * shuffle in the whole star query is the final groupBy — lineitem⋈orders is
+  * the one genuinely large join and is left to Catalyst/AQE (shuffled hash /
+  * sort-merge on o_orderkey, skew-split by AQE).
+  */
+object StarAnalytics {
+
+  /** Revenue per region×nation: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    * region, SUM(extendedprice*(1-discount)). */
+  def regionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, sfDir).select("r_regionkey", "r_name")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** O2 — top-k preview: true top-k (TakeOrderedAndProject — per-partition
+    * heap + driver merge, no global sort; run_pipeline.py:97-98). Ties broken
+    * by key for determinism. */
+  def topOrders(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** J3+O2 — fact-preview analog: events LEFT JOIN customer (as the users
+    * dim), earliest 50 by ts (run_pipeline.py:82-102). */
+  def eventsPreview(spark: SparkSession, sfDir: String, k: Int = 50): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    ev.join(broadcast(c), ev("user_id") === c("c_custkey"), "left")
+      .select(col("event_id"),
+        graft.functions.CleanFns.tsMicros(col("ts")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        col("c_name").as("user_name"))
+      .orderBy(col("ts"), col("event_id"))
+      .limit(k)
+  }
+}

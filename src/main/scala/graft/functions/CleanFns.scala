@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.DataFrame
+
+/** Column-expression library re-expressing the reference's scalar transforms
+  * (SURVEY.md §2.8, G1–G18). Everything here is a pure `Column` builder over
+  * `org.apache.spark.sql.functions` — codegen'd by Tungsten, no UDFs — so the
+  * whole transform layer stays inside WholeStageCodegen and scales linearly
+  * with input partitions.
+  *
+  * Reference behaviors mirrored (citations into /root/reference/):
+  *  - event-name normalization: pipeline/transform.py:34-48
+  *  - null-ish string scrub:    pipeline/transform.py:80-85
+  *  - numeric coercion:         pipeline/transform.py:89-90
+  *  - date/hour derivation:     pipeline/transform.py:94-96
+  *  - multi-format ts parse:    pipeline/sources/ecommerce/kaggle_amazon_sales_loader.py:33-61
+  *  - column coalescing:        kaggle_amazon_sales_loader.py:89-93
+  *  - currency scrubbing:       kaggle_amazon_sales_loader.py:95-104
+  *  - deterministic hash ids:   kaggle_amazon_sales_loader.py:28-31
+  */
+object CleanFns {
+
+  /** G1: trim + lower + `[- ]` → `_` (transform.py:34-42). */
+  def normalizeToken(c: Column): Column =
+    regexp_replace(lower(trim(c)), "[\\- ]", "_")
+
+  /** G2: canonicalization map applied after G1 (transform.py:45-48).
+    * Pairs are (variant → canonical). */
+  def canonicalize(c: Column, mapping: Seq[(String, String)]): Column =
+    mapping.foldRight(c) { case ((from, to), acc) =>
+      when(c === lit(from), lit(to)).otherwise(acc)
+    }
+
+  /** Reference event-name cleanup: G1 then G2 with the reference's map
+    * (page_view/page view → pageview) plus the fixture's `view` variant. */
+  def normalizeEventName(c: Column): Column =
+    canonicalize(normalizeToken(c),
+      Seq("page_view" -> "pageview", "page view" -> "pageview", "view" -> "pageview"))
+
+  /** `nullif(trim(c), '')` — blank-to-null, the semantic core of G3. */
+  def nullifBlank(c: Column): Column = nullif(trim(c), lit(""))
+
+  /** G3: scrub pandas string artifacts ("", "nan", "None", "<NA>") to real
+    * nulls (transform.py:80-85). */
+  def scrubNullish(c: Column): Column =
+    when(trim(c).isin("", "nan", "None", "<NA>"), lit(null)).otherwise(trim(c))
+
+  /** G4: numeric coercion, null on failure (`pd.to_numeric(errors="coerce")`,
+    * transform.py:89-90). ANSI-safe via try_cast. */
+  def tryDouble(c: Column): Column = c.try_cast("double")
+  def tryLong(c: Column): Column   = c.try_cast("bigint")
+
+  /** G10: strip thousands separators + currency sigils then parse; "" → 0.0
+    * (kaggle loader:95-104). */
+  def moneyScrub(c: Column): Column =
+    coalesce(regexp_replace(c, "[,$₹€£]", "").try_cast("double"), lit(0.0))
+
+  /** G11: int coercion via float, "" → 0 (kaggle loader:106-113). */
+  def intViaFloat(c: Column): Column =
+    coalesce(floor(c.try_cast("double")).try_cast("int"), lit(0))
+
+  /** G9: first non-blank among candidate columns (`_pick`,
+    * kaggle loader:89-93). */
+  def pickFirst(cols: Column*): Column = coalesce(cols.map(nullifBlank): _*)
+
+  /** G7: multi-format timestamp parse — try each pattern in order, null if
+    * none match (kaggle loader:33-61). Date-only patterns (<= 10 chars) are
+    * pinned to 12:00 noon exactly as the loader does (:55-57). */
+  def multiFormatTs(c: Column, formats: Seq[String]): Column = {
+    val parsed = coalesce(formats.map(f => try_to_timestamp(trim(c), lit(f))): _*)
+    when(length(trim(c)) <= 10 && parsed.isNotNull,
+      parsed + expr("INTERVAL 12 HOURS")).otherwise(parsed)
+  }
+
+  /** The loader's format list (kaggle loader:35-44), java.time syntax. */
+  val KaggleTsFormats: Seq[String] = Seq(
+    "MM-dd-yy", "MM-dd-yyyy", "yyyy-MM-dd", "dd/MM/yyyy", "MM/dd/yyyy",
+    "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss")
+
+  /** G13: deterministic 24-hex-char id — sha256 over '|'-joined parts
+    * (kaggle loader:28-31). Lowercase hex on both Spark and DuckDB. */
+  def hashId(parts: Column*): Column =
+    substring(sha2(concat_ws("|", parts: _*), 256), 1, 24)
+
+  /** G5: event_date (string yyyy-MM-dd, matching `ts.dt.date.astype(str)`)
+    * and hour (transform.py:94-96). */
+  def eventDate(ts: Column): Column = date_format(ts, "yyyy-MM-dd")
+  def eventHour(ts: Column): Column = hour(ts).cast("bigint")
+
+  /** G6: substring date-bucketing over ISO timestamp text
+    * (analytics.py:59-66). Equal to eventDate under UTC session tz. */
+  def substrDateKey(ts: Column): Column = substring(ts.cast("string"), 1, 10)
+
+  /** G14: default-fill (load.py:41-48). */
+  def defaultFill(c: Column, default: String = "unknown"): Column =
+    coalesce(nullifBlank(c), lit(default))
+
+  /** §1.3: add any columns of `schema` missing from `df` as typed nulls —
+    * the defensive-patching idiom the reference scatters through
+    * transform.py:34-50 / load.py:37-48, done once. */
+  def ensureColumns(df: DataFrame, schema: StructType): DataFrame =
+    schema.fields.foldLeft(df) { (acc, f) =>
+      if (acc.columns.contains(f.name)) acc
+      else acc.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+
+  /** Microsecond-precision portable timestamp formatting (stable across
+    * Spark `date_format` and DuckDB `strftime('%Y-%m-%d %H:%M:%S.%f')`). */
+  def tsMicros(ts: Column): Column =
+    date_format(ts, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** D1/D2/A8 — the warehouse-maintenance operators (reference: load.py).
+  *
+  * D1 keyed upsert (`INSERT ... ON CONFLICT DO UPDATE`, load.py:58-67,
+  * 199-217, 282-295) without a transactional table format: set-oriented
+  * MERGE = `existing LEFT ANTI incoming` ∪ `incoming(deduped keep-latest)`.
+  * Both sides hash-partition on the key — one shuffle each, and at scale the
+  * anti-join side can be DPP/bucket-pruned. Physical persistence uses
+  * write-to-tmp-then-swap (Spark cannot overwrite its own input;
+  * SURVEY.md §7.6.1).
+  */
+object Upsert {
+
+  /** MERGE semantics: rows of `incoming` win over `existing` on `keys`;
+    * duplicate keys inside `incoming` resolve keep-latest by `version`. */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+             version: Column, tiebreak: Column): DataFrame = {
+    val latest = Dedup.keepLatest(incoming, keys, version, tiebreak)
+    existing.join(latest, keys, "left_anti")
+      .unionByName(latest.select(existing.columns.map(col).toSeq: _*))
+  }
+
+  /** Persist `df` to `path` atomically-enough for a batch engine: write to a
+    * tmp sibling then rename over. Idempotent replay = same result. */
+  def overwriteViaSwap(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val tmp = path + "__tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** D2: deterministic surrogate keys replicating SQLite AUTOINCREMENT over
+    * `sorted(set(...))` insertion order (load.py:75-79) — `dense_rank` over
+    * the natural-key order, NOT `monotonically_increasing_id` (which is
+    * partition-nondeterministic; SURVEY.md §7.6.2). The input here is a
+    * deduplicated dim (small); the single-partition window is fine because
+    * dims are broadcast-scale by construction. */
+  def withSurrogateKey(dim: DataFrame, naturalKey: String,
+                       idCol: String): DataFrame =
+    dim.withColumn(idCol,
+      dense_rank().over(Window.orderBy(col(naturalKey))).cast("bigint"))
+
+  /** A8: dim_dates expansion — 'yyyy-MM-dd' key → (year, month, day),
+    * malformed keys skipped (load.py:83-102). */
+  def dimDates(dateKeys: DataFrame, keyCol: String): DataFrame = {
+    val d = try_to_timestamp(col(keyCol), lit("yyyy-MM-dd"))
+    dateKeys.select(col(keyCol).as("date_key"))
+      .distinct()
+      .withColumn("__d", d)
+      .filter(col("__d").isNotNull)
+      .select(
+        col("date_key"),
+        year(col("__d")).cast("bigint").as("year"),
+        month(col("__d")).cast("bigint").as("month"),
+        dayofmonth(col("__d")).cast("bigint").as("day"))
+  }
+}

@@ -166,6 +166,62 @@ object SparkEntry {
     "q_region_revenue" -> ((s, d) => StarAnalytics.regionRevenue(s, d)),
     "q_top_orders" -> ((s, d) => StarAnalytics.topOrders(s, d)),
     "q_events_preview" -> ((s, d) => StarAnalytics.eventsPreview(s, d)),
+
+    // ---- ext: deduplication suite (SURVEY.md §7.5) ----
+    "q_exact_dedup" -> ((s, d) =>
+      graft.ext.DedupExt.exactDedup(Tables.documents(s, d))
+        .orderBy("fp")),
+    "q_jaccard_pairs" -> ((s, d) =>
+      graft.ext.DedupExt.jaccardPairs(Tables.documents(s, d))
+        .orderBy("doc_id_a", "doc_id_b")),
+    "q_minhash_signatures" -> ((s, d) =>
+      graft.ext.DedupExt.minhashSignatures(Tables.documents(s, d))
+        .orderBy("doc_id")),
+    "q_minhash_candidates" -> ((s, d) =>
+      graft.ext.DedupExt.minhashCandidates(Tables.documents(s, d))
+        .agg(count(lit(1)).as("n_candidate_pairs"))),
+    "q_simhash" -> ((s, d) =>
+      graft.ext.DedupExt.simhashes(Tables.documents(s, d))
+        .orderBy("doc_id")),
+    "q_simhash_candidates" -> ((s, d) =>
+      graft.ext.DedupExt.simhashCandidates(Tables.documents(s, d), 16)
+        .agg(count(lit(1)).as("n_candidate_pairs"))),
+
+    // ---- ext: similarity search ----
+    "q_cosine_topk" -> ((s, d) =>
+      graft.ext.Similarity.bruteForceTopK(Tables.embeddings(s, d))
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")),
+    "q_ivf_topk" -> ((s, d) =>
+      graft.ext.Similarity.ivfTopK(Tables.embeddings(s, d))
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")),
+    "q_lsh_buckets" -> ((s, d) =>
+      graft.ext.Similarity.lshBuckets(Tables.embeddings(s, d))
+        .orderBy("vec_id")),
+
+    // ---- ext: text analysis ----
+    "q_text_stats" -> ((s, d) =>
+      graft.ext.TextAnalysis.textStats(Tables.documents(s, d))
+        .orderBy("doc_id")),
+    "q_lang_id" -> ((s, d) =>
+      graft.ext.TextAnalysis.langId(Tables.documents(s, d))
+        .orderBy("doc_id")),
+    "q_fingerprint" -> ((s, d) =>
+      graft.ext.TextAnalysis.fingerprints(Tables.documents(s, d))
+        .orderBy("doc_id")),
+    "q_rolling_fingerprint" -> ((s, d) => {
+      graft.plans.RollingHash.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.plans.RollingHash.rolling_hash(col("text")).as("rhash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- ext: multimodal binary plumbing ----
+    "q_multimodal_meta" -> ((s, d) =>
+      graft.ext.Multimodal.binaryMeta(Tables.documents(s, d))
+        .orderBy("doc_id")),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -346,5 +402,148 @@ object SparkEntry {
          e.user_id, e.event_type, e.value, c.c_name AS user_name
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          ORDER BY 2, 1 LIMIT 50""",
+    "q_exact_dedup" ->
+      """SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           AS fp,
+         min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_jaccard_pairs" ->
+      """WITH sh AS (
+           SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(list_filter(string_split_regex(
+                 lower(text), '\s+'), x -> x <> '')) - 1, 1)),
+               i -> list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> x <> '')[i] || ' ' ||
+                    list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> x <> '')[i+1] || ' ' ||
+                    list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> x <> '')[i+2])) AS s
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+           FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE a.doc_id % 97 = 0)
+         SELECT doc_id_a, doc_id_b,
+           CASE WHEN uni = 0 THEN 0.0
+                ELSE round(inter / uni, 6) END AS jaccard
+         FROM pairs ORDER BY doc_id_a, doc_id_b""",
+    "q_cosine_topk" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id % 10 = 0),
+         s AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6)
+               AS sim
+           FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+         r AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
+         SELECT query_id, neighbor_id, sim, rnk FROM r
+         WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "q_ivf_topk" ->
+      """WITH c AS (
+           SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
+           FROM embeddings WHERE vec_id % 40 = 0),
+         assign AS (
+           SELECT vec_id, embedding, centroid_id FROM (
+             SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6)
+                   DESC, c.centroid_id) AS rn
+             FROM embeddings e CROSS JOIN c)
+           WHERE rn = 1),
+         q AS (
+           SELECT vec_id AS query_id, embedding AS qe, centroid_id
+           FROM assign WHERE vec_id % 10 = 0),
+         s AS (
+           SELECT q.query_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qe::DOUBLE[],
+               a.embedding::DOUBLE[]), 6) AS sim
+           FROM q JOIN assign a ON q.centroid_id = a.centroid_id
+           WHERE a.vec_id <> q.query_id),
+         r AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
+         SELECT query_id, neighbor_id, sim, rnk FROM r
+         WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "q_text_stats" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS toks
+           FROM documents)
+         SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE round(CAST(list_sum(list_transform(toks,
+                  x -> length(x))) AS BIGINT) / len(toks), 4)
+           END AS avg_token_len,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE round((length(text) - length(regexp_replace(text,
+                  '[.,!?;:]', '', 'g'))) / length(text), 6)
+           END AS punct_ratio,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE round(len(list_filter(toks, x -> list_contains(
+                  ['the','and','of','is','to','a','in'], x))) / len(toks), 4)
+           END AS stopword_ratio
+         FROM t ORDER BY doc_id""",
+    "q_lang_id" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         h AS (
+           SELECT doc_id, lang,
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['the','and','of','is','to','a','in'], x))) AS BIGINT)
+               AS en_hits,
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['der','die','das','und','ist','ein'], x))) AS BIGINT)
+               AS de_hits,
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['le','la','les','et','est','une'], x))) AS BIGINT)
+               AS fr_hits,
+             CAST(len(list_filter(toks, x -> list_contains(
+               ['el','los','las','es','una','y'], x))) AS BIGINT)
+               AS es_hits
+           FROM t)
+         SELECT doc_id, lang,
+           CASE WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                  AND greatest(en_hits, de_hits, fr_hits, es_hits) > 0
+                THEN 'en'
+                WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                  AND greatest(en_hits, de_hits, fr_hits, es_hits) > 0
+                THEN 'de'
+                WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                  AND greatest(en_hits, de_hits, fr_hits, es_hits) > 0
+                THEN 'fr'
+                WHEN es_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                  AND greatest(en_hits, de_hits, fr_hits, es_hits) > 0
+                THEN 'es'
+                ELSE 'und' END AS pred_lang,
+           en_hits, de_hits, fr_hits, es_hits
+         FROM h ORDER BY doc_id""",
+    "q_fingerprint" ->
+      """SELECT doc_id,
+         sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         (CAST(octet_length(encode(text)) AS BIGINT) * 2654435761) % 1023 + 1
+           AS width,
+         (CAST(octet_length(encode(text)) AS BIGINT) * 40503) % 767 + 1
+           AS height,
+         CAST(ceil(CAST(octet_length(encode(text)) AS BIGINT) / 64.0)
+           AS BIGINT) AS n_frames
+         FROM documents ORDER BY doc_id""",
   )
 }

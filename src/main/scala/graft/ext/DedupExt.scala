@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TextFns._
+
+/** Training-data deduplication suite (beyond-parity; SURVEY.md §7.5):
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash — all over `documents`.
+  *
+  * Scale notes (the 100 TB shapes):
+  *  - exact dedup groups on a 64-hex fingerprint, not the raw text — the
+  *    shuffle moves 32-byte keys, not documents;
+  *  - MinHash candidates shuffle (band_id, band_hash) pairs — k·B integers
+  *    per doc — and bucket fan-out is capped so one degenerate bucket cannot
+  *    produce O(n²) pairs;
+  *  - pairwise Jaccard is only ever evaluated on candidate pairs (LSH) or a
+  *    sampled anchor set, never all-pairs.
+  */
+object DedupExt {
+
+  /** Exact dedup: one group per normalized-text fingerprint; keeper is the
+    * smallest doc_id (deterministic). */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.select(fingerprint(col("text")).as("fp"), col("doc_id"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("keeper_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Sampled-anchor n-gram Jaccard: anchors (doc_id % anchorMod == 0)
+    * compared against all same-lang partners. The lang equi-join is the
+    * blocking key — at scale this is a broadcast of the (small) anchor set,
+    * zero shuffle of the full corpus. */
+  def jaccardPairs(docs: DataFrame, anchorMod: Int = 97, n: Int = 3): DataFrame = {
+    val withShingles = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), shingles(col("toks"), n).as("sh"))
+    val anchors = withShingles.filter(col("doc_id") % anchorMod === 0)
+      .select(col("doc_id").as("doc_id_a"), col("lang"),
+        col("sh").as("sh_a"))
+    withShingles
+      .select(col("doc_id").as("doc_id_b"), col("lang"), col("sh").as("sh_b"))
+      .join(broadcast(anchors), Seq("lang"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+
+  /** MinHash signatures per document, via the native `MinHashSig`
+    * expression (one tight loop per row; the HOF formulation in TextFns is
+    * interpreter-bound — see graft.plans.TextSketches). Tokens and shingles
+    * are materialized as intermediate columns (attribute reads), never
+    * re-inlined per seed. */
+  def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame = {
+    graft.plans.TextSketches.register(docs.sparkSession)
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+      .select(col("doc_id"),
+        graft.plans.TextSketches.minhash_sig(col("sh"), k).as("sig"))
+  }
+
+  /** MinHash-LSH candidate pairs: band the signatures, bucket-join on
+    * (band, hash), emit normalized (small, large) pairs. `bucketCap` guards
+    * against degenerate buckets (common-prefix spam at scale). */
+  def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 16,
+                        bucketCap: Int = 50): DataFrame = {
+    val rows = k / bands
+    val banded = minhashSignatures(docs, k)
+      .select(col("doc_id"),
+        posexplode(bandHashes(col("sig"), bands, rows))
+          .as(Seq("band_id", "band_hash")))
+    banded.groupBy("band_id", "band_hash")
+      .agg(collect_list(col("doc_id")).as("bucket"))
+      .filter(size(col("bucket")).between(2, bucketCap))
+      .select(explode(flatten(transform(col("bucket"), (x, i) =>
+        transform(slice(col("bucket"), i + 2, size(col("bucket"))),
+          y => struct(least(x, y).as("a"), greatest(x, y).as("b"))))))
+        .as("pair"))
+      .select(col("pair.a").as("doc_id_a"), col("pair.b").as("doc_id_b"))
+      .distinct()
+  }
+
+  /** SimHash per document (64-bit). Near-dup pairs = small Hamming distance;
+    * pairing is done by the caller (e.g. band on 16-bit chunks). Token
+    * hashes are materialized once; the 64-bit fold then reads an array
+    * attribute instead of re-hashing per bit. */
+  def simhashes(docs: DataFrame): DataFrame = {
+    graft.plans.TextSketches.register(docs.sparkSession)
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        graft.plans.TextSketches.simhash64(col("toks")).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: block on 16-bit chunks (any chunk equal →
+    * candidate), then exact Hamming ≤ maxDist filter via bit_count. */
+  def simhashCandidates(docs: DataFrame, maxDist: Int = 8): DataFrame = {
+    val sh = simhashes(docs)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)), i =>
+        call_function("shiftright", col("simhash"), i * 16)
+          .bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("chunk_id", "chunk")))
+    val a = chunked.select(col("doc_id").as("doc_id_a"),
+      col("simhash").as("sh_a"), col("chunk_id"), col("chunk"))
+    val b = chunked.select(col("doc_id").as("doc_id_b"),
+      col("simhash").as("sh_b"), col("chunk_id"), col("chunk"))
+    a.join(b, Seq("chunk_id", "chunk"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

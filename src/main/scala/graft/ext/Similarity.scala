@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor suite over the `embeddings` fixture
+  * (ArrayType(FloatType), dim 64).
+  *
+  * Numerics: every element is cast to double BEFORE multiplication and
+  * summed left-to-right (HOF `aggregate` fold) so the result is bit-stable
+  * and matches a DuckDB `list_cosine_similarity` over `DOUBLE[]`. Ranking
+  * uses the 6-dp-rounded similarity with an id tiebreak, so sub-ulp engine
+  * differences cannot flip ranks.
+  *
+  * Scale shapes:
+  *  - brute force: broadcast the (small) query set, per-partition windowed
+  *    top-k — the corpus never shuffles, only |Q|·k result rows move;
+  *  - IVF: centroid assignment is a broadcast argmin (corpus map-only);
+  *    probing joins queries to their centroid's bucket only, cutting
+  *    compared pairs by ~n_centroids versus brute force.
+  */
+object Similarity {
+
+  /** Dot product over float32 arrays in double precision — the native
+    * `DotF32` expression (bit-identical to the HOF cast-and-fold form,
+    * ~6× faster; see graft.plans.VectorOps). Callers must have called
+    * `VectorOps.register` on the session — the DataFrame entry points below
+    * do it themselves. */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorOps.dot_f32(a, b)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force cosine top-k: queries = vec_id % queryMod == 0.
+    * Norms are materialized per vector BEFORE the pair join — computing
+    * `cosine(a,b)` per pair would redo both norms |Q| resp. |corpus| times.
+    * Formula stays dot/(|a|·|b|) (not pre-normalized vectors) for bit-parity
+    * with the DuckDB oracle's list_cosine_similarity. */
+  def bruteForceTopK(emb: DataFrame, k: Int = 10,
+                     queryMod: Int = 10): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val q = withNorm.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val sims = withNorm.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style probe: centroids = vec_id % centroidMod == 0; every vector is
+    * assigned to its nearest centroid (cosine argmax, id tiebreak); a query
+    * searches only its own centroid's bucket. */
+  def ivfTopK(emb: DataFrame, k: Int = 5, centroidMod: Int = 40,
+              queryMod: Int = 10): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val cents = withNorm.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("centroid_id"))
+    val assigned = withNorm.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"),
+        round(dot(col("embedding"), col("c_emb")) /
+          (col("nrm") * col("c_nrm")), 6).as("c_sim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
+    val q = assigned.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("centroid_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    assigned.join(broadcast(q), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wTop).cast("bigint"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH bucketing: `nBits` sign bits of dot products with
+    * pseudo-random planes derived deterministically from (bit, dim) hashes —
+    * no RNG state, reproducible across runs/engines. */
+  def lshBuckets(emb: DataFrame, nBits: Int = 12): DataFrame = {
+    val dims = 64
+    val planes: Column = transform(sequence(lit(0), lit(nBits - 1)), b =>
+      transform(sequence(lit(0), lit(dims - 1)), d =>
+        (hash(b, d).cast("double") / lit(Int.MaxValue.toDouble))))
+    val bucket = aggregate(
+      sequence(lit(0), lit(nBits - 1)), lit(0L), (acc, b) =>
+        acc + when(
+          aggregate(
+            zip_with(col("embedding").cast("array<double>"),
+              element_at(planes, b + 1), _ * _),
+            lit(0.0), (a2, x) => a2 + x) >= 0.0,
+          call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
+    emb.select(col("vec_id"), bucket.as("bucket"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text-shredding expressions for the dedup / text-analysis
+  * extensions (SURVEY.md §7.5). All higher-order-function based — codegen'd,
+  * no UDFs, no shuffles: every function here is a per-row projection, so the
+  * operators composed from them scale embarrassingly-parallel.
+  */
+object TextFns {
+
+  /** Non-empty whitespace tokens, lowercased. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Distinct word n-gram shingles over `toks` (the MinHash/Jaccard unit).
+    * 0-based `arr[i]` indexing inside the lambda. */
+  def shingles(toks: Column, n: Int = 3): Column = {
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(-1)))
+    array_distinct(transform(idx, i =>
+      concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+  }
+
+  /** Exact word-set Jaccard: |A∩B| / (|A|+|B|-|A∩B|), 0 when both empty. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0.0, lit(0.0)).otherwise(round(inter / union, 6))
+  }
+
+  /** MinHash signature: k murmur3 permutations approximated as
+    * hash(shingle, seed) minima — the standard hash-family trick, all inside
+    * one nested-HOF projection. */
+  def minhashSignature(shingleCol: Column, k: Int = 32): Column =
+    transform(sequence(lit(0), lit(k - 1)), i =>
+      array_min(transform(shingleCol, s => hash(s, i))))
+
+  /** LSH band hashes over a signature: `bands` hashes of `rowsPerBand`
+    * consecutive signature slots each. */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), j =>
+      hash((0 until rowsPerBand).map(r =>
+        element_at(sig, j * rowsPerBand + r + 1)): _*))
+
+  /** Per-token xxhash64 values — materialize this ONCE as a column before
+    * folding bits; hashing inside the per-bit loop would recompute every
+    * token hash 64 times. */
+  def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
+
+  /** 64-bit SimHash from precomputed token hashes: per-bit ±1 votes,
+    * sign-threshold, packed into a bigint. (`call_function` because the
+    * Scala `shiftright`/`shiftleft` wrappers take Int literals, and the
+    * shift amount here is a lambda variable.) */
+  def simhash64(tokHashes: Column): Column =
+    aggregate(sequence(lit(0), lit(63)), lit(0L),
+      (acc, b) => acc + when(
+        aggregate(tokHashes, lit(0L), (acc2, h) =>
+          acc2 + when(
+            call_function("shiftright", h, b)
+              .bitwiseAND(lit(1L)) === 1L,
+            lit(1L)).otherwise(lit(-1L))) >= 0L,
+        call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
+
+  /** Normalized-text fingerprint: lower + whitespace-collapse + sha256. */
+  def fingerprint(text: Column): Column =
+    sha2(trim(regexp_replace(lower(text), "\\s+", " ")), 256)
+}

@@ -51,10 +51,9 @@ object Upsert {
   /** A8: dim_dates expansion — 'yyyy-MM-dd' key → (year, month, day),
     * malformed keys skipped (load.py:83-102). */
   def dimDates(dateKeys: DataFrame, keyCol: String): DataFrame = {
-    val d = try_to_timestamp(col(keyCol), lit("yyyy-MM-dd"))
     dateKeys.select(col(keyCol).as("date_key"))
       .distinct()
-      .withColumn("__d", d)
+      .withColumn("__d", try_to_timestamp(col("date_key"), lit("yyyy-MM-dd")))
       .filter(col("__d").isNotNull)
       .select(
         col("date_key"),

@@ -222,6 +222,79 @@ object SparkEntry {
     "q_multimodal_meta" -> ((s, d) =>
       graft.ext.Multimodal.binaryMeta(Tables.documents(s, d))
         .orderBy("doc_id")),
+
+    // ---- ext: embedding-cosine near-dup (exact + LSH-blocked scale path) ----
+    "q_embedding_neardup" -> ((s, d) =>
+      graft.ext.Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.3)
+        .orderBy("vec_id_a", "vec_id_b")),
+    "q_embedding_neardup_lsh" -> ((s, d) =>
+      graft.ext.Similarity.embeddingNearDupLSH(Tables.embeddings(s, d),
+          0.3, 8)
+        .orderBy("vec_id_a", "vec_id_b")),
+
+    // ---- streaming: session_window (same plan batch & stream) ----
+    "q_sessionize" -> ((s, d) =>
+      graft.streaming.EventStream.sessions(Tables.events(s, d), "30 minutes")
+        .orderBy("user_id", "session_start")),
+
+    // ---- streaming: event-time rollup drained via AvailableNow ----
+    "q_stream_hourly_counts" -> ((s, d) => {
+      val stream = graft.streaming.EventStream.readEventsStream(s, d)
+      graft.streaming.EventStream.runAvailableNow(
+          graft.streaming.EventStream.hourlyCounts(stream), "complete")
+        .orderBy("hour_start", "event_type")
+    }),
+
+    // ---- S5 + G7–G13 + F4–F6: Kaggle normalizer composite paths ----
+    "q_kaggle_events" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val raw = o.select(
+        col("o_orderkey").cast("string").as("Order ID"),
+        when(col("o_orderkey") % 2 === 0,
+            date_format(col("o_orderdate"), "MM-dd-yyyy"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+          .as("Date"),
+        (col("o_orderkey") % 5 + 1).cast("string").as("Qty"),
+        when(col("o_orderkey") % 7 === 0, lit(""))
+          .otherwise(concat(lit("$"), col("o_totalprice").cast("string")))
+          .as("Amount"),
+        when(col("o_orderkey") % 7 === 0,
+            concat(lit("₹"), (col("o_totalprice") /
+              (col("o_orderkey") % 5 + 1)).cast("string")))
+          .otherwise(lit("")).as("Rate"),
+        lit(null).cast("string").as("currency"))
+      graft.ingest.KaggleNormalizer.normalizeAmazonEvents(raw)
+        .select(col("event_id"), tsMicros(col("ts")).as("ts"), col("event"),
+          col("order_id"), col("amount"), col("qty"), col("unit_price"),
+          col("currency"))
+        .orderBy("order_id")
+    }),
+    "q_kaggle_intl" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val tok2y = lpad((year(col("o_orderdate")) - 1980).cast("string"),
+        2, "0")
+      val dateTok = when(col("o_orderkey") % 11 === 0,
+          date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .otherwise(concat(date_format(col("o_orderdate"), "MM-dd-"), tok2y))
+      val raw = o.select(
+        dateTok.as("DATE"),
+        when(col("o_orderkey") % 13 === 0, lit(""))
+          .otherwise(concat(lit("cust_"),
+            (col("o_custkey") % 100).cast("string")))
+          .as("CUSTOMER"),
+        concat(lit("sku_"), (col("o_orderkey") % 997).cast("string"))
+          .as("SKU"),
+        concat((col("o_orderkey") % 9).cast("string"), lit(".7")).as("PCS"),
+        (col("o_totalprice") / lit(100.0)).cast("string").as("RATE"),
+        concat(lit("₹"), col("o_totalprice").cast("string"))
+          .as("GROSS AMT"),
+        lit(null).cast("string").as("currency"))
+      graft.ingest.KaggleNormalizer.normalizeInternationalSales(raw)
+        .select(col("sale_id"), tsMicros(col("ts")).as("ts"),
+          col("date_key"), col("customer"), col("sku"), col("pcs"),
+          col("rate"), col("gross_amt"), col("currency"))
+        .orderBy("sale_id", "customer", "sku", "pcs", "rate")
+    }),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -535,6 +608,113 @@ object SparkEntry {
       """SELECT doc_id,
          sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
          FROM documents ORDER BY doc_id""",
+    "q_embedding_neardup" ->
+      """WITH p AS (
+           SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+               b.embedding::DOUBLE[]), 6) AS sim
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         SELECT vec_id_a, vec_id_b, sim FROM p
+         WHERE sim >= 0.3 ORDER BY vec_id_a, vec_id_b""",
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             coalesce(value, 0) AS v
+           FROM events WHERE user_id IS NOT NULL),
+         x AS (
+           SELECT user_id, event_id, ts, v,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+           FROM e),
+         y AS (
+           SELECT user_id, ts, v,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x)
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE,
+             '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           count(*) AS n_events, round(sum(v), 2) AS session_value
+         FROM y GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+    "q_stream_hourly_counts" ->
+      """SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+           '%Y-%m-%d %H:%M:%S') AS hour_start,
+         event_type, count(*) AS n_events,
+         round(sum(coalesce(value, 0)), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_kaggle_events" ->
+      """WITH raw AS (
+           SELECT
+             CAST(o_orderkey AS VARCHAR) AS order_id,
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN strftime(o_orderdate, '%m-%d-%Y')
+                  ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+             END AS date_r,
+             o_orderkey % 5 + 1 AS qty,
+             CASE WHEN o_orderkey % 7 = 0 THEN 0.0
+                  ELSE o_totalprice END AS amount_raw,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN o_totalprice / (o_orderkey % 5 + 1)
+                  ELSE 0.0 END AS unit_price
+           FROM orders),
+         p AS (
+           SELECT *,
+             coalesce(try_strptime(date_r, '%m-%d-%Y'),
+                      try_strptime(date_r, '%Y-%m-%d %H:%M:%S')) AS t0
+           FROM raw),
+         q AS (
+           SELECT *,
+             CASE WHEN length(date_r) <= 10 AND t0 IS NOT NULL
+                  THEN t0 + INTERVAL 12 HOUR ELSE t0 END AS ts
+           FROM p WHERE t0 IS NOT NULL),
+         r AS (
+           SELECT *,
+             CASE WHEN amount_raw = 0.0 AND unit_price > 0.0 AND qty > 0
+                  THEN qty * unit_price ELSE amount_raw END AS amount
+           FROM q)
+         SELECT
+           substr(sha256(concat_ws('|', order_id, CAST(ts AS VARCHAR),
+             CAST(amount AS VARCHAR))), 1, 24) AS event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           'purchase' AS event, order_id, amount,
+           CAST(qty AS INT) AS qty, unit_price, 'USD' AS currency
+         FROM r WHERE amount <= 250000.0
+         ORDER BY order_id""",
+    "q_kaggle_intl" ->
+      """WITH raw AS (
+           SELECT
+             CASE WHEN o_orderkey % 11 = 0
+                  THEN strftime(o_orderdate, '%Y-%m-%d')
+                  ELSE strftime(o_orderdate, '%m-%d-') ||
+                       lpad(CAST(year(o_orderdate) - 1980 AS VARCHAR), 2, '0')
+             END AS date_tok,
+             CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                  ELSE 'cust_' || CAST(o_custkey % 100 AS VARCHAR)
+             END AS customer0,
+             'sku_' || CAST(o_orderkey % 997 AS VARCHAR) AS sku,
+             CAST(o_orderkey % 9 AS INT) AS pcs,
+             o_totalprice / 100.0 AS rate,
+             o_totalprice AS gross_amt
+           FROM orders),
+         f AS (
+           SELECT * FROM raw
+           WHERE regexp_matches(date_tok, '^\d{2}-\d{2}-\d{2}$')),
+         p AS (
+           SELECT *,
+             try_strptime(date_tok, '%m-%d-%y') + INTERVAL 12 HOUR AS ts,
+             coalesce(customer0, 'unknown_customer') AS customer
+           FROM f)
+         SELECT
+           substr(sha256(concat_ws('|', customer, sku, date_tok,
+             CAST(gross_amt AS VARCHAR))), 1, 24) AS sale_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           strftime(ts, '%Y-%m-%d') AS date_key,
+           customer, sku, pcs, rate, gross_amt, 'INR' AS currency
+         FROM p WHERE ts IS NOT NULL
+         ORDER BY sale_id, customer, sku, pcs, rate""",
     "q_multimodal_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -91,6 +91,49 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-dup pairs, exact: all (a < b) pairs with
+    * cosine ≥ threshold. This is the small-corpus baseline and the oracle
+    * for the LSH-blocked variant below — at 100 TB the all-pairs join is
+    * never run; `embeddingNearDupLSH` is the scale path. */
+  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.3): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("vec_id").as("vec_id_a"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val b = withNorm.select(col("vec_id").as("vec_id_b"),
+      col("embedding").as("e_b"), col("nrm").as("n_b"))
+    a.crossJoin(b).filter(col("vec_id_a") < col("vec_id_b"))
+      .select(col("vec_id_a"), col("vec_id_b"),
+        round(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup, LSH-blocked (the 100 TB shape): candidate
+    * pairs share a random-hyperplane bucket, exact cosine is evaluated only
+    * within buckets. Recall < 1 by construction (a near-dup pair can straddle
+    * buckets); fewer bits → more recall, more comparisons. The shuffle moves
+    * (bucket, id, vector) once; no all-pairs join ever materializes. */
+  def embeddingNearDupLSH(emb: DataFrame, threshold: Double = 0.3,
+                          nBits: Int = 8): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val bucketed = emb.join(lshBuckets(emb, nBits), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        l2norm(col("embedding")).as("nrm"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("vec_id_a"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("vec_id_b"),
+      col("embedding").as("e_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_id_a") < col("vec_id_b"))
+      .select(col("vec_id_a"), col("vec_id_b"),
+        round(dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")), 6)
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+      .distinct()
+  }
+
   /** Random-hyperplane LSH bucketing: `nBits` sign bits of dot products with
     * pseudo-random planes derived deterministically from (bit, dim) hashes —
     * no RNG state, reproducible across runs/engines. */

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.functions.CleanFns._
+import graft.operators.{Dedup, Upsert}
+
+/** Structured-Streaming façade over the batch engine (SURVEY.md §2.9).
+  *
+  * The reference achieves exactly-once by deterministic batch replay
+  * (hash ids kaggle_amazon_sales_loader.py:28-31 + keyed upserts
+  * load.py:58-67); this module provides the incremental equivalent:
+  * `readStream` → watermarked `dropDuplicates` (A5) → event-time windowed
+  * aggregation (A1–A3) → `foreachBatch` keyed upsert (D1). Every transform
+  * is the SAME Column expression the batch path uses — streaming here is a
+  * different physical driver over identical logical plans, which is exactly
+  * how Spark wants it.
+  *
+  * Scale notes: state for `dropDuplicates` is bounded by the watermark
+  * horizon (keys older than the watermark are evicted); the windowed
+  * aggregates keep one row of state per (window, group) and emit
+  * incrementally, so a 1000-executor cluster holds state proportional to
+  * the horizon, not the history. The `foreachBatch` upsert inherits the
+  * batch Upsert's shuffle shape: one hash partitioning per key on each side.
+  */
+object EventStream {
+
+  private val nameCounter = new AtomicLong(0)
+
+  /** Streaming scan of the events fixture. Same TIMESTAMP(NANOS) handling
+    * as `graft.Tables.events` (nanosAsLong + integer DIV truncation); the
+    * schema is probed with a batch read — a streaming source must be given
+    * its schema up front (no inference race on a growing directory). */
+  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // The file streaming source monitors a DIRECTORY; narrow it to the one
+    // fixture file with a glob filter (a direct file path is rejected).
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** A5 incrementally: watermarked keyed dedup. Rows older than the
+    * watermark horizon can no longer collide, so their keys leave state. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates(Seq("event_id"))
+
+  /** A3-shaped event-time rollup: hourly counts + value sum per type. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(coalesce(col("value"), lit(0.0))), 2).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sessionization via the native `session_window` (gap-based). Works
+    * identically over batch and streaming input — the batch form is the
+    * oracle-checked `q_sessionize`; StreamingSpec drives the same plan
+    * through a stream. Session end = last event ts + gap (Spark contract). */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(coalesce(col("value"), lit(0.0))), 2).as("session_value"))
+      .select(col("user_id"),
+        tsMicros(col("session_window.start")).as("session_start"),
+        tsMicros(col("session_window.end")).as("session_end"),
+        col("n_events"), col("session_value"))
+
+  /** Drain a streaming frame on currently-available input via the memory
+    * sink and return the materialized result. `AvailableNow` processes all
+    * existing files then stops — the streaming analog of a batch run. */
+  def runAvailableNow(stream: DataFrame, outputMode: String): DataFrame = {
+    val spark = stream.sparkSession
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** D1 incrementally: per-micro-batch keyed upsert into a parquet table.
+    * Latest `version` wins within and across batches; replaying a batch
+    * (post-failure) converges to the same table — the exactly-once story
+    * the reference gets from deterministic replay, kept under streaming. */
+  def upsertSink(stream: DataFrame, path: String, keys: Seq[String],
+                 versionCol: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(p))
+            Upsert.upsert(spark.read.parquet(path), batch, keys,
+              col(versionCol), monotonically_increasing_id())
+          else
+            Dedup.keepLatest(batch, keys, col(versionCol),
+              monotonically_increasing_id())
+        Upsert.overwriteViaSwap(spark, merged, path)
+      }
+      .start()
+}

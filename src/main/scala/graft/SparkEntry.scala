@@ -223,6 +223,26 @@ object SparkEntry {
       graft.ext.Multimodal.binaryMeta(Tables.documents(s, d))
         .orderBy("doc_id")),
 
+    // ---- ext: multimodal frame-sampling / feature-extraction plumbing ----
+    "q_frame_sample" -> ((s, d) =>
+      graft.ext.Multimodal.frameSample(Tables.documents(s, d), 8)
+        .orderBy("doc_id", "frame_idx")),
+    "q_media_features" -> ((s, d) =>
+      graft.ext.Multimodal.mediaFeatures(Tables.documents(s, d), 8)
+        .select(col("doc_id"),
+          posexplode(col("features")).as(Seq("dim_id", "feature")))
+        .withColumn("dim_id", col("dim_id").cast("bigint"))
+        .orderBy("doc_id", "dim_id")),
+    "q_multimodal_pack" -> ((s, d) =>
+      graft.ext.Multimodal.packMedia(Tables.documents(s, d),
+          Tables.embeddings(s, d))
+        .select(col("doc_id"), col("lang"), col("label").cast("bigint")
+            .as("label"),
+          length(col("media.payload")).cast("bigint").as("n_bytes"),
+          round(graft.ext.Similarity.l2norm(col("embedding")), 6)
+            .as("emb_norm"))
+        .orderBy("doc_id")),
+
     // ---- ext: embedding-cosine near-dup (exact + LSH-blocked scale path) ----
     "q_embedding_neardup" -> ((s, d) =>
       graft.ext.Similarity.embeddingNearDup(Tables.embeddings(s, d), 0.3)
@@ -608,6 +628,32 @@ object SparkEntry {
       """SELECT doc_id,
          sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
          FROM documents ORDER BY doc_id""",
+    "q_frame_sample" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CAST(ceil(CAST(octet_length(encode(text)) AS BIGINT) / 64.0)
+               AS BIGINT) AS n_frames
+           FROM documents)
+         SELECT doc_id, unnest(range(0, n_frames, 8)) AS frame_idx
+         FROM m WHERE n_frames > 0
+         ORDER BY doc_id, frame_idx""",
+    "q_media_features" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+           FROM documents),
+         s AS (
+           SELECT doc_id, n_bytes, unnest(range(0, 8)) AS dim_id FROM m)
+         SELECT doc_id, dim_id,
+           ((n_bytes * (dim_id + 1)) % 997) / 997.0 AS feature
+         FROM s ORDER BY doc_id, dim_id""",
+    "q_multimodal_pack" ->
+      """SELECT d.doc_id, d.lang, CAST(e.label AS BIGINT) AS label,
+         CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+         round(sqrt(list_dot_product(e.embedding::DOUBLE[],
+           e.embedding::DOUBLE[])), 6) AS emb_norm
+         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+         ORDER BY d.doc_id""",
     "q_embedding_neardup" ->
       """WITH p AS (
            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,

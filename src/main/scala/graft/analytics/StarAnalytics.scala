@@ -8,11 +8,12 @@ import graft.Tables
   * the reference's fact×dim joins (J2–J4, analytics.py:47,82,103;
   * run_pipeline.py:94-96) at warehouse scale.
   *
-  * Join strategy: `customer`/`nation`/`region`/`part`/`supplier` are
-  * broadcast (dims are KBs–MBs even at 100 TB fact scale), so the only
-  * shuffle in the whole star query is the final groupBy — lineitem⋈orders is
-  * the one genuinely large join and is left to Catalyst/AQE (shuffled hash /
-  * sort-merge on o_orderkey, skew-split by AQE).
+  * Join strategy: `nation`/`region` are forced broadcast — they are FIXED
+  * size (25/5 rows) at every scale factor. `customer`/`orders` SCALE with
+  * the data (≫ broadcast threshold at 100 TB) so their join strategy is
+  * left to Catalyst/AQE: auto-broadcast under the threshold at test scale,
+  * shuffled-hash / sort-merge with AQE skew-splitting at cluster scale.
+  * Forcing broadcast on a scaling table would OOM the executors at 1000×.
   */
 object StarAnalytics {
 
@@ -27,7 +28,7 @@ object StarAnalytics {
       .select("n_nationkey", "n_name", "n_regionkey")
     val r = Tables.region(spark, sfDir).select("r_regionkey", "r_name")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy("r_name", "n_name")
@@ -54,7 +55,7 @@ object StarAnalytics {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
     val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
-    ev.join(broadcast(c), ev("user_id") === c("c_custkey"), "left")
+    ev.join(c, ev("user_id") === c("c_custkey"), "left")
       .select(col("event_id"),
         graft.functions.CleanFns.tsMicros(col("ts")).as("ts"),
         col("user_id"), col("event_type"), col("value"),

@@ -53,4 +53,35 @@ object Multimodal {
         it.map { case (id, bytes) => decodeStub(id, bytes) }
       }
   }
+
+  /** Frame-sampling plumbing: every `step`-th frame index per media doc.
+    * A real build replaces the index stream with actual frame extraction;
+    * the fan-out shape (doc → frames, columnar explode, no shuffle) is the
+    * part that matters at scale. */
+  def frameSample(docs: DataFrame, step: Int = 8): DataFrame =
+    binaryMeta(docs)
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(step.toLong)))
+          .as("frame_idx"))
+
+  /** STUB feature extraction (decode→resize→embed in a real build): a
+    * deterministic `dim`-dim vector derived from payload size. The Spark
+    * plumbing — binary in, fixed-width vector out, columnar, no shuffle —
+    * is the real contract; the arithmetic is a placeholder. */
+  def mediaFeatures(docs: DataFrame, dim: Int = 8): DataFrame =
+    binaryMeta(docs).select(col("doc_id"),
+      transform(sequence(lit(1L), lit(dim.toLong)),
+        i => ((col("n_bytes") * i) % 997L).cast("double") / lit(997.0))
+        .as("features"))
+
+  /** Multimodal packing: documents ⋈ embeddings by id into one frame with
+    * an opaque payload struct + typed vector column (SURVEY.md §7.5). The
+    * id equi-join shuffles only ids+vectors, never decoded media. */
+  def packMedia(docs: DataFrame, emb: DataFrame): DataFrame =
+    docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("label"),
+        struct(col("source"),
+          encode(col("text"), "UTF-8").as("payload")).as("media"),
+        col("embedding"))
 }

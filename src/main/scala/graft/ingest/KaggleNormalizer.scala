@@ -33,6 +33,21 @@ object KaggleNormalizer {
     else pickFirst(present.map(col): _*)
   }
 
+  /** G8: timestamp-token resolution with whole-row fallback (loader:63-87) —
+    * candidate date columns first; failing those, scan every OTHER string
+    * column for an embedded `MM-DD-YY` token. Columnar (one coalesce chain),
+    * so the "scan" costs one projection, not a row loop. */
+  def pickTimestampToken(df: DataFrame, cands: Seq[String]): Column = {
+    val tokenRe = "\\d{2}-\\d{2}-\\d{2}"
+    val fromCands = pick(df, cands)
+    val scanned = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType &&
+        !cands.contains(f.name) =>
+        nullif(regexp_extract(col(f.name), tokenRe, 0), lit(""))
+    }.toSeq
+    coalesce(nullifBlank(fromCands) +: scanned: _*)
+  }
+
   /** Amazon-style rows → canonical purchase events (loader:120-187).
     * Returns (events, stats) where stats counts skips by cause. */
   def normalizeAmazonEvents(raw: DataFrame,

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.CleanFns._
+import graft.operators.{Dedup, Upsert}
+
+/** Property tests (SURVEY.md §5.2): algebraic invariants of the operators,
+  * checked over ScalaCheck-generated inputs with fixed seeds (deterministic
+  * CI — no flaky shrink paths). */
+class PropertySpec extends SparkSpec {
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val seeds = Seq(1L, 42L, 2026L)
+
+  private val tokenGen: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    chars <- Gen.listOfN(n, Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.const('-'), 2 -> Gen.const(' '),
+      1 -> Gen.oneOf('_', '.', 'É', 'ü')))
+  } yield chars.mkString
+
+  test("G1 normalizeToken is a fixpoint (normalize twice = once)") {
+    import spark.implicits._
+    for (seed <- seeds) {
+      val toks = sample(Gen.listOfN(200, tokenGen), seed)
+      val df = toks.toDF("t")
+        .select(normalizeToken(col("t")).as("once"))
+        .select(col("once"), normalizeToken(col("once")).as("twice"))
+      assert(df.filter(col("once") =!= col("twice")).isEmpty)
+    }
+  }
+
+  test("A5 keepLatest is idempotent and keeps exactly one row per key") {
+    import spark.implicits._
+    for (seed <- seeds) {
+      val rows = sample(Gen.listOfN(300, for {
+        k <- Gen.choose(0L, 40L)
+        v <- Gen.choose(0L, 1000L)
+        p <- Gen.choose(0L, 1000000L)
+      } yield (k, v, p)), seed)
+      val df = rows.toDF("k", "ver", "payload")
+      val once = Dedup.keepLatest(df, Seq("k"), col("ver"), col("payload"))
+      val twice = Dedup.keepLatest(once, Seq("k"), col("ver"), col("payload"))
+      assert(once.count() === df.select("k").distinct().count())
+      assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+      // keep-latest really kept the max (ver, payload) per key
+      val expected = df.groupBy("k")
+        .agg(max(struct(col("ver"), col("payload"))).as("s"))
+        .select(col("k"), col("s.ver"), col("s.payload"))
+      assert(once.exceptAll(expected).isEmpty)
+    }
+  }
+
+  test("D1 upsert: key set is the union; incoming wins on collisions") {
+    import spark.implicits._
+    for (seed <- seeds) {
+      val gen = Gen.listOfN(150, for {
+        k <- Gen.choose(0L, 60L); v <- Gen.choose(0L, 100L)
+      } yield (k, v))
+      val existing = sample(gen, seed).toDF("k", "v")
+        .groupBy("k").agg(max("v").as("v"), lit("old").as("src"))
+      val incoming = sample(gen, seed + 7).toDF("k", "v")
+        .withColumn("src", lit("new"))
+      val merged = Upsert.upsert(existing, incoming, Seq("k"),
+        col("v"), col("v"))
+      val keysUnion = existing.select("k").union(incoming.select("k"))
+        .distinct().count()
+      assert(merged.select("k").distinct().count() === keysUnion)
+      assert(merged.count() === keysUnion)
+      // every key present in incoming must surface with src = "new"
+      val incomingKeys = incoming.select("k").distinct()
+      val wrong = merged.join(incomingKeys, Seq("k"))
+        .filter(col("src") =!= "new")
+      assert(wrong.isEmpty)
+    }
+  }
+
+  test("D1 upsert is idempotent: applying the same incoming twice = once") {
+    import spark.implicits._
+    for (seed <- seeds) {
+      val gen = Gen.listOfN(100, for {
+        k <- Gen.choose(0L, 40L); v <- Gen.choose(0L, 100L)
+      } yield (k, v))
+      val existing = sample(gen, seed).toDF("k", "v")
+      val incoming = sample(gen, seed + 3).toDF("k", "v")
+      val once = Upsert.upsert(existing, incoming, Seq("k"), col("v"), col("v"))
+      val twice = Upsert.upsert(once, incoming, Seq("k"), col("v"), col("v"))
+      assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+    }
+  }
+
+  test("G10 moneyScrub recovers formatted positive doubles") {
+    import spark.implicits._
+    for (seed <- seeds) {
+      val vals = sample(Gen.listOfN(200,
+        Gen.choose(0.01, 900000.0)), seed)
+      val df = vals.toDF("v")
+        .withColumn("raw", concat(lit("$"), col("v").cast("string")))
+        .withColumn("back", moneyScrub(col("raw")))
+      assert(df.filter(col("back") =!= col("v")).isEmpty)
+    }
+  }
+
+  test("G8 pickTimestampToken: candidates first, then any-column scan") {
+    import spark.implicits._
+    val df = Seq(
+      ("04-30-22", "x", "noise"),          // candidate wins
+      ("", "order 05-12-21 shipped", "y"), // fallback scan of other col
+      ("", "no token", "none here")        // nothing -> null
+    ).toDF("Date", "note", "misc")
+    val got = df.select(graft.ingest.KaggleNormalizer
+        .pickTimestampToken(df, Seq("Date")).as("tok"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.toSeq === Seq(Some("04-30-22"), Some("05-12-21"), None))
+  }
+}

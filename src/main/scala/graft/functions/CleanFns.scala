@@ -71,8 +71,10 @@ object CleanFns {
     * pinned to 12:00 noon exactly as the loader does (:55-57). */
   def multiFormatTs(c: Column, formats: Seq[String]): Column = {
     val parsed = coalesce(formats.map(f => try_to_timestamp(trim(c), lit(f))): _*)
-    when(length(trim(c)) <= 10 && parsed.isNotNull,
-      parsed + expr("INTERVAL 12 HOURS")).otherwise(parsed)
+    // Single reference to the (expensive) format-chain: null + interval is
+    // null, so the pin can be unconditional arithmetic on the parse result.
+    parsed + when(length(trim(c)) <= 10, expr("INTERVAL 12 HOURS"))
+      .otherwise(expr("INTERVAL 0 HOURS"))
   }
 
   /** The loader's format list (kaggle loader:35-44), java.time syntax. */

@@ -39,6 +39,12 @@ object SparkEntry {
         col("o_orderdate"), col("o_totalprice"))),
     "q_quality_metrics" -> ((s, d) =>
       EventAnalytics.qualityMetrics(Tables.events(s, d), AllowedRawTypes)),
+    "q_rolling_revenue" -> ((s, d) =>
+      EventAnalytics.rollingRevenue(Tables.events(s, d))),
+    "q_revenue_rollup" -> ((s, d) =>
+      EventAnalytics.revenueRollup(Tables.events(s, d))),
+    "q_value_percentiles" -> ((s, d) =>
+      EventAnalytics.valuePercentiles(Tables.events(s, d))),
 
     // ---- A5: keyed dedup keep-latest ----
     "q_dedup_latest" -> ((s, d) =>
@@ -360,6 +366,30 @@ object SparkEntry {
            AS BIGINT) AS invalid_type_rows,
          round(sum(coalesce(value, 0)), 2) AS total_value
          FROM events""",
+    "q_rolling_revenue" ->
+      """WITH d AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+             round(sum(coalesce(value, 0)), 2) AS revenue
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT event_date, revenue,
+           round(sum(revenue) OVER (ORDER BY event_date
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rolling_7d
+         FROM d ORDER BY event_date""",
+    "q_revenue_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+         round(sum(coalesce(value, 0)), 2) AS revenue,
+         count(*) AS n_events,
+         CAST(grouping(strftime(ts, '%Y-%m-%d')) * 2 +
+              grouping(event_type) AS BIGINT) AS gid
+         FROM events
+         GROUP BY ROLLUP(strftime(ts, '%Y-%m-%d'), event_type)
+         ORDER BY event_date ASC NULLS FIRST, event_type ASC NULLS FIRST""",
+    "q_value_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS p50,
+         round(quantile_cont(value, 0.9), 6) AS p90,
+         round(quantile_cont(value, 0.99), 6) AS p99
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_dedup_latest" ->
       """SELECT user_id, event_type, event_id,
          strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, value

@@ -73,6 +73,42 @@ object EventAnalytics {
       .agg(round(sum(col("__amt")), 2).as("revenue"))
       .orderBy("event_date")
 
+  /** Extension — 7-day rolling revenue over the daily series. The window
+    * runs over the ALREADY-AGGREGATED daily frame (≤ days rows), so the
+    * single-partition ordered window is trivially cheap at any input scale;
+    * never window over the raw events. */
+  def rollingRevenue(ev: DataFrame, days: Int = 7): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("event_date")).rowsBetween(-(days - 1), 0)
+    revenue(ev)
+      .withColumn(s"rolling_${days}d", round(sum(col("revenue")).over(w), 2))
+      .orderBy("event_date")
+  }
+
+  /** Extension — ROLLUP over (day, type): per-group, per-day, and grand
+    * totals in one pass (partial aggregation still applies; the rollup
+    * expansion happens on the collapsed partial rows). */
+  def revenueRollup(ev: DataFrame): DataFrame =
+    withDate(ev)
+      .rollup(col("event_date"), col("event_type"))
+      .agg(round(sum(coalesce(col("value"), lit(0.0))), 2).as("revenue"),
+        count(lit(1)).as("n_events"),
+        grouping_id().cast("bigint").as("gid"))
+      .orderBy(col("event_date").asc_nulls_first,
+        col("event_type").asc_nulls_first)
+
+  /** Extension — exact interpolated percentiles per type. Exact to match
+    * the oracle; at the 100 TB design point swap in approx_percentile
+    * (t-digest sketch, mergeable, one pass) when exactness is not
+    * contractual. */
+  def valuePercentiles(ev: DataFrame): DataFrame =
+    ev.groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy("event_type")
+
   /** A7 — single-pass quality metrics (transform.py:104-119, quality.py):
     * one aggregate, no repeated scans. */
   def qualityMetrics(ev: DataFrame, allowedTypes: Seq[String]): DataFrame =

@@ -68,7 +68,7 @@ object CleanFns {
 
   /** Anchored shape-regex for a java.time pattern: numeric fields → \d{n},
     * quoted sections and separators → literals. Drives the G7 dispatch. */
-  private[functions] def formatShapeRegex(f: String): String = {
+  private[graft] def formatShapeRegex(f: String): String = {
     val sb = new StringBuilder("^")
     var i = 0
     while (i < f.length) {

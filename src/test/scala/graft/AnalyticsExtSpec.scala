@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.analytics.EventAnalytics
+import graft.functions.CleanFns._
+
+/** Windowed/rollup/percentile analytics extensions + the shape-regex
+  * dispatch that backs multiFormatTs. */
+class AnalyticsExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val ev = Seq(
+    // (event_id, ts, user_id, event_type, value)
+    (1L, ts("2022-01-01 10:00:00"), 1L, "purchase", Some(10.0)),
+    (2L, ts("2022-01-01 11:00:00"), 2L, "purchase", Some(20.0)),
+    (3L, ts("2022-01-02 10:00:00"), 1L, "purchase", None),
+    (4L, ts("2022-01-03 10:00:00"), 3L, "purchase", Some(5.0)),
+    (5L, ts("2022-01-03 10:00:00"), 3L, "pageview", Some(99.0))
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("rolling revenue sums the trailing window over the daily series") {
+    val out = EventAnalytics.rollingRevenue(ev, days = 2)
+      .select("event_date", "revenue", "rolling_2d")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("2022-01-01", 30.0, 30.0),
+      ("2022-01-02", 0.0, 30.0),   // null value coalesced to 0
+      ("2022-01-03", 5.0, 5.0)))   // window slid past day 1
+  }
+
+  test("revenue rollup emits leaf, per-day, and grand-total rows with gid") {
+    val out = EventAnalytics.revenueRollup(ev)
+      .select("event_date", "event_type", "revenue", "n_events", "gid")
+      .as[(Option[String], Option[String], Double, Long, Long)]
+      .collect().toSeq
+    assert(out.head == (None, None, 134.0, 5L, 3L)) // grand total first
+    assert(out.contains((Some("2022-01-03"), None, 104.0, 2L, 1L)))
+    assert(out.contains((Some("2022-01-01"), Some("purchase"), 30.0, 2L, 0L)))
+    assert(out.count(_._5 == 3L) == 1 && out.count(_._5 == 1L) == 3)
+  }
+
+  test("value percentiles interpolate exactly per type") {
+    val out = EventAnalytics.valuePercentiles(ev)
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // purchase values: 5, 10, 20 (null excluded) → p50 = 10
+    val (p50, p90, _) = out("purchase")
+    assert(p50.contains(10.0))
+    assert(p90.contains(18.0)) // 0.9 * (n-1) = 1.8 → 10 + 0.8*(20-10)
+  }
+
+  test("formatShapeRegex translates java.time patterns to anchored shapes") {
+    assert(formatShapeRegex("MM-dd-yy") == "^\\d{2}\\Q-\\E\\d{2}\\Q-\\E\\d{2}$")
+    assert(formatShapeRegex("yyyy-MM-dd'T'HH:mm:ss") ==
+      "^\\d{4}\\Q-\\E\\d{2}\\Q-\\E\\d{2}\\QT\\E\\d{2}\\Q:\\E\\d{2}\\Q:\\E\\d{2}$")
+  }
+
+  test("dispatch preserves first-match-wins for shape-ambiguous formats") {
+    // 03/04/2021 parses under both dd/MM and MM/dd — list order must win.
+    val df = Seq("03/04/2021", "25/12/2021", "12/25/2021").toDF("raw")
+    val out = df.select(date_format(
+      multiFormatTs(col("raw"), Seq("dd/MM/yyyy", "MM/dd/yyyy")),
+      "yyyy-MM-dd")).as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("2021-04-03"), // dd/MM won the tie
+      Some("2021-12-25"),                 // dd/MM parses it
+      Some("2021-12-25")))                // dd/MM fails, MM/dd fallback
+  }
+
+  test("dispatch returns null when shape matches but the date is invalid") {
+    val df = Seq("02-30-2022", "13-45-22").toDF("raw")
+    val out = df.select(
+      multiFormatTs(col("raw"), KaggleTsFormats)).collect().map(_.isNullAt(0))
+    assert(out.forall(identity))
+  }
+}

@@ -321,6 +321,23 @@ object SparkEntry {
           col("rate"), col("gross_amt"), col("currency"))
         .orderBy("sale_id", "customer", "sku", "pcs", "rate")
     }),
+
+    // ---- ext: as-of join (nearest-prior snapshot; single-shuffle) ----
+    "q_asof_join" -> ((s, d) => {
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(round(sum(col("o_totalprice")), 2).as("day_spend"),
+          count(lit(1)).as("day_orders"))
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      graft.operators.AsOfJoin
+        .asofJoin(ev, spend, "user_id", "o_custkey", "ts", "o_orderdate")
+        .select(col("user_id"), col("event_id"), tsMicros(col("ts")).as("ts"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("asof_date"),
+          col("day_spend"), col("day_orders"))
+        .orderBy("user_id", "event_id")
+    }),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -801,5 +818,21 @@ object SparkEntry {
          CAST(ceil(CAST(octet_length(encode(text)) AS BIGINT) / 64.0)
            AS BIGINT) AS n_frames
          FROM documents ORDER BY doc_id""",
+    "q_asof_join" ->
+      """WITH spend AS (
+           SELECT o_custkey, o_orderdate,
+             round(sum(o_totalprice), 2) AS day_spend,
+             CAST(count(*) AS BIGINT) AS day_orders
+           FROM orders GROUP BY 1, 2),
+         ev AS (
+           SELECT user_id, event_id, ts FROM events
+           WHERE user_id IS NOT NULL)
+         SELECT e.user_id, e.event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           strftime(s.o_orderdate, '%Y-%m-%d') AS asof_date,
+           s.day_spend, s.day_orders
+         FROM ev e ASOF JOIN spend s
+           ON e.user_id = s.o_custkey AND e.ts >= s.o_orderdate
+         ORDER BY e.user_id, e.event_id""",
   )
 }

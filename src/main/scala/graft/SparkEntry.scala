@@ -45,6 +45,12 @@ object SparkEntry {
       EventAnalytics.revenueRollup(Tables.events(s, d))),
     "q_value_percentiles" -> ((s, d) =>
       EventAnalytics.valuePercentiles(Tables.events(s, d))),
+    // Sketch-based scale variants (mergeable partial aggregates; no exact
+    // cross-engine oracle exists → rows-only check, error bounded in specs).
+    "q_dau_approx" -> ((s, d) =>
+      EventAnalytics.dauApprox(Tables.events(s, d))),
+    "q_value_percentiles_approx" -> ((s, d) =>
+      EventAnalytics.valuePercentilesApprox(Tables.events(s, d))),
 
     // ---- A5: keyed dedup keep-latest ----
     "q_dedup_latest" -> ((s, d) =>

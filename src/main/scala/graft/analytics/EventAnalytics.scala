@@ -109,6 +109,32 @@ object EventAnalytics {
         round(expr("percentile(value, 0.99)"), 6).as("p99"))
       .orderBy("event_type")
 
+  /** A1 at the 100 TB design point — HyperLogLog++ DAU. The sketch is
+    * mergeable, so the partial (map-side) aggregate collapses each input
+    * partition to one ~1.5 KB buffer per day and the shuffle moves sketches,
+    * not user ids; `rsd` trades memory for error (default 5%, here 2%).
+    * No exact oracle is possible cross-engine (HLL implementations differ);
+    * the driver records a rows-only check and `AnalyticsExtSpec` bounds the
+    * relative error against the exact A1 locally. */
+  def dauApprox(ev: DataFrame, rsd: Double = 0.02): DataFrame =
+    withDate(ev)
+      .filter(col("user_id").isNotNull)
+      .groupBy("event_date")
+      .agg(approx_count_distinct(col("user_id"), rsd).as("dau_approx"))
+      .orderBy("event_date")
+
+  /** Percentiles at the 100 TB design point — one-pass mergeable
+    * approx_percentile sketch instead of the exact sort-based form.
+    * Accuracy parameter bounds rank error at 1/accuracy. Rows-only driver
+    * check; error bounded against the exact form in AnalyticsExtSpec. */
+  def valuePercentilesApprox(ev: DataFrame, accuracy: Int = 10000): DataFrame =
+    ev.groupBy("event_type")
+      .agg(
+        expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(value, 0.9, $accuracy)").as("p90"),
+        expr(s"approx_percentile(value, 0.99, $accuracy)").as("p99"))
+      .orderBy("event_type")
+
   /** A7 — single-pass quality metrics (transform.py:104-119, quality.py):
     * one aggregate, no repeated scans. */
   def qualityMetrics(ev: DataFrame, allowedTypes: Seq[String]): DataFrame =

@@ -52,6 +52,37 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(p90.contains(18.0)) // 0.9 * (n-1) = 1.8 → 10 + 0.8*(20-10)
   }
 
+  test("approx DAU stays within the configured relative error of exact A1") {
+    val events = Tables.events(spark, "/root/testdata/sf0.01")
+    val exact = EventAnalytics.dau(events)
+      .as[(String, Long)].collect().toMap
+    val approx = EventAnalytics.dauApprox(events, rsd = 0.02)
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (day, a) =>
+      val e = exact(day).toDouble
+      assert(math.abs(a - e) / e <= 0.10, s"$day: approx=$a exact=$e")
+    }
+  }
+
+  test("approx percentiles track the exact interpolated form") {
+    val events = Tables.events(spark, "/root/testdata/sf0.01")
+    val exact = EventAnalytics.valuePercentiles(events)
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val approx = EventAnalytics.valuePercentilesApprox(events)
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (t, (_, e50, e90, _)) =>
+      val (_, a50, a90, _) = approx(t)
+      // approx_percentile returns a real sample; allow 5% of the p90 scale
+      val tol = e90.get.abs * 0.05 + 1e-9
+      assert(math.abs(a50.get - e50.get) <= tol, s"$t p50")
+      assert(math.abs(a90.get - e90.get) <= tol, s"$t p90")
+    }
+  }
+
   test("formatShapeRegex translates java.time patterns to anchored shapes") {
     assert(formatShapeRegex("MM-dd-yy") == "^\\d{2}\\Q-\\E\\d{2}\\Q-\\E\\d{2}$")
     assert(formatShapeRegex("yyyy-MM-dd'T'HH:mm:ss") ==

@@ -344,6 +344,28 @@ object SparkEntry {
           col("day_spend"), col("day_orders"))
         .orderBy("user_id", "event_id")
     }),
+
+    // ---- ext: binned range join (attribution window; no per-key blow-up) ----
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+          col("ts").as("s_ts"),
+          (col("ts") + expr("INTERVAL 7 DAYS")).as("s_end"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+          col("value"))
+      graft.operators.RangeJoin
+        .binnedRangeJoin(signups, purchases, "s_user", "p_user",
+          "s_ts", "s_end", "p_ts", 7L * 86400)
+        .select(col("signup_id"), col("purchase_id"),
+          col("s_user").as("user_id"),
+          tsMicros(col("s_ts")).as("signup_ts"),
+          tsMicros(col("p_ts")).as("purchase_ts"),
+          coalesce(col("value"), lit(0.0)).as("purchase_value"))
+        .orderBy("signup_id", "purchase_id")
+    }),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -840,5 +862,22 @@ object SparkEntry {
          FROM ev e ASOF JOIN spend s
            ON e.user_id = s.o_custkey AND e.ts >= s.o_orderdate
          ORDER BY e.user_id, e.event_id""",
+    "q_range_join" ->
+      // ts is TIMESTAMP_NS in the raw parquet; CAST to TIMESTAMP (µs) so
+      // the range comparisons see exactly what Spark's µs timestamps see.
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, value,
+             CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE user_id IS NOT NULL)
+         SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+           s.user_id AS user_id,
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           coalesce(p.value, 0) AS purchase_value
+         FROM ev s JOIN ev p
+           ON s.user_id = p.user_id
+          AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 7 DAY
+         WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+         ORDER BY signup_id, purchase_id""",
   )
 }

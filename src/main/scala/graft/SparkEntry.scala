@@ -51,6 +51,16 @@ object SparkEntry {
       EventAnalytics.dauApprox(Tables.events(s, d))),
     "q_value_percentiles_approx" -> ((s, d) =>
       EventAnalytics.valuePercentilesApprox(Tables.events(s, d))),
+    "q_event_gaps" -> ((s, d) =>
+      EventAnalytics.eventGaps(Tables.events(s, d))
+        .select(col("user_id"), col("event_id"),
+          tsMicros(col("ts")).as("ts"), col("gap_seconds"))
+        .orderBy("user_id", "event_id")),
+    "q_running_revenue" -> ((s, d) =>
+      EventAnalytics.runningUserRevenue(Tables.events(s, d))
+        .select(col("user_id"), col("event_id"),
+          tsMicros(col("ts")).as("ts"), col("value"), col("cum_value"))
+        .orderBy("user_id", "event_id")),
 
     // ---- A5: keyed dedup keep-latest ----
     "q_dedup_latest" -> ((s, d) =>
@@ -879,5 +889,30 @@ object SparkEntry {
           AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 7 DAY
          WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
          ORDER BY signup_id, purchase_id""",
+    "q_event_gaps" ->
+      // epoch() of a µs timestamp is exact in double (µs counts < 2^53);
+      // trunc matches Spark's toward-zero double→bigint cast.
+      """WITH e AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE user_id IS NOT NULL)
+         SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           CAST(trunc(epoch(ts) - epoch(lag(ts, 1) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+             AS gap_seconds
+         FROM e ORDER BY user_id, event_id""",
+    "q_running_revenue" ->
+      """WITH p AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             coalesce(value, 0) AS value
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type = 'purchase')
+         SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, value,
+           round(sum(value) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS cum_value
+         FROM p ORDER BY user_id, event_id""",
   )
 }

@@ -135,6 +135,36 @@ object EventAnalytics {
         expr(s"approx_percentile(value, 0.99, $accuracy)").as("p99"))
       .orderBy("event_type")
 
+  /** Extension — lag/lead over per-user event sequences: gap (seconds)
+    * since the user's previous event. Window partitions by user_id, so the
+    * sort is per-key within the keyed shuffle — fully distributed; the
+    * degenerate global-window shape (no partitionBy) is never used on raw
+    * events. */
+  def eventGaps(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        lag(col("ts"), 1).over(w).as("prev_ts"))
+      .withColumn("gap_seconds",
+        (col("ts").cast("double") - col("prev_ts").cast("double"))
+          .cast("bigint"))
+  }
+
+  /** Extension — per-user running purchase total (customer LTV curve).
+    * Same keyed-window shape as eventGaps: one shuffle on user_id, ordered
+    * running frame, no global sort. */
+  def runningUserRevenue(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    ev.filter(col("user_id").isNotNull && col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+      .withColumn("cum_value", round(sum(col("value")).over(w), 2))
+  }
+
   /** A7 — single-pass quality metrics (transform.py:104-119, quality.py):
     * one aggregate, no repeated scans. */
   def qualityMetrics(ev: DataFrame, allowedTypes: Seq[String]): DataFrame =

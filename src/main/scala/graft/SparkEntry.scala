@@ -209,6 +209,10 @@ object SparkEntry {
       graft.ext.DedupExt.simhashCandidates(Tables.documents(s, d), 16)
         .agg(count(lit(1)).as("n_candidate_pairs"))),
 
+    "q_dedup_clusters" -> ((s, d) =>
+      graft.ext.DedupCluster.prefixDupClusters(Tables.documents(s, d))
+        .orderBy("doc_id")),
+
     // ---- ext: similarity search ----
     "q_cosine_topk" -> ((s, d) =>
       graft.ext.Similarity.bruteForceTopK(Tables.embeddings(s, d))
@@ -914,5 +918,30 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
              AS cum_value
          FROM p ORDER BY user_id, event_id""",
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE pre AS (
+           SELECT doc_id, substr(text, 1, 64) AS p64,
+             substr(text, 1, 32) AS p32
+           FROM documents),
+         e0 AS (
+           SELECT a.doc_id AS a, b.doc_id AS b FROM pre a JOIN pre b
+             ON a.p64 = b.p64 AND a.doc_id < b.doc_id
+           UNION
+           SELECT a.doc_id, b.doc_id FROM pre a JOIN pre b
+             ON a.p32 = b.p32 AND a.doc_id < b.doc_id),
+         edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         reach(src, dst) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         comp AS (
+           SELECT src AS node, least(src, min(dst)) AS cluster
+           FROM reach GROUP BY src)
+         SELECT d.doc_id,
+           coalesce(c.cluster, d.doc_id) AS cluster_id,
+           CAST(d.doc_id = coalesce(c.cluster, d.doc_id) AS BIGINT)
+             AS is_canonical
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+         ORDER BY d.doc_id""",
   )
 }

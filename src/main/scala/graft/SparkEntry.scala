@@ -186,6 +186,7 @@ object SparkEntry {
 
     // ---- J1–J4: star joins; O1/O2: sort / top-k ----
     "q_region_revenue" -> ((s, d) => StarAnalytics.regionRevenue(s, d)),
+    "q_pricing_summary" -> ((s, d) => StarAnalytics.pricingSummary(s, d)),
     "q_top_orders" -> ((s, d) => StarAnalytics.topOrders(s, d)),
     "q_events_preview" -> ((s, d) => StarAnalytics.eventsPreview(s, d)),
 
@@ -943,5 +944,18 @@ object SparkEntry {
              AS is_canonical
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
          ORDER BY d.doc_id""",
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)
+             AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
   )
 }

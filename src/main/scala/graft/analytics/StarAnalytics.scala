@@ -39,6 +39,27 @@ object StarAnalytics {
       .orderBy("r_name", "n_name")
   }
 
+  /** TPC-H Q1-shaped pricing summary: full scan of the largest fixture
+    * table with multi-measure aggregation into a handful of groups. The
+    * canonical scan-throughput anchor — 4 columns read of 16 (pruning), the
+    * date filter pushed to parquet, and partial aggregation collapses each
+    * input partition to ≤|groups| rows before a shuffle that moves bytes,
+    * not gigabytes. */
+  def pricingSummary(spark: SparkSession, sfDir: String,
+                     cutoff: String = "1998-09-02"): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit(cutoff))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   /** O2 — top-k preview: true top-k (TakeOrderedAndProject — per-partition
     * heap + driver merge, no global sort; run_pipeline.py:97-98). Ties broken
     * by key for determinism. */

@@ -113,4 +113,27 @@ object EventStream {
         Upsert.overwriteViaSwap(spark, merged, path)
       }
       .start()
+
+  /** Stream-stream attribution join: purchases within `window` after a
+    * signup, incrementally — the streaming counterpart of the batch
+    * `RangeJoin.binnedRangeJoin` query. Watermarks on BOTH sides plus the
+    * time-range join condition let Spark bound the join state: a buffered
+    * signup is evicted once the purchase-side watermark passes
+    * signup_ts + window, so state never grows with stream length. */
+  def attributionJoin(signups: DataFrame, purchases: DataFrame,
+                      window: String = "7 days",
+                      watermark: String = "1 hour"): DataFrame = {
+    val s = signups
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    s.join(p,
+      col("s_user") === col("p_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") < col("s_ts") + expr(s"INTERVAL $window"))
+  }
 }

@@ -78,4 +78,27 @@ class StreamingSpec extends SparkSpec {
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert(ids2 === ids1)
   }
+
+  test("stream-stream attribution join matches the batch range join") {
+    val ev = EventStream.readEventsStream(spark, sf)
+      .filter(col("user_id").isNotNull)
+    val streamed = EventStream.runAvailableNow(
+      EventStream.attributionJoin(
+        ev.filter(col("event_type") === "signup"),
+        ev.filter(col("event_type") === "purchase")),
+      "append").select("signup_id", "purchase_id")
+    val batchEv = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+    val batch = graft.operators.RangeJoin.binnedRangeJoin(
+      batchEv.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_user"),
+          col("event_id").as("signup_id"), col("ts").as("s_ts"),
+          (col("ts") + expr("INTERVAL 7 DAYS")).as("s_end")),
+      batchEv.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          col("event_id").as("purchase_id"), col("ts").as("p_ts")),
+      "s_user", "p_user", "s_ts", "s_end", "p_ts", 7L * 86400)
+      .select("signup_id", "purchase_id")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }

@@ -34,6 +34,10 @@ object AsOfJoin {
     require(left.columns.forall(!_.startsWith("__asof_")),
       "left must not contain __asof_* columns")
     val payloadCols = right.columns.filter(_ != rightKey).toSeq
+    val clash = payloadCols.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"right payload columns must not collide with left columns " +
+        s"(rename first): ${clash.mkString(", ")}")
     val payloadStruct = struct(payloadCols.map(col): _*)
     val payloadType = right.select(payloadStruct).schema.head.dataType
 

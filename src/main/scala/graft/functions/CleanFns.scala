@@ -80,7 +80,9 @@ object CleanFns {
         case ch @ ('y' | 'M' | 'd' | 'H' | 'm' | 's') =>
           var j = i
           while (j < f.length && f(j) == ch) j += 1
-          sb.append(s"\\d{${j - i}}")
+          // java.time: a single-letter numeric field accepts 1-2 digits;
+          // repeated letters pin the exact width (strict mode).
+          sb.append(if (j - i == 1) "\\d{1,2}" else s"\\d{${j - i}}")
           i = j - 1
         case ch => sb.append(java.util.regex.Pattern.quote(ch.toString))
       }

@@ -89,6 +89,16 @@ class AnalyticsExtSpec extends SparkSpec {
       "^\\d{4}\\Q-\\E\\d{2}\\Q-\\E\\d{2}\\QT\\E\\d{2}\\Q:\\E\\d{2}\\Q:\\E\\d{2}$")
   }
 
+  test("single-letter format fields accept 1-2 digits (java.time laxity)") {
+    assert(formatShapeRegex("M/d/yy") ==
+      "^\\d{1,2}\\Q/\\E\\d{1,2}\\Q/\\E\\d{2}$")
+    val df = Seq("3/4/22", "11/25/22").toDF("raw")
+    val out = df.select(date_format(
+      multiFormatTs(col("raw"), Seq("M/d/yy")), "yyyy-MM-dd"))
+      .as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("2022-03-04"), Some("2022-11-25")))
+  }
+
   test("dispatch preserves first-match-wins for shape-ambiguous formats") {
     // 03/04/2021 parses under both dd/MM and MM/dd — list order must win.
     val df = Seq("03/04/2021", "25/12/2021", "12/25/2021").toDF("raw")

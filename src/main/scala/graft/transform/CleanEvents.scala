@@ -17,14 +17,30 @@ import graft.operators.{Dedup, Quarantine}
   */
 object CleanEvents {
 
+  import org.apache.spark.sql.types._
+
   val AllowedEvents: Seq[String] = Seq("pageview", "signup", "purchase")
+
+  /** Columns transform consumes; inputs missing any of them get typed-null
+    * patches (the reference's defensive `if "col" in df.columns` idiom,
+    * transform.py:34-50, centralized via ensureColumns). */
+  private val RequiredEventColumns = StructType(Seq(
+    StructField("event_id", StringType),
+    StructField("ts", TimestampType),
+    StructField("event", StringType),
+    StructField("user_id", StringType),
+    StructField("amount", StringType)))
+  private val RequiredUserColumns = StructType(Seq(
+    StructField("user_id", StringType),
+    StructField("country", StringType),
+    StructField("signup_source", StringType)))
 
   case class TransformResult(cleaned: DataFrame, bad: DataFrame,
                              metrics: Map[String, Long])
 
   def transform(events: DataFrame, users: DataFrame): TransformResult = {
-    val normalized = events.withColumn("event",
-      normalizeEventName(col("event")))
+    val normalized = ensureColumns(events, RequiredEventColumns)
+      .withColumn("event", normalizeEventName(col("event")))
     val (kept, badType) = Quarantine.whitelistSplit(normalized, "event",
       AllowedEvents)
     val deduped = Dedup.keepLatest(kept, Seq("event_id"), col("ts"),
@@ -34,8 +50,9 @@ object CleanEvents {
       .withColumn("amount", tryDouble(col("amount")))
       .withColumn("event_date", eventDate(col("ts")))
       .withColumn("event_hour", eventHour(col("ts")))
-      .join(broadcast(users.select(trim(col("user_id")).as("user_id"),
-        col("country"), col("signup_source"))), Seq("user_id"), "left")
+      .join(broadcast(ensureColumns(users, RequiredUserColumns)
+        .select(trim(col("user_id")).as("user_id"),
+          col("country"), col("signup_source"))), Seq("user_id"), "left")
     // A7: one aggregate pass for the quality metrics (transform.py:104-119)
     val m = cleaned.agg(
       count(lit(1)).as("rows_out"),

@@ -87,6 +87,23 @@ class TransformSpec extends SparkSpec {
       Some("2022-04-30 13:45:00"), None))
   }
 
+  test("transform patches missing columns with typed nulls (schema drift)") {
+    // Input lacking amount AND user_id — the reference fabricates them
+    // (transform.py:49-50, 86-87); so do we, via ensureColumns.
+    val ev = Seq(
+      ("e1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "pageview"),
+      ("e2", java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "purchase"))
+      .toDF("event_id", "ts", "event")
+    val users = Seq(("u1", "US", "ads")).toDF(
+      "user_id", "country", "signup_source")
+    val r = graft.transform.CleanEvents.transform(ev, users)
+    assert(r.cleaned.count() === 2)
+    assert(r.cleaned.columns.contains("amount") &&
+      r.cleaned.columns.contains("user_id"))
+    assert(r.cleaned.filter(col("amount").isNotNull).count() === 0)
+    assert(r.metrics("null_user_rows") === 2)
+  }
+
   test("money scrub strips separators and sigils (loader:95-104)") {
     val df = Seq("$1,234.56", "₹99", "", "bad").toDF("v")
     val out = df.select(moneyScrub(col("v"))).as[Double].collect().toSeq

@@ -26,6 +26,9 @@ import graft.operators.{Dedup, Upsert}
   * the horizon, not the history. The `foreachBatch` upsert inherits the
   * batch Upsert's shuffle shape: one hash partitioning per key on each side.
   */
+/** State row for `EventStream.statefulUserTotals`. */
+case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
 object EventStream {
 
   private val nameCounter = new AtomicLong(0)
@@ -113,6 +116,33 @@ object EventStream {
         Upsert.overwriteViaSwap(spark, merged, path)
       }
       .start()
+
+  /** Custom keyed state via `mapGroupsWithState`: running per-user event
+    * count and value total, carried across micro-batches. For when the
+    * built-in aggregates can't express the state transition (counters with
+    * business rules, fraud scores, decaying sums). State is one small case
+    * class per active user — at cluster scale pair with a timeout
+    * (`GroupStateTimeout.ProcessingTimeTimeout` + `state.setTimeoutDuration`)
+    * so idle keys age out instead of accumulating forever. */
+  def statefulUserTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("long"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserTotals](
+        GroupStateTimeout.NoTimeout()) { (uid, rows, state) =>
+        var (n, v) = state.getOption.getOrElse((0L, 0.0))
+        rows.foreach { r => n += 1; v += r._2 }
+        state.update((n, v))
+        UserTotals(uid, n, v)
+      }
+      .toDF()
+      .withColumn("total_value", round(col("total_value"), 2))
+  }
 
   /** Stream-stream attribution join: purchases within `window` after a
     * signup, incrementally — the streaming counterpart of the batch

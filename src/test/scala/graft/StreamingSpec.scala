@@ -79,6 +79,19 @@ class StreamingSpec extends SparkSpec {
     assert(ids2 === ids1)
   }
 
+  test("mapGroupsWithState totals equal the batch aggregate") {
+    val streamed = EventStream.runAvailableNow(
+      EventStream.statefulUserTotals(EventStream.readEventsStream(spark, sf)),
+      "update")
+    val batch = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(coalesce(col("value"), lit(0.0))), 2).as("total_value"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stream-stream attribution join matches the batch range join") {
     val ev = EventStream.readEventsStream(spark, sf)
       .filter(col("user_id").isNotNull)

@@ -51,6 +51,24 @@ object SparkEntry {
       EventAnalytics.dauApprox(Tables.events(s, d))),
     "q_value_percentiles_approx" -> ((s, d) =>
       EventAnalytics.valuePercentilesApprox(Tables.events(s, d))),
+    // Arbitrary GROUPING SETS (per-day and per-type marginals + grand
+    // total, no (day,type) leaves) — via the SQL surface; the DataFrame
+    // API only exposes rollup/cube. Same Expand-based plan as rollup.
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.events(s, d).createOrReplaceTempView("events_gs")
+      s.sql("""
+        WITH e AS (
+          SELECT date_format(ts, 'yyyy-MM-dd') AS event_date, event_type,
+            coalesce(value, 0) AS v
+          FROM events_gs)
+        SELECT event_date, event_type, round(sum(v), 2) AS revenue,
+          count(*) AS n_events,
+          CAST(grouping(event_date) * 2 + grouping(event_type) AS BIGINT)
+            AS gid
+        FROM e
+        GROUP BY GROUPING SETS ((event_date), (event_type), ())
+        ORDER BY event_date ASC NULLS FIRST, event_type ASC NULLS FIRST""")
+    }),
     "q_event_gaps" -> ((s, d) =>
       EventAnalytics.eventGaps(Tables.events(s, d))
         .select(col("user_id"), col("event_id"),
@@ -894,6 +912,18 @@ object SparkEntry {
           AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 7 DAY
          WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
          ORDER BY signup_id, purchase_id""",
+    "q_grouping_sets" ->
+      """WITH e AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+             coalesce(value, 0) AS v
+           FROM events)
+         SELECT event_date, event_type, round(sum(v), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(grouping(event_date) * 2 + grouping(event_type) AS BIGINT)
+             AS gid
+         FROM e
+         GROUP BY GROUPING SETS ((event_date), (event_type), ())
+         ORDER BY event_date ASC NULLS FIRST, event_type ASC NULLS FIRST""",
     "q_event_gaps" ->
       // epoch() of a µs timestamp is exact in double (µs counts < 2^53);
       // trunc matches Spark's toward-zero double→bigint cast.

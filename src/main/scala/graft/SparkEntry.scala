@@ -51,6 +51,19 @@ object SparkEntry {
       EventAnalytics.dauApprox(Tables.events(s, d))),
     "q_value_percentiles_approx" -> ((s, d) =>
       EventAnalytics.valuePercentilesApprox(Tables.events(s, d))),
+    // PIVOT: long→wide conditional aggregation. The value list is given
+    // explicitly — omitting it costs an extra distinct pass over the data
+    // AND makes the output schema data-dependent (schema drift at scale).
+    "q_event_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("event_date", graft.functions.CleanFns.eventDate(col("ts")))
+        .groupBy("event_date")
+        .pivot("event_type", Seq("click", "error", "purchase",
+          "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("event_date")),
+
     // Arbitrary GROUPING SETS (per-day and per-type marginals + grand
     // total, no (day,type) leaves) — via the SQL surface; the DataFrame
     // API only exposes rollup/cube. Same Expand-based plan as rollup.
@@ -912,6 +925,19 @@ object SparkEntry {
           AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 7 DAY
          WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
          ORDER BY signup_id, purchase_id""",
+    "q_event_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+             AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+             AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+             AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+             AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q_grouping_sets" ->
       """WITH e AS (
            SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,

@@ -51,6 +51,28 @@ object SparkEntry {
       EventAnalytics.dauApprox(Tables.events(s, d))),
     "q_value_percentiles_approx" -> ((s, d) =>
       EventAnalytics.valuePercentilesApprox(Tables.events(s, d))),
+    // Set ops beyond the reference's union: EXCEPT/INTERSECT over distinct
+    // user sets (both plan as aggregate-free left-anti / left-semi joins on
+    // the distinct sets — one shuffle each side).
+    "q_signup_no_purchase" -> ((s, d) => {
+      // (user, day) granularity: signup days with no same-day purchase.
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .withColumn("event_date",
+          graft.functions.CleanFns.eventDate(col("ts")))
+      ev.filter(col("event_type") === "signup")
+        .select("user_id", "event_date")
+        .except(ev.filter(col("event_type") === "purchase")
+          .select("user_id", "event_date"))
+        .orderBy("user_id", "event_date")
+    }),
+    "q_signup_and_purchase" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      ev.filter(col("event_type") === "signup").select("user_id")
+        .intersect(ev.filter(col("event_type") === "purchase")
+          .select("user_id"))
+        .orderBy("user_id")
+    }),
+
     // PIVOT: long→wide conditional aggregation. The value list is given
     // explicitly — omitting it costs an extra distinct pass over the data
     // AND makes the output schema data-dependent (schema drift at scale).
@@ -925,6 +947,21 @@ object SparkEntry {
           AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 7 DAY
          WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
          ORDER BY signup_id, purchase_id""",
+    "q_signup_no_purchase" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d') AS event_date
+         FROM events
+         WHERE event_type = 'signup' AND user_id IS NOT NULL
+         EXCEPT
+         SELECT user_id, strftime(ts, '%Y-%m-%d') FROM events
+         WHERE event_type = 'purchase' AND user_id IS NOT NULL
+         ORDER BY user_id, event_date""",
+    "q_signup_and_purchase" ->
+      """SELECT user_id FROM events
+         WHERE event_type = 'signup' AND user_id IS NOT NULL
+         INTERSECT
+         SELECT user_id FROM events
+         WHERE event_type = 'purchase' AND user_id IS NOT NULL
+         ORDER BY user_id""",
     "q_event_pivot" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
            CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)

@@ -70,6 +70,10 @@ object Similarity {
         col("nrm").as("c_nrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_sim").desc, col("centroid_id"))
+    // localCheckpoint: `assigned` feeds BOTH the query set and the probe
+    // corpus below — without materialization the |corpus|×|centroids|
+    // assignment cross-join executes twice (visible as two
+    // BroadcastNestedLoopJoins in the plan).
     val assigned = withNorm.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"),
         round(dot(col("embedding"), col("c_emb")) /
@@ -77,6 +81,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
+      .localCheckpoint()
     val q = assigned.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("centroid_id"))

@@ -94,7 +94,9 @@ object DedupExt {
   /** SimHash near-dup candidates: block on 16-bit chunks (any chunk equal →
     * candidate), then exact Hamming ≤ maxDist filter via bit_count. */
   def simhashCandidates(docs: DataFrame, maxDist: Int = 8): DataFrame = {
-    val sh = simhashes(docs)
+    // localCheckpoint: the signature frame feeds both join sides below —
+    // without it tokenization + per-token hashing runs twice per doc.
+    val sh = simhashes(docs).localCheckpoint()
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)), i =>
         call_function("shiftright", col("simhash"), i * 16)

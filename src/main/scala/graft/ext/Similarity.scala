@@ -123,9 +123,12 @@ object Similarity {
   def embeddingNearDupLSH(emb: DataFrame, threshold: Double = 0.3,
                           nBits: Int = 8): DataFrame = {
     graft.plans.VectorOps.register(emb.sparkSession)
+    // localCheckpoint: `bucketed` is both join sides below — without it
+    // the nBits×dims hyperplane hashing and the bucket join run twice.
     val bucketed = emb.join(lshBuckets(emb, nBits), Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("bucket"),
         l2norm(col("embedding")).as("nrm"))
+      .localCheckpoint()
     val a = bucketed.select(col("bucket"), col("vec_id").as("vec_id_a"),
       col("embedding").as("e_a"), col("nrm").as("n_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("vec_id_b"),

@@ -252,7 +252,10 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")),
     "q_minhash_signatures" -> ((s, d) =>
       graft.ext.DedupExt.minhashSignatures(Tables.documents(s, d))
-        .orderBy("doc_id")),
+        .select(col("doc_id"),
+          posexplode(col("sig")).as(Seq("seed_id", "min_hash")))
+        .withColumn("seed_id", col("seed_id").cast("bigint"))
+        .orderBy("doc_id", "seed_id")),
     "q_minhash_candidates" -> ((s, d) =>
       graft.ext.DedupExt.minhashCandidates(Tables.documents(s, d))
         .agg(count(lit(1)).as("n_candidate_pairs"))),
@@ -437,6 +440,38 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
+  /** Shared DuckDB CTEs + literal constants for the portable sketch oracles.
+    * The hash is `graft.plans.PortableHash.h60` on both sides: first 15 hex
+    * chars of md5 as BIGINT; the MinHash permutation coefficients come from
+    * the same `PortableHash.a/b` the native expressions use. */
+  private val minhashA: String =
+    (0 until 32).map(graft.plans.PortableHash.a).mkString("[", ",", "]")
+  private val minhashB: String =
+    (0 until 32).map(graft.plans.PortableHash.b).mkString("[", ",", "]")
+  private val sketchShingleCte: String =
+    """WITH toks AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+           x -> x <> '') AS toks
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(toks)-1, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         FROM toks),
+       hs AS (
+         SELECT doc_id, list_transform(sh, s ->
+           ('0x'||substr(md5(s),1,15))::BIGINT % 2147483647) AS hs
+         FROM sh)"""
+  private val sketchTokenHashCte: String =
+    """WITH toks AS (
+         SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+           x -> x <> '') AS toks
+         FROM documents),
+       th AS (
+         SELECT doc_id, list_transform(toks, t ->
+           ('0x'||substr(md5(t),1,15))::BIGINT) AS hs
+         FROM toks)"""
+
   def oracleSql: Map[String, String] = Map(
     "q_dau" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
@@ -525,7 +560,7 @@ object SparkEntry {
     "q_quarantine_good_counts" ->
       """SELECT event_type, count(*) AS n FROM events
          WHERE event_type IN ('signup','purchase','view','click')
-           AND NOT (value > 400.0)
+           AND (value IS NULL OR value <= 400.0)
          GROUP BY 1 ORDER BY 1""",
     "q_union_quarantine" ->
       """SELECT * FROM (
@@ -666,6 +701,74 @@ object SparkEntry {
            CASE WHEN uni = 0 THEN 0.0
                 ELSE round(inter / uni, 6) END AS jaccard
          FROM pairs ORDER BY doc_id_a, doc_id_b""",
+    "q_minhash_signatures" ->
+      s"""$sketchShingleCte,
+         sig AS (
+           SELECT doc_id, seeds.seed_id,
+             CASE WHEN len(hs) = 0 THEN 2147483647
+                  ELSE list_min(list_transform(hs, h ->
+                    (($minhashA)[seed_id+1] * h + ($minhashB)[seed_id+1])
+                      % 2147483647)) END AS min_hash
+           FROM hs CROSS JOIN
+             (SELECT unnest(range(0, 32)) AS seed_id) seeds)
+         SELECT doc_id, seed_id, min_hash FROM sig
+         ORDER BY doc_id, seed_id""",
+    "q_minhash_candidates" ->
+      s"""$sketchShingleCte,
+         sigl AS (
+           SELECT doc_id, list_transform(range(0, 32), i ->
+             CASE WHEN len(hs) = 0 THEN 2147483647
+                  ELSE list_min(list_transform(hs, h ->
+                    (($minhashA)[i+1] * h + ($minhashB)[i+1])
+                      % 2147483647)) END) AS sig
+           FROM hs),
+         banded AS (
+           SELECT doc_id, b.j AS band_id,
+             ('0x'||substr(md5(array_to_string(
+               sig[b.j*2+1 : b.j*2+2], ',')),1,15))::BIGINT AS band_hash
+           FROM sigl CROSS JOIN (SELECT unnest(range(0, 16)) AS j) b),
+         buckets AS (
+           SELECT band_id, band_hash, list(doc_id) AS bucket
+           FROM banded GROUP BY 1, 2
+           HAVING count(*) BETWEEN 2 AND 50),
+         pairs AS (
+           SELECT DISTINCT p[1] AS doc_id_a, p[2] AS doc_id_b FROM (
+             SELECT unnest(flatten(list_transform(bucket, x ->
+               list_transform(list_filter(bucket, y -> y > x),
+                 y -> [x, y])))) AS p
+             FROM buckets))
+         SELECT count(*) AS n_candidate_pairs FROM pairs""",
+    "q_simhash" ->
+      s"""$sketchTokenHashCte
+         SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN 2*len(list_filter(hs, h -> ((h >> b) & 1) = 1))
+                    >= len(hs)
+                  THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)
+             AS simhash
+         FROM th ORDER BY doc_id""",
+    "q_simhash_candidates" ->
+      s"""$sketchTokenHashCte,
+         sim AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN 2*len(list_filter(hs, h -> ((h >> b) & 1) = 1))
+                      >= len(hs)
+                    THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)
+               AS simhash
+           FROM th),
+         ch AS (
+           SELECT s.doc_id, s.simhash, c.chunk_id,
+             (s.simhash >> (c.chunk_id * 15)) & 32767 AS chunk
+           FROM sim s CROSS JOIN
+             (SELECT unnest(range(0, 4)) AS chunk_id) c),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+           FROM ch a JOIN ch b ON a.chunk_id = b.chunk_id
+             AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         SELECT count(*) AS n_candidate_pairs FROM cand
+         WHERE hamming <= 16""",
     "q_cosine_topk" ->
       """WITH q AS (
            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

@@ -80,18 +80,18 @@ object DedupExt {
       .distinct()
   }
 
-  /** SimHash per document (64-bit). Near-dup pairs = small Hamming distance;
-    * pairing is done by the caller (e.g. band on 16-bit chunks). Token
-    * hashes are materialized once; the 64-bit fold then reads an array
-    * attribute instead of re-hashing per bit. */
+  /** SimHash per document (60-bit, portable md5-based hashing — DuckDB
+    * reproduces it exactly). Near-dup pairs = small Hamming distance;
+    * pairing is done by the caller (e.g. band on 15-bit chunks). Token
+    * hashes are computed once per token inside the native expression. */
   def simhashes(docs: DataFrame): DataFrame = {
     graft.plans.TextSketches.register(docs.sparkSession)
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        graft.plans.TextSketches.simhash64(col("toks")).as("simhash"))
+        graft.plans.TextSketches.simhash60(col("toks")).as("simhash"))
   }
 
-  /** SimHash near-dup candidates: block on 16-bit chunks (any chunk equal →
+  /** SimHash near-dup candidates: block on 15-bit chunks (any chunk equal →
     * candidate), then exact Hamming ≤ maxDist filter via bit_count. */
   def simhashCandidates(docs: DataFrame, maxDist: Int = 8): DataFrame = {
     // localCheckpoint: the signature frame feeds both join sides below —
@@ -99,8 +99,8 @@ object DedupExt {
     val sh = simhashes(docs).localCheckpoint()
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)), i =>
-        call_function("shiftright", col("simhash"), i * 16)
-          .bitwiseAND(lit(0xFFFFL))))
+        call_function("shiftright", col("simhash"), i * 15)
+          .bitwiseAND(lit(0x7FFFL))))
         .as(Seq("chunk_id", "chunk")))
     val a = chunked.select(col("doc_id").as("doc_id_a"),
       col("simhash").as("sh_a"), col("chunk_id"), col("chunk"))

@@ -29,31 +29,50 @@ object TextFns {
     when(union === 0.0, lit(0.0)).otherwise(round(inter / union, 6))
   }
 
-  /** MinHash signature: k murmur3 permutations approximated as
-    * hash(shingle, seed) minima — the standard hash-family trick, all inside
-    * one nested-HOF projection. */
-  def minhashSignature(shingleCol: Column, k: Int = 32): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingleCol, s => hash(s, i))))
+  /** Portable 60-bit string hash: first 15 hex chars of md5 as a bigint.
+    * The SAME value DuckDB computes as `('0x'||substr(md5(s),1,15))::BIGINT`
+    * and `graft.plans.PortableHash.h60` computes natively — one hash
+    * definition shared by the engine, the HOF reference impls below, and
+    * the correctness oracles. */
+  def portableH60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
 
-  /** LSH band hashes over a signature: `bands` hashes of `rowsPerBand`
-    * consecutive signature slots each. */
+  /** MinHash signature, HOF reference implementation of
+    * `graft.plans.MinHashSig` (same values, interpreter-bound — use the
+    * native expression in the hot path). */
+  def minhashSignature(shingleCol: Column, k: Int = 32): Column = {
+    val P = graft.plans.PortableHash.P
+    transform(sequence(lit(0), lit(k - 1)), i => {
+      val hs = transform(shingleCol, s => portableH60(s) % P)
+      coalesce(
+        array_min(transform(hs, h =>
+          (element_at(typedLit((0 until k).map(graft.plans.PortableHash.a)), i + 1) * h +
+            element_at(typedLit((0 until k).map(graft.plans.PortableHash.b)), i + 1)) % P)),
+        lit(P))
+    })
+  }
+
+  /** LSH band hashes over a signature: `bands` portable hashes of
+    * `rowsPerBand` consecutive signature slots each (comma-joined decimal
+    * strings — the shape DuckDB's `array_to_string(sig[a:b], ',')`
+    * reproduces exactly). */
   def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), j =>
-      hash((0 until rowsPerBand).map(r =>
-        element_at(sig, j * rowsPerBand + r + 1)): _*))
+      portableH60(concat_ws(",", (0 until rowsPerBand).map(r =>
+        element_at(sig, j * rowsPerBand + r + 1).cast("string")): _*)))
 
-  /** Per-token xxhash64 values — materialize this ONCE as a column before
-    * folding bits; hashing inside the per-bit loop would recompute every
-    * token hash 64 times. */
-  def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
+  /** Per-token portable h60 values — materialize this ONCE as a column
+    * before folding bits; hashing inside the per-bit loop would recompute
+    * every token hash 60 times. */
+  def tokenHashes(toks: Column): Column = transform(toks, t => portableH60(t))
 
-  /** 64-bit SimHash from precomputed token hashes: per-bit ±1 votes,
-    * sign-threshold, packed into a bigint. (`call_function` because the
-    * Scala `shiftright`/`shiftleft` wrappers take Int literals, and the
-    * shift amount here is a lambda variable.) */
-  def simhash64(tokHashes: Column): Column =
-    aggregate(sequence(lit(0), lit(63)), lit(0L),
+  /** 60-bit SimHash from precomputed token hashes: per-bit ±1 votes,
+    * sign-threshold, packed into a bigint. HOF reference implementation of
+    * `graft.plans.SimHash60`. (`call_function` because the Scala
+    * `shiftright`/`shiftleft` wrappers take Int literals, and the shift
+    * amount here is a lambda variable.) */
+  def simhash60(tokHashes: Column): Column =
+    aggregate(sequence(lit(0), lit(59)), lit(0L),
       (acc, b) => acc + when(
         aggregate(tokHashes, lit(0L), (acc2, h) =>
           acc2 + when(

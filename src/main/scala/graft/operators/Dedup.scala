@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Deterministic tiebreak: 64-bit hash of the whole row payload. Unlike
+    * `monotonically_increasing_id` (partition-order dependent, so the same
+    * duplicate pair can resolve differently per run), this is stable across
+    * partitionings and re-runs — keep-latest becomes deterministic replay,
+    * which is what makes the keyed upserts idempotent (load.py:199-217). */
+  def rowHash(df: DataFrame): Column =
+    xxhash64(df.columns.sorted.map(c => col(c).cast("string")): _*)
+
   /** Keep the row with the greatest (orderBy, tiebreak) per key group. */
   def keepLatest(df: DataFrame, keys: Seq[String], orderBy: Column,
                  tiebreak: Column): DataFrame = {

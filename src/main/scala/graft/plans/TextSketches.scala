@@ -1,12 +1,13 @@
 package graft.plans
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native sketch expressions for the dedup suite.
@@ -18,29 +19,74 @@ import org.apache.spark.unsafe.types.UTF8String
   * do one tight JVM loop per row over the token array instead; preference
   * order per SURVEY.md §2.10 (built-ins → Expression → UDF) lands on
   * Expression because built-ins can't express the loop efficiently.
+  *
+  * Hashing is PORTABLE by design: every hash bottoms out in
+  * `PortableHash.h60` — the first 60 bits of the md5 of the UTF-8 string —
+  * which DuckDB reproduces exactly as
+  * `('0x' || substr(md5(s), 1, 15))::BIGINT`. That makes the whole sketch
+  * family (MinHash signatures, LSH bands, SimHash) verifiable against a
+  * DuckDB oracle, not just rows-only checked. The engine-quality tradeoff
+  * (md5 is ~3× slower than murmur3) is confined to one function and only
+  * paid once per token/shingle.
   */
+object PortableHash {
+  /** Mersenne prime 2^31-1: modulus of the MinHash permutation family. */
+  val P: Long = 2147483647L
 
-/** MinHash signature: for seeds 0..k-1, min murmur3(token, seed) over the
-  * input array<string>. Returns array<int> of length k (null input → null,
-  * empty array → Int.MaxValue-filled signature). */
+  /** Affine-permutation coefficients for seed i (Knuth multiplicative /
+    * Numerical-Recipes constants). Also emitted as literals into the
+    * DuckDB oracle SQL — keep `OracleSketchSql` in sync. */
+  def a(i: Int): Long = { val v = ((i + 1) * 2654435761L) % P; if (v == 0L) 1L else v }
+  def b(i: Int): Long = ((i + 1) * 1013904223L) % P
+
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(bytes): big-endian long of the first 8 digest
+    * bytes, shifted right 4 — identical to parsing the first 15 hex chars
+    * of the digest. Always non-negative. */
+  def h60(bytes: Array[Byte], offset: Int, len: Int): Long = {
+    val d = md5.get()
+    d.reset()
+    d.update(bytes, offset, len)
+    val out = d.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (out(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def h60(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    h60(bytes, 0, bytes.length)
+  }
+}
+
+/** MinHash signature over array<string> shingles: for seeds 0..k-1,
+  * min over shingles of (a_i * (h60(s) mod P) + b_i) mod P. Returns
+  * array<bigint> of length k (null input → null, empty array → P-filled
+  * sentinel signature). Portable: DuckDB computes the identical value
+  * with md5 + list_min (see SparkEntry's q_minhash_signatures oracle). */
 case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private lazy val as: Array[Long] = Array.tabulate(k)(PortableHash.a)
+  private lazy val bs: Array[Long] = Array.tabulate(k)(PortableHash.b)
   override def nullSafeEval(input: Any): Any = {
+    val P = PortableHash.P
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val mins = Array.fill(k)(Int.MaxValue)
+    val mins = Array.fill(k)(P)
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
       if (s != null) {
-        val base = s.getBaseObject
-        val off = s.getBaseOffset
-        val len = s.numBytes()
+        val base = PortableHash.h60(s) % P
         var seed = 0
         while (seed < k) {
-          val h = Murmur3_x86_32.hashUnsafeBytes(base, off, len, seed)
-          if (h < mins(seed)) mins(seed) = h
+          val v = (as(seed) * base + bs(seed)) % P
+          if (v < mins(seed)) mins(seed) = v
           seed += 1
         }
       }
@@ -52,27 +98,22 @@ case class MinHashSig(child: Expression, k: Int)
     copy(child = c)
 }
 
-/** 64-bit SimHash over array<string> tokens: per-bit ±1 votes of the
-  * token's xxhash64-style murmur pair (two 32-bit murmurs combined),
-  * sign-threshold, packed into a long. */
-case class SimHash64(child: Expression)
+/** 60-bit SimHash over array<string> tokens: per-bit ±1 votes of each
+  * token's h60, bit set where votes >= 0. Portable to DuckDB bit ops. */
+case class SimHash60(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](60)
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
       if (s != null) {
-        val lo = Murmur3_x86_32.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x9747b28c)
-        val hi = Murmur3_x86_32.hashUnsafeBytes(
-          s.getBaseObject, s.getBaseOffset, s.numBytes(), 0x85ebca6b)
-        val h = (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
+        val h = PortableHash.h60(s)
         var b = 0
-        while (b < 64) {
+        while (b < 60) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
@@ -81,13 +122,13 @@ case class SimHash64(child: Expression)
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < 60) {
       if (votes(b) >= 0) out |= (1L << b)
       b += 1
     }
     java.lang.Long.valueOf(out)
   }
-  override protected def withNewChildInternal(c: Expression): SimHash64 =
+  override protected def withNewChildInternal(c: Expression): SimHash60 =
     copy(child = c)
 }
 
@@ -100,12 +141,12 @@ object TextSketches {
         exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+      "simhash60", exprs => SimHash60(exprs.head), "built-in")
   }
 
   def minhash_sig(tokens: Column, k: Int): Column =
     call_function("minhash_sig", tokens,
       org.apache.spark.sql.functions.lit(k))
 
-  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+  def simhash60(tokens: Column): Column = call_function("simhash60", tokens)
 }

@@ -109,10 +109,10 @@ object EventStream {
         val merged =
           if (fs.exists(p))
             Upsert.upsert(spark.read.parquet(path), batch, keys,
-              col(versionCol), monotonically_increasing_id())
+              col(versionCol), Dedup.rowHash(batch))
           else
             Dedup.keepLatest(batch, keys, col(versionCol),
-              monotonically_increasing_id())
+              Dedup.rowHash(batch))
         Upsert.overwriteViaSwap(spark, merged, path)
       }
       .start()
@@ -142,6 +142,19 @@ object EventStream {
       }
       .toDF()
       .withColumn("total_value", round(col("total_value"), 2))
+  }
+
+  /** Drain an update-mode stateful stream and keep only the LATEST emitted
+    * row per key. An update-mode memory sink appends each micro-batch's
+    * updated rows, so a key updated in several batches leaves superseded
+    * versions in the table; `versionCol` must be monotonically
+    * non-decreasing per key across batches (e.g. `statefulUserTotals`'s
+    * running `n_events` counter) so keep-latest selects the final state
+    * regardless of how the input was split into micro-batches. */
+  def drainStatefulLatest(stream: DataFrame, keys: Seq[String],
+                          versionCol: String): DataFrame = {
+    val drained = runAvailableNow(stream, "update")
+    Dedup.keepLatest(drained, keys, col(versionCol), Dedup.rowHash(drained))
   }
 
   /** Stream-stream attribution join: purchases within `window` after a

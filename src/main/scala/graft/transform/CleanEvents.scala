@@ -44,7 +44,7 @@ object CleanEvents {
     val (kept, badType) = Quarantine.whitelistSplit(normalized, "event",
       AllowedEvents)
     val deduped = Dedup.keepLatest(kept, Seq("event_id"), col("ts"),
-      monotonically_increasing_id())
+      Dedup.rowHash(kept))
     val cleaned = deduped
       .withColumn("user_id", scrubNullish(col("user_id")))
       .withColumn("amount", tryDouble(col("amount")))

@@ -42,10 +42,10 @@ class StarWarehouse(spark: SparkSession, root: String) {
         defaultFill(col("country")).as("country"),
         defaultFill(col("signup_source")).as("signup_source"))
     val latest = Dedup.keepLatest(incoming, Seq("user_id"),
-      lit(1), monotonically_increasing_id())
+      lit(1), Dedup.rowHash(incoming))
     val merged = if (exists("dim_users"))
       Upsert.upsert(read("dim_users"), latest, Seq("user_id"), lit(1),
-        monotonically_increasing_id())
+        Dedup.rowHash(latest))
     else latest
     Upsert.overwriteViaSwap(spark, merged, path("dim_users"))
   }
@@ -93,9 +93,9 @@ class StarWarehouse(spark: SparkSession, root: String) {
         col("event_hour"))
     val merged = if (exists("fact_events"))
       Upsert.upsert(read("fact_events"), incoming, Seq("event_id"),
-        col("ts"), monotonically_increasing_id())
+        col("ts"), Dedup.rowHash(incoming))
     else Dedup.keepLatest(incoming, Seq("event_id"), col("ts"),
-      monotonically_increasing_id())
+      Dedup.rowHash(incoming))
     val tmp = path("fact_events") + "__tmp"
     merged.write.mode("overwrite").partitionBy("event_date").parquet(tmp)
     val hconf = spark.sparkContext.hadoopConfiguration

@@ -79,10 +79,18 @@ class StreamingSpec extends SparkSpec {
     assert(ids2 === ids1)
   }
 
-  test("mapGroupsWithState totals equal the batch aggregate") {
-    val streamed = EventStream.runAvailableNow(
-      EventStream.statefulUserTotals(EventStream.readEventsStream(spark, sf)),
-      "update")
+  test("mapGroupsWithState totals equal the batch aggregate across micro-batches") {
+    // Split the fixture into several files and feed them one per trigger:
+    // each user's state is updated in multiple micro-batches, so the
+    // update-mode sink retains superseded rows — drainStatefulLatest must
+    // recover exactly the final per-user state.
+    val dir = Files.createTempDirectory("graft_stateful_").toString
+    val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+    ev.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val streamed = EventStream.drainStatefulLatest(
+      EventStream.statefulUserTotals(stream), Seq("user_id"), "n_events")
     val batch = Tables.events(spark, sf)
       .filter(col("user_id").isNotNull)
       .groupBy(col("user_id"))

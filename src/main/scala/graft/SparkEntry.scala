@@ -251,7 +251,10 @@ object SparkEntry {
       graft.ext.DedupExt.jaccardPairs(Tables.documents(s, d))
         .orderBy("doc_id_a", "doc_id_b")),
     "q_minhash_signatures" -> ((s, d) =>
+      // localCheckpoint: barrier against InferFiltersFromGenerate cloning
+      // the sketch tree into the explode's size()>0 filter (see DedupExt).
       graft.ext.DedupExt.minhashSignatures(Tables.documents(s, d))
+        .localCheckpoint()
         .select(col("doc_id"),
           posexplode(col("sig")).as(Seq("seed_id", "min_hash")))
         .withColumn("seed_id", col("seed_id").cast("bigint"))
@@ -342,10 +345,19 @@ object SparkEntry {
 
     // ---- streaming: event-time rollup drained via AvailableNow ----
     "q_stream_hourly_counts" -> ((s, d) => {
-      val stream = graft.streaming.EventStream.readEventsStream(s, d)
-      graft.streaming.EventStream.runAvailableNow(
-          graft.streaming.EventStream.hourlyCounts(stream), "complete")
-        .orderBy("hour_start", "event_type")
+      // Stateful shuffle partitions are pinned at query start and each one
+      // carries a state-store instance + per-batch checkpoint file — at
+      // this volume 8 is the right width (32 costs ~1.6× warm, ~4× cold).
+      // On a real cluster this is sized to executor count, not inherited
+      // from the batch shuffle width. Restored after the drain.
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = graft.streaming.EventStream.readEventsStream(s, d)
+        graft.streaming.EventStream.runAvailableNow(
+            graft.streaming.EventStream.hourlyCounts(stream), "complete")
+          .orderBy("hour_start", "event_type")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
     // ---- S5 + G7–G13 + F4–F6: Kaggle normalizer composite paths ----
@@ -366,6 +378,11 @@ object SparkEntry {
               (col("o_orderkey") % 5 + 1)).cast("string")))
           .otherwise(lit("")).as("Rate"),
         lit(null).cast("string").as("currency"))
+        // localCheckpoint: the synthesized raw frame stands in for the
+        // loader's staged CSV scan. Without the barrier CollapseProject
+        // inlines the date_format/when synthesis into every one of the
+        // normalizer's ~20 references to these columns (measured 3×).
+        .localCheckpoint()
       graft.ingest.KaggleNormalizer.normalizeAmazonEvents(raw)
         .select(col("event_id"), tsMicros(col("ts")).as("ts"), col("event"),
           col("order_id"), col("amount"), col("qty"), col("unit_price"),
@@ -392,6 +409,7 @@ object SparkEntry {
         concat(lit("₹"), col("o_totalprice").cast("string"))
           .as("GROSS AMT"),
         lit(null).cast("string").as("currency"))
+        .localCheckpoint() // same barrier rationale as q_kaggle_events
       graft.ingest.KaggleNormalizer.normalizeInternationalSales(raw)
         .select(col("sale_id"), tsMicros(col("ts")).as("ts"),
           col("date_key"), col("customer"), col("sku"), col("pcs"),

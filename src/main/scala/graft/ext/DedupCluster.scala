@@ -29,8 +29,18 @@ object DedupCluster {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct().localCheckpoint()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint()
+    // Seed with min(self, neighbours) — equivalent to one propagation round
+    // for free (no join), so star/clique graphs often converge in 1 pass.
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("node"),
+        least(col("mn"), col("src")).as("comp")).localCheckpoint()
+    // Labels only ever decrease, so sum(comp) is a monotone convergence
+    // witness: unchanged sum ⇔ unchanged labels. One scalar per round
+    // instead of a join + isEmpty re-execution.
+    def checksum(l: DataFrame): Long =
+      l.agg(sum(col("comp"))).collect()(0).getLong(0)
+    var prevSum = checksum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -38,8 +48,9 @@ object DedupCluster {
         .select(col("dst").as("node"), col("comp"))
       val next = labels.union(msgs).groupBy("node")
         .agg(min(col("comp")).as("comp")).localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "node")
-        .filter(col("comp") =!= col("prev")).isEmpty
+      val s = checksum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       i += 1
     }

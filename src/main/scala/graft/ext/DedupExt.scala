@@ -65,7 +65,11 @@ object DedupExt {
   def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 16,
                         bucketCap: Int = 50): DataFrame = {
     val rows = k / bands
-    val banded = minhashSignatures(docs, k)
+    // localCheckpoint before the explode: InferFiltersFromGenerate otherwise
+    // clones the whole tokens→shingles→minhash tree into a size()>0 filter
+    // (with the token array re-inlined per element_at — measured ~20×).
+    // The signature frame is k longs per doc — the cheap thing to pin.
+    val banded = minhashSignatures(docs, k).localCheckpoint()
       .select(col("doc_id"),
         posexplode(bandHashes(col("sig"), bands, rows))
           .as(Seq("band_id", "band_hash")))

@@ -490,6 +490,26 @@ object SparkEntry {
            ('0x'||substr(md5(t),1,15))::BIGINT) AS hs
          FROM toks)"""
 
+  /** DuckDB CTE regenerating `graft.plans.LshBucket`'s portable
+    * pseudo-random hyperplanes: component (b, d) =
+    * (h60("b:d") % 2000001 - 1000000) / 1e6, h60 = first 15 md5 hex chars. */
+  private def lshPlanesCte(nBits: Int): String =
+    s"""WITH planes AS (
+         SELECT b, list_transform(range(0, 64), d ->
+           ((('0x'||substr(md5(b::VARCHAR||':'||d::VARCHAR),1,15))::BIGINT
+             % 2000001) - 1000000)/1000000.0) AS p
+         FROM (SELECT unnest(range(0, $nBits)) AS b))"""
+
+  /** Literal list of 31^i mod 2^64 (i < 600) for the rolling-hash oracle —
+    * DuckDB has no modpow, so the powers ship as data. HUGEINT arithmetic
+    * reproduces the JVM's wrap-around exactly; the oracle is byte-exact for
+    * ASCII fixtures (DuckDB `ascii()` = byte value there). */
+  private val rollingPowers: String = {
+    val m = BigInt(1) << 64
+    Iterator.iterate(BigInt(1))(p => (p * 31) % m).take(600)
+      .mkString("[", ",", "]")
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_dau" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
@@ -827,6 +847,31 @@ object SparkEntry {
              ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
          SELECT query_id, neighbor_id, sim, rnk FROM r
          WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "q_lsh_buckets" ->
+      s"""${lshPlanesCte(12)}
+         SELECT e.vec_id,
+           CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                  e.embedding[i]::DOUBLE * pl.p[i])) >= 0
+                THEN (1::BIGINT << pl.b) ELSE 0 END) AS BIGINT) AS bucket
+         FROM embeddings e CROSS JOIN planes pl
+         GROUP BY e.vec_id ORDER BY e.vec_id""",
+    "q_embedding_neardup_lsh" ->
+      s"""${lshPlanesCte(8)},
+         bk AS (
+           SELECT e.vec_id, e.embedding,
+             CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                    e.embedding[i]::DOUBLE * pl.p[i])) >= 0
+                  THEN (1::BIGINT << pl.b) ELSE 0 END) AS BIGINT) AS bucket
+           FROM embeddings e CROSS JOIN planes pl
+           GROUP BY e.vec_id, e.embedding)
+         SELECT DISTINCT vec_id_a, vec_id_b, sim FROM (
+           SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+               b.embedding::DOUBLE[]), 6) AS sim
+           FROM bk a JOIN bk b
+             ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         WHERE sim >= 0.3
+         ORDER BY vec_id_a, vec_id_b""",
     "q_text_stats" ->
       """WITH t AS (
            SELECT doc_id, text,
@@ -892,6 +937,17 @@ object SparkEntry {
       """SELECT doc_id,
          sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
          FROM documents ORDER BY doc_id""",
+    "q_rolling_fingerprint" ->
+      s"""SELECT doc_id,
+         CAST(CASE WHEN m >= 9223372036854775808
+              THEN m - 18446744073709551616 ELSE m END AS BIGINT) AS rhash
+         FROM (
+           SELECT doc_id,
+             coalesce(list_sum(list_transform(range(1, length(text)+1),
+               i -> ascii(text[i]) * ($rollingPowers)[i])), 0)
+               % 18446744073709551616 AS m
+           FROM documents)
+         ORDER BY doc_id""",
     "q_frame_sample" ->
       """WITH m AS (
            SELECT doc_id,

@@ -142,22 +142,14 @@ object Similarity {
       .distinct()
   }
 
-  /** Random-hyperplane LSH bucketing: `nBits` sign bits of dot products with
-    * pseudo-random planes derived deterministically from (bit, dim) hashes —
-    * no RNG state, reproducible across runs/engines. */
+  /** Random-hyperplane LSH bucketing: `nBits` sign bits of dot products
+    * with pseudo-random planes derived deterministically from portable
+    * (bit, dim) hashes — no RNG state, reproducible across runs AND
+    * engines (DuckDB regenerates the identical planes from md5; see the
+    * q_lsh_buckets oracle). Native expression: one fused loop per row. */
   def lshBuckets(emb: DataFrame, nBits: Int = 12): DataFrame = {
-    val dims = 64
-    val planes: Column = transform(sequence(lit(0), lit(nBits - 1)), b =>
-      transform(sequence(lit(0), lit(dims - 1)), d =>
-        (hash(b, d).cast("double") / lit(Int.MaxValue.toDouble))))
-    val bucket = aggregate(
-      sequence(lit(0), lit(nBits - 1)), lit(0L), (acc, b) =>
-        acc + when(
-          aggregate(
-            zip_with(col("embedding").cast("array<double>"),
-              element_at(planes, b + 1), _ * _),
-            lit(0.0), (a2, x) => a2 + x) >= 0.0,
-          call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
-    emb.select(col("vec_id"), bucket.as("bucket"))
+    graft.plans.VectorOps.register(emb.sparkSession)
+    emb.select(col("vec_id"),
+      graft.plans.VectorOps.lsh_bucket(col("embedding"), nBits).as("bucket"))
   }
 }

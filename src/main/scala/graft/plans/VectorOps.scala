@@ -36,10 +36,58 @@ case class DotF32(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Random-hyperplane LSH bucket id over an array<float> embedding: bit b of
+  * the result is the sign of the dot product with pseudo-random plane b.
+  * Plane components are PORTABLE pseudo-randoms in [-1, 1]:
+  * `(PortableHash.h60("b:d") % 2000001 - 1000000) / 1e6` — DuckDB
+  * reproduces the same planes from md5, so bucket assignments (and the
+  * LSH near-dup pipeline built on them) are oracle-checkable. Planes are
+  * precomputed once per expression instance; the per-row cost is one
+  * nBits×dims fused multiply-add loop. */
+case class LshBucket(child: Expression, nBits: Int, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(nBits, dims) { (b, d) =>
+      val s = org.apache.spark.unsafe.types.UTF8String.fromString(s"$b:$d")
+      (PortableHash.h60(s) % 2000001L - 1000000L) / 1.0e6
+    }
+  override def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    val n = math.min(e.numElements(), dims)
+    var out = 0L
+    var b = 0
+    while (b < nBits) {
+      val p = planes(b)
+      var acc = 0.0
+      var d = 0
+      while (d < n) { acc += e.getFloat(d).toDouble * p(d); d += 1 }
+      if (acc >= 0.0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(c: Expression): LshBucket =
+    copy(child = c)
+}
+
 object VectorOps {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f32", exprs => DotF32(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_bucket",
+      exprs => LshBucket(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+  }
 
   def dot_f32(a: Column, b: Column): Column = call_function("dot_f32", a, b)
+
+  def lsh_bucket(e: Column, nBits: Int, dims: Int = 64): Column =
+    call_function("lsh_bucket", e,
+      org.apache.spark.sql.functions.lit(nBits),
+      org.apache.spark.sql.functions.lit(dims))
 }

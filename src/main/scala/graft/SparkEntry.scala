@@ -242,6 +242,53 @@ object SparkEntry {
     "q_pricing_summary" -> ((s, d) => StarAnalytics.pricingSummary(s, d)),
     "q_top_orders" -> ((s, d) => StarAnalytics.topOrders(s, d)),
     "q_events_preview" -> ((s, d) => StarAnalytics.eventsPreview(s, d)),
+    "q_shipping_priority" -> ((s, d) =>
+      StarAnalytics.shippingPriority(s, d)),
+    "q_local_supplier_volume" -> ((s, d) =>
+      StarAnalytics.localSupplierVolume(s, d)),
+
+    // ---- skew-salted join (same result as the plain join, by contract) --
+    "q_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+      graft.operators.Salt.saltedJoin(li, o, "orderkey", 8,
+          xxhash64(col("orderkey"), col("l_linenumber")))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- K-group: ORC sink+source roundtrip (columnar format #2) ----
+    "q_orc_roundtrip" -> ((s, d) => {
+      val tmp = "target/tmp/orc_events"
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp).groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(coalesce(col("value"), lit(0.0))), 2).as("total_value"))
+        .orderBy("event_type")
+    }),
+
+    // ---- window: ntile decile summary over order totals ----
+    "q_value_deciles" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          ntile(10).over(w).as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"))
+        .withColumn("decile", col("decile").cast("bigint"))
+        .orderBy("decile")
+    }),
 
     // ---- ext: deduplication suite (SURVEY.md §7.5) ----
     "q_exact_dedup" -> ((s, d) =>
@@ -296,6 +343,8 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) =>
       graft.ext.TextAnalysis.fingerprints(Tables.documents(s, d))
         .orderBy("doc_id")),
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.ext.TextAnalysis.heavyHitters(Tables.documents(s, d))),
     "q_rolling_fingerprint" -> ((s, d) => {
       graft.plans.RollingHash.register(s)
       Tables.documents(s, d)
@@ -711,6 +760,63 @@ object SparkEntry {
          e.user_id, e.event_type, e.value, c.c_name AS user_name
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          ORDER BY 2, 1 LIMIT 50""",
+    "q_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           revenue
+         FROM (
+           SELECT l.l_orderkey, o.o_orderdate,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           FROM customer c
+           JOIN orders o ON c.c_custkey = o.o_custkey
+           JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           WHERE c.c_mktsegment = 'BUILDING'
+             AND o.o_orderdate < TIMESTAMP '1996-06-30'
+             AND l.l_shipdate > TIMESTAMP '1996-06-30'
+           GROUP BY 1, 2)
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_local_supplier_volume" ->
+      """SELECT n_name, revenue FROM (
+           SELECT n.n_name,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           FROM region r
+           JOIN nation n ON n.n_regionkey = r.r_regionkey
+           JOIN customer c ON c.c_nationkey = n.n_nationkey
+           JOIN orders o ON o.o_custkey = c.c_custkey
+           JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             AND s.s_nationkey = c.c_nationkey
+           WHERE r.r_name = 'ASIA'
+             AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o.o_orderdate < TIMESTAMP '1997-01-01'
+           GROUP BY 1)
+         ORDER BY revenue DESC, n_name""",
+    "q_salted_join" ->
+      """SELECT o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY 1 ORDER BY 1""",
+    "q_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+           round(sum(coalesce(value, 0)), 2) AS total_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_value_deciles" ->
+      """SELECT decile, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+         FROM (
+           SELECT o_orderkey, o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+           FROM orders)
+         GROUP BY 1 ORDER BY 1""",
+    "q_heavy_hitters" ->
+      """SELECT token, n FROM (
+           SELECT token, CAST(count(*) AS BIGINT) AS n FROM (
+             SELECT unnest(list_filter(string_split_regex(lower(text),
+               '\s+'), x -> x <> '')) AS token
+             FROM documents)
+           GROUP BY token)
+         ORDER BY n DESC, token LIMIT 20""",
     "q_exact_dedup" ->
       """SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
            AS fp,

@@ -60,6 +60,69 @@ object StarAnalytics {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** TPC-H Q3-shaped shipping priority: segment-filtered customers ⋈
+    * orders ⋈ lineitem, revenue per open order, true top-k. The filters
+    * land on each scan BEFORE its join (predicate pushdown), the grouped
+    * aggregate collapses lineitems per order map-side, and the final
+    * ORDER BY+LIMIT plans as TakeOrderedAndProject — per-partition heap,
+    * only k rows reach the driver. */
+  def shippingPriority(spark: SparkSession, sfDir: String,
+                       segment: String = "BUILDING",
+                       date: String = "1996-06-30",
+                       k: Int = 10): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === segment).select("c_custkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit(date))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit(date))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q5-shaped local supplier volume: 6-table join where the supplier
+    * must sit in the customer's nation. `nation`/`region` broadcast (fixed
+    * size); `supplier` joins on (suppkey) with the nation-equality as a
+    * post-join filter expressed in the join condition, so Catalyst keeps it
+    * an equi-join on the key columns and AQE picks the physical strategy
+    * for the scaling tables. */
+  def localSupplierVolume(spark: SparkSession, sfDir: String,
+                          region: String = "ASIA",
+                          from: String = "1996-01-01",
+                          until: String = "1997-01-01"): DataFrame = {
+    val r = Tables.region(spark, sfDir)
+      .filter(col("r_name") === region).select("r_regionkey")
+    val n = Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(from) &&
+        col("o_orderdate") < lit(until))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    c.join(broadcast(n.join(broadcast(r),
+        n("n_regionkey") === r("r_regionkey"))),
+        c("c_nationkey") === n("n_nationkey"))
+      .join(o, c("c_custkey") === o("o_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** O2 — top-k preview: true top-k (TakeOrderedAndProject — per-partition
     * heap + driver merge, no global sort; run_pipeline.py:97-98). Ties broken
     * by key for determinism. */

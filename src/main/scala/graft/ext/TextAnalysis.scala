@@ -68,4 +68,17 @@ object TextAnalysis {
   /** Normalized sha256 fingerprint per doc (exact-dedup key). */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** Corpus-wide heavy hitters: exact top-k tokens by frequency. Shape at
+    * scale: explode → hash-aggregate with map-side partial counts (each
+    * partition emits ≤ |vocab| rows, not |tokens|), then TakeOrdered for
+    * the top-k — the driver sees k rows. For vocabularies too large even
+    * for partial maps, swap the exact count for count-min sketch +
+    * candidate re-count; the fixture vocabulary is small, so exact is both
+    * the oracle and the right plan. */
+  def heavyHitters(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
 }

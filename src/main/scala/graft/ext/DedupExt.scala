@@ -47,16 +47,15 @@ object DedupExt {
   }
 
   /** MinHash signatures per document, via the native `MinHashSig`
-    * expression (one tight loop per row; the HOF formulation in TextFns is
-    * interpreter-bound — see graft.plans.TextSketches). Tokens and shingles
-    * are materialized as intermediate columns (attribute reads), never
-    * re-inlined per seed. */
+    * expression: tokenization stays a codegen'd split/filter; shingle
+    * assembly + hashing + the k-permutation fold happen in ONE tight JVM
+    * loop per row (the HOF shingles/transform formulation is
+    * interpreter-bound — see graft.plans.TextSketches). */
   def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame = {
     graft.plans.TextSketches.register(docs.sparkSession)
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shingles(col("toks")).as("sh"))
       .select(col("doc_id"),
-        graft.plans.TextSketches.minhash_sig(col("sh"), k).as("sig"))
+        graft.plans.TextSketches.minhash_sig(col("toks"), k).as("sig"))
   }
 
   /** MinHash-LSH candidate pairs: band the signatures, bucket-join on

@@ -63,12 +63,16 @@ object PortableHash {
   }
 }
 
-/** MinHash signature over array<string> shingles: for seeds 0..k-1,
-  * min over shingles of (a_i * (h60(s) mod P) + b_i) mod P. Returns
-  * array<bigint> of length k (null input → null, empty array → P-filled
-  * sentinel signature). Portable: DuckDB computes the identical value
-  * with md5 + list_min (see SparkEntry's q_minhash_signatures oracle). */
-case class MinHashSig(child: Expression, k: Int)
+/** MinHash signature over array<string> TOKENS: word `nGram`-shingles are
+  * assembled inline (space-joined, byte-level — no per-shingle Column
+  * machinery), then for seeds 0..k-1 the signature is
+  * min over shingles of (a_i * (h60(shingle) mod P) + b_i) mod P.
+  * Returns array<bigint> of length k (null input → null, fewer than nGram
+  * tokens → P-filled sentinel signature). Duplicate shingles need no
+  * dedup — min() is idempotent. Portable: DuckDB computes the identical
+  * value with md5 + list_min (see SparkEntry's q_minhash_signatures
+  * oracle). */
+case class MinHashSig(child: Expression, k: Int, nGram: Int = 3)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   private lazy val as: Array[Long] = Array.tabulate(k)(PortableHash.a)
@@ -78,17 +82,34 @@ case class MinHashSig(child: Expression, k: Int)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val mins = Array.fill(k)(P)
+    val tokBytes = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      if (s != null) {
-        val base = PortableHash.h60(s) % P
-        var seed = 0
-        while (seed < k) {
-          val v = (as(seed) * base + bs(seed)) % P
-          if (v < mins(seed)) mins(seed) = v
-          seed += 1
-        }
+      tokBytes(i) = if (s == null) Array.emptyByteArray else s.getBytes
+      i += 1
+    }
+    i = 0
+    while (i <= n - nGram) {
+      var len = nGram - 1
+      var j = 0
+      while (j < nGram) { len += tokBytes(i + j).length; j += 1 }
+      val sh = new Array[Byte](len)
+      var off = 0
+      j = 0
+      while (j < nGram) {
+        if (j > 0) { sh(off) = ' '.toByte; off += 1 }
+        val tb = tokBytes(i + j)
+        System.arraycopy(tb, 0, sh, off, tb.length)
+        off += tb.length
+        j += 1
+      }
+      val base = PortableHash.h60(sh, 0, sh.length) % P
+      var seed = 0
+      while (seed < k) {
+        val v = (as(seed) * base + bs(seed)) % P
+        if (v < mins(seed)) mins(seed) = v
+        seed += 1
       }
       i += 1
     }

@@ -254,7 +254,7 @@ object SparkEntry {
           col("l_extendedprice"), col("l_discount"))
       val o = Tables.orders(s, d)
         .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
-      graft.operators.Salt.saltedJoin(li, o, "orderkey", 8,
+      graft.operators.Salt.saltedJoin(li, o, "orderkey", 4,
           xxhash64(col("orderkey"), col("l_linenumber")))
         .groupBy("o_orderpriority")
         .agg(round(sum(col("l_extendedprice") *
@@ -406,6 +406,19 @@ object SparkEntry {
         graft.streaming.EventStream.runAvailableNow(
             graft.streaming.EventStream.hourlyCounts(stream), "complete")
           .orderBy("hour_start", "event_type")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
+    // ---- streaming: custom keyed state (mapGroupsWithState) drained ----
+    "q_stateful_totals" -> ((s, d) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = graft.streaming.EventStream.readEventsStream(s, d)
+        graft.streaming.EventStream.drainStatefulLatest(
+            graft.streaming.EventStream.statefulUserTotals(stream),
+            Seq("user_id"), "n_events")
+          .orderBy("user_id")
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
@@ -790,6 +803,11 @@ object SparkEntry {
              AND o.o_orderdate < TIMESTAMP '1997-01-01'
            GROUP BY 1)
          ORDER BY revenue DESC, n_name""",
+    "q_stateful_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+           round(sum(coalesce(value, 0)), 2) AS total_value
+         FROM events WHERE user_id IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
     "q_salted_join" ->
       """SELECT o.o_orderpriority,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,

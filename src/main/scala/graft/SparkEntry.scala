@@ -104,6 +104,15 @@ object SparkEntry {
         GROUP BY GROUPING SETS ((event_date), (event_type), ())
         ORDER BY event_date ASC NULLS FIRST, event_type ASC NULLS FIRST""")
     }),
+    "q_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          (grouping(col("o_orderpriority")) * 2 +
+            grouping(col("o_orderstatus"))).cast("bigint").as("gid"))
+        .orderBy(asc_nulls_first("o_orderpriority"),
+          asc_nulls_first("o_orderstatus"))),
     "q_event_gaps" -> ((s, d) =>
       EventAnalytics.eventGaps(Tables.events(s, d))
         .select(col("user_id"), col("event_id"),
@@ -270,6 +279,30 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"))
         .write.mode("overwrite").orc(tmp)
       s.read.orc(tmp).groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(coalesce(col("value"), lit(0.0))), 2).as("total_value"))
+        .orderBy("event_type")
+    }),
+
+    // ---- K1/K2+S1/S6: CSV and JSONL sink+source roundtrips ----
+    "q_csv_roundtrip" -> ((s, d) => {
+      val tmp = "target/tmp/csv_events"
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      src.write.mode("overwrite").option("header", true).csv(tmp)
+      s.read.schema(src.schema).option("header", true).csv(tmp)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(coalesce(col("value"), lit(0.0))), 2).as("total_value"))
+        .orderBy("event_type")
+    }),
+    "q_jsonl_roundtrip" -> ((s, d) => {
+      val tmp = "target/tmp/jsonl_events"
+      val src = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      src.write.mode("overwrite").json(tmp)
+      s.read.schema(src.schema).json(tmp)
+        .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           round(sum(coalesce(col("value"), lit(0.0))), 2).as("total_value"))
         .orderBy("event_type")
@@ -818,6 +851,23 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
            round(sum(coalesce(value, 0)), 2) AS total_value
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+           round(sum(coalesce(value, 0)), 2) AS total_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_jsonl_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+           round(sum(coalesce(value, 0)), 2) AS total_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_cube" ->
+      """SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+             AS BIGINT) AS gid
+         FROM orders
+         GROUP BY CUBE (o_orderpriority, o_orderstatus)
+         ORDER BY o_orderpriority ASC NULLS FIRST,
+           o_orderstatus ASC NULLS FIRST""",
     "q_value_deciles" ->
       """SELECT decile, count(*) AS n,
            round(min(o_totalprice), 2) AS lo,

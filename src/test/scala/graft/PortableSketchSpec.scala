@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.TextFns
+import graft.plans.{PortableHash, TextSketches, VectorOps}
+
+/** The portability contract behind the sketch oracles: the native
+  * expressions (tight JVM loops), the HOF reference formulations (Column
+  * algebra), and the JVM-side PortableHash all compute the SAME values —
+  * which is what lets DuckDB reproduce them from md5 in the oracle SQL. */
+class PortableSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    .limit(50).localCheckpoint()
+
+  test("portableH60 column == PortableHash.h60 JVM value") {
+    val samples = Seq("hello", "a b c", "", "MinHash & SimHash, portably!")
+    val viaCol = samples.toDF("s")
+      .select(TextFns.portableH60(col("s")).as("h"))
+      .as[Long].collect().toSeq
+    val viaJvm = samples.map(s =>
+      PortableHash.h60(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    assert(viaCol == viaJvm)
+  }
+
+  test("native minhash_sig == HOF reference over explicit shingles") {
+    TextSketches.register(spark)
+    val base = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+    val native = base
+      .select(col("doc_id"), TextSketches.minhash_sig(col("toks"), 16).as("sig"))
+    val hof = base
+      .select(col("doc_id"), TextFns.shingles(col("toks")).as("sh"))
+      .select(col("doc_id"), TextFns.minhashSignature(col("sh"), 16).as("sig"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
+  test("native simhash60 == HOF reference over token hashes") {
+    TextSketches.register(spark)
+    val base = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+    val native = base
+      .select(col("doc_id"), TextSketches.simhash60(col("toks")).as("sh"))
+    val hof = base
+      .select(col("doc_id"), TextFns.tokenHashes(col("toks")).as("th"))
+      .select(col("doc_id"), TextFns.simhash60(col("th")).as("sh"))
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
+  test("LshBucket == independent recompute from the plane formula") {
+    VectorOps.register(spark)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
+    val got = emb.select(col("vec_id"),
+        VectorOps.lsh_bucket(col("embedding"), 8).as("bucket"))
+      .as[(Long, Long)].collect().toMap
+    def plane(b: Int, d: Int): Double = {
+      val h = PortableHash.h60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$b:$d"))
+      (h % 2000001L - 1000000L) / 1.0e6
+    }
+    val exp = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().map { case (id, e) =>
+        var out = 0L
+        for (b <- 0 until 8) {
+          var acc = 0.0
+          for (d <- e.indices) acc += e(d).toDouble * plane(b, d)
+          if (acc >= 0.0) out |= (1L << b)
+        }
+        id -> out
+      }.toMap
+    assert(got == exp)
+  }
+}

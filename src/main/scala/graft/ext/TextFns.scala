@@ -15,11 +15,14 @@ object TextFns {
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
   /** Distinct word n-gram shingles over `toks` (the MinHash/Jaccard unit).
-    * 0-based `arr[i]` indexing inside the lambda. */
+    * Guarded for < n tokens: `sequence(0, -1)` would otherwise produce a
+    * DESCENDING two-element array (Spark sequence semantics) and fabricate
+    * phantom partial shingles that no oracle reproduces. */
   def shingles(toks: Column, n: Int = 3): Column = {
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(-1)))
-    array_distinct(transform(idx, i =>
-      concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+    val built = array_distinct(transform(
+      sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+    when(size(toks) >= n, built).otherwise(array().cast("array<string>"))
   }
 
   /** Exact word-set Jaccard: |A∩B| / (|A|+|B|-|A∩B|), 0 when both empty. */

@@ -24,6 +24,15 @@ class PortableSketchSpec extends SparkSpec {
     assert(viaCol == viaJvm)
   }
 
+  test("shingles yield empty for fewer than n tokens (no phantom partials)") {
+    val df = Seq((1L, "a b"), (2L, "a"), (3L, ""), (4L, "a b c d"))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+        size(TextFns.shingles(TextFns.tokens(col("text")))).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 2))
+  }
+
   test("native minhash_sig == HOF reference over explicit shingles") {
     TextSketches.register(spark)
     val base = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))

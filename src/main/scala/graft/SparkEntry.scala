@@ -165,6 +165,28 @@ object SparkEntry {
         .orderBy("reason", "event_id")
     }),
 
+    // ---- S1: per-line JSON parse with corrupt-record quarantine ----
+    "q_json_quarantine" -> ((s, d) => {
+      // Deterministic JSON lines derived from orders; every 7th line is
+      // truncated mid-object → PERMISSIVE parse routes it to the corrupt
+      // column instead of failing the scan (ingest.py:45-49 semantics).
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      val line = when(col("k") % 7 === 0,
+          concat(lit("{\"id\":"), col("k").cast("string")))
+        .otherwise(concat(lit("{\"id\":"), col("k").cast("string"),
+          lit(",\"amount\":"), col("p").cast("string"), lit("}")))
+      val parsed = from_json(line,
+        "id BIGINT, amount DOUBLE, _raw STRING",
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_raw"))
+      o.select(parsed.getField("_raw").isNotNull.as("is_bad"),
+          parsed.getField("amount").as("amount"))
+        .groupBy("is_bad")
+        .agg(count(lit(1)).as("n"),
+          round(sum(coalesce(col("amount"), lit(0.0))), 2).as("total"))
+        .orderBy("is_bad")
+    }),
+
     // ---- G1/G2: normalization ----
     "q_normalize_priority" -> ((s, d) =>
       Tables.orders(s, d).select("o_orderpriority").distinct()
@@ -703,6 +725,11 @@ object SparkEntry {
            SELECT event_id, value, 'outlier_amount' AS reason
            FROM events WHERE value > 400.0)
          ORDER BY reason, event_id""",
+    "q_json_quarantine" ->
+      """SELECT (o_orderkey % 7 = 0) AS is_bad, count(*) AS n,
+           round(sum(CASE WHEN o_orderkey % 7 = 0 THEN 0
+                          ELSE o_totalprice END), 2) AS total
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q_normalize_priority" ->
       """SELECT DISTINCT o_orderpriority,
          regexp_replace(lower(trim(o_orderpriority)), '[- ]', '_', 'g')

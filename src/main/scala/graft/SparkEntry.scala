@@ -330,6 +330,40 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- window: top-k per group (the partitioned-heap pattern) ----
+    "q_top_per_group" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"), row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 3)
+        .withColumn("rnk", col("rnk").cast("bigint"))
+        .orderBy("o_orderpriority", "rnk")
+    }),
+
+    // ---- statistical aggregates beyond the reference's sum/count ----
+    "q_order_stats" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("o_totalprice")), 4).as("mean"),
+          round(stddev_samp(col("o_totalprice")), 4).as("sd"),
+          round(corr(col("o_totalprice"), col("o_custkey")), 6).as("r"))
+        .orderBy("o_orderpriority")),
+
+    // ---- event-time SLIDING windows (each event in size/slide panes) ----
+    "q_sliding_counts" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("win_start"),
+          col("event_type"), col("n"))
+        .orderBy("win_start", "event_type")),
+
     // ---- window: ntile decile summary over order totals ----
     "q_value_deciles" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -895,6 +929,27 @@ object SparkEntry {
          GROUP BY CUBE (o_orderpriority, o_orderstatus)
          ORDER BY o_orderpriority ASC NULLS FIRST,
            o_orderstatus ASC NULLS FIRST""",
+    "q_top_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           FROM orders)
+         WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""",
+    "q_order_stats" ->
+      """SELECT o_orderpriority, count(*) AS n,
+           round(avg(o_totalprice), 4) AS mean,
+           round(stddev_samp(o_totalprice), 4) AS sd,
+           round(corr(o_totalprice, o_custkey), 6) AS r
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_sliding_counts" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, count(*) AS n
+         FROM (
+           SELECT event_type, unnest([date_trunc('hour', ts),
+             date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+           FROM events)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_value_deciles" ->
       """SELECT decile, count(*) AS n,
            round(min(o_totalprice), 2) AS lo,

@@ -434,6 +434,24 @@ object SparkEntry {
         .orderBy("doc_id")),
     "q_heavy_hitters" -> ((s, d) =>
       graft.ext.TextAnalysis.heavyHitters(Tables.documents(s, d))),
+    "q_repetition" -> ((s, d) =>
+      graft.ext.TextAnalysis.repetitionRatio(Tables.documents(s, d))
+        .orderBy("doc_id")),
+    "q_pii_scrub" -> ((s, d) => {
+      // Deterministically plant PII (no fixture mutation): every 5th doc
+      // gains an email, every 7th a long digit run.
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" call 5551234567"))
+            .otherwise(lit(""))).as("text"))
+      graft.ext.TextAnalysis.piiScrub(planted).orderBy("doc_id")
+    }),
+    "q_decontaminate" -> ((s, d) =>
+      graft.ext.TextAnalysis.decontaminate(Tables.documents(s, d))
+        .orderBy("doc_id")),
     "q_rolling_fingerprint" -> ((s, d) => {
       graft.plans.RollingHash.register(s)
       Tables.documents(s, d)
@@ -959,6 +977,56 @@ object SparkEntry {
              ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
            FROM orders)
          GROUP BY 1 ORDER BY 1""",
+    "q_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '') AS toks
+           FROM documents)
+         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(toks) = 0 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(toks)) / len(toks), 4)
+           END AS rep_ratio
+         FROM t ORDER BY doc_id""",
+    "q_pii_scrub" ->
+      """WITH p AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 5 = 0
+               THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+               ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN ' call 5551234567' ELSE '' END
+             AS text
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT)
+             AS n_long_numbers,
+           sha256(regexp_replace(regexp_replace(text,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{7,}', '<NUM>', 'g')) AS clean_fp
+         FROM p ORDER BY doc_id""",
+    "q_decontaminate" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks)-3, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                  toks[i+3] || ' ' || toks[i+4]))) AS sh
+           FROM t),
+         ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0),
+         hits AS (
+           SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n
+           FROM sh s JOIN ev USING (sh)
+           WHERE s.doc_id % 100 <> 0 GROUP BY 1)
+         SELECT d.doc_id, coalesce(h.n, 0) AS n_shared_ngrams,
+           coalesce(h.n, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN hits h USING (doc_id)
+         WHERE d.doc_id % 100 <> 0 ORDER BY d.doc_id""",
     "q_heavy_hitters" ->
       """SELECT token, n FROM (
            SELECT token, CAST(count(*) AS BIGINT) AS n FROM (

@@ -69,6 +69,58 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Token-repetition ratio: 1 − |distinct tokens| / |tokens| — the cheap
+    * boilerplate/spam signal every training-data pipeline computes before
+    * anything model-based. Pure projection, no shuffle. */
+  def repetitionRatio(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks).cast("bigint")
+    val nd = size(array_distinct(toks)).cast("bigint")
+    docs.select(col("doc_id"), n.as("n_tokens"), nd.as("n_distinct"),
+      when(n === 0L, lit(0.0))
+        .otherwise(round(lit(1.0) - nd.cast("double") / n.cast("double"), 4))
+        .as("rep_ratio"))
+  }
+
+  /** PII scrub: redact email-shaped and long-digit tokens, report counts +
+    * the cleaned text's fingerprint. Patterns are deliberately RE2-safe so
+    * engines agree (no backtracking constructs). Pure projection. */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val LongDigitsRe = "[0-9]{7,}"
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val withPlanted = col("text")
+    val nEmail = size(regexp_extract_all(withPlanted, lit(EmailRe), lit(0)))
+      .cast("bigint")
+    val nDigits = size(regexp_extract_all(withPlanted, lit(LongDigitsRe),
+      lit(0))).cast("bigint")
+    val cleaned = regexp_replace(
+      regexp_replace(withPlanted, EmailRe, "<EMAIL>"),
+      LongDigitsRe, "<NUM>")
+    docs.select(col("doc_id"), nEmail.as("n_emails"),
+      nDigits.as("n_long_numbers"), sha2(cleaned, 256).as("clean_fp"))
+  }
+
+  /** Eval-set decontamination: flag corpus documents sharing ANY word
+    * n-gram with a held-out eval set. The eval shingle set is small by
+    * construction → broadcast semi-join against the exploded corpus
+    * shingles; the corpus never self-joins and documents never move, only
+    * (doc_id, shingle) pairs shuffle. */
+  def decontaminate(docs: DataFrame, evalMod: Int = 100,
+                    n: Int = 5): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(shingles(tokens(col("text")), n)).as("sh"))
+    val evalSh = sh.filter(col("doc_id") % evalMod === 0)
+      .select(col("sh")).distinct()
+    val corpus = sh.filter(col("doc_id") % evalMod =!= 0)
+    val hits = corpus.join(broadcast(evalSh), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_ngrams"))
+    docs.filter(col("doc_id") % evalMod =!= 0)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_ngrams"), lit(0L)).as("n_shared_ngrams"),
+        (coalesce(col("n_shared_ngrams"), lit(0L)) > 0L).as("contaminated"))
+  }
+
   /** Corpus-wide heavy hitters: exact top-k tokens by frequency. Shape at
     * scale: explode → hash-aggregate with map-side partial counts (each
     * partition emits ≤ |vocab| rows, not |tokens|), then TakeOrdered for

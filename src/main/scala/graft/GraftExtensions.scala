@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.plans.{LshBucket, MinHashSig, RollingHash, SimHash60}
+
+/** SparkSessionExtensions injection point: registers every graft native
+  * expression as a BUILT-IN function of the session, so plain SQL — and any
+  * tool speaking SQL to the session — can call them without touching the
+  * Column API:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  * spark.sql("SELECT minhash_sig(tokens, 32) FROM docs")
+  * }}}
+  *
+  * The per-module `register(spark)` helpers remain for sessions created
+  * without the config (tests, the driver harness); both paths bind the
+  * same Expression constructors.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(tokens, k) - portable MinHash signature over word 3-gram shingles"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("simhash60"),
+      info("simhash60",
+        "simhash60(tokens) - portable 60-bit SimHash of a token array"),
+      (exprs: Seq[Expression]) => SimHash60(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("dot_f32"),
+      info("dot_f32",
+        "dot_f32(a, b) - float32-vector dot product in double precision"),
+      (exprs: Seq[Expression]) => graft.plans.DotF32(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("lsh_bucket"),
+      info("lsh_bucket",
+        "lsh_bucket(embedding, nBits, dims) - portable random-hyperplane LSH bucket id"),
+      (exprs: Seq[Expression]) => LshBucket(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("rolling_hash"),
+      info("rolling_hash",
+        "rolling_hash(text) - polynomial rolling-hash fingerprint of the UTF-8 bytes"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+  }
+}

@@ -66,6 +66,45 @@ class WideCoverageSpec extends SparkSpec {
     assert(back.exceptAll(src).isEmpty)
   }
 
+  test("repetition ratio separates boilerplate from diverse text") {
+    val docs = Seq((1L, "spam spam spam spam"), (2L, "all words differ here"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionRatio(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out(1L) == 0.75 && out(2L) == 0.0 && out(3L) == 0.0)
+  }
+
+  test("PII scrub counts and redacts emails and long digit runs") {
+    val docs = Seq(
+      (1L, "reach me at bob.smith@corp.io or 12345678 thanks"),
+      (2L, "clean text, short 123 number")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (1L, 1L) && out(2L) == (0L, 0L))
+    // redaction changes the fingerprint vs the raw text
+    val rawFp = docs.filter(col("doc_id") === 1L)
+      .select(sha2(col("text"), 256)).as[String].collect()(0)
+    val cleanFp = TextAnalysis.piiScrub(docs)
+      .filter(col("doc_id") === 1L).select("clean_fp")
+      .as[String].collect()(0)
+    assert(rawFp != cleanFp)
+  }
+
+  test("decontamination flags only corpus docs overlapping the eval split") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"), // eval (id%4==0)
+      (1L, "the quick brown fox jumps somewhere else entirely"), // overlaps
+      (2L, "completely unrelated words about spark engines here"),
+      (4L, "another eval document with its own distinct phrasing"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(docs, evalMod = 4, n = 5)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out == Map(1L -> true, 2L -> false))
+  }
+
   test("ntile deciles partition orders into 10 near-equal buckets") {
     val out = SparkEntry.queries("q_value_deciles")(spark, sf)
       .as[(Long, Long, Double, Double)].collect().toSeq

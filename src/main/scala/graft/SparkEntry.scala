@@ -408,6 +408,9 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) =>
       graft.ext.DedupCluster.prefixDupClusters(Tables.documents(s, d))
         .orderBy("doc_id")),
+    "q_dedup_pipeline" -> ((s, d) =>
+      graft.ext.DedupExt.dedupPipeline(Tables.documents(s, d))
+        .orderBy("doc_id")),
 
     // ---- ext: similarity search ----
     "q_cosine_topk" -> ((s, d) =>
@@ -1100,6 +1103,56 @@ object SparkEntry {
                  y -> [x, y])))) AS p
              FROM buckets))
          SELECT count(*) AS n_candidate_pairs FROM pairs""",
+    "q_dedup_pipeline" ->
+      s"""${sketchShingleCte.replace("WITH toks", "WITH RECURSIVE toks")},
+         sigl AS (
+           SELECT doc_id, list_transform(range(0, 32), i ->
+             CASE WHEN len(hs) = 0 THEN 2147483647
+                  ELSE list_min(list_transform(hs, h ->
+                    (($minhashA)[i+1] * h + ($minhashB)[i+1])
+                      % 2147483647)) END) AS sig
+           FROM hs),
+         banded AS (
+           SELECT doc_id, b.j AS band_id,
+             ('0x'||substr(md5(array_to_string(
+               sig[b.j*2+1 : b.j*2+2], ',')),1,15))::BIGINT AS band_hash
+           FROM sigl CROSS JOIN (SELECT unnest(range(0, 16)) AS j) b),
+         buckets AS (
+           SELECT band_id, band_hash, list(doc_id) AS bucket
+           FROM banded GROUP BY 1, 2
+           HAVING count(*) BETWEEN 2 AND 50),
+         pairs AS (
+           SELECT DISTINCT p[1] AS doc_id_a, p[2] AS doc_id_b FROM (
+             SELECT unnest(flatten(list_transform(bucket, x ->
+               list_transform(list_filter(bucket, y -> y > x),
+                 y -> [x, y])))) AS p
+             FROM buckets)),
+         verified AS (
+           SELECT p.doc_id_a AS a, p.doc_id_b AS b
+           FROM pairs p
+           JOIN sh sa ON sa.doc_id = p.doc_id_a
+           JOIN sh sb ON sb.doc_id = p.doc_id_b
+           WHERE CASE WHEN len(sa.sh) + len(sb.sh)
+                        - len(list_intersect(sa.sh, sb.sh)) = 0 THEN 0.0
+                 ELSE round(len(list_intersect(sa.sh, sb.sh)) /
+                   (len(sa.sh) + len(sb.sh)
+                     - len(list_intersect(sa.sh, sb.sh))), 6)
+                 END >= 0.5),
+         edges AS (SELECT a, b FROM verified
+                   UNION SELECT b, a FROM verified),
+         reach(src, dst) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         comp AS (
+           SELECT src AS node, least(src, min(dst)) AS cluster
+           FROM reach GROUP BY src)
+         SELECT d.doc_id,
+           coalesce(c.cluster, d.doc_id) AS cluster_id,
+           CAST(d.doc_id = coalesce(c.cluster, d.doc_id) AS BIGINT)
+             AS is_keeper
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+         ORDER BY d.doc_id""",
     "q_simhash" ->
       s"""$sketchTokenHashCte
          SELECT doc_id,

@@ -38,8 +38,10 @@ object DedupCluster {
     // Labels only ever decrease, so sum(comp) is a monotone convergence
     // witness: unchanged sum ⇔ unchanged labels. One scalar per round
     // instead of a join + isEmpty re-execution.
-    def checksum(l: DataFrame): Long =
-      l.agg(sum(col("comp"))).collect()(0).getLong(0)
+    def checksum(l: DataFrame): Long = {
+      val r = l.agg(sum(col("comp"))).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0) // null ⇔ no edges at all
+    }
     var prevSum = checksum(labels)
     var converged = false
     var i = 0

@@ -83,6 +83,36 @@ object DedupExt {
       .distinct()
   }
 
+  /** End-to-end near-dup deduplication — the composition a training-data
+    * pipeline actually runs: MinHash-LSH candidate generation → exact
+    * n-gram-Jaccard verification of ONLY the candidates → connected
+    * components over verified pairs → one canonical keeper per cluster.
+    * No stage ever compares all pairs: LSH bounds the candidate set,
+    * verification touches candidates only, and clustering shuffles
+    * (node, label) pairs. Returns (doc_id, cluster_id, is_keeper). */
+  def dedupPipeline(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val cands = minhashCandidates(docs)
+    // localCheckpoint: the shingle frame feeds both sides of the
+    // candidate-verification join.
+    val sh = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+      .localCheckpoint()
+    val verified = cands
+      .join(sh.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")),
+        "doc_id_a")
+      .join(sh.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")),
+        "doc_id_b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("doc_id_a").as("a"), col("doc_id_b").as("b"))
+    val comps = DedupCluster.connectedComponents(verified)
+    docs.join(comps, docs("doc_id") === comps("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_keeper",
+        (col("doc_id") === col("cluster_id")).cast("bigint"))
+  }
+
   /** SimHash per document (60-bit, portable md5-based hashing — DuckDB
     * reproduces it exactly). Near-dup pairs = small Hamming distance;
     * pairing is done by the caller (e.g. band on 15-bit chunks). Token

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.StarAnalytics
+import graft.operators.Dedup
+
+/** Plan-shape assertions for the scale claims: the right physical operator
+  * must appear (or a wrong one must NOT), independent of data. These are
+  * the properties that survive a 100× scale-up. */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("keep-latest dedup plans a WindowGroupLimit (map-side top-1 per key)") {
+    val ev = Tables.events(spark, sf)
+    val plan = physical(Dedup.keepLatest(ev, Seq("user_id", "event_type"),
+      col("ts"), col("event_id")))
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
+  test("pricing summary pushes the date filter into the parquet scan") {
+    val df = StarAnalytics.pricingSummary(spark, sf)
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("lineitem")).get
+    assert(scan.contains("PushedFilters") && scan.contains("l_shipdate"))
+    // column pruning: the 16-column table is read as a handful of columns
+    assert(!scan.contains("l_comment") && !scan.contains("l_partkey"))
+  }
+
+  test("star join broadcasts the fixed-size dims, never sort-merges them") {
+    val plan = physical(StarAnalytics.regionRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("aggregations keep whole-stage codegen (no interpreted hot path)") {
+    val df = StarAnalytics.pricingSummary(spark, sf)
+    df.collect() // finalize THIS plan (count() would execute a derived one)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("WholeStageCodegen"))
+  }
+
+  test("similarity top-k never shuffles the corpus side") {
+    val plan = physical(
+      graft.ext.Similarity.bruteForceTopK(Tables.embeddings(spark, sf)))
+    // the only exchanges are the query-set broadcast and the final
+    // per-query window partitioning of |Q|·k result candidates — the
+    // corpus scan feeds the join without a hash-partition exchange on it
+    val corpusThenExchange = "Exchange hashpartitioning(vec_id"
+    assert(!plan.contains(corpusThenExchange))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"))
+  }
+}

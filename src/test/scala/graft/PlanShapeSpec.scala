@@ -41,7 +41,9 @@ class PlanShapeSpec extends SparkSpec {
     df.collect() // finalize THIS plan (count() would execute a derived one)
     val plan = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(plan.contains("WholeStageCodegen"))
+    // codegen'd operators carry the * prefix / [codegen id : N] marker
+    assert(plan.contains("codegen id"))
+    assert(plan.contains("* HashAggregate"))
   }
 
   test("similarity top-k never shuffles the corpus side") {

@@ -343,6 +343,16 @@ object SparkEntry {
         .orderBy("o_orderpriority", "rnk")
     }),
 
+    // ---- typed Aggregator (UDAF surface): Welford moments ----
+    "q_welford_stats" -> ((s, d) =>
+      Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy("event_type")
+        .agg(graft.functions.WelfordAgg.column(col("value")).as("mv"))
+        .select(col("event_type"),
+          round(col("mv._1"), 4).as("mean"),
+          round(sqrt(col("mv._2")), 4).as("sd"))
+        .orderBy("event_type")),
+
     // ---- statistical aggregates beyond the reference's sum/count ----
     "q_order_stats" -> ((s, d) =>
       Tables.orders(s, d)
@@ -529,6 +539,18 @@ object SparkEntry {
             graft.streaming.EventStream.statefulUserTotals(stream),
             Seq("user_id"), "n_events")
           .orderBy("user_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
+    // ---- streaming: flatMapGroupsWithState (0..n rows per key/batch) ----
+    "q_threshold_alerts" -> ((s, d) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = graft.streaming.EventStream.readEventsStream(s, d)
+        graft.streaming.EventStream.runAvailableNow(
+            graft.streaming.EventStream.thresholdAlerts(stream), "append")
+          .orderBy("user_id", "level")
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
@@ -918,6 +940,13 @@ object SparkEntry {
              AND o.o_orderdate < TIMESTAMP '1997-01-01'
            GROUP BY 1)
          ORDER BY revenue DESC, n_name""",
+    "q_threshold_alerts" ->
+      """WITH t AS (
+           SELECT user_id, sum(coalesce(value, 0)) AS total
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+         SELECT user_id,
+           unnest(range(1, CAST(floor(total/1000) AS BIGINT) + 1)) AS level
+         FROM t WHERE total >= 1000 ORDER BY 1, 2""",
     "q_stateful_totals" ->
       """SELECT user_id, count(*) AS n_events,
            round(sum(coalesce(value, 0)), 2) AS total_value
@@ -957,6 +986,11 @@ object SparkEntry {
                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
            FROM orders)
          WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""",
+    "q_welford_stats" ->
+      """SELECT event_type, round(avg(value), 4) AS mean,
+           round(stddev_samp(value), 4) AS sd
+         FROM events WHERE value IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
     "q_order_stats" ->
       """SELECT o_orderpriority, count(*) AS n,
            round(avg(o_totalprice), 4) AS mean,

@@ -144,6 +144,45 @@ object EventStream {
       .withColumn("total_value", round(col("total_value"), 2))
   }
 
+  /** Zero-or-more rows per key per batch via `flatMapGroupsWithState`:
+    * emits an alert row each time a user's RUNNING value total crosses
+    * another multiple of `step` (so a key can emit 0, 1, or many rows per
+    * micro-batch — the shape `mapGroupsWithState`'s exactly-one-row
+    * contract cannot express). State is one (count, total) pair per user,
+    * carried across batches. */
+  def thresholdAlerts(events: DataFrame, step: Double = 1000.0): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("long"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { (uid, rows, state) =>
+        var (n, total) = state.getOption.getOrElse((0L, 0.0))
+        val alerts = Seq.newBuilder[(Long, Long)]
+        rows.foreach { r =>
+          val before = math.floor(total / step).toLong
+          n += 1; total += r._2
+          val after = math.floor(total / step).toLong
+          var lvl = before + 1
+          while (lvl <= after) { // one alert per crossed multiple
+            alerts += ((uid, lvl))
+            lvl += 1
+          }
+        }
+        state.update((n, total))
+        // With non-negative values the emitted (user, level) SET is
+        // order- and batching-independent — only emission TIME depends on
+        // how the input splits into micro-batches. Deterministic output.
+        alerts.result().iterator
+      }
+      .toDF("user_id", "level")
+  }
+
   /** Drain an update-mode stateful stream and keep only the LATEST emitted
     * row per key. An update-mode memory sink appends each micro-batch's
     * updated rows, so a key updated in several batches leaves superseded

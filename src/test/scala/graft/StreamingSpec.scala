@@ -100,6 +100,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("flatMapGroupsWithState alerts are micro-batching-independent") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_alerts_").toString
+    val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+    ev.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val got = EventStream.runAvailableNow(
+        EventStream.thresholdAlerts(stream), "append")
+      .as[(Long, Long)].collect().toSet
+    val exp = ev.groupBy("user_id")
+      .agg(sum(coalesce(col("value"), lit(0.0))).as("total"))
+      .filter(col("total") >= 1000.0)
+      .select(col("user_id"), floor(col("total") / 1000.0).cast("long"))
+      .as[(Long, Long)].collect()
+      .flatMap { case (u, maxLvl) => (1L to maxLvl).map(u -> _) }.toSet
+    assert(got == exp)
+  }
+
   test("stream-stream attribution join matches the batch range join") {
     val ev = EventStream.readEventsStream(spark, sf)
       .filter(col("user_id").isNotNull)

@@ -62,13 +62,22 @@ object DedupExt {
     * (band, hash), emit normalized (small, large) pairs. `bucketCap` guards
     * against degenerate buckets (common-prefix spam at scale). */
   def minhashCandidates(docs: DataFrame, k: Int = 32, bands: Int = 16,
-                        bucketCap: Int = 50): DataFrame = {
-    val rows = k / bands
+                        bucketCap: Int = 50): DataFrame =
     // localCheckpoint before the explode: InferFiltersFromGenerate otherwise
     // clones the whole tokens→shingles→minhash tree into a size()>0 filter
     // (with the token array re-inlined per element_at — measured ~20×).
     // The signature frame is k longs per doc — the cheap thing to pin.
-    val banded = minhashSignatures(docs, k).localCheckpoint()
+    minhashCandidatesFromSigs(minhashSignatures(docs, k).localCheckpoint(),
+      k, bands, bucketCap)
+
+  /** LSH banding/bucketing over a PRE-MATERIALIZED (doc_id, sig) frame —
+    * the entry point when signatures are shared with other pipeline
+    * stages (see `dedupPipeline`). */
+  def minhashCandidatesFromSigs(sigs: DataFrame, k: Int = 32,
+                                bands: Int = 16,
+                                bucketCap: Int = 50): DataFrame = {
+    val rows = k / bands
+    val banded = sigs
       .select(col("doc_id"),
         posexplode(bandHashes(col("sig"), bands, rows))
           .as(Seq("band_id", "band_hash")))
@@ -91,12 +100,18 @@ object DedupExt {
     * verification touches candidates only, and clustering shuffles
     * (node, label) pairs. Returns (doc_id, cluster_id, is_keeper). */
   def dedupPipeline(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val cands = minhashCandidates(docs)
+    graft.plans.TextSketches.register(docs.sparkSession)
+    // Tokenize ONCE; signatures and verification shingles both read the
+    // pinned token frame instead of re-scanning + re-splitting documents.
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    val sigs = toks.select(col("doc_id"),
+      graft.plans.TextSketches.minhash_sig(col("toks"), 32).as("sig"))
+      .localCheckpoint()
+    val cands = minhashCandidatesFromSigs(sigs)
     // localCheckpoint: the shingle frame feeds both sides of the
     // candidate-verification join.
-    val sh = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+    val sh = toks.select(col("doc_id"), shingles(col("toks")).as("sh"))
       .localCheckpoint()
     val verified = cands
       .join(sh.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")),

@@ -25,7 +25,7 @@ object Dedup {
     * partitionings and re-runs — keep-latest becomes deterministic replay,
     * which is what makes the keyed upserts idempotent (load.py:199-217). */
   def rowHash(df: DataFrame): Column =
-    xxhash64(df.columns.sorted.map(c => col(c).cast("string")): _*)
+    xxhash64(df.columns.sorted.toIndexedSeq.map(c => col(c).cast("string")): _*)
 
   /** Keep the row with the greatest (orderBy, tiebreak) per key group. */
   def keepLatest(df: DataFrame, keys: Seq[String], orderBy: Column,

@@ -37,10 +37,17 @@ object EventStream {
     * as `graft.Tables.events` (nanosAsLong + integer DIV truncation); the
     * schema is probed with a batch read — a streaming source must be given
     * its schema up front (no inference race on a growing directory). */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.types.StructType]
+
   def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    // the fixture schema is immutable — probe it once per path, not per
+    // streaming query (each probe is a full file-footer read + job)
+    val schema = schemaCache.getOrElseUpdate(path,
+      spark.read.parquet(path).schema)
     // The file streaming source monitors a DIRECTORY; narrow it to the one
     // fixture file with a glob filter (a direct file path is rejected).
     spark.readStream.schema(schema)
@@ -49,10 +56,16 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  /** A5 incrementally: watermarked keyed dedup. Rows older than the
-    * watermark horizon can no longer collide, so their keys leave state. */
+  /** A5 incrementally: watermarked keyed dedup with BOUNDED state.
+    * `dropDuplicatesWithinWatermark`, not `dropDuplicates`: with plain
+    * dropDuplicates the event-time column must be part of the dedup key
+    * for state eviction — keyed on event_id alone its state grows with
+    * the key universe forever. The within-watermark variant evicts each
+    * key once the watermark passes its event time, which is the state
+    * bound the reference's replay window actually needs. */
   def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", watermark).dropDuplicates(Seq("event_id"))
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
 
   /** A3-shaped event-time rollup: hourly counts + value sum per type. */
   def hourlyCounts(events: DataFrame): DataFrame =

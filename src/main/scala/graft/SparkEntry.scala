@@ -343,6 +343,35 @@ object SparkEntry {
         .orderBy("o_orderpriority", "rnk")
     }),
 
+    // ---- typed Dataset per-group logic (flatMapGroups) ----
+    "q_gap_median" -> ((s, d) => {
+      // Per-user MEDIAN inter-event gap: order-statistics per group are
+      // genuinely imperative (sort the group's gaps, pick the middle), so
+      // this is the Dataset[T] flatMapGroups shape — one group in memory
+      // at a time, never the whole partition. Emits nothing for <2 events.
+      import s.implicits._
+      Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id").cast("long"), col("ts"))
+        .as[(Long, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroups { (uid: Long, it: Iterator[(Long, java.sql.Timestamp)]) =>
+          val times = it.map(_._2.getTime).toArray
+          java.util.Arrays.sort(times)
+          if (times.length < 2) Iterator.empty
+          else {
+            val gaps = times.sliding(2).map(a => (a(1) - a(0)) / 1000.0)
+              .toArray
+            java.util.Arrays.sort(gaps)
+            val mid = gaps.length / 2
+            val m = if (gaps.length % 2 == 1) gaps(mid)
+                    else (gaps(mid - 1) + gaps(mid)) / 2.0
+            Iterator((uid, math.rint(m * 10000) / 10000))
+          }
+        }
+        .toDF("user_id", "median_gap_s")
+        .orderBy("user_id")
+    }),
+
     // ---- typed Aggregator (UDAF surface): Welford moments ----
     "q_welford_stats" -> ((s, d) =>
       Tables.events(s, d).filter(col("value").isNotNull)
@@ -986,6 +1015,16 @@ object SparkEntry {
                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
            FROM orders)
          WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""",
+    "q_gap_median" ->
+      """WITH g AS (
+           SELECT user_id,
+             date_diff('millisecond',
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+               ts) / 1000.0 AS gap
+           FROM events WHERE user_id IS NOT NULL)
+         SELECT user_id, round(median(gap), 4) AS median_gap_s
+         FROM g WHERE gap IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
     "q_welford_stats" ->
       """SELECT event_type, round(avg(value), 4) AS mean,
            round(stddev_samp(value), 4) AS sd

@@ -37,10 +37,14 @@ object DedupCluster {
         least(col("mn"), col("src")).as("comp")).localCheckpoint()
     // Labels only ever decrease, so sum(comp) is a monotone convergence
     // witness: unchanged sum ⇔ unchanged labels. One scalar per round
-    // instead of a join + isEmpty re-execution.
-    def checksum(l: DataFrame): Long = {
-      val r = l.agg(sum(col("comp"))).collect()(0)
-      if (r.isNullAt(0)) 0L else r.getLong(0) // null ⇔ no edges at all
+    // instead of a join + isEmpty re-execution. Summed as decimal(38,0):
+    // node ids may be hash-derived 60-bit values, and a bigint sum over
+    // billions of those overflows (ANSI mode would throw mid-iteration) —
+    // 38 digits hold any realistic id domain times any realistic node count.
+    def checksum(l: DataFrame): java.math.BigDecimal = {
+      val r = l.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0)
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO // null ⇔ no edges at all
+      else r.getDecimal(0)
     }
     var prevSum = checksum(labels)
     var converged = false
@@ -51,7 +55,7 @@ object DedupCluster {
       val next = labels.union(msgs).groupBy("node")
         .agg(min(col("comp")).as("comp")).localCheckpoint()
       val s = checksum(next)
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       i += 1

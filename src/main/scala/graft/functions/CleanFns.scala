@@ -69,8 +69,12 @@ object CleanFns {
   def pickFirst(cols: Column*): Column = coalesce(cols.map(nullifBlank): _*)
 
   /** Anchored shape-regex for a java.time pattern: numeric fields → \d{n},
-    * quoted sections and separators → literals. Drives the G7 dispatch. */
-  private[graft] def formatShapeRegex(f: String): String = {
+    * quoted sections and separators → literals. Drives the G7 dispatch.
+    * Returns None for any pattern containing a field letter outside the
+    * supported y/M/d/H/m/s set (e.g. 'h', 'a', 'S'): an unknown letter is a
+    * FIELD, not a separator, so treating it literally would mis-gate the
+    * dispatch — such formats fall back to plain try_to_timestamp. */
+  private[graft] def formatShapeRegex(f: String): Option[String] = {
     val sb = new StringBuilder("^")
     var i = 0
     while (i < f.length) {
@@ -86,11 +90,12 @@ object CleanFns {
           // repeated letters pin the exact width (strict mode).
           sb.append(if (j - i == 1) "\\d{1,2}" else s"\\d{${j - i}}")
           i = j - 1
+        case ch if ch.isLetter => return None // unhandled field letter
         case ch => sb.append(java.util.regex.Pattern.quote(ch.toString))
       }
       i += 1
     }
-    sb.append("$").toString
+    Some(sb.append("$").toString)
   }
 
   /** G7: multi-format timestamp parse — try each pattern in order, null if
@@ -146,7 +151,8 @@ object CleanFns {
             pos += w
           }
           i = j - 1
-        case _ => pos += 1
+        case ch if ch.isLetter => ok = false // unhandled FIELD ('h','a','S',…)
+        case _ => pos += 1 // non-letter separator ('-', '/', ':', ' ', '.')
       }
       i += 1
     }
@@ -156,19 +162,33 @@ object CleanFns {
 
   def multiFormatTs(c: Column, formats: Seq[String]): Column = {
     val t = trim(c)
-    val groups = formats.zipWithIndex
-      .groupBy { case (f, _) => formatShapeRegex(f) }
+    val (shaped, unshaped) = formats.zipWithIndex
+      .partition { case (f, _) => formatShapeRegex(f).isDefined }
+    val groups = shaped
+      .groupBy { case (f, _) => formatShapeRegex(f).get }
       .toSeq
       .sortBy { case (_, fs) => fs.map(_._2).min }
-    val branches = groups.map { case (re, fs) =>
-      (t.rlike(re),
-        coalesce(fs.sortBy(_._2).map(f =>
-          arithmeticTsParse(t, f._1)
-            .getOrElse(try_to_timestamp(t, lit(f._1)))): _*))
-    }
-    val parsed = branches.tail
-      .foldLeft(when(branches.head._1, branches.head._2)) {
-        case (acc, (cond, v)) => acc.when(cond, v)
+    // Formats with field letters outside the shape-regex alphabet can't be
+    // gated cheaply; they form the fallback branch (plain try_to_timestamp
+    // chain, in declaration order) taken only when no shape gate matches.
+    val fallback: Column =
+      if (unshaped.isEmpty) lit(null).cast("timestamp")
+      else coalesce(unshaped.sortBy(_._2)
+        .map(f => try_to_timestamp(t, lit(f._1))): _*)
+    val parsed =
+      if (groups.isEmpty) fallback
+      else {
+        val branches = groups.map { case (re, fs) =>
+          (t.rlike(re),
+            coalesce(fs.sortBy(_._2).map(f =>
+              arithmeticTsParse(t, f._1)
+                .getOrElse(try_to_timestamp(t, lit(f._1)))): _*))
+        }
+        branches.tail
+          .foldLeft(when(branches.head._1, branches.head._2)) {
+            case (acc, (cond, v)) => acc.when(cond, v)
+          }
+          .otherwise(fallback)
       }
     // Single reference to the parse result: null + interval is null, so the
     // noon-pin can be unconditional arithmetic on it.

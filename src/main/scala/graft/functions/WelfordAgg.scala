@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions.udaf
   * any custom sketch with an associative merge. */
 case class WelfordState(n: Long, mean: Double, m2: Double)
 
-object WelfordAgg extends Aggregator[Double, WelfordState, (Double, Double)] {
+object WelfordAgg
+    extends Aggregator[Double, WelfordState,
+      (java.lang.Double, java.lang.Double)] {
 
   override def zero: WelfordState = WelfordState(0L, 0.0, 0.0)
 
@@ -39,14 +41,16 @@ object WelfordAgg extends Aggregator[Double, WelfordState, (Double, Double)] {
     }
   }
 
-  /** (mean, sample variance); variance 0 for n < 2. */
-  override def finish(s: WelfordState): (Double, Double) =
-    (if (s.n == 0) 0.0 else s.mean,
-      if (s.n < 2) 0.0 else s.m2 / (s.n - 1))
+  /** (mean, sample variance) — NULL mean for n = 0 and NULL variance for
+    * n < 2, exactly mirroring the built-in `avg`/`var_samp` (and therefore
+    * the q_welford_stats DuckDB oracle) on empty/singleton groups. */
+  override def finish(s: WelfordState): (java.lang.Double, java.lang.Double) =
+    (if (s.n == 0) null else Double.box(s.mean),
+      if (s.n < 2) null else Double.box(s.m2 / (s.n - 1)))
 
   override def bufferEncoder: Encoder[WelfordState] = Encoders.product
-  override def outputEncoder: Encoder[(Double, Double)] =
-    Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+  override def outputEncoder: Encoder[(java.lang.Double, java.lang.Double)] =
+    Encoders.tuple(Encoders.DOUBLE, Encoders.DOUBLE)
 
   /** Untyped-DataFrame entry: `df.agg(WelfordAgg.column(col))`. */
   def column(c: Column): Column = udaf(WelfordAgg).apply(c)

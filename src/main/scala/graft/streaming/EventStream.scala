@@ -158,11 +158,15 @@ object EventStream {
   }
 
   /** Zero-or-more rows per key per batch via `flatMapGroupsWithState`:
-    * emits an alert row each time a user's RUNNING value total crosses
-    * another multiple of `step` (so a key can emit 0, 1, or many rows per
-    * micro-batch — the shape `mapGroupsWithState`'s exactly-one-row
-    * contract cannot express). State is one (count, total) pair per user,
-    * carried across batches. */
+    * emits an alert row each time a user's RUNNING value total crosses a
+    * NEW HIGHEST multiple of `step` (so a key can emit 0, 1, or many rows
+    * per micro-batch — the shape `mapGroupsWithState`'s exactly-one-row
+    * contract cannot express). State is (count, total, max emitted level)
+    * per user, carried across batches. Tracking the max emitted level makes
+    * the output a SET keyed on (user, level) even when event values can be
+    * negative: a total that recedes and re-crosses the same multiple does
+    * not re-emit it, so the result is batching- and order-independent for
+    * any sign of input. */
   def thresholdAlerts(events: DataFrame, step: Double = 1000.0): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -172,25 +176,22 @@ object EventStream {
         coalesce(col("value"), lit(0.0)).as("value"))
       .as[(Long, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Double), (Long, Long)](
+      .flatMapGroupsWithState[(Long, Double, Long), (Long, Long)](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) { (uid, rows, state) =>
-        var (n, total) = state.getOption.getOrElse((0L, 0.0))
+        var (n, total, maxLvl) = state.getOption.getOrElse((0L, 0.0, 0L))
         val alerts = Seq.newBuilder[(Long, Long)]
         rows.foreach { r =>
-          val before = math.floor(total / step).toLong
           n += 1; total += r._2
           val after = math.floor(total / step).toLong
-          var lvl = before + 1
-          while (lvl <= after) { // one alert per crossed multiple
+          var lvl = maxLvl + 1
+          while (lvl <= after) { // one alert per newly-reached multiple
             alerts += ((uid, lvl))
             lvl += 1
           }
+          if (after > maxLvl) maxLvl = after
         }
-        state.update((n, total))
-        // With non-negative values the emitted (user, level) SET is
-        // order- and batching-independent — only emission TIME depends on
-        // how the input splits into micro-batches. Deterministic output.
+        state.update((n, total, maxLvl))
         alerts.result().iterator
       }
       .toDF("user_id", "level")

@@ -84,14 +84,30 @@ class AnalyticsExtSpec extends SparkSpec {
   }
 
   test("formatShapeRegex translates java.time patterns to anchored shapes") {
-    assert(formatShapeRegex("MM-dd-yy") == "^\\d{2}\\Q-\\E\\d{2}\\Q-\\E\\d{2}$")
-    assert(formatShapeRegex("yyyy-MM-dd'T'HH:mm:ss") ==
-      "^\\d{4}\\Q-\\E\\d{2}\\Q-\\E\\d{2}\\QT\\E\\d{2}\\Q:\\E\\d{2}\\Q:\\E\\d{2}$")
+    assert(formatShapeRegex("MM-dd-yy")
+      .contains("^\\d{2}\\Q-\\E\\d{2}\\Q-\\E\\d{2}$"))
+    assert(formatShapeRegex("yyyy-MM-dd'T'HH:mm:ss").contains(
+      "^\\d{4}\\Q-\\E\\d{2}\\Q-\\E\\d{2}\\QT\\E\\d{2}\\Q:\\E\\d{2}\\Q:\\E\\d{2}$"))
+  }
+
+  test("unknown field letters disable the shape gate, not silently parse") {
+    // 'h' (clock-hour) and 'a' (am/pm) are FIELDS the arithmetic parser
+    // can't handle — the format must fall back to try_to_timestamp, not
+    // treat them as literal separators (which would parse hour as 0).
+    assert(formatShapeRegex("MM/dd/yyyy hh:mm a").isEmpty)
+    assert(arithmeticTsParse(col("x"), "MM/dd/yyyy hh:mm a").isEmpty)
+    assert(arithmeticTsParse(col("x"), "yyyy-MM-dd HH:mm:ss.SSS").isEmpty)
+    val df = Seq("07/04/2022 01:30 PM", "07/04/2022").toDF("raw")
+    val out = df.select(date_format(
+      multiFormatTs(col("raw"), Seq("MM/dd/yyyy hh:mm a", "MM/dd/yyyy")),
+      "yyyy-MM-dd HH:mm")).as[Option[String]].collect().toSeq
+    assert(out == Seq(Some("2022-07-04 13:30"),   // am/pm hour honored
+      Some("2022-07-04 12:00")))                  // date-only noon-pin
   }
 
   test("single-letter format fields accept 1-2 digits (java.time laxity)") {
-    assert(formatShapeRegex("M/d/yy") ==
-      "^\\d{1,2}\\Q/\\E\\d{1,2}\\Q/\\E\\d{2}$")
+    assert(formatShapeRegex("M/d/yy")
+      .contains("^\\d{1,2}\\Q/\\E\\d{1,2}\\Q/\\E\\d{2}$"))
     val df = Seq("3/4/22", "11/25/22").toDF("raw")
     val out = df.select(date_format(
       multiFormatTs(col("raw"), Seq("M/d/yy")), "yyyy-MM-dd"))
@@ -108,6 +124,25 @@ class AnalyticsExtSpec extends SparkSpec {
     assert(out == Seq(Some("2021-04-03"), // dd/MM won the tie
       Some("2021-12-25"),                 // dd/MM parses it
       Some("2021-12-25")))                // dd/MM fails, MM/dd fallback
+  }
+
+  test("WelfordAgg matches avg/var_samp including NULL on singleton groups") {
+    val df = Seq(("a", 1.0), ("a", 3.0), ("a", 8.0), ("b", 42.0))
+      .toDF("g", "v")
+    val got = df.groupBy("g")
+      .agg(graft.functions.WelfordAgg.column(col("v")).as("mv"),
+        avg(col("v")).as("mean_ref"), var_samp(col("v")).as("var_ref"))
+      .select(col("g"), col("mv._1").as("mean"), col("mv._2").as("variance"),
+        col("mean_ref"), col("var_ref"))
+      .as[(String, Option[Double], Option[Double], Option[Double],
+        Option[Double])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    val (am, av, amr, avr) = got("a")
+    assert(math.abs(am.get - amr.get) < 1e-12)
+    assert(math.abs(av.get - avr.get) < 1e-9)
+    val (bm, bv, bmr, bvr) = got("b")
+    assert(bm.contains(42.0) && bmr.contains(42.0))
+    assert(bv.isEmpty && bvr.isEmpty) // singleton: NULL, matching var_samp
   }
 
   test("dispatch returns null when shape matches but the date is invalid") {

@@ -657,6 +657,53 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- deterministic stratified sampling (portable hash buckets) ----
+    "q_stratified_sample" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedSample(Tables.events(s, d),
+          col("event_type"), col("event_id"),
+          Map("purchase" -> 1000, "signup" -> 500, "view" -> 100,
+            "click" -> 50))
+        .select("event_id", "event_type", "user_id", "value")
+        .orderBy("event_id")),
+
+    // ---- cohort retention / transition matrix / first-last per type ----
+    "q_retention" -> ((s, d) =>
+      EventAnalytics.retentionCohorts(Tables.events(s, d))),
+    "q_transitions" -> ((s, d) =>
+      EventAnalytics.transitionMatrix(Tables.events(s, d))),
+    "q_first_last" -> ((s, d) =>
+      EventAnalytics.firstLastEvents(Tables.events(s, d))),
+
+    // ---- ext: TF-IDF top terms + composite quality gate ----
+    "q_tfidf" -> ((s, d) =>
+      graft.ext.TextAnalysis.tfidfTop(Tables.documents(s, d))
+        .orderBy("doc_id", "rnk")),
+    "q_doc_quality" -> ((s, d) =>
+      graft.ext.TextAnalysis.qualityGate(Tables.documents(s, d))
+        .orderBy("doc_id")),
+
+    // ---- left-semi / left-anti star joins ----
+    "q_semi_customers" -> ((s, d) =>
+      StarAnalytics.activeCustomers(s, d)),
+    "q_anti_customers" -> ((s, d) =>
+      StarAnalytics.dormantCustomers(s, d)),
+
+    // ---- streaming: watermarked stream-stream attribution join ----
+    "q_stream_attribution" -> ((s, d) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val ev = graft.streaming.EventStream.readEventsStream(s, d)
+        val joined = graft.streaming.EventStream.attributionJoin(
+          ev.filter(col("event_type") === "signup"),
+          ev.filter(col("event_type") === "purchase"))
+        graft.streaming.EventStream.runAvailableNow(joined, "append")
+          .select(col("signup_id"), col("purchase_id"),
+            col("s_user").as("user_id"))
+          .orderBy("signup_id", "purchase_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     // ---- ext: binned range join (attribution window; no per-key blow-up) ----
     "q_range_join" -> ((s, d) => {
       val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
@@ -1664,6 +1711,115 @@ object SparkEntry {
              AS is_canonical
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
          ORDER BY d.doc_id""",
+    "q_stratified_sample" ->
+      """SELECT event_id, event_type, user_id, value FROM events
+         WHERE ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT
+             % 1000 <
+           CASE event_type WHEN 'purchase' THEN 1000 WHEN 'signup' THEN 500
+                WHEN 'view' THEN 100 WHEN 'click' THEN 50 ELSE 0 END
+         ORDER BY event_id""",
+    "q_retention" ->
+      """WITH a AS (
+           SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS event_date
+           FROM events WHERE user_id IS NOT NULL),
+         c AS (SELECT user_id, min(event_date) AS cohort_date
+               FROM a GROUP BY 1)
+         SELECT c.cohort_date,
+           date_diff('day', CAST(c.cohort_date AS DATE),
+             CAST(a.event_date AS DATE)) AS day_offset,
+           count(DISTINCT a.user_id) AS n_users
+         FROM a JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_transitions" ->
+      """WITH s AS (
+           SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+           FROM events WHERE user_id IS NOT NULL),
+         cnt AS (
+           SELECT event_type, next_type, count(*) AS n FROM s
+           WHERE next_type IS NOT NULL GROUP BY 1, 2)
+         SELECT event_type, next_type, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE),
+             6) AS p
+         FROM cnt ORDER BY 1, 2""",
+    "q_first_last" ->
+      """WITH r AS (
+           SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY ts DESC, event_id DESC) AS rd
+           FROM events)
+         SELECT event_type,
+           max(CASE WHEN ra = 1 THEN event_id END) AS first_event_id,
+           max(CASE WHEN rd = 1 THEN event_id END) AS last_event_id,
+           count(*) AS n
+         FROM r GROUP BY 1 ORDER BY 1""",
+    "q_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY 1, 2),
+         d AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (
+           SELECT doc_id, term, tf, df,
+             round(tf * ln(n_docs / df), 6) AS score
+           FROM d CROSS JOIN n),
+         r AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, term) AS BIGINT) AS rnk FROM sc)
+         SELECT doc_id, term, tf, df, score, rnk FROM r
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q_doc_quality" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, x -> list_contains(
+                    ['the','and','of','is','to','a','in'], x))) / len(toks)
+             END AS sr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(toks)) / len(toks)
+             END AS rr
+           FROM t)
+         SELECT doc_id, n_tokens,
+           round(sr, 4) AS stopword_ratio, round(rr, 4) AS rep_ratio,
+           NOT (n_tokens < 20 OR sr < 0.03 OR rr > 0.8) AS keep,
+           concat_ws(',',
+             CASE WHEN n_tokens < 20 THEN 'too_short' END,
+             CASE WHEN sr < 0.03 THEN 'low_stopword' END,
+             CASE WHEN rr > 0.8 THEN 'repetitive' END) AS reason
+         FROM m ORDER BY doc_id""",
+    "q_semi_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+             AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+             AND o.o_orderdate < TIMESTAMP '1996-01-01')
+         ORDER BY c_custkey""",
+    "q_anti_customers" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "q_stream_attribution" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE user_id IS NOT NULL)
+         SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+           s.user_id AS user_id
+         FROM ev s JOIN ev p
+           ON s.user_id = p.user_id
+          AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 7 DAY
+         WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+         ORDER BY signup_id, purchase_id""",
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,

@@ -165,6 +165,58 @@ object EventAnalytics {
       .withColumn("cum_value", round(sum(col("value")).over(w), 2))
   }
 
+  /** Extension — cohort retention: users bucketed by first-seen day, then
+    * for each (cohort_date, day_offset) the count of distinct cohort
+    * members active on that day. Shuffle shape: the (user, day) distinct
+    * and the per-user min both hash-partition on user_id, so the
+    * cohort-assignment join reuses that partitioning (no third shuffle);
+    * only the final small (cohort, offset) aggregate re-partitions. */
+  def retentionCohorts(ev: DataFrame): DataFrame = {
+    val active = withDate(ev).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_date")).distinct()
+    val cohorts = active.groupBy("user_id")
+      .agg(min(col("event_date")).as("cohort_date"))
+    active.join(cohorts, "user_id")
+      .groupBy(col("cohort_date"),
+        datediff(to_date(col("event_date")), to_date(col("cohort_date")))
+          .cast("bigint").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_date", "day_offset")
+  }
+
+  /** Extension — event-type transition matrix: counts and conditional
+    * probabilities of (event_type → next event_type) within each user's
+    * timeline. The lead() window shuffles once on user_id; the per-pair
+    * aggregate and the per-source normalizing window then run over ≤
+    * |types|² rows, so their cost is nil at any input scale. */
+  def transitionMatrix(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wType = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    ev.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") / sum(col("n")).over(wType), 6))
+      .orderBy("event_type", "next_type")
+  }
+
+  /** Extension — first/last event per type via min_by/max_by with a
+    * composite (ts, event_id) ordering struct: one aggregate pass, no
+    * window, no sort — the struct comparison gives a total order so ties
+    * on ts are broken deterministically by event_id. */
+  def firstLastEvents(ev: DataFrame): DataFrame = {
+    val ord = struct(col("ts"), col("event_id"))
+    ev.groupBy("event_type")
+      .agg(min_by(col("event_id"), ord).as("first_event_id"),
+        max_by(col("event_id"), ord).as("last_event_id"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   /** A7 — single-pass quality metrics (transform.py:104-119, quality.py):
     * one aggregate, no repeated scans. */
   def qualityMetrics(ev: DataFrame, allowedTypes: Seq[String]): DataFrame =

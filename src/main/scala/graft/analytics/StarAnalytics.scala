@@ -147,4 +147,32 @@ object StarAnalytics {
       .orderBy(col("ts"), col("event_id"))
       .limit(k)
   }
+
+  /** LEFT SEMI — customers with at least one order in the window. A semi
+    * join ships only the join key from the build side and emits each probe
+    * row at most once — no fact-side duplication, no post-join distinct
+    * (the distinct-after-inner-join phrasing pays a second shuffle for the
+    * same answer). */
+  def activeCustomers(spark: SparkSession, sfDir: String,
+      from: String = "1995-01-01", until: String = "1996-01-01"): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_mktsegment")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .orderBy("c_custkey")
+  }
+
+  /** LEFT ANTI — customers with no orders at all (the dormant set). Same
+    * single-shuffle shape as the semi join; the anti side only ever moves
+    * its key column. */
+  def dormantCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_mktsegment")
+    val o = Tables.orders(spark, sfDir).select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .orderBy("c_custkey")
+  }
 }

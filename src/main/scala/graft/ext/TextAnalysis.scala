@@ -121,6 +121,61 @@ object TextAnalysis {
         (coalesce(col("n_shared_ngrams"), lit(0L)) > 0L).as("contaminated"))
   }
 
+  /** TF-IDF top-k terms per document: tf = in-doc term count, df = number
+    * of docs containing the term, score = tf · ln(N/df).
+    * Shuffle shape at scale: explode → one hash aggregate on (doc, term)
+    * with map-side partial counts; df via a count window PARTITIONed on
+    * term (one shuffle on term, no separate vocabulary join); N rides in
+    * as a broadcast 1-row aggregate so the plan stays fully lazy; the
+    * final top-k window partitions back on doc_id. No driver-side counts,
+    * no collect. */
+  def tfidfTop(docs: DataFrame, k: Int = 3): DataFrame = {
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rnk", row_number().over(wDoc).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "rnk")
+  }
+
+  /** Composite quality gate — the keep/drop decision a training-data
+    * pipeline makes from the cheap signals: token count, stopword ratio
+    * (language coherence), repetition ratio (spam/boilerplate). Emits every
+    * doc with its verdict and a comma-joined reason list (quarantine-style,
+    * ingest.py:53-55 analog) so the drop set is auditable. Pure projection
+    * over one tokenize pass. */
+  def qualityGate(docs: DataFrame, minTokens: Int = 20,
+      minStopRatio: Double = 0.03, maxRepRatio: Double = 0.8): DataFrame = {
+    val staged = docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
+    val toks = col("__toks")
+    val n = size(toks).cast("bigint")
+    val nd = size(array_distinct(toks)).cast("bigint")
+    val stopRatio = when(n === 0L, lit(0.0))
+      .otherwise(hits(toks, LangProfiles.head._2) / n)
+    val repRatio = when(n === 0L, lit(0.0))
+      .otherwise(lit(1.0) - nd.cast("double") / n.cast("double"))
+    val reasons = Seq(
+      "too_short" -> (n < minTokens),
+      "low_stopword" -> (stopRatio < minStopRatio),
+      "repetitive" -> (repRatio > maxRepRatio))
+    val reason = concat_ws(",",
+      reasons.map { case (name, cond) =>
+        when(cond, lit(name)).otherwise(lit(null))
+      }: _*)
+    staged.select(col("doc_id"), n.as("n_tokens"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(repRatio, 4).as("rep_ratio"),
+      not(reasons.map(_._2).reduce(_ || _)).as("keep"),
+      reason.as("reason"))
+  }
+
   /** Corpus-wide heavy hitters: exact top-k tokens by frequency. Shape at
     * scale: explode → hash-aggregate with map-side partial counts (each
     * partition emits ≤ |vocab| rows, not |tokens|), then TakeOrdered for

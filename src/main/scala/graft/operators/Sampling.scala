@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `sample()`/`rand()` are nondeterministic across retries and partition
+  * layouts — a task that fails and re-runs would emit a DIFFERENT sample,
+  * which breaks exactly-once sinks and makes experiments unreproducible.
+  * Hash-based sampling keys the keep/drop decision on the ROW (not the
+  * execution), so any engine, any retry, any partitioning produces the
+  * identical subset. This is the standard trick for auditable subsampling
+  * at the 100 TB design point (and what `TABLESAMPLE ... REPEATABLE`
+  * cannot give you across engines).
+  *
+  * The hash is the portable 60-bit md5 prefix (same family as
+  * `graft.plans.PortableHash`) expressed with built-ins only —
+  * `conv(substring(md5(key),1,15),16,10)` — so it whole-stage-codegens and
+  * DuckDB reproduces it exactly as `('0x'||substr(md5(key),1,15))::BIGINT`.
+  */
+object Sampling {
+
+  /** Portable uniform bucket in [0, m): first 60 bits of md5(key) mod m.
+    * Non-negative by construction (60 bits < signed-64 range). */
+  def hashBucket(key: Column, m: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("bigint") % m
+
+  /** Stratified sampler: keeps a row iff its key's hash bucket (per-mille)
+    * falls below the stratum's rate. Rows in strata absent from `rates`
+    * keep `defaultPerMille`. A pure filter — no shuffle, pushes down
+    * around column pruning, and composes with any downstream plan. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+      ratesPerMille: Map[String, Int],
+      defaultPerMille: Int = 0): DataFrame = {
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille): Column) {
+      case (acc, (k, v)) => when(stratum === lit(k), lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(key, 1000) < rate)
+  }
+}

@@ -682,6 +682,35 @@ object SparkEntry {
       graft.ext.TextAnalysis.qualityGate(Tables.documents(s, d))
         .orderBy("doc_id")),
 
+    // ---- sketch quality: MinHash estimate vs exact Jaccard ----
+    "q_minhash_est" -> ((s, d) =>
+      graft.ext.DedupExt.minhashEstimateVsExact(Tables.documents(s, d))
+        .orderBy("doc_id_a", "doc_id_b")),
+
+    // ---- SCD2 dimension history (gaps-and-islands versioning) ----
+    "q_scd2_history" -> ((s, d) => {
+      val feed = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"), eventDate(col("ts")).as("day"))
+        .agg(max_by(col("event_type"),
+          struct(col("ts"), col("event_id"))).as("state"))
+      Upsert.scd2History(feed, "user_id", "day", "state")
+        .orderBy("user_id", "valid_from")
+    }),
+
+    // ---- window: percent_rank / cume_dist (relative standing) ----
+    "q_value_ranks" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .filter(col("o_orderkey") % 100 === 0) // thin the dump, ranks intact
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
     // ---- left-semi / left-anti star joins ----
     "q_semi_customers" -> ((s, d) =>
       StarAnalytics.activeCustomers(s, d)),
@@ -1797,6 +1826,84 @@ object SparkEntry {
              CASE WHEN sr < 0.03 THEN 'low_stopword' END,
              CASE WHEN rr > 0.8 THEN 'repetitive' END) AS reason
          FROM m ORDER BY doc_id""",
+    "q_minhash_est" ->
+      s"""$sketchShingleCte,
+         sigl AS (
+           SELECT doc_id, list_transform(range(0, 32), i ->
+             CASE WHEN len(hs) = 0 THEN 2147483647
+                  ELSE list_min(list_transform(hs, h ->
+                    (($minhashA)[i+1] * h + ($minhashB)[i+1])
+                      % 2147483647)) END) AS sig
+           FROM hs),
+         banded AS (
+           SELECT doc_id, b.j AS band_id,
+             ('0x'||substr(md5(array_to_string(
+               sig[b.j*2+1 : b.j*2+2], ',')),1,15))::BIGINT AS band_hash
+           FROM sigl CROSS JOIN (SELECT unnest(range(0, 16)) AS j) b),
+         buckets AS (
+           SELECT band_id, band_hash, list(doc_id) AS bucket
+           FROM banded GROUP BY 1, 2
+           HAVING count(*) BETWEEN 2 AND 50),
+         pairs AS (
+           SELECT DISTINCT p[1] AS doc_id_a, p[2] AS doc_id_b FROM (
+             SELECT unnest(flatten(list_transform(bucket, x ->
+               list_transform(list_filter(bucket, y -> y > x),
+                 y -> [x, y])))) AS p
+             FROM buckets)),
+         j AS (
+           SELECT p.doc_id_a, p.doc_id_b,
+             round(len(list_filter(range(1, 33),
+               i -> sa.sig[i] = sb.sig[i])) / 32, 6) AS est_jaccard,
+             round(CASE WHEN len(ha.sh) + len(hb.sh)
+                     - len(list_intersect(ha.sh, hb.sh)) = 0 THEN 0.0
+                   ELSE len(list_intersect(ha.sh, hb.sh)) /
+                     (len(ha.sh) + len(hb.sh)
+                       - len(list_intersect(ha.sh, hb.sh)))
+                   END, 6) AS exact_jaccard
+           FROM pairs p
+           JOIN sigl sa ON sa.doc_id = p.doc_id_a
+           JOIN sigl sb ON sb.doc_id = p.doc_id_b
+           JOIN sh ha ON ha.doc_id = p.doc_id_a
+           JOIN sh hb ON hb.doc_id = p.doc_id_b)
+         SELECT doc_id_a, doc_id_b, est_jaccard, exact_jaccard,
+           round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+         FROM j ORDER BY doc_id_a, doc_id_b""",
+    "q_scd2_history" ->
+      """WITH e AS (
+           SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type,
+             row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE user_id IS NOT NULL),
+         feed AS (
+           SELECT user_id, day, event_type AS state FROM e WHERE rn = 1),
+         m AS (
+           SELECT *, CASE WHEN lag(state) OVER w IS NULL
+                            OR lag(state) OVER w <> state
+                     THEN 1 ELSE 0 END AS chg
+           FROM feed WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+         v AS (
+           SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS ver
+           FROM m),
+         i AS (
+           SELECT user_id, CAST(ver AS BIGINT) AS version, state,
+             min(day) AS valid_from, count(*) AS n_days
+           FROM v GROUP BY 1, 2, 3)
+         SELECT user_id, version, state, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           (lead(valid_from) OVER w2 IS NULL) AS is_current, n_days
+         FROM i WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+         ORDER BY user_id, valid_from""",
+    "q_value_ranks" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, pr, cd FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             round(percent_rank() OVER w, 6) AS pr,
+             round(cume_dist() OVER w, 6) AS cd
+           FROM orders
+           WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey))
+         WHERE o_orderkey % 100 = 0
+         ORDER BY o_orderpriority, o_orderkey""",
     "q_semi_customers" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o

@@ -128,6 +128,42 @@ object DedupExt {
         (col("doc_id") === col("cluster_id")).cast("bigint"))
   }
 
+  /** Sketch-quality report: for every LSH candidate pair, the MinHash
+    * ESTIMATE of Jaccard (fraction of equal signature components — the
+    * only number a sketch-only pipeline would have) next to the exact
+    * n-gram Jaccard, plus the absolute error. The estimate costs O(k) per
+    * pair on data already in flight; the exact value is computed only for
+    * candidates, so this doubles as the verification stage's scoring.
+    * The zip_with/filter HOFs are interpreted, but they run over candidate
+    * PAIRS (LSH-bounded), never the corpus. */
+  def minhashEstimateVsExact(docs: DataFrame, k: Int = 32): DataFrame = {
+    graft.plans.TextSketches.register(docs.sparkSession)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    val sigs = toks.select(col("doc_id"),
+      graft.plans.TextSketches.minhash_sig(col("toks"), k).as("sig"))
+      .localCheckpoint()
+    val sh = toks.select(col("doc_id"), shingles(col("toks")).as("sh"))
+      .localCheckpoint()
+    val est = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      b => b)) / lit(k)
+    minhashCandidatesFromSigs(sigs, k)
+      .join(sigs.select(col("doc_id").as("doc_id_a"), col("sig").as("sig_a")),
+        "doc_id_a")
+      .join(sigs.select(col("doc_id").as("doc_id_b"), col("sig").as("sig_b")),
+        "doc_id_b")
+      .join(sh.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")),
+        "doc_id_a")
+      .join(sh.select(col("doc_id").as("doc_id_b"), col("sh").as("sh_b")),
+        "doc_id_b")
+      .select(col("doc_id_a"), col("doc_id_b"),
+        round(est, 6).as("est_jaccard"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("exact_jaccard"))
+      .withColumn("abs_err",
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
+  }
+
   /** SimHash per document (60-bit, portable md5-based hashing — DuckDB
     * reproduces it exactly). Near-dup pairs = small Hamming distance;
     * pairing is done by the caller (e.g. band on 15-bit chunks). Token

@@ -48,6 +48,37 @@ object Upsert {
     dim.withColumn(idCol,
       dense_rank().over(Window.orderBy(col(naturalKey))).cast("bigint"))
 
+  /** SCD Type-2 dimension history from a change feed: collapse consecutive
+    * equal attribute values per key into versioned validity intervals
+    * (gaps-and-islands). `valid_to` is the next version's `valid_from`
+    * (half-open intervals); the open version has `valid_to` NULL and
+    * `is_current` true.
+    *
+    * Shuffle shape: ONE hash partition on `key` serves the change-detect
+    * window, the island aggregate, and the valid_to lead window — Catalyst
+    * reuses the exchange because every step is keyed identically. The
+    * change feed is already one row per (key, ord) — at 100 TB the islands
+    * frame is strictly smaller, so nothing here touches raw-event volume. */
+  def scd2History(changes: DataFrame, key: String, ord: String,
+                  attr: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ord)
+    val marked = changes.withColumn("__prev", lag(col(attr), 1).over(w))
+      .withColumn("__chg",
+        when(col("__prev").isNull || col("__prev") =!= col(attr), 1L)
+          .otherwise(0L))
+      .withColumn("version",
+        sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val islands = marked.groupBy(col(key), col("version"), col(attr))
+      .agg(min(col(ord)).as("valid_from"), count(lit(1)).as("n_days"))
+    val wKey = Window.partitionBy(key).orderBy("valid_from")
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wKey))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(key), col("version"), col(attr), col("valid_from"),
+        col("valid_to"), col("is_current"), col("n_days"))
+  }
+
   /** A8: dim_dates expansion — 'yyyy-MM-dd' key → (year, month, day),
     * malformed keys skipped (load.py:83-102). */
   def dimDates(dateKeys: DataFrame, keyCol: String): DataFrame = {

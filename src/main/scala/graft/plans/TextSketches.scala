@@ -33,11 +33,22 @@ object PortableHash {
   /** Mersenne prime 2^31-1: modulus of the MinHash permutation family. */
   val P: Long = 2147483647L
 
-  /** Affine-permutation coefficients for seed i (Knuth multiplicative /
-    * Numerical-Recipes constants). Also emitted as literals into the
-    * DuckDB oracle SQL — keep `OracleSketchSql` in sync. */
-  def a(i: Int): Long = { val v = ((i + 1) * 2654435761L) % P; if (v == 0L) 1L else v }
-  def b(i: Int): Long = ((i + 1) * 1013904223L) % P
+  /** Affine-permutation coefficients for seed i, derived from the portable
+    * hash of a per-seed tag (the same trick `LshBucket` uses for its
+    * hyperplanes). They MUST be pseudo-independent across seeds: the
+    * earlier `(i+1)·const mod P` family made every permutation a scalar
+    * multiple of one per-element value — perm_i(h) = (i+1)·(c1·h+c2) —
+    * so a single element with small (c1·h+c2) won the min for most seeds
+    * at once, biasing MinHash estimates to ~20× the true Jaccard and
+    * correlating every LSH band. Hash-derived coefficients restore the
+    * per-seed independence the estimator's error bound assumes. Emitted as
+    * literals into the DuckDB oracle SQL (SparkEntry builds the literal
+    * arrays from these functions, so the two sides cannot drift). */
+  def a(i: Int): Long = {
+    val v = h60(UTF8String.fromString(s"minhash-a:$i")) % P
+    if (v == 0L) 1L else v
+  }
+  def b(i: Int): Long = h60(UTF8String.fromString(s"minhash-b:$i")) % P
 
   private val md5 = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")

@@ -118,6 +118,63 @@ class Round3OpsSpec extends SparkSpec {
     assert(!m(4L)._1 && m(4L)._2 == "low_stopword")
   }
 
+  test("scd2History builds half-open versioned intervals per key") {
+    val feed = Seq(
+      (1L, "2022-01-01", "view"),
+      (1L, "2022-01-02", "view"),     // same state → same version
+      (1L, "2022-01-05", "purchase"), // change (gap days roll into v1)
+      (1L, "2022-01-06", "view"),     // change back → NEW version, not v1
+      (2L, "2022-01-03", "signup")
+    ).toDF("user_id", "day", "state")
+    val out = graft.operators.Upsert
+      .scd2History(feed, "user_id", "day", "state")
+      .orderBy("user_id", "valid_from")
+      .as[(Long, Long, String, String, Option[String], Boolean, Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, "view", "2022-01-01", Some("2022-01-05"), false, 2L),
+      (1L, 2L, "purchase", "2022-01-05", Some("2022-01-06"), false, 1L),
+      (1L, 3L, "view", "2022-01-06", None, true, 1L),
+      (2L, 1L, "signup", "2022-01-03", None, true, 1L)))
+  }
+
+  test("minhash estimate tracks exact Jaccard on candidate pairs") {
+    // Planted near-dups guarantee LSH candidates regardless of fixture.
+    val base = (1 to 25).map(i => s"token$i").mkString(" ")
+    val other = (30 to 55).map(i => s"other$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra tail words"), // near-dup of 1, J ≈ 0.85
+      (3L, other),
+      (4L, other + " slightly different"), // near-dup of 3
+      (5L, (60 to 90).map(i => s"unrelated$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.ext.DedupExt.minhashEstimateVsExact(docs)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val pairs = out.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((3L, 4L)), pairs)
+    out.foreach { case (a, b, est, exact, err) =>
+      assert(a < b)
+      assert(est >= 0.0 && est <= 1.0)
+      assert(math.abs(err - math.abs(est - exact)) < 1e-9)
+      // k=32 signature: standard error sqrt(J(1-J)/32) ≤ 0.09 — with the
+      // de-correlated seed family 0.25 is a > 2.5σ bound.
+      assert(err <= 0.25, s"pair ($a,$b) est=$est exact=$exact")
+    }
+  }
+
+  test("percent_rank/cume_dist bounds and monotonicity per partition") {
+    val out = SparkEntry.queries("q_value_ranks")(spark, sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.foreach { case (_, _, _, pr, cd) =>
+        assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+      }
+    }
+  }
+
   test("semi/anti customer joins partition the customer set") {
     val c = Tables.customer(spark, sf).count()
     val active = StarAnalytics.activeCustomers(spark, sf)

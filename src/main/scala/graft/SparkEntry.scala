@@ -206,6 +206,24 @@ object SparkEntry {
         .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
         .orderBy("event_type")),
 
+    // ---- G17 as MapType: JSON props → map, exploded key/value rollup ----
+    "q_props_map" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(explode(from_json(col("props"), "map<string,bigint>",
+          Map.empty[String, String])).as(Seq("key", "value")))
+        .groupBy("key")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+        .orderBy("key")),
+
+    // ---- array aggregation: per-user sorted distinct type set ----
+    "q_user_type_sets" -> ((s, d) =>
+      Tables.events(s, d).filter(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",")
+            .as("types"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("user_id")),
+
     // ---- G13: deterministic hash ids ----
     "q_hash_id" -> ((s, d) =>
       Tables.events(s, d)
@@ -517,7 +535,10 @@ object SparkEntry {
           posexplode(col("features")).as(Seq("dim_id", "feature")))
         .withColumn("dim_id", col("dim_id").cast("bigint"))
         .orderBy("doc_id", "dim_id")),
-    "q_multimodal_pack" -> ((s, d) =>
+    "q_multimodal_pack" -> ((s, d) => {
+      // l2norm builds a dot_f32 call — register the native fns here rather
+      // than rely on an earlier query having done it (map order shifts).
+      graft.plans.VectorOps.register(s)
       graft.ext.Multimodal.packMedia(Tables.documents(s, d),
           Tables.embeddings(s, d))
         .select(col("doc_id"), col("lang"), col("label").cast("bigint")
@@ -525,7 +546,8 @@ object SparkEntry {
           length(col("media.payload")).cast("bigint").as("n_bytes"),
           round(graft.ext.Similarity.l2norm(col("embedding")), 6)
             .as("emb_norm"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // ---- ext: embedding-cosine near-dup (exact + LSH-blocked scale path) ----
     "q_embedding_neardup" -> ((s, d) =>
@@ -930,6 +952,21 @@ object SparkEntry {
            AS BIGINT) AS sum_k,
          count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_props_map" ->
+      """WITH kv AS (
+           SELECT unnest(json_keys(props)) AS key, props
+           FROM events WHERE props IS NOT NULL)
+         SELECT key, count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.' || key) AS BIGINT))
+             AS BIGINT) AS sum_v
+         FROM kv GROUP BY 1 ORDER BY 1""",
+    "q_user_type_sets" ->
+      """SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+             AS types,
+           count(DISTINCT event_type) AS n_types
+         FROM events WHERE user_id IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
     "q_hash_id" ->
       """SELECT event_id,
          substr(sha256(concat_ws('|', CAST(event_id AS VARCHAR), event_type)),

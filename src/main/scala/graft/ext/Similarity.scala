@@ -96,6 +96,42 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** One Lloyd's-iteration k-means refinement over the embedding corpus —
+    * the centroid-training building block an embedding pipeline runs to
+    * construct IVF/PQ indexes. Seeds = vec_id % centroidMod (deterministic,
+    * same as `ivfTopK`); assignment = cosine argmax with centroid-id
+    * tiebreak; refinement = per-dimension mean of the assigned vectors,
+    * emitted in (centroid_id, dim_id, c_val, n_members) long form.
+    *
+    * Scale shape: assignment is corpus × broadcast(centroids) — one pass
+    * over the corpus, which never shuffles; refinement explodes assigned
+    * vectors to (centroid, dim, value) and partial-aggregates map-side, so
+    * the shuffle carries at most k·d partial sums per partition, not
+    * vectors. Iterating Lloyd's = re-calling this with the returned
+    * centroids; each round is one scan + one k·d-wide shuffle. */
+  def kmeansRefine(emb: DataFrame, centroidMod: Int = 40): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val cents = withNorm.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("centroid_id"))
+    withNorm.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        round(dot(col("embedding"), col("c_emb")) /
+          (col("nrm") * col("c_nrm")), 6).as("c_sim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("centroid_id"),
+        posexplode(col("embedding")).as(Seq("dim_id", "v")))
+      .groupBy("centroid_id", "dim_id")
+      .agg(round(avg(col("v")), 6).as("c_val"),
+        count(lit(1)).as("n_members"))
+      .withColumn("dim_id", col("dim_id").cast("bigint"))
+  }
+
   /** Embedding-cosine near-dup pairs, exact: all (a < b) pairs with
     * cosine ≥ threshold. This is the small-corpus baseline and the oracle
     * for the LSH-blocked variant below — at 100 TB the all-pairs join is

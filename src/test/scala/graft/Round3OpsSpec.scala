@@ -175,6 +175,22 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("kmeans refinement: every vector assigned once, centroids are means") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val out = graft.ext.Similarity.kmeansRefine(emb)
+      .as[(Long, Long, Double, Long)].collect()
+    // each (centroid, dim) row carries that centroid's member count; the
+    // member counts over any one dim partition the corpus
+    val membersByDim = out.groupBy(_._2).view.mapValues(_.map(_._4).sum)
+    assert(membersByDim.values.toSet == Set(n))
+    // 64 dims per surviving centroid
+    out.groupBy(_._1).foreach { case (c, rows) =>
+      assert(rows.length == 64, s"centroid $c has ${rows.length} dims")
+    }
+    assert(out.forall { case (_, _, v, _) => !v.isNaN && v.abs <= 1.0 })
+  }
+
   test("semi/anti customer joins partition the customer set") {
     val c = Tables.customer(spark, sf).count()
     val active = StarAnalytics.activeCustomers(spark, sf)

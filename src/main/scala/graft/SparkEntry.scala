@@ -515,6 +515,9 @@ object SparkEntry {
     "q_decontaminate" -> ((s, d) =>
       graft.ext.TextAnalysis.decontaminate(Tables.documents(s, d))
         .orderBy("doc_id")),
+    "q_curation_pipeline" -> ((s, d) =>
+      graft.ext.TextAnalysis.curationPipeline(Tables.documents(s, d))
+        .orderBy("doc_id")),
     "q_rolling_fingerprint" -> ((s, d) => {
       graft.plans.RollingHash.register(s)
       Tables.documents(s, d)
@@ -1224,6 +1227,50 @@ object SparkEntry {
            coalesce(h.n, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN hits h USING (doc_id)
          WHERE d.doc_id % 100 <> 0 ORDER BY d.doc_id""",
+    "q_curation_pipeline" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         q AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE len(list_filter(toks, x -> list_contains(
+                      ['the','and','of','is','to','a','in'], x))) / len(toks)
+               END AS sr,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE 1.0 - len(list_distinct(toks)) / len(toks)
+               END AS rr
+             FROM t)
+           WHERE NOT (n_tokens < 20 OR sr < 0.03 OR rr > 0.8)),
+         fp AS (
+           SELECT min(doc_id) AS doc_id FROM (
+             SELECT doc_id,
+               sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                 AS fp
+             FROM documents)
+           GROUP BY fp),
+         sh5 AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks)-3, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                  toks[i+3] || ' ' || toks[i+4]))) AS sh
+           FROM t),
+         ev AS (SELECT DISTINCT sh FROM sh5 WHERE doc_id % 100 = 0),
+         hits AS (
+           SELECT s.doc_id, count(*) AS n FROM sh5 s JOIN ev USING (sh)
+           WHERE s.doc_id % 100 <> 0 GROUP BY 1),
+         clean AS (
+           SELECT d.doc_id FROM documents d LEFT JOIN hits h USING (doc_id)
+           WHERE d.doc_id % 100 <> 0 AND coalesce(h.n, 0) = 0)
+         SELECT d.doc_id, d.lang, d.source
+         FROM documents d
+         JOIN q USING (doc_id) JOIN fp USING (doc_id)
+         JOIN clean USING (doc_id)
+         WHERE ('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT
+             % 1000 < CASE d.lang WHEN 'en' THEN 1000 ELSE 500 END
+         ORDER BY d.doc_id""",
     "q_heavy_hitters" ->
       """SELECT token, n FROM (
            SELECT token, CAST(count(*) AS BIGINT) AS n FROM (

@@ -176,6 +176,30 @@ object TextAnalysis {
       reason.as("reason"))
   }
 
+  /** End-to-end corpus curation — the composition a training-data pipeline
+    * actually ships, over the ops defined above: composite quality gate →
+    * exact dedup (keep one doc per normalized fingerprint) → eval-set
+    * decontamination → deterministic stratified sample by language.
+    * Every stage reduces to a LEFT SEMI join against a doc_id set, so the
+    * documents table streams through once and only id columns shuffle;
+    * the sample is the portable-hash filter (no shuffle at all). Returns
+    * the surviving (doc_id, lang, source) rows. */
+  def curationPipeline(docs: DataFrame, evalMod: Int = 100,
+      ratesPerMille: Map[String, Int] = Map("en" -> 1000),
+      defaultPerMille: Int = 500): DataFrame = {
+    val quality = qualityGate(docs).filter(col("keep")).select("doc_id")
+    val keepers = DedupExt.exactDedup(docs)
+      .select(col("keeper_doc_id").as("doc_id"))
+    val clean = decontaminate(docs, evalMod).filter(!col("contaminated"))
+      .select("doc_id")
+    val kept = docs.select("doc_id", "lang", "source")
+      .join(quality, Seq("doc_id"), "left_semi")
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(clean, Seq("doc_id"), "left_semi")
+    graft.operators.Sampling.stratifiedSample(kept, col("lang"),
+      col("doc_id"), ratesPerMille, defaultPerMille)
+  }
+
   /** Corpus-wide heavy hitters: exact top-k tokens by frequency. Shape at
     * scale: explode → hash-aggregate with map-side partial counts (each
     * partition emits ≤ |vocab| rows, not |tokens|), then TakeOrdered for

@@ -191,6 +191,22 @@ class Round3OpsSpec extends SparkSpec {
     assert(out.forall { case (_, _, v, _) => !v.isNaN && v.abs <= 1.0 })
   }
 
+  test("curation pipeline output is a subset of every stage's keep set") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.curationPipeline(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.nonEmpty && out.size < docs.count())
+    val quality = TextAnalysis.qualityGate(docs).filter(col("keep"))
+      .select("doc_id").as[Long].collect().toSet
+    val keepers = graft.ext.DedupExt.exactDedup(docs)
+      .select("keeper_doc_id").as[Long].collect().toSet
+    val clean = TextAnalysis.decontaminate(docs)
+      .filter(!col("contaminated")).select("doc_id").as[Long].collect().toSet
+    assert(out.subsetOf(quality) && out.subsetOf(keepers) &&
+      out.subsetOf(clean))
+    assert(out.forall(_ % 100 != 0)) // eval docs never survive
+  }
+
   test("semi/anti customer joins partition the customer set") {
     val c = Tables.customer(spark, sf).count()
     val active = StarAnalytics.activeCustomers(spark, sf)

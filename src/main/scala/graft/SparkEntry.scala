@@ -711,6 +711,9 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ---- sketch quality: MinHash estimate vs exact Jaccard ----
+    "q_edit_distance" -> ((s, d) =>
+      graft.ext.DedupExt.editSimilarity(Tables.documents(s, d))
+        .orderBy("doc_id_a", "doc_id_b")),
     "q_minhash_est" -> ((s, d) =>
       graft.ext.DedupExt.minhashEstimateVsExact(Tables.documents(s, d))
         .orderBy("doc_id_a", "doc_id_b")),
@@ -1937,6 +1940,15 @@ object SparkEntry {
              CASE WHEN sr < 0.03 THEN 'low_stopword' END,
              CASE WHEN rr > 0.8 THEN 'repetitive' END) AS reason
          FROM m ORDER BY doc_id""",
+    "q_edit_distance" ->
+      """SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+           round(1.0 - levenshtein(a.text, b.text) /
+             greatest(length(a.text), length(b.text)), 6) AS sim
+         FROM documents a JOIN documents b
+           ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE a.doc_id % 97 = 0
+         ORDER BY doc_id_a, doc_id_b""",
     "q_minhash_est" ->
       s"""$sketchShingleCte,
          sigl AS (

@@ -128,6 +128,29 @@ object DedupExt {
         (col("doc_id") === col("cluster_id")).cast("bigint"))
   }
 
+  /** Sampled-anchor edit-distance similarity: Levenshtein distance and a
+    * normalized similarity (1 − dist/maxLen) for anchor docs against
+    * same-lang partners — the character-level complement to the token-set
+    * Jaccard above (catches small in-token edits Jaccard misses). Same
+    * broadcast-anchor blocking as `jaccardPairs`: the corpus never
+    * shuffles, and the O(len²) distance is evaluated only on the sampled
+    * pairs, never all-pairs. */
+  def editSimilarity(docs: DataFrame, anchorMod: Int = 97): DataFrame = {
+    val anchors = docs.filter(col("doc_id") % anchorMod === 0)
+      .select(col("doc_id").as("doc_id_a"), col("lang"),
+        col("text").as("text_a"))
+    docs.select(col("doc_id").as("doc_id_b"), col("lang"),
+        col("text").as("text_b"))
+      .join(broadcast(anchors), Seq("lang"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("bigint").as("dist"),
+        round(lit(1.0) -
+          levenshtein(col("text_a"), col("text_b")) /
+            greatest(length(col("text_a")), length(col("text_b"))), 6)
+          .as("sim"))
+  }
+
   /** Sketch-quality report: for every LSH candidate pair, the MinHash
     * ESTIMATE of Jaccard (fraction of equal signature components — the
     * only number a sketch-only pipeline would have) next to the exact

@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash60",
         "simhash60(tokens) - portable 60-bit SimHash of a token array"),
       (exprs: Seq[Expression]) => SimHash60(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles",
+        "word_shingles(tokens, n) - distinct word n-gram shingles"),
+      (exprs: Seq[Expression]) => graft.plans.WordShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((FunctionIdentifier("dot_f32"),
       info("dot_f32",
         "dot_f32(a, b) - float32-vector dot product in double precision"),

@@ -32,9 +32,11 @@ object DedupExt {
     * blocking key — at scale this is a broadcast of the (small) anchor set,
     * zero shuffle of the full corpus. */
   def jaccardPairs(docs: DataFrame, anchorMod: Int = 97, n: Int = 3): DataFrame = {
+    graft.plans.TextSketches.register(docs.sparkSession)
     val withShingles = docs
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("lang"), shingles(col("toks"), n).as("sh"))
+      .select(col("doc_id"), col("lang"),
+        graft.plans.TextSketches.word_shingles(col("toks"), n).as("sh"))
     val anchors = withShingles.filter(col("doc_id") % anchorMod === 0)
       .select(col("doc_id").as("doc_id_a"), col("lang"),
         col("sh").as("sh_a"))
@@ -111,7 +113,8 @@ object DedupExt {
     val cands = minhashCandidatesFromSigs(sigs)
     // localCheckpoint: the shingle frame feeds both sides of the
     // candidate-verification join.
-    val sh = toks.select(col("doc_id"), shingles(col("toks")).as("sh"))
+    val sh = toks.select(col("doc_id"),
+        graft.plans.TextSketches.word_shingles(col("toks"), 3).as("sh"))
       .localCheckpoint()
     val verified = cands
       .join(sh.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")),
@@ -166,7 +169,8 @@ object DedupExt {
     val sigs = toks.select(col("doc_id"),
       graft.plans.TextSketches.minhash_sig(col("toks"), k).as("sig"))
       .localCheckpoint()
-    val sh = toks.select(col("doc_id"), shingles(col("toks")).as("sh"))
+    val sh = toks.select(col("doc_id"),
+        graft.plans.TextSketches.word_shingles(col("toks"), 3).as("sh"))
       .localCheckpoint()
     val est = size(filter(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),

@@ -107,8 +107,16 @@ object TextAnalysis {
     * (doc_id, shingle) pairs shuffle. */
   def decontaminate(docs: DataFrame, evalMod: Int = 100,
                     n: Int = 5): DataFrame = {
+    // Native word_shingles (one JVM loop per row) — the HOF formulation is
+    // interpreter-bound and cost ~17 s at sf0.1 on a cold JVM. The
+    // localCheckpoint pins the exploded frame, which feeds BOTH the eval
+    // set and the corpus side; at cluster scale this intermediate is a
+    // persisted shuffle-stage output — same barrier.
+    graft.plans.TextSketches.register(docs.sparkSession)
     val sh = docs.select(col("doc_id"),
-      explode(shingles(tokens(col("text")), n)).as("sh"))
+      explode(graft.plans.TextSketches.word_shingles(
+        tokens(col("text")), n)).as("sh"))
+      .localCheckpoint()
     val evalSh = sh.filter(col("doc_id") % evalMod === 0)
       .select(col("sh")).distinct()
     val corpus = sh.filter(col("doc_id") % evalMod =!= 0)
@@ -187,11 +195,18 @@ object TextAnalysis {
   def curationPipeline(docs: DataFrame, evalMod: Int = 100,
       ratesPerMille: Map[String, Int] = Map("en" -> 1000),
       defaultPerMille: Int = 500): DataFrame = {
+    // Each stage's keep-set is one bigint column ≤ |docs| — pin them with
+    // localCheckpoint so the optimizer cannot merge the three stage plans
+    // into the semi-join tree (measured: the merged plan re-inlines the
+    // tokenize/shingle expressions across stages, ~9× slower). At cluster
+    // scale these intermediate id-sets would be persisted tables between
+    // pipeline stages, which is the same barrier.
     val quality = qualityGate(docs).filter(col("keep")).select("doc_id")
+      .localCheckpoint()
     val keepers = DedupExt.exactDedup(docs)
-      .select(col("keeper_doc_id").as("doc_id"))
+      .select(col("keeper_doc_id").as("doc_id")).localCheckpoint()
     val clean = decontaminate(docs, evalMod).filter(!col("contaminated"))
-      .select("doc_id")
+      .select("doc_id").localCheckpoint()
     val kept = docs.select("doc_id", "lang", "source")
       .join(quality, Seq("doc_id"), "left_semi")
       .join(keepers, Seq("doc_id"), "left_semi")

@@ -130,6 +130,45 @@ case class MinHashSig(child: Expression, k: Int, nGram: Int = 3)
     copy(child = c)
 }
 
+/** Distinct word n-gram shingles over array<string> tokens, assembled in
+  * one byte-level JVM loop per row. Same SET of values as the HOF
+  * reference `TextFns.shingles` (array_distinct ∘ transform ∘ concat_ws),
+  * which walks an interpreted expression tree per element — measured ~17 s
+  * for the sf0.1 corpus on a cold JVM (the generic evaluator only becomes
+  * fast once C2 happens to compile it) vs ~0.3 s here, deterministically.
+  * Fewer than n tokens → empty array, matching the reference's guard. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val seen = new java.util.LinkedHashSet[UTF8String]()
+      val space = UTF8String.fromString(" ")
+      var i = 0
+      while (i <= m - n) {
+        val parts = new Array[UTF8String](n)
+        var k = 0
+        while (k < n) {
+          val t = toks.getUTF8String(i + k)
+          parts(k) = if (t == null) UTF8String.EMPTY_UTF8 else t
+          k += 1
+        }
+        seen.add(UTF8String.concatWs(space, parts: _*))
+        i += 1
+      }
+      new GenericArrayData(
+        seen.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
+    }
+  }
+  override def prettyName: String = "word_shingles"
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
 /** 60-bit SimHash over array<string> tokens: per-bit ±1 votes of each
   * token's h60, bit set where votes >= 0. Portable to DuckDB bit ops. */
 case class SimHash60(child: Expression)
@@ -174,7 +213,16 @@ object TextSketches {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash60", exprs => SimHash60(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_shingles",
+      exprs => WordShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
   }
+
+  def word_shingles(tokens: Column, n: Int): Column =
+    call_function("word_shingles", tokens,
+      org.apache.spark.sql.functions.lit(n))
 
   def minhash_sig(tokens: Column, k: Int): Column =
     call_function("minhash_sig", tokens,

@@ -44,6 +44,29 @@ class PortableSketchSpec extends SparkSpec {
     assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
   }
 
+  test("native word_shingles == HOF shingles as a SET, incl. short docs") {
+    TextSketches.register(spark)
+    import org.apache.spark.sql.functions.array_sort
+    val base = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+    for (n <- Seq(2, 3, 5)) {
+      val native = base.select(col("doc_id"),
+        array_sort(TextSketches.word_shingles(col("toks"), n)).as("sh"))
+      val hof = base.select(col("doc_id"),
+        array_sort(TextFns.shingles(col("toks"), n)).as("sh"))
+      assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+        s"n=$n")
+    }
+    // fewer than n tokens → empty array on both paths
+    import spark.implicits._
+    val tiny = Seq((1L, "only two")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+    val e1 = tiny.select(TextSketches.word_shingles(col("toks"), 3))
+      .collect()(0).getSeq[String](0)
+    val e2 = tiny.select(TextFns.shingles(col("toks"), 3))
+      .collect()(0).getSeq[String](0)
+    assert(e1.isEmpty && e2.isEmpty)
+  }
+
   test("native simhash60 == HOF reference over token hashes") {
     TextSketches.register(spark)
     val base = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))

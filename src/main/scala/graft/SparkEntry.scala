@@ -685,6 +685,23 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- two-level mergeable aggregation (partials → merge) ----
+    // The explicit form of the partial/final contract every distributed
+    // aggregate relies on, and the incremental-maintenance pattern: store
+    // per-(day, shard) partials, merge on read. The oracle is the DIRECT
+    // one-level aggregate — merge(partials) must equal it exactly.
+    "q_partial_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("event_date", eventDate(col("ts")))
+      ev.groupBy(col("event_date"), (col("event_id") % 8).as("shard"))
+        .agg(sum(coalesce(col("value"), lit(0.0))).as("psum"),
+          count(lit(1)).as("pcnt"))
+        .groupBy("event_date")
+        .agg(round(sum(col("psum")), 2).as("revenue"),
+          sum(col("pcnt")).as("n_events"))
+        .orderBy("event_date")
+    }),
+
     // ---- deterministic stratified sampling (portable hash buckets) ----
     "q_stratified_sample" -> ((s, d) =>
       graft.operators.Sampling.stratifiedSample(Tables.events(s, d),
@@ -1854,6 +1871,11 @@ object SparkEntry {
              AS is_canonical
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
          ORDER BY d.doc_id""",
+    "q_partial_merge" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+           round(sum(coalesce(value, 0)), 2) AS revenue,
+           count(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q_stratified_sample" ->
       """SELECT event_id, event_type, user_id, value FROM events
          WHERE ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT

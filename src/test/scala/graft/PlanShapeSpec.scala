@@ -46,6 +46,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("* HashAggregate"))
   }
 
+  test("stratified sample is a pure pushed filter — no shuffle, no exchange") {
+    val plan = physical(graft.operators.Sampling.stratifiedSample(
+      Tables.events(spark, sf), col("event_type"), col("event_id"),
+      Map("purchase" -> 1000), 100))
+    assert(!plan.contains("Exchange"), plan.take(400))
+    assert(plan.contains("Filter"))
+  }
+
+  test("tfidf plans a WindowGroupLimit for the per-doc top-k") {
+    val df = graft.ext.TextAnalysis.tfidfTop(Tables.documents(spark, sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+    // N rides in as a broadcast single-row aggregate, not a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("kmeans assignment broadcasts centroids; corpus never hash-shuffles") {
+    val df = graft.ext.Similarity.kmeansRefine(Tables.embeddings(spark, sf))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"))
+    // the only hashpartitioning exchanges key on the assignment/refine
+    // groups, never on the raw corpus scan before assignment
+    assert(!plan.contains("Exchange hashpartitioning(embedding"))
+  }
+
   test("similarity top-k never shuffles the corpus side") {
     val plan = physical(
       graft.ext.Similarity.bruteForceTopK(Tables.embeddings(spark, sf)))

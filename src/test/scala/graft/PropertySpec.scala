@@ -105,6 +105,60 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SCD2 invariants: dense versions, tiling intervals, one current") {
+    import spark.implicits._
+    for (seed <- seeds) {
+      val rows = sample(Gen.listOfN(200, for {
+        key <- Gen.choose(1L, 12L)
+        day <- Gen.choose(1, 28)
+        st <- Gen.oneOf("a", "b", "c")
+      } yield (key, f"2022-01-$day%02d", st)), seed)
+      // one state per (key, day): keep max state for determinism
+      val feed = rows.toDF("k", "day", "state")
+        .groupBy("k", "day").agg(max("state").as("state"))
+      val out = Upsert.scd2History(feed, "k", "day", "state")
+        .as[(Long, Long, String, String, Option[String], Boolean, Long)]
+        .collect().toSeq
+      out.groupBy(_._1).foreach { case (k, vs) =>
+        val sorted = vs.sortBy(_._2)
+        // versions are dense 1..n
+        assert(sorted.map(_._2) == (1L to sorted.length))
+        // intervals tile: valid_to(v) == valid_from(v+1); exactly one open
+        sorted.sliding(2).foreach {
+          case Seq(a, b) =>
+            assert(a._5.contains(b._4), s"key $k gap")
+            assert(a._3 != b._3, s"key $k adjacent versions same state")
+          case _ =>
+        }
+        assert(sorted.count(_._6) == 1 && sorted.last._6)
+        assert(sorted.last._5.isEmpty)
+      }
+      // n_days sums to the number of distinct (key, day) change rows
+      assert(out.map(_._7).sum == feed.count())
+    }
+  }
+
+  test("stratified sampling: deterministic, monotone in rate, subset") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    for (seed <- seeds) {
+      val rows = sample(Gen.listOfN(400, for {
+        id <- Gen.choose(1L, 100000L)
+        s <- Gen.oneOf("x", "y")
+      } yield (id, s)), seed).distinct
+      val df = rows.toDF("id", "s")
+      def ids(rx: Int, ry: Int) = Sampling.stratifiedSample(df, col("s"),
+        col("id"), Map("x" -> rx, "y" -> ry)).select("id")
+        .as[Long].collect().toSet
+      val lo = ids(200, 500)
+      val hi = ids(600, 900)
+      assert(lo == ids(200, 500)) // deterministic
+      assert(lo.subsetOf(hi))     // rate increase only ADDS rows
+      assert(ids(1000, 1000) == rows.map(_._1).toSet)
+      assert(ids(0, 0).isEmpty)
+    }
+  }
+
   test("G8 pickTimestampToken: candidates first, then any-column scan") {
     import spark.implicits._
     val df = Seq(

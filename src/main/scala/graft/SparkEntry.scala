@@ -492,6 +492,28 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) =>
       graft.ext.TextAnalysis.langId(Tables.documents(s, d))
         .orderBy("doc_id")),
+    // ---- model-eval representative: pred vs label confusion matrix ----
+    "q_lang_confusion" -> ((s, d) =>
+      graft.ext.TextAnalysis.langId(Tables.documents(s, d))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")),
+
+    // ---- sequence mining lite: top 3-step event paths per user ----
+    "q_event_paths" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
+    }),
+
     "q_fingerprint" -> ((s, d) =>
       graft.ext.TextAnalysis.fingerprints(Tables.documents(s, d))
         .orderBy("doc_id")),
@@ -1590,6 +1612,52 @@ object SparkEntry {
                 ELSE 'und' END AS pred_lang,
            en_hits, de_hits, fr_hits, es_hits
          FROM h ORDER BY doc_id""",
+    "q_lang_confusion" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         h AS (
+           SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains(
+               ['the','and','of','is','to','a','in'], x))) AS en_hits,
+             len(list_filter(toks, x -> list_contains(
+               ['der','die','das','und','ist','ein'], x))) AS de_hits,
+             len(list_filter(toks, x -> list_contains(
+               ['le','la','les','et','est','une'], x))) AS fr_hits,
+             len(list_filter(toks, x -> list_contains(
+               ['el','los','las','es','una','y'], x))) AS es_hits
+           FROM t),
+         p AS (
+           SELECT lang,
+             CASE WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                    AND greatest(en_hits, de_hits, fr_hits, es_hits) > 0
+                  THEN 'en'
+                  WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                    AND greatest(en_hits, de_hits, fr_hits, es_hits) > 0
+                  THEN 'de'
+                  WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                    AND greatest(en_hits, de_hits, fr_hits, es_hits) > 0
+                  THEN 'fr'
+                  WHEN es_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+                    AND greatest(en_hits, de_hits, fr_hits, es_hits) > 0
+                  THEN 'es'
+                  ELSE 'und' END AS pred_lang
+           FROM h)
+         SELECT lang, pred_lang, count(*) AS n
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_event_paths" ->
+      """WITH s AS (
+           SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+           FROM events WHERE user_id IS NOT NULL
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT e1, e2, e3, count(*) AS n
+         FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+         GROUP BY 1, 2, 3
+         ORDER BY n DESC, e1, e2, e3 LIMIT 20""",
     "q_fingerprint" ->
       """SELECT doc_id,
          sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

@@ -348,6 +348,28 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // ---- schema evolution: mergeSchema over drifting parquet batches ----
+    // Batch 1 lacks the `value` column (early producer); batch 2 has it.
+    // mergeSchema=true unions the schemas, nulling the missing column for
+    // old files — the schema-drift tolerance the reference implements by
+    // hand-patching columns (SURVEY.md §1.3) done at the source level.
+    "q_schema_evolution" -> ((s, d) => {
+      val tmp = "target/tmp/schema_evo"
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("event_type"))
+        .write.mode("overwrite").parquet(s"$tmp/batch=1")
+      ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(s"$tmp/batch=2")
+      s.read.option("mergeSchema", true).parquet(tmp)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("value")).as("n_with_value"),
+          round(sum(coalesce(col("value"), lit(0.0))), 2).as("total_value"))
+        .orderBy("event_type")
+    }),
+
     // ---- window: top-k per group (the partitioned-heap pattern) ----
     "q_top_per_group" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -1174,6 +1196,14 @@ object SparkEntry {
          GROUP BY CUBE (o_orderpriority, o_orderstatus)
          ORDER BY o_orderpriority ASC NULLS FIRST,
            o_orderstatus ASC NULLS FIRST""",
+    "q_schema_evolution" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(count(CASE WHEN event_id % 2 = 1 THEN value END) AS BIGINT)
+             AS n_with_value,
+           round(sum(CASE WHEN event_id % 2 = 1
+                          THEN coalesce(value, 0) ELSE 0 END), 2)
+             AS total_value
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q_top_per_group" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
            SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -119,6 +119,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("stream-stream join finds matches straddling micro-batches") {
+    // Signup and purchase of the same user land in DIFFERENT micro-batches
+    // (4 random file splits, one per trigger), so matches require the join
+    // to buffer state across batches. Watermark is set wider than the
+    // fixture's time span: nothing is ever late, so the streamed result
+    // must equal the batch join exactly; eviction under tighter watermarks
+    // is Spark's contract, what we own is the join condition + state keys.
+    val dir = Files.createTempDirectory("graft_ssjoin_").toString
+    val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+    ev.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val streamed = EventStream.runAvailableNow(
+      EventStream.attributionJoin(
+        stream.filter(col("event_type") === "signup"),
+        stream.filter(col("event_type") === "purchase"),
+        watermark = "90 days"),
+      "append").select("signup_id", "purchase_id")
+    val batch = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+    val expected = batch.filter(col("event_type") === "signup")
+      .select(col("user_id").as("su"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+      .join(batch.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts")),
+        col("su") === col("pu") && col("p_ts") >= col("s_ts") &&
+          col("p_ts") < col("s_ts") + expr("INTERVAL 7 DAYS"))
+      .select("signup_id", "purchase_id")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(expected).isEmpty &&
+      expected.exceptAll(streamed).isEmpty)
+  }
+
   test("stream-stream attribution join matches the batch range join") {
     val ev = EventStream.readEventsStream(spark, sf)
       .filter(col("user_id").isNotNull)

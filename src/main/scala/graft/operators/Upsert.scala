@@ -62,10 +62,16 @@ object Upsert {
   def scd2History(changes: DataFrame, key: String, ord: String,
                   attr: String): DataFrame = {
     val w = Window.partitionBy(key).orderBy(ord)
+    // Null-safe change detection (<=>): a transition to or from a NULL
+    // attribute value opens a new version like any other change — plain
+    // =!= would yield NULL there and silently extend the prior version.
+    // The explicit first-row guard covers a key whose FIRST value is NULL
+    // (lag's no-row NULL would otherwise <=>-match it). Both window
+    // functions share one (key, ord) sort — a single exchange.
     val marked = changes.withColumn("__prev", lag(col(attr), 1).over(w))
       .withColumn("__chg",
-        when(col("__prev").isNull || col("__prev") =!= col(attr), 1L)
-          .otherwise(0L))
+        when(row_number().over(w) === 1 ||
+          !(col("__prev") <=> col(attr)), 1L).otherwise(0L))
       .withColumn("version",
         sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)))

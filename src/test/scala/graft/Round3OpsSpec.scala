@@ -138,6 +138,25 @@ class Round3OpsSpec extends SparkSpec {
       (2L, 1L, "signup", "2022-01-03", None, true, 1L)))
   }
 
+  test("scd2History handles NULL attribute values as real versions") {
+    val feed = Seq(
+      (1L, "2022-01-01", None: Option[String]), // first value NULL
+      (1L, "2022-01-02", Some("a")),
+      (1L, "2022-01-03", None),                 // transition TO null
+      (1L, "2022-01-04", None)                  // consecutive nulls merge
+    ).toDF("user_id", "day", "state")
+    val out = graft.operators.Upsert
+      .scd2History(feed, "user_id", "day", "state")
+      .orderBy("valid_from")
+      .as[(Long, Long, Option[String], String, Option[String], Boolean,
+        Long)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, None, "2022-01-01", Some("2022-01-02"), false, 1L),
+      (1L, 2L, Some("a"), "2022-01-02", Some("2022-01-03"), false, 1L),
+      (1L, 3L, None, "2022-01-03", None, true, 2L)))
+  }
+
   test("minhash estimate tracks exact Jaccard on candidate pairs") {
     // Planted near-dups guarantee LSH candidates regardless of fixture.
     val base = (1 to 25).map(i => s"token$i").mkString(" ")

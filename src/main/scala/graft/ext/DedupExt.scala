@@ -148,9 +148,13 @@ object DedupExt {
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select(col("doc_id_a"), col("doc_id_b"),
         levenshtein(col("text_a"), col("text_b")).cast("bigint").as("dist"),
-        round(lit(1.0) -
-          levenshtein(col("text_a"), col("text_b")) /
-            greatest(length(col("text_a")), length(col("text_b"))), 6)
+        // two empty texts: distance 0, similarity 1 by convention — the
+        // unguarded ratio would be 0/0 (an error under ANSI mode).
+        when(greatest(length(col("text_a")), length(col("text_b"))) === 0,
+          lit(1.0))
+          .otherwise(round(lit(1.0) -
+            levenshtein(col("text_a"), col("text_b")) /
+              greatest(length(col("text_a")), length(col("text_b"))), 6))
           .as("sim"))
   }
 

@@ -187,6 +187,29 @@ object SparkEntry {
         .orderBy("is_bad")
     }),
 
+    // ---- S1-analog for CSV: malformed-row quarantine via from_csv ----
+    "q_csv_quarantine" -> ((s, d) => {
+      // Every 11th synthesized line has a non-numeric amount field →
+      // PERMISSIVE parse nulls the typed column and captures the raw line
+      // in the corrupt-record column instead of failing the scan.
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      val line = when(col("k") % 11 === 0,
+          concat(col("k").cast("string"), lit(",oops")))
+        .otherwise(concat_ws(",", col("k").cast("string"),
+          col("p").cast("string")))
+      val parsed = from_csv(line,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, amount DOUBLE, _raw STRING"),
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_raw"))
+      o.select(parsed.getField("_raw").isNotNull.as("is_bad"),
+          parsed.getField("amount").as("amount"))
+        .groupBy("is_bad")
+        .agg(count(lit(1)).as("n"),
+          round(sum(coalesce(col("amount"), lit(0.0))), 2).as("total"))
+        .orderBy("is_bad")
+    }),
+
     // ---- G1/G2: normalization ----
     "q_normalize_priority" -> ((s, d) =>
       Tables.orders(s, d).select("o_orderpriority").distinct()
@@ -1007,6 +1030,11 @@ object SparkEntry {
     "q_json_quarantine" ->
       """SELECT (o_orderkey % 7 = 0) AS is_bad, count(*) AS n,
            round(sum(CASE WHEN o_orderkey % 7 = 0 THEN 0
+                          ELSE o_totalprice END), 2) AS total
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_csv_quarantine" ->
+      """SELECT (o_orderkey % 11 = 0) AS is_bad, count(*) AS n,
+           round(sum(CASE WHEN o_orderkey % 11 = 0 THEN 0
                           ELSE o_totalprice END), 2) AS total
          FROM orders GROUP BY 1 ORDER BY 1""",
     "q_normalize_priority" ->

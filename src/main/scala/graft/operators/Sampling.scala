@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Portable uniform bucket in [0, m): first 60 bits of md5(key) mod m.
-    * Non-negative by construction (60 bits < signed-64 range). */
+    * Non-negative by construction (60 bits < signed-64 range).
+    * `key` should be an integer or string column: the hash is taken over
+    * the key's STRING form, and floating-point/timestamp string renderings
+    * differ between engines ("42.0" vs "42"), which would silently break
+    * cross-engine reproducibility. */
   def hashBucket(key: Column, m: Int): Column =
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
       .cast("bigint") % m

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.CleanFns._
 import graft.operators.{Dedup, Quarantine, Upsert}
-import graft.analytics.{EventAnalytics, StarAnalytics}
+import graft.analytics.{EventAnalytics, StarAnalytics, StatsAnalytics}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with DuckDB oracle SQL over the same fixture tables.
@@ -874,6 +874,23 @@ object SparkEntry {
           coalesce(col("value"), lit(0.0)).as("purchase_value"))
         .orderBy("signup_id", "purchase_id")
     }),
+
+    // ---- distribution / statistical analytics (StatsAnalytics) ----
+    "q_unpivot" -> ((s, d) =>
+      EventAnalytics.unpivotEventCounts(Tables.events(s, d),
+        Seq("click", "error", "purchase", "signup", "view"))),
+    "q_date_gaps" -> ((s, d) =>
+      EventAnalytics.dateGaps(Tables.events(s, d))),
+    "q_hll_merge" -> ((s, d) =>
+      EventAnalytics.hllMergeDau(Tables.events(s, d))),
+    "q_histogram" -> ((s, d) =>
+      StatsAnalytics.histogram(Tables.orders(s, d), "o_totalprice", 25000.0)),
+    "q_anomaly" -> ((s, d) =>
+      StatsAnalytics.anomalies(Tables.events(s, d))),
+    "q_winsorize" -> ((s, d) =>
+      StatsAnalytics.winsorize(Tables.events(s, d))),
+    "q_ab_lift" -> ((s, d) =>
+      StatsAnalytics.abLift(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -2211,5 +2228,112 @@ object SparkEntry {
          WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    // ---- distribution / statistical analytics ----
+    "q_unpivot" ->
+      """WITH d AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS event_date
+                    FROM events),
+         t AS (SELECT unnest(['click','error','purchase','signup','view'])
+                 AS event_type),
+         c AS (SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+                 count(*) AS n
+               FROM events GROUP BY 1, 2)
+         SELECT d.event_date, t.event_type,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+         FROM d CROSS JOIN t
+         LEFT JOIN c ON c.event_date = d.event_date
+                    AND c.event_type = t.event_type
+         ORDER BY d.event_date, t.event_type""",
+    "q_date_gaps" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                    FROM events WHERE user_id IS NOT NULL),
+         b AS (SELECT user_id, min(d) AS lo, max(d) AS hi,
+                 count(*) AS active_days
+               FROM a GROUP BY 1),
+         cal AS (SELECT user_id,
+                   CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                     AS DATE) AS d
+                 FROM b),
+         m AS (SELECT user_id, d FROM cal EXCEPT SELECT user_id, d FROM a),
+         mm AS (SELECT user_id, count(*) AS missing_days,
+                  min(d) AS first_missing
+                FROM m GROUP BY 1)
+         SELECT b.user_id, CAST(b.active_days AS BIGINT) AS active_days,
+           CAST(date_diff('day', b.lo, b.hi) + 1 AS BIGINT) AS span_days,
+           CAST(coalesce(mm.missing_days, 0) AS BIGINT) AS missing_days,
+           strftime(mm.first_missing, '%Y-%m-%d') AS first_missing
+         FROM b LEFT JOIN mm USING (user_id)
+         ORDER BY b.user_id""",
+    // Exact side of the two-level HLL merge; the merged estimate enters
+    // only through the 5% error-bound boolean (lgK=12 → ~1.6% stderr), so
+    // the compare stays deterministic cross-engine.
+    "q_hll_merge" ->
+      """SELECT CAST(count(DISTINCT strftime(ts, '%Y-%m-%d')) AS BIGINT)
+           AS n_days,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_total,
+         TRUE AS merged_within_5pct
+         FROM events WHERE user_id IS NOT NULL""",
+    "q_histogram" ->
+      """SELECT bucket, n, lo, hi, mean,
+           round(bucket * 25000.0, 2) AS bucket_lo
+         FROM (
+           SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             round(min(o_totalprice), 2) AS lo,
+             round(max(o_totalprice), 2) AS hi,
+             round(avg(o_totalprice), 6) AS mean
+           FROM orders GROUP BY 1)
+         ORDER BY bucket""",
+    "q_anomaly" ->
+      """WITH st AS (SELECT event_type, avg(value) AS mu,
+                       stddev_samp(value) AS sd
+                     FROM events WHERE value IS NOT NULL GROUP BY 1)
+         SELECT e.event_id, e.event_type, e.value,
+           round((e.value - st.mu) / st.sd, 6) AS z
+         FROM events e JOIN st USING (event_type)
+         WHERE abs((e.value - st.mu) / st.sd) > 2.5
+         ORDER BY e.event_id""",
+    "q_winsorize" ->
+      """WITH pct AS (SELECT event_type,
+                        quantile_cont(value, 0.05) AS p_lo,
+                        quantile_cont(value, 0.95) AS p_hi
+                      FROM events GROUP BY 1)
+         SELECT e.event_type, CAST(count(e.value) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e.value < p_lo OR e.value > p_hi
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           round(sum(e.value), 2) AS raw_sum,
+           round(sum(least(greatest(e.value, p_lo), p_hi)), 2)
+             AS winsorized_sum
+         FROM events e JOIN pct USING (event_type)
+         GROUP BY 1 ORDER BY 1""",
+    "q_ab_lift" ->
+      """WITH pu AS (
+           SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value > 90
+                 THEN 1 ELSE 0 END) AS converted,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS variant
+           FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+         agg AS (
+           SELECT
+             CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS users_a,
+             CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+               AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS users_b,
+             CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+               AS BIGINT) AS conv_b
+           FROM pu)
+         SELECT users_a, conv_a, users_b, conv_b,
+           round(conv_a * 1.0 / users_a, 6) AS rate_a,
+           round(conv_b * 1.0 / users_b, 6) AS rate_b,
+           round(conv_b * 1.0 / users_b - conv_a * 1.0 / users_a, 6)
+             AS lift,
+           round((conv_b * 1.0 / users_b - conv_a * 1.0 / users_a) /
+             sqrt(((conv_a + conv_b) * 1.0 / (users_a + users_b)) *
+               (1 - (conv_a + conv_b) * 1.0 / (users_a + users_b)) *
+               (1.0 / users_a + 1.0 / users_b)), 6) AS z_stat
+         FROM agg""",
   )
 }

@@ -217,6 +217,75 @@ object EventAnalytics {
       .orderBy("event_type")
   }
 
+  /** Extension — UNPIVOT: the wide per-day event-type counts (the pivot
+    * query's output) melted back to long form, zeros preserved. The unpivot
+    * is a per-row Expand over the ALREADY-AGGREGATED wide frame (≤ days
+    * rows), so its cost is nil; the data-sized work is the same single
+    * grouped pass as the pivot. Long↔wide round-trips are schema plumbing,
+    * not extra shuffles. */
+  def unpivotEventCounts(ev: DataFrame, types: Seq[String]): DataFrame = {
+    val wide = withDate(ev)
+      .groupBy("event_date")
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L)
+    wide.unpivot(Array(col("event_date")), types.map(col).toArray,
+        "event_type", "n_events")
+      .orderBy("event_date", "event_type")
+  }
+
+  /** Extension — per-user calendar-gap detection: which days inside each
+    * user's [first, last] activity span saw no events. `sequence` + explode
+    * materializes each user's calendar (bounded by the span in DAYS, not by
+    * event volume — at 100 TB of events a year-long span is still ≤ 366
+    * rows per user), then a left-anti join against the distinct active days
+    * finds the holes. Both sides hash-partition on user_id, so the anti
+    * join and the summary aggregate reuse one partitioning. */
+  def dateGaps(ev: DataFrame): DataFrame = {
+    val active = ev.filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val bounds = active.groupBy("user_id")
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"),
+        count(lit(1)).as("active_days"))
+    val calendar = bounds.select(col("user_id"),
+      explode(sequence(col("lo"), col("hi"))).as("d"))
+    val missing = calendar.join(active, Seq("user_id", "d"), "left_anti")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("missing_days"),
+        min(col("d")).as("first_missing"))
+    bounds.join(missing, Seq("user_id"), "left")
+      .select(col("user_id"), col("active_days"),
+        (datediff(col("hi"), col("lo")) + 1).cast("bigint").as("span_days"),
+        coalesce(col("missing_days"), lit(0L)).as("missing_days"),
+        date_format(col("first_missing"), "yyyy-MM-dd").as("first_missing"))
+      .orderBy("user_id")
+  }
+
+  /** A1 at the 100 TB design point, PROVING mergeability — per-day
+    * Datasketches HLL sketches built in one pass, then union-merged into a
+    * month total WITHOUT re-touching the raw data. This is the two-level
+    * shape a 100 TB rollup needs: daily partitions each reduce to a ~1 KB
+    * sketch, and any coarser rollup (week/month/all-time) merges sketches,
+    * not user ids. The oracle checks the exact side plus a 5% error bound
+    * on the merged estimate (lgK=12 → ~1.6% standard error), so the
+    * cross-engine hash compare stays deterministic. */
+  def hllMergeDau(ev: DataFrame, lgK: Int = 12): DataFrame = {
+    val daily = withDate(ev)
+      .filter(col("user_id").isNotNull)
+      .groupBy("event_date")
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+    val exact = ev.filter(col("user_id").isNotNull)
+      .agg(countDistinct(col("user_id")).as("exact_total"))
+    daily
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("merged_est"))
+      .crossJoin(exact)
+      .select(col("n_days"), col("exact_total"),
+        (abs(col("merged_est") - col("exact_total")) <=
+          col("exact_total") * 0.05).as("merged_within_5pct"))
+  }
+
   /** A7 — single-pass quality metrics (transform.py:104-119, quality.py):
     * one aggregate, no repeated scans. */
   def qualityMetrics(ev: DataFrame, allowedTypes: Seq[String]): DataFrame =

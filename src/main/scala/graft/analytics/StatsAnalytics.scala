@@ -1,0 +1,113 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Distribution / statistical analytics beyond the reference's five-query
+  * contract (SURVEY.md §7.5 beyond-parity): fixed-width histograms,
+  * z-score anomaly flagging, percentile winsorization, and deterministic
+  * A/B lift. Each is a standard training-data-curation or product-analytics
+  * primitive, expressed so the expensive part stays in one shuffle and the
+  * small derived frame (per-group stats) is broadcast back.
+  */
+object StatsAnalytics {
+
+  /** Fixed-width histogram of a numeric column. Bucketing is a map-side
+    * projection (`floor(x / width)`), so the only shuffle is the per-bucket
+    * aggregate over ≤ range/width rows — at 100 TB the combine collapses
+    * each input partition to the bucket count first. Static bounds keep the
+    * output schema data-independent (no extra pass to find min/max, no
+    * schema drift between runs — same reasoning as the explicit pivot value
+    * list). */
+  def histogram(df: DataFrame, valueCol: String, width: Double): DataFrame =
+    df.select((floor(col(valueCol) / width)).cast("bigint").as("bucket"),
+        col(valueCol))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min(col(valueCol)), 2).as("lo"),
+        round(max(col(valueCol)), 2).as("hi"),
+        round(avg(col(valueCol)), 6).as("mean"))
+      .withColumn("bucket_lo", round(col("bucket") * width, 2))
+      .orderBy("bucket")
+
+  /** Per-group z-score anomaly flags: rows whose value deviates from the
+    * group mean by more than `nSigma` sample standard deviations. The
+    * per-group stats frame has |groups| rows → Catalyst broadcasts it, so
+    * the z computation is map-side over the raw data; nothing shuffles the
+    * full table. Exactly the two-pass shape a 100 TB outlier scrub needs
+    * (the single-pass alternative — a global window — would sort the whole
+    * table). */
+  def anomalies(ev: DataFrame, nSigma: Double = 2.5): DataFrame = {
+    val stats = ev.filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mu")) / col("sd"))
+      .filter(abs(col("z")) > nSigma)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("z"), 6).as("z"))
+      .orderBy("event_id")
+  }
+
+  /** Winsorization: clip values to the per-group [p_lo, p_hi] percentile
+    * band (robust-scaling step for training-data value columns). Pass 1
+    * computes exact percentiles per group (swap in approx_percentile at the
+    * 100 TB design point — mergeable, one pass); pass 2 broadcasts the
+    * |groups|-row percentile frame and clips map-side. Output is the
+    * per-group before/after summary. */
+  def winsorize(ev: DataFrame, lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val pct = ev.groupBy("event_type")
+      .agg(expr(s"percentile(value, $lo)").as("p_lo"),
+        expr(s"percentile(value, $hi)").as("p_hi"))
+    ev.join(broadcast(pct), "event_type")
+      .withColumn("clipped",
+        least(greatest(col("value"), col("p_lo")), col("p_hi")))
+      .groupBy("event_type")
+      .agg(count(col("value")).as("n"),
+        sum(when(col("value") < col("p_lo") || col("value") > col("p_hi"),
+          1L).otherwise(0L)).as("n_clipped"),
+        round(sum(col("value")), 2).as("raw_sum"),
+        round(sum(col("clipped")), 2).as("winsorized_sum"))
+      .orderBy("event_type")
+  }
+
+  /** Deterministic A/B conversion lift: users split into two variants by
+    * the portable md5 hash bucket (cross-engine reproducible — same split
+    * in the DuckDB oracle), conversion = any HIGH-VALUE purchase (every
+    * fixture user has some purchase, so plain purchase would be degenerate
+    * p=1 and the pooled z would hit 0/0). One grouped pass per user
+    * (shuffle on user_id), then a single-row conditional aggregate; the
+    * two-proportion pooled z-statistic is a scalar projection. At 100 TB
+    * the per-user pass is the only data-sized stage. */
+  def abLift(ev: DataFrame, minValue: Double = 90.0): DataFrame = {
+    val perUser = ev.filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > minValue, 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("variant", Sampling.hashBucket(col("user_id"), 2))
+    val one = perUser.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("users_a"),
+      sum(when(col("variant") === 0, col("converted")).otherwise(0L))
+        .as("conv_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("users_b"),
+      sum(when(col("variant") === 1, col("converted")).otherwise(0L))
+        .as("conv_b"))
+    one
+      .withColumn("rate_a", col("conv_a").cast("double") / col("users_a"))
+      .withColumn("rate_b", col("conv_b").cast("double") / col("users_b"))
+      .withColumn("pooled",
+        (col("conv_a") + col("conv_b")).cast("double") /
+          (col("users_a") + col("users_b")))
+      .withColumn("z_stat", round(
+        (col("rate_b") - col("rate_a")) /
+          sqrt(col("pooled") * (lit(1.0) - col("pooled")) *
+            (lit(1.0) / col("users_a") + lit(1.0) / col("users_b"))), 6))
+      .select(col("users_a"), col("conv_a"), col("users_b"), col("conv_b"),
+        round(col("rate_a"), 6).as("rate_a"),
+        round(col("rate_b"), 6).as("rate_b"),
+        round(col("rate_b") - col("rate_a"), 6).as("lift"),
+        col("z_stat"))
+  }
+}

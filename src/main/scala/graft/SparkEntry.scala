@@ -891,6 +891,55 @@ object SparkEntry {
       StatsAnalytics.winsorize(Tables.events(s, d))),
     "q_ab_lift" -> ((s, d) =>
       StatsAnalytics.abLift(Tables.events(s, d))),
+
+    // ---- corpus scoring / chunk-level boilerplate ----
+    "q_unigram_logprob" -> ((s, d) =>
+      graft.ext.TextAnalysis.unigramLogprob(Tables.documents(s, d))),
+    "q_chunk_boilerplate" -> ((s, d) =>
+      graft.ext.TextAnalysis.chunkBoilerplate(Tables.documents(s, d))),
+
+    // ---- Bloom-prefiltered semi join (probe-side shuffle reduction) ----
+    "q_bloom_semi" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val bigSpenders = ev
+        .filter(col("event_type") === "purchase" && col("value") > 200)
+        .select(col("user_id").as("spender_id")).distinct()
+      graft.operators.BloomPrefilter
+        .semiJoin(ev, bigSpenders, "user_id", "spender_id",
+          expectedItems = 100000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(coalesce(col("value"), lit(0.0))), 2).as("total_value"))
+        .orderBy("user_id")
+    }),
+
+    // ---- TPC-H anchors: Q6 selective scan, Q13 distribution ----
+    "q_selective_revenue" -> ((s, d) =>
+      StarAnalytics.selectiveRevenue(s, d)),
+    "q_cust_order_dist" -> ((s, d) =>
+      StarAnalytics.customerOrderDistribution(s, d)),
+
+    // ---- time-series forward fill / column profiling ----
+    "q_fill_forward" -> ((s, d) =>
+      EventAnalytics.forwardFill(Tables.events(s, d))
+        .orderBy("user_id", "event_id")),
+    "q_null_profile" -> ((s, d) =>
+      StatsAnalytics.nullProfile(Tables.events(s, d),
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props"))),
+
+    // ---- streaming: watermark-bounded semantic dedup ----
+    "q_stream_dedup" -> ((s, d) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val stream = graft.streaming.EventStream.readEventsStream(s, d)
+        graft.streaming.EventStream
+          .runAvailableNow(
+            graft.streaming.EventStream.streamKeyDedup(stream), "append")
+          .select(col("user_id"), col("event_type"), col("minute"))
+          .orderBy("user_id", "event_type", "minute")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -2335,5 +2384,112 @@ object SparkEntry {
                (1 - (conv_a + conv_b) * 1.0 / (users_a + users_b)) *
                (1.0 / users_a + 1.0 / users_b)), 6) AS z_stat
          FROM agg""",
+
+    // ---- corpus scoring / chunk-level boilerplate ----
+    "q_unigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(
+             string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         f AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM f)
+         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(f.n / tot.total)), 6) AS avg_logprob
+         FROM toks t JOIN f USING (tok), tot
+         GROUP BY 1 ORDER BY 1""",
+    "q_chunk_boilerplate" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         ch AS (
+           SELECT doc_id, unnest(list_transform(
+             range(0, greatest(CAST(ceil(len(toks) / 4.0) AS BIGINT), 1)),
+             i -> array_to_string(toks[i*4+1:i*4+4], ' '))) AS chunk_text
+           FROM toks),
+         sp AS (SELECT chunk_text, count(DISTINCT doc_id) AS n_docs
+                FROM ch GROUP BY 1)
+         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN sp.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           round(sum(CASE WHEN sp.n_docs > 1 THEN 1.0 ELSE 0.0 END)
+             / count(*), 6) AS boilerplate_frac
+         FROM ch c JOIN sp USING (chunk_text)
+         GROUP BY 1 ORDER BY 1""",
+
+    // The Bloom stage is cost-only (false positives removed by the exact
+    // semi join), so the oracle is the plain semi join.
+    "q_bloom_semi" ->
+      """WITH spenders AS (
+           SELECT DISTINCT user_id FROM events
+           WHERE user_id IS NOT NULL AND event_type = 'purchase'
+             AND value > 200)
+         SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(coalesce(e.value, 0)), 2) AS total_value
+         FROM events e SEMI JOIN spenders s ON e.user_id = s.user_id
+         GROUP BY 1 ORDER BY 1""",
+    "q_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M') AS minute
+         FROM events WHERE user_id IS NOT NULL
+         ORDER BY user_id, event_type, minute""",
+    "q_selective_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+           AND l_shipdate < TIMESTAMP '1995-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q_cust_order_dist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         FROM (
+           SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT)
+             AS c_count
+           FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+           GROUP BY 1)
+         GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+    "q_fill_forward" ->
+      """SELECT user_id, event_id, value,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value
+         FROM events WHERE user_id IS NOT NULL
+         ORDER BY user_id, event_id""",
+    // ts distinct-counted on its microsecond string form (the engine
+    // truncates the fixture's nanos to micros on read — tsMicros ↔ %f).
+    "q_null_profile" ->
+      """WITH m AS (SELECT
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_event_id,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS dist_event_id,
+           CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_ts,
+           CAST(count(DISTINCT strftime(ts, '%Y-%m-%d %H:%M:%S.%f'))
+             AS BIGINT) AS dist_ts,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_user_id,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dist_user_id,
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS null_event_type,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS dist_event_type,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_value,
+           CAST(count(DISTINCT value) AS BIGINT) AS dist_value,
+           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_props,
+           CAST(count(DISTINCT props) AS BIGINT) AS dist_props
+         FROM events)
+         SELECT 'event_id' AS col_name, n_rows, null_event_id AS n_null,
+           dist_event_id AS n_distinct FROM m
+         UNION ALL SELECT 'event_type', n_rows, null_event_type,
+           dist_event_type FROM m
+         UNION ALL SELECT 'props', n_rows, null_props, dist_props FROM m
+         UNION ALL SELECT 'ts', n_rows, null_ts, dist_ts FROM m
+         UNION ALL SELECT 'user_id', n_rows, null_user_id, dist_user_id
+           FROM m
+         UNION ALL SELECT 'value', n_rows, null_value, dist_value FROM m
+         ORDER BY col_name""",
   )
 }

@@ -286,6 +286,21 @@ object EventAnalytics {
           col("exact_total") * 0.05).as("merged_within_5pct"))
   }
 
+  /** Extension — per-user forward fill: null `value`s inherit the user's
+    * most recent non-null value (time-series gap repair before training /
+    * feature extraction). `last(_, ignoreNulls)` over a running per-user
+    * frame — one shuffle on user_id, per-key ordered scan, no global sort;
+    * the same keyed-window shape as eventGaps. */
+  def forwardFill(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    ev.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        last(col("value"), ignoreNulls = true).over(w).as("filled_value"))
+  }
+
   /** A7 — single-pass quality metrics (transform.py:104-119, quality.py):
     * one aggregate, no repeated scans. */
   def qualityMetrics(ev: DataFrame, allowedTypes: Seq[String]): DataFrame =

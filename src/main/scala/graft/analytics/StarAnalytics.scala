@@ -60,6 +60,43 @@ object StarAnalytics {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** TPC-H Q6-shaped selective revenue: a one-row aggregate behind THREE
+    * range predicates, all of which must reach the parquet scan
+    * (`PushedFilters` + row-group statistics skipping). The canonical
+    * predicate-pushdown anchor: at 100 TB this query's cost is however
+    * little of the table the scan statistics let it read — the plan has no
+    * shuffle at all beyond the single-row partial-agg gather. */
+  def selectiveRevenue(spark: SparkSession, sfDir: String,
+                       from: String = "1994-01-01",
+                       until: String = "1995-01-01"): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(from) &&
+        col("l_shipdate") < lit(until) &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
+  /** TPC-H Q13-shaped customer order-count distribution: customers LEFT
+    * JOIN orders (zero-order customers preserved), per-customer count,
+    * then a second aggregate over the counts. The first aggregate shuffles
+    * on custkey (count collapses map-side); the second runs over
+    * |customers| rows of (custkey, count), and its output is ≤ max orders
+    * per customer — driver-tiny. The left join keeps the empty tail a real
+    * INNER join would silently drop. */
+  def customerOrderDistribution(spark: SparkSession,
+                                sfDir: String): DataFrame = {
+    val perCust = Tables.customer(spark, sfDir).select("c_custkey")
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** TPC-H Q3-shaped shipping priority: segment-filtered customers ⋈
     * orders ⋈ lineitem, revenue per open order, true top-k. The filters
     * land on each scan BEFORE its join (predicate pushdown), the grouped

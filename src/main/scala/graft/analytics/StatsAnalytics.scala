@@ -72,6 +72,30 @@ object StatsAnalytics {
       .orderBy("event_type")
   }
 
+  /** Column profiling — null count and distinct cardinality per column in
+    * ONE pass (the generalization of the reference's quality report): all
+    * metrics land in a single aggregate row, which then explodes into the
+    * long (col_name, n_null, n_distinct) layout driver-side-free. The
+    * multi-countDistinct plans as one Expand; at 100 TB swap the exact
+    * distinct counts for approx_count_distinct to keep the aggregate
+    * buffers sketch-sized. */
+  def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+      countDistinct(col(c)).as(s"__dist_$c"))) :+
+      count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(
+        explode(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col(s"__null_$c").as("n_null"),
+          col(s"__dist_$c").as("n_distinct"))): _*)).as("s"),
+        col("__n").as("n_rows"))
+      .select(col("s.col_name"), col("n_rows"), col("s.n_null"),
+        col("s.n_distinct"))
+      .orderBy("col_name")
+  }
+
   /** Deterministic A/B conversion lift: users split into two variants by
     * the portable md5 hash bucket (cross-engine reproducible — same split
     * in the DuckDB oracle), conversion = any HIGH-VALUE purchase (every

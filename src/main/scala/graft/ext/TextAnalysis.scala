@@ -227,4 +227,53 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+
+  /** Per-document corpus-likelihood score: the mean natural log of each
+    * token's corpus unigram probability (the cheap "LM perplexity" proxy
+    * used for quality filtering before a real model scores the data). Two
+    * stages: (1) the corpus term-frequency table — explode + hash-aggregate
+    * with map-side partials, output is VOCAB-sized; (2) re-join tokens to
+    * that frequency table. Because the frequency side is vocab-sized,
+    * Catalyst broadcasts it and stage 2 is map-side — the raw corpus never
+    * shuffles, which is the property that matters at 100 TB. */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+    val total = freq.agg(sum(col("n")).cast("double").as("total"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("n") / col("total"))), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-wide repeated-chunk (boilerplate) detection — the C4-style
+    * "deduplicate repeated paragraphs across the corpus" step, expressed on
+    * fixed-size token chunks since the fixture text has no line structure.
+    * Chunk assembly is a per-row projection (slice over the token array —
+    * no shuffle); the spread count groups chunks by their TEXT with
+    * map-side partials, and the per-doc rollup re-joins on chunk text. At
+    * 100 TB, group on a 60-bit chunk hash instead of raw text to shrink
+    * shuffle payloads (same trick as exact-dedup's fingerprint groupBy);
+    * raw text keeps the fixture oracle byte-exact. */
+  def chunkBoilerplate(docs: DataFrame, chunkTokens: Int = 4): DataFrame = {
+    val toks = tokens(col("text"))
+    val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
+    val chunks = transform(
+      sequence(lit(0), greatest(nChunks - 1, lit(0))),
+      i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))
+    val chunkRows = docs.select(col("doc_id"),
+      explode(chunks).as("chunk_text"))
+    val spread = chunkRows.groupBy("chunk_text")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunkRows.join(spread, "chunk_text")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_shared"),
+        round(sum(when(col("n_docs") > 1, 1.0).otherwise(0.0)) /
+          count(lit(1)), 6).as("boilerplate_frac"))
+      .orderBy("doc_id")
+  }
 }

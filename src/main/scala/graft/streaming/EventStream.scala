@@ -67,6 +67,19 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Semantic keyed dedup under streaming: collapse each (user, type,
+    * minute) to its first arrival, state bounded by the watermark horizon.
+    * Only the key columns are deterministic under replay (which PHYSICAL
+    * row survives depends on arrival order), so consumers — and the oracle
+    * — project the key set. Same state-eviction contract as `dedupStream`. */
+  def streamKeyDedup(events: DataFrame,
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .filter(col("user_id").isNotNull)
+      .withColumn("minute", date_format(col("ts"), "yyyy-MM-dd HH:mm"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type", "minute"))
+
   /** A3-shaped event-time rollup: hourly counts + value sum per type. */
   def hourlyCounts(events: DataFrame): DataFrame =
     events

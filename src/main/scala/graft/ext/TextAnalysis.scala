@@ -259,11 +259,12 @@ object TextAnalysis {
     * shuffle payloads (same trick as exact-dedup's fingerprint groupBy);
     * raw text keeps the fixture oracle byte-exact. */
   def chunkBoilerplate(docs: DataFrame, chunkTokens: Int = 4): DataFrame = {
-    val toks = tokens(col("text"))
-    val nChunks = ceil(size(toks) / lit(chunkTokens.toDouble)).cast("int")
-    val chunks = transform(
-      sequence(lit(0), greatest(nChunks - 1, lit(0))),
-      i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))
+    // Native single-loop chunk assembly (graft.plans.TokenChunks): the HOF
+    // equivalent (transform∘concat_ws∘slice) is interpreter-bound and
+    // dominated this query's bench time, exactly like shingle assembly.
+    graft.plans.TextSketches.register(docs.sparkSession)
+    val chunks = graft.plans.TextSketches
+      .token_chunks(tokens(col("text")), chunkTokens)
     val chunkRows = docs.select(col("doc_id"),
       explode(chunks).as("chunk_text"))
     val spread = chunkRows.groupBy("chunk_text")

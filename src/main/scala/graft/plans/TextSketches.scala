@@ -169,6 +169,47 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Non-overlapping n-token chunks, space-joined (the unit of chunk-level
+  * corpus dedup). Matches the HOF composition
+  * `transform(sequence(0, max(ceil(m/n)-1, 0)), i -> concat_ws(' ',
+  * slice(toks, i*n+1, n)))` — including one empty chunk for empty input —
+  * but in a single byte-level loop per row: HOF lambdas are interpreted
+  * (non-codegen), and on a cold JVM the lambda-tree walk dominated the
+  * chunk query's runtime exactly as it did for shingle assembly. */
+case class TokenChunks(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val nChunks = math.max((m + n - 1) / n, 1)
+    val out = new Array[Any](nChunks)
+    val space = UTF8String.fromString(" ")
+    var c = 0
+    while (c < nChunks) {
+      val from = c * n
+      val len = math.min(n, m - from)
+      if (len <= 0) out(c) = UTF8String.EMPTY_UTF8
+      else {
+        val parts = new Array[UTF8String](len)
+        var k = 0
+        while (k < len) {
+          val t = toks.getUTF8String(from + k)
+          parts(k) = if (t == null) UTF8String.EMPTY_UTF8 else t
+          k += 1
+        }
+        out(c) = UTF8String.concatWs(space, parts: _*)
+      }
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def prettyName: String = "token_chunks"
+  override protected def withNewChildInternal(c: Expression): TokenChunks =
+    copy(child = c)
+}
+
 /** 60-bit SimHash over array<string> tokens: per-bit ±1 votes of each
   * token's h60, bit set where votes >= 0. Portable to DuckDB bit ops. */
 case class SimHash60(child: Expression)
@@ -218,10 +259,19 @@ object TextSketches {
       exprs => WordShingles(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_chunks",
+      exprs => TokenChunks(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
   }
 
   def word_shingles(tokens: Column, n: Int): Column =
     call_function("word_shingles", tokens,
+      org.apache.spark.sql.functions.lit(n))
+
+  def token_chunks(tokens: Column, n: Int): Column =
+    call_function("token_chunks", tokens,
       org.apache.spark.sql.functions.lit(n))
 
   def minhash_sig(tokens: Column, k: Int): Column =

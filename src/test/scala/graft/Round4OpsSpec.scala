@@ -125,6 +125,20 @@ class Round4OpsSpec extends SparkSpec {
     assert(out(1L) == 1.0 && out(2L) == 1.0 && out(3L) == 0.0)
   }
 
+  test("token_chunks native expression matches the HOF composition") {
+    graft.plans.TextSketches.register(spark)
+    val toks = graft.ext.TextFns.tokens(col("text"))
+    val nChunks = ceil(size(toks) / lit(4.0)).cast("int")
+    val hof = transform(
+      sequence(lit(0), greatest(nChunks - 1, lit(0))),
+      i => concat_ws(" ", slice(toks, i * 4 + 1, lit(4))))
+    val diff = Tables.documents(spark, sf)
+      .select(graft.plans.TextSketches.token_chunks(toks, 4).as("a"),
+        hof.as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(diff == 0)
+  }
+
   test("stream key dedup collapses same-minute duplicates, keeps key set") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")

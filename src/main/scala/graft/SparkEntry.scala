@@ -919,6 +919,40 @@ object SparkEntry {
     "q_cust_order_dist" -> ((s, d) =>
       StarAnalytics.customerOrderDistribution(s, d)),
 
+    // ---- CDC changelog apply / rolling median / correlation matrix ----
+    "q_cdc_apply" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val snap = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+      val changes = ev.filter(col("event_type").isin("purchase", "error"))
+        .select(col("user_id"), col("value"), col("ts"), col("event_id"),
+          when(col("event_type") === "purchase", "U").otherwise("D")
+            .as("op"))
+      graft.operators.Upsert
+        .applyChangelog(snap, changes, Seq("user_id"), col("ts"),
+          col("event_id"))
+        .select(col("user_id"), col("value"),
+          tsMicros(col("ts")).as("ts"), col("event_id"))
+        .orderBy("user_id")
+    }),
+    "q_rolling_median" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("event_date")).rowsBetween(-6, 0)
+      EventAnalytics.revenue(Tables.events(s, d))
+        .withColumn("rolling_median_7d",
+          round(expr("percentile(revenue, 0.5)").over(w), 2))
+        .orderBy("event_date")
+    }),
+    "q_corr_matrix" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("r_qty_price"),
+        round(corr(col("l_quantity"), col("l_discount")), 6)
+          .as("r_qty_disc"),
+        round(corr(col("l_extendedprice"), col("l_discount")), 6)
+          .as("r_price_disc"),
+        count(lit(1)).as("n_rows"))),
+
     // ---- time-series forward fill / column profiling ----
     "q_fill_forward" -> ((s, d) =>
       EventAnalytics.forwardFill(Tables.events(s, d))
@@ -2433,6 +2467,39 @@ object SparkEntry {
            strftime(ts, '%Y-%m-%d %H:%M') AS minute
          FROM events WHERE user_id IS NOT NULL
          ORDER BY user_id, event_type, minute""",
+    "q_cdc_apply" ->
+      """WITH log AS (
+           SELECT user_id, value, ts, event_id,
+             CASE event_type WHEN 'signup' THEN 'I'
+               WHEN 'purchase' THEN 'U' ELSE 'D' END AS op
+           FROM events
+           WHERE user_id IS NOT NULL
+             AND event_type IN ('signup', 'purchase', 'error')),
+         latest AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM log)
+         SELECT user_id, value, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           event_id
+         FROM latest WHERE rn = 1 AND op <> 'D'
+         ORDER BY user_id""",
+    "q_rolling_median" ->
+      """WITH daily AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+             round(sum(coalesce(value, 0)), 2) AS revenue
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT event_date, revenue,
+           round(quantile_cont(revenue, 0.5) OVER (
+             ORDER BY event_date
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+             AS rolling_median_7d
+         FROM daily ORDER BY event_date""",
+    "q_corr_matrix" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS r_qty_price,
+           round(corr(l_quantity, l_discount), 6) AS r_qty_disc,
+           round(corr(l_extendedprice, l_discount), 6) AS r_price_disc,
+           CAST(count(*) AS BIGINT) AS n_rows
+         FROM lineitem""",
     "q_selective_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
          FROM lineitem

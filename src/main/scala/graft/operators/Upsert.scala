@@ -25,6 +25,22 @@ object Upsert {
       .unionByName(latest.select(existing.columns.map(col).toSeq: _*))
   }
 
+  /** CDC changelog apply: fold an I/U/D operation log into a snapshot —
+    * the MERGE-with-deletes a warehouse sync needs. Snapshot rows enter as
+    * implicit inserts BELOW every change (version precedence comes from the
+    * version column itself), the per-key latest operation wins, and a final
+    * filter drops keys whose last operation is a delete. One keyed
+    * window shuffle total — same WindowGroupLimit top-1 shape as
+    * keep-latest dedup, so only candidate winners move per partition. */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame,
+                     keys: Seq[String], version: Column, tiebreak: Column,
+                     opCol: String = "op"): DataFrame =
+    Dedup.keepLatest(
+        snapshot.withColumn(opCol, lit("I")).unionByName(changes),
+        keys, version, tiebreak)
+      .filter(col(opCol) =!= "D")
+      .drop(opCol)
+
   /** Persist `df` to `path` atomically-enough for a batch engine: write to a
     * tmp sibling then rename over. Idempotent replay = same result. */
   def overwriteViaSwap(spark: SparkSession, df: DataFrame, path: String): Unit = {

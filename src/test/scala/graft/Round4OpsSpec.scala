@@ -187,6 +187,25 @@ class Round4OpsSpec extends SparkSpec {
       ev.select("event_type").distinct().count())
   }
 
+  test("cdc apply: latest op wins, deletes remove keys, snapshot survives") {
+    def at(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+    val snap = Seq((1L, 10.0, at(0), 100L), (2L, 20.0, at(0), 101L),
+      (3L, 30.0, at(0), 102L))
+      .toDF("user_id", "value", "ts", "event_id")
+    val changes = Seq(
+      (1L, 11.0, at(5), 200L, "U"),   // update user 1
+      (2L, 0.0, at(5), 201L, "D"),    // delete user 2
+      (3L, 31.0, at(5), 202L, "U"),   // update then re-delete user 3
+      (3L, 0.0, at(9), 203L, "D"),
+      (4L, 40.0, at(7), 204L, "U"))   // upsert unseen user 4
+      .toDF("user_id", "value", "ts", "event_id", "op")
+    val out = graft.operators.Upsert
+      .applyChangelog(snap, changes, Seq("user_id"), col("ts"),
+        col("event_id"))
+      .select("user_id", "value").as[(Long, Double)].collect().sorted.toSeq
+    assert(out == Seq((1L, 11.0), (4L, 40.0)))
+  }
+
   test("unpivot restores the long layout with explicit zeros") {
     val ev = Tables.events(spark, sf)
     val types = Seq("click", "error", "purchase", "signup", "view")

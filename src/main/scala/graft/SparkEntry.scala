@@ -961,6 +961,27 @@ object SparkEntry {
       StatsAnalytics.nullProfile(Tables.events(s, d),
         Seq("event_id", "ts", "user_id", "event_type", "value", "props"))),
 
+    // ---- ANN quality: IVF recall vs brute-force ground truth ----
+    "q_ann_recall" -> ((s, d) =>
+      graft.ext.Similarity.annRecall(Tables.embeddings(s, d))),
+
+    // ---- streaming: stream-static dimension enrichment ----
+    "q_stream_enrich" -> ((s, d) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val ev = graft.streaming.EventStream.readEventsStream(s, d)
+          .filter(col("user_id").isNotNull)
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))
+        graft.streaming.EventStream
+          .runAvailableNow(
+            graft.streaming.EventStream.enrichCounts(ev, dim,
+              "user_id", "c_custkey", "c_nationkey"), "complete")
+          .orderBy("c_nationkey")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     // ---- streaming: watermark-bounded semantic dedup ----
     "q_stream_dedup" -> ((s, d) => {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -2461,6 +2482,16 @@ object SparkEntry {
          SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events,
            round(sum(coalesce(e.value, 0)), 2) AS total_value
          FROM events e SEMI JOIN spenders s ON e.user_id = s.user_id
+         GROUP BY 1 ORDER BY 1""",
+    // Exact side of the ANN recall evaluation; the recall value enters
+    // only through the floor boolean (see Similarity.annRecall).
+    "q_ann_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+         FROM embeddings WHERE vec_id % 10 = 0""",
+    "q_stream_enrich" ->
+      """SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_events
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         WHERE e.user_id IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
     "q_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type,

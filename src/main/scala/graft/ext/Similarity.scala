@@ -96,6 +96,30 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** ANN quality evaluation: recall@k of the IVF probe against the
+    * brute-force ground truth, per query, averaged. The recall join is
+    * left-semi on (query, neighbor) — both sides are top-k-sized (|Q|·k
+    * rows), so the evaluation costs nothing next to the searches
+    * themselves. The oracle checks the exact query count plus a recall
+    * floor boolean (single-probe IVF trades recall for touching one
+    * bucket; the floor is set from the fixture geometry with margin), so
+    * the cross-engine compare stays deterministic. */
+  def annRecall(emb: DataFrame, k: Int = 5, centroidMod: Int = 40,
+                queryMod: Int = 10, floor: Double = 0.2): DataFrame = {
+    val exact = bruteForceTopK(emb, k, queryMod)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = ivfTopK(emb, k, centroidMod, queryMod)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("n_hits"), lit(0L)) / col("n_exact")).as("recall"))
+      .agg(count(lit(1)).as("n_queries"),
+        (avg(col("recall")) >= floor).as("recall_ok"))
+  }
+
   /** One Lloyd's-iteration k-means refinement over the embedding corpus —
     * the centroid-training building block an embedding pipeline runs to
     * construct IVF/PQ indexes. Seeds = vec_id % centroidMod (deterministic,

@@ -80,6 +80,20 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type", "minute"))
 
+  /** Stream-static enrichment: join the stream against a BATCH dimension
+    * frame, then aggregate. The static side re-resolves per micro-batch
+    * (picking up dimension updates between batches) and broadcasts — the
+    * join itself is STATELESS; only the downstream aggregate holds state.
+    * This is the streaming form of the reference's enrich-then-aggregate
+    * (transform.py dimension join), and the shape that scales: the stream
+    * never shuffles for the join, only for the |groups|-sized aggregate. */
+  def enrichCounts(events: DataFrame, dim: DataFrame,
+                   streamKey: String, dimKey: String,
+                   groupCol: String): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_events"))
+
   /** A3-shaped event-time rollup: hourly counts + value sum per type. */
   def hourlyCounts(events: DataFrame): DataFrame =
     events

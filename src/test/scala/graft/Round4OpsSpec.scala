@@ -187,6 +187,38 @@ class Round4OpsSpec extends SparkSpec {
       ev.select("event_type").distinct().count())
   }
 
+  test("compactParquet collapses a small-files table without changing it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toString + "/t"
+    val src = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+    src.repartition(16).write.parquet(dir)
+    def partFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val before = partFiles
+    assert(before >= 16)
+    graft.export.Sinks.compactParquet(spark, dir, 512L * 1024 * 1024)
+    assert(partFiles == 1, s"expected 1 file after compaction, got $partFiles")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == src.count())
+    assert(after.exceptAll(src).isEmpty && src.exceptAll(after).isEmpty)
+  }
+
+  test("ann recall: IVF overlap with brute force clears the floor with margin") {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val exact = Similarity.bruteForceTopK(emb, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.ivfTopK(emb, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .count().toDouble
+    val recall = hits / exact.count()
+    info(f"avg recall@5 = $recall%.3f")
+    assert(recall >= 0.3, f"recall $recall%.3f leaves no margin on the 0.2 floor")
+    assert(Similarity.annRecall(emb).head.getAs[Boolean]("recall_ok"))
+  }
+
   test("cdc apply: latest op wins, deletes remove keys, snapshot survives") {
     def at(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
     val snap = Seq((1L, 10.0, at(0), 100L), (2L, 20.0, at(0), 101L),

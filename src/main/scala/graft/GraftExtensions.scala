@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "word_shingles(tokens, n) - distinct word n-gram shingles"),
       (exprs: Seq[Expression]) => graft.plans.WordShingles(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("token_chunks"),
+      info("token_chunks",
+        "token_chunks(tokens, n) - non-overlapping space-joined n-token chunks"),
+      (exprs: Seq[Expression]) => graft.plans.TokenChunks(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((FunctionIdentifier("dot_f32"),
       info("dot_f32",
         "dot_f32(a, b) - float32-vector dot product in double precision"),

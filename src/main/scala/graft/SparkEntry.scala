@@ -961,6 +961,45 @@ object SparkEntry {
       StatsAnalytics.nullProfile(Tables.events(s, d),
         Seq("event_id", "ts", "user_id", "event_type", "value", "props"))),
 
+    // ---- FULL OUTER reconciliation / EXCEPT ALL multiset diff ----
+    // Spend-vs-dimension reconciliation: per-user purchase totals FULL
+    // OUTER a customer subset — matched, events-only, and customer-only
+    // rows all survive with a presence flag (the audit query an inner
+    // join silently falsifies). Both sides aggregate/prune BEFORE the
+    // join, so the full-outer shuffle moves |users|+|dim| rows only.
+    "q_full_outer" -> ((s, d) => {
+      val spend = Tables.events(s, d)
+        .filter(col("user_id").isNotNull &&
+          col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(round(sum(coalesce(col("value"), lit(0.0))), 2)
+          .as("total_spend"))
+      val dim = Tables.customer(s, d)
+        .filter(col("c_nationkey") < 13)
+        .select(col("c_custkey"), col("c_nationkey"))
+      spend.join(dim, col("user_id") === col("c_custkey"), "full_outer")
+        .select(
+          coalesce(col("user_id"), col("c_custkey")).as("entity_id"),
+          col("total_spend"), col("c_nationkey"),
+          when(col("c_custkey").isNull, "events_only")
+            .when(col("user_id").isNull, "customer_only")
+            .otherwise("both").as("presence"))
+        .orderBy("entity_id")
+    }),
+    // Multiset day-over-day diff: Jan 1's (user, type) activity bag minus
+    // Jan 2's — EXCEPT ALL keeps surplus MULTIPLICITY (a user with 3
+    // clicks on day 1 and 1 on day 2 contributes 2 rows), which plain
+    // EXCEPT would collapse to membership.
+    "q_except_all" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .withColumn("event_date",
+          graft.functions.CleanFns.eventDate(col("ts")))
+      def day(dt: String) = ev.filter(col("event_date") === dt)
+        .select("user_id", "event_type")
+      day("2024-01-01").exceptAll(day("2024-01-02"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // ---- ANN quality: IVF recall vs brute-force ground truth ----
     "q_ann_recall" -> ((s, d) =>
       graft.ext.Similarity.annRecall(Tables.embeddings(s, d))),
@@ -2483,6 +2522,31 @@ object SparkEntry {
            round(sum(coalesce(e.value, 0)), 2) AS total_value
          FROM events e SEMI JOIN spenders s ON e.user_id = s.user_id
          GROUP BY 1 ORDER BY 1""",
+    "q_full_outer" ->
+      """WITH spend AS (
+           SELECT user_id, round(sum(coalesce(value, 0)), 2) AS total_spend
+           FROM events
+           WHERE user_id IS NOT NULL AND event_type = 'purchase'
+           GROUP BY 1),
+         dim AS (
+           SELECT c_custkey, c_nationkey FROM customer
+           WHERE c_nationkey < 13)
+         SELECT coalesce(s.user_id, d.c_custkey) AS entity_id,
+           s.total_spend, d.c_nationkey,
+           CASE WHEN d.c_custkey IS NULL THEN 'events_only'
+                WHEN s.user_id IS NULL THEN 'customer_only'
+                ELSE 'both' END AS presence
+         FROM spend s FULL OUTER JOIN dim d ON s.user_id = d.c_custkey
+         ORDER BY entity_id""",
+    "q_except_all" ->
+      """SELECT user_id, event_type FROM events
+         WHERE user_id IS NOT NULL
+           AND strftime(ts, '%Y-%m-%d') = '2024-01-01'
+         EXCEPT ALL
+         SELECT user_id, event_type FROM events
+         WHERE user_id IS NOT NULL
+           AND strftime(ts, '%Y-%m-%d') = '2024-01-02'
+         ORDER BY user_id, event_type""",
     // Exact side of the ANN recall evaluation; the recall value enters
     // only through the floor boolean (see Similarity.annRecall).
     "q_ann_recall" ->

@@ -29,8 +29,11 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
                      array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dp,
              lsh_bucket(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), 4, 2)
                AS lb,
-             rolling_hash('abc') AS rh""").collect()(0)
+             rolling_hash('abc') AS rh,
+             token_chunks(array('a','b','c','d','e'), 2) AS tc""").collect()(0)
       assert(row.getSeq[Long](row.fieldIndex("mh")).length == 4)
+      assert(row.getSeq[String](row.fieldIndex("tc")) ==
+        Seq("a b", "c d", "e"))
       assert(row.getAs[Double]("dp") == 11.0)
       assert(row.getAs[Long]("rh") ==
         graft.plans.RollingHash.reference("abc"))

@@ -42,6 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "word_shingles(tokens, n) - distinct word n-gram shingles"),
       (exprs: Seq[Expression]) => graft.plans.WordShingles(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      info("word_ngrams",
+        "word_ngrams(tokens, n) - in-order word n-grams with multiplicity"),
+      (exprs: Seq[Expression]) => graft.plans.WordShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(), distinct = false)))
     ext.injectFunction((FunctionIdentifier("token_chunks"),
       info("token_chunks",
         "token_chunks(tokens, n) - non-overlapping space-joined n-token chunks"),

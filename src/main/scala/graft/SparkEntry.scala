@@ -1034,6 +1034,36 @@ object SparkEntry {
           .orderBy("user_id", "event_type", "minute")
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
+
+    // ---- TPC-H anchors, round 2: Q4/Q14/Q16/Q17/Q18/Q19/Q22 shapes ----
+    "q_late_priority" -> ((s, d) =>
+      StarAnalytics.latePriorityOrders(s, d)),
+    "q_promo_share" -> ((s, d) =>
+      StarAnalytics.promoRevenueShare(s, d)),
+    "q_supplier_variety" -> ((s, d) =>
+      StarAnalytics.supplierVariety(s, d)),
+    "q_small_qty_revenue" -> ((s, d) =>
+      StarAnalytics.smallQuantityRevenue(s, d)),
+    "q_large_orders" -> ((s, d) =>
+      StarAnalytics.largeVolumeOrders(s, d)),
+    "q_disjunctive_revenue" -> ((s, d) =>
+      StarAnalytics.disjunctiveRevenue(s, d)),
+    "q_idle_balance" -> ((s, d) =>
+      StarAnalytics.idleBalanceByNation(s, d)),
+
+    // ---- training-pipeline ops: packing / containment / bigram LM ----
+    "q_token_pack" -> ((s, d) =>
+      graft.ext.TextAnalysis.tokenPacking(Tables.documents(s, d))
+        .orderBy("doc_id")),
+    "q_containment_pairs" -> ((s, d) =>
+      graft.ext.TextAnalysis.containmentPairs(Tables.documents(s, d))
+        .orderBy("doc_id_a", "doc_id_b")),
+    "q_bigram_logprob" -> ((s, d) =>
+      graft.ext.TextAnalysis.bigramLogprob(Tables.documents(s, d))),
+
+    // ---- interval analytics: sweep-line peak concurrency ----
+    "q_peak_concurrency" -> ((s, d) =>
+      EventAnalytics.peakConcurrency(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -2653,5 +2683,135 @@ object SparkEntry {
            FROM m
          UNION ALL SELECT 'value', n_rows, null_value, dist_value FROM m
          ORDER BY col_name""",
+    "q_late_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey
+               AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1 ORDER BY 1""",
+    "q_promo_share" ->
+      """SELECT round(100.0 *
+           sum(CASE WHEN p_type = 'PROMO'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+           sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'""",
+    "q_supplier_variety" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM ps JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1'
+           AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lineitem l JOIN part p ON l_partkey = p_partkey
+         JOIN (SELECT l_partkey AS ap_partkey,
+                 0.2 * avg(l_quantity) AS qty_limit
+               FROM lineitem GROUP BY 1) a ON l.l_partkey = a.ap_partkey
+         WHERE p_brand = 'Brand#23' AND l_quantity < qty_limit""",
+    "q_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem
+           GROUP BY 1 HAVING sum(l_quantity) > 300)
+         SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
+         FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY total_qty DESC, o_orderkey LIMIT 100""",
+    "q_disjunctive_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
+    "q_idle_balance" ->
+      """WITH recent AS (
+           SELECT o_custkey, count(*) AS n FROM orders
+           WHERE o_orderdate >= TIMESTAMP '2000-01-01' GROUP BY 1)
+         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+         FROM customer LEFT JOIN recent ON c_custkey = o_custkey
+         WHERE c_acctbal >
+             (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+           AND coalesce(n, 0) < 3
+         GROUP BY 1 ORDER BY 1""",
+    "q_token_pack" ->
+      """WITH t AS (
+           SELECT doc_id, source, CAST(len(list_filter(
+             string_split_regex(lower(text), '\s+'), x -> x <> ''))
+             AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT doc_id, source, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / 1000) AS BIGINT) AS pack_id
+         FROM t ORDER BY doc_id""",
+    "q_containment_pairs" ->
+      """WITH sh AS (
+           SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(list_filter(string_split_regex(
+                 lower(text), '\s+'), x -> x <> '')) - 1, 1)),
+               i -> list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> x <> '')[i] || ' ' ||
+                    list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> x <> '')[i+1] || ' ' ||
+                    list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> x <> '')[i+2])) AS s
+           FROM documents)
+         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CASE WHEN len(a.s) = 0 THEN 0.0
+                ELSE round(len(list_intersect(a.s, b.s)) / len(a.s), 6)
+           END AS containment
+         FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE a.doc_id % 97 = 0
+         ORDER BY doc_id_a, doc_id_b""",
+    "q_bigram_logprob" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '') AS toks FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           FROM toks WHERE len(toks) >= 2),
+         bc AS (SELECT bigram, count(*) AS c_bigram,
+                  split_part(bigram, ' ', 1) AS prefix
+                FROM grams GROUP BY 1),
+         pc AS (SELECT prefix, CAST(sum(c_bigram) AS DOUBLE) AS c_prefix
+                FROM bc GROUP BY 1),
+         v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM
+                (SELECT unnest(toks) AS tok FROM toks))
+         SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((c_bigram + 1.0) / (c_prefix + v))), 6)
+             AS avg_bigram_logprob
+         FROM grams g JOIN bc USING (bigram) JOIN pc USING (prefix), v
+         GROUP BY 1 ORDER BY 1""",
+    "q_peak_concurrency" ->
+      """WITH iv AS (
+           SELECT strftime(ts, '%Y-%m-%d') AS event_date, user_id,
+             min(ts) AS s, max(ts) AS e
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+         pts AS (
+           SELECT event_date, s AS t, 1 AS delta FROM iv
+           UNION ALL SELECT event_date, e, -1 FROM iv),
+         run AS (
+           SELECT event_date, sum(delta) OVER (
+             PARTITION BY event_date ORDER BY t ASC, delta DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+           FROM pts)
+         SELECT event_date, CAST(max(conc) AS BIGINT) AS peak_concurrent
+         FROM run GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -301,6 +301,36 @@ object EventAnalytics {
         last(col("value"), ignoreNulls = true).over(w).as("filled_value"))
   }
 
+  /** Peak concurrency per day — the classic interval sweep-line, fully
+    * relational: collapse each user's day to an activity interval
+    * [min ts, max ts], explode each interval to a +1 (start) and −1 (end)
+    * boundary event, running-sum the deltas in (ts, +1-before-−1) order
+    * within the day, and take the day's max. Ordering +1 before −1 at
+    * equal timestamps makes touching intervals count as concurrent (and
+    * makes single-event users count as present), and makes the running
+    * max deterministic under ties. The window partitions BY DAY, so at
+    * 100 TB each day's sweep is an independent partition — no global
+    * sort — and the sweep input is 2 rows per user-day, already two
+    * aggregation layers smaller than the raw events. */
+  def peakConcurrency(ev: DataFrame): DataFrame = {
+    val iv = ev.filter(col("user_id").isNotNull)
+      .withColumn("event_date", eventDate(col("ts")))
+      .groupBy("event_date", "user_id")
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    val pts = iv.select(col("event_date"), col("s").as("t"),
+        lit(1L).as("delta"))
+      .unionAll(iv.select(col("event_date"), col("e").as("t"),
+        lit(-1L).as("delta")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_date").orderBy(col("t").asc, col("delta").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    pts.select(col("event_date"), sum(col("delta")).over(w).as("conc"))
+      .groupBy("event_date")
+      .agg(max(col("conc")).as("peak_concurrent"))
+      .orderBy("event_date")
+  }
+
   /** A7 — single-pass quality metrics (transform.py:104-119, quality.py):
     * one aggregate, no repeated scans. */
   def qualityMetrics(ev: DataFrame, allowedTypes: Seq[String]): DataFrame =

@@ -212,4 +212,171 @@ object StarAnalytics {
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .orderBy("c_custkey")
   }
+
+  /** TPC-H Q4-shaped late-shipment priority check: orders in a window that
+    * have AT LEAST ONE lineitem shipping > `lateDays` after the order date,
+    * counted per priority. The EXISTS phrases as a LEFT SEMI join with a
+    * non-equi residual (l_shipdate > o_orderdate + N days) on top of the
+    * orderkey equi-key — one shuffle on orderkey, each order emitted at
+    * most once no matter how many late lineitems it has (the join-then-
+    * distinct phrasing pays a second shuffle for the same answer). The date
+    * window prunes the orders scan before the join. */
+  def latePriorityOrders(spark: SparkSession, sfDir: String,
+                         from: String = "1996-01-01",
+                         until: String = "1997-01-01",
+                         lateDays: Int = 60): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+    val l = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_shipdate")
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate") +
+          expr(s"INTERVAL $lateDays DAYS"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q14-shaped promo revenue share: one ship-month of lineitem ⋈
+    * part, conditional-sum ratio. `part` scales with the data but the
+    * month filter prunes lineitem first; the join key is partkey (shuffle
+    * or broadcast per AQE) and the aggregate is a single row — the
+    * conditional numerator rides the same pass as the denominator (one
+    * scan, one join, no second aggregate). */
+  def promoRevenueShare(spark: SparkSession, sfDir: String,
+                        from: String = "1996-03-01",
+                        until: String = "1996-04-01"): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_type")
+    val net = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+        sum(when(col("p_type") === "PROMO", net).otherwise(lit(0.0))) /
+        sum(net), 4).as("promo_share"))
+  }
+
+  /** TPC-H Q16-shaped supplier variety: how many DISTINCT suppliers stock
+    * each (brand, type, size) bucket, excluding a complaint set. The
+    * observed (partkey, suppkey) pairs come from lineitem — distinct FIRST
+    * (collapses the fact table to catalog size before any join), then an
+    * anti join against the excluded suppliers (key-only shuffle), then the
+    * part-attribute join and a count-distinct per bucket. */
+  def supplierVariety(spark: SparkSession, sfDir: String,
+                      sizes: Seq[Int] = Seq(1, 5, 9, 13, 17, 21, 25, 29),
+                      excludeBrand: String = "Brand#1"): DataFrame = {
+    val ps = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").distinct()
+    val excluded = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= excludeBrand &&
+        col("p_size").isin(sizes.map(Integer.valueOf): _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    ps.join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: lineitems of one brand whose
+    * quantity is below 20% of that part's corpus-wide average quantity.
+    * The per-part average is a separate aggregate over lineitem (output is
+    * |part|-sized — far smaller than the fact table) re-joined on partkey;
+    * the brand filter prunes the part side before both joins. This is the
+    * canonical correlated-scalar-subquery → aggregate-join decorrelation. */
+  def smallQuantityRevenue(spark: SparkSession, sfDir: String,
+                           brand: String = "Brand#23"): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_brand") === brand).select("p_partkey")
+    val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_limit"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < col("qty_limit"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** TPC-H Q18-shaped large-volume orders: orders whose total quantity
+    * exceeds `minQty`, with customer names, top-k by volume. The HAVING
+    * aggregate runs over lineitem alone (one shuffle on orderkey, map-side
+    * partial sums) and its output — the big-order keys — is tiny, so both
+    * enrichment joins are broadcast-able; the final ORDER BY + LIMIT plans
+    * as TakeOrderedAndProject. */
+  def largeVolumeOrders(spark: SparkSession, sfDir: String,
+                        minQty: Double = 300.0, k: Int = 100): DataFrame = {
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    val o = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q19-shaped disjunctive revenue: an OR of three (brand, size,
+    * quantity) conjunctions across the lineitem ⋈ part boundary. Catalyst
+    * factors the common `p_partkey` equi-key out of the disjunction so the
+    * join stays hash-based, and pushes the per-side residuals (quantity
+    * ranges to lineitem, brand/size to part) below the join — the
+    * disjunction is evaluated on joined rows only where it must be. */
+  def disjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand", "p_size")
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#19" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(round(sum(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** TPC-H Q22-shaped idle high-balance accounts: customers whose balance
+    * exceeds the average POSITIVE balance but who placed fewer than
+    * `maxRecent` orders since `since`, rolled up per nation. (The literal
+    * Q22 "never ordered" anti join is degenerate on this fixture — every
+    * custkey has orders — so idleness is recency-bounded instead, which is
+    * also the more realistic churn predicate.) The global average is a
+    * one-row aggregate broadcast into the filter (scalar-subquery
+    * decorrelation); the recent-order counts aggregate orders down to
+    * ≤|customer| rows BEFORE the left join, so the join input is
+    * dimension-sized on both sides. */
+  def idleBalanceByNation(spark: SparkSession, sfDir: String,
+                          since: String = "2000-01-01",
+                          maxRecent: Int = 3): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(since).cast("timestamp"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_recent"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left")
+      .filter(coalesce(col("n_recent"), lit(0L)) < maxRecent)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
 }

@@ -249,6 +249,90 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Deterministic greedy sequence packing: assign documents, in doc_id
+    * order WITHIN each source, to fixed-token-budget packs (the training
+    * shard/sequence-packing step). `pack_id` = exclusive running token
+    * count ÷ budget, so a document straddling a boundary belongs to the
+    * pack it STARTED in (first-fit-in-order with overflow — the standard
+    * deterministic packer). The running sum is windowed PER SOURCE, so the
+    * plan is one shuffle on `source` and each partition packs
+    * independently — no global ordering bottleneck at 100 TB (a corpus-
+    * global pack order would serialize into a single partition; per-source
+    * is what a real sharded pipeline does). */
+  def tokenPacking(docs: DataFrame, budgetTokens: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) /
+          budgetTokens).cast("bigint"))
+  }
+
+  /** Asymmetric n-gram containment |A∩B| / |A| against a sampled anchor
+    * set — catches SUBSET duplication (a doc wholly contained in a larger
+    * one) that symmetric Jaccard under-scores: a 100-token doc pasted into
+    * a 10k-token doc has Jaccard ≈ 0.01 but containment ≈ 1.0. Same
+    * broadcast-anchor shape as `DedupExt.jaccardPairs`: the corpus never
+    * shuffles, the anchor shingle sets ship to every task. */
+  def containmentPairs(docs: DataFrame, anchorMod: Int = 97,
+                       n: Int = 3): DataFrame = {
+    graft.plans.TextSketches.register(docs.sparkSession)
+    val sh = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        graft.plans.TextSketches.word_shingles(col("toks"), n).as("sh"))
+    val anchors = sh.filter(col("doc_id") % anchorMod === 0)
+      .select(col("doc_id").as("doc_id_a"), col("lang"),
+        col("sh").as("sh_a"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      .cast("double")
+    sh.select(col("doc_id").as("doc_id_b"), col("lang"),
+        col("sh").as("sh_b"))
+      .join(broadcast(anchors), Seq("lang"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        when(size(col("sh_a")) === 0, lit(0.0))
+          .otherwise(round(inter / size(col("sh_a")).cast("double"), 6))
+          .as("containment"))
+  }
+
+  /** Per-document mean bigram log-probability under an add-one-smoothed
+    * corpus bigram LM — the next step up from `unigramLogprob` as a
+    * fluency/quality proxy (word salad scores low even when its unigrams
+    * are common). Three aggregates, all over CORPUS-SHAPED intermediates:
+    * bigram counts (vocab²-bounded, in practice corpus-sparse), prefix
+    * totals derived FROM the bigram table (not a second corpus pass), and
+    * the vocabulary size. The per-doc rejoin is on bigram text; the raw
+    * corpus shuffles once (the explode→count), everything else joins
+    * count tables. P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V). */
+  def bigramLogprob(docs: DataFrame): DataFrame = {
+    graft.plans.TextSketches.register(docs.sparkSession)
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(graft.plans.TextSketches.word_ngrams(col("toks"), 2))
+          .as("bigram"))
+    val bigramCounts = grams.groupBy("bigram")
+      .agg(count(lit(1)).as("c_bigram"))
+      .withColumn("prefix", substring_index(col("bigram"), " ", 1))
+    val prefixCounts = bigramCounts.groupBy(col("prefix").as("p2"))
+      .agg(sum(col("c_bigram")).as("c_prefix"))
+    val vocab = docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).cast("double").as("v"))
+    grams.join(bigramCounts, "bigram")
+      .join(prefixCounts, col("prefix") === col("p2"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c_bigram") + lit(1.0)) /
+          (col("c_prefix") + col("v")))), 6).as("avg_bigram_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-wide repeated-chunk (boilerplate) detection — the C4-style
     * "deduplicate repeated paragraphs across the corpus" step, expressed on
     * fixed-size token chunks since the fixture text has no line structure.

@@ -136,8 +136,10 @@ case class MinHashSig(child: Expression, k: Int, nGram: Int = 3)
   * which walks an interpreted expression tree per element — measured ~17 s
   * for the sf0.1 corpus on a cold JVM (the generic evaluator only becomes
   * fast once C2 happens to compile it) vs ~0.3 s here, deterministically.
-  * Fewer than n tokens → empty array, matching the reference's guard. */
-case class WordShingles(child: Expression, n: Int)
+  * Fewer than n tokens → empty array, matching the reference's guard.
+  * `distinct = false` keeps every occurrence in order (`word_ngrams`) —
+  * the multiplicity-preserving form n-gram language models need. */
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -147,6 +149,7 @@ case class WordShingles(child: Expression, n: Int)
     if (m < n) new GenericArrayData(Array.empty[Any])
     else {
       val seen = new java.util.LinkedHashSet[UTF8String]()
+      val all = if (distinct) null else new Array[Any](m - n + 1)
       val space = UTF8String.fromString(" ")
       var i = 0
       while (i <= m - n) {
@@ -157,14 +160,18 @@ case class WordShingles(child: Expression, n: Int)
           parts(k) = if (t == null) UTF8String.EMPTY_UTF8 else t
           k += 1
         }
-        seen.add(UTF8String.concatWs(space, parts: _*))
+        val gram = UTF8String.concatWs(space, parts: _*)
+        if (distinct) seen.add(gram) else all(i) = gram
         i += 1
       }
-      new GenericArrayData(
-        seen.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
+      if (distinct)
+        new GenericArrayData(
+          seen.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
+      else new GenericArrayData(all)
     }
   }
-  override def prettyName: String = "word_shingles"
+  override def prettyName: String =
+    if (distinct) "word_shingles" else "word_ngrams"
   override protected def withNewChildInternal(c: Expression): WordShingles =
     copy(child = c)
 }
@@ -260,6 +267,11 @@ object TextSketches {
         exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams",
+      exprs => WordShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(), distinct = false),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_chunks",
       exprs => TokenChunks(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()),
@@ -268,6 +280,10 @@ object TextSketches {
 
   def word_shingles(tokens: Column, n: Int): Column =
     call_function("word_shingles", tokens,
+      org.apache.spark.sql.functions.lit(n))
+
+  def word_ngrams(tokens: Column, n: Int): Column =
+    call_function("word_ngrams", tokens,
       org.apache.spark.sql.functions.lit(n))
 
   def token_chunks(tokens: Column, n: Int): Column =

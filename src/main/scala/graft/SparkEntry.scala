@@ -1064,6 +1064,22 @@ object SparkEntry {
     // ---- interval analytics: sweep-line peak concurrency ----
     "q_peak_concurrency" -> ((s, d) =>
       EventAnalytics.peakConcurrency(Tables.events(s, d))),
+
+    // ---- data layout: Z-order clustering quality report ----
+    "q_zorder" -> ((s, d) =>
+      graft.operators.ZOrder.layoutStats(Tables.lineitem(s, d),
+        "l_partkey", "l_suppkey")),
+
+    // ---- deterministic event down-sampling (keep every 5th per user) ----
+    "q_downsample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).cast("bigint").as("rn"))
+        .filter((col("rn") - 1) % 5 === 0)
+        .orderBy("user_id", "event_id")
+    }),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -2813,5 +2829,27 @@ object SparkEntry {
            FROM pts)
          SELECT event_date, CAST(max(conc) AS BIGINT) AS peak_concurrent
          FROM run GROUP BY 1 ORDER BY 1""",
+    "q_zorder" -> {
+      val inter = (0 until 8).map(b =>
+        s"(((xg >> $b) & 1) << ${2 * b}) | (((yg >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" | ")
+      s"""WITH m AS (SELECT CAST(max(l_partkey) AS BIGINT) AS xmax,
+           CAST(max(l_suppkey) AS BIGINT) AS ymax FROM lineitem),
+         g AS (SELECT CAST(l_partkey AS BIGINT) AS x,
+                 CAST(l_suppkey AS BIGINT) AS y,
+                 (CAST(l_partkey AS BIGINT) * 256) // (xmax + 1) AS xg,
+                 (CAST(l_suppkey AS BIGINT) * 256) // (ymax + 1) AS yg
+               FROM lineitem, m),
+         z AS (SELECT x, y, $inter AS z FROM g)
+         SELECT z >> 8 AS z_bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           max(x) - min(x) AS x_span, max(y) - min(y) AS y_span
+         FROM z GROUP BY 1 ORDER BY 1"""
+    },
+    "q_downsample" ->
+      """SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn FROM (
+           SELECT user_id, event_id, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events WHERE user_id IS NOT NULL)
+         WHERE (rn - 1) % 5 = 0 ORDER BY user_id, event_id""",
   )
 }

@@ -97,6 +97,28 @@ class Round5OpsSpec extends SparkSpec {
     assert(out == Map("2024-03-01" -> 3L, "2024-03-02" -> 2L))
   }
 
+  test("zkey: bit-exact interleave; layout buckets are tight in BOTH dims") {
+    val one = Seq((3L, 5L)).toDF("x", "y")
+      .select(graft.operators.ZOrder.zkey(col("x"), col("y"), 3).as("z"))
+      .as[Long].head()
+    // x=011 → bits at 0,2,4 → 1+4+0; y=101 → bits at 1,3,5 → 2+0+32
+    assert(one == (1L + 4L) + (2L + 32L))
+    val li = Tables.lineitem(spark, sf)
+    val stats = graft.operators.ZOrder
+      .layoutStats(li, "l_partkey", "l_suppkey").collect()
+    val ranges = li.agg(
+      (max(col("l_partkey")) - min(col("l_partkey"))).cast("double"),
+      (max(col("l_suppkey")) - min(col("l_suppkey"))).cast("double"))
+      .collect().head
+    val (xr, yr) = (ranges.getDouble(0), ranges.getDouble(1))
+    val maxX = stats.map(_.getAs[Long]("x_span")).max.toDouble
+    val maxY = stats.map(_.getAs[Long]("y_span")).max.toDouble
+    // every z-bucket's envelope is a small fraction of the full range in
+    // BOTH dimensions — the property single-column sorting cannot give
+    assert(maxX <= xr / 8 && maxY <= yr / 8,
+      s"spans $maxX/$xr, $maxY/$yr not tight")
+  }
+
   test("latePriorityOrders ≡ join-then-distinct phrasing") {
     val viaSemi = StarAnalytics.latePriorityOrders(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -1080,6 +1080,45 @@ object SparkEntry {
         .filter((col("rn") - 1) % 5 === 0)
         .orderBy("user_id", "event_id")
     }),
+
+    // ---- SCD2 point-in-time join (fact → dimension version AS OF day) --
+    // The interval-membership join (day ∈ [valid_from, valid_to)) phrased
+    // as an AS-OF join on valid_from: SCD2 versions partition each key's
+    // timeline, so "latest valid_from ≤ day" IS the containing version —
+    // one sort-window pass instead of a non-equi interval join.
+    "q_scd2_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val feed = ev
+        .groupBy(col("user_id"), eventDate(col("ts")).as("day"))
+        .agg(max_by(col("event_type"),
+          struct(col("ts"), col("event_id"))).as("state"))
+      val hist = Upsert.scd2History(feed, "user_id", "day", "state")
+        .select(col("user_id").as("h_user"), col("valid_from"),
+          col("version"), col("state"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          eventDate(col("ts")).as("day"))
+      graft.operators.AsOfJoin
+        .asofJoin(purchases, hist, "user_id", "h_user", "day", "valid_from")
+        .select(col("user_id"), col("event_id"), col("day"),
+          col("state"), col("version"))
+        .orderBy("event_id")
+    }),
+
+    // ---- quality-weighted deterministic sampling ----
+    "q_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.weightedSample(Tables.documents(s, d),
+          col("doc_id"),
+          least(lit(1250L) * col("n_chars"), lit(1000000L)))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // ---- per-source top-p (nucleus) selection by token mass ----
+    "q_top_p" -> ((s, d) =>
+      graft.operators.Sampling.topPByMass(
+          Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+          col("source"), col("doc_id"), col("n_chars"), 0.8)
+        .orderBy("doc_id")),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -2851,5 +2890,49 @@ object SparkEntry {
              PARTITION BY user_id ORDER BY ts, event_id) AS rn
            FROM events WHERE user_id IS NOT NULL)
          WHERE (rn - 1) % 5 = 0 ORDER BY user_id, event_id""",
+    "q_scd2_join" ->
+      """WITH e AS (
+           SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type,
+             row_number() OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE user_id IS NOT NULL),
+         feed AS (SELECT user_id, day, event_type AS state FROM e
+                  WHERE rn = 1),
+         m AS (SELECT *, CASE WHEN lag(state) OVER w IS NULL
+                                OR lag(state) OVER w <> state
+                         THEN 1 ELSE 0 END AS chg
+               FROM feed WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+         v AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS ver FROM m),
+         i AS (SELECT user_id, CAST(ver AS BIGINT) AS version, state,
+                 min(day) AS valid_from FROM v GROUP BY 1, 2, 3),
+         h AS (SELECT user_id, version, state, valid_from,
+                 lead(valid_from) OVER (
+                   PARTITION BY user_id ORDER BY valid_from) AS valid_to
+               FROM i),
+         p AS (SELECT user_id, event_id, strftime(ts, '%Y-%m-%d') AS day
+               FROM events
+               WHERE user_id IS NOT NULL AND event_type = 'purchase')
+         SELECT p.user_id, p.event_id, p.day, h.state, h.version
+         FROM p JOIN h ON p.user_id = h.user_id AND p.day >= h.valid_from
+           AND (h.valid_to IS NULL OR p.day < h.valid_to)
+         ORDER BY event_id""",
+    "q_weighted_sample" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 1000000 < least(1250 * n_chars, 1000000)
+         ORDER BY doc_id""",
+    "q_top_p" ->
+      """WITH r AS (
+           SELECT doc_id, source, n_chars,
+             coalesce(sum(n_chars) OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bef,
+             sum(n_chars) OVER (PARTITION BY source) AS tot
+           FROM documents)
+         SELECT doc_id, source, n_chars FROM r
+         WHERE CAST(bef AS DOUBLE) / CAST(tot AS DOUBLE) < 0.8
+         ORDER BY doc_id""",
   )
 }

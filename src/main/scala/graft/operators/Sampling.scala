@@ -43,4 +43,37 @@ object Sampling {
     }
     df.filter(hashBucket(key, 1000) < rate)
   }
+
+  /** Weighted Bernoulli sampler: keeps a row with probability
+    * `ratePpm / 1e6`, decided by the row key's hash — per-ROW rates (a
+    * quality score, a length prior) instead of per-stratum. `ratePpm`
+    * must be INTEGER arithmetic (e.g. `least(1250 * n_chars, 1000000)`),
+    * never a float product: floor-of-double differs across engines at
+    * representation boundaries, integer parts-per-million never does.
+    * Same no-shuffle pure-filter shape as `stratifiedSample`. */
+  def weightedSample(df: DataFrame, key: Column, ratePpm: Column): DataFrame =
+    df.filter(hashBucket(key, 1000000) < ratePpm)
+
+  /** Per-group top-p (nucleus) selection: order each group by `mass`
+    * descending (key as tie-break) and keep rows while the EXCLUSIVE
+    * running share of the group's total mass is below `p` — "the best
+    * documents covering 80% of each source's token mass", the curation
+    * counterpart of nucleus sampling. One hash-partition on the group
+    * key; the running sum and the group total share that single
+    * exchange. The exclusive frame guarantees progress: the top row of
+    * every non-empty group is always kept, even when it alone exceeds
+    * `p`. */
+  def topPByMass(df: DataFrame, group: Column, key: Column, mass: Column,
+                 p: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(mass.desc, key.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(group)
+    df.withColumn("__before", coalesce(sum(mass).over(w), lit(0L)))
+      .withColumn("__total", sum(mass).over(tot))
+      .filter(col("__before").cast("double") /
+        col("__total").cast("double") < p)
+      .drop("__before", "__total")
+  }
 }

@@ -159,6 +159,70 @@ class Round5OpsSpec extends SparkSpec {
     assert(viaJoin == viaWindow)
   }
 
+  test("topPByMass: crafted boundary; top row of a dominant group survives") {
+    val df = Seq(("g", 1L, 5L), ("g", 2L, 3L), ("g", 3L, 2L),
+      ("h", 4L, 100L), ("h", 5L, 1L)).toDF("grp", "id", "mass")
+    val kept = graft.operators.Sampling
+      .topPByMass(df, col("grp"), col("id"), col("mass"), 0.8)
+      .select("id").as[Long].collect().toSet
+    // g: exclusive shares 0, 0.5, 0.8 → ids 1,2 kept, 3 dropped (0.8 !< 0.8)
+    // h: id 4 is 99% of mass alone → kept; id 5 sits at share 0.99 → dropped
+    assert(kept == Set(1L, 2L, 4L))
+  }
+
+  test("weightedSample: full-rate rows always kept, zero-rate never, deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val out = graft.operators.Sampling.weightedSample(docs, col("doc_id"),
+      least(lit(1250L) * col("n_chars"), lit(1000000L)))
+    val longDocs = docs.filter(col("n_chars") >= 800).count()
+    val keptLong = out.filter(col("n_chars") >= 800).count()
+    assert(keptLong == longDocs, "ratePpm = 1e6 rows must all survive")
+    val none = graft.operators.Sampling
+      .weightedSample(docs, col("doc_id"), lit(0L)).count()
+    assert(none == 0L)
+    val again = graft.operators.Sampling.weightedSample(docs, col("doc_id"),
+      least(lit(1250L) * col("n_chars"), lit(1000000L)))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == out.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("SCD2 as-of join resolves the version valid on the event day") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: state A on Jan 1-2 (v1), B on Jan 3 (v2); purchase on Jan 2
+    // must see v1/A, purchase on Jan 3 must see v2/B.
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 09:00:00"), "view"),
+      (1L, 11L, ts("2024-01-02 09:00:00"), "view"),
+      (1L, 12L, ts("2024-01-02 10:00:00"), "purchase"),
+      (1L, 13L, ts("2024-01-03 09:00:00"), "purchase"),
+      (1L, 14L, ts("2024-01-03 11:00:00"), "view")) // day-3 closes as view
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val feed = ev.groupBy(col("user_id"),
+        graft.functions.CleanFns.eventDate(col("ts")).as("day"))
+      .agg(max_by(col("event_type"),
+        struct(col("ts"), col("event_id"))).as("state"))
+    val hist = graft.operators.Upsert
+      .scd2History(feed, "user_id", "day", "state")
+      .select(col("user_id").as("h_user"), col("valid_from"),
+        col("version"), col("state"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        graft.functions.CleanFns.eventDate(col("ts")).as("day"))
+    val out = graft.operators.AsOfJoin
+      .asofJoin(purchases, hist, "user_id", "h_user", "day", "valid_from")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[String]("state"), r.getAs[Long]("version"))).toMap
+    // Jan 2's daily state is "purchase" (last event of the day), so v2
+    // opens on Jan 2 — the as-of lookup must pick THAT version, and Jan
+    // 3's purchase the day-3 version.
+    val histRows = graft.operators.Upsert
+      .scd2History(feed, "user_id", "day", "state").collect()
+      .map(r => r.getAs[String]("valid_from") ->
+        (r.getAs[String]("state"), r.getAs[Long]("version"))).toMap
+    assert(out(12L) == histRows("2024-01-02"))
+    assert(out(13L) == histRows("2024-01-03"))
+  }
+
   test("idleBalanceByNation: members verified row-by-row") {
     val out = StarAnalytics.idleBalanceByNation(spark, sf)
     val total = out.agg(sum(col("numcust"))).collect().head.getLong(0)

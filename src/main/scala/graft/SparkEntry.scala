@@ -1119,6 +1119,17 @@ object SparkEntry {
           Tables.documents(s, d).select("doc_id", "source", "n_chars"),
           col("source"), col("doc_id"), col("n_chars"), 0.8)
         .orderBy("doc_id")),
+
+    // ---- deterministic fixed-count per-stratum sampling ----
+    "q_uniform_k" -> ((s, d) =>
+      graft.operators.Sampling.uniformKPerStratum(
+          Tables.events(s, d).select("event_id", "event_type"),
+          col("event_type"), col("event_id"), 100)
+        .orderBy("event_type", "event_id")),
+
+    // ---- count-min-sketch frequency estimates (rows-only, spec-bounded) --
+    "q_cms_counts" -> ((s, d) =>
+      EventAnalytics.cmsCounts(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -2934,5 +2945,16 @@ object SparkEntry {
          SELECT doc_id, source, n_chars FROM r
          WHERE CAST(bef AS DOUBLE) / CAST(tot AS DOUBLE) < 0.8
          ORDER BY doc_id""",
+    "q_uniform_k" ->
+      """SELECT event_id, event_type FROM (
+           SELECT event_id, event_type, row_number() OVER (
+             PARTITION BY event_type
+             ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1,
+               15))::BIGINT % 1000000000, event_id) AS rk
+           FROM events)
+         WHERE rk <= 100 ORDER BY event_type, event_id""",
+    // q_cms_counts: no cross-engine oracle (Spark's CMS hash family is
+    // engine-specific) → rows-only driver check; the est ≥ exact and
+    // eps·N overcount bounds are asserted in Round5OpsSpec.
   )
 }

@@ -301,6 +301,31 @@ object EventAnalytics {
         last(col("value"), ignoreNulls = true).over(w).as("filled_value"))
   }
 
+  /** Count-min-sketch frequency estimates vs exact counts, per event
+    * type. The CMS is Spark's built-in mergeable sketch (map-side partial
+    * sketches, one tiny merge at the driver — the 100 TB path for "how
+    * often does each of these keys occur" when the key domain is too wide
+    * to group exactly); the exact counts here are the audit column. CMS
+    * guarantees est ≥ exact and, with prob. `confidence`,
+    * est ≤ exact + eps·N — asserted in the spec, not oracle-able
+    * cross-engine (rows-only driver check, like the HLL/t-digest
+    * variants). Fixed seed keeps the report deterministic. */
+  def cmsCounts(ev: DataFrame, eps: Double = 0.0001,
+                confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val sketch = ev.stat.countMinSketch(col("event_type"), eps, confidence,
+      seed)
+    val exact = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("exact_n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    exact.toSeq
+      .map { case (t, n) => (t, n, sketch.estimateCount(t)) }
+      .toDF("event_type", "exact_n", "est_n")
+      .withColumn("overcount", col("est_n") - col("exact_n"))
+      .orderBy("event_type")
+  }
+
   /** Peak concurrency per day — the classic interval sweep-line, fully
     * relational: collapse each user's day to an activity interval
     * [min ts, max ts], explode each interval to a +1 (start) and −1 (end)

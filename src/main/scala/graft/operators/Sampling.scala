@@ -54,6 +54,23 @@ object Sampling {
   def weightedSample(df: DataFrame, key: Column, ratePpm: Column): DataFrame =
     df.filter(hashBucket(key, 1000000) < ratePpm)
 
+  /** Exactly min(k, |stratum|) rows per stratum, chosen by hash order —
+    * the count-based complement of the rate-based samplers ("give me 100
+    * examples of every event type, the same 100 on every run/engine").
+    * Ordering by the key's hash makes the subset pseudo-random but
+    * deterministic; the key itself tie-breaks hash collisions. One
+    * shuffle on the stratum; the per-partition rank prunes with
+    * WindowGroupLimit so only ~k rows per stratum survive each side of
+    * the exchange. */
+  def uniformKPerStratum(df: DataFrame, stratum: Column, key: Column,
+                         k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(hashBucket(key, 1000000000), key.asc)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** Per-group top-p (nucleus) selection: order each group by `mass`
     * descending (key as tie-break) and keep rows while the EXCLUSIVE
     * running share of the group's total mass is below `p` — "the best

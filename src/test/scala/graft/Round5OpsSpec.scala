@@ -223,6 +223,35 @@ class Round5OpsSpec extends SparkSpec {
     assert(out(13L) == histRows("2024-01-03"))
   }
 
+  test("uniformKPerStratum: exact counts, deterministic, subset of input") {
+    val ev = Tables.events(spark, sf).select("event_id", "event_type")
+    val out = graft.operators.Sampling
+      .uniformKPerStratum(ev, col("event_type"), col("event_id"), 50)
+    val sizes = out.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (t, n) => assert(sizes(t) == math.min(50L, n)) }
+    val a = out.select("event_id").as[Long].collect().sorted.toSeq
+    val b = graft.operators.Sampling
+      .uniformKPerStratum(ev, col("event_type"), col("event_id"), 50)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("cmsCounts: est ≥ exact, overcount within eps·N at fixture scale") {
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    val rows = graft.analytics.EventAnalytics.cmsCounts(ev).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("exact_n"), r.getAs[Long]("est_n"))
+      assert(est >= exact, s"CMS must never undercount: $est < $exact")
+      assert(est - exact <= (0.0001 * n).ceil.toLong + 1,
+        s"overcount ${est - exact} above eps*N bound")
+    }
+  }
+
   test("idleBalanceByNation: members verified row-by-row") {
     val out = StarAnalytics.idleBalanceByNation(spark, sf)
     val total = out.agg(sum(col("numcust"))).collect().head.getLong(0)

@@ -85,4 +85,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"))
   }
+
+  test("EXISTS late-shipment check plans a semi join, never a distinct") {
+    val plan = physical(StarAnalytics.latePriorityOrders(spark, sf))
+    assert(plan.contains("LeftSemi"), plan.take(400))
+    // each order emitted once by the join itself — no dedup aggregate
+    // between the join and the priority rollup
+    assert(!plan.contains("HashAggregate(keys=[o_orderkey"))
+  }
+
+  test("weighted sample is a pure filter — no shuffle, no exchange") {
+    val docs = Tables.documents(spark, sf)
+    val plan = physical(graft.operators.Sampling.weightedSample(docs,
+      col("doc_id"), least(lit(1250L) * col("n_chars"), lit(1000000L))))
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
+
+  test("fixed-k-per-stratum sampling prunes with WindowGroupLimit") {
+    val plan = physical(graft.operators.Sampling.uniformKPerStratum(
+      Tables.events(spark, sf).select("event_id", "event_type"),
+      col("event_type"), col("event_id"), 100))
+    assert(plan.contains("WindowGroupLimit"), plan.take(400))
+  }
+
+  test("top-p selection shuffles once — a single exchange on the group key") {
+    val plan = physical(graft.operators.Sampling.topPByMass(
+      Tables.documents(spark, sf).select("doc_id", "source", "n_chars"),
+      col("source"), col("doc_id"), col("n_chars"), 0.8))
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(plan).length
+    assert(exchanges == 1, s"expected 1 group-key exchange, got $exchanges")
+  }
+
+  test("z-order layout key stays inside whole-stage codegen") {
+    val df = graft.operators.ZOrder.layoutStats(
+      Tables.lineitem(spark, sf), "l_partkey", "l_suppkey")
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("codegen id"))
+    // the interleave projection must not fall back to an interpreted UDF
+    assert(!plan.toLowerCase.contains("batchevalpython") &&
+      !plan.contains("ScalaUDF"))
+  }
 }

@@ -1130,6 +1130,25 @@ object SparkEntry {
     // ---- count-min-sketch frequency estimates (rows-only, spec-bounded) --
     "q_cms_counts" -> ((s, d) =>
       EventAnalytics.cmsCounts(Tables.events(s, d))),
+
+    // ---- corpus collocations: bigram PMI over exact count tables ----
+    "q_pmi" -> ((s, d) =>
+      graft.ext.TextAnalysis.bigramPmi(Tables.documents(s, d))),
+
+    // ---- plain-SQL surface: injected native functions via spark.sql ----
+    // The whole query is SQL text over a temp view — the path a SQL-only
+    // user takes — exercising the session-injected word_shingles native
+    // expression and SQL higher-order functions end to end.
+    "q_sql_surface" -> ((s, d) => {
+      graft.plans.TextSketches.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("documents_v")
+      s.sql("""
+        SELECT doc_id,
+          CAST(size(word_shingles(
+            filter(split(lower(text), '\\s+'), t -> t != ''), 3))
+            AS BIGINT) AS n_shingles
+        FROM documents_v ORDER BY doc_id""")
+    }),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -2956,5 +2975,40 @@ object SparkEntry {
     // q_cms_counts: no cross-engine oracle (Spark's CMS hash family is
     // engine-specific) → rows-only driver check; the est ≥ exact and
     // eps·N overcount bounds are asserted in Round5OpsSpec.
+    "q_pmi" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '') AS toks FROM documents),
+         grams AS (
+           SELECT unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           FROM toks WHERE len(toks) >= 2),
+         uni AS (SELECT unnest(toks) AS tok FROM toks),
+         uc AS (SELECT tok, count(*) AS cu FROM uni GROUP BY 1),
+         nu AS (SELECT CAST(count(*) AS DOUBLE) AS nu FROM uni),
+         bc AS (SELECT bigram, count(*) AS c12 FROM grams GROUP BY 1
+                HAVING count(*) >= 20),
+         nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM grams)
+         SELECT b.bigram, CAST(b.c12 AS BIGINT) AS n_pair,
+           round(ln((b.c12 / nb.nb) /
+             ((u1.cu / nu.nu) * (u2.cu / nu.nu))), 6) AS pmi
+         FROM bc b
+         JOIN uc u1 ON u1.tok = split_part(b.bigram, ' ', 1)
+         JOIN uc u2 ON u2.tok = split_part(b.bigram, ' ', 2), nb, nu
+         ORDER BY bigram""",
+    "q_sql_surface" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(list_filter(string_split_regex(
+               lower(text), '\s+'), x -> x <> '')) - 1, 1)),
+             i -> list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')[i] || ' ' ||
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')[i+1] || ' ' ||
+                  list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')[i+2])) AS s
+           FROM documents)
+         SELECT doc_id, CAST(len(s) AS BIGINT) AS n_shingles FROM sh
+         ORDER BY doc_id""",
   )
 }

@@ -333,6 +333,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Pointwise mutual information for corpus bigrams above a support
+    * floor — the collocation-mining step ("new york" scores high, "of
+    * the" low). PMI = ln(p(w1,w2) / (p(w1)·p(w2))) with bigram and
+    * unigram probabilities from their own exact count tables. Every
+    * aggregate output is vocabulary-sized, so both unigram joins
+    * broadcast; the support floor (`minPair`) bounds the result
+    * deterministically — the ORDER BY is the bigram text, never the
+    * floating PMI, so the cross-engine row set is exact. */
+  def bigramPmi(docs: DataFrame, minPair: Long = 20L): DataFrame = {
+    graft.plans.TextSketches.register(docs.sparkSession)
+    val grams = docs
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(graft.plans.TextSketches.word_ngrams(col("toks"), 2))
+        .as("bigram"))
+    val unigrams = docs.select(explode(tokens(col("text"))).as("tok"))
+    val uc = unigrams.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val nu = unigrams.agg(count(lit(1)).cast("double").as("nu"))
+    val bc = grams.groupBy("bigram").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minPair)
+    val nb = grams.agg(count(lit(1)).cast("double").as("nb"))
+    bc
+      .join(broadcast(uc.withColumnRenamed("tok", "w1")
+        .withColumnRenamed("cu", "cu1")),
+        substring_index(col("bigram"), " ", 1) === col("w1"))
+      .join(broadcast(uc.withColumnRenamed("tok", "w2")
+        .withColumnRenamed("cu", "cu2")),
+        substring_index(col("bigram"), " ", -1) === col("w2"))
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .select(col("bigram"), col("c12").as("n_pair"),
+        round(log((col("c12") / col("nb")) /
+          ((col("cu1") / col("nu")) * (col("cu2") / col("nu")))), 6)
+          .as("pmi"))
+      .orderBy("bigram")
+  }
+
   /** Corpus-wide repeated-chunk (boilerplate) detection — the C4-style
     * "deduplicate repeated paragraphs across the corpus" step, expressed on
     * fixed-size token chunks since the fixture text has no line structure.

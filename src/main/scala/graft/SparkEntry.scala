@@ -1135,6 +1135,10 @@ object SparkEntry {
     "q_pmi" -> ((s, d) =>
       graft.ext.TextAnalysis.bigramPmi(Tables.documents(s, d))),
 
+    // ---- per-document token entropy (information-density quality) ----
+    "q_entropy" -> ((s, d) =>
+      graft.ext.TextAnalysis.tokenEntropy(Tables.documents(s, d))),
+
     // ---- plain-SQL surface: injected native functions via spark.sql ----
     // The whole query is SQL text over a temp view — the path a SQL-only
     // user takes — exercising the session-injected word_shingles native
@@ -2996,6 +3000,17 @@ object SparkEntry {
          JOIN uc u1 ON u1.tok = split_part(b.bigram, ' ', 1)
          JOIN uc u2 ON u2.tok = split_part(b.bigram, ' ', 2), nb, nu
          ORDER BY bigram""",
+    "q_entropy" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(
+             lower(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         c AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+               FROM t GROUP BY 1, 2),
+         n AS (SELECT *, sum(c) OVER (PARTITION BY doc_id) AS n FROM c)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           round(-sum((c / n) * ln(c / n)), 6) AS entropy
+         FROM n GROUP BY doc_id, n ORDER BY doc_id""",
     "q_sql_surface" ->
       """WITH sh AS (
            SELECT doc_id, list_distinct(list_transform(

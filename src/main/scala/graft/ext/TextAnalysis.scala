@@ -333,6 +333,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document token Shannon entropy — the information-density quality
+    * signal (spam that repeats one phrase scores near 0 bits; varied prose
+    * scores high) complementing the repetition RATIO, which cannot tell
+    * "one token repeated" from "two tokens alternating". Two aggregates,
+    * both keyed by doc: (doc, token) counts, then the entropy fold — the
+    * shuffle key is doc_id throughout, so the second aggregate is
+    * partition-local after the first. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val perTok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    perTok
+      .withColumn("n", sum(col("c")).over(w))
+      .groupBy("doc_id")
+      .agg(first(col("n")).as("n_tokens"),
+        round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6)
+          .as("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Pointwise mutual information for corpus bigrams above a support
     * floor — the collocation-mining step ("new york" scores high, "of
     * the" low). PMI = ln(p(w1,w2) / (p(w1)·p(w2))) with bigram and

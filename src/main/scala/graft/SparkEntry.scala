@@ -1051,6 +1051,18 @@ object SparkEntry {
     "q_idle_balance" -> ((s, d) =>
       StarAnalytics.idleBalanceByNation(s, d)),
 
+    // ---- TPC-H anchors, round 3: Q7/Q8/Q10/Q15/Q21 shapes ----
+    "q_nation_volume" -> ((s, d) =>
+      StarAnalytics.nationVolume(s, d)),
+    "q_market_share" -> ((s, d) =>
+      StarAnalytics.marketShare(s, d)),
+    "q_returned_items" -> ((s, d) =>
+      StarAnalytics.returnedItems(s, d)),
+    "q_top_supplier" -> ((s, d) =>
+      StarAnalytics.topSupplier(s, d)),
+    "q_waiting_suppliers" -> ((s, d) =>
+      StarAnalytics.waitingSuppliers(s, d)),
+
     // ---- training-pipeline ops: packing / containment / bigram LM ----
     "q_token_pack" -> ((s, d) =>
       graft.ext.TextAnalysis.tokenPacking(Tables.documents(s, d))
@@ -2835,6 +2847,81 @@ object SparkEntry {
              (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
            AND coalesce(n, 0) < 3
          GROUP BY 1 ORDER BY 1""",
+    "q_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+         FROM (
+           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+             AND ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_19')
+               OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_7')))
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(CASE WHEN n2.n_name = 'NATION_3'
+               THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY 1""",
+    "q_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         ORDER BY s_suppkey""",
+    "q_waiting_suppliers" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM lineitem l1
+         JOIN orders ON l1.l_orderkey = o_orderkey
+         JOIN supplier ON l1.l_suppkey = s_suppkey
+         WHERE o_orderstatus = 'F'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+             WHERE l2.l_orderkey = l1.l_orderkey
+               AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             WHERE l3.l_orderkey = l1.l_orderkey
+               AND l3.l_suppkey <> l1.l_suppkey
+               AND l3.l_shipdate > l1.l_shipdate)
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""",
     "q_token_pack" ->
       """WITH t AS (
            SELECT doc_id, source, CAST(len(list_filter(

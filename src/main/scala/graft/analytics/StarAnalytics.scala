@@ -379,4 +379,186 @@ object StarAnalytics {
         round(sum(col("c_acctbal")), 2).as("totacctbal"))
       .orderBy("c_nationkey")
   }
+
+  /** TPC-H Q7-shaped bilateral trade volume: revenue shipped between two
+    * named nations, split by (supplier nation, customer nation, year).
+    * The two `nation` lookups broadcast with their name filters applied
+    * FIRST, so the nation predicates semi-reduce `supplier` and `customer`
+    * to ~2/25ths before either touches a fact table — the big
+    * lineitem⋈orders join then only carries qualifying rows. The
+    * direction disjunction is a post-join filter over two broadcast-pruned
+    * dimension columns, not a union of two plans. */
+  def nationVolume(spark: SparkSession, sfDir: String,
+                   nationA: String = "NATION_7",
+                   nationB: String = "NATION_19",
+                   from: String = "1996-01-01",
+                   until: String = "1998-01-01"): DataFrame = {
+    val n = Tables.nation(spark, sfDir)
+      .filter(col("n_name").isin(nationA, nationB))
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(n.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+      .join(broadcast(n.select(col("n_nationkey").as("n2_nationkey"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n2_nationkey"))
+      .select("c_custkey", "cust_nation")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    li.join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8-shaped market share: of all region-destined revenue in a
+    * part-type segment, the fraction supplied from one nation, per year.
+    * The share is a conditional-sum ratio inside ONE aggregation — no
+    * second pass over the joined data. Region+nation broadcast; the
+    * part-type filter semi-reduces lineitem through the partkey join
+    * before the orderkey shuffle. */
+  def marketShare(spark: SparkSession, sfDir: String,
+                  suppNation: String = "NATION_3",
+                  region: String = "ASIA",
+                  ptype: String = "ECONOMY",
+                  from: String = "1996-01-01",
+                  until: String = "1998-01-01"): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_type") === ptype).select("p_partkey")
+    val r = Tables.region(spark, sfDir)
+      .filter(col("r_name") === region).select("r_regionkey")
+    val custNations = Tables.nation(spark, sfDir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val c = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+      .join(broadcast(custNations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val suppNations = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("sn_nationkey"),
+        col("n_name").as("supp_nation"))
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(suppNations),
+        col("s_nationkey") === col("sn_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(from) &&
+        col("o_orderdate") < lit(until))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === suppNation, vol).otherwise(0.0)) /
+          sum(vol), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q10-shaped returned-item report: customers ranked by revenue
+    * lost to returns in a quarter, top k. The returnflag and date filters
+    * push to the two fact scans; the aggregate groups on the customer key
+    * plus functionally-dependent dim columns (free — same shuffle key
+    * cardinality); TakeOrderedAndProject caps driver traffic at k rows. */
+  def returnedItems(spark: SparkSession, sfDir: String,
+                    from: String = "1996-01-01",
+                    until: String = "1996-04-01",
+                    k: Int = 20): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit(from) &&
+        col("o_orderdate") < lit(until))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    // Sum in DECIMAL: the per-row product is bit-identical everywhere, and
+    // decimal addition is order-independent — so the 2-decimal rounding
+    // cannot straddle a float boundary under a different partition order.
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q15-shaped top supplier: per-supplier revenue over a quarter,
+    * keeping the supplier(s) that hit the maximum. The per-supplier
+    * aggregate is computed ONCE (supplier-cardinality output); the scalar
+    * max over it is a one-row broadcast joined back as a filter — the
+    * correlated-subquery phrasing would rescan lineitem per supplier.
+    * Revenue is rounded BEFORE the max comparison so the equality is on
+    * stable 2-decimal values, not raw float-sum bits. */
+  def topSupplier(spark: SparkSession, sfDir: String,
+                  from: String = "1996-01-01",
+                  until: String = "1996-04-01"): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(from) &&
+        col("l_shipdate") < lit(until))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_name")
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q21-shaped waiting-supplier count (adapted: the fixture has no
+    * commit/receipt dates, so "kept the order waiting" = shipped the
+    * STRICTLY LATEST lineitem of a finished multi-supplier order). The
+    * EXISTS is a left-semi self-join on orderkey with a supplier
+    * inequality; the NOT EXISTS a left-anti with a later-shipdate
+    * residual. Both self-joins hash-partition lineitem on orderkey — ONE
+    * shuffle key reused across both, no match duplication (semi/anti emit
+    * each l1 row at most once). */
+  def waitingSuppliers(spark: SparkSession, sfDir: String,
+                       k: Int = 100): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber")
+    val l1 = li.select(col("l_orderkey"), col("l_suppkey"),
+      col("l_shipdate"), col("l_linenumber"))
+    val l2 = li.select(col("l_orderkey").as("l2_orderkey"),
+      col("l_suppkey").as("l2_suppkey"))
+    val l3 = li.select(col("l_orderkey").as("l3_orderkey"),
+      col("l_suppkey").as("l3_suppkey"), col("l_shipdate").as("l3_shipdate"))
+    val fOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_name")
+    l1.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .join(l2, col("l_orderkey") === col("l2_orderkey") &&
+        col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+      .join(l3, col("l_orderkey") === col("l3_orderkey") &&
+        col("l_suppkey") =!= col("l3_suppkey") &&
+        col("l3_shipdate") > col("l_shipdate"), "left_anti")
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(k)
+  }
 }

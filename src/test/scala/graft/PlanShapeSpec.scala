@@ -117,6 +117,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 group-key exchange, got $exchanges")
   }
 
+  test("returned-items (Q10) caps driver traffic with TakeOrderedAndProject") {
+    val plan = physical(StarAnalytics.returnedItems(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"))
+    // the fixed-size nation dim must broadcast, not shuffle
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("top supplier (Q15) computes the max as a one-row broadcast, " +
+    "not a correlated rescan") {
+    val df = StarAnalytics.topSupplier(spark, sf)
+    val plan = physical(df)
+    // exactly one scan of lineitem feeds both the per-supplier aggregate
+    // and (via ReusedExchange or a second tiny agg) the scalar max
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(600))
+  }
+
+  test("waiting suppliers (Q21) plans semi+anti self-joins, no row blowup") {
+    val plan = physical(StarAnalytics.waitingSuppliers(spark, sf))
+    assert(plan.contains("LeftSemi"), plan.take(600))
+    assert(plan.contains("LeftAnti"), plan.take(600))
+    // semi/anti emit each probe row at most once — there must be no
+    // post-join dedup aggregate on the lineitem identity
+    assert(!plan.contains("HashAggregate(keys=[l_orderkey"))
+  }
+
+  test("nation volume (Q7) broadcasts the name-filtered nation dim " +
+    "before either fact table is touched") {
+    val plan = physical(StarAnalytics.nationVolume(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    // the nation-name predicate must not survive as a post-join filter on
+    // the fact join output; it is applied inside the broadcast build side
+    assert(plan.contains("n_name"))
+  }
+
   test("z-order layout key stays inside whole-stage codegen") {
     val df = graft.operators.ZOrder.layoutStats(
       Tables.lineitem(spark, sf), "l_partkey", "l_suppkey")

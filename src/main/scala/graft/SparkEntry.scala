@@ -1062,6 +1062,16 @@ object SparkEntry {
       StarAnalytics.topSupplier(s, d)),
     "q_waiting_suppliers" -> ((s, d) =>
       StarAnalytics.waitingSuppliers(s, d)),
+    "q_product_profit" -> ((s, d) =>
+      StarAnalytics.productProfit(s, d)),
+    "q_important_parts" -> ((s, d) =>
+      StarAnalytics.importantParts(s, d)),
+
+    // ---- ext round 3: retrieval scoring + embedding classification ----
+    "q_bm25" -> ((s, d) =>
+      graft.ext.TextAnalysis.bm25(Tables.documents(s, d))),
+    "q_knn_classify" -> ((s, d) =>
+      graft.ext.Similarity.knnClassify(Tables.embeddings(s, d))),
 
     // ---- training-pipeline ops: packing / containment / bigram LM ----
     "q_token_pack" -> ((s, d) =>
@@ -2922,6 +2932,80 @@ object SparkEntry {
                AND l3.l_suppkey <> l1.l_suppkey
                AND l3.l_shipdate > l1.l_shipdate)
          GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""",
+    "q_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+             - p_retailprice * l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+    "q_important_parts" ->
+      """WITH sup AS (
+           SELECT s_suppkey FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_3'),
+         pp AS (
+           SELECT l_partkey,
+             sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6)))
+               AS value_dec
+           FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+           GROUP BY 1)
+         SELECT l_partkey, CAST(round(value_dec, 2) AS DOUBLE) AS part_value
+         FROM pp
+         WHERE value_dec > (SELECT sum(value_dec) FROM pp) * 0.001
+         ORDER BY part_value DESC, l_partkey""",
+    "q_bm25" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM (
+             SELECT doc_id, list_filter(
+               string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+             FROM documents)),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+           FROM d),
+         tf AS (
+           SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+           WHERE term IN ('table', 'join', 'spark')
+           GROUP BY 1, 2, 3),
+         df AS (
+           SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           FROM tf GROUP BY 1)
+         SELECT doc_id,
+           round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * (1.2 + 1.0)
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25,
+           CAST(count(*) AS BIGINT) AS n_terms_hit
+         FROM tf JOIN df USING (term) CROSS JOIN stats
+         GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "q_knn_classify" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id % 10 = 0),
+         s AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+             round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6)
+               AS sim
+           FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS rnk FROM s),
+         v AS (
+           SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+           FROM r WHERE rnk <= 5 GROUP BY 1, 2),
+         p AS (
+           SELECT query_id, label AS predicted_label, votes,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY votes DESC, label) AS rn FROM v)
+         SELECT p.query_id, e.label AS actual_label, p.predicted_label,
+           p.votes
+         FROM p JOIN embeddings e ON p.query_id = e.vec_id
+         WHERE rn = 1 ORDER BY query_id""",
     "q_token_pack" ->
       """WITH t AS (
            SELECT doc_id, source, CAST(len(list_filter(

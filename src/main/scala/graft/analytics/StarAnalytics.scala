@@ -528,6 +528,66 @@ object StarAnalytics {
       .orderBy("s_suppkey")
   }
 
+  /** TPC-H Q9-shaped product-type profit (adapted: the fixture has no
+    * partsupp, so cost = p_retailprice·quantity instead of
+    * ps_supplycost·quantity — same plan shape, one fewer table). Profit
+    * per (supplier nation, order year) over parts whose name matches a
+    * color word. The part filter semi-reduces lineitem through the
+    * partkey join BEFORE the orderkey shuffle; nation broadcasts; profit
+    * sums in decimal so rounding is order-stable. */
+  def productProfit(spark: SparkSession, sfDir: String,
+                    nameContains: String = "red"): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_name").contains(nameContains))
+      .select("p_partkey", "p_retailprice")
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    val profit = (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("p_retailprice") * col("l_quantity")).cast("decimal(18,6)")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(profit), 2).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11-shaped important parts (adapted: no partsupp, so a part's
+    * "stock value" = Σ extendedprice·quantity of its lineitems shipped by
+    * one nation's suppliers). Keeps parts whose value exceeds `fraction`
+    * of the nation's total — the total is a ONE-ROW aggregate broadcast
+    * into the HAVING filter (scalar-subquery decorrelation), not a
+    * correlated per-part rescan. Decimal sums make both the per-part
+    * values and the threshold order-stable. */
+  def importantParts(spark: SparkSession, sfDir: String,
+                     nation: String = "NATION_3",
+                     fraction: Double = 0.001): DataFrame = {
+    val n = Tables.nation(spark, sfDir)
+      .filter(col("n_name") === nation).select("n_nationkey")
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+    val value = (col("l_extendedprice") * col("l_quantity"))
+      .cast("decimal(18,6)")
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(value).as("value_dec"))
+    val total = perPart.agg(sum(col("value_dec")).as("total_dec"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_dec") > col("total_dec") * fraction)
+      .select(col("l_partkey"),
+        round(col("value_dec"), 2).cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
   /** TPC-H Q21-shaped waiting-supplier count (adapted: the fixture has no
     * commit/receipt dates, so "kept the order waiting" = shipped the
     * STRICTLY LATEST lineitem of a finished multi-supplier order). The

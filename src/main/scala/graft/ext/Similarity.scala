@@ -202,6 +202,36 @@ object Similarity {
       .distinct()
   }
 
+  /** k-NN label classification: predict each query vector's label as the
+    * majority label of its k nearest neighbors (cosine, reusing
+    * [[bruteForceTopK]]'s exact ranking — same rounding, same id
+    * tie-break). Vote ties break to the SMALLEST label, so the prediction
+    * is deterministic regardless of aggregation order. The vote aggregate
+    * runs over |queries|·k rows — trivially small next to the pair join
+    * that produced them; at 100 TB swap the brute-force neighbor stage for
+    * [[ivfTopK]] and this classifier head is unchanged. */
+  def knnClassify(emb: DataFrame, k: Int = 5,
+                  queryMod: Int = 10): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    val votes = bruteForceTopK(emb, k, queryMod)
+      .join(labels, col("neighbor_id") === col("vec_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label"))
+    val predicted = votes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("label").as("predicted_label"),
+        col("votes"))
+    predicted
+      .join(labels.select(col("vec_id"), col("label").as("actual_label")),
+        col("query_id") === col("vec_id"))
+      .select(col("query_id"), col("actual_label"), col("predicted_label"),
+        col("votes"))
+      .orderBy("query_id")
+  }
+
   /** Random-hyperplane LSH bucketing: `nBits` sign bits of dot products
     * with pseudo-random planes derived deterministically from portable
     * (bit, dim) hashes — no RNG state, reproducible across runs AND

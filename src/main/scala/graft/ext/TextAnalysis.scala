@@ -398,6 +398,45 @@ object TextAnalysis {
     * 100 TB, group on a 60-bit chunk hash instead of raw text to shrink
     * shuffle payloads (same trick as exact-dedup's fingerprint groupBy);
     * raw text keeps the fixture oracle byte-exact. */
+  /** BM25 ranking of the corpus against a fixed query-term set (the
+    * retrieval scorer behind training-data quality filters and RAG index
+    * audits). Three aggregates, all tiny after map-side partials:
+    * corpus stats (one row, broadcast), per-term document frequency
+    * (|terms| rows, broadcast), per-(doc,term) tf — only rows containing a
+    * query term survive the `isin` pushdown, so the big explode is
+    * filtered BEFORE the shuffle. Final top-k is TakeOrderedAndProject.
+    * Natural log and double division are IEEE-identical across engines;
+    * the score is rounded to 6dp on both sides. */
+  def bm25(docs: DataFrame,
+           terms: Seq[String] = Seq("table", "join", "spark"),
+           k1: Double = 1.2, b: Double = 0.75,
+           topK: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("double").as("dl"),
+        col("__toks"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val termScore = idf * col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(termScore), 6).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   def chunkBoilerplate(docs: DataFrame, chunkTokens: Int = 4): DataFrame = {
     // Native single-loop chunk assembly (graft.plans.TokenChunks): the HOF
     // equivalent (transform∘concat_ws∘slice) is interpreter-bound and

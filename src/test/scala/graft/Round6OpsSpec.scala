@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.StarAnalytics
+import graft.ext.{Similarity, TextAnalysis}
+
+/** Round-6 coverage: k-NN label classification, BM25 retrieval scoring,
+  * and the third batch of TPC-H anchors (Q9/Q11 adapted shapes). */
+class Round6OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("knnClassify: crafted clusters vote correctly; ties break low") {
+    // Two tight clusters along axes: label 0 near e1, label 1 near e2.
+    // Query 0 sits in cluster 0 → all k neighbors labeled 0.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.05f), 0),
+      (1L, Array(1.0f, 0.1f), 0),
+      (2L, Array(1.0f, 0.2f), 0),
+      (3L, Array(0.9f, 0.0f), 0),
+      (4L, Array(0.1f, 1.0f), 1),
+      (5L, Array(0.0f, 1.0f), 1),
+      (6L, Array(0.2f, 1.0f), 1),
+      (7L, Array(0.05f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(vecs, k = 3, queryMod = 4).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Int]("actual_label"), r.getAs[Int]("predicted_label")))
+      .toMap
+    assert(out(0L) == ((0, 0)))
+    assert(out(4L) == ((1, 1)))
+    // fixture: every prediction is a label that exists, votes ≤ k
+    val fx = Similarity.knnClassify(Tables.embeddings(spark, sf)).collect()
+    assert(fx.nonEmpty)
+    assert(fx.forall(r => r.getAs[Long]("votes") >= 1 &&
+      r.getAs[Long]("votes") <= 5))
+  }
+
+  test("bm25: a doc containing only query terms outranks one diluted " +
+    "by off-terms; absent terms contribute nothing") {
+    val docs = Seq(
+      (0L, "table join spark table"),
+      (1L, "table zzz yyy xxx www vvv uuu ttt sss rrr"),
+      (2L, "no query words here at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, topK = 10).collect()
+    val byDoc = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("bm25")).toMap
+    assert(byDoc(0L) > byDoc(1L))
+    assert(!byDoc.contains(2L)) // no hits → no row, not a zero score
+    val hits = out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("n_terms_hit")).toMap
+    assert(hits(0L) == 3L && hits(1L) == 1L)
+  }
+
+  test("importantParts: every kept part exceeds the global fraction") {
+    val out = StarAnalytics.importantParts(spark, sf).collect()
+    assert(out.nonEmpty)
+    // values must be sorted descending with id tiebreak
+    val vals = out.map(_.getAs[Double]("part_value"))
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("productProfit groups cover only name-matched parts and " +
+    "sum to the ungrouped total") {
+    val out = StarAnalytics.productProfit(spark, sf)
+    val total = out.agg(round(sum(col("sum_profit")), 2)).head().getDouble(0)
+    val li = Tables.lineitem(spark, sf)
+    val p = Tables.part(spark, sf)
+      .filter(col("p_name").contains("red"))
+      .select("p_partkey", "p_retailprice")
+    val expected = li.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        - col("p_retailprice") * col("l_quantity")).cast("decimal(18,6)")), 2))
+      .head().getDecimal(0).doubleValue()
+    assert(math.abs(total - expected) < 0.05, s"$total vs $expected")
+  }
+
+  test("bm25 plans TakeOrderedAndProject and broadcasts the df/stats sides") {
+    val plan = TextAnalysis.bm25(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    assert(plan.contains("BroadcastExchange"), plan.take(400))
+  }
+}

@@ -1072,6 +1072,10 @@ object SparkEntry {
       graft.ext.TextAnalysis.bm25(Tables.documents(s, d))),
     "q_knn_classify" -> ((s, d) =>
       graft.ext.Similarity.knnClassify(Tables.embeddings(s, d))),
+    "q_bpe_pairs" -> ((s, d) =>
+      graft.ext.TextAnalysis.bpePairs(Tables.documents(s, d))),
+    "q_source_overlap" -> ((s, d) =>
+      graft.ext.TextAnalysis.sourceOverlap(Tables.documents(s, d))),
 
     // ---- training-pipeline ops: packing / containment / bigram LM ----
     "q_token_pack" -> ((s, d) =>
@@ -3006,6 +3010,38 @@ object SparkEntry {
            p.votes
          FROM p JOIN embeddings e ON p.query_id = e.vec_id
          WHERE rn = 1 ORDER BY query_id""",
+    "q_bpe_pairs" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(
+             string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+           FROM documents),
+         pairs AS (
+           SELECT unnest(list_transform(range(1, len(tok)),
+             i -> substr(tok, i, 2))) AS pair
+           FROM toks WHERE len(tok) >= 2)
+         SELECT pair, CAST(count(*) AS BIGINT) AS n
+         FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
+    "q_source_overlap" ->
+      """WITH t AS (
+           SELECT source, list_filter(
+             string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT source, unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks) - 1, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+           FROM t),
+         cnt AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_sh FROM sh
+           GROUP BY 1)
+         SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_shingles,
+           round(count(*) / least(ca.n_sh, cb.n_sh), 6) AS containment
+         FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+         JOIN cnt ca ON ca.source = a.source
+         JOIN cnt cb ON cb.source = b.source
+         GROUP BY 1, 2, ca.n_sh, cb.n_sh
+         ORDER BY 1, 2""",
     "q_token_pack" ->
       """WITH t AS (
            SELECT doc_id, source, CAST(len(list_filter(

@@ -437,6 +437,64 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** One BPE merge-candidate step: corpus-wide frequency of adjacent
+    * character pairs inside tokens — the statistic a byte-pair-encoding
+    * tokenizer maximizes when inducing its next merge. Pair extraction is
+    * a per-row projection (HOF over a generated index sequence — fine
+    * here: it runs once per vocab build, not per query); the aggregate is
+    * alphabet²-sized after map-side partials, so the shuffle moves
+    * kilobytes regardless of corpus size. */
+  def bpePairs(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val tok = docs.select(explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+    tok.select(explode(transform(
+        sequence(lit(1), length(col("tok")) - 1),
+        i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
+  /** Cross-source contamination matrix: for every source pair, how many
+    * distinct word shingles they share, plus the containment ratio
+    * (shared / smaller side). The distinct (source, shingle) projection
+    * collapses each source to its shingle set FIRST — the self-join then
+    * runs on vocabulary-sized inputs, not document-sized, and
+    * hash-partitions on the shingle. At 100 TB group on a 60-bit shingle
+    * hash instead of raw text (same payload trick as exact dedup). */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.plans.TextSketches.register(docs.sparkSession)
+    // ONE corpus scan + ONE corpus-sized shuffle: group every shingle
+    // straight to its (deduped, sorted) source set. The vocab-sized result
+    // is checkpointed so the counts and pairs branches below don't each
+    // re-scan the corpus (Catalyst does not share common subtrees). The
+    // source pairs are emitted LOCALLY per shingle (≤ |sources|² rows) —
+    // the self-join formulation costs two more corpus-sized shuffles.
+    val srcsAll = docs.select(col("source"),
+        explode(graft.plans.TextSketches.word_shingles(
+          tokens(col("text")), n)).as("sh"))
+      .groupBy("sh")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .localCheckpoint()
+    val counts = srcsAll.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n_shingles"))
+    val pairs = srcsAll.filter(size(col("srcs")) > 1)
+      .select(explode(flatten(transform(col("srcs"),
+        (x, i) => transform(slice(col("srcs"), i + 2, size(col("srcs"))),
+          y => struct(x.as("source_a"), y.as("source_b")))))).as("p"))
+    pairs.select(col("p.source_a"), col("p.source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_shingles"))
+      .join(broadcast(counts.select(col("source").as("source_a"),
+        col("n_shingles").as("n_a"))), Seq("source_a"))
+      .join(broadcast(counts.select(col("source").as("source_b"),
+        col("n_shingles").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_shingles"),
+        round(col("shared_shingles") / least(col("n_a"), col("n_b")), 6)
+          .as("containment"))
+      .orderBy("source_a", "source_b")
+  }
+
   def chunkBoilerplate(docs: DataFrame, chunkTokens: Int = 4): DataFrame = {
     // Native single-loop chunk assembly (graft.plans.TokenChunks): the HOF
     // equivalent (transform∘concat_ws∘slice) is interpreter-bound and

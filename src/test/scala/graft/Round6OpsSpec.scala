@@ -77,6 +77,30 @@ class Round6OpsSpec extends SparkSpec {
     assert(math.abs(total - expected) < 0.05, s"$total vs $expected")
   }
 
+  test("bpePairs counts overlapping in-token character pairs") {
+    val docs = Seq((0L, "abab cd x")).toDF("doc_id", "text")
+    // "abab" → ab, ba, ab; "cd" → cd; "x" dropped (length 1)
+    val out = TextAnalysis.bpePairs(docs).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n")).toMap
+    assert(out == Map("ab" -> 2L, "ba" -> 1L, "cd" -> 1L))
+  }
+
+  test("sourceOverlap: identical sources have containment 1, " +
+    "disjoint sources emit no row") {
+    val docs = Seq(
+      (0L, "sa", "one two three four"),
+      (1L, "sb", "one two three four"),
+      (2L, "sc", "five six seven eight"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceOverlap(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("source_a") == "sa" &&
+      r.getAs[String]("source_b") == "sb")
+    assert(r.getAs[Long]("shared_shingles") == 2L) // two 3-grams of 4 toks
+    assert(r.getAs[Double]("containment") == 1.0)
+  }
+
   test("bm25 plans TakeOrderedAndProject and broadcasts the df/stats sides") {
     val plan = TextAnalysis.bm25(Tables.documents(spark, sf))
       .queryExecution.executedPlan.toString

@@ -1076,6 +1076,10 @@ object SparkEntry {
       graft.ext.TextAnalysis.bpePairs(Tables.documents(s, d))),
     "q_source_overlap" -> ((s, d) =>
       graft.ext.TextAnalysis.sourceOverlap(Tables.documents(s, d))),
+    "q_ngram_novelty" -> ((s, d) =>
+      graft.ext.TextAnalysis.ngramNovelty(Tables.documents(s, d))),
+    "q_cusum" -> ((s, d) =>
+      StatsAnalytics.cusumDays(Tables.orders(s, d))),
 
     // ---- training-pipeline ops: packing / containment / bigram LM ----
     "q_token_pack" -> ((s, d) =>
@@ -3042,6 +3046,47 @@ object SparkEntry {
          JOIN cnt cb ON cb.source = b.source
          GROUP BY 1, 2, ca.n_sh, cb.n_sh
          ORDER BY 1, 2""",
+    "q_ngram_novelty" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(
+             string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks) - 1, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+           FROM t),
+         f AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+         SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END)
+             / count(*), 6) AS novelty
+         FROM sh JOIN f USING (s) GROUP BY 1 ORDER BY 1""",
+    "q_cusum" ->
+      """WITH daily AS (
+           SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+           FROM orders GROUP BY 1),
+         s1 AS (
+           SELECT CAST(sum(rev_dec) AS DOUBLE) / count(*) AS mu,
+             CAST(count(*) AS BIGINT) AS n FROM daily),
+         d2 AS (
+           SELECT day, rev_dec, CAST(rev_dec AS DOUBLE) - mu AS dev, n
+           FROM daily, s1),
+         s2 AS (
+           SELECT sqrt(CAST(sum(CAST(dev * dev AS DECIMAL(38,6)))
+             AS DOUBLE) / (any_value(n) - 1)) AS sd FROM d2),
+         c AS (
+           SELECT day, rev_dec,
+             CAST(sum(CAST(dev AS DECIMAL(38,6))) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS cusum
+           FROM d2)
+         SELECT day, CAST(rev_dec AS DOUBLE) AS revenue,
+           round(cusum, 2) AS cusum,
+           CAST(abs(cusum) > 3.0 * sd AS INT) AS flag
+         FROM c, s2 ORDER BY day""",
     "q_token_pack" ->
       """WITH t AS (
            SELECT doc_id, source, CAST(len(list_filter(

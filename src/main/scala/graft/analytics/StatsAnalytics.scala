@@ -50,6 +50,43 @@ object StatsAnalytics {
       .orderBy("event_id")
   }
 
+  /** CUSUM change-point scan over the daily revenue series: running sum of
+    * deviations from the global mean, flagging days where |S| exceeds
+    * `nSigma` sample standard deviations. Everything nondeterministic
+    * about float summation is forced through DECIMAL (daily totals, the
+    * squared-deviation sum, the running prefix sum), so mean, sd, cusum —
+    * and therefore the flag comparison — are bit-identical across
+    * engines and partition orders. The global window runs over the DAILY
+    * aggregate (|days| rows, already reduced), not the raw table — at
+    * 100 TB the per-day reduction is the only full-data pass. */
+  def cusumDays(orders: DataFrame, nSigma: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"))
+    val s1 = daily
+      .agg(sum(col("rev_dec")).cast("double").as("tot"),
+        count(lit(1)).as("n"))
+      .select((col("tot") / col("n")).as("mu"), col("n"))
+    val withMu = daily.crossJoin(broadcast(s1))
+      .withColumn("dev", col("rev_dec").cast("double") - col("mu"))
+    val s2 = withMu
+      .agg(sum((col("dev") * col("dev")).cast("decimal(38,6)"))
+          .cast("double").as("ss"),
+        first(col("n")).as("nn"))
+      .select(sqrt(col("ss") / (col("nn") - 1)).as("sd"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withMu.crossJoin(broadcast(s2))
+      .withColumn("cusum",
+        sum(col("dev").cast("decimal(38,6)")).over(w).cast("double"))
+      .select(col("day"),
+        col("rev_dec").cast("double").as("revenue"),
+        round(col("cusum"), 2).as("cusum"),
+        (abs(col("cusum")) > lit(nSigma) * col("sd")).cast("int").as("flag"))
+      .orderBy("day")
+  }
+
   /** Winsorization: clip values to the per-group [p_lo, p_hi] percentile
     * band (robust-scaling step for training-data value columns). Pass 1
     * computes exact percentiles per group (swap in approx_percentile at the

@@ -495,6 +495,28 @@ object TextAnalysis {
       .orderBy("source_a", "source_b")
   }
 
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * shingles that no EARLIER document (by doc_id — ingestion order)
+    * contains. The curation signal behind "is this shard adding anything
+    * new": a corpus whose novelty curve collapses is re-crawling itself.
+    * min(doc_id) per shingle is one vocabulary-sized aggregate; the
+    * re-join is on the same shingle key — at 100 TB both stages
+    * hash-partition on a 60-bit shingle hash instead of raw text. */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.plans.TextSketches.register(docs.sparkSession)
+    val sh = docs.select(col("doc_id"),
+      explode(graft.plans.TextSketches.word_shingles(
+        tokens(col("text")), n)).as("sh"))
+    val first = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
+
   def chunkBoilerplate(docs: DataFrame, chunkTokens: Int = 4): DataFrame = {
     // Native single-loop chunk assembly (graft.plans.TokenChunks): the HOF
     // equivalent (transform∘concat_ws∘slice) is interpreter-bound and

@@ -101,6 +101,37 @@ class Round6OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("containment") == 1.0)
   }
 
+  test("cusum: level shift flags the drift window, ends back near zero") {
+    import java.sql.Timestamp
+    val orders = (1 to 20).map { d =>
+      val rev = if (d <= 10) 100.0 else 200.0
+      (d.toLong, Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"), rev)
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = graft.analytics.StatsAnalytics.cusumDays(orders, nSigma = 3.0)
+      .collect()
+    assert(out.length == 20)
+    // mean=150: cusum walks to -500 mid-series, returns to 0 at the end
+    val last = out.last
+    assert(math.abs(last.getAs[Double]("cusum")) < 1e-6)
+    assert(out.exists(_.getAs[Int]("flag") == 1)) // the drift is flagged
+    assert(out.head.getAs[Int]("flag") == 0)      // but not day 1
+  }
+
+  test("ngramNovelty: first doc fully novel, exact copy fully stale") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.ngramNovelty(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_novel"), r.getAs[Long]("n_shingles"))).toMap
+    assert(out(0L) == ((2L, 2L)))  // both 3-grams first seen here
+    assert(out(1L) == ((0L, 2L)))  // exact copy: nothing novel
+    // doc2: "alpha beta gamma" seen; 3 of its 4 shingles are new
+    assert(out(2L) == ((3L, 4L)))
+  }
+
   test("bm25 plans TakeOrderedAndProject and broadcasts the df/stats sides") {
     val plan = TextAnalysis.bm25(Tables.documents(spark, sf))
       .queryExecution.executedPlan.toString

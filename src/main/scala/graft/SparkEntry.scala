@@ -666,6 +666,29 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    // ---- streaming: transformWithState (Spark 4 typed state + RocksDB) --
+    "q_tws_user_stats" -> ((s, d) => {
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val stream = graft.streaming.EventStream.readEventsStream(s, d)
+        graft.streaming.EventStream.drainStatefulLatest(
+            graft.streaming.EventStream.twsUserStats(stream),
+            Seq("user_id"), "n_events")
+          .orderBy("user_id")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        prevProv match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    }),
+
     // ---- streaming: flatMapGroupsWithState (0..n rows per key/batch) ----
     "q_threshold_alerts" -> ((s, d) => {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -1066,6 +1089,10 @@ object SparkEntry {
       StarAnalytics.productProfit(s, d)),
     "q_important_parts" -> ((s, d) =>
       StarAnalytics.importantParts(s, d)),
+    "q_late_priority_mix" -> ((s, d) =>
+      StarAnalytics.latePriorityMix(s, d)),
+    "q_min_cost_supplier" -> ((s, d) =>
+      StarAnalytics.minCostSupplier(s, d)),
 
     // ---- ext round 3: retrieval scoring + embedding classification ----
     "q_bm25" -> ((s, d) =>
@@ -1504,6 +1531,12 @@ object SparkEntry {
     "q_stateful_totals" ->
       """SELECT user_id, count(*) AS n_events,
            round(sum(coalesce(value, 0)), 2) AS total_value
+         FROM events WHERE user_id IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+    "q_tws_user_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+           round(sum(coalesce(value, 0)), 2) AS total_value,
+           max(coalesce(value, 0)) AS max_value
          FROM events WHERE user_id IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
     "q_salted_join" ->
@@ -2967,6 +3000,34 @@ object SparkEntry {
          FROM pp
          WHERE value_dec > (SELECT sum(value_dec) FROM pp) * 0.001
          ORDER BY part_value DESC, l_partkey""",
+    "q_late_priority_mix" ->
+      """SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+         GROUP BY 1 ORDER BY 1""",
+    "q_min_cost_supplier" ->
+      """WITH unit AS (
+           SELECT p_partkey, p_brand, p_size, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_size IN (1, 5, 9)
+           GROUP BY 1, 2, 3, 4),
+         best AS (
+           SELECT p_partkey AS b_partkey, min(unit_cost) AS best_cost
+           FROM unit GROUP BY 1)
+         SELECT p_partkey, p_brand, p_size, s_name, n_name,
+           round(unit_cost, 6) AS unit_cost
+         FROM unit
+         JOIN best ON p_partkey = b_partkey AND unit_cost = best_cost
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY p_partkey, s_name""",
     "q_bm25" ->
       """WITH d AS (
            SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM (

@@ -588,6 +588,66 @@ object StarAnalytics {
       .orderBy(col("part_value").desc, col("l_partkey"))
   }
 
+  /** TPC-H Q12-shaped late-shipment priority mix (adapted: no l_shipmode
+    * column, so the grouping "mode" is the return class). For lineitems
+    * that shipped more than `lateDays` after their order date inside a
+    * window, count high- vs low-priority orders per class — the
+    * conditional-sum pattern over a single fact⋈dim join, with the date
+    * window pushed to the lineitem scan and the lateness residual riding
+    * the orderkey join. */
+  def latePriorityMix(spark: SparkSession, sfDir: String,
+                      lateDays: Int = 30,
+                      from: String = "1996-01-01",
+                      until: String = "1997-01-01"): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(from) &&
+        col("l_shipdate") < lit(until))
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+    val o = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q2-shaped min-cost supplier (adapted: no partsupp, so a
+    * supplier's cost for a part = its cheapest observed unit price
+    * `l_extendedprice / l_quantity` across lineitems). For parts in a
+    * size set, keep the supplier(s) achieving the per-part minimum.
+    * The part filter semi-reduces lineitem BEFORE the (part,supplier)
+    * aggregate; the per-part min is a second part-cardinality aggregate
+    * joined back on exact double equality — safe because both sides are
+    * the SAME per-row division, not a re-computed sum. */
+  def minCostSupplier(spark: SparkSession, sfDir: String,
+                      sizes: Seq[Int] = Seq(1, 5, 9)): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_size")
+    val unit = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "p_brand", "p_size", "l_suppkey")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val best = unit.groupBy(col("p_partkey").as("b_partkey"))
+      .agg(min(col("unit_cost")).as("best_cost"))
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_name",
+      "s_nationkey")
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    unit.join(best, col("p_partkey") === col("b_partkey") &&
+        col("unit_cost") === col("best_cost"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"),
+        col("s_name"), col("n_name"),
+        round(col("unit_cost"), 6).as("unit_cost"))
+      .orderBy("p_partkey", "s_name")
+  }
+
   /** TPC-H Q21-shaped waiting-supplier count (adapted: the fixture has no
     * commit/receipt dates, so "kept the order waiting" = shipped the
     * STRICTLY LATEST lineitem of a finished multi-supplier order). The

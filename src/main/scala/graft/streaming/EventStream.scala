@@ -29,6 +29,44 @@ import graft.operators.{Dedup, Upsert}
 /** State row for `EventStream.statefulUserTotals`. */
 case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
+/** Output row for `EventStream.twsUserStats`. */
+case class UserStats(user_id: Long, n_events: Long, total_value: Double,
+                     max_value: Double)
+
+/** Spark 4 `transformWithState` processor behind `EventStream.twsUserStats`:
+  * running per-user (count, total, max) in a single ValueState cell. The
+  * accumulators are all order-independent, so the final state — and the
+  * last emitted row per key — is the same under any micro-batch split.
+  * TTL is NONE for oracle determinism; at cluster scale pass a TTLConfig
+  * so idle users age out of the RocksDB store. */
+class UserStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), UserStats] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues,
+    TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var state: ValueState[(Long, Double, Double)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Double, Double)]("stats",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+        Encoders.scalaDouble),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                               tv: TimerValues): Iterator[UserStats] = {
+    var (n, tot, mx) =
+      if (state.exists()) state.get()
+      else (0L, 0.0, Double.NegativeInfinity)
+    rows.foreach { r =>
+      n += 1; tot += r._2; mx = math.max(mx, r._2)
+    }
+    state.update((n, tot, mx))
+    Iterator.single(UserStats(key, n, tot, mx))
+  }
+}
+
 object EventStream {
 
   private val nameCounter = new AtomicLong(0)
@@ -180,6 +218,31 @@ object EventStream {
         state.update((n, v))
         UserTotals(uid, n, v)
       }
+      .toDF()
+      .withColumn("total_value", round(col("total_value"), 2))
+  }
+
+  /** Running per-user stats via Spark 4's `transformWithState` — the
+    * arbitrary-stateful-processing successor to mapGroupsWithState: typed
+    * state cells (Value/List/Map) with per-state TTL, timers, and a
+    * RocksDB-backed store. Requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (the caller sets it; the HDFS-backed
+    * default store does not support this operator). Update-mode output:
+    * one row per touched key per batch; `n_events` is monotone per key,
+    * so `drainStatefulLatest` recovers the final state under any batch
+    * split. */
+  def twsUserStats(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("long"),
+        coalesce(col("value"), lit(0.0)).as("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
       .toDF()
       .withColumn("total_value", round(col("total_value"), 2))
   }

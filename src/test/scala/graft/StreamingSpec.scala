@@ -100,6 +100,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("transformWithState stats equal the batch aggregate across " +
+    "micro-batches (RocksDB store)") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft_tws_").toString
+      val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      ev.repartition(4).write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val streamed = EventStream.drainStatefulLatest(
+        EventStream.twsUserStats(stream), Seq("user_id"), "n_events")
+      val batch = Tables.events(spark, sf)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(coalesce(col("value"), lit(0.0))), 2).as("total_value"),
+          max(coalesce(col("value"), lit(0.0))).as("max_value"))
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+    } finally prevProv match {
+      case Some(p) => spark.conf.set(provKey, p)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("flatMapGroupsWithState alerts are micro-batching-independent") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_alerts_").toString

@@ -1107,6 +1107,10 @@ object SparkEntry {
       graft.ext.TextAnalysis.ngramNovelty(Tables.documents(s, d))),
     "q_cusum" -> ((s, d) =>
       StatsAnalytics.cusumDays(Tables.orders(s, d))),
+    "q_quantize" -> ((s, d) =>
+      graft.ext.Similarity.quantizeInt8(Tables.embeddings(s, d))),
+    "q_zipf" -> ((s, d) =>
+      graft.ext.TextAnalysis.zipfFit(Tables.documents(s, d))),
 
     // ---- training-pipeline ops: packing / containment / bigram LM ----
     "q_token_pack" -> ((s, d) =>
@@ -3148,6 +3152,51 @@ object SparkEntry {
            round(cusum, 2) AS cusum,
            CAST(abs(cusum) > 3.0 * sd AS INT) AS flag
          FROM c, s2 ORDER BY day""",
+    "q_quantize" ->
+      """WITH e AS (
+           SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         m AS (
+           SELECT vec_id, v, list_min(v) AS mn,
+             (list_max(v) - list_min(v)) / 255.0 AS scale FROM e),
+         q AS (
+           SELECT vec_id, v, mn, scale,
+             list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+               ELSE least(255.0, greatest(0.0,
+                 floor((x - mn) / scale + 0.5))) END) AS codes
+           FROM m),
+         err AS (
+           SELECT vec_id, scale,
+             list_reduce(list_transform(range(1, len(v) + 1),
+               i -> (v[i] - (mn + codes[i] * scale))
+                  * (v[i] - (mn + codes[i] * scale))),
+               (a, b) -> a + b) AS sse,
+             len(v) AS d
+           FROM q)
+         SELECT vec_id, round(scale, 9) AS scale,
+           round(sse / d, 9) AS mse
+         FROM err ORDER BY vec_id""",
+    "q_zipf" ->
+      """WITH f AS (
+           SELECT tok, count(*) AS freq FROM (
+             SELECT unnest(list_filter(
+               string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+             FROM documents)
+           GROUP BY 1),
+         r AS (
+           SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tok)
+             AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y FROM f),
+         s AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+           FROM r)
+         SELECT CAST(n AS BIGINT) AS vocab,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+             6) AS intercept
+         FROM s""",
     "q_token_pack" ->
       """WITH t AS (
            SELECT doc_id, source, CAST(len(list_filter(

@@ -232,6 +232,32 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Per-vector int8 affine quantization report: scale = (max−min)/255,
+    * code_i = floor((x_i−min)/scale + 0.5) clamped to [0,255], and the
+    * reconstruction MSE — the compression step of a quantized vector
+    * index, with the error surfaced so a pipeline can gate on it. Pure
+    * per-row projection (no shuffle, no state): at 100 TB this runs at
+    * scan speed next to the index build. floor(z+0.5) replaces round()
+    * because engines disagree on round-half modes; constant vectors
+    * (scale 0) quantize to code 0 with zero error. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val x = col("embedding")
+    val mn = array_min(x).cast("double")
+    val mx = array_max(x).cast("double")
+    val scale = (mx - mn) / 255.0
+    val codes = transform(x, v => when(scale === 0.0, 0.0)
+      .otherwise(least(lit(255.0), greatest(lit(0.0),
+        floor((v.cast("double") - mn) / scale + 0.5)))))
+    val sqErr = zip_with(x, codes,
+      (v, q) => { val deq = mn + q * scale
+        (v.cast("double") - deq) * (v.cast("double") - deq) })
+    emb.select(col("vec_id"),
+        round(scale, 9).as("scale"),
+        round(aggregate(sqErr, lit(0.0), (acc, e) => acc + e) /
+          size(x), 9).as("mse"))
+      .orderBy("vec_id")
+  }
+
   /** Random-hyperplane LSH bucketing: `nBits` sign bits of dot products
     * with pseudo-random planes derived deterministically from portable
     * (bit, dim) hashes — no RNG state, reproducible across runs AND

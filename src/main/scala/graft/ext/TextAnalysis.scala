@@ -517,6 +517,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Zipf fit of the corpus token-frequency curve: OLS slope/intercept of
+    * ln(freq) against ln(rank) in closed form. A natural-language corpus
+    * slopes near −1; a flat or collapsed slope is a red flag (templated or
+    * deduplicate-starved data). The regression runs over the VOCABULARY
+    * (one row per distinct token, already reduced by the count aggregate);
+    * the OLS moment sums go through decimal so the fit is order-stable.
+    * The rank window orders by (freq, token) — deterministic under ties. */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("tok"))
+    val ranked = freq.withColumn("rank", row_number().over(w))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    val s = ranked.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x").cast("decimal(38,18)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(38,18)")).cast("double").as("sy"),
+      sum((col("x") * col("y")).cast("decimal(38,18)")).cast("double")
+        .as("sxy"),
+      sum((col("x") * col("x")).cast("decimal(38,18)")).cast("double")
+        .as("sxx"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    s.select(col("n").cast("bigint").as("vocab"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+  }
+
   def chunkBoilerplate(docs: DataFrame, chunkTokens: Int = 4): DataFrame = {
     // Native single-loop chunk assembly (graft.plans.TokenChunks): the HOF
     // equivalent (transform∘concat_ws∘slice) is interpreter-bound and

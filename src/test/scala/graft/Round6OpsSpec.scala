@@ -132,6 +132,33 @@ class Round6OpsSpec extends SparkSpec {
     assert(out(2L) == ((3L, 4L)))
   }
 
+  test("quantizeInt8: full-range vector is lossless, constant vector " +
+    "degenerates to scale 0") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 255.0f)),   // scale 1.0, codes (0,255), exact
+      (1L, Array(7.5f, 7.5f)))     // constant: scale 0, code 0, exact
+      .toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.quantizeInt8(vecs).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("scale"), r.getAs[Double]("mse"))).toMap
+    assert(out(0L) == ((1.0, 0.0)))
+    assert(out(1L) == ((0.0, 0.0)))
+    // fixture: every vector reconstructs with tiny error vs its range
+    val fx = graft.ext.Similarity.quantizeInt8(Tables.embeddings(spark, sf))
+      .collect()
+    assert(fx.forall(r => r.getAs[Double]("mse") >= 0.0 &&
+      r.getAs[Double]("mse") < 1e-4))
+  }
+
+  test("zipfFit: a 2-point power law fits slope -1 exactly") {
+    val docs = Seq((0L, "a a a a b b")).toDF("doc_id", "text")
+    val r = graft.ext.TextAnalysis.zipfFit(docs).head()
+    assert(r.getAs[Long]("vocab") == 2L)
+    // freqs (4, 2) at ranks (1, 2): slope = (ln2-ln4)/(ln2-0) = -1
+    assert(math.abs(r.getAs[Double]("slope") + 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(4.0)) < 1e-6)
+  }
+
   test("bm25 plans TakeOrderedAndProject and broadcasts the df/stats sides") {
     val plan = TextAnalysis.bm25(Tables.documents(spark, sf))
       .queryExecution.executedPlan.toString

@@ -152,6 +152,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("n_name"))
   }
 
+  test("join strategy hints are honored (SHUFFLE_HASH / MERGE / BROADCAST)") {
+    // At 100 TB the planner's size estimates can be stale; hints are the
+    // documented escape hatch and must survive to the physical plan.
+    val li = Tables.lineitem(spark, sf).select("l_orderkey")
+    val o = Tables.orders(spark, sf).select("o_orderkey")
+    def planWith(hint: String): String = physical(
+      li.join(o.hint(hint), col("l_orderkey") === col("o_orderkey")))
+    assert(planWith("shuffle_hash").contains("ShuffledHashJoin"))
+    assert(planWith("merge").contains("SortMergeJoin"))
+    assert(planWith("broadcast").contains("BroadcastHashJoin"))
+  }
+
   test("z-order layout key stays inside whole-stage codegen") {
     val df = graft.operators.ZOrder.layoutStats(
       Tables.lineitem(spark, sf), "l_partkey", "l_suppkey")

@@ -1111,6 +1111,11 @@ object SparkEntry {
       graft.ext.Similarity.quantizeInt8(Tables.embeddings(s, d))),
     "q_zipf" -> ((s, d) =>
       graft.ext.TextAnalysis.zipfFit(Tables.documents(s, d))),
+    "q_skew_report" -> ((s, d) =>
+      StatsAnalytics.keySkewReport(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))),
+    "q_mad" -> ((s, d) =>
+      StatsAnalytics.madByGroup(Tables.events(s, d))),
 
     // ---- training-pipeline ops: packing / containment / bigram LM ----
     "q_token_pack" -> ((s, d) =>
@@ -3197,6 +3202,40 @@ object SparkEntry {
            round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
              6) AS intercept
          FROM s""",
+    "q_skew_report" ->
+      """WITH c1 AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem
+             GROUP BY 1),
+         c2 AS (SELECT l_partkey AS k, count(*) AS n FROM lineitem
+             GROUP BY 1),
+         c3 AS (SELECT l_suppkey AS k, count(*) AS n FROM lineitem
+             GROUP BY 1),
+         r AS (
+           SELECT 'l_orderkey' AS key_col, CAST(count(*) AS BIGINT)
+               AS n_distinct, CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(max(n) AS BIGINT) AS max_key_rows,
+             round(max(n) / sum(n), 6) AS max_share,
+             round(quantile_cont(n, 0.99), 2) AS p99_key_rows FROM c1
+           UNION ALL
+           SELECT 'l_partkey', CAST(count(*) AS BIGINT),
+             CAST(sum(n) AS BIGINT), CAST(max(n) AS BIGINT),
+             round(max(n) / sum(n), 6),
+             round(quantile_cont(n, 0.99), 2) FROM c2
+           UNION ALL
+           SELECT 'l_suppkey', CAST(count(*) AS BIGINT),
+             CAST(sum(n) AS BIGINT), CAST(max(n) AS BIGINT),
+             round(max(n) / sum(n), 6),
+             round(quantile_cont(n, 0.99), 2) FROM c3)
+         SELECT * FROM r ORDER BY key_col""",
+    "q_mad" ->
+      """WITH m AS (
+           SELECT event_type, median(value) AS med FROM events
+           WHERE value IS NOT NULL GROUP BY 1)
+         SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(any_value(med), 6) AS median,
+           round(median(abs(value - med)), 6) AS mad
+         FROM events e JOIN m ON e.event_type = m.event_type
+         WHERE value IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
     "q_token_pack" ->
       """WITH t AS (
            SELECT doc_id, source, CAST(len(list_filter(

@@ -87,6 +87,50 @@ object StatsAnalytics {
       .orderBy("day")
   }
 
+  /** Join-key skew report: for each candidate join key of a fact table,
+    * the statistics that decide a 100 TB join strategy — distinct keys,
+    * rows on the hottest key, its share of the table, and the p99 of the
+    * per-key frequency distribution. One aggregate per key column (counts
+    * collapse map-side to ≤|keys| rows); the percentile runs over the
+    * per-key COUNTS, never the raw table. A max share ≫ 1/parallelism
+    * says "salt this key or let AQE split it" (see q_salted_join). */
+  def keySkewReport(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val reports = keys.map { k =>
+      val counts = df.select(col(k)).groupBy(k)
+        .agg(count(lit(1)).as("n"))
+      counts.agg(
+        lit(k).as("key_col"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_key_rows"),
+        round(max(col("n")) / sum(col("n")), 6).as("max_share"),
+        round(percentile(col("n"), lit(0.99)), 2).as("p99_key_rows"))
+    }
+    reports.reduce(_.union(_)).orderBy("key_col")
+  }
+
+  /** Per-group robust dispersion via MAD (median absolute deviation):
+    * median of |x − median| with exact interpolated medians. Robust
+    * counterpart of [[anomalies]]' mean/stddev — a heavy tail moves the
+    * z-score cutoff but barely moves MAD. Two grouped percentile passes;
+    * the |groups|-row median frame broadcasts between them, so the raw
+    * table shuffles on the group key twice and nothing else. At 100 TB
+    * swap exact percentile for approx_percentile (mergeable, one pass). */
+  def madByGroup(ev: DataFrame): DataFrame = {
+    val med = ev.filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    ev.filter(col("value").isNotNull)
+      .join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(first(col("med")), 6).as("median"),
+        round(percentile(abs(col("value") - col("med")), lit(0.5)), 6)
+          .as("mad"))
+      .orderBy("event_type")
+  }
+
   /** Winsorization: clip values to the per-group [p_lo, p_hi] percentile
     * band (robust-scaling step for training-data value columns). Pass 1
     * computes exact percentiles per group (swap in approx_percentile at the

@@ -159,6 +159,28 @@ class Round6OpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("intercept") - math.log(4.0)) < 1e-6)
   }
 
+  test("keySkewReport: crafted hot key yields the right share and p99") {
+    val df = Seq(1L, 1L, 1L, 2L).toDF("k")
+    val r = graft.analytics.StatsAnalytics.keySkewReport(df, Seq("k")).head()
+    assert(r.getAs[Long]("n_distinct") == 2L)
+    assert(r.getAs[Long]("n_rows") == 4L)
+    assert(r.getAs[Long]("max_key_rows") == 3L)
+    assert(r.getAs[Double]("max_share") == 0.75)
+  }
+
+  test("madByGroup: outlier barely moves MAD (robustness vs stddev)") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 100.0))
+      .map { case (id, t, v) =>
+        (id, t, v, Timestamp.valueOf("2024-01-01 00:00:00")) }
+      .toDF("event_id", "event_type", "value", "ts")
+    val r = graft.analytics.StatsAnalytics.madByGroup(ev).head()
+    // median of (1,2,3,100) = 2.5; |x-2.5| = (1.5,0.5,0.5,97.5) → MAD 1.0
+    assert(r.getAs[Double]("median") == 2.5)
+    assert(r.getAs[Double]("mad") == 1.0)
+  }
+
   test("bm25 plans TakeOrderedAndProject and broadcasts the df/stats sides") {
     val plan = TextAnalysis.bm25(Tables.documents(spark, sf))
       .queryExecution.executedPlan.toString

@@ -92,8 +92,11 @@ object StatsAnalytics {
     * rows on the hottest key, its share of the table, and the p99 of the
     * per-key frequency distribution. One aggregate per key column (counts
     * collapse map-side to ≤|keys| rows); the percentile runs over the
-    * per-key COUNTS, never the raw table. A max share ≫ 1/parallelism
-    * says "salt this key or let AQE split it" (see q_salted_join). */
+    * per-key COUNTS, never the raw table — and at the 100 TB design point
+    * swap the exact percentile for approx_percentile (mergeable, no
+    * single-reducer sort over a billion-key count frame). A max share
+    * ≫ 1/parallelism says "salt this key or let AQE split it" (see
+    * q_salted_join). */
   def keySkewReport(df: DataFrame, keys: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     val reports = keys.map { k =>

@@ -1116,6 +1116,14 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey", "l_suppkey"))),
     "q_mad" -> ((s, d) =>
       StatsAnalytics.madByGroup(Tables.events(s, d))),
+    "q_split_counts" -> ((s, d) =>
+      graft.operators.Sampling.splitAssign(
+          Tables.documents(s, d), col("doc_id"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "split")),
+    "q_dataset_card" -> ((s, d) =>
+      graft.ext.TextAnalysis.datasetCard(Tables.documents(s, d))),
 
     // ---- training-pipeline ops: packing / containment / bigram LM ----
     "q_token_pack" -> ((s, d) =>
@@ -3236,6 +3244,32 @@ object SparkEntry {
          FROM events e JOIN m ON e.event_type = m.event_type
          WHERE value IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
+    "q_split_counts" ->
+      """SELECT source,
+           CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  ::BIGINT % 100 < 80 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  ::BIGINT % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_dataset_card" ->
+      """WITH t AS (
+           SELECT lang, source, n_chars, text,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6)
+             AS mean_tokens,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_chars,
+           CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_exact_dups,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+         FROM t""",
     "q_token_pack" ->
       """WITH t AS (
            SELECT doc_id, source, CAST(len(list_filter(

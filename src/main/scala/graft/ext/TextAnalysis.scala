@@ -547,6 +547,28 @@ object TextAnalysis {
       round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
   }
 
+  /** Dataset card: the one-row datasheet a corpus release ships with —
+    * sizes, source/language breadth, token statistics, exact-duplicate
+    * count. ONE pass over the corpus (single aggregate, map-side
+    * partials); means are computed as exact-integer sum / count rather
+    * than avg() so the card is bit-stable across partition orders. */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val staged = docs.select(col("lang"), col("source"), col("n_chars"),
+      col("text"), size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+    staged.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6)
+        .as("mean_tokens"),
+      round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+        .as("mean_chars"),
+      (count(lit(1)) - countDistinct(col("text"))).as("n_exact_dups"),
+      min(col("n_tokens")).as("min_tokens"),
+      max(col("n_tokens")).as("max_tokens"))
+  }
+
   def chunkBoilerplate(docs: DataFrame, chunkTokens: Int = 4): DataFrame = {
     // Native single-loop chunk assembly (graft.plans.TokenChunks): the HOF
     // equivalent (transform∘concat_ws∘slice) is interpreter-bound and

@@ -31,6 +31,21 @@ object Sampling {
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
       .cast("bigint") % m
 
+  /** Deterministic train/val/test assignment: hash bucket of the key mod
+    * 100 → [0,trainPct) train, [trainPct,trainPct+valPct) val, rest test.
+    * A pure projection — the same row lands in the same split on every
+    * run, engine, and cluster, which is what makes downstream eval
+    * honest (no leakage when the corpus is re-partitioned or appended:
+    * new rows join splits independently, old rows never move). */
+  def splitAssign(df: DataFrame, key: Column,
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val b = hashBucket(key, 100)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
   /** Stratified sampler: keeps a row iff its key's hash bucket (per-mille)
     * falls below the stratum's rate. Rows in strata absent from `rates`
     * keep `defaultPerMille`. A pure filter — no shuffle, pushes down

@@ -181,6 +181,37 @@ class Round6OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("mad") == 1.0)
   }
 
+  test("splitAssign: exhaustive, disjoint, stable, and roughly 80/10/10") {
+    val docs = Tables.documents(spark, sf)
+    val out = graft.operators.Sampling.splitAssign(docs, col("doc_id"))
+    assert(out.count() == docs.count()) // pure projection, no row loss
+    val bys = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bys.keySet.subsetOf(Set("train", "val", "test")))
+    val n = bys.values.sum.toDouble
+    assert(bys("train") / n > 0.6 && bys("train") / n < 0.95)
+    // re-running yields the identical assignment (hash, not RNG)
+    val again = graft.operators.Sampling.splitAssign(docs, col("doc_id"))
+    assert(out.select("doc_id", "split")
+      .exceptAll(again.select("doc_id", "split")).isEmpty)
+  }
+
+  test("datasetCard counts an exact duplicate and exact token totals") {
+    val docs = Seq(
+      (0L, "en", "s1", 7L, "one two three"),
+      (1L, "en", "s2", 7L, "one two three"),  // exact dup of doc 0
+      (2L, "de", "s1", 9L, "vier funf"))
+      .toDF("doc_id", "lang", "source", "n_chars", "text")
+    val r = graft.ext.TextAnalysis.datasetCard(docs).head()
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_sources") == 2L)
+    assert(r.getAs[Long]("n_langs") == 2L)
+    assert(r.getAs[Long]("total_tokens") == 8L)
+    assert(r.getAs[Long]("n_exact_dups") == 1L)
+    assert(r.getAs[Long]("min_tokens") == 2L)
+    assert(r.getAs[Long]("max_tokens") == 3L)
+  }
+
   test("bm25 plans TakeOrderedAndProject and broadcasts the df/stats sides") {
     val plan = TextAnalysis.bm25(Tables.documents(spark, sf))
       .queryExecution.executedPlan.toString

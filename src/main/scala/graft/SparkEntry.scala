@@ -1124,6 +1124,10 @@ object SparkEntry {
         .orderBy("source", "split")),
     "q_dataset_card" -> ((s, d) =>
       graft.ext.TextAnalysis.datasetCard(Tables.documents(s, d))),
+    "q_conversion_time" -> ((s, d) =>
+      EventAnalytics.conversionTime(Tables.events(s, d))),
+    "q_copurchase" -> ((s, d) =>
+      StarAnalytics.coPurchasePairs(s, d)),
 
     // ---- training-pipeline ops: packing / containment / bigram LM ----
     "q_token_pack" -> ((s, d) =>
@@ -3270,6 +3274,32 @@ object SparkEntry {
            CAST(min(n_tokens) AS BIGINT) AS min_tokens,
            CAST(max(n_tokens) AS BIGINT) AS max_tokens
          FROM t""",
+    "q_conversion_time" ->
+      """WITH per AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+           FROM events WHERE user_id IS NOT NULL
+             AND event_type IN ('signup', 'purchase')
+           GROUP BY 1),
+         d AS (
+           SELECT (epoch_us(p) - epoch_us(s)) / 1000000.0 AS delta_sec
+           FROM per WHERE s IS NOT NULL AND p IS NOT NULL AND p >= s)
+         SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(quantile_cont(delta_sec, 0.25), 2) AS p25_sec,
+           round(quantile_cont(delta_sec, 0.5), 2) AS p50_sec,
+           round(quantile_cont(delta_sec, 0.75), 2) AS p75_sec,
+           round(quantile_cont(delta_sec, 0.9), 2) AS p90_sec
+         FROM d""",
+    "q_copurchase" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (
+           SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey)
+         SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+         FROM pairs GROUP BY 1, 2
+         ORDER BY n_orders DESC, part_a, part_b LIMIT 20""",
     "q_token_pack" ->
       """WITH t AS (
            SELECT doc_id, source, CAST(len(list_filter(

@@ -366,4 +366,31 @@ object EventAnalytics {
       sum(when(!col("event_type").isin(allowedTypes.map(lit): _*), 1L)
         .otherwise(0L)).as("invalid_type_rows"),
       round(sum(coalesce(col("value"), lit(0.0))), 2).as("total_value"))
+
+  /** Signup→purchase conversion-time distribution: per user, the delay
+    * from FIRST signup to FIRST purchase (users whose first purchase
+    * precedes their first signup are excluded — that conversion wasn't
+    * driven by the signup). Deltas are exact integer MICROSECONDS
+    * (`unix_micros` ≡ DuckDB `epoch_us`; second-granularity functions
+    * would truncate sub-second parts differently), so the interpolated
+    * percentiles are bit-identical across engines. One shuffle on
+    * user_id; the percentile runs over the |users|-row delta frame. */
+  def conversionTime(ev: DataFrame): DataFrame = {
+    val per = ev
+      .filter(col("user_id").isNotNull &&
+        col("event_type").isin("signup", "purchase"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("s"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+      .filter(col("s").isNotNull && col("p").isNotNull &&
+        col("p") >= col("s"))
+      .select(((unix_micros(col("p")) - unix_micros(col("s"))) / 1000000.0)
+        .as("delta_sec"))
+    per.agg(
+      count(lit(1)).as("n_users"),
+      round(percentile(col("delta_sec"), lit(0.25)), 2).as("p25_sec"),
+      round(percentile(col("delta_sec"), lit(0.5)), 2).as("p50_sec"),
+      round(percentile(col("delta_sec"), lit(0.75)), 2).as("p75_sec"),
+      round(percentile(col("delta_sec"), lit(0.9)), 2).as("p90_sec"))
+  }
 }

@@ -648,6 +648,31 @@ object StarAnalytics {
       .orderBy("p_partkey", "s_name")
   }
 
+  /** Market-basket co-purchase pairs: part pairs appearing in the same
+    * order, counted across orders, top k. The pair universe is generated
+    * LOCALLY per order from its (deduped, sorted) part set — order sizes
+    * are bounded (~7 lineitems), so the local synthesis is O(|order|²)
+    * with a small constant and the plan has ONE corpus-sized shuffle (the
+    * per-order collect_set) regardless of catalog size. The self-join
+    * formulation shuffles the order-part table twice more and explodes
+    * with data volume. Same shape as q_source_overlap's pair synthesis. */
+  def coPurchasePairs(spark: SparkSession, sfDir: String,
+                      k: Int = 20): DataFrame = {
+    val sets = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) > 1)
+    sets.select(explode(flatten(transform(col("ps"),
+        (x, i) => transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("part_a"), y.as("part_b")))))).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(k)
+  }
+
   /** TPC-H Q21-shaped waiting-supplier count (adapted: the fixture has no
     * commit/receipt dates, so "kept the order waiting" = shipped the
     * STRICTLY LATEST lineitem of a finished multi-supplier order). The

@@ -212,6 +212,39 @@ class Round6OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("max_tokens") == 3L)
   }
 
+  test("conversionTime: first-to-first delta; pre-signup purchasers drop") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 10L, "signup", ts("2024-01-01 00:00:00")),
+      (2L, 10L, "purchase", ts("2024-01-01 00:01:40")), // +100 s
+      (3L, 10L, "purchase", ts("2024-01-02 00:00:00")), // later: ignored
+      (4L, 20L, "purchase", ts("2024-01-01 00:00:00")), // before signup
+      (5L, 20L, "signup", ts("2024-01-01 01:00:00")),
+      (6L, 30L, "signup", ts("2024-01-01 00:00:00")))   // never converts
+      .map { case (id, u, t, tt) => (id, u, t, tt, 1.0) }
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+    val r = graft.analytics.EventAnalytics.conversionTime(ev).head()
+    assert(r.getAs[Long]("n_users") == 1L)
+    assert(r.getAs[Double]("p50_sec") == 100.0)
+  }
+
+  test("coPurchasePairs: pair counts from crafted baskets, dup lines dedup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_basket_")
+    val li = Seq(
+      (1L, 101L), (1L, 102L), (1L, 103L), (1L, 101L), // dup line
+      (2L, 101L), (2L, 102L),
+      (3L, 105L))                                      // singleton order
+      .toDF("l_orderkey", "l_partkey")
+    li.write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val out = StarAnalytics.coPurchasePairs(spark, dir.toString).collect()
+      .map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b")) ->
+        r.getAs[Long]("n_orders")).toMap
+    assert(out == Map((101L, 102L) -> 2L, (101L, 103L) -> 1L,
+      (102L, 103L) -> 1L))
+  }
+
   test("bm25 plans TakeOrderedAndProject and broadcasts the df/stats sides") {
     val plan = TextAnalysis.bm25(Tables.documents(spark, sf))
       .queryExecution.executedPlan.toString

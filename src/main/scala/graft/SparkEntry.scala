@@ -689,6 +689,28 @@ object SparkEntry {
       }
     }),
 
+    "q_tws_type_counts" -> ((s, d) => {
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val stream = graft.streaming.EventStream.readEventsStream(s, d)
+        graft.streaming.EventStream.drainStatefulLatest(
+            graft.streaming.EventStream.twsTypeCounts(stream),
+            Seq("user_id", "event_type"), "n_events")
+          .orderBy("user_id", "event_type")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        prevProv match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    }),
+
     // ---- streaming: flatMapGroupsWithState (0..n rows per key/batch) ----
     "q_threshold_alerts" -> ((s, d) => {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -1560,6 +1582,10 @@ object SparkEntry {
            max(coalesce(value, 0)) AS max_value
          FROM events WHERE user_id IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
+    "q_tws_type_counts" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
+         FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_salted_join" ->
       """SELECT o.o_orderpriority,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,

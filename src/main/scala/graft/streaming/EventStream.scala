@@ -33,6 +33,41 @@ case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 case class UserStats(user_id: Long, n_events: Long, total_value: Double,
                      max_value: Double)
 
+/** Output row for `EventStream.twsTypeCounts`. */
+case class UserTypeCount(user_id: Long, event_type: String, n_events: Long)
+
+/** transformWithState processor with MAP-typed state: per-user counts
+  * keyed by event type in one MapState cell — sub-keyed state without
+  * widening the stream's grouping key (grouping by (user, type) instead
+  * would shuffle on the wider key and make per-user rollups a second
+  * shuffle). Emits the updated entries of each touched user per batch;
+  * counts are monotone, so keep-latest recovers the final map. */
+class UserTypeCountsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), UserTypeCount] {
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode,
+    TimerValues, TTLConfig}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+                               tv: TimerValues): Iterator[UserTypeCount] = {
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    rows.foreach { r =>
+      val t = r._2
+      val n = if (counts.containsKey(t)) counts.getValue(t) else 0L
+      counts.updateValue(t, n + 1L)
+      touched += t
+    }
+    touched.iterator.map(t => UserTypeCount(key, t, counts.getValue(t)))
+  }
+}
+
 /** Spark 4 `transformWithState` processor behind `EventStream.twsUserStats`:
   * running per-user (count, total, max) in a single ValueState cell. The
   * accumulators are all order-independent, so the final state — and the
@@ -245,6 +280,22 @@ object EventStream {
         TimeMode.None(), OutputMode.Update())
       .toDF()
       .withColumn("total_value", round(col("total_value"), 2))
+  }
+
+  /** Per-user event-type counts via `transformWithState` MapState (see
+    * [[UserTypeCountsProcessor]]). Same RocksDB-provider requirement as
+    * [[twsUserStats]]. */
+  def twsTypeCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id").cast("long"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new UserTypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
   }
 
   /** Zero-or-more rows per key per batch via `flatMapGroupsWithState`:

@@ -129,6 +129,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState sub-keyed counts equal the batch " +
+    "rollup across micro-batches") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft_twsmap_").toString
+      val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      ev.repartition(4).write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val streamed = EventStream.drainStatefulLatest(
+        EventStream.twsTypeCounts(stream),
+        Seq("user_id", "event_type"), "n_events")
+      val batch = ev.filter(col("event_type").isNotNull)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_events"))
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+    } finally prevProv match {
+      case Some(p) => spark.conf.set(provKey, p)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("flatMapGroupsWithState alerts are micro-batching-independent") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_alerts_").toString

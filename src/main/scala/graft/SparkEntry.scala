@@ -711,6 +711,28 @@ object SparkEntry {
       }
     }),
 
+    "q_tws_last_n" -> ((s, d) => {
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        val stream = graft.streaming.EventStream.readEventsStream(s, d)
+        graft.streaming.EventStream.drainStatefulLatest(
+            graft.streaming.EventStream.twsLastN(stream),
+            Seq("user_id"), "n_seen")
+          .orderBy("user_id")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        prevProv match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    }),
+
     // ---- streaming: flatMapGroupsWithState (0..n rows per key/batch) ----
     "q_threshold_alerts" -> ((s, d) => {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -1148,6 +1170,8 @@ object SparkEntry {
       graft.ext.TextAnalysis.datasetCard(Tables.documents(s, d))),
     "q_conversion_time" -> ((s, d) =>
       EventAnalytics.conversionTime(Tables.events(s, d))),
+    "q_twap" -> ((s, d) =>
+      EventAnalytics.twapByUser(Tables.events(s, d))),
     "q_copurchase" -> ((s, d) =>
       StarAnalytics.coPurchasePairs(s, d)),
 
@@ -1586,6 +1610,17 @@ object SparkEntry {
       """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events
          FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_tws_last_n" ->
+      """WITH o AS (
+           SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_seen
+           FROM events WHERE user_id IS NOT NULL)
+         SELECT user_id, CAST(any_value(n_seen) AS BIGINT) AS n_seen,
+           string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn)
+             AS last_ids
+         FROM o WHERE rn <= 3 GROUP BY 1 ORDER BY 1""",
     "q_salted_join" ->
       """SELECT o.o_orderpriority,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
@@ -3317,6 +3352,20 @@ object SparkEntry {
            round(quantile_cont(delta_sec, 0.75), 2) AS p75_sec,
            round(quantile_cont(delta_sec, 0.9), 2) AS p90_sec
          FROM d""",
+    "q_twap" ->
+      """WITH s AS (
+           SELECT user_id, value, epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS t_next
+           FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         g AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+             sum(CAST(value * (t_next - t) AS DECIMAL(38,6))) AS wsum,
+             CAST(sum(t_next - t) AS BIGINT) AS span_us
+           FROM s WHERE t_next IS NOT NULL GROUP BY 1)
+         SELECT user_id, n_intervals,
+           round(CAST(wsum AS DOUBLE) / span_us, 6) AS twap
+         FROM g WHERE span_us > 0 ORDER BY 1""",
     "q_copurchase" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          pairs AS (

@@ -375,6 +375,36 @@ object EventAnalytics {
     * would truncate sub-second parts differently), so the interpolated
     * percentiles are bit-identical across engines. One shuffle on
     * user_id; the percentile runs over the |users|-row delta frame. */
+  /** Per-user time-weighted average value (TWAP): each event's value
+    * holds until the user's next event, so the mean is weighted by the
+    * holding interval — the honest summary when sampling is irregular
+    * (a value held for an hour should not count like one held for a
+    * second). Weights are exact integer microsecond deltas; the weighted
+    * sum goes through decimal so the per-user TWAP is order-stable.
+    * Users with a single event (zero span) are excluded. One shuffle on
+    * user_id for the window; the final aggregate reuses the same
+    * partitioning. */
+  def twapByUser(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val staged = ev
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("t_next", lead(col("t"), 1).over(w))
+      .filter(col("t_next").isNotNull)
+    staged.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_intervals"),
+        sum((col("value") * (col("t_next") - col("t")))
+          .cast("decimal(38,6)")).as("wsum"),
+        sum(col("t_next") - col("t")).as("span_us"))
+      .filter(col("span_us") > 0)
+      .select(col("user_id"), col("n_intervals"),
+        round(col("wsum").cast("double") / col("span_us"), 6).as("twap"))
+      .orderBy("user_id")
+  }
+
   def conversionTime(ev: DataFrame): DataFrame = {
     val per = ev
       .filter(col("user_id").isNotNull &&

@@ -36,6 +36,48 @@ case class UserStats(user_id: Long, n_events: Long, total_value: Double,
 /** Output row for `EventStream.twsTypeCounts`. */
 case class UserTypeCount(user_id: Long, event_type: String, n_events: Long)
 
+/** Output row for `EventStream.twsLastN`. */
+case class UserLastN(user_id: Long, n_seen: Long, last_ids: String)
+
+/** transformWithState processor with LIST-typed state plus a ValueState
+  * counter: keeps each user's n most recent (ts, event_id) pairs — a
+  * bounded ring buffer, the state shape behind "last N actions" features
+  * — and a monotone seen-counter so keep-latest can recover the final
+  * buffer. Recency order is (ts, event_id) DESC, so the buffer content
+  * is a pure function of the input SET: within-batch arrival order and
+  * micro-batch splits cannot change it. */
+class UserLastNProcessor(n: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), UserLastN] {
+  import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode,
+    TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var recent: ListState[(Long, Long)] = _
+  @transient private var seen: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    recent = getHandle.getListState[(Long, Long)]("recent",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+    seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong,
+      TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long,
+                               rows: Iterator[(Long, Long, Long)],
+                               tv: TimerValues): Iterator[UserLastN] = {
+    val added = rows.map(r => (r._2, r._3)).toSeq
+    val total = (if (seen.exists()) seen.get() else 0L) + added.size
+    val top = (recent.get().toSeq ++ added)
+      .sortBy { case (t, id) => (-t, -id) }.take(n)
+    recent.put(top.toArray)
+    seen.update(total)
+    Iterator.single(UserLastN(key, total,
+      top.map(_._2).mkString(",")))
+  }
+}
+
 /** transformWithState processor with MAP-typed state: per-user counts
   * keyed by event type in one MapState cell — sub-keyed state without
   * widening the stream's grouping key (grouping by (user, type) instead
@@ -294,6 +336,23 @@ object EventStream {
       .as[(Long, String)]
       .groupByKey(_._1)
       .transformWithState(new UserTypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  /** Per-user last-n event ids via `transformWithState` ListState (see
+    * [[UserLastNProcessor]]). Same RocksDB requirement as the other
+    * tws operators. */
+  def twsLastN(events: DataFrame, n: Int = 3): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new UserLastNProcessor(n),
         TimeMode.None(), OutputMode.Update())
       .toDF()
   }

@@ -156,6 +156,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState ListState ring buffer is input-set pure " +
+    "across micro-batches") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft_twslist_").toString
+      val ev = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      ev.repartition(4).write.mode("overwrite").parquet(dir)
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val streamed = EventStream.drainStatefulLatest(
+        EventStream.twsLastN(stream), Seq("user_id"), "n_seen")
+      // batch truth: top-3 most recent event ids per user, comma-joined
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(unix_micros(col("ts")).desc, col("event_id").desc)
+      val batch = ev.withColumn("rn", row_number().over(w))
+        .withColumn("n_seen", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(first(col("n_seen")).as("n_seen"),
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(col("rn"), col("event_id")))),
+            s => s.getField("event_id").cast("string"))).as("last_ids"))
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+    } finally prevProv match {
+      case Some(p) => spark.conf.set(provKey, p)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("flatMapGroupsWithState alerts are micro-batching-independent") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_alerts_").toString

@@ -164,6 +164,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(planWith("broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("star join degrades to shuffle joins when auto-broadcast is off, " +
+    "with identical results") {
+    // The 100 TB failure mode: size estimates go stale and nothing
+    // auto-broadcasts. The explicitly-broadcast fixed dims must still
+    // broadcast; the scaling joins must fall back to shuffle strategies;
+    // and the ANSWER must not change with the strategy.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    val expected = StarAnalytics.regionRevenue(spark, sf).collect()
+    spark.conf.set(key, "-1")
+    try {
+      val df = StarAnalytics.regionRevenue(spark, sf)
+      val plan = physical(df)
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), plan.take(600))
+      assert(plan.contains("BroadcastHashJoin")) // forced dims unaffected
+      assert(df.collect().toSeq == expected.toSeq)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("z-order layout key stays inside whole-stage codegen") {
     val df = graft.operators.ZOrder.layoutStats(
       Tables.lineitem(spark, sf), "l_partkey", "l_suppkey")

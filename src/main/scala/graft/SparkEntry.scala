@@ -1174,6 +1174,8 @@ object SparkEntry {
       EventAnalytics.twapByUser(Tables.events(s, d))),
     "q_copurchase" -> ((s, d) =>
       StarAnalytics.coPurchasePairs(s, d)),
+    "q_pagerank" -> ((s, d) =>
+      graft.analytics.GraphAnalytics.coPurchaseRank(s, d)),
 
     // ---- training-pipeline ops: packing / containment / bigram LM ----
     "q_token_pack" -> ((s, d) =>
@@ -3375,6 +3377,47 @@ object SparkEntry {
          SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
          FROM pairs GROUP BY 1, 2
          ORDER BY n_orders DESC, part_a, part_b LIMIT 20""",
+    "q_pagerank" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS n
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         edges AS (
+           SELECT pa AS src, pb AS dst, n AS w FROM pairs
+           UNION ALL SELECT pb, pa, n FROM pairs),
+         outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+         e AS (
+           SELECT edges.src, dst, CAST(w AS DOUBLE) / ow AS frac
+           FROM edges JOIN outw USING (src)),
+         nodes AS (SELECT DISTINCT src AS id FROM e),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         r0 AS (SELECT id, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+         c1 AS (
+           SELECT dst, CAST(sum(CAST(rank * frac AS DECIMAL(38,18)))
+             AS DOUBLE) AS inflow
+           FROM e JOIN r0 ON e.src = r0.id GROUP BY 1),
+         r1 AS (
+           SELECT id, (1 - 0.85) / n + 0.85 * coalesce(inflow, 0.0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.dst),
+         c2 AS (
+           SELECT dst, CAST(sum(CAST(rank * frac AS DECIMAL(38,18)))
+             AS DOUBLE) AS inflow
+           FROM e JOIN r1 ON e.src = r1.id GROUP BY 1),
+         r2 AS (
+           SELECT id, (1 - 0.85) / n + 0.85 * coalesce(inflow, 0.0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.dst),
+         c3 AS (
+           SELECT dst, CAST(sum(CAST(rank * frac AS DECIMAL(38,18)))
+             AS DOUBLE) AS inflow
+           FROM e JOIN r2 ON e.src = r2.id GROUP BY 1),
+         r3 AS (
+           SELECT id, (1 - 0.85) / n + 0.85 * coalesce(inflow, 0.0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.dst)
+         SELECT id, round(rank, 9) AS rank FROM r3
+         ORDER BY round(rank, 9) DESC, id LIMIT 20""",
     "q_token_pack" ->
       """WITH t AS (
            SELECT doc_id, source, CAST(len(list_filter(

@@ -1,0 +1,66 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative graph analytics over relational edge lists — the second
+  * distributed-iteration family beside connected components
+  * (graft.ext.DedupCluster). No graph library: each iteration is a plain
+  * join + aggregate, which is exactly how Pregel-style systems execute on
+  * a relational engine anyway.
+  */
+object GraphAnalytics {
+
+  /** Weighted PageRank over an undirected edge list, fixed iteration
+    * count. Each step: contribution = rank·w/outw along every directed
+    * edge, summed per target IN DECIMAL (order-stable — the float sums
+    * would drift across partition orders and engines), then damped.
+    * The rank frame is node-cardinality — it BROADCASTS into the edge
+    * join, so each iteration shuffles only the edge contributions once.
+    * Iterations are unrolled logical plans; `localCheckpoint` truncates
+    * the lineage each round so plan size stays constant (same pattern as
+    * DedupCluster's label propagation). No dangling-node term: an
+    * undirected edge list gives every node at least one out-edge. */
+  def pageRank(edges: DataFrame, damping: Double = 0.85,
+               iterations: Int = 3): DataFrame = {
+    // edges: (src, dst, w) — already symmetric for undirected graphs
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("outw"))
+    val e = edges.join(outw, "src")
+      .select(col("src"), col("dst"), (col("w") / col("outw")).as("frac"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("id")).distinct().localCheckpoint()
+    val n = nodes.count()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(broadcast(ranks),
+          e("src") === ranks("id"))
+        .select(col("dst"),
+          (col("rank") * col("frac")).cast("decimal(38,18)").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).cast("double").as("inflow"))
+      ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id"), round(col("rank"), 9).as("rank"))
+  }
+
+  /** PageRank of the co-purchase graph: parts as nodes, same-order
+    * co-occurrence counts as edge weights (see
+    * [[StarAnalytics.coPurchasePairs]] for the basket synthesis). Top-k
+    * central parts — the "hub products" a recommender would seed with. */
+  def coPurchaseRank(spark: SparkSession, sfDir: String,
+                     k: Int = 20): DataFrame = {
+    val pairs = StarAnalytics.coPurchaseCounts(spark, sfDir)
+    val edges = pairs.select(col("part_a").as("src"),
+        col("part_b").as("dst"), col("n_orders").as("w"))
+      .union(pairs.select(col("part_b").as("src"),
+        col("part_a").as("dst"), col("n_orders").as("w")))
+    pageRank(edges)
+      .orderBy(col("rank").desc, col("id"))
+      .limit(k)
+  }
+}

@@ -656,8 +656,9 @@ object StarAnalytics {
     * per-order collect_set) regardless of catalog size. The self-join
     * formulation shuffles the order-part table twice more and explodes
     * with data volume. Same shape as q_source_overlap's pair synthesis. */
-  def coPurchasePairs(spark: SparkSession, sfDir: String,
-                      k: Int = 20): DataFrame = {
+  /** Unordered co-purchase pair counts (the full pair table, no sort —
+    * feed for top-k reporting AND graph construction). */
+  def coPurchaseCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val sets = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .groupBy("l_orderkey")
@@ -669,9 +670,13 @@ object StarAnalytics {
       .select(col("p.part_a"), col("p.part_b"))
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_orders"))
+  }
+
+  def coPurchasePairs(spark: SparkSession, sfDir: String,
+                      k: Int = 20): DataFrame =
+    coPurchaseCounts(spark, sfDir)
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(k)
-  }
 
   /** TPC-H Q21-shaped waiting-supplier count (adapted: the fixture has no
     * commit/receipt dates, so "kept the order waiting" = shipped the

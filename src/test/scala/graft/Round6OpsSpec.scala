@@ -245,6 +245,19 @@ class Round6OpsSpec extends SparkSpec {
       (102L, 103L) -> 1L))
   }
 
+  test("pageRank: symmetric pair splits evenly; star center dominates; " +
+    "mass is conserved") {
+    // path a–b–c: b receives from both leaves, leaves only from b
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val r = graft.analytics.GraphAnalytics.pageRank(edges).collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Double]("rank")).toMap
+    assert(r(2L) > r(1L) && r(2L) > r(3L)) // center dominates
+    assert(math.abs(r(1L) - r(3L)) < 1e-12) // symmetry
+    // tolerance: output ranks are rounded to 9 dp (±0.5e-9 per node)
+    assert(math.abs(r.values.sum - 1.0) < 1e-8) // mass conserved
+  }
+
   test("bm25 plans TakeOrderedAndProject and broadcasts the df/stats sides") {
     val plan = TextAnalysis.bm25(Tables.documents(spark, sf))
       .queryExecution.executedPlan.toString

@@ -3384,7 +3384,8 @@ object SparkEntry {
              CAST(count(*) AS BIGINT) AS n
            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
              AND a.l_partkey < b.l_partkey
-           GROUP BY 1, 2),
+           GROUP BY 1, 2
+           HAVING count(*) >= 2),
          edges AS (
            SELECT pa AS src, pb AS dst, n AS w FROM pairs
            UNION ALL SELECT pb, pa, n FROM pairs),

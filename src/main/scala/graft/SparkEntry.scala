@@ -1176,6 +1176,12 @@ object SparkEntry {
       StarAnalytics.coPurchasePairs(s, d)),
     "q_pagerank" -> ((s, d) =>
       graft.analytics.GraphAnalytics.coPurchaseRank(s, d)),
+    "q_assoc_rules" -> ((s, d) =>
+      StarAnalytics.assocRules(s, d)),
+    "q_seasonality" -> ((s, d) =>
+      EventAnalytics.seasonality(Tables.events(s, d))),
+    "q_histogram2d" -> ((s, d) =>
+      StatsAnalytics.histogram2d(Tables.lineitem(s, d))),
 
     // ---- training-pipeline ops: packing / containment / bigram LM ----
     "q_token_pack" -> ((s, d) =>
@@ -3419,6 +3425,45 @@ object SparkEntry {
            FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.dst)
          SELECT id, round(rank, 9) AS rank FROM r3
          ORDER BY round(rank, 9) DESC, id LIMIT 20""",
+    "q_assoc_rules" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pn AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+           FROM op GROUP BY 1),
+         tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nt
+           FROM op),
+         pairs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS n
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         rules AS (
+           SELECT pa AS antecedent, pb AS consequent, n AS support
+           FROM pairs
+           UNION ALL SELECT pb, pa, n FROM pairs)
+         SELECT antecedent, consequent, support,
+           round(support / na.n_part, 6) AS confidence,
+           round((support / na.n_part) / (nb.n_part / nt), 6) AS lift
+         FROM rules
+         JOIN pn na ON na.l_partkey = antecedent
+         JOIN pn nb ON nb.l_partkey = consequent
+         CROSS JOIN tot
+         ORDER BY lift DESC, antecedent, consequent LIMIT 20""",
+    "q_seasonality" ->
+      """WITH c AS (
+           SELECT CAST((CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+               + 4) % 7 AS INT) AS dow,
+             CAST(hour(ts) AS INT) AS hr,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2)
+         SELECT dow, hr, n_events,
+           round(n_events / (SELECT sum(n_events) FROM c), 6) AS share
+         FROM c ORDER BY 1, 2""",
+    "q_histogram2d" ->
+      """SELECT CAST(floor(l_quantity / 5.0) AS BIGINT) AS qty_bucket,
+           CAST(floor(l_discount * 50.0) AS BIGINT) AS disc_bucket,
+           CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_token_pack" ->
       """WITH t AS (
            SELECT doc_id, source, CAST(len(list_filter(

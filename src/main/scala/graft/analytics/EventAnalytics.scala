@@ -375,6 +375,26 @@ object EventAnalytics {
     * would truncate sub-second parts differently), so the interpolated
     * percentiles are bit-identical across engines. One shuffle on
     * user_id; the percentile runs over the |users|-row delta frame. */
+  /** Day-of-week × hour activity profile with share-of-total — the
+    * seasonality heat grid behind load forecasting and anomaly
+    * baselines. The weekday comes from integer epoch-day arithmetic
+    * ((days + 4) mod 7, 0 = Sunday): `dayofweek`-style functions number
+    * days differently across engines, epoch math is portable. One
+    * corpus aggregate into ≤ 168 cells; the total is a one-row
+    * broadcast. */
+  def seasonality(ev: DataFrame): DataFrame = {
+    val dow = ((floor(unix_micros(col("ts")) / lit(86400000000L)) +
+      lit(4)) % 7).cast("int").as("dow")
+    val cells = ev.select(dow, hour(col("ts")).as("hr"))
+      .groupBy("dow", "hr")
+      .agg(count(lit(1)).as("n_events"))
+    cells.crossJoin(broadcast(
+        cells.agg(sum(col("n_events")).as("n_total"))))
+      .select(col("dow"), col("hr"), col("n_events"),
+        round(col("n_events") / col("n_total"), 6).as("share"))
+      .orderBy("dow", "hr")
+  }
+
   /** Per-user time-weighted average value (TWAP): each event's value
     * holds until the user's next event, so the mean is weighted by the
     * holding interval — the honest summary when sampling is irregular

@@ -678,6 +678,39 @@ object StarAnalytics {
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(k)
 
+  /** Association rules from the co-purchase pairs: for A→B with support
+    * ≥ `minSupport`, confidence = n(A,B)/n(A) and lift = confidence /
+    * (n(B)/N). All inputs are exact integer counts, so the derived
+    * ratios are bit-identical everywhere. The per-part order counts and
+    * the total are part-/one-row-sized — both broadcast; only the basket
+    * pass touches the corpus. */
+  def assocRules(spark: SparkSession, sfDir: String,
+                 minSupport: Long = 2L, k: Int = 20): DataFrame = {
+    val op = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val partN = op.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_part"))
+    val totalN = op.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders_total"))
+    val pairs = coPurchaseCounts(spark, sfDir)
+      .filter(col("n_orders") >= minSupport)
+    val rules = pairs.select(col("part_a").as("antecedent"),
+        col("part_b").as("consequent"), col("n_orders").as("support"))
+      .union(pairs.select(col("part_b"), col("part_a"), col("n_orders")))
+    rules
+      .join(broadcast(partN.select(col("l_partkey").as("antecedent"),
+        col("n_part").as("n_a"))), Seq("antecedent"))
+      .join(broadcast(partN.select(col("l_partkey").as("consequent"),
+        col("n_part").as("n_b"))), Seq("consequent"))
+      .crossJoin(broadcast(totalN))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        round(col("support") / col("n_a"), 6).as("confidence"),
+        round((col("support") / col("n_a")) /
+          (col("n_b") / col("n_orders_total")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(k)
+  }
+
   /** TPC-H Q21-shaped waiting-supplier count (adapted: the fixture has no
     * commit/receipt dates, so "kept the order waiting" = shipped the
     * STRICTLY LATEST lineitem of a finished multi-supplier order). The

@@ -31,6 +31,23 @@ object StatsAnalytics {
       .withColumn("bucket_lo", round(col("bucket") * width, 2))
       .orderBy("bucket")
 
+  /** 2-D fixed-grid histogram (quantity × discount over lineitem): the
+    * joint-distribution heat grid a cost model or data-viz layer feeds
+    * on. Both bucket ids are map-side projections — the expression
+    * `floor(x·inverseWidth)` is evaluated identically in every engine,
+    * so even inexact-binary widths like 0.02 bin identically — and the
+    * aggregate output is grid-sized. */
+  def histogram2d(li: DataFrame,
+                  qtyWidth: Double = 5.0,
+                  discPerUnit: Double = 50.0): DataFrame =
+    li.select(
+        floor(col("l_quantity") / qtyWidth).cast("bigint").as("qty_bucket"),
+        floor(col("l_discount") * discPerUnit).cast("bigint")
+          .as("disc_bucket"))
+      .groupBy("qty_bucket", "disc_bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("qty_bucket", "disc_bucket")
+
   /** Per-group z-score anomaly flags: rows whose value deviates from the
     * group mean by more than `nSigma` sample standard deviations. The
     * per-group stats frame has |groups| rows → Catalyst broadcasts it, so

@@ -258,6 +258,35 @@ class Round6OpsSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-8) // mass conserved
   }
 
+  test("assocRules: crafted baskets give exact confidence and lift") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rules_")
+    Seq((1L, 100L), (1L, 200L), (2L, 100L), (2L, 200L), (3L, 100L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = StarAnalytics.assocRules(spark, dir.toString).collect()
+      .map(r => (r.getAs[Long]("antecedent"), r.getAs[Long]("consequent")) ->
+        (r.getAs[Double]("confidence"), r.getAs[Double]("lift"))).toMap
+    // n(100)=3, n(200)=2, support=2, N=3
+    assert(out((100L, 200L)) == ((0.666667, 1.0)))
+    assert(out((200L, 100L)) == ((1.0, 1.0)))
+  }
+
+  test("seasonality: epoch-day arithmetic lands 2024-01-01 on Monday") {
+    import java.sql.Timestamp
+    val ev = Seq((1L, Timestamp.valueOf("2024-01-01 13:00:00"), 5L))
+      .toDF("event_id", "ts", "user_id").withColumn("value", lit(1.0))
+    val r = graft.analytics.EventAnalytics.seasonality(ev).head()
+    assert(r.getAs[Int]("dow") == 1) // 0=Sunday → Monday=1
+    assert(r.getAs[Int]("hr") == 13)
+    assert(r.getAs[Double]("share") == 1.0)
+  }
+
+  test("histogram2d partitions every row into exactly one cell") {
+    val li = Tables.lineitem(spark, sf)
+    val out = graft.analytics.StatsAnalytics.histogram2d(li)
+    assert(out.agg(sum(col("n"))).head().getLong(0) == li.count())
+  }
+
   test("bm25 plans TakeOrderedAndProject and broadcasts the df/stats sides") {
     val plan = TextAnalysis.bm25(Tables.documents(spark, sf))
       .queryExecution.executedPlan.toString

@@ -1182,6 +1182,10 @@ object SparkEntry {
       EventAnalytics.seasonality(Tables.events(s, d))),
     "q_histogram2d" -> ((s, d) =>
       StatsAnalytics.histogram2d(Tables.lineitem(s, d))),
+    "q_imputation" -> ((s, d) =>
+      StatsAnalytics.imputationReport(Tables.events(s, d))),
+    "q_iqr_outliers" -> ((s, d) =>
+      StatsAnalytics.iqrOutliers(Tables.events(s, d))),
 
     // ---- training-pipeline ops: packing / containment / bigram LM ----
     "q_token_pack" -> ((s, d) =>
@@ -3464,6 +3468,41 @@ object SparkEntry {
            CAST(floor(l_discount * 50.0) AS BIGINT) AS disc_bucket,
            CAST(count(*) AS BIGINT) AS n
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_imputation" ->
+      """WITH m AS (
+           SELECT event_type, median(value) AS fill_value FROM events
+           WHERE value IS NOT NULL GROUP BY 1),
+         g AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null,
+             sum(CAST(value AS DECIMAL(38,6))) AS sum_dec
+           FROM events GROUP BY 1)
+         SELECT g.event_type, n_rows, n_null,
+           round(fill_value, 6) AS fill_value,
+           round(CAST(sum_dec AS DOUBLE) / (n_rows - n_null), 6)
+             AS mean_before,
+           round((CAST(sum_dec AS DOUBLE) + n_null * fill_value) / n_rows,
+             6) AS mean_after
+         FROM g LEFT JOIN m ON g.event_type = m.event_type
+         ORDER BY 1""",
+    "q_iqr_outliers" ->
+      """WITH q AS (
+           SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+           FROM events WHERE value IS NOT NULL GROUP BY 1),
+         f AS (
+           SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo,
+             q3 + (q3 - q1) * 1.5 AS hi FROM q)
+         SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+           round(any_value(lo), 6) AS lo_fence,
+           round(any_value(hi), 6) AS hi_fence,
+           CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+         FROM events e JOIN f ON e.event_type = f.event_type
+         WHERE value IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
     "q_token_pack" ->
       """WITH t AS (
            SELECT doc_id, source, CAST(len(list_filter(

@@ -130,6 +130,55 @@ object StatsAnalytics {
     reports.reduce(_.union(_)).orderBy("key_col")
   }
 
+  /** Median-imputation report: per event type, how many null values the
+    * imputation would fill and with what, plus the before/after means —
+    * the data-prep audit row a feature pipeline logs before training.
+    * The medians come from the non-null population; the after-mean is
+    * derived arithmetically from exact counts and decimal sums (no
+    * second pass over imputed data). */
+  def imputationReport(ev: DataFrame): DataFrame = {
+    val med = ev.filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("fill_value"))
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(col("value").cast("decimal(38,6)")).as("sum_dec"))
+      .join(broadcast(med), Seq("event_type"), "left")
+      .select(col("event_type"), col("n_rows"), col("n_null"),
+        round(col("fill_value"), 6).as("fill_value"),
+        round(col("sum_dec").cast("double") /
+          (col("n_rows") - col("n_null")), 6).as("mean_before"),
+        round((col("sum_dec").cast("double") +
+          col("n_null") * col("fill_value")) / col("n_rows"), 6)
+          .as("mean_after"))
+      .orderBy("event_type")
+  }
+
+  /** Per-group IQR outlier fences (Tukey): [Q1 − k·IQR, Q3 + k·IQR] and
+    * the count outside them — the box-plot rule, third member of the
+    * robust family beside [[anomalies]] (z-score) and [[madByGroup]].
+    * Same two-pass shape: exact quartiles, |groups|-row broadcast,
+    * map-side flagging. */
+  def iqrOutliers(ev: DataFrame, k: Double = 1.5): DataFrame = {
+    val q = ev.filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.25)).as("q1"),
+        percentile(col("value"), lit(0.75)).as("q3"))
+      .select(col("event_type"), col("q1"), col("q3"),
+        (col("q1") - (col("q3") - col("q1")) * k).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * k).as("hi"))
+    ev.filter(col("value").isNotNull)
+      .join(broadcast(q), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(first(col("lo")), 6).as("lo_fence"),
+        round(first(col("hi")), 6).as("hi_fence"),
+        sum(when(col("value") < col("lo") ||
+          col("value") > col("hi"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
   /** Per-group robust dispersion via MAD (median absolute deviation):
     * median of |x − median| with exact interpolated medians. Robust
     * counterpart of [[anomalies]]' mean/stddev — a heavy tail moves the

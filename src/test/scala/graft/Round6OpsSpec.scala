@@ -287,6 +287,34 @@ class Round6OpsSpec extends SparkSpec {
     assert(out.agg(sum(col("n"))).head().getLong(0) == li.count())
   }
 
+  test("imputationReport: fill value is the non-null median; " +
+    "after-mean derived arithmetically") {
+    import java.sql.Timestamp
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = Seq((1L, "a", Some(1.0)), (2L, "a", Some(3.0)),
+      (3L, "a", None))
+      .map { case (id, et, v) => (id, et, v.map(Double.box).orNull, t) }
+      .toDF("event_id", "event_type", "value", "ts")
+    val r = graft.analytics.StatsAnalytics.imputationReport(ev).head()
+    assert(r.getAs[Long]("n_rows") == 3L && r.getAs[Long]("n_null") == 1L)
+    assert(r.getAs[Double]("fill_value") == 2.0)
+    assert(r.getAs[Double]("mean_before") == 2.0)
+    assert(r.getAs[Double]("mean_after") == 2.0)
+  }
+
+  test("iqrOutliers: Tukey fences catch exactly the planted outlier") {
+    import java.sql.Timestamp
+    val t = Timestamp.valueOf("2024-01-01 00:00:00")
+    val ev = ((1 to 9).map(_.toDouble) :+ 100.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "a", v, t) }
+      .toDF("event_id", "event_type", "value", "ts")
+    val r = graft.analytics.StatsAnalytics.iqrOutliers(ev).head()
+    // Q1=3.25, Q3=7.75 → fences [-3.5, 14.5] → only 100.0 is outside
+    assert(r.getAs[Double]("lo_fence") == -3.5)
+    assert(r.getAs[Double]("hi_fence") == 14.5)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
+
   test("bm25 plans TakeOrderedAndProject and broadcasts the df/stats sides") {
     val plan = TextAnalysis.bm25(Tables.documents(spark, sf))
       .queryExecution.executedPlan.toString

@@ -41,7 +41,11 @@ object Bench {
           s"warmup $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
     }
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Fixed alphabetical run order: Map iteration order shifts whenever the
+    // query set grows, which made round-over-round per-query comparisons
+    // order-biased (shared caches, OS page cache, JIT state all depend on
+    // what ran before). Sorted order is stable across rounds by construction.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -45,10 +45,12 @@ object SparkEntry {
       EventAnalytics.revenueRollup(Tables.events(s, d))),
     "q_value_percentiles" -> ((s, d) =>
       EventAnalytics.valuePercentiles(Tables.events(s, d))),
-    // Sketch-based scale variants (mergeable partial aggregates; no exact
-    // cross-engine oracle exists → rows-only check, error bounded in specs).
+    // Sketch-based scale variants. q_dau_approx ships the AUDIT form: the
+    // exact side hash-checks against DuckDB and the sketch estimate is
+    // reduced to a deterministic bound flag (raw estimates stay
+    // spec-bounded — no cross-engine HLL oracle exists).
     "q_dau_approx" -> ((s, d) =>
-      EventAnalytics.dauApprox(Tables.events(s, d))),
+      EventAnalytics.dauApproxAudit(Tables.events(s, d))),
     "q_value_percentiles_approx" -> ((s, d) =>
       EventAnalytics.valuePercentilesApprox(Tables.events(s, d))),
     // Set ops beyond the reference's union: EXCEPT/INTERSECT over distinct
@@ -774,32 +776,37 @@ object SparkEntry {
           col("currency"))
         .orderBy("order_id")
     }),
-    "q_kaggle_intl" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-      val tok2y = lpad((year(col("o_orderdate")) - 1980).cast("string"),
-        2, "0")
-      val dateTok = when(col("o_orderkey") % 11 === 0,
-          date_format(col("o_orderdate"), "yyyy-MM-dd"))
-        .otherwise(concat(date_format(col("o_orderdate"), "MM-dd-"), tok2y))
-      val raw = o.select(
-        dateTok.as("DATE"),
-        when(col("o_orderkey") % 13 === 0, lit(""))
-          .otherwise(concat(lit("cust_"),
-            (col("o_custkey") % 100).cast("string")))
-          .as("CUSTOMER"),
-        concat(lit("sku_"), (col("o_orderkey") % 997).cast("string"))
-          .as("SKU"),
-        concat((col("o_orderkey") % 9).cast("string"), lit(".7")).as("PCS"),
-        (col("o_totalprice") / lit(100.0)).cast("string").as("RATE"),
-        concat(lit("₹"), col("o_totalprice").cast("string"))
-          .as("GROSS AMT"),
-        lit(null).cast("string").as("currency"))
-        .localCheckpoint() // same barrier rationale as q_kaggle_events
-      graft.ingest.KaggleNormalizer.normalizeInternationalSales(raw)
+    "q_kaggle_intl" -> ((s, d) =>
+      intlCanonical(s, d)
         .select(col("sale_id"), tsMicros(col("ts")).as("ts"),
           col("date_key"), col("customer"), col("sku"), col("pcs"),
           col("rate"), col("gross_amt"), col("currency"))
-        .orderBy("sale_id", "customer", "sku", "pcs", "rate")
+        .orderBy("sale_id", "customer", "sku", "pcs", "rate")),
+
+    // ---- S6/D1: the intl warehouse branch end-to-end (load.py:141-219,
+    // warehouse_star.sql:54-69) — two-phase keyed MERGE into
+    // fact_international_sales through the real StarWarehouse path.
+    // Batch 1 is the even-pcs subset; batch 2 overlaps it with bumped
+    // rates, so the query exercises INSERT (new sale_ids), UPDATE
+    // (conflicting sale_ids take batch-2 values), and the append-only
+    // c_map/p_map surrogate sequences (customers/SKUs first seen in
+    // batch 2 extend the batch-1 id range in sorted order).
+    "q_upsert_intl" -> ((s, d) => {
+      val intl = intlCanonical(s, d).localCheckpoint()
+      val root = "target/tmp/intl_wh"
+      val hp = new org.apache.hadoop.fs.Path(root)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.delete(hp, true)
+      val wh = new graft.warehouse.StarWarehouse(s, root)
+      wh.upsertFactInternationalSales(intl.filter(col("pcs") % 2 === 0))
+      wh.upsertFactInternationalSales(
+        intl.filter(col("pcs") % 3 =!= 1)
+          .withColumn("rate", col("rate") + 1000.0))
+      wh.read("fact_international_sales")
+        .select(col("sale_id"), tsMicros(col("ts")).as("ts"),
+          col("date_key"), col("customer_id"), col("product_id"),
+          col("pcs"), col("rate"), col("gross_amt"), col("currency"))
+        .orderBy("sale_id")
     }),
 
     // ---- ext: as-of join (nearest-prior snapshot; single-shuffle) ----
@@ -1263,9 +1270,11 @@ object SparkEntry {
           col("event_type"), col("event_id"), 100)
         .orderBy("event_type", "event_id")),
 
-    // ---- count-min-sketch frequency estimates (rows-only, spec-bounded) --
+    // ---- count-min-sketch frequency audit (exact side oracled; the
+    // estimate enters as a deterministic bound flag, raw values
+    // spec-bounded in Round5OpsSpec) ----
     "q_cms_counts" -> ((s, d) =>
-      EventAnalytics.cmsCounts(Tables.events(s, d))),
+      EventAnalytics.cmsCountsAudit(Tables.events(s, d))),
 
     // ---- corpus collocations: bigram PMI over exact count tables ----
     "q_pmi" -> ((s, d) =>
@@ -1324,6 +1333,34 @@ object SparkEntry {
            ('0x'||substr(md5(t),1,15))::BIGINT) AS hs
          FROM toks)"""
 
+  /** Shared canonical intl-sales frame for q_kaggle_intl / q_upsert_intl:
+    * messy Amazon-international-report rows synthesized from `orders`
+    * (mixed date-token shapes, blank customers, float-decorated PCS,
+    * ₹-decorated gross), pushed through the S5/F4 normalizer. */
+  private def intlCanonical(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val tok2y = lpad((year(col("o_orderdate")) - 1980).cast("string"),
+      2, "0")
+    val dateTok = when(col("o_orderkey") % 11 === 0,
+        date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .otherwise(concat(date_format(col("o_orderdate"), "MM-dd-"), tok2y))
+    val raw = o.select(
+      dateTok.as("DATE"),
+      when(col("o_orderkey") % 13 === 0, lit(""))
+        .otherwise(concat(lit("cust_"),
+          (col("o_custkey") % 100).cast("string")))
+        .as("CUSTOMER"),
+      concat(lit("sku_"), (col("o_orderkey") % 997).cast("string"))
+        .as("SKU"),
+      concat((col("o_orderkey") % 9).cast("string"), lit(".7")).as("PCS"),
+      (col("o_totalprice") / lit(100.0)).cast("string").as("RATE"),
+      concat(lit("₹"), col("o_totalprice").cast("string"))
+        .as("GROSS AMT"),
+      lit(null).cast("string").as("currency"))
+      .localCheckpoint() // same barrier rationale as q_kaggle_events
+    graft.ingest.KaggleNormalizer.normalizeInternationalSales(raw)
+  }
+
   /** DuckDB CTE regenerating `graft.plans.LshBucket`'s portable
     * pseudo-random hyperplanes: component (b, d) =
     * (h60("b:d") % 2000001 - 1000000) / 1e6, h60 = first 15 md5 hex chars. */
@@ -1350,6 +1387,19 @@ object SparkEntry {
          count(DISTINCT user_id) AS dau
          FROM events WHERE user_id IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
+    // The sketch-audit pair: the exact side is fully oracle-checked; the
+    // engine-specific estimates are reduced to deterministic bound flags
+    // (always 1 for the fixed fixture+seed — the specs bound the raw
+    // estimates; a flag of 0 would hash-mismatch and fail the gate).
+    "q_dau_approx" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+         count(DISTINCT user_id) AS dau,
+         1 AS approx_in_bound
+         FROM events WHERE user_id IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+    "q_cms_counts" ->
+      """SELECT event_type, count(*) AS exact_n, 1 AS est_in_bound
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q_revenue" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS event_date,
          round(sum(coalesce(value, 0)), 2) AS revenue
@@ -1609,12 +1659,14 @@ object SparkEntry {
          FROM t WHERE total >= 1000 ORDER BY 1, 2""",
     "q_stateful_totals" ->
       """SELECT user_id, count(*) AS n_events,
-           round(sum(coalesce(value, 0)), 2) AS total_value
+           CAST(round(sum(CAST(coalesce(value, 0) AS DECIMAL(18,6))), 2)
+             AS DOUBLE) AS total_value
          FROM events WHERE user_id IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
     "q_tws_user_stats" ->
       """SELECT user_id, count(*) AS n_events,
-           round(sum(coalesce(value, 0)), 2) AS total_value,
+           CAST(round(sum(CAST(coalesce(value, 0) AS DECIMAL(18,6))), 2)
+             AS DOUBLE) AS total_value,
            max(coalesce(value, 0)) AS max_value
          FROM events WHERE user_id IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
@@ -1628,7 +1680,7 @@ object SparkEntry {
              row_number() OVER (PARTITION BY user_id
                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
              count(*) OVER (PARTITION BY user_id) AS n_seen
-           FROM events WHERE user_id IS NOT NULL)
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
          SELECT user_id, CAST(any_value(n_seen) AS BIGINT) AS n_seen,
            string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn)
              AS last_ids
@@ -2300,6 +2352,81 @@ object SparkEntry {
            customer, sku, pcs, rate, gross_amt, 'INR' AS currency
          FROM p WHERE ts IS NOT NULL
          ORDER BY sale_id, customer, sku, pcs, rate""",
+    "q_upsert_intl" ->
+      """WITH raw AS (
+           SELECT
+             CASE WHEN o_orderkey % 11 = 0
+                  THEN strftime(o_orderdate, '%Y-%m-%d')
+                  ELSE strftime(o_orderdate, '%m-%d-') ||
+                       lpad(CAST(year(o_orderdate) - 1980 AS VARCHAR), 2, '0')
+             END AS date_tok,
+             CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                  ELSE 'cust_' || CAST(o_custkey % 100 AS VARCHAR)
+             END AS customer0,
+             'sku_' || CAST(o_orderkey % 997 AS VARCHAR) AS sku,
+             CAST(o_orderkey % 9 AS INT) AS pcs,
+             o_totalprice / 100.0 AS rate,
+             o_totalprice AS gross_amt
+           FROM orders),
+         f AS (
+           SELECT * FROM raw
+           WHERE regexp_matches(date_tok, '^\d{2}-\d{2}-\d{2}$')),
+         p AS (
+           SELECT *,
+             try_strptime(date_tok, '%m-%d-%y') + INTERVAL 12 HOUR AS ts,
+             coalesce(customer0, 'unknown_customer') AS customer
+           FROM f),
+         intl AS (
+           SELECT
+             substr(sha256(concat_ws('|', customer, sku, date_tok,
+               CAST(gross_amt AS VARCHAR))), 1, 24) AS sale_id,
+             ts, strftime(ts, '%Y-%m-%d') AS date_key,
+             customer, sku, pcs, rate, gross_amt, 'INR' AS currency
+           FROM p WHERE ts IS NOT NULL),
+         b1 AS (SELECT * FROM intl WHERE pcs % 2 = 0),
+         b2 AS (
+           SELECT sale_id, ts, date_key, customer, sku, pcs,
+                  rate + 1000.0 AS rate, gross_amt, currency
+           FROM intl WHERE pcs % 3 <> 1),
+         c1 AS (
+           SELECT customer_name,
+             CAST(dense_rank() OVER (ORDER BY customer_name) AS BIGINT)
+               AS customer_id
+           FROM (SELECT DISTINCT customer AS customer_name FROM b1)),
+         c2 AS (
+           SELECT customer_name,
+             (SELECT max(customer_id) FROM c1) +
+             CAST(dense_rank() OVER (ORDER BY customer_name) AS BIGINT)
+               AS customer_id
+           FROM (SELECT DISTINCT customer AS customer_name FROM b2
+                 WHERE customer NOT IN (SELECT customer_name FROM c1))),
+         cust AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+         p1 AS (
+           SELECT sku,
+             CAST(dense_rank() OVER (ORDER BY sku) AS BIGINT) AS product_id
+           FROM (SELECT DISTINCT sku FROM b1)),
+         p2 AS (
+           SELECT sku,
+             (SELECT max(product_id) FROM p1) +
+             CAST(dense_rank() OVER (ORDER BY sku) AS BIGINT) AS product_id
+           FROM (SELECT DISTINCT sku FROM b2
+                 WHERE sku NOT IN (SELECT sku FROM p1))),
+         prod AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+         u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+         m AS (
+           SELECT sale_id, ts, date_key, customer, sku, pcs, rate,
+                  gross_amt, currency
+           FROM (SELECT u.*, row_number() OVER (PARTITION BY sale_id
+                   ORDER BY ts DESC, pcs DESC, rate DESC) AS rn FROM u)
+           WHERE rn = 1)
+         SELECT m.sale_id,
+           strftime(m.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, m.date_key,
+           c.customer_id, pr.product_id, m.pcs, m.rate, m.gross_amt,
+           m.currency
+         FROM m
+         JOIN cust c ON m.customer = c.customer_name
+         JOIN prod pr ON m.sku = pr.sku
+         ORDER BY m.sale_id""",
     "q_multimodal_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -2994,7 +3121,8 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     "q_nation_volume" ->
       """SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           CAST(round(sum(CAST(volume AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS revenue
          FROM (
            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS INT) AS l_year,
@@ -3012,9 +3140,11 @@ object SparkEntry {
          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "q_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-           round(sum(CASE WHEN n2.n_name = 'NATION_3'
-               THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+           round(CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_3'
+               THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+               AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share
          FROM lineitem
          JOIN part ON l_partkey = p_partkey
          JOIN supplier ON l_suppkey = s_suppkey
@@ -3043,8 +3173,8 @@ object SparkEntry {
     "q_top_supplier" ->
       """WITH rev AS (
            SELECT l_suppkey,
-             round(sum(l_extendedprice * (1 - l_discount)), 2)
-               AS total_revenue
+             CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
            FROM lineitem
            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
              AND l_shipdate < TIMESTAMP '1996-04-01'

@@ -123,6 +123,25 @@ object EventAnalytics {
       .agg(approx_count_distinct(col("user_id"), rsd).as("dau_approx"))
       .orderBy("event_date")
 
+  /** The oracle-able form of the HLL report: exact DAU (the audit column,
+    * expressible in any engine) plus a bound flag over the sketch estimate
+    * — |approx − exact| ≤ relBound·exact, deterministic for a fixed
+    * fixture. Both aggregates run in ONE pass, so the audit costs nothing
+    * beyond the exact A1 it already contains; the raw estimate itself is
+    * engine-specific and stays spec-bounded (AnalyticsExtSpec). */
+  def dauApproxAudit(ev: DataFrame, rsd: Double = 0.02,
+                     relBound: Double = 0.10): DataFrame =
+    withDate(ev)
+      .filter(col("user_id").isNotNull)
+      .groupBy("event_date")
+      .agg(countDistinct(col("user_id")).as("dau"),
+        approx_count_distinct(col("user_id"), rsd).as("__approx"))
+      .select(col("event_date"), col("dau"),
+        when(abs(col("__approx") - col("dau")) <=
+          col("dau") * lit(relBound), lit(1)).otherwise(lit(0))
+          .as("approx_in_bound"))
+      .orderBy("event_date")
+
   /** Percentiles at the 100 TB design point — one-pass mergeable
     * approx_percentile sketch instead of the exact sort-based form.
     * Accuracy parameter bounds rank error at 1/accuracy. Rows-only driver
@@ -323,6 +342,23 @@ object EventAnalytics {
       .map { case (t, n) => (t, n, sketch.estimateCount(t)) }
       .toDF("event_type", "exact_n", "est_n")
       .withColumn("overcount", col("est_n") - col("exact_n"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle-able CMS report: the exact audit counts (cross-engine
+    * expressible) plus a bound flag — est ≥ exact (hard CMS guarantee)
+    * AND est ≤ exact + ⌈eps·N⌉ (the confidence bound, deterministic here
+    * because the sketch seed is fixed). The raw estimates stay
+    * spec-bounded (Round5OpsSpec). */
+  def cmsCountsAudit(ev: DataFrame, eps: Double = 0.0001,
+                     confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val full = cmsCounts(ev, eps, confidence, seed)
+    val n = ev.count()
+    val cap = math.ceil(eps * n).toLong
+    full.select(col("event_type"), col("exact_n"),
+      when(col("est_n") >= col("exact_n") &&
+        col("est_n") <= col("exact_n") + lit(cap), lit(1)).otherwise(lit(0))
+        .as("est_in_bound"))
       .orderBy("event_type")
   }
 

@@ -16,8 +16,11 @@ object GraphAnalytics {
     * count. Each step: contribution = rank·w/outw along every directed
     * edge, summed per target IN DECIMAL (order-stable — the float sums
     * would drift across partition orders and engines), then damped.
-    * The rank frame is node-cardinality — it BROADCASTS into the edge
-    * join, so each iteration shuffles only the edge contributions once.
+    * The rank frame is node-cardinality, so it carries NO broadcast hint:
+    * AQE sees its (localCheckpoint-materialized) size each iteration and
+    * broadcasts it only while it actually fits — at catalog scale the
+    * join degrades gracefully to a hash join on `src` instead of OOMing
+    * executors on a forced node-frame broadcast.
     * Iterations are unrolled logical plans; `localCheckpoint` truncates
     * the lineage each round so plan size stays constant (same pattern as
     * DedupCluster's label propagation). No dangling-node term: an
@@ -32,20 +35,25 @@ object GraphAnalytics {
     val nodes = e.select(col("src").as("id")).distinct().localCheckpoint()
     val n = nodes.count()
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iterations) {
-      val contrib = e.join(broadcast(ranks),
-          e("src") === ranks("id"))
-        .select(col("dst"),
-          (col("rank") * col("frac")).cast("decimal(38,18)").as("c"))
-        .groupBy("dst")
-        .agg(sum(col("c")).cast("double").as("inflow"))
-      ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
-        .select(col("id"),
-          (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to iterations)
+      ranks = rankStep(e, nodes, n, ranks, damping).localCheckpoint()
     ranks.select(col("id"), round(col("rank"), 9).as("rank"))
+  }
+
+  /** One damped PageRank iteration. Deliberately hint-free (see above):
+    * exposed so PlanShapeSpec can prove the rank join carries no
+    * hard-coded node-cardinality broadcast. */
+  private[graft] def rankStep(e: DataFrame, nodes: DataFrame, n: Long,
+                              ranks: DataFrame, damping: Double): DataFrame = {
+    val contrib = e.join(ranks, e("src") === ranks("id"))
+      .select(col("dst"),
+        (col("rank") * col("frac")).cast("decimal(38,18)").as("c"))
+      .groupBy("dst")
+      .agg(sum(col("c")).cast("double").as("inflow"))
+    nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+      .select(col("id"),
+        (lit((1.0 - damping) / n) +
+          lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
   }
 
   /** PageRank of the co-purchase graph: parts as nodes, same-order

@@ -417,8 +417,11 @@ object StarAnalytics {
         (col("supp_nation") === nationB && col("cust_nation") === nationA))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("revenue"))
+      // decimal accumulation: order-independent, so the 2dp rounding can't
+      // straddle a float boundary under another partition order (same
+      // rationale as returnedItems)
+      .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
@@ -465,9 +468,13 @@ object StarAnalytics {
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
+      // both sums accumulate in decimal (order-independent); the ratio is
+      // then one double division of two exact values — deterministic across
+      // partition orders and engines
       .agg(round(
-        sum(when(col("supp_nation") === suppNation, vol).otherwise(0.0)) /
-          sum(vol), 6).as("mkt_share"))
+        sum(when(col("supp_nation") === suppNation, vol).otherwise(lit(0.0))
+            .cast("decimal(18,6)")).cast("double") /
+          sum(vol.cast("decimal(18,6)")).cast("double"), 6).as("mkt_share"))
       .orderBy("o_year")
   }
 
@@ -517,8 +524,8 @@ object StarAnalytics {
       .filter(col("l_shipdate") >= lit(from) &&
         col("l_shipdate") < lit(until))
       .groupBy(col("l_suppkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("total_revenue"))
+      .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,6)")), 2).cast("double").as("total_revenue"))
     val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
     val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_name")
     rev.crossJoin(broadcast(maxRev))
@@ -657,8 +664,23 @@ object StarAnalytics {
     * formulation shuffles the order-part table twice more and explodes
     * with data volume. Same shape as q_source_overlap's pair synthesis. */
   /** Unordered co-purchase pair counts (the full pair table, no sort —
-    * feed for top-k reporting AND graph construction). */
-  def coPurchaseCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    * feed for top-k reporting AND graph construction).
+    *
+    * Memoized per (session, fixture dir) behind a localCheckpoint:
+    * q_copurchase, q_assoc_rules, and q_pagerank all consume this same
+    * 1.2M-pair aggregate, and without the memo each recomputed the full
+    * basket pass (~3 scans and shuffles of lineitem per bench run). The
+    * checkpoint materializes once; later callers read the cached blocks. */
+  private val coPurchaseMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  def coPurchaseCounts(spark: SparkSession, sfDir: String): DataFrame =
+    coPurchaseMemo.getOrElseUpdate(
+      (System.identityHashCode(spark), sfDir),
+      coPurchaseCountsUncached(spark, sfDir).localCheckpoint())
+
+  private def coPurchaseCountsUncached(spark: SparkSession,
+                                       sfDir: String): DataFrame = {
     val sets = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .groupBy("l_orderkey")

@@ -74,6 +74,27 @@ object JsonlIngest {
         trim(col("user_id")).as("user_id"),
         col("country"), col("signup_source"))
 
+  /** S6: canonical international-sales JSONL — the Kaggle loader's staging
+    * output (kaggle_amazon_sales_loader.py:234-246), re-read by the pipeline
+    * (run_pipeline.py:73-76). Records arrive already normalized, so this is
+    * a plain schema-on-read scan; ts arrives as ISO text and becomes a
+    * proper timestamp here (the warehouse version column). */
+  val IntlSalesSchema: StructType = StructType(Seq(
+    StructField("sale_id", StringType),
+    StructField("ts", StringType),
+    StructField("date_key", StringType),
+    StructField("customer", StringType),
+    StructField("sku", StringType),
+    StructField("pcs", IntegerType),
+    StructField("rate", DoubleType),
+    StructField("gross_amt", DoubleType),
+    StructField("currency", StringType),
+    StructField("source_dataset", StringType)))
+
+  def readInternationalSales(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(IntlSalesSchema).json(path)
+      .withColumn("ts", to_timestamp(col("ts")))
+
   /** K2: bad-record JSONL sink (ingest.py:81-86). */
   def writeBadRecords(bad: DataFrame, path: String): Unit =
     bad.select(to_json(struct(bad.columns.map(col).toSeq: _*)).as("value"))

@@ -25,6 +25,22 @@ object Upsert {
       .unionByName(latest.select(existing.columns.map(col).toSeq: _*))
   }
 
+  /** Order-independent MERGE for versioned facts: the result is
+    * keep-latest over every row the table has EVER been fed, so replaying
+    * the same batches in ANY interleaving — or all at once — converges to
+    * the same table (the §2.9 deterministic-replay invariant; property-
+    * tested in PropertySpec). Contrast `upsert`, where incoming wins
+    * regardless of version — the reference's ON CONFLICT DO UPDATE
+    * arrival semantics, right for dims whose updates carry no version
+    * column. Same single keyed-window shuffle shape as keep-latest. */
+  def mergeLatest(existing: DataFrame, incoming: DataFrame,
+                  keys: Seq[String], version: Column,
+                  tiebreak: Column): DataFrame =
+    Dedup.keepLatest(
+      existing.unionByName(
+        incoming.select(existing.columns.map(col).toSeq: _*)),
+      keys, version, tiebreak)
+
   /** CDC changelog apply: fold an I/U/D operation log into a snapshot —
     * the MERGE-with-deletes a warehouse sync needs. Snapshot rows enter as
     * implicit inserts BELOW every change (version precedence comes from the

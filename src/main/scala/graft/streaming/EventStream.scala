@@ -112,10 +112,13 @@ class UserTypeCountsProcessor
 
 /** Spark 4 `transformWithState` processor behind `EventStream.twsUserStats`:
   * running per-user (count, total, max) in a single ValueState cell. The
-  * accumulators are all order-independent, so the final state — and the
-  * last emitted row per key — is the same under any micro-batch split.
-  * TTL is NONE for oracle determinism; at cluster scale pass a TTLConfig
-  * so idle users age out of the RocksDB store. */
+  * count and max are order-independent as-is; the total accumulates in
+  * DECIMAL inside the state cell (a double running sum would depend on
+  * micro-batch arrival order, and the 2dp rounding at emit could straddle
+  * a float boundary — same fix as the batch decimal-sum anchors). The
+  * final state — and the last emitted row per key — is therefore the same
+  * under any micro-batch split. TTL is NONE for oracle determinism; at
+  * cluster scale pass a TTLConfig so idle users age out of RocksDB. */
 class UserStatsProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, (Long, Double), UserStats] {
@@ -123,24 +126,32 @@ class UserStatsProcessor
     TTLConfig, ValueState}
   import org.apache.spark.sql.Encoders
 
-  @transient private var state: ValueState[(Long, Double, Double)] = _
+  @transient private var state:
+    ValueState[(Long, java.math.BigDecimal, Double)] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    state = getHandle.getValueState[(Long, Double, Double)]("stats",
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+    state = getHandle.getValueState[(Long, java.math.BigDecimal, Double)](
+      "stats",
+      Encoders.tuple(Encoders.scalaLong, Encoders.DECIMAL,
         Encoders.scalaDouble),
       TTLConfig.NONE)
 
   override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
                                tv: TimerValues): Iterator[UserStats] = {
+    import java.math.{BigDecimal => JBig, RoundingMode}
     var (n, tot, mx) =
       if (state.exists()) state.get()
-      else (0L, 0.0, Double.NegativeInfinity)
+      else (0L, JBig.ZERO, Double.NegativeInfinity)
     rows.foreach { r =>
-      n += 1; tot += r._2; mx = math.max(mx, r._2)
+      n += 1
+      tot = tot.add(JBig.valueOf(r._2).setScale(6, RoundingMode.HALF_UP))
+      mx = math.max(mx, r._2)
     }
     state.update((n, tot, mx))
-    Iterator.single(UserStats(key, n, tot, mx))
+    // emit the 2dp HALF_UP decimal round — exact, unlike rounding the
+    // nearest-double image of the sum
+    Iterator.single(UserStats(key, n,
+      tot.setScale(2, RoundingMode.HALF_UP).doubleValue, mx))
   }
 }
 
@@ -283,20 +294,27 @@ object EventStream {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
+    // The value total accumulates in DECIMAL state (order-independent
+    // across micro-batch splits) and emits as an exact 2dp HALF_UP round —
+    // same determinism contract as UserStatsProcessor.
     events.filter(col("user_id").isNotNull)
       .select(col("user_id").cast("long"),
         coalesce(col("value"), lit(0.0)).as("value"))
       .as[(Long, Double)]
       .groupByKey(_._1)
-      .mapGroupsWithState[(Long, Double), UserTotals](
+      .mapGroupsWithState[(Long, BigDecimal), UserTotals](
         GroupStateTimeout.NoTimeout()) { (uid, rows, state) =>
-        var (n, v) = state.getOption.getOrElse((0L, 0.0))
-        rows.foreach { r => n += 1; v += r._2 }
+        var (n, v) = state.getOption.getOrElse((0L, BigDecimal(0)))
+        rows.foreach { r =>
+          n += 1
+          v += BigDecimal.valueOf(r._2)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        }
         state.update((n, v))
-        UserTotals(uid, n, v)
+        UserTotals(uid, n,
+          v.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
       .toDF()
-      .withColumn("total_value", round(col("total_value"), 2))
   }
 
   /** Running per-user stats via Spark 4's `transformWithState` — the
@@ -320,8 +338,7 @@ object EventStream {
       .groupByKey(_._1)
       .transformWithState(new UserStatsProcessor,
         TimeMode.None(), OutputMode.Update())
-      .toDF()
-      .withColumn("total_value", round(col("total_value"), 2))
+      .toDF() // total_value already decimal-rounded by the processor
   }
 
   /** Per-user event-type counts via `transformWithState` MapState (see
@@ -347,7 +364,10 @@ object EventStream {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    events.filter(col("user_id").isNotNull)
+    // ts feeds a non-nullable Long tuple field: a null ts would NPE in the
+    // deserializer and kill the stream, so filter it like null user_id
+    // (the oracle's WHERE clause matches to keep n_seen parity).
+    events.filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id").cast("long"),
         unix_micros(col("ts")), col("event_id"))
       .as[(Long, Long, Long)]

@@ -16,16 +16,19 @@ class StarWarehouse(spark: SparkSession, root: String) {
 
   def path(table: String): String = s"$root/$table"
 
-  /** Partition-column type inference would read the `event_date=...`
-    * directory keys back as DATE; the warehouse contract is the reference's
-    * 'yyyy-MM-dd' string (warehouse_star.sql:34,46), so normalize on read. */
+  /** Partition-column type inference would read the `event_date=...` /
+    * `date_key=...` directory keys back as DATE; the warehouse contract is
+    * the reference's 'yyyy-MM-dd' string (warehouse_star.sql:34,46,57), so
+    * normalize on read. */
   def read(table: String): DataFrame = {
     val df = spark.read.parquet(path(table))
-    if (df.columns.contains("event_date"))
-      df.withColumn("event_date",
-        org.apache.spark.sql.functions.col("event_date").cast("string"))
-    else df
+    Seq("event_date", "date_key").foldLeft(df) { (acc, c) =>
+      if (acc.columns.contains(c)) acc.withColumn(c, col(c).cast("string"))
+      else acc
+    }
   }
+
+  def tableExists(table: String): Boolean = exists(table)
 
   private def exists(table: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path(table))
@@ -81,25 +84,98 @@ class StarWarehouse(spark: SparkSession, root: String) {
 
   /** fact_events upsert (D1, load.py:251-297): resolves event_type_id via
     * broadcast join against the enum dim (J4), derives date/hour, keyed on
-    * event_id with latest-ts-wins. Partitioned by event_date on disk. */
+    * event_id with latest-(ts, row-hash)-wins via the order-independent
+    * mergeLatest — replaying batches in any interleaving converges to the
+    * same fact table (§2.9; PropertySpec). Partitioned by event_date. */
   def upsertFactEvents(cleaned: DataFrame): Unit = {
     val dimTypes = upsertEnumDim(cleaned.select(col("event")), "event",
       "event_type_id", "dim_event_types")
     upsertDimDates(cleaned.select(col("event_date")), "event_date")
     val incoming = cleaned
-      .join(broadcast(dimTypes), Seq("event"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event"),
+        col("amount"), col("event_date"), col("event_hour"))
+    // The merge runs in NATURAL space (event name, not event_type_id):
+    // the tiebreak row-hash must not see the surrogate id, whose value
+    // depends on dim insertion order — hashing it would make equal-ts
+    // duplicate resolution depend on batch interleaving and break the
+    // §2.9 replay invariant. The dim joins are broadcast (enum-scale).
+    val merged = if (exists("fact_events")) {
+      val existingNat = read("fact_events")
+        .join(broadcast(dimTypes), Seq("event_type_id"))
+        .select(incoming.columns.map(col).toSeq: _*)
+      Upsert.mergeLatest(existingNat, incoming, Seq("event_id"),
+        col("ts"), Dedup.rowHash(incoming))
+    } else Dedup.keepLatest(incoming, Seq("event_id"), col("ts"),
+      Dedup.rowHash(incoming))
+    val resolved = merged.join(broadcast(dimTypes), Seq("event"))
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type_id"), col("amount"), col("event_date"),
         col("event_hour"))
-    val merged = if (exists("fact_events"))
-      Upsert.upsert(read("fact_events"), incoming, Seq("event_id"),
-        col("ts"), Dedup.rowHash(incoming))
-    else Dedup.keepLatest(incoming, Seq("event_id"), col("ts"),
-      Dedup.rowHash(incoming))
-    val tmp = path("fact_events") + "__tmp"
-    merged.write.mode("overwrite").partitionBy("event_date").parquet(tmp)
+    writePartitioned(resolved, "fact_events", "event_date")
+  }
+
+  /** fact_international_sales upsert (S6/D1; load.py:141-219,
+    * warehouse_star.sql:54-69): ensure dim_dates for every date_key, upsert
+    * the customer/product enum dims (INSERT OR IGNORE, sorted insertion
+    * order — load.py:108-131), resolve surrogate keys through broadcast
+    * lookups (the c_map/p_map dict joins, load.py:166-172), convert types,
+    * skip rows whose dim lookup or gross_amt is null (load.py:184-186), and
+    * MERGE keyed on sale_id (ON CONFLICT(sale_id) DO UPDATE,
+    * load.py:199-217). Partitioned by date_key on disk — the analog of
+    * idx_intl_sales_date (warehouse_star.sql:78).
+    *
+    * `intl` columns (the canonical intl-sales record,
+    * kaggle_amazon_sales_loader.py:234-246): sale_id, ts (timestamp),
+    * date_key, customer, sku, pcs, rate, gross_amt, currency
+    * [, source_dataset].
+    *
+    * Duplicate sale_ids — within a batch OR across batches — resolve
+    * deterministically on (ts, pcs, rate) DESC via the order-independent
+    * mergeLatest, rather than the reference's executemany arrival order —
+    * deterministic replay under any batch interleaving (SURVEY §2.9), and
+    * oracle-expressible. Both dims are enum-scale (distinct customers /
+    * SKUs), so the broadcast lookups hold at any fact volume; the fact
+    * itself shuffles once, on sale_id, for the keyed merge. */
+  def upsertFactInternationalSales(intl: DataFrame): Unit = {
+    upsertDimDates(intl.select(col("date_key")), "date_key")
+    val dimCust = upsertEnumDim(
+      intl.filter(col("customer").isNotNull)
+        .select(col("customer").as("customer_name")),
+      "customer_name", "customer_id", "dim_customers")
+    val dimProd = upsertEnumDim(
+      intl.filter(col("sku").isNotNull).select(col("sku")),
+      "sku", "product_id", "dim_products")
+    val src =
+      if (intl.columns.contains("source_dataset"))
+        col("source_dataset").cast("string")
+      else lit(null).cast("string")
+    val incoming = intl
+      .join(broadcast(dimCust), col("customer") === col("customer_name"))
+      .join(broadcast(dimProd), Seq("sku"))
+      .filter(col("gross_amt").isNotNull)
+      .select(col("sale_id"), col("ts"), col("date_key"),
+        col("customer_id"), col("product_id"),
+        col("pcs").cast("int").as("pcs"),
+        col("rate").cast("double").as("rate"),
+        col("gross_amt").cast("double").as("gross_amt"),
+        col("currency"), src.as("source_dataset"))
+    val tiebreak = struct(col("pcs"), col("rate"))
+    val merged = if (exists("fact_international_sales"))
+      Upsert.mergeLatest(read("fact_international_sales"), incoming,
+        Seq("sale_id"), col("ts"), tiebreak)
+    else Dedup.keepLatest(incoming, Seq("sale_id"), col("ts"), tiebreak)
+    writePartitioned(merged, "fact_international_sales", "date_key")
+  }
+
+  /** Facts persist partitioned by their date column (partition pruning on
+    * every date predicate — the reference's B-tree date indexes), via the
+    * same write-to-tmp-then-swap as the dims. */
+  private def writePartitioned(df: DataFrame, table: String,
+                               partCol: String): Unit = {
+    val tmp = path(table) + "__tmp"
+    df.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
     val hconf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(path("fact_events"))
+    val dst = new org.apache.hadoop.fs.Path(path(table))
     val fs = dst.getFileSystem(hconf)
     if (fs.exists(dst)) fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)

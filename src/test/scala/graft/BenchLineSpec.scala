@@ -38,8 +38,8 @@ class BenchLineSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
-    // rows-only queries are the three documented sketch estimators
-    assert((q -- o) == Set("q_dau_approx", "q_value_percentiles_approx",
-      "q_cms_counts"))
+    // the single remaining rows-only query: the t-digest percentile sketch
+    // (the HLL and CMS reports ship oracle-checked audit forms instead)
+    assert((q -- o) == Set("q_value_percentiles_approx"))
   }
 }

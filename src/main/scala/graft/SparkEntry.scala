@@ -564,6 +564,17 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) =>
       graft.ext.TextAnalysis.fingerprints(Tables.documents(s, d))
         .orderBy("doc_id")),
+    // ---- incremental (batch-vs-corpus) dedup: the ingest-time shape ----
+    "q_incremental_dedup" -> ((s, d) =>
+      graft.ext.DedupExt.incrementalDedup(Tables.documents(s, d))
+        .orderBy("doc_id")),
+    // ---- SemDeDup: cluster-then-dedup over the embedding space ----
+    "q_semdedup" -> ((s, d) =>
+      graft.ext.Similarity.semDedup(Tables.embeddings(s, d))
+        .orderBy("vec_id")),
+    // ---- temperature (α=0.5) source-mixing weights + token allocation --
+    "q_mixture_weights" -> ((s, d) =>
+      graft.ext.TextAnalysis.mixtureWeights(Tables.documents(s, d))),
     "q_heavy_hitters" -> ((s, d) =>
       graft.ext.TextAnalysis.heavyHitters(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) =>
@@ -2232,6 +2243,54 @@ object SparkEntry {
       """SELECT doc_id,
          sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
          FROM documents ORDER BY doc_id""",
+    "q_incremental_dedup" ->
+      """WITH fp AS (
+           SELECT doc_id,
+             sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f
+           FROM documents),
+         c AS (SELECT DISTINCT f FROM fp WHERE doc_id < 250)
+         SELECT doc_id,
+           CAST(CASE WHEN f IN (SELECT f FROM c) THEN 1 ELSE 0 END AS INT)
+             AS is_dup
+         FROM fp WHERE doc_id >= 250 ORDER BY doc_id""",
+    "q_semdedup" ->
+      """WITH c AS (
+           SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
+           FROM embeddings WHERE vec_id % 40 = 0),
+         assign AS (
+           SELECT vec_id, embedding, centroid_id FROM (
+             SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce), 6)
+                   DESC, c.centroid_id) AS rn
+             FROM embeddings e CROSS JOIN c)
+           WHERE rn = 1),
+         drops AS (
+           SELECT DISTINCT b.vec_id
+           FROM assign a JOIN assign b
+             ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+             b.embedding::DOUBLE[]), 6) >= 0.35)
+         SELECT vec_id, centroid_id FROM assign
+         WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+         ORDER BY vec_id""",
+    "q_mixture_weights" ->
+      """WITH t AS (
+           SELECT source,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '')) AS n
+           FROM documents),
+         g AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens
+               FROM t GROUP BY 1),
+         s AS (SELECT *, CAST(sqrt(n_tokens) AS DECIMAL(18,6)) AS w_raw
+               FROM g),
+         tot AS (SELECT sum(w_raw) AS w_tot FROM s)
+         SELECT source, n_tokens,
+           round(CAST(w_raw AS DOUBLE) / CAST(w_tot AS DOUBLE), 6)
+             AS weight,
+           CAST(floor(CAST(w_raw AS DOUBLE) / CAST(w_tot AS DOUBLE)
+             * 1000000 + 0.5) AS BIGINT) AS alloc_tokens
+         FROM s, tot ORDER BY source""",
     "q_rolling_fingerprint" ->
       s"""SELECT doc_id,
          CAST(CASE WHEN m >= 9223372036854775808

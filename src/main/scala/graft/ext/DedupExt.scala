@@ -27,6 +27,24 @@ object DedupExt {
       .agg(min(col("doc_id")).as("keeper_doc_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Incremental corpus dedup — the ingest-time shape: a NEW batch of
+    * documents (doc_id ≥ batchFrom stands in for the arriving batch)
+    * checks its content fingerprints against the fingerprint set the
+    * corpus already holds. Only 32-byte fingerprints ever move: the batch
+    * hash-joins the deduplicated corpus fingerprint set, document text
+    * never shuffles, and the corpus is scanned once — not rescanned per
+    * document. This composes with the streaming upsert sink to give
+    * dedup-on-arrival for a continuously-growing corpus. */
+  def incrementalDedup(docs: DataFrame, batchFrom: Long = 250L): DataFrame = {
+    val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val corpusFps = fp.filter(col("doc_id") < batchFrom)
+      .select(col("fp")).distinct()
+      .withColumn("is_dup", lit(1))
+    fp.filter(col("doc_id") >= batchFrom)
+      .join(corpusFps, Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("is_dup"), lit(0)).as("is_dup"))
+  }
+
   /** Sampled-anchor n-gram Jaccard: anchors (doc_id % anchorMod == 0)
     * compared against all same-lang partners. The lang equi-join is the
     * blocking key — at scale this is a broadcast of the (small) anchor set,

@@ -120,6 +120,51 @@ object Similarity {
         (avg(col("recall")) >= floor).as("recall_ok"))
   }
 
+  /** SemDeDup-shaped semantic dedup (cluster the embedding space, then
+    * deduplicate only WITHIN clusters — Abbas et al. 2023, SemDeDup):
+    * assign every vector to its nearest seed centroid with the same
+    * broadcast cosine-argmax as [[kmeansRefine]], then keep each vector
+    * that has NO lower-id neighbor at cosine ≥ `threshold` inside its own
+    * cluster (keep-lowest-id: deterministic and engine-portable).
+    *
+    * Scale shape — the entire point of the design: the corpus
+    * hash-partitions ONCE on centroid_id and the quadratic similarity
+    * work is bounded per cluster; there is no global all-pairs join
+    * anywhere. At 100 TB the cluster count scales with the corpus
+    * (centroidMod stays fixed), keeping per-cluster membership — and so
+    * per-partition work — roughly constant. */
+  def semDedup(emb: DataFrame, centroidMod: Int = 40,
+               threshold: Double = 0.35): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val cents = withNorm.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("centroid_id"))
+    val assigned = withNorm.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("centroid_id"),
+        round(dot(col("embedding"), col("c_emb")) /
+          (col("nrm") * col("c_nrm")), 6).as("c_sim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("centroid_id"))
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("vid_a"),
+      col("embedding").as("e_a"), col("nrm").as("n_a"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("vid_b"),
+      col("embedding").as("e_b"), col("nrm").as("n_b"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("vid_a") < col("vid_b") &&
+        round(dot(col("e_a"), col("e_b")) /
+          (col("n_a") * col("n_b")), 6) >= threshold)
+      .select(col("vid_b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("centroid_id"))
+  }
+
   /** One Lloyd's-iteration k-means refinement over the embedding corpus —
     * the centroid-training building block an embedding pipeline runs to
     * construct IVF/PQ indexes. Seeds = vec_id % centroidMod (deterministic,

@@ -69,6 +69,31 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Temperature-based source mixing (α = 0.5, the standard
+    * square-root-temperature rebalance a multi-source training mix uses to
+    * lift small sources without drowning large ones): per-source token
+    * counts n_s → weight √n_s / Σ√n_t → token allocation against a fixed
+    * budget. √ specifically (not pow) because IEEE sqrt is correctly
+    * rounded in every engine; the √ values route through DECIMAL so the
+    * denominator sum is order-independent, then one double division —
+    * bit-identical cross-engine. One aggregation over source-cardinality
+    * rows; the one-row total broadcasts. */
+  def mixtureWeights(docs: DataFrame,
+                     budgetTokens: Long = 1000000L): DataFrame = {
+    val perSource = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(sum(col("n")).as("n_tokens"))
+      .withColumn("w_raw",
+        sqrt(col("n_tokens").cast("double")).cast("decimal(18,6)"))
+    val tot = perSource.agg(sum(col("w_raw")).as("w_tot"))
+    val w = col("w_raw").cast("double") / col("w_tot").cast("double")
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        round(w, 6).as("weight"),
+        floor(w * budgetTokens + 0.5).cast("bigint").as("alloc_tokens"))
+      .orderBy("source")
+  }
+
   /** Token-repetition ratio: 1 − |distinct tokens| / |tokens| — the cheap
     * boilerplate/spam signal every training-data pipeline computes before
     * anything model-based. Pure projection, no shuffle. */

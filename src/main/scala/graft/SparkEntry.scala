@@ -575,6 +575,9 @@ object SparkEntry {
     // ---- temperature (α=0.5) source-mixing weights + token allocation --
     "q_mixture_weights" -> ((s, d) =>
       graft.ext.TextAnalysis.mixtureWeights(Tables.documents(s, d))),
+    // ---- deterministic training-shard plan (hash sharding + balance) ----
+    "q_shard_plan" -> ((s, d) =>
+      graft.ext.TextAnalysis.shardPlan(Tables.documents(s, d))),
     "q_heavy_hitters" -> ((s, d) =>
       graft.ext.TextAnalysis.heavyHitters(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) =>
@@ -2291,6 +2294,14 @@ object SparkEntry {
            CAST(floor(CAST(w_raw AS DOUBLE) / CAST(w_tot AS DOUBLE)
              * 1000000 + 0.5) AS BIGINT) AS alloc_tokens
          FROM s, tot ORDER BY source""",
+    "q_shard_plan" ->
+      """SELECT
+           ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 64
+             AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> x <> ''))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY 1 ORDER BY 1""",
     "q_rolling_fingerprint" ->
       s"""SELECT doc_id,
          CAST(CASE WHEN m >= 9223372036854775808

@@ -143,6 +143,10 @@ object Similarity {
         col("nrm").as("c_nrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_sim").desc, col("centroid_id"))
+    // localCheckpoint: `assigned` feeds the pair self-join twice plus the
+    // final anti-join — unmaterialized, the |corpus|×|centroids|
+    // assignment executes three times (three BroadcastNestedLoopJoins in
+    // the plan; same rationale as ivfTopK).
     val assigned = withNorm.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("centroid_id"),
@@ -152,6 +156,7 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("centroid_id"))
+      .localCheckpoint()
     val a = assigned.select(col("centroid_id"), col("vec_id").as("vid_a"),
       col("embedding").as("e_a"), col("nrm").as("n_a"))
     val b = assigned.select(col("centroid_id"), col("vec_id").as("vid_b"),

@@ -69,6 +69,22 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Deterministic training-shard plan: portable-hash shard assignment
+    * (h60(doc_id) mod nShards — engine-reproducible, stable under corpus
+    * growth for existing docs) with per-shard document and token totals.
+    * This is the "write the training set" step: the report proves the
+    * hash spreads load before a 100 TB shuffle-write commits to it, and
+    * the same expression IS the partition key for that write
+    * (`repartition(nShards, shardExpr)`). One source-scan aggregate,
+    * shard-cardinality output. */
+  def shardPlan(docs: DataFrame, nShards: Int = 64): DataFrame =
+    docs.select(
+        pmod(portableH60(col("doc_id")), lit(nShards.toLong)).as("shard_id"),
+        size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+      .orderBy("shard_id")
+
   /** Temperature-based source mixing (α = 0.5, the standard
     * square-root-temperature rebalance a multi-source training mix uses to
     * lift small sources without drowning large ones): per-source token

@@ -46,6 +46,18 @@ class Round7OpsSpec extends SparkSpec {
     assert(out("big")._3 == 667L && out("small")._3 == 333L)
   }
 
+  test("shardPlan: complete, disjoint, and balanced hash sharding") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val plan = graft.ext.TextAnalysis.shardPlan(docs, nShards = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(plan.map(_._1).toSet == (0L until 16L).toSet)
+    assert(plan.map(_._2).sum == docs.count())
+    // portable-hash uniformity: no shard more than 2× the mean
+    val counts = plan.map(_._2)
+    assert(counts.max <= 2 * (counts.sum / counts.length),
+      s"skewed shards: ${counts.mkString(",")}")
+  }
+
   test("incrementalDedup flags batch docs whose fingerprint the corpus " +
     "already holds (whitespace/case-insensitive)") {
     val docs = Seq(

@@ -259,9 +259,14 @@ object EventStream {
   }
 
   /** D1 incrementally: per-micro-batch keyed upsert into a parquet table.
-    * Latest `version` wins within and across batches; replaying a batch
-    * (post-failure) converges to the same table — the exactly-once story
-    * the reference gets from deterministic replay, kept under streaming. */
+    * Greatest `version` wins within AND across batches via the
+    * order-independent `mergeLatest` (keep-latest over everything ever
+    * fed), so replaying ANY batch, in any order — checkpoint recovery,
+    * at-least-once redelivery, out-of-order files — converges to the same
+    * table: the §2.9 exactly-once story the reference gets from
+    * deterministic replay, kept under streaming. Inverting the version
+    * column (e.g. `-doc_id`) flips the policy to keep-FIRST, which is the
+    * dedup-on-arrival composition StreamingSpec exercises. */
   def upsertSink(stream: DataFrame, path: String, keys: Seq[String],
                  versionCol: String, checkpoint: String): StreamingQuery =
     stream.writeStream
@@ -274,7 +279,7 @@ object EventStream {
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
           if (fs.exists(p))
-            Upsert.upsert(spark.read.parquet(path), batch, keys,
+            Upsert.mergeLatest(spark.read.parquet(path), batch, keys,
               col(versionCol), Dedup.rowHash(batch))
           else
             Dedup.keepLatest(batch, keys, col(versionCol),

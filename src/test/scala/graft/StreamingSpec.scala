@@ -79,6 +79,38 @@ class StreamingSpec extends SparkSpec {
     assert(ids2 === ids1)
   }
 
+  test("dedup-on-arrival: fingerprint-keyed streaming upsert keeps the " +
+    "first-seen doc per unique content across micro-batches") {
+    import spark.implicits._
+    // Documents arrive over three micro-batches; two later docs duplicate
+    // earlier content modulo case/whitespace. The upsert sink keyed on the
+    // content fingerprint with version = -doc_id (max-version merge ⇒
+    // keep-FIRST) converges to one row per unique document — incremental
+    // corpus dedup composed from the fingerprint expression and the
+    // replay-idempotent sink, no bespoke streaming operator needed.
+    val root = Files.createTempDirectory("graft_darr_").toString
+    val src = s"$root/in"
+    Seq(
+      Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")),
+      Seq((3L, "Alpha  BETA   gamma"), (4L, "zeta eta")), // 3 dups 1
+      Seq((5L, "delta epsilon"), (6L, "theta iota"))      // 5 dups 2
+    ).foreach { rows =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(src)
+    }
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .select(col("doc_id"), col("text"),
+        graft.ext.TextFns.fingerprint(col("text")).as("fp"),
+        (-col("doc_id")).as("first_seen"))
+    EventStream.upsertSink(stream, s"$root/table", Seq("fp"),
+      "first_seen", s"$root/cp").awaitTermination()
+    val out = spark.read.parquet(s"$root/table")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L, 4L, 6L))
+  }
+
   test("mapGroupsWithState totals equal the batch aggregate across micro-batches") {
     // Split the fixture into several files and feed them one per trigger:
     // each user's state is updated in multiple micro-batches, so the

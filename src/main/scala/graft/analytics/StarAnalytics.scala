@@ -580,9 +580,12 @@ object StarAnalytics {
     val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey")
+    // no hint on the supplier subset: it is catalog-scaling (1/25th of
+    // suppliers), so AQE broadcasts while it fits and degrades to a
+    // shuffle join at scale — only the FIXED nation dim is force-broadcast
     val li = Tables.lineitem(spark, sfDir)
       .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
     val value = (col("l_extendedprice") * col("l_quantity"))
       .cast("decimal(18,6)")
     val perPart = li.groupBy(col("l_partkey"))
@@ -703,9 +706,9 @@ object StarAnalytics {
   /** Association rules from the co-purchase pairs: for A→B with support
     * ≥ `minSupport`, confidence = n(A,B)/n(A) and lift = confidence /
     * (n(B)/N). All inputs are exact integer counts, so the derived
-    * ratios are bit-identical everywhere. The per-part order counts and
-    * the total are part-/one-row-sized — both broadcast; only the basket
-    * pass touches the corpus. */
+    * ratios are bit-identical everywhere. The one-row total broadcasts;
+    * the per-part counts are catalog-scaling so AQE sizes that join at
+    * runtime. Only the basket pass touches the corpus. */
   def assocRules(spark: SparkSession, sfDir: String,
                  minSupport: Long = 2L, k: Int = 20): DataFrame = {
     val op = Tables.lineitem(spark, sfDir)
@@ -719,11 +722,13 @@ object StarAnalytics {
     val rules = pairs.select(col("part_a").as("antecedent"),
         col("part_b").as("consequent"), col("n_orders").as("support"))
       .union(pairs.select(col("part_b"), col("part_a"), col("n_orders")))
+    // the per-part counts are catalog-scaling — no broadcast hint (AQE
+    // decides by measured size); only the one-row total keeps the hint
     rules
-      .join(broadcast(partN.select(col("l_partkey").as("antecedent"),
-        col("n_part").as("n_a"))), Seq("antecedent"))
-      .join(broadcast(partN.select(col("l_partkey").as("consequent"),
-        col("n_part").as("n_b"))), Seq("consequent"))
+      .join(partN.select(col("l_partkey").as("antecedent"),
+        col("n_part").as("n_a")), Seq("antecedent"))
+      .join(partN.select(col("l_partkey").as("consequent"),
+        col("n_part").as("n_b")), Seq("consequent"))
       .crossJoin(broadcast(totalN))
       .select(col("antecedent"), col("consequent"), col("support"),
         round(col("support") / col("n_a"), 6).as("confidence"),

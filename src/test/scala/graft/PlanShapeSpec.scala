@@ -208,6 +208,22 @@ class PlanShapeSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("important-parts supplier join carries no forced broadcast — " +
+    "degrades to a shuffle join when thresholds are disabled") {
+    // Same 100× hazard class as the pagerank rank frame: the supplier
+    // subset scales with the catalog. Only the fixed nation dim and the
+    // one-row total may keep hard hints.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.get(k, "10MB"))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      val plan = physical(StarAnalytics.importantParts(spark, sf))
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), plan.take(600))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("z-order layout key stays inside whole-stage codegen") {
     val df = graft.operators.ZOrder.layoutStats(
       Tables.lineitem(spark, sf), "l_partkey", "l_suppkey")

@@ -572,6 +572,10 @@ object SparkEntry {
     "q_semdedup" -> ((s, d) =>
       graft.ext.Similarity.semDedup(Tables.embeddings(s, d))
         .orderBy("vec_id")),
+    // ---- iterated Lloyd's k-means (2 assignment→mean rounds) ----
+    "q_kmeans_iter" -> ((s, d) =>
+      graft.ext.Similarity.kmeansIterate(Tables.embeddings(s, d))
+        .orderBy("centroid_id", "dim_id")),
     // ---- temperature (α=0.5) source-mixing weights + token allocation --
     "q_mixture_weights" -> ((s, d) =>
       graft.ext.TextAnalysis.mixtureWeights(Tables.documents(s, d))),
@@ -2277,6 +2281,43 @@ object SparkEntry {
          SELECT vec_id, centroid_id FROM assign
          WHERE vec_id NOT IN (SELECT vec_id FROM drops)
          ORDER BY vec_id""",
+    "q_kmeans_iter" ->
+      """WITH c0 AS (
+           SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
+           FROM embeddings WHERE vec_id % 40 = 0),
+         a1 AS (
+           SELECT vec_id, embedding, centroid_id FROM (
+             SELECT e.vec_id, e.embedding, c0.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], c0.ce),
+                   6) DESC, c0.centroid_id) AS rn
+             FROM embeddings e CROSS JOIN c0)
+           WHERE rn = 1),
+         m1 AS (
+           SELECT centroid_id, dim_id,
+             round(CAST(sum(CAST(embedding[dim_id + 1]::DOUBLE
+               AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS m
+           FROM (SELECT centroid_id, unnest(range(0, 64)) AS dim_id,
+                   embedding FROM a1)
+           GROUP BY 1, 2),
+         c1 AS (
+           SELECT centroid_id, list(m ORDER BY dim_id) AS ce
+           FROM m1 GROUP BY 1),
+         a2 AS (
+           SELECT vec_id, embedding, centroid_id FROM (
+             SELECT e.vec_id, e.embedding, c1.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], c1.ce),
+                   6) DESC, c1.centroid_id) AS rn
+             FROM embeddings e CROSS JOIN c1)
+           WHERE rn = 1)
+         SELECT centroid_id, dim_id,
+           round(CAST(sum(CAST(embedding[dim_id + 1]::DOUBLE
+             AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS c_val,
+           count(*) AS n_members
+         FROM (SELECT centroid_id, unnest(range(0, 64)) AS dim_id,
+                 embedding FROM a2)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_mixture_weights" ->
       """WITH t AS (
            SELECT source,

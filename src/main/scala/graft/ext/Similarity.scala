@@ -120,6 +120,69 @@ object Similarity {
         (avg(col("recall")) >= floor).as("recall_ok"))
   }
 
+  /** Double-array dot as a strict left fold — the HOF form DuckDB's
+    * `list_cosine_similarity` accumulates in, so iterated-centroid
+    * cosines (double-list inputs, where the f32 native expression does
+    * not apply) stay bit-identical cross-engine. */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Iterated Lloyd's k-means: `rounds` full assignment → mean-update
+    * cycles from the deterministic seeds (vec_id % centroidMod) — the
+    * multi-round training loop [[kmeansRefine]] is one step of. Each
+    * round is ONE corpus scan (assignment against broadcast centroids)
+    * plus one k·d-wide partial-aggregated shuffle (the means); the
+    * centroid frame localCheckpoints between rounds so the unrolled plan
+    * stays constant-size — the same iteration pattern as PageRank and
+    * connected components. Numerics: similarities are 6-dp-rounded before
+    * the argmax, and means route their sums through DECIMAL then divide
+    * as doubles, so every round — and therefore the whole trajectory —
+    * is bit-identical across engines and partition orders. Returns the
+    * final assignment's per-dimension means in the same long form as
+    * kmeansRefine. */
+  def kmeansIterate(emb: DataFrame, centroidMod: Int = 40,
+                    rounds: Int = 2): DataFrame = {
+    val corpus = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(dotD(col("e"), col("e"))))
+      .localCheckpoint()
+    var cents = corpus.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ce"),
+        col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("centroid_id"))
+    def assign(): DataFrame = corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("centroid_id"),
+        round(dotD(col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
+          .as("c_sim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("centroid_id"))
+    val mean = round(sum(col("v").cast("decimal(28,12)")).cast("double") /
+      count(lit(1)), 6)
+    var assigned = assign()
+    for (_ <- 2 to rounds) {
+      cents = assigned
+        .select(col("centroid_id"),
+          posexplode(col("e")).as(Seq("dim_id", "v")))
+        .groupBy("centroid_id", "dim_id")
+        .agg(mean.as("m"))
+        .groupBy("centroid_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim_id"), col("m")))),
+          s => s.getField("m")).as("ce"))
+        .withColumn("cn", sqrt(dotD(col("ce"), col("ce"))))
+        .select(col("centroid_id"), col("ce"), col("cn"))
+        .localCheckpoint()
+      assigned = assign()
+    }
+    assigned
+      .select(col("centroid_id"), posexplode(col("e")).as(Seq("dim_id", "v")))
+      .groupBy("centroid_id", "dim_id")
+      .agg(mean.as("c_val"), count(lit(1)).as("n_members"))
+      .withColumn("dim_id", col("dim_id").cast("bigint"))
+  }
+
   /** SemDeDup-shaped semantic dedup (cluster the embedding space, then
     * deduplicate only WITHIN clusters — Abbas et al. 2023, SemDeDup):
     * assign every vector to its nearest seed centroid with the same

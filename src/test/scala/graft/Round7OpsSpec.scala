@@ -30,6 +30,27 @@ class Round7OpsSpec extends SparkSpec {
     assert(kept == Set(0L, 3L, 40L))
   }
 
+  test("kmeansIterate: stable groups keep membership and means land on " +
+    "the true group centers after two rounds") {
+    // group A hugs [1,0,0,0] (ids 0-2), group B hugs [0,1,0,0] (ids
+    // 40-42); the seeds are ids 0 and 40 (vec_id % 40 == 0).
+    val rows = Seq(
+      (0L, vec(1, 0, 0, 0)), (1L, vec(0.9, 0.1, 0, 0)),
+      (2L, vec(0.8, 0.2, 0, 0)),
+      (40L, vec(0, 1, 0, 0)), (41L, vec(0.1, 0.9, 0, 0)),
+      (42L, vec(0.2, 0.8, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.kmeansIterate(rows, rounds = 2).collect()
+    val members = out.map(r => (r.getLong(0), r.getLong(3))).distinct.toMap
+    assert(members == Map(0L -> 3L, 40L -> 3L))
+    val c0d0 = out.find(r => r.getLong(0) == 0L && r.getLong(1) == 0L)
+      .get.getDouble(2)
+    assert(math.abs(c0d0 - 0.9) < 1e-6) // (1 + 0.9 + 0.8) / 3
+    val c40d1 = out.find(r => r.getLong(0) == 40L && r.getLong(1) == 1L)
+      .get.getDouble(2)
+    assert(math.abs(c40d1 - 0.9) < 1e-6)
+  }
+
   test("mixtureWeights: sqrt-temperature rebalance lifts the small source") {
     val docs = Seq(
       (1L, "a b c d e f g h i j k l m n o p", "big"),    // 16 tokens

@@ -582,6 +582,10 @@ object SparkEntry {
     // ---- deterministic training-shard plan (hash sharding + balance) ----
     "q_shard_plan" -> ((s, d) =>
       graft.ext.TextAnalysis.shardPlan(Tables.documents(s, d))),
+    // ---- the mixture, materialized: greedy per-source token prefixes ----
+    "q_mixture_sample" -> ((s, d) =>
+      graft.ext.TextAnalysis.mixtureSample(Tables.documents(s, d))
+        .orderBy("doc_id")),
     "q_heavy_hitters" -> ((s, d) =>
       graft.ext.TextAnalysis.heavyHitters(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) =>
@@ -2343,6 +2347,30 @@ object SparkEntry {
            CAST(sum(len(list_filter(string_split_regex(lower(text), '\s+'),
              x -> x <> ''))) AS BIGINT) AS n_tokens
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_mixture_sample" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '')) AS BIGINT) AS n_tokens
+           FROM documents),
+         g AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS nt
+               FROM t GROUP BY 1),
+         s AS (SELECT *, CAST(sqrt(nt) AS DECIMAL(18,6)) AS w_raw FROM g),
+         tot AS (SELECT sum(w_raw) AS w_tot FROM s),
+         alloc AS (
+           SELECT source,
+             CAST(floor(CAST(w_raw AS DOUBLE) / CAST(w_tot AS DOUBLE)
+               * 10000 + 0.5) AS BIGINT) AS alloc_tokens
+           FROM s, tot),
+         c AS (
+           SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+               AS BIGINT) AS cum
+           FROM t)
+         SELECT doc_id, source, n_tokens, cum
+         FROM c JOIN alloc USING (source)
+         WHERE cum <= alloc_tokens
+         ORDER BY doc_id""",
     "q_rolling_fingerprint" ->
       s"""SELECT doc_id,
          CAST(CASE WHEN m >= 9223372036854775808

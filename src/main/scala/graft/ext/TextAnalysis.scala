@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import TextFns._
 
@@ -84,6 +85,28 @@ object TextAnalysis {
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
       .orderBy("shard_id")
+
+  /** Materialize the temperature mixture into an actual training subset:
+    * per source, take documents in deterministic doc_id order while the
+    * running token total stays within the source's [[mixtureWeights]]
+    * allocation. One window shuffle keyed on source (the running sum) and
+    * a broadcast of the source-cardinality allocation table — the
+    * selection never moves document text, only (id, source, count)
+    * triples. The greedy prefix rule is deliberate: it is deterministic,
+    * engine-portable, and restartable (a re-run after more docs arrive
+    * keeps every previously selected doc whose prefix position survived). */
+  def mixtureSample(docs: DataFrame,
+                    budgetTokens: Long = 10000L): DataFrame = {
+    val alloc = mixtureWeights(docs, budgetTokens)
+      .select(col("source"), col("alloc_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs.select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .join(broadcast(alloc), Seq("source"))
+      .filter(col("cum") <= col("alloc_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum"))
+  }
 
   /** Temperature-based source mixing (α = 0.5, the standard
     * square-root-temperature rebalance a multi-source training mix uses to

@@ -79,6 +79,18 @@ class Round7OpsSpec extends SparkSpec {
       s"skewed shards: ${counts.mkString(",")}")
   }
 
+  test("mixtureSample: greedy per-source prefixes honor the allocation") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p", "big"),  // 16 tokens, cum 16
+      (2L, "a b c d e f g h i j k l m n o p", "big"),  // cum 32 > alloc 20
+      (3L, "a b c d e f g h", "small")                 // 8 tokens ≤ alloc 10
+    ).toDF("doc_id", "text", "source")
+    // budget 30 → weights (2/3, 1/3) → allocations (20, 10)
+    val kept = graft.ext.TextAnalysis.mixtureSample(docs, budgetTokens = 30L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("incrementalDedup flags batch docs whose fingerprint the corpus " +
     "already holds (whitespace/case-insensitive)") {
     val docs = Seq(

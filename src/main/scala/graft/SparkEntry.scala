@@ -52,7 +52,7 @@ object SparkEntry {
     "q_dau_approx" -> ((s, d) =>
       EventAnalytics.dauApproxAudit(Tables.events(s, d))),
     "q_value_percentiles_approx" -> ((s, d) =>
-      EventAnalytics.valuePercentilesApprox(Tables.events(s, d))),
+      EventAnalytics.valuePercentilesAudit(Tables.events(s, d))),
     // Set ops beyond the reference's union: EXCEPT/INTERSECT over distinct
     // user sets (both plan as aggregate-free left-anti / left-semi joins on
     // the distinct sets — one shuffle each side).
@@ -576,6 +576,9 @@ object SparkEntry {
     "q_kmeans_iter" -> ((s, d) =>
       graft.ext.Similarity.kmeansIterate(Tables.embeddings(s, d))
         .orderBy("centroid_id", "dim_id")),
+    // ---- per-node triangle counts on the co-purchase graph ----
+    "q_triangles" -> ((s, d) =>
+      graft.analytics.GraphAnalytics.coPurchaseTriangles(s, d)),
     // ---- temperature (α=0.5) source-mixing weights + token allocation --
     "q_mixture_weights" -> ((s, d) =>
       graft.ext.TextAnalysis.mixtureWeights(Tables.documents(s, d))),
@@ -1505,6 +1508,13 @@ object SparkEntry {
          round(quantile_cont(value, 0.5), 6) AS p50,
          round(quantile_cont(value, 0.9), 6) AS p90,
          round(quantile_cont(value, 0.99), 6) AS p99
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_value_percentiles_approx" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 6) AS p50,
+         round(quantile_cont(value, 0.9), 6) AS p90,
+         round(quantile_cont(value, 0.99), 6) AS p99,
+         1 AS approx_in_bound
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_dedup_latest" ->
       """SELECT user_id, event_type, event_id,
@@ -3736,6 +3746,24 @@ object SparkEntry {
          SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
          FROM pairs GROUP BY 1, 2
          ORDER BY n_orders DESC, part_a, part_b LIMIT 20""",
+    "q_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2
+           HAVING count(*) >= 2),
+         e AS (SELECT pa AS a, pb AS b FROM pairs),
+         tri AS (
+           SELECT ab.a, ab.b, bc.b AS c
+           FROM e ab JOIN e bc ON ab.b = bc.a
+           WHERE EXISTS (SELECT 1 FROM e ac
+                         WHERE ac.a = ab.a AND ac.b = bc.b)),
+         x AS (SELECT unnest([a, b, c]) AS part FROM tri)
+         SELECT part, CAST(count(*) AS BIGINT) AS n_triangles
+         FROM x GROUP BY 1
+         ORDER BY n_triangles DESC, part LIMIT 20""",
     "q_pagerank" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          pairs AS (

@@ -152,7 +152,32 @@ object EventAnalytics {
         expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
         expr(s"approx_percentile(value, 0.9, $accuracy)").as("p90"),
         expr(s"approx_percentile(value, 0.99, $accuracy)").as("p99"))
+
+  /** Oracle-able form of the percentile-sketch report (same audit pattern
+    * as [[dauApproxAudit]]/cmsCountsAudit): the exact interpolated
+    * percentiles hash-check cross-engine; the sketch estimates collapse to
+    * a bound flag — every percentile within relBound of exact, set with
+    * ~7× margin over the observed fixture error, deterministic for the
+    * fixed fixture. Exact + sketch aggregates run in the ONE group-by
+    * pass. */
+  def valuePercentilesAudit(ev: DataFrame, accuracy: Int = 10000,
+                            relBound: Double = 0.05): DataFrame = {
+    def ok(a: Column, e: Column): Column =
+      abs(a - e) <= abs(e) * relBound
+    ev.groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        expr(s"approx_percentile(value, 0.5, $accuracy)").as("__a50"),
+        expr(s"approx_percentile(value, 0.9, $accuracy)").as("__a90"),
+        expr(s"approx_percentile(value, 0.99, $accuracy)").as("__a99"))
+      .select(col("event_type"), col("p50"), col("p90"), col("p99"),
+        when(ok(col("__a50"), col("p50")) && ok(col("__a90"), col("p90")) &&
+          ok(col("__a99"), col("p99")), lit(1)).otherwise(lit(0))
+          .as("approx_in_bound"))
       .orderBy("event_type")
+  }
 
   /** Extension — lag/lead over per-user event sequences: gap (seconds)
     * since the user's previous event. Window partitions by user_id, so the

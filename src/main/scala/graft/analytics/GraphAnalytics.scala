@@ -56,6 +56,30 @@ object GraphAnalytics {
           lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
   }
 
+  /** Per-node triangle counts over the support-floored co-purchase graph
+    * — the clique-cohesion metric beside PageRank's centrality: how
+    * interconnected a product's co-purchase neighborhood is. Edges are
+    * canonical (a < b) pairs, so the a<b<c enumeration counts each
+    * triangle exactly once; each triangle then credits all three corners.
+    * The two self-joins run on the SIGNAL-sized pruned edge list (the
+    * same ≥minSupport floor as the PageRank graph — 335× smaller than
+    * the raw pair table at sf0.1), never on the corpus, and both key on
+    * edge endpoints — plain hash joins that AQE sizes. */
+  def coPurchaseTriangles(spark: SparkSession, sfDir: String,
+                          k: Int = 20, minSupport: Long = 2L): DataFrame = {
+    val e = StarAnalytics.coPurchaseCounts(spark, sfDir)
+      .filter(col("n_orders") >= minSupport)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+    val tri = e
+      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+      .groupBy("part")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("part"))
+      .limit(k)
+  }
+
   /** PageRank of the co-purchase graph: parts as nodes, same-order
     * co-occurrence counts as edge weights (see
     * [[StarAnalytics.coPurchasePairs]] for the basket synthesis). Top-k

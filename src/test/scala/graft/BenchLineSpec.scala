@@ -38,8 +38,8 @@ class BenchLineSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
-    // the single remaining rows-only query: the t-digest percentile sketch
-    // (the HLL and CMS reports ship oracle-checked audit forms instead)
-    assert((q -- o) == Set("q_value_percentiles_approx"))
+    // zero rows-only queries: every sketch report (HLL, CMS, t-digest)
+    // ships an oracle-checked audit form
+    assert((q -- o).isEmpty, s"queries without oracles: ${q -- o}")
   }
 }

@@ -984,6 +984,12 @@ object SparkEntry {
       StatsAnalytics.winsorize(Tables.events(s, d))),
     "q_ab_lift" -> ((s, d) =>
       StatsAnalytics.abLift(Tables.events(s, d))),
+    // ---- categorical featurization: smoothed mean target encoding ----
+    "q_target_encoding" -> ((s, d) =>
+      StatsAnalytics.targetEncoding(Tables.events(s, d))),
+    // ---- per-group OLS via decimal-summed normal equations ----
+    "q_linreg" -> ((s, d) =>
+      StatsAnalytics.linreg(Tables.lineitem(s, d))),
 
     // ---- corpus scoring / chunk-level boilerplate ----
     "q_unigram_logprob" -> ((s, d) =>
@@ -3110,6 +3116,49 @@ object SparkEntry {
                (1 - (conv_a + conv_b) * 1.0 / (users_a + users_b)) *
                (1.0 / users_a + 1.0 / users_b)), 6) AS z_stat
          FROM agg""",
+    "q_target_encoding" ->
+      """WITH nn AS (
+           SELECT event_type, value FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+         p AS (
+           SELECT CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE) AS prior
+           FROM nn),
+         g AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+           FROM nn GROUP BY 1)
+         SELECT event_type, n,
+           round(s / CAST(n AS DOUBLE), 6) AS mean_value,
+           round((s + 10.0 * p.prior) / (CAST(n AS DOUBLE) + 10.0), 6)
+             AS encoded
+         FROM g CROSS JOIN p ORDER BY event_type""",
+    "q_linreg" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS sy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6)))
+               AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(18,6)))
+               AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_extendedprice * l_extendedprice
+               AS DECIMAL(18,6))) AS DOUBLE) AS syy
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+             ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+             AS slope,
+           round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+             ELSE (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+               / n END, 6) AS intercept,
+           round(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+             THEN NULL
+             ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+               ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+         FROM m ORDER BY l_returnflag""",
 
     // ---- corpus scoring / chunk-level boilerplate ----
     "q_unigram_logprob" ->

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.operators.Sampling
 
@@ -283,5 +283,60 @@ object StatsAnalytics {
         round(col("rate_b"), 6).as("rate_b"),
         round(col("rate_b") - col("rate_a"), 6).as("lift"),
         col("z_stat"))
+  }
+
+  /** Smoothed mean target encoding — the classic categorical featurizer a
+    * training pipeline applies before gradient models: each category maps
+    * to (sum + m·prior)/(n + m), shrinking rare categories toward the
+    * global mean. Both aggregates accumulate in DECIMAL (order-independent
+    * → oracle-parity at any partition count); the one-row prior broadcasts,
+    * so the only data-sized stage is the per-category pass. The derived
+    * ratios are double ops on identical inputs — deterministic IEEE. */
+  def targetEncoding(ev: DataFrame, m: Double = 10.0): DataFrame = {
+    val nn = ev.filter(col("value").isNotNull && col("event_type").isNotNull)
+    def dsum = sum(col("value").cast("decimal(18,6)")).cast("double")
+    val prior = nn.agg(
+      (dsum / count(lit(1)).cast("double")).as("__prior"))
+    nn.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum.as("__s"))
+      .crossJoin(broadcast(prior))
+      .select(col("event_type"), col("n"),
+        round(col("__s") / col("n").cast("double"), 6).as("mean_value"),
+        round((col("__s") + lit(m) * col("__prior")) /
+          (col("n").cast("double") + lit(m)), 6).as("encoded"))
+      .orderBy("event_type")
+  }
+
+  /** Per-group ordinary least squares (y = l_extendedprice on
+    * x = l_quantity) via the normal equations — regression as ONE grouped
+    * pass: the five moment sums (Σx, Σy, Σx², Σxy, Σy²) accumulate in
+    * DECIMAL inside the same map-side combine as any aggregate, and
+    * slope/intercept/R² are scalar projections of the moments. No second
+    * pass, no driver-side math — the 100 TB shape for fitting millions of
+    * per-group models is exactly this one shuffle. Per-row double products
+    * are IEEE-deterministic; the decimal cast then makes the SUM
+    * order-independent (the q_nation_volume discipline). */
+  def linreg(li: DataFrame): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    def dsum(c: Column) = sum(c.cast("decimal(18,6)")).cast("double")
+    val n = col("__n")
+    val num = n * col("__sxy") - col("__sx") * col("__sy")
+    val den = n * col("__sxx") - col("__sx") * col("__sx")
+    // zero-guards (G16): degenerate groups (constant x, or constant y in
+    // the R² denominator) yield NULL, not a runtime 0-divide
+    val slope = when(den === 0.0, lit(null)).otherwise(num / den)
+    val r2den = den * (n * col("__syy") - col("__sy") * col("__sy"))
+    li.groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("__n"),
+        dsum(x).as("__sx"), dsum(y).as("__sy"),
+        dsum(x * x).as("__sxx"), dsum(x * y).as("__sxy"),
+        dsum(y * y).as("__syy"))
+      .select(col("l_returnflag"), n.cast("bigint").as("n"),
+        round(slope, 6).as("slope"),
+        round((col("__sy") - slope * col("__sx")) / n, 6).as("intercept"),
+        round(when(r2den === 0.0, lit(null))
+          .otherwise((num * num) / r2den), 6).as("r2"))
+      .orderBy("l_returnflag")
   }
 }

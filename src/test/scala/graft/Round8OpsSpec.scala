@@ -1,0 +1,46 @@
+package graft
+
+import graft.analytics.StatsAnalytics
+
+/** Round-8 additions: smoothed target encoding and per-group OLS via
+  * decimal-summed normal equations. Hand-built fixtures with answers
+  * computed by hand. */
+class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("targetEncoding shrinks rare categories toward the global prior") {
+    // prior = (1+2+3+10)/4 = 4; m = 10
+    // a: n=3 sum=6  → encoded = (6 + 40) / 13 = 3.538462
+    // b: n=1 sum=10 → encoded = (10 + 40) / 11 = 4.545455
+    val ev = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("b", Some(10.0)), ("b", None) // null value excluded everywhere
+    ).toDF("event_type", "value")
+    val out = StatsAnalytics.targetEncoding(ev)
+      .select("event_type", "n", "mean_value", "encoded")
+      .as[(String, Long, Double, Double)].collect().toList
+    assert(out == List(
+      ("a", 3L, 2.0, 3.538462),
+      ("b", 1L, 10.0, 4.545455)))
+    // the rare category is pulled 4.5× closer to the prior than its raw mean
+    assert(math.abs(4.545455 - 4.0) < math.abs(10.0 - 4.0))
+  }
+
+  test("linreg recovers an exact line (R²=1) and a flat group (slope 0)") {
+    // group A: y = 2x + 1 exactly; group B: constant y → slope 0 and a
+    // zero-variance R² denominator, which the guard turns into NULL.
+    val li = Seq(
+      ("A", 1.0, 3.0), ("A", 2.0, 5.0), ("A", 3.0, 7.0), ("A", 4.0, 9.0),
+      ("B", 1.0, 4.0), ("B", 2.0, 4.0), ("B", 3.0, 4.0)
+    ).toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val out = StatsAnalytics.linreg(li)
+      .select("l_returnflag", "n", "slope", "intercept", "r2")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toList
+    val a = out.find(_._1 == "A").get
+    assert(a._2 == 4L && a._3.contains(2.0) && a._4.contains(1.0) &&
+      a._5.contains(1.0))
+    val b = out.find(_._1 == "B").get
+    assert(b._2 == 3L && b._3.contains(0.0) && b._5.isEmpty)
+  }
+}

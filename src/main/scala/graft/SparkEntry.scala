@@ -883,6 +883,12 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) =>
       graft.ext.TextAnalysis.tfidfTop(Tables.documents(s, d))
         .orderBy("doc_id", "rnk")),
+    // ---- inverted-index build (capped posting lists) ----
+    "q_inverted_index" -> ((s, d) =>
+      graft.ext.TextAnalysis.invertedIndex(Tables.documents(s, d))),
+    // ---- hashing-trick featurization (signed buckets) ----
+    "q_feature_hashing" -> ((s, d) =>
+      graft.ext.TextAnalysis.featureHashing(Tables.documents(s, d))),
     "q_doc_quality" -> ((s, d) =>
       graft.ext.TextAnalysis.qualityGate(Tables.documents(s, d))
         .orderBy("doc_id")),
@@ -2863,6 +2869,41 @@ object SparkEntry {
              ORDER BY score DESC, term) AS BIGINT) AS rnk FROM sc)
          SELECT doc_id, term, tf, df, score, rnk FROM r
          WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "q_inverted_index" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT term, doc_id, count(*) AS tf
+                FROM toks GROUP BY 1, 2),
+         st AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                  CAST(sum(tf) AS BIGINT) AS total_tf
+                FROM tf GROUP BY 1),
+         pc AS (SELECT term, doc_id, tf,
+                  row_number() OVER (PARTITION BY term ORDER BY doc_id)
+                    AS rn
+                FROM tf),
+         po AS (SELECT term,
+                  string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+                    CAST(tf AS VARCHAR), ',' ORDER BY doc_id) AS postings
+                FROM pc WHERE rn <= 20 GROUP BY term)
+         SELECT st.term, df, total_tf, postings
+         FROM st JOIN po USING (term)
+         WHERE df >= 5
+         ORDER BY df DESC, st.term LIMIT 50""",
+    "q_feature_hashing" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '')) AS term
+           FROM documents),
+         h AS (SELECT doc_id,
+                 ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+               FROM toks)
+         SELECT doc_id, h & 15 AS bucket,
+           CAST(sum(CASE WHEN (h >> 4) & 1 = 0 THEN 1 ELSE -1 END)
+             AS BIGINT) AS weight,
+           CAST(count(*) AS BIGINT) AS n_tokens
+         FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_doc_quality" ->
       """WITH t AS (
            SELECT doc_id, list_filter(string_split_regex(lower(text),

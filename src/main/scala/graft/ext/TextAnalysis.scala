@@ -652,4 +652,58 @@ object TextAnalysis {
           count(lit(1)), 6).as("boilerplate_frac"))
       .orderBy("doc_id")
   }
+
+  /** Inverted index over the corpus: per term, document frequency, total
+    * term frequency, and a doc-ordered posting list ("doc:tf,…") — the
+    * build step behind the BM25/TF-IDF retrieval queries. df/total_tf are
+    * exact over ALL postings; the materialized posting string is capped at
+    * the first `postingCap` docs per term via a per-term window, so
+    * per-term state is bounded even for stop-words whose true posting
+    * list is corpus-sized (the unbounded collect_list would be the 100 TB
+    * OOM). One (term,doc) shuffle feeds both aggregates. */
+  def invertedIndex(docs: DataFrame, dfFloor: Long = 5L,
+                    postingCap: Int = 20, k: Int = 50): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    val postings = tf
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= postingCap)
+      .groupBy("term")
+      .agg(concat_ws(",", transform(
+        sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+        p => concat(p("doc_id").cast("string"), lit(":"),
+          p("tf").cast("string")))).as("postings"))
+    stats.join(postings, "term")
+      .filter(col("df") >= dfFloor)
+      .select(col("term"), col("df"), col("total_tf"), col("postings"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+  }
+
+  /** Hashing-trick featurization: each token maps to one of `buckets`
+    * (power of two) signed slots via the portable 60-bit hash — low bits
+    * pick the bucket, bit log2(buckets) picks the sign, so bucket and
+    * sign are independent and both reproduce bit-exactly in the DuckDB
+    * oracle. Long-form output (doc, bucket, weight): a per-row projection
+    * plus one bounded (doc × buckets) aggregate — scan-speed at 100 TB.
+    * Bit ops, not division: h/buckets as a double would lose precision
+    * above 2^53 and break cross-engine sign parity. */
+  def featureHashing(docs: DataFrame, buckets: Int = 16): DataFrame = {
+    require((buckets & (buckets - 1)) == 0, "buckets must be a power of 2")
+    val signBit = java.lang.Integer.numberOfTrailingZeros(buckets)
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .select(col("doc_id"), portableH60(col("term")).as("__h"))
+      .select(col("doc_id"),
+        col("__h").bitwiseAND(lit((buckets - 1).toLong)).as("bucket"),
+        when(shiftright(col("__h"), signBit).bitwiseAND(lit(1L)) === 0L,
+          lit(1L)).otherwise(lit(-1L)).as("sign"))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("sign")).as("weight"), count(lit(1)).as("n_tokens"))
+      .orderBy("doc_id", "bucket")
+  }
 }

@@ -43,4 +43,42 @@ class Round8OpsSpec extends SparkSpec {
     val b = out.find(_._1 == "B").get
     assert(b._2 == 3L && b._3.contains(0.0) && b._5.isEmpty)
   }
+
+  test("invertedIndex: exact df/total_tf, doc-ordered postings, capped " +
+    "posting string") {
+    // "w" in docs 1,2,3 (tf 2,1,1); "x" only in doc 3. dfFloor=2 keeps w.
+    val docs = Seq(
+      (1L, "w w"), (2L, "w"), (3L, "x w")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis
+      .invertedIndex(docs, dfFloor = 2L, postingCap = 2, k = 10)
+      .select("term", "df", "total_tf", "postings")
+      .as[(String, Long, Long, String)].collect().toList
+    // df counts ALL docs (3) even though the posting string caps at 2
+    assert(out == List(("w", 3L, 4L, "1:2,2:1")))
+  }
+
+  test("featureHashing: weights are signed token counts; bucket/sign " +
+    "derive from independent hash bits") {
+    val docs = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.featureHashing(docs)
+      .select("doc_id", "bucket", "weight", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toList
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    def row(t: String, n: Long) = {
+      val h = h60(t)
+      (1L, h & 15L, (if (((h >> 4) & 1L) == 0L) 1L else -1L) * n, n)
+    }
+    val expect = List(row("a", 2L), row("b", 1L))
+      .groupBy(r => (r._1, r._2))
+      .map { case ((d, b), rs) =>
+        (d, b, rs.map(_._3).sum, rs.map(_._4).sum) }
+      .toList.sortBy(r => (r._1, r._2))
+    assert(out == expect)
+  }
 }

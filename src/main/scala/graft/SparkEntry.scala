@@ -579,6 +579,9 @@ object SparkEntry {
     // ---- per-node triangle counts on the co-purchase graph ----
     "q_triangles" -> ((s, d) =>
       graft.analytics.GraphAnalytics.coPurchaseTriangles(s, d)),
+    // ---- top principal direction via power iteration on the Gram ----
+    "q_power_iteration" -> ((s, d) =>
+      graft.ext.Similarity.powerIteration(Tables.embeddings(s, d))),
     // ---- temperature (α=0.5) source-mixing weights + token allocation --
     "q_mixture_weights" -> ((s, d) =>
       graft.ext.TextAnalysis.mixtureWeights(Tables.documents(s, d))),
@@ -2344,6 +2347,44 @@ object SparkEntry {
          FROM (SELECT centroid_id, unnest(range(0, 64)) AS dim_id,
                  embedding FROM a2)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_power_iteration" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+         xs AS (SELECT i, e[i + 1] AS xi, e
+                FROM (SELECT unnest(range(0, 64)) AS i, e FROM e)),
+         g AS (SELECT i, j,
+                 CAST(sum(CAST(xi * e[j + 1] AS DECIMAL(28,12)))
+                   AS DOUBLE) AS a
+               FROM (SELECT i, xi, unnest(range(0, 64)) AS j, e FROM xs)
+               GROUP BY 1, 2),
+         v0 AS (SELECT unnest(range(0, 64)) AS j, 1.0::DOUBLE AS vj),
+         w1 AS (SELECT i, CAST(sum(CAST(a * vj AS DECIMAL(28,12)))
+                  AS DOUBLE) AS wi
+                FROM g JOIN v0 ON g.j = v0.j GROUP BY 1),
+         n1 AS (SELECT sqrt(CAST(sum(CAST(wi * wi AS DECIMAL(28,12)))
+                  AS DOUBLE)) AS nrm FROM w1),
+         v1 AS (SELECT i AS j, wi / nrm AS vj FROM w1 CROSS JOIN n1),
+         w2 AS (SELECT i, CAST(sum(CAST(a * vj AS DECIMAL(28,12)))
+                  AS DOUBLE) AS wi
+                FROM g JOIN v1 ON g.j = v1.j GROUP BY 1),
+         n2 AS (SELECT sqrt(CAST(sum(CAST(wi * wi AS DECIMAL(28,12)))
+                  AS DOUBLE)) AS nrm FROM w2),
+         v2 AS (SELECT i AS j, wi / nrm AS vj FROM w2 CROSS JOIN n2),
+         w3 AS (SELECT i, CAST(sum(CAST(a * vj AS DECIMAL(28,12)))
+                  AS DOUBLE) AS wi
+                FROM g JOIN v2 ON g.j = v2.j GROUP BY 1),
+         n3 AS (SELECT sqrt(CAST(sum(CAST(wi * wi AS DECIMAL(28,12)))
+                  AS DOUBLE)) AS nrm FROM w3),
+         v3 AS (SELECT i AS j, wi / nrm AS vj FROM w3 CROSS JOIN n3),
+         w4 AS (SELECT i, CAST(sum(CAST(a * vj AS DECIMAL(28,12)))
+                  AS DOUBLE) AS wi
+                FROM g JOIN v3 ON g.j = v3.j GROUP BY 1),
+         n4 AS (SELECT sqrt(CAST(sum(CAST(wi * wi AS DECIMAL(28,12)))
+                  AS DOUBLE)) AS nrm FROM w4),
+         v4 AS (SELECT i AS j, wi / nrm AS vj, nrm
+                FROM w4 CROSS JOIN n4)
+         SELECT CAST(j AS BIGINT) AS dim_id, round(vj, 6) AS loading,
+           round(nrm, 6) AS eigenvalue
+         FROM v4 ORDER BY dim_id""",
     "q_mixture_weights" ->
       """WITH t AS (
            SELECT source,

@@ -381,4 +381,51 @@ object Similarity {
     emb.select(col("vec_id"),
       graft.plans.VectorOps.lsh_bucket(col("embedding"), nBits).as("bucket"))
   }
+
+  /** Top principal direction of the embedding cloud by power iteration on
+    * the (uncentered) d×d Gram matrix — PCA's workhorse as a relational
+    * loop, the linear-algebra sibling of [[kmeansIterate]]. The ONLY
+    * data-sized stage is the Gram build: each row contributes its d²
+    * outer-product cells and partial aggregation collapses every partition
+    * to ≤d² cells before the shuffle, so the moved data is
+    * partitions·d² regardless of corpus size — the 100 TB shape. The
+    * iteration itself runs on the d²-row Gram and the d-row vector
+    * (broadcast), with localCheckpoint pinning each round's plan.
+    * Numerics: every sum (Gram cells, matrix·vector, norm) routes through
+    * DECIMAL so it is order-independent, and the per-term double products
+    * are IEEE-identical in DuckDB — the whole trajectory, including the
+    * eigenvector's sign, is bit-reproducible cross-engine. */
+  def powerIteration(emb: DataFrame, dim: Int = 64,
+                     iters: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    def dsum(c: Column) =
+      sum(c.cast("decimal(28,12)")).cast("double")
+    val xs = emb.select(col("embedding").cast("array<double>").as("e"))
+    val gram = xs
+      .select(posexplode(col("e")).as(Seq("i", "xi")), col("e"))
+      .select(col("i"), col("xi"), posexplode(col("e")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(dsum(col("xi") * col("xj")).as("a"))
+      .localCheckpoint()
+    var v = spark.range(dim)
+      .select(col("id").cast("int").as("j"), lit(1.0).as("vj"),
+        lit(0.0).as("nrm"))
+    for (_ <- 1 to iters) {
+      val w = gram.join(broadcast(v.select(col("j"), col("vj"))), Seq("j"))
+        .groupBy("i")
+        .agg(dsum(col("a") * col("vj")).as("wi"))
+      val nrm = w.agg(
+        sqrt(dsum(col("wi") * col("wi"))).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i").as("j"), (col("wi") / col("nrm")).as("vj"),
+          col("nrm"))
+        .localCheckpoint()
+    }
+    // after normalization ‖v‖=1, so the final pre-normalization norm IS
+    // the Rayleigh-quotient estimate of the top eigenvalue
+    v.select(col("j").cast("bigint").as("dim_id"),
+        round(col("vj"), 6).as("loading"),
+        round(col("nrm"), 6).as("eigenvalue"))
+      .orderBy("dim_id")
+  }
 }

@@ -81,4 +81,22 @@ class Round8OpsSpec extends SparkSpec {
       .toList.sortBy(r => (r._1, r._2))
     assert(out == expect)
   }
+
+  test("powerIteration converges to the dominant axis of an axis-aligned " +
+    "cloud with the eigenvalue as the Rayleigh estimate") {
+    // Gram = diag(3, 1, 0, 0): top eigenvector (1,0,0,0), eigenvalue 3.
+    // Four iterations from all-ones leave a ~1e-4 residual on dim 1.
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val emb = Seq(
+      (0L, vec(1, 0, 0, 0)), (1L, vec(1, 0, 0, 0)), (2L, vec(1, 0, 0, 0)),
+      (3L, vec(0, 1, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.powerIteration(emb, dim = 4)
+      .select("dim_id", "loading", "eigenvalue")
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(math.abs(out(0)._2 - 1.0) < 0.001)
+    assert(math.abs(out(1)._2) < 0.05 && out(1)._2 > 0.0)
+    assert(out(2)._2 == 0.0 && out(3)._2 == 0.0)
+    assert(math.abs(out(0)._3 - 3.0) < 0.01)
+  }
 }

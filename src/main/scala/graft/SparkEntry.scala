@@ -582,6 +582,9 @@ object SparkEntry {
     // ---- top principal direction via power iteration on the Gram ----
     "q_power_iteration" -> ((s, d) =>
       graft.ext.Similarity.powerIteration(Tables.embeddings(s, d))),
+    // ---- NDCG@k of the cosine ranking against label relevance ----
+    "q_ndcg" -> ((s, d) =>
+      graft.ext.Similarity.ndcgAtK(Tables.embeddings(s, d))),
     // ---- temperature (α=0.5) source-mixing weights + token allocation --
     "q_mixture_weights" -> ((s, d) =>
       graft.ext.TextAnalysis.mixtureWeights(Tables.documents(s, d))),
@@ -892,6 +895,9 @@ object SparkEntry {
     // ---- hashing-trick featurization (signed buckets) ----
     "q_feature_hashing" -> ((s, d) =>
       graft.ext.TextAnalysis.featureHashing(Tables.documents(s, d))),
+    // ---- multinomial naive Bayes lang classifier (confusion matrix) ----
+    "q_naive_bayes" -> ((s, d) =>
+      graft.ext.TextAnalysis.naiveBayes(Tables.documents(s, d))),
     "q_doc_quality" -> ((s, d) =>
       graft.ext.TextAnalysis.qualityGate(Tables.documents(s, d))
         .orderBy("doc_id")),
@@ -999,6 +1005,9 @@ object SparkEntry {
     // ---- per-group OLS via decimal-summed normal equations ----
     "q_linreg" -> ((s, d) =>
       StatsAnalytics.linreg(Tables.lineitem(s, d))),
+    // ---- GBDT-style histogram best-split search (regression stump) ----
+    "q_gbdt_split" -> ((s, d) =>
+      StatsAnalytics.gbdtSplit(Tables.lineitem(s, d))),
 
     // ---- corpus scoring / chunk-level boilerplate ----
     "q_unigram_logprob" -> ((s, d) =>
@@ -2098,6 +2107,44 @@ object SparkEntry {
              ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
          SELECT query_id, neighbor_id, sim, rnk FROM r
          WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "q_ndcg" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
+             label AS q_label
+           FROM embeddings WHERE vec_id % 10 = 0),
+         s AS (
+           SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
+             e.label AS n_label,
+             round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6)
+               AS sim
+           FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS rnk FROM s),
+         t AS (SELECT * FROM r WHERE rnk <= 10),
+         cc AS (SELECT label AS q_label, CAST(count(*) AS BIGINT)
+                  AS n_class
+                FROM embeddings GROUP BY 1),
+         pq AS (
+           SELECT query_id, q_label,
+             CAST(sum(CAST(CASE WHEN q_label = n_label
+               THEN 1.0 / ln(CAST(rnk AS DOUBLE) + 1.0) ELSE 0.0 END
+               AS DECIMAL(28,12))) AS DOUBLE) AS dcg,
+             CAST(sum(CASE WHEN q_label = n_label THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits
+           FROM t GROUP BY 1, 2),
+         j AS (
+           SELECT pq.*, cc.n_class,
+             CASE WHEN least(10, n_class - 1) >= 1 THEN
+               list_reduce(list_transform(
+                 range(1, least(10, n_class - 1) + 1),
+                 i -> 1.0 / ln(CAST(i AS DOUBLE) + 1.0)), (a, b) -> a + b)
+             ELSE 0.0 END AS idcg
+           FROM pq JOIN cc USING (q_label))
+         SELECT query_id, hits, n_class, round(dcg, 6) AS dcg,
+           round(idcg, 6) AS idcg,
+           CASE WHEN idcg > 0 THEN round(dcg / idcg, 6) ELSE 0.0 END
+             AS ndcg
+         FROM j ORDER BY query_id""",
     "q_ivf_topk" ->
       """WITH c AS (
            SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
@@ -2945,6 +2992,37 @@ object SparkEntry {
              AS BIGINT) AS weight,
            CAST(count(*) AS BIGINT) AS n_tokens
          FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_naive_bayes" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, unnest(list_filter(string_split_regex(
+             lower(text), '\s+'), x -> x <> '')) AS term
+           FROM documents),
+         ct AS (SELECT lang AS cls, term, count(*) AS cnt
+                FROM toks GROUP BY 1, 2),
+         cl AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS tok_c
+                FROM toks GROUP BY 1),
+         nd AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY 1),
+         v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM toks),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+         sc AS (
+           SELECT t.doc_id, t.lang AS actual, c.cls,
+             CAST(sum(CAST(ln(CAST(coalesce(ct.cnt, 0) + 1 AS DOUBLE) /
+               CAST(c.tok_c + 1 * v.v AS DOUBLE)) AS DECIMAL(28,12)))
+               AS DOUBLE)
+               + ln(CAST(nd.n_docs AS DOUBLE) / CAST(nt.n_total AS DOUBLE))
+               AS score
+           FROM toks t
+           CROSS JOIN cl c
+           CROSS JOIN v CROSS JOIN nt
+           JOIN nd ON nd.cls = c.cls
+           LEFT JOIN ct ON ct.cls = c.cls AND ct.term = t.term
+           GROUP BY t.doc_id, t.lang, c.cls, nd.n_docs, nt.n_total, v.v),
+         b AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY round(score, 6) DESC, cls) AS rn FROM sc)
+         SELECT actual, cls AS predicted, CAST(count(*) AS BIGINT)
+           AS n_docs
+         FROM b WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_doc_quality" ->
       """WITH t AS (
            SELECT doc_id, list_filter(string_split_regex(lower(text),
@@ -3241,6 +3319,36 @@ object SparkEntry {
              ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
                ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
          FROM m ORDER BY l_returnflag""",
+    "q_gbdt_split" ->
+      """WITH h AS (
+           SELECT l_returnflag,
+             CAST(floor(l_quantity / 2.0) AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy
+           FROM lineitem GROUP BY 1, 2),
+         p AS (
+           SELECT l_returnflag, bucket,
+             sum(n) OVER (PARTITION BY l_returnflag ORDER BY bucket)
+               AS n_l,
+             sum(sy) OVER (PARTITION BY l_returnflag ORDER BY bucket)
+               AS syl,
+             sum(n) OVER (PARTITION BY l_returnflag) AS n_t,
+             sum(sy) OVER (PARTITION BY l_returnflag) AS syt
+           FROM h),
+         s AS (
+           SELECT l_returnflag, bucket,
+             CAST(n_l AS BIGINT) AS n_l,
+             CAST(n_t - n_l AS BIGINT) AS n_r,
+             CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE) / n_l
+               + (CAST(syt AS DOUBLE) - CAST(syl AS DOUBLE)) *
+                 (CAST(syt AS DOUBLE) - CAST(syl AS DOUBLE)) / (n_t - n_l)
+               - CAST(syt AS DOUBLE) * CAST(syt AS DOUBLE) / n_t AS gain
+           FROM p WHERE n_l < n_t),
+         b AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY round(gain, 6) DESC, bucket) AS rn FROM s)
+         SELECT l_returnflag, round((bucket + 1) * 2.0, 2) AS split_value,
+           n_l, n_r, round(gain, 4) AS gain
+         FROM b WHERE rn = 1 ORDER BY l_returnflag""",
 
     // ---- corpus scoring / chunk-level boilerplate ----
     "q_unigram_logprob" ->

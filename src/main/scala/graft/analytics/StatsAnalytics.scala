@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Sampling
 
@@ -305,6 +306,54 @@ object StatsAnalytics {
         round((col("__s") + lit(m) * col("__prior")) /
           (col("n").cast("double") + lit(m)), 6).as("encoded"))
       .orderBy("event_type")
+  }
+
+  /** Histogram-based best-split search for a regression stump — the inner
+    * loop of gradient-boosted-tree training, relationally: bucket the
+    * feature (map-side projection), aggregate per-bucket target sums in
+    * DECIMAL (n, Σy — one shuffle of ≤ groups·buckets cells thanks to the
+    * map-side combine), then score every bucket boundary with prefix sums
+    * over the TINY histogram via a per-group window. Gain is the classic
+    * SSE decomposition Σ²L/nL + Σ²R/nR − Σ²T/nT (the Σy² terms cancel),
+    * so only exact decimal-derived doubles enter the argmax; ties break
+    * to the lowest boundary. At 100 TB the corpus is touched exactly
+    * once — split scoring runs on histogram cells, the same reason
+    * LightGBM/XGBoost bin first. */
+  def gbdtSplit(li: DataFrame, bucketWidth: Double = 2.0): DataFrame = {
+    val hist = li
+      .select(col("l_returnflag"),
+        floor(col("l_quantity") / bucketWidth).cast("bigint").as("bucket"),
+        col("l_extendedprice").as("y"))
+      .groupBy("l_returnflag", "bucket")
+      .agg(count(lit(1)).as("n"),
+        // stays DECIMAL through the window prefix sums: a windowed DOUBLE
+        // sum accumulates in engine-specific order (segment trees in some
+        // engines) and would break cross-engine parity
+        sum(col("y").cast("decimal(18,6)")).as("sy"))
+    val w = Window.partitionBy("l_returnflag").orderBy("bucket")
+    val wAll = Window.partitionBy("l_returnflag")
+    val syL = col("__sy_l").cast("double")
+    val syT = col("__sy_t").cast("double")
+    val syR = syT - syL
+    val scored = hist
+      .withColumn("n_l", sum(col("n")).over(w))
+      .withColumn("__sy_l", sum(col("sy")).over(w))
+      .withColumn("n_t", sum(col("n")).over(wAll))
+      .withColumn("__sy_t", sum(col("sy")).over(wAll))
+      .filter(col("n_l") < col("n_t")) // a split must leave a right side
+      .select(col("l_returnflag"), col("bucket"),
+        col("n_l"), (col("n_t") - col("n_l")).as("n_r"),
+        (syL * syL / col("n_l") +
+          syR * syR / (col("n_t") - col("n_l")) -
+          syT * syT / col("n_t")).as("gain"))
+    val best = Window.partitionBy("l_returnflag")
+      .orderBy(round(col("gain"), 6).desc, col("bucket"))
+    scored.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"),
+        round((col("bucket") + 1) * bucketWidth, 2).as("split_value"),
+        col("n_l"), col("n_r"), round(col("gain"), 4).as("gain"))
+      .orderBy("l_returnflag")
   }
 
   /** Per-group ordinary least squares (y = l_extendedprice on

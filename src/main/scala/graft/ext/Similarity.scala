@@ -382,6 +382,49 @@ object Similarity {
       graft.plans.VectorOps.lsh_bucket(col("embedding"), nBits).as("bucket"))
   }
 
+  /** NDCG@k of the brute-force cosine ranking, scored against the label
+    * column as binary relevance — the ranking-quality eval that closes
+    * the retrieval loop (recall@k exists as q_ann_recall; NDCG adds
+    * position weighting). Discounts use natural log (the log-base
+    * constant cancels in the DCG/IDCG ratio), each per-rank term is an
+    * IEEE-identical double, and the per-query sum routes through DECIMAL.
+    * The ideal DCG folds a k-length sequence left-to-right — Spark
+    * `aggregate` ≡ DuckDB `list_reduce`, both strict left folds. Costs
+    * one top-k pass plus two label joins; the per-query frame is
+    * |Q| rows. */
+  def ndcgAtK(emb: DataFrame, k: Int = 10, queryMod: Int = 10): DataFrame = {
+    val topk = bruteForceTopK(emb, k, queryMod)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val qLab = labels.select(col("vec_id").as("query_id"),
+      col("label").as("q_label"))
+    val nLab = labels.select(col("vec_id").as("neighbor_id"),
+      col("label").as("n_label"))
+    val classCounts = labels.groupBy(col("label").as("q_label"))
+      .agg(count(lit(1)).as("n_class"))
+    val perQuery = topk.join(qLab, Seq("query_id"))
+      .join(nLab, Seq("neighbor_id"))
+      .groupBy("query_id", "q_label")
+      .agg(
+        sum(when(col("q_label") === col("n_label"),
+          lit(1.0) / log(col("rank").cast("double") + lit(1.0)))
+          .otherwise(lit(0.0)).cast("decimal(28,12)")).cast("double")
+          .as("dcg"),
+        sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L))
+          .as("hits"))
+      .join(classCounts, Seq("q_label"))
+    val m = least(lit(k), col("n_class") - 1)
+    val idcg = when(m >= 1,
+      aggregate(transform(sequence(lit(1), m),
+        i => lit(1.0) / log(i.cast("double") + lit(1.0))),
+        lit(0.0), (acc, t) => acc + t)).otherwise(lit(0.0))
+    perQuery.select(col("query_id"), col("hits"), col("n_class"),
+        round(col("dcg"), 6).as("dcg"),
+        round(idcg, 6).as("idcg"),
+        when(idcg > 0, round(col("dcg") / idcg, 6)).otherwise(lit(0.0))
+          .as("ndcg"))
+      .orderBy("query_id")
+  }
+
   /** Top principal direction of the embedding cloud by power iteration on
     * the (uncentered) d×d Gram matrix — PCA's workhorse as a relational
     * loop, the linear-algebra sibling of [[kmeansIterate]]. The ONLY

@@ -685,6 +685,50 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Multinomial naive Bayes over the labeled corpus (train on `lang`,
+    * classify the same docs — the in-sample fit a curation pipeline uses
+    * to find mislabeled documents): Laplace-smoothed token likelihoods,
+    * argmax of log prior + Σ log p(token|class), reported as the
+    * actual × predicted confusion matrix. The model side (per-class token
+    * counts) is one (term,class) shuffle; scoring joins doc tokens to the
+    * model on (term,class) — both data-sized stages are plain hash
+    * aggregates/joins, and the class×vocab scalars ride a broadcast
+    * one-row frame. Per-token log terms round through DECIMAL before the
+    * per-doc sum, so the argmax is order-independent and the DuckDB
+    * oracle reproduces every prediction exactly. */
+  def naiveBayes(docs: DataFrame, alpha: Double = 1.0): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("term"))
+    val classTok = toks.groupBy(col("lang").as("cls"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    val classes = toks.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("tok_c"))
+      .join(docs.groupBy(col("lang").as("cls"))
+        .agg(count(lit(1)).as("n_docs")), Seq("cls"))
+      .crossJoin(broadcast(
+        toks.select("term").distinct().agg(count(lit(1)).as("v"))))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
+    val logTerm = log((coalesce(col("cnt"), lit(0L)) + lit(alpha))
+      .cast("double") /
+      (col("tok_c") + lit(alpha) * col("v")).cast("double"))
+    val scored = toks
+      .crossJoin(broadcast(classes))
+      .join(classTok, Seq("cls", "term"), "left")
+      .groupBy(col("doc_id"), col("lang").as("actual"), col("cls"),
+        col("n_docs"), col("n_total"))
+      .agg(sum(logTerm.cast("decimal(28,12)")).cast("double").as("ll"))
+      .select(col("doc_id"), col("actual"), col("cls"),
+        (col("ll") + log(col("n_docs").cast("double") /
+          col("n_total").cast("double"))).as("score"))
+    val best = Window.partitionBy("doc_id")
+      .orderBy(round(col("score"), 6).desc, col("cls"))
+    scored.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .groupBy(col("actual"), col("cls").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("actual", "predicted")
+  }
+
   /** Hashing-trick featurization: each token maps to one of `buckets`
     * (power of two) signed slots via the portable 60-bit hash — low bits
     * pick the bucket, bit log2(buckets) picks the sign, so bucket and

@@ -82,6 +82,52 @@ class Round8OpsSpec extends SparkSpec {
     assert(out == expect)
   }
 
+  test("gbdtSplit finds the boundary separating two value plateaus") {
+    // quantities 0-1 carry y=10, quantities 4-5 carry y=100: the best
+    // stump split is at the gap. bucketWidth=2 → buckets 0 and 2; the
+    // winning boundary is after bucket 0 → split_value 2.0.
+    val li = Seq(
+      ("A", 0.0, 10.0), ("A", 1.0, 10.0), ("A", 1.5, 10.0),
+      ("A", 4.0, 100.0), ("A", 5.0, 100.0)
+    ).toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val out = StatsAnalytics.gbdtSplit(li)
+      .select("l_returnflag", "split_value", "n_l", "n_r", "gain")
+      .as[(String, Double, Long, Long, Double)].collect().toList
+    assert(out.size == 1)
+    val (_, split, nL, nR, gain) = out.head
+    assert(split == 2.0 && nL == 3L && nR == 2L)
+    // SSE decomposition: 30²/3 + 200²/2 - 230²/5 = 300 + 20000 - 10580
+    assert(gain == 9720.0)
+  }
+
+  test("naiveBayes separates two languages with disjoint vocabularies") {
+    val docs = Seq(
+      (1L, "aa aa bb", "en"), (2L, "aa bb", "en"),
+      (3L, "zz yy", "de"), (4L, "zz zz", "de"),
+      (5L, "aa bb bb", "en") // classified en: its tokens never occur in de
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.ext.TextAnalysis.naiveBayes(docs)
+      .select("actual", "predicted", "n_docs")
+      .as[(String, String, Long)].collect().toList
+    assert(out == List(("de", "de", 2L), ("en", "en", 3L)))
+  }
+
+  test("ndcgAtK: perfect ranking scores 1, hits match same-label " +
+    "neighbors in the top k") {
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // query 0 (label 1): both same-label vectors are its nearest
+    // neighbors, so DCG = IDCG (n_class-1 = 2 ≤ k) → ndcg 1.0.
+    val emb = Seq(
+      (0L, vec(1, 0, 0, 0), 1), (1L, vec(0.99, 0.1, 0, 0), 1),
+      (2L, vec(0.98, 0.2, 0, 0), 1),
+      (3L, vec(0, 1, 0, 0), 2), (4L, vec(0, 0.9, 0.1, 0), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.ext.Similarity.ndcgAtK(emb, k = 4)
+      .select("query_id", "hits", "n_class", "ndcg")
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(out == List((0L, 2L, 3L, 1.0)))
+  }
+
   test("powerIteration converges to the dominant axis of an axis-aligned " +
     "cloud with the eigenvalue as the Rayleigh estimate") {
     // Gram = diag(3, 1, 0, 0): top eigenvector (1,0,0,0), eigenvalue 3.

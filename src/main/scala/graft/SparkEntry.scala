@@ -1008,6 +1008,18 @@ object SparkEntry {
     // ---- GBDT-style histogram best-split search (regression stump) ----
     "q_gbdt_split" -> ((s, d) =>
       StatsAnalytics.gbdtSplit(Tables.lineitem(s, d))),
+    // ---- Benford first-digit audit over order totals ----
+    "q_benford" -> ((s, d) =>
+      StatsAnalytics.benford(Tables.orders(s, d))),
+    // ---- mutual information: quantity bucket × return flag ----
+    "q_mutual_info" -> ((s, d) =>
+      StatsAnalytics.mutualInfo(Tables.lineitem(s, d))),
+    // ---- two-sample KS statistic between hash-split variants ----
+    "q_ks_test" -> ((s, d) =>
+      StatsAnalytics.ksTest(Tables.events(s, d))),
+    // ---- deterministic Poisson-bootstrap mean CI ----
+    "q_bootstrap_ci" -> ((s, d) =>
+      StatsAnalytics.bootstrapCi(Tables.events(s, d))),
 
     // ---- corpus scoring / chunk-level boilerplate ----
     "q_unigram_logprob" -> ((s, d) =>
@@ -3349,6 +3361,113 @@ object SparkEntry {
          SELECT l_returnflag, round((bucket + 1) * 2.0, 2) AS split_value,
            n_l, n_r, round(gain, 4) AS gain
          FROM b WHERE rn = 1 ORDER BY l_returnflag""",
+    "q_benford" ->
+      """WITH d AS (
+           SELECT CAST(floor(o_totalprice /
+             CASE WHEN o_totalprice >= 1e8 THEN 1e8
+                  WHEN o_totalprice >= 1e7 THEN 1e7
+                  WHEN o_totalprice >= 1e6 THEN 1e6
+                  WHEN o_totalprice >= 1e5 THEN 1e5
+                  WHEN o_totalprice >= 1e4 THEN 1e4
+                  WHEN o_totalprice >= 1e3 THEN 1e3
+                  WHEN o_totalprice >= 1e2 THEN 1e2
+                  WHEN o_totalprice >= 1e1 THEN 1e1
+                  ELSE 1.0 END) AS BIGINT) AS digit
+           FROM orders WHERE o_totalprice > 0),
+         g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+               FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g)
+         SELECT digit, n,
+           round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+             AS observed,
+           round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+             AS benford
+         FROM g CROSS JOIN t ORDER BY digit""",
+    "q_mutual_info" ->
+      """WITH c AS (
+           SELECT CAST(floor(l_quantity / 5.0) AS BIGINT) AS bucket,
+             l_returnflag, CAST(count(*) AS BIGINT) AS n_xy
+           FROM lineitem GROUP BY 1, 2),
+         nx AS (SELECT bucket, CAST(sum(n_xy) AS BIGINT) AS n_x
+                FROM c GROUP BY 1),
+         ny AS (SELECT l_returnflag, CAST(sum(n_xy) AS BIGINT) AS n_y
+                FROM c GROUP BY 1),
+         t AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_t FROM c)
+         SELECT c.bucket, nx.n_x,
+           round(CAST(sum(CAST(
+             (CAST(n_xy AS DOUBLE) / CAST(n_t AS DOUBLE)) *
+             ln((CAST(n_xy AS DOUBLE) * CAST(n_t AS DOUBLE)) /
+                (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)))
+             AS DECIMAL(28,12))) AS DOUBLE), 6) AS mi_contribution
+         FROM c JOIN nx USING (bucket) JOIN ny USING (l_returnflag)
+         CROSS JOIN t
+         GROUP BY 1, 2 ORDER BY 1""",
+    "q_ks_test" ->
+      """WITH r AS (
+           SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS variant,
+             CAST(floor(value * 4.0) AS BIGINT) AS bucket
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         c AS (
+           SELECT bucket,
+             CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb
+           FROM r GROUP BY 1),
+         p AS (
+           SELECT bucket,
+             sum(ca) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum_a,
+             sum(cb) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS cum_b
+           FROM c),
+         tt AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                  CAST(sum(cb) AS BIGINT) AS n_b FROM c),
+         s AS (
+           SELECT bucket, n_a, n_b,
+             abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+                 CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS diff
+           FROM p CROSS JOIN tt),
+         b AS (SELECT *, row_number() OVER (ORDER BY diff DESC, bucket)
+                 AS rn FROM s)
+         SELECT n_a, n_b, round(bucket / 4.0, 2) AS d_at_value,
+           round(diff, 6) AS d_stat,
+           round(diff * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) /
+             CAST(n_a + n_b AS DOUBLE)), 6) AS ks_scaled
+         FROM b WHERE rn = 1""",
+    "q_bootstrap_ci" ->
+      """WITH rows_ AS (
+           SELECT event_id, value FROM events WHERE value IS NOT NULL),
+         rep AS (SELECT event_id, value, unnest(range(0, 32)) AS rep
+                 FROM rows_),
+         m AS (
+           SELECT rep, value,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4 ELSE 5 END AS mult
+           FROM (SELECT rep, value,
+                   CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) ||
+                     ':' || CAST(rep AS VARCHAR)), 1, 15))::BIGINT
+                     AS DOUBLE) / 1152921504606846976.0 AS u
+                 FROM rep)),
+         mb AS (
+           SELECT rep,
+             CAST(sum(CAST(value * CAST(mult AS DOUBLE) AS DECIMAL(28,12)))
+               AS DOUBLE) / CASE WHEN sum(mult) = 0 THEN NULL
+               ELSE CAST(sum(mult) AS DOUBLE) END AS mean_b
+           FROM m GROUP BY 1),
+         f AS (
+           SELECT CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE) AS mean_full
+           FROM rows_)
+         SELECT round(mean_full, 6) AS mean_full,
+           round(quantile_cont(mean_b, 0.025), 6) AS ci_lo,
+           round(quantile_cont(mean_b, 0.975), 6) AS ci_hi,
+           CAST(count(*) AS BIGINT) AS n_resamples
+         FROM mb CROSS JOIN f GROUP BY mean_full""",
 
     // ---- corpus scoring / chunk-level boilerplate ----
     "q_unigram_logprob" ->

@@ -308,6 +308,146 @@ object StatsAnalytics {
       .orderBy("event_type")
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the deterministic
+    * hash-split variants (same split as [[abLift]]), on ecdfs over
+    * VALUE BINS: the per-bin counts collapse the corpus map-side, the
+    * cumulative window then runs over the bin frame (bounded by the value
+    * range — a window over raw distinct values would funnel the corpus
+    * through one partition, the classic 100 TB non-shape; binned KS is
+    * standard at scale). Counts stay integers through the prefix sums, so
+    * the ecdf ratios are exact-input doubles and the max/argmax is
+    * engine-independent. */
+  def ksTest(ev: DataFrame, invWidth: Double = 4.0): DataFrame = {
+    val rows = ev.filter(col("value").isNotNull && col("user_id").isNotNull)
+      .select(Sampling.hashBucket(col("user_id"), 2).as("variant"),
+        floor(col("value") * invWidth).cast("bigint").as("bucket"))
+    val cells = rows.groupBy("bucket")
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = cells
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+      .crossJoin(broadcast(cells.agg(sum(col("ca")).as("n_a"),
+        sum(col("cb")).as("n_b"))))
+      .withColumn("diff",
+        abs(col("cum_a").cast("double") / col("n_a").cast("double") -
+          col("cum_b").cast("double") / col("n_b").cast("double")))
+    val best = Window.orderBy(col("diff").desc, col("bucket"))
+    scored.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("n_a"), col("n_b"),
+        round(col("bucket") / lit(invWidth), 2).as("d_at_value"),
+        round(col("diff"), 6).as("d_stat"),
+        round(col("diff") *
+          sqrt(col("n_a").cast("double") * col("n_b").cast("double") /
+            (col("n_a") + col("n_b")).cast("double")), 6).as("ks_scaled"))
+  }
+
+  /** Mean with a 95% CI by DETERMINISTIC Poisson bootstrap — the
+    * resampling scheme that actually works on a cluster (Chamandy et al.,
+    * "Estimating Uncertainty for Massive Data Streams": per-row
+    * independent Poisson(1) multiplicities instead of a global n-draw,
+    * so each of the B resamples is one map-side projection). The
+    * multiplicity comes from the portable 60-bit hash of (row, replica)
+    * pushed through the Poisson(1) inverse CDF as a literal threshold
+    * ladder — no RNG state, bit-identical in the DuckDB oracle. Weighted
+    * sums route through DECIMAL; the B resample means are a B-row frame
+    * whose exact percentiles give the CI. */
+  def bootstrapCi(ev: DataFrame, b: Int = 32): DataFrame = {
+    import graft.ext.TextFns.portableH60
+    val rows = ev.filter(col("value").isNotNull)
+      .select(col("event_id"), col("value"))
+    val u = portableH60(concat(col("event_id").cast("string"), lit(":"),
+      col("rep").cast("string"))).cast("double") /
+      lit(1152921504606846976.0) // 2^60
+    val mult = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L).otherwise(5L)
+    val means = rows
+      .select(col("event_id"), col("value"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .select(col("rep"), col("value"), mult.as("m"))
+      .groupBy("rep")
+      // empty-resample guard: a resample whose every multiplicity is 0
+      // (probability e^-n) has no mean; NULL drops out of the percentiles
+      .agg((sum((col("value") * col("m").cast("double"))
+        .cast("decimal(28,12)")).cast("double") /
+        when(sum(col("m")) > 0L, sum(col("m")).cast("double"))
+          .otherwise(lit(null))).as("mean_b"))
+    val full = rows.agg(
+      (sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("mean_full"))
+    means.agg(count(lit(1)).as("n_resamples"),
+        expr("percentile(mean_b, 0.025)").as("__lo"),
+        expr("percentile(mean_b, 0.975)").as("__hi"))
+      .crossJoin(broadcast(full))
+      .select(round(col("mean_full"), 6).as("mean_full"),
+        round(col("__lo"), 6).as("ci_lo"),
+        round(col("__hi"), 6).as("ci_hi"),
+        col("n_resamples"))
+  }
+
+  /** Benford first-digit audit over order totals — the classic
+    * fabricated-data screen: observed first-significant-digit frequencies
+    * against Benford's log-law expectation. The digit comes from an
+    * explicit power-of-ten CASE ladder (threshold compares + one exact
+    * division), NOT floor(log10(x)) — log10 at exact powers of ten can
+    * round to either side depending on the libm, which would misfile
+    * boundary values differently per engine. One map-side projection, one
+    * 9-row aggregate. */
+  def benford(orders: DataFrame, valueCol: String = "o_totalprice")
+      : DataFrame = {
+    val x = col(valueCol)
+    val mag = when(x >= 1e8, 1e8).when(x >= 1e7, 1e7).when(x >= 1e6, 1e6)
+      .when(x >= 1e5, 1e5).when(x >= 1e4, 1e4).when(x >= 1e3, 1e3)
+      .when(x >= 1e2, 1e2).when(x >= 1e1, 1e1).otherwise(1.0)
+    val digits = orders.filter(x > 0)
+      .select(floor(x / mag).cast("bigint").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("n_total"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("n_total").cast("double"), 6)
+          .as("observed"),
+        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+          log(lit(10.0)), 6).as("benford"))
+      .orderBy("digit")
+  }
+
+  /** Mutual information between a bucketed numeric feature and a label —
+    * the feature-selection score, relationally: the contingency table is
+    * ONE (bucket,label) aggregate (map-side combined, so cells not rows
+    * shuffle), the two marginals reaggregate the tiny cell frame, and
+    * each cell's (n_xy/N)·ln(n_xy·N/(n_x·n_y)) term is a double over
+    * exact integer counts — deterministic everywhere. Output is the
+    * per-bucket MI contribution (DECIMAL-summed over labels) so the
+    * informative range of the feature is visible, not just the scalar. */
+  def mutualInfo(li: DataFrame, bucketWidth: Double = 5.0): DataFrame = {
+    val cells = li.select(
+        floor(col("l_quantity") / bucketWidth).cast("bigint").as("bucket"),
+        col("l_returnflag"))
+      .groupBy("bucket", "l_returnflag")
+      .agg(count(lit(1)).as("n_xy"))
+    val nx = cells.groupBy("bucket").agg(sum(col("n_xy")).as("n_x"))
+    val ny = cells.groupBy("l_returnflag").agg(sum(col("n_xy")).as("n_y"))
+    val tot = cells.agg(sum(col("n_xy")).as("n_t"))
+    val term = (col("n_xy").cast("double") / col("n_t").cast("double")) *
+      log((col("n_xy").cast("double") * col("n_t").cast("double")) /
+        (col("n_x").cast("double") * col("n_y").cast("double")))
+    cells.join(nx, Seq("bucket")).join(ny, Seq("l_returnflag"))
+      .crossJoin(broadcast(tot))
+      .groupBy("bucket")
+      .agg(sum(col("n_xy")).as("n_x"),
+        sum(term.cast("decimal(28,12)")).cast("double").as("mi_part"))
+      .select(col("bucket"), col("n_x"),
+        round(col("mi_part"), 6).as("mi_contribution"))
+      .orderBy("bucket")
+  }
+
   /** Histogram-based best-split search for a regression stump — the inner
     * loop of gradient-boosted-tree training, relationally: bucket the
     * feature (map-side projection), aggregate per-bucket target sums in

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.lit
 import graft.analytics.StatsAnalytics
 
 /** Round-8 additions: smoothed target encoding and per-group OLS via
@@ -126,6 +127,50 @@ class Round8OpsSpec extends SparkSpec {
       .select("query_id", "hits", "n_class", "ndcg")
       .as[(Long, Long, Long, Double)].collect().toList
     assert(out == List((0L, 2L, 3L, 1.0)))
+  }
+
+  test("benford extracts first significant digits without log10") {
+    val o = Seq(123.45, 4500.0, 7.2, 1.0, 99999.99).toDF("o_totalprice")
+    val out = StatsAnalytics.benford(o)
+      .select("digit", "n").as[(Long, Long)].collect().toList
+    assert(out == List((1L, 2L), (4L, 1L), (7L, 1L), (9L, 1L)))
+  }
+
+  test("mutualInfo: a perfectly dependent pair carries ln2/2 per bucket") {
+    // bucket 0 (qty<5) always A, bucket 1 always B → MI = ln 2, split
+    // evenly across the two buckets (each term (2/4)·ln(2·4/(2·2))).
+    val li = Seq(
+      (1.0, "A"), (2.0, "A"), (6.0, "B"), (7.0, "B")
+    ).toDF("l_quantity", "l_returnflag")
+    val out = StatsAnalytics.mutualInfo(li)
+      .select("bucket", "n_x", "mi_contribution")
+      .as[(Long, Long, Double)].collect().toList
+    assert(out == List((0L, 2L, 0.346574), (1L, 2L, 0.346574)))
+  }
+
+  test("ksTest: disjoint variant distributions reach D = 1") {
+    // assign each user's value by its ACTUAL hash bucket so the two
+    // variants' value distributions are fully separated
+    val users = (1L to 20L).toList
+    val ev = users.map { u =>
+      val b = spark.range(1).select(
+        graft.operators.Sampling.hashBucket(lit(u), 2))
+        .as[Long].head()
+      (u, if (b == 0L) 1.0 else 9.0)
+    }.toDF("user_id", "value")
+    val out = StatsAnalytics.ksTest(ev)
+      .select("n_a", "n_b", "d_at_value", "d_stat")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(out._1 + out._2 == 20L)
+    assert(out._3 == 1.0 && out._4 == 1.0) // ecdfs separate fully at 1.0
+  }
+
+  test("bootstrapCi: constant values give a degenerate CI at the mean") {
+    val ev = (1L to 40L).map(i => (i, 5.0)).toDF("event_id", "value")
+    val out = StatsAnalytics.bootstrapCi(ev)
+      .select("mean_full", "ci_lo", "ci_hi", "n_resamples")
+      .as[(Double, Double, Double, Long)].collect().head
+    assert(out == ((5.0, 5.0, 5.0, 32L)))
   }
 
   test("powerIteration converges to the dominant axis of an axis-aligned " +

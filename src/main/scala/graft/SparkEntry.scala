@@ -2411,8 +2411,8 @@ object SparkEntry {
          xs AS (SELECT i, e[i + 1] AS xi, e
                 FROM (SELECT unnest(range(0, 64)) AS i, e FROM e)),
          g AS (SELECT i, j,
-                 CAST(sum(CAST(xi * e[j + 1] AS DECIMAL(28,12)))
-                   AS DOUBLE) AS a
+                 CAST(sum(CAST(floor(xi * e[j + 1] * 1e12 + 0.5)
+                   AS BIGINT)) AS DOUBLE) / 1e12 AS a
                FROM (SELECT i, xi, unnest(range(0, 64)) AS j, e FROM xs)
                GROUP BY 1, 2),
          v0 AS (SELECT unnest(range(0, 64)) AS j, 1.0::DOUBLE AS vj),
@@ -3017,14 +3017,17 @@ object SparkEntry {
                 FROM documents GROUP BY 1),
          v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM toks),
          nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+         dtf AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM toks GROUP BY 1, 2, 3),
          sc AS (
            SELECT t.doc_id, t.lang AS actual, c.cls,
-             CAST(sum(CAST(ln(CAST(coalesce(ct.cnt, 0) + 1 AS DOUBLE) /
+             CAST(sum(CAST(CAST(t.tf AS DOUBLE) *
+               ln(CAST(coalesce(ct.cnt, 0) + 1 AS DOUBLE) /
                CAST(c.tok_c + 1 * v.v AS DOUBLE)) AS DECIMAL(28,12)))
                AS DOUBLE)
                + ln(CAST(nd.n_docs AS DOUBLE) / CAST(nt.n_total AS DOUBLE))
                AS score
-           FROM toks t
+           FROM dtf t
            CROSS JOIN cl c
            CROSS JOIN v CROSS JOIN nt
            JOIN nd ON nd.cls = c.cls

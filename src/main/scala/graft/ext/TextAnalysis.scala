@@ -711,12 +711,18 @@ object TextAnalysis {
     val logTerm = log((coalesce(col("cnt"), lit(0L)) + lit(alpha))
       .cast("double") /
       (col("tok_c") + lit(alpha) * col("v")).cast("double"))
-    val scored = toks
+    // score per DISTINCT (doc, term) weighted by tf — shrinks the
+    // class cross-join's input from token occurrences to the doc
+    // vocabulary (~3-5× here; more on natural text)
+    val docTf = toks.groupBy("doc_id", "lang", "term")
+      .agg(count(lit(1)).as("tf"))
+    val scored = docTf
       .crossJoin(broadcast(classes))
       .join(classTok, Seq("cls", "term"), "left")
       .groupBy(col("doc_id"), col("lang").as("actual"), col("cls"),
         col("n_docs"), col("n_total"))
-      .agg(sum(logTerm.cast("decimal(28,12)")).cast("double").as("ll"))
+      .agg(sum((col("tf").cast("double") * logTerm)
+        .cast("decimal(28,12)")).cast("double").as("ll"))
       .select(col("doc_id"), col("actual"), col("cls"),
         (col("ll") + log(col("n_docs").cast("double") /
           col("n_total").cast("double"))).as("score"))

@@ -235,4 +235,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("batchevalpython") &&
       !plan.contains("ScalaUDF"))
   }
+
+  test("power-iteration Gram build combines map-side as primitive longs") {
+    val gram = Tables.embeddings(spark, sf)
+      .select(expr("cast(embedding as array<double>)").as("e"))
+      .select(posexplode(col("e")).as(Seq("i", "xi")), col("e"))
+      .select(col("i"), col("xi"), posexplode(col("e")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(sum(floor(col("xi") * col("xj") * lit(1e12) + lit(0.5))
+        .cast("bigint")).as("s"))
+    val plan = physical(gram)
+    // the n·d² stream must collapse BEFORE the exchange (partial_sum) and
+    // accumulate as a long, not a 128-bit decimal
+    assert(plan.contains("partial_sum"), plan.take(600))
+    assert(!plan.contains("partial_sum(cast(xi"), plan.take(600))
+  }
+
+  test("inverted-index posting cap plans a WindowGroupLimit") {
+    val plan = physical(graft.ext.TextAnalysis.invertedIndex(
+      Tables.documents(spark, sf)))
+    assert(plan.contains("WindowGroupLimit"), plan.take(600))
+  }
+
+  test("naive Bayes broadcasts the class frame — the corpus side never " +
+    "feeds a cartesian product") {
+    val plan = physical(graft.ext.TextAnalysis.naiveBayes(
+      Tables.documents(spark, sf)))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
+
+  test("KS binning collapses the corpus before the bounded global window") {
+    val plan = physical(graft.analytics.StatsAnalytics.ksTest(
+      Tables.events(spark, sf)))
+    // per-bin counts partial-aggregate map-side; the single-partition
+    // window then runs over the bin frame, not the raw rows (plans print
+    // outer-first, so the window must appear ABOVE the partial aggregate)
+    assert(plan.contains("partial_sum"), plan.take(600))
+    assert(plan.contains("Window"), plan.take(600))
+    assert(plan.indexOf("Window") < plan.indexOf("partial_sum"),
+      plan.take(600))
+  }
 }

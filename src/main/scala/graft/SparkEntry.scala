@@ -1020,6 +1020,12 @@ object SparkEntry {
     // ---- deterministic Poisson-bootstrap mean CI ----
     "q_bootstrap_ci" -> ((s, d) =>
       StatsAnalytics.bootstrapCi(Tables.events(s, d))),
+    // ---- Kaplan-Meier user-lifetime survival (right-censored) ----
+    "q_survival_km" -> ((s, d) =>
+      StatsAnalytics.survivalKm(Tables.events(s, d))),
+    // ---- Laplace-mechanism DP count release (deterministic noise) ----
+    "q_dp_counts" -> ((s, d) =>
+      StatsAnalytics.dpCounts(Tables.events(s, d))),
 
     // ---- corpus scoring / chunk-level boilerplate ----
     "q_unigram_logprob" -> ((s, d) =>
@@ -3471,6 +3477,59 @@ object SparkEntry {
            round(quantile_cont(mean_b, 0.975), 6) AS ci_hi,
            CAST(count(*) AS BIGINT) AS n_resamples
          FROM mb CROSS JOIN f GROUP BY mean_full""",
+    "q_survival_km" ->
+      """WITH life AS (
+           SELECT user_id,
+             date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+               AS lifetime,
+             max(CAST(ts AS DATE)) AS last_d
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         h AS (SELECT max(last_d) AS h FROM life),
+         pt AS (
+           SELECT CAST(lifetime AS BIGINT) AS t,
+             CAST(sum(CASE WHEN last_d = h.h THEN 0 ELSE 1 END) AS BIGINT)
+               AS d,
+             CAST(sum(CASE WHEN last_d = h.h THEN 1 ELSE 0 END) AS BIGINT)
+               AS c
+           FROM life CROSS JOIN h GROUP BY 1),
+         tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM pt),
+         r AS (
+           SELECT t, d, c,
+             n_total - coalesce(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+           FROM pt CROSS JOIN tot),
+         s AS (
+           SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+             sum(CASE WHEN d > 0 AND d < n_risk
+                   THEN CAST(ln(1.0 - CAST(d AS DOUBLE) /
+                     CAST(n_risk AS DOUBLE)) AS DECIMAL(28,12))
+                   ELSE CAST(0.0 AS DECIMAL(28,12)) END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) AS lsum,
+             max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) AS zf
+           FROM r)
+         SELECT t, n_risk, d, c,
+           CASE WHEN zf = 1 THEN 0.0
+                ELSE round(exp(CAST(lsum AS DOUBLE)), 6) END AS s_km
+         FROM s ORDER BY t""",
+    "q_dp_counts" ->
+      """WITH c AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS true_n
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+         u AS (
+           SELECT event_type, true_n,
+             CAST(('0x' || substr(md5(event_type || '|dp1'), 1, 15))
+               ::BIGINT AS DOUBLE) / 1152921504606846976.0 - 0.5 AS u
+           FROM c)
+         SELECT event_type, true_n,
+           round(true_n + -1.0 / 1.0 *
+             (CASE WHEN u >= 0 THEN 1.0 ELSE -1.0 END) *
+             ln(1.0 - 2.0 * abs(u)), 4) AS released_n,
+           CAST(1.0 AS DOUBLE) AS epsilon
+         FROM u ORDER BY event_type""",
 
     // ---- corpus scoring / chunk-level boilerplate ----
     "q_unigram_logprob" ->

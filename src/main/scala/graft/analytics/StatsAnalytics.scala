@@ -308,6 +308,74 @@ object StatsAnalytics {
       .orderBy("event_type")
   }
 
+  /** Kaplan–Meier survival curve over user lifetimes (days from first to
+    * last event), right-censoring users still active on the fixture's
+    * final day — the churn-analytics estimator, relationally: one
+    * per-user pass (shuffle on user_id), a per-lifetime death/censor
+    * aggregate (at most |days| rows), then the KM product Π(1−d/n) as a
+    * log-space DECIMAL prefix sum over the tiny ordered frame —
+    * windowed-double products would be engine-order-dependent; summed
+    * logs of IEEE-identical terms are not. At-risk counts derive from an
+    * exclusive integer prefix sum. */
+  def survivalKm(ev: DataFrame): DataFrame = {
+    val life = ev.filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id")
+      .agg(datediff(max(col("d")), min(col("d"))).as("lifetime"),
+        max(col("d")).as("last_d"))
+    val horizon = life.agg(max(col("last_d")).as("h"))
+    val perT = life.crossJoin(broadcast(horizon))
+      .select(col("lifetime").cast("bigint").as("t"),
+        when(col("last_d") === col("h"), 1L).otherwise(0L).as("censored"))
+      .groupBy("t")
+      .agg(sum(lit(1L) - col("censored")).as("d"),
+        sum(col("censored")).as("c"))
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = perT.agg(sum(col("d") + col("c")).as("n_total"))
+    // log term only for survivable steps; a step where everyone at risk
+    // dies (d = n) sends S to exactly 0 — tracked by a flag, since
+    // ln(0) has no decimal representation
+    val logTerm = when(col("d") > 0 && col("d") < col("n_risk"),
+      log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+        .cast("decimal(28,12)")).otherwise(lit(0.0).cast("decimal(28,12)"))
+    val zeroFlag = max(when(col("d") === col("n_risk"), 1L).otherwise(0L))
+      .over(w)
+    perT.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("d") + col("c")).over(wPrev),
+          lit(0L)))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        when(zeroFlag === 1L, lit(0.0))
+          .otherwise(round(exp(sum(logTerm).over(w).cast("double")), 6))
+          .as("s_km"))
+      .orderBy("t")
+  }
+
+  /** Laplace-mechanism count release — differential-privacy mechanics as
+    * a pure projection: noise is inverse-CDF-sampled from a uniform
+    * derived deterministically from the portable 60-bit hash (no RNG
+    * state, so the release is reproducible and oracle-checkable; a
+    * production release would swap the hash for a real RNG, everything
+    * else unchanged). Sensitivity-1 counts, b = 1/ε. The true count rides
+    * along as the audit column, same pattern as the sketch audits. */
+  def dpCounts(ev: DataFrame, epsilon: Double = 1.0): DataFrame = {
+    import graft.ext.TextFns.portableH60
+    val counts = ev.filter(col("event_type").isNotNull)
+      .groupBy("event_type").agg(count(lit(1)).as("true_n"))
+    val u = portableH60(concat(col("event_type"), lit("|dp1")))
+      .cast("double") / lit(1152921504606846976.0) - lit(0.5)
+    val sign = when(u >= 0, lit(1.0)).otherwise(lit(-1.0))
+    val noise = lit(-1.0) / lit(epsilon) * sign *
+      log(lit(1.0) - lit(2.0) * abs(u))
+    counts.select(col("event_type"), col("true_n"),
+        round(col("true_n") + noise, 4).as("released_n"),
+        lit(epsilon).as("epsilon"))
+      .orderBy("event_type")
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between the deterministic
     * hash-split variants (same split as [[abLift]]), on ecdfs over
     * VALUE BINS: the per-bin counts collapse the corpus map-side, the

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 import graft.analytics.StatsAnalytics
 
 /** Round-8 additions: smoothed target encoding and per-group OLS via
@@ -171,6 +171,40 @@ class Round8OpsSpec extends SparkSpec {
       .select("mean_full", "ci_lo", "ci_hi", "n_resamples")
       .as[(Double, Double, Double, Long)].collect().head
     assert(out == ((5.0, 5.0, 5.0, 32L)))
+  }
+
+  test("survivalKm: censored users hold the at-risk set without dying") {
+    // days 1-3; users 1,2 die at lifetime 1 (last event day 2 < horizon 3);
+    // user 3 dies at lifetime 0 (only day 1); user 4 survives to the
+    // horizon (censored, lifetime 2).
+    // t=0: n=4 d=1 → S=0.75; t=1: n=3 d=2 → S=0.25; t=2: n=1 c=1 → S=0.25
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-02 10:00:00"),
+      (2L, "2024-01-01 11:00:00"), (2L, "2024-01-02 11:00:00"),
+      (3L, "2024-01-01 12:00:00"),
+      (4L, "2024-01-01 13:00:00"), (4L, "2024-01-03 13:00:00")
+    ).toDF("user_id", "s").select(col("user_id"),
+      col("s").cast("timestamp").as("ts"))
+    val out = StatsAnalytics.survivalKm(ev)
+      .select("t", "n_risk", "d", "c", "s_km")
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    assert(out == List(
+      (0L, 4L, 1L, 0L, 0.75),
+      (1L, 3L, 2L, 0L, 0.25),
+      (2L, 1L, 0L, 1L, 0.25)))
+  }
+
+  test("dpCounts: released counts differ from true by Laplace(1) noise " +
+    "and the release is deterministic") {
+    val ev = Seq.fill(100)("purchase").toDF("event_type")
+    val r1 = StatsAnalytics.dpCounts(ev)
+      .select("true_n", "released_n").as[(Long, Double)].collect().head
+    val r2 = StatsAnalytics.dpCounts(ev)
+      .select("true_n", "released_n").as[(Long, Double)].collect().head
+    assert(r1 == r2) // same hash → same noise, reproducible release
+    assert(r1._1 == 100L && r1._2 != 100.0)
+    // ε=1 noise is almost surely within ±15 (P ≈ 3e-7 otherwise)
+    assert(math.abs(r1._2 - 100.0) < 15.0)
   }
 
   test("powerIteration converges to the dominant axis of an axis-aligned " +

@@ -1026,6 +1026,22 @@ object SparkEntry {
     // ---- Laplace-mechanism DP count release (deterministic noise) ----
     "q_dp_counts" -> ((s, d) =>
       StatsAnalytics.dpCounts(Tables.events(s, d))),
+    // ---- per-segment Gini concentration of customer spend ----
+    "q_gini_segment" -> ((s, d) =>
+      StatsAnalytics.giniBySegment(Tables.orders(s, d),
+        Tables.customer(s, d))),
+    // ---- PSI drift of value distribution between time halves ----
+    "q_psi_drift" -> ((s, d) =>
+      StatsAnalytics.psiDrift(Tables.events(s, d))),
+    // ---- chi-square independence: hash variant x event type ----
+    "q_chi2" -> ((s, d) =>
+      StatsAnalytics.chiSquare(Tables.events(s, d))),
+    // ---- RFM quintile segmentation of the order book ----
+    "q_rfm_segments" -> ((s, d) =>
+      StatsAnalytics.rfmSegments(Tables.orders(s, d))),
+    // ---- exact-weight EWMA of daily revenue (alpha = 1/2) ----
+    "q_ewma_daily" -> ((s, d) =>
+      StatsAnalytics.ewmaDaily(Tables.events(s, d))),
 
     // ---- corpus scoring / chunk-level boilerplate ----
     "q_unigram_logprob" -> ((s, d) =>
@@ -3530,6 +3546,138 @@ object SparkEntry {
              ln(1.0 - 2.0 * abs(u)), 4) AS released_n,
            CAST(1.0 AS DOUBLE) AS epsilon
          FROM u ORDER BY event_type""",
+    "q_gini_segment" ->
+      """WITH spend AS (
+           SELECT o_custkey AS custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spend_d
+           FROM orders GROUP BY 1),
+         s2 AS (SELECT custkey,
+             CAST(round(spend_d, 2) AS DOUBLE) AS spend FROM spend),
+         j AS (
+           SELECT c.c_mktsegment AS segment, s2.custkey, s2.spend,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+               ORDER BY s2.spend, s2.custkey) AS r
+           FROM s2 JOIN customer c ON c.c_custkey = s2.custkey)
+         SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(sum(CAST(spend AS DECIMAL(28,6))), 2) AS DOUBLE)
+             AS total_spend,
+           round(2.0 *
+             CAST(sum(CAST(CAST(r AS DOUBLE) * spend AS DECIMAL(28,6)))
+               AS DOUBLE) /
+             (CAST(count(*) AS DOUBLE) *
+               CAST(sum(CAST(spend AS DECIMAL(28,6))) AS DOUBLE)) -
+             CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS gini
+         FROM j GROUP BY 1 ORDER BY 1""",
+    "q_psi_drift" ->
+      """WITH r0 AS (
+           SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(floor(value * 2.0) AS BIGINT) AS bucket
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL),
+         span AS (
+           SELECT min(d) + (CAST(date_diff('day', min(d), max(d))
+             AS INT) // 2) AS mid FROM r0),
+         cells AS (
+           SELECT event_type, bucket,
+             CAST(sum(CASE WHEN d <= s.mid THEN 1 ELSE 0 END) AS BIGINT)
+               AS ce,
+             CAST(sum(CASE WHEN d > s.mid THEN 1 ELSE 0 END) AS BIGINT)
+               AS cl
+           FROM r0 CROSS JOIN span s GROUP BY 1, 2),
+         wc AS (
+           SELECT *,
+             CAST(sum(ce) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_early,
+             CAST(sum(cl) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_late,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_bins
+           FROM cells),
+         t AS (
+           SELECT event_type, n_early, n_late, n_bins,
+             (CAST(ce AS DOUBLE) + 0.5) /
+               (CAST(n_early AS DOUBLE) + 0.5 * n_bins) AS p,
+             (CAST(cl AS DOUBLE) + 0.5) /
+               (CAST(n_late AS DOUBLE) + 0.5 * n_bins) AS q
+           FROM wc)
+         SELECT event_type, CAST(max(n_early) AS BIGINT) AS n_early,
+           CAST(max(n_late) AS BIGINT) AS n_late,
+           CAST(max(n_bins) AS BIGINT) AS n_bins,
+           round(CAST(sum(CAST((p - q) * ln(p / q) AS DECIMAL(28,12)))
+             AS DOUBLE), 6) AS psi
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "q_chi2" ->
+      """WITH cells AS (
+           SELECT event_type,
+             CAST(sum(CASE WHEN ('0x' ||
+               substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+               = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN ('0x' ||
+               substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+               = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+           FROM events WHERE user_id IS NOT NULL
+             AND event_type IS NOT NULL GROUP BY 1),
+         tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+             CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(count(*) AS BIGINT) AS k FROM cells),
+         e AS (
+           SELECT k, n0, n1, CAST(c0 AS DOUBLE) AS a0,
+             CAST(c1 AS DOUBLE) AS a1,
+             CAST(c0 + c1 AS DOUBLE) * CAST(n0 AS DOUBLE) /
+               CAST(n0 + n1 AS DOUBLE) AS e0,
+             CAST(c0 + c1 AS DOUBLE) * CAST(n1 AS DOUBLE) /
+               CAST(n0 + n1 AS DOUBLE) AS e1
+           FROM cells CROSS JOIN tot)
+         SELECT k AS k_types, n0 AS n_a, n1 AS n_b,
+           CAST(k - 1 AS BIGINT) AS dof,
+           round(CAST(sum(CAST((a0 - e0) * (a0 - e0) / e0 +
+             (a1 - e1) * (a1 - e1) / e1 AS DECIMAL(28,12))) AS DOUBLE), 6)
+             AS chi2
+         FROM e GROUP BY 1, 2, 3, 4""",
+    "q_rfm_segments" ->
+      """WITH h AS (SELECT max(CAST(o_orderdate AS DATE)) AS h
+           FROM orders),
+         pc AS (
+           SELECT o_custkey AS custkey,
+             max(CAST(o_orderdate AS DATE)) AS last_d,
+             CAST(count(*) AS BIGINT) AS freq,
+             sum(CAST(o_totalprice AS DECIMAL(18,6))) AS mon
+           FROM orders GROUP BY 1),
+         r AS (
+           SELECT custkey, date_diff('day', last_d, h.h) AS recency,
+             freq, mon
+           FROM pc CROSS JOIN h),
+         s AS (
+           SELECT *,
+             ntile(5) OVER (ORDER BY recency DESC, custkey) AS r_score,
+             ntile(5) OVER (ORDER BY freq, custkey) AS f_score,
+             ntile(5) OVER (ORDER BY mon, custkey) AS m_score
+           FROM r)
+         SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(sum(mon), 2) AS DOUBLE) AS segment_revenue
+         FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_ewma_daily" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS x
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         idx AS (SELECT d, x, row_number() OVER (ORDER BY d) AS t
+           FROM daily),
+         terms AS (
+           SELECT a.d, a.x, a.t, b.x AS xj,
+             CASE WHEN b.t = 1 THEN a.t - 1
+                  ELSE a.t - b.t + 1 END AS k
+           FROM idx a JOIN idx b ON b.t <= a.t AND a.t - b.t <= 62)
+         SELECT d, x AS daily_revenue,
+           round(CAST(sum(CAST(xj / CAST((1::BIGINT << k) AS DOUBLE)
+             AS DECIMAL(28,10))) AS DOUBLE), 4) AS ewma
+         FROM terms GROUP BY d, x, t ORDER BY d""",
 
     // ---- corpus scoring / chunk-level boilerplate ----
     "q_unigram_logprob" ->

@@ -376,6 +376,171 @@ object StatsAnalytics {
       .orderBy("event_type")
   }
 
+  /** Per-market-segment Gini coefficient of customer spend — the revenue
+    * concentration audit. Per-customer spend aggregates in DECIMAL (one
+    * shuffle on custkey), joins the segment label, then the rank formula
+    * G = 2·Σ r·x / (n·Σx) − (n+1)/n over a window PARTITIONED by segment
+    * (per-segment sort of the already-aggregated customer frame, not the
+    * raw orders — the 100 TB shape). Ranks tiebreak on custkey so the
+    * r·x products are IEEE-identical across engines; their sum
+    * accumulates in DECIMAL. */
+  def giniBySegment(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val spend = orders.groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("spend_d"))
+      .withColumn("spend", round(col("spend_d"), 2).cast("double"))
+    val seg = customer.select(col("c_custkey").as("custkey"),
+      col("c_mktsegment").as("segment"))
+    val w = Window.partitionBy("segment")
+      .orderBy(col("spend"), col("custkey"))
+    spend.join(seg, "custkey")
+      .withColumn("r", row_number().over(w))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend").cast("decimal(28,6)")).as("__sx"),
+        sum((col("r").cast("double") * col("spend"))
+          .cast("decimal(28,6)")).as("__srx"))
+      .select(col("segment"), col("n_customers"),
+        round(col("__sx"), 2).cast("double").as("total_spend"),
+        round(lit(2.0) * col("__srx").cast("double") /
+          (col("n_customers").cast("double") * col("__sx").cast("double")) -
+          (col("n_customers") + lit(1)).cast("double") /
+            col("n_customers").cast("double"), 6).as("gini"))
+      .orderBy("segment")
+  }
+
+  /** Population-stability index of the value distribution per event type
+    * between the first and second half of the time window — the drift
+    * monitor a feature store runs between training and serving periods.
+    * The period split derives from the broadcast (min,max) date midpoint;
+    * binning is the same map-side `floor(value·invWidth)` as [[ksTest]],
+    * so the only data-sized stage is one (event_type, bucket) aggregate.
+    * Laplace-smoothed shares ((c+½)/(n+½·B)) keep ln finite on one-sided
+    * bins; the Σ(p−q)·ln(p/q) terms are IEEE-identical doubles summed in
+    * DECIMAL. */
+  def psiDrift(ev: DataFrame, invWidth: Double = 2.0): DataFrame = {
+    val rows = ev.filter(col("value").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        floor(col("value") * invWidth).cast("bigint").as("bucket"))
+    val span = rows.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(date_add(col("d0"),
+        (datediff(col("d1"), col("d0")) / 2).cast("int")).as("mid"))
+    val cells = rows.crossJoin(broadcast(span))
+      .groupBy("event_type", "bucket")
+      .agg(sum(when(col("d") <= col("mid"), 1L).otherwise(0L)).as("ce"),
+        sum(when(col("d") > col("mid"), 1L).otherwise(0L)).as("cl"))
+    val p = (col("ce").cast("double") + lit(0.5)) /
+      (col("n_early").cast("double") + lit(0.5) * col("n_bins"))
+    val q = (col("cl").cast("double") + lit(0.5)) /
+      (col("n_late").cast("double") + lit(0.5) * col("n_bins"))
+    cells
+      .withColumn("n_early", sum(col("ce"))
+        .over(Window.partitionBy("event_type")))
+      .withColumn("n_late", sum(col("cl"))
+        .over(Window.partitionBy("event_type")))
+      .withColumn("n_bins", count(lit(1))
+        .over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max(col("n_early")).as("n_early"),
+        max(col("n_late")).as("n_late"),
+        max(col("n_bins")).as("n_bins"),
+        sum(((p - q) * log(p / q)).cast("decimal(28,12)")).as("__psi"))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        col("n_bins"), round(col("__psi").cast("double"), 6).as("psi"))
+      .orderBy("event_type")
+  }
+
+  /** Chi-square test of independence between the deterministic hash
+    * variant (same split as [[abLift]]) and event type. The contingency
+    * table is one aggregate over the corpus; expected counts and cell
+    * contributions are pure integer-derived double arithmetic, summed in
+    * DECIMAL. Output is the one-row test report (k types, per-variant n,
+    * dof, statistic). */
+  def chiSquare(ev: DataFrame): DataFrame = {
+    val cells = ev
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(Sampling.hashBucket(col("user_id"), 2).as("variant"),
+        col("event_type"))
+      .groupBy("event_type")
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c1"))
+    val tot = cells.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+      count(lit(1)).as("k"))
+    def contrib(c: Column, n: Column, nAll: Column): Column = {
+      val e = (col("c0") + col("c1")).cast("double") *
+        n.cast("double") / nAll.cast("double")
+      (c.cast("double") - e) * (c.cast("double") - e) / e
+    }
+    val nAll = col("n0") + col("n1")
+    cells.crossJoin(broadcast(tot))
+      .groupBy("k", "n0", "n1")
+      .agg(sum((contrib(col("c0"), col("n0"), nAll) +
+        contrib(col("c1"), col("n1"), nAll))
+        .cast("decimal(28,12)")).as("__x2"))
+      .select(col("k").as("k_types"), col("n0").as("n_a"),
+        col("n1").as("n_b"), (col("k") - lit(1)).cast("bigint").as("dof"),
+        round(col("__x2").cast("double"), 6).as("chi2"))
+  }
+
+  /** RFM segmentation of the order book: per-customer recency (days from
+    * last order to the horizon), frequency (order count), and monetary
+    * (DECIMAL spend), each quintiled by ntile(5) with custkey tiebreaks
+    * so the assignment is total and engine-independent. The quintile
+    * windows sort the per-CUSTOMER aggregate, not raw orders; at larger
+    * scale the boundaries would come from approx percentiles instead of
+    * a global ntile sort — this is the exact oracle form. Output is the
+    * (r,f,m) cell census with segment revenue. */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    val horizon = orders.agg(max(to_date(col("o_orderdate"))).as("h"))
+    val perCust = orders.groupBy(col("o_custkey").as("custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("mon"))
+      .crossJoin(broadcast(horizon))
+      .withColumn("recency", datediff(col("h"), col("last_d")))
+    val scored = perCust
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("recency").desc, col("custkey"))).cast("bigint"))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("freq"), col("custkey"))).cast("bigint"))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("mon"), col("custkey"))).cast("bigint"))
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("mon")), 2).cast("double").as("segment_revenue"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** Exponentially weighted moving average of daily revenue with α = ½ —
+    * the smoothing a monitoring dashboard runs. The recursion unrolls to
+    * ewma_t = Σ_{j≥2} x_j·2^{-(t-j+1)} + x_1·2^{-(t-1)}; with α = ½
+    * every weight is an EXACT power of two built by integer bit-shift
+    * (`pow` has no cross-libm rounding guarantee, shifts do), so each
+    * term is an IEEE-identical double, summed in DECIMAL. The daily frame
+    * is |days|-sized, so the unrolled pair join is bounded; weights
+    * beyond 2⁻⁶² underflow the output rounding and are dropped, keeping
+    * the shift in range. */
+  def ewmaDaily(ev: DataFrame): DataFrame = {
+    val daily = ev.filter(col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")), 2)
+        .cast("double").as("x"))
+      .withColumn("t", row_number().over(Window.orderBy("d")))
+    val terms = daily.select(col("d"), col("x"), col("t"))
+      .join(daily.select(col("t").as("j"), col("x").as("xj")),
+        col("j") <= col("t") && col("t") - col("j") <= lit(62))
+      .withColumn("k",
+        when(col("j") === 1, col("t") - lit(1))
+          .otherwise(col("t") - col("j") + lit(1)))
+      .withColumn("term", col("xj") /
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))").cast("double"))
+    terms.groupBy("d", "x", "t")
+      .agg(sum(col("term").cast("decimal(28,10)")).as("__e"))
+      .select(col("d"), col("x").as("daily_revenue"),
+        round(col("__e").cast("double"), 4).as("ewma"))
+      .orderBy("d")
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between the deterministic
     * hash-split variants (same split as [[abLift]]), on ecdfs over
     * VALUE BINS: the per-bin counts collapse the corpus map-side, the

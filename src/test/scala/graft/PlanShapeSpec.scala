@@ -266,6 +266,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(600))
   }
 
+  test("Gini ranks run over the per-customer aggregate, partitioned by " +
+    "segment — never a global sort of raw orders") {
+    val plan = physical(graft.analytics.StatsAnalytics.giniBySegment(
+      Tables.orders(spark, sf), Tables.customer(spark, sf)))
+    // the per-customer spend partial-aggregates map-side; the rank window
+    // sits above it (outer-first print order, so the DEEPEST partial
+    // aggregate — the raw-orders one — prints after the window)
+    assert(plan.contains("partial_sum"), plan.take(600))
+    assert(plan.contains("Window"), plan.take(600))
+    assert(plan.indexOf("Window") < plan.lastIndexOf("partial_sum"),
+      plan.take(600))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
+
+  test("PSI cells collapse map-side; the midpoint is a broadcast scalar") {
+    val plan = physical(graft.analytics.StatsAnalytics.psiDrift(
+      Tables.events(spark, sf)))
+    assert(plan.contains("partial_sum"), plan.take(600))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
+
+  test("RFM quintile windows sort the per-customer frame, not raw orders") {
+    val plan = physical(graft.analytics.StatsAnalytics.rfmSegments(
+      Tables.orders(spark, sf)))
+    assert(plan.contains("Window"), plan.take(600))
+    assert(plan.indexOf("Window") < plan.lastIndexOf("partial_"),
+      plan.take(600))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
+
+  test("EWMA unrolled pair join broadcasts the tiny daily frame") {
+    val plan = physical(graft.analytics.StatsAnalytics.ewmaDaily(
+      Tables.events(spark, sf)))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+  }
+
   test("KS binning collapses the corpus before the bounded global window") {
     val plan = physical(graft.analytics.StatsAnalytics.ksTest(
       Tables.events(spark, sf)))

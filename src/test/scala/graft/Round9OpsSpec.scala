@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.analytics.StatsAnalytics
+
+/** Round-9 additions: concentration (Gini), drift (PSI), independence
+  * (chi-square), RFM segmentation, and exact-weight EWMA. Hand-built
+  * fixtures with answers computed by hand. */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ordersDf(rows: Seq[(Long, Double, String)]) =
+    rows.toDF("o_custkey", "o_totalprice", "s")
+      .select(col("o_custkey"), col("o_totalprice"),
+        col("s").cast("timestamp").as("o_orderdate"))
+
+  test("giniBySegment: equal spends give 0, a 10/30 split gives 0.25") {
+    // A: four customers at 100 each → perfect equality, G = 0.
+    // B: spends 10 and 30 → G = 2·(1·10+2·30)/(2·40) − 3/2 = 0.25.
+    val orders = ordersDf(Seq(
+      (1L, 100.0, "2024-01-01 00:00:00"), (2L, 100.0, "2024-01-01 00:00:00"),
+      (3L, 100.0, "2024-01-01 00:00:00"), (4L, 100.0, "2024-01-01 00:00:00"),
+      (5L, 10.0, "2024-01-01 00:00:00"), (6L, 30.0, "2024-01-01 00:00:00")))
+    val customer = Seq(
+      (1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"), (5L, "B"), (6L, "B")
+    ).toDF("c_custkey", "c_mktsegment")
+    val out = StatsAnalytics.giniBySegment(orders, customer)
+      .select("segment", "n_customers", "total_spend", "gini")
+      .as[(String, Long, Double, Double)].collect().toList
+    assert(out == List(("A", 4L, 400.0, 0.0), ("B", 2L, 40.0, 0.25)))
+  }
+
+  test("psiDrift: identical per-half distributions have zero drift") {
+    // days Jan 1..3 → mid = Jan 2; the same {1.0, 2.0} multiset lands in
+    // each half, so every smoothed share pair is equal and PSI = 0.
+    val ev = Seq(
+      ("a", 1.0, "2024-01-01 10:00:00"), ("a", 2.0, "2024-01-01 11:00:00"),
+      ("a", 1.0, "2024-01-03 10:00:00"), ("a", 2.0, "2024-01-03 11:00:00")
+    ).toDF("event_type", "value", "s")
+      .select(col("event_type"), col("value"),
+        col("s").cast("timestamp").as("ts"))
+    val out = StatsAnalytics.psiDrift(ev)
+      .select("event_type", "n_early", "n_late", "n_bins", "psi")
+      .as[(String, Long, Long, Long, Double)].collect().toList
+    assert(out == List(("a", 2L, 2L, 2L, 0.0)))
+  }
+
+  test("chiSquare: report shape is (k-1 dof, full n split) and chi2 >= 0") {
+    val ev = (1L to 40L).map(u =>
+      (u, if (u % 2 == 0) "click" else "view")).toDF("user_id", "event_type")
+    val out = StatsAnalytics.chiSquare(ev)
+      .select("k_types", "n_a", "n_b", "dof", "chi2")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(out._1 == 2L && out._4 == 1L)
+    assert(out._2 + out._3 == 40L)
+    assert(out._5 >= 0.0)
+  }
+
+  test("rfmSegments: monotone customers land on the quintile diagonal") {
+    // customer i has i orders of 100 each on day i → recency, frequency,
+    // and monetary all rank i, so each lands in cell (i,i,i) alone.
+    val rows = for {
+      i <- 1 to 5
+      _ <- 1 to i
+    } yield (i.toLong, 100.0, f"2024-01-0$i 00:00:00")
+    val out = StatsAnalytics.rfmSegments(ordersDf(rows))
+      .select("r_score", "f_score", "m_score", "n_customers",
+        "segment_revenue")
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    assert(out == (1 to 5).map(i =>
+      (i.toLong, i.toLong, i.toLong, 1L, 100.0 * i)).toList)
+  }
+
+  test("ewmaDaily: alpha=1/2 recursion matches the hand-unrolled values") {
+    // x = 2, 4, 8 → ewma = 2, 3, 5.5
+    val ev = Seq(
+      (2.0, "2024-01-01 09:00:00"), (4.0, "2024-01-02 09:00:00"),
+      (8.0, "2024-01-03 09:00:00")
+    ).toDF("value", "s")
+      .select(col("value"), col("s").cast("timestamp").as("ts"))
+    val out = StatsAnalytics.ewmaDaily(ev)
+      .select("daily_revenue", "ewma")
+      .as[(Double, Double)].collect().toList
+    assert(out == List((2.0, 2.0), (4.0, 3.0), (8.0, 5.5)))
+  }
+}

@@ -766,6 +766,41 @@ object SparkEntry {
       }
     }),
 
+    // ---- streaming drift monitor: converges to the batch PSI ----
+    "q_stream_psi" -> ((s, d) => {
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      try {
+        // the fixed split point is monitor CONFIG (an unbounded stream has
+        // no max date) — derived here from the bounded fixture by a one-row
+        // batch pre-pass, mirroring the batch operator's midpoint
+        val mid = Tables.events(s, d)
+          .filter(col("value").isNotNull && col("ts").isNotNull &&
+            col("event_type").isNotNull)
+          .agg(min(to_date(col("ts"))).as("d0"),
+            max(to_date(col("ts"))).as("d1"))
+          .select(date_add(col("d0"),
+            (datediff(col("d1"), col("d0")) / 2).cast("int")).as("mid"))
+          .head.getDate(0)
+        val stream = graft.streaming.EventStream.readEventsStream(s, d)
+        graft.streaming.EventStream.drainStatefulLatest(
+            graft.streaming.EventStream.twsPsiDrift(stream, mid),
+            Seq("event_type"), "n_seen")
+          .drop("n_seen")
+          .orderBy("event_type")
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        prevProv match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    }),
+
     // ---- streaming: flatMapGroupsWithState (0..n rows per key/batch) ----
     "q_threshold_alerts" -> ((s, d) => {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -3570,6 +3605,45 @@ object SparkEntry {
              AS gini
          FROM j GROUP BY 1 ORDER BY 1""",
     "q_psi_drift" ->
+      """WITH r0 AS (
+           SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(floor(value * 2.0) AS BIGINT) AS bucket
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL),
+         span AS (
+           SELECT min(d) + (CAST(date_diff('day', min(d), max(d))
+             AS INT) // 2) AS mid FROM r0),
+         cells AS (
+           SELECT event_type, bucket,
+             CAST(sum(CASE WHEN d <= s.mid THEN 1 ELSE 0 END) AS BIGINT)
+               AS ce,
+             CAST(sum(CASE WHEN d > s.mid THEN 1 ELSE 0 END) AS BIGINT)
+               AS cl
+           FROM r0 CROSS JOIN span s GROUP BY 1, 2),
+         wc AS (
+           SELECT *,
+             CAST(sum(ce) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_early,
+             CAST(sum(cl) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_late,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_bins
+           FROM cells),
+         t AS (
+           SELECT event_type, n_early, n_late, n_bins,
+             (CAST(ce AS DOUBLE) + 0.5) /
+               (CAST(n_early AS DOUBLE) + 0.5 * n_bins) AS p,
+             (CAST(cl AS DOUBLE) + 0.5) /
+               (CAST(n_late AS DOUBLE) + 0.5 * n_bins) AS q
+           FROM wc)
+         SELECT event_type, CAST(max(n_early) AS BIGINT) AS n_early,
+           CAST(max(n_late) AS BIGINT) AS n_late,
+           CAST(max(n_bins) AS BIGINT) AS n_bins,
+           round(CAST(sum(CAST((p - q) * ln(p / q) AS DECIMAL(28,12)))
+             AS DOUBLE), 6) AS psi
+         FROM t GROUP BY 1 ORDER BY 1""",
+    // the streaming monitor converges to the batch PSI — same oracle
+    "q_stream_psi" ->
       """WITH r0 AS (
            SELECT event_type, CAST(ts AS DATE) AS d,
              CAST(floor(value * 2.0) AS BIGINT) AS bucket

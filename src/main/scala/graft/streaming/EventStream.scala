@@ -39,6 +39,68 @@ case class UserTypeCount(user_id: Long, event_type: String, n_events: Long)
 /** Output row for `EventStream.twsLastN`. */
 case class UserLastN(user_id: Long, n_seen: Long, last_ids: String)
 
+/** Output row for `EventStream.twsPsiDrift`. */
+case class DriftPsi(event_type: String, n_seen: Long, n_early: Long,
+                    n_late: Long, n_bins: Long, psi: Double)
+
+/** transformWithState processor behind `EventStream.twsPsiDrift`: a
+  * per-event-type binned histogram in MapState (key = bucket·2 + period,
+  * value = count — one long per live bin, so state is bounded by the
+  * value range, not the stream length), re-scored to the smoothed PSI on
+  * every micro-batch. Counts are commutative, so the converged state —
+  * and the last emitted row per key — equals the batch
+  * [[graft.analytics.StatsAnalytics.psiDrift]] under ANY micro-batch
+  * split; the per-bin terms replicate the batch decimal(28,12)-summed
+  * double arithmetic exactly (BigDecimal.valueOf ≡ Spark's double→decimal
+  * cast, and the term sum is order-independent in decimal). */
+class DriftPsiProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long, Long), DriftPsi] {
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode,
+    TimerValues, TTLConfig}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var hist: MapState[Long, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    hist = getHandle.getMapState[Long, Long]("hist",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: String,
+                               rows: Iterator[(String, Long, Long)],
+                               tv: TimerValues): Iterator[DriftPsi] = {
+    import java.math.{BigDecimal => JBig, RoundingMode}
+    rows.foreach { case (_, early, bucket) =>
+      val k = bucket * 2 + early
+      val n = if (hist.containsKey(k)) hist.getValue(k) else 0L
+      hist.updateValue(k, n + 1L)
+    }
+    // re-score the full state: decode (bucket, period) and fold the bins
+    val cells = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    hist.iterator().foreach { case (k, n) =>
+      val bucket = Math.floorDiv(k, 2L)
+      val early = k - 2L * bucket
+      val (ce, cl) = cells.getOrElse(bucket, (0L, 0L))
+      cells(bucket) = if (early == 1L) (ce + n, cl) else (ce, cl + n)
+    }
+    val nEarly = cells.valuesIterator.map(_._1).sum
+    val nLate = cells.valuesIterator.map(_._2).sum
+    val nBins = cells.size.toLong
+    var acc = JBig.ZERO
+    cells.valuesIterator.foreach { case (ce, cl) =>
+      // identical double dataflow to the batch/oracle expression
+      val p = (ce.toDouble + 0.5) / (nEarly.toDouble + 0.5 * nBins.toDouble)
+      val q = (cl.toDouble + 0.5) / (nLate.toDouble + 0.5 * nBins.toDouble)
+      val term = (p - q) * math.log(p / q)
+      acc = acc.add(JBig.valueOf(term).setScale(12, RoundingMode.HALF_UP))
+    }
+    val psi = JBig.valueOf(acc.doubleValue)
+      .setScale(6, RoundingMode.HALF_UP).doubleValue
+    Iterator.single(
+      DriftPsi(key, nEarly + nLate, nEarly, nLate, nBins, psi))
+  }
+}
+
 /** transformWithState processor with LIST-typed state plus a ValueState
   * counter: keeps each user's n most recent (ts, event_id) pairs — a
   * bounded ring buffer, the state shape behind "last N actions" features
@@ -378,6 +440,31 @@ object EventStream {
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .transformWithState(new UserLastNProcessor(n),
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  /** Streaming PSI drift monitor via `transformWithState` MapState (see
+    * [[DriftPsiProcessor]]): each micro-batch updates the per-event-type
+    * binned histogram and emits the current smoothed PSI between the
+    * fixed `mid`-split periods — the online form of the batch
+    * [[graft.analytics.StatsAnalytics.psiDrift]], converging to the same
+    * rows. `mid` is a config, not derived from the stream (an unbounded
+    * stream has no max date); same RocksDB-provider requirement as the
+    * other tws operators. */
+  def twsPsiDrift(events: DataFrame, mid: java.sql.Date,
+                  invWidth: Double = 2.0): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.filter(col("value").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_type"),
+        when(to_date(col("ts")) <= lit(mid), 1L).otherwise(0L).as("early"),
+        floor(col("value") * invWidth).cast("bigint").as("bucket"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new DriftPsiProcessor,
         TimeMode.None(), OutputMode.Update())
       .toDF()
   }

@@ -161,6 +161,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState PSI monitor converges to the batch psiDrift " +
+    "across micro-batches (RocksDB store)") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft_twspsi_").toString
+      val ev = Tables.events(spark, sf)
+        .filter(col("value").isNotNull && col("ts").isNotNull &&
+          col("event_type").isNotNull)
+      ev.repartition(4).write.mode("overwrite").parquet(dir)
+      val mid = ev
+        .agg(min(to_date(col("ts"))).as("d0"),
+          max(to_date(col("ts"))).as("d1"))
+        .select(date_add(col("d0"),
+          (datediff(col("d1"), col("d0")) / 2).cast("int")).as("mid"))
+        .head.getDate(0)
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val streamed = EventStream.drainStatefulLatest(
+        EventStream.twsPsiDrift(stream, mid), Seq("event_type"), "n_seen")
+        .drop("n_seen")
+      val batch = graft.analytics.StatsAnalytics.psiDrift(
+        Tables.events(spark, sf))
+      assert(streamed.count() === batch.count())
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+    } finally prevProv match {
+      case Some(p) => spark.conf.set(provKey, p)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("transformWithState MapState sub-keyed counts equal the batch " +
     "rollup across micro-batches") {
     val provKey = "spark.sql.streaming.stateStore.providerClass"

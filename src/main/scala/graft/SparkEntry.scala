@@ -1264,6 +1264,9 @@ object SparkEntry {
       graft.ext.Similarity.knnClassify(Tables.embeddings(s, d))),
     "q_bpe_pairs" -> ((s, d) =>
       graft.ext.TextAnalysis.bpePairs(Tables.documents(s, d))),
+    // ---- iterative BPE merge learning (3 relational rounds) ----
+    "q_bpe_learn" -> ((s, d) =>
+      graft.ext.TextAnalysis.bpeLearn(Tables.documents(s, d))),
     "q_source_overlap" -> ((s, d) =>
       graft.ext.TextAnalysis.sourceOverlap(Tables.documents(s, d))),
     "q_ngram_novelty" -> ((s, d) =>
@@ -4181,6 +4184,122 @@ object SparkEntry {
            FROM toks WHERE len(tok) >= 2)
          SELECT pair, CAST(count(*) AS BIGINT) AS n
          FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
+    // 3 unrolled BPE rounds: pair stats -> argmax -> leftmost-greedy
+    // island merge -> reindex (mirrors the Spark driver loop round by
+    // round, same trick as the unrolled k-means oracle)
+    "q_bpe_learn" ->
+      """WITH wl AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+             SELECT unnest(list_filter(
+               string_split_regex(lower(text), '\s+'),
+               x -> x <> '')) AS w FROM documents)
+           WHERE len(w) >= 2 GROUP BY 1
+           ORDER BY freq DESC, w LIMIT 200),
+         t0 AS (
+           SELECT w, freq, CAST(pos AS BIGINT) AS pos,
+             substr(w, CAST(pos AS INT), 1) AS sym
+           FROM (SELECT w, freq, unnest(range(1, len(w) + 1)) AS pos
+                 FROM wl)),
+         p1 AS (
+           SELECT w, freq, pos, sym,
+             lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+           FROM t0),
+         b1 AS (
+           SELECT sym AS lsym, nxt AS rsym,
+             CAST(sum(freq) AS BIGINT) AS pair_count
+           FROM p1 WHERE nxt IS NOT NULL GROUP BY 1, 2
+           ORDER BY pair_count DESC, lsym, rsym LIMIT 1),
+         m1 AS (
+           SELECT w, pos, row_number() OVER (PARTITION BY w ORDER BY pos)
+             AS rn
+           FROM p1, b1 WHERE sym = lsym AND nxt = rsym),
+         s1 AS (
+           SELECT w, pos FROM (
+             SELECT w, pos, row_number() OVER (PARTITION BY w, pos - rn
+               ORDER BY pos) AS rn2 FROM m1)
+           WHERE (rn2 - 1) % 2 = 0),
+         t1 AS (
+           SELECT w, freq, CAST(row_number() OVER (PARTITION BY w
+             ORDER BY opos) AS BIGINT) AS pos, sym FROM (
+             SELECT p.w, p.freq, p.pos AS opos,
+               CASE WHEN sc.pos IS NOT NULL THEN p.sym || p.nxt
+                    ELSE p.sym END AS sym
+             FROM p1 p
+             LEFT JOIN s1 sc ON sc.w = p.w AND sc.pos = p.pos
+             LEFT JOIN s1 sp ON sp.w = p.w AND sp.pos = p.pos - 1
+             WHERE sp.pos IS NULL)),
+         a1 AS (SELECT CAST(sum(freq) AS BIGINT) AS corpus_tokens_after
+           FROM t1),
+         p2 AS (
+           SELECT w, freq, pos, sym,
+             lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+           FROM t1),
+         b2 AS (
+           SELECT sym AS lsym, nxt AS rsym,
+             CAST(sum(freq) AS BIGINT) AS pair_count
+           FROM p2 WHERE nxt IS NOT NULL GROUP BY 1, 2
+           ORDER BY pair_count DESC, lsym, rsym LIMIT 1),
+         m2 AS (
+           SELECT w, pos, row_number() OVER (PARTITION BY w ORDER BY pos)
+             AS rn
+           FROM p2, b2 WHERE sym = lsym AND nxt = rsym),
+         s2 AS (
+           SELECT w, pos FROM (
+             SELECT w, pos, row_number() OVER (PARTITION BY w, pos - rn
+               ORDER BY pos) AS rn2 FROM m2)
+           WHERE (rn2 - 1) % 2 = 0),
+         t2 AS (
+           SELECT w, freq, CAST(row_number() OVER (PARTITION BY w
+             ORDER BY opos) AS BIGINT) AS pos, sym FROM (
+             SELECT p.w, p.freq, p.pos AS opos,
+               CASE WHEN sc.pos IS NOT NULL THEN p.sym || p.nxt
+                    ELSE p.sym END AS sym
+             FROM p2 p
+             LEFT JOIN s2 sc ON sc.w = p.w AND sc.pos = p.pos
+             LEFT JOIN s2 sp ON sp.w = p.w AND sp.pos = p.pos - 1
+             WHERE sp.pos IS NULL)),
+         a2 AS (SELECT CAST(sum(freq) AS BIGINT) AS corpus_tokens_after
+           FROM t2),
+         p3 AS (
+           SELECT w, freq, pos, sym,
+             lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+           FROM t2),
+         b3 AS (
+           SELECT sym AS lsym, nxt AS rsym,
+             CAST(sum(freq) AS BIGINT) AS pair_count
+           FROM p3 WHERE nxt IS NOT NULL GROUP BY 1, 2
+           ORDER BY pair_count DESC, lsym, rsym LIMIT 1),
+         m3 AS (
+           SELECT w, pos, row_number() OVER (PARTITION BY w ORDER BY pos)
+             AS rn
+           FROM p3, b3 WHERE sym = lsym AND nxt = rsym),
+         s3 AS (
+           SELECT w, pos FROM (
+             SELECT w, pos, row_number() OVER (PARTITION BY w, pos - rn
+               ORDER BY pos) AS rn2 FROM m3)
+           WHERE (rn2 - 1) % 2 = 0),
+         t3 AS (
+           SELECT w, freq, CAST(row_number() OVER (PARTITION BY w
+             ORDER BY opos) AS BIGINT) AS pos, sym FROM (
+             SELECT p.w, p.freq, p.pos AS opos,
+               CASE WHEN sc.pos IS NOT NULL THEN p.sym || p.nxt
+                    ELSE p.sym END AS sym
+             FROM p3 p
+             LEFT JOIN s3 sc ON sc.w = p.w AND sc.pos = p.pos
+             LEFT JOIN s3 sp ON sp.w = p.w AND sp.pos = p.pos - 1
+             WHERE sp.pos IS NULL)),
+         a3 AS (SELECT CAST(sum(freq) AS BIGINT) AS corpus_tokens_after
+           FROM t3)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS merge_rank, lsym, rsym, pair_count,
+             corpus_tokens_after FROM b1, a1
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), lsym, rsym, pair_count,
+             corpus_tokens_after FROM b2, a2
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), lsym, rsym, pair_count,
+             corpus_tokens_after FROM b3, a3)
+         ORDER BY merge_rank""",
     "q_source_overlap" ->
       """WITH t AS (
            SELECT source, list_filter(

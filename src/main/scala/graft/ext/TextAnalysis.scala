@@ -519,6 +519,79 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Iterative BPE merge learning — the tokenizer-training loop, as
+    * `rounds` relational rounds over an exploded (word, pos, symbol)
+    * frame (the same driver-loop shape as Lloyd's k-means and PageRank).
+    * Each round: adjacent-pair counts via `lead` over the per-word
+    * window (one shuffle on the word key, alphabet²-sized after map-side
+    * partials), argmax merge (count desc, pair lexicographic — total
+    * order), then a LEFTMOST-GREEDY non-overlapping merge applied
+    * relationally: matched positions form gaps-and-islands (island =
+    * pos − rank), and within an island every even offset merges —
+    * exactly the sequential scan's choice for runs like "aaa", with no
+    * per-row loop. Rebuild keeps non-consumed symbols and re-indexes by
+    * row_number. The work list is the top-`topWords` vocabulary (freq
+    * desc, word tiebreak), so state is vocabulary-sized regardless of
+    * corpus size — at 100 TB the word-count pass is the only
+    * corpus-sized stage, which is how production BPE trainers sample
+    * anyway. Output: one row per learned merge with its count and the
+    * corpus token total after applying it (the audit column).
+    * Reference analog: the tokenizer prep in the reference's loader has
+    * no merge learning — this is beyond-parity LLM-pipeline surface. */
+  def bpeLearn(docs: DataFrame, rounds: Int = 3,
+               topWords: Int = 200): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(topWords)
+    var toks = words
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")))).as("pos"))
+      .select(col("w"), col("freq"), col("pos").cast("bigint").as("pos"),
+        col("w").substr(col("pos"), lit(1)).as("sym"))
+      .localCheckpoint()
+    val wOrd = Window.partitionBy("w").orderBy("pos")
+    var merges = Vector.empty[DataFrame]
+    for (k <- 1 to rounds) {
+      val paired = toks.withColumn("nxt", lead("sym", 1).over(wOrd))
+      val best = paired.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("lsym"), col("nxt").as("rsym"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lsym"), col("rsym"))
+        .limit(1)
+      val matched = paired.join(broadcast(best),
+          col("sym") === col("lsym") && col("nxt") === col("rsym"))
+        .select(col("w"), col("pos"))
+        .withColumn("rn", row_number().over(wOrd))
+      val selected = matched
+        .withColumn("off", row_number().over(
+          Window.partitionBy(col("w"), col("pos") - col("rn"))
+            .orderBy("pos")) - 1)
+        .filter(col("off") % 2 === 0)
+        .select(col("w"), col("pos"))
+      val nextToks = paired
+        .join(selected.withColumn("m", lit(1L)), Seq("w", "pos"), "left")
+        .join(selected.select(col("w"), (col("pos") + 1).as("pos"))
+          .withColumn("mprev", lit(1L)), Seq("w", "pos"), "left")
+        .filter(col("mprev").isNull)
+        .select(col("w"), col("freq"), col("pos").as("opos"),
+          when(col("m") === 1L, concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")).as("sym"))
+        .withColumn("pos",
+          row_number().over(Window.partitionBy("w").orderBy("opos"))
+            .cast("bigint"))
+        .select("w", "freq", "pos", "sym")
+        .localCheckpoint()
+      val after = nextToks.agg(sum(col("freq")).as("corpus_tokens_after"))
+      merges :+= best.crossJoin(broadcast(after))
+        .select(lit(k.toLong).as("merge_rank"), col("lsym"), col("rsym"),
+          col("pair_count"), col("corpus_tokens_after"))
+      toks = nextToks
+    }
+    merges.reduce(_.unionAll(_)).orderBy("merge_rank")
+  }
+
   /** Cross-source contamination matrix: for every source pair, how many
     * distinct word shingles they share, plus the containment ratio
     * (shared / smaller side). The distinct (source, shingle) projection

@@ -71,6 +71,23 @@ class Round9OpsSpec extends SparkSpec {
       (i.toLong, i.toLong, i.toLong, 1L, 100.0 * i)).toList)
   }
 
+  test("bpeLearn: greedy leftmost merges, including overlapping runs") {
+    // words: "aaa"×2, "ab"×3.
+    // r1: (a,a) count 4 beats (a,b) 3; in "aaa" only pos 1 merges
+    //     (leftmost-greedy) → "aa"+"a"; tokens after = 2·2 + 2·3 = 10
+    // r2: (a,b) count 3 beats (aa,a) 2; "ab" collapses → after = 4+3 = 7
+    // r3: (aa,a) count 2; "aaa" collapses → after = 2+3 = 5
+    val docs = Seq((1L, "aaa aaa ab ab ab")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.bpeLearn(docs)
+      .select("merge_rank", "lsym", "rsym", "pair_count",
+        "corpus_tokens_after")
+      .as[(Long, String, String, Long, Long)].collect().toList
+    assert(out == List(
+      (1L, "a", "a", 4L, 10L),
+      (2L, "a", "b", 3L, 7L),
+      (3L, "aa", "a", 2L, 5L)))
+  }
+
   test("ewmaDaily: alpha=1/2 recursion matches the hand-unrolled values") {
     // x = 2, 4, 8 → ewma = 2, 3, 5.5
     val ev = Seq(

@@ -1267,6 +1267,9 @@ object SparkEntry {
     // ---- iterative BPE merge learning (3 relational rounds) ----
     "q_bpe_learn" -> ((s, d) =>
       graft.ext.TextAnalysis.bpeLearn(Tables.documents(s, d))),
+    // ---- final sub-word vocab census after the learned merges ----
+    "q_bpe_vocab" -> ((s, d) =>
+      graft.ext.TextAnalysis.bpeVocab(Tables.documents(s, d))),
     "q_source_overlap" -> ((s, d) =>
       graft.ext.TextAnalysis.sourceOverlap(Tables.documents(s, d))),
     "q_ngram_novelty" -> ((s, d) =>
@@ -1424,6 +1427,113 @@ object SparkEntry {
     (0 until 32).map(graft.plans.PortableHash.a).mkString("[", ",", "]")
   private val minhashB: String =
     (0 until 32).map(graft.plans.PortableHash.b).mkString("[", ",", "]")
+  /** Shared CTE chain for the BPE oracles: 3 unrolled merge rounds
+    * (pair stats -> argmax -> leftmost-greedy island merge -> reindex),
+    * mirroring the Spark driver loop round by round. */
+  private val bpeCtes: String =
+    """WITH wl AS (
+         SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+           SELECT unnest(list_filter(
+             string_split_regex(lower(text), '\s+'),
+             x -> x <> '')) AS w FROM documents)
+         WHERE len(w) >= 2 GROUP BY 1
+         ORDER BY freq DESC, w LIMIT 200),
+       t0 AS (
+         SELECT w, freq, CAST(pos AS BIGINT) AS pos,
+           substr(w, CAST(pos AS INT), 1) AS sym
+         FROM (SELECT w, freq, unnest(range(1, len(w) + 1)) AS pos
+               FROM wl)),
+       p1 AS (
+         SELECT w, freq, pos, sym,
+           lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         FROM t0),
+       b1 AS (
+         SELECT sym AS lsym, nxt AS rsym,
+           CAST(sum(freq) AS BIGINT) AS pair_count
+         FROM p1 WHERE nxt IS NOT NULL GROUP BY 1, 2
+         ORDER BY pair_count DESC, lsym, rsym LIMIT 1),
+       m1 AS (
+         SELECT w, pos, row_number() OVER (PARTITION BY w ORDER BY pos)
+           AS rn
+         FROM p1, b1 WHERE sym = lsym AND nxt = rsym),
+       s1 AS (
+         SELECT w, pos FROM (
+           SELECT w, pos, row_number() OVER (PARTITION BY w, pos - rn
+             ORDER BY pos) AS rn2 FROM m1)
+         WHERE (rn2 - 1) % 2 = 0),
+       t1 AS (
+         SELECT w, freq, CAST(row_number() OVER (PARTITION BY w
+           ORDER BY opos) AS BIGINT) AS pos, sym FROM (
+           SELECT p.w, p.freq, p.pos AS opos,
+             CASE WHEN sc.pos IS NOT NULL THEN p.sym || p.nxt
+                  ELSE p.sym END AS sym
+           FROM p1 p
+           LEFT JOIN s1 sc ON sc.w = p.w AND sc.pos = p.pos
+           LEFT JOIN s1 sp ON sp.w = p.w AND sp.pos = p.pos - 1
+           WHERE sp.pos IS NULL)),
+       a1 AS (SELECT CAST(sum(freq) AS BIGINT) AS corpus_tokens_after
+         FROM t1),
+       p2 AS (
+         SELECT w, freq, pos, sym,
+           lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         FROM t1),
+       b2 AS (
+         SELECT sym AS lsym, nxt AS rsym,
+           CAST(sum(freq) AS BIGINT) AS pair_count
+         FROM p2 WHERE nxt IS NOT NULL GROUP BY 1, 2
+         ORDER BY pair_count DESC, lsym, rsym LIMIT 1),
+       m2 AS (
+         SELECT w, pos, row_number() OVER (PARTITION BY w ORDER BY pos)
+           AS rn
+         FROM p2, b2 WHERE sym = lsym AND nxt = rsym),
+       s2 AS (
+         SELECT w, pos FROM (
+           SELECT w, pos, row_number() OVER (PARTITION BY w, pos - rn
+             ORDER BY pos) AS rn2 FROM m2)
+         WHERE (rn2 - 1) % 2 = 0),
+       t2 AS (
+         SELECT w, freq, CAST(row_number() OVER (PARTITION BY w
+           ORDER BY opos) AS BIGINT) AS pos, sym FROM (
+           SELECT p.w, p.freq, p.pos AS opos,
+             CASE WHEN sc.pos IS NOT NULL THEN p.sym || p.nxt
+                  ELSE p.sym END AS sym
+           FROM p2 p
+           LEFT JOIN s2 sc ON sc.w = p.w AND sc.pos = p.pos
+           LEFT JOIN s2 sp ON sp.w = p.w AND sp.pos = p.pos - 1
+           WHERE sp.pos IS NULL)),
+       a2 AS (SELECT CAST(sum(freq) AS BIGINT) AS corpus_tokens_after
+         FROM t2),
+       p3 AS (
+         SELECT w, freq, pos, sym,
+           lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         FROM t2),
+       b3 AS (
+         SELECT sym AS lsym, nxt AS rsym,
+           CAST(sum(freq) AS BIGINT) AS pair_count
+         FROM p3 WHERE nxt IS NOT NULL GROUP BY 1, 2
+         ORDER BY pair_count DESC, lsym, rsym LIMIT 1),
+       m3 AS (
+         SELECT w, pos, row_number() OVER (PARTITION BY w ORDER BY pos)
+           AS rn
+         FROM p3, b3 WHERE sym = lsym AND nxt = rsym),
+       s3 AS (
+         SELECT w, pos FROM (
+           SELECT w, pos, row_number() OVER (PARTITION BY w, pos - rn
+             ORDER BY pos) AS rn2 FROM m3)
+         WHERE (rn2 - 1) % 2 = 0),
+       t3 AS (
+         SELECT w, freq, CAST(row_number() OVER (PARTITION BY w
+           ORDER BY opos) AS BIGINT) AS pos, sym FROM (
+           SELECT p.w, p.freq, p.pos AS opos,
+             CASE WHEN sc.pos IS NOT NULL THEN p.sym || p.nxt
+                  ELSE p.sym END AS sym
+           FROM p3 p
+           LEFT JOIN s3 sc ON sc.w = p.w AND sc.pos = p.pos
+           LEFT JOIN s3 sp ON sp.w = p.w AND sp.pos = p.pos - 1
+           WHERE sp.pos IS NULL)),
+       a3 AS (SELECT CAST(sum(freq) AS BIGINT) AS corpus_tokens_after
+         FROM t3)"""
+
   private val sketchShingleCte: String =
     """WITH toks AS (
          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
@@ -4188,108 +4298,7 @@ object SparkEntry {
     // island merge -> reindex (mirrors the Spark driver loop round by
     // round, same trick as the unrolled k-means oracle)
     "q_bpe_learn" ->
-      """WITH wl AS (
-           SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
-             SELECT unnest(list_filter(
-               string_split_regex(lower(text), '\s+'),
-               x -> x <> '')) AS w FROM documents)
-           WHERE len(w) >= 2 GROUP BY 1
-           ORDER BY freq DESC, w LIMIT 200),
-         t0 AS (
-           SELECT w, freq, CAST(pos AS BIGINT) AS pos,
-             substr(w, CAST(pos AS INT), 1) AS sym
-           FROM (SELECT w, freq, unnest(range(1, len(w) + 1)) AS pos
-                 FROM wl)),
-         p1 AS (
-           SELECT w, freq, pos, sym,
-             lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
-           FROM t0),
-         b1 AS (
-           SELECT sym AS lsym, nxt AS rsym,
-             CAST(sum(freq) AS BIGINT) AS pair_count
-           FROM p1 WHERE nxt IS NOT NULL GROUP BY 1, 2
-           ORDER BY pair_count DESC, lsym, rsym LIMIT 1),
-         m1 AS (
-           SELECT w, pos, row_number() OVER (PARTITION BY w ORDER BY pos)
-             AS rn
-           FROM p1, b1 WHERE sym = lsym AND nxt = rsym),
-         s1 AS (
-           SELECT w, pos FROM (
-             SELECT w, pos, row_number() OVER (PARTITION BY w, pos - rn
-               ORDER BY pos) AS rn2 FROM m1)
-           WHERE (rn2 - 1) % 2 = 0),
-         t1 AS (
-           SELECT w, freq, CAST(row_number() OVER (PARTITION BY w
-             ORDER BY opos) AS BIGINT) AS pos, sym FROM (
-             SELECT p.w, p.freq, p.pos AS opos,
-               CASE WHEN sc.pos IS NOT NULL THEN p.sym || p.nxt
-                    ELSE p.sym END AS sym
-             FROM p1 p
-             LEFT JOIN s1 sc ON sc.w = p.w AND sc.pos = p.pos
-             LEFT JOIN s1 sp ON sp.w = p.w AND sp.pos = p.pos - 1
-             WHERE sp.pos IS NULL)),
-         a1 AS (SELECT CAST(sum(freq) AS BIGINT) AS corpus_tokens_after
-           FROM t1),
-         p2 AS (
-           SELECT w, freq, pos, sym,
-             lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
-           FROM t1),
-         b2 AS (
-           SELECT sym AS lsym, nxt AS rsym,
-             CAST(sum(freq) AS BIGINT) AS pair_count
-           FROM p2 WHERE nxt IS NOT NULL GROUP BY 1, 2
-           ORDER BY pair_count DESC, lsym, rsym LIMIT 1),
-         m2 AS (
-           SELECT w, pos, row_number() OVER (PARTITION BY w ORDER BY pos)
-             AS rn
-           FROM p2, b2 WHERE sym = lsym AND nxt = rsym),
-         s2 AS (
-           SELECT w, pos FROM (
-             SELECT w, pos, row_number() OVER (PARTITION BY w, pos - rn
-               ORDER BY pos) AS rn2 FROM m2)
-           WHERE (rn2 - 1) % 2 = 0),
-         t2 AS (
-           SELECT w, freq, CAST(row_number() OVER (PARTITION BY w
-             ORDER BY opos) AS BIGINT) AS pos, sym FROM (
-             SELECT p.w, p.freq, p.pos AS opos,
-               CASE WHEN sc.pos IS NOT NULL THEN p.sym || p.nxt
-                    ELSE p.sym END AS sym
-             FROM p2 p
-             LEFT JOIN s2 sc ON sc.w = p.w AND sc.pos = p.pos
-             LEFT JOIN s2 sp ON sp.w = p.w AND sp.pos = p.pos - 1
-             WHERE sp.pos IS NULL)),
-         a2 AS (SELECT CAST(sum(freq) AS BIGINT) AS corpus_tokens_after
-           FROM t2),
-         p3 AS (
-           SELECT w, freq, pos, sym,
-             lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
-           FROM t2),
-         b3 AS (
-           SELECT sym AS lsym, nxt AS rsym,
-             CAST(sum(freq) AS BIGINT) AS pair_count
-           FROM p3 WHERE nxt IS NOT NULL GROUP BY 1, 2
-           ORDER BY pair_count DESC, lsym, rsym LIMIT 1),
-         m3 AS (
-           SELECT w, pos, row_number() OVER (PARTITION BY w ORDER BY pos)
-             AS rn
-           FROM p3, b3 WHERE sym = lsym AND nxt = rsym),
-         s3 AS (
-           SELECT w, pos FROM (
-             SELECT w, pos, row_number() OVER (PARTITION BY w, pos - rn
-               ORDER BY pos) AS rn2 FROM m3)
-           WHERE (rn2 - 1) % 2 = 0),
-         t3 AS (
-           SELECT w, freq, CAST(row_number() OVER (PARTITION BY w
-             ORDER BY opos) AS BIGINT) AS pos, sym FROM (
-             SELECT p.w, p.freq, p.pos AS opos,
-               CASE WHEN sc.pos IS NOT NULL THEN p.sym || p.nxt
-                    ELSE p.sym END AS sym
-             FROM p3 p
-             LEFT JOIN s3 sc ON sc.w = p.w AND sc.pos = p.pos
-             LEFT JOIN s3 sp ON sp.w = p.w AND sp.pos = p.pos - 1
-             WHERE sp.pos IS NULL)),
-         a3 AS (SELECT CAST(sum(freq) AS BIGINT) AS corpus_tokens_after
-           FROM t3)
+      (bpeCtes + """
          SELECT * FROM (
            SELECT CAST(1 AS BIGINT) AS merge_rank, lsym, rsym, pair_count,
              corpus_tokens_after FROM b1, a1
@@ -4299,7 +4308,13 @@ object SparkEntry {
            UNION ALL
            SELECT CAST(3 AS BIGINT), lsym, rsym, pair_count,
              corpus_tokens_after FROM b3, a3)
-         ORDER BY merge_rank""",
+         ORDER BY merge_rank"""),
+    "q_bpe_vocab" ->
+      (bpeCtes + """
+         SELECT sym, CAST(sum(freq) AS BIGINT) AS weighted_freq,
+           CAST(count(*) AS BIGINT) AS n_positions
+         FROM t3 GROUP BY 1
+         ORDER BY weighted_freq DESC, sym LIMIT 20"""),
     "q_source_overlap" ->
       """WITH t AS (
            SELECT source, list_filter(

@@ -539,8 +539,23 @@ object TextAnalysis {
     * Reference analog: the tokenizer prep in the reference's loader has
     * no merge learning — this is beyond-parity LLM-pipeline surface. */
   def bpeLearn(docs: DataFrame, rounds: Int = 3,
-               topWords: Int = 200): DataFrame = {
-    val spark = docs.sparkSession
+               topWords: Int = 200): DataFrame =
+    bpeRounds(docs, rounds, topWords)._1
+
+  /** Final sub-word vocabulary census after [[bpeLearn]]'s merges: the
+    * encoded corpus' top tokens by weighted frequency — what a tokenizer
+    * ships as its vocab head. Same loop, different projection. */
+  def bpeVocab(docs: DataFrame, rounds: Int = 3, topWords: Int = 200,
+               topK: Int = 20): DataFrame =
+    bpeRounds(docs, rounds, topWords)._2
+      .groupBy("sym")
+      .agg(sum(col("freq")).as("weighted_freq"),
+        count(lit(1)).as("n_positions"))
+      .orderBy(col("weighted_freq").desc, col("sym"))
+      .limit(topK)
+
+  private def bpeRounds(docs: DataFrame, rounds: Int,
+                        topWords: Int): (DataFrame, DataFrame) = {
     val words = docs.select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -589,7 +604,7 @@ object TextAnalysis {
           col("pair_count"), col("corpus_tokens_after"))
       toks = nextToks
     }
-    merges.reduce(_.unionAll(_)).orderBy("merge_rank")
+    (merges.reduce(_.unionAll(_)).orderBy("merge_rank"), toks)
   }
 
   /** Cross-source contamination matrix: for every source pair, how many

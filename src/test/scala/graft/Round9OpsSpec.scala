@@ -88,6 +88,15 @@ class Round9OpsSpec extends SparkSpec {
       (3L, "aa", "a", 2L, 5L)))
   }
 
+  test("bpeVocab: the census reflects the fully merged words") {
+    // after the three merges above both words collapse to single tokens
+    val docs = Seq((1L, "aaa aaa ab ab ab")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.bpeVocab(docs)
+      .select("sym", "weighted_freq", "n_positions")
+      .as[(String, Long, Long)].collect().toList
+    assert(out == List(("ab", 3L, 1L), ("aaa", 2L, 1L)))
+  }
+
   test("ewmaDaily: alpha=1/2 recursion matches the hand-unrolled values") {
     // x = 2, 4, 8 → ewma = 2, 3, 5.5
     val ev = Seq(

@@ -576,6 +576,9 @@ object SparkEntry {
     "q_kmeans_iter" -> ((s, d) =>
       graft.ext.Similarity.kmeansIterate(Tables.embeddings(s, d))
         .orderBy("centroid_id", "dim_id")),
+    // ---- centroid-silhouette quality of the seed clustering ----
+    "q_silhouette" -> ((s, d) =>
+      graft.ext.Similarity.silhouette(Tables.embeddings(s, d))),
     // ---- per-node triangle counts on the co-purchase graph ----
     "q_triangles" -> ((s, d) =>
       graft.analytics.GraphAnalytics.coPurchaseTriangles(s, d)),
@@ -2539,6 +2542,31 @@ object SparkEntry {
          SELECT vec_id, centroid_id FROM assign
          WHERE vec_id NOT IN (SELECT vec_id FROM drops)
          ORDER BY vec_id""",
+    "q_silhouette" ->
+      """WITH corpus AS (
+           SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cents AS (
+           SELECT vec_id AS centroid_id, e AS ce FROM corpus
+           WHERE vec_id % 40 = 0),
+         sims AS (
+           SELECT c.vec_id, ct.centroid_id,
+             round(list_cosine_similarity(c.e, ct.ce), 6) AS c_sim
+           FROM corpus c CROSS JOIN cents ct),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY c_sim DESC, centroid_id) AS rn FROM sims),
+         own AS (SELECT vec_id, centroid_id, c_sim AS a_sim
+           FROM ranked WHERE rn = 1),
+         oth AS (SELECT vec_id, c_sim AS b_sim FROM ranked WHERE rn = 2),
+         s AS (
+           SELECT o.centroid_id,
+             CASE WHEN o.a_sim = t.b_sim THEN 0.0
+                  ELSE (o.a_sim - t.b_sim) / (1.0 - t.b_sim) END AS sil
+           FROM own o JOIN oth t ON o.vec_id = t.vec_id)
+         SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_members,
+           round(CAST(sum(CAST(sil AS DECIMAL(28,12))) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 6) AS mean_silhouette
+         FROM s GROUP BY 1 ORDER BY 1""",
     "q_kmeans_iter" ->
       """WITH c0 AS (
            SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce

@@ -183,6 +183,46 @@ object Similarity {
       .withColumn("dim_id", col("dim_id").cast("bigint"))
   }
 
+  /** Centroid-based (simplified) silhouette of the seed clustering — the
+    * clustering-quality eval that closes the k-means loop: per vector,
+    * a = cosine distance to its OWN centroid, b = distance to the nearest
+    * OTHER centroid, s = (b−a)/max(a,b) = (simₐ−sim_b)/(1−sim_b). One
+    * broadcast of the centroid frame, corpus stays map-side (same shape
+    * as the assignment step); both ranks come from a single per-vector
+    * window over the |centroids|-sized sim list. Per-row silhouettes are
+    * IEEE-identical doubles (6dp-rounded sims), decimal-summed per
+    * cluster. The full pairwise silhouette is O(n²) by definition — the
+    * centroid form is the one that exists at 100 TB. */
+  def silhouette(emb: DataFrame, centroidMod: Int = 40): DataFrame = {
+    val corpus = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(dotD(col("e"), col("e"))))
+    val cents = corpus.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ce"),
+        col("nrm").as("cn"))
+    val sims = corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        round(dotD(col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
+          .as("c_sim"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("c_sim").desc, col("centroid_id"))
+    val ranked = sims.withColumn("rn", row_number().over(w))
+    val own = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("c_sim").as("a_sim"))
+    val oth = ranked.filter(col("rn") === 2)
+      .select(col("vec_id"), col("c_sim").as("b_sim"))
+    own.join(oth, "vec_id")
+      .withColumn("sil",
+        when(col("a_sim") === col("b_sim"), lit(0.0))
+          .otherwise((col("a_sim") - col("b_sim")) /
+            (lit(1.0) - col("b_sim"))))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("sil").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_silhouette"))
+      .orderBy("centroid_id")
+  }
+
   /** SemDeDup-shaped semantic dedup (cluster the embedding space, then
     * deduplicate only WITHIN clusters — Abbas et al. 2023, SemDeDup):
     * assign every vector to its nearest seed centroid with the same

@@ -97,6 +97,19 @@ class Round9OpsSpec extends SparkSpec {
     assert(out == List(("ab", 3L, 1L), ("aaa", 2L, 1L)))
   }
 
+  test("silhouette: perfect members score 1, a 0.6/0.8 straddler 0.5") {
+    // centroids: vec 0 = x-axis, vec 40 = y-axis. vec 1 sits on x (sil 1);
+    // vec 2 = (0.6, 0.8) → own sim .8, other .6 → (.8−.6)/(1−.6) = 0.5.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.6f, 0.8f)), (40L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.silhouette(emb)
+      .select("centroid_id", "n_members", "mean_silhouette")
+      .as[(Long, Long, Double)].collect().toList
+    assert(out == List((0L, 2L, 1.0), (40L, 2L, 0.75)))
+  }
+
   test("ewmaDaily: alpha=1/2 recursion matches the hand-unrolled values") {
     // x = 2, 4, 8 → ewma = 2, 3, 5.5
     val ev = Seq(

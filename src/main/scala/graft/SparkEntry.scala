@@ -1304,6 +1304,12 @@ object SparkEntry {
       StarAnalytics.coPurchasePairs(s, d)),
     "q_pagerank" -> ((s, d) =>
       graft.analytics.GraphAnalytics.coPurchaseRank(s, d)),
+    // ---- single-source BFS reachability profile (3 rounds) ----
+    "q_bfs_hops" -> ((s, d) =>
+      graft.analytics.GraphAnalytics.coPurchaseBfs(s, d)),
+    // ---- incremental aggregate maintenance: merged partials ----
+    "q_incr_agg" -> ((s, d) =>
+      StatsAnalytics.incrementalAgg(Tables.events(s, d))),
     "q_assoc_rules" -> ((s, d) =>
       StarAnalytics.assocRules(s, d)),
     "q_seasonality" -> ((s, d) =>
@@ -4550,6 +4556,52 @@ object SparkEntry {
          SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
          FROM pairs GROUP BY 1, 2
          ORDER BY n_orders DESC, part_a, part_b LIMIT 20""",
+    // 3 unrolled BFS rounds: frontier ⋈ edges -> distinct -> anti-visited
+    "q_bfs_hops" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT pa AS a, pb AS b FROM pr
+               UNION ALL SELECT pb, pa FROM pr),
+         v0 AS (SELECT min(a) AS node, CAST(0 AS BIGINT) AS hop FROM e),
+         f1 AS (SELECT DISTINCT e.b AS node
+           FROM v0 JOIN e ON v0.node = e.a),
+         n1 AS (SELECT node, CAST(1 AS BIGINT) AS hop FROM f1
+           WHERE node NOT IN (SELECT node FROM v0)),
+         v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM n1),
+         f2 AS (SELECT DISTINCT e.b AS node
+           FROM n1 JOIN e ON n1.node = e.a),
+         n2 AS (SELECT node, CAST(2 AS BIGINT) AS hop FROM f2
+           WHERE node NOT IN (SELECT node FROM v1)),
+         v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM n2),
+         f3 AS (SELECT DISTINCT e.b AS node
+           FROM n2 JOIN e ON n2.node = e.a),
+         n3 AS (SELECT node, CAST(3 AS BIGINT) AS hop FROM f3
+           WHERE node NOT IN (SELECT node FROM v2)),
+         v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM n3)
+         SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+         FROM v3 GROUP BY 1 ORDER BY 1""",
+    "q_incr_agg" ->
+      """WITH r0 AS (
+           SELECT event_type, CAST(ts AS DATE) AS d,
+             coalesce(value, 0) AS v
+           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+         span AS (
+           SELECT min(d) + (CAST(date_diff('day', min(d), max(d))
+             AS INT) // 2) AS mid FROM r0)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(v AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_value,
+           CAST(sum(CASE WHEN d <= s.mid THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_base,
+           CAST(sum(CASE WHEN d > s.mid THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_delta
+         FROM r0 CROSS JOIN span s GROUP BY 1 ORDER BY 1""",
     "q_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          pairs AS (

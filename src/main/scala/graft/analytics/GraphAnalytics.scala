@@ -80,6 +80,49 @@ object GraphAnalytics {
       .limit(k)
   }
 
+  /** Single-source BFS over the co-purchase graph — `rounds` relational
+    * frontier expansions from the smallest part id in the (support-
+    * floored) edge list. Each round: frontier ⋈ edges (hash join on the
+    * node key), distinct, anti-join against the visited set — the
+    * textbook Pregel step as plain relational ops, with localCheckpoint
+    * keeping plan size constant (same pattern as [[pageRank]] and the
+    * dedup label propagation). State is the visited set: node-sized,
+    * hash-partitioned, never collected. Output is the per-hop census
+    * (count, id range) — the reachability profile a recommender's
+    * neighborhood expansion uses. */
+  def coPurchaseBfs(spark: SparkSession, sfDir: String,
+                    rounds: Int = 3, minSupport: Long = 2L): DataFrame = {
+    val pairs = StarAnalytics.coPurchaseCounts(spark, sfDir)
+      .filter(col("n_orders") >= minSupport)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+    bfsHops(pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b"))),
+      rounds)
+  }
+
+  /** The BFS core over a symmetric (a, b) edge frame: seeds at min(a) and
+    * reports the per-hop census. Separated from the co-purchase wrapper
+    * so the frontier algebra is testable on hand graphs. */
+  def bfsHops(symEdges: DataFrame, rounds: Int): DataFrame = {
+    val edges = symEdges.localCheckpoint()
+    var visited = edges.agg(min(col("a")).as("node"))
+      .withColumn("hop", lit(0L))
+      .localCheckpoint()
+    for (k <- 1 to rounds) {
+      val frontier = visited.filter(col("hop") === (k - 1).toLong)
+      val next = frontier.join(edges, col("node") === col("a"))
+        .select(col("b").as("node")).distinct()
+        .join(visited.select(col("node").as("vn")),
+          col("node") === col("vn"), "left_anti")
+        .withColumn("hop", lit(k.toLong))
+      visited = visited.unionAll(next).localCheckpoint()
+    }
+    visited.groupBy("hop")
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).cast("bigint").as("min_node"),
+        max(col("node")).cast("bigint").as("max_node"))
+      .orderBy("hop")
+  }
+
   /** PageRank of the co-purchase graph: parts as nodes, same-order
     * co-occurrence counts as edge weights (see
     * [[StarAnalytics.coPurchasePairs]] for the basket synthesis). Top-k

@@ -541,6 +541,38 @@ object StatsAnalytics {
       .orderBy("d")
   }
 
+  /** Incremental aggregate maintenance: the merged-partials form of the
+    * per-type (count, decimal sum) report. The corpus splits into a
+    * "base" and a "delta" period (broadcast midpoint, as [[psiDrift]]),
+    * each aggregates independently, and the partials MERGE by addition —
+    * count and DECIMAL-sum are commutative monoids, so the merge equals
+    * the flat recompute bit-for-bit, which is exactly what the flat-SQL
+    * oracle checks. This is the contract that lets a 100 TB pipeline
+    * maintain its aggregates from deltas instead of rescanning history;
+    * the per-period audit columns expose the partials' provenance. */
+  def incrementalAgg(ev: DataFrame): DataFrame = {
+    val rows = ev.filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        coalesce(col("value"), lit(0.0)).as("v"))
+    val span = rows.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(date_add(col("d0"),
+        (datediff(col("d1"), col("d0")) / 2).cast("int")).as("mid"))
+    val partials = rows.crossJoin(broadcast(span))
+      .withColumn("part",
+        when(col("d") <= col("mid"), lit("base")).otherwise(lit("delta")))
+      .groupBy("event_type", "part")
+      .agg(count(lit(1)).as("pn"),
+        sum(col("v").cast("decimal(18,6)")).as("ps"))
+    partials.groupBy("event_type")
+      .agg(sum(col("pn")).as("n_events"),
+        round(sum(col("ps")), 2).cast("double").as("total_value"),
+        sum(when(col("part") === "base", col("pn")).otherwise(0L))
+          .as("n_base"),
+        sum(when(col("part") === "delta", col("pn")).otherwise(0L))
+          .as("n_delta"))
+      .orderBy("event_type")
+  }
+
   /** Two-sample Kolmogorov–Smirnov statistic between the deterministic
     * hash-split variants (same split as [[abLift]]), on ecdfs over
     * VALUE BINS: the per-bin counts collapse the corpus map-side, the

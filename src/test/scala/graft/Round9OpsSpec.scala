@@ -110,6 +110,34 @@ class Round9OpsSpec extends SparkSpec {
     assert(out == List((0L, 2L, 1.0), (40L, 2L, 0.75)))
   }
 
+  test("bfsHops: a path graph expands one hop per round, tail unreached") {
+    // path 1-2-3-4-5, 3 rounds from seed 1 → hops 0..3 reach 1..4; node 5
+    // stays outside the census.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val sym = pairs.unionAll(pairs.select(col("b").as("a"),
+      col("a").as("b")))
+    val out = graft.analytics.GraphAnalytics.bfsHops(sym, 3)
+      .select("hop", "n_nodes", "min_node", "max_node")
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(out == List(
+      (0L, 1L, 1L, 1L), (1L, 1L, 2L, 2L),
+      (2L, 1L, 3L, 3L), (3L, 1L, 4L, 4L)))
+  }
+
+  test("incrementalAgg: merged base+delta partials equal the flat totals") {
+    // days Jan 1..3 → mid Jan 2: base = {1.0, 2.0}, delta = {4.0}
+    val ev = Seq(
+      ("a", 1.0, "2024-01-01 10:00:00"), ("a", 2.0, "2024-01-02 10:00:00"),
+      ("a", 4.0, "2024-01-03 10:00:00")
+    ).toDF("event_type", "value", "s")
+      .select(col("event_type"), col("value"),
+        col("s").cast("timestamp").as("ts"))
+    val out = StatsAnalytics.incrementalAgg(ev)
+      .select("event_type", "n_events", "total_value", "n_base", "n_delta")
+      .as[(String, Long, Double, Long, Long)].collect().toList
+    assert(out == List(("a", 3L, 7.0, 2L, 1L)))
+  }
+
   test("ewmaDaily: alpha=1/2 recursion matches the hand-unrolled values") {
     // x = 2, 4, 8 → ewma = 2, 3, 5.5
     val ev = Seq(

@@ -579,6 +579,10 @@ object SparkEntry {
     // ---- centroid-silhouette quality of the seed clustering ----
     "q_silhouette" -> ((s, d) =>
       graft.ext.Similarity.silhouette(Tables.embeddings(s, d))),
+    // ---- hybrid retrieval: reciprocal-rank fusion (cosine + BM25) ----
+    "q_rrf_fusion" -> ((s, d) =>
+      graft.ext.Similarity.rrfFusion(Tables.documents(s, d),
+        Tables.embeddings(s, d))),
     // ---- per-node triangle counts on the co-purchase graph ----
     "q_triangles" -> ((s, d) =>
       graft.analytics.GraphAnalytics.coPurchaseTriangles(s, d)),
@@ -2548,6 +2552,52 @@ object SparkEntry {
          SELECT vec_id, centroid_id FROM assign
          WHERE vec_id NOT IN (SELECT vec_id FROM drops)
          ORDER BY vec_id""",
+    "q_rrf_fusion" ->
+      """WITH qv AS (
+           SELECT embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id = 0),
+         sem0 AS (
+           SELECT e.vec_id AS id,
+             round(list_cosine_similarity(qv.qe, e.embedding::DOUBLE[]), 6)
+               AS sim
+           FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+         semp AS (SELECT id, sim FROM sem0 ORDER BY sim DESC, id LIMIT 50),
+         sem AS (
+           SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id)
+             AS BIGINT) AS r_sem
+           FROM semp),
+         d AS (
+           SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM (
+             SELECT doc_id, list_filter(
+               string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+             FROM documents)),
+         stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+           FROM d),
+         tf AS (
+           SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+           WHERE term IN ('table', 'join', 'spark')
+           GROUP BY 1, 2, 3),
+         df AS (
+           SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+           FROM tf GROUP BY 1),
+         lexp AS (
+           SELECT doc_id AS id,
+             round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * (1.2 + 1.0)
+               / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+           FROM tf JOIN df USING (term) CROSS JOIN stats
+           GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+         lex AS (
+           SELECT id, CAST(row_number() OVER (ORDER BY bm25 DESC, id)
+             AS BIGINT) AS r_lex
+           FROM lexp)
+         SELECT coalesce(sem.id, lex.id) AS id, r_sem, r_lex,
+           round(coalesce(1.0 / (60.0 + r_sem), 0.0) +
+             coalesce(1.0 / (60.0 + r_lex), 0.0), 6) AS rrf
+         FROM sem FULL OUTER JOIN lex ON sem.id = lex.id
+         ORDER BY rrf DESC, id LIMIT 20""",
     "q_silhouette" ->
       """WITH corpus AS (
            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -183,6 +183,50 @@ object Similarity {
       .withColumn("dim_id", col("dim_id").cast("bigint"))
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion of the semantic (cosine)
+    * and lexical (BM25) rankings — the standard RAG-index combiner
+    * (Cormack et al.: rrf = Σ 1/(k + rankᵢ), k = 60). Both candidate
+    * pools come from DISTRIBUTED top-k (TakeOrderedAndProject — no
+    * corpus-sized window anywhere); the rank row_numbers then run over
+    * the 50-row pools. The fused score is two IEEE-identical double
+    * terms added in a fixed order, so the full-outer-join fusion
+    * hash-matches the oracle including its NULL ranks (a doc ranked by
+    * only one modality keeps a NULL in the other's rank column). The
+    * embeddings fixture's vec_id aligns with documents.doc_id, which is
+    * what makes cross-modal fusion by id meaningful. */
+  def rrfFusion(docs: DataFrame, emb: DataFrame, queryId: Long = 0L,
+                kConst: Double = 60.0, poolK: Int = 50,
+                topK: Int = 20): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val q = withNorm.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val semPool = withNorm.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id").as("id"),
+        round(dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("id")).limit(poolK)
+    val sem = semPool.withColumn("r_sem",
+      row_number().over(Window.orderBy(col("sim").desc, col("id")))
+        .cast("bigint"))
+    val lex = graft.ext.TextAnalysis.bm25(docs, topK = poolK)
+      .select(col("doc_id").as("id"), col("bm25"))
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy(col("bm25").desc, col("id")))
+          .cast("bigint"))
+    sem.select("id", "r_sem")
+      .join(lex.select("id", "r_lex"), Seq("id"), "full_outer")
+      .select(col("id"), col("r_sem"), col("r_lex"),
+        round(
+          coalesce(lit(1.0) / (lit(kConst) + col("r_sem")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kConst) + col("r_lex")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(topK)
+  }
+
   /** Centroid-based (simplified) silhouette of the seed clustering — the
     * clustering-quality eval that closes the k-means loop: per vector,
     * a = cosine distance to its OWN centroid, b = distance to the nearest

@@ -138,6 +138,34 @@ class Round9OpsSpec extends SparkSpec {
     assert(out == List(("a", 3L, 7.0, 2L, 1L)))
   }
 
+  test("rrfFusion: both-modality docs outrank single-modality docs, and " +
+    "missing ranks stay NULL") {
+    // vec 0 is the query; vec 1 is identical (semantic rank 1), vec 2
+    // orthogonal. Lexically only docs 0 and 1 contain query terms.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val docs = Seq(
+      (0L, "table join"), (1L, "table table spark"), (2L, "nothing here")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Similarity.rrfFusion(docs, emb)
+      .select("id", "r_sem", "r_lex", "rrf")
+      .as[(Long, Option[Long], Option[Long], Double)].collect().toList
+    val byId = out.map(r => r._1 -> r).toMap
+    // doc 1 is ranked by both modalities and fuses to the top
+    assert(out.head._1 == 1L)
+    assert(byId(1L)._2.isDefined && byId(1L)._3.isDefined)
+    // the query doc is excluded semantically but may rank lexically
+    assert(byId(0L)._2.isEmpty && byId(0L)._3.isDefined)
+    // vec 2 has no query terms: semantic-only
+    assert(byId(2L)._2.isDefined && byId(2L)._3.isEmpty)
+    // the fused score is exactly the two reciprocal terms
+    val r1 = byId(1L)
+    val expect = BigDecimal(1.0 / (60.0 + r1._2.get) +
+      1.0 / (60.0 + r1._3.get)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(r1._4 == expect.toDouble)
+  }
+
   test("ewmaDaily: alpha=1/2 recursion matches the hand-unrolled values") {
     // x = 2, 4, 8 → ewma = 2, 3, 5.5
     val ev = Seq(

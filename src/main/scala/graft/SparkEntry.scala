@@ -583,6 +583,9 @@ object SparkEntry {
     "q_rrf_fusion" -> ((s, d) =>
       graft.ext.Similarity.rrfFusion(Tables.documents(s, d),
         Tables.embeddings(s, d))),
+    // ---- MMR diversification of the semantic top pool (3 picks) ----
+    "q_mmr_select" -> ((s, d) =>
+      graft.ext.Similarity.mmrSelect(Tables.embeddings(s, d))),
     // ---- per-node triangle counts on the co-purchase graph ----
     "q_triangles" -> ((s, d) =>
       graft.analytics.GraphAnalytics.coPurchaseTriangles(s, d)),
@@ -1314,6 +1317,9 @@ object SparkEntry {
     // ---- incremental aggregate maintenance: merged partials ----
     "q_incr_agg" -> ((s, d) =>
       StatsAnalytics.incrementalAgg(Tables.events(s, d))),
+    // ---- CUPED covariate adjustment (variance-reduction report) ----
+    "q_cuped" -> ((s, d) =>
+      StatsAnalytics.cuped(Tables.events(s, d))),
     "q_assoc_rules" -> ((s, d) =>
       StarAnalytics.assocRules(s, d)),
     "q_seasonality" -> ((s, d) =>
@@ -2598,6 +2604,44 @@ object SparkEntry {
              coalesce(1.0 / (60.0 + r_lex), 0.0), 6) AS rrf
          FROM sem FULL OUTER JOIN lex ON sem.id = lex.id
          ORDER BY rrf DESC, id LIMIT 20""",
+    // 3 unrolled greedy MMR picks over the 10-row semantic pool
+    "q_mmr_select" ->
+      """WITH qv AS (
+           SELECT embedding::DOUBLE[] AS qe FROM embeddings
+           WHERE vec_id = 0),
+         p0 AS (
+           SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS ee,
+             round(list_cosine_similarity(qv.qe, e.embedding::DOUBLE[]), 6)
+               AS rel
+           FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0),
+         pool AS (SELECT * FROM p0 ORDER BY rel DESC, id LIMIT 10),
+         pr AS (
+           SELECT a.id AS ia, b.id AS ib,
+             round(list_cosine_similarity(a.ee, b.ee), 6) AS psim
+           FROM pool a CROSS JOIN pool b WHERE a.id <> b.id),
+         s1 AS (SELECT id, rel, rel AS mmr FROM pool
+           ORDER BY rel DESC, id LIMIT 1),
+         c2 AS (
+           SELECT p.id, p.rel,
+             round(0.7 * p.rel - (1.0 - 0.7) * max(pr.psim), 6) AS mmr
+           FROM pool p JOIN pr ON pr.ia = p.id
+           WHERE pr.ib IN (SELECT id FROM s1)
+             AND p.id NOT IN (SELECT id FROM s1)
+           GROUP BY p.id, p.rel),
+         s2 AS (SELECT id, rel, mmr FROM c2 ORDER BY mmr DESC, id LIMIT 1),
+         sel2 AS (SELECT id FROM s1 UNION ALL SELECT id FROM s2),
+         c3 AS (
+           SELECT p.id, p.rel,
+             round(0.7 * p.rel - (1.0 - 0.7) * max(pr.psim), 6) AS mmr
+           FROM pool p JOIN pr ON pr.ia = p.id
+           WHERE pr.ib IN (SELECT id FROM sel2)
+             AND p.id NOT IN (SELECT id FROM sel2)
+           GROUP BY p.id, p.rel),
+         s3 AS (SELECT id, rel, mmr FROM c3 ORDER BY mmr DESC, id LIMIT 1)
+         SELECT CAST(1 AS BIGINT) AS sel_rank, id, rel, mmr FROM s1
+         UNION ALL SELECT CAST(2 AS BIGINT), id, rel, mmr FROM s2
+         UNION ALL SELECT CAST(3 AS BIGINT), id, rel, mmr FROM s3
+         ORDER BY sel_rank""",
     "q_silhouette" ->
       """WITH corpus AS (
            SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
@@ -4652,6 +4696,49 @@ object SparkEntry {
            CAST(sum(CASE WHEN d > s.mid THEN 1 ELSE 0 END) AS BIGINT)
              AS n_delta
          FROM r0 CROSS JOIN span s GROUP BY 1 ORDER BY 1""",
+    "q_cuped" ->
+      """WITH r0 AS (
+           SELECT user_id, CAST(ts AS DATE) AS d, coalesce(value, 0) AS v
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         span AS (
+           SELECT min(d) + (CAST(date_diff('day', min(d), max(d))
+             AS INT) // 2) AS mid FROM r0),
+         pu AS (
+           SELECT user_id,
+             CAST(round(sum(CAST(CASE WHEN d <= s.mid THEN v ELSE 0 END
+               AS DECIMAL(18,6))), 6) AS DOUBLE) AS x,
+             CAST(round(sum(CAST(CASE WHEN d > s.mid THEN v ELSE 0 END
+               AS DECIMAL(18,6))), 6) AS DOUBLE) AS y
+           FROM r0 CROSS JOIN span s GROUP BY 1),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(28,8))) AS DOUBLE) AS syy
+           FROM pu),
+         k AS (
+           SELECT n_users,
+             sx / CAST(n_users AS DOUBLE) AS mx,
+             sy / CAST(n_users AS DOUBLE) AS my,
+             sxx / CAST(n_users AS DOUBLE) AS exx,
+             syy / CAST(n_users AS DOUBLE) AS eyy,
+             sxy / CAST(n_users AS DOUBLE) AS exy
+           FROM m),
+         kk AS (
+           SELECT n_users, exy - mx * my AS cv,
+             exx - mx * mx AS vx, eyy - my * my AS vy
+           FROM k)
+         SELECT n_users,
+           CASE WHEN vx = 0 THEN NULL
+                ELSE round(cv / vx, 6) END AS theta,
+           round(vy, 6) AS var_y,
+           CASE WHEN vx = 0 THEN NULL
+                ELSE round(vy - cv * cv / vx, 6) END AS var_adj,
+           CASE WHEN vx = 0 OR vy = 0 THEN NULL
+                ELSE round((vy - cv * cv / vx) / vy, 6) END AS var_ratio
+         FROM kk""",
     "q_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          pairs AS (

@@ -227,6 +227,60 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Maximal-marginal-relevance diversification of the semantic top pool
+    * (Carbonell & Goldstein): greedily pick argmax of
+    * λ·rel − (1−λ)·max-sim-to-already-selected, three unrolled selection
+    * steps (the same driver-unrolled shape as the BPE/k-means loops; the
+    * oracle unrolls identically). Everything after the distributed top-k
+    * pool cut runs on the 10-row pool — pairwise sims included — so the
+    * corpus is touched exactly once. (1−λ) is COMPUTED in both engines
+    * (not a 0.3 literal): the IEEE double of `1.0 − 0.7` differs from
+    * the literal 0.3 in the last bit, and the hash check would see it. */
+  def mmrSelect(emb: DataFrame, queryId: Long = 0L, lambda: Double = 0.7,
+                poolK: Int = 10): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val q = withNorm.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val pool = withNorm.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id").as("id"), col("embedding").as("e"), col("nrm"),
+        round(dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("id")).limit(poolK)
+      .localCheckpoint()
+    val pairs = pool
+      .select(col("id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
+      .crossJoin(pool.select(col("id").as("ib"), col("e").as("eb"),
+        col("nrm").as("nb")))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+          .as("psim"))
+      .localCheckpoint()
+    val rels = pool.select(col("id"), col("rel"))
+    val s1 = rels.orderBy(col("rel").desc, col("id")).limit(1)
+      .select(lit(1L).as("sel_rank"), col("id"), col("rel"),
+        col("rel").as("mmr"))
+    def step(selected: DataFrame, k: Int): DataFrame = {
+      val selIds = selected.select(col("id").as("sid"))
+      val div = pairs.join(broadcast(selIds), col("ib") === col("sid"))
+        .groupBy(col("ia").as("id")).agg(max(col("psim")).as("maxsim"))
+      rels.join(broadcast(selIds), col("id") === col("sid"), "left_anti")
+        .join(div, Seq("id"))
+        .select(col("id"), col("rel"),
+          round(lit(lambda) * col("rel") -
+            lit(1.0 - lambda) * col("maxsim"), 6).as("mmr"))
+        .orderBy(col("mmr").desc, col("id")).limit(1)
+        .select(lit(k.toLong).as("sel_rank"), col("id"), col("rel"),
+          col("mmr"))
+    }
+    val s2 = step(s1, 2)
+    val s3 = step(s1.unionAll(s2), 3)
+    s1.unionAll(s2).unionAll(s3).orderBy("sel_rank")
+  }
+
   /** Centroid-based (simplified) silhouette of the seed clustering — the
     * clustering-quality eval that closes the k-means loop: per vector,
     * a = cosine distance to its OWN centroid, b = distance to the nearest

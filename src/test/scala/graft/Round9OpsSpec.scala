@@ -166,6 +166,39 @@ class Round9OpsSpec extends SparkSpec {
     assert(r1._4 == expect.toDouble)
   }
 
+  test("cuped: a perfectly predictive covariate removes all variance") {
+    // y = 2x per user → theta 2, var_adj 0, ratio 0
+    val ev = Seq(
+      (1L, 1.0, "2024-01-01 09:00:00"), (1L, 2.0, "2024-01-03 09:00:00"),
+      (2L, 2.0, "2024-01-01 09:00:00"), (2L, 4.0, "2024-01-03 09:00:00"),
+      (3L, 3.0, "2024-01-01 09:00:00"), (3L, 6.0, "2024-01-03 09:00:00")
+    ).toDF("user_id", "value", "s")
+      .select(col("user_id"), col("value"),
+        col("s").cast("timestamp").as("ts"))
+    val out = StatsAnalytics.cuped(ev)
+      .select("n_users", "theta", "var_y", "var_adj", "var_ratio")
+      .as[(Long, Option[Double], Double, Option[Double], Option[Double])]
+      .collect().head
+    assert(out == ((3L, Some(2.0), 2.666667, Some(0.0), Some(0.0))))
+  }
+
+  test("mmrSelect: the third pick pays the redundancy penalty") {
+    // q=[1,0]; a=[1,0] rel 1; b=[.8,.6] rel .8 (psim a·b=.8, b·c=.96);
+    // c=[.6,.8] rel .6. Picks: a (mmr 1), b (.7·.8−.3·.8=.32),
+    // c (maxsim .96 → .7·.6−.3·.96=.132).
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.8f, 0.6f)), (3L, Seq(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity.mmrSelect(emb)
+      .select("sel_rank", "id", "rel", "mmr")
+      .as[(Long, Long, Double, Double)].collect().toList
+    assert(out == List(
+      (1L, 1L, 1.0, 1.0),
+      (2L, 2L, 0.8, 0.32),
+      (3L, 3L, 0.6, 0.132)))
+  }
+
   test("ewmaDaily: alpha=1/2 recursion matches the hand-unrolled values") {
     // x = 2, 4, 8 → ewma = 2, 3, 5.5
     val ev = Seq(

@@ -1320,6 +1320,17 @@ object SparkEntry {
     // ---- CUPED covariate adjustment (variance-reduction report) ----
     "q_cuped" -> ((s, d) =>
       StatsAnalytics.cuped(Tables.events(s, d))),
+    // ---- ACF of daily revenue at lags 1..7 ----
+    "q_acf" -> ((s, d) =>
+      StatsAnalytics.acfDaily(Tables.events(s, d))),
+    // ---- minimum detectable effect at 80% power ----
+    "q_mde" -> ((s, d) =>
+      StatsAnalytics.mdeReport(Tables.events(s, d))),
+    // ---- data-contract validation report (FK / unique / range) ----
+    "q_data_contract" -> ((s, d) =>
+      graft.operators.DataContract.report(Tables.orders(s, d),
+        Tables.customer(s, d), Tables.lineitem(s, d),
+        Tables.events(s, d))),
     "q_assoc_rules" -> ((s, d) =>
       StarAnalytics.assocRules(s, d)),
     "q_seasonality" -> ((s, d) =>
@@ -4739,6 +4750,125 @@ object SparkEntry {
            CASE WHEN vx = 0 OR vy = 0 THEN NULL
                 ELSE round((vy - cv * cv / vx) / vy, 6) END AS var_ratio
          FROM kk""",
+    "q_acf" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS x
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         st AS (
+           SELECT CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE) AS mean_x FROM daily),
+         c AS (SELECT d, x - st.mean_x AS c FROM daily CROSS JOIN st),
+         den AS (
+           SELECT CAST(sum(CAST(c * c AS DECIMAL(28,10))) AS DOUBLE)
+             AS den FROM c),
+         l AS (
+           SELECT c,
+             lag(c, 1) OVER (ORDER BY d) AS c1,
+             lag(c, 2) OVER (ORDER BY d) AS c2,
+             lag(c, 3) OVER (ORDER BY d) AS c3,
+             lag(c, 4) OVER (ORDER BY d) AS c4,
+             lag(c, 5) OVER (ORDER BY d) AS c5,
+             lag(c, 6) OVER (ORDER BY d) AS c6,
+             lag(c, 7) OVER (ORDER BY d) AS c7
+           FROM c),
+         a AS (
+           SELECT 1 AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(c * c1 AS DECIMAL(28,10))) AS DOUBLE) AS num
+           FROM l WHERE c1 IS NOT NULL
+           UNION ALL
+           SELECT 2, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(c * c2 AS DECIMAL(28,10))) AS DOUBLE)
+           FROM l WHERE c2 IS NOT NULL
+           UNION ALL
+           SELECT 3, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(c * c3 AS DECIMAL(28,10))) AS DOUBLE)
+           FROM l WHERE c3 IS NOT NULL
+           UNION ALL
+           SELECT 4, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(c * c4 AS DECIMAL(28,10))) AS DOUBLE)
+           FROM l WHERE c4 IS NOT NULL
+           UNION ALL
+           SELECT 5, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(c * c5 AS DECIMAL(28,10))) AS DOUBLE)
+           FROM l WHERE c5 IS NOT NULL
+           UNION ALL
+           SELECT 6, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(c * c6 AS DECIMAL(28,10))) AS DOUBLE)
+           FROM l WHERE c6 IS NOT NULL
+           UNION ALL
+           SELECT 7, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(c * c7 AS DECIMAL(28,10))) AS DOUBLE)
+           FROM l WHERE c7 IS NOT NULL)
+         SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           round(num / den.den, 6) AS acf
+         FROM a CROSS JOIN den ORDER BY lag""",
+    "q_mde" ->
+      """WITH pu AS (
+           SELECT user_id,
+             CAST(round(sum(CAST(coalesce(value, 0) AS DECIMAL(18,6))), 6)
+               AS DOUBLE) AS y,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS variant
+           FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+         m AS (
+           SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(y * y AS DECIMAL(28,8))) AS DOUBLE) AS syy
+           FROM pu GROUP BY 1),
+         m2 AS (
+           SELECT variant, n, sy,
+             (syy - sy * sy / CAST(n AS DOUBLE)) /
+               CAST(n - 1 AS DOUBLE) AS s2
+           FROM m),
+         a AS (SELECT n AS n_a, sy AS sy_a, s2 AS s2_a FROM m2
+           WHERE variant = 0),
+         b AS (SELECT n AS n_b, sy AS sy_b, s2 AS s2_b FROM m2
+           WHERE variant = 1),
+         k AS (
+           SELECT n_a, n_b,
+             round((sy_a + sy_b) / CAST(n_a + n_b AS DOUBLE), 6)
+               AS mean_y,
+             (CAST(n_a - 1 AS DOUBLE) * s2_a +
+              CAST(n_b - 1 AS DOUBLE) * s2_b) /
+               CAST(n_a + n_b - 2 AS DOUBLE) AS var_p
+           FROM a CROSS JOIN b)
+         SELECT n_a, n_b, mean_y, round(var_p, 6) AS var_pooled,
+           round((1.959964 + 0.841621) * sqrt(var_p *
+             (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+             AS mde_abs
+         FROM k""",
+    "q_data_contract" ->
+      """SELECT * FROM (
+           SELECT 'orders_customer_fk' AS check_name,
+             CAST((SELECT count(*) FROM orders o WHERE o.o_custkey NOT IN
+               (SELECT c_custkey FROM customer)) AS BIGINT)
+               AS n_violations,
+             CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_checked
+           UNION ALL
+           SELECT 'lineitem_orders_fk',
+             CAST((SELECT count(*) FROM lineitem l WHERE l.l_orderkey
+               NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT),
+             CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+           UNION ALL
+           SELECT 'events_id_unique',
+             CAST((SELECT count(event_id) - count(DISTINCT event_id)
+               FROM events) AS BIGINT),
+             CAST((SELECT count(*) FROM events) AS BIGINT)
+           UNION ALL
+           SELECT 'events_value_nonnegative',
+             CAST((SELECT count(*) FROM events WHERE value < 0)
+               AS BIGINT),
+             CAST((SELECT count(*) FROM events WHERE value IS NOT NULL)
+               AS BIGINT)
+           UNION ALL
+           SELECT 'events_user_present',
+             CAST((SELECT count(*) FROM events WHERE user_id IS NULL)
+               AS BIGINT),
+             CAST((SELECT count(*) FROM events) AS BIGINT))
+         ORDER BY check_name""",
     "q_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          pairs AS (

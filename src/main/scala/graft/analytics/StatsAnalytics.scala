@@ -592,6 +592,85 @@ object StatsAnalytics {
         .otherwise(round(varAdj / varY, 6)).as("var_ratio"))
   }
 
+  /** Autocorrelation of daily revenue at lags 1..`maxLag` — the
+    * seasonality probe a forecasting pipeline runs before model choice.
+    * The corpus collapses to the |days|-sized daily frame first; the lag
+    * window, mean-centering, and the Σ(x_t−x̄)(x_{t−k}−x̄) sums all run
+    * over that tiny frame with DECIMAL accumulation of IEEE-identical
+    * products. Denominator is the full-series variance sum (the standard
+    * ACF normalization, shared across lags). */
+  def acfDaily(ev: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = ev.filter(col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")), 2)
+        .cast("double").as("x"))
+    val stats = daily.agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(28,6)")).cast("double").as("sx"))
+      .select(col("n"), (col("sx") / col("n").cast("double")).as("mean_x"))
+    val centered = daily.crossJoin(broadcast(stats))
+      .select(col("d"), col("n"), (col("x") - col("mean_x")).as("c"))
+    val denom = centered
+      .agg(sum((col("c") * col("c")).cast("decimal(28,10)"))
+        .cast("double").as("den"), max(col("n")).as("n"))
+    val w = Window.orderBy("d")
+    val lagged = (1 to maxLag).map { k =>
+      centered
+        .withColumn("cl", lag(col("c"), k).over(w))
+        .filter(col("cl").isNotNull)
+        .agg(sum((col("c") * col("cl")).cast("decimal(28,10)"))
+          .cast("double").as("num"), count(lit(1)).as("n_pairs"))
+        .select(lit(k.toLong).as("lag"), col("n_pairs"), col("num"))
+    }.reduce(_.unionAll(_))
+    lagged.crossJoin(broadcast(denom))
+      .select(col("lag"), col("n_pairs"),
+        round(col("num") / col("den"), 6).as("acf"))
+      .orderBy("lag")
+  }
+
+  /** Minimum-detectable-effect report (the experiment-design companion to
+    * [[abLift]] and [[cuped]]): per-variant user counts from the hash
+    * split, pooled variance of per-user outcome totals, and the absolute
+    * / relative MDE at α=0.05 two-sided, 80% power —
+    * (z₀.₉₇₅+z₀.₈)·√(varₚ·(1/nₐ+1/n_b)). The z quantiles are fixed
+    * decimal literals (identical doubles in both engines); all moment
+    * sums accumulate in DECIMAL. One per-user pass + a two-row variant
+    * aggregate. */
+  def mdeReport(ev: DataFrame): DataFrame = {
+    val perUser = ev.filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(round(sum(coalesce(col("value"), lit(0.0))
+        .cast("decimal(18,6)")), 6).cast("double").as("y"))
+      .withColumn("variant", graft.operators.Sampling
+        .hashBucket(col("user_id"), 2))
+    val m = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n"),
+        sum(col("y").cast("decimal(28,6)")).cast("double").as("sy"),
+        sum((col("y") * col("y")).cast("decimal(28,8)")).cast("double")
+          .as("syy"))
+      .select(col("variant"), col("n"), col("sy"), col("syy"),
+        ((col("syy") - col("sy") * col("sy") / col("n").cast("double")) /
+          (col("n") - lit(1)).cast("double")).as("s2"))
+    val a = m.filter(col("variant") === 0)
+      .select(col("n").as("n_a"), col("sy").as("sy_a"),
+        col("s2").as("s2_a"))
+    val b = m.filter(col("variant") === 1)
+      .select(col("n").as("n_b"), col("sy").as("sy_b"),
+        col("s2").as("s2_b"))
+    val zSum = lit(1.959964) + lit(0.841621)
+    a.crossJoin(b).select(
+        col("n_a"), col("n_b"),
+        round((col("sy_a") + col("sy_b")) /
+          (col("n_a") + col("n_b")).cast("double"), 6).as("mean_y"),
+        (((col("n_a") - lit(1)).cast("double") * col("s2_a") +
+          (col("n_b") - lit(1)).cast("double") * col("s2_b")) /
+          (col("n_a") + col("n_b") - lit(2)).cast("double")).as("var_p"))
+      .select(col("n_a"), col("n_b"), col("mean_y"),
+        round(col("var_p"), 6).as("var_pooled"),
+        round(zSum * sqrt(col("var_p") *
+          (lit(1.0) / col("n_a").cast("double") +
+           lit(1.0) / col("n_b").cast("double"))), 6).as("mde_abs"))
+  }
+
   /** Incremental aggregate maintenance: the merged-partials form of the
     * per-type (count, decimal sum) report. The corpus splits into a
     * "base" and a "delta" period (broadcast midpoint, as [[psiDrift]]),

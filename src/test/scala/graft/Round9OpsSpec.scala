@@ -199,6 +199,56 @@ class Round9OpsSpec extends SparkSpec {
       (3L, 3L, 0.6, 0.132)))
   }
 
+  test("acfDaily: an alternating series has the alternating-sign ACF") {
+    // x = 0,2,0,2,0,2 → centered ±1, den 6; lag k sums (6−k) products of
+    // sign (−1)^k; empty lags keep (0, NULL) on both engines.
+    val ev = (1 to 6).map(i =>
+      (if (i % 2 == 1) 0.0 else 2.0, f"2024-01-0$i 09:00:00"))
+      .toDF("value", "s")
+      .select(col("value"), col("s").cast("timestamp").as("ts"))
+    val out = StatsAnalytics.acfDaily(ev)
+      .select("lag", "n_pairs", "acf")
+      .as[(Long, Long, Option[Double])].collect().toList
+    assert(out == List(
+      (1L, 5L, Some(-0.833333)), (2L, 4L, Some(0.666667)),
+      (3L, 3L, Some(-0.5)), (4L, 2L, Some(0.333333)),
+      (5L, 1L, Some(-0.166667)), (6L, 0L, None), (7L, 0L, None)))
+  }
+
+  test("mdeReport: constant outcomes give zero variance and zero MDE") {
+    val ev = (1L to 40L).map(u => (u, 5.0)).toDF("user_id", "value")
+    val out = StatsAnalytics.mdeReport(ev)
+      .select("n_a", "n_b", "mean_y", "var_pooled", "mde_abs")
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    assert(out._1 + out._2 == 40L && out._1 > 0 && out._2 > 0)
+    assert(out._3 == 5.0 && out._4 == 0.0 && out._5 == 0.0)
+  }
+
+  test("DataContract: each planted violation is counted exactly once") {
+    val orders = Seq((1L, 10L, "1995-01-01 00:00:00"),
+      (2L, 99L, "1995-01-02 00:00:00")) // custkey 99 is the orphan
+      .toDF("o_orderkey", "o_custkey", "s")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("s").cast("timestamp").as("o_orderdate"))
+    val customer = Seq((10L, "A")).toDF("c_custkey", "c_mktsegment")
+    val lineitem = Seq((1L, 100L), (2L, 200L), (3L, 300L))
+      .toDF("l_orderkey", "l_partkey") // orderkey 3 is the orphan
+    val events = Seq(
+      (1L, Some(1L), Some(1.0)), (1L, Some(2L), Some(-3.0)), // dup id, neg
+      (2L, None, None)                                       // null user
+    ).toDF("event_id", "user_id", "value")
+    val out = graft.operators.DataContract
+      .report(orders, customer, lineitem, events)
+      .select("check_name", "n_violations", "n_checked")
+      .as[(String, Long, Long)].collect().toList
+    assert(out == List(
+      ("events_id_unique", 1L, 3L),
+      ("events_user_present", 1L, 3L),
+      ("events_value_nonnegative", 1L, 2L),
+      ("lineitem_orders_fk", 1L, 3L),
+      ("orders_customer_fk", 1L, 2L)))
+  }
+
   test("ewmaDaily: alpha=1/2 recursion matches the hand-unrolled values") {
     // x = 2, 4, 8 → ewma = 2, 3, 5.5
     val ev = Seq(

@@ -1331,6 +1331,15 @@ object SparkEntry {
       graft.operators.DataContract.report(Tables.orders(s, d),
         Tables.customer(s, d), Tables.lineitem(s, d),
         Tables.events(s, d))),
+    // ---- curriculum schedule: quality-quantile stages + token budget --
+    "q_curriculum" -> ((s, d) =>
+      graft.ext.TextAnalysis.curriculumSchedule(Tables.documents(s, d))),
+    // ---- k-anonymity audit over the quasi-identifier ----
+    "q_k_anonymity" -> ((s, d) =>
+      StatsAnalytics.kAnonymity(Tables.events(s, d))),
+    // ---- late-arrival backfill planner (snapshot diff per date) ----
+    "q_backfill_plan" -> ((s, d) =>
+      StatsAnalytics.backfillPlan(Tables.events(s, d))),
     "q_assoc_rules" -> ((s, d) =>
       StarAnalytics.assocRules(s, d)),
     "q_seasonality" -> ((s, d) =>
@@ -4869,6 +4878,53 @@ object SparkEntry {
                AS BIGINT),
              CAST((SELECT count(*) FROM events) AS BIGINT))
          ORDER BY check_name""",
+    "q_curriculum" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             round(CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE len(list_filter(toks, x -> list_contains(
+                 ['the','and','of','is','to','a','in'], x))) / len(toks)
+             END, 4) AS sr
+           FROM t),
+         st AS (
+           SELECT *, CAST(ntile(4) OVER (ORDER BY sr DESC, doc_id)
+             AS BIGINT) AS stage FROM m)
+         SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(CAST(sr AS DECIMAL(28,6))) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 6) AS mean_quality
+         FROM st GROUP BY 1 ORDER BY 1""",
+    "q_k_anonymity" ->
+      """WITH q AS (
+           SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(floor(value / 50.0) AS BIGINT) AS vb
+           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL),
+         g AS (
+           SELECT event_type, d, vb, CAST(count(*) AS BIGINT) AS n
+           FROM q GROUP BY 1, 2, 3)
+         SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unsafe_groups,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(min(n) AS BIGINT) AS min_group_size,
+           CAST(5 AS BIGINT) AS k
+         FROM g""",
+    "q_backfill_plan" ->
+      """SELECT CAST(ts AS DATE) AS d,
+           CAST(sum(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_old,
+           CAST(count(*) AS BIGINT) AS n_new,
+           CAST(CASE WHEN sum(CASE WHEN event_id % 97 <> 0 THEN 1
+             ELSE 0 END) <> count(*) THEN 1 ELSE 0 END AS INT)
+             AS needs_backfill
+         FROM events WHERE ts IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
     "q_triangles" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          pairs AS (

@@ -671,6 +671,43 @@ object StatsAnalytics {
            lit(1.0) / col("n_b").cast("double"))), 6).as("mde_abs"))
   }
 
+  /** k-anonymity audit over the (event type, day, value bucket)
+    * quasi-identifier: how many equivalence groups fall below `k` members
+    * and how many rows they expose — the privacy pre-release gate. One
+    * map-side projection + one group-sized aggregate; the report is a
+    * single row. */
+  def kAnonymity(ev: DataFrame, k: Long = 5L): DataFrame = {
+    val quasi = ev.filter(col("event_type").isNotNull &&
+        col("ts").isNotNull && col("value").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        floor(col("value") / 50.0).cast("bigint").as("vb"))
+    quasi.groupBy("event_type", "d", "vb")
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_unsafe_groups"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_at_risk"),
+        min(col("n")).as("min_group_size"))
+      .withColumn("k", lit(k))
+  }
+
+  /** Late-arrival backfill planner: per-date row counts of the previous
+    * snapshot (simulated here as the deterministic subset missing
+    * event_id % 97 == 0 — the "late" rows a daily load hadn't seen yet)
+    * against today's, flagging the dates whose partitions must be
+    * recomputed. The real pipeline would read yesterday's manifest
+    * instead of the simulation predicate; the diff plan — one per-date
+    * aggregate, no joins — is the part that scales. */
+  def backfillPlan(ev: DataFrame): DataFrame =
+    ev.filter(col("ts").isNotNull)
+      .select(to_date(col("ts")).as("d"), col("event_id"))
+      .groupBy("d")
+      .agg(sum(when(col("event_id") % 97 =!= 0, 1L).otherwise(0L))
+          .as("n_old"),
+        count(lit(1)).as("n_new"))
+      .withColumn("needs_backfill",
+        (col("n_old") =!= col("n_new")).cast("int"))
+      .orderBy("d")
+
   /** Incremental aggregate maintenance: the merged-partials form of the
     * per-type (count, decimal sum) report. The corpus splits into a
     * "base" and a "delta" period (broadcast midpoint, as [[psiDrift]]),

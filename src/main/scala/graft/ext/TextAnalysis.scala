@@ -248,6 +248,27 @@ object TextAnalysis {
       reason.as("reason"))
   }
 
+  /** Curriculum schedule: quantile-stage the corpus by the (rounded)
+    * stopword-ratio quality proxy — stage 1 = cleanest — and report each
+    * stage's doc count, token budget, and mean quality. The ntile window
+    * sorts the per-DOC score frame (already one row per doc), not text;
+    * at larger scale the stage boundaries would come from approx
+    * percentiles, same note as the RFM quintiles. */
+  def curriculumSchedule(docs: DataFrame, stages: Int = 4): DataFrame = {
+    val scored = qualityGate(docs)
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
+    scored.withColumn("stage", ntile(stages).over(
+        Window.orderBy(col("stopword_ratio").desc, col("doc_id")))
+        .cast("bigint"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(sum(col("stopword_ratio").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_quality"))
+      .orderBy("stage")
+  }
+
   /** End-to-end corpus curation — the composition a training-data pipeline
     * actually ships, over the ops defined above: composite quality gate →
     * exact dedup (keep one doc per normalized fingerprint) → eval-set
@@ -554,8 +575,22 @@ object TextAnalysis {
       .orderBy(col("weighted_freq").desc, col("sym"))
       .limit(topK)
 
+  /** Memo for [[bpeRounds]] keyed on the input plan's semantic hash —
+    * q_bpe_learn and q_bpe_vocab share one merge-loop execution per
+    * corpus (same contract as the co-purchase memo; results are
+    * localCheckpoint-materialized so the cache holds data, not lineage). */
+  private val bpeMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int, Int, Int), (DataFrame, DataFrame)]
+
   private def bpeRounds(docs: DataFrame, rounds: Int,
-                        topWords: Int): (DataFrame, DataFrame) = {
+                        topWords: Int): (DataFrame, DataFrame) =
+    bpeMemo.getOrElseUpdate(
+      (System.identityHashCode(docs.sparkSession),
+        docs.queryExecution.analyzed.semanticHash(), rounds, topWords),
+      bpeRoundsUncached(docs, rounds, topWords))
+
+  private def bpeRoundsUncached(docs: DataFrame, rounds: Int,
+                                topWords: Int): (DataFrame, DataFrame) = {
     val words = docs.select(explode(tokens(col("text"))).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -604,7 +639,8 @@ object TextAnalysis {
           col("pair_count"), col("corpus_tokens_after"))
       toks = nextToks
     }
-    (merges.reduce(_.unionAll(_)).orderBy("merge_rank"), toks)
+    (merges.reduce(_.unionAll(_)).orderBy("merge_rank").localCheckpoint(),
+      toks)
   }
 
   /** Cross-source contamination matrix: for every source pair, how many

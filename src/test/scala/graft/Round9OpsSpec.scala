@@ -249,6 +249,45 @@ class Round9OpsSpec extends SparkSpec {
       ("orders_customer_fk", 1L, 2L)))
   }
 
+  test("curriculumSchedule: distinct quality scores stage one doc each") {
+    val docs = Seq(
+      (1L, "the the a in"), (2L, "the and x y"),
+      (3L, "the x y z"), (4L, "x y z w")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.curriculumSchedule(docs)
+      .select("stage", "n_docs", "total_tokens", "mean_quality")
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(out == List(
+      (1L, 1L, 4L, 1.0), (2L, 1L, 4L, 0.5),
+      (3L, 1L, 4L, 0.25), (4L, 1L, 4L, 0.0)))
+  }
+
+  test("kAnonymity: a 2-member quasi-identifier group is flagged") {
+    val ev = (Seq.fill(6)(("a", 10.0, "2024-01-01 09:00:00")) ++
+      Seq.fill(2)(("b", 10.0, "2024-01-01 09:00:00")))
+      .toDF("event_type", "value", "s")
+      .select(col("event_type"), col("value"),
+        col("s").cast("timestamp").as("ts"))
+    val out = StatsAnalytics.kAnonymity(ev)
+      .select("n_groups", "n_unsafe_groups", "rows_at_risk",
+        "min_group_size", "k")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(out == ((2L, 1L, 2L, 2L, 5L)))
+  }
+
+  test("backfillPlan: only dates holding late rows need recompute") {
+    val ev = Seq(
+      (1L, "2024-01-01 09:00:00"), (2L, "2024-01-01 10:00:00"),
+      (97L, "2024-01-01 11:00:00"), // the late row
+      (3L, "2024-01-02 09:00:00"), (4L, "2024-01-02 10:00:00")
+    ).toDF("event_id", "s")
+      .select(col("event_id"), col("s").cast("timestamp").as("ts"))
+    val out = StatsAnalytics.backfillPlan(ev)
+      .select("n_old", "n_new", "needs_backfill")
+      .as[(Long, Long, Int)].collect().toList
+    assert(out == List((2L, 3L, 1), (2L, 2L, 0)))
+  }
+
   test("ewmaDaily: alpha=1/2 recursion matches the hand-unrolled values") {
     // x = 2, 4, 8 → ewma = 2, 3, 5.5
     val ev = Seq(

@@ -1,0 +1,44 @@
+package graft
+
+/** Whole-registry plan lint: EVERY query in SparkEntry.queries is built
+  * against the sf0.001 fixture and its physical plan is screened for the
+  * two anti-patterns that kill 100 TB runs silently:
+  *
+  *  - `CartesianProduct` — an unbounded all-pairs join. Allowed only for
+  *    the explicitly documented small-corpus oracle forms (each has a
+  *    bucketed/blocked scale path beside it).
+  *  - `ScalaUDF` / `BatchEvalPython` — interpreted per-row code that
+  *    breaks whole-stage codegen in a hot path.
+  *
+  * This is the systematic form of the per-operator PlanShapeSpec pins:
+  * new queries get linted automatically the moment they are registered.
+  */
+class PlanLintSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Documented all-pairs oracles (small-corpus forms with a scale path
+    * beside them) — the only queries allowed a CartesianProduct. */
+  private val cartesianAllowed = Set(
+    "q_embedding_neardup", // Similarity.embeddingNearDupExact: oracle form
+    "q_edit_distance",     // blocked pairs, tiny blocks by design
+    "q_jaccard_pairs"      // broadcast-anchor blocking, documented
+  )
+
+  test("no query plans a CartesianProduct (outside documented oracles) " +
+    "or an interpreted UDF") {
+    val offendersCart = scala.collection.mutable.ListBuffer.empty[String]
+    val offendersUdf = scala.collection.mutable.ListBuffer.empty[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct") && !cartesianAllowed(name))
+        offendersCart += name
+      if (plan.contains("ScalaUDF") || plan.contains("BatchEvalPython"))
+        offendersUdf += name
+    }
+    assert(offendersCart.isEmpty,
+      s"CartesianProduct in: ${offendersCart.mkString(", ")}")
+    assert(offendersUdf.isEmpty,
+      s"interpreted UDF in: ${offendersUdf.mkString(", ")}")
+  }
+}

@@ -212,6 +212,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("round-9 statistics invariants hold on random event fixtures") {
+    import spark.implicits._
+    import graft.analytics.StatsAnalytics
+    for (seed <- seeds) {
+      val rows = sample(Gen.listOfN(400, for {
+        u <- Gen.choose(1L, 60L)
+        t <- Gen.choose(1, 28)
+        v <- Gen.choose(0.0, 500.0)
+        e <- Gen.oneOf("view", "click", "purchase")
+      } yield (u, f"2024-01-$t%02d 10:00:00", v, e)), seed)
+      val ev = rows.toDF("user_id", "s", "value", "event_type")
+        .select(col("user_id"), col("s").cast("timestamp").as("ts"),
+          col("value"), col("event_type"))
+      // KM survival: S is non-increasing, at-risk strictly decreasing,
+      // and the death+censor ledger adds up to the cohort
+      val km = StatsAnalytics.survivalKm(ev)
+        .select("t", "n_risk", "d", "c", "s_km")
+        .as[(Long, Long, Long, Long, Double)].collect().toList
+      assert(km.sliding(2).forall {
+        case List(a, b) => b._5 <= a._5 + 1e-9 && b._2 < a._2
+        case _ => true
+      }, s"seed $seed: KM not monotone")
+      assert(km.map(r => r._3 + r._4).sum == km.head._2,
+        s"seed $seed: KM ledger mismatch")
+      // PSI is non-negative by construction (each term (p-q)ln(p/q) >= 0)
+      val psi = StatsAnalytics.psiDrift(ev)
+        .select("psi").as[Double].collect()
+      assert(psi.forall(_ >= 0.0), s"seed $seed: negative PSI")
+      // chi-square is non-negative with k-1 dof
+      val x2 = StatsAnalytics.chiSquare(ev)
+        .select("k_types", "dof", "chi2")
+        .as[(Long, Long, Double)].collect().head
+      assert(x2._3 >= 0.0 && x2._2 == x2._1 - 1)
+      // incremental maintenance: merged partials equal the flat aggregate
+      val inc = StatsAnalytics.incrementalAgg(ev)
+        .select(col("event_type"), col("n_events"), col("total_value"))
+      val flat = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(coalesce(col("value"), lit(0.0))
+            .cast("decimal(18,6)")), 2).cast("double").as("total_value"))
+      assert(inc.exceptAll(flat).isEmpty && flat.exceptAll(inc).isEmpty,
+        s"seed $seed: incremental != flat")
+    }
+  }
+
   test("G8 pickTimestampToken: candidates first, then any-column scan") {
     import spark.implicits._
     val df = Seq(

@@ -120,12 +120,14 @@ object Similarity {
         (avg(col("recall")) >= floor).as("recall_ok"))
   }
 
-  /** Double-array dot as a strict left fold — the HOF form DuckDB's
-    * `list_cosine_similarity` accumulates in, so iterated-centroid
-    * cosines (double-list inputs, where the f32 native expression does
-    * not apply) stay bit-identical cross-engine. */
+  /** Double-array dot — the strict left fold DuckDB's
+    * `list_cosine_similarity` accumulates in, as the native codegen'd
+    * [[graft.plans.DotF64]] (bit-identical to the HOF
+    * `aggregate(zip_with(a, b, *), 0d, +)` it replaced; HOF lambdas
+    * evaluate interpreted per element — same swap as dot_f32). Callers
+    * must `VectorOps.register` the session first. */
   private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.plans.VectorOps.dot_f64(a, b)
 
   /** Iterated Lloyd's k-means: `rounds` full assignment → mean-update
     * cycles from the deterministic seeds (vec_id % centroidMod) — the
@@ -142,6 +144,7 @@ object Similarity {
     * kmeansRefine. */
   def kmeansIterate(emb: DataFrame, centroidMod: Int = 40,
                     rounds: Int = 2): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
     val corpus = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(dotD(col("e"), col("e"))))
@@ -292,6 +295,7 @@ object Similarity {
     * cluster. The full pairwise silhouette is O(n²) by definition — the
     * centroid form is the one that exists at 100 TB. */
   def silhouette(emb: DataFrame, centroidMod: Int = 40): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
     val corpus = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(dotD(col("e"), col("e"))))

@@ -55,6 +55,47 @@ case class DotF32(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Native float64-vector dot product — same contract as [[DotF32]] for
+  * array<double> inputs (iterated centroids, mean vectors): a strict
+  * left-to-right Σ a[i]·b[i], bit-identical to the HOF
+  * `aggregate(zip_with(a, b, *), 0d, +)` it replaces, which is also the
+  * fold DuckDB's `list_cosine_similarity` accumulates in. Exists for the
+  * same reason as DotF32: HOF lambdas evaluate interpreted per element. */
+case class DotF64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Random-hyperplane LSH bucket id over an array<float> embedding: bit b of
   * the result is the sign of the dot product with pseudo-random plane b.
   * Plane components are PORTABLE pseudo-randoms in [-1, 1]:
@@ -96,6 +137,8 @@ object VectorOps {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_f32", exprs => DotF32(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f64", exprs => DotF64(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bucket",
       exprs => LshBucket(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
@@ -104,6 +147,8 @@ object VectorOps {
   }
 
   def dot_f32(a: Column, b: Column): Column = call_function("dot_f32", a, b)
+
+  def dot_f64(a: Column, b: Column): Column = call_function("dot_f64", a, b)
 
   def lsh_bucket(e: Column, nBits: Int, dims: Int = 64): Column =
     call_function("lsh_bucket", e,

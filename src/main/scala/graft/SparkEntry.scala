@@ -1323,6 +1323,9 @@ object SparkEntry {
     // ---- ACF of daily revenue at lags 1..7 ----
     "q_acf" -> ((s, d) =>
       StatsAnalytics.acfDaily(Tables.events(s, d))),
+    // ---- robust trend: Theil-Sen slope + Mann-Kendall test ----
+    "q_robust_trend" -> ((s, d) =>
+      StatsAnalytics.robustTrend(Tables.events(s, d))),
     // ---- minimum detectable effect at 80% power ----
     "q_mde" -> ((s, d) =>
       StatsAnalytics.mdeReport(Tables.events(s, d))),
@@ -4814,6 +4817,39 @@ object SparkEntry {
          SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
            round(num / den.den, 6) AS acf
          FROM a CROSS JOIN den ORDER BY lag""",
+    "q_robust_trend" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS x
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         idx AS (SELECT x, row_number() OVER (ORDER BY d) AS t
+           FROM daily),
+         pairs AS (
+           SELECT a.t AS ta, b.t AS tb,
+             (b.x - a.x) / CAST(b.t - a.t AS DOUBLE) AS slope,
+             sign(b.x - a.x) AS sgn
+           FROM idx a JOIN idx b ON b.t > a.t),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CAST(sgn AS BIGINT)) AS BIGINT) AS mk_s FROM pairs),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+         r AS (SELECT slope,
+           row_number() OVER (ORDER BY slope, ta, tb) AS rn FROM pairs),
+         med AS (
+           SELECT avg(slope) AS ts_slope FROM r CROSS JOIN ag
+           WHERE rn >= floor((n_pairs + 1) / 2)
+             AND rn <= floor(n_pairs / 2) + 1)
+         SELECT n_days, n_pairs,
+           round(ts_slope, 6) AS theil_sen_slope, mk_s,
+           CASE WHEN n_days < 3 THEN NULL
+                ELSE round((CAST(mk_s AS DOUBLE) -
+                  sign(CAST(mk_s AS DOUBLE))) /
+                  sqrt(CAST(n_days AS DOUBLE) *
+                    (CAST(n_days AS DOUBLE) - 1.0) *
+                    (2.0 * CAST(n_days AS DOUBLE) + 5.0) / 18.0), 6)
+           END AS mk_z
+         FROM nd CROSS JOIN ag CROSS JOIN med""",
     "q_mde" ->
       """WITH pu AS (
            SELECT user_id,

@@ -627,6 +627,50 @@ object StatsAnalytics {
       .orderBy("lag")
   }
 
+  /** Robust trend report over daily revenue: the Theil–Sen slope (median
+    * of all pairwise slopes — 29.3% breakdown point, vs 0 for OLS) and
+    * the Mann–Kendall monotone-trend statistic S = Σ sign(x_j − x_i) with
+    * its no-ties normal approximation z = (S − sgn S)/√(n(n−1)(2n+5)/18).
+    * The corpus collapses to the |days| frame first, so the O(days²) pair
+    * join is bounded (≤ ~66k pairs/year) and never touches raw rows. The
+    * median is an explicit two-middle-ranks average — IEEE addition of
+    * two doubles is commutative, so the even-n average is order-safe —
+    * matching DuckDB's interpolated `median` exactly. */
+  def robustTrend(ev: DataFrame): DataFrame = {
+    val daily = ev.filter(col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")), 2)
+        .cast("double").as("x"))
+      .withColumn("t", row_number().over(Window.orderBy("d")))
+    val pairs = daily.select(col("t").as("ta"), col("x").as("xa"))
+      .join(daily.select(col("t").as("tb"), col("x").as("xb")),
+        col("tb") > col("ta"))
+      .select(col("ta"), col("tb"),
+        ((col("xb") - col("xa")) /
+          (col("tb") - col("ta")).cast("double")).as("slope"),
+        signum(col("xb") - col("xa")).as("sgn"))
+    val agg = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(col("sgn").cast("bigint")).as("mk_s"))
+    val nDays = daily.agg(count(lit(1)).as("n_days"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("slope"), col("ta"), col("tb"))))
+    val med = ranked.crossJoin(broadcast(agg.select(col("n_pairs"))))
+      .filter(col("rn") >= floor((col("n_pairs") + 1) / 2) &&
+        col("rn") <= floor(col("n_pairs") / 2) + 1)
+      .agg(avg(col("slope")).as("ts_slope"))
+    val nD = col("n_days").cast("double")
+    val varS = nD * (nD - 1.0) * (lit(2.0) * nD + 5.0) / 18.0
+    nDays.crossJoin(broadcast(agg)).crossJoin(broadcast(med))
+      .select(col("n_days"), col("n_pairs"),
+        round(col("ts_slope"), 6).as("theil_sen_slope"),
+        col("mk_s"),
+        when(col("n_days") < 3, lit(null).cast("double"))
+          .otherwise(round((col("mk_s").cast("double") -
+            signum(col("mk_s").cast("double"))) / sqrt(varS), 6))
+          .as("mk_z"))
+  }
+
   /** Minimum-detectable-effect report (the experiment-design companion to
     * [[abLift]] and [[cuped]]): per-variant user counts from the hash
     * split, pooled variance of per-user outcome totals, and the absolute

@@ -288,6 +288,25 @@ class Round9OpsSpec extends SparkSpec {
     assert(out == List((2L, 3L, 1), (2L, 2L, 0)))
   }
 
+  test("robustTrend: even pair count averages the two middle slopes") {
+    // x = 1,2,4,8 → slopes {1, 1.5, 7/3, 2, 3, 4}; middles 2 and 7/3 →
+    // Theil-Sen 13/6; all pairs increase → S = 6.
+    val ev = Seq(
+      (1.0, "2024-01-01 09:00:00"), (2.0, "2024-01-02 09:00:00"),
+      (4.0, "2024-01-03 09:00:00"), (8.0, "2024-01-04 09:00:00")
+    ).toDF("value", "s")
+      .select(col("value"), col("s").cast("timestamp").as("ts"))
+    val out = StatsAnalytics.robustTrend(ev)
+      .select("n_days", "n_pairs", "theil_sen_slope", "mk_s", "mk_z")
+      .as[(Long, Long, Double, Long, Option[Double])].collect().head
+    assert(out._1 == 4L && out._2 == 6L && out._3 == 2.166667 &&
+      out._4 == 6L)
+    val expZ = BigDecimal((6.0 - 1.0) /
+      math.sqrt(4.0 * 3.0 * 13.0 / 18.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out._5.contains(expZ))
+  }
+
   test("ewmaDaily: alpha=1/2 recursion matches the hand-unrolled values") {
     // x = 2, 4, 8 → ewma = 2, 3, 5.5
     val ev = Seq(

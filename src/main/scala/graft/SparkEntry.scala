@@ -1314,6 +1314,9 @@ object SparkEntry {
     // ---- single-source BFS reachability profile (3 rounds) ----
     "q_bfs_hops" -> ((s, d) =>
       graft.analytics.GraphAnalytics.coPurchaseBfs(s, d)),
+    // ---- local clustering coefficient (clique-ness per product) ----
+    "q_clustering_coef" -> ((s, d) =>
+      graft.analytics.GraphAnalytics.clusteringCoefficient(s, d)),
     // ---- incremental aggregate maintenance: merged partials ----
     "q_incr_agg" -> ((s, d) =>
       StatsAnalytics.incrementalAgg(Tables.events(s, d))),
@@ -4979,6 +4982,35 @@ object SparkEntry {
          SELECT part, CAST(count(*) AS BIGINT) AS n_triangles
          FROM x GROUP BY 1
          ORDER BY n_triangles DESC, part LIMIT 20""",
+    "q_clustering_coef" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2
+           HAVING count(*) >= 2),
+         e AS (SELECT pa AS a, pb AS b FROM pairs),
+         deg AS (
+           SELECT part, CAST(count(*) AS BIGINT) AS deg FROM (
+             SELECT a AS part FROM e UNION ALL SELECT b FROM e)
+           GROUP BY 1 HAVING count(*) >= 2),
+         tri AS (
+           SELECT ab.a, ab.b, bc.b AS c
+           FROM e ab JOIN e bc ON ab.b = bc.a
+           WHERE EXISTS (SELECT 1 FROM e ac
+                         WHERE ac.a = ab.a AND ac.b = bc.b)),
+         tc AS (
+           SELECT part, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+             SELECT unnest([a, b, c]) AS part FROM tri)
+           GROUP BY 1)
+         SELECT deg.part, deg.deg,
+           coalesce(tc.n_triangles, 0) AS n_triangles,
+           round(2.0 * CAST(coalesce(tc.n_triangles, 0) AS DOUBLE) /
+             CAST(deg.deg * (deg.deg - 1) AS DOUBLE), 6)
+             AS clustering_coef
+         FROM deg LEFT JOIN tc ON deg.part = tc.part
+         ORDER BY clustering_coef DESC, deg.part LIMIT 20""",
     "q_pagerank" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          pairs AS (

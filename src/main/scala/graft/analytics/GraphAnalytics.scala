@@ -66,7 +66,15 @@ object GraphAnalytics {
     * the raw pair table at sf0.1), never on the corpus, and both key on
     * edge endpoints — plain hash joins that AQE sizes. */
   def coPurchaseTriangles(spark: SparkSession, sfDir: String,
-                          k: Int = 20, minSupport: Long = 2L): DataFrame = {
+                          k: Int = 20, minSupport: Long = 2L): DataFrame =
+    triangleCounts(spark, sfDir, minSupport)
+      .orderBy(col("n_triangles").desc, col("part"))
+      .limit(k)
+
+  /** Per-node triangle counts without the top-k cut — shared by the
+    * triangle census and the clustering coefficient. */
+  private def triangleCounts(spark: SparkSession, sfDir: String,
+                             minSupport: Long): DataFrame = {
     val e = StarAnalytics.coPurchaseCounts(spark, sfDir)
       .filter(col("n_orders") >= minSupport)
       .select(col("part_a").as("a"), col("part_b").as("b"))
@@ -76,7 +84,33 @@ object GraphAnalytics {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("part"))
       .groupBy("part")
       .agg(count(lit(1)).as("n_triangles"))
-      .orderBy(col("n_triangles").desc, col("part"))
+  }
+
+  /** Local clustering coefficient 2T/(deg·(deg−1)) per node of the
+    * support-floored co-purchase graph — how clique-like each product's
+    * neighborhood is (1 = every pair of my neighbors also co-sells). The
+    * degree frame is one aggregate over the pruned edge list; triangle
+    * counts come from [[triangleCounts]]; the division is pure
+    * integer-derived double arithmetic. Nodes with deg < 2 have no
+    * possible triangle and are excluded (the ratio is undefined). */
+  def clusteringCoefficient(spark: SparkSession, sfDir: String,
+                            k: Int = 20,
+                            minSupport: Long = 2L): DataFrame = {
+    val pairs = StarAnalytics.coPurchaseCounts(spark, sfDir)
+      .filter(col("n_orders") >= minSupport)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+    val deg = pairs.select(col("a").as("part"))
+      .unionAll(pairs.select(col("b").as("part")))
+      .groupBy("part").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+    deg.join(triangleCounts(spark, sfDir, minSupport), Seq("part"), "left")
+      .select(col("part"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+          .cast("double") /
+          (col("deg") * (col("deg") - lit(1))).cast("double"), 6)
+          .as("clustering_coef"))
+      .orderBy(col("clustering_coef").desc, col("part"))
       .limit(k)
   }
 

@@ -1329,6 +1329,9 @@ object SparkEntry {
     // ---- robust trend: Theil-Sen slope + Mann-Kendall test ----
     "q_robust_trend" -> ((s, d) =>
       StatsAnalytics.robustTrend(Tables.events(s, d))),
+    // ---- cohort LTV triangle (cumulative value by first-seen day) ----
+    "q_ltv_cohorts" -> ((s, d) =>
+      StatsAnalytics.ltvCohorts(Tables.events(s, d))),
     // ---- minimum detectable effect at 80% power ----
     "q_mde" -> ((s, d) =>
       StatsAnalytics.mdeReport(Tables.events(s, d))),
@@ -4820,6 +4823,25 @@ object SparkEntry {
          SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
            round(num / den.den, 6) AS acf
          FROM a CROSS JOIN den ORDER BY lag""",
+    "q_ltv_cohorts" ->
+      """WITH r0 AS (
+           SELECT user_id, CAST(ts AS DATE) AS d, coalesce(value, 0) AS v
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         f AS (SELECT user_id, min(d) AS cohort FROM r0 GROUP BY 1),
+         cells AS (
+           SELECT cohort,
+             CAST(date_diff('day', cohort, d) AS BIGINT) AS day_offset,
+             CAST(count(*) AS BIGINT) AS n_events,
+             sum(CAST(v AS DECIMAL(18,6))) AS s
+           FROM r0 JOIN f USING (user_id)
+           WHERE date_diff('day', cohort, d) <= 7
+           GROUP BY 1, 2)
+         SELECT cohort, day_offset, n_events,
+           CAST(round(s, 2) AS DOUBLE) AS period_value,
+           CAST(round(sum(s) OVER (PARTITION BY cohort ORDER BY day_offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS DOUBLE) AS cum_ltv
+         FROM cells ORDER BY cohort, day_offset""",
     "q_robust_trend" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS d,

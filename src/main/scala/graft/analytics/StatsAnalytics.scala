@@ -627,6 +627,37 @@ object StatsAnalytics {
       .orderBy("lag")
   }
 
+  /** Cohort LTV triangle: users cohort by FIRST-SEEN day; per (cohort,
+    * day-offset) the value contribution accumulates into the running
+    * lifetime value — the growth-analytics curve beside the retention
+    * matrix. Two bounded aggregates (per-user first day, then per-cell
+    * DECIMAL sums) and a cumulative window PARTITIONED by cohort over the
+    * ≤ |days|² triangle. Offsets are capped at `maxOffset` to keep the
+    * report scannable. */
+  def ltvCohorts(ev: DataFrame, maxOffset: Int = 7): DataFrame = {
+    val rows = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        coalesce(col("value"), lit(0.0)).as("v"))
+    val first = rows.groupBy("user_id").agg(min(col("d")).as("cohort"))
+    val cells = rows.join(first, "user_id")
+      .select(col("cohort"),
+        datediff(col("d"), col("cohort")).cast("bigint").as("day_offset"),
+        col("v"))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy("cohort", "day_offset")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v").cast("decimal(18,6)")).as("__s"))
+    val w = Window.partitionBy("cohort").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("period_value", round(col("__s"), 2).cast("double"))
+      .withColumn("cum_ltv", round(sum(col("__s")).over(w), 2)
+        .cast("double"))
+      .select("cohort", "day_offset", "n_events", "period_value",
+        "cum_ltv")
+      .orderBy("cohort", "day_offset")
+  }
+
   /** Robust trend report over daily revenue: the Theil–Sen slope (median
     * of all pairwise slopes — 29.3% breakdown point, vs 0 for OLS) and
     * the Mann–Kendall monotone-trend statistic S = Σ sign(x_j − x_i) with

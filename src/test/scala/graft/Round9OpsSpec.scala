@@ -307,6 +307,23 @@ class Round9OpsSpec extends SparkSpec {
     assert(out._5.contains(expZ))
   }
 
+  test("ltvCohorts: cumulative value accrues per cohort and offset") {
+    // u1 cohorts Jan1 (spends 1 then 2 on day 1); u2 cohorts Jan2
+    // (spends 10 on day 0). Cells: (Jan1,0,1.0), (Jan1,1,2.0 cum 3.0),
+    // (Jan2,0,10.0).
+    val ev = Seq(
+      (1L, 1.0, "2024-01-01 09:00:00"), (1L, 2.0, "2024-01-02 09:00:00"),
+      (2L, 10.0, "2024-01-02 10:00:00")
+    ).toDF("user_id", "value", "s")
+      .select(col("user_id"), col("value"),
+        col("s").cast("timestamp").as("ts"))
+    val out = StatsAnalytics.ltvCohorts(ev)
+      .select("day_offset", "n_events", "period_value", "cum_ltv")
+      .as[(Long, Long, Double, Double)].collect().toList
+    assert(out == List(
+      (0L, 1L, 1.0, 1.0), (1L, 1L, 2.0, 3.0), (0L, 1L, 10.0, 10.0)))
+  }
+
   test("ewmaDaily: alpha=1/2 recursion matches the hand-unrolled values") {
     // x = 2, 4, 8 → ewma = 2, 3, 5.5
     val ev = Seq(

@@ -1464,6 +1464,25 @@ object SparkEntry {
             AS BIGINT) AS n_shingles
         FROM documents_v ORDER BY doc_id""")
     }),
+
+    // ---- round 10: evaluation & data-valuation reports (ext/EvalOps) ----
+    // Mann-Whitney AUC of the stopword-ratio score vs the lang='en' label
+    "q_auc" -> ((s, d) =>
+      graft.ext.EvalOps.aucReport(Tables.documents(s, d))),
+    // reliability deciles + ECE + Brier for the same score-as-probability
+    "q_calibration" -> ((s, d) =>
+      graft.ext.EvalOps.calibrationReport(Tables.documents(s, d))),
+    // leave-one-source-out mixture ablation (length + en-share deltas)
+    "q_source_ablation" -> ((s, d) =>
+      graft.ext.EvalOps.sourceAblation(Tables.documents(s, d))),
+    // 2-D pareto frontier via the per-size sweep (oracle: NOT EXISTS)
+    "q_skyline" -> ((s, d) =>
+      graft.ext.EvalOps.skylineParts(Tables.part(s, d))),
+    // strict ordered view→click→purchase funnel, 7-day step windows
+    "q_funnel_strict" -> ((s, d) =>
+      graft.ext.EvalOps.funnelStrict(Tables.events(s, d))),
+    // item-item CF: cosine-normalised co-purchase, top-5 per item
+    "q_item_cf" -> ((s, d) => graft.ext.EvalOps.itemCF(s, d)),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -5339,5 +5358,145 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, CAST(len(s) AS BIGINT) AS n_shingles FROM sh
          ORDER BY doc_id""",
+
+    // ---- round 10: evaluation & data-valuation reports ----
+    // Integral rank-sum AUC: per-distinct-score pos/neg counts, running
+    // negatives-below, U2 = Σ pos·(2·below + tied); double only at the end.
+    "q_auc" ->
+      """WITH t AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT y, CASE WHEN len(toks) = 0 THEN 0
+             ELSE CAST(floor(10000.0 * len(list_filter(toks,
+               x -> list_contains(['the','and','of','is','to','a','in'],
+                 x))) / len(toks) + 0.5) AS BIGINT) END AS sri
+           FROM t),
+         p AS (SELECT sri, CAST(sum(y) AS BIGINT) AS n_pos_s,
+                 CAST(count(*) - sum(y) AS BIGINT) AS n_neg_s
+               FROM s GROUP BY 1),
+         c AS (SELECT *, coalesce(sum(n_neg_s) OVER (ORDER BY sri
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_neg FROM p)
+         SELECT CAST(sum(n_pos_s) AS BIGINT) AS n_pos,
+           CAST(sum(n_neg_s) AS BIGINT) AS n_neg,
+           round(CAST(sum(n_pos_s * (2 * cum_neg + n_neg_s)) AS BIGINT) /
+             (2.0 * CAST(sum(n_pos_s) AS BIGINT) *
+              CAST(sum(n_neg_s) AS BIGINT)), 6) AS auc
+         FROM c""",
+    // Reliability deciles: integer bucket sums; ECE/Brier accumulate
+    // DECIMAL(28,12) addends (order-independent), double at the divide.
+    "q_calibration" ->
+      """WITH t AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT y, CASE WHEN len(toks) = 0 THEN 0
+             ELSE CAST(floor(10000.0 * len(list_filter(toks,
+               x -> list_contains(['the','and','of','is','to','a','in'],
+                 x))) / len(toks) + 0.5) AS BIGINT) END AS sri
+           FROM t),
+         q AS (SELECT sri, y,
+             CAST((sri / 10000.0 - y) * (sri / 10000.0 - y)
+               AS DECIMAL(28,12)) AS sq FROM s),
+         p AS (SELECT least(9, sri // 1000) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(sri) AS BIGINT) AS s_sri,
+             CAST(sum(y) AS BIGINT) AS s_y,
+             sum(sq) AS s_sq
+           FROM q GROUP BY 1),
+         g AS (SELECT bucket, n_docs, s_sq,
+             s_sri / (10000.0 * n_docs) AS conf_raw,
+             s_y / n_docs AS acc_raw,
+             abs(s_sri / (10000.0 * n_docs) - s_y / n_docs) AS gap_raw
+           FROM p),
+         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+             sum(CAST(n_docs * gap_raw AS DECIMAL(28,12))) AS s_gap,
+             sum(s_sq) AS s_sq_tot FROM g)
+         SELECT bucket, n_docs, round(conf_raw, 6) AS mean_score,
+           round(acc_raw, 6) AS frac_pos, round(gap_raw, 6) AS abs_gap,
+           round(CAST(s_gap AS DOUBLE) / n_total, 6) AS ece,
+           round(CAST(s_sq_tot AS DOUBLE) / n_total, 6) AS brier
+         FROM g CROSS JOIN tot ORDER BY bucket""",
+    // Leave-one-source-out: totals minus group sums, integer-exact.
+    "q_source_ablation" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS s_chars,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS s_en
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_tot,
+             CAST(sum(s_chars) AS BIGINT) AS c_tot,
+             CAST(sum(s_en) AS BIGINT) AS e_tot FROM per)
+         SELECT source, n_docs,
+           round(c_tot / n_tot, 4) AS mean_chars_all,
+           round((c_tot - s_chars) / (n_tot - n_docs), 4)
+             AS mean_chars_without,
+           round((c_tot - s_chars) / (n_tot - n_docs) - c_tot / n_tot, 4)
+             AS delta_chars,
+           round((e_tot - s_en) / (n_tot - n_docs), 6) AS en_share_without,
+           round((e_tot - s_en) / (n_tot - n_docs) - e_tot / n_tot, 6)
+             AS delta_en_share
+         FROM per CROSS JOIN tot ORDER BY source""",
+    // Independent O(n²) dominance check of the per-size sweep.
+    "q_skyline" ->
+      """SELECT a.p_partkey, a.p_size, a.p_retailprice
+         FROM part a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM part b
+           WHERE b.p_retailprice <= a.p_retailprice
+             AND b.p_size >= a.p_size
+             AND (b.p_retailprice < a.p_retailprice
+                  OR b.p_size > a.p_size))
+         ORDER BY a.p_partkey""",
+    // Sequential CTE chain mirrors the staged min-ts joins.
+    "q_funnel_strict" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         t1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                WHERE event_type = 'view' GROUP BY 1),
+         t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e
+                JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'click' AND e.ts > t1.t1
+                  AND e.ts <= t1.t1 + INTERVAL 7 DAY GROUP BY 1),
+         t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e
+                JOIN t2 ON e.user_id = t2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+                  AND e.ts <= t2.t2 + INTERVAL 7 DAY GROUP BY 1)
+         SELECT c1.n_step1, c2.n_step2, c3.n_step3,
+           CASE WHEN c1.n_step1 = 0 THEN 0.0
+                ELSE round(c2.n_step2 / c1.n_step1, 6) END AS rate_step2,
+           CASE WHEN c2.n_step2 = 0 THEN 0.0
+                ELSE round(c3.n_step3 / c2.n_step2, 6) END AS rate_step3
+         FROM (SELECT CAST(count(*) AS BIGINT) AS n_step1 FROM t1) c1
+         CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_step2 FROM t2) c2
+         CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_step3 FROM t3)
+           c3""",
+    // Co-purchase cosine: the pair CTE is the q_copurchase form; the √ of
+    // an exact integer product keeps the double math engine-identical.
+    "q_item_cf" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_orders
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         freq AS (SELECT l_partkey AS item,
+             CAST(count(*) AS BIGINT) AS n_item FROM op GROUP BY 1),
+         sym AS (SELECT part_a AS item, part_b AS other, n_orders FROM pr
+           UNION ALL SELECT part_b, part_a, n_orders FROM pr),
+         sc AS (SELECT s.item, s.other, s.n_orders,
+             s.n_orders / sqrt(CAST(fa.n_item * fb.n_item AS DOUBLE))
+               AS sim
+           FROM sym s JOIN freq fa ON fa.item = s.item
+             JOIN freq fb ON fb.item = s.other),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY item
+             ORDER BY sim DESC, other) AS BIGINT) AS rnk FROM sc)
+         SELECT item, other, n_orders, round(sim, 6) AS sim, rnk
+         FROM r WHERE rnk <= 5 ORDER BY item, rnk""",
   )
 }

@@ -1,0 +1,235 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import TextFns._
+
+/** Model/data evaluation operators for training-data pipelines: ranking
+  * quality (Mann-Whitney AUC), probability calibration (reliability /
+  * ECE / Brier), leave-one-source-out data valuation, a pareto-frontier
+  * (skyline) report, a strict ordered funnel, and item-item collaborative
+  * filtering. Beyond-parity surface in the spirit of the reference's
+  * analytics stage (reference: analytics.py:20-68 computes fixed KPI
+  * reports; these are the evaluation reports a 100 TB training-data
+  * pipeline adds on top).
+  *
+  * Numeric discipline (cross-engine oracle parity): scores are integerised
+  * early (`floor(10000·ratio + 0.5)`), every sum that feeds a rounded
+  * double accumulates integers or DECIMAL(28,12), and doubles only appear
+  * in final single-step divisions — see PLANS.md playbook.
+  */
+object EvalOps {
+
+  /** Integer quality score in [0, 10000]: the English-stopword ratio of
+    * the whitespace tokens, scaled by 10⁴ and rounded half-up via
+    * `floor(z + 0.5)` (portable across engines, unlike round()). Used as
+    * the deterministic "model score" for the AUC and calibration reports:
+    * it genuinely predicts `lang = 'en'` on the fixture corpus. */
+  private def scoredDocs(docs: DataFrame): DataFrame = {
+    val toksC = tokens(col("text"))
+    val staged = docs.select(col("lang"), toksC.as("__toks"))
+    val toks = col("__toks")
+    val n = size(toks).cast("bigint")
+    val m = size(filter(toks,
+      t => t.isInCollection(TextAnalysis.LangProfiles.head._2))).cast("bigint")
+    val sri = when(n === 0L, lit(0L))
+      .otherwise(floor(lit(10000.0) * m / n + lit(0.5)).cast("long"))
+    staged.select(sri.as("sri"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+  }
+
+  /** Mann-Whitney AUC of the stopword-ratio score against the binary
+    * `lang = 'en'` label, with the standard tie correction (each tied
+    * pos/neg pair contributes ½).
+    *
+    * Scale shape: the corpus aggregates to one row per DISTINCT integer
+    * score (≤ 10 001 rows) in a single map-side-combined groupBy; the
+    * rank-sum window then runs over that tiny frame, never over raw
+    * documents. Arithmetic stays integral until the final division, so
+    * the result is bit-stable under any partitioning. */
+  def aucReport(docs: DataFrame): DataFrame = {
+    val per = scoredDocs(docs).groupBy("sri").agg(
+      sum(col("y")).as("n_pos_s"),
+      (count(lit(1)) - sum(col("y"))).as("n_neg_s"))
+    val w = Window.orderBy("sri").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = per.withColumn("cum_neg",
+      coalesce(sum(col("n_neg_s")).over(w), lit(0L)))
+    cum.agg(
+        sum(col("n_pos_s")).as("n_pos"),
+        sum(col("n_neg_s")).as("n_neg"),
+        // 2·U, kept integral: sum over scores of pos_s·(2·negBelow + negTied)
+        sum(col("n_pos_s") * (lit(2L) * col("cum_neg") + col("n_neg_s")))
+          .as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("u2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6)
+          .as("auc"))
+  }
+
+  /** Reliability diagram over score deciles plus the scalar expected
+    * calibration error (ECE) and Brier score, treating the [0,1] score as
+    * a predicted probability of `lang = 'en'`.
+    *
+    * Per-bucket means come from integer sums; the cross-bucket ECE and
+    * the corpus Brier sum accumulate DECIMAL(28,12) addends (exact, so
+    * order-independent across partitions), converting to double only at
+    * the final divide. The scalar totals ride back on a one-row
+    * crossJoin (broadcast nested loop, the repo-standard scalar
+    * pattern). */
+  def calibrationReport(docs: DataFrame): DataFrame = {
+    val d = col("sri") / lit(10000.0) - col("y")
+    val staged = scoredDocs(docs)
+      .withColumn("sq", (d * d).cast("decimal(28,12)"))
+    val per = staged
+      .groupBy(least(lit(9L), expr("sri DIV 1000")).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum("sri").as("s_sri"),
+        sum("y").as("s_y"), sum("sq").as("s_sq"))
+    val b = per.select(col("bucket"), col("n_docs"), col("s_sq"),
+        (col("s_sri") / (lit(10000.0) * col("n_docs"))).as("conf_raw"),
+        (col("s_y") / col("n_docs")).as("acc_raw"))
+      .withColumn("gap_raw", abs(col("conf_raw") - col("acc_raw")))
+    val tot = b.agg(sum("n_docs").as("n_total"),
+      sum((col("n_docs") * col("gap_raw")).cast("decimal(28,12)"))
+        .as("s_gap"),
+      sum(col("s_sq")).as("s_sq_tot"))
+    b.crossJoin(tot).select(
+        col("bucket"), col("n_docs"),
+        round(col("conf_raw"), 6).as("mean_score"),
+        round(col("acc_raw"), 6).as("frac_pos"),
+        round(col("gap_raw"), 6).as("abs_gap"),
+        round(col("s_gap").cast("double") / col("n_total"), 6).as("ece"),
+        round(col("s_sq_tot").cast("double") / col("n_total"), 6)
+          .as("brier"))
+      .orderBy("bucket")
+  }
+
+  /** Leave-one-source-out data valuation: for each document source, the
+    * corpus mean document length and English share WITHOUT that source,
+    * and the delta each exclusion causes — the one-pass mixture-ablation
+    * report (no per-source rescan: totals minus the group's own sums).
+    *
+    * All sums are integers, so `(total − group) / (n − n_group)` is exact
+    * until the single final division — bit-stable at any scale. The
+    * totals frame is one row (crossJoin broadcast). */
+  def sourceAblation(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_chars").as("s_chars"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("s_en"))
+    val tot = per.agg(sum("n_docs").as("n_tot"),
+      sum("s_chars").as("c_tot"), sum("s_en").as("e_tot"))
+    val meanAll = col("c_tot") / col("n_tot")
+    val meanWo = (col("c_tot") - col("s_chars")) /
+      (col("n_tot") - col("n_docs"))
+    val shareWo = (col("e_tot") - col("s_en")) /
+      (col("n_tot") - col("n_docs"))
+    per.crossJoin(tot).select(
+        col("source"), col("n_docs"),
+        round(meanAll, 4).as("mean_chars_all"),
+        round(meanWo, 4).as("mean_chars_without"),
+        round(meanWo - meanAll, 4).as("delta_chars"),
+        round(shareWo, 6).as("en_share_without"),
+        round(shareWo - col("e_tot") / col("n_tot"), 6)
+          .as("delta_en_share"))
+      .orderBy("source")
+  }
+
+  /** 2-D skyline (pareto frontier) of the part catalog: parts for which
+    * no other part is at-least-as-cheap AND at-least-as-large with one
+    * strict — the classic "best tradeoff" query.
+    *
+    * Scale shape: instead of the O(n²) NOT-EXISTS (which the DuckDB
+    * oracle runs as the independent cross-check), the corpus aggregates
+    * to min-price per size (p_size has a bounded domain, ≤ 50 values),
+    * a running min over strictly-larger sizes sweeps that tiny frame,
+    * and one broadcast join back marks survivors: a part survives iff it
+    * hits its size's min price and beats the best price at any larger
+    * size. One shuffle (the groupBy), no self-join of the big table. */
+  def skylineParts(part: DataFrame): DataFrame = {
+    val base = part.select(col("p_partkey"), col("p_size"),
+      col("p_retailprice"))
+    val perSize = base.groupBy("p_size")
+      .agg(min("p_retailprice").as("min_price"))
+    // bounded-domain frame (≤ 50 rows): forced broadcast is safe here
+    val w = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val swept = perSize.withColumn("best_above",
+      min(col("min_price")).over(w))
+    base.join(broadcast(swept), "p_size")
+      .filter(col("p_retailprice") === col("min_price") &&
+        (col("best_above").isNull ||
+          col("p_retailprice") < col("best_above")))
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .orderBy("p_partkey")
+  }
+
+  /** Strict ordered funnel: first 'view', then the first 'click' strictly
+    * after it within 7 days, then the first 'purchase' strictly after
+    * that within 7 days (reference analytics.py:41-53 computes the
+    * unordered per-day form; this is the sequential-session variant).
+    *
+    * Each stage is a groupBy on user_id joined back on user_id — the
+    * exchanges share one partitioning, so the chain costs one shuffle of
+    * the events projection plus co-partitioned joins. Counts ride on
+    * one-row crossJoins. */
+  def funnelStrict(events: DataFrame): DataFrame = {
+    val e = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val week = expr("INTERVAL 7 DAYS")
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = e.filter(col("event_type") === "click").join(t1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + week)
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t2") + week)
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    t1.agg(count(lit(1)).as("n_step1"))
+      .crossJoin(t2.agg(count(lit(1)).as("n_step2")))
+      .crossJoin(t3.agg(count(lit(1)).as("n_step3")))
+      .select(col("n_step1"), col("n_step2"), col("n_step3"),
+        when(col("n_step1") === 0L, lit(0.0))
+          .otherwise(round(col("n_step2") / col("n_step1"), 6))
+          .as("rate_step2"),
+        when(col("n_step2") === 0L, lit(0.0))
+          .otherwise(round(col("n_step3") / col("n_step2"), 6))
+          .as("rate_step3"))
+  }
+
+  /** Item-item collaborative filtering over the co-purchase graph:
+    * cosine-normalised co-occurrence `cooc(a,b) / √(freq(a)·freq(b))`,
+    * top-5 neighbours per item — "customers who bought X also bought Y".
+    *
+    * Reuses the shared coPurchaseCounts scan (one corpus shuffle, local
+    * pair synthesis — StarAnalytics.scala); item frequencies are one
+    * distinct+groupBy; the per-item top-k compiles to WindowGroupLimit
+    * so no partition materialises a full neighbour list sort. The freq
+    * frames scale with the catalog, so no forced broadcast — AQE
+    * decides. The integer product under the √ stays below 2⁵³, so the
+    * double math is exact and cross-engine stable. */
+  def itemCF(spark: SparkSession, sfDir: String, topK: Int = 5): DataFrame = {
+    val cooc = graft.analytics.StarAnalytics.coPurchaseCounts(spark, sfDir)
+    val freq = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val sym = cooc.select(col("part_a").as("item"),
+        col("part_b").as("other"), col("n_orders"))
+      .unionByName(cooc.select(col("part_b").as("item"),
+        col("part_a").as("other"), col("n_orders")))
+    val fa = freq.select(col("l_partkey").as("item"), col("n_item"))
+    val fb = freq.select(col("l_partkey").as("other"),
+      col("n_item").as("n_other"))
+    val scored = sym.join(fa, "item").join(fb, "other")
+      .withColumn("sim", col("n_orders") /
+        sqrt((col("n_item") * col("n_other")).cast("double")))
+    val w = Window.partitionBy("item")
+      .orderBy(col("sim").desc, col("other").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= topK)
+      .select(col("item"), col("other"), col("n_orders"),
+        round(col("sim"), 6).as("sim"), col("rnk"))
+      .orderBy("item", "rnk")
+  }
+}

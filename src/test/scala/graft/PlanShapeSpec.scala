@@ -316,4 +316,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.indexOf("Window") < plan.indexOf("partial_sum"),
       plan.take(600))
   }
+
+  test("AUC rank-sum window runs over the distinct-score aggregate, " +
+    "never raw documents") {
+    val plan = physical(graft.ext.EvalOps.aucReport(
+      Tables.documents(spark, sf)))
+    // outer-first print: the global window must sit ABOVE the partial
+    // aggregate that collapses the corpus to ≤ 10 001 score rows (the
+    // FIRST partial_ is the final scalar agg's own map phase — the
+    // corpus collapse is the deepest, hence lastIndexOf)
+    assert(plan.contains("Window"), plan.take(600))
+    assert(plan.contains("partial_"), plan.take(600))
+    assert(plan.indexOf("Window") < plan.lastIndexOf("partial_"),
+      plan.take(600))
+  }
+
+  test("skyline broadcasts the bounded per-size frame back to the scan") {
+    val plan = physical(graft.ext.EvalOps.skylineParts(
+      Tables.part(spark, sf)))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(!plan.contains("SortMergeJoin"), plan.take(600))
+  }
+
+  test("item-CF top-k plans a WindowGroupLimit; the catalog-scaling freq " +
+    "joins carry no forced broadcast") {
+    val plan = physical(graft.ext.EvalOps.itemCF(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), plan.take(600))
+    // no broadcast HINT on freq: degrading under a disabled auto-broadcast
+    // threshold proves nothing is pinned to executor memory
+    val noAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val degraded = physical(graft.ext.EvalOps.itemCF(spark, sf))
+      assert(!degraded.contains("BroadcastHashJoin"), degraded.take(600))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", noAuto)
+  }
 }

@@ -1483,6 +1483,12 @@ object SparkEntry {
       graft.ext.EvalOps.funnelStrict(Tables.events(s, d))),
     // item-item CF: cosine-normalised co-purchase, top-5 per item
     "q_item_cf" -> ((s, d) => graft.ext.EvalOps.itemCF(s, d)),
+    // one-step Newton logistic regression (rational-exact, no exp)
+    "q_logreg_newton" -> ((s, d) =>
+      graft.ext.EvalOps.logregNewton(Tables.documents(s, d))),
+    // rendezvous-hash resharding: only ~1/(n+1) of docs move to shard n
+    "q_shard_move" -> ((s, d) =>
+      graft.ext.TextAnalysis.hrwShardMove(Tables.documents(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -5498,5 +5504,94 @@ object SparkEntry {
              ORDER BY sim DESC, other) AS BIGINT) AS rnk FROM sc)
          SELECT item, other, n_orders, round(sim, 6) AS sim, rnk
          FROM r WHERE rnk <= 5 ORDER BY item, rnk""",
+    // One Newton step from w=0: gradient X'(y-1/2), Hessian X'X/4 — all
+    // rational (no exp), so the unrolled 3x3 adjugate solve is bit-equal.
+    "q_logreg_newton" ->
+      """WITH t AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT y, CASE WHEN len(toks) = 0 THEN 0
+             ELSE CAST(floor(10000.0 * len(list_filter(toks,
+               x -> list_contains(['the','and','of','is','to','a','in'],
+                 x))) / len(toks) + 0.5) AS BIGINT) END AS sri,
+             CASE WHEN len(toks) = 0 THEN 0
+             ELSE CAST(floor(10000.0 *
+               (1.0 - len(list_distinct(toks)) / len(toks)) + 0.5)
+               AS BIGINT) END AS rri
+           FROM t),
+         x AS (SELECT y, sri / 10000.0 AS x1, rri / 10000.0 AS x2,
+             y - 0.5 AS r, sri, rri FROM s),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             sum(CAST(x1 AS DECIMAL(28,12))) AS s1,
+             sum(CAST(x2 AS DECIMAL(28,12))) AS s2,
+             sum(CAST(x1 * x1 AS DECIMAL(28,12))) AS s11,
+             sum(CAST(x1 * x2 AS DECIMAL(28,12))) AS s12,
+             sum(CAST(x2 * x2 AS DECIMAL(28,12))) AS s22,
+             sum(CAST(r AS DECIMAL(28,12))) AS g0,
+             sum(CAST(x1 * r AS DECIMAL(28,12))) AS g1,
+             sum(CAST(x2 * r AS DECIMAL(28,12))) AS g2
+           FROM x),
+         d AS (SELECT n, n_pos,
+             CAST(n AS DOUBLE) AS a00, CAST(s1 AS DOUBLE) AS a01,
+             CAST(s2 AS DOUBLE) AS a02, CAST(s11 AS DOUBLE) AS a11,
+             CAST(s12 AS DOUBLE) AS a12, CAST(s22 AS DOUBLE) AS a22,
+             CAST(g0 AS DOUBLE) AS g0, CAST(g1 AS DOUBLE) AS g1,
+             CAST(g2 AS DOUBLE) AS g2
+           FROM a),
+         j AS (SELECT *,
+             a11 * a22 - a12 * a12 AS adj00,
+             a02 * a12 - a01 * a22 AS adj01,
+             a01 * a12 - a11 * a02 AS adj02,
+             a00 * a22 - a02 * a02 AS adj11,
+             a01 * a02 - a00 * a12 AS adj12,
+             a00 * a11 - a01 * a01 AS adj22
+           FROM d),
+         k AS (SELECT *,
+             a00 * adj00 + a01 * adj01 + a02 * adj02 AS det FROM j),
+         w AS (SELECT n, n_pos,
+             (4.0 * (adj00 * g0 + adj01 * g1 + adj02 * g2)) / det AS w0,
+             (4.0 * (adj01 * g0 + adj11 * g1 + adj12 * g2)) / det AS w1,
+             (4.0 * (adj02 * g0 + adj12 * g1 + adj22 * g2)) / det AS w2
+           FROM k),
+         p AS (SELECT x.y, CASE WHEN w.w0 + w.w1 * (x.sri / 10000.0)
+                 + w.w2 * (x.rri / 10000.0) > 0.0 THEN 1 ELSE 0 END AS pred
+               FROM x CROSS JOIN w),
+         c AS (SELECT CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_correct,
+               CAST(count(*) AS BIGINT) AS nn FROM p)
+         SELECT w.n, w.n_pos, round(w.w0, 6) AS w0, round(w.w1, 6) AS w1,
+           round(w.w2, 6) AS w2,
+           round(c.n_correct / c.nn, 6) AS accuracy,
+           round(greatest(w.n_pos, w.n - w.n_pos) / w.n, 6)
+             AS baseline_acc
+         FROM w CROSS JOIN c""",
+    // HRW argmax per doc via ranked candidates; h-ties break to the
+    // LARGER shard id (mirrors Spark's lexicographic struct max).
+    "q_shard_move" ->
+      """WITH cand AS (
+           SELECT doc_id, r.s AS s,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+               CAST(r.s AS VARCHAR)), 1, 15))::BIGINT AS h
+           FROM documents, range(9) r(s)),
+         b AS (SELECT doc_id, s AS shard_before FROM (
+             SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+               ORDER BY h DESC, s DESC) AS rn FROM cand WHERE s < 8)
+           WHERE rn = 1),
+         a AS (SELECT doc_id, s AS shard_after FROM (
+             SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+               ORDER BY h DESC, s DESC) AS rn FROM cand)
+           WHERE rn = 1),
+         m AS (SELECT b.shard_before AS shard_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN a.shard_after <> b.shard_before
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+           FROM b JOIN a ON a.doc_id = b.doc_id GROUP BY 1)
+         SELECT shard_id, n_docs, n_moved,
+           round(n_moved / n_docs, 6) AS pct_moved
+         FROM m ORDER BY shard_id""",
   )
 }

@@ -198,6 +198,90 @@ object EvalOps {
           .as("rate_step3"))
   }
 
+  /** Logistic regression as ONE relational Newton step (Fisher scoring
+    * from the null model w = 0) on two document-quality features —
+    * stopword ratio and repetition ratio — against the `lang = 'en'`
+    * label, reporting the fitted weights and training accuracy vs the
+    * majority-class baseline.
+    *
+    * Why one step: at w = 0 every sigmoid is EXACTLY ½, so the gradient
+    * is X'(y − ½) and the Hessian ¼·X'X — no transcendental functions
+    * anywhere, and classification needs only the SIGN of the linear
+    * score. The whole fit is +,−,×,÷ over integer-derived doubles, hence
+    * bit-identical across engines and partitionings (further steps would
+    * need exp(), which has no cross-engine rounding contract).
+    *
+    * Scale shape: one aggregation pass collects the 10 normal-equation
+    * sums (decimal-cast addends → order-independent); the 3×3 solve is
+    * closed-form adjugate arithmetic on that single row; the accuracy
+    * pass joins the one-row weight frame back via broadcast crossJoin.
+    * Two corpus scans total, no shuffle wider than the scalar agg. */
+  def logregNewton(docs: DataFrame): DataFrame = {
+    val staged = docs.select(col("lang"), tokens(col("text")).as("__toks"))
+    val toks = col("__toks")
+    val n = size(toks).cast("bigint")
+    val m = size(filter(toks,
+      t => t.isInCollection(TextAnalysis.LangProfiles.head._2))).cast("bigint")
+    val nd = size(array_distinct(toks)).cast("bigint")
+    val sri = when(n === 0L, lit(0L))
+      .otherwise(floor(lit(10000.0) * m / n + lit(0.5)).cast("long"))
+    val rri = when(n === 0L, lit(0L))
+      .otherwise(floor(lit(10000.0) *
+        (lit(1.0) - nd.cast("double") / n.cast("double")) + lit(0.5))
+        .cast("long"))
+    val base = staged.select(sri.as("sri"), rri.as("rri"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+
+    def dsum(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(28,12)"))
+    val x1 = col("sri") / lit(10000.0)
+    val x2 = col("rri") / lit(10000.0)
+    val r = col("y").cast("double") - lit(0.5)
+    val a = base.select(x1.as("x1"), x2.as("x2"), col("y"), r.as("r"))
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        dsum(col("x1")).as("s1"), dsum(col("x2")).as("s2"),
+        dsum(col("x1") * col("x1")).as("s11"),
+        dsum(col("x1") * col("x2")).as("s12"),
+        dsum(col("x2") * col("x2")).as("s22"),
+        dsum(col("r")).as("g0"),
+        dsum(col("x1") * col("r")).as("g1"),
+        dsum(col("x2") * col("r")).as("g2"))
+    val d = a.select(col("n"), col("n_pos"),
+      col("n").cast("double").as("a00"), col("s1").cast("double").as("a01"),
+      col("s2").cast("double").as("a02"), col("s11").cast("double").as("a11"),
+      col("s12").cast("double").as("a12"), col("s22").cast("double").as("a22"),
+      col("g0").cast("double").as("g0"), col("g1").cast("double").as("g1"),
+      col("g2").cast("double").as("g2"))
+    val j = d.withColumn("adj00", col("a11") * col("a22") - col("a12") * col("a12"))
+      .withColumn("adj01", col("a02") * col("a12") - col("a01") * col("a22"))
+      .withColumn("adj02", col("a01") * col("a12") - col("a11") * col("a02"))
+      .withColumn("adj11", col("a00") * col("a22") - col("a02") * col("a02"))
+      .withColumn("adj12", col("a01") * col("a02") - col("a00") * col("a12"))
+      .withColumn("adj22", col("a00") * col("a11") - col("a01") * col("a01"))
+      .withColumn("det", col("a00") * col("adj00") + col("a01") * col("adj01")
+        + col("a02") * col("adj02"))
+    // Newton step from w = 0: w = H⁻¹g = 4·(X'X)⁻¹·X'(y − ½)
+    val w = j.select(col("n"), col("n_pos"),
+      ((lit(4.0) * (col("adj00") * col("g0") + col("adj01") * col("g1")
+        + col("adj02") * col("g2"))) / col("det")).as("w0"),
+      ((lit(4.0) * (col("adj01") * col("g0") + col("adj11") * col("g1")
+        + col("adj12") * col("g2"))) / col("det")).as("w1"),
+      ((lit(4.0) * (col("adj02") * col("g0") + col("adj12") * col("g1")
+        + col("adj22") * col("g2"))) / col("det")).as("w2"))
+    val pred = base.crossJoin(w).select(col("y"),
+      when(col("w0") + col("w1") * (col("sri") / lit(10000.0))
+        + col("w2") * (col("rri") / lit(10000.0)) > lit(0.0), 1L)
+        .otherwise(0L).as("pred"))
+    val c = pred.agg(
+      sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_correct"),
+      count(lit(1)).as("nn"))
+    w.crossJoin(c).select(col("n"), col("n_pos"),
+      round(col("w0"), 6).as("w0"), round(col("w1"), 6).as("w1"),
+      round(col("w2"), 6).as("w2"),
+      round(col("n_correct") / col("nn"), 6).as("accuracy"),
+      round(greatest(col("n_pos"), col("n") - col("n_pos")) / col("n"), 6)
+        .as("baseline_acc"))
+  }
+
   /** Item-item collaborative filtering over the co-purchase graph:
     * cosine-normalised co-occurrence `cooc(a,b) / √(freq(a)·freq(b))`,
     * top-5 neighbours per item — "customers who bought X also bought Y".

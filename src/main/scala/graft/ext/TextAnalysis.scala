@@ -86,6 +86,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
       .orderBy("shard_id")
 
+  /** Rendezvous (highest-random-weight) resharding report: each document
+    * goes to the shard with the max portable hash of (doc_id, shard);
+    * adding one shard moves ONLY the docs whose new-shard hash wins —
+    * ~1/(n+1) of the corpus, every move landing on the new shard. This is
+    * the elastic-scaling counterpart to [[shardPlan]]'s mod-hash: mod
+    * reshuffles almost everything when n changes, HRW pays the minimum.
+    * The report proves that before a 100 TB re-layout commits to it.
+    *
+    * Per-row projection (an array_max over nShards+1 hash structs — the
+    * struct comparison breaks hash ties by shard id) plus one
+    * shard-cardinality groupBy; nothing else shuffles. */
+  def hrwShardMove(docs: DataFrame, nShards: Int = 8): DataFrame = {
+    def cands(upTo: Int) = array((0 until upTo).map(s =>
+      struct(portableH60(concat_ws(":", col("doc_id"), lit(s))).as("h"),
+        lit(s.toLong).as("s"))): _*)
+    docs.select(
+        array_max(cands(nShards)).getField("s").as("shard_before"),
+        array_max(cands(nShards + 1)).getField("s").as("shard_after"))
+      .groupBy(col("shard_before").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("shard_after") =!= col("shard_before"), 1L)
+          .otherwise(0L)).as("n_moved"))
+      .withColumn("pct_moved", round(col("n_moved") / col("n_docs"), 6))
+      .orderBy("shard_id")
+  }
+
   /** Materialize the temperature mixture into an actual training subset:
     * per source, take documents in deterministic doc_id order while the
     * running token total stays within the source's [[mixtureWeights]]

@@ -92,6 +92,39 @@ class Round10OpsSpec extends SparkSpec {
     assert(out == List((4L, 2L, 1L, 0.5, 0.5)))
   }
 
+  test("logregNewton: exact rational step on the binary-fraction fixture") {
+    // x1 (stopword ratio) ∈ {1, .25, 0, 0}, x2 (repetition) ∈
+    // {.75, 0, 0, .5}, y = (1,1,0,0): every value is a binary fraction so
+    // the whole Newton step is exact — w = (−50/79, 448/79, −288/79),
+    // and the fitted plane separates the fixture perfectly.
+    val docs = Seq(
+      (1L, "the the the the", "en"), (2L, "a b c d", "en"),
+      (3L, "x y", "de"), (4L, "w w q q", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = EvalOps.logregNewton(docs)
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toList
+    assert(out == List((4L, 2L, -0.632911, 5.670886, -3.64557, 1.0, 0.5)))
+  }
+
+  test("hrwShardMove: full corpus accounted, movement stays a minority") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.ext.TextAnalysis.hrwShardMove(docs)
+      .select("shard_id", "n_docs", "n_moved", "pct_moved")
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(out.map(_._1) == out.map(_._1).sorted && out.size <= 8)
+    assert(out.map(_._2).sum == docs.count())
+    // HRW moves ~1/9 of each shard to the new shard — far below the
+    // ~8/9 a mod-hash reshard would move; assert a generous ceiling
+    val moved = out.map(_._3).sum.toDouble / out.map(_._2).sum
+    assert(moved > 0.0 && moved < 0.4, s"moved fraction $moved")
+    out.foreach { case (_, n, m, p) =>
+      assert(m >= 0L && m <= n)
+      assert(p == BigDecimal(m.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("itemCF: cosine similarity is in (0,1], top-k per item, ordered") {
     val out = EvalOps.itemCF(spark, "/root/testdata/sf0.001")
       .select("item", "other", "n_orders", "sim", "rnk")

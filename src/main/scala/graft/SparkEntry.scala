@@ -1489,6 +1489,18 @@ object SparkEntry {
     // rendezvous-hash resharding: only ~1/(n+1) of docs move to shard n
     "q_shard_move" -> ((s, d) =>
       graft.ext.TextAnalysis.hrwShardMove(Tables.documents(s, d))),
+    // linear multi-touch attribution over a 7-day pre-purchase window
+    "q_attribution" -> ((s, d) =>
+      EventAnalytics.attribution(Tables.events(s, d))),
+    // exact single change-point on the daily order-revenue series
+    "q_changepoint" -> ((s, d) =>
+      StatsAnalytics.changePoint(Tables.orders(s, d))),
+    // isotonic (PAV-exact, minimax form) calibration over score centiles
+    "q_isotonic" -> ((s, d) =>
+      graft.ext.EvalOps.isotonicCalibration(Tables.documents(s, d))),
+    // degree assortativity of the co-purchase graph (Pearson over edges)
+    "q_assortativity" -> ((s, d) =>
+      graft.analytics.GraphAnalytics.assortativity(s, d)),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -5593,5 +5605,135 @@ object SparkEntry {
          SELECT shard_id, n_docs, n_moved,
            round(n_moved / n_docs, 6) AS pct_moved
          FROM m ORDER BY shard_id""",
+    // Per-row credit value*cnt/n is the same IEEE expression both
+    // engines evaluate; the cross-purchase sum is decimal (exact).
+    "q_attribution" ->
+      """WITH p AS (
+           SELECT event_id AS p_id, user_id AS p_user,
+             epoch_us(ts) AS p_us, value
+           FROM events WHERE user_id IS NOT NULL
+             AND event_type = 'purchase' AND value IS NOT NULL),
+         t AS (
+           SELECT user_id AS t_user, epoch_us(ts) AS t_us,
+             event_type AS channel
+           FROM events WHERE user_id IS NOT NULL
+             AND event_type IN ('view', 'click')),
+         g AS (
+           SELECT p.p_id, p.value, t.channel,
+             CAST(count(t.t_us) AS BIGINT) AS cnt
+           FROM p LEFT JOIN t ON t.t_user = p.p_user
+             AND t.t_us <= p.p_us AND t.t_us >= p.p_us - 604800000000
+           GROUP BY 1, 2, 3),
+         n AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY p_id) AS BIGINT)
+             AS n FROM g),
+         c AS (SELECT coalesce(channel, 'direct') AS channel,
+             CASE WHEN channel IS NULL THEN value
+               ELSE value * cnt / n END AS credit
+           FROM n)
+         SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(round(sum(CAST(credit AS DECIMAL(28,12))), 2) AS DOUBLE)
+             AS credit
+         FROM c GROUP BY 1 ORDER BY 1""",
+    // Prefix revenue in DECIMAL; B(t) is IEEE-double on exact inputs,
+    // so the argmax and the floor-based display rounds agree bit-wise.
+    "q_changepoint" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+           FROM orders GROUP BY 1),
+         cum AS (
+           SELECT day,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             sum(rev) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1
+           FROM daily),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS dd, sum(rev) AS ss
+           FROM daily),
+         b AS (
+           SELECT day, t, dd,
+             CAST(s1 AS DOUBLE) / t AS m1,
+             CAST(ss - s1 AS DOUBLE) / (dd - t) AS m2
+           FROM cum CROSS JOIN tot WHERE t < dd),
+         s AS (SELECT day, t, dd, m1, m2,
+             CAST(t * (dd - t) AS DOUBLE) / dd * (m1 - m2) * (m1 - m2)
+               AS bs
+           FROM b),
+         best AS (SELECT * FROM s ORDER BY bs DESC, day LIMIT 1)
+         SELECT day AS split_day, t AS n_days_before,
+           dd - t AS n_days_after,
+           floor(m1 * 100.0 + 0.5) / 100.0 AS mean_before,
+           floor(m2 * 100.0 + 0.5) / 100.0 AS mean_after,
+           floor(bs * 100.0 + 0.5) / 100.0 AS b_stat
+         FROM best""",
+    // Minimax PAV: iso(i) = max_{j<=i} min_{k>=i} pooled(j..k), all on
+    // the <=101-centile frame; rates are int/int IEEE divisions.
+    "q_isotonic" ->
+      """WITH t AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT y, CASE WHEN len(toks) = 0 THEN 0
+             ELSE CAST(floor(10000.0 * len(list_filter(toks,
+               x -> list_contains(['the','and','of','is','to','a','in'],
+                 x))) / len(toks) + 0.5) AS BIGINT) END AS sri
+           FROM t),
+         per AS (SELECT sri // 100 AS bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos
+           FROM s GROUP BY 1),
+         cum AS (SELECT bin, n, n_pos,
+             CAST(sum(n) OVER w AS BIGINT) AS cn,
+             CAST(sum(n_pos) OVER w AS BIGINT) AS cp
+           FROM per WINDOW w AS (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         pairs AS (
+           SELECT lo.bin AS j, hi.bin AS k,
+             CAST(hi.cp - (lo.cp - lo.n_pos) AS DOUBLE) /
+               CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS a
+           FROM cum lo JOIN cum hi ON lo.bin <= hi.bin),
+         m AS (SELECT j, k, min(a) OVER (PARTITION BY j ORDER BY k DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+           FROM pairs),
+         f AS (SELECT k AS bin, max(mn) AS iso FROM m GROUP BY 1)
+         SELECT per.bin, per.n, per.n_pos,
+           floor(CAST(per.n_pos AS DOUBLE) / per.n * 1000000.0 + 0.5)
+             / 1000000.0 AS rate_raw,
+           floor(f.iso * 1000000.0 + 0.5) / 1000000.0 AS rate_iso
+         FROM per JOIN f ON f.bin = per.bin ORDER BY per.bin""",
+    // Degrees are integers, so every Pearson moment is an exact integer
+    // sum; the one-row formula then runs in IEEE doubles.
+    "q_assortativity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (
+           SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey),
+         cnt AS (SELECT part_a, part_b, count(*) AS n_orders
+           FROM pr GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT part_a AS a, part_b AS b FROM cnt
+           UNION ALL SELECT part_b, part_a FROM cnt),
+         deg AS (SELECT a AS part, CAST(count(*) AS BIGINT) AS deg
+           FROM e GROUP BY 1),
+         xy AS (SELECT da.deg AS dx, db.deg AS dy
+           FROM e JOIN deg da ON da.part = e.a
+             JOIN deg db ON db.part = e.b),
+         mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy
+           FROM xy)
+         SELECT n AS n_edges,
+           floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_deg,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+               (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS assortativity
+         FROM mo""",
   )
 }

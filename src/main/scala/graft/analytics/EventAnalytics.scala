@@ -486,6 +486,53 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
+  /** Multi-touch attribution: each purchase's value is split linearly
+    * across the user's view/click touches in the preceding `windowDays`
+    * (touch-inclusive of the purchase instant); purchases with NO touch
+    * in the window credit a synthetic `direct` channel in full. Reports
+    * per-channel credited revenue and how many purchases each channel
+    * participated in — the standard marketing question ("what did the
+    * clicks actually buy?") the reference's funnel (analytics.py:90-118)
+    * stops short of.
+    *
+    * Scale shape: both sides prune to 3–4 columns before the user-keyed
+    * join; the join fan-out is bounded by per-user activity in a 7-day
+    * window (per-user-bounded, like sessionize — salt the key if one
+    * user is a bot). The per-purchase touch total comes from a window
+    * over the ALREADY purchase-keyed aggregate, reusing the groupBy's
+    * hash partitioning instead of a second shuffle. Per-row credit
+    * `value·cnt/n` is the same IEEE expression both engines evaluate;
+    * the cross-purchase sum accumulates DECIMAL(28,12) — exact, so the
+    * 2dp round is partition-order-independent. */
+  def attribution(ev: DataFrame, windowDays: Int = 7): DataFrame = {
+    val winUs = windowDays * 86400L * 1000000L
+    val p = ev.filter(col("user_id").isNotNull &&
+        col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("p_us"), col("value"))
+    val t = ev.filter(col("user_id").isNotNull &&
+        col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), unix_micros(col("ts")).as("t_us"),
+        col("event_type").as("channel"))
+    val perType = p.join(t,
+        col("p_user") === col("t_user") && col("t_us") <= col("p_us") &&
+          col("t_us") >= col("p_us") - lit(winUs), "left")
+      .groupBy(col("p_id"), col("value"), col("channel"))
+      .agg(count(col("t_us")).as("cnt"))
+    val byPurchase = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_id")
+    val credited = perType
+      .withColumn("n", sum(col("cnt")).over(byPurchase))
+      .select(coalesce(col("channel"), lit("direct")).as("channel"),
+        when(col("channel").isNull, col("value"))
+          .otherwise(col("value") * col("cnt") / col("n")).as("credit"))
+    credited.groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("credit").cast("decimal(28,12)")), 2).cast("double")
+          .as("credit"))
+      .orderBy("channel")
+  }
+
   def conversionTime(ev: DataFrame): DataFrame = {
     val per = ev
       .filter(col("user_id").isNotNull &&

@@ -179,4 +179,53 @@ object GraphAnalytics {
       .orderBy(col("rank").desc, col("id"))
       .limit(k)
   }
+
+  /** Degree assortativity of the (support-floored) co-purchase graph:
+    * the Pearson correlation of endpoint degrees over the directed edge
+    * list (Newman, "Assortative mixing in networks"). Positive r means
+    * hub products co-sell with other hubs; negative means hubs bridge
+    * the long tail — which of the two decides whether degree-targeted
+    * sampling keeps a training corpus connected.
+    *
+    * Scale shape: degrees are one node-cardinality aggregate; the edge
+    * list joins the degree frame twice WITHOUT broadcast hints (node
+    * frames scale with the catalog — AQE broadcasts only while small,
+    * same policy as [[pageRank]]). All correlation moments are integer
+    * sums (degrees are integers); the one-row Pearson formula then runs
+    * in IEEE doubles — identical in any engine, no rounding ambiguity
+    * until the final display round. By symmetry of the directed list
+    * Σx = Σy, but both sides are computed for formula transparency. */
+  def assortativity(spark: SparkSession, sfDir: String,
+                    minSupport: Long = 2L): DataFrame = {
+    val pairs = StarAnalytics.coPurchaseCounts(spark, sfDir)
+      .filter(col("n_orders") >= minSupport)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+    val edges = pairs.unionAll(
+      pairs.select(col("b").as("a"), col("a").as("b")))
+    val deg = edges.groupBy(col("a").as("part"))
+      .agg(count(lit(1)).as("deg"))
+    val xy = edges
+      .join(deg.select(col("part").as("pa"), col("deg").as("dx")),
+        col("a") === col("pa"))
+      .join(deg.select(col("part").as("pb"), col("deg").as("dy")),
+        col("b") === col("pb"))
+      .select(col("dx"), col("dy"))
+    val m = xy.agg(count(lit(1)).as("n"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"),
+      sum(col("dx") * col("dy")).as("sxy"))
+    val n = col("n").cast("double")
+    def d(name: String) = col(name).cast("double")
+    val num = n * d("sxy") - d("sx") * d("sy")
+    val den = sqrt((n * d("sxx") - d("sx") * d("sx")) *
+      (n * d("syy") - d("sy") * d("sy")))
+    m.select(col("n").as("n_edges"),
+      // mean degree is a rational (int/int) — portable floor round; the
+      // correlation has an irrational sqrt denominator, so round() is safe
+      (floor(d("sx") / n * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+        .as("mean_deg"),
+      round(when(den === 0.0, lit(null)).otherwise(num / den), 6)
+        .as("assortativity"))
+  }
 }

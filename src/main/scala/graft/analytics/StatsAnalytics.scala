@@ -1035,4 +1035,49 @@ object StatsAnalytics {
           .otherwise((num * num) / r2den), 6).as("r2"))
       .orderBy("l_returnflag")
   }
+
+  /** Exact single change-point detection on the daily order-revenue
+    * series (binary-segmentation step 1): the split maximizing the
+    * between-segment sum of squares `B(t) = n₁n₂/D·(m₁−m₂)²` — the
+    * largest mean shift, the question CUSUM ([[cusumDays]]) flags
+    * online and this answers offline. Ties break to the earliest day.
+    *
+    * Scale shape: the corpus collapses to one row per day (bounded
+    * domain, ≤ a few thousand rows) in a map-side-combined groupBy;
+    * the prefix sums, the per-split statistic, and the argmax all run
+    * on that tiny frame (the single-partition window is bounded by the
+    * date domain, not the data — same argument as [[ewmaDaily]]).
+    * Prefix revenue accumulates DECIMAL (order-independent); B(t) is
+    * then pure IEEE-double arithmetic on exact inputs, identical in
+    * any engine, so the argmax is deterministic. */
+  def changePoint(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"))
+    val w = Window.orderBy("day")
+    val cum = daily.select(col("day"),
+      row_number().over(w).cast("bigint").as("t"),
+      sum(col("rev")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)).as("s1"))
+    val tot = daily.agg(count(lit(1)).as("dd"),
+      sum(col("rev")).as("ss"))
+    val b = cum.crossJoin(tot).filter(col("t") < col("dd"))
+      .select(col("day"), col("t"), col("dd"),
+        (col("s1").cast("double") / col("t")).as("m1"),
+        ((col("ss") - col("s1")).cast("double") / (col("dd") - col("t")))
+          .as("m2"))
+      .withColumn("b_stat",
+        (col("t") * (col("dd") - col("t"))).cast("double") / col("dd") *
+          (col("m1") - col("m2")) * (col("m1") - col("m2")))
+    // the means are rationals (decimal/int) that CAN land exactly on a
+    // .xx5 boundary — use the portable floor(z·100+0.5) round, not
+    // round() (engines disagree on the half mode for doubles)
+    def r2(c: Column) = floor(c * lit(100.0) + lit(0.5)) / lit(100.0)
+    b.orderBy(col("b_stat").desc, col("day")).limit(1)
+      .select(col("day").as("split_day"), col("t").as("n_days_before"),
+        (col("dd") - col("t")).as("n_days_after"),
+        r2(col("m1")).as("mean_before"),
+        r2(col("m2")).as("mean_after"),
+        r2(col("b_stat")).as("b_stat"))
+  }
 }

@@ -282,6 +282,53 @@ object EvalOps {
         .as("baseline_acc"))
   }
 
+  /** Isotonic (monotone) calibration of the stopword-ratio score against
+    * the `lang = 'en'` label via the minimax characterization of the
+    * pool-adjacent-violators fit: over score centiles,
+    * `iso(i) = max_{j≤i} min_{k≥i} pooledRate(j..k)` — the exact PAV
+    * solution, no iteration. The monotone-rate curve is what turns a
+    * ranking score into a usable probability when the reliability
+    * diagram ([[calibrationReport]]) shows non-monotone buckets.
+    *
+    * Scale shape: the corpus collapses to ≤ 101 centile rows in one
+    * map-side-combined groupBy; the O(B²) pair frame (≤ ~5k rows), its
+    * running-min window, and the final max-per-bin all run on that tiny
+    * domain — the minimax double loop never touches documents. Pooled
+    * rates are integer/integer divisions (IEEE-identical everywhere);
+    * output rounds via the portable floor(z·10⁶+0.5) (ratios of small
+    * ints DO land on exact half boundaries, where engines' round()
+    * half-modes disagree). */
+  def isotonicCalibration(docs: DataFrame): DataFrame = {
+    val per = scoredDocs(docs)
+      .groupBy(expr("sri DIV 100").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val cw = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = per.select(col("bin"), col("n"), col("n_pos"),
+      sum(col("n")).over(cw).as("cn"),
+      sum(col("n_pos")).over(cw).as("cp"))
+    val lo = cum.select(col("bin").as("j"),
+      (col("cn") - col("n")).as("cnj"), (col("cp") - col("n_pos")).as("cpj"))
+    val pairs = lo.join(
+        cum.select(col("bin").as("k"), col("cn"), col("cp")),
+        col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cp") - col("cpj")).cast("double") /
+          (col("cn") - col("cnj")).cast("double")).as("a"))
+    val tailMin = Window.partitionBy("j").orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fitted = pairs.withColumn("mn", min(col("a")).over(tailMin))
+      .groupBy(col("k").as("bin")).agg(max(col("mn")).as("iso"))
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    per.join(fitted, Seq("bin"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        r6(col("n_pos").cast("double") / col("n").cast("double"))
+          .as("rate_raw"),
+        r6(col("iso")).as("rate_iso"))
+      .orderBy("bin")
+  }
+
   /** Item-item collaborative filtering over the co-purchase graph:
     * cosine-normalised co-occurrence `cooc(a,b) / √(freq(a)·freq(b))`,
     * top-5 neighbours per item — "customers who bought X also bought Y".

@@ -1,0 +1,81 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.analytics.{EventAnalytics, StatsAnalytics}
+import graft.ext.EvalOps
+
+/** Round-11 additions: linear multi-touch attribution, exact single
+  * change-point detection, isotonic (PAV-minimax) calibration, and
+  * co-purchase degree assortativity. Hand-built fixtures with answers
+  * computed by hand. */
+class Round11OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("attribution: linear split, window exclusion, direct fallback") {
+    // User 1: view+click inside the 7-day window of both purchases (the
+    // second view is 8 days out — excluded); each purchase splits evenly.
+    // User 2 purchases with no touches — full value to 'direct'.
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00"), 1L, "view", None: Option[Double]),
+      (2L, ts("2024-01-09 09:00:00"), 1L, "view", None),
+      (3L, ts("2024-01-09 10:00:00"), 1L, "click", None),
+      (4L, ts("2024-01-10 10:00:00"), 1L, "purchase", Some(100.0)),
+      (5L, ts("2024-01-10 11:00:00"), 1L, "purchase", Some(10.0)),
+      (6L, ts("2024-01-10 12:00:00"), 2L, "purchase", Some(40.0))
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventAnalytics.attribution(ev)
+      .as[(String, Long, Double)].collect().toList
+    assert(out == List(
+      ("click", 2L, 55.0), ("direct", 1L, 40.0), ("view", 2L, 55.0)))
+  }
+
+  test("changePoint: the 10,10,50,50 series splits after day 2") {
+    val orders = Seq(
+      (1L, ts("2024-03-01 00:00:00"), 10.0),
+      (2L, ts("2024-03-02 00:00:00"), 10.0),
+      (3L, ts("2024-03-03 00:00:00"), 50.0),
+      (4L, ts("2024-03-04 00:00:00"), 50.0)
+    ).toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = StatsAnalytics.changePoint(orders)
+      .select("split_day", "n_days_before", "n_days_after",
+        "mean_before", "mean_after", "b_stat")
+      .as[(java.sql.Date, Long, Long, Double, Double, Double)]
+      .collect().toList
+    // B(2) = 2·2/4·(10−50)² = 1600, strictly above B(1) = B(3) ≈ 533.3
+    assert(out == List(
+      (java.sql.Date.valueOf("2024-03-02"), 2L, 2L, 10.0, 50.0, 1600.0)))
+  }
+
+  test("isotonicCalibration: pools the violating bins to the PAV fit") {
+    // Bin rates (weight): 0.5 (2 docs), 0.0 (1), 1.0 (1) — the first two
+    // violate monotonicity and pool to 1/3; the last stays at 1.
+    val docs = Seq(
+      (1L, "x y", "en"), (2L, "z w", "de"),
+      (3L, "the x x x", "de"), (4L, "the the", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = EvalOps.isotonicCalibration(docs)
+      .as[(Long, Long, Long, Double, Double)].collect().toList
+    assert(out == List(
+      (0L, 2L, 1L, 0.5, 0.333333),
+      (25L, 1L, 0L, 0.0, 0.333333),
+      (100L, 1L, 1L, 1.0, 1.0)))
+    // the fitted curve is monotone even where the raw rates are not
+    val iso = out.map(_._5)
+    assert(iso == iso.sorted)
+  }
+
+  test("assortativity: directed edge count is even, r stays in [-1, 1]") {
+    val out = graft.analytics.GraphAnalytics
+      .assortativity(spark, "/root/testdata/sf0.001")
+      .as[(Long, Double, Double)].collect().toList
+    assert(out.size == 1)
+    val (nEdges, meanDeg, r) = out.head
+    // both directions of every undirected edge are present
+    assert(nEdges > 0L && nEdges % 2 == 0)
+    assert(meanDeg >= 1.0)
+    assert(r >= -1.0 && r <= 1.0)
+  }
+}

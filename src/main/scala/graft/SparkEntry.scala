@@ -1501,6 +1501,14 @@ object SparkEntry {
     // degree assortativity of the co-purchase graph (Pearson over edges)
     "q_assortativity" -> ((s, d) =>
       graft.analytics.GraphAnalytics.assortativity(s, d)),
+    // iterative k-core peel census over the co-purchase graph
+    "q_kcore" -> ((s, d) =>
+      graft.analytics.GraphAnalytics.coPurchaseKCore(s, d)),
+    // leave-one-out hit-rate@5 for the item-CF neighbour lists
+    "q_cf_hitrate" -> ((s, d) => graft.ext.EvalOps.cfHitRate(s, d)),
+    // l-diversity audit of the sensitive user_id per quasi-id group
+    "q_l_diversity" -> ((s, d) =>
+      StatsAnalytics.lDiversity(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -5735,5 +5743,101 @@ object SparkEntry {
                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
              AS assortativity
          FROM mo""",
+    // Three unrolled peel rounds (fixed budget, same as the engine);
+    // round 4 is the surviving-core census. NOT IN is safe: no NULLs.
+    "q_kcore" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         cnt AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e0 AS (SELECT pa AS a, pb AS b FROM cnt
+           UNION ALL SELECT pb, pa FROM cnt),
+         n0 AS (SELECT DISTINCT a AS node FROM e0),
+         k1 AS (SELECT a AS node FROM e0 GROUP BY 1
+           HAVING count(*) >= 2),
+         r1 AS (SELECT node FROM n0
+           WHERE node NOT IN (SELECT node FROM k1)),
+         n1 AS (SELECT node FROM n0
+           WHERE node IN (SELECT node FROM k1)),
+         e1 AS (SELECT a, b FROM e0
+           WHERE a IN (SELECT node FROM k1)
+             AND b IN (SELECT node FROM k1)),
+         k2 AS (SELECT a AS node FROM e1 GROUP BY 1
+           HAVING count(*) >= 2),
+         r2 AS (SELECT node FROM n1
+           WHERE node NOT IN (SELECT node FROM k2)),
+         n2 AS (SELECT node FROM n1
+           WHERE node IN (SELECT node FROM k2)),
+         e2 AS (SELECT a, b FROM e1
+           WHERE a IN (SELECT node FROM k2)
+             AND b IN (SELECT node FROM k2)),
+         k3 AS (SELECT a AS node FROM e2 GROUP BY 1
+           HAVING count(*) >= 2),
+         r3 AS (SELECT node FROM n2
+           WHERE node NOT IN (SELECT node FROM k3)),
+         n3 AS (SELECT node FROM n2
+           WHERE node IN (SELECT node FROM k3)),
+         allr AS (
+           SELECT 1 AS rr, node FROM r1
+           UNION ALL SELECT 2, node FROM r2
+           UNION ALL SELECT 3, node FROM r3
+           UNION ALL SELECT 4, node FROM n3)
+         SELECT CAST(rr AS BIGINT) AS round,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+         FROM allr GROUP BY 1 ORDER BY 1""",
+    // Same neighbour CTEs as q_item_cf; the eval holds out max(part).
+    "q_cf_hitrate" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_orders
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         freq AS (SELECT l_partkey AS item,
+             CAST(count(*) AS BIGINT) AS n_item FROM op GROUP BY 1),
+         sym AS (SELECT part_a AS item, part_b AS other, n_orders FROM pr
+           UNION ALL SELECT part_b, part_a, n_orders FROM pr),
+         sc AS (SELECT s.item, s.other,
+             s.n_orders / sqrt(CAST(fa.n_item * fb.n_item AS DOUBLE))
+               AS sim
+           FROM sym s JOIN freq fa ON fa.item = s.item
+             JOIN freq fb ON fb.item = s.other),
+         r AS (SELECT *, row_number() OVER (PARTITION BY item
+             ORDER BY sim DESC, other) AS rnk FROM sc),
+         nb AS (SELECT item, other FROM r WHERE rnk <= 5),
+         ev AS (SELECT l_orderkey, max(l_partkey) AS target
+           FROM op GROUP BY 1 HAVING count(*) >= 2),
+         hits AS (SELECT DISTINCT c.l_orderkey
+           FROM op c JOIN ev ON ev.l_orderkey = c.l_orderkey
+             AND c.l_partkey <> ev.target
+           JOIN nb ON nb.item = c.l_partkey AND nb.other = ev.target),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_eval FROM ev),
+         h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM hits)
+         SELECT n_eval, n_hits,
+           floor(CAST(n_hits AS DOUBLE) / CAST(n_eval AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS hit_rate
+         FROM a CROSS JOIN h""",
+    // The sensitive attribute is user_id; quasi-keys match q_k_anonymity.
+    "q_l_diversity" ->
+      """WITH q AS (
+           SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(floor(value / 50.0) AS BIGINT) AS vb, user_id
+           FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL AND user_id IS NOT NULL),
+         g AS (
+           SELECT event_type, d, vb, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS ldiv
+           FROM q GROUP BY 1, 2, 3)
+         SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN ldiv < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_div_groups,
+           CAST(sum(CASE WHEN ldiv < 3 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(min(ldiv) AS BIGINT) AS min_l,
+           CAST(3 AS BIGINT) AS l
+         FROM g""",
   )
 }

@@ -180,6 +180,60 @@ object GraphAnalytics {
       .limit(k)
   }
 
+  /** Iterative k-core peeling over a symmetric edge frame: each round
+    * recomputes in-subgraph degrees and removes nodes below `k`
+    * (including nodes isolated by earlier removals), for a fixed
+    * `rounds` budget. Emits the per-round removal census plus a final
+    * `rounds + 1` row for the surviving core — the coreness profile
+    * that separates a catalog's connected backbone from the tail a
+    * recommender can't anchor on. Fixed round count keeps the output
+    * deterministic whether or not the peel has converged (both engines
+    * run the same budget); rounds that remove nothing emit no row.
+    *
+    * Scale shape: same discipline as [[bfsHops]] — every step is a
+    * node-keyed aggregate plus two semi joins, `localCheckpoint`
+    * truncates lineage per round, and nothing node- or edge-sized ever
+    * reaches the driver. */
+  def kCorePeel(symEdges: DataFrame, k: Int = 2,
+                rounds: Int = 3): DataFrame = {
+    var edges = symEdges.localCheckpoint()
+    var nodes = edges.select(col("a").as("node")).distinct()
+      .localCheckpoint()
+    var removed: DataFrame = null
+    for (r <- 1 to rounds) {
+      val keepIds = edges.groupBy(col("a").as("dn"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("dn"))
+      val rem = nodes.join(keepIds, col("node") === col("dn"), "left_anti")
+        .withColumn("round", lit(r.toLong))
+      removed = (if (removed == null) rem else removed.unionAll(rem))
+        .localCheckpoint()
+      nodes = nodes.join(keepIds, col("node") === col("dn"), "left_semi")
+        .localCheckpoint()
+      edges = edges
+        .join(keepIds, col("a") === col("dn"), "left_semi")
+        .join(keepIds.select(col("dn").as("dn2")),
+          col("b") === col("dn2"), "left_semi")
+        .localCheckpoint()
+    }
+    removed.unionAll(nodes.withColumn("round", lit((rounds + 1).toLong)))
+      .groupBy("round")
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).cast("bigint").as("min_node"),
+        max(col("node")).cast("bigint").as("max_node"))
+      .orderBy("round")
+  }
+
+  /** [[kCorePeel]] over the support-floored co-purchase graph. */
+  def coPurchaseKCore(spark: SparkSession, sfDir: String, k: Int = 2,
+                      rounds: Int = 3, minSupport: Long = 2L): DataFrame = {
+    val pairs = StarAnalytics.coPurchaseCounts(spark, sfDir)
+      .filter(col("n_orders") >= minSupport)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+    kCorePeel(pairs.unionAll(pairs.select(col("b").as("a"),
+      col("a").as("b"))), k, rounds)
+  }
+
   /** Degree assortativity of the (support-floored) co-purchase graph:
     * the Pearson correlation of endpoint degrees over the directed edge
     * list (Newman, "Assortative mixing in networks"). Positive r means

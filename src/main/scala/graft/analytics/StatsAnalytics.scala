@@ -765,6 +765,31 @@ object StatsAnalytics {
       .withColumn("k", lit(k))
   }
 
+  /** l-diversity audit — the companion to [[kAnonymity]]: a group of
+    * identical quasi-identifiers (event type, day, value bucket) is safe
+    * only if its SENSITIVE attribute (user_id here) takes at least `l`
+    * distinct values; a large group whose rows all belong to one user
+    * still leaks (the homogeneity attack k-anonymity misses). One
+    * quasi-key aggregate with an exact distinct; the rollup is a one-row
+    * second pass over group-cardinality data. At the 100 TB design point
+    * swap the exact distinct for HLL only if the audit is advisory —
+    * a compliance gate needs the exact count. */
+  def lDiversity(ev: DataFrame, l: Long = 3L): DataFrame = {
+    val quasi = ev.filter(col("event_type").isNotNull &&
+        col("ts").isNotNull && col("value").isNotNull &&
+        col("user_id").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        floor(col("value") / 50.0).cast("bigint").as("vb"), col("user_id"))
+    quasi.groupBy("event_type", "d", "vb")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("ldiv"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("ldiv") < l, 1L).otherwise(0L)).as("n_low_div_groups"),
+        sum(when(col("ldiv") < l, col("n")).otherwise(0L)).as("rows_at_risk"),
+        min(col("ldiv")).as("min_l"))
+      .withColumn("l", lit(l))
+  }
+
   /** Late-arrival backfill planner: per-date row counts of the previous
     * snapshot (simulated here as the deterministic subset missing
     * event_id % 97 == 0 — the "late" rows a daily load hadn't seen yet)

@@ -363,4 +363,38 @@ object EvalOps {
         round(col("sim"), 6).as("sim"), col("rnk"))
       .orderBy("item", "rnk")
   }
+
+  /** Leave-one-out hit-rate@k for the [[itemCF]] recommender: per
+    * multi-item order, hold out the max part id and count the order a
+    * hit when any remaining item's top-k neighbour list contains the
+    * held-out part — the offline eval that decides whether the CF
+    * neighbours are worth serving. Closes the loop on `q_item_cf` the
+    * way `q_ann_recall` does for the IVF index.
+    *
+    * Scale shape: the held-out target rides the per-order aggregate
+    * (max is one of the standard LOO splits and needs no second scan);
+    * the context⋈neighbour probe is a hash join on the item key against
+    * a catalog×k frame; all counts are integers and the single ratio
+    * rounds via the portable floor form. */
+  def cfHitRate(spark: SparkSession, sfDir: String,
+                topK: Int = 5): DataFrame = {
+    val nbrs = itemCF(spark, sfDir, topK).select(col("item"), col("other"))
+    val op = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val eval = op.groupBy("l_orderkey")
+      .agg(max(col("l_partkey")).as("target"),
+        count(lit(1)).as("n_items"))
+      .filter(col("n_items") >= 2)
+    val hits = op.join(eval, Seq("l_orderkey"))
+      .filter(col("l_partkey") =!= col("target"))
+      .select(col("l_orderkey"), col("l_partkey").as("item"), col("target"))
+      .join(nbrs, Seq("item"))
+      .filter(col("other") === col("target"))
+      .select(col("l_orderkey")).distinct()
+    eval.agg(count(lit(1)).as("n_eval"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_eval"), col("n_hits"),
+        (floor(col("n_hits").cast("double") / col("n_eval").cast("double")
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("hit_rate"))
+  }
 }

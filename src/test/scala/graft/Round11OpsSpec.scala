@@ -67,6 +67,46 @@ class Round11OpsSpec extends SparkSpec {
     assert(iso == iso.sorted)
   }
 
+  test("kCorePeel: path peels inward round by round, triangle survives") {
+    // Path 1-2-3-4-5 + triangle 6-7-8: round 1 removes the path's
+    // endpoints, round 2 its new endpoints, round 3 the isolated middle
+    // (a node with NO remaining edges must still be peeled); the
+    // triangle is the 2-core.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 8L), (6L, 8L)).toDF("a", "b")
+    val sym = und.unionAll(und.select($"b".as("a"), $"a".as("b")))
+    val out = graft.analytics.GraphAnalytics.kCorePeel(sym, k = 2, rounds = 3)
+      .as[(Long, Long, Long, Long)].collect().toList
+    assert(out == List(
+      (1L, 2L, 1L, 5L), (2L, 2L, 2L, 4L), (3L, 1L, 3L, 3L),
+      (4L, 3L, 6L, 8L)))
+  }
+
+  test("cfHitRate: counts bounded, ratio matches the portable round") {
+    val out = graft.ext.EvalOps.cfHitRate(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect().toList
+    assert(out.size == 1)
+    val (nEval, nHits, rate) = out.head
+    assert(nEval > 0L && nHits >= 0L && nHits <= nEval)
+    assert(rate == math.floor(
+      nHits.toDouble / nEval.toDouble * 1000000.0 + 0.5) / 1000000.0)
+  }
+
+  test("lDiversity: homogeneous group flagged even though it is large") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 10.0),
+      (2L, ts("2024-01-01 11:00:00"), 2L, "view", 12.0),
+      (3L, ts("2024-01-01 12:00:00"), 3L, "view", 14.0),
+      (4L, ts("2024-01-01 13:00:00"), 1L, "click", 10.0),
+      (5L, ts("2024-01-01 14:00:00"), 1L, "click", 12.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = StatsAnalytics.lDiversity(ev)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    // the 3-user view group is safe; the 2-row click group is all one
+    // user — low diversity despite being a multi-row group
+    assert(out == List((2L, 1L, 2L, 1L, 3L)))
+  }
+
   test("assortativity: directed edge count is even, r stays in [-1, 1]") {
     val out = graft.analytics.GraphAnalytics
       .assortativity(spark, "/root/testdata/sf0.001")

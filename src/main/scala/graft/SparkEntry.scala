@@ -1509,6 +1509,12 @@ object SparkEntry {
     // l-diversity audit of the sensitive user_id per quasi-id group
     "q_l_diversity" -> ((s, d) =>
       StatsAnalytics.lDiversity(Tables.events(s, d))),
+    // Lorenz concentration table over customer lifetime spend
+    "q_lorenz" -> ((s, d) =>
+      StatsAnalytics.lorenzDeciles(Tables.orders(s, d))),
+    // Fano factor (variance/mean of daily arrivals) per event type
+    "q_burstiness" -> ((s, d) =>
+      StatsAnalytics.burstiness(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -5839,5 +5845,51 @@ object SparkEntry {
            CAST(min(ldiv) AS BIGINT) AS min_l,
            CAST(3 AS BIGINT) AS l
          FROM g""",
+    // Customers aggregate before the ntile; cumulative share is a
+    // decimal/decimal rational → portable floor round.
+    "q_lorenz" ->
+      """WITH per AS (
+           SELECT o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+           FROM orders GROUP BY 1),
+         d AS (SELECT o_custkey, spend,
+             CAST(ntile(10) OVER (ORDER BY spend, o_custkey) AS BIGINT)
+               AS decile
+           FROM per),
+         bd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             sum(spend) AS dspend
+           FROM d GROUP BY 1),
+         tot AS (SELECT sum(dspend) AS total FROM bd)
+         SELECT decile, n_customers,
+           CAST(round(dspend, 2) AS DOUBLE) AS spend,
+           floor(CAST(sum(dspend) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / CAST(total AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS cum_share
+         FROM bd CROSS JOIN tot ORDER BY decile""",
+    // Sample variance from exact integer sums; outputs are rationals
+    // of integers → portable floor rounds.
+    "q_burstiness" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(c * c) AS BIGINT) AS scc
+           FROM daily GROUP BY 1),
+         x AS (SELECT event_type, n_days,
+             CAST(sc AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+             (CAST(n_days AS DOUBLE) * CAST(scc AS DOUBLE)
+               - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) /
+               (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0))
+               AS variance
+           FROM m WHERE n_days > 1)
+         SELECT event_type, n_days,
+           floor(mean * 1000000.0 + 0.5) / 1000000.0 AS mean_daily,
+           floor(variance * 1000000.0 + 0.5) / 1000000.0 AS var_daily,
+           floor(variance / mean * 1000000.0 + 0.5) / 1000000.0 AS fano
+         FROM x ORDER BY event_type""",
   )
 }

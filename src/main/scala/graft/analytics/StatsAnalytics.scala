@@ -765,6 +765,70 @@ object StatsAnalytics {
       .withColumn("k", lit(k))
   }
 
+  /** Lorenz curve over customer lifetime spend: customers sorted into
+    * spend deciles (deterministic tiebreak on the key), reporting each
+    * decile's customer count, spend, and the cumulative share of total
+    * revenue — the "top decile is X% of revenue" concentration table
+    * behind [[giniBySegment]]'s scalar.
+    *
+    * Scale shape: orders collapse to one row per customer (decimal
+    * sums) BEFORE any ordering, so the ntile ranks a customer-
+    * cardinality frame, not orders (same global-window precedent as
+    * q_value_deciles — at the 100 TB design point swap ntile for
+    * percentile-boundary bucketing to avoid the single-partition sort).
+    * The cumulative share runs over exactly 10 decile rows; shares are
+    * decimal/decimal rationals → portable floor rounds. */
+  def lorenzDeciles(orders: DataFrame): DataFrame = {
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("spend"))
+    val d = per.select(col("o_custkey"), col("spend"),
+      ntile(10).over(Window.orderBy(col("spend"), col("o_custkey")))
+        .cast("bigint").as("decile"))
+    val byDecile = d.groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum(col("spend")).as("dspend"))
+    val tot = byDecile.agg(sum(col("dspend")).as("total"))
+    byDecile.crossJoin(tot)
+      .select(col("decile"), col("n_customers"),
+        round(col("dspend"), 2).cast("double").as("spend"),
+        (floor(sum(col("dspend"))
+            .over(Window.orderBy("decile")
+              .rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double") / col("total").cast("double")
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  /** Burstiness (Fano factor) of daily event arrivals per type: the
+    * variance-to-mean ratio of the per-day counts — 1 is Poisson,
+    * above is bursty, below is regular. Bursty types need time-salted
+    * partitioning; regular ones can stream through fixed shards — the
+    * dispersion diagnostic behind that choice.
+    *
+    * Counts are integers, so mean and sample variance come from the
+    * exact sums `(D·Σc² − (Σc)²) / (D·(D−1))`; every output is a
+    * rational of integers → portable floor rounds. Two nested
+    * map-side-combined aggregates, nothing else. */
+  def burstiness(ev: DataFrame): DataFrame = {
+    val daily = ev.filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    def r6(c: Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val m = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+    val dd = col("n_days").cast("double")
+    val mean = col("sc").cast("double") / dd
+    val variance = (dd * col("scc").cast("double") -
+      col("sc").cast("double") * col("sc").cast("double")) /
+      (dd * (dd - lit(1.0)))
+    m.filter(col("n_days") > 1)
+      .select(col("event_type"), col("n_days"),
+        r6(mean).as("mean_daily"), r6(variance).as("var_daily"),
+        r6(variance / mean).as("fano"))
+      .orderBy("event_type")
+  }
+
   /** l-diversity audit — the companion to [[kAnonymity]]: a group of
     * identical quasi-identifiers (event type, day, value bucket) is safe
     * only if its SENSITIVE attribute (user_id here) takes at least `l`

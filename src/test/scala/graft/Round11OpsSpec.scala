@@ -107,6 +107,35 @@ class Round11OpsSpec extends SparkSpec {
     assert(out == List((2L, 1L, 2L, 1L, 3L)))
   }
 
+  test("lorenzDeciles: 1..10 spends give the triangular cumulative shares") {
+    val orders = (1 to 10).map(i => (i.toLong, i.toDouble))
+      .toDF("o_custkey", "o_totalprice")
+    val out = StatsAnalytics.lorenzDeciles(orders)
+      .as[(Long, Long, Double, Double)].collect().toList
+    val cum = List(0.018182, 0.054545, 0.109091, 0.181818, 0.272727,
+      0.381818, 0.509091, 0.654545, 0.818182, 1.0)
+    assert(out == (1 to 10).map(i =>
+      (i.toLong, 1L, i.toDouble, cum(i - 1))).toList)
+  }
+
+  test("burstiness: constant arrivals give fano 0, dispersed give 1") {
+    val ev = Seq(
+      // type a: 2,2,2 per day — variance 0
+      (1L, ts("2024-01-01 01:00:00"), "a"), (2L, ts("2024-01-01 02:00:00"), "a"),
+      (3L, ts("2024-01-02 01:00:00"), "a"), (4L, ts("2024-01-02 02:00:00"), "a"),
+      (5L, ts("2024-01-03 01:00:00"), "a"), (6L, ts("2024-01-03 02:00:00"), "a"),
+      // type b: 1,3 per day — mean 2, sample variance 2, fano 1
+      (7L, ts("2024-01-01 03:00:00"), "b"),
+      (8L, ts("2024-01-02 03:00:00"), "b"), (9L, ts("2024-01-02 04:00:00"), "b"),
+      (10L, ts("2024-01-02 05:00:00"), "b"),
+      // type c: a single day — dropped (variance undefined)
+      (11L, ts("2024-01-01 06:00:00"), "c")
+    ).toDF("event_id", "ts", "event_type")
+    val out = StatsAnalytics.burstiness(ev)
+      .as[(String, Long, Double, Double, Double)].collect().toList
+    assert(out == List(("a", 3L, 2.0, 0.0, 0.0), ("b", 2L, 2.0, 2.0, 1.0)))
+  }
+
   test("assortativity: directed edge count is even, r stays in [-1, 1]") {
     val out = graft.analytics.GraphAnalytics
       .assortativity(spark, "/root/testdata/sf0.001")

@@ -498,12 +498,14 @@ object EventAnalytics {
     * Scale shape: both sides prune to 3–4 columns before the user-keyed
     * join; the join fan-out is bounded by per-user activity in a 7-day
     * window (per-user-bounded, like sessionize — salt the key if one
-    * user is a bot). The per-purchase touch total comes from a window
-    * over the ALREADY purchase-keyed aggregate, reusing the groupBy's
-    * hash partitioning instead of a second shuffle. Per-row credit
-    * `value·cnt/n` is the same IEEE expression both engines evaluate;
-    * the cross-purchase sum accumulates DECIMAL(28,12) — exact, so the
-    * 2dp round is partition-order-independent. */
+    * user is a bot). The channel domain is fixed, so the per-purchase
+    * channel counts AND total collapse in ONE purchase-keyed aggregate
+    * as conditional sums (no window, no second shuffle of the purchase
+    * key, no sort); a bounded array explode then unpivots the credits.
+    * Per-row credit `value·cnt/n` is the same IEEE expression both
+    * engines evaluate; the cross-purchase sum accumulates
+    * DECIMAL(28,12) — exact, so the 2dp round is partition-order-
+    * independent. */
   def attribution(ev: DataFrame, windowDays: Int = 7): DataFrame = {
     val winUs = windowDays * 86400L * 1000000L
     val p = ev.filter(col("user_id").isNotNull &&
@@ -514,18 +516,29 @@ object EventAnalytics {
         col("event_type").isin("view", "click"))
       .select(col("user_id").as("t_user"), unix_micros(col("ts")).as("t_us"),
         col("event_type").as("channel"))
-    val perType = p.join(t,
+    val per = p.join(t,
         col("p_user") === col("t_user") && col("t_us") <= col("p_us") &&
           col("t_us") >= col("p_us") - lit(winUs), "left")
-      .groupBy(col("p_id"), col("value"), col("channel"))
-      .agg(count(col("t_us")).as("cnt"))
-    val byPurchase = org.apache.spark.sql.expressions.Window
-      .partitionBy("p_id")
-    val credited = perType
-      .withColumn("n", sum(col("cnt")).over(byPurchase))
-      .select(coalesce(col("channel"), lit("direct")).as("channel"),
-        when(col("channel").isNull, col("value"))
-          .otherwise(col("value") * col("cnt") / col("n")).as("credit"))
+      .groupBy(col("p_id"), col("value"))
+      .agg(sum(when(col("channel") === "view", 1L).otherwise(0L))
+          .as("n_view"),
+        sum(when(col("channel") === "click", 1L).otherwise(0L))
+          .as("n_click"))
+    val n = col("n_view") + col("n_click")
+    // ANSI guard: the n = 0 structs are filtered out below, but the
+    // division still evaluates — NULL divisor instead of a 0-divide
+    val nSafe = when(n === 0L, lit(null)).otherwise(n)
+    val credited = per.select(explode(filter(array(
+        struct(lit("view").as("channel"),
+          (col("value") * col("n_view") / nSafe).as("credit"),
+          col("n_view").as("cnt")),
+        struct(lit("click").as("channel"),
+          (col("value") * col("n_click") / nSafe).as("credit"),
+          col("n_click").as("cnt")),
+        struct(lit("direct").as("channel"), col("value").as("credit"),
+          when(n === 0L, 1L).otherwise(0L).as("cnt"))),
+        s => s.getField("cnt") > 0L)).as("e"))
+      .select(col("e.channel").as("channel"), col("e.credit").as("credit"))
     credited.groupBy("channel")
       .agg(count(lit(1)).as("n_purchases"),
         round(sum(col("credit").cast("decimal(28,12)")), 2).cast("double")

@@ -340,16 +340,49 @@ class PlanShapeSpec extends SparkSpec {
 
   test("item-CF top-k plans a WindowGroupLimit; the catalog-scaling freq " +
     "joins carry no forced broadcast") {
-    val plan = physical(graft.ext.EvalOps.itemCF(spark, sf))
+    val plan = physical(graft.ext.EvalOps.itemCFUncached(spark, sf))
     assert(plan.contains("WindowGroupLimit"), plan.take(600))
     // no broadcast HINT on freq: degrading under a disabled auto-broadcast
     // threshold proves nothing is pinned to executor memory
     val noAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val degraded = physical(graft.ext.EvalOps.itemCF(spark, sf))
+      val degraded = physical(graft.ext.EvalOps.itemCFUncached(spark, sf))
       assert(!degraded.contains("BroadcastHashJoin"), degraded.take(600))
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", noAuto)
+  }
+
+  test("isotonic minimax runs over the centile aggregate, never documents") {
+    val plan = physical(graft.ext.EvalOps.isotonicCalibration(
+      Tables.documents(spark, sf)))
+    // same outer-first argument as the AUC pin: every Window sits ABOVE
+    // the deepest partial aggregate that collapses the corpus to centiles
+    assert(plan.contains("Window"), plan.take(600))
+    assert(plan.indexOf("Window") < plan.lastIndexOf("partial_"),
+      plan.take(600))
+  }
+
+  test("attribution collapses channel counts in one purchase-keyed " +
+    "aggregate: no window, just the bounded unpivot explode") {
+    val plan = physical(graft.analytics.EventAnalytics.attribution(
+      Tables.events(spark, sf)))
+    // the fixed channel domain means NO per-purchase window (which would
+    // re-shuffle and sort the purchase key space) — the per-purchase
+    // total is a conditional sum inside the same aggregate, and the
+    // credits unpivot through a bounded Generate
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert(plan.contains("Generate"), plan.take(1200))
+  }
+
+  test("lorenz ntile ranks the per-customer aggregate, not raw orders") {
+    val plan = physical(graft.analytics.StatsAnalytics.lorenzDeciles(
+      Tables.orders(spark, sf)))
+    assert(plan.contains("Window"), plan.take(600))
+    assert(plan.indexOf("ntile") > plan.indexOf("Window") ||
+      plan.contains("ntile"), plan.take(600))
+    // the customer collapse happens below the global window
+    assert(plan.indexOf("Window") < plan.lastIndexOf("partial_"),
+      plan.take(600))
   }
 }

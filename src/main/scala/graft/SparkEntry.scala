@@ -1515,6 +1515,9 @@ object SparkEntry {
     // Fano factor (variance/mean of daily arrivals) per event type
     "q_burstiness" -> ((s, d) =>
       StatsAnalytics.burstiness(Tables.events(s, d))),
+    // Newman-Girvan modularity of the brand partition (integral sums)
+    "q_modularity" -> ((s, d) =>
+      graft.analytics.GraphAnalytics.brandModularity(s, d)),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -5891,5 +5894,42 @@ object SparkEntry {
            floor(variance * 1000000.0 + 0.5) / 1000000.0 AS var_daily,
            floor(variance / mean * 1000000.0 + 0.5) / 1000000.0 AS fano
          FROM x ORDER BY event_type""",
+    // The cross-community sum stays integral (4m·e_c − d_c²) and
+    // divides by 4m² once — order-independent on both engines.
+    "q_modularity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         lab AS (SELECT pr.part_a AS a, pr.part_b AS b,
+             pa.p_brand AS ba, pb.p_brand AS bb
+           FROM pr JOIN part pa ON pa.p_partkey = pr.part_a
+             JOIN part pb ON pb.p_partkey = pr.part_b),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lab),
+         intra AS (SELECT ba AS brand, CAST(count(*) AS BIGINT) AS e_c
+           FROM lab WHERE ba = bb GROUP BY 1),
+         dir AS (SELECT a AS node, ba AS brand FROM lab
+           UNION ALL SELECT b, bb FROM lab),
+         ds AS (SELECT brand, CAST(count(*) AS BIGINT) AS d_c,
+             CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
+           FROM dir GROUP BY 1),
+         per AS (SELECT ds.brand, ds.n_nodes,
+             CAST(coalesce(intra.e_c, 0) AS BIGINT) AS e_c, ds.d_c,
+             4 * mm.m * CAST(coalesce(intra.e_c, 0) AS BIGINT)
+               - ds.d_c * ds.d_c AS num, mm.m
+           FROM ds LEFT JOIN intra ON intra.brand = ds.brand
+             CROSS JOIN mm),
+         tot AS (SELECT CAST(sum(num) AS BIGINT) AS num_tot,
+             max(m) AS m2 FROM per)
+         SELECT per.brand, per.n_nodes, per.e_c AS n_intra_edges,
+           per.d_c AS degree_sum,
+           floor(CAST(per.num AS DOUBLE) /
+             (4.0 * CAST(per.m AS DOUBLE) * CAST(per.m AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS contribution,
+           floor(CAST(tot.num_tot AS DOUBLE) /
+             (4.0 * CAST(tot.m2 AS DOUBLE) * CAST(tot.m2 AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS q_modularity
+         FROM per CROSS JOIN tot ORDER BY per.brand""",
   )
 }

@@ -234,6 +234,66 @@ object GraphAnalytics {
       col("a").as("b"))), k, rounds)
   }
 
+  /** Modularity of the brand partition over the (support-floored)
+    * co-purchase graph: `Q = Σ_c [e_c/m − (d_c/2m)²]` (Newman–Girvan),
+    * asking whether the catalog's brand labels are real communities in
+    * co-purchase behaviour — the go/no-go for brand-sharded layouts of
+    * a recommender's candidate store.
+    *
+    * Numeric discipline: summed ACROSS communities, the per-community
+    * double terms would be partition-order-sensitive — so the sum stays
+    * integral (`Σ_c [4m·e_c − d_c²]`, exact bigint) and divides by 4m²
+    * exactly once. Per-brand contributions are rationals → portable
+    * floor rounds.
+    *
+    * Scale shape: two edge-keyed joins against the catalog-cardinality
+    * brand frame (no broadcast hint — AQE policy as [[pageRank]]), then
+    * brand-cardinality aggregates (≤ 25 rows) and one-row scalar
+    * crossJoins. The graph never materializes per-community. */
+  def brandModularity(spark: SparkSession, sfDir: String,
+                      minSupport: Long = 2L): DataFrame = {
+    val und = StarAnalytics.coPurchaseCounts(spark, sfDir)
+      .filter(col("n_orders") >= minSupport)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+    val brands = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand"))
+    val lab = und
+      .join(brands.select(col("p_partkey").as("a"),
+        col("p_brand").as("ba")), Seq("a"))
+      .join(brands.select(col("p_partkey").as("b"),
+        col("p_brand").as("bb")), Seq("b"))
+    val mRow = lab.agg(count(lit(1)).as("m"))
+    val intra = lab.filter(col("ba") === col("bb"))
+      .groupBy(col("ba").as("brand")).agg(count(lit(1)).as("e_c"))
+    val dirEdges = lab.select(col("a").as("node"), col("ba").as("brand"))
+      .unionAll(lab.select(col("b").as("node"), col("bb").as("brand")))
+    val degSum = dirEdges.groupBy("brand")
+      // countDistinct plans the two-phase expand — no per-group node set
+      // ever sits in one aggregation buffer (collect_set would)
+      .agg(count(lit(1)).as("d_c"),
+        countDistinct(col("node")).as("n_nodes"))
+    val per = degSum.join(intra, Seq("brand"), "left")
+      .select(col("brand"), col("n_nodes"),
+        coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+      .crossJoin(mRow)
+      .withColumn("num", lit(4L) * col("m") * col("e_c") -
+        col("d_c") * col("d_c"))
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val qTot = per.agg(sum(col("num")).as("num_tot"),
+      max(col("m")).as("mm"))
+    per.crossJoin(qTot)
+      .select(col("brand"), col("n_nodes"), col("e_c").as("n_intra_edges"),
+        col("d_c").as("degree_sum"),
+        r6(col("num").cast("double") /
+          (lit(4.0) * col("m").cast("double") * col("m").cast("double")))
+          .as("contribution"),
+        r6(col("num_tot").cast("double") /
+          (lit(4.0) * col("mm").cast("double") * col("mm").cast("double")))
+          .as("q_modularity"))
+      .orderBy("brand")
+  }
+
   /** Degree assortativity of the (support-floored) co-purchase graph:
     * the Pearson correlation of endpoint degrees over the directed edge
     * list (Newman, "Assortative mixing in networks"). Positive r means

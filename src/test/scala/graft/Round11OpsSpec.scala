@@ -136,6 +136,21 @@ class Round11OpsSpec extends SparkSpec {
     assert(out == List(("a", 3L, 2.0, 0.0, 0.0), ("b", 2L, 2.0, 2.0, 1.0)))
   }
 
+  test("brandModularity: contributions sum to Q, accounting closes") {
+    val out = graft.analytics.GraphAnalytics
+      .brandModularity(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toList
+    assert(out.nonEmpty && out.size <= 25)
+    val q = out.map(_._6).distinct
+    assert(q.size == 1, s"q_modularity must repeat identically: $q")
+    assert(q.head >= -0.5 && q.head <= 1.0)
+    // per-brand contributions re-aggregate to Q (within the 6dp rounds)
+    assert(math.abs(out.map(_._5).sum - q.head) < out.size * 1e-6)
+    // degree accounting: Σ d_c = 2m and Σ e_c ≤ m
+    val m2 = out.map(_._4).sum
+    assert(m2 % 2 == 0 && out.map(_._3).sum <= m2 / 2)
+  }
+
   test("assortativity: directed edge count is even, r stays in [-1, 1]") {
     val out = graft.analytics.GraphAnalytics
       .assortativity(spark, "/root/testdata/sf0.001")

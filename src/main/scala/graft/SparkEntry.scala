@@ -1518,6 +1518,11 @@ object SparkEntry {
     // Newman-Girvan modularity of the brand partition (integral sums)
     "q_modularity" -> ((s, d) =>
       graft.analytics.GraphAnalytics.brandModularity(s, d)),
+    // referential-integrity audit over all six star foreign keys
+    "q_ref_integrity" -> ((s, d) => StarAnalytics.refIntegrity(s, d)),
+    // degree histogram + discrete power-law tail MLE (CSN alpha)
+    "q_degree_dist" -> ((s, d) =>
+      graft.analytics.GraphAnalytics.degreeDistribution(s, d)),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -5931,5 +5936,78 @@ object SparkEntry {
              (4.0 * CAST(tot.m2 AS DOUBLE) * CAST(tot.m2 AS DOUBLE))
              * 1000000.0 + 0.5) / 1000000.0 AS q_modularity
          FROM per CROSS JOIN tot ORDER BY per.brand""",
+    // Six independent distinct-child-key anti-joins; a healthy fixture
+    // reports zero orphans — the report, not the zero, is the product.
+    "q_ref_integrity" ->
+      """WITH a AS (
+           SELECT 'customer->nation' AS relationship,
+             (SELECT CAST(count(DISTINCT c_nationkey) AS BIGINT)
+               FROM customer WHERE c_nationkey IS NOT NULL) AS n_child_keys,
+             (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT DISTINCT c_nationkey AS k FROM customer
+                  WHERE c_nationkey IS NOT NULL) ck
+               WHERE k NOT IN (SELECT n_nationkey FROM nation))
+               AS n_orphan_keys
+           UNION ALL SELECT 'lineitem->orders',
+             (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+               FROM lineitem WHERE l_orderkey IS NOT NULL),
+             (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT DISTINCT l_orderkey AS k FROM lineitem
+                  WHERE l_orderkey IS NOT NULL) ck
+               WHERE k NOT IN (SELECT o_orderkey FROM orders))
+           UNION ALL SELECT 'lineitem->part',
+             (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT)
+               FROM lineitem WHERE l_partkey IS NOT NULL),
+             (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT DISTINCT l_partkey AS k FROM lineitem
+                  WHERE l_partkey IS NOT NULL) ck
+               WHERE k NOT IN (SELECT p_partkey FROM part))
+           UNION ALL SELECT 'lineitem->supplier',
+             (SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT)
+               FROM lineitem WHERE l_suppkey IS NOT NULL),
+             (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT DISTINCT l_suppkey AS k FROM lineitem
+                  WHERE l_suppkey IS NOT NULL) ck
+               WHERE k NOT IN (SELECT s_suppkey FROM supplier))
+           UNION ALL SELECT 'orders->customer',
+             (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+               FROM orders WHERE o_custkey IS NOT NULL),
+             (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT DISTINCT o_custkey AS k FROM orders
+                  WHERE o_custkey IS NOT NULL) ck
+               WHERE k NOT IN (SELECT c_custkey FROM customer))
+           UNION ALL SELECT 'supplier->nation',
+             (SELECT CAST(count(DISTINCT s_nationkey) AS BIGINT)
+               FROM supplier WHERE s_nationkey IS NOT NULL),
+             (SELECT CAST(count(*) AS BIGINT) FROM
+               (SELECT DISTINCT s_nationkey AS k FROM supplier
+                  WHERE s_nationkey IS NOT NULL) ck
+               WHERE k NOT IN (SELECT n_nationkey FROM nation)))
+         SELECT relationship, n_child_keys, n_orphan_keys,
+           floor(CAST(n_orphan_keys AS DOUBLE) /
+             CAST(n_child_keys AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS pct_orphans
+         FROM a ORDER BY relationship""",
+    // Same ln both engines produce (entropy precedent); the tail sum
+    // accumulates decimal-cast addends, so it is order-independent.
+    "q_degree_dist" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT pa AS a FROM pr UNION ALL SELECT pb FROM pr),
+         deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg
+           FROM e GROUP BY 1),
+         hist AS (SELECT deg AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+           FROM deg GROUP BY 1),
+         mle AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+             sum(CAST(ln(CAST(deg AS DOUBLE) / 1.5) AS DECIMAL(28,12)))
+               AS lsum
+           FROM deg WHERE deg >= 2)
+         SELECT hist.degree, hist.n_nodes, mle.n_tail,
+           round(1.0 + CAST(mle.n_tail AS DOUBLE)
+             / CAST(mle.lsum AS DOUBLE), 6) AS alpha
+         FROM hist CROSS JOIN mle ORDER BY hist.degree""",
   )
 }

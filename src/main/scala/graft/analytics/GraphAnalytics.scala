@@ -234,6 +234,41 @@ object GraphAnalytics {
       col("a").as("b"))), k, rounds)
   }
 
+  /** Degree distribution of the (support-floored) co-purchase graph
+    * plus the discrete power-law tail exponent via the Clauset–Shalizi–
+    * Newman MLE `α = 1 + n / Σ ln(dᵢ/(dmin−½))` over nodes with
+    * degree ≥ dmin. Whether the tail is heavy (α ≲ 2.5) decides if
+    * degree-targeted skew handling (salting the hubs) is worth wiring
+    * into the co-purchase pipeline at all.
+    *
+    * Scale shape: degrees are one node-keyed aggregate; the histogram
+    * is a degree-keyed aggregate over a bounded domain; the MLE's log
+    * sum accumulates DECIMAL(28,12)-cast addends (each `ln` is the same
+    * IEEE double both engines produce — the entropy/logprob precedent)
+    * so the sum is partition-order-independent; the scalar rides back
+    * on a one-row crossJoin. */
+  def degreeDistribution(spark: SparkSession, sfDir: String,
+                         minSupport: Long = 2L,
+                         dmin: Long = 2L): DataFrame = {
+    val pairs = StarAnalytics.coPurchaseCounts(spark, sfDir)
+      .filter(col("n_orders") >= minSupport)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+    val deg = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      .groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val hist = deg.groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+    val mle = deg.filter(col("deg") >= dmin)
+      .agg(count(lit(1)).as("n_tail"),
+        sum(log(col("deg").cast("double") / (lit(dmin) - lit(0.5)))
+          .cast("decimal(28,12)")).as("lsum"))
+      .select(col("n_tail"),
+        round(lit(1.0) + col("n_tail").cast("double") /
+          col("lsum").cast("double"), 6).as("alpha"))
+    hist.crossJoin(mle)
+      .select(col("deg").as("degree"), col("n_nodes"), col("n_tail"),
+        col("alpha"))
+      .orderBy("degree")
+  }
+
   /** Modularity of the brand partition over the (support-floored)
     * co-purchase graph: `Q = Σ_c [e_c/m − (d_c/2m)²]` (Newman–Girvan),
     * asking whether the catalog's brand labels are real communities in

@@ -771,4 +771,46 @@ object StarAnalytics {
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(k)
   }
+
+  /** Referential-integrity audit across the whole star: for every
+    * child→parent foreign key, the distinct child keys with no parent
+    * row — the first thing a warehouse load gate checks and the
+    * complement of `q_data_contract`'s single-table rules. A healthy
+    * fixture reports zero orphans on every edge; the REPORT (not the
+    * zero) is the product.
+    *
+    * Scale shape: each relationship is `distinct(child key) ⟕̸ parent
+    * key` — the anti join probes parent-key cardinality, never fact
+    * rows, and the six audits are independent one-row aggregates
+    * unioned at the end (each parallelizes internally; nothing is
+    * sequenced through the driver). */
+  def refIntegrity(spark: SparkSession, sfDir: String): DataFrame = {
+    def audit(rel: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String): DataFrame = {
+      val ckeys = child.select(col(ck).as("k"))
+        .filter(col("k").isNotNull).distinct()
+      val orphans = ckeys.join(parent.select(col(pk).as("p")),
+        col("k") === col("p"), "left_anti")
+      ckeys.agg(count(lit(1)).as("n_child_keys"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphan_keys")))
+        .select(lit(rel).as("relationship"), col("n_child_keys"),
+          col("n_orphan_keys"),
+          (floor(col("n_orphan_keys").cast("double") /
+            col("n_child_keys").cast("double") * lit(1000000.0) + lit(0.5))
+            / lit(1000000.0)).as("pct_orphans"))
+    }
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    audit("customer->nation", c, "c_nationkey", n, "n_nationkey")
+      .unionAll(audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey"))
+      .unionAll(audit("lineitem->part", li, "l_partkey", p, "p_partkey"))
+      .unionAll(audit("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"))
+      .unionAll(audit("orders->customer", o, "o_custkey", c, "c_custkey"))
+      .unionAll(audit("supplier->nation", s, "s_nationkey", n, "n_nationkey"))
+      .orderBy("relationship")
+  }
 }

@@ -151,6 +151,32 @@ class Round11OpsSpec extends SparkSpec {
     assert(m2 % 2 == 0 && out.map(_._3).sum <= m2 / 2)
   }
 
+  test("refIntegrity: all six star edges audited, fixture has no orphans") {
+    val out = graft.analytics.StarAnalytics
+      .refIntegrity(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(out.map(_._1) == List("customer->nation", "lineitem->orders",
+      "lineitem->part", "lineitem->supplier", "orders->customer",
+      "supplier->nation"))
+    out.foreach { case (rel, nKeys, nOrph, pct) =>
+      assert(nKeys > 0L, rel)
+      assert(nOrph == 0L && pct == 0.0, s"$rel has orphans")
+    }
+  }
+
+  test("degreeDistribution: histogram closes over 2m, alpha above 1") {
+    val out = graft.analytics.GraphAnalytics
+      .degreeDistribution(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(out.nonEmpty && out.map(_._1) == out.map(_._1).sorted)
+    // sum of degree·count is the directed edge count — always even
+    assert(out.map(t => t._1 * t._2).sum % 2 == 0)
+    val (nTail, alpha) = (out.head._3, out.head._4)
+    assert(out.forall(t => t._3 == nTail && t._4 == alpha))
+    // every tail node contributes ln(deg/1.5) ≥ ln(4/3) > 0
+    assert(nTail > 0L && alpha > 1.0)
+  }
+
   test("assortativity: directed edge count is even, r stays in [-1, 1]") {
     val out = graft.analytics.GraphAnalytics
       .assortativity(spark, "/root/testdata/sf0.001")

@@ -28,12 +28,11 @@ object EvalOps {
     * the deterministic "model score" for the AUC and calibration reports:
     * it genuinely predicts `lang = 'en'` on the fixture corpus. */
   private def scoredDocs(docs: DataFrame): DataFrame = {
-    val toksC = tokens(col("text"))
-    val staged = docs.select(col("lang"), toksC.as("__toks"))
-    val toks = col("__toks")
-    val n = size(toks).cast("bigint")
-    val m = size(filter(toks,
-      t => t.isInCollection(TextAnalysis.LangProfiles.head._2))).cast("bigint")
+    graft.plans.TokenStats.register(docs.sparkSession)
+    val staged = docs.select(col("lang"),
+      graft.plans.TokenStats.token_stats(col("text")).as("__st"))
+    val n = col("__st.n_tokens")
+    val m = col("__st.hits_en")
     val sri = when(n === 0L, lit(0L))
       .otherwise(floor(lit(10000.0) * m / n + lit(0.5)).cast("long"))
     staged.select(sri.as("sri"),
@@ -217,12 +216,12 @@ object EvalOps {
     * pass joins the one-row weight frame back via broadcast crossJoin.
     * Two corpus scans total, no shuffle wider than the scalar agg. */
   def logregNewton(docs: DataFrame): DataFrame = {
-    val staged = docs.select(col("lang"), tokens(col("text")).as("__toks"))
-    val toks = col("__toks")
-    val n = size(toks).cast("bigint")
-    val m = size(filter(toks,
-      t => t.isInCollection(TextAnalysis.LangProfiles.head._2))).cast("bigint")
-    val nd = size(array_distinct(toks)).cast("bigint")
+    graft.plans.TokenStats.register(docs.sparkSession)
+    val staged = docs.select(col("lang"),
+      graft.plans.TokenStats.token_stats(col("text")).as("__st"))
+    val n = col("__st.n_tokens")
+    val m = col("__st.hits_en")
+    val nd = col("__st.n_distinct")
     val sri = when(n === 0L, lit(0L))
       .otherwise(floor(lit(10000.0) * m / n + lit(0.5)).cast("long"))
     val rri = when(n === 0L, lit(0L))

@@ -25,15 +25,15 @@ object TextAnalysis {
   /** Quality metrics per document: token counts (whitespace + BPE-ish
     * regex), average token length, punctuation & stopword ratios. */
   def textStats(docs: DataFrame): DataFrame = {
+    graft.plans.TokenStats.register(docs.sparkSession)
     val staged = docs.select(col("doc_id"), col("text"),
-      tokens(col("text")).as("__toks"))
-    val toks = col("__toks") // attribute read — tokenize once per row
-    val nToks = size(toks).cast("bigint")
+      graft.plans.TokenStats.token_stats(col("text")).as("__st"))
+    val nToks = col("__st.n_tokens") // one native tokenize pass per row
     val charLen = length(col("text")).cast("bigint")
     val punct = (length(col("text")) -
       length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("bigint")
-    val stopHits = hits(toks, LangProfiles.head._2)
-    val sumTokLen = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    val stopHits = col("__st.hits_en")
+    val sumTokLen = col("__st.sum_chars")
     val bpe = regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
       .cast("bigint")
     staged.select(
@@ -52,10 +52,11 @@ object TextAnalysis {
   /** Stopword-vote language ID with deterministic profile-order tiebreak.
     * Returns (doc_id, lang (labelled), pred_lang, per-profile hit counts). */
   def langId(docs: DataFrame): DataFrame = {
+    graft.plans.TokenStats.register(docs.sparkSession)
     val staged = docs.select(col("doc_id"), col("lang"),
-      tokens(col("text")).as("__toks"))
-    val toks = col("__toks")
-    val hitCols = LangProfiles.map { case (l, ws) => l -> hits(toks, ws) }
+      graft.plans.TokenStats.token_stats(col("text")).as("__st"))
+    val hitCols = LangProfiles.map { case (l, _) =>
+      l -> col(s"__st.hits_$l").cast("bigint") }
     // argmax with first-profile-wins tiebreak, unrolled as a when-chain
     val maxHits = greatest(hitCols.map(_._2): _*)
     val chain = hitCols.reverse.foldLeft(lit("und")) { case (acc, (l, h)) =>
@@ -251,12 +252,13 @@ object TextAnalysis {
     * over one tokenize pass. */
   def qualityGate(docs: DataFrame, minTokens: Int = 20,
       minStopRatio: Double = 0.03, maxRepRatio: Double = 0.8): DataFrame = {
-    val staged = docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
-    val toks = col("__toks")
-    val n = size(toks).cast("bigint")
-    val nd = size(array_distinct(toks)).cast("bigint")
+    graft.plans.TokenStats.register(docs.sparkSession)
+    val staged = docs.select(col("doc_id"),
+      graft.plans.TokenStats.token_stats(col("text")).as("__st"))
+    val n = col("__st.n_tokens")
+    val nd = col("__st.n_distinct")
     val stopRatio = when(n === 0L, lit(0.0))
-      .otherwise(hits(toks, LangProfiles.head._2) / n)
+      .otherwise(col("__st.hits_en") / n)
     val repRatio = when(n === 0L, lit(0.0))
       .otherwise(lit(1.0) - nd.cast("double") / n.cast("double"))
     val reasons = Seq(

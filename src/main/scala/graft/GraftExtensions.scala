@@ -66,5 +66,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("rolling_hash",
         "rolling_hash(text) - polynomial rolling-hash fingerprint of the UTF-8 bytes"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("dot_f64"),
+      info("dot_f64",
+        "dot_f64(a, b) - float64-vector dot product (strict left fold)"),
+      (exprs: Seq[Expression]) => graft.plans.DotF64(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("token_stats"),
+      info("token_stats",
+        "token_stats(text) - one-pass token census struct (n_tokens, " +
+          "n_distinct, sum_chars, per-profile stopword hits)"),
+      (exprs: Seq[Expression]) => graft.plans.TokenStats(exprs.head)))
   }
 }

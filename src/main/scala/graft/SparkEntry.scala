@@ -1523,6 +1523,12 @@ object SparkEntry {
     // degree histogram + discrete power-law tail MLE (CSN alpha)
     "q_degree_dist" -> ((s, d) =>
       graft.analytics.GraphAnalytics.degreeDistribution(s, d)),
+    // pairwise audience Jaccard across event types
+    "q_audience_overlap" -> ((s, d) =>
+      EventAnalytics.audienceOverlap(Tables.events(s, d))),
+    // monthly stickiness: avg DAU / MAU
+    "q_stickiness" -> ((s, d) =>
+      EventAnalytics.stickiness(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -6009,5 +6015,49 @@ object SparkEntry {
            round(1.0 + CAST(mle.n_tail AS DOUBLE)
              / CAST(mle.lsum AS DOUBLE), 6) AS alpha
          FROM hist CROSS JOIN mle ORDER BY hist.degree""",
+    // Per-user type sets are domain-bounded, so the self-join is linear
+    // in users; counts exact, ratio portable-floored.
+    "q_audience_overlap" ->
+      """WITH tu AS (
+           SELECT DISTINCT event_type AS t, user_id AS u FROM events
+           WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         sizes AS (SELECT t, CAST(count(*) AS BIGINT) AS n
+           FROM tu GROUP BY 1),
+         ab AS (
+           SELECT a.t AS type_a, b.t AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+           FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+           GROUP BY 1, 2)
+         SELECT ab.type_a, ab.type_b, sa.n AS n_a, sb.n AS n_b,
+           ab.n_both,
+           floor(CAST(ab.n_both AS DOUBLE) /
+             CAST(sa.n + sb.n - ab.n_both AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         FROM ab JOIN sizes sa ON sa.t = ab.type_a
+           JOIN sizes sb ON sb.t = ab.type_b
+         ORDER BY ab.type_a, ab.type_b""",
+    // avg DAU / MAU per month; rationals of exact distinct counts.
+    "q_stickiness" ->
+      """WITH base AS (
+           SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+             CAST(ts AS DATE) AS d, user_id
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         dau AS (
+           SELECT month, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(dd) AS BIGINT) AS sum_dau
+           FROM (SELECT month, d,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS dd
+             FROM base GROUP BY 1, 2)
+           GROUP BY 1),
+         mau AS (SELECT month,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+           FROM base GROUP BY 1)
+         SELECT dau.month, dau.n_days, mau.mau,
+           floor(CAST(sum_dau AS DOUBLE) / n_days * 1000000.0 + 0.5)
+             / 1000000.0 AS avg_dau,
+           floor(CAST(sum_dau AS DOUBLE) / n_days / mau.mau
+             * 1000000.0 + 0.5) / 1000000.0 AS stickiness
+         FROM dau JOIN mau ON mau.month = dau.month
+         ORDER BY dau.month""",
   )
 }

@@ -546,6 +546,59 @@ object EventAnalytics {
       .orderBy("channel")
   }
 
+  /** Pairwise audience overlap: for every pair of event types, the
+    * Jaccard similarity of their DISTINCT user sets — "do the people who
+    * error also purchase?". The per-user type set is bounded by the type
+    * domain (≤ 5 here), so the user-keyed self-join fans out ≤ |types|²
+    * rows per user — bounded like [[attribution]]'s touch join, never
+    * quadratic in users. Counts are exact integers; the ratio takes the
+    * portable floor round. */
+  def audienceOverlap(ev: DataFrame): DataFrame = {
+    val tu = ev.filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type").as("type_a"), col("user_id").as("u"))
+      .distinct()
+    val sizes = tu.groupBy("type_a").agg(count(lit(1)).as("n"))
+    val both = tu
+      .join(tu.select(col("type_a").as("type_b"), col("u")), Seq("u"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    both
+      .join(sizes.select(col("type_a"), col("n").as("n_a")), Seq("type_a"))
+      .join(sizes.select(col("type_a").as("type_b"), col("n").as("n_b")),
+        Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        (floor(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double")
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Monthly stickiness (avg DAU / MAU) — the classic engagement ratio:
+    * 1.0 means every monthly user shows up every day. Two exact
+    * distinct aggregates (per-day and per-month user sets) joined on
+    * the month; `avg_dau / mau` is a rational of integers, so both
+    * ratios take the portable floor round. The 100 TB swap is
+    * approx_count_distinct on both legs when the gate is advisory. */
+  def stickiness(ev: DataFrame): DataFrame = {
+    val base = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(trunc(col("ts").cast("date"), "month").as("month"),
+        to_date(col("ts")).as("d"), col("user_id"))
+    val dau = base.groupBy("month", "d")
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+    val mau = base.groupBy("month")
+      .agg(countDistinct(col("user_id")).as("mau"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    dau.join(mau, Seq("month"))
+      .select(col("month"), col("n_days"), col("mau"),
+        r6(col("sum_dau").cast("double") / col("n_days")).as("avg_dau"),
+        r6(col("sum_dau").cast("double") / col("n_days") / col("mau"))
+          .as("stickiness"))
+      .orderBy("month")
+  }
+
   def conversionTime(ev: DataFrame): DataFrame = {
     val per = ev
       .filter(col("user_id").isNotNull &&

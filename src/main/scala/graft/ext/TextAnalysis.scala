@@ -19,9 +19,6 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "une"),
     "es" -> Seq("el", "los", "las", "es", "una", "y"))
 
-  private def hits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(words))).cast("bigint")
-
   /** Quality metrics per document: token counts (whitespace + BPE-ish
     * regex), average token length, punctuation & stopword ratios. */
   def textStats(docs: DataFrame): DataFrame = {

@@ -177,6 +177,34 @@ class Round11OpsSpec extends SparkSpec {
     assert(nTail > 0L && alpha > 1.0)
   }
 
+  test("audienceOverlap: set algebra by hand, zero-overlap pairs absent") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 11:00:00"), 2L, "view"),
+      (3L, ts("2024-01-01 12:00:00"), 2L, "click"),
+      (4L, ts("2024-01-01 13:00:00"), 3L, "click"),
+      (5L, ts("2024-01-01 14:00:00"), 1L, "purchase"),
+      (6L, ts("2024-01-01 15:00:00"), 2L, "view") // dup (view, 2) — distinct
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.audienceOverlap(ev)
+      .as[(String, String, Long, Long, Long, Double)].collect().toList
+    assert(out == List(
+      ("click", "view", 2L, 2L, 1L, 0.333333),
+      ("purchase", "view", 1L, 2L, 1L, 0.5)))
+  }
+
+  test("stickiness: avg DAU over MAU per month") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 11:00:00"), 2L, "view"),
+      (3L, ts("2024-01-02 10:00:00"), 1L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = EventAnalytics.stickiness(ev)
+      .as[(java.sql.Date, Long, Long, Double, Double)].collect().toList
+    assert(out == List(
+      (java.sql.Date.valueOf("2024-01-01"), 2L, 2L, 1.5, 0.75)))
+  }
+
   test("assortativity: directed edge count is even, r stays in [-1, 1]") {
     val out = graft.analytics.GraphAnalytics
       .assortativity(spark, "/root/testdata/sf0.001")

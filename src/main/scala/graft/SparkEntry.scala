@@ -1529,6 +1529,13 @@ object SparkEntry {
     // monthly stickiness: avg DAU / MAU
     "q_stickiness" -> ((s, d) =>
       EventAnalytics.stickiness(Tables.events(s, d))),
+    // Herfindahl supplier-concentration per nation (decimal-exact)
+    "q_hhi" -> ((s, d) => StarAnalytics.supplierHhi(s, d)),
+    // ISO-week revenue with week-over-week growth
+    "q_wow_growth" -> ((s, d) =>
+      StatsAnalytics.wowGrowth(Tables.orders(s, d))),
+    // cold-start parts (no co-purchase signal) per brand
+    "q_cold_start" -> ((s, d) => StarAnalytics.coldStartParts(s, d)),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -6059,5 +6066,63 @@ object SparkEntry {
              * 1000000.0 + 0.5) / 1000000.0 AS stickiness
          FROM dau JOIN mau ON mau.month = dau.month
          ORDER BY dau.month""",
+    // Both HHI legs stay decimal-exact; ONE double division at the end.
+    "q_hhi" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             sum(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(18,6))) AS r
+           FROM lineitem GROUP BY 1),
+         per AS (
+           SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+             sum(rev.r) AS total, sum(rev.r * rev.r) AS sum_sq
+           FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+             JOIN nation n ON n.n_nationkey = s.s_nationkey
+           GROUP BY 1)
+         SELECT n_name, n_suppliers,
+           CAST(round(total, 2) AS DOUBLE) AS total_revenue,
+           floor(CAST(sum_sq AS DOUBLE) /
+             (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS hhi,
+           floor(1.0 / (CAST(sum_sq AS DOUBLE) /
+             (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS equivalent_n
+         FROM per ORDER BY n_name""",
+    // Lag over the bounded week domain; growth is a rational of exact
+    // decimals → portable floor round, NULL for the first week.
+    "q_wow_growth" ->
+      """WITH weekly AS (
+           SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+             sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+           FROM orders GROUP BY 1),
+         x AS (SELECT week, rev,
+             lag(rev, 1) OVER (ORDER BY week) AS prev
+           FROM weekly)
+         SELECT week, CAST(round(rev, 2) AS DOUBLE) AS revenue,
+           floor((CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE)) /
+             CAST(prev AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS wow_growth
+         FROM x ORDER BY week""",
+    // Anti join of the catalog against graph nodes; 25-row rollup.
+    "q_cold_start" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         nodes AS (SELECT DISTINCT pa AS node FROM pr
+           UNION SELECT pb FROM pr),
+         cold AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_cold
+           FROM part WHERE p_partkey NOT IN (SELECT node FROM nodes)
+           GROUP BY 1),
+         sizes AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts
+           FROM part GROUP BY 1)
+         SELECT sizes.p_brand, sizes.n_parts,
+           CAST(coalesce(cold.n_cold, 0) AS BIGINT) AS n_cold,
+           floor(CAST(coalesce(cold.n_cold, 0) AS DOUBLE) /
+             CAST(sizes.n_parts AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS pct_cold
+         FROM sizes LEFT JOIN cold ON cold.p_brand = sizes.p_brand
+         ORDER BY sizes.p_brand""",
   )
 }

@@ -772,6 +772,67 @@ object StarAnalytics {
       .limit(k)
   }
 
+  /** Supplier revenue concentration per nation — the Herfindahl index
+    * `HHI = Σᵢ (rᵢ/R)²` and its "equivalent competitor count" 1/HHI.
+    * The procurement-risk question: one dominant supplier per nation,
+    * or a healthy market?
+    *
+    * Numeric discipline: squaring the SHARES would sum order-sensitive
+    * doubles — instead both Σrᵢ² and (Σrᵢ)² stay in exact DECIMAL
+    * (supplier revenues are decimal sums; their squares widen but fit)
+    * and the single division happens in doubles at the end, so the
+    * result is partition-order-independent. Plan: one supplier-keyed
+    * aggregate over lineitem, the fixed nation dim broadcast, then a
+    * 25-row nation aggregate. */
+  def supplierHhi(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,6)")).as("r"))
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    val per = rev.join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("r")).as("total"),
+        sum(col("r") * col("r")).as("sum_sq"))
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val hhi = col("sum_sq").cast("double") /
+      (col("total").cast("double") * col("total").cast("double"))
+    per.select(col("n_name"), col("n_suppliers"),
+        round(col("total"), 2).cast("double").as("total_revenue"),
+        r6(hhi).as("hhi"),
+        r6(lit(1.0) / hhi).as("equivalent_n"))
+      .orderBy("n_name")
+  }
+
+  /** Cold-start audit: parts that never enter the support-floored
+    * co-purchase graph — no recommender signal exists for them — broken
+    * down by brand. One anti join of the catalog against the
+    * node list (graph-cardinality, not fact-cardinality), then a
+    * 25-row brand rollup with exact counts. */
+  def coldStartParts(spark: SparkSession, sfDir: String,
+                     minSupport: Long = 2L): DataFrame = {
+    val pairs = coPurchaseCounts(spark, sfDir)
+      .filter(col("n_orders") >= minSupport)
+    val nodes = pairs.select(col("part_a").as("node"))
+      .unionAll(pairs.select(col("part_b").as("node"))).distinct()
+    val p = Tables.part(spark, sfDir).select("p_partkey", "p_brand")
+    val flagged = p.join(nodes, col("p_partkey") === col("node"),
+        "left_anti")
+      .groupBy("p_brand").agg(count(lit(1)).as("n_cold"))
+    val sizes = p.groupBy("p_brand").agg(count(lit(1)).as("n_parts"))
+    sizes.join(flagged, Seq("p_brand"), "left")
+      .select(col("p_brand"), col("n_parts"),
+        coalesce(col("n_cold"), lit(0L)).as("n_cold"),
+        (floor(coalesce(col("n_cold"), lit(0L)).cast("double") /
+          col("n_parts").cast("double") * lit(1000000.0) + lit(0.5))
+          / lit(1000000.0)).as("pct_cold"))
+      .orderBy("p_brand")
+  }
+
   /** Referential-integrity audit across the whole star: for every
     * child→parent foreign key, the distinct child keys with no parent
     * row — the first thing a warehouse load gate checks and the

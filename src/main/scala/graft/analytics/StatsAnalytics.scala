@@ -1125,6 +1125,25 @@ object StatsAnalytics {
       .orderBy("l_returnflag")
   }
 
+  /** Week-over-week revenue growth: ISO-week revenue (decimal sums)
+    * with the lag-1 relative change — the weekly business-review table.
+    * The lag window runs over the bounded week domain (a few hundred
+    * rows), not orders; the growth ratio is a rational of exact
+    * decimals → portable floor round (first week NULL). */
+  def wowGrowth(orders: DataFrame): DataFrame = {
+    val weekly = orders
+      .groupBy(trunc(col("o_orderdate").cast("date"), "week").as("week"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("rev"))
+    val prev = lag(col("rev"), 1).over(Window.orderBy("week"))
+    weekly.select(col("week"), col("rev"), prev.as("prev"))
+      .select(col("week"),
+        round(col("rev"), 2).cast("double").as("revenue"),
+        (floor((col("rev").cast("double") - col("prev").cast("double")) /
+          col("prev").cast("double") * lit(1000000.0) + lit(0.5))
+          / lit(1000000.0)).as("wow_growth"))
+      .orderBy("week")
+  }
+
   /** Exact single change-point detection on the daily order-revenue
     * series (binary-segmentation step 1): the split maximizing the
     * between-segment sum of squares `B(t) = n₁n₂/D·(m₁−m₂)²` — the

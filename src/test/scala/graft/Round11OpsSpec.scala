@@ -205,6 +205,43 @@ class Round11OpsSpec extends SparkSpec {
       (java.sql.Date.valueOf("2024-01-01"), 2L, 2L, 1.5, 0.75)))
   }
 
+  test("supplierHhi: bounds 1/n <= HHI <= 1, equivalent_n <= n_suppliers") {
+    val out = graft.analytics.StarAnalytics
+      .supplierHhi(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Double, Double, Double)].collect().toList
+    assert(out.nonEmpty)
+    out.foreach { case (nation, n, total, hhi, eqN) =>
+      assert(total > 0.0, nation)
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-6, s"$nation hhi $hhi")
+      assert(eqN <= n + 1e-6, s"$nation equivalent_n $eqN > $n")
+    }
+  }
+
+  test("wowGrowth: hand-built two-week series gives 0.5 growth") {
+    val orders = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 40.0),
+      (2L, ts("2024-01-03 00:00:00"), 60.0),
+      (3L, ts("2024-01-10 00:00:00"), 150.0)
+    ).toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val out = StatsAnalytics.wowGrowth(orders)
+      .as[(java.sql.Date, Double, Option[Double])].collect().toList
+    assert(out == List(
+      (java.sql.Date.valueOf("2024-01-01"), 100.0, None),
+      (java.sql.Date.valueOf("2024-01-08"), 150.0, Some(0.5))))
+  }
+
+  test("coldStartParts: per-brand accounting closes, pct is the portable round") {
+    val out = graft.analytics.StarAnalytics
+      .coldStartParts(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(out.nonEmpty)
+    out.foreach { case (brand, nParts, nCold, pct) =>
+      assert(nCold >= 0L && nCold <= nParts, brand)
+      assert(pct == math.floor(
+        nCold.toDouble / nParts * 1000000.0 + 0.5) / 1000000.0, brand)
+    }
+  }
+
   test("assortativity: directed edge count is even, r stays in [-1, 1]") {
     val out = graft.analytics.GraphAnalytics
       .assortativity(spark, "/root/testdata/sf0.001")

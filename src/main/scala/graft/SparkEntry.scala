@@ -1238,6 +1238,9 @@ object SparkEntry {
       StarAnalytics.promoRevenueShare(s, d)),
     "q_supplier_variety" -> ((s, d) =>
       StarAnalytics.supplierVariety(s, d)),
+    // ---- TPC-H Q20 shape: correlated-threshold dominant suppliers ----
+    "q_promo_suppliers" -> ((s, d) =>
+      StarAnalytics.promoSuppliers(s, d)),
     "q_small_qty_revenue" -> ((s, d) =>
       StarAnalytics.smallQuantityRevenue(s, d)),
     "q_large_orders" -> ((s, d) =>
@@ -1272,6 +1275,16 @@ object SparkEntry {
       graft.ext.TextAnalysis.bm25(Tables.documents(s, d))),
     "q_knn_classify" -> ((s, d) =>
       graft.ext.Similarity.knnClassify(Tables.embeddings(s, d))),
+    // ---- contrastive hard-negative mining (label-filtered exact top-k) --
+    "q_hard_negatives" -> ((s, d) =>
+      graft.ext.Similarity.hardNegatives(Tables.embeddings(s, d))),
+    // ---- corpus governance: domain cap / blocklist gate / OOV audit ----
+    "q_domain_cap" -> ((s, d) =>
+      graft.ext.Curation.domainCap(Tables.documents(s, d))),
+    "q_blocklist" -> ((s, d) =>
+      graft.ext.Curation.blocklistGate(Tables.documents(s, d))),
+    "q_oov_rate" -> ((s, d) =>
+      graft.ext.Curation.oovRate(Tables.documents(s, d))),
     "q_bpe_pairs" -> ((s, d) =>
       graft.ext.TextAnalysis.bpePairs(Tables.documents(s, d))),
     // ---- iterative BPE merge learning (3 relational rounds) ----
@@ -1286,6 +1299,9 @@ object SparkEntry {
       graft.ext.TextAnalysis.ngramNovelty(Tables.documents(s, d))),
     "q_cusum" -> ((s, d) =>
       StatsAnalytics.cusumDays(Tables.orders(s, d))),
+    // ---- int8-quantization acceptance: recall@k vs the exact ranking ----
+    "q_quantize_recall" -> ((s, d) =>
+      graft.ext.Similarity.quantizeRecall(Tables.embeddings(s, d))),
     "q_quantize" -> ((s, d) =>
       graft.ext.Similarity.quantizeInt8(Tables.embeddings(s, d))),
     "q_zipf" -> ((s, d) =>
@@ -4286,6 +4302,25 @@ object SparkEntry {
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE l_shipdate >= TIMESTAMP '1996-03-01'
            AND l_shipdate < TIMESTAMP '1996-04-01'""",
+    "q_promo_suppliers" ->
+      """WITH p AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+         li AS (
+           SELECT l_partkey, l_suppkey, l_quantity
+           FROM lineitem JOIN p ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'),
+         pair AS (
+           SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+           FROM li GROUP BY 1, 2),
+         tot AS (
+           SELECT l_partkey, sum(supp_qty) AS part_qty
+           FROM pair GROUP BY 1)
+         SELECT s_name, CAST(count(*) AS BIGINT) AS n_parts_dominated,
+           CAST(sum(supp_qty) AS BIGINT) AS dominated_qty
+         FROM pair JOIN tot USING (l_partkey)
+         JOIN supplier ON l_suppkey = s_suppkey
+         WHERE supp_qty * 2 > part_qty
+         GROUP BY s_name ORDER BY s_name""",
     "q_supplier_variety" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
          SELECT p_brand, p_type, p_size,
@@ -4489,6 +4524,74 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_terms_hit
          FROM tf JOIN df USING (term) CROSS JOIN stats
          GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""",
+    "q_hard_negatives" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, label AS q_label,
+             embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id % 10 = 0),
+         s AS (
+           SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
+             e.label AS n_label,
+             round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6)
+               AS sim
+           FROM q CROSS JOIN embeddings e WHERE e.label <> q.q_label),
+         r AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
+         SELECT query_id, q_label, neighbor_id, n_label, sim, rnk FROM r
+         WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "q_domain_cap" ->
+      """WITH r AS (
+           SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1,
+                 15))::BIGINT, doc_id) AS BIGINT) AS keep_rank
+           FROM documents)
+         SELECT source, doc_id, keep_rank FROM r
+         WHERE keep_rank <= 20 ORDER BY source, keep_rank""",
+    "q_blocklist" ->
+      """WITH t AS (
+           SELECT source,
+             CAST(len(list_distinct(list_filter(
+               string_split_regex(lower(text), '\s+'), x -> x <> '')))
+               AS BIGINT) AS n_distinct,
+             CAST(len(list_intersect(list_distinct(list_filter(
+               string_split_regex(lower(text), '\s+'), x -> x <> '')),
+               ['slow', 'dup', 'drop'])) AS BIGINT) AS n_hits
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_hits * 1000 > n_distinct * 50
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(sum(n_hits) AS BIGINT) AS total_hits,
+           CAST(sum(n_distinct) AS BIGINT) AS total_distinct,
+           CASE WHEN sum(n_distinct) = 0 THEN 0.0
+             ELSE round(sum(n_hits)::DOUBLE / sum(n_distinct), 6)
+           END AS hit_rate
+         FROM t GROUP BY source ORDER BY source""",
+    "q_oov_rate" ->
+      """WITH tok AS (
+           SELECT source, unnest(list_filter(
+             string_split_regex(lower(text), '\s+'), x -> x <> ''))
+             AS token
+           FROM documents),
+         st AS (
+           SELECT source, token, CAST(count(*) AS BIGINT) AS n
+           FROM tok GROUP BY 1, 2),
+         v AS (
+           SELECT token FROM (
+             SELECT token, sum(n) AS cnt,
+               row_number() OVER (ORDER BY sum(n) DESC, token) AS rk
+             FROM st GROUP BY token)
+           WHERE rk <= 20),
+         sel AS (
+           SELECT st.source, st.n, v.token AS vtok
+           FROM st LEFT JOIN v ON st.token = v.token)
+         SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN vtok IS NULL THEN n ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(sum(CASE WHEN vtok IS NULL THEN n ELSE 0 END)::DOUBLE
+             / sum(n), 6) AS oov_rate
+         FROM sel GROUP BY source ORDER BY source""",
     "q_knn_classify" ->
       """WITH q AS (
            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
@@ -4606,6 +4709,42 @@ object SparkEntry {
            round(cusum, 2) AS cusum,
            CAST(abs(cusum) > 3.0 * sd AS INT) AS flag
          FROM c, s2 ORDER BY day""",
+    "q_quantize_recall" ->
+      """WITH base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS e,
+             list_min(embedding::DOUBLE[]) AS mn,
+             list_max(embedding::DOUBLE[]) AS mx
+           FROM embeddings),
+         rec AS (
+           SELECT vec_id, e,
+             CASE WHEN mx = mn THEN list_transform(e, x -> mn)
+               ELSE list_transform(e, x -> mn + least(255.0, greatest(0.0,
+                 floor((x - mn) / ((mx - mn) / 255.0) + 0.5)))
+                 * ((mx - mn) / 255.0))
+             END AS r
+           FROM base),
+         q AS (
+           SELECT vec_id AS query_id, e AS qe, r AS qr
+           FROM rec WHERE vec_id % 10 = 0),
+         s AS (
+           SELECT q.query_id, rec.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qe, rec.e), 6) AS sim_e,
+             round(list_cosine_similarity(q.qr, rec.r), 6) AS sim_r
+           FROM q CROSS JOIN rec WHERE rec.vec_id <> q.query_id),
+         r2 AS (
+           SELECT query_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim_e DESC, neighbor_id) AS rk_e,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim_r DESC, neighbor_id) AS rk_r
+           FROM s)
+         SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN rk_e <= 10 AND rk_r <= 10 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+           round(sum(CASE WHEN rk_e <= 10 AND rk_r <= 10
+             THEN 1 ELSE 0 END)::DOUBLE
+             / (count(DISTINCT query_id) * 10), 6) AS recall
+         FROM r2""",
     "q_quantize" ->
       """WITH e AS (
            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -808,6 +808,45 @@ object StarAnalytics {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q20-shaped dominant-supplier screen, adapted to the fixture
+    * schema: the fixtures carry no `partsupp`, so shipped quantity stands
+    * in for `ps_availqty` — a supplier "dominates" a promo part when its
+    * shipped quantity in the window exceeds half the part's total shipped
+    * quantity across all suppliers (Q20's `ps_availqty > 0.5 · Σ qty`
+    * correlated-threshold, same nested-aggregate → join → filter shape).
+    *
+    * Scale shape: the `p_type` filter semi-reduces lineitem through the
+    * partkey join BEFORE any aggregation; the per-(part, supplier)
+    * aggregate is map-side combined; the per-part total derives from that
+    * pair aggregate — no second corpus scan — and joins back on partkey
+    * (pair-aggregate cardinality, not fact cardinality). l_quantity is
+    * integral-valued, so the double sums are exact and the `2·supp >
+    * total` comparison cannot flip under another partition order. */
+  def promoSuppliers(spark: SparkSession, sfDir: String,
+                     ptype: String = "PROMO",
+                     from: String = "1996-01-01",
+                     until: String = "1997-01-01"): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+      .filter(col("p_type") === ptype).select("p_partkey")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit(from) &&
+        col("l_shipdate") < lit(until))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(p, col("l_partkey") === col("p_partkey"))
+    val perPair = li.groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("l_quantity")).as("supp_qty"))
+    val perPart = perPair.groupBy("l_partkey")
+      .agg(sum(col("supp_qty")).as("part_qty"))
+    val s = Tables.supplier(spark, sfDir).select("s_suppkey", "s_name")
+    perPair.join(perPart, Seq("l_partkey"))
+      .filter(col("supp_qty") * 2 > col("part_qty"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n_parts_dominated"),
+        sum(col("supp_qty")).cast("bigint").as("dominated_qty"))
+      .orderBy("s_name")
+  }
+
   /** Cold-start audit: parts that never enter the support-floored
     * co-purchase graph — no recommender signal exists for them — broken
     * down by brand. One anti join of the catalog against the

@@ -1,0 +1,101 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.TextFns._
+
+/** Corpus-governance operators for a large-scale training-data pipeline —
+  * the per-domain capping / blocklist gating / vocabulary-coverage controls
+  * that sit in front of every web-scale curation run (the reference's
+  * quality gate, pipeline/quality.py, generalized from per-record checks to
+  * corpus-level policies). All pure DataFrame composition: per-row work is
+  * codegen'd projections, every aggregate is map-side combined, and the
+  * only shuffles are on bounded domains (source, token) or the capped
+  * window key.
+  */
+object Curation {
+
+  /** Per-source document cap (domain capping — the C4/RefinedWeb staple
+    * that stops any single domain from dominating a mixture). Keeps at most
+    * `cap` documents per source, chosen by a deterministic pseudorandom
+    * order: `portableH60(doc_id)` — a hash order, so the kept subset is an
+    * unbiased per-source sample rather than "the earliest ids", yet fully
+    * reproducible on any engine (the same md5-prefix hash DuckDB computes).
+    *
+    * Scale shape: ONE shuffle on `source`; the rank predicate compiles to
+    * WindowGroupLimit (pinned in PlanShapeSpec), so each partition keeps a
+    * bounded per-group head instead of materializing full per-source sorts.
+    * Only (source, doc_id) ever shuffles — never text. */
+  def domainCap(docs: DataFrame, cap: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(portableH60(col("doc_id")).as("h"), col("doc_id"))
+    docs.select(col("source"), col("doc_id"))
+      .withColumn("keep_rank", row_number().over(w).cast("bigint"))
+      .filter(col("keep_rank") <= cap)
+      .orderBy(col("source"), col("keep_rank"))
+  }
+
+  /** Blocklist gate: per-source report of documents whose DISTINCT-token
+    * blocklist hit ratio exceeds `maxPerMille`/1000 (the word-filter stage
+    * of C4-style cleaning). The flag compares `1000·hits > maxPerMille·
+    * distinct` in exact integers — no per-doc float ratio exists anywhere,
+    * so the result is independent of partitioning and arrival order; the
+    * single rounded division per source happens once, over exact bigint
+    * sums. Per-row work (tokenize, distinct, intersect) is codegen'd; the
+    * one shuffle carries ≤ |sources| partial-aggregate rows. */
+  def blocklistGate(docs: DataFrame,
+                    blocklist: Seq[String] = Seq("slow", "dup", "drop"),
+                    maxPerMille: Int = 50): DataFrame = {
+    val toks = array_distinct(tokens(col("text")))
+    val staged = docs.select(col("source"),
+      size(toks).cast("bigint").as("n_distinct"),
+      size(array_intersect(toks, typedLit(blocklist))).cast("bigint")
+        .as("n_hits"))
+    staged.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") * 1000 > col("n_distinct") * maxPerMille,
+          1L).otherwise(0L)).as("n_flagged"),
+        sum(col("n_hits")).as("total_hits"),
+        sum(col("n_distinct")).as("total_distinct"))
+      .withColumn("hit_rate",
+        when(col("total_distinct") === 0, lit(0.0)).otherwise(
+          round(col("total_hits").cast("double") / col("total_distinct"),
+            6)))
+      .orderBy("source")
+  }
+
+  /** Out-of-vocabulary rate per source against the corpus top-`vocabSize`
+    * vocabulary — the tokenizer-coverage audit run before committing a
+    * vocab to a training mix (sources with high OOV rates are the ones a
+    * BPE vocab underserves).
+    *
+    * ONE corpus scan and ONE corpus-sized shuffle: tokens aggregate
+    * straight to per-(source, token) counts (map-side combined to ≤
+    * |sources|·|vocab| rows per partition). That bounded frame is
+    * localCheckpointed — Catalyst shares no common subtrees, so both the
+    * vocab branch and the rollup would otherwise re-scan the corpus. The
+    * global top-V ranking then runs on the vocab-sized frame (the
+    * single-partition window sorts |vocab| rows, not the corpus) and
+    * broadcasts back. Ties in the vocab cut rank by (count DESC, token) —
+    * deterministic on any engine. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 20): DataFrame = {
+    val st = docs.select(col("source"),
+        explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val vocab = st.groupBy("token").agg(sum(col("n")).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))))
+      .filter(col("rk") <= vocabSize)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    st.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("n")).otherwise(0L))
+          .as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .orderBy("source")
+  }
+}

@@ -487,6 +487,39 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Hard-negative mining: for each query vector, the top-`k` most
+    * cosine-similar corpus vectors carrying a DIFFERENT label — the
+    * contrastive-training staple (the negatives that are hard precisely
+    * because the embedding ranks them high). Same exact-ranking contract
+    * as [[bruteForceTopK]] (same norms-once layout, same 6dp rounding,
+    * same id tie-break) with the label inequality applied BEFORE the
+    * rank window, so rank k really is the k-th hardest negative. The
+    * query side (vec_id % queryMod == 0) broadcasts with its labels; the
+    * corpus is never shuffled except for the rank window on query_id.
+    * This is the documented exact/oracle form — at 100 TB the candidate
+    * stage swaps to [[ivfTopK]] buckets and this label-filtered head is
+    * unchanged. */
+  def hardNegatives(emb: DataFrame, k: Int = 5,
+                    queryMod: Int = 10): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val withNorm = emb.select(col("vec_id"), col("label"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val q = withNorm.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val sims = withNorm.crossJoin(broadcast(q))
+      .filter(col("label") =!= col("q_label"))
+      .select(col("query_id"), col("q_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+        round(dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= k)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Per-vector int8 affine quantization report: scale = (max−min)/255,
     * code_i = floor((x_i−min)/scale + 0.5) clamped to [0,255], and the
     * reconstruction MSE — the compression step of a quantized vector
@@ -511,6 +544,56 @@ object Similarity {
         round(aggregate(sqErr, lit(0.0), (acc, e) => acc + e) /
           size(x), 9).as("mse"))
       .orderBy("vec_id")
+  }
+
+  /** Recall@k of the int8-quantized ranking against the exact cosine
+    * ranking — the acceptance test run before swapping a float index for
+    * a quantized one (the [[annRecall]] analog for [[quantizeInt8]]'s
+    * compression). Each vector is dequantized ONCE (`mn + code·scale`,
+    * the same per-row affine as quantizeInt8) into a double array; both
+    * similarities then ride the native codegen'd dot on ONE pair join,
+    * and the two rank windows share a single hash partitioning on
+    * query_id (same Exchange, two sorts). Recall is one division over
+    * exact integer counts: Σ hits / (k · |queries|). The quantized
+    * reconstruction is pure double affine arithmetic, so DuckDB rebuilds
+    * bit-identical vectors and the 6dp-rounded sims agree exactly. */
+  def quantizeRecall(emb: DataFrame, k: Int = 10,
+                     queryMod: Int = 10): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val x = col("embedding")
+    val mn = array_min(x).cast("double")
+    val mx = array_max(x).cast("double")
+    val scale = (mx - mn) / 255.0
+    val recon = when(scale === 0.0, transform(x, _ => mn)).otherwise(
+      transform(x, v => mn + least(lit(255.0), greatest(lit(0.0),
+        floor((v.cast("double") - mn) / scale + 0.5))) * scale))
+    val staged = emb.select(col("vec_id"),
+      transform(x, v => v.cast("double")).as("e"), recon.as("r"))
+    val withN = staged.select(col("vec_id"), col("e"), col("r"),
+      sqrt(dotD(col("e"), col("e"))).as("ne"),
+      sqrt(dotD(col("r"), col("r"))).as("nr"))
+    val q = withN.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("r").as("qr"), col("ne").as("qne"), col("nr").as("qnr"))
+    val pairs = withN.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dotD(col("e"), col("qe")) / (col("ne") * col("qne")), 6)
+          .as("sim_e"),
+        round(dotD(col("r"), col("qr")) / (col("nr") * col("qnr")), 6)
+          .as("sim_r"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_e").desc, col("neighbor_id"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_r").desc, col("neighbor_id"))
+    pairs.withColumn("rk_e", row_number().over(we))
+      .withColumn("rk_r", row_number().over(wr))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        sum(when(col("rk_e") <= k && col("rk_r") <= k, 1L).otherwise(0L))
+          .as("n_hits"))
+      .select(col("n_queries"), col("n_hits"),
+        round(col("n_hits").cast("double") /
+          (col("n_queries") * k), 6).as("recall"))
   }
 
   /** Random-hyperplane LSH bucketing: `nBits` sign bits of dot products

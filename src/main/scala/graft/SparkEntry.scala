@@ -1285,6 +1285,12 @@ object SparkEntry {
       graft.ext.Curation.blocklistGate(Tables.documents(s, d))),
     "q_oov_rate" -> ((s, d) =>
       graft.ext.Curation.oovRate(Tables.documents(s, d))),
+    // ---- per-source unigram KL drift vs the corpus blend ----
+    "q_source_kl" -> ((s, d) =>
+      graft.ext.Curation.sourceKL(Tables.documents(s, d))),
+    // ---- blocked record linkage (entity resolution over part names) ----
+    "q_record_linkage" -> ((s, d) =>
+      graft.ext.DedupExt.recordLinkage(Tables.part(s, d))),
     "q_bpe_pairs" -> ((s, d) =>
       graft.ext.TextAnalysis.bpePairs(Tables.documents(s, d))),
     // ---- iterative BPE merge learning (3 relational rounds) ----
@@ -4592,6 +4598,53 @@ object SparkEntry {
            round(sum(CASE WHEN vtok IS NULL THEN n ELSE 0 END)::DOUBLE
              / sum(n), 6) AS oov_rate
          FROM sel GROUP BY source ORDER BY source""",
+    "q_source_kl" ->
+      """WITH tok AS (
+           SELECT source, unnest(list_filter(
+             string_split_regex(lower(text), '\s+'), x -> x <> ''))
+             AS token
+           FROM documents),
+         st AS (
+           SELECT source, token, CAST(count(*) AS BIGINT) AS n
+           FROM tok GROUP BY 1, 2),
+         c AS (SELECT token, CAST(sum(n) AS BIGINT) AS ct
+               FROM st GROUP BY 1),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n_corpus FROM c),
+         ps AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_source
+                FROM st GROUP BY 1)
+         SELECT source, n_source AS n_tokens,
+           round(CAST(sum(CAST(
+             (n::DOUBLE / n_source) *
+               ln((n::DOUBLE * n_corpus) / (n_source * ct))
+             AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_divergence
+         FROM st JOIN c USING (token) JOIN ps USING (source) CROSS JOIN tot
+         GROUP BY source, n_source ORDER BY source""",
+    "q_record_linkage" ->
+      """WITH probes AS (
+           SELECT p_partkey AS probe_id,
+             string_split(p_name, ' ')[1] AS block_key,
+             substr(p_name, 1, length(p_name) - 1) AS probe_name
+           FROM part WHERE p_partkey % 10 = 0),
+         cands AS (
+           SELECT p_partkey AS cand_id, p_name AS cand_name,
+             string_split(p_name, ' ')[1] AS block_key
+           FROM part),
+         pairs AS (
+           SELECT probe_id, probe_name, cand_id, cand_name,
+             CAST(levenshtein(probe_name, cand_name) AS BIGINT) AS dist
+           FROM cands JOIN probes USING (block_key)),
+         rk AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY dist, cand_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY probe_id) AS BIGINT)
+               AS n_blocked,
+             CAST(sum(CASE WHEN dist <= 2 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY probe_id) AS BIGINT) AS n_match
+           FROM pairs)
+         SELECT probe_id, probe_name, cand_id AS matched_id,
+           cand_name AS matched_name, dist, n_blocked, n_match
+         FROM rk WHERE rn = 1 AND dist <= 2 ORDER BY probe_id""",
     "q_knn_classify" ->
       """WITH q AS (
            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

@@ -65,6 +65,39 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * `KL(source ‖ corpus) = Σ_t p_t·ln(p_t/q_t)` — the drift audit that
+    * flags which source's token mix least resembles the blend it feeds
+    * (q_t > 0 for every token a source contains, so the sum is always
+    * finite). Same single-corpus-shuffle layout as [[oovRate]]: the
+    * per-(source, token) count frame is the only corpus-sized aggregate,
+    * localCheckpointed so the corpus-marginal branch does not re-scan;
+    * everything after is vocab-bounded, with the corpus marginals
+    * broadcast back. Each KL term is truncated to DECIMAL(28,12) before
+    * summation (the naive-Bayes/NDCG discipline), so the per-source sums
+    * are order-independent and DuckDB reproduces them bit-exactly. */
+  def sourceKL(docs: DataFrame): DataFrame = {
+    val st = docs.select(col("source"),
+        explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val corpus = st.groupBy("token").agg(sum(col("n")).as("ct"))
+    val total = corpus.agg(sum(col("ct")).as("n_corpus"))
+    val perSource = st.groupBy("source").agg(sum(col("n")).as("n_source"))
+    st.join(broadcast(corpus), Seq("token"))
+      .join(broadcast(perSource), Seq("source"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("source"), col("n_source"))
+      .agg(sum(
+        ((col("n").cast("double") / col("n_source")) *
+          log((col("n").cast("double") * col("n_corpus")) /
+            (col("n_source") * col("ct"))))
+          .cast("decimal(28,12)")).cast("double").as("kl_raw"))
+      .select(col("source"), col("n_source").as("n_tokens"),
+        round(col("kl_raw"), 6).as("kl_divergence"))
+      .orderBy("source")
+  }
+
   /** Out-of-vocabulary rate per source against the corpus top-`vocabSize`
     * vocabulary — the tokenizer-coverage audit run before committing a
     * vocab to a training mix (sources with high OOV rates are the ones a

@@ -176,6 +176,50 @@ object DedupExt {
           .as("sim"))
   }
 
+  /** Blocked record linkage (entity resolution): probe records — part
+    * names with their last character dropped, a deterministic stand-in
+    * for the dirty feed a linkage job reconciles — are matched back to
+    * the catalog through a BLOCKING key (the name's first token), so the
+    * O(len²) Levenshtein runs only inside blocks, never all-pairs. Per
+    * probe: the best match (min distance, id tie-break), how many
+    * candidates the block admitted, and how many cleared `maxDist` —
+    * the audit trail that shows the blocking did its job.
+    *
+    * Scale shape: probes are a sampled sliver (broadcast); the catalog
+    * never shuffles into pairs beyond its block. The ranking window,
+    * the block count, and the match count all share ONE hash
+    * partitioning on probe_id. First-token blocking fits this name
+    * distribution; a production pass on messier keys would union
+    * several blocking passes (prefix, phonetic, length band) into the
+    * same candidate frame — the shape downstream is unchanged. */
+  def recordLinkage(parts: DataFrame, probeMod: Int = 10,
+                    maxDist: Int = 2): DataFrame = {
+    val probes = parts.filter(col("p_partkey") % probeMod === 0)
+      .select(col("p_partkey").as("probe_id"),
+        substring_index(col("p_name"), " ", 1).as("block_key"),
+        expr("substring(p_name, 1, length(p_name) - 1)").as("probe_name"))
+    val cands = parts.select(col("p_partkey").as("cand_id"),
+      col("p_name").as("cand_name"),
+      substring_index(col("p_name"), " ", 1).as("block_key"))
+    val pairs = cands.join(broadcast(probes), Seq("block_key"))
+      .select(col("probe_id"), col("probe_name"), col("cand_id"),
+        col("cand_name"),
+        levenshtein(col("probe_name"), col("cand_name")).cast("bigint")
+          .as("dist"))
+    val byProbe = Window.partitionBy(col("probe_id"))
+    val rankW = byProbe.orderBy(col("dist"), col("cand_id"))
+    pairs
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("n_blocked", count(lit(1)).over(byProbe))
+      .withColumn("n_match",
+        sum(when(col("dist") <= maxDist, 1L).otherwise(0L)).over(byProbe))
+      .filter(col("rn") === 1 && col("dist") <= maxDist)
+      .select(col("probe_id"), col("probe_name"),
+        col("cand_id").as("matched_id"), col("cand_name").as("matched_name"),
+        col("dist"), col("n_blocked"), col("n_match"))
+      .orderBy("probe_id")
+  }
+
   /** Sketch-quality report: for every LSH candidate pair, the MinHash
     * ESTIMATE of Jaccard (fraction of equal signature components — the
     * only number a sketch-only pipeline would have) next to the exact

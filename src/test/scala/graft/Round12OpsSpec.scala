@@ -106,6 +106,42 @@ class Round12OpsSpec extends SparkSpec {
     assert(out == List((2L, 6L, 1.0)))
   }
 
+  test("sourceKL: zero for a source matching the blend, positive else") {
+    // Source a IS the corpus blend restricted to its tokens? Build the
+    // degenerate case first: a single source always has KL = 0 (its
+    // distribution IS the corpus distribution).
+    val solo = Seq(("a", "x x y")).toDF("source", "text")
+    val out0 = Curation.sourceKL(solo)
+      .as[(String, Long, Double)].collect().toList
+    assert(out0 == List(("a", 3L, 0.0)))
+    // Two disjoint-vocabulary sources of equal mass: corpus q = p/2 on
+    // each source's tokens, so KL = Σ p·ln(2) = ln 2 ≈ 0.693147 for both.
+    val split = Seq(("a", "x x y"), ("b", "u v w")).toDF("source", "text")
+    val out = Curation.sourceKL(split)
+      .as[(String, Long, Double)].collect().toList
+    assert(out == List(("a", 3L, 0.693147), ("b", 3L, 0.693147)))
+  }
+
+  test("recordLinkage: blocked match recovers the truncated name") {
+    // Probes are partkeys % 10 == 0 with the last char dropped. Part 10
+    // "red widget" → probe "red widge": within its "red" block, "red
+    // widget" is distance 1 (parts 10 and 30 — id tie-break keeps 10)
+    // and "red bolt" is distance 5 (> maxDist, counted out of n_match).
+    // Part 20 "blue bolt" has no same-block sibling: it matches itself.
+    // The "green gear" part is in no probe's block and never appears.
+    val parts = Seq(
+      (10L, "red widget"), (30L, "red widget"), (40L, "red bolt"),
+      (20L, "blue bolt"), (55L, "green gear")
+    ).toDF("p_partkey", "p_name")
+    val out = graft.ext.DedupExt.recordLinkage(parts)
+      .as[(Long, String, Long, String, Long, Long, Long)].collect().toList
+    assert(out == List(
+      (10L, "red widge", 10L, "red widget", 1L, 3L, 2L),
+      (20L, "blue bol", 20L, "blue bolt", 1L, 1L, 1L),
+      (30L, "red widge", 10L, "red widget", 1L, 3L, 2L),
+      (40L, "red bol", 40L, "red bolt", 1L, 3L, 1L)))
+  }
+
   test("domainCap plans a WindowGroupLimit (bounded per-group head)") {
     // needs > cap known rows: Spark skips the group-limit rewrite when the
     // child's maxRows already fits under the limit (nothing to bound)

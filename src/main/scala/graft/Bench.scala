@@ -45,22 +45,39 @@ object Bench {
     // query set grows, which made round-over-round per-query comparisons
     // order-biased (shared caches, OS page cache, JIT state all depend on
     // what ran before). Sorted order is stable across rounds by construction.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // A thrown query is NOT a timing: record it as an error, never as a
+    // plausible-looking fast number (round 4 shipped a 103-query breakage
+    // as "0.057 s each, rc=0" exactly this way).
+    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err: Option[String] =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    val results = runs.map { case (n, t, _) => (n, t) }
+    val failed = runs.collect { case (n, _, Some(m)) => (n, m) }
+    failed.foreach { case (n, m) => System.err.println(s"[bench] FAILED $n: $m") }
     val total = results.map(_._2).sum
-    // Full breakdown (slowest first) for offline reading.
+    // Full breakdown (slowest first) for offline reading; failed queries are
+    // marked with an explicit error string instead of their time-to-throw.
+    val errSet = failed.map(_._1).toSet
     val detail = results.sortBy(-_._2)
-      .map { case (k, v) => s"""  "$k": ${f3(v)}""" }
-      .mkString(s"""{\n  "total_sec": ${f3(total)},\n  "sf": "$sfDir",\n""",
+      .map { case (k, v) =>
+        if (errSet(k)) s"""  "$k": "ERROR"""" else s"""  "$k": ${f3(v)}""" }
+      .mkString(
+        s"""{\n  "total_sec": ${f3(total)},\n  "errors": ${failed.length},\n""" +
+          s"""  "failed": [${failed.map(f => s""""${f._1}"""").mkString(", ")}],\n""" +
+          s"""  "sf": "$sfDir",\n""",
         ",\n", "\n}\n")
     try java.nio.file.Files.writeString(
       java.nio.file.Path.of("BENCH_DETAIL.json"), detail)
     catch { case e: Throwable => System.err.println(s"detail write failed: $e") }
-    println(compactLine(results, sfDir))
+    println(compactLine(results, sfDir, failed.length))
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 
   /** Compact driver line: include slowest queries until the char budget is
@@ -70,7 +87,8 @@ object Bench {
     * their bench numbers to a line that outgrew that buffer).
     * BenchLineSpec pins the invariant for the full current query set. */
   private[graft] def compactLine(results: Seq[(String, Double)],
-                                 sfDir: String): String = {
+                                 sfDir: String,
+                                 errors: Int = 0): String = {
     val total = results.map(_._2).sum
     val budget = 1400
     val slowestFirst = results.sortBy(-_._2)
@@ -84,7 +102,7 @@ object Bench {
     val qs = included.map { case (k, v) => s"\"$k\":${f3(v)}" }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-      s""""n_queries":${results.length},"queries":$qs,""" +
+      s""""n_queries":${results.length},"errors":$errors,"queries":$qs,""" +
       s""""other_sec":${f3(rest)},"sf":"$sfDir"}"""
   }
 }

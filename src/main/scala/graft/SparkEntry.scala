@@ -1084,6 +1084,9 @@ object SparkEntry {
     // ---- RFM quintile segmentation of the order book ----
     "q_rfm_segments" -> ((s, d) =>
       StatsAnalytics.rfmSegments(Tables.orders(s, d))),
+    // scale sibling: approx_percentile boundaries, no global ntile sort
+    "q_rfm_scale" -> ((s, d) =>
+      StatsAnalytics.rfmSegmentsScale(Tables.orders(s, d))),
     // ---- exact-weight EWMA of daily revenue (alpha = 1/2) ----
     "q_ewma_daily" -> ((s, d) =>
       StatsAnalytics.ewmaDaily(Tables.events(s, d))),
@@ -4098,6 +4101,66 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_customers,
            CAST(round(sum(mon), 2) AS DOUBLE) AS segment_revenue
          FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // Spark's full-accuracy GK sketch returns the sample at rank
+    // ceil(p·n) computed in DOUBLE math — mirrored here with an explicit
+    // row_number rank and 0.2::DOUBLE literals (DuckDB's bare 0.2 is
+    // DECIMAL and ceil()s differently on exact multiples of 5).
+    "q_rfm_scale" ->
+      """WITH h AS (SELECT max(CAST(o_orderdate AS DATE)) AS h
+           FROM orders),
+         pc AS (
+           SELECT o_custkey AS custkey,
+             max(CAST(o_orderdate AS DATE)) AS last_d,
+             CAST(count(*) AS BIGINT) AS freq,
+             sum(CAST(o_totalprice AS DECIMAL(18,6))) AS mon
+           FROM orders GROUP BY 1),
+         r AS (
+           SELECT custkey, date_diff('day', last_d, h.h) AS recency,
+             freq, mon
+           FROM pc CROSS JOIN h),
+         rk AS (
+           SELECT *,
+             row_number() OVER (ORDER BY recency) AS rr,
+             row_number() OVER (ORDER BY freq) AS rf,
+             row_number() OVER (ORDER BY mon) AS rm,
+             count(*) OVER () AS n
+           FROM r),
+         b AS (
+           SELECT
+             max(CASE WHEN rr = greatest(1, CAST(ceil(0.2::DOUBLE * n) AS BIGINT)) THEN recency END) AS r1,
+             max(CASE WHEN rr = greatest(1, CAST(ceil(0.4::DOUBLE * n) AS BIGINT)) THEN recency END) AS r2,
+             max(CASE WHEN rr = greatest(1, CAST(ceil(0.6::DOUBLE * n) AS BIGINT)) THEN recency END) AS r3,
+             max(CASE WHEN rr = greatest(1, CAST(ceil(0.8::DOUBLE * n) AS BIGINT)) THEN recency END) AS r4,
+             max(CASE WHEN rf = greatest(1, CAST(ceil(0.2::DOUBLE * n) AS BIGINT)) THEN freq END) AS f1,
+             max(CASE WHEN rf = greatest(1, CAST(ceil(0.4::DOUBLE * n) AS BIGINT)) THEN freq END) AS f2,
+             max(CASE WHEN rf = greatest(1, CAST(ceil(0.6::DOUBLE * n) AS BIGINT)) THEN freq END) AS f3,
+             max(CASE WHEN rf = greatest(1, CAST(ceil(0.8::DOUBLE * n) AS BIGINT)) THEN freq END) AS f4,
+             max(CASE WHEN rm = greatest(1, CAST(ceil(0.2::DOUBLE * n) AS BIGINT)) THEN mon END) AS m1,
+             max(CASE WHEN rm = greatest(1, CAST(ceil(0.4::DOUBLE * n) AS BIGINT)) THEN mon END) AS m2,
+             max(CASE WHEN rm = greatest(1, CAST(ceil(0.6::DOUBLE * n) AS BIGINT)) THEN mon END) AS m3,
+             max(CASE WHEN rm = greatest(1, CAST(ceil(0.8::DOUBLE * n) AS BIGINT)) THEN mon END) AS m4
+           FROM rk),
+         s AS (
+           SELECT custkey, mon,
+             6 - (1 + CASE WHEN recency > r1 THEN 1 ELSE 0 END
+                    + CASE WHEN recency > r2 THEN 1 ELSE 0 END
+                    + CASE WHEN recency > r3 THEN 1 ELSE 0 END
+                    + CASE WHEN recency > r4 THEN 1 ELSE 0 END) AS r_score,
+             (1 + CASE WHEN freq > f1 THEN 1 ELSE 0 END
+                + CASE WHEN freq > f2 THEN 1 ELSE 0 END
+                + CASE WHEN freq > f3 THEN 1 ELSE 0 END
+                + CASE WHEN freq > f4 THEN 1 ELSE 0 END) AS f_score,
+             (1 + CASE WHEN mon > m1 THEN 1 ELSE 0 END
+                + CASE WHEN mon > m2 THEN 1 ELSE 0 END
+                + CASE WHEN mon > m3 THEN 1 ELSE 0 END
+                + CASE WHEN mon > m4 THEN 1 ELSE 0 END) AS m_score
+           FROM r CROSS JOIN b)
+         SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(sum(mon), 2) AS DOUBLE) AS segment_revenue
+         FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "q_ewma_daily" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS d,
@@ -4615,7 +4678,7 @@ object SparkEntry {
          SELECT source, n_source AS n_tokens,
            round(CAST(sum(CAST(
              (n::DOUBLE / n_source) *
-               ln((n::DOUBLE * n_corpus) / (n_source * ct))
+               ln((n::DOUBLE * n_corpus) / (n_source::DOUBLE * ct))
              AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_divergence
          FROM st JOIN c USING (token) JOIN ps USING (source) CROSS JOIN tot
          GROUP BY source, n_source ORDER BY source""",
@@ -5554,9 +5617,6 @@ object SparkEntry {
                15))::BIGINT % 1000000000, event_id) AS rk
            FROM events)
          WHERE rk <= 100 ORDER BY event_type, event_id""",
-    // q_cms_counts: no cross-engine oracle (Spark's CMS hash family is
-    // engine-specific) → rows-only driver check; the est ≥ exact and
-    // eps·N overcount bounds are asserted in Round5OpsSpec.
     "q_pmi" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(string_split_regex(lower(text),

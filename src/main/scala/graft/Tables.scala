@@ -21,16 +21,30 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which vanilla Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]); read nanos as long via the legacy conf and
-    * truncate to microseconds (integer DIV — never a double divide, ns epochs
-    * exceed 2^53). DuckDB oracles mirror this with CAST(ts AS TIMESTAMP). */
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) (which vanilla
+    * Spark 4 rejects with [PARQUET_TYPE_ILLEGAL]) and plain TIMESTAMP(MICROS),
+    * depending on the fixture generation. Adapt to whichever arrives: with
+    * the nanosAsLong conf set, a NANOS column loads as LongType — truncate it
+    * to micros with integer DIV (never a double divide, ns epochs exceed
+    * 2^53); a MICROS column loads as a real timestamp and passes through
+    * untouched. DuckDB oracles mirror both with CAST(ts AS TIMESTAMP). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // un-annotated parquet micros infer as NTZ; normalize to the
+        // session-zone TimestampType every downstream consumer
+        // (unix_micros, watermarks) expects — value-identical under the
+        // UTC session zone all entry points set
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -19,6 +19,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failed query must leave a loud artifact, not just a stderr line:
+    // round 4's 103-query regression shipped unseen because failures were
+    // simply absent from the correctness file. failures.json names them.
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -26,6 +30,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += ((name,
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +50,13 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
+    failures.foreach { case (n, _) =>
+      System.err.println(s"[verify] FAILED (see failures.json): $n") }
+    // exit 0 even on failures: the driver must still run the DuckDB compare
+    // for the queries that DID dump — failures.json is the loud artifact.
     spark.stop()
   }
 }

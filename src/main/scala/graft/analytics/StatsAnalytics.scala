@@ -511,6 +511,49 @@ object StatsAnalytics {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** The 100 TB shape of [[rfmSegments]]: quintile BOUNDARIES from
+    * `approx_percentile` (a mergeable sketch aggregate — map-side partials,
+    * no global single-partition ntile sort anywhere in the plan), broadcast
+    * back as one row, scores assigned map-side by counting boundaries
+    * exceeded. Semantic delta vs the exact form, by design: equal values
+    * get equal scores (a boundary cut cannot split ties the way a ranked
+    * ntile does), so tile sizes are only approximately n/5 — the spec
+    * bounds the census against the exact form. At fixture scale the GK
+    * sketch (accuracy default 10000 > |customers|) is EXACT: it returns
+    * the sample at rank ceil(p·n), which the DuckDB oracle reproduces with
+    * an explicit row_number rank — so this query stays hash-checked while
+    * its plan is the one that survives 1000 executors. */
+  def rfmSegmentsScale(orders: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val horizon = orders.agg(max(to_date(col("o_orderdate"))).as("h"))
+    // per-customer aggregate feeds BOTH the boundary sketch and the scoring
+    // pass — localCheckpoint so the orders scan+shuffle runs once
+    val perCust = orders.groupBy(col("o_custkey").as("custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("mon"))
+      .crossJoin(broadcast(horizon))
+      .withColumn("recency", datediff(col("h"), col("last_d")))
+      .localCheckpoint()
+    val ps = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+    val bounds = perCust.agg(
+      percentile_approx(col("recency"), ps, lit(accuracy)).as("rb"),
+      percentile_approx(col("freq"), ps, lit(accuracy)).as("fb"),
+      percentile_approx(col("mon"), ps, lit(accuracy)).as("mb"))
+    def above(v: Column, b: Column): Column =
+      (lit(1) + (0 to 3).map(i => (v > b(i)).cast("int")).reduce(_ + _))
+        .cast("bigint")
+    val scored = perCust.crossJoin(broadcast(bounds))
+      // recency quintiles are DESC in the exact form (tile 1 = least
+      // recent); invert the ascending boundary count to match
+      .withColumn("r_score", lit(6L) - above(col("recency"), col("rb")))
+      .withColumn("f_score", above(col("freq"), col("fb")))
+      .withColumn("m_score", above(col("mon"), col("mb")))
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("mon")), 2).cast("double").as("segment_revenue"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   /** Exponentially weighted moving average of daily revenue with α = ½ —
     * the smoothing a monitoring dashboard runs. The recursion unrolls to
     * ewma_t = Σ_{j≥2} x_j·2^{-(t-j+1)} + x_1·2^{-(t-1)}; with α = ½

@@ -91,7 +91,10 @@ object Curation {
       .agg(sum(
         ((col("n").cast("double") / col("n_source")) *
           log((col("n").cast("double") * col("n_corpus")) /
-            (col("n_source") * col("ct"))))
+            // denominator in double too: Long×Long silently wraps in
+            // non-ANSI Spark at ~1e9-token corpora while DuckDB's BIGINT
+            // errors — double keeps both engines on the same value
+            (col("n_source").cast("double") * col("ct"))))
           .cast("decimal(28,12)")).cast("double").as("kl_raw"))
       .select(col("source"), col("n_source").as("n_tokens"),
         round(col("kl_raw"), 6).as("kl_divergence"))

@@ -221,10 +221,11 @@ object EventStream {
 
   private val nameCounter = new AtomicLong(0)
 
-  /** Streaming scan of the events fixture. Same TIMESTAMP(NANOS) handling
-    * as `graft.Tables.events` (nanosAsLong + integer DIV truncation); the
-    * schema is probed with a batch read — a streaming source must be given
-    * its schema up front (no inference race on a growing directory). */
+  /** Streaming scan of the events fixture. Same dtype-adaptive `ts` handling
+    * as `graft.Tables.events` (NANOS-as-long → DIV-1000 truncation; native
+    * MICROS timestamp → pass-through); the schema is probed with a batch
+    * read — a streaming source must be given its schema up front (no
+    * inference race on a growing directory). */
   private val schemaCache =
     scala.collection.concurrent.TrieMap
       .empty[String, org.apache.spark.sql.types.StructType]
@@ -238,10 +239,17 @@ object EventStream {
       spark.read.parquet(path).schema)
     // The file streaming source monitors a DIRECTORY; narrow it to the one
     // fixture file with a glob filter (a direct file path is rejected).
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // same NTZ → session-zone normalization as Tables.events
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** A5 incrementally: watermarked keyed dedup with BOUNDED state.

@@ -12,6 +12,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional args: query names to run (subset mode for local iteration on
+    // a single slow query). No args = the full registered set.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,7 +39,7 @@ object Bench {
     }
     try spark.range(1000000).selectExpr("sum(id)").collect()
     catch { case e: Throwable => System.err.println(s"warmup init failed: $e") }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, warmDir).count()
       catch { case e: Throwable =>
         System.err.println(
@@ -48,7 +53,7 @@ object Bench {
     // A thrown query is NOT a timing: record it as an error, never as a
     // plausible-looking fast number (round 4 shipped a 103-query breakage
     // as "0.057 s each, rc=0" exactly this way).
-    val runs = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val runs = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err: Option[String] =
         try { fn(spark, sfDir).count(); None }
@@ -57,16 +62,19 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val results = runs.map { case (n, t, _) => (n, t) }
+    // A thrown query's time-to-throw is NOT a timing: it is excluded from
+    // total_sec and from the compact line's queries map entirely, so a slow
+    // failure can never masquerade as a plausible per-query number. Failures
+    // surface as the error count / failed list / ERROR detail rows instead.
+    val results = runs.collect { case (n, t, None) => (n, t) }
     val failed = runs.collect { case (n, _, Some(m)) => (n, m) }
     failed.foreach { case (n, m) => System.err.println(s"[bench] FAILED $n: $m") }
     val total = results.map(_._2).sum
     // Full breakdown (slowest first) for offline reading; failed queries are
     // marked with an explicit error string instead of their time-to-throw.
-    val errSet = failed.map(_._1).toSet
-    val detail = results.sortBy(-_._2)
-      .map { case (k, v) =>
-        if (errSet(k)) s"""  "$k": "ERROR"""" else s"""  "$k": ${f3(v)}""" }
+    val detail = (results.sortBy(-_._2)
+      .map { case (k, v) => s"""  "$k": ${f3(v)}""" } ++
+      failed.map { case (k, _) => s"""  "$k": "ERROR"""" })
       .mkString(
         s"""{\n  "total_sec": ${f3(total)},\n  "errors": ${failed.length},\n""" +
           s"""  "failed": [${failed.map(f => s""""${f._1}"""").mkString(", ")}],\n""" +
@@ -102,7 +110,7 @@ object Bench {
     val qs = included.map { case (k, v) => s"\"$k\":${f3(v)}" }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-      s""""n_queries":${results.length},"errors":$errors,"queries":$qs,""" +
+      s""""n_queries":${results.length + errors},"errors":$errors,"queries":$qs,""" +
       s""""other_sec":${f3(rest)},"sf":"$sfDir"}"""
   }
 }

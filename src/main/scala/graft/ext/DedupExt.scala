@@ -186,37 +186,61 @@ object DedupExt {
     * the audit trail that shows the blocking did its job.
     *
     * Scale shape: probes are a sampled sliver (broadcast); the catalog
-    * never shuffles into pairs beyond its block. The ranking window,
-    * the block count, and the match count all share ONE hash
-    * partitioning on probe_id. First-token blocking fits this name
-    * distribution; a production pass on messier keys would union
-    * several blocking passes (prefix, phonetic, length band) into the
-    * same candidate frame — the shape downstream is unchanged. */
+    * never shuffles into pairs beyond its block — in fact pairs never
+    * shuffle AT ALL: three provably-lossless cuts run map-side, inside
+    * the broadcast-join stage, before anything moves.
+    *  1. LENGTH BAND: levenshtein(a,b) ≥ |len(a)−len(b)|, so a pair
+    *     whose lengths differ by more than `maxDist` can never match —
+    *     pruned before the edit distance runs.
+    *  2. THRESHOLDED EDIT DISTANCE: `levenshtein(l, r, maxDist)` runs
+    *     the banded O(maxDist·len) DP instead of the full O(len²) grid
+    *     and returns −1 for anything over threshold. Exact distances
+    *     survive for every pair that can appear in the output (a match
+    *     always has dist ≤ maxDist, where the banded DP is exact).
+    *  3. MATCH FILTER: only matching pairs (dist ≥ 0) reach the
+    *     aggregation, so the shuffle carries a few rows per probe, not
+    *     the block fan-out.
+    * The best match per probe is then a hash aggregate —
+    * min(struct(dist, cand_id, …)) reproduces the (dist, cand_id)
+    * ranking without a per-probe sort, with map-side partial
+    * aggregation — and n_blocked (defined over the FULL first-token
+    * block, the audit of what blocking admitted) comes from a tiny
+    * per-block count broadcast back onto the matches. */
   def recordLinkage(parts: DataFrame, probeMod: Int = 10,
                     maxDist: Int = 2): DataFrame = {
     val probes = parts.filter(col("p_partkey") % probeMod === 0)
       .select(col("p_partkey").as("probe_id"),
-        substring_index(col("p_name"), " ", 1).as("block_key"),
+        substring_index(col("p_name"), " ", 1).as("pb_key"),
         expr("substring(p_name, 1, length(p_name) - 1)").as("probe_name"))
     val cands = parts.select(col("p_partkey").as("cand_id"),
       col("p_name").as("cand_name"),
       substring_index(col("p_name"), " ", 1).as("block_key"))
-    val pairs = cands.join(broadcast(probes), Seq("block_key"))
-      .select(col("probe_id"), col("probe_name"), col("cand_id"),
-        col("cand_name"),
-        levenshtein(col("probe_name"), col("cand_name")).cast("bigint")
-          .as("dist"))
-    val byProbe = Window.partitionBy(col("probe_id"))
-    val rankW = byProbe.orderBy(col("dist"), col("cand_id"))
-    pairs
-      .withColumn("rn", row_number().over(rankW))
-      .withColumn("n_blocked", count(lit(1)).over(byProbe))
-      .withColumn("n_match",
-        sum(when(col("dist") <= maxDist, 1L).otherwise(0L)).over(byProbe))
-      .filter(col("rn") === 1 && col("dist") <= maxDist)
+    // n_blocked audits the whole first-token block, so it is counted
+    // over the unbanded candidate set and joined back at the end.
+    val blockSizes = cands.groupBy("block_key")
+      .agg(count(lit(1)).as("n_blocked"))
+      .withColumnRenamed("block_key", "pb_key")
+    val matches = cands.join(broadcast(probes),
+        col("block_key") === col("pb_key") &&
+          abs(length(col("cand_name")) - length(col("probe_name")))
+            <= maxDist)
+      .select(col("probe_id"), col("probe_name"), col("pb_key"),
+        col("cand_id"), col("cand_name"),
+        levenshtein(col("probe_name"), col("cand_name"), maxDist)
+          .cast("bigint").as("dist"))
+      .filter(col("dist") >= 0)
+    matches
+      .groupBy(col("probe_id"))
+      .agg(first(col("probe_name")).as("probe_name"),
+        first(col("pb_key")).as("pb_key"),
+        min(struct(col("dist"), col("cand_id"), col("cand_name")))
+          .as("best"),
+        count(lit(1)).as("n_match"))
+      .join(broadcast(blockSizes), Seq("pb_key"))
       .select(col("probe_id"), col("probe_name"),
-        col("cand_id").as("matched_id"), col("cand_name").as("matched_name"),
-        col("dist"), col("n_blocked"), col("n_match"))
+        col("best.cand_id").as("matched_id"),
+        col("best.cand_name").as("matched_name"),
+        col("best.dist").as("dist"), col("n_blocked"), col("n_match"))
       .orderBy("probe_id")
   }
 

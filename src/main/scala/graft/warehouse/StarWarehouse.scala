@@ -12,6 +12,36 @@ import graft.operators.{Dedup, Upsert}
   * reference's B-tree date indexes, warehouse_star.sql:71-77 — gives
   * partition pruning on every date predicate at scale).
   */
+object StarWarehouse {
+  /** Small daemon pool for submitting INDEPENDENT warehouse loads as
+    * concurrent Spark jobs (Spark's scheduler is explicitly multi-thread
+    * safe; each job's stages interleave across idle cores instead of
+    * queuing behind each other's write latency). Sized to the handful of
+    * dim tables a single fact load touches. */
+  private val ec: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-wh-load"); t.setDaemon(true); t
+        }))
+
+  private[warehouse] def async[A](body: => A): scala.concurrent.Future[A] =
+    scala.concurrent.Future(body)(ec)
+
+  /** Await two value-bearing loads (plus any side-effect-only ones);
+    * failures rethrow at the await, same as sequential execution. */
+  private[warehouse] def awaitPair[A, B](fa: scala.concurrent.Future[A],
+                                         fb: scala.concurrent.Future[B],
+                                         rest: scala.concurrent.Future[_]*)
+      : (A, B) = {
+    import scala.concurrent.Await
+    import scala.concurrent.duration.Duration
+    val out = (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    rest.foreach(Await.result(_, Duration.Inf))
+    out
+  }
+}
+
 class StarWarehouse(spark: SparkSession, root: String) {
 
   def path(table: String): String = s"$root/$table"
@@ -55,20 +85,27 @@ class StarWarehouse(spark: SparkSession, root: String) {
 
   /** Enum dims with deterministic surrogate keys (D2). INSERT OR IGNORE
     * semantics: existing natural keys keep their ids; new keys extend the
-    * sequence in sorted order (load.py:75-79). */
+    * sequence in sorted order (load.py:75-79). The id offset (max existing
+    * id) enters the plan as a one-row broadcast cross join rather than a
+    * driver-side collect — one Spark job per dim load instead of two. */
   def upsertEnumDim(values: DataFrame, naturalKey: String, idCol: String,
                     table: String): DataFrame = {
     val incoming = values.select(col(naturalKey)).distinct()
     val merged = if (exists(table)) {
       val existing = read(table)
-      val maxId = existing.agg(coalesce(max(col(idCol)), lit(0L)))
-        .collect()(0).getLong(0)
+      val maxId = existing
+        .agg(coalesce(max(col(idCol)), lit(0L)).as("__max_id"))
       val fresh = incoming.join(existing, Seq(naturalKey), "left_anti")
       val freshWithIds = Upsert.withSurrogateKey(fresh, naturalKey, idCol)
-        .withColumn(idCol, col(idCol) + maxId)
+        .crossJoin(broadcast(maxId))
+        .withColumn(idCol, col(idCol) + col("__max_id"))
+        .drop("__max_id")
       existing.unionByName(freshWithIds)
     } else Upsert.withSurrogateKey(incoming, naturalKey, idCol)
-    Upsert.overwriteViaSwap(spark, merged, path(table))
+    // Enum dims are broadcast-scale by construction: one output file is
+    // the right layout at any fact volume (32 shuffle-partition shards of
+    // a few-hundred-row dim are pure file-creation + listing overhead).
+    Upsert.overwriteViaSwap(spark, merged.coalesce(1), path(table))
     read(table)
   }
 
@@ -79,7 +116,8 @@ class StarWarehouse(spark: SparkSession, root: String) {
       read("dim_dates").unionByName(
         incoming.join(read("dim_dates"), Seq("date_key"), "left_anti"))
     else incoming
-    Upsert.overwriteViaSwap(spark, merged, path("dim_dates"))
+    // date grain: one row per day — single-file at any fact volume.
+    Upsert.overwriteViaSwap(spark, merged.coalesce(1), path("dim_dates"))
   }
 
   /** fact_events upsert (D1, load.py:251-297): resolves event_type_id via
@@ -88,9 +126,13 @@ class StarWarehouse(spark: SparkSession, root: String) {
     * mergeLatest — replaying batches in any interleaving converges to the
     * same fact table (§2.9; PropertySpec). Partitioned by event_date. */
   def upsertFactEvents(cleaned: DataFrame): Unit = {
-    val dimTypes = upsertEnumDim(cleaned.select(col("event")), "event",
-      "event_type_id", "dim_event_types")
-    upsertDimDates(cleaned.select(col("event_date")), "event_date")
+    // dim_event_types and dim_dates are independent loads — run them as
+    // concurrent Spark jobs (see upsertFactInternationalSales).
+    val (dimTypes, _) = StarWarehouse.awaitPair(
+      StarWarehouse.async(upsertEnumDim(cleaned.select(col("event")),
+        "event", "event_type_id", "dim_event_types")),
+      StarWarehouse.async(
+        upsertDimDates(cleaned.select(col("event_date")), "event_date")))
     val incoming = cleaned
       .select(col("event_id"), col("ts"), col("user_id"), col("event"),
         col("amount"), col("event_date"), col("event_hour"))
@@ -137,14 +179,20 @@ class StarWarehouse(spark: SparkSession, root: String) {
     * SKUs), so the broadcast lookups hold at any fact volume; the fact
     * itself shuffles once, on sale_id, for the keyed merge. */
   def upsertFactInternationalSales(intl: DataFrame): Unit = {
-    upsertDimDates(intl.select(col("date_key")), "date_key")
-    val dimCust = upsertEnumDim(
-      intl.filter(col("customer").isNotNull)
-        .select(col("customer").as("customer_name")),
-      "customer_name", "customer_id", "dim_customers")
-    val dimProd = upsertEnumDim(
-      intl.filter(col("sku").isNotNull).select(col("sku")),
-      "sku", "product_id", "dim_products")
+    // The three dim loads touch disjoint tables and share no data
+    // dependency — submit them as CONCURRENT Spark jobs (the scheduler
+    // interleaves their small stages across idle cores) instead of paying
+    // three sequential write-job latencies.
+    val (dimCust, dimProd) = StarWarehouse.awaitPair(
+      StarWarehouse.async(upsertEnumDim(
+        intl.filter(col("customer").isNotNull)
+          .select(col("customer").as("customer_name")),
+        "customer_name", "customer_id", "dim_customers")),
+      StarWarehouse.async(upsertEnumDim(
+        intl.filter(col("sku").isNotNull).select(col("sku")),
+        "sku", "product_id", "dim_products")),
+      StarWarehouse.async(
+        upsertDimDates(intl.select(col("date_key")), "date_key")))
     val src =
       if (intl.columns.contains("source_dataset"))
         col("source_dataset").cast("string")
@@ -160,10 +208,14 @@ class StarWarehouse(spark: SparkSession, root: String) {
         col("gross_amt").cast("double").as("gross_amt"),
         col("currency"), src.as("source_dataset"))
     val tiebreak = struct(col("pcs"), col("rate"))
-    val merged = if (exists("fact_international_sales"))
+    val merged = (if (exists("fact_international_sales"))
       Upsert.mergeLatest(read("fact_international_sales"), incoming,
         Seq("sale_id"), col("ts"), tiebreak)
-    else Dedup.keepLatest(incoming, Seq("sale_id"), col("ts"), tiebreak)
+    else Dedup.keepLatest(incoming, Seq("sale_id"), col("ts"), tiebreak))
+      // pinned: repartitionByRange's sampling pass would otherwise
+      // recompute the whole merge (existing-fact scan + dim joins +
+      // keyed window) a second time for the write.
+      .localCheckpoint()
     // NOT date-partitioned on disk: unlike fact_events' ~30-day window,
     // this fact has multi-YEAR daily grain — a partition-per-day tree is
     // the small-files anti-pattern (measured 100× slower to write+list at

@@ -304,6 +304,14 @@ object SparkEntry {
           "event_type", "event_type_id")
         .orderBy("event_type")),
 
+    // ---- D2 scale sibling: same sorted-order ids, no single-partition
+    // window (range partition + per-partition rank + offset merge) ----
+    "q_surrogate_scale" -> ((s, d) =>
+      Upsert.withSurrogateKeyScale(
+          Tables.customer(s, d).select(col("c_name").as("name")).distinct(),
+          "name", "id")
+        .orderBy("name")),
+
     // ---- A8: dim_dates expansion ----
     "q_dim_dates" -> ((s, d) =>
       Upsert.dimDates(
@@ -2002,6 +2010,11 @@ object SparkEntry {
            AS event_type_id
          FROM (SELECT DISTINCT event_type FROM events)
          ORDER BY event_type""",
+    "q_surrogate_scale" ->
+      """SELECT name,
+         CAST(row_number() OVER (ORDER BY name) AS BIGINT) AS id
+         FROM (SELECT DISTINCT c_name AS name FROM customer)
+         ORDER BY name""",
     "q_dim_dates" ->
       """SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS date_key,
          CAST(year(ts) AS BIGINT) AS year,

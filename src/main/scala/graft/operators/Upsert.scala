@@ -80,6 +80,43 @@ object Upsert {
     dim.withColumn(idCol,
       dense_rank().over(Window.orderBy(col(naturalKey))).cast("bigint"))
 
+  /** The 100 TB shape of [[withSurrogateKey]]: same ids (1..N in natural-
+    * key sorted order over a deduplicated input), no single-partition
+    * window anywhere in the plan. Keys RANGE-partition (so partition i's
+    * keys all sort before partition i+1's), rank runs per partition under
+    * a pid-PARTITIONED window (parallel across partitions), and each
+    * partition's id block starts at the cumulative count of the
+    * partitions before it. The per-partition counts are a bounded
+    * driver-side read — one row per shuffle partition, thousands at
+    * cluster scale — folded into a broadcast offset table. Ids depend
+    * only on the global sort order, not on where the sampled range
+    * boundaries happen to fall, so the result is deterministic and
+    * bit-equal to the exact form (Round14OpsSpec checks equality and
+    * pins the plan to partitioned-only windows). */
+  def withSurrogateKeyScale(dim: DataFrame, naturalKey: String,
+                            idCol: String): DataFrame = {
+    val spark = dim.sparkSession
+    // pin the range shuffle: both the count pass and the rank pass read
+    // the SAME partition layout (and it computes once, not twice)
+    val ranged = dim.select(col(naturalKey))
+      .repartitionByRange(col(naturalKey))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L, 0L)) {
+      case ((_, acc, _), (pid, n)) => (pid, acc + n, acc)
+    }.tail.map { case (pid, _, off) => (pid, off) }
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("__pid", "__offset")
+    ranged
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(col(naturalKey))))
+      .join(broadcast(offsetDf), Seq("__pid"))
+      .select(col(naturalKey),
+        (col("__r") + col("__offset")).cast("bigint").as(idCol))
+  }
+
   /** SCD Type-2 dimension history from a change feed: collapse consecutive
     * equal attribute values per key into versioned validity intervals
     * (gaps-and-islands). `valid_to` is the next version's `valid_from`

@@ -31,10 +31,15 @@ object DedupCluster {
       .distinct().localCheckpoint()
     // Seed with min(self, neighbours) — equivalent to one propagation round
     // for free (no join), so star/clique graphs often converge in 1 pass.
+    // Checkpoints in the loop are LAZY: the convergence checksum right
+    // after is the action that materializes each round — one Spark job per
+    // round instead of an eager-checkpoint job plus a checksum job (the
+    // rounds are fixed-cost-dominated; halving the job count halves the
+    // loop's overhead at any graph size).
     var labels = sym.groupBy(col("src"))
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("node"),
-        least(col("mn"), col("src")).as("comp")).localCheckpoint()
+        least(col("mn"), col("src")).as("comp")).localCheckpoint(false)
     // Labels only ever decrease, so sum(comp) is a monotone convergence
     // witness: unchanged sum ⇔ unchanged labels. One scalar per round
     // instead of a join + isEmpty re-execution. Summed as decimal(38,0):
@@ -53,7 +58,7 @@ object DedupCluster {
       val msgs = sym.join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("comp"))
       val next = labels.union(msgs).groupBy("node")
-        .agg(min(col("comp")).as("comp")).localCheckpoint()
+        .agg(min(col("comp")).as("comp")).localCheckpoint(false)
       val s = checksum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -33,6 +33,41 @@ class PruningSpec extends SparkSpec {
     assert(q.count() === 10)
   }
 
+  test("date predicate prunes the PIPELINE-WRITTEN warehouse, end to end") {
+    // Not a hand-built fixture: run the real ingest→load path and prove
+    // the fact table it persists carries the partition layout the scale
+    // claim depends on (the analog of warehouse_star.sql:71-77's date
+    // index, but enforced at storage layout level).
+    val dir = Files.createTempDirectory("graft_e2e_prune").toString
+    val events = Seq(
+      """{"event_id":"p1","ts":"2024-03-01T10:00:00Z","event":"pageview","user_id":"u1"}""",
+      """{"event_id":"p2","ts":"2024-03-01T11:00:00Z","event":"signup","user_id":"u2"}""",
+      """{"event_id":"p3","ts":"2024-03-02T09:00:00Z","event":"purchase","user_id":"u1","amount":"7"}""",
+      """{"event_id":"p4","ts":"2024-03-03T09:00:00Z","event":"pageview","user_id":"u2"}"""
+    ).mkString("\n")
+    val users = "user_id,country,signup_source\nu1,DE,organic\nu2,US,ads\n"
+    Files.writeString(java.nio.file.Paths.get(dir, "events.jsonl"), events)
+    Files.writeString(java.nio.file.Paths.get(dir, "users.csv"), users)
+    Pipeline.run(spark, s"$dir/events.jsonl", s"$dir/users.csv",
+      s"$dir/wh", s"$dir/out")
+
+    val wh = new graft.warehouse.StarWarehouse(spark, s"$dir/wh")
+    val q = wh.read("fact_events")
+      .filter(col("event_date") === "2024-03-01")
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      "warehouse-contract read must still plan a partition filter")
+    val selected = scan.relation.location
+      .listFiles(scan.partitionFilters, Nil).size
+    val total = scan.relation.location.listFiles(Nil, Nil).size
+    assert(total === 3, s"expected one partition per event date, got $total")
+    assert(selected === 1,
+      s"date predicate must prune to one partition, kept $selected/$total")
+    assert(q.count() === 2)
+  }
+
   test("dim-filtered join prunes fact partitions at RUNTIME (DPP)") {
     // The 100 TB shape: the fact side is date-partitioned, the filter
     // lives on a DIMENSION (calendar) table — static pruning can't see

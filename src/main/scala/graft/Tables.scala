@@ -43,7 +43,15 @@ object Tables {
         // UTC session zone all entry points set
         raw.withColumn("ts",
           org.apache.spark.sql.functions.col("ts").cast("timestamp"))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        // a THIRD fixture encoding must fail loudly at the loader, not as
+        // an obscure downstream cast error (the silent-adaptation pattern
+        // behind the round-4 cliff)
+        throw new IllegalStateException(
+          s"events.ts arrived as unsupported dtype $other " +
+            "(expected long nanos, TIMESTAMP_NTZ micros, or TIMESTAMP); " +
+            "teach Tables.events the new fixture encoding explicitly")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")

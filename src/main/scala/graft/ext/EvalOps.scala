@@ -355,19 +355,22 @@ object EvalOps {
   private[graft] def itemCFUncached(spark: SparkSession, sfDir: String,
                                     topK: Int = 5): DataFrame = {
     val cooc = graft.analytics.StarAnalytics.coPurchaseCounts(spark, sfDir)
-    val freq = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val freq = graft.analytics.StarAnalytics.orderParts(spark, sfDir)
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
-    val sym = cooc.select(col("part_a").as("item"),
-        col("part_b").as("other"), col("n_orders"))
-      .unionByName(cooc.select(col("part_b").as("item"),
-        col("part_a").as("other"), col("n_orders")))
-    val fa = freq.select(col("l_partkey").as("item"), col("n_item"))
-    val fb = freq.select(col("l_partkey").as("other"),
+    val fa = freq.select(col("l_partkey").as("part_a"), col("n_item"))
+    val fb = freq.select(col("l_partkey").as("part_b"),
       col("n_item").as("n_other"))
-    val scored = sym.join(fa, "item").join(fb, "other")
+    // cosine is symmetric: score each UNORDERED pair once (joins run on
+    // the 1.2M-pair frame), then mirror the scored rows — half the join
+    // work of scoring a pre-mirrored 2.4M-row frame
+    val scoredPairs = cooc.join(fa, "part_a").join(fb, "part_b")
       .withColumn("sim", col("n_orders") /
         sqrt((col("n_item") * col("n_other")).cast("double")))
+      .select(col("part_a"), col("part_b"), col("n_orders"), col("sim"))
+    val scored = scoredPairs.select(col("part_a").as("item"),
+        col("part_b").as("other"), col("n_orders"), col("sim"))
+      .unionByName(scoredPairs.select(col("part_b").as("item"),
+        col("part_a").as("other"), col("n_orders"), col("sim")))
     val w = Window.partitionBy("item")
       .orderBy(col("sim").desc, col("other").asc)
     scored.withColumn("rnk", row_number().over(w).cast("bigint"))
@@ -392,8 +395,7 @@ object EvalOps {
   def cfHitRate(spark: SparkSession, sfDir: String,
                 topK: Int = 5): DataFrame = {
     val nbrs = itemCF(spark, sfDir, topK).select(col("item"), col("other"))
-    val op = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val op = graft.analytics.StarAnalytics.orderParts(spark, sfDir)
     val eval = op.groupBy("l_orderkey")
       .agg(max(col("l_partkey")).as("target"),
         count(lit(1)).as("n_items"))

@@ -1302,6 +1302,9 @@ object SparkEntry {
     // ---- blocked record linkage (entity resolution over part names) ----
     "q_record_linkage" -> ((s, d) =>
       graft.ext.DedupExt.recordLinkage(Tables.part(s, d))),
+    // ---- exact-substring dup census (Lee et al. 2022, relational) ----
+    "q_dup_spans" -> ((s, d) =>
+      graft.ext.TextAnalysis.duplicatedSpans(Tables.documents(s, d))),
     "q_bpe_pairs" -> ((s, d) =>
       graft.ext.TextAnalysis.bpePairs(Tables.documents(s, d))),
     // ---- iterative BPE merge learning (3 relational rounds) ----
@@ -4744,6 +4747,30 @@ object SparkEntry {
            p.votes
          FROM p JOIN embeddings e ON p.query_id = e.vec_id
          WHERE rn = 1 ORDER BY query_id""",
+    "q_dup_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         wins AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(toks) - 8),
+             i -> ('0x' || substr(md5(array_to_string(toks[i:i+9], ' ')),
+               1, 15))::BIGINT)) AS h
+           FROM toks WHERE len(toks) >= 10),
+         census AS (
+           SELECT h, count(DISTINCT doc_id) AS span_docs
+           FROM wins GROUP BY h)
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN span_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           CAST(count(DISTINCT CASE WHEN span_docs >= 2 THEN h END)
+             AS BIGINT) AS n_dup_spans,
+           floor(sum(CASE WHEN span_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE * 1000000.0 + 0.5) / 1000000.0
+             AS dup_ratio
+         FROM wins JOIN census USING (h)
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_bpe_pairs" ->
       """WITH toks AS (
            SELECT unnest(list_filter(

@@ -68,6 +68,46 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Cross-document duplicated-span census — the relational form of
+    * exact-substring dedup ("Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2022, which uses suffix arrays on one
+    * machine): every w-token window (stride 1) is hashed with the
+    * portable md5-h60, and a window is DUPLICATED iff its span hash
+    * occurs in ≥ 2 distinct documents. Per doc: window count, duplicated
+    * window count, distinct offending spans, and the duplicated fraction
+    * — the signal a substring-trimming pass acts on.
+    *
+    * Scale shape: the window frame is |tokens|-scale rows of
+    * (doc_id, 60-bit hash) — ~20 bytes per corpus token, built by the
+    * native `word_ngrams` loop, never materializing pairwise anything —
+    * and it shuffles exactly twice: once on the span hash (census +
+    * verdict join share that partitioning) and once on doc_id for the
+    * rollup. Duplication cost scales with actual duplication, not
+    * corpus². The frame is pinned so census and join read one
+    * materialization. */
+  def duplicatedSpans(docs: DataFrame, w: Int = 10): DataFrame = {
+    graft.plans.TextSketches.register(docs.sparkSession)
+    val wins = docs.select(col("doc_id"),
+        explode(graft.plans.TextSketches.word_ngrams(
+          tokens(col("text")), w)).as("gram"))
+      .select(col("doc_id"), portableH60(col("gram")).as("h"))
+      .localCheckpoint()
+    val spans = wins.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("span_docs"))
+    wins.join(spans, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("span_docs") >= 2, 1L).otherwise(0L))
+          .as("n_dup_windows"),
+        count_distinct(when(col("span_docs") >= 2, col("h")))
+          .as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        floor(col("n_dup_windows").cast("double") /
+          col("n_windows").cast("double") * lit(1000000.0) + lit(0.5))
+          / lit(1000000.0))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic training-shard plan: portable-hash shard assignment
     * (h60(doc_id) mod nShards — engine-reproducible, stable under corpus
     * growth for existing docs) with per-shard document and token totals.

@@ -50,4 +50,23 @@ class Round14OpsSpec extends SparkSpec {
     val empty = keys.filter(lit(false))
     assert(Upsert.withSurrogateKeyScale(empty, "name", "id").count() == 0L)
   }
+
+  test("duplicatedSpans: cross-doc windows flagged, within-doc repeats not") {
+    // w=3. Docs 1 and 2 share the 4-token run "b c d e" → two shared
+    // 3-gram windows ("b c d", "c d e"). Doc 3 repeats its own trigram
+    // twice but shares nothing across docs → zero dup windows (the
+    // ≥2-DISTINCT-docs rule). Doc 4 is under w tokens → absent.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "b c d e f"),
+      (3L, "x y z x y z x y"),
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.duplicatedSpans(docs, w = 3)
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    assert(out == List(
+      (1L, 3L, 2L, 2L, 0.666667),
+      (2L, 3L, 2L, 2L, 0.666667),
+      (3L, 6L, 0L, 0L, 0.0)))
+  }
 }

@@ -886,8 +886,12 @@ object TextAnalysis {
     * per-doc sum, so the argmax is order-independent and the DuckDB
     * oracle reproduces every prediction exactly. */
   def naiveBayes(docs: DataFrame, alpha: Double = 1.0): DataFrame = {
+    // pinned: the token frame feeds FOUR consumers (class-token counts,
+    // class token totals, the vocab scalar, per-doc tf) — one tokenize +
+    // explode pass instead of four corpus re-scans
     val toks = docs.select(col("doc_id"), col("lang"),
-      explode(tokens(col("text"))).as("term"))
+        explode(tokens(col("text"))).as("term"))
+      .localCheckpoint()
     val classTok = toks.groupBy(col("lang").as("cls"), col("term"))
       .agg(count(lit(1)).as("cnt"))
     val classes = toks.groupBy(col("lang").as("cls"))

@@ -80,18 +80,21 @@ object TextAnalysis {
     * Scale shape: the window frame is |tokens|-scale rows of
     * (doc_id, 60-bit hash) — ~20 bytes per corpus token, built by the
     * native `word_ngrams` loop, never materializing pairwise anything —
-    * and it shuffles exactly twice: once on the span hash (census +
-    * verdict join share that partitioning) and once on doc_id for the
-    * rollup. Duplication cost scales with actual duplication, not
-    * corpus². The frame is pinned so census and join read one
-    * materialization. */
+    * and its two consumers cost one shuffle each: the census collapses
+    * (h, doc) map-side before its span-hash exchange, and the verdict
+    * join probes it (AQE broadcasts the smaller side at test scale;
+    * at corpus scale it degrades to a hash join on h whose window-frame
+    * side re-derives from the scan — tokenize + md5 re-run at scan
+    * speed, deliberately NOT checkpointed: pinning a |tokens|-scale
+    * frame to executor storage is exactly what does not survive
+    * 100 TB). The rollup then shuffles once on doc_id. Duplication cost
+    * scales with actual duplication, not corpus². */
   def duplicatedSpans(docs: DataFrame, w: Int = 10): DataFrame = {
     graft.plans.TextSketches.register(docs.sparkSession)
     val wins = docs.select(col("doc_id"),
         explode(graft.plans.TextSketches.word_ngrams(
           tokens(col("text")), w)).as("gram"))
       .select(col("doc_id"), portableH60(col("gram")).as("h"))
-      .localCheckpoint()
     val spans = wins.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("span_docs"))
     wins.join(spans, "h")

@@ -54,6 +54,27 @@ object Tables {
             "teach Tables.events the new fixture encoding explicitly")
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** Floor on scan parallelism for compute-heavy corpora. A real corpus
+    * arrives as thousands of splits, so this guard is a NO-OP at cluster
+    * scale (splits ≥ cores ⇒ the frame passes through untouched — no
+    * corpus shuffle is ever added on the scale path). The test fixture,
+    * however, is ONE parquet file with ONE row group: Spark cannot split
+    * a row group, so every downstream tokenizer / hasher / vector map
+    * would run in a single task at any core count. When, and only when,
+    * the scan yields fewer splits than the configured partition count,
+    * a one-time redistribution of the (small, by construction — that is
+    * why it arrived as one split) frame restores parallelism. */
+  private def withMinParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
+  /** `documents`/`embeddings` go through the parallelism floor: their
+    * consumers run the engine's expensive narrow maps (tokenize, md5
+    * sketches, per-dimension vector arithmetic) where scan-split
+    * parallelism is the whole ballgame. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    withMinParallelism(table(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    withMinParallelism(table(s, d, "embeddings"))
 }

@@ -212,9 +212,18 @@ object DedupExt {
       .select(col("p_partkey").as("probe_id"),
         substring_index(col("p_name"), " ", 1).as("pb_key"),
         expr("substring(p_name, 1, length(p_name) - 1)").as("probe_name"))
+    // repartition() before the broadcast join: the catalog may arrive as
+    // ONE scan split (a small dim is a single parquet file), which would
+    // run the entire block-fan-out × edit-distance map in one task. A
+    // ~20k-row shuffle buys every core a share of the expensive map —
+    // the fan-out-heavy-map rule: parallelism must come from the input
+    // side, the broadcast side has none to give.
     val cands = parts.select(col("p_partkey").as("cand_id"),
       col("p_name").as("cand_name"),
       substring_index(col("p_name"), " ", 1).as("block_key"))
+      // explicit N: AQE leaves user-specified counts alone (it would
+      // coalesce a bare repartition() right back to one small partition)
+      .repartition(parts.sparkSession.sessionState.conf.numShufflePartitions)
     // n_blocked audits the whole first-token block, so it is counted
     // over the unbanded candidate set and joined back at the end.
     val blockSizes = cands.groupBy("block_key")

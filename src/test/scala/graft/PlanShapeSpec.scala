@@ -94,11 +94,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate(keys=[o_orderkey"))
   }
 
-  test("weighted sample is a pure filter — no shuffle, no exchange") {
+  test("weighted sample is a pure filter — no keyed shuffle, and the " +
+    "predicate stays below the loader's parallelism floor") {
     val docs = Tables.documents(spark, sf)
     val plan = physical(graft.operators.Sampling.weightedSample(docs,
       col("doc_id"), least(lit(1250L) * col("n_chars"), lit(1000000L))))
-    assert(!plan.contains("Exchange"), plan.take(400))
+    // the ONLY exchange allowed is Tables' round-robin scan-parallelism
+    // floor (a no-op on any real multi-split corpus); the sample itself
+    // must add no keyed repartitioning
+    assert(!plan.contains("hashpartitioning") &&
+      !plan.contains("rangepartitioning"), plan.take(600))
+    // and the sampling predicate must sit ON the scan side of that floor
+    // (filter pushdown through the repartition), so the shuffled frame is
+    // the already-sampled sliver, not the corpus
+    val exchangeAt = plan.indexOf("Exchange")
+    val filterAt = plan.indexOf("Filter")
+    assert(filterAt > exchangeAt, plan.take(600))
   }
 
   test("fixed-k-per-stratum sampling prunes with WindowGroupLimit") {

@@ -1737,6 +1737,11 @@ object SparkEntry {
             (col("o_orderkey") % 5 + 1)).cast("string")))
         .otherwise(lit("")).as("Rate"),
       lit(null).cast("string").as("currency"))
+      // the staged scan this synth stands in for would arrive as many CSV
+      // splits; the single-split orders fixture would otherwise freeze a
+      // ONE-partition layout into the checkpoint and serialize the whole
+      // regex-heavy normalizer behind it
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .localCheckpoint()
   }
 
@@ -1763,6 +1768,8 @@ object SparkEntry {
       concat(lit("₹"), col("o_totalprice").cast("string"))
         .as("GROSS AMT"),
       lit(null).cast("string").as("currency"))
+      // same staged-scan parallelism rationale as amazonRawSynth
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .localCheckpoint()
   }
 

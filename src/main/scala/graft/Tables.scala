@@ -64,7 +64,7 @@ object Tables {
     * the scan yields fewer splits than the configured partition count,
     * a one-time redistribution of the (small, by construction — that is
     * why it arrived as one split) frame restores parallelism. */
-  private def withMinParallelism(df: DataFrame): DataFrame = {
+  private[graft] def withMinParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }

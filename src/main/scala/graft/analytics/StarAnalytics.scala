@@ -693,8 +693,14 @@ object StarAnalytics {
   def orderParts(spark: SparkSession, sfDir: String): DataFrame =
     orderPartsMemo.getOrElseUpdate(
       (System.identityHashCode(spark), sfDir),
-      Tables.lineitem(spark, sfDir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // scan-parallelism floor: the single-split fixture would run the
+      // distinct's partial aggregation over the whole table in one task;
+      // on a real many-split lineitem the guard is a no-op (no extra
+      // shuffle ever enters the scale path)
+      Tables.withMinParallelism(
+          Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey"), col("l_partkey")))
+        .distinct()
         .localCheckpoint())
 
   private def coPurchaseCountsUncached(spark: SparkSession,

@@ -693,13 +693,14 @@ object StarAnalytics {
   def orderParts(spark: SparkSession, sfDir: String): DataFrame =
     orderPartsMemo.getOrElseUpdate(
       (System.identityHashCode(spark), sfDir),
-      // scan-parallelism floor: the single-split fixture would run the
-      // distinct's partial aggregation over the whole table in one task;
-      // on a real many-split lineitem the guard is a no-op (no extra
-      // shuffle ever enters the scale path)
-      Tables.withMinParallelism(
-          Tables.lineitem(spark, sfDir)
-            .select(col("l_orderkey"), col("l_partkey")))
+      // NO parallelism floor here, measured deliberately: the distinct's
+      // partial aggregate barely collapses (600k → 550k pairs), so a
+      // round-robin pre-shuffle would move the whole projection a second
+      // time for nothing — the distinct's own keyed exchange is where
+      // parallelism starts, and the heavy consumers (basket explode,
+      // CF scoring) all run downstream of it
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"))
         .distinct()
         .localCheckpoint())
 

@@ -371,12 +371,22 @@ object EvalOps {
         col("part_b").as("other"), col("n_orders"), col("sim"))
       .unionByName(scoredPairs.select(col("part_b").as("item"),
         col("part_a").as("other"), col("n_orders"), col("sim")))
-    val w = Window.partitionBy("item")
-      .orderBy(col("sim").desc, col("other").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("bigint"))
-      .filter(col("rnk") <= topK)
-      .select(col("item"), col("other"), col("n_orders"),
-        round(col("sim"), 6).as("sim"), col("rnk"))
+    // top-k per item through the mergeable native aggregate: the bounded
+    // heap admits each candidate in O(log k) and PARTIAL-aggregates
+    // map-side, so the group exchange moves ≤ k rows per (item, input
+    // partition) and no per-item sort ever materializes the full
+    // neighbour list — the ranking equivalent of a partial-merge sketch
+    // (ranks by UNROUNDED sim with the same (sim DESC, other ASC) total
+    // order as the row_number form it replaced; TopKSpec pins equality).
+    graft.plans.TopK.register(spark)
+    scored.groupBy("item")
+      .agg(graft.plans.TopK.top_k_by_score(
+        struct(col("sim"), col("other"), col("n_orders")), topK).as("top"))
+      .select(col("item"), posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("item"), col("t.other").as("other"),
+        col("t.n_orders").as("n_orders"),
+        round(col("t.sim"), 6).as("sim"),
+        (col("r0") + 1).cast("bigint").as("rnk"))
       .orderBy("item", "rnk")
   }
 

@@ -349,10 +349,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(600))
   }
 
-  test("item-CF top-k plans a WindowGroupLimit; the catalog-scaling freq " +
-    "joins carry no forced broadcast") {
+  test("item-CF top-k partial-aggregates map-side (bounded heap, no " +
+    "per-item sort); the catalog-scaling freq joins carry no forced " +
+    "broadcast") {
     val plan = physical(graft.ext.EvalOps.itemCFUncached(spark, sf))
-    assert(plan.contains("WindowGroupLimit"), plan.take(600))
+    assert(plan.contains("partial_top_k_by_score"), plan.take(600))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(600))
     // no broadcast HINT on freq: degrading under a disabled auto-broadcast
     // threshold proves nothing is pinned to executor memory
     val noAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

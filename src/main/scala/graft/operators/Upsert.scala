@@ -97,8 +97,12 @@ object Upsert {
                             idCol: String): DataFrame = {
     val spark = dim.sparkSession
     // pin the range shuffle: both the count pass and the rank pass read
-    // the SAME partition layout (and it computes once, not twice)
-    val ranged = dim.select(col(naturalKey))
+    // the SAME partition layout (and it computes once, not twice).
+    // distinct() enforces the deduplicated-input contract the exact form
+    // gets for free from dense_rank (duplicate natural keys would
+    // otherwise take distinct row_number ids and silently diverge);
+    // it folds into the range exchange already paid here.
+    val ranged = dim.select(col(naturalKey)).distinct()
       .repartitionByRange(col(naturalKey))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()

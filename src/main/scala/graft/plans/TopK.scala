@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   * seen so far, held in a size-k binary heap whose root is the WORST kept
   * element — so admission is one comparison against the root and the
   * buffer can never exceed k rows regardless of group size. */
-final class TopKBuffer(val k: Int, rowType: StructType) {
+final class TopKBuffer(val k: Int) {
   // rank order: negative ⇔ a ranks strictly before b
   private def cmpRank(sa: Double, ta: Long, sb: Double, tb: Long): Int = {
     val c = java.lang.Double.compare(sb, sa) // score DESC
@@ -67,7 +67,7 @@ final class TopKBuffer(val k: Int, rowType: StructType) {
 object TopKBuffer {
   def deserialize(bytes: Array[Byte], k: Int,
                   rowType: StructType): TopKBuffer = {
-    val buf = new TopKBuffer(k, rowType)
+    val buf = new TopKBuffer(k)
     val in = ByteBuffer.wrap(bytes)
     val n = in.getInt
     var i = 0
@@ -115,7 +115,7 @@ case class TopKByScore(child: Expression, k: Int,
     UnsafeProjection.create(rowType.fields.map(_.dataType))
 
   override def createAggregationBuffer(): TopKBuffer =
-    new TopKBuffer(k, rowType)
+    new TopKBuffer(k)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val v = child.eval(input)
@@ -160,9 +160,30 @@ object TopK {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "top_k_by_score",
-      exprs => TopKByScore(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue())
-        .toAggregateExpression(),
+      { exprs =>
+        // analysis-time contract checks: SQL misuse fails with a named
+        // AnalysisException, not an opaque ClassCastException/NPE during
+        // planning
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`top_k_by_score`",
+              "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        val kExpr = exprs(1)
+        val kVal = if (kExpr.foldable) kExpr.eval() else null
+        kVal match {
+          case n: Number =>
+            TopKByScore(exprs.head, n.intValue()).toAggregateExpression()
+          case _ =>
+            throw new org.apache.spark.sql.AnalysisException(
+              "INVALID_PARAMETER_VALUE.INTEGER",
+              Map("parameter" -> "`k`",
+                "functionName" -> "`top_k_by_score`",
+                "invalidValue" -> kExpr.sql))
+        }
+      },
       "built-in")
 
   def top_k_by_score(structCol: Column, k: Int): Column =

@@ -28,17 +28,24 @@ object StarWarehouse {
   private[warehouse] def async[A](body: => A): scala.concurrent.Future[A] =
     scala.concurrent.Future(body)(ec)
 
-  /** Await two value-bearing loads (plus any side-effect-only ones);
-    * failures rethrow at the await, same as sequential execution. */
+  /** Await two value-bearing loads (plus any side-effect-only ones).
+    * EVERY future is awaited to completion before the first failure
+    * rethrows — otherwise a still-running dim load would keep writing in
+    * the background after the caller observed the failure, and a retry
+    * could race that orphan write's directory swap on the same path. */
   private[warehouse] def awaitPair[A, B](fa: scala.concurrent.Future[A],
                                          fb: scala.concurrent.Future[B],
                                          rest: scala.concurrent.Future[_]*)
       : (A, B) = {
     import scala.concurrent.Await
     import scala.concurrent.duration.Duration
-    val out = (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
-    rest.foreach(Await.result(_, Duration.Inf))
-    out
+    import scala.util.Try
+    val ra = Try(Await.result(fa, Duration.Inf))
+    val rb = Try(Await.result(fb, Duration.Inf))
+    val rr = rest.map(f => Try(Await.result(f, Duration.Inf)))
+    (ra.failed.toOption ++ rb.failed.toOption ++
+      rr.flatMap(_.failed.toOption)).headOption.foreach(throw _)
+    (ra.get, rb.get)
   }
 }
 

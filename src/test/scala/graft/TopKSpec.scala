@@ -58,6 +58,25 @@ class TopKSpec extends SparkSpec {
     assert(out == List((1L, 2), (2L, 1)))
   }
 
+  test("SQL misuse fails at analysis with a named error, not a CCE/NPE") {
+    TopK.register(spark)
+    spark.range(10)
+      .select((col("id") % 2).as("g"), col("id").cast("double").as("s"),
+        col("id").as("c"))
+      .createOrReplaceTempView("topk_guard_in")
+    val nonLiteral = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        """SELECT g, top_k_by_score(struct(s, c), CAST(c AS INT)) AS t
+          |FROM topk_guard_in GROUP BY g""".stripMargin).collect()
+    }
+    assert(nonLiteral.getMessage.contains("top_k_by_score"))
+    val wrongArity = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT top_k_by_score(struct(s, c)) FROM topk_guard_in").collect()
+    }
+    assert(wrongArity.getMessage.contains("top_k_by_score"))
+  }
+
   test("the plan partial-aggregates map-side (ObjectHashAggregate)") {
     TopK.register(spark)
     val df = spark.range(100)

@@ -90,25 +90,49 @@ class StarWarehouse(spark: SparkSession, root: String) {
     Upsert.overwriteViaSwap(spark, merged, path("dim_users"))
   }
 
-  /** Enum dims with deterministic surrogate keys (D2). INSERT OR IGNORE
-    * semantics: existing natural keys keep their ids; new keys extend the
+  /** One INSERT OR IGNORE round of the enum-dim id sequence, with NO
+    * write: existing natural keys keep their ids; new keys extend the
     * sequence in sorted order (load.py:75-79). The id offset (max existing
     * id) enters the plan as a one-row broadcast cross join rather than a
-    * driver-side collect — one Spark job per dim load instead of two. */
-  def upsertEnumDim(values: DataFrame, naturalKey: String, idCol: String,
-                    table: String): DataFrame = {
+    * driver-side collect. Pure frame-in/frame-out so a multi-batch load
+    * can fold its batches through this and pay ONE dim write total. */
+  private def mergeEnumDim(existing: Option[DataFrame], values: DataFrame,
+                           naturalKey: String, idCol: String): DataFrame = {
     val incoming = values.select(col(naturalKey)).distinct()
-    val merged = if (exists(table)) {
-      val existing = read(table)
-      val maxId = existing
-        .agg(coalesce(max(col(idCol)), lit(0L)).as("__max_id"))
-      val fresh = incoming.join(existing, Seq(naturalKey), "left_anti")
-      val freshWithIds = Upsert.withSurrogateKey(fresh, naturalKey, idCol)
-        .crossJoin(broadcast(maxId))
-        .withColumn(idCol, col(idCol) + col("__max_id"))
-        .drop("__max_id")
-      existing.unionByName(freshWithIds)
-    } else Upsert.withSurrogateKey(incoming, naturalKey, idCol)
+    existing match {
+      case Some(ex) =>
+        val maxId = ex.agg(coalesce(max(col(idCol)), lit(0L)).as("__max_id"))
+        val fresh = incoming.join(ex, Seq(naturalKey), "left_anti")
+        val freshWithIds = Upsert.withSurrogateKey(fresh, naturalKey, idCol)
+          .crossJoin(broadcast(maxId))
+          .withColumn(idCol, col(idCol) + col("__max_id"))
+          .drop("__max_id")
+        ex.unionByName(freshWithIds)
+      case None => Upsert.withSurrogateKey(incoming, naturalKey, idCol)
+    }
+  }
+
+  /** Enum dims with deterministic surrogate keys (D2), one batch per
+    * write. Multi-batch loads go through [[upsertEnumDimBatches]]. */
+  def upsertEnumDim(values: DataFrame, naturalKey: String, idCol: String,
+                    table: String): DataFrame =
+    upsertEnumDimBatches(Seq(values), naturalKey, idCol, table)
+
+  /** Fold N batches through the INSERT OR IGNORE id sequence IN ORDER
+    * (batch i+1's unseen keys extend the id range batch i finished at —
+    * identical ids to N sequential [[upsertEnumDim]] calls, because each
+    * fold step is the same merge the sequential path persists) but pay
+    * ONE write and ONE read-back instead of N of each. The folded plan
+    * re-evaluates earlier batches' key sets a few times (anti-join +
+    * max-id broadcast per step) — enum dims are distinct-key scale, so
+    * re-evaluating a tiny aggregate beats re-reading and re-writing the
+    * table N−1 times on any storage. */
+  def upsertEnumDimBatches(batches: Seq[DataFrame], naturalKey: String,
+                           idCol: String, table: String): DataFrame = {
+    val start = if (exists(table)) Some(read(table)) else None
+    val merged = batches.foldLeft(start) { (acc, b) =>
+      Some(mergeEnumDim(acc, b, naturalKey, idCol))
+    }.get
     // Enum dims are broadcast-scale by construction: one output file is
     // the right layout at any fact volume (32 shuffle-partition shards of
     // a few-hundred-row dim are pure file-creation + listing overhead).
@@ -185,35 +209,57 @@ class StarWarehouse(spark: SparkSession, root: String) {
     * oracle-expressible. Both dims are enum-scale (distinct customers /
     * SKUs), so the broadcast lookups hold at any fact volume; the fact
     * itself shuffles once, on sale_id, for the keyed merge. */
-  def upsertFactInternationalSales(intl: DataFrame): Unit = {
+  def upsertFactInternationalSales(intl: DataFrame): Unit =
+    upsertFactInternationalSalesBatches(Seq(intl))
+
+  /** N-batch intl load with ONE warehouse commit — bit-equal to N
+    * sequential [[upsertFactInternationalSales]] calls, at one load
+    * cycle's cost instead of N:
+    *  - the fact merge is order-independent keep-latest over every row
+    *    the table has ever been fed (mergeLatest's §2.9 contract), so
+    *    keep-latest over (existing ∪ batch₁ ∪ … ∪ batchₙ) IS the
+    *    sequential fixed point — one keyed shuffle, one write;
+    *  - dim ids fold batch-by-batch through the same INSERT OR IGNORE
+    *    merge the sequential path persists ([[upsertEnumDimBatches]]),
+    *    so batch i+1's unseen keys extend batch i's id range exactly;
+    *  - every batch resolves surrogate keys against the FINAL dims —
+    *    equivalent because a key's id never changes once assigned.
+    * PipelineSpec's idempotence property covers the 1-batch form;
+    * Round15OpsSpec pins batched ≡ sequential on a 2-batch overlap. */
+  def upsertFactInternationalSalesBatches(batches: Seq[DataFrame]): Unit = {
+    require(batches.nonEmpty, "at least one intl batch")
     // The three dim loads touch disjoint tables and share no data
     // dependency — submit them as CONCURRENT Spark jobs (the scheduler
     // interleaves their small stages across idle cores) instead of paying
     // three sequential write-job latencies.
     val (dimCust, dimProd) = StarWarehouse.awaitPair(
-      StarWarehouse.async(upsertEnumDim(
-        intl.filter(col("customer").isNotNull)
-          .select(col("customer").as("customer_name")),
+      StarWarehouse.async(upsertEnumDimBatches(
+        batches.map(b => b.filter(col("customer").isNotNull)
+          .select(col("customer").as("customer_name"))),
         "customer_name", "customer_id", "dim_customers")),
-      StarWarehouse.async(upsertEnumDim(
-        intl.filter(col("sku").isNotNull).select(col("sku")),
+      StarWarehouse.async(upsertEnumDimBatches(
+        batches.map(b => b.filter(col("sku").isNotNull).select(col("sku"))),
         "sku", "product_id", "dim_products")),
       StarWarehouse.async(
-        upsertDimDates(intl.select(col("date_key")), "date_key")))
-    val src =
-      if (intl.columns.contains("source_dataset"))
-        col("source_dataset").cast("string")
-      else lit(null).cast("string")
-    val incoming = intl
-      .join(broadcast(dimCust), col("customer") === col("customer_name"))
-      .join(broadcast(dimProd), Seq("sku"))
-      .filter(col("gross_amt").isNotNull)
-      .select(col("sale_id"), col("ts"), col("date_key"),
-        col("customer_id"), col("product_id"),
-        col("pcs").cast("int").as("pcs"),
-        col("rate").cast("double").as("rate"),
-        col("gross_amt").cast("double").as("gross_amt"),
-        col("currency"), src.as("source_dataset"))
+        upsertDimDates(batches.map(_.select(col("date_key")))
+          .reduce(_ unionByName _), "date_key")))
+    def resolve(intl: DataFrame): DataFrame = {
+      val src =
+        if (intl.columns.contains("source_dataset"))
+          col("source_dataset").cast("string")
+        else lit(null).cast("string")
+      intl
+        .join(broadcast(dimCust), col("customer") === col("customer_name"))
+        .join(broadcast(dimProd), Seq("sku"))
+        .filter(col("gross_amt").isNotNull)
+        .select(col("sale_id"), col("ts"), col("date_key"),
+          col("customer_id"), col("product_id"),
+          col("pcs").cast("int").as("pcs"),
+          col("rate").cast("double").as("rate"),
+          col("gross_amt").cast("double").as("gross_amt"),
+          col("currency"), src.as("source_dataset"))
+    }
+    val incoming = batches.map(resolve).reduce(_ unionByName _)
     val tiebreak = struct(col("pcs"), col("rate"))
     val merged = (if (exists("fact_international_sales"))
       Upsert.mergeLatest(read("fact_international_sales"), incoming,

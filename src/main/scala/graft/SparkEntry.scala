@@ -1388,6 +1388,11 @@ object SparkEntry {
     // ---- curriculum schedule: quality-quantile stages + token budget --
     "q_curriculum" -> ((s, d) =>
       graft.ext.TextAnalysis.curriculumSchedule(Tables.documents(s, d))),
+    // scale sibling: approx_percentile stage boundaries, no global ntile
+    // sort (accuracy=1e7 = exact-at-fixture; default is sketch-grade 1e4)
+    "q_curriculum_scale" -> ((s, d) =>
+      graft.ext.TextAnalysis.curriculumScheduleScale(Tables.documents(s, d),
+        accuracy = 10000000)),
     // ---- k-anonymity audit over the quasi-identifier ----
     "q_k_anonymity" -> ((s, d) =>
       StatsAnalytics.kAnonymity(Tables.events(s, d))),
@@ -1557,6 +1562,11 @@ object SparkEntry {
     // Lorenz concentration table over customer lifetime spend
     "q_lorenz" -> ((s, d) =>
       StatsAnalytics.lorenzDeciles(Tables.orders(s, d))),
+    // scale sibling: approx_percentile decile boundaries, no global ntile
+    // sort (accuracy=1e7 = exact-at-fixture; default is sketch-grade 1e4)
+    "q_lorenz_scale" -> ((s, d) =>
+      StatsAnalytics.lorenzDecilesScale(Tables.orders(s, d),
+        accuracy = 10000000)),
     // Fano factor (variance/mean of daily arrivals) per event type
     "q_burstiness" -> ((s, d) =>
       StatsAnalytics.burstiness(Tables.events(s, d))),
@@ -5349,6 +5359,42 @@ object SparkEntry {
            round(CAST(sum(CAST(sr AS DECIMAL(28,6))) AS DOUBLE) /
              CAST(count(*) AS DOUBLE), 6) AS mean_quality
          FROM st GROUP BY 1 ORDER BY 1""",
+    // boundary form mirrors q_rfm_scale: percentile_approx at full
+    // accuracy returns the sample at rank ceil(p·n), reproduced with an
+    // explicit row_number rank; stages invert the ascending boundary
+    // count (stage 1 = cleanest) exactly as the Spark side does
+    "q_curriculum_scale" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             round(CASE WHEN len(toks) = 0 THEN 0.0
+               ELSE len(list_filter(toks, x -> list_contains(
+                 ['the','and','of','is','to','a','in'], x))) / len(toks)
+             END, 4) AS sr
+           FROM t),
+         rk AS (
+           SELECT *, row_number() OVER (ORDER BY sr) AS r,
+             count(*) OVER () AS n
+           FROM m),
+         b AS (
+           SELECT
+             max(CASE WHEN r = greatest(1, CAST(ceil(0.25::DOUBLE * n) AS BIGINT)) THEN sr END) AS b1,
+             max(CASE WHEN r = greatest(1, CAST(ceil(0.5::DOUBLE * n) AS BIGINT)) THEN sr END) AS b2,
+             max(CASE WHEN r = greatest(1, CAST(ceil(0.75::DOUBLE * n) AS BIGINT)) THEN sr END) AS b3
+           FROM rk),
+         st AS (
+           SELECT m.*, CAST(4 - (CASE WHEN sr > b1 THEN 1 ELSE 0 END
+               + CASE WHEN sr > b2 THEN 1 ELSE 0 END
+               + CASE WHEN sr > b3 THEN 1 ELSE 0 END) AS BIGINT) AS stage
+           FROM m CROSS JOIN b)
+         SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(CAST(sr AS DECIMAL(28,6))) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 6) AS mean_quality
+         FROM st GROUP BY 1 ORDER BY 1""",
     "q_k_anonymity" ->
       """WITH q AS (
            SELECT event_type, CAST(ts AS DATE) AS d,
@@ -6192,6 +6238,52 @@ object SparkEntry {
              CAST(ntile(10) OVER (ORDER BY spend, o_custkey) AS BIGINT)
                AS decile
            FROM per),
+         bd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             sum(spend) AS dspend
+           FROM d GROUP BY 1),
+         tot AS (SELECT sum(dspend) AS total FROM bd)
+         SELECT decile, n_customers,
+           CAST(round(dspend, 2) AS DOUBLE) AS spend,
+           floor(CAST(sum(dspend) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / CAST(total AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS cum_share
+         FROM bd CROSS JOIN tot ORDER BY decile""",
+    // boundary form mirrors q_rfm_scale: rank-ceil(p·n) boundaries via
+    // explicit row_number, deciles = 1 + ascending boundaries exceeded
+    "q_lorenz_scale" ->
+      """WITH per AS (
+           SELECT o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+           FROM orders GROUP BY 1),
+         rk AS (
+           SELECT *, row_number() OVER (ORDER BY spend) AS r,
+             count(*) OVER () AS n
+           FROM per),
+         b AS (
+           SELECT
+             max(CASE WHEN r = greatest(1, CAST(ceil(0.1::DOUBLE * n) AS BIGINT)) THEN spend END) AS b1,
+             max(CASE WHEN r = greatest(1, CAST(ceil(0.2::DOUBLE * n) AS BIGINT)) THEN spend END) AS b2,
+             max(CASE WHEN r = greatest(1, CAST(ceil(0.3::DOUBLE * n) AS BIGINT)) THEN spend END) AS b3,
+             max(CASE WHEN r = greatest(1, CAST(ceil(0.4::DOUBLE * n) AS BIGINT)) THEN spend END) AS b4,
+             max(CASE WHEN r = greatest(1, CAST(ceil(0.5::DOUBLE * n) AS BIGINT)) THEN spend END) AS b5,
+             max(CASE WHEN r = greatest(1, CAST(ceil(0.6::DOUBLE * n) AS BIGINT)) THEN spend END) AS b6,
+             max(CASE WHEN r = greatest(1, CAST(ceil(0.7::DOUBLE * n) AS BIGINT)) THEN spend END) AS b7,
+             max(CASE WHEN r = greatest(1, CAST(ceil(0.8::DOUBLE * n) AS BIGINT)) THEN spend END) AS b8,
+             max(CASE WHEN r = greatest(1, CAST(ceil(0.9::DOUBLE * n) AS BIGINT)) THEN spend END) AS b9
+           FROM rk),
+         d AS (
+           SELECT per.*, CAST(1
+               + CASE WHEN spend > b1 THEN 1 ELSE 0 END
+               + CASE WHEN spend > b2 THEN 1 ELSE 0 END
+               + CASE WHEN spend > b3 THEN 1 ELSE 0 END
+               + CASE WHEN spend > b4 THEN 1 ELSE 0 END
+               + CASE WHEN spend > b5 THEN 1 ELSE 0 END
+               + CASE WHEN spend > b6 THEN 1 ELSE 0 END
+               + CASE WHEN spend > b7 THEN 1 ELSE 0 END
+               + CASE WHEN spend > b8 THEN 1 ELSE 0 END
+               + CASE WHEN spend > b9 THEN 1 ELSE 0 END AS BIGINT) AS decile
+           FROM per CROSS JOIN b),
          bd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
              sum(spend) AS dspend
            FROM d GROUP BY 1),

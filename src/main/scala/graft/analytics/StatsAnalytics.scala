@@ -852,6 +852,46 @@ object StatsAnalytics {
       .orderBy("decile")
   }
 
+  /** The 100 TB shape of [[lorenzDeciles]] (same pattern as
+    * rfmSegmentsScale): decile BOUNDARIES from `percentile_approx` over
+    * per-customer spend — a mergeable sketch with map-side partials,
+    * broadcast back as one row — and deciles assigned map-side as
+    * 1 + Σ(spend > bᵢ), so NO single-partition ntile sort ever ranks the
+    * customer frame. The only remaining window is the cumulative-share
+    * sum over the ≤10 decile rows — domain-bounded, never data-scale.
+    * Semantic delta, by design: equal spends share a decile (a boundary
+    * cut cannot split ties the way a ranked ntile does). Default accuracy
+    * is sketch-grade 10⁴; the verify/bench entry passes the
+    * exact-at-fixture 10⁷ because the oracle reproduces the sketch's
+    * rank-ceil(p·n) boundary with an explicit row_number rank. */
+  def lorenzDecilesScale(orders: DataFrame,
+                         accuracy: Int = 10000): DataFrame = {
+    // the per-customer aggregate feeds BOTH the boundary sketch and the
+    // scoring pass — localCheckpoint so the orders scan+shuffle runs once
+    val per = orders.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("spend"))
+      .localCheckpoint()
+    val ps = array((1 to 9).map(i => lit(i / 10.0)): _*)
+    val bounds = per.agg(
+      percentile_approx(col("spend"), ps, lit(accuracy)).as("sb"))
+    val above = (0 to 8)
+      .map(i => (col("spend") > col("sb")(i)).cast("int")).reduce(_ + _)
+    val byDecile = per.crossJoin(broadcast(bounds))
+      .withColumn("decile", (lit(1) + above).cast("bigint"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum(col("spend")).as("dspend"))
+    val tot = byDecile.agg(sum(col("dspend")).as("total"))
+    byDecile.crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_customers"),
+        round(col("dspend"), 2).cast("double").as("spend"),
+        (floor(sum(col("dspend"))
+            .over(Window.orderBy("decile")
+              .rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double") / col("total").cast("double")
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("cum_share"))
+      .orderBy("decile")
+  }
+
   /** Burstiness (Fano factor) of daily event arrivals per type: the
     * variance-to-mean ratio of the per-day counts — 1 is Poisson,
     * above is bursty, below is regular. Bursty types need time-salted

@@ -337,6 +337,43 @@ object TextAnalysis {
       .orderBy("stage")
   }
 
+  /** The 100 TB shape of [[curriculumSchedule]] (same pattern as
+    * rfmSegmentsScale): stage BOUNDARIES from `percentile_approx` over the
+    * per-doc quality score — a mergeable sketch aggregate with map-side
+    * partials, broadcast back as one row — and stages assigned map-side by
+    * counting boundaries exceeded, so NO single-partition ntile sort ever
+    * ranks the corpus. Stage 1 stays the cleanest quartile: the ascending
+    * boundary count inverts (stages − Σ(v > bᵢ)), mirroring the exact
+    * form's DESC ntile. Semantic delta, by design: equal scores share a
+    * stage (a boundary cut cannot split ties), so stage sizes are only
+    * approximately n/stages. Default accuracy is sketch-grade 10⁴
+    * (O(min(n, accuracy)) samples per partial); the verify/bench entry
+    * passes the exact-at-fixture 10⁷ because the oracle reproduces the
+    * sketch's rank-ceil(p·n) boundary with an explicit row_number rank. */
+  def curriculumScheduleScale(docs: DataFrame, stages: Int = 4,
+                              accuracy: Int = 10000): DataFrame = {
+    // the per-doc score frame feeds BOTH the boundary sketch and the
+    // staging pass — localCheckpoint so the tokenize pass runs once
+    val scored = qualityGate(docs)
+      .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
+      .localCheckpoint()
+    val ps = array((1 until stages).map(i => lit(i.toDouble / stages)): _*)
+    val bounds = scored.agg(
+      percentile_approx(col("stopword_ratio"), ps, lit(accuracy)).as("qb"))
+    val above = (0 until stages - 1)
+      .map(i => (col("stopword_ratio") > col("qb")(i)).cast("int"))
+      .reduce(_ + _)
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("stage", (lit(stages) - above).cast("bigint"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(sum(col("stopword_ratio").cast("decimal(28,6)"))
+          .cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_quality"))
+      .orderBy("stage")
+  }
+
   /** End-to-end corpus curation — the composition a training-data pipeline
     * actually ships, over the ops defined above: composite quality gate →
     * exact dedup (keep one doc per normalized fingerprint) → eval-set

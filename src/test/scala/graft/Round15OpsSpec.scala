@@ -74,6 +74,52 @@ class Round15OpsSpec extends SparkSpec {
     assert(s2rate === List(1005.0))
   }
 
+  test("curriculumScheduleScale: no ntile sort; sketch partial-aggregates") {
+    val docs = Seq(
+      (1L, "the cat and the dog is to a in the house"),
+      (2L, "zz yy xx ww vv uu tt ss rr qq"),
+      (3L, "the the the and and of of is is to"),
+      (4L, "alpha beta the gamma of delta is epsilon"),
+      (5L, "of to a in the and is of to a"),
+      (6L, "one two three four five six seven the end"),
+      (7L, "is it the best of times or the worst of times"),
+      (8L, "no stop words here just nouns verbs things stuff")
+    ).toDF("doc_id", "text")
+    val q = graft.ext.TextAnalysis.curriculumScheduleScale(docs)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile(4)"), s"ntile survived:\n$plan")
+    assert(plan.contains("partial_percentile_approx"),
+      s"boundary sketch must partial-aggregate map-side:\n$plan")
+    // same doc mass and token budget as the exact form — boundary cuts
+    // reshape stages on ties but never drop or double-count a doc
+    val exact = graft.ext.TextAnalysis.curriculumSchedule(docs)
+    val (nE, tE) = exact.agg(sum("n_docs"), sum("total_tokens"))
+      .as[(Long, Long)].head()
+    val (nS, tS) = q.agg(sum("n_docs"), sum("total_tokens"))
+      .as[(Long, Long)].head()
+    assert((nS, tS) === (nE, tE))
+    val bad = q.filter(col("stage") < 1 || col("stage") > 4).count()
+    assert(bad === 0L)
+  }
+
+  test("lorenzDecilesScale: no ntile sort; cum-share stays decile-bounded") {
+    val orders = (1 to 40).map(i =>
+      (i.toLong, s"1995-01-${"%02d".format(i % 28 + 1)}", i * 10.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val q = graft.analytics.StatsAnalytics.lorenzDecilesScale(orders)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("ntile(10)"), s"ntile survived:\n$plan")
+    assert(plan.contains("partial_percentile_approx"),
+      s"boundary sketch must partial-aggregate map-side:\n$plan")
+    val exact = graft.analytics.StatsAnalytics.lorenzDeciles(orders)
+    // all-distinct spends ⇒ boundary deciles == ranked deciles exactly
+    val e = exact.as[(Long, Long, Double, Double)].collect().toList
+    val s = q.as[(Long, Long, Double, Double)].collect().toList
+    assert(s === e)
+    // cumulative share ends at 1.0
+    assert(s.last._4 === 1.0)
+  }
+
   test("batched load onto an EXISTING warehouse matches sequential too") {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)

@@ -397,27 +397,39 @@ object EvalOps {
     * neighbours are worth serving. Closes the loop on `q_item_cf` the
     * way `q_ann_recall` does for the IVF index.
     *
-    * Scale shape: the held-out target rides the per-order aggregate
-    * (max is one of the standard LOO splits and needs no second scan);
-    * the context⋈neighbour probe is a hash join on the item key against
-    * a catalog×k frame; all counts are integers and the single ratio
-    * rounds via the portable floor form. */
+    * Scale shape — ONE keyed shuffle end to end: the held-out target,
+    * the order size, and the order's item set all ride the same
+    * per-order aggregate (orderParts is already distinct per
+    * (order, part), so `collect_set` loses nothing and is bounded by
+    * order width). Everything downstream is narrow: `explode`
+    * preserves the aggregate's hash partitioning on `l_orderkey`, the
+    * neighbour probe is a broadcast hash join (the neighbour frame is
+    * k rows per catalog item — the same broadcast-bounded assumption
+    * as the serving path; at catalog scales past the broadcast limit
+    * drop the hint and the probe degrades to a shuffle join without
+    * changing the result), so the per-order re-aggregate plans with NO
+    * second exchange and n_eval / n_hits fall out of one global pass.
+    * Replaces the earlier two-consumer form (per-order agg + orderParts
+    * self-join + distinct), which shuffled the pair frame three times. */
   def cfHitRate(spark: SparkSession, sfDir: String,
                 topK: Int = 5): DataFrame = {
     val nbrs = itemCF(spark, sfDir, topK).select(col("item"), col("other"))
     val op = graft.analytics.StarAnalytics.orderParts(spark, sfDir)
     val eval = op.groupBy("l_orderkey")
       .agg(max(col("l_partkey")).as("target"),
-        count(lit(1)).as("n_items"))
+        count(lit(1)).as("n_items"),
+        collect_set(col("l_partkey")).as("items"))
       .filter(col("n_items") >= 2)
-    val hits = op.join(eval, Seq("l_orderkey"))
-      .filter(col("l_partkey") =!= col("target"))
-      .select(col("l_orderkey"), col("l_partkey").as("item"), col("target"))
-      .join(nbrs, Seq("item"))
-      .filter(col("other") === col("target"))
-      .select(col("l_orderkey")).distinct()
-    eval.agg(count(lit(1)).as("n_eval"))
-      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+    // hit ⇔ some non-held-out item's top-k list contains the target;
+    // the left join keeps no-neighbour orders in the n_eval denominator
+    val perOrder = eval
+      .select(col("l_orderkey"), col("target"),
+        explode(col("items")).as("item"))
+      .join(broadcast(nbrs), Seq("item"), "left")
+      .groupBy("l_orderkey")
+      .agg(max(when(col("item") =!= col("target") &&
+        col("other") === col("target"), 1).otherwise(0)).as("hit"))
+    perOrder.agg(count(lit(1)).as("n_eval"), sum(col("hit")).as("n_hits"))
       .select(col("n_eval"), col("n_hits"),
         (floor(col("n_hits").cast("double") / col("n_eval").cast("double")
           * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("hit_rate"))

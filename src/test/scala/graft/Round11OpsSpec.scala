@@ -92,6 +92,22 @@ class Round11OpsSpec extends SparkSpec {
       nHits.toDouble / nEval.toDouble * 1000000.0 + 0.5) / 1000000.0)
   }
 
+  test("cfHitRate: ONE keyed shuffle — explode + broadcast probe preserve " +
+    "the eval partitioning, so the per-order re-aggregate plans no exchange") {
+    val df = graft.ext.EvalOps.cfHitRate(spark, "/root/testdata/sf0.001")
+    df.collect()
+    // AdaptiveSparkPlan's toString repeats the tree under "== Initial
+    // Plan ==" — count exchanges only in the executed (final) section
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val keyed = "Exchange hashpartitioning\\(l_orderkey".r
+      .findAllMatchIn(plan).size
+    assert(keyed == 1, s"expected 1 l_orderkey exchange, got $keyed:\n" +
+      plan.take(1200))
+    // the neighbour probe must be a broadcast hash join, never a shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+  }
+
   test("lDiversity: homogeneous group flagged even though it is large") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, "view", 10.0),

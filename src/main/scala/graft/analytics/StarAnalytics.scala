@@ -682,33 +682,43 @@ object StarAnalytics {
       (System.identityHashCode(spark), sfDir),
       coPurchaseCountsUncached(spark, sfDir).localCheckpoint())
 
-  /** Deduped (l_orderkey, l_partkey) — the frame every market-basket /
-    * CF / rules query starts from. Memoized like coPurchaseCounts: the
-    * basket pass, the item-frequency pass, and the leave-one-out eval
-    * each needed it in one bench run, which meant three lineitem scans +
-    * distinct shuffles for the same ~half-million-row result. */
-  private val orderPartsMemo =
+  /** Per-order sorted part sets — THE canonical basket frame. ONE corpus
+    * shuffle (the groupBy + in-aggregate collect_set dedup) builds it;
+    * every market-basket / CF / rules / eval consumer then derives
+    * narrowly: the flat (order, part) pair view is an explode, the
+    * basket pair synthesis reads the arrays directly, the order total is
+    * a row count (keys are unique), and the LOO eval's held-out max is
+    * `element_at(ps, -1)` of the sorted array. This replaced a
+    * distinct-then-regroup factorization that shuffled the corpus pair
+    * frame once extra on build plus once per set-shaped consumer.
+    * Memoized per (session, fixture dir) behind a localCheckpoint, which
+    * also preserves the hashpartitioning(l_orderkey) so order-keyed
+    * consumers re-aggregate without an exchange. */
+  private val orderSetsMemo =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
 
-  def orderParts(spark: SparkSession, sfDir: String): DataFrame =
-    orderPartsMemo.getOrElseUpdate(
+  def orderSets(spark: SparkSession, sfDir: String): DataFrame =
+    orderSetsMemo.getOrElseUpdate(
       (System.identityHashCode(spark), sfDir),
-      // NO parallelism floor here, measured deliberately: the distinct's
-      // partial aggregate barely collapses (600k → 550k pairs), so a
-      // round-robin pre-shuffle would move the whole projection a second
-      // time for nothing — the distinct's own keyed exchange is where
-      // parallelism starts, and the heavy consumers (basket explode,
-      // CF scoring) all run downstream of it
+      // NO parallelism floor before the groupBy, same rationale as ever:
+      // the keyed exchange is where parallelism starts, and the heavy
+      // consumers (basket explode, CF scoring) run downstream of it
       Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_partkey"))
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
         .localCheckpoint())
+
+  /** Deduped (l_orderkey, l_partkey) — the flat pair view of
+    * [[orderSets]], derived narrowly (explode of deduped sorted sets ≡
+    * the old scan-and-distinct, without its extra corpus shuffle). */
+  def orderParts(spark: SparkSession, sfDir: String): DataFrame =
+    orderSets(spark, sfDir)
+      .select(col("l_orderkey"), explode(col("ps")).as("l_partkey"))
 
   private def coPurchaseCountsUncached(spark: SparkSession,
                                        sfDir: String): DataFrame = {
-    val sets = orderParts(spark, sfDir)
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val sets = orderSets(spark, sfDir)
       .filter(size(col("ps")) > 1)
     sets.select(explode(flatten(transform(col("ps"),
         (x, i) => transform(slice(col("ps"), i + 2, size(col("ps"))),
@@ -732,10 +742,11 @@ object StarAnalytics {
     * runtime. Only the basket pass touches the corpus. */
   def assocRules(spark: SparkSession, sfDir: String,
                  minSupport: Long = 2L, k: Int = 20): DataFrame = {
-    val op = orderParts(spark, sfDir)
-    val partN = op.groupBy(col("l_partkey"))
+    val partN = orderParts(spark, sfDir).groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_part"))
-    val totalN = op.select(col("l_orderkey")).distinct()
+    // orderSets keys are unique — the order total is a row count, no
+    // distinct shuffle
+    val totalN = orderSets(spark, sfDir)
       .agg(count(lit(1)).as("n_orders_total"))
     val pairs = coPurchaseCounts(spark, sfDir)
       .filter(col("n_orders") >= minSupport)

@@ -397,34 +397,33 @@ object EvalOps {
     * neighbours are worth serving. Closes the loop on `q_item_cf` the
     * way `q_ann_recall` does for the IVF index.
     *
-    * Scale shape — ONE keyed shuffle end to end: the held-out target,
-    * the order size, and the order's item set all ride the same
-    * per-order aggregate (orderParts is already distinct per
-    * (order, part), so `collect_set` loses nothing and is bounded by
-    * order width). Everything downstream is narrow: `explode`
-    * preserves the aggregate's hash partitioning on `l_orderkey`, the
-    * neighbour probe is a broadcast hash join (the neighbour frame is
-    * k rows per catalog item — the same broadcast-bounded assumption
+    * Scale shape — the corpus never re-shuffles in the eval: it rides
+    * the shared [[graft.analytics.StarAnalytics.orderSets]] basket
+    * frame (one corpus shuffle, memoized, shared with the whole
+    * market-basket family); the held-out target is `element_at(ps, -1)`
+    * of the sorted set and the order size is `size(ps)` — both narrow.
+    * The neighbour probe is a broadcast hash join (the neighbour frame
+    * is k rows per catalog item — the same broadcast-bounded assumption
     * as the serving path; at catalog scales past the broadcast limit
     * drop the hint and the probe degrades to a shuffle join without
-    * changing the result), so the per-order re-aggregate plans with NO
-    * second exchange and n_eval / n_hits fall out of one global pass.
-    * Replaces the earlier two-consumer form (per-order agg + orderParts
-    * self-join + distinct), which shuffled the pair frame three times. */
+    * changing the result), and the per-order hit bit PARTIAL-aggregates
+    * map-side, so the one keyed exchange left moves a pre-reduced
+    * (order, bit) row per map partition — never the exploded basket
+    * rows (Round11OpsSpec pins the exchange above the partial max).
+    * Replaces the earlier form (per-order agg + orderParts self-join +
+    * distinct) that shuffled the pair frame three times per run. */
   def cfHitRate(spark: SparkSession, sfDir: String,
                 topK: Int = 5): DataFrame = {
     val nbrs = itemCF(spark, sfDir, topK).select(col("item"), col("other"))
-    val op = graft.analytics.StarAnalytics.orderParts(spark, sfDir)
-    val eval = op.groupBy("l_orderkey")
-      .agg(max(col("l_partkey")).as("target"),
-        count(lit(1)).as("n_items"),
-        collect_set(col("l_partkey")).as("items"))
-      .filter(col("n_items") >= 2)
+    val eval = graft.analytics.StarAnalytics.orderSets(spark, sfDir)
+      .filter(size(col("ps")) >= 2)
+      .select(col("l_orderkey"), element_at(col("ps"), -1).as("target"),
+        col("ps"))
     // hit ⇔ some non-held-out item's top-k list contains the target;
     // the left join keeps no-neighbour orders in the n_eval denominator
     val perOrder = eval
       .select(col("l_orderkey"), col("target"),
-        explode(col("items")).as("item"))
+        explode(col("ps")).as("item"))
       .join(broadcast(nbrs), Seq("item"), "left")
       .groupBy("l_orderkey")
       .agg(max(when(col("item") =!= col("target") &&

@@ -57,6 +57,22 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Per-vector nearest-centroid pick as a map-side-combining aggregate:
+    * `max_by(payload, (c_sim, -centroid_id))` selects by the same total
+    * order as the rank-1 window it replaces (c_sim DESC, centroid_id ASC
+    * — centroid ids are unique, so the order is total and the pick
+    * deterministic). max_by is a DeclarativeAggregate, so the
+    * |corpus|×|centroids| fanout PARTIAL-collapses inside the scan stage
+    * (each vector's candidates are generated co-located by the broadcast
+    * join) and the exchange moves ONE pre-reduced row per vector — the
+    * window form shuffled and sorted the entire fanout, the only
+    * data-scale shuffle in the assignment step at 100 TB. */
+  private def nearestCentroid(fanout: DataFrame,
+                              payload: Column*): DataFrame =
+    fanout.groupBy("vec_id")
+      .agg(max_by(struct(payload: _*),
+        struct(col("c_sim"), (-col("centroid_id")).as("nid"))).as("best"))
+
   /** IVF-style probe: centroids = vec_id % centroidMod == 0; every vector is
     * assigned to its nearest centroid (cosine argmax, id tiebreak); a query
     * searches only its own centroid's bucket. */
@@ -68,19 +84,19 @@ object Similarity {
     val cents = withNorm.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("centroid_id"))
     // localCheckpoint: `assigned` feeds BOTH the query set and the probe
     // corpus below — without materialization the |corpus|×|centroids|
     // assignment cross-join executes twice (visible as two
     // BroadcastNestedLoopJoins in the plan).
-    val assigned = withNorm.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"),
-        round(dot(col("embedding"), col("c_emb")) /
-          (col("nrm") * col("c_nrm")), 6).as("c_sim"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid_id"))
+    val assigned = nearestCentroid(
+      withNorm.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("centroid_id"),
+          round(dot(col("embedding"), col("c_emb")) /
+            (col("nrm") * col("c_nrm")), 6).as("c_sim")),
+      col("embedding"), col("nrm"), col("centroid_id"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.nrm").as("nrm"), col("best.centroid_id").as("centroid_id"))
       .localCheckpoint()
     val q = assigned.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -152,15 +168,17 @@ object Similarity {
     var cents = corpus.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"),
         col("nrm").as("cn"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("centroid_id"))
-    def assign(): DataFrame = corpus.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("e"), col("centroid_id"),
-        round(dotD(col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
-          .as("c_sim"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("centroid_id"))
+    // assignment argmax rides the map-side-combining max_by (see
+    // nearestCentroid): the fanout never shuffles, each round's exchange
+    // carries one pre-reduced row per vector
+    def assign(): DataFrame = nearestCentroid(
+      corpus.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("e"), col("centroid_id"),
+          round(dotD(col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
+            .as("c_sim")),
+      col("e"), col("centroid_id"))
+      .select(col("vec_id"), col("best.e").as("e"),
+        col("best.centroid_id").as("centroid_id"))
     val mean = round(sum(col("v").cast("decimal(28,12)")).cast("double") /
       count(lit(1)), 6)
     var assigned = assign()
@@ -346,21 +364,20 @@ object Similarity {
     val cents = withNorm.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("centroid_id"))
     // localCheckpoint: `assigned` feeds the pair self-join twice plus the
     // final anti-join — unmaterialized, the |corpus|×|centroids|
     // assignment executes three times (three BroadcastNestedLoopJoins in
-    // the plan; same rationale as ivfTopK).
-    val assigned = withNorm.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("centroid_id"),
-        round(dot(col("embedding"), col("c_emb")) /
-          (col("nrm") * col("c_nrm")), 6).as("c_sim"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("centroid_id"))
+    // the plan; same rationale as ivfTopK). Assignment argmax is the
+    // map-side-combining max_by (see nearestCentroid).
+    val assigned = nearestCentroid(
+      withNorm.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("centroid_id"),
+          round(dot(col("embedding"), col("c_emb")) /
+            (col("nrm") * col("c_nrm")), 6).as("c_sim")),
+      col("embedding"), col("nrm"), col("centroid_id"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.nrm").as("nrm"), col("best.centroid_id").as("centroid_id"))
       .localCheckpoint()
     val a = assigned.select(col("centroid_id"), col("vec_id").as("vid_a"),
       col("embedding").as("e_a"), col("nrm").as("n_a"))
@@ -395,16 +412,14 @@ object Similarity {
     val cents = withNorm.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("centroid_id"))
-    withNorm.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        round(dot(col("embedding"), col("c_emb")) /
-          (col("nrm") * col("c_nrm")), 6).as("c_sim"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("centroid_id"),
-        posexplode(col("embedding")).as(Seq("dim_id", "v")))
+    nearestCentroid(
+      withNorm.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("centroid_id"),
+          round(dot(col("embedding"), col("c_emb")) /
+            (col("nrm") * col("c_nrm")), 6).as("c_sim")),
+      col("embedding"), col("centroid_id"))
+      .select(col("best.centroid_id").as("centroid_id"),
+        posexplode(col("best.embedding")).as(Seq("dim_id", "v")))
       .groupBy("centroid_id", "dim_id")
       .agg(round(avg(col("v")), 6).as("c_val"),
         count(lit(1)).as("n_members"))

@@ -92,18 +92,26 @@ class Round11OpsSpec extends SparkSpec {
       nHits.toDouble / nEval.toDouble * 1000000.0 + 0.5) / 1000000.0)
   }
 
-  test("cfHitRate: ONE keyed shuffle — explode + broadcast probe preserve " +
-    "the eval partitioning, so the per-order re-aggregate plans no exchange") {
+  test("cfHitRate: the corpus never re-shuffles — the one keyed exchange " +
+    "sits ABOVE the partial per-order aggregate (pre-reduced hit bits), " +
+    "and the neighbour probe broadcasts") {
     val df = graft.ext.EvalOps.cfHitRate(spark, "/root/testdata/sf0.001")
     df.collect()
     // AdaptiveSparkPlan's toString repeats the tree under "== Initial
-    // Plan ==" — count exchanges only in the executed (final) section
+    // Plan ==" — inspect only the executed (final) section
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     val keyed = "Exchange hashpartitioning\\(l_orderkey".r
       .findAllMatchIn(plan).size
     assert(keyed == 1, s"expected 1 l_orderkey exchange, got $keyed:\n" +
       plan.take(1200))
+    // ...and that exchange must move the PRE-REDUCED per-order bits: the
+    // partial max must appear below it (later in toString), so the
+    // exploded/probed basket rows collapse map-side before any shuffle
+    val exIdx = plan.indexOf("Exchange hashpartitioning(l_orderkey")
+    val partialIdx = plan.indexOf("partial_max")
+    assert(partialIdx > exIdx && exIdx >= 0,
+      s"partial_max should sit below the exchange:\n" + plan.take(1200))
     // the neighbour probe must be a broadcast hash join, never a shuffle
     assert(plan.contains("BroadcastHashJoin"), plan.take(600))
   }

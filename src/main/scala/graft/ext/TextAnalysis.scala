@@ -926,29 +926,30 @@ object TextAnalysis {
     * per-doc sum, so the argmax is order-independent and the DuckDB
     * oracle reproduces every prediction exactly. */
   def naiveBayes(docs: DataFrame, alpha: Double = 1.0): DataFrame = {
-    // pinned: the token frame feeds FOUR consumers (class-token counts,
-    // class token totals, the vocab scalar, per-doc tf) — one tokenize +
-    // explode pass instead of four corpus re-scans
-    val toks = docs.select(col("doc_id"), col("lang"),
+    // ONE occurrence-scale pass: tokenize-explode streams straight into
+    // the per-doc tf aggregate, and EVERY model-side frame (class-token
+    // counts, class token totals, the vocab scalar) derives from the
+    // doc-vocabulary frame by summing tf — the earlier factorization
+    // re-aggregated raw token occurrences once per consumer. The
+    // checkpoint pins the doc-vocab result (~3-5× smaller than the
+    // occurrence frame here; more on natural text) for its four readers.
+    val docTf = docs.select(col("doc_id"), col("lang"),
         explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "lang", "term")
+      .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val classTok = toks.groupBy(col("lang").as("cls"), col("term"))
-      .agg(count(lit(1)).as("cnt"))
-    val classes = toks.groupBy(col("lang").as("cls"))
-      .agg(count(lit(1)).as("tok_c"))
+    val classTok = docTf.groupBy(col("lang").as("cls"), col("term"))
+      .agg(sum(col("tf")).as("cnt"))
+    val classes = docTf.groupBy(col("lang").as("cls"))
+      .agg(sum(col("tf")).as("tok_c"))
       .join(docs.groupBy(col("lang").as("cls"))
         .agg(count(lit(1)).as("n_docs")), Seq("cls"))
       .crossJoin(broadcast(
-        toks.select("term").distinct().agg(count(lit(1)).as("v"))))
+        docTf.select("term").distinct().agg(count(lit(1)).as("v"))))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
     val logTerm = log((coalesce(col("cnt"), lit(0L)) + lit(alpha))
       .cast("double") /
       (col("tok_c") + lit(alpha) * col("v")).cast("double"))
-    // score per DISTINCT (doc, term) weighted by tf — shrinks the
-    // class cross-join's input from token occurrences to the doc
-    // vocabulary (~3-5× here; more on natural text)
-    val docTf = toks.groupBy("doc_id", "lang", "term")
-      .agg(count(lit(1)).as("tf"))
     val scored = docTf
       .crossJoin(broadcast(classes))
       .join(classTok, Seq("cls", "term"), "left")

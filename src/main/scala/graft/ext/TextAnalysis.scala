@@ -694,58 +694,79 @@ object TextAnalysis {
         docs.queryExecution.analyzed.semanticHash(), rounds, topWords),
       bpeRoundsUncached(docs, rounds, topWords))
 
+  /** The merge loop itself runs DRIVER-LOCAL over the collected census —
+    * the textbook BPE-trainer split: the corpus-scale work is the ONE
+    * distributed weighted word count (scan + shuffle); the census it
+    * produces is bounded at `topWords` rows by construction, so the
+    * merge iterations touch at most topWords·|word| symbols and belong
+    * on the driver (the same boundedness argument as the CMS audit
+    * collect — Spark jobs per merge round bought nothing but scheduler
+    * overhead on a 200-row frame). Semantics are unchanged from the
+    * relational loop this replaces: greedy leftmost non-overlapping
+    * merges (alternate positions within a matched run), pair tie-break
+    * (count DESC, lsym ASC, rsym ASC), integer weights throughout —
+    * Round9OpsSpec pins the hand-computed trajectory, and the census
+    * stays ASCII-token territory where Scala and UTF8String string
+    * orders agree (the tokenizer lowercases to [a-z0-9']). */
   private def bpeRoundsUncached(docs: DataFrame, rounds: Int,
                                 topWords: Int): (DataFrame, DataFrame) = {
-    val words = docs.select(explode(tokens(col("text"))).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("w")).limit(topWords)
-    var toks = words
-      .select(col("w"), col("freq"),
-        explode(sequence(lit(1), length(col("w")))).as("pos"))
-      .select(col("w"), col("freq"), col("pos").cast("bigint").as("pos"),
-        col("w").substr(col("pos"), lit(1)).as("sym"))
-      .localCheckpoint()
-    val wOrd = Window.partitionBy("w").orderBy("pos")
-    var merges = Vector.empty[DataFrame]
-    for (k <- 1 to rounds) {
-      val paired = toks.withColumn("nxt", lead("sym", 1).over(wOrd))
-      val best = paired.filter(col("nxt").isNotNull)
-        .groupBy(col("sym").as("lsym"), col("nxt").as("rsym"))
-        .agg(sum(col("freq")).as("pair_count"))
-        .orderBy(col("pair_count").desc, col("lsym"), col("rsym"))
-        .limit(1)
-      val matched = paired.join(broadcast(best),
-          col("sym") === col("lsym") && col("nxt") === col("rsym"))
-        .select(col("w"), col("pos"))
-        .withColumn("rn", row_number().over(wOrd))
-      val selected = matched
-        .withColumn("off", row_number().over(
-          Window.partitionBy(col("w"), col("pos") - col("rn"))
-            .orderBy("pos")) - 1)
-        .filter(col("off") % 2 === 0)
-        .select(col("w"), col("pos"))
-      val nextToks = paired
-        .join(selected.withColumn("m", lit(1L)), Seq("w", "pos"), "left")
-        .join(selected.select(col("w"), (col("pos") + 1).as("pos"))
-          .withColumn("mprev", lit(1L)), Seq("w", "pos"), "left")
-        .filter(col("mprev").isNull)
-        .select(col("w"), col("freq"), col("pos").as("opos"),
-          when(col("m") === 1L, concat(col("sym"), col("nxt")))
-            .otherwise(col("sym")).as("sym"))
-        .withColumn("pos",
-          row_number().over(Window.partitionBy("w").orderBy("opos"))
-            .cast("bigint"))
-        .select("w", "freq", "pos", "sym")
-        .localCheckpoint()
-      val after = nextToks.agg(sum(col("freq")).as("corpus_tokens_after"))
-      merges :+= best.crossJoin(broadcast(after))
-        .select(lit(k.toLong).as("merge_rank"), col("lsym"), col("rsym"),
-          col("pair_count"), col("corpus_tokens_after"))
-      toks = nextToks
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val census: Array[(String, Long)] =
+      docs.select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w")).limit(topWords)
+        .as[(String, Long)].collect()
+    def codePoints(s: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toArray
     }
-    (merges.reduce(_.unionAll(_)).orderBy("merge_rank").localCheckpoint(),
-      toks)
+    var toks: Array[(String, Long, Array[String])] =
+      census.map { case (w, f) => (w, f, codePoints(w)) }
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= rounds && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((_, f, syms) <- toks; i <- 0 until syms.length - 1)
+        pairCounts.updateWith((syms(i), syms(i + 1)))(
+          c => Some(c.getOrElse(0L) + f))
+      if (pairCounts.isEmpty) exhausted = true // mirrors the empty-best round
+      else {
+        val ((lsym, rsym), cnt) = pairCounts.toSeq
+          .minBy { case ((l, r), c) => (-c, l, r) }
+        toks = toks.map { case (w, f, syms) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == lsym && syms(i + 1) == rsym) {
+              out += lsym + rsym; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (w, f, out.toArray)
+        }
+        val after = toks.iterator.map { case (_, f, s) => f * s.length }.sum
+        merges += ((k.toLong, lsym, rsym, cnt, after))
+        k += 1
+      }
+    }
+    val mergesDf = merges.toSeq
+      .toDF("merge_rank", "lsym", "rsym", "pair_count", "corpus_tokens_after")
+      .orderBy("merge_rank")
+    val toksDf = toks.toSeq
+      .flatMap { case (w, f, syms) =>
+        syms.iterator.zipWithIndex.map { case (s, i) =>
+          (w, f, (i + 1).toLong, s) }.toSeq }
+      .toDF("w", "freq", "pos", "sym")
+    (mergesDf, toksDf)
   }
 
   /** Cross-source contamination matrix: for every source pair, how many

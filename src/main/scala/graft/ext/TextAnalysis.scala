@@ -80,10 +80,12 @@ object TextAnalysis {
     * Scale shape: the window frame is |tokens|-scale rows of
     * (doc_id, 60-bit hash) — ~20 bytes per corpus token, built by the
     * native `word_ngrams` loop, never materializing pairwise anything —
-    * and its two consumers cost one shuffle each: the census collapses
-    * (h, doc) map-side before its span-hash exchange, and the verdict
-    * join probes it (AQE broadcasts the smaller side at test scale;
-    * at corpus scale it degrades to a hash join on h whose window-frame
+    * and its two consumers cost at most one shuffle each: the census
+    * collapses (h, doc) map-side before its span-hash exchange and is
+    * filtered to the DUPLICATED hashes before the verdict join, so the
+    * probe's build side scales with actual duplication (broadcast at
+    * any sane dup rate — the window frame then never shuffles on h;
+    * past broadcast size it degrades to a hash join whose window-frame
     * side re-derives from the scan — tokenize + md5 re-run at scan
     * speed, deliberately NOT checkpointed: pinning a |tokens|-scale
     * frame to executor storage is exactly what does not survive
@@ -95,14 +97,23 @@ object TextAnalysis {
         explode(graft.plans.TextSketches.word_ngrams(
           tokens(col("text")), w)).as("gram"))
       .select(col("doc_id"), portableH60(col("gram")).as("h"))
-    val spans = wins.groupBy("h")
+    // the verdict only needs the BOOLEAN "≥2 docs share this span", so
+    // the census is filtered to actually-duplicated hashes BEFORE the
+    // probe join: the build side shrinks from every distinct window to
+    // the duplicated sliver (scales with real duplication), the left
+    // join broadcasts at any sane dup rate — so the |tokens|-scale
+    // window frame never shuffles on h — and past broadcast size it
+    // degrades to a hash join with the same smaller build side.
+    val dup = wins.groupBy("h")
       .agg(count_distinct(col("doc_id")).as("span_docs"))
-    wins.join(spans, "h")
+      .filter(col("span_docs") >= 2)
+      .select(col("h"), lit(1L).as("is_dup"))
+    wins.join(dup, Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("span_docs") >= 2, 1L).otherwise(0L))
+        sum(when(col("is_dup") === 1L, 1L).otherwise(0L))
           .as("n_dup_windows"),
-        count_distinct(when(col("span_docs") >= 2, col("h")))
+        count_distinct(when(col("is_dup") === 1L, col("h")))
           .as("n_dup_spans"))
       .withColumn("dup_ratio",
         floor(col("n_dup_windows").cast("double") /

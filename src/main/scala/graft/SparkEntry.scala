@@ -3492,20 +3492,27 @@ object SparkEntry {
          nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
          dtf AS (SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
                  FROM toks GROUP BY 1, 2, 3),
-         sc AS (
-           SELECT t.doc_id, t.lang AS actual, c.cls,
+         dl AS (SELECT doc_id, lang, CAST(sum(tf) AS BIGINT) AS len
+                FROM dtf GROUP BY 1, 2),
+         sp AS (
+           SELECT t.doc_id, t.lang, ct.cls,
              CAST(sum(CAST(CAST(t.tf AS DOUBLE) *
-               ln(CAST(coalesce(ct.cnt, 0) + 1 AS DOUBLE) /
-               CAST(c.tok_c + 1 * v.v AS DOUBLE)) AS DECIMAL(28,12)))
-               AS DOUBLE)
+               (ln(CAST(ct.cnt AS DOUBLE) + 1.0) - ln(1.0))
+               AS DECIMAL(28,12))) AS DOUBLE) AS ll_m
+           FROM dtf t JOIN ct ON ct.term = t.term
+           GROUP BY 1, 2, 3),
+         sc AS (
+           SELECT d.doc_id, d.lang AS actual, c.cls,
+             coalesce(sp.ll_m, 0.0)
+               + CAST(d.len AS DOUBLE) * (ln(1.0) -
+                 ln(CAST(c.tok_c + 1 * v.v AS DOUBLE)))
                + ln(CAST(nd.n_docs AS DOUBLE) / CAST(nt.n_total AS DOUBLE))
                AS score
-           FROM dtf t
+           FROM dl d
            CROSS JOIN cl c
            CROSS JOIN v CROSS JOIN nt
            JOIN nd ON nd.cls = c.cls
-           LEFT JOIN ct ON ct.cls = c.cls AND ct.term = t.term
-           GROUP BY t.doc_id, t.lang, c.cls, nd.n_docs, nt.n_total, v.v),
+           LEFT JOIN sp ON sp.doc_id = d.doc_id AND sp.cls = c.cls),
          b AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                  ORDER BY round(score, 6) DESC, cls) AS rn FROM sc)
          SELECT actual, cls AS predicted, CAST(count(*) AS BIGINT)

@@ -951,12 +951,13 @@ object TextAnalysis {
     * to find mislabeled documents): Laplace-smoothed token likelihoods,
     * argmax of log prior + Σ log p(token|class), reported as the
     * actual × predicted confusion matrix. The model side (per-class token
-    * counts) is one (term,class) shuffle; scoring joins doc tokens to the
-    * model on (term,class) — both data-sized stages are plain hash
-    * aggregates/joins, and the class×vocab scalars ride a broadcast
-    * one-row frame. Per-token log terms round through DECIMAL before the
-    * per-doc sum, so the argmax is order-independent and the DuckDB
-    * oracle reproduces every prediction exactly. */
+    * counts) is one (term,class) shuffle; scoring is the SPARSE join of
+    * doc vocabulary to the model on term alone plus a closed-form dense
+    * remainder (see the factoring note below) — both data-sized stages
+    * are plain hash aggregates/joins, and the class×vocab scalars ride a
+    * broadcast one-row frame. Per-token log terms round through DECIMAL
+    * before the per-doc sum, so the argmax is order-independent and the
+    * DuckDB oracle reproduces every prediction exactly. */
   def naiveBayes(docs: DataFrame, alpha: Double = 1.0): DataFrame = {
     // ONE occurrence-scale pass: tokenize-explode streams straight into
     // the per-doc tf aggregate, and EVERY model-side frame (class-token
@@ -979,19 +980,39 @@ object TextAnalysis {
       .crossJoin(broadcast(
         docTf.select("term").distinct().agg(count(lit(1)).as("v"))))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
-    val logTerm = log((coalesce(col("cnt"), lit(0L)) + lit(alpha))
-      .cast("double") /
-      (col("tok_c") + lit(alpha) * col("v")).cast("double"))
-    val scored = docTf
+    // SPARSE scoring (the classic NB factoring): with smoothing α,
+    //   Σ_t tf·ln((cnt+α)/(tok_c+α·v))
+    //     = Σ_{t: cnt>0} tf·(ln(cnt+α) − ln α)
+    //       + docLen·(ln α − ln(tok_c+α·v))
+    // so the per-(doc, class) fanout joins docTf to the model on TERM
+    // alone — a term fans out only to classes that actually contain it
+    // (≈1-2 for language-specific tokens), not to every class — and the
+    // dense remainder is a closed-form per-class constant over the
+    // |docs|×|classes| frame. The old form cross-joined the doc-vocab
+    // frame with ALL classes. Decimal-summed sparse addends keep the
+    // per-doc sum order-independent; the DuckDB oracle mirrors this
+    // exact factoring term for term.
+    val docLen = docTf.groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf")).as("len"))
+    // classTok is vocab×classes-sized — broadcast keeps the sparse join
+    // narrow (the doc-vocab frame never shuffles on term) and the
+    // per-(doc, class) partial sums collapse map-side before their
+    // exchange; past broadcast size drop the hint and the join degrades
+    // to a hash join with the same sparse output
+    val sparse = docTf.join(broadcast(classTok), Seq("term"))
+      .groupBy(col("doc_id"), col("lang"), col("cls"))
+      .agg(sum((col("tf").cast("double") *
+          (log(col("cnt").cast("double") + lit(alpha)) - log(lit(alpha))))
+        .cast("decimal(28,12)")).cast("double").as("ll_m"))
+    val scored = docLen
       .crossJoin(broadcast(classes))
-      .join(classTok, Seq("cls", "term"), "left")
-      .groupBy(col("doc_id"), col("lang").as("actual"), col("cls"),
-        col("n_docs"), col("n_total"))
-      .agg(sum((col("tf").cast("double") * logTerm)
-        .cast("decimal(28,12)")).cast("double").as("ll"))
-      .select(col("doc_id"), col("actual"), col("cls"),
-        (col("ll") + log(col("n_docs").cast("double") /
-          col("n_total").cast("double"))).as("score"))
+      .join(sparse, Seq("doc_id", "lang", "cls"), "left")
+      .select(col("doc_id"), col("lang").as("actual"), col("cls"),
+        (coalesce(col("ll_m"), lit(0.0))
+          + col("len").cast("double") * (log(lit(alpha)) -
+            log((col("tok_c") + lit(alpha) * col("v")).cast("double")))
+          + log(col("n_docs").cast("double") /
+            col("n_total").cast("double"))).as("score"))
     val best = Window.partitionBy("doc_id")
       .orderBy(round(col("score"), 6).desc, col("cls"))
     scored.withColumn("rn", row_number().over(best))

@@ -275,6 +275,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan.take(600))
     assert(!plan.contains("CartesianProduct"), plan.take(600))
+    // sparse scoring: the doc-vocab frame joins the class-token model by
+    // BROADCAST on the term key (the only term-keyed exchange allowed is
+    // the vocab-scalar distinct, which never touches the doc frame)
+    assert(plan.contains("BroadcastHashJoin [term"), plan.take(800))
   }
 
   test("Gini ranks run over the per-customer aggregate, partitioned by " +

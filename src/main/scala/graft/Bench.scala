@@ -29,6 +29,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark's default fallback (128 groups!) demotes every collect_set/
+      // collect_list aggregate to sort-based on any realistic group
+      // count; 1M keeps them hash-based here (−15% on the basket-family
+      // subset). Memory bound = per-partition group cardinality × buffer
+      // width — size to executor memory on a real cluster.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -72,7 +72,13 @@ class PlanShapeSpec extends SparkSpec {
     // the only hashpartitioning exchanges key on the assignment/refine
     // groups, never on the raw corpus scan before assignment
     assert(!plan.contains("Exchange hashpartitioning(embedding"))
+    // nearest-centroid pick is the map-side-combining max_by aggregate:
+    // the |corpus|×|centroids| fanout partial-collapses INSIDE the scan
+    // stage — no rank window ever sorts the fanout
+    assert(plan.contains("partial_max_by"), plan.take(600))
+    assert(!plan.contains("WindowGroupLimit"), plan.take(600))
   }
+
 
   test("similarity top-k never shuffles the corpus side") {
     val plan = physical(

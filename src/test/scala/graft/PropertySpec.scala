@@ -257,6 +257,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKBuffer: heap == naive sort oracle under random scores/ties, " +
+    "any merge split, and a serialize round-trip") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    val rowType = StructType(Seq(
+      StructField("score", DoubleType), StructField("tie", LongType)))
+    val proj = UnsafeProjection.create(rowType.fields.map(_.dataType))
+    def mkRow(s: Double, t: Long) =
+      proj(InternalRow(s, t)).copy()
+    for (seed <- seeds) {
+      val entries = sample(Gen.listOfN(200, for {
+        s <- Gen.choose(0, 9) // few distinct scores -> dense tie paths
+        t <- Gen.choose(0L, 50L)
+      } yield (s.toDouble, t)), seed).distinct // unique (score,tie) pairs
+      for (k <- Seq(1, 3, 7, 250)) {
+        // oracle: rank by (score DESC, tie ASC), take k
+        val expect = entries.sortBy { case (s, t) => (-s, t) }.take(k)
+        // single buffer
+        val buf = new graft.plans.TopKBuffer(k)
+        entries.foreach { case (s, t) => buf.add(s, t, mkRow(s, t)) }
+        def decoded(b: graft.plans.TopKBuffer) =
+          b.sorted.toList.map(r => (r.getDouble(0), r.getLong(1)))
+        assert(decoded(buf) == expect, s"seed $seed k $k single")
+        // arbitrary split + merge (partial-aggregate path)
+        val cut = sample(Gen.choose(0, entries.length), seed + k)
+        val (l, r) = entries.splitAt(cut)
+        val bl = new graft.plans.TopKBuffer(k)
+        val br = new graft.plans.TopKBuffer(k)
+        l.foreach { case (s, t) => bl.add(s, t, mkRow(s, t)) }
+        r.foreach { case (s, t) => br.add(s, t, mkRow(s, t)) }
+        bl.mergeFrom(br)
+        assert(decoded(bl) == expect, s"seed $seed k $k merged")
+        // serialize -> deserialize keeps the same ranked contents
+        val rt = graft.plans.TopKBuffer.deserialize(
+          buf.serialize(), k, rowType)
+        assert(decoded(rt) == expect, s"seed $seed k $k roundtrip")
+      }
+    }
+  }
+
   test("G8 pickTimestampToken: candidates first, then any-column scan") {
     import spark.implicits._
     val df = Seq(

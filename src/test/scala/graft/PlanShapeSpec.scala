@@ -92,6 +92,21 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("BroadcastExchange"))
   }
 
+  test("assocRules' order total is a row count of the basket memo — " +
+    "no distinct over the pair frame survives in the plan") {
+    val df = StarAnalytics.assocRules(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the old totalN shape was orderParts.select(ok).distinct():
+    // a keys=[l_orderkey] aggregate feeding a count — the orderSets
+    // refactor replaced it with count(1) over the memo, so no
+    // l_orderkey-keyed aggregate may appear anywhere in this plan
+    assert(!plan.contains("HashAggregate(keys=[l_orderkey"), plan.take(800))
+    assert(!plan.contains("ObjectHashAggregate(keys=[l_orderkey"),
+      plan.take(800))
+  }
+
   test("EXISTS late-shipment check plans a semi join, never a distinct") {
     val plan = physical(StarAnalytics.latePriorityOrders(spark, sf))
     assert(plan.contains("LeftSemi"), plan.take(400))

@@ -355,8 +355,8 @@ object EvalOps {
   private[graft] def itemCFUncached(spark: SparkSession, sfDir: String,
                                     topK: Int = 5): DataFrame = {
     val cooc = graft.analytics.StarAnalytics.coPurchaseCounts(spark, sfDir)
-    val freq = graft.analytics.StarAnalytics.orderParts(spark, sfDir)
-      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val freq = graft.analytics.StarAnalytics.partFreq(spark, sfDir)
+      .select(col("l_partkey"), col("n_part").as("n_item"))
     val fa = freq.select(col("l_partkey").as("part_a"), col("n_item"))
     val fb = freq.select(col("l_partkey").as("part_b"),
       col("n_item").as("n_other"))

@@ -10,6 +10,10 @@ trait SparkSpec extends AnyFunSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // same hash-aggregate floor as Bench/Verify (results identical —
+    // only the aggregation strategy changes; see Bench.scala)
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "1000000")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -1308,6 +1308,11 @@ object SparkEntry {
     // ---- per-source unigram KL drift vs the corpus blend ----
     "q_source_kl" -> ((s, d) =>
       graft.ext.Curation.sourceKL(Tables.documents(s, d))),
+    // ---- DSIR importance model + resampling (hashed-ngram selection) ----
+    "q_dsir_logratio" -> ((s, d) =>
+      graft.ext.Curation.dsirLogRatio(Tables.documents(s, d))),
+    "q_dsir_sample" -> ((s, d) =>
+      graft.ext.Curation.dsirSample(Tables.documents(s, d))),
     // ---- blocked record linkage (entity resolution over part names) ----
     "q_record_linkage" -> ((s, d) =>
       graft.ext.DedupExt.recordLinkage(Tables.part(s, d))),
@@ -4738,6 +4743,67 @@ object SparkEntry {
              AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_divergence
          FROM st JOIN c USING (token) JOIN ps USING (source) CROSS JOIN tot
          GROUP BY source, n_source ORDER BY source""",
+    "q_dsir_logratio" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 20 = 0 AS is_target,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, is_target, unnest(
+             toks || list_transform(range(1, greatest(len(toks), 1)),
+               i -> toks[i] || ' ' || toks[i+1])) AS gram
+           FROM t),
+         b AS (
+           SELECT ('0x'||substr(md5(gram),1,15))::BIGINT % 128 AS bucket,
+             CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+               AS target_n,
+             CAST(count(*) AS BIGINT) AS raw_n
+           FROM g GROUP BY 1),
+         tot AS (SELECT sum(target_n) AS tt, sum(raw_n) AS rt FROM b)
+         SELECT bucket, target_n, raw_n,
+           round(ln((target_n + 1)::DOUBLE / (tt + 128)) -
+                 ln((raw_n + 1)::DOUBLE / (rt + 128)), 6) AS log_ratio
+         FROM b CROSS JOIN tot ORDER BY bucket""",
+    "q_dsir_sample" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 20 = 0 AS is_target,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, is_target, unnest(
+             toks || list_transform(range(1, greatest(len(toks), 1)),
+               i -> toks[i] || ' ' || toks[i+1])) AS gram
+           FROM t),
+         perdoc AS (
+           SELECT doc_id, is_target,
+             ('0x'||substr(md5(gram),1,15))::BIGINT % 128 AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+           FROM g GROUP BY 1, 2, 3),
+         b AS (
+           SELECT bucket,
+             sum(CASE WHEN is_target THEN c ELSE 0 END) AS target_n,
+             sum(c) AS raw_n
+           FROM perdoc GROUP BY 1),
+         tot AS (SELECT sum(target_n) AS tt, sum(raw_n) AS rt FROM b),
+         lam AS (
+           SELECT bucket,
+             round(ln((target_n + 1)::DOUBLE / (tt + 128)) -
+                   ln((raw_n + 1)::DOUBLE / (rt + 128)), 6) AS log_ratio
+           FROM b CROSS JOIN tot),
+         sc AS (
+           SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_grams,
+             round(CAST(sum(CAST(p.c * lam.log_ratio
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS log_weight
+           FROM perdoc p JOIN lam USING (bucket)
+           WHERE NOT p.is_target GROUP BY 1),
+         r AS (
+           SELECT *, row_number() OVER (ORDER BY log_weight DESC, doc_id)
+             AS rk
+           FROM sc)
+         SELECT doc_id, n_grams, log_weight FROM r WHERE rk <= 50
+         ORDER BY log_weight DESC, doc_id""",
     "q_record_linkage" ->
       """WITH probes AS (
            SELECT p_partkey AS probe_id,

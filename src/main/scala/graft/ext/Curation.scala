@@ -101,6 +101,95 @@ object Curation {
       .orderBy("source")
   }
 
+  /** DSIR-style hashed n-gram importance model (Data Selection via
+    * Importance Resampling, Xie et al. 2023 — public method): fit two
+    * bag-of-hashed-ngram distributions, one over a deterministic "target"
+    * slice (`doc_id % 20 = 0`, the same held-out-slice convention
+    * [[TextAnalysis.decontaminate]] uses for its eval set) and one over the
+    * full raw corpus, over `buckets` hash buckets of unigram+bigram
+    * features. Emits the per-bucket add-one-smoothed log probability ratio
+    * λ_b = ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)) — the importance model a
+    * DSIR selection run scores every raw document against.
+    *
+    * Scale shape: the gram explode is the only corpus-scale pass and it
+    * aggregates straight to `buckets` rows with map-side partials (the
+    * grouping key is the bucket — B rows per partition before the one
+    * exchange). The model table is B rows; nothing else shuffles. Bucket
+    * hashing is the repo-portable md5-prefix h60 (same value in DuckDB),
+    * so the oracle reproduces bucket assignment bit-for-bit. */
+  def dsirLogRatio(docs: DataFrame, buckets: Int = 128): DataFrame = {
+    val counts = dsirBucketCounts(docs, buckets)
+      .groupBy("bucket")
+      .agg(sum(when(col("is_target"), col("c")).otherwise(0L))
+          .as("target_n"),
+        sum(col("c")).as("raw_n"))
+    val totals = counts.agg(
+      sum(col("target_n")).as("tt"), sum(col("raw_n")).as("rt"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("target_n"), col("raw_n"),
+        round(
+          log((col("target_n") + 1).cast("double") /
+            (col("tt") + buckets).cast("double")) -
+          log((col("raw_n") + 1).cast("double") /
+            (col("rt") + buckets).cast("double")), 6).as("log_ratio"))
+      .orderBy("bucket")
+  }
+
+  /** DSIR selection: score every NON-target document against the
+    * [[dsirLogRatio]] importance model — log w(doc) = Σ_b c_b(doc)·λ_b —
+    * and keep the top `k` by (rounded log-weight DESC, doc_id ASC). The
+    * deterministic-rank form of the paper's Gumbel resampling: reproducible
+    * on any engine, which is what a governed curation run wants from its
+    * selection step anyway.
+    *
+    * Scale shape: per-doc bucket counts come from the same one-pass gram
+    * aggregate as the model (grouping key (doc_id, bucket) — map-side
+    * combined, ONE corpus-scale exchange); the B-row λ table broadcasts;
+    * the per-doc score is a second keyed aggregate on doc_id that moves
+    * (doc_id, partial-sum) rows only. Final top-k is a WindowGroupLimit-
+    * style global head over |docs|-scale (doc_id, score) pairs — text
+    * never shuffles. */
+  def dsirSample(docs: DataFrame, buckets: Int = 128,
+                 k: Int = 50): DataFrame = {
+    val lam = dsirLogRatio(docs, buckets)
+      .select(col("bucket"), col("log_ratio"))
+    val scores = dsirBucketCounts(docs, buckets)
+      .filter(!col("is_target"))
+      .join(broadcast(lam), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_grams"),
+        // score addends route through DECIMAL so the per-doc sum is
+        // order-independent (the sourceKL idiom): λ is round-6 agreed
+        // cross-engine, the product is one IEEE multiply of identical
+        // doubles, and the decimal sum removes addition-order low bits
+        round(sum((col("c").cast("double") * col("log_ratio"))
+          .cast("decimal(28,12)")).cast("double"), 6).as("log_weight"))
+    // orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    // bounded heaps merged on the driver, never a single-partition sort
+    // of the |docs|-scale score frame. (log_weight, doc_id) is a total
+    // order, so the cut is deterministic.
+    scores.select(col("doc_id"), col("n_grams"), col("log_weight"))
+      .orderBy(col("log_weight").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Shared DSIR feature pass: per-(doc, bucket) hashed-ngram counts with
+    * the target-slice flag. Unigrams ++ bigrams (the paper's feature set),
+    * bucket = h60(gram) mod `buckets`. One explode, one hash aggregate —
+    * map-side partials bound each task's state at |docs-per-task|×B. */
+  private def dsirBucketCounts(docs: DataFrame, buckets: Int): DataFrame = {
+    graft.plans.TextSketches.register(docs.sparkSession)
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"),
+        (col("doc_id") % 20 === 0).as("is_target"),
+        explode(concat(toks,
+          graft.plans.TextSketches.word_ngrams(toks, 2))).as("gram"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(portableH60(col("gram")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("doc_id"), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
   /** Out-of-vocabulary rate per source against the corpus top-`vocabSize`
     * vocabulary — the tokenizer-coverage audit run before committing a
     * vocab to a training mix (sources with high OOV rates are the ones a

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Curation
+
+/** Round-8-of-build additions: DSIR-style hashed-ngram importance
+  * weighting (model table + deterministic resampling). */
+class Round16OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc_id 0 and 20 are the target slice (id % 20 = 0); targets are
+  // saturated with "alpha beta", raw-only docs with "gamma delta" —
+  // so docs echoing "alpha beta" must out-score docs echoing "gamma
+  // delta" under the fitted log-ratio model.
+  private def corpus = Seq(
+    (0L, "alpha beta alpha beta alpha beta"),
+    (20L, "alpha beta alpha beta"),
+    (1L, "alpha beta alpha beta alpha"),
+    (2L, "gamma delta gamma delta gamma"),
+    (3L, "alpha beta"),
+    (4L, "gamma delta")
+  ).toDF("doc_id", "text")
+
+  test("dsirLogRatio: bucket totals reconcile and ratios favor target grams") {
+    val m = Curation.dsirLogRatio(corpus, buckets = 16).collect()
+    // totals: every gram lands in exactly one bucket
+    val rawTotal = m.map(_.getLong(2)).sum
+    val tgtTotal = m.map(_.getLong(1)).sum
+    // 6+4+5+5+2+2 tokens = 24 unigrams, (5+3+4+4+1+1) = 18 bigrams
+    assert(rawTotal == 42L)
+    // target docs (0, 20): 6+4 unigrams + 5+3 bigrams = 18
+    assert(tgtTotal == 18L)
+    // a bucket holding a target-heavy gram must carry a positive ratio,
+    // and raw-only grams a negative one
+    val byBucket = m.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3)))
+    assert(byBucket.forall { case (_, t, r, lr) =>
+      if (t * 2 > r) lr > 0 else true })
+    assert(byBucket.exists(_._4 > 0) && byBucket.exists(_._4 < 0))
+  }
+
+  test("dsirSample: target-like docs outrank raw-only docs; target slice excluded") {
+    val s = Curation.dsirSample(corpus, buckets = 16, k = 10).collect()
+    val ids = s.map(_.getLong(0)).toList
+    // slice members (0, 20) never appear in the resample pool
+    assert(!ids.contains(0L) && !ids.contains(20L))
+    assert(ids.toSet == Set(1L, 2L, 3L, 4L))
+    // ranked by importance: the "alpha beta" docs (1, 3) precede the
+    // "gamma delta" docs (2, 4)
+    val rankOf = ids.zipWithIndex.toMap
+    assert(rankOf(1L) < rankOf(2L) && rankOf(1L) < rankOf(4L))
+    assert(rankOf(3L) < rankOf(2L) && rankOf(3L) < rankOf(4L))
+    // log weights are the decimal-summed products of the rounded model
+    val w = s.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1L) > w(2L))
+  }
+
+  test("dsirSample plans a TakeOrderedAndProject, not a global-window sort") {
+    val plan = Curation.dsirSample(corpus, buckets = 16, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("Window"))
+  }
+}

@@ -614,7 +614,8 @@ object SparkEntry {
       graft.ext.TextAnalysis.mixtureSample(Tables.documents(s, d))
         .orderBy("doc_id")),
     "q_heavy_hitters" -> ((s, d) =>
-      graft.ext.TextAnalysis.heavyHitters(Tables.documents(s, d))),
+      graft.ext.TextAnalysis.heavyHitters(Tables.documents(s, d),
+        tfOpt = Some(graft.ext.TextAnalysis.docTermFreq(s, d)))),
     "q_repetition" -> ((s, d) =>
       graft.ext.TextAnalysis.repetitionRatio(Tables.documents(s, d))
         .orderBy("doc_id")),
@@ -944,17 +945,21 @@ object SparkEntry {
 
     // ---- ext: TF-IDF top terms + composite quality gate ----
     "q_tfidf" -> ((s, d) =>
-      graft.ext.TextAnalysis.tfidfTop(Tables.documents(s, d))
+      graft.ext.TextAnalysis.tfidfTop(Tables.documents(s, d),
+        tfOpt = Some(graft.ext.TextAnalysis.docTermFreq(s, d)))
         .orderBy("doc_id", "rnk")),
     // ---- inverted-index build (capped posting lists) ----
     "q_inverted_index" -> ((s, d) =>
-      graft.ext.TextAnalysis.invertedIndex(Tables.documents(s, d))),
+      graft.ext.TextAnalysis.invertedIndex(Tables.documents(s, d),
+        tfOpt = Some(graft.ext.TextAnalysis.docTermFreq(s, d)))),
     // ---- hashing-trick featurization (signed buckets) ----
     "q_feature_hashing" -> ((s, d) =>
-      graft.ext.TextAnalysis.featureHashing(Tables.documents(s, d))),
+      graft.ext.TextAnalysis.featureHashing(Tables.documents(s, d),
+        tfOpt = Some(graft.ext.TextAnalysis.docTermFreq(s, d)))),
     // ---- multinomial naive Bayes lang classifier (confusion matrix) ----
     "q_naive_bayes" -> ((s, d) =>
-      graft.ext.TextAnalysis.naiveBayes(Tables.documents(s, d))),
+      graft.ext.TextAnalysis.naiveBayes(Tables.documents(s, d),
+        tfOpt = Some(graft.ext.TextAnalysis.docTermFreq(s, d)))),
     "q_doc_quality" -> ((s, d) =>
       graft.ext.TextAnalysis.qualityGate(Tables.documents(s, d))
         .orderBy("doc_id")),
@@ -1110,7 +1115,8 @@ object SparkEntry {
 
     // ---- corpus scoring / chunk-level boilerplate ----
     "q_unigram_logprob" -> ((s, d) =>
-      graft.ext.TextAnalysis.unigramLogprob(Tables.documents(s, d))),
+      graft.ext.TextAnalysis.unigramLogprob(Tables.documents(s, d),
+        tfOpt = Some(graft.ext.TextAnalysis.docTermFreq(s, d)))),
     "q_chunk_boilerplate" -> ((s, d) =>
       graft.ext.TextAnalysis.chunkBoilerplate(Tables.documents(s, d))),
 
@@ -1304,10 +1310,15 @@ object SparkEntry {
     "q_blocklist" -> ((s, d) =>
       graft.ext.Curation.blocklistGate(Tables.documents(s, d))),
     "q_oov_rate" -> ((s, d) =>
-      graft.ext.Curation.oovRate(Tables.documents(s, d))),
+      graft.ext.Curation.oovRate(Tables.documents(s, d),
+        tfOpt = Some(graft.ext.TextAnalysis.docTermFreq(s, d)))),
     // ---- per-source unigram KL drift vs the corpus blend ----
     "q_source_kl" -> ((s, d) =>
-      graft.ext.Curation.sourceKL(Tables.documents(s, d))),
+      graft.ext.Curation.sourceKL(Tables.documents(s, d),
+        tfOpt = Some(graft.ext.TextAnalysis.docTermFreq(s, d)))),
+    // ---- cluster-balanced diversity sample over embeddings ----
+    "q_cluster_balance" -> ((s, d) =>
+      graft.ext.Similarity.clusterBalance(Tables.embeddings(s, d))),
     // ---- DSIR importance model + resampling (hashed-ngram selection) ----
     "q_dsir_logratio" -> ((s, d) =>
       graft.ext.Curation.dsirLogRatio(Tables.documents(s, d))),
@@ -1339,7 +1350,8 @@ object SparkEntry {
     "q_quantize" -> ((s, d) =>
       graft.ext.Similarity.quantizeInt8(Tables.embeddings(s, d))),
     "q_zipf" -> ((s, d) =>
-      graft.ext.TextAnalysis.zipfFit(Tables.documents(s, d))),
+      graft.ext.TextAnalysis.zipfFit(Tables.documents(s, d),
+        tfOpt = Some(graft.ext.TextAnalysis.docTermFreq(s, d)))),
     "q_skew_report" -> ((s, d) =>
       StatsAnalytics.keySkewReport(Tables.lineitem(s, d),
         Seq("l_orderkey", "l_partkey", "l_suppkey"))),
@@ -1503,7 +1515,8 @@ object SparkEntry {
 
     // ---- per-document token entropy (information-density quality) ----
     "q_entropy" -> ((s, d) =>
-      graft.ext.TextAnalysis.tokenEntropy(Tables.documents(s, d))),
+      graft.ext.TextAnalysis.tokenEntropy(Tables.documents(s, d),
+        tfOpt = Some(graft.ext.TextAnalysis.docTermFreq(s, d)))),
 
     // ---- plain-SQL surface: injected native functions via spark.sql ----
     // The whole query is SQL text over a temp view — the path a SQL-only
@@ -4743,6 +4756,26 @@ object SparkEntry {
              AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_divergence
          FROM st JOIN c USING (token) JOIN ps USING (source) CROSS JOIN tot
          GROUP BY source, n_source ORDER BY source""",
+    "q_cluster_balance" ->
+      """WITH c AS (
+           SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
+           FROM embeddings WHERE vec_id % 40 = 0),
+         assign AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce),
+                   6) DESC, c.centroid_id) AS rn
+             FROM embeddings e CROSS JOIN c)
+           WHERE rn = 1),
+         r AS (
+           SELECT vec_id, centroid_id,
+             CAST(row_number() OVER (PARTITION BY centroid_id ORDER BY
+               ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT,
+               vec_id) AS BIGINT) AS keep_rank
+           FROM assign)
+         SELECT vec_id, centroid_id, keep_rank FROM r
+         WHERE keep_rank <= 10 ORDER BY centroid_id, keep_rank""",
     "q_dsir_logratio" ->
       """WITH t AS (
            SELECT doc_id, doc_id % 20 = 0 AS is_target,

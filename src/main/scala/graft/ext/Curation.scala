@@ -76,10 +76,16 @@ object Curation {
     * broadcast back. Each KL term is truncated to DECIMAL(28,12) before
     * summation (the naive-Bayes/NDCG discipline), so the per-source sums
     * are order-independent and DuckDB reproduces them bit-exactly. */
-  def sourceKL(docs: DataFrame): DataFrame = {
-    val st = docs.select(col("source"),
-        explode(tokens(col("text"))).as("token"))
-      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+  def sourceKL(docs: DataFrame,
+               tfOpt: Option[DataFrame] = None): DataFrame = {
+    // checkpointed on BOTH paths: four branches below read st, and
+    // Catalyst shares no common subtrees
+    val st = tfOpt
+      .map(_.groupBy(col("source"), col("term").as("token"))
+        .agg(sum(col("tf")).as("n")))
+      .getOrElse(docs.select(col("source"),
+          explode(tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("n")))
       .localCheckpoint()
     val corpus = st.groupBy("token").agg(sum(col("n")).as("ct"))
     val total = corpus.agg(sum(col("ct")).as("n_corpus"))
@@ -204,10 +210,14 @@ object Curation {
     * single-partition window sorts |vocab| rows, not the corpus) and
     * broadcasts back. Ties in the vocab cut rank by (count DESC, token) —
     * deterministic on any engine. */
-  def oovRate(docs: DataFrame, vocabSize: Int = 20): DataFrame = {
-    val st = docs.select(col("source"),
-        explode(tokens(col("text"))).as("token"))
-      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+  def oovRate(docs: DataFrame, vocabSize: Int = 20,
+              tfOpt: Option[DataFrame] = None): DataFrame = {
+    val st = tfOpt
+      .map(_.groupBy(col("source"), col("term").as("token"))
+        .agg(sum(col("tf")).as("n")))
+      .getOrElse(docs.select(col("source"),
+          explode(tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("n")))
       .localCheckpoint()
     val vocab = st.groupBy("token").agg(sum(col("n")).as("cnt"))
       .withColumn("rk", row_number().over(

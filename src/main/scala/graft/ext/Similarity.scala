@@ -392,6 +392,43 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"))
   }
 
+  /** Cluster-balanced diversity sample: assign every vector to its
+    * nearest centroid (the [[ivfTopK]]/[[semDedup]] seed convention:
+    * vec_id % centroidMod = 0, cosine argmax with id tiebreak), then keep
+    * at most `cap` members per cluster in portable-hash order — the
+    * topic-balanced subsample a curation pipeline draws so dominant
+    * embedding modes don't drown the tail (the embedding-space analog of
+    * [[Curation.domainCap]]'s per-source cap, with the same unbiased
+    * reproducible hash order).
+    *
+    * Scale shape: assignment is corpus × broadcast(centroids) collapsing
+    * map-side via max_by (see [[nearestCentroid]] — one pre-reduced row
+    * per vector crosses the wire); the cap is ONE shuffle on centroid_id
+    * whose rank predicate compiles to WindowGroupLimit, so each partition
+    * keeps a bounded per-cluster head. Only (vec_id, centroid_id) ever
+    * shuffles — embeddings stay in the scan stage. */
+  def clusterBalance(emb: DataFrame, centroidMod: Int = 40,
+                     cap: Int = 10): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val cents = withNorm.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val assigned = nearestCentroid(
+      withNorm.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("centroid_id"),
+          round(dot(col("embedding"), col("c_emb")) /
+            (col("nrm") * col("c_nrm")), 6).as("c_sim")),
+      col("centroid_id"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"))
+    val w = Window.partitionBy("centroid_id")
+      .orderBy(graft.ext.TextFns.portableH60(col("vec_id")), col("vec_id"))
+    assigned.withColumn("keep_rank", row_number().over(w).cast("bigint"))
+      .filter(col("keep_rank") <= cap)
+      .orderBy("centroid_id", "keep_rank")
+  }
+
   /** One Lloyd's-iteration k-means refinement over the embedding corpus —
     * the centroid-training building block an embedding pipeline runs to
     * construct IVF/PQ indexes. Seeds = vec_id % centroidMod (deterministic,

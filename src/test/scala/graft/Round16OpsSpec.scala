@@ -55,6 +55,41 @@ class Round16OpsSpec extends SparkSpec {
     assert(w(1L) > w(2L))
   }
 
+  test("clusterBalance: per-cluster cap holds and assignment is nearest-centroid") {
+    // 8-dim unit-ish vectors in two obvious modes around the two
+    // centroids (vec_id 0 and 40 under centroidMod=40)
+    def vec(base: Float, jitter: Float): Array[Float] =
+      Array(base + jitter, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val rows = Seq(
+      (0L, vec(10f, 0f)), (40L, vec(-10f, 0f)),
+      (1L, vec(10f, 0.1f)), (2L, vec(10f, 0.2f)), (3L, vec(10f, 0.3f)),
+      (41L, vec(-10f, 0.1f)), (42L, vec(-10f, 0.2f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = graft.ext.Similarity
+      .clusterBalance(emb, centroidMod = 40, cap = 2).collect()
+    val byCluster = out.groupBy(_.getLong(1))
+    // cap enforced per cluster
+    assert(byCluster.values.forall(_.length <= 2))
+    // both modes survive the sample (diversity, not head-of-corpus)
+    assert(byCluster.keySet == Set(0L, 40L))
+    // membership respects nearest-centroid: positive-mode ids never land
+    // in the negative-mode cluster
+    val cluster0 = out.filter(_.getLong(1) == 0L).map(_.getLong(0)).toSet
+    assert(cluster0.subsetOf(Set(0L, 1L, 2L, 3L)))
+    // keep_rank is 1..n within each cluster
+    assert(byCluster.values.forall(g =>
+      g.map(_.getLong(2)).sorted.toList == (1 to g.length).map(_.toLong).toList))
+  }
+
+  test("clusterBalance plans a WindowGroupLimit (bounded per-cluster head)") {
+    val emb = Seq((0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (40L, Array(-1f, 0f)), (41L, Array(-0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val plan = graft.ext.Similarity.clusterBalance(emb, 40, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
   test("dsirSample plans a TakeOrderedAndProject, not a global-window sort") {
     val plan = Curation.dsirSample(corpus, buckets = 16, k = 10)
       .queryExecution.executedPlan.toString

@@ -182,8 +182,22 @@ object Curation {
   /** Shared DSIR feature pass: per-(doc, bucket) hashed-ngram counts with
     * the target-slice flag. Unigrams ++ bigrams (the paper's feature set),
     * bucket = h60(gram) mod `buckets`. One explode, one hash aggregate —
-    * map-side partials bound each task's state at |docs-per-task|×B. */
-  private def dsirBucketCounts(docs: DataFrame, buckets: Int): DataFrame = {
+    * map-side partials bound each task's state at |docs-per-task|×B.
+    * Memoized per (session, input plan, buckets) behind a localCheckpoint:
+    * [[dsirSample]] needs these rows for BOTH the model fit and the
+    * per-doc scores, and the model query shares them too — without the
+    * memo the corpus-scale gram explode runs three times per session. */
+  private val dsirMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int, Int), DataFrame]
+
+  private def dsirBucketCounts(docs: DataFrame, buckets: Int): DataFrame =
+    dsirMemo.getOrElseUpdate(
+      (System.identityHashCode(docs.sparkSession),
+        docs.queryExecution.analyzed.semanticHash(), buckets),
+      dsirBucketCountsUncached(docs, buckets).localCheckpoint())
+
+  private def dsirBucketCountsUncached(docs: DataFrame,
+                                       buckets: Int): DataFrame = {
     graft.plans.TextSketches.register(docs.sparkSession)
     val toks = tokens(col("text"))
     docs.select(col("doc_id"),

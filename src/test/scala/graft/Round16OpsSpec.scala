@@ -90,6 +90,51 @@ class Round16OpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  // The doc-term-matrix adopters must be BIT-EQUAL between their two
+  // forms: the direct corpus pass (docs path) and the reduction over the
+  // shared matrix (tfOpt path). Catches any future drift in the bag
+  // derivations (Σ tf vs per-occurrence counts, weighted means, …).
+  private def docsFixture = Seq(
+    (1L, "en", "web", "the cat sat on the mat the cat"),
+    (2L, "en", "web", "spark joins tables and spark scans tables"),
+    (3L, "de", "news", "der hund und der hund und der"),
+    (4L, "fr", "news", "le chat le chat le"),
+    (5L, "en", "wiki", "table join spark table join table")
+  ).toDF("doc_id", "lang", "source", "text")
+
+  test("doc-term-matrix adopters: tfOpt path ≡ docs path") {
+    import graft.ext.{Curation, TextAnalysis => TA}
+    val d = docsFixture
+    val m = TA.docTermFreqOf(d)
+    def eq(name: String, a: org.apache.spark.sql.DataFrame,
+           b: org.apache.spark.sql.DataFrame): Unit = {
+      val (ra, rb) = (a.collect().map(_.toString).sorted.toList,
+        b.collect().map(_.toString).sorted.toList)
+      assert(ra == rb, s"$name diverged:\n direct=$ra\n matrix=$rb")
+    }
+    eq("tfidf", TA.tfidfTop(d), TA.tfidfTop(d, tfOpt = Some(m)))
+    eq("entropy", TA.tokenEntropy(d), TA.tokenEntropy(d, tfOpt = Some(m)))
+    eq("heavy", TA.heavyHitters(d, 5), TA.heavyHitters(d, 5, Some(m)))
+    eq("unigram", TA.unigramLogprob(d), TA.unigramLogprob(d, Some(m)))
+    eq("zipf", TA.zipfFit(d), TA.zipfFit(d, Some(m)))
+    eq("nb", TA.naiveBayes(d), TA.naiveBayes(d, tfOpt = Some(m)))
+    eq("invidx", TA.invertedIndex(d, dfFloor = 1L),
+      TA.invertedIndex(d, dfFloor = 1L, tfOpt = Some(m)))
+    eq("feathash", TA.featureHashing(d), TA.featureHashing(d, tfOpt = Some(m)))
+    eq("oov", Curation.oovRate(d, 5), Curation.oovRate(d, 5, Some(m)))
+    eq("srckl", Curation.sourceKL(d), Curation.sourceKL(d, Some(m)))
+  }
+
+  test("docTermFreq memoizes per (session, dir): same reference on re-call") {
+    // key on a fixture dir that exists: the smallest test data
+    val dir = "/root/testdata/sf0.001"
+    if (new java.io.File(dir).isDirectory) {
+      val a = graft.ext.TextAnalysis.docTermFreq(spark, dir)
+      val b = graft.ext.TextAnalysis.docTermFreq(spark, dir)
+      assert(a eq b)
+    }
+  }
+
   test("dsirSample plans a TakeOrderedAndProject, not a global-window sort") {
     val plan = Curation.dsirSample(corpus, buckets = 16, k = 10)
       .queryExecution.executedPlan.toString

@@ -1347,6 +1347,9 @@ object SparkEntry {
     // ---- int8-quantization acceptance: recall@k vs the exact ranking ----
     "q_quantize_recall" -> ((s, d) =>
       graft.ext.Similarity.quantizeRecall(Tables.embeddings(s, d))),
+    // ---- Matryoshka prefix-truncation recall acceptance test ----
+    "q_matryoshka_recall" -> ((s, d) =>
+      graft.ext.Similarity.matryoshkaRecall(Tables.embeddings(s, d))),
     "q_quantize" -> ((s, d) =>
       graft.ext.Similarity.quantizeInt8(Tables.embeddings(s, d))),
     "q_zipf" -> ((s, d) =>
@@ -5004,6 +5007,33 @@ object SparkEntry {
            round(cusum, 2) AS cusum,
            CAST(abs(cusum) > 3.0 * sd AS INT) AS flag
          FROM c, s2 ORDER BY day""",
+    "q_matryoshka_recall" ->
+      """WITH rec AS (
+           SELECT vec_id, embedding::DOUBLE[] AS e,
+             (embedding::DOUBLE[])[1:16] AS r
+           FROM embeddings),
+         q AS (
+           SELECT vec_id AS query_id, e AS qe, r AS qr
+           FROM rec WHERE vec_id % 10 = 0),
+         s AS (
+           SELECT q.query_id, rec.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.qe, rec.e), 6) AS sim_e,
+             round(list_cosine_similarity(q.qr, rec.r), 6) AS sim_r
+           FROM q CROSS JOIN rec WHERE rec.vec_id <> q.query_id),
+         r2 AS (
+           SELECT query_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim_e DESC, neighbor_id) AS rk_e,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim_r DESC, neighbor_id) AS rk_r
+           FROM s)
+         SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN rk_e <= 10 AND rk_r <= 10 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+           round(sum(CASE WHEN rk_e <= 10 AND rk_r <= 10
+             THEN 1 ELSE 0 END)::DOUBLE
+             / (count(DISTINCT query_id) * 10), 6) AS recall
+         FROM r2""",
     "q_quantize_recall" ->
       """WITH base AS (
            SELECT vec_id, embedding::DOUBLE[] AS e,

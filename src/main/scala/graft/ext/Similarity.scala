@@ -648,6 +648,50 @@ object Similarity {
           (col("n_queries") * k), 6).as("recall"))
   }
 
+  /** Recall@k of PREFIX-truncated embeddings against the full-dimension
+    * cosine ranking — the Matryoshka acceptance test (Kusupati et al.
+    * 2022, public MRL): an MRL-trained encoder packs coarse semantics
+    * into the leading dimensions, so serving can keep only the first
+    * `prefixDims` coordinates; this measures what that truncation costs
+    * on THIS corpus before the index shrinks 4×. Same harness as
+    * [[quantizeRecall]]: one pair join carries both similarities on the
+    * native dot, the two rank windows share one hash partitioning on
+    * query_id, recall is exact-integer Σ hits / (k·|queries|). Slicing
+    * is positional, so DuckDB rebuilds identical prefixes and the
+    * 6dp-rounded sims agree exactly. */
+  def matryoshkaRecall(emb: DataFrame, prefixDims: Int = 16, k: Int = 10,
+                      queryMod: Int = 10): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val e = transform(col("embedding"), v => v.cast("double"))
+    val staged = emb.select(col("vec_id"), e.as("e"),
+      slice(e, 1, prefixDims).as("r"))
+    val withN = staged.select(col("vec_id"), col("e"), col("r"),
+      sqrt(dotD(col("e"), col("e"))).as("ne"),
+      sqrt(dotD(col("r"), col("r"))).as("nr"))
+    val q = withN.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("r").as("qr"), col("ne").as("qne"), col("nr").as("qnr"))
+    val pairs = withN.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dotD(col("e"), col("qe")) / (col("ne") * col("qne")), 6)
+          .as("sim_e"),
+        round(dotD(col("r"), col("qr")) / (col("nr") * col("qnr")), 6)
+          .as("sim_r"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_e").desc, col("neighbor_id"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_r").desc, col("neighbor_id"))
+    pairs.withColumn("rk_e", row_number().over(we))
+      .withColumn("rk_r", row_number().over(wr))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        sum(when(col("rk_e") <= k && col("rk_r") <= k, 1L).otherwise(0L))
+          .as("n_hits"))
+      .select(col("n_queries"), col("n_hits"),
+        round(col("n_hits").cast("double") /
+          (col("n_queries") * k), 6).as("recall"))
+  }
+
   /** Random-hyperplane LSH bucketing: `nBits` sign bits of dot products
     * with pseudo-random planes derived deterministically from portable
     * (bit, dim) hashes — no RNG state, reproducible across runs AND

@@ -90,6 +90,27 @@ class Round16OpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("matryoshkaRecall: prefix truncation flips the hand-computed top-1") {
+    // query = vec 0 (id % 10 = 0). Full-cosine top-1 is n3 (0.993);
+    // prefix-2 top-1 is n2 (its tail mass vanishes under truncation,
+    // prefix sim 1.0) — so recall@1 with prefixDims=2 is 0, and with the
+    // full dimension kept it is 1.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.5f, 0f, 0.9f, 0f)),
+      (3L, Array(0.9f, 0.1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val truncated = graft.ext.Similarity
+      .matryoshkaRecall(emb, prefixDims = 2, k = 1).collect().head
+    assert(truncated.getLong(0) == 1L)      // n_queries
+    assert(truncated.getLong(1) == 0L)      // n_hits
+    assert(truncated.getDouble(2) == 0.0)   // recall
+    val full = graft.ext.Similarity
+      .matryoshkaRecall(emb, prefixDims = 4, k = 1).collect().head
+    assert(full.getLong(1) == 1L && full.getDouble(2) == 1.0)
+  }
+
   // The doc-term-matrix adopters must be BIT-EQUAL between their two
   // forms: the direct corpus pass (docs path) and the reduction over the
   // shared matrix (tfOpt path). Catches any future drift in the bag

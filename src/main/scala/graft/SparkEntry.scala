@@ -1316,6 +1316,14 @@ object SparkEntry {
     "q_source_kl" -> ((s, d) =>
       graft.ext.Curation.sourceKL(Tables.documents(s, d),
         tfOpt = Some(graft.ext.TextAnalysis.docTermFreq(s, d)))),
+    // ---- merkle-style cross-engine table digest (anti-entropy) ----
+    "q_table_digest" -> ((s, d) =>
+      graft.operators.DataContract.tableDigest(
+        Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_returnflag"), col("l_linestatus"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd")))),
     // ---- cluster-balanced diversity sample over embeddings ----
     "q_cluster_balance" -> ((s, d) =>
       graft.ext.Similarity.clusterBalance(Tables.embeddings(s, d))),
@@ -4759,6 +4767,20 @@ object SparkEntry {
              AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_divergence
          FROM st JOIN c USING (token) JOIN ps USING (source) CROSS JOIN tot
          GROUP BY source, n_source ORDER BY source""",
+    "q_table_digest" ->
+      """WITH h AS (
+           SELECT ('0x'||substr(md5(
+               l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR),
+               1,15))::BIGINT % 64 AS bucket,
+             ('0x'||substr(md5(
+               l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR || '|'
+               || l_partkey::VARCHAR || '|' || l_suppkey::VARCHAR || '|'
+               || l_returnflag || '|' || l_linestatus || '|'
+               || strftime(l_shipdate, '%Y-%m-%d')),1,15))::BIGINT AS h
+           FROM lineitem)
+         SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(h) AS digest
+         FROM h GROUP BY 1 ORDER BY 1""",
     "q_cluster_balance" ->
       """WITH c AS (
            SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce

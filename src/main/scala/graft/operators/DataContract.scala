@@ -52,4 +52,34 @@ object DataContract {
       .unionAll(negValues).unionAll(nullUsers)
       .orderBy("check_name")
   }
+
+  /** Merkle-style table digest: per-hash-bucket row count + XOR of
+    * portable row hashes — the anti-entropy primitive two replicas (or a
+    * table before/after a migration, or Spark vs another engine) compare
+    * to prove content equality WITHOUT moving data: equal digests ⇒ equal
+    * content per bucket with hash-collision confidence; a divergent
+    * bucket localizes the diff to 1/`buckets` of the keyspace for
+    * row-level investigation.
+    *
+    * XOR specifically: commutative, associative, self-inverse — the
+    * aggregate is order- and partition-independent (replay- and
+    * speculation-safe) and cannot overflow. The row hash is the portable
+    * md5-prefix h60 over a canonical '|'-joined string form (callers pass
+    * pre-formatted columns — dates/doubles must be rendered
+    * engine-portably), so ANY engine that can md5 recomputes the digest
+    * bit-for-bit — cross-engine table equality as one `buckets`-row
+    * compare. One scan, one `buckets`-wide aggregate with map-side
+    * partials; nothing else moves. */
+  def tableDigest(df: DataFrame, keyCols: Seq[String],
+                  canonCols: Seq[org.apache.spark.sql.Column],
+                  buckets: Int = 64): DataFrame = {
+    import graft.ext.TextFns.portableH60
+    val key = concat_ws("|", keyCols.map(col): _*)
+    val rowStr = concat_ws("|", canonCols: _*)
+    df.select(pmod(portableH60(key), lit(buckets.toLong)).as("bucket"),
+        portableH60(rowStr).as("h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("digest"))
+      .orderBy("bucket")
+  }
 }

@@ -90,6 +90,26 @@ class Round16OpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("tableDigest: partition-invariant, localizes a one-row mutation") {
+    import graft.operators.DataContract
+    def digestOf(df: org.apache.spark.sql.DataFrame) =
+      DataContract.tableDigest(df, Seq("k"),
+        Seq(col("k"), col("v")), buckets = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toList
+    val base = (1L to 100L).map(k => (k, s"val_$k"))
+    val a = base.toDF("k", "v")
+    // same content, different row order AND partitioning → same digest
+    val b = base.reverse.toDF("k", "v").repartition(7)
+    assert(digestOf(a) == digestOf(b))
+    // one mutated row → exactly one bucket diverges, counts unchanged
+    val mut = base.map { case (k, v) => (k, if (k == 42L) "HACKED" else v) }
+      .toDF("k", "v")
+    val (da, dm) = (digestOf(a), digestOf(mut))
+    assert(da.map(t => (t._1, t._2)) == dm.map(t => (t._1, t._2)))
+    assert(da.zip(dm).count { case (x, y) => x._3 != y._3 } == 1)
+  }
+
   test("matryoshkaRecall: prefix truncation flips the hand-computed top-1") {
     // query = vec 0 (id % 10 = 0). Full-cosine top-1 is n3 (0.993);
     // prefix-2 top-1 is n2 (its tail mass vanishes under truncation,

@@ -1077,11 +1077,17 @@ object TextAnalysis {
             log((col("tok_c") + lit(alpha) * col("v")).cast("double")))
           + log(col("n_docs").cast("double") /
             col("n_total").cast("double"))).as("score"))
-    val best = Window.partitionBy("doc_id")
-      .orderBy(round(col("score"), 6).desc, col("cls"))
-    scored.withColumn("rn", row_number().over(best))
-      .filter(col("rn") === 1)
-      .groupBy(col("actual"), col("cls").as("predicted"))
+    // argmax as a map-side-combining aggregate (the nearestCentroid
+    // trick): min_by over (-score, cls) selects by the IDENTICAL total
+    // order as the rank-1 window it replaces — round-6 score DESC, class
+    // name ASC — but partial-collapses the |docs|×|classes| frame inside
+    // its scan stage instead of shuffling and sorting it
+    scored
+      .groupBy(col("doc_id"), col("actual"))
+      .agg(min_by(col("cls"),
+        struct((-round(col("score"), 6)).as("ns"), col("cls")))
+        .as("predicted"))
+      .groupBy(col("actual"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("actual", "predicted")
   }

@@ -1382,6 +1382,9 @@ object SparkEntry {
       EventAnalytics.twapByUser(Tables.events(s, d))),
     "q_copurchase" -> ((s, d) =>
       StarAnalytics.coPurchasePairs(s, d)),
+    // ---- deterministic BPR-style negative sampling per customer ----
+    "q_neg_sample" -> ((s, d) =>
+      StarAnalytics.negativeSamples(s, d)),
     "q_pagerank" -> ((s, d) =>
       graft.analytics.GraphAnalytics.coPurchaseRank(s, d)),
     // ---- single-source BFS reachability profile (3 rounds) ----
@@ -5228,6 +5231,30 @@ object SparkEntry {
          SELECT user_id, n_intervals,
            round(CAST(wsum AS DOUBLE) / span_us, 6) AS twap
          FROM g WHERE span_us > 0 ORDER BY 1""",
+    "q_neg_sample" ->
+      """WITH pos AS (
+           SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         pn AS (SELECT max(p_partkey) + 1 AS p_n FROM part),
+         cands AS (
+           SELECT c.cust, i.probe,
+             ('0x'||substr(md5(c.cust::VARCHAR || ':' ||
+               i.probe::VARCHAR),1,15))::BIGINT % pn.p_n AS part
+           FROM (SELECT DISTINCT cust FROM pos) c
+           CROSS JOIN (SELECT unnest(range(0, 8)) AS probe) i
+           CROSS JOIN pn),
+         misses AS (
+           SELECT cust, part, min(probe) AS probe
+           FROM cands
+           WHERE NOT EXISTS (SELECT 1 FROM pos p
+             WHERE p.cust = cands.cust AND p.part = cands.part)
+           GROUP BY 1, 2),
+         r AS (
+           SELECT cust, part, CAST(row_number() OVER (
+             PARTITION BY cust ORDER BY probe, part) AS BIGINT) AS neg_rank
+           FROM misses)
+         SELECT cust, part, neg_rank FROM r WHERE neg_rank <= 3
+         ORDER BY cust, neg_rank""",
     "q_copurchase" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          pairs AS (

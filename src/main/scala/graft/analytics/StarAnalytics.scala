@@ -730,6 +730,51 @@ object StarAnalytics {
         .agg(count(lit(1)).as("n_part"))
         .localCheckpoint())
 
+  /** Deterministic negative sampling for implicit-feedback training (the
+    * BPR / word2vec-style corruption step): for every customer with
+    * purchase history, draw `probes` pseudo-random candidate parts from
+    * the catalog id space — candidate_i = h60(cust ":" i) mod (maxKey+1),
+    * the portable hash, so ANY engine regenerates the identical draws —
+    * drop candidates the customer actually bought (the anti-join), dedup
+    * repeated draws keeping the earliest probe, and keep the first `k`
+    * surviving negatives in probe order.
+    *
+    * Scale shape: positives are ONE (cust, part) distinct shuffle (the
+    * same pair relation CF consumes); the candidate side is a BOUNDED
+    * |customers|×probes fanout generated by projection (no join against
+    * the catalog — the id space is dense, so draws are arithmetic); the
+    * anti-join co-locates on the (cust, part) keys; the keep-k window
+    * compiles to WindowGroupLimit. Nothing quadratic anywhere: cost is
+    * O(|pairs| + |customers|·probes) at any scale. */
+  def negativeSamples(spark: SparkSession, sfDir: String,
+                      k: Int = 3, probes: Int = 8): DataFrame = {
+    import graft.ext.TextFns.portableH60
+    val pos = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(orderParts(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+    val idSpace = broadcast(Tables.part(spark, sfDir)
+      .agg((max(col("p_partkey")) + 1L).as("p_n")))
+    val cands = pos.select(col("cust")).distinct()
+      .crossJoin(idSpace)
+      .select(col("cust"), explode(sequence(lit(0),
+        lit(probes - 1))).as("probe"), col("p_n"))
+      .select(col("cust"), col("probe"),
+        pmod(portableH60(concat_ws(":", col("cust"), col("probe"))),
+          col("p_n")).as("part"))
+    val misses = cands.join(pos, Seq("cust", "part"), "left_anti")
+      .groupBy(col("cust"), col("part"))
+      .agg(min(col("probe")).as("probe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cust").orderBy(col("probe"), col("part"))
+    misses.withColumn("neg_rank", row_number().over(w).cast("bigint"))
+      .filter(col("neg_rank") <= k)
+      .select(col("cust"), col("part"), col("neg_rank"))
+      .orderBy("cust", "neg_rank")
+  }
+
   private def coPurchaseCountsUncached(spark: SparkSession,
                                        sfDir: String): DataFrame = {
     val sets = orderSets(spark, sfDir)

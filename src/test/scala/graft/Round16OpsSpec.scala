@@ -90,6 +90,32 @@ class Round16OpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("negativeSamples: negatives never collide with positives; rank bounded") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val neg = graft.analytics.StarAnalytics
+      .negativeSamples(spark, dir, k = 3, probes = 8)
+    val pos = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(graft.analytics.StarAnalytics.orderParts(spark, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+    // a negative that the customer actually bought is a contract violation
+    assert(neg.join(pos, Seq("cust", "part")).count() == 0L)
+    val rows = neg.collect()
+    assert(rows.nonEmpty)
+    // ≤ k per customer, ranks 1..n, draws inside the catalog id space
+    val byCust = rows.groupBy(_.getLong(0))
+    assert(byCust.values.forall(_.length <= 3))
+    assert(byCust.values.forall(g =>
+      g.map(_.getLong(2)).sorted.toList ==
+        (1 to g.length).map(_.toLong).toList))
+    val maxPart = graft.Tables.part(spark, dir)
+      .agg(max(col("p_partkey"))).collect().head.getLong(0)
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= maxPart))
+  }
+
   test("tableDigest: partition-invariant, localizes a one-row mutation") {
     import graft.operators.DataContract
     def digestOf(df: org.apache.spark.sql.DataFrame) =

@@ -749,12 +749,16 @@ object StarAnalytics {
   def negativeSamples(spark: SparkSession, sfDir: String,
                       k: Int = 3, probes: Int = 8): DataFrame = {
     import graft.ext.TextFns.portableH60
+    // checkpointed: the anti-join probes it AND the candidate branch
+    // derives its customer set from it — unmaterialized, the
+    // orders⋈pairs distinct would execute twice
     val pos = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(orderParts(spark, sfDir),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .distinct()
+      .localCheckpoint()
     val idSpace = broadcast(Tables.part(spark, sfDir)
       .agg((max(col("p_partkey")) + 1L).as("p_n")))
     val cands = pos.select(col("cust")).distinct()

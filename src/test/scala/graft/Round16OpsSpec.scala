@@ -136,6 +136,25 @@ class Round16OpsSpec extends SparkSpec {
     assert(da.zip(dm).count { case (x, y) => x._3 != y._3 } == 1)
   }
 
+  test("tableDigest: disjoint-union homomorphism (shard-wise comparability)") {
+    import graft.operators.DataContract
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      DataContract.tableDigest(df, Seq("k"), Seq(col("k"), col("v")), 8)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val a = (1L to 40L).map(k => (k, s"a$k")).toDF("k", "v")
+    val b = (41L to 90L).map(k => (k, s"b$k")).toDF("k", "v")
+    val u = digest(a.unionAll(b))
+    val (da, db) = (digest(a), digest(b))
+    // per bucket: counts add, digests xor — replicas can be compared
+    // shard-by-shard and combined without touching rows
+    for (bk <- u.keys) {
+      val (na, xa) = da.getOrElse(bk, (0L, 0L))
+      val (nb, xb) = db.getOrElse(bk, (0L, 0L))
+      assert(u(bk) == (na + nb, xa ^ xb), s"bucket $bk")
+    }
+  }
+
   test("matryoshkaRecall: prefix truncation flips the hand-computed top-1") {
     // query = vec 0 (id % 10 = 0). Full-cosine top-1 is n3 (0.993);
     // prefix-2 top-1 is n2 (its tail mass vanishes under truncation,

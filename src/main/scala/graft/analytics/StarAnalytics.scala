@@ -745,7 +745,10 @@ object StarAnalytics {
     * the catalog — the id space is dense, so draws are arithmetic); the
     * anti-join co-locates on the (cust, part) keys; the keep-k window
     * compiles to WindowGroupLimit. Nothing quadratic anywhere: cost is
-    * O(|pairs| + |customers|·probes) at any scale. */
+    * O(|pairs| + |customers|·probes) at any scale. Reference analog:
+    * none (training-data extension); the positives relation is the same
+    * customer×part purchase view the analytics queries join
+    * (analytics.py:82-103 shape). */
   def negativeSamples(spark: SparkSession, sfDir: String,
                       k: Int = 3, probes: Int = 8): DataFrame = {
     import graft.ext.TextFns.portableH60

@@ -115,7 +115,10 @@ object Curation {
     * full raw corpus, over `buckets` hash buckets of unigram+bigram
     * features. Emits the per-bucket add-one-smoothed log probability ratio
     * λ_b = ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)) — the importance model a
-    * DSIR selection run scores every raw document against.
+    * DSIR selection run scores every raw document against. Reference
+    * analog: the corpus-level generalization of the per-record quality
+    * gate (transform.py:74-75 keep/drop decisions) to distribution-level
+    * selection.
     *
     * Scale shape: the gram explode is the only corpus-scale pass and it
     * aggregates straight to `buckets` rows with map-side partials (the

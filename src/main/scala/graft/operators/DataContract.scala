@@ -69,7 +69,9 @@ object DataContract {
     * engine-portably), so ANY engine that can md5 recomputes the digest
     * bit-for-bit — cross-engine table equality as one `buckets`-row
     * compare. One scan, one `buckets`-wide aggregate with map-side
-    * partials; nothing else moves. */
+    * partials; nothing else moves. Reference analog: the row-count
+    * reconciliation the loader logs after each upsert (load.py) — here
+    * strengthened to content equality, not just cardinality. */
   def tableDigest(df: DataFrame, keyCols: Seq[String],
                   canonCols: Seq[org.apache.spark.sql.Column],
                   buckets: Int = 64): DataFrame = {

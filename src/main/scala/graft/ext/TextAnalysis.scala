@@ -1035,14 +1035,20 @@ object TextAnalysis {
         .groupBy("doc_id", "lang", "term")
         .agg(count(lit(1)).as("tf"))
         .localCheckpoint())
+    // classTok is vocab×classes-sized — checkpointed because tok_c and
+    // the vocab scalar both DERIVE from it by integer re-aggregation
+    // (Σ_t cnt per class ≡ Σ tf per class; distinct terms of classTok ≡
+    // corpus vocabulary, every term living in ≥1 class), which drops two
+    // of the doc-term-matrix scans this model build used to pay
     val classTok = docTf.groupBy(col("lang").as("cls"), col("term"))
       .agg(sum(col("tf")).as("cnt"))
-    val classes = docTf.groupBy(col("lang").as("cls"))
-      .agg(sum(col("tf")).as("tok_c"))
+      .localCheckpoint()
+    val classes = classTok.groupBy(col("cls"))
+      .agg(sum(col("cnt")).as("tok_c"))
       .join(docs.groupBy(col("lang").as("cls"))
         .agg(count(lit(1)).as("n_docs")), Seq("cls"))
       .crossJoin(broadcast(
-        docTf.select("term").distinct().agg(count(lit(1)).as("v"))))
+        classTok.select("term").distinct().agg(count(lit(1)).as("v"))))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_total"))))
     // SPARSE scoring (the classic NB factoring): with smoothing α,
     //   Σ_t tf·ln((cnt+α)/(tok_c+α·v))

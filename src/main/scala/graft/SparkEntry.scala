@@ -804,7 +804,7 @@ object SparkEntry {
             max(to_date(col("ts"))).as("d1"))
           .select(date_add(col("d0"),
             (datediff(col("d1"), col("d0")) / 2).cast("int")).as("mid"))
-          .head.getDate(0)
+          .head().getDate(0)
         val stream = graft.streaming.EventStream.readEventsStream(s, d)
         graft.streaming.EventStream.drainStatefulLatest(
             graft.streaming.EventStream.twsPsiDrift(stream, mid),

@@ -41,7 +41,7 @@ object BloomPrefilter {
     build
       .select(call_function("graft_bloom_agg",
         xxhash64(col(key)), lit(expectedItems)).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf")
   }
 
   /** Map-side probe prefilter: keep rows whose key might be in the bloom. */

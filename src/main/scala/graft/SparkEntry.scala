@@ -1358,6 +1358,10 @@ object SparkEntry {
     // ---- Matryoshka prefix-truncation recall acceptance test ----
     "q_matryoshka_recall" -> ((s, d) =>
       graft.ext.Similarity.matryoshkaRecall(Tables.embeddings(s, d))),
+    // ---- Good–Turing unseen-vocabulary-mass audit per source ----
+    "q_good_turing" -> ((s, d) =>
+      graft.ext.Curation.goodTuring(Tables.documents(s, d),
+        tfOpt = Some(graft.ext.TextAnalysis.docTermFreq(s, d)))),
     "q_quantize" -> ((s, d) =>
       graft.ext.Similarity.quantizeInt8(Tables.embeddings(s, d))),
     "q_zipf" -> ((s, d) =>
@@ -5059,6 +5063,29 @@ object SparkEntry {
              THEN 1 ELSE 0 END)::DOUBLE
              / (count(DISTINCT query_id) * 10), 6) AS recall
          FROM r2""",
+    "q_good_turing" ->
+      """WITH tok AS (
+           SELECT source, unnest(list_filter(
+             string_split_regex(lower(text), '\s+'), x -> x <> ''))
+             AS term
+           FROM documents),
+         census AS (
+           SELECT source, term, CAST(count(*) AS BIGINT) AS n
+           FROM tok GROUP BY 1, 2)
+         SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons,
+           CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_doubletons,
+           CASE WHEN sum(n) = 0 THEN 0.0
+             ELSE round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE
+               / sum(n), 6) END AS p_unseen,
+           CASE WHEN sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) = 0 THEN 0.0
+             ELSE round(2.0 * sum(CASE WHEN n = 2 THEN 1 ELSE 0 END)
+               / (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE * sum(n)),
+               6) END AS p1_smoothed
+         FROM census GROUP BY source ORDER BY source""",
     "q_quantize_recall" ->
       """WITH base AS (
            SELECT vec_id, embedding::DOUBLE[] AS e,

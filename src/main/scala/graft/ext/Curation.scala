@@ -250,4 +250,48 @@ object Curation {
         round(col("n_oov").cast("double") / col("n_tokens"), 6))
       .orderBy("source")
   }
+
+  /** Good–Turing unseen-mass audit per source (Gale & Sampson 1995, the
+    * classic "how much vocabulary has this slice NOT seen yet" gauge used
+    * when sizing a crawl or judging slice coverage — the corpus-level
+    * generalization of the reference's per-run quality counters,
+    * pipeline/quality.py:19-26). From the per-source term census n(s,t):
+    * N1 = hapax terms, N2 = dis legomena, N = total tokens;
+    * `p_unseen` = N1/N (Turing's estimate of the probability mass of
+    * never-seen terms) and `p1_smoothed` = 2·N2/(N1·N) (the discounted
+    * probability of any single hapax), both zero-guarded.
+    *
+    * Cross-engine determinism: every output double is a SINGLE division /
+    * product of exact bigints (no float accumulation anywhere), so the
+    * 6dp rounding cannot diverge between engines.
+    *
+    * Scale shape: derives from the shared doc-term matrix when provided
+    * (`tfOpt` — one corpus tokenize for the whole bag-of-words family);
+    * the (source, term) census aggregates with map-side partials, and the
+    * frequency-of-frequencies pass reduces that census to ≤|sources| rows
+    * in one more partial-combined aggregate. Nothing wider than
+    * (source, term) ever shuffles — never text. */
+  def goodTuring(docs: DataFrame,
+                 tfOpt: Option[DataFrame] = None): DataFrame = {
+    val census = tfOpt
+      .map(_.groupBy(col("source"), col("term"))
+        .agg(sum(col("tf")).as("n")))
+      .getOrElse(docs.select(col("source"),
+          explode(tokens(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("n")))
+    census.groupBy("source")
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_singletons"),
+        sum(when(col("n") === 2L, 1L).otherwise(0L)).as("n_doubletons"))
+      .withColumn("p_unseen",
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(round(
+            col("n_singletons").cast("double") / col("n_tokens"), 6)))
+      .withColumn("p1_smoothed",
+        when(col("n_singletons") === 0L, lit(0.0))
+          .otherwise(round(lit(2.0) * col("n_doubletons") /
+            (col("n_singletons").cast("double") * col("n_tokens")), 6)))
+      .orderBy("source")
+  }
 }

@@ -1362,6 +1362,9 @@ object SparkEntry {
     "q_good_turing" -> ((s, d) =>
       graft.ext.Curation.goodTuring(Tables.documents(s, d),
         tfOpt = Some(graft.ext.TextAnalysis.docTermFreq(s, d)))),
+    // ---- split conformal intervals + finite-sample coverage audit ----
+    "q_conformal" -> ((s, d) =>
+      graft.ext.EvalOps.conformalCoverage(Tables.orders(s, d))),
     "q_quantize" -> ((s, d) =>
       graft.ext.Similarity.quantizeInt8(Tables.embeddings(s, d))),
     "q_zipf" -> ((s, d) =>
@@ -5086,6 +5089,44 @@ object SparkEntry {
                / (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::DOUBLE * sum(n)),
                6) END AS p1_smoothed
          FROM census GROUP BY source ORDER BY source""",
+    "q_conformal" ->
+      """WITH s AS (
+           SELECT o_orderkey, o_orderpriority AS priority, o_totalprice,
+             o_orderkey % 10 AS m
+           FROM orders),
+         model AS (
+           SELECT priority, CAST(count(*) AS BIGINT) AS n_train,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(28,12))) AS DOUBLE)
+               / count(*) AS mu
+           FROM s WHERE m <= 5 GROUP BY 1),
+         cal AS (
+           SELECT s.priority, s.o_orderkey,
+             abs(s.o_totalprice - model.mu) AS res
+           FROM s JOIN model USING (priority) WHERE s.m IN (6, 7)),
+         nc AS (SELECT priority, CAST(count(*) AS BIGINT) AS n_cal
+                FROM cal GROUP BY 1),
+         ranked AS (
+           SELECT priority, res, row_number() OVER (PARTITION BY priority
+             ORDER BY res, o_orderkey) AS rk
+           FROM cal),
+         qh AS (
+           SELECT r.priority, r.res AS qhat
+           FROM ranked r JOIN nc USING (priority)
+           WHERE r.rk = (90 * (nc.n_cal + 1) + 99) // 100),
+         tst AS (
+           SELECT s.priority, abs(s.o_totalprice - model.mu) AS res
+           FROM s JOIN model USING (priority) WHERE s.m >= 8),
+         cov AS (
+           SELECT t.priority, CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN qh.qhat IS NULL OR t.res <= qh.qhat
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+           FROM tst t LEFT JOIN qh USING (priority) GROUP BY 1)
+         SELECT m.priority, m.n_train, nc.n_cal, c.n_test,
+           round(m.mu, 6) AS mu, round(qh.qhat, 6) AS qhat,
+           c.n_covered,
+           round(c.n_covered::DOUBLE / c.n_test, 6) AS coverage
+         FROM model m JOIN nc USING (priority) JOIN cov c USING (priority)
+         LEFT JOIN qh USING (priority) ORDER BY priority""",
     "q_quantize_recall" ->
       """WITH base AS (
            SELECT vec_id, embedding::DOUBLE[] AS e,

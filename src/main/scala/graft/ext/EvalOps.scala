@@ -433,4 +433,74 @@ object EvalOps {
         (floor(col("n_hits").cast("double") / col("n_eval").cast("double")
           * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("hit_rate"))
   }
+
+  /** Split conformal prediction intervals, group-conditional (Mondrian)
+    * per order priority — the distribution-free uncertainty wrapper
+    * (Papadopoulos et al. 2002; Vovk et al.) a training pipeline puts
+    * around ANY point predictor before acting on its outputs. Everything
+    * is deterministic: slices come from `o_orderkey % 10` (train ≤ 5,
+    * calibration ∈ {6,7}, test ≥ 8 — the decontaminate slice convention),
+    * the "model" is the train-slice mean total per priority, and the
+    * per-priority conformal quantile `qhat` is the k-th smallest absolute
+    * calibration residual with k = ⌈(1−α)·(n_cal+1)⌉ (computed in exact
+    * integer arithmetic, ties ranked by (residual, orderkey) — a total
+    * order any engine reproduces). The report then audits the finite-
+    * sample guarantee: empirical test coverage of μ ± qhat, which
+    * conformal theory lower-bounds by 1−α in expectation. k > n_cal
+    * (tiny calibration groups) yields an infinite interval — qhat NULL,
+    * coverage 1 — rather than a silent crash.
+    *
+    * Cross-engine determinism: μ is CAST(decimal-sum AS DOUBLE)/n (one
+    * exact sum, one IEEE division), residuals are single double
+    * subtractions of it, and the ≤ qhat comparison uses the UNROUNDED
+    * residuals; rounding happens only at the report boundary.
+    *
+    * Scale shape: the model and the per-priority counts are map-side-
+    * combined aggregates over bounded group counts; residual frames are
+    * narrow (priority, key, residual) projections under broadcast joins
+    * of the tiny model. The one data-scale structure is the calibration
+    * residual rank — a per-priority sort of the 20% calibration slice.
+    * That is the exact-oracle form; at 100 TB the quantile stage swaps to
+    * the approx-percentile sketch boundary exactly like rfmSegmentsScale
+    * (PLANS.md scale-sibling program) with no change to anything
+    * downstream. */
+  def conformalCoverage(orders: DataFrame, alphaPct: Int = 10): DataFrame = {
+    val s = orders.select(col("o_orderkey"),
+      col("o_orderpriority").as("priority"), col("o_totalprice"),
+      (col("o_orderkey") % 10).as("m"))
+    val model = s.filter(col("m") <= 5).groupBy("priority")
+      .agg(count(lit(1)).as("n_train"),
+        (sum(col("o_totalprice").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("mu"))
+    val calRes = s.filter(col("m").isin(6, 7))
+      .join(broadcast(model), Seq("priority"))
+      .select(col("priority"), col("o_orderkey"),
+        abs(col("o_totalprice") - col("mu")).as("res"))
+    val nCal = calRes.groupBy("priority").agg(count(lit(1)).as("n_cal"))
+    val ranked = calRes.withColumn("rk", row_number().over(
+      Window.partitionBy("priority")
+        .orderBy(col("res"), col("o_orderkey"))))
+    val qhat = ranked.join(broadcast(nCal), Seq("priority"))
+      .filter(col("rk") ===
+        expr(s"CAST((${100 - alphaPct} * (n_cal + 1) + 99) DIV 100" +
+          " AS BIGINT)"))
+      .select(col("priority"), col("res").as("qhat"))
+    val cov = s.filter(col("m") >= 8)
+      .join(broadcast(model), Seq("priority"))
+      .select(col("priority"),
+        abs(col("o_totalprice") - col("mu")).as("res"))
+      .join(broadcast(qhat), Seq("priority"), "left")
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("qhat").isNull || col("res") <= col("qhat"), 1L)
+          .otherwise(0L)).as("n_covered"))
+    model.join(nCal, Seq("priority")).join(cov, Seq("priority"))
+      .join(qhat, Seq("priority"), "left")
+      .select(col("priority"), col("n_train"), col("n_cal"), col("n_test"),
+        round(col("mu"), 6).as("mu"), round(col("qhat"), 6).as("qhat"),
+        col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_test"), 6)
+          .as("coverage"))
+      .orderBy("priority")
+  }
 }

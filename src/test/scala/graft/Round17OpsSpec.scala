@@ -32,6 +32,40 @@ class Round17OpsSpec extends SparkSpec {
     assert(b.getDouble(5) == 0.0 && b.getDouble(6) == 0.0)
   }
 
+  // P1: mu=100; 10 calibration residuals 1..10 → k=⌈0.9·11⌉=10, qhat=10.
+  // P2: one calibration row → k=2 > n_cal=1 → infinite interval (qhat
+  // NULL), everything covered.
+  private def orders = {
+    val p1train = (Seq(10L) ++ (1L to 5L)).map(k => (k, 100.0, "1-P1"))
+    val p1cal = (1 to 10).map(i =>
+      (if (i % 2 == 1) 6L + 10 * (i / 2) else 7L + 10 * ((i - 1) / 2),
+        100.0 + i, "1-P1"))
+    val p1test = Seq((8L, 105.0, "1-P1"), (9L, 109.0, "1-P1"),
+      (18L, 111.0, "1-P1"), (19L, 90.0, "1-P1"))
+    val p2 = Seq((20L, 50.0, "2-P2"), (26L, 53.0, "2-P2"),
+      (28L, 1000.0, "2-P2"), (29L, 0.0, "2-P2"))
+    (p1train ++ p1cal ++ p1test ++ p2)
+      .toDF("o_orderkey", "o_totalprice", "o_orderpriority")
+  }
+
+  test("conformalCoverage: hand-computed quantile, boundary cover, " +
+    "infinite-interval arm") {
+    val out = graft.ext.EvalOps.conformalCoverage(orders).collect()
+    assert(out.length == 2)
+    val p1 = out(0)
+    assert(p1.getString(0) == "1-P1")
+    assert(p1.getLong(1) == 6L && p1.getLong(2) == 10L && p1.getLong(3) == 4L)
+    assert(p1.getDouble(4) == 100.0)
+    assert(p1.getDouble(5) == 10.0) // k-th smallest calibration residual
+    // residuals 5, 9, 11, 10 → 11 escapes, boundary 10 covers
+    assert(p1.getLong(6) == 3L && p1.getDouble(7) == 0.75)
+    val p2 = out(1)
+    assert(p2.getString(0) == "2-P2")
+    assert(p2.getLong(2) == 1L) // k=2 > n_cal=1 → no finite quantile
+    assert(p2.isNullAt(5))
+    assert(p2.getLong(6) == 2L && p2.getDouble(7) == 1.0)
+  }
+
   test("goodTuring: matrix path ≡ direct path") {
     val direct = Curation.goodTuring(docs).collect().toSeq
     val viaMatrix = Curation.goodTuring(docs,

@@ -1365,6 +1365,9 @@ object SparkEntry {
     // ---- split conformal intervals + finite-sample coverage audit ----
     "q_conformal" -> ((s, d) =>
       graft.ext.EvalOps.conformalCoverage(Tables.orders(s, d))),
+    // ---- k-center greedy (farthest-point) coreset selection ----
+    "q_kcenter" -> ((s, d) =>
+      graft.ext.Similarity.kCenterGreedy(Tables.embeddings(s, d))),
     "q_quantize" -> ((s, d) =>
       graft.ext.Similarity.quantizeInt8(Tables.embeddings(s, d))),
     "q_zipf" -> ((s, d) =>
@@ -5127,6 +5130,36 @@ object SparkEntry {
            round(c.n_covered::DOUBLE / c.n_test, 6) AS coverage
          FROM model m JOIN nc USING (priority) JOIN cov c USING (priority)
          LEFT JOIN qh USING (priority) ORDER BY priority""",
+    "q_kcenter" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+         seed AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+         d1 AS (
+           SELECT e.vec_id, e.v,
+             1.0 - round(list_cosine_similarity(e.v, s.v), 6) AS mind
+           FROM e CROSS JOIN seed s),
+         p2 AS (SELECT vec_id, mind FROM d1
+                ORDER BY mind DESC, vec_id LIMIT 1),
+         c2 AS (SELECT d1.v FROM d1 JOIN p2 USING (vec_id)),
+         d2 AS (
+           SELECT d1.vec_id, d1.v, least(d1.mind,
+             1.0 - round(list_cosine_similarity(d1.v, c2.v), 6)) AS mind
+           FROM d1 CROSS JOIN c2),
+         p3 AS (SELECT vec_id, mind FROM d2
+                ORDER BY mind DESC, vec_id LIMIT 1),
+         c3 AS (SELECT d2.v FROM d2 JOIN p3 USING (vec_id)),
+         d3 AS (
+           SELECT d2.vec_id, least(d2.mind,
+             1.0 - round(list_cosine_similarity(d2.v, c3.v), 6)) AS mind
+           FROM d2 CROSS JOIN c3),
+         p4 AS (SELECT vec_id, mind FROM d3
+                ORDER BY mind DESC, vec_id LIMIT 1)
+         SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id,
+           CAST(NULL AS DOUBLE) AS radius FROM seed
+         UNION ALL SELECT 2, vec_id, round(mind, 6) FROM p2
+         UNION ALL SELECT 3, vec_id, round(mind, 6) FROM p3
+         UNION ALL SELECT 4, vec_id, round(mind, 6) FROM p4
+         ORDER BY sel_rank""",
     "q_quantize_recall" ->
       """WITH base AS (
            SELECT vec_id, embedding::DOUBLE[] AS e,

@@ -798,4 +798,62 @@ object Similarity {
         round(col("nrm"), 6).as("eigenvalue"))
       .orderBy("dim_id")
   }
+
+  /** k-center greedy coreset selection over the embedding corpus
+    * (Gonzalez 1985 farthest-point traversal; Sener & Savarese 2018's
+    * active-learning coreset): each round picks the point FARTHEST
+    * (cosine distance over 6dp-rounded sims) from everything selected so
+    * far, so the chosen set 2-approximates the optimal k-center cover and
+    * `radius` traces the covering radius as it falls — the diversity-
+    * first subset selector a curation pipeline uses to seed eval panels
+    * (complements mmrSelect, which diversifies a RELEVANCE pool; this
+    * covers the whole corpus). Seed = min vec_id, ties by smallest id —
+    * fully deterministic on any engine.
+    *
+    * Scale shape: the min-distance-to-selected state is INCREMENTAL —
+    * round r touches the corpus once with a ONE-row broadcast (the
+    * newest center), updates `mind` via a narrow `least` projection, and
+    * takes the argmax with a map-side-combining max_by (one pre-reduced
+    * row per partition feeds the 1-row aggregate; no corpus shuffle, no
+    * window, no pairwise matrix anywhere). k rounds = k corpus map
+    * passes, the textbook farthest-point schedule; state is
+    * localCheckpointed per round so lineage stays flat. */
+  def kCenterGreedy(emb: DataFrame, k: Int = 4): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val corpus = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(dotD(col("e"), col("e"))))
+      .localCheckpoint()
+    val seed = corpus.orderBy("vec_id").limit(1).localCheckpoint()
+    var state = corpus.crossJoin(broadcast(
+        seed.select(col("e").as("ce"), col("nrm").as("cn"))))
+      .select(col("vec_id"), col("e"), col("nrm"),
+        (lit(1.0) - round(dotD(col("e"), col("ce")) /
+          (col("nrm") * col("cn")), 6)).as("mind"))
+      .localCheckpoint()
+    val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    picks += seed.select(lit(1L).as("sel_rank"), col("vec_id"),
+      lit(null).cast("double").as("radius"))
+    for (r <- 2 to k) {
+      val pick = state.agg(max_by(
+          struct(col("vec_id"), col("mind")),
+          struct(col("mind"), (-col("vec_id")).as("nid"))).as("p"))
+        .select(col("p.vec_id").as("vec_id"), col("p.mind").as("mind"))
+        .localCheckpoint()
+      picks += pick.select(lit(r.toLong).as("sel_rank"), col("vec_id"),
+        round(col("mind"), 6).as("radius"))
+      if (r < k) {
+        val newC = corpus
+          .join(broadcast(pick.select("vec_id")), Seq("vec_id"))
+          .select(col("e").as("ce"), col("nrm").as("cn"))
+        state = state.crossJoin(broadcast(newC))
+          .select(col("vec_id"), col("e"), col("nrm"),
+            least(col("mind"),
+              lit(1.0) - round(dotD(col("e"), col("ce")) /
+                (col("nrm") * col("cn")), 6)).as("mind"))
+          .localCheckpoint()
+      }
+    }
+    picks.reduce(_ unionAll _).orderBy("sel_rank")
+  }
 }

@@ -66,6 +66,25 @@ class Round17OpsSpec extends SparkSpec {
     assert(p2.getLong(6) == 2L && p2.getDouble(7) == 1.0)
   }
 
+  test("kCenterGreedy: farthest-point trajectory with duplicate and tie") {
+    // v0 seed; v1 duplicates the seed (mind 0, never picked); v2/v3
+    // orthogonal (dist 1.0, tie broken to the smaller id); v4 diagonal
+    // (dist 1 − round(1/√2, 6) to the seed AND to v2, dist 1 to v3)
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)), (3L, Array(0f, 0f, 1f, 0f)),
+      (4L, Array(1f, 1f, 0f, 0f)))
+    val out = graft.ext.Similarity
+      .kCenterGreedy(rows.toDF("vec_id", "embedding"), k = 4).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 0L), (2L, 2L), (3L, 3L), (4L, 4L)))
+    assert(out(0).isNullAt(2))
+    assert(out(1).getDouble(2) == 1.0 && out(2).getDouble(2) == 1.0)
+    // 1 − round(1/√2, 6) = 0.29289299999999996, re-rounded to 6dp at
+    // the report boundary
+    assert(out(3).getDouble(2) == 0.292893)
+  }
+
   test("goodTuring: matrix path ≡ direct path") {
     val direct = Curation.goodTuring(docs).collect().toSeq
     val viaMatrix = Curation.goodTuring(docs,

@@ -1368,6 +1368,29 @@ object SparkEntry {
     // ---- k-center greedy (farthest-point) coreset selection ----
     "q_kcenter" -> ((s, d) =>
       graft.ext.Similarity.kCenterGreedy(Tables.embeddings(s, d))),
+    // ---- row-level replica diff (the step after q_table_digest) ----
+    // The "replica" is deterministic drift carved from orders itself
+    // (o_orderkey is the fixture's one genuinely unique key): key-hash
+    // residues drop ~1/101 of rows, bump o_custkey on ~1/97, and re-key
+    // ~1/89 as additions — every engine rebuilds the same divergent
+    // replica, so the diff itself is oracle-checkable.
+    "q_table_diff" -> ((s, d) => {
+      val hk = graft.ext.TextFns.portableH60(col("o_orderkey"))
+      val base = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"),
+        hk.as("hk"))
+      val rightBase = base.filter(pmod(col("hk"), lit(101L)) =!= 0L)
+        .withColumn("o_custkey",
+          when(pmod(col("hk"), lit(97L)) === 0L, col("o_custkey") + 1)
+            .otherwise(col("o_custkey")))
+      val rightAdded = base.filter(pmod(col("hk"), lit(89L)) === 0L)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      graft.operators.DataContract.tableDiff(
+        base.drop("hk"), rightBase.unionByName(rightAdded).drop("hk"),
+        Seq("o_orderkey"),
+        Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority")))
+    }),
     "q_quantize" -> ((s, d) =>
       graft.ext.Similarity.quantizeInt8(Tables.embeddings(s, d))),
     "q_zipf" -> ((s, d) =>
@@ -5160,6 +5183,41 @@ object SparkEntry {
          UNION ALL SELECT 3, vec_id, round(mind, 6) FROM p3
          UNION ALL SELECT 4, vec_id, round(mind, 6) FROM p4
          ORDER BY sel_rank""",
+    "q_table_diff" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+             ('0x'||substr(md5(o_orderkey::VARCHAR),1,15))::BIGINT AS hk
+           FROM orders),
+         rb AS (
+           SELECT o_orderkey,
+             CASE WHEN hk % 97 = 0 THEN o_custkey + 1
+               ELSE o_custkey END AS o_custkey,
+             o_orderstatus, o_orderpriority
+           FROM o WHERE hk % 101 <> 0),
+         ra AS (
+           SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+             o_orderstatus, o_orderpriority
+           FROM o WHERE hk % 89 = 0),
+         r AS (SELECT * FROM rb UNION ALL SELECT * FROM ra),
+         lh AS (
+           SELECT o_orderkey::VARCHAR AS row_key,
+             ('0x'||substr(md5(o_orderkey::VARCHAR || '|' ||
+               o_custkey::VARCHAR || '|' || o_orderstatus || '|' ||
+               o_orderpriority),1,15))::BIGINT AS h_l
+           FROM orders),
+         rh AS (
+           SELECT o_orderkey::VARCHAR AS row_key,
+             ('0x'||substr(md5(o_orderkey::VARCHAR || '|' ||
+               o_custkey::VARCHAR || '|' || o_orderstatus || '|' ||
+               o_orderpriority),1,15))::BIGINT AS h_r
+           FROM r)
+         SELECT coalesce(lh.row_key, rh.row_key) AS row_key,
+           CASE WHEN h_r IS NULL THEN 'missing_right'
+                WHEN h_l IS NULL THEN 'missing_left'
+                ELSE 'changed' END AS diff_type
+         FROM lh FULL OUTER JOIN rh ON lh.row_key = rh.row_key
+         WHERE h_l IS NULL OR h_r IS NULL OR h_l <> h_r
+         ORDER BY row_key""",
     "q_quantize_recall" ->
       """WITH base AS (
            SELECT vec_id, embedding::DOUBLE[] AS e,

@@ -84,4 +84,41 @@ object DataContract {
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("digest"))
       .orderBy("bucket")
   }
+
+  /** Row-level table reconciliation — the step AFTER [[tableDigest]]
+    * localizes a divergent bucket: name exactly which keys differ between
+    * two replicas (or a table before/after a migration) and how —
+    * `missing_right` (present only on the left), `missing_left` (present
+    * only on the right), `changed` (both sides, content hash differs).
+    * The same canonical '|'-joined row rendering as the digest, so a row
+    * the digest calls equal is equal here too.
+    *
+    * Scale shape: both sides project to narrow (key, h60) rows before the
+    * full-outer hash join on key — payload never moves, and the matched-
+    * equal mass (in any sane replica, almost everything) is filtered out
+    * immediately after the join, so only the drift survives downstream.
+    * At 100 TB, bucket both sides on the key (BucketingSpec's zero-
+    * shuffle join shape) or run per-digest-bucket after tableDigest has
+    * narrowed the keyspace 1/`buckets`.
+    *
+    * Contract: `keyCols` must be unique per side (the same contract as
+    * any keyed MERGE); duplicate keys would fan the full-outer join into
+    * per-key pair products. The testdata lineitem fixture's
+    * (l_orderkey, l_linenumber) is NOT unique — diff orders-like tables
+    * on their true key, or pre-aggregate to one row per key first. */
+  def tableDiff(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                canonCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    import graft.ext.TextFns.portableH60
+    def proj(df: DataFrame, hName: String) =
+      df.select(concat_ws("|", keyCols.map(col): _*).as("row_key"),
+        portableH60(concat_ws("|", canonCols: _*)).as(hName))
+    proj(left, "h_l").join(proj(right, "h_r"), Seq("row_key"), "full_outer")
+      .filter(col("h_l").isNull || col("h_r").isNull ||
+        col("h_l") =!= col("h_r"))
+      .select(col("row_key"),
+        when(col("h_r").isNull, "missing_right")
+          .when(col("h_l").isNull, "missing_left")
+          .otherwise("changed").as("diff_type"))
+      .orderBy("row_key")
+  }
 }

@@ -85,6 +85,22 @@ class Round17OpsSpec extends SparkSpec {
     assert(out(3).getDouble(2) == 0.292893)
   }
 
+  test("tableDiff: classifies added, removed, changed; equal rows drop out") {
+    val left = Seq((1L, 1, 10L), (1L, 2, 20L), (2L, 1, 30L))
+      .toDF("k1", "k2", "v")
+    val right = Seq((1L, 2, 99L), (2L, 1, 30L), (3L, 1, 40L))
+      .toDF("k1", "k2", "v")
+    val canon = Seq(col("k1"), col("k2"), col("v"))
+    val out = graft.operators.DataContract
+      .tableDiff(left, right, Seq("k1", "k2"), canon).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(
+      ("1|1", "missing_right"), ("1|2", "changed"),
+      ("3|1", "missing_left")))
+    // reflexive diff is empty — the matched-equal mass never survives
+    assert(graft.operators.DataContract
+      .tableDiff(left, left, Seq("k1", "k2"), canon).count() == 0L)
+  }
+
   test("goodTuring: matrix path ≡ direct path") {
     val direct = Curation.goodTuring(docs).collect().toSeq
     val viaMatrix = Curation.goodTuring(docs,

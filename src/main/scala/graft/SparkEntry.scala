@@ -1368,6 +1368,9 @@ object SparkEntry {
     // ---- k-center greedy (farthest-point) coreset selection ----
     "q_kcenter" -> ((s, d) =>
       graft.ext.Similarity.kCenterGreedy(Tables.embeddings(s, d))),
+    // ---- TextRank keyword extraction (PageRank on co-occurrence) ----
+    "q_textrank" -> ((s, d) =>
+      graft.ext.TextAnalysis.textrank(Tables.documents(s, d))),
     // ---- row-level replica diff (the step after q_table_digest) ----
     // The "replica" is deterministic drift carved from orders itself
     // (o_orderkey is the fixture's one genuinely unique key): key-hash
@@ -5183,6 +5186,56 @@ object SparkEntry {
          UNION ALL SELECT 3, vec_id, round(mind, 6) FROM p3
          UNION ALL SELECT 4, vec_id, round(mind, 6) FROM p4
          ORDER BY sel_rank""",
+    "q_textrank" ->
+      """WITH t AS (
+           SELECT list_filter(string_split_regex(lower(text), '\s+'),
+             x -> x <> '') AS toks
+           FROM documents),
+         p0 AS (
+           SELECT unnest(list_concat(
+             list_transform(range(1, greatest(len(toks), 1)),
+               i -> {'a': toks[i], 'b': toks[i+1]}),
+             list_transform(range(1, greatest(len(toks) - 1, 1)),
+               i -> {'a': toks[i], 'b': toks[i+2]}))) AS pr
+           FROM t),
+         und AS (
+           SELECT least(pr.a, pr.b) AS ta, greatest(pr.a, pr.b) AS tb,
+             CAST(count(*) AS BIGINT) AS n
+           FROM p0 WHERE pr.a <> pr.b
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         edges AS (
+           SELECT ta AS src, tb AS dst, n AS w FROM und
+           UNION ALL SELECT tb, ta, n FROM und),
+         outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+         e AS (
+           SELECT edges.src, dst, CAST(w AS DOUBLE) / ow AS frac
+           FROM edges JOIN outw USING (src)),
+         nodes AS (SELECT DISTINCT src AS id FROM e),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         r0 AS (SELECT id, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+         c1 AS (
+           SELECT dst, CAST(sum(CAST(rank * frac AS DECIMAL(38,18)))
+             AS DOUBLE) AS inflow
+           FROM e JOIN r0 ON e.src = r0.id GROUP BY 1),
+         r1 AS (
+           SELECT id, (1 - 0.85) / n + 0.85 * coalesce(inflow, 0.0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.dst),
+         c2 AS (
+           SELECT dst, CAST(sum(CAST(rank * frac AS DECIMAL(38,18)))
+             AS DOUBLE) AS inflow
+           FROM e JOIN r1 ON e.src = r1.id GROUP BY 1),
+         r2 AS (
+           SELECT id, (1 - 0.85) / n + 0.85 * coalesce(inflow, 0.0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.dst),
+         c3 AS (
+           SELECT dst, CAST(sum(CAST(rank * frac AS DECIMAL(38,18)))
+             AS DOUBLE) AS inflow
+           FROM e JOIN r2 ON e.src = r2.id GROUP BY 1),
+         r3 AS (
+           SELECT id, (1 - 0.85) / n + 0.85 * coalesce(inflow, 0.0) AS rank
+           FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.dst)
+         SELECT id AS term, round(rank, 9) AS rank FROM r3
+         ORDER BY round(rank, 9) DESC, id LIMIT 20""",
     "q_table_diff" ->
       """WITH o AS (
            SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,

@@ -1129,4 +1129,53 @@ object TextAnalysis {
         sum(col("tf")).as("n_tokens"))
       .orderBy("doc_id", "bucket")
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    * the corpus token co-occurrence graph — two tokens are linked when
+    * they appear within `window` positions of each other in a document,
+    * edge weight = corpus co-occurrence count. The top-k terms by damped
+    * rank are the corpus keywords (the graph-centrality cousin of the
+    * tf-idf/BM25 frequency scorers: a term matters because it co-occurs
+    * with terms that matter).
+    *
+    * Scale shape: co-occurrence pairs are synthesized PER ROW with
+    * higher-order functions over the token array (offset-shifted zips) —
+    * no positional self-join, so the corpus is scanned once and the only
+    * corpus-scale shuffle is the (term_a, term_b) count aggregate,
+    * map-side combined. The ≥`minCooc` prune then drops the long tail
+    * before any iteration, and the 3 fixed PageRank rounds run on the
+    * pruned VOCABULARY-scale graph with decimal-summed inflows
+    * (GraphAnalytics.pageRank — rank frame deliberately hint-free, AQE
+    * chooses broadcast vs hash join per round). Self-pairs are dropped
+    * (a token adjacent to itself carries no ranking signal and would add
+    * self-loops PageRank theory doesn't want). */
+  def textrank(docs: DataFrame, window: Int = 2, minCooc: Long = 2L,
+               k: Int = 20): DataFrame = {
+    val ts = tokens(col("text"))
+    // offset-o pairs (t[i], t[i+o]) guarded for short docs: Spark's
+    // sequence(1, 0) is DESCENDING (same hazard as TextFns.shingles) —
+    // the when() keeps sub-window documents at an empty pair list
+    def offsetPairs(o: Int): Column = {
+      val built = transform(sequence(lit(1), size(col("ts")) - o), i =>
+        struct(element_at(col("ts"), i).as("a"),
+          element_at(col("ts"), i + o).as("b")))
+      when(size(col("ts")) > o, built)
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    }
+    val pairCols = (1 to window).map(offsetPairs)
+    val und = docs.select(ts.as("ts"))
+      .select(explode(concat(pairCols: _*)).as("pr"))
+      .filter(col("pr.a") =!= col("pr.b"))
+      .select(least(col("pr.a"), col("pr.b")).as("ta"),
+        greatest(col("pr.a"), col("pr.b")).as("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCooc)
+    val edges = und.select(col("ta").as("src"), col("tb").as("dst"),
+        col("n").as("w"))
+      .union(und.select(col("tb").as("src"), col("ta").as("dst"),
+        col("n").as("w")))
+    graft.analytics.GraphAnalytics.pageRank(edges)
+      .orderBy(col("rank").desc, col("id")).limit(k)
+      .select(col("id").as("term"), col("rank"))
+  }
 }

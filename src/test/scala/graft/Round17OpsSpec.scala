@@ -101,6 +101,19 @@ class Round17OpsSpec extends SparkSpec {
       .tableDiff(left, left, Seq("k1", "k2"), canon).count() == 0L)
   }
 
+  test("textrank: symmetric terms tie, hub terms outrank the periphery") {
+    // doc 0 yields edges ab/ac/bc (weight 2 each); doc 1 adds ab weight 4
+    // (its offset-2 pairs are self-pairs, dropped) → a,b symmetric hubs
+    // (a-b: 6, each-c: 2), c peripheral
+    val corpus = Seq((0L, "b a c a b"), (1L, "a b a b a"))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.textrank(corpus).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    val rk = out.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rk("a") == rk("b") && rk("a") > rk("c"))
+    assert(math.abs(rk.values.sum - 1.0) < 1e-6) // rank mass conserved
+  }
+
   test("goodTuring: matrix path ≡ direct path") {
     val direct = Curation.goodTuring(docs).collect().toSeq
     val viaMatrix = Curation.goodTuring(docs,

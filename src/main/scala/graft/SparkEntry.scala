@@ -1371,6 +1371,9 @@ object SparkEntry {
     // ---- TextRank keyword extraction (PageRank on co-occurrence) ----
     "q_textrank" -> ((s, d) =>
       graft.ext.TextAnalysis.textrank(Tables.documents(s, d))),
+    // ---- Bradley–Terry preference strengths (MM fit, 2 rounds) ----
+    "q_bradley_terry" -> ((s, d) =>
+      graft.ext.EvalOps.bradleyTerry(Tables.lineitem(s, d))),
     // ---- row-level replica diff (the step after q_table_digest) ----
     // The "replica" is deterministic drift carved from orders itself
     // (o_orderkey is the fixture's one genuinely unique key): key-hash
@@ -5236,6 +5239,57 @@ object SparkEntry {
            FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.dst)
          SELECT id AS term, round(rank, 9) AS rank FROM r3
          ORDER BY round(rank, 9) DESC, id LIMIT 20""",
+    "q_bradley_terry" ->
+      """WITH pq AS (
+           SELECT l_orderkey, l_partkey, CAST(sum(l_quantity) AS BIGINT)
+             AS q
+           FROM lineitem GROUP BY 1, 2),
+         m AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CASE WHEN b.q > a.q THEN 0 ELSE 1 END AS win_a
+           FROM pq a JOIN pq b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey),
+         pairs AS (
+           SELECT pa, pb, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(win_a) AS BIGINT) AS wa
+           FROM m GROUP BY 1, 2 HAVING count(*) >= 2),
+         sym AS (
+           SELECT pa AS i, pb AS j, n FROM pairs
+           UNION ALL SELECT pb, pa, n FROM pairs),
+         nodes AS (
+           SELECT i, CAST(sum(w) AS BIGINT) AS wi,
+             CAST(sum(n) AS BIGINT) AS ni
+           FROM (SELECT pa AS i, wa AS w, n FROM pairs
+                 UNION ALL SELECT pb, n - wa, n FROM pairs)
+           GROUP BY 1),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes),
+         g0 AS (SELECT i, 1.0 AS g FROM nodes),
+         d1 AS (
+           SELECT s.i, CAST(sum(CAST(s.n / (gi.g + gj.g)
+             AS DECIMAL(38,18))) AS DOUBLE) AS den
+           FROM sym s JOIN g0 gi ON s.i = gi.i JOIN g0 gj ON s.j = gj.i
+           GROUP BY 1),
+         u1 AS (SELECT w.i, w.wi / d1.den AS g
+                FROM nodes w JOIN d1 ON w.i = d1.i),
+         s1 AS (SELECT CAST(sum(CAST(g AS DECIMAL(38,18))) AS DOUBLE)
+                AS sg FROM u1),
+         g1 AS (SELECT i, g * nd / sg AS g
+                FROM u1 CROSS JOIN nn CROSS JOIN s1),
+         d2 AS (
+           SELECT s.i, CAST(sum(CAST(s.n / (gi.g + gj.g)
+             AS DECIMAL(38,18))) AS DOUBLE) AS den
+           FROM sym s JOIN g1 gi ON s.i = gi.i JOIN g1 gj ON s.j = gj.i
+           GROUP BY 1),
+         u2 AS (SELECT w.i, w.wi / d2.den AS g
+                FROM nodes w JOIN d2 ON w.i = d2.i),
+         s2 AS (SELECT CAST(sum(CAST(g AS DECIMAL(38,18))) AS DOUBLE)
+                AS sg FROM u2),
+         g2 AS (SELECT i, g * nd / sg AS g
+                FROM u2 CROSS JOIN nn CROSS JOIN s2)
+         SELECT n.i AS part, n.ni AS n_matches, n.wi AS n_wins,
+           round(g2.g, 9) AS strength
+         FROM nodes n JOIN g2 ON n.i = g2.i
+         ORDER BY round(g2.g, 9) DESC, part LIMIT 20""",
     "q_table_diff" ->
       """WITH o AS (
            SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,

@@ -434,6 +434,83 @@ object EvalOps {
           * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("hit_rate"))
   }
 
+  /** Bradley–Terry preference-strength fitting (Bradley & Terry 1952)
+    * via Hunter's MM iteration (Hunter 2004, fixed round budget) — the
+    * preference-model fit an RLHF data pipeline runs over pairwise
+    * comparison logs to audit annotator consistency and derive reward-
+    * model targets. Comparisons are synthesized deterministically from
+    * the fixtures: within each order, every part pair "competes" and the
+    * larger summed quantity wins (ties to the smaller partkey), giving a
+    * reproducible (i, j, n_matches, wins_i) census any engine rebuilds.
+    * Two MM rounds from γ=1: γ'_i = W_i / Σ_j n_ij/(γ_i+γ_j), then
+    * rescaled so Σγ = N (the standard identifiability constraint).
+    *
+    * Cross-engine determinism: the MM denominators and the normalization
+    * sum accumulate DECIMAL(38,18)-cast terms (order-independent
+    * addition, the PageRank-inflow discipline); every double division /
+    * multiplication is a single fixed-order expression.
+    *
+    * Scale shape: one corpus shuffle builds the per-order (part, qty)
+    * sets; pair synthesis is basket-local HOF work (no positional
+    * self-join — the coPurchase pattern); the match census aggregates
+    * map-side to pair-catalog scale and the ≥`minMatches` floor prunes
+    * the tail before any iteration. Each MM round is two hash joins plus
+    * a map-side-combined aggregate on the PRUNED catalog-scale graph —
+    * the corpus is touched exactly once total. */
+  def bradleyTerry(lineitem: DataFrame, minMatches: Long = 2L,
+                   rounds: Int = 2, k: Int = 20): DataFrame = {
+    val pq = lineitem
+      .groupBy(col("l_orderkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).cast("bigint").as("q"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(struct(col("l_partkey").as("p"),
+        col("q")))).as("pq"))
+      .filter(size(col("pq")) > 1)
+    val matches = pq.select(explode(flatten(transform(col("pq"),
+        (x, i) => transform(slice(col("pq"), i + 2, size(col("pq"))),
+          y => struct(x.getField("p").as("pa"), x.getField("q").as("qa"),
+            y.getField("p").as("pb"), y.getField("q").as("qb"))))))
+        .as("m"))
+      .select(col("m.pa").as("pa"), col("m.pb").as("pb"),
+        when(col("m.qb") > col("m.qa"), 0L).otherwise(1L).as("win_a"))
+    val pairs = matches.groupBy("pa", "pb")
+      .agg(count(lit(1)).as("n"), sum(col("win_a")).as("wa"))
+      .filter(col("n") >= minMatches)
+      .localCheckpoint()
+    val sym = pairs.select(col("pa").as("i"), col("pb").as("j"), col("n"))
+      .union(pairs.select(col("pb").as("i"), col("pa").as("j"), col("n")))
+      .localCheckpoint()
+    val nodes = pairs.select(col("pa").as("i"), col("wa").as("w"), col("n"))
+      .union(pairs.select(col("pb").as("i"), (col("n") - col("wa")).as("w"),
+        col("n")))
+      .groupBy("i").agg(sum(col("w")).as("wi"), sum(col("n")).as("ni"))
+      .localCheckpoint()
+    val nD = nodes.count().toDouble
+    var g = nodes.select(col("i"), lit(1.0).as("g"))
+    for (_ <- 1 to rounds) {
+      val den = sym
+        .join(g.select(col("i").as("ii"), col("g").as("gi")),
+          col("i") === col("ii"))
+        .join(g.select(col("i").as("jj"), col("g").as("gj")),
+          col("j") === col("jj"))
+        .select(col("i"),
+          (col("n") / (col("gi") + col("gj"))).cast("decimal(38,18)")
+            .as("t"))
+        .groupBy("i").agg(sum(col("t")).cast("double").as("den"))
+      val u = nodes.join(den, Seq("i"))
+        .select(col("i"), (col("wi") / col("den")).as("g"))
+      val sg = u.agg(sum(col("g").cast("decimal(38,18)")).cast("double")
+        .as("sg"))
+      g = u.crossJoin(broadcast(sg))
+        .select(col("i"), (col("g") * lit(nD) / col("sg")).as("g"))
+        .localCheckpoint()
+    }
+    nodes.join(g, Seq("i"))
+      .select(col("i").as("part"), col("ni").as("n_matches"),
+        col("wi").as("n_wins"), round(col("g"), 9).as("strength"))
+      .orderBy(col("strength").desc, col("part")).limit(k)
+  }
+
   /** Split conformal prediction intervals, group-conditional (Mondrian)
     * per order priority — the distribution-free uncertainty wrapper
     * (Papadopoulos et al. 2002; Vovk et al.) a training pipeline puts

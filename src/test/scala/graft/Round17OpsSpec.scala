@@ -114,6 +114,25 @@ class Round17OpsSpec extends SparkSpec {
     assert(math.abs(rk.values.sum - 1.0) < 1e-6) // rank mass conserved
   }
 
+  test("bradleyTerry: hand-computed two-round MM trajectory") {
+    // pairs (1,2): 3 matches, part 1 wins 2 (incl. none by tie);
+    // (2,3): 3 matches, part 2 wins 2 (one via the tie-to-smaller rule).
+    // Exact rational trajectory: round 1 leaves (4/3, 1, 2/3) (sum
+    // already 3); round 2 normalizes to (56/37, 35/37, 20/37).
+    val li = Seq(
+      (1L, 1L, 5.0), (1L, 2L, 3.0), (2L, 1L, 4.0), (2L, 2L, 6.0),
+      (3L, 1L, 7.0), (3L, 2L, 2.0), (4L, 2L, 5.0), (4L, 3L, 5.0),
+      (5L, 2L, 1.0), (5L, 3L, 9.0), (6L, 2L, 8.0), (6L, 3L, 1.0)
+    ).toDF("l_orderkey", "l_partkey", "l_quantity")
+    val out = graft.ext.EvalOps.bradleyTerry(li).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 6L, 3L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 3L, 1L))
+    val exp = Seq(56.0 / 37, 35.0 / 37, 20.0 / 37)
+    out.zip(exp).foreach { case (r, e) =>
+      assert(math.abs(r.getDouble(3) - e) < 1e-8) }
+  }
+
   test("goodTuring: matrix path ≡ direct path") {
     val direct = Curation.goodTuring(docs).collect().toSeq
     val viaMatrix = Curation.goodTuring(docs,

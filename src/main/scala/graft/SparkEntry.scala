@@ -1374,6 +1374,9 @@ object SparkEntry {
     // ---- Bradley–Terry preference strengths (MM fit, 2 rounds) ----
     "q_bradley_terry" -> ((s, d) =>
       graft.ext.EvalOps.bradleyTerry(Tables.lineitem(s, d))),
+    // ---- golden-record survivorship after linkage + components ----
+    "q_golden_record" -> ((s, d) =>
+      graft.ext.DedupExt.goldenRecords(Tables.part(s, d))),
     // ---- row-level replica diff (the step after q_table_digest) ----
     // The "replica" is deterministic drift carved from orders itself
     // (o_orderkey is the fixture's one genuinely unique key): key-hash
@@ -5290,6 +5293,57 @@ object SparkEntry {
            round(g2.g, 9) AS strength
          FROM nodes n JOIN g2 ON n.i = g2.i
          ORDER BY round(g2.g, 9) DESC, part LIMIT 20""",
+    "q_golden_record" ->
+      """WITH RECURSIVE probes AS (
+           SELECT p_partkey AS probe_id,
+             string_split(p_name, ' ')[1] AS block_key,
+             substr(p_name, 1, length(p_name) - 1) AS probe_name
+           FROM part WHERE p_partkey % 10 = 0),
+         cands AS (
+           SELECT p_partkey AS cand_id, p_name AS cand_name,
+             string_split(p_name, ' ')[1] AS block_key
+           FROM part),
+         lp AS (
+           SELECT probe_id, cand_id,
+             CAST(levenshtein(probe_name, cand_name) AS BIGINT) AS dist
+           FROM cands JOIN probes USING (block_key)),
+         best AS (
+           SELECT probe_id, cand_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY probe_id
+               ORDER BY dist, cand_id) AS rn
+             FROM lp)
+           WHERE rn = 1 AND dist <= 2 AND cand_id <> probe_id),
+         edges AS (
+           SELECT probe_id AS a, cand_id AS b FROM best
+           UNION SELECT cand_id, probe_id FROM best),
+         reach(src, dst) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         comp AS (
+           SELECT src AS node, least(src, min(dst)) AS cluster_id
+           FROM reach GROUP BY src),
+         mem AS (
+           SELECT c.cluster_id, p.p_partkey, p.p_name, p.p_brand,
+             p.p_retailprice
+           FROM comp c JOIN part p ON p.p_partkey = c.node),
+         bm AS (
+           SELECT cluster_id, p_brand, CAST(count(*) AS BIGINT) AS c
+           FROM mem GROUP BY 1, 2),
+         bmode AS (
+           SELECT cluster_id, p_brand AS brand FROM (
+             SELECT *, row_number() OVER (PARTITION BY cluster_id
+               ORDER BY c DESC, p_brand) AS rn FROM bm)
+           WHERE rn = 1),
+         ag AS (
+           SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+             min(p_partkey) AS golden_id,
+             min_by(p_name, p_partkey) AS golden_name,
+             round(max(p_retailprice), 2) AS max_price
+           FROM mem GROUP BY 1)
+         SELECT ag.cluster_id, n_members, golden_id, golden_name, brand,
+           max_price
+         FROM ag JOIN bmode USING (cluster_id) ORDER BY cluster_id""",
     "q_table_diff" ->
       """WITH o AS (
            SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,

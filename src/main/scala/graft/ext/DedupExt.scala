@@ -323,4 +323,48 @@ object DedupExt {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Golden-record survivorship — the master-data-management step that
+    * closes the entity-resolution chain: [[recordLinkage]] finds match
+    * pairs, connected components merge them into entities, and this
+    * builds ONE canonical record per entity with classic survivorship
+    * rules: `golden_id` / `golden_name` from the smallest member key
+    * (stable representative), `brand` by most-frequent-value vote (ties
+    * to the lexicographically smallest — the min_by(-count, value) total
+    * order, a DeclarativeAggregate that partial-collapses map-side), and
+    * `max_price` as the upper envelope. Reference analog: the dim upsert's
+    * keep-latest conflict rule (load.py:58-67), generalized from
+    * same-key replacement to fuzzy-matched entities.
+    *
+    * Scale shape: the edge list is LINKAGE-OUTPUT-sized (best non-self
+    * match per probe — sparse by construction), so the component loop
+    * (DedupCluster's min-label propagation, diameter-bounded) runs on the
+    * match graph, never the catalog; member attributes arrive by one hash
+    * join on the part key; both survivorship aggregates are map-side
+    * combined on cluster keys. The catalog is scanned once for linkage
+    * and once for the attribute join — nothing quadratic anywhere. */
+  def goldenRecords(parts: DataFrame): DataFrame = {
+    val edges = recordLinkage(parts)
+      .filter(col("matched_id") =!= col("probe_id"))
+      .select(col("probe_id").as("a"), col("matched_id").as("b"))
+    val comp = DedupCluster.connectedComponents(edges)
+    val mem = parts.join(comp, parts("p_partkey") === comp("node"))
+      .select(col("comp").as("cluster_id"), col("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_retailprice"))
+      .localCheckpoint()
+    val brandMode = mem.groupBy("cluster_id", "p_brand")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("cluster_id")
+      .agg(min_by(col("p_brand"),
+        struct((-col("c")).as("nc"), col("p_brand"))).as("brand"))
+    mem.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(col("p_partkey")).as("golden_id"),
+        min_by(col("p_name"), col("p_partkey")).as("golden_name"),
+        round(max(col("p_retailprice")), 2).as("max_price"))
+      .join(brandMode, Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_members"), col("golden_id"),
+        col("golden_name"), col("brand"), col("max_price"))
+      .orderBy("cluster_id")
+  }
 }

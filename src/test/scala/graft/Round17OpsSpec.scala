@@ -133,6 +133,26 @@ class Round17OpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(3) - e) < 1e-8) }
   }
 
+  test("goldenRecords: survivorship over linked clusters, " +
+    "self-matches excluded") {
+    // probes are %10 keys; probe 10's trimmed name matches part 3 at
+    // dist 0, probe 20 ties parts 7/20 at dist 1 (min cand wins), probe
+    // 30 best-matches only itself (no edge). Parts 4 and 30 stay out.
+    val parts = Seq(
+      (3L, "alpha widget blu", "B1", 10.0),
+      (4L, "alpha widget bluu", "B9", 99.0),
+      (10L, "alpha widget blue", "B2", 20.0),
+      (7L, "beta gadgex", "B3", 5.0),
+      (20L, "beta gadget", "B3", 7.5),
+      (30L, "gamma thing", "B4", 1.0)
+    ).toDF("p_partkey", "p_name", "p_brand", "p_retailprice")
+    val out = graft.ext.DedupExt.goldenRecords(parts).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3), r.getString(4), r.getDouble(5))).toSeq == Seq(
+      (3L, 2L, 3L, "alpha widget blu", "B1", 20.0), // brand tie → min
+      (7L, 2L, 7L, "beta gadgex", "B3", 7.5)))
+  }
+
   test("goodTuring: matrix path ≡ direct path") {
     val direct = Curation.goodTuring(docs).collect().toSeq
     val viaMatrix = Curation.goodTuring(docs,

@@ -1334,7 +1334,7 @@ object SparkEntry {
       graft.ext.Curation.dsirSample(Tables.documents(s, d))),
     // ---- blocked record linkage (entity resolution over part names) ----
     "q_record_linkage" -> ((s, d) =>
-      graft.ext.DedupExt.recordLinkage(Tables.part(s, d))),
+      graft.ext.DedupExt.recordLinkageCached(s, d)),
     // ---- exact-substring dup census (Lee et al. 2022, relational) ----
     "q_dup_spans" -> ((s, d) =>
       graft.ext.TextAnalysis.duplicatedSpans(Tables.documents(s, d))),
@@ -1376,7 +1376,8 @@ object SparkEntry {
       graft.ext.EvalOps.bradleyTerry(Tables.lineitem(s, d))),
     // ---- golden-record survivorship after linkage + components ----
     "q_golden_record" -> ((s, d) =>
-      graft.ext.DedupExt.goldenRecords(Tables.part(s, d))),
+      graft.ext.DedupExt.goldenRecords(Tables.part(s, d),
+        linkageOpt = Some(graft.ext.DedupExt.recordLinkageCached(s, d)))),
     // ---- row-level replica diff (the step after q_table_digest) ----
     // The "replica" is deterministic drift carved from orders itself
     // (o_orderkey is the fixture's one genuinely unique key): key-hash

@@ -99,6 +99,12 @@ class Round17OpsSpec extends SparkSpec {
     // reflexive diff is empty — the matched-equal mass never survives
     assert(graft.operators.DataContract
       .tableDiff(left, left, Seq("k1", "k2"), canon).count() == 0L)
+    // argument swap transposes the missing_* sides and keeps `changed`
+    val swapped = graft.operators.DataContract
+      .tableDiff(right, left, Seq("k1", "k2"), canon).collect()
+    assert(swapped.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(
+      ("1|1", "missing_left"), ("1|2", "changed"),
+      ("3|1", "missing_right")))
   }
 
   test("textrank: symmetric terms tie, hub terms outrank the periphery") {

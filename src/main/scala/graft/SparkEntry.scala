@@ -1492,7 +1492,11 @@ object SparkEntry {
       graft.ext.TextAnalysis.containmentPairs(Tables.documents(s, d))
         .orderBy("doc_id_a", "doc_id_b")),
     "q_bigram_logprob" -> ((s, d) =>
-      graft.ext.TextAnalysis.bigramLogprob(Tables.documents(s, d))),
+      graft.ext.TextAnalysis.bigramLogprobCached(s, d)),
+    // ---- CCNet-style per-lang perplexity terciles (head/middle/tail) --
+    "q_ccnet_buckets" -> ((s, d) =>
+      graft.ext.TextAnalysis.ccnetBuckets(Tables.documents(s, d),
+        scoresOpt = Some(graft.ext.TextAnalysis.bigramLogprobCached(s, d)))),
 
     // ---- interval analytics: sweep-line peak concurrency ----
     "q_peak_concurrency" -> ((s, d) =>
@@ -6143,6 +6147,39 @@ object SparkEntry {
              AS avg_bigram_logprob
          FROM grams g JOIN bc USING (bigram) JOIN pc USING (prefix), v
          GROUP BY 1 ORDER BY 1""",
+    "q_ccnet_buckets" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '') AS toks FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           FROM toks WHERE len(toks) >= 2),
+         bc AS (SELECT bigram, count(*) AS c_bigram,
+                  split_part(bigram, ' ', 1) AS prefix
+                FROM grams GROUP BY 1),
+         pc AS (SELECT prefix, CAST(sum(c_bigram) AS DOUBLE) AS c_prefix
+                FROM bc GROUP BY 1),
+         v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM
+                (SELECT unnest(toks) AS tok FROM toks)),
+         sc AS (
+           SELECT g.doc_id,
+             round(avg(ln((c_bigram + 1.0) / (c_prefix + v))), 6) AS s
+           FROM grams g JOIN bc USING (bigram) JOIN pc USING (prefix), v
+           GROUP BY 1),
+         rk AS (
+           SELECT d.lang, sc.s,
+             row_number() OVER (PARTITION BY d.lang
+               ORDER BY sc.s DESC, sc.doc_id) AS rk,
+             count(*) OVER (PARTITION BY d.lang) AS n
+           FROM sc JOIN documents d USING (doc_id))
+         SELECT lang,
+           ['head','middle','tail'][CAST(((rk - 1) * 3) // n AS INT) + 1]
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE)
+             / count(*), 6) AS mean_logprob
+         FROM rk GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_peak_concurrency" ->
       """WITH iv AS (
            SELECT strftime(ts, '%Y-%m-%d') AS event_date, user_id,

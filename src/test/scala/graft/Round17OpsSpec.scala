@@ -159,6 +159,34 @@ class Round17OpsSpec extends SparkSpec {
       (7L, 2L, 7L, "beta gadgex", "B3", 7.5)))
   }
 
+  test("ccnetBuckets: exact terciles per lang, short docs excluded, " +
+    "head outranks tail") {
+    val corpus = Seq(
+      (0L, "en", "the cat sat on the mat"),
+      (1L, "en", "the cat sat on a mat"),
+      (2L, "en", "the dog ran in the park"),
+      (3L, "en", "blue fish seven quickly lamp"),
+      (4L, "en", "zebra quantum mattress violin"),
+      (5L, "en", "gargle plinth oboe waffle"),
+      (6L, "en", "single"), // one token → no bigram score → excluded
+      (7L, "de", "der hund lief"),
+      (8L, "de", "der hund schlief")
+    ).toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val out = graft.ext.TextAnalysis.ccnetBuckets(corpus).collect()
+    val rows = out.map(r => ((r.getString(0), r.getString(1)),
+      (r.getLong(2), r.getDouble(3)))).toMap
+    // en: n=6 → terciles 2/2/2; de: n=2 → head 1, middle 1, no tail
+    assert(rows.keySet == Set(("de", "head"), ("de", "middle"),
+      ("en", "head"), ("en", "middle"), ("en", "tail")))
+    assert(rows(("en", "head"))._1 == 2L &&
+      rows(("en", "middle"))._1 == 2L && rows(("en", "tail"))._1 == 2L)
+    assert(rows(("de", "head"))._1 == 1L && rows(("de", "middle"))._1 == 1L)
+    // ranking is by score desc, so bucket means are monotone
+    assert(rows(("en", "head"))._2 >= rows(("en", "middle"))._2)
+    assert(rows(("en", "middle"))._2 >= rows(("en", "tail"))._2)
+  }
+
   test("goodTuring: matrix path ≡ direct path") {
     val direct = Curation.goodTuring(docs).collect().toSeq
     val viaMatrix = Curation.goodTuring(docs,

@@ -459,7 +459,15 @@ object EvalOps {
     * the corpus is touched exactly once total. */
   def bradleyTerry(lineitem: DataFrame, minMatches: Long = 2L,
                    rounds: Int = 2, k: Int = 20): DataFrame = {
+    // ONE explicit order-key shuffle serves BOTH aggregates: partitioning
+    // on l_orderkey satisfies the (order, part) clustering AND the order
+    // clustering, so the qty sum and the basket assembly both plan
+    // exchange-free on top of it (lineitem is ~1 row per (order, part),
+    // so the map-side partial the composite-key groupBy would have done
+    // pre-shuffle collapses nothing anyway).
     val pq = lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_partkey"))
       .agg(sum(col("l_quantity")).cast("bigint").as("q"))
       .groupBy("l_orderkey")

@@ -1365,6 +1365,9 @@ object SparkEntry {
     // ---- split conformal intervals + finite-sample coverage audit ----
     "q_conformal" -> ((s, d) =>
       graft.ext.EvalOps.conformalCoverage(Tables.orders(s, d))),
+    // ---- scale sibling: sketch-boundary conformal quantile ----
+    "q_conformal_scale" -> ((s, d) =>
+      graft.ext.EvalOps.conformalCoverageScale(Tables.orders(s, d))),
     // ---- k-center greedy (farthest-point) coreset selection ----
     "q_kcenter" -> ((s, d) =>
       graft.ext.Similarity.kCenterGreedy(Tables.embeddings(s, d))),
@@ -5167,6 +5170,44 @@ object SparkEntry {
            round(c.n_covered::DOUBLE / c.n_test, 6) AS coverage
          FROM model m JOIN nc USING (priority) JOIN cov c USING (priority)
          LEFT JOIN qh USING (priority) ORDER BY priority""",
+    "q_conformal_scale" ->
+      """WITH s AS (
+           SELECT o_orderkey, o_orderpriority AS priority, o_totalprice,
+             o_orderkey % 10 AS m
+           FROM orders),
+         model AS (
+           SELECT priority, CAST(count(*) AS BIGINT) AS n_train,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(28,12))) AS DOUBLE)
+               / count(*) AS mu
+           FROM s WHERE m <= 5 GROUP BY 1),
+         cal AS (
+           SELECT s.priority, abs(s.o_totalprice - model.mu) AS res
+           FROM s JOIN model USING (priority) WHERE s.m IN (6, 7)),
+         rk AS (
+           SELECT priority, res,
+             row_number() OVER (PARTITION BY priority ORDER BY res) AS r,
+             count(*) OVER (PARTITION BY priority) AS n
+           FROM cal),
+         qh AS (
+           SELECT priority, CAST(max(n) AS BIGINT) AS n_cal,
+             max(CASE WHEN r = greatest(1,
+               CAST(ceil(0.9::DOUBLE * n) AS BIGINT)) THEN res END)
+               AS qhat
+           FROM rk GROUP BY 1),
+         tst AS (
+           SELECT s.priority, abs(s.o_totalprice - model.mu) AS res
+           FROM s JOIN model USING (priority) WHERE s.m >= 8),
+         cov AS (
+           SELECT t.priority, CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN qh.qhat IS NULL OR t.res <= qh.qhat
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+           FROM tst t LEFT JOIN qh USING (priority) GROUP BY 1)
+         SELECT m.priority, m.n_train, qh.n_cal, c.n_test,
+           round(m.mu, 6) AS mu, round(qh.qhat, 6) AS qhat,
+           c.n_covered,
+           round(c.n_covered::DOUBLE / c.n_test, 6) AS coverage
+         FROM model m JOIN qh USING (priority) JOIN cov c USING (priority)
+         ORDER BY priority""",
     "q_kcenter" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                     FROM embeddings),

@@ -549,6 +549,56 @@ object EvalOps {
     * the approx-percentile sketch boundary exactly like rfmSegmentsScale
     * (PLANS.md scale-sibling program) with no change to anything
     * downstream. */
+  /** Scale sibling of [[conformalCoverage]] — the 100 TB form of the
+    * calibration quantile (the PLANS.md scale-sibling program: same
+    * pattern as rfmSegmentsScale / lorenzDecilesScale). The exact form
+    * ranks the calibration slice with a per-priority row_number window —
+    * a data-scale sort; here qhat comes from `percentile_approx` (GK
+    * sketch, mergeable map-side partials, ~KB of state per group), so NO
+    * window over data-scale rows exists anywhere in the plan
+    * (Round17OpsSpec pins the no-WindowExec claim). At the fixture the
+    * sketch is exact (accuracy ≥ n_cal) and equals the value at rank
+    * ⌈0.9·n⌉ — one index off the strict conformal ⌈0.9·(n+1)⌉, the
+    * documented approximation the sketch boundary buys; everything
+    * downstream (coverage audit, report shape) is unchanged. Keep the
+    * exact-at-fixture accuracy at bench/verify call sites; at real scale
+    * pass the accuracy the memory budget affords. */
+  def conformalCoverageScale(orders: DataFrame, alphaPct: Int = 10,
+                             accuracy: Int = 1000000): DataFrame = {
+    val s = orders.select(col("o_orderkey"),
+      col("o_orderpriority").as("priority"), col("o_totalprice"),
+      (col("o_orderkey") % 10).as("m"))
+    val model = s.filter(col("m") <= 5).groupBy("priority")
+      .agg(count(lit(1)).as("n_train"),
+        (sum(col("o_totalprice").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("mu"))
+    val qhat = s.filter(col("m").isin(6, 7))
+      .join(broadcast(model), Seq("priority"))
+      .select(col("priority"),
+        abs(col("o_totalprice") - col("mu")).as("res"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_cal"),
+        percentile_approx(col("res"),
+          lit((100 - alphaPct) / 100.0), lit(accuracy)).as("qhat"))
+    val cov = s.filter(col("m") >= 8)
+      .join(broadcast(model), Seq("priority"))
+      .select(col("priority"),
+        abs(col("o_totalprice") - col("mu")).as("res"))
+      .join(broadcast(qhat.select(col("priority"), col("qhat"))),
+        Seq("priority"), "left")
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("qhat").isNull || col("res") <= col("qhat"), 1L)
+          .otherwise(0L)).as("n_covered"))
+    model.join(qhat, Seq("priority")).join(cov, Seq("priority"))
+      .select(col("priority"), col("n_train"), col("n_cal"), col("n_test"),
+        round(col("mu"), 6).as("mu"), round(col("qhat"), 6).as("qhat"),
+        col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_test"), 6)
+          .as("coverage"))
+      .orderBy("priority")
+  }
+
   def conformalCoverage(orders: DataFrame, alphaPct: Int = 10): DataFrame = {
     val s = orders.select(col("o_orderkey"),
       col("o_orderpriority").as("priority"), col("o_totalprice"),

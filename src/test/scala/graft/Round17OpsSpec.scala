@@ -187,6 +187,26 @@ class Round17OpsSpec extends SparkSpec {
     assert(rows(("en", "middle"))._2 >= rows(("en", "tail"))._2)
   }
 
+  test("conformalCoverageScale: sketch boundary, no data-scale window") {
+    val q = graft.ext.EvalOps.conformalCoverageScale(orders)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"), s"rank window survived:\n$plan")
+    assert(plan.contains("partial_percentile_approx"),
+      s"quantile must partial-aggregate map-side:\n$plan")
+    val out = q.collect()
+    // P1: sketch rank ⌈0.9·10⌉ = 9 → qhat 9.0 (one index under the
+    // strict conformal k=10 — the documented sketch-boundary trade);
+    // test residuals 5, 9, 11, 10 → 2 covered
+    val p1 = out(0)
+    assert(p1.getDouble(5) == 9.0)
+    assert(p1.getLong(6) == 2L && p1.getDouble(7) == 0.5)
+    // P2: one calibration row → qhat = its residual (3.0), finite where
+    // the exact form went infinite; neither test residual fits
+    val p2 = out(1)
+    assert(p2.getDouble(5) == 3.0)
+    assert(p2.getLong(6) == 0L && p2.getDouble(7) == 0.0)
+  }
+
   test("goodTuring: matrix path ≡ direct path") {
     val direct = Curation.goodTuring(docs).collect().toSeq
     val viaMatrix = Curation.goodTuring(docs,

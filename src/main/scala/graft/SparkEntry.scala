@@ -1500,6 +1500,14 @@ object SparkEntry {
     "q_ccnet_buckets" -> ((s, d) =>
       graft.ext.TextAnalysis.ccnetBuckets(Tables.documents(s, d),
         scoresOpt = Some(graft.ext.TextAnalysis.bigramLogprobCached(s, d)))),
+    // ---- scale sibling: sketch-boundary tercile cut, windowless ----
+    "q_ccnet_scale" -> ((s, d) =>
+      graft.ext.TextAnalysis.ccnetBucketsScale(Tables.documents(s, d),
+        scoresOpt = Some(graft.ext.TextAnalysis.bigramLogprobCached(s, d)))),
+    // ---- entity-level leakage-safe k-fold split audit (GroupKFold) --
+    "q_group_kfold" -> ((s, d) =>
+      graft.operators.Sampling.groupKFold(Tables.events(s, d),
+        col("user_id"), col("event_type") === "purchase")),
 
     // ---- interval analytics: sweep-line peak concurrency ----
     "q_peak_concurrency" -> ((s, d) =>
@@ -6221,6 +6229,65 @@ object SparkEntry {
            round(CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE)
              / count(*), 6) AS mean_logprob
          FROM rk GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_ccnet_scale" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '') AS toks FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           FROM toks WHERE len(toks) >= 2),
+         bc AS (SELECT bigram, count(*) AS c_bigram,
+                  split_part(bigram, ' ', 1) AS prefix
+                FROM grams GROUP BY 1),
+         pc AS (SELECT prefix, CAST(sum(c_bigram) AS DOUBLE) AS c_prefix
+                FROM bc GROUP BY 1),
+         v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM
+                (SELECT unnest(toks) AS tok FROM toks)),
+         sc AS (
+           SELECT g.doc_id,
+             round(avg(ln((c_bigram + 1.0) / (c_prefix + v))), 6) AS s
+           FROM grams g JOIN bc USING (bigram) JOIN pc USING (prefix), v
+           GROUP BY 1),
+         sl AS (
+           SELECT d.lang, sc.s FROM sc JOIN documents d USING (doc_id)),
+         rkb AS (
+           SELECT lang, s,
+             row_number() OVER (PARTITION BY lang ORDER BY s) AS r,
+             count(*) OVER (PARTITION BY lang) AS n
+           FROM sl),
+         b AS (
+           SELECT lang,
+             max(CASE WHEN r = greatest(1,
+               CAST(ceil((1.0/3) * n) AS BIGINT)) THEN s END) AS b1,
+             max(CASE WHEN r = greatest(1,
+               CAST(ceil((2.0/3) * n) AS BIGINT)) THEN s END) AS b2
+           FROM rkb GROUP BY 1)
+         SELECT sl.lang,
+           ['head','middle','tail'][
+             (CASE WHEN sl.s > b.b2 THEN 0
+                   WHEN sl.s > b.b1 THEN 1 ELSE 2 END) + 1] AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(CAST(sl.s AS DECIMAL(28,12))) AS DOUBLE)
+             / count(*), 6) AS mean_logprob
+         FROM sl JOIN b USING (lang)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_group_kfold" ->
+      """WITH f AS (
+           SELECT ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))
+               ::BIGINT % 5 AS fold,
+             CAST(user_id AS VARCHAR) AS entity,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+           FROM events WHERE user_id IS NOT NULL),
+         fe AS (
+           SELECT fold, entity, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+           FROM f GROUP BY 1, 2)
+         SELECT fold, CAST(count(*) AS BIGINT) AS n_entities,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(sum(n_pos) AS BIGINT) AS n_pos,
+           round(sum(n_pos)::DOUBLE / sum(n_rows), 6) AS pos_share
+         FROM fe GROUP BY 1 ORDER BY 1""",
     "q_peak_concurrency" ->
       """WITH iv AS (
            SELECT strftime(ts, '%Y-%m-%d') AS event_date, user_id,

@@ -629,6 +629,40 @@ object TextAnalysis {
       .orderBy("lang", "bucket")
   }
 
+  /** Scale sibling of [[ccnetBuckets]] (the PLANS.md scale-sibling
+    * program, same recipe as curriculumScheduleScale): tercile
+    * boundaries come from a per-lang `percentile_approx` sketch
+    * (mergeable map-side partials) instead of a per-lang row_number over
+    * every document, so NO data-scale window exists in the plan
+    * (Round17OpsSpec pins it). Buckets assign by boundary comparison —
+    * on score ties the cut can reshape bucket sizes versus the exact
+    * rank form, but never drops or double-counts a document (the spec's
+    * doc-mass invariant). Exact at the fixture (accuracy ≥ n); pass the
+    * memory-budget accuracy at real scale. */
+  def ccnetBucketsScale(docs: DataFrame,
+                        scoresOpt: Option[DataFrame] = None,
+                        accuracy: Int = 1000000): DataFrame = {
+    val scored = scoresOpt.getOrElse(bigramLogprob(docs))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val bounds = scored.groupBy("lang")
+      .agg(percentile_approx(col("avg_bigram_logprob"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("sb"))
+    scored.join(broadcast(bounds), "lang")
+      .withColumn("bucket_i",
+        when(col("avg_bigram_logprob") > col("sb")(1), 0)
+          .when(col("avg_bigram_logprob") > col("sb")(0), 1)
+          .otherwise(2))
+      .groupBy(col("lang"), col("bucket_i"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("avg_bigram_logprob").cast("decimal(28,12)"))
+          .cast("double") / count(lit(1)), 6).as("mean_logprob"))
+      .select(col("lang"),
+        element_at(typedLit(Seq("head", "middle", "tail")),
+          col("bucket_i") + 1).as("bucket"),
+        col("n_docs"), col("mean_logprob"))
+      .orderBy("lang", "bucket")
+  }
+
   /** Per-document token Shannon entropy — the information-density quality
     * signal (spam that repeats one phrase scores near 0 bits; varied prose
     * scores high) complementing the repetition RATIO, which cannot tell

@@ -108,4 +108,37 @@ object Sampling {
         col("__total").cast("double") < p)
       .drop("__before", "__total")
   }
+
+  /** Group-aware (entity-level) k-fold assignment audit — GroupKFold:
+    * ALL rows of an entity land in one fold (fold = portable hash bucket
+    * of the GROUP key, not the row key), the cross-validation discipline
+    * that stops per-row splits from leaking a user's history across the
+    * train/eval boundary. The report is the audit a pipeline gates on:
+    * per-fold entity and row counts, positive share — and the leakage
+    * invariant itself is structural (an entity's fold is a pure function
+    * of its key), which the spec asserts as "each entity appears in
+    * exactly one fold".
+    *
+    * Scale shape: the fold column is a pure projection (no shuffle to
+    * assign); the audit is one map-side-combined two-level aggregate —
+    * (fold, entity) partials, then k rows out. New rows join their
+    * entity's fold independently; old rows never move (same append
+    * stability argument as [[splitAssign]]). */
+  def groupKFold(df: DataFrame, groupKey: Column, positive: Column,
+                 k: Int = 5): DataFrame = {
+    val folds = df
+      .filter(groupKey.isNotNull)
+      .select(hashBucket(groupKey, k).as("fold"),
+        groupKey.cast("string").as("entity"),
+        when(positive, 1L).otherwise(0L).as("pos"))
+    folds.groupBy("fold", "entity")
+      .agg(count(lit(1)).as("n_rows"), sum(col("pos")).as("n_pos"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("n_pos")).as("n_pos"))
+      .withColumn("pos_share",
+        round(col("n_pos").cast("double") / col("n_rows"), 6))
+      .orderBy("fold")
+  }
 }

@@ -207,6 +207,61 @@ class Round17OpsSpec extends SparkSpec {
     assert(p2.getLong(6) == 0L && p2.getDouble(7) == 0.0)
   }
 
+  test("ccnetBucketsScale: windowless plan, doc mass conserved vs exact") {
+    val corpus = Seq(
+      (0L, "en", "the cat sat on the mat"),
+      (1L, "en", "the cat sat on a mat"),
+      (2L, "en", "the dog ran in the park"),
+      (3L, "en", "blue fish seven quickly lamp"),
+      (4L, "en", "zebra quantum mattress violin"),
+      (5L, "en", "gargle plinth oboe waffle"),
+      (7L, "de", "der hund lief"),
+      (8L, "de", "der hund schlief")
+    ).toDF("doc_id", "lang", "text")
+    val q = graft.ext.TextAnalysis.ccnetBucketsScale(corpus)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"), s"rank window survived:\n$plan")
+    assert(plan.contains("partial_percentile_approx"),
+      s"boundary sketch must partial-aggregate map-side:\n$plan")
+    val s = q.collect()
+    val exact = graft.ext.TextAnalysis.ccnetBuckets(corpus).collect()
+    // boundary cuts may reshape buckets on ties, never drop a doc
+    assert(s.map(_.getLong(2)).sum == exact.map(_.getLong(2)).sum)
+    // bucket means stay monotone head ≥ middle ≥ tail within a lang —
+    // over the buckets PRESENT: boundary cuts on tied scores may
+    // collapse one entirely (the documented reshape-on-ties trade)
+    val en = s.filter(_.getString(0) == "en")
+      .map(r => r.getString(1) -> r.getDouble(3)).toMap
+    val present = Seq("head", "middle", "tail").filter(en.contains)
+    assert(present.nonEmpty)
+    val means = present.map(en)
+    assert(means == means.sorted.reverse)
+  }
+
+  test("groupKFold: entity-exclusive folds, null entities dropped, " +
+    "counts reconcile") {
+    val ev = Seq(
+      (1L, Option(10L), "purchase"), (2L, Option(10L), "view"),
+      (3L, Option(10L), "view"), (4L, Option(20L), "purchase"),
+      (5L, Option(20L), "purchase"), (6L, Option(30L), "click"),
+      (7L, None, "purchase"), (8L, Option(40L), "view")
+    ).toDF("event_id", "user_id", "event_type")
+    val out = graft.operators.Sampling
+      .groupKFold(ev, col("user_id"), col("event_type") === "purchase",
+        k = 3).collect()
+    // 7 non-null rows, 4 entities — all accounted for exactly once
+    assert(out.map(_.getLong(1)).sum == 4L)
+    assert(out.map(_.getLong(2)).sum == 7L)
+    assert(out.map(_.getLong(3)).sum == 3L) // purchases (null user dropped)
+    // leakage invariant: the per-(fold, entity) stage means an entity
+    // cannot straddle folds — fold is a pure function of the key
+    val perEntity = ev.filter(col("user_id").isNotNull)
+      .select(graft.operators.Sampling
+        .hashBucket(col("user_id"), 3).as("fold"), col("user_id"))
+      .distinct().groupBy("user_id").count().collect()
+    assert(perEntity.forall(_.getLong(1) == 1L))
+  }
+
   test("goodTuring: matrix path ≡ direct path") {
     val direct = Curation.goodTuring(docs).collect().toSeq
     val viaMatrix = Curation.goodTuring(docs,

@@ -298,6 +298,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("goodTuring invariants over generated corpora") {
+    import spark.implicits._
+    for (seed <- seeds) {
+      val docs = sample(Gen.listOfN(60, for {
+        src <- Gen.oneOf("a", "b", "c")
+        n <- Gen.choose(0, 15)
+        toks <- Gen.listOfN(n, Gen.oneOf(
+          "x", "y", "z", "w", "u", "rare" + seed, "one"))
+      } yield (src, toks.mkString(" "))), seed)
+      val out = graft.ext.Curation
+        .goodTuring(docs.toDF("source", "text")).collect()
+      out.foreach { r =>
+        val (n, v, n1, n2) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(v <= n && n1 + n2 <= v)
+        assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+        assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+      }
+    }
+  }
+
   test("G8 pickTimestampToken: candidates first, then any-column scan") {
     import spark.implicits._
     val df = Seq(

@@ -6192,7 +6192,8 @@ object SparkEntry {
          v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM
                 (SELECT unnest(toks) AS tok FROM toks))
          SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(avg(ln((c_bigram + 1.0) / (c_prefix + v))), 6)
+           round(CAST(sum(CAST(ln((c_bigram + 1.0) / (c_prefix + v))
+             AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
              AS avg_bigram_logprob
          FROM grams g JOIN bc USING (bigram) JOIN pc USING (prefix), v
          GROUP BY 1 ORDER BY 1""",
@@ -6213,7 +6214,8 @@ object SparkEntry {
                 (SELECT unnest(toks) AS tok FROM toks)),
          sc AS (
            SELECT g.doc_id,
-             round(avg(ln((c_bigram + 1.0) / (c_prefix + v))), 6) AS s
+             round(CAST(sum(CAST(ln((c_bigram + 1.0) / (c_prefix + v))
+               AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS s
            FROM grams g JOIN bc USING (bigram) JOIN pc USING (prefix), v
            GROUP BY 1),
          rk AS (
@@ -6246,7 +6248,8 @@ object SparkEntry {
                 (SELECT unnest(toks) AS tok FROM toks)),
          sc AS (
            SELECT g.doc_id,
-             round(avg(ln((c_bigram + 1.0) / (c_prefix + v))), 6) AS s
+             round(CAST(sum(CAST(ln((c_bigram + 1.0) / (c_prefix + v))
+               AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS s
            FROM grams g JOIN bc USING (bigram) JOIN pc USING (prefix), v
            GROUP BY 1),
          sl AS (

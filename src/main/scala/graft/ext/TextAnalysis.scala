@@ -572,9 +572,13 @@ object TextAnalysis {
       .join(prefixCounts, col("prefix") === col("p2"))
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
+      // decimal-summed addends (the playbook rule for sums feeding a
+      // rounded hashed double): the float avg() it replaces depended on
+      // partition arrival order in the last ulp
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(log((col("c_bigram") + lit(1.0)) /
-          (col("c_prefix") + col("v")))), 6).as("avg_bigram_logprob"))
+        round(sum(log((col("c_bigram") + lit(1.0)) /
+            (col("c_prefix") + col("v"))).cast("decimal(28,12)"))
+          .cast("double") / count(lit(1)), 6).as("avg_bigram_logprob"))
       .orderBy("doc_id")
   }
 

@@ -105,7 +105,11 @@ object DataContract {
     * any keyed MERGE); duplicate keys would fan the full-outer join into
     * per-key pair products. The testdata lineitem fixture's
     * (l_orderkey, l_linenumber) is NOT unique — diff orders-like tables
-    * on their true key, or pre-aggregate to one row per key first. */
+    * on their true key, or pre-aggregate to one row per key first.
+    * `canonCols` must be null-free renderings (coalesce upstream, same
+    * as [[tableDigest]]): Spark's concat_ws SKIPS nulls while SQL `||`
+    * propagates them, so a nullable canonical column would silently
+    * diverge from any engine that concatenates strictly. */
   def tableDiff(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                 canonCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
     import graft.ext.TextFns.portableH60

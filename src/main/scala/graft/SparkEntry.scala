@@ -1508,6 +1508,9 @@ object SparkEntry {
     "q_group_kfold" -> ((s, d) =>
       graft.operators.Sampling.groupKFold(Tables.events(s, d),
         col("user_id"), col("event_type") === "purchase")),
+    // ---- mean reciprocal rank @ k (retrieval-eval triad, leg 3) ----
+    "q_mrr" -> ((s, d) =>
+      graft.ext.Similarity.mrrAtK(Tables.embeddings(s, d))),
 
     // ---- interval analytics: sweep-line peak concurrency ----
     "q_peak_concurrency" -> ((s, d) =>
@@ -6291,6 +6294,30 @@ object SparkEntry {
            CAST(sum(n_pos) AS BIGINT) AS n_pos,
            round(sum(n_pos)::DOUBLE / sum(n_rows), 6) AS pos_share
          FROM fe GROUP BY 1 ORDER BY 1""",
+    "q_mrr" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe, label
+             AS q_label
+           FROM embeddings WHERE vec_id % 10 = 0),
+         s AS (
+           SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
+             e.label AS n_label,
+             round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6)
+               AS sim
+           FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS rnk FROM s),
+         fr AS (
+           SELECT query_id,
+             min(CASE WHEN q_label = n_label THEN rnk END) AS first_rel
+           FROM r WHERE rnk <= 10 GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_with_hit,
+           round(CAST(sum(CAST(coalesce(1.0 / first_rel, 0.0)
+             AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mrr
+         FROM fr""",
     "q_peak_concurrency" ->
       """WITH iv AS (
            SELECT strftime(ts, '%Y-%m-%d') AS event_date, user_id,

@@ -746,6 +746,38 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Mean reciprocal rank at k — the third leg of the retrieval-eval
+    * triad beside recall@k (annRecall/quantizeRecall) and NDCG
+    * (ndcgAtK): how early the FIRST same-label neighbour appears in each
+    * query's ranking, averaged over queries (the metric of record for
+    * known-item search / RAG retrievers where one good hit suffices).
+    * rr = 1/rank of the first relevant in the top-k, 0 when none lands.
+    *
+    * Determinism: first_rel is an integer min over the (already
+    * 6dp-rounded, tie-broken) bruteForceTopK ranks; the mean accumulates
+    * DECIMAL-cast reciprocals of integers. Scale shape: rides the same
+    * broadcast-query / corpus-never-shuffles top-k as its siblings; the
+    * per-query reduction is a map-side-combined min, the summary a
+    * one-row aggregate. */
+  def mrrAtK(emb: DataFrame, k: Int = 10, queryMod: Int = 10): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    val perQuery = bruteForceTopK(emb, k, queryMod)
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("q_label")), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), Seq("neighbor_id"))
+      .groupBy("query_id")
+      .agg(min(when(col("q_label") === col("n_label"), col("rank")))
+        .as("first_rel"))
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      sum(when(col("first_rel").isNotNull, 1L).otherwise(0L))
+        .as("n_with_hit"),
+      round(sum(coalesce(lit(1.0) / col("first_rel"), lit(0.0))
+          .cast("decimal(28,12)")).cast("double") / count(lit(1)), 6)
+        .as("mrr"))
+  }
+
   /** Top principal direction of the embedding cloud by power iteration on
     * the (uncentered) d×d Gram matrix — PCA's workhorse as a relational
     * loop, the linear-algebra sibling of [[kmeansIterate]]. The ONLY

@@ -262,6 +262,25 @@ class Round17OpsSpec extends SparkSpec {
     assert(perEntity.forall(_.getLong(1) == 1L))
   }
 
+  test("mrrAtK: first-relevant ranks, no-hit arm, decimal mean") {
+    // query 0 (A): neighbours rank 1 = B, rank 2 = A → rr 1/2
+    // query 10 (B): first B sits at rank 3 → rr 1/3
+    // query 20 (C): no other C anywhere → rr 0
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), "A"),
+      (10L, Array(0f, 1f, 0f, 0f), "B"),
+      (20L, Array(0f, 0f, 1f, 0f), "C"),
+      (1L, Array(4f, 1f, 0f, 0f), "B"),
+      (2L, Array(2f, 1f, 0f, 0f), "A"),
+      (3L, Array(1f, 1f, 0f, 0f), "A"))
+    val out = graft.ext.Similarity
+      .mrrAtK(rows.toDF("vec_id", "embedding", "label")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.277778) // (1/2 + 1/3 + 0) / 3, 6dp
+  }
+
   test("goodTuring: matrix path ≡ direct path") {
     val direct = Curation.goodTuring(docs).collect().toSeq
     val viaMatrix = Curation.goodTuring(docs,

@@ -1511,6 +1511,9 @@ object SparkEntry {
     // ---- mean reciprocal rank @ k (retrieval-eval triad, leg 3) ----
     "q_mrr" -> ((s, d) =>
       graft.ext.Similarity.mrrAtK(Tables.embeddings(s, d))),
+    // ---- near-dup threshold sweep (one verify pass, many cutoffs) --
+    "q_dedup_sweep" -> ((s, d) =>
+      graft.ext.DedupExt.dedupSweep(Tables.documents(s, d))),
 
     // ---- interval analytics: sweep-line peak concurrency ----
     "q_peak_concurrency" -> ((s, d) =>
@@ -6318,6 +6321,41 @@ object SparkEntry {
            round(CAST(sum(CAST(coalesce(1.0 / first_rel, 0.0)
              AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS mrr
          FROM fr""",
+    "q_dedup_sweep" ->
+      """WITH sh AS (
+           SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(list_filter(string_split_regex(
+                 lower(text), '\s+'), x -> x <> '')) - 1, 1)),
+               i -> list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> x <> '')[i] || ' ' ||
+                    list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> x <> '')[i+1] || ' ' ||
+                    list_filter(string_split_regex(lower(text), '\s+'),
+                      x -> x <> '')[i+2])) AS s
+           FROM documents),
+         pairs AS (
+           SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS uni
+           FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           WHERE a.doc_id % 97 = 0),
+         j AS (
+           SELECT doc_id_b,
+             CASE WHEN uni = 0 THEN 0.0
+                  ELSE round(inter / uni, 6) END AS jac
+           FROM pairs),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         sw AS (
+           SELECT t, doc_id_b
+           FROM j CROSS JOIN (SELECT unnest([2, 5, 10, 15, 20]) AS t)
+           WHERE jac >= t / 1000.0)
+         SELECT CAST(t AS BIGINT) AS threshold_pm,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT doc_id_b) AS BIGINT) AS n_docs_flagged,
+           round(count(DISTINCT doc_id_b)::DOUBLE / n_docs, 6)
+             AS flagged_frac
+         FROM sw CROSS JOIN nd GROUP BY t, n_docs ORDER BY 1""",
     "q_peak_concurrency" ->
       """WITH iv AS (
            SELECT strftime(ts, '%Y-%m-%d') AS event_date, user_id,

@@ -324,6 +324,42 @@ object DedupExt {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Dedup threshold sweep — the tuning report a curation team reads
+    * BEFORE fixing the near-dup cutoff: for each candidate Jaccard
+    * threshold, how many verified pairs fire and what fraction of the
+    * corpus would be dropped (keep-smallest-id convention, so the
+    * flagged side is always `doc_id_b` — the same canonical-min rule the
+    * cluster stage uses). Sweeping is a post-processing of ONE pair
+    * computation: the exact-Jaccard frame materializes once
+    * (localCheckpoint) and every threshold is a filter over it — the
+    * cost is one verification pass regardless of how many cutoffs are
+    * under consideration. Thresholds are integer per-mille compared as
+    * `jaccard ≥ t/1000.0` over the 6dp-rounded scores — both sides of
+    * the comparison are engine-identical doubles. (Per-mille, not
+    * percent: organic trigram-shingle Jaccard between DISTINCT documents
+    * lives in the tail — the fixture corpus anchor pairs top out near
+    * 26‰ — and a sweep is only a tuning instrument where it actually
+    * separates the candidate cutoffs.) */
+  def dedupSweep(docs: DataFrame,
+                 thresholdsPerMille: Seq[Int] = Seq(2, 5, 10, 15, 20))
+      : DataFrame = {
+    val pairs = jaccardPairs(docs).localCheckpoint()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    pairs
+      .select(col("doc_id_b"), col("jaccard"),
+        explode(typedLit(thresholdsPerMille)).as("t"))
+      .filter(col("jaccard") >= col("t").cast("double") / lit(1000.0))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_id_b")).as("n_docs_flagged"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("t").cast("bigint").as("threshold_pm"),
+        col("n_pairs"), col("n_docs_flagged"),
+        round(col("n_docs_flagged").cast("double") / col("n_docs"), 6)
+          .as("flagged_frac"))
+      .orderBy("threshold_pm")
+  }
+
   /** Memo for the linkage frame: `q_record_linkage` and
     * `q_golden_record` both need it in one Bench run — same sharing
     * policy (and key shape) as `StarAnalytics.coPurchaseCounts`,

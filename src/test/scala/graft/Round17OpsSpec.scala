@@ -281,6 +281,25 @@ class Round17OpsSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.277778) // (1/2 + 1/3 + 0) / 3, 6dp
   }
 
+  test("dedupSweep: cutoffs slice one verified pair frame, " +
+    "boundary threshold fires") {
+    // anchor doc 0: dup of doc 1 (jaccard 1.0), near-dup of doc 4
+    // (3/5 = 0.6 — fires at the t=60 boundary exactly), far from 2, 3
+    val docs = Seq(
+      (0L, "en", "a b c d e f"), (1L, "en", "a b c d e f"),
+      (2L, "en", "a b c d x y"), (3L, "en", "z z z q q q"),
+      (4L, "en", "a b c d e q")
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.ext.DedupExt
+      .dedupSweep(docs, thresholdsPerMille = Seq(300, 600, 700, 1000))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out == Seq(
+      (300L, 3L, 3L, 0.6), (600L, 2L, 2L, 0.4),
+      (700L, 1L, 1L, 0.2), (1000L, 1L, 1L, 0.2)))
+  }
+
   test("goodTuring: matrix path ≡ direct path") {
     val direct = Curation.goodTuring(docs).collect().toSeq
     val viaMatrix = Curation.goodTuring(docs,

@@ -1412,6 +1412,19 @@ object SparkEntry {
     "q_skew_report" -> ((s, d) =>
       StatsAnalytics.keySkewReport(Tables.lineitem(s, d),
         Seq("l_orderkey", "l_partkey", "l_suppkey"))),
+    // CBO uniform-key join-size estimate vs exact size (from count
+    // frames, join never materialized) — the skew-vs-plan audit
+    "q_join_card" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ev = Tables.events(s, d)
+      StatsAnalytics.joinCardinalityAudit(Seq(
+        ("events_self_user",
+          ev.select(col("user_id")), ev.select(col("user_id"))),
+        ("lineitem_orders", li.select(col("l_orderkey")),
+          Tables.orders(s, d).select(col("o_orderkey"))),
+        ("lineitem_part", li.select(col("l_partkey")),
+          Tables.part(s, d).select(col("p_partkey")))))
+    }),
     "q_mad" -> ((s, d) =>
       StatsAnalytics.madByGroup(Tables.events(s, d))),
     "q_split_counts" -> ((s, d) =>
@@ -1650,6 +1663,9 @@ object SparkEntry {
     // iterative k-core peel census over the co-purchase graph
     "q_kcore" -> ((s, d) =>
       graft.analytics.GraphAnalytics.coPurchaseKCore(s, d)),
+    // deterministic sync label-propagation communities (min-label ties)
+    "q_label_prop" -> ((s, d) =>
+      graft.analytics.GraphAnalytics.coPurchaseLabelProp(s, d)),
     // leave-one-out hit-rate@5 for the item-CF neighbour lists
     "q_cf_hitrate" -> ((s, d) => graft.ext.EvalOps.cfHitRate(s, d)),
     // l-diversity audit of the sensitive user_id per quasi-id group
@@ -5520,6 +5536,51 @@ object SparkEntry {
            round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
              6) AS intercept
          FROM s""",
+    // est and actual from per-key count frames; double math appears only
+    // in the final floor/ratio, on values exact below 2^53.
+    "q_join_card" ->
+      """WITH c1 AS (SELECT user_id AS k, count(*) AS n FROM events
+             WHERE user_id IS NOT NULL GROUP BY 1),
+         c2l AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem
+             GROUP BY 1),
+         c2r AS (SELECT o_orderkey AS k, count(*) AS n FROM orders
+             GROUP BY 1),
+         c3l AS (SELECT l_partkey AS k, count(*) AS n FROM lineitem
+             GROUP BY 1),
+         c3r AS (SELECT p_partkey AS k, count(*) AS n FROM part
+             GROUP BY 1),
+         r AS (
+           SELECT 'events_self_user' AS join_name,
+             (SELECT sum(n) FROM c1) AS rows_left,
+             (SELECT count(*) FROM c1) AS ndv_left,
+             (SELECT sum(n) FROM c1) AS rows_right,
+             (SELECT count(*) FROM c1) AS ndv_right,
+             (SELECT coalesce(sum(a.n * b.n), 0) FROM c1 a
+                JOIN c1 b ON a.k = b.k) AS actual_rows
+           UNION ALL
+           SELECT 'lineitem_orders',
+             (SELECT sum(n) FROM c2l), (SELECT count(*) FROM c2l),
+             (SELECT sum(n) FROM c2r), (SELECT count(*) FROM c2r),
+             (SELECT coalesce(sum(a.n * b.n), 0) FROM c2l a
+                JOIN c2r b ON a.k = b.k)
+           UNION ALL
+           SELECT 'lineitem_part',
+             (SELECT sum(n) FROM c3l), (SELECT count(*) FROM c3l),
+             (SELECT sum(n) FROM c3r), (SELECT count(*) FROM c3r),
+             (SELECT coalesce(sum(a.n * b.n), 0) FROM c3l a
+                JOIN c3r b ON a.k = b.k))
+         SELECT join_name,
+           CAST(rows_left AS BIGINT) AS rows_left,
+           CAST(ndv_left AS BIGINT) AS ndv_left,
+           CAST(rows_right AS BIGINT) AS rows_right,
+           CAST(ndv_right AS BIGINT) AS ndv_right,
+           CAST(floor(CAST(rows_left AS DOUBLE) * rows_right
+             / greatest(ndv_left, ndv_right)) AS BIGINT) AS est_rows,
+           CAST(actual_rows AS BIGINT) AS actual_rows,
+           round(CAST(actual_rows AS DOUBLE)
+             / floor(CAST(rows_left AS DOUBLE) * rows_right
+               / greatest(ndv_left, ndv_right)), 6) AS err_ratio
+         FROM r ORDER BY join_name""",
     "q_skew_report" ->
       """WITH c1 AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem
              GROUP BY 1),
@@ -6895,6 +6956,38 @@ object SparkEntry {
            CAST(min(node) AS BIGINT) AS min_node,
            CAST(max(node) AS BIGINT) AS max_node
          FROM allr GROUP BY 1 ORDER BY 1""",
+    // Same edge CTEs as q_kcore; three unrolled sync vote rounds, each
+    // a neighbour join + per-node mode with (count DESC, lbl ASC) ties.
+    "q_label_prop" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         cnt AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e0 AS (SELECT pa AS a, pb AS b FROM cnt
+           UNION ALL SELECT pb, pa FROM cnt),
+         l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM e0),
+         c1 AS (SELECT e.a AS node, l.lbl, count(*) AS c
+           FROM e0 e JOIN l0 l ON e.b = l.node GROUP BY 1, 2),
+         l1 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()
+             OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+           FROM c1) WHERE rn = 1),
+         c2 AS (SELECT e.a AS node, l.lbl, count(*) AS c
+           FROM e0 e JOIN l1 l ON e.b = l.node GROUP BY 1, 2),
+         l2 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()
+             OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+           FROM c2) WHERE rn = 1),
+         c3 AS (SELECT e.a AS node, l.lbl, count(*) AS c
+           FROM e0 e JOIN l2 l ON e.b = l.node GROUP BY 1, 2),
+         l3 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()
+             OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+           FROM c3) WHERE rn = 1)
+         SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+         FROM l3 GROUP BY 1
+         ORDER BY n_members DESC, community LIMIT 20""",
     // Same neighbour CTEs as q_item_cf; the eval holds out max(part).
     "q_cf_hitrate" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

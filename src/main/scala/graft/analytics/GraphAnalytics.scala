@@ -377,4 +377,72 @@ object GraphAnalytics {
       round(when(den === 0.0, lit(null)).otherwise(num / den), 6)
         .as("assortativity"))
   }
+
+  /** Synchronous label propagation (Raghavan–Albert–Kumara 2007, public
+    * method) over a symmetric edge list, made fully deterministic: a
+    * FIXED round count with every node simultaneously adopting the most
+    * frequent label among its neighbours, ties broken by the SMALLEST
+    * label — a total order, so the trajectory is replay-identical on any
+    * partitioning (the textbook algorithm's random visit order and
+    * random tie-breaks are the non-determinism this variant removes;
+    * sync LPA can oscillate on bipartite cores, which a fixed horizon
+    * renders moot — the census at round R is the defined output).
+    * Unlike [[graft.ext.DedupCluster]]'s min-label propagation (which
+    * converges to connected COMPONENTS), mode-propagation finds dense
+    * COMMUNITIES: a bridge edge between two triangles carries one vote,
+    * so each triangle's internal majority keeps the sides distinct.
+    *
+    * Scale shape: each round is ONE shuffle join of the edge list with
+    * the node-cardinality label frame (no broadcast hint — AQE
+    * broadcasts only while the label frame actually fits, the pageRank
+    * policy) followed by two node-keyed hash aggregates. The (node,
+    * label) vote count collapses map-side, and the argmax is
+    * `min_by(lbl, struct(-cnt, lbl))` — a DeclarativeAggregate that
+    * partial-collapses before the exchange (the naive-Bayes/centroid
+    * precedent) instead of window-sorting the vote fanout. No global
+    * window anywhere; `localCheckpoint` truncates lineage per round so
+    * the unrolled plan stays constant-size. The final top-`limit`
+    * census is TakeOrderedAndProject (bounded heap, no global sort). */
+  def labelPropagation(symEdges: DataFrame, rounds: Int = 3,
+                       limit: Int = 20): DataFrame = {
+    var labels = symEdges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = lpaRound(symEdges, labels).localCheckpoint()
+    }
+    labels.groupBy(col("lbl").cast("bigint").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("node")).cast("bigint").as("min_node"),
+        max(col("node")).cast("bigint").as("max_node"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(limit)
+  }
+
+  /** One synchronous vote round: neighbour-label join, map-side-
+    * collapsing vote count, `min_by` argmax (see [[labelPropagation]]). */
+  private[graft] def lpaRound(symEdges: DataFrame,
+                              labels: DataFrame): DataFrame =
+    symEdges
+      .join(labels.select(col("node").as("nb"), col("lbl")),
+        col("b") === col("nb"))
+      .groupBy(col("a"), col("lbl"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("a").as("node"))
+      .agg(min_by(col("lbl"),
+        struct((-col("cnt")).as("nc"), col("lbl"))).as("lbl"))
+
+  /** [[labelPropagation]] over the support-floored co-purchase graph —
+    * the algorithmic community assignment beside [[brandModularity]]'s
+    * attribute partition (reference analog: the V2 star schema's
+    * part-affinity reporting, warehouse_star.sql's fact joins). */
+  def coPurchaseLabelProp(spark: SparkSession, sfDir: String,
+                          rounds: Int = 3, minSupport: Long = 2L,
+                          limit: Int = 20): DataFrame = {
+    val pairs = StarAnalytics.coPurchaseCounts(spark, sfDir)
+      .filter(col("n_orders") >= minSupport)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+    labelPropagation(pairs.unionAll(pairs.select(col("b").as("a"),
+      col("a").as("b"))), rounds, limit)
+  }
 }

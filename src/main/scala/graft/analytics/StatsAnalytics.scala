@@ -131,6 +131,49 @@ object StatsAnalytics {
     reports.reduce(_.union(_)).orderBy("key_col")
   }
 
+  /** Join-cardinality planning audit: for each named (leftKeys,
+    * rightKeys) equi-join, the System-R / Catalyst-CBO uniform-frequency
+    * estimate `|L|·|R| / max(ndv_L, ndv_R)` beside the EXACT output size
+    * `Σ_k c_L(k)·c_R(k)` — derived from the two per-key count frames
+    * joined on key, never by materializing the audited join itself. The
+    * error ratio is the number a 100 TB planner acts on: ≈1 ⇒ the CBO
+    * row estimate is trustworthy; ≫1 ⇒ key-frequency skew multiplies
+    * the shuffle beyond what uniform stats predict (salt the hot keys —
+    * see q_salted_join — or pre-aggregate before joining). Scale shape:
+    * per-key counts collapse map-side to key-cardinality frames; the
+    * count-frame equi-join and Σ(c_L·c_R) reduce straight to one row;
+    * all sizes stay exact BIGINT (products < 2⁶³ for any real table
+    * pair) with one display-time round on the ratio. Null keys are
+    * dropped on both sides first — SQL joins never match them, and
+    * planner NDVs exclude them. */
+  def joinCardinalityAudit(
+      joins: Seq[(String, DataFrame, DataFrame)]): DataFrame = {
+    val rows = joins.map { case (name, lk, rk) =>
+      val cl = lk.toDF("k").filter(col("k").isNotNull)
+        .groupBy("k").agg(count(lit(1)).as("nl"))
+      val cr = rk.toDF("k").filter(col("k").isNotNull)
+        .groupBy("k").agg(count(lit(1)).as("nr"))
+      val sides = cl
+        .agg(sum(col("nl")).as("rows_left"),
+          count(lit(1)).as("ndv_left"))
+        .crossJoin(cr.agg(sum(col("nr")).as("rows_right"),
+          count(lit(1)).as("ndv_right")))
+      val actual = cl.join(cr, Seq("k"))
+        .agg(coalesce(sum(col("nl") * col("nr")), lit(0L))
+          .as("actual_rows"))
+      val est = floor(col("rows_left").cast("double") * col("rows_right")
+        / greatest(col("ndv_left"), col("ndv_right"))).cast("bigint")
+      sides.crossJoin(actual)
+        .select(lit(name).as("join_name"),
+          col("rows_left"), col("ndv_left"),
+          col("rows_right"), col("ndv_right"),
+          est.as("est_rows"), col("actual_rows"),
+          round(col("actual_rows").cast("double") / est.cast("double"), 6)
+            .as("err_ratio"))
+    }
+    rows.reduce(_.unionAll(_)).orderBy("join_name")
+  }
+
   /** Median-imputation report: per event type, how many null values the
     * imputation would fill and with what, plus the before/after means —
     * the data-prep audit row a feature pipeline logs before training.

@@ -1703,6 +1703,36 @@ object SparkEntry {
       StatsAnalytics.wowGrowth(Tables.orders(s, d))),
     // cold-start parts (no co-purchase signal) per brand
     "q_cold_start" -> ((s, d) => StarAnalytics.coldStartParts(s, d)),
+    // Welch's unequal-variance t-test between hash-split variants
+    "q_welch_ttest" -> ((s, d) =>
+      StatsAnalytics.welchTTest(Tables.events(s, d))),
+    // t-closeness audit (TVD of sensitive dist per quasi group)
+    "q_t_closeness" -> ((s, d) =>
+      StatsAnalytics.tCloseness(Tables.events(s, d))),
+    // per-type freshness / staleness SLO report
+    "q_staleness" -> ((s, d) =>
+      StatsAnalytics.stalenessReport(Tables.events(s, d))),
+    // Cohen's kappa between two deterministic annotators
+    "q_cohen_kappa" -> ((s, d) =>
+      graft.ext.EvalOps.cohenKappa(Tables.documents(s, d))),
+    // Fleiss' kappa across the three-annotator pool
+    "q_fleiss_kappa" -> ((s, d) =>
+      graft.ext.EvalOps.fleissKappa(Tables.documents(s, d))),
+    // Adamic-Adar link prediction on the co-purchase graph
+    "q_adamic_adar" -> ((s, d) =>
+      graft.analytics.GraphAnalytics.adamicAdar(s, d)),
+    // HITS authorities over the bipartite customer-part graph
+    "q_hits" -> ((s, d) =>
+      graft.analytics.GraphAnalytics.hits(s, d)),
+    // tokenizer fertility (subwords/word) per language
+    "q_fertility" -> ((s, d) =>
+      graft.ext.TextAnalysis.tokenizerFertility(Tables.documents(s, d))),
+    // Brown's double exponential smoothing: level/trend/forecast
+    "q_brown_trend" -> ((s, d) =>
+      StatsAnalytics.brownTrend(Tables.events(s, d))),
+    // Warner randomized-response local-DP debias audit
+    "q_randomized_response" -> ((s, d) =>
+      StatsAnalytics.randomizedResponse(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -7343,5 +7373,275 @@ object SparkEntry {
              AS pct_cold
          FROM sizes LEFT JOIN cold ON cold.p_brand = sizes.p_brand
          ORDER BY sizes.p_brand""",
+    "q_welch_ttest" ->
+      """WITH r AS (
+           SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS variant, value AS v
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         m AS (SELECT
+           CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_a,
+           CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_b,
+           sum(CAST(CASE WHEN variant = 0 THEN v ELSE 0.0 END
+             AS DECIMAL(28,12))) AS s_a,
+           sum(CAST(CASE WHEN variant = 1 THEN v ELSE 0.0 END
+             AS DECIMAL(28,12))) AS s_b,
+           sum(CAST(CASE WHEN variant = 0 THEN v * v ELSE 0.0 END
+             AS DECIMAL(28,12))) AS ss_a,
+           sum(CAST(CASE WHEN variant = 1 THEN v * v ELSE 0.0 END
+             AS DECIMAL(28,12))) AS ss_b
+           FROM r),
+         d AS (SELECT n_a, n_b,
+           CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+           CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+           (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE)
+             / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS var_a,
+           (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE)
+             / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS var_b
+           FROM m),
+         s AS (SELECT *, var_a / CAST(n_a AS DOUBLE) AS se_a,
+             var_b / CAST(n_b AS DOUBLE) AS se_b FROM d),
+         f AS (SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+           (mean_a - mean_b) / sqrt(se_a + se_b) AS t_raw,
+           (se_a + se_b) * (se_a + se_b) /
+             (se_a * se_a / (CAST(n_a AS DOUBLE) - 1.0) +
+              se_b * se_b / (CAST(n_b AS DOUBLE) - 1.0)) AS df_raw
+           FROM s)
+         SELECT n_a, n_b,
+           floor(mean_a * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+           floor(mean_b * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
+           floor(var_a * 1000000.0 + 0.5) / 1000000.0 AS var_a,
+           floor(var_b * 1000000.0 + 0.5) / 1000000.0 AS var_b,
+           floor(t_raw * 1000000.0 + 0.5) / 1000000.0 AS t_stat,
+           floor(df_raw * 1000000.0 + 0.5) / 1000000.0 AS df_welch
+         FROM f""",
+    "q_t_closeness" ->
+      """WITH rows_ AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(floor(value / 50.0) AS BIGINT) AS vb, event_type
+           FROM events WHERE event_type IS NOT NULL
+             AND ts IS NOT NULL AND value IS NOT NULL),
+         cells AS (SELECT d, vb, event_type, count(*) AS c
+           FROM rows_ GROUP BY 1, 2, 3),
+         grp AS (SELECT d, vb, sum(c) AS ng FROM cells GROUP BY 1, 2),
+         gdist AS (SELECT event_type, sum(c) AS g FROM cells GROUP BY 1),
+         tot AS (SELECT sum(c) AS n_all FROM cells),
+         terms AS (SELECT cells.d, cells.vb, grp.ng,
+             abs(CAST(c AS DOUBLE) / CAST(ng AS DOUBLE) -
+               CAST(g AS DOUBLE) / CAST(n_all AS DOUBLE)) -
+               CAST(g AS DOUBLE) / CAST(n_all AS DOUBLE) AS term
+           FROM cells JOIN grp USING (d, vb)
+             JOIN gdist USING (event_type) CROSS JOIN tot),
+         pg AS (SELECT d, vb, CAST(max(ng) AS BIGINT) AS n,
+             0.5 * (1.0 + CAST(sum(CAST(term AS DECIMAL(28,12)))
+               AS DOUBLE)) AS tvd
+           FROM terms GROUP BY 1, 2)
+         SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           floor(max(tvd) * 1000000.0 + 0.5) / 1000000.0 AS max_tvd,
+           CAST(sum(CASE WHEN tvd > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_wide_groups,
+           CAST(sum(CASE WHEN tvd > 0.2 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(0.2 AS DOUBLE) AS t_max
+         FROM pg""",
+    "q_staleness" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         hor AS (SELECT max(d) AS horizon FROM daily)
+         SELECT event_type, CAST(sum(c) AS BIGINT) AS n_rows,
+           max(d) AS last_day,
+           CAST(date_diff('day', max(d), max(horizon)) AS BIGINT)
+             AS lag_days,
+           CAST(sum(CASE WHEN d >= horizon - 6 THEN c ELSE 0 END)
+             AS BIGINT) AS n_last7,
+           CAST(CASE WHEN date_diff('day', max(d), max(horizon)) > 3
+             THEN 1 ELSE 0 END AS INT) AS is_stale
+         FROM daily CROSS JOIN hor GROUP BY 1 ORDER BY 1""",
+    "q_cohen_kappa" ->
+      """WITH l AS (SELECT
+           CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+           CASE WHEN len(list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '')) >= 55 THEN 1 ELSE 0 END AS rb
+           FROM documents),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n11,
+           CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n00,
+           CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n10,
+           CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n01
+           FROM l),
+         p AS (SELECT *,
+           (CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE)) / CAST(n AS DOUBLE)
+             AS po,
+           ((CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE)) *
+              (CAST(n11 AS DOUBLE) + CAST(n01 AS DOUBLE)) +
+            (CAST(n00 AS DOUBLE) + CAST(n01 AS DOUBLE)) *
+              (CAST(n00 AS DOUBLE) + CAST(n10 AS DOUBLE))) /
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+           FROM m)
+         SELECT n AS n_docs, n11, n00, n10, n01,
+           floor(po * 1000000.0 + 0.5) / 1000000.0 AS p_observed,
+           floor(pe * 1000000.0 + 0.5) / 1000000.0 AS p_expected,
+           floor((po - pe) / (1.0 - pe) * 1000000.0 + 0.5) / 1000000.0
+             AS kappa
+         FROM p""",
+    "q_fleiss_kappa" ->
+      """WITH l AS (SELECT
+           (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) +
+           (CASE WHEN len(list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '')) >= 55 THEN 1 ELSE 0 END) +
+           (CASE WHEN length(replace(text, ' ', '')) * 1000 >=
+             length(text) * 822 THEN 1 ELSE 0 END) AS n1
+           FROM documents),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n1) AS BIGINT) AS s1,
+           CAST(sum(n1 * n1 + (3 - n1) * (3 - n1)) AS BIGINT) AS sq
+           FROM l),
+         p AS (SELECT n,
+           (CAST(sq AS DOUBLE) - 3.0 * CAST(n AS DOUBLE)) /
+             (6.0 * CAST(n AS DOUBLE)) AS pbar,
+           CAST(s1 AS DOUBLE) / (3.0 * CAST(n AS DOUBLE)) AS p1
+           FROM m),
+         q AS (SELECT *, p1 * p1 + (1.0 - p1) * (1.0 - p1) AS pe FROM p)
+         SELECT n AS n_docs, CAST(3 AS BIGINT) AS n_raters,
+           floor(p1 * 1000000.0 + 0.5) / 1000000.0 AS p_positive,
+           floor(pbar * 1000000.0 + 0.5) / 1000000.0 AS p_bar,
+           floor(pe * 1000000.0 + 0.5) / 1000000.0 AS p_expected,
+           floor((pbar - pe) / (1.0 - pe) * 1000000.0 + 0.5) / 1000000.0
+             AS kappa
+         FROM q""",
+    "q_adamic_adar" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT pa AS a, pb AS b FROM pr
+               UNION ALL SELECT pb, pa FROM pr),
+         deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS dg
+           FROM e GROUP BY 1),
+         w AS (SELECT e1.a AS z, e1.b AS u, e2.b AS v
+           FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b),
+         sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+             sum(CAST(1.0 / ln(CAST(dg AS DOUBLE)) AS DECIMAL(28,12)))
+               AS aa
+           FROM w JOIN deg USING (z) GROUP BY 1, 2),
+         f AS (SELECT * FROM sc WHERE NOT EXISTS
+           (SELECT 1 FROM pr WHERE pr.pa = sc.u AND pr.pb = sc.v))
+         SELECT u AS part_a, v AS part_b, common_neighbors,
+           floor(CAST(aa AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS adamic_adar
+         FROM f ORDER BY adamic_adar DESC, part_a, part_b LIMIT 20""",
+    "q_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         a1 AS (SELECT p, CAST(count(*) AS DECIMAL(38,18)) AS a
+           FROM e GROUP BY 1),
+         at1 AS (SELECT sum(a) AS t FROM a1),
+         a1n AS (SELECT p, CAST(a AS DOUBLE) / CAST(t AS DOUBLE) AS an
+           FROM a1 CROSS JOIN at1),
+         h1 AS (SELECT c, sum(CAST(an AS DECIMAL(38,18))) AS h
+           FROM e JOIN a1n USING (p) GROUP BY 1),
+         ht1 AS (SELECT sum(h) AS t FROM h1),
+         h1n AS (SELECT c, CAST(h AS DOUBLE) / CAST(t AS DOUBLE) AS hn
+           FROM h1 CROSS JOIN ht1),
+         a2 AS (SELECT p, sum(CAST(hn AS DECIMAL(38,18))) AS a
+           FROM e JOIN h1n USING (c) GROUP BY 1),
+         at2 AS (SELECT sum(a) AS t FROM a2),
+         a2n AS (SELECT p, CAST(a AS DOUBLE) / CAST(t AS DOUBLE) AS an
+           FROM a2 CROSS JOIN at2),
+         h2 AS (SELECT c, sum(CAST(an AS DECIMAL(38,18))) AS h
+           FROM e JOIN a2n USING (p) GROUP BY 1),
+         ht2 AS (SELECT sum(h) AS t FROM h2),
+         h2n AS (SELECT c, CAST(h AS DOUBLE) / CAST(t AS DOUBLE) AS hn
+           FROM h2 CROSS JOIN ht2),
+         a3 AS (SELECT p, sum(CAST(hn AS DECIMAL(38,18))) AS a
+           FROM e JOIN h2n USING (c) GROUP BY 1),
+         at3 AS (SELECT sum(a) AS t FROM a3)
+         SELECT p AS part,
+           floor(CAST(a AS DOUBLE) / CAST(t AS DOUBLE) * 1000000000.0
+             + 0.5) / 1000000000.0 AS authority
+         FROM a3 CROSS JOIN at3 ORDER BY authority DESC, part LIMIT 20""",
+    "q_fertility" ->
+      """WITH t AS (SELECT lang,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> x <> '')) AS BIGINT) AS w,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tk,
+           CAST(length(text) AS BIGINT) AS ch
+           FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           CAST(sum(tk) AS BIGINT) AS n_subwords,
+           floor(CAST(sum(tk) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS fertility,
+           floor(CAST(sum(ch) AS DOUBLE) / CAST(sum(tk) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS chars_per_subword
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "q_brown_trend" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS x
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         idx AS (SELECT d, x, row_number() OVER (ORDER BY d) AS t
+           FROM daily),
+         t1 AS (SELECT a.d, a.t, b.x AS xj,
+             CASE WHEN b.t = 1 THEN a.t - 1
+                  ELSE a.t - b.t + 1 END AS k
+           FROM idx a JOIN idx b ON b.t <= a.t AND a.t - b.t <= 62),
+         c1 AS (SELECT d, t,
+             CAST(sum(CAST(xj / CAST((1::BIGINT << k) AS DOUBLE)
+               AS DECIMAL(28,10))) AS DOUBLE) AS v1
+           FROM t1 GROUP BY 1, 2),
+         w1 AS (SELECT idx.d, idx.x, idx.t, c1.v1
+           FROM idx JOIN c1 USING (d, t)),
+         t2 AS (SELECT a.d, a.t, b.v1 AS xj,
+             CASE WHEN b.t = 1 THEN a.t - 1
+                  ELSE a.t - b.t + 1 END AS k
+           FROM w1 a JOIN w1 b ON b.t <= a.t AND a.t - b.t <= 62),
+         c2 AS (SELECT d, t,
+             CAST(sum(CAST(xj / CAST((1::BIGINT << k) AS DOUBLE)
+               AS DECIMAL(28,10))) AS DOUBLE) AS v2
+           FROM t2 GROUP BY 1, 2),
+         f AS (SELECT w1.d, w1.x, w1.v1, c2.v2
+           FROM w1 JOIN c2 USING (d, t))
+         SELECT d, x AS daily_revenue,
+           floor(v1 * 10000.0 + 0.5) / 10000.0 AS s1,
+           floor(v2 * 10000.0 + 0.5) / 10000.0 AS s2,
+           floor((2.0 * v1 - v2) * 10000.0 + 0.5) / 10000.0 AS level,
+           floor((v1 - v2) * 10000.0 + 0.5) / 10000.0 AS trend,
+           floor(((2.0 * v1 - v2) + (v1 - v2)) * 10000.0 + 0.5) / 10000.0
+             AS forecast_next
+         FROM f ORDER BY d""",
+    "q_randomized_response" ->
+      """WITH r AS (
+           SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b,
+             CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+               1, 15))::BIGINT % 4 = 0 THEN 1 ELSE 0 END AS f
+           FROM events WHERE event_type IS NOT NULL),
+         o AS (SELECT b, f, b + f - 2 * b * f AS rr FROM r),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(b) AS BIGINT) AS sb,
+             CAST(sum(rr) AS BIGINT) AS sr FROM o),
+         p AS (SELECT n, sb, sr,
+             CAST(sb AS DOUBLE) / CAST(n AS DOUBLE) AS p_true_r,
+             CAST(sr AS DOUBLE) / CAST(n AS DOUBLE) AS p_obs_r
+           FROM m),
+         q AS (SELECT *, (p_obs_r - 0.25) / 0.5 AS p_est_r FROM p)
+         SELECT n, sb AS n_true_pos, sr AS n_reported_pos,
+           floor(p_true_r * 1000000.0 + 0.5) / 1000000.0 AS p_true,
+           floor(p_obs_r * 1000000.0 + 0.5) / 1000000.0 AS p_observed,
+           floor(p_est_r * 1000000.0 + 0.5) / 1000000.0 AS p_estimated,
+           floor(abs(p_est_r - p_true_r) * 1000000.0 + 0.5) / 1000000.0
+             AS abs_err
+         FROM q""",
   )
 }

@@ -445,4 +445,109 @@ object GraphAnalytics {
     labelPropagation(pairs.unionAll(pairs.select(col("b").as("a"),
       col("a").as("b"))), rounds, limit)
   }
+
+  /** Adamic–Adar link prediction over the support-floored co-purchase
+    * graph: for part pairs NOT currently co-purchased but sharing common
+    * neighbors, score Σ_z 1/ln(deg z) — the classic "which products will
+    * co-sell next" ranking (plus the raw common-neighbor count). The
+    * wedge enumeration joins the SIGNAL-sized pruned edge list with
+    * itself on the center node (never the corpus); existing edges drop
+    * via an anti-join on the canonical pair. Every common neighbor z of
+    * a wedge has deg ≥ 2, so ln(deg) ≥ ln 2 — no division guard needed.
+    * Per-term doubles go DECIMAL before the pair sum so partials merge
+    * order-independently. */
+  def adamicAdar(spark: SparkSession, sfDir: String,
+                 minSupport: Long = 2L, limit: Int = 20): DataFrame =
+    adamicAdarOnEdges(
+      StarAnalytics.coPurchaseCounts(spark, sfDir)
+        .filter(col("n_orders") >= minSupport)
+        .select(col("part_a").as("a"), col("part_b").as("b"))
+        .localCheckpoint(),
+      limit)
+
+  /** [[adamicAdar]] over a prebuilt canonical (a < b) edge list — the
+    * testable core. */
+  private[graft] def adamicAdarOnEdges(e: DataFrame,
+                                       limit: Int): DataFrame = {
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("deg"))
+    val wedges = sym.select(col("a").as("z"), col("b").as("u"))
+      .join(sym.select(col("a").as("z"), col("b").as("v")), Seq("z"))
+      .filter(col("u") < col("v"))
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    wedges
+      .join(deg, Seq("z"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum((lit(1.0) / log(col("deg").cast("double")))
+          .cast("decimal(28,12)")).as("aa"))
+      .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
+      .select(col("u").as("part_a"), col("v").as("part_b"),
+        col("common_neighbors"),
+        r6(col("aa").cast("double")).as("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("part_a"), col("part_b"))
+      .limit(limit)
+  }
+
+  /** HITS hubs-and-authorities over the bipartite customer→part purchase
+    * graph (Kleinberg): customers are hubs, parts authorities;
+    * `iterations` alternating updates with L1 normalization. Scores are
+    * per-edge products summed in DECIMAL (order-independent merges); the
+    * normalizing total is a one-row broadcast and the division runs on
+    * doubles, so the trajectory is engine-exact and the DuckDB oracle
+    * mirrors it as unrolled CTEs. The edge frame is corpus-sized but
+    * every iteration touches only (edge ⋈ score) hash joins keyed on the
+    * node ids — the textbook distributed HITS shape. */
+  def hits(spark: SparkSession, sfDir: String,
+           iterations: Int = 2, limit: Int = 20): DataFrame =
+    hitsOnEdges(
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(Tables.orders(spark, sfDir)
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint(),
+      iterations, limit)
+
+  /** [[hits]] over a prebuilt bipartite (c, p) edge list — the testable
+    * core. */
+  private[graft] def hitsOnEdges(edges: DataFrame, iterations: Int,
+                                 limit: Int): DataFrame = {
+    // h₀ ≡ 1, so the first authority pass is the part in-degree (exact
+    // integers); later passes carry normalized doubles through DECIMAL
+    var auth: DataFrame = edges.groupBy("p")
+      .agg(count(lit(1)).cast("decimal(38,18)").as("a"))
+    var hubs: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val aTot = auth.agg(sum(col("a")).as("at"))
+      val aN = auth.crossJoin(broadcast(aTot))
+        .select(col("p"),
+          (col("a").cast("double") / col("at").cast("double")).as("an"))
+      val h = edges.join(aN, Seq("p"))
+        .groupBy("c")
+        .agg(sum(col("an").cast("decimal(38,18)")).as("h"))
+      val hTot = h.agg(sum(col("h")).as("ht"))
+      hubs = h.crossJoin(broadcast(hTot))
+        .select(col("c"),
+          (col("h").cast("double") / col("ht").cast("double")).as("hn"))
+        .localCheckpoint()
+      auth = edges.join(hubs, Seq("c"))
+        .groupBy("p")
+        .agg(sum(col("hn").cast("decimal(38,18)")).as("a"))
+        .localCheckpoint()
+    }
+    val aTot = auth.agg(sum(col("a")).as("at"))
+    // portable floor round (not round(): engines disagree on half mode)
+    def r9(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e9) + lit(0.5)) / lit(1e9)
+    auth.crossJoin(broadcast(aTot))
+      .select(col("p").as("part"),
+        r9(col("a").cast("double") / col("at").cast("double"))
+          .as("authority"))
+      .orderBy(col("authority").desc, col("part"))
+      .limit(limit)
+  }
 }

@@ -1325,4 +1325,189 @@ object StatsAnalytics {
         r2(col("m2")).as("mean_after"),
         r2(col("b_stat")).as("b_stat"))
   }
+
+  /** Welch's unequal-variance t-test between the deterministic hash-split
+    * variants (same split as [[abLift]]/[[ksTest]]) on event value — the
+    * parametric companion to the chi-square and KS gates. The whole test
+    * is ONE map-side-collapsing aggregate: per-variant n/Σv/Σv² fold as
+    * conditional sums into a single row (CASE-guarded DECIMAL sums, so
+    * the partials merge order-independently at any executor count), and
+    * mean/variance/t/df are scalar projections of those moments —
+    * `var = (Σv² − (Σv)²/n)/(n−1)`, Welch–Satterthwaite df. Per-row v²
+    * is an IEEE-deterministic double; every later op (−, ×, /, sqrt) is
+    * correctly rounded, so the statistic is bit-equal cross-engine and
+    * the portable floor round is cosmetic. */
+  def welchTTest(ev: DataFrame): DataFrame = {
+    val rows = ev.filter(col("value").isNotNull && col("user_id").isNotNull)
+      .select(Sampling.hashBucket(col("user_id"), 2).as("variant"),
+        col("value"))
+    def cSum(pred: Column, v: Column) =
+      sum(when(pred, v).otherwise(lit(0.0)).cast("decimal(28,12)"))
+    val m = rows.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      cSum(col("variant") === 0, col("value")).as("s_a"),
+      cSum(col("variant") === 1, col("value")).as("s_b"),
+      cSum(col("variant") === 0, col("value") * col("value")).as("ss_a"),
+      cSum(col("variant") === 1, col("value") * col("value")).as("ss_b"))
+    def d(name: String) = col(name).cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val meanA = d("s_a") / d("n_a")
+    val meanB = d("s_b") / d("n_b")
+    val varA = (d("ss_a") - d("s_a") * d("s_a") / d("n_a")) /
+      (d("n_a") - lit(1.0))
+    val varB = (d("ss_b") - d("s_b") * d("s_b") / d("n_b")) /
+      (d("n_b") - lit(1.0))
+    val seA = varA / d("n_a")
+    val seB = varB / d("n_b")
+    val se2 = seA + seB
+    m.select(col("n_a"), col("n_b"),
+      r6(meanA).as("mean_a"), r6(meanB).as("mean_b"),
+      r6(varA).as("var_a"), r6(varB).as("var_b"),
+      r6((meanA - meanB) / sqrt(se2)).as("t_stat"),
+      r6(se2 * se2 / (seA * seA / (d("n_a") - lit(1.0)) +
+        seB * seB / (d("n_b") - lit(1.0)))).as("df_welch"))
+  }
+
+  /** t-closeness audit — the third leg of the k-anonymity / l-diversity
+    * release gate: a quasi-identifier group whose SENSITIVE-attribute
+    * distribution sits far from the corpus-wide one leaks membership
+    * signal even when it is large (k-safe) and diverse (l-safe). Quasi
+    * key is (day, value bucket); the sensitive attribute is event_type —
+    * categorical, so the Earth-Mover distance reduces to total variation
+    * ½·Σ|pᵢ−qᵢ|. Types ABSENT from a group still contribute their global
+    * mass qᵢ, folded in closed form: Σ|p−q| = 1 + Σ_{i∈group}(|pᵢ−qᵢ|−qᵢ),
+    * so the per-group pass only touches cells that exist. Shape: one
+    * corpus aggregate to (quasi × type) cells, a group-cardinality join
+    * for group totals, the type-cardinality global frame broadcast; the
+    * report is one row. Per-term rationals go double → DECIMAL so the
+    * group sum merges order-independently. */
+  def tCloseness(ev: DataFrame, tMax: Double = 0.2): DataFrame = {
+    val rows = ev.filter(col("event_type").isNotNull &&
+        col("ts").isNotNull && col("value").isNotNull)
+      .select(to_date(col("ts")).as("d"),
+        floor(col("value") / 50.0).cast("bigint").as("vb"),
+        col("event_type"))
+    val cells = rows.groupBy("d", "vb", "event_type")
+      .agg(count(lit(1)).as("c"))
+    val grpTot = cells.groupBy("d", "vb").agg(sum(col("c")).as("ng"))
+    val glob = cells.groupBy("event_type").agg(sum(col("c")).as("g"))
+      .crossJoin(broadcast(cells.agg(sum(col("c")).as("n_all"))))
+    val term = abs(col("c").cast("double") / col("ng").cast("double") -
+        col("g").cast("double") / col("n_all").cast("double")) -
+      col("g").cast("double") / col("n_all").cast("double")
+    val perGroup = cells
+      .join(grpTot, Seq("d", "vb"))
+      .join(broadcast(glob), Seq("event_type"))
+      .groupBy("d", "vb")
+      .agg(max(col("ng")).as("n"),
+        sum(term.cast("decimal(28,12)")).as("ts"))
+      .withColumn("tvd",
+        lit(0.5) * (lit(1.0) + col("ts").cast("double")))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    perGroup.agg(count(lit(1)).as("n_groups"),
+        r6(max(col("tvd"))).as("max_tvd"),
+        sum(when(col("tvd") > tMax, 1L).otherwise(0L)).as("n_wide_groups"),
+        sum(when(col("tvd") > tMax, col("n")).otherwise(0L))
+          .as("rows_at_risk"))
+      .withColumn("t_max", lit(tMax))
+  }
+
+  /** Data-freshness / staleness SLO report: per event type, the last
+    * observed day, its lag behind the corpus horizon, and the trailing
+    * 7-day volume — the monitoring table a pipeline owner pages on when
+    * a source silently stops emitting. One corpus aggregate collapses to
+    * the (type × day) frame map-side; the horizon is a one-row broadcast;
+    * everything after runs on day-cardinality data. */
+  def stalenessReport(ev: DataFrame, maxLagDays: Int = 3): DataFrame = {
+    val daily = ev.filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val hor = daily.agg(max(col("d")).as("horizon"))
+    daily.crossJoin(broadcast(hor))
+      .groupBy("event_type")
+      .agg(max(col("d")).as("last_day"),
+        sum(col("c")).as("n_rows"),
+        sum(when(col("d") >= date_sub(col("horizon"), 6), col("c"))
+          .otherwise(0L)).as("n_last7"),
+        datediff(max(col("horizon")), max(col("d"))).cast("bigint")
+          .as("lag_days"))
+      .withColumn("is_stale", (col("lag_days") > maxLagDays).cast("int"))
+      .select(col("event_type"), col("n_rows"), col("last_day"),
+        col("lag_days"), col("n_last7"), col("is_stale"))
+      .orderBy("event_type")
+  }
+
+  /** Brown's double exponential smoothing (α = ½) of daily revenue —
+    * level, trend, and the one-step forecast a monitoring dashboard
+    * projects forward: s2 = EWMA(EWMA(x)), level = 2s1 − s2,
+    * trend = s1 − s2 (α/(1−α) = 1), forecast = level + trend. Both
+    * smoothing passes reuse [[ewmaDaily]]'s exact dyadic kernel (weights
+    * are integer bit-shifts — `pow` has no cross-libm guarantee, shifts
+    * do; per-term doubles go DECIMAL before the sum). The convolutions
+    * run on the DAY frame — domain-bounded, never data-scale — behind
+    * one corpus aggregate; weights beyond 2⁻⁶² underflow the rounding
+    * and are dropped. */
+  def brownTrend(ev: DataFrame): DataFrame = {
+    val daily = ev.filter(col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")), 2)
+        .cast("double").as("x"))
+      .withColumn("t", row_number().over(Window.orderBy("d")))
+      // day-frame barrier: both convolution passes and the final join
+      // read this ≤|days| frame, not the corpus
+      .localCheckpoint()
+    def smooth(src: DataFrame, valCol: String, outCol: String): DataFrame =
+      src.select(col("d"), col("t"))
+        .join(src.select(col("t").as("j"), col(valCol).as("xj")),
+          col("j") <= col("t") && col("t") - col("j") <= lit(62))
+        .withColumn("k",
+          when(col("j") === 1, col("t") - lit(1))
+            .otherwise(col("t") - col("j") + lit(1)))
+        .withColumn("term", col("xj") /
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))")
+            .cast("double"))
+        .groupBy("d", "t")
+        .agg(sum(col("term").cast("decimal(28,10)")).cast("double")
+          .as(outCol))
+    val withS1 = daily.join(smooth(daily, "x", "v1"), Seq("d", "t"))
+    val out = withS1.join(smooth(withS1, "v1", "v2"), Seq("d", "t"))
+    def r4(c: Column) = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+    out.select(col("d"), col("x").as("daily_revenue"),
+        r4(col("v1")).as("s1"), r4(col("v2")).as("s2"),
+        r4(lit(2.0) * col("v1") - col("v2")).as("level"),
+        r4(col("v1") - col("v2")).as("trend"),
+        r4((lit(2.0) * col("v1") - col("v2")) +
+          (col("v1") - col("v2"))).as("forecast_next"))
+      .orderBy("d")
+  }
+
+  /** Randomized-response local-DP audit (Warner's mechanism): each row
+    * reports its true bit ("is a purchase") with probability ¾ and the
+    * flipped bit with probability ¼, and the aggregator debiases the
+    * observed rate: π̂ = (p_obs − ¼) / ½. The flip is the DETERMINISTIC
+    * portable hash of the row key (the [[bootstrapCi]] discipline: no RNG
+    * state, bit-identical in the oracle), so the audit can also report
+    * the true rate and the mechanism's actual estimation error — the
+    * utility-vs-privacy table a release gate reads. One map-side-
+    * collapsing aggregate; every output is a rational of exact integers. */
+  def randomizedResponse(ev: DataFrame): DataFrame = {
+    val bit = (col("event_type") === "purchase").cast("int")
+    val flip = (Sampling.hashBucket(col("event_id"), 4) === 0).cast("int")
+    val rows = ev.filter(col("event_type").isNotNull)
+      .select(bit.as("b"), flip.as("f"))
+      .withColumn("r", col("b") + col("f") - lit(2) * col("b") * col("f"))
+    val m = rows.agg(count(lit(1)).as("n"),
+      sum(col("b").cast("long")).as("sb"),
+      sum(col("r").cast("long")).as("sr"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val pTrue = d(col("sb")) / d(col("n"))
+    val pObs = d(col("sr")) / d(col("n"))
+    val pEst = (pObs - lit(0.25)) / lit(0.5)
+    m.select(col("n"), col("sb").as("n_true_pos"),
+      col("sr").as("n_reported_pos"),
+      r6(pTrue).as("p_true"), r6(pObs).as("p_observed"),
+      r6(pEst).as("p_estimated"), r6(abs(pEst - pTrue)).as("abs_err"))
+  }
 }

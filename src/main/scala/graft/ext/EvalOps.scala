@@ -638,4 +638,73 @@ object EvalOps {
           .as("coverage"))
       .orderBy("priority")
   }
+
+  /** Three deterministic heuristic "annotators" labeling each document
+    * good/bad — the stand-ins a labeling pipeline's agreement audit runs
+    * against before trusting a rater pool: (a) raw length, (b) whitespace
+    * token count, (c) non-space character density. Each is a map-side
+    * projection; thresholds sit near the corpus median so both classes
+    * are populated. */
+  import org.apache.spark.sql.Column
+
+  private def raterLabels(docs: DataFrame): DataFrame = {
+    val words = size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+    docs.select(col("doc_id"),
+      (col("n_chars") >= 300).cast("int").as("ra"),
+      (words >= 55).cast("int").as("rb"),
+      (length(regexp_replace(col("text"), " ", "")) * 1000 >=
+        length(col("text")) * 822).cast("int").as("rc"))
+  }
+
+  /** Cohen's kappa between annotators (a) and (b) of [[raterLabels]] —
+    * chance-corrected inter-rater agreement, the acceptance gate on a
+    * two-rater labeling job. The whole statistic is ONE map-side-
+    * collapsing aggregate to the 2×2 confusion counts (a single row);
+    * po/pe/kappa are scalar projections of exact integers, so every
+    * output is a portable rational. */
+  def cohenKappa(docs: DataFrame): DataFrame = {
+    val l = raterLabels(docs)
+    def cell(a: Int, b: Int) =
+      sum(when(col("ra") === a && col("rb") === b, 1L).otherwise(0L))
+    val m = l.agg(count(lit(1)).as("n"),
+      cell(1, 1).as("n11"), cell(0, 0).as("n00"),
+      cell(1, 0).as("n10"), cell(0, 1).as("n01"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val n = d(col("n"))
+    val po = (d(col("n11")) + d(col("n00"))) / n
+    val pe = ((d(col("n11")) + d(col("n10"))) *
+        (d(col("n11")) + d(col("n01"))) +
+      (d(col("n00")) + d(col("n01"))) *
+        (d(col("n00")) + d(col("n10")))) / (n * n)
+    m.select(col("n").as("n_docs"), col("n11"), col("n00"),
+      col("n10"), col("n01"),
+      r6(po).as("p_observed"), r6(pe).as("p_expected"),
+      r6((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
+  /** Fleiss' kappa across all three [[raterLabels]] annotators (m = 3
+    * raters, 2 categories) — the multi-rater generalization a labeling
+    * pool is audited with. Per-doc agreement Pᵢ = (n₁² + n₀² − m) /
+    * (m(m−1)) folds into integer sums (Σn₁, Σ(n₁²+n₀²)) in the same ONE
+    * map-side-collapsing aggregate; P̄, Pₑ, and kappa are scalar
+    * projections of those exact integers — portable rationals
+    * throughout, nothing but a one-row frame after the scan. */
+  def fleissKappa(docs: DataFrame): DataFrame = {
+    val l = raterLabels(docs)
+      .withColumn("n1", (col("ra") + col("rb") + col("rc")).cast("long"))
+    val m = l.agg(count(lit(1)).as("n"), sum(col("n1")).as("s1"),
+      sum(col("n1") * col("n1") +
+        (lit(3L) - col("n1")) * (lit(3L) - col("n1"))).as("sq"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val n = d(col("n"))
+    val pBar = (d(col("sq")) - lit(3.0) * n) / (lit(6.0) * n)
+    val p1 = d(col("s1")) / (lit(3.0) * n)
+    val pe = p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+    m.select(col("n").as("n_docs"), lit(3L).as("n_raters"),
+      r6(p1).as("p_positive"),
+      r6(pBar).as("p_bar"), r6(pe).as("p_expected"),
+      r6((pBar - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
 }

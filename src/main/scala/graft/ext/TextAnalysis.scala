@@ -1267,4 +1267,31 @@ object TextAnalysis {
       .orderBy(col("rank").desc, col("id")).limit(k)
       .select(col("id").as("term"), col("rank"))
   }
+
+  /** Tokenizer fertility audit per language: subword-per-word ratio
+    * (whitespace words vs the BPE-ish pre-tokenizer regex of
+    * [[textStats]]) and chars-per-subword — THE tokenizer-efficiency
+    * metric a multilingual training run budgets sequence length with
+    * (high-fertility languages consume context disproportionately).
+    * One map-side-collapsing aggregate to the language-cardinality
+    * frame; every output is a rational of exact integer sums. */
+  def tokenizerFertility(docs: DataFrame): DataFrame = {
+    val words = size(filter(split(lower(col("text")), "\\s+"),
+      t => t =!= ""))
+    val bpe = regexp_count(col("text"),
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    docs.select(col("lang"), words.cast("bigint").as("w"),
+        bpe.cast("bigint").as("t"),
+        length(col("text")).cast("bigint").as("ch"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("t")).as("n_subwords"), sum(col("ch")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        r6(col("n_subwords").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        r6(col("n_chars").cast("double") / col("n_subwords").cast("double"))
+          .as("chars_per_subword"))
+      .orderBy("lang")
+  }
 }

@@ -1,0 +1,269 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.{GraphAnalytics, StatsAnalytics}
+import graft.ext.{EvalOps, TextAnalysis}
+
+/** Round-10-of-build additions: Welch's t-test, t-closeness, staleness
+  * SLO, Cohen/Fleiss kappa, Adamic-Adar link prediction, HITS, and
+  * tokenizer fertility. Hand-traced fixtures plus plan-shape pins. */
+class Round19OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf(rows: Seq[(String, String, String, String, Long)]) =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  // ---- Cohen's kappa ------------------------------------------------
+
+  test("cohenKappa: hand-traced 2x2 cells and chance-corrected kappa") {
+    val many = Array.fill(60)("w").mkString(" ") // 60 words → rb = 1
+    val few = "just a few words here"           // 5 words  → rb = 0
+    val docs = docsDf(Seq(
+      ("d1", many, "en", "s", 300L), // ra=1 rb=1
+      ("d2", many, "en", "s", 400L), // ra=1 rb=1
+      ("d3", few, "en", "s", 100L),  // ra=0 rb=0
+      ("d4", few, "en", "s", 200L),  // ra=0 rb=0
+      ("d5", few, "en", "s", 350L))) // ra=1 rb=0
+    val r = EvalOps.cohenKappa(docs).collect()(0)
+    // n11=2 n00=2 n10=1 n01=0; po=0.8; pe=(3·2+2·3)/25=0.48
+    // kappa=0.32/0.52=0.6153846… → floor-round 0.615385
+    assert(r.getAs[Long]("n_docs") == 5L)
+    assert(r.getAs[Long]("n11") == 2L && r.getAs[Long]("n00") == 2L &&
+      r.getAs[Long]("n10") == 1L && r.getAs[Long]("n01") == 0L)
+    assert(r.getAs[Double]("p_observed") == 0.8)
+    assert(r.getAs[Double]("p_expected") == 0.48)
+    assert(r.getAs[Double]("kappa") == 0.615385)
+  }
+
+  test("cohenKappa plan: one aggregate, no window, no shuffle of docs") {
+    val docs = docsDf(Seq(("d1", "a b", "en", "s", 10L)))
+    val plan = EvalOps.cohenKappa(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  // ---- Fleiss' kappa ------------------------------------------------
+
+  test("fleissKappa: agreement sums match the closed-form trace") {
+    // rc threshold: non-space density ≥ 82.2%. "xxxxx" (no spaces) → 1;
+    // "a b c d e" (4 spaces / 9 chars → 55.6%) → 0.
+    val dense = Array.fill(60)("xxxxx").mkString("") // rb=0 (1 word), rc=1
+    val sparse = Array.fill(60)("w").mkString(" ")   // rb=1, rc: 60w/119ch → 50.4% → 0
+    val docs = docsDf(Seq(
+      ("d1", dense, "en", "s", 300L),  // ra=1 rb=0 rc=1 → n1=2
+      ("d2", sparse, "en", "s", 100L), // ra=0 rb=1 rc=0 → n1=1
+      ("d3", dense, "en", "s", 100L),  // ra=0 rb=0 rc=1 → n1=1
+      ("d4", sparse, "en", "s", 400L))) // ra=1 rb=1 rc=0 → n1=2
+    val r = EvalOps.fleissKappa(docs).collect()(0)
+    // n=4, s1=6, sq per doc n1²+(3-n1)²: {2→5, 1→5, 1→5, 2→5} → 20
+    // pbar=(20-12)/24=1/3 → floor(333333.83)/1e6 = 0.333333; p1=0.5;
+    // pe=0.5; kappa=(1/3-1/2)/(1/2) = -1/3 → floor(-333332.83)/1e6
+    //   = -0.333333
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Double]("p_positive") == 0.5)
+    assert(r.getAs[Double]("p_bar") == 0.333333)
+    assert(r.getAs[Double]("p_expected") == 0.5)
+    assert(r.getAs[Double]("kappa") == -0.333333)
+  }
+
+  // ---- Welch's t-test ----------------------------------------------
+
+  test("welchTTest: moments match direct per-variant computation") {
+    val ev = Seq.tabulate(200)(i =>
+      (i.toLong, "2024-01-01 00:00:00", s"u$i", "view",
+        Some((i % 13).toDouble * 1.5 + 2.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val r = StatsAnalytics.welchTTest(ev).collect()(0)
+    // independent recomputation from the same deterministic split
+    val vs = ev.select(graft.operators.Sampling
+        .hashBucket(col("user_id"), 2).cast("long").as("v"), col("value"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    def stats(g: Long) = {
+      val xs = vs.filter(_._1 == g).map(_._2)
+      val n = xs.length.toDouble
+      val m = xs.sum / n
+      (xs.length.toLong, m, xs.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val (na, ma, va) = stats(0); val (nb, mb, vb) = stats(1)
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(math.abs(r.getAs[Double]("mean_a") - ma) < 1e-5)
+    assert(math.abs(r.getAs[Double]("mean_b") - mb) < 1e-5)
+    assert(math.abs(r.getAs[Double]("var_a") - va) < 1e-4)
+    assert(math.abs(r.getAs[Double]("var_b") - vb) < 1e-4)
+    val t = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-5)
+  }
+
+  test("welchTTest plan: single-pass — one aggregate, no join, no window") {
+    val ev = Seq((1L, "u1", Some(1.0)))
+      .toDF("event_id", "user_id", "value")
+    val plan = StatsAnalytics.welchTTest(ev)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  // ---- t-closeness --------------------------------------------------
+
+  test("tCloseness: hand-traced TVD on two quasi-groups") {
+    // same day; vb 0 vs 1. g1: 4×A. g2: 1×A + 3×B.
+    // global: A 5/8, B 3/8.
+    // g1 TVD = ½(|1−5/8| + 3/8) = 0.375; g2 TVD = ½(|¼−⅝|+|¾−⅜|) = 0.375
+    val rows =
+      Seq.fill(4)(("A", 10.0)) ++ Seq(("A", 60.0)) ++ Seq.fill(3)(("B", 60.0))
+    val ev = rows.zipWithIndex.map { case ((t, v), i) =>
+      (i.toLong, "2024-01-01 00:00:00", s"u$i", t, Some(v), "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val r = StatsAnalytics.tCloseness(ev).collect()(0)
+    assert(r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Double]("max_tvd") == 0.375)
+    assert(r.getAs[Long]("n_wide_groups") == 2L)
+    assert(r.getAs[Long]("rows_at_risk") == 8L)
+  }
+
+  // ---- staleness ----------------------------------------------------
+
+  test("stalenessReport: lag, trailing-7d volume, and the stale flag") {
+    val rows = (1 to 10).map(d => ("A", f"2024-01-$d%02d 08:00:00")) ++
+      (1 to 5).map(d => ("B", f"2024-01-$d%02d 08:00:00"))
+    val ev = rows.zipWithIndex.map { case ((t, ts), i) =>
+      (i.toLong, ts, s"u$i", t, Some(1.0), "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = StatsAnalytics.stalenessReport(ev).collect()
+    val a = out.find(_.getString(0) == "A").get
+    val b = out.find(_.getString(0) == "B").get
+    // horizon = Jan 10. A: lag 0, last-7 window Jan 4-10 → 7 rows.
+    assert(a.getAs[Long]("n_rows") == 10L &&
+      a.getAs[Long]("lag_days") == 0L &&
+      a.getAs[Long]("n_last7") == 7L && a.getAs[Int]("is_stale") == 0)
+    // B: last day Jan 5 → lag 5 (> 3 → stale); Jan 4-10 → 2 rows.
+    assert(b.getAs[Long]("n_rows") == 5L &&
+      b.getAs[Long]("lag_days") == 5L &&
+      b.getAs[Long]("n_last7") == 2L && b.getAs[Int]("is_stale") == 1)
+  }
+
+  // ---- Adamic-Adar --------------------------------------------------
+
+  test("adamicAdarOnEdges: square graph — two predicted diagonals at " +
+    "2/ln(2), existing edges excluded") {
+    // cycle 1-2-3-4-1: every node has deg 2; wedges predict (1,3), (2,4)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val out = GraphAnalytics.adamicAdarOnEdges(e, limit = 10).collect()
+    assert(out.length == 2)
+    val exp = math.floor(2.0 / math.log(2.0) * 1e6 + 0.5) / 1e6 // 2.885390
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 3L), (2L, 4L)))
+    out.foreach { r =>
+      assert(r.getAs[Long]("common_neighbors") == 2L)
+      assert(r.getAs[Double]("adamic_adar") == exp)
+    }
+  }
+
+  test("adamicAdarOnEdges: path graph scores the endpoints once and " +
+    "never proposes an existing edge") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val out = GraphAnalytics.adamicAdarOnEdges(e, limit = 10).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 3L)
+    assert(out(0).getAs[Double]("adamic_adar") ==
+      math.floor(1.0 / math.log(2.0) * 1e6 + 0.5) / 1e6) // 1.442695
+  }
+
+  // ---- HITS ---------------------------------------------------------
+
+  test("hitsOnEdges: L1-normalized authorities sum to ~1 and rank by " +
+    "in-link mass") {
+    // c1-{p1,p2}, c2-{p1}: p1 must out-rank p2 at every iteration
+    val e = Seq((1L, 101L), (1L, 102L), (2L, 101L)).toDF("c", "p")
+    val out = GraphAnalytics.hitsOnEdges(e, iterations = 2, limit = 10)
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("part") == 101L) // top authority
+    val s = out.map(_.getAs[Double]("authority")).sum
+    assert(math.abs(s - 1.0) < 1e-6, s.toString)
+    assert(out(0).getAs[Double]("authority") >
+      out(1).getAs[Double]("authority"))
+    // hand value: authorities converge to (13/21, 8/21) at iteration 2
+    assert(math.abs(out(0).getAs[Double]("authority") - 13.0 / 21.0) < 1e-3)
+  }
+
+  test("hitsOnEdges: partitioning-invariant (decimal sums leave no " +
+    "float order to the scheduler)") {
+    val e = Seq.tabulate(40)(i => (i.toLong % 7, 100L + i % 11)).toDF("c", "p")
+      .distinct()
+    val a = GraphAnalytics.hitsOnEdges(e, 2, 20).collect().toSeq
+    val b = GraphAnalytics.hitsOnEdges(e.repartition(13), 2, 20)
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  // ---- tokenizer fertility -----------------------------------------
+
+  test("tokenizerFertility: hand-counted subword/word ratios per lang") {
+    val docs = docsDf(Seq(
+      ("d1", "ab cd", "en", "s", 5L),   // 2 words, 2 subwords, 5 chars
+      ("d2", "a-b x", "en", "s", 5L),   // 2 words, 4 subwords (a,-,b,x)
+      ("d3", "hello", "fr", "s", 5L)))  // 1 word, 1 subword
+    val out = TextAnalysis.tokenizerFertility(docs).collect()
+    val en = out.find(_.getString(0) == "en").get
+    val fr = out.find(_.getString(0) == "fr").get
+    assert(en.getAs[Long]("n_words") == 4L &&
+      en.getAs[Long]("n_subwords") == 6L)
+    assert(en.getAs[Double]("fertility") == 1.5)
+    assert(en.getAs[Double]("chars_per_subword") ==
+      math.floor(10.0 / 6.0 * 1e6 + 0.5) / 1e6) // 1.666667
+    assert(fr.getAs[Double]("fertility") == 1.0)
+  }
+
+  // ---- Brown's double smoothing ------------------------------------
+
+  test("brownTrend: hand-traced s1/s2/level/trend on x = [8, 4, 6]") {
+    // s1 = [8, 6, 6]; s2 = EWMA(s1) = [8, 7, 6.5];
+    // level = 2s1-s2 = [8, 5, 5.5]; trend = [0, -1, -0.5];
+    // forecast = level + trend = [8, 4, 5]
+    val ev = Seq((1L, "2024-01-01 08:00:00", 8.0),
+      (2L, "2024-01-02 08:00:00", 4.0), (3L, "2024-01-03 08:00:00", 6.0))
+      .map { case (i, ts, v) => (i, ts, s"u$i", "view", Some(v), "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = StatsAnalytics.brownTrend(ev).collect()
+    assert(out.map(_.getAs[Double]("s1")).toSeq == Seq(8.0, 6.0, 6.0))
+    assert(out.map(_.getAs[Double]("s2")).toSeq == Seq(8.0, 7.0, 6.5))
+    assert(out.map(_.getAs[Double]("level")).toSeq == Seq(8.0, 5.0, 5.5))
+    assert(out.map(_.getAs[Double]("trend")).toSeq == Seq(0.0, -1.0, -0.5))
+    assert(out.map(_.getAs[Double]("forecast_next")).toSeq ==
+      Seq(8.0, 4.0, 5.0))
+  }
+
+  // ---- randomized response -----------------------------------------
+
+  test("randomizedResponse: debias algebra inverts the observed rate") {
+    val ev = Seq.tabulate(400)(i =>
+      (i.toLong, "2024-01-01 00:00:00", s"u$i",
+        if (i % 4 == 0) "purchase" else "view", Some(1.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val r = StatsAnalytics.randomizedResponse(ev).collect()(0)
+    assert(r.getAs[Long]("n") == 400L)
+    assert(r.getAs[Long]("n_true_pos") == 100L)
+    assert(r.getAs[Double]("p_true") == 0.25)
+    // debias identity: p_est = 2·(p_obs − ¼), up to the 1e-6 rounds
+    assert(math.abs(r.getAs[Double]("p_estimated") -
+      2.0 * (r.getAs[Double]("p_observed") - 0.25)) < 2e-6)
+    // the mechanism's reported count differs from truth (some flips)
+    assert(r.getAs[Long]("n_reported_pos") != r.getAs[Long]("n_true_pos"))
+  }
+
+  test("fertility/kappa plans stay map-side: no window, no join") {
+    val docs = docsDf(Seq(("d1", "a b", "en", "s", 10L)))
+    for (df <- Seq(TextAnalysis.tokenizerFertility(docs),
+        EvalOps.fleissKappa(docs))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("WindowExec"), plan)
+      assert(!plan.contains("Join"), plan)
+    }
+  }
+}

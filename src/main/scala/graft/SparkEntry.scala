@@ -1733,6 +1733,9 @@ object SparkEntry {
     // Warner randomized-response local-DP debias audit
     "q_randomized_response" -> ((s, d) =>
       StatsAnalytics.randomizedResponse(Tables.events(s, d))),
+    // DBSCAN core/border/noise census over the cosine graph
+    "q_dbscan_core" -> ((s, d) =>
+      graft.ext.Similarity.dbscanCore(Tables.embeddings(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -7541,33 +7544,20 @@ object SparkEntry {
     "q_hits" ->
       """WITH e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         a1 AS (SELECT p, CAST(count(*) AS DECIMAL(38,18)) AS a
-           FROM e GROUP BY 1),
-         at1 AS (SELECT sum(a) AS t FROM a1),
-         a1n AS (SELECT p, CAST(a AS DOUBLE) / CAST(t AS DOUBLE) AS an
-           FROM a1 CROSS JOIN at1),
-         h1 AS (SELECT c, sum(CAST(an AS DECIMAL(38,18))) AS h
-           FROM e JOIN a1n USING (p) GROUP BY 1),
-         ht1 AS (SELECT sum(h) AS t FROM h1),
-         h1n AS (SELECT c, CAST(h AS DOUBLE) / CAST(t AS DOUBLE) AS hn
-           FROM h1 CROSS JOIN ht1),
-         a2 AS (SELECT p, sum(CAST(hn AS DECIMAL(38,18))) AS a
-           FROM e JOIN h1n USING (c) GROUP BY 1),
-         at2 AS (SELECT sum(a) AS t FROM a2),
-         a2n AS (SELECT p, CAST(a AS DOUBLE) / CAST(t AS DOUBLE) AS an
-           FROM a2 CROSS JOIN at2),
-         h2 AS (SELECT c, sum(CAST(an AS DECIMAL(38,18))) AS h
-           FROM e JOIN a2n USING (p) GROUP BY 1),
-         ht2 AS (SELECT sum(h) AS t FROM h2),
-         h2n AS (SELECT c, CAST(h AS DOUBLE) / CAST(t AS DOUBLE) AS hn
-           FROM h2 CROSS JOIN ht2),
-         a3 AS (SELECT p, sum(CAST(hn AS DECIMAL(38,18))) AS a
-           FROM e JOIN h2n USING (c) GROUP BY 1),
-         at3 AS (SELECT sum(a) AS t FROM a3)
+         a1 AS (SELECT p, count(*) AS a FROM e GROUP BY 1),
+         h1 AS (SELECT c, sum(a) AS h FROM e JOIN a1 USING (p)
+           GROUP BY 1),
+         a2 AS (SELECT p, sum(h) AS a FROM e JOIN h1 USING (c)
+           GROUP BY 1),
+         h2 AS (SELECT c, sum(a) AS h FROM e JOIN a2 USING (p)
+           GROUP BY 1),
+         a3 AS (SELECT p, sum(h) AS a FROM e JOIN h2 USING (c)
+           GROUP BY 1),
+         t AS (SELECT sum(a) AS at FROM a3)
          SELECT p AS part,
-           floor(CAST(a AS DOUBLE) / CAST(t AS DOUBLE) * 1000000000.0
+           floor(CAST(a AS DOUBLE) / CAST(at AS DOUBLE) * 1000000000.0
              + 0.5) / 1000000000.0 AS authority
-         FROM a3 CROSS JOIN at3 ORDER BY authority DESC, part LIMIT 20""",
+         FROM a3 CROSS JOIN t ORDER BY authority DESC, part LIMIT 20""",
     "q_fertility" ->
       """WITH t AS (SELECT lang,
            CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
@@ -7643,5 +7633,37 @@ object SparkEntry {
            floor(abs(p_est_r - p_true_r) * 1000000.0 + 0.5) / 1000000.0
              AS abs_err
          FROM q""",
+    "q_dbscan_core" ->
+      """WITH p AS (
+           SELECT a.vec_id AS va, b.vec_id AS vb,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+               b.embedding::DOUBLE[]), 6) AS sim
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+         pr AS (SELECT va, vb FROM p WHERE sim >= 0.3),
+         sym AS (SELECT va AS v, vb AS nb FROM pr
+                 UNION ALL SELECT vb, va FROM pr),
+         deg AS (SELECT v, count(*) AS k FROM sym GROUP BY 1),
+         roles AS (SELECT e.vec_id AS v,
+             coalesce(deg.k, 0) AS k,
+             CASE WHEN coalesce(deg.k, 0) >= 3 THEN 1 ELSE 0 END
+               AS is_core
+           FROM embeddings e LEFT JOIN deg ON deg.v = e.vec_id),
+         nearc AS (SELECT DISTINCT sym.v FROM sym
+           JOIN roles r ON r.v = sym.nb AND r.is_core = 1),
+         ce AS (SELECT count(*) AS n_core_edges FROM pr
+           WHERE EXISTS (SELECT 1 FROM roles r
+               WHERE r.v = pr.va AND r.is_core = 1)
+             AND EXISTS (SELECT 1 FROM roles r
+               WHERE r.v = pr.vb AND r.is_core = 1))
+         SELECT CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(roles.is_core) AS BIGINT) AS n_core,
+           CAST(sum(CASE WHEN roles.is_core = 0 AND nearc.v IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_border,
+           CAST(sum(CASE WHEN roles.is_core = 0 AND nearc.v IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_noise,
+           CAST(max(ce.n_core_edges) AS BIGINT) AS n_core_edges,
+           CAST(3 AS BIGINT) AS min_pts
+         FROM roles LEFT JOIN nearc ON nearc.v = roles.v
+           CROSS JOIN ce""",
   )
 }

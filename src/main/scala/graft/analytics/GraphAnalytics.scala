@@ -471,13 +471,17 @@ object GraphAnalytics {
                                        limit: Int): DataFrame = {
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("deg"))
-    val wedges = sym.select(col("a").as("z"), col("b").as("u"))
+    // deg attaches to the EDGE frame (2|E| rows) before the wedge
+    // fanout, so the Σ_z deg(z)² wedge table never shuffles again for a
+    // degree lookup — it flows straight into the pair aggregate
+    val left = sym.select(col("a").as("z"), col("b").as("u"))
+      .join(deg, Seq("z"))
+    val wedges = left
       .join(sym.select(col("a").as("z"), col("b").as("v")), Seq("z"))
       .filter(col("u") < col("v"))
     def r6(c: org.apache.spark.sql.Column) =
       floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     wedges
-      .join(deg, Seq("z"))
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("common_neighbors"),
         sum((lit(1.0) / log(col("deg").cast("double")))
@@ -492,13 +496,19 @@ object GraphAnalytics {
 
   /** HITS hubs-and-authorities over the bipartite customer→part purchase
     * graph (Kleinberg): customers are hubs, parts authorities;
-    * `iterations` alternating updates with L1 normalization. Scores are
-    * per-edge products summed in DECIMAL (order-independent merges); the
-    * normalizing total is a one-row broadcast and the division runs on
-    * doubles, so the trajectory is engine-exact and the DuckDB oracle
-    * mirrors it as unrolled CTEs. The edge frame is corpus-sized but
-    * every iteration touches only (edge ⋈ score) hash joins keyed on the
-    * node ids — the textbook distributed HITS shape. */
+    * `iterations` alternating updates. L1 normalization COMMUTES with
+    * the linear updates, so the whole trajectory runs on RAW integer
+    * sums (h₀ ≡ 1 → every intermediate score is an exact integer — no
+    * per-round normalization pass, no float rounding anywhere) and the
+    * single division at the end produces the same normalized authorities
+    * a per-round-normalizing implementation converges to. That deletes
+    * 2·iterations scalar-total jobs and makes the result bit-exact by
+    * integer arithmetic in any engine. Magnitudes grow ~(d_p·d_c) per
+    * round — DECIMAL(38,0) accumulators hold ≥1e38, far beyond any real
+    * degree product at 2–3 iterations; re-scale per round only if you
+    * push iterations an order of magnitude higher. The edge frame is
+    * corpus-sized but every round is an (edge ⋈ score) hash join keyed
+    * on the node ids — the textbook distributed HITS shape. */
   def hits(spark: SparkSession, sfDir: String,
            iterations: Int = 2, limit: Int = 20): DataFrame =
     hitsOnEdges(
@@ -516,28 +526,18 @@ object GraphAnalytics {
     * core. */
   private[graft] def hitsOnEdges(edges: DataFrame, iterations: Int,
                                  limit: Int): DataFrame = {
-    // h₀ ≡ 1, so the first authority pass is the part in-degree (exact
-    // integers); later passes carry normalized doubles through DECIMAL
+    // h₀ ≡ 1 → auth₀ = part in-degree; every later score is an exact
+    // integer sum of integers (see scaladoc: normalization deferred)
     var auth: DataFrame = edges.groupBy("p")
-      .agg(count(lit(1)).cast("decimal(38,18)").as("a"))
-    var hubs: DataFrame = null
-    for (_ <- 1 to iterations) {
-      val aTot = auth.agg(sum(col("a")).as("at"))
-      val aN = auth.crossJoin(broadcast(aTot))
-        .select(col("p"),
-          (col("a").cast("double") / col("at").cast("double")).as("an"))
-      val h = edges.join(aN, Seq("p"))
-        .groupBy("c")
-        .agg(sum(col("an").cast("decimal(38,18)")).as("h"))
-      val hTot = h.agg(sum(col("h")).as("ht"))
-      hubs = h.crossJoin(broadcast(hTot))
-        .select(col("c"),
-          (col("h").cast("double") / col("ht").cast("double")).as("hn"))
-        .localCheckpoint()
+      .agg(count(lit(1)).cast("decimal(38,0)").as("a"))
+    for (i <- 1 to iterations) {
+      val hubs = edges.join(auth, Seq("p"))
+        .groupBy("c").agg(sum(col("a")).as("h"))
       auth = edges.join(hubs, Seq("c"))
-        .groupBy("p")
-        .agg(sum(col("hn").cast("decimal(38,18)")).as("a"))
-        .localCheckpoint()
+        .groupBy("p").agg(sum(col("h")).as("a"))
+      // barrier per round: auth feeds the next round's join AND (last
+      // round) both the total and the output projection
+      auth = auth.localCheckpoint()
     }
     val aTot = auth.agg(sum(col("a")).as("at"))
     // portable floor round (not round(): engines disagree on half mode)

@@ -509,6 +509,58 @@ object Similarity {
       .distinct()
   }
 
+  /** DBSCAN role census over the thresholded cosine graph: a vector with
+    * ≥ minPts neighbors at sim ≥ threshold is CORE, a non-core vector
+    * adjacent to a core is BORDER, the rest is NOISE — the density
+    * diagnostic that tells a curation pipeline whether an embedding space
+    * has exploitable cluster structure before it pays for a clusterer
+    * (DBSCAN, Ester et al. 1996; the census is the ε-scan step). The
+    * neighbor graph here is [[embeddingNearDup]]'s exact pair frame (the
+    * documented small-corpus oracle form); at 100 TB swap in
+    * [[embeddingNearDupLSH]]'s bucketed pairs and everything downstream —
+    * degree count, border probe, core-edge count — is unchanged, all of
+    * it id-keyed aggregates and semi joins, never payload-sized
+    * shuffles. Output is a one-row census plus the core-core edge count
+    * (the input size of the components step a full DBSCAN would run —
+    * [[graft.ext.DedupCluster]] has that machinery). */
+  def dbscanCore(emb: DataFrame, threshold: Double = 0.3,
+                 minPts: Long = 3L): DataFrame = {
+    val pairs = embeddingNearDup(emb, threshold).localCheckpoint()
+    val sym = pairs
+      .select(col("vec_id_a").as("v"), col("vec_id_b").as("nb"))
+      .unionAll(pairs
+        .select(col("vec_id_b").as("v"), col("vec_id_a").as("nb")))
+      .localCheckpoint()
+    val deg = sym.groupBy("v").agg(count(lit(1)).as("k"))
+    val roles = emb.select(col("vec_id").as("v"))
+      .join(deg, Seq("v"), "left")
+      .withColumn("k", coalesce(col("k"), lit(0L)))
+      .withColumn("is_core", (col("k") >= minPts).cast("int"))
+      .localCheckpoint()
+    val coreNb = roles.filter(col("is_core") === 1)
+      .select(col("v").as("nb"))
+    val nearCore = sym.join(coreNb, Seq("nb"), "left_semi")
+      .select(col("v")).distinct().withColumn("near_core", lit(1))
+    val lab = roles.join(nearCore, Seq("v"), "left")
+      .withColumn("near_core", coalesce(col("near_core"), lit(0)))
+    val coreA = roles.filter(col("is_core") === 1)
+      .select(col("v").as("vec_id_a"))
+    val coreB = roles.filter(col("is_core") === 1)
+      .select(col("v").as("vec_id_b"))
+    val nCoreEdges = pairs
+      .join(coreA, Seq("vec_id_a"), "left_semi")
+      .join(coreB, Seq("vec_id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_core_edges"))
+    lab.agg(count(lit(1)).as("n_points"),
+        sum(col("is_core").cast("long")).as("n_core"),
+        sum(when(col("is_core") === 0 && col("near_core") === 1, 1L)
+          .otherwise(0L)).as("n_border"),
+        sum(when(col("is_core") === 0 && col("near_core") === 0, 1L)
+          .otherwise(0L)).as("n_noise"))
+      .crossJoin(broadcast(nCoreEdges))
+      .withColumn("min_pts", lit(minPts))
+  }
+
   /** k-NN label classification: predict each query vector's label as the
     * majority label of its k nearest neighbors (cosine, reusing
     * [[bruteForceTopK]]'s exact ranking — same rounding, same id

@@ -257,6 +257,25 @@ class Round19OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_reported_pos") != r.getAs[Long]("n_true_pos"))
   }
 
+  // ---- DBSCAN core census ------------------------------------------
+
+  test("dbscanCore: hand geometry — one core, two border, one noise") {
+    // threshold 0.7 (~45°), minPts 2: v1=(1,0) sees v2,v3 (sim .92) →
+    // core; v2,v3 see only v1 (sim(v2,v3)=.695 < .7) → border; v4=(0,1)
+    // sees nobody → noise. No core-core pair → 0 core edges.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0L), (2L, Array(0.92f, 0.39f), 0L),
+      (3L, Array(0.92f, -0.39f), 0L), (4L, Array(0.0f, 1.0f), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.ext.Similarity.dbscanCore(emb, threshold = 0.7,
+      minPts = 2L).collect()(0)
+    assert(r.getAs[Long]("n_points") == 4L)
+    assert(r.getAs[Long]("n_core") == 1L)
+    assert(r.getAs[Long]("n_border") == 2L)
+    assert(r.getAs[Long]("n_noise") == 1L)
+    assert(r.getAs[Long]("n_core_edges") == 0L)
+  }
+
   test("fertility/kappa plans stay map-side: no window, no join") {
     val docs = docsDf(Seq(("d1", "a b", "en", "s", 10L)))
     for (df <- Seq(TextAnalysis.tokenizerFertility(docs),

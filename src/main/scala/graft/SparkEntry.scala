@@ -1736,6 +1736,12 @@ object SparkEntry {
     // DBSCAN core/border/noise census over the cosine graph
     "q_dbscan_core" -> ((s, d) =>
       graft.ext.Similarity.dbscanCore(Tables.embeddings(s, d))),
+    // rolling-origin one-step backtest: naive vs EWMA forecasters
+    "q_forecast_eval" -> ((s, d) =>
+      StatsAnalytics.forecastEval(Tables.events(s, d))),
+    // mean average precision @ 10 (retrieval-eval list quality)
+    "q_map" -> ((s, d) =>
+      graft.ext.Similarity.mapAtK(Tables.embeddings(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -7665,5 +7671,94 @@ object SparkEntry {
            CAST(3 AS BIGINT) AS min_pts
          FROM roles LEFT JOIN nearc ON nearc.v = roles.v
            CROSS JOIN ce""",
+    "q_forecast_eval" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS x
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         idx AS (SELECT d, x, row_number() OVER (ORDER BY d) AS t
+           FROM daily),
+         t1 AS (SELECT a.d, a.t, b.x AS xj,
+             CASE WHEN b.t = 1 THEN a.t - 1
+                  ELSE a.t - b.t + 1 END AS k
+           FROM idx a JOIN idx b ON b.t <= a.t AND a.t - b.t <= 62),
+         c1 AS (SELECT d, t,
+             CAST(sum(CAST(xj / CAST((1::BIGINT << k) AS DOUBLE)
+               AS DECIMAL(28,10))) AS DOUBLE) AS s1
+           FROM t1 GROUP BY 1, 2),
+         base AS (SELECT idx.d, idx.x, idx.t, c1.s1,
+             lag(idx.x) OVER (ORDER BY idx.t) AS naive_fc,
+             lag(c1.s1) OVER (ORDER BY idx.t) AS ewma_fc
+           FROM idx JOIN c1 USING (d, t)),
+         b2 AS (SELECT * FROM base WHERE t >= 2),
+         m AS (
+           SELECT 'naive' AS model, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CAST(abs(x - naive_fc) AS DECIMAL(28,10)))
+               AS DOUBLE) AS sae,
+             CAST(sum(CAST((x - naive_fc) * (x - naive_fc)
+               AS DECIMAL(28,10))) AS DOUBLE) AS sse,
+             CAST(sum(CAST(abs(x - naive_fc) / x AS DECIMAL(28,12)))
+               AS DOUBLE) AS sape
+           FROM b2
+           UNION ALL
+           SELECT 'ewma', CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(abs(x - ewma_fc) AS DECIMAL(28,10)))
+               AS DOUBLE),
+             CAST(sum(CAST((x - ewma_fc) * (x - ewma_fc)
+               AS DECIMAL(28,10))) AS DOUBLE),
+             CAST(sum(CAST(abs(x - ewma_fc) / x AS DECIMAL(28,12)))
+               AS DOUBLE)
+           FROM b2)
+         SELECT model, n_days,
+           floor(sae / CAST(n_days AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS mae,
+           floor(sqrt(sse / CAST(n_days AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS rmse,
+           floor(sape / CAST(n_days AS DOUBLE) * 100.0 * 1000000.0 + 0.5)
+             / 1000000.0 AS mape_pct
+         FROM m ORDER BY model""",
+    "q_map" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe,
+             label AS q_label
+           FROM embeddings WHERE vec_id % 10 = 0),
+         s AS (
+           SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
+             e.label AS n_label,
+             round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6)
+               AS sim
+           FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY sim DESC, neighbor_id) AS rnk FROM s),
+         h AS (
+           SELECT query_id, q_label, rnk,
+             CASE WHEN q_label = n_label THEN 1 ELSE 0 END AS rel,
+             CAST(sum(CASE WHEN q_label = n_label THEN 1 ELSE 0 END)
+               OVER (PARTITION BY query_id ORDER BY rnk) AS BIGINT)
+               AS hits_upto
+           FROM r WHERE rnk <= 10),
+         pq AS (
+           SELECT query_id, any_value(q_label) AS q_label,
+             sum(CAST(CASE WHEN rel = 1
+               THEN CAST(hits_upto AS DOUBLE) / CAST(rnk AS DOUBLE)
+               ELSE 0.0 END AS DECIMAL(28,12))) AS ap_num,
+             CAST(sum(rel) AS BIGINT) AS n_hits
+           FROM h GROUP BY 1),
+         lc AS (SELECT label, count(*) AS n_lab FROM embeddings
+           GROUP BY 1),
+         ap AS (SELECT pq.*, least(lc.n_lab - 1, 10) AS denom
+           FROM pq JOIN lc ON lc.label = pq.q_label)
+         SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_hit,
+           floor(CAST(sum(CAST(CASE WHEN denom > 0
+               THEN CAST(ap_num AS DOUBLE) / CAST(denom AS DOUBLE)
+               ELSE 0.0 END AS DECIMAL(28,12))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS map
+         FROM ap""",
   )
 }

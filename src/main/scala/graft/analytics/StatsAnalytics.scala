@@ -1448,6 +1448,25 @@ object StatsAnalytics {
     * run on the DAY frame — domain-bounded, never data-scale — behind
     * one corpus aggregate; weights beyond 2⁻⁶² underflow the rounding
     * and are dropped. */
+  /** [[ewmaDaily]]'s exact dyadic α=½ smoothing kernel over a (d, t,
+    * valCol) day frame — shared by [[brownTrend]] (twice) and
+    * [[forecastEval]]. Bit-shift weights, per-term doubles into DECIMAL;
+    * the pair join is day-frame-bounded. */
+  private def dyadicSmooth(src: DataFrame, valCol: String,
+                           outCol: String): DataFrame =
+    src.select(col("d"), col("t"))
+      .join(src.select(col("t").as("j"), col(valCol).as("xj")),
+        col("j") <= col("t") && col("t") - col("j") <= lit(62))
+      .withColumn("k",
+        when(col("j") === 1, col("t") - lit(1))
+          .otherwise(col("t") - col("j") + lit(1)))
+      .withColumn("term", col("xj") /
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))")
+          .cast("double"))
+      .groupBy("d", "t")
+      .agg(sum(col("term").cast("decimal(28,10)")).cast("double")
+        .as(outCol))
+
   def brownTrend(ev: DataFrame): DataFrame = {
     val daily = ev.filter(col("value").isNotNull && col("ts").isNotNull)
       .groupBy(to_date(col("ts")).as("d"))
@@ -1457,21 +1476,8 @@ object StatsAnalytics {
       // day-frame barrier: both convolution passes and the final join
       // read this ≤|days| frame, not the corpus
       .localCheckpoint()
-    def smooth(src: DataFrame, valCol: String, outCol: String): DataFrame =
-      src.select(col("d"), col("t"))
-        .join(src.select(col("t").as("j"), col(valCol).as("xj")),
-          col("j") <= col("t") && col("t") - col("j") <= lit(62))
-        .withColumn("k",
-          when(col("j") === 1, col("t") - lit(1))
-            .otherwise(col("t") - col("j") + lit(1)))
-        .withColumn("term", col("xj") /
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))")
-            .cast("double"))
-        .groupBy("d", "t")
-        .agg(sum(col("term").cast("decimal(28,10)")).cast("double")
-          .as(outCol))
-    val withS1 = daily.join(smooth(daily, "x", "v1"), Seq("d", "t"))
-    val out = withS1.join(smooth(withS1, "v1", "v2"), Seq("d", "t"))
+    val withS1 = daily.join(dyadicSmooth(daily, "x", "v1"), Seq("d", "t"))
+    val out = withS1.join(dyadicSmooth(withS1, "v1", "v2"), Seq("d", "t"))
     def r4(c: Column) = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
     out.select(col("d"), col("x").as("daily_revenue"),
         r4(col("v1")).as("s1"), r4(col("v2")).as("s2"),
@@ -1480,6 +1486,47 @@ object StatsAnalytics {
         r4((lit(2.0) * col("v1") - col("v2")) +
           (col("v1") - col("v2"))).as("forecast_next"))
       .orderBy("d")
+  }
+
+  /** Rolling-origin one-step forecast backtest: for every day t ≥ 2,
+    * score yesterday's two forecasters against today's actual — the
+    * NAIVE carry-forward x_{t−1} and the EWMA level s1_{t−1} (the exact
+    * dyadic smoother of [[ewmaDaily]]) — and report MAE / RMSE / MAPE
+    * per model. This is the eval loop that decides whether the smoother
+    * earns its keep before anyone trusts [[brownTrend]]'s projections.
+    * One corpus aggregate builds the day frame; the backtest itself is
+    * day-frame-bounded (lag window + two one-row aggregates). Error
+    * terms are IEEE-deterministic doubles folded through DECIMAL, so
+    * every metric is engine-exact. */
+  def forecastEval(ev: DataFrame): DataFrame = {
+    val daily = ev.filter(col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")), 2)
+        .cast("double").as("x"))
+      .withColumn("t", row_number().over(Window.orderBy("d")))
+      .localCheckpoint()
+    val w = Window.orderBy("t")
+    val base = daily.join(dyadicSmooth(daily, "x", "s1"), Seq("d", "t"))
+      .withColumn("naive_fc", lag(col("x"), 1).over(w))
+      .withColumn("ewma_fc", lag(col("s1"), 1).over(w))
+      .filter(col("t") >= 2)
+      .localCheckpoint()
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    def report(fcCol: String, name: String): DataFrame = {
+      val err = col("x") - col(fcCol)
+      base.agg(count(lit(1)).as("n_days"),
+          sum(abs(err).cast("decimal(28,10)")).cast("double").as("sae"),
+          sum((err * err).cast("decimal(28,10)")).cast("double").as("sse"),
+          sum((abs(err) / col("x")).cast("decimal(28,12)")).cast("double")
+            .as("sape"))
+        .select(lit(name).as("model"), col("n_days"),
+          r6(col("sae") / col("n_days").cast("double")).as("mae"),
+          r6(sqrt(col("sse") / col("n_days").cast("double"))).as("rmse"),
+          r6(col("sape") / col("n_days").cast("double") * lit(100.0))
+            .as("mape_pct"))
+    }
+    report("naive_fc", "naive").unionAll(report("ewma_fc", "ewma"))
+      .orderBy("model")
   }
 
   /** Randomized-response local-DP audit (Warner's mechanism): each row

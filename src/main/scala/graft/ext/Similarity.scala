@@ -830,6 +830,50 @@ object Similarity {
         .as("mrr"))
   }
 
+  /** Mean average precision at k — the list-quality leg of the
+    * retrieval-eval suite beside recall@k (one-hit coverage), NDCG
+    * (graded positions), and MRR (first hit): AP@k credits EVERY
+    * relevant neighbour by the precision at its rank,
+    * AP = Σ_{hit at rank r} P@r / min(R, k) with R the query's total
+    * relevant corpus count (same label, excluding itself). MAP averages
+    * over queries.
+    *
+    * Determinism: P@r = hits_upto/r is an exact-integer IEEE division
+    * over the tie-broken bruteForceTopK ranking; per-hit terms and the
+    * per-query APs fold through DECIMAL. Scale shape: same
+    * broadcast-query / corpus-never-shuffles top-k as the siblings; the
+    * running-hit window spans ≤ k rows per query; the label-count frame
+    * is label-cardinality and broadcast. */
+  def mapAtK(emb: DataFrame, k: Int = 10, queryMod: Int = 10): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label"))
+    val labCounts = labels.groupBy("label").agg(count(lit(1)).as("n_lab"))
+    val w = Window.partitionBy("query_id").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = bruteForceTopK(emb, k, queryMod)
+      .join(labels.select(col("vec_id").as("query_id"),
+        col("label").as("q_label")), Seq("query_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), Seq("neighbor_id"))
+      .withColumn("rel", (col("q_label") === col("n_label")).cast("int"))
+      .withColumn("hits_upto", sum(col("rel")).over(w))
+    val perQuery = scored.groupBy("query_id", "q_label")
+      .agg(sum(when(col("rel") === 1,
+          col("hits_upto").cast("double") / col("rank").cast("double"))
+          .otherwise(lit(0.0)).cast("decimal(28,12)")).as("ap_num"),
+        sum(col("rel").cast("long")).as("n_hits"))
+      .join(broadcast(labCounts), col("q_label") === col("label"))
+      .withColumn("denom",
+        least(col("n_lab") - lit(1L), lit(k.toLong)))
+      .withColumn("ap", when(col("denom") > 0,
+        col("ap_num").cast("double") / col("denom").cast("double"))
+        .otherwise(lit(0.0)))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    perQuery.agg(count(lit(1)).as("n_queries"),
+      sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_with_hit"),
+      r6(sum(col("ap").cast("decimal(28,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("map"))
+  }
+
   /** Top principal direction of the embedding cloud by power iteration on
     * the (uncentered) d×d Gram matrix — PCA's workhorse as a relational
     * loop, the linear-algebra sibling of [[kmeansIterate]]. The ONLY

@@ -257,6 +257,45 @@ class Round19OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_reported_pos") != r.getAs[Long]("n_true_pos"))
   }
 
+  // ---- forecast backtest -------------------------------------------
+
+  test("forecastEval: hand-traced naive vs EWMA backtest on [8, 4, 6]") {
+    // naive errs: |4-8|, |6-4| → MAE 3, RMSE √10, MAPE (1 + 1/3)/2
+    // ewma (s1=[8,6,6]) errs: |4-8|, |6-6| → MAE 2, RMSE √8, MAPE 50%
+    val ev = Seq((1L, "2024-01-01 08:00:00", 8.0),
+      (2L, "2024-01-02 08:00:00", 4.0), (3L, "2024-01-03 08:00:00", 6.0))
+      .map { case (i, ts, v) => (i, ts, s"u$i", "view", Some(v), "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = StatsAnalytics.forecastEval(ev).collect()
+    val e = out.find(_.getString(0) == "ewma").get
+    val n = out.find(_.getString(0) == "naive").get
+    assert(n.getAs[Long]("n_days") == 2L)
+    assert(n.getAs[Double]("mae") == 3.0)
+    assert(n.getAs[Double]("rmse") == 3.162278) // √10 floor-rounded
+    assert(n.getAs[Double]("mape_pct") == 66.666667)
+    assert(e.getAs[Double]("mae") == 2.0)
+    assert(e.getAs[Double]("rmse") == 2.828428 ||
+      e.getAs[Double]("rmse") == 2.828427) // √8
+    assert(e.getAs[Double]("mape_pct") == 50.0)
+  }
+
+  // ---- mean average precision --------------------------------------
+
+  test("mapAtK: hand-ranked hits at ranks 1 and 3 give AP = 5/6") {
+    // query 0 (A); ranking v1(A) v2(B) v3(A) v4(B); R = 2
+    // AP = (1/1 + 2/3)/2 = 5/6 → 0.833333
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0L), (1L, Array(1.0f, 0.0f), 0L),
+      (2L, Array(0.7f, 0.714f), 1L), (3L, Array(0.5f, 0.866f), 0L),
+      (4L, Array(0.0f, 1.0f), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.ext.Similarity.mapAtK(emb).collect()(0)
+    assert(r.getAs[Long]("n_queries") == 1L)
+    assert(r.getAs[Long]("n_with_hit") == 1L)
+    assert(r.getAs[Double]("map") == 0.833333)
+  }
+
   // ---- DBSCAN core census ------------------------------------------
 
   test("dbscanCore: hand geometry — one core, two border, one noise") {

@@ -1736,6 +1736,9 @@ object SparkEntry {
     // DBSCAN core/border/noise census over the cosine graph
     "q_dbscan_core" -> ((s, d) =>
       graft.ext.Similarity.dbscanCore(Tables.embeddings(s, d))),
+    // DBSCAN cluster census (bounded min-label rounds on core graph)
+    "q_dbscan_clusters" -> ((s, d) =>
+      graft.ext.Similarity.dbscanClusters(Tables.embeddings(s, d))),
     // rolling-origin one-step backtest: naive vs EWMA forecasters
     "q_forecast_eval" -> ((s, d) =>
       StatsAnalytics.forecastEval(Tables.events(s, d))),
@@ -7671,6 +7674,51 @@ object SparkEntry {
            CAST(3 AS BIGINT) AS min_pts
          FROM roles LEFT JOIN nearc ON nearc.v = roles.v
            CROSS JOIN ce""",
+    "q_dbscan_clusters" ->
+      """WITH p AS (
+           SELECT a.vec_id AS va, b.vec_id AS vb,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+               b.embedding::DOUBLE[]), 6) AS sim
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+         pr AS (SELECT va, vb FROM p WHERE sim >= 0.3),
+         sym AS (SELECT va AS v, vb AS nb FROM pr
+                 UNION ALL SELECT vb, va FROM pr),
+         deg AS (SELECT v, count(*) AS k FROM sym GROUP BY 1),
+         core AS (SELECT v FROM deg WHERE k >= 3),
+         ce AS (SELECT va, vb FROM pr
+           WHERE va IN (SELECT v FROM core)
+             AND vb IN (SELECT v FROM core)),
+         cs AS (SELECT va AS v, vb AS nb FROM ce
+                UNION ALL SELECT vb, va FROM ce),
+         l0 AS (SELECT v, v AS lbl FROM core),
+         r1 AS (SELECT l0.v, least(l0.lbl, coalesce(m.nmin, l0.lbl))
+             AS lbl
+           FROM l0 LEFT JOIN (SELECT cs.v, min(x.lbl) AS nmin
+             FROM cs JOIN l0 x ON x.v = cs.nb GROUP BY 1) m
+             ON m.v = l0.v),
+         r2 AS (SELECT r1.v, least(r1.lbl, coalesce(m.nmin, r1.lbl))
+             AS lbl
+           FROM r1 LEFT JOIN (SELECT cs.v, min(x.lbl) AS nmin
+             FROM cs JOIN r1 x ON x.v = cs.nb GROUP BY 1) m
+             ON m.v = r1.v),
+         r3 AS (SELECT r2.v, least(r2.lbl, coalesce(m.nmin, r2.lbl))
+             AS lbl
+           FROM r2 LEFT JOIN (SELECT cs.v, min(x.lbl) AS nmin
+             FROM cs JOIN r2 x ON x.v = cs.nb GROUP BY 1) m
+             ON m.v = r2.v),
+         bl AS (SELECT sym.v, min(x.lbl) AS lbl
+           FROM sym JOIN r3 x ON x.v = sym.nb
+           WHERE sym.v NOT IN (SELECT v FROM core) GROUP BY 1),
+         mem AS (SELECT v, lbl, 'core' AS role FROM r3
+                 UNION ALL SELECT v, lbl, 'border' FROM bl)
+         SELECT lbl AS cluster,
+           CAST(sum(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_core,
+           CAST(sum(CASE WHEN role = 'border' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_border,
+           CAST(count(*) AS BIGINT) AS n_total
+         FROM mem GROUP BY 1
+         ORDER BY n_total DESC, cluster LIMIT 20""",
     "q_forecast_eval" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS d,

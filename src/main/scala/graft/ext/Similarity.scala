@@ -523,8 +523,11 @@ object Similarity {
     * shuffles. Output is a one-row census plus the core-core edge count
     * (the input size of the components step a full DBSCAN would run —
     * [[graft.ext.DedupCluster]] has that machinery). */
-  def dbscanCore(emb: DataFrame, threshold: Double = 0.3,
-                 minPts: Long = 3L): DataFrame = {
+  /** Shared ε-graph builder for the DBSCAN pair: thresholded cosine
+    * pairs, the symmetric adjacency view, and per-point core roles. All
+    * three come back checkpointed — each feeds ≥2 consumers. */
+  private def dbscanGraph(emb: DataFrame, threshold: Double,
+      minPts: Long): (DataFrame, DataFrame, DataFrame) = {
     val pairs = embeddingNearDup(emb, threshold).localCheckpoint()
     val sym = pairs
       .select(col("vec_id_a").as("v"), col("vec_id_b").as("nb"))
@@ -537,6 +540,12 @@ object Similarity {
       .withColumn("k", coalesce(col("k"), lit(0L)))
       .withColumn("is_core", (col("k") >= minPts).cast("int"))
       .localCheckpoint()
+    (pairs, sym, roles)
+  }
+
+  def dbscanCore(emb: DataFrame, threshold: Double = 0.3,
+                 minPts: Long = 3L): DataFrame = {
+    val (pairs, sym, roles) = dbscanGraph(emb, threshold, minPts)
     val coreNb = roles.filter(col("is_core") === 1)
       .select(col("v").as("nb"))
     val nearCore = sym.join(coreNb, Seq("nb"), "left_semi")
@@ -559,6 +568,66 @@ object Similarity {
           .otherwise(0L)).as("n_noise"))
       .crossJoin(broadcast(nCoreEdges))
       .withColumn("min_pts", lit(minPts))
+  }
+
+  /** DBSCAN cluster census — the step after [[dbscanCore]]'s role scan:
+    * core points take `rounds` of synchronous min-label propagation over
+    * the CORE-CORE edge subgraph (labels start as the point's own id;
+    * every round each core adopts the min of its own and its core
+    * neighbours' labels), border points then attach to the smallest
+    * adjacent core label. Bounded-round labels are the same documented
+    * trade as q_bfs_hops / q_label_prop: after R rounds two cores more
+    * than R hops apart may still carry different labels (a census row
+    * each), but the result is deterministic and engine-mirrorable — a
+    * full DBSCAN would iterate to convergence with
+    * [[graft.ext.DedupCluster]]'s driver-checked loop. Every round is
+    * one (edge ⋈ label) hash join + a min aggregate on the core frame —
+    * nothing payload-sized moves. */
+  def dbscanClusters(emb: DataFrame, threshold: Double = 0.3,
+                     minPts: Long = 3L, rounds: Int = 3,
+                     limit: Int = 20): DataFrame = {
+    val (pairs, sym, roles) = dbscanGraph(emb, threshold, minPts)
+    val coreIds = roles.filter(col("is_core") === 1).select(col("v"))
+      .localCheckpoint()
+    val coreEdges = pairs
+      .join(coreIds.select(col("v").as("vec_id_a")), Seq("vec_id_a"),
+        "left_semi")
+      .join(coreIds.select(col("v").as("vec_id_b")), Seq("vec_id_b"),
+        "left_semi")
+    val coreSym = coreEdges
+      .select(col("vec_id_a").as("v"), col("vec_id_b").as("nb"))
+      .unionAll(coreEdges
+        .select(col("vec_id_b").as("v"), col("vec_id_a").as("nb")))
+      .localCheckpoint()
+    var lbl = coreIds.withColumn("lbl", col("v"))
+    for (_ <- 1 to rounds) {
+      val nbMin = coreSym
+        .join(lbl.select(col("v").as("nb"), col("lbl").as("nl")),
+          Seq("nb"))
+        .groupBy("v").agg(min(col("nl")).as("nmin"))
+      lbl = lbl.join(nbMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+    }
+    // border = non-core with ≥1 core neighbour; adopt the min adjacent
+    // core label
+    val borderAssign = roles.filter(col("is_core") === 0).select(col("v"))
+      .join(sym, Seq("v"))
+      .join(lbl.select(col("v").as("nb"), col("lbl").as("nl")), Seq("nb"))
+      .groupBy("v").agg(min(col("nl")).as("lbl"))
+    val members = lbl.withColumn("role", lit("core"))
+      .unionAll(borderAssign.withColumn("role", lit("border")))
+    members.groupBy("lbl")
+      .agg(sum(when(col("role") === "core", 1L).otherwise(0L))
+          .as("n_core"),
+        sum(when(col("role") === "border", 1L).otherwise(0L))
+          .as("n_border"),
+        count(lit(1)).as("n_total"))
+      .select(col("lbl").as("cluster"), col("n_core"), col("n_border"),
+        col("n_total"))
+      .orderBy(col("n_total").desc, col("cluster"))
+      .limit(limit)
   }
 
   /** k-NN label classification: predict each query vector's label as the

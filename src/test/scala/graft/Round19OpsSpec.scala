@@ -315,6 +315,32 @@ class Round19OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_core_edges") == 0L)
   }
 
+  test("dbscanClusters: two orthogonal triads resolve to two clusters; " +
+    "borders attach to the min adjacent core label") {
+    // triads of identical vectors: all deg-2 cores at minPts=2 → two
+    // clusters labelled by their min ids (1 and 4)
+    val twoTriads = Seq(
+      (1L, Array(1.0f, 0.0f), 0L), (2L, Array(1.0f, 0.0f), 0L),
+      (3L, Array(1.0f, 0.0f), 0L), (4L, Array(0.0f, 1.0f), 1L),
+      (5L, Array(0.0f, 1.0f), 1L), (6L, Array(0.0f, 1.0f), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.ext.Similarity.dbscanClusters(twoTriads,
+      threshold = 0.7, minPts = 2L).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSet == Set((1L, 3L, 0L, 3L), (4L, 3L, 0L, 3L)))
+    // the dbscanCore hand-geometry fixture: v1 core, v2/v3 border → one
+    // cluster of 3; the noise point never appears
+    val star = Seq(
+      (1L, Array(1.0f, 0.0f), 0L), (2L, Array(0.92f, 0.39f), 0L),
+      (3L, Array(0.92f, -0.39f), 0L), (4L, Array(0.0f, 1.0f), 1L))
+      .toDF("vec_id", "embedding", "label")
+    val s = graft.ext.Similarity.dbscanClusters(star, threshold = 0.7,
+      minPts = 2L).collect()
+    assert(s.length == 1)
+    assert(s(0).getLong(0) == 1L && s(0).getLong(1) == 1L &&
+      s(0).getLong(2) == 2L && s(0).getLong(3) == 3L)
+  }
+
   test("fertility/kappa plans stay map-side: no window, no join") {
     val docs = docsDf(Seq(("d1", "a b", "en", "s", 10L)))
     for (df <- Seq(TextAnalysis.tokenizerFertility(docs),

@@ -1745,6 +1745,12 @@ object SparkEntry {
     // mean average precision @ 10 (retrieval-eval list quality)
     "q_map" -> ((s, d) =>
       graft.ext.Similarity.mapAtK(Tables.embeddings(s, d))),
+    // point-in-time-correct churn training set (features < cutoff < label)
+    "q_training_set" -> ((s, d) =>
+      EventAnalytics.trainingSet(Tables.events(s, d))),
+    // item-CF catalog coverage + popularity-bias share
+    "q_rec_coverage" -> ((s, d) =>
+      graft.ext.EvalOps.recCoverage(s, d)),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -7719,6 +7725,63 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_total
          FROM mem GROUP BY 1
          ORDER BY n_total DESC, cluster LIMIT 20""",
+    "q_training_set" ->
+      """WITH rows_ AS (
+           SELECT user_id, CAST(ts AS DATE) AS d,
+             coalesce(value, 0.0) AS v
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         cut AS (SELECT max(d) - 14 AS cutoff FROM rows_)
+         SELECT user_id,
+           CAST(sum(CASE WHEN d <= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_events,
+           CAST(round(sum(CAST(CASE WHEN d <= cutoff THEN v ELSE 0.0 END
+             AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+           CAST(count(DISTINCT CASE WHEN d <= cutoff THEN d END)
+             AS BIGINT) AS days_active,
+           CAST(date_diff('day', max(CASE WHEN d <= cutoff THEN d END),
+             max(cutoff)) AS BIGINT) AS recency_days,
+           CAST(max(CASE WHEN d > cutoff THEN 1 ELSE 0 END) AS INT)
+             AS label_active
+         FROM rows_ CROSS JOIN cut
+         GROUP BY 1
+         HAVING sum(CASE WHEN d <= cutoff THEN 1 ELSE 0 END) > 0
+         ORDER BY 1""",
+    "q_rec_coverage" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_orders
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         freq AS (SELECT l_partkey AS item,
+             CAST(count(*) AS BIGINT) AS n_item FROM op GROUP BY 1),
+         sym AS (SELECT part_a AS item, part_b AS other, n_orders FROM pr
+           UNION ALL SELECT part_b, part_a, n_orders FROM pr),
+         sc AS (SELECT s.item, s.other,
+             s.n_orders / sqrt(CAST(fa.n_item * fb.n_item AS DOUBLE))
+               AS sim
+           FROM sym s JOIN freq fa ON fa.item = s.item
+             JOIN freq fb ON fb.item = s.other),
+         r AS (SELECT *, row_number() OVER (PARTITION BY item
+             ORDER BY sim DESC, other) AS rnk FROM sc),
+         recs AS (SELECT item, other FROM r WHERE rnk <= 5),
+         counts AS (SELECT other, count(*) AS c FROM recs GROUP BY 1),
+         head AS (SELECT CAST(sum(c) AS BIGINT) AS head_c FROM
+           (SELECT c, other FROM counts ORDER BY c DESC, other LIMIT 20)),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_recommended,
+             CAST(sum(c) AS BIGINT) AS total_slots FROM counts),
+         cat AS (SELECT CAST(count(*) AS BIGINT) AS catalog_size
+           FROM part),
+         src AS (SELECT CAST(count(DISTINCT item) AS BIGINT)
+             AS n_items_with_recs FROM recs)
+         SELECT catalog_size, n_items_with_recs, n_recommended,
+           total_slots,
+           floor(CAST(n_recommended AS DOUBLE) /
+             CAST(catalog_size AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS coverage,
+           floor(CAST(head_c AS DOUBLE) / CAST(total_slots AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS head20_share
+         FROM tot CROSS JOIN cat CROSS JOIN head CROSS JOIN src""",
     "q_forecast_eval" ->
       """WITH daily AS (
            SELECT CAST(ts AS DATE) AS d,

@@ -617,4 +617,35 @@ object EventAnalytics {
       round(percentile(col("delta_sec"), lit(0.75)), 2).as("p75_sec"),
       round(percentile(col("delta_sec"), lit(0.9)), 2).as("p90_sec"))
   }
+
+  /** Point-in-time-correct churn training set: features strictly BEFORE
+    * the cutoff (horizon days behind the corpus max), label strictly
+    * AFTER — the leakage discipline every supervised pipeline on event
+    * data needs and most get wrong (a feature that peeks past the cutoff
+    * trains a model that cannot be served). Both sides fold in ONE
+    * per-user aggregate via cutoff-conditional sums — no second corpus
+    * pass, no time-travel join: n_events / total_value / days_active /
+    * last-seen recency from the feature window, the label bit from the
+    * future window. Users with no pre-cutoff events are excluded (their
+    * features are undefined — scoring them would itself be leakage). */
+  def trainingSet(ev: DataFrame, horizonDays: Int = 14): DataFrame = {
+    val rows = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        coalesce(col("value"), lit(0.0)).as("v"))
+    val cut = rows.agg(date_sub(max(col("d")), horizonDays).as("cutoff"))
+    val pre = col("d") <= col("cutoff")
+    rows.crossJoin(broadcast(cut))
+      .groupBy("user_id")
+      .agg(
+        sum(when(pre, 1L).otherwise(0L)).as("n_events"),
+        round(sum(when(pre, col("v")).otherwise(lit(0.0))
+          .cast("decimal(18,6)")), 2).cast("double").as("total_value"),
+        countDistinct(when(pre, col("d"))).as("days_active"),
+        datediff(max(col("cutoff")), max(when(pre, col("d"))))
+          .cast("bigint").as("recency_days"),
+        max(when(col("d") > col("cutoff"), 1).otherwise(0))
+          .cast("int").as("label_active"))
+      .filter(col("n_events") > 0)
+      .orderBy("user_id")
+  }
 }

@@ -639,6 +639,41 @@ object EvalOps {
       .orderBy("priority")
   }
 
+  /** Catalog coverage and popularity-bias report for the [[itemCF]]
+    * recommender — the serving-side eval beside [[cfHitRate]]'s
+    * accuracy: what share of the catalog ever appears in a top-k list
+    * (low coverage = the recommender can only sell what already sells),
+    * and how concentrated the recommendations are (the top-20 most
+    * recommended items' share of all list slots — the popularity-bias
+    * scalar). Rides the memoized neighbour frame (k rows per catalog
+    * item); every aggregate after it is id-keyed and the top-20 cut is
+    * bounded. */
+  def recCoverage(spark: SparkSession, sfDir: String,
+                  topK: Int = 5, headN: Int = 20): DataFrame = {
+    val recs = itemCF(spark, sfDir, topK)
+    val catalog = Tables.part(spark, sfDir)
+      .agg(count(lit(1)).as("catalog_size"))
+    val counts = recs.groupBy("other").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val head = counts.orderBy(col("c").desc, col("other")).limit(headN)
+      .agg(sum(col("c")).as("head_c"))
+    val tot = counts.agg(count(lit(1)).as("n_recommended"),
+      sum(col("c")).as("total_slots"))
+    val nSources = recs.select(col("item")).distinct()
+      .agg(count(lit(1)).as("n_items_with_recs"))
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    tot.crossJoin(broadcast(catalog))
+      .crossJoin(broadcast(head))
+      .crossJoin(broadcast(nSources))
+      .select(col("catalog_size"), col("n_items_with_recs"),
+        col("n_recommended"), col("total_slots"),
+        r6(col("n_recommended").cast("double") /
+          col("catalog_size").cast("double")).as("coverage"),
+        r6(col("head_c").cast("double") /
+          col("total_slots").cast("double")).as("head20_share"))
+  }
+
   /** Three deterministic heuristic "annotators" labeling each document
     * good/bad — the stand-ins a labeling pipeline's agreement audit runs
     * against before trusting a rater pool: (a) raw length, (b) whitespace

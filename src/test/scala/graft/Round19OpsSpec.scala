@@ -341,6 +341,49 @@ class Round19OpsSpec extends SparkSpec {
       s(0).getLong(2) == 2L && s(0).getLong(3) == 3L)
   }
 
+  // ---- point-in-time training set ----------------------------------
+
+  test("trainingSet: features stop at the cutoff, label starts after, " +
+    "future-only users are excluded") {
+    // max day Jan 20 → cutoff Jan 6. A: pre days 1,2 + post day 20;
+    // B: pre days 1,5 only; C: post day 19 only (must not appear).
+    val rows = Seq(("A", 1), ("A", 2), ("A", 20), ("B", 1), ("B", 5),
+      ("C", 19))
+    val ev = rows.zipWithIndex.map { case ((u, day), i) =>
+      (i.toLong, f"2024-01-$day%02d 08:00:00", u, "view", Some(2.5), "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = graft.analytics.EventAnalytics.trainingSet(ev).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("A", "B"))
+    val a = out(0); val b = out(1)
+    assert(a.getAs[Long]("n_events") == 2L &&
+      a.getAs[Double]("total_value") == 5.0 &&
+      a.getAs[Long]("days_active") == 2L &&
+      a.getAs[Long]("recency_days") == 4L &&
+      a.getAs[Int]("label_active") == 1)
+    assert(b.getAs[Long]("n_events") == 2L &&
+      b.getAs[Long]("recency_days") == 1L &&
+      b.getAs[Int]("label_active") == 0)
+  }
+
+  // ---- recommender coverage ----------------------------------------
+
+  test("recCoverage: accounting closure and bounds on the fixture") {
+    val r = graft.ext.EvalOps.recCoverage(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    val cat = r.getAs[Long]("catalog_size")
+    val nRec = r.getAs[Long]("n_recommended")
+    val slots = r.getAs[Long]("total_slots")
+    assert(cat > 0 && nRec > 0 && nRec <= cat)
+    assert(slots >= nRec) // every recommended item fills ≥1 slot
+    val cov = r.getAs[Double]("coverage")
+    val head = r.getAs[Double]("head20_share")
+    assert(cov > 0.0 && cov <= 1.0)
+    assert(head > 0.0 && head <= 1.0)
+    // top-20 share can never be below 20/n_recommended of the mass
+    assert(head >= 20.0 / nRec.toDouble - 1e-6 || nRec <= 20)
+  }
+
   test("fertility/kappa plans stay map-side: no window, no join") {
     val docs = docsDf(Seq(("d1", "a b", "en", "s", 10L)))
     for (df <- Seq(TextAnalysis.tokenizerFertility(docs),

@@ -1751,6 +1751,15 @@ object SparkEntry {
     // item-CF catalog coverage + popularity-bias share
     "q_rec_coverage" -> ((s, d) =>
       graft.ext.EvalOps.recCoverage(s, d)),
+    // media near-dup: payload-shingle SimHash, chunk-blocked Hamming
+    "q_media_neardup" -> ((s, d) =>
+      graft.ext.Multimodal.mediaNearDup(Tables.documents(s, d))),
+    // LSH bit-width tuning: candidates vs recall per nBits
+    "q_lsh_tuning" -> ((s, d) =>
+      graft.ext.Similarity.lshTuning(Tables.embeddings(s, d))),
+    // sample-ratio-mismatch guardrail (1-dof chi-square vs 50/50)
+    "q_srm" -> ((s, d) =>
+      StatsAnalytics.srmCheck(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -7725,6 +7734,94 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_total
          FROM mem GROUP BY 1
          ORDER BY n_total DESC, cluster LIMIT 20""",
+    "q_lsh_tuning" -> {
+      val arms = Seq(4, 8, 12).map { nb =>
+        s"""bk$nb AS (
+           SELECT e.vec_id, e.embedding,
+             CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                    i -> e.embedding[i]::DOUBLE * pl.p[i])) >= 0
+                  THEN (1::BIGINT << pl.b) ELSE 0 END) AS BIGINT)
+               AS bucket
+           FROM embeddings e CROSS JOIN planes pl WHERE pl.b < $nb
+           GROUP BY e.vec_id, e.embedding),
+         m$nb AS (SELECT CAST($nb AS BIGINT) AS n_bits,
+             CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN sim >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_found
+           FROM (SELECT round(list_cosine_similarity(
+               a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+             FROM bk$nb a JOIN bk$nb b
+               ON a.bucket = b.bucket AND a.vec_id < b.vec_id))"""
+      }.mkString(",\n")
+      s"""${lshPlanesCte(12)},
+         ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs FROM (
+           SELECT 1 AS one FROM embeddings a JOIN embeddings b
+             ON a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+             b.embedding::DOUBLE[]), 6) >= 0.3)),
+         $arms,
+         u AS (SELECT * FROM m4 UNION ALL SELECT * FROM m8
+               UNION ALL SELECT * FROM m12)
+         SELECT n_bits, n_exact_pairs, n_candidates, n_found,
+           floor(CAST(n_found AS DOUBLE) / CAST(n_exact_pairs AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS recall
+         FROM u CROSS JOIN ex ORDER BY n_bits"""
+    },
+    "q_media_neardup" ->
+      """WITH grams AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(length(text) - 3, 1) + 1),
+             i -> substr(text, CAST(i AS INT), 4))) AS gs
+           FROM documents),
+         th AS (
+           SELECT doc_id, list_transform(gs, t ->
+             ('0x'||substr(md5(t),1,15))::BIGINT) AS hs
+           FROM grams),
+         sim AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN 2*len(list_filter(hs, h -> ((h >> b) & 1) = 1))
+                      >= len(hs)
+                    THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)
+               AS simhash
+           FROM th),
+         ch AS (
+           SELECT s.doc_id, s.simhash, c.chunk_id,
+             (s.simhash >> (c.chunk_id * 15)) & 32767 AS chunk
+           FROM sim s CROSS JOIN
+             (SELECT unnest(range(0, 4)) AS chunk_id) c),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           FROM ch a JOIN ch b ON a.chunk_id = b.chunk_id
+             AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         SELECT doc_id_a, doc_id_b, hamming FROM cand
+         WHERE hamming <= 8 ORDER BY doc_id_a, doc_id_b""",
+    "q_srm" ->
+      """WITH m AS (SELECT
+           CAST(sum(CASE WHEN ('0x' ||
+             substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+             = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN ('0x' ||
+             substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+             = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           FROM events WHERE user_id IS NOT NULL),
+         s AS (SELECT n_a, n_b,
+             (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0 AS e,
+             CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n
+           FROM m),
+         c AS (SELECT *,
+             (CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e +
+             (CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e
+               AS chi2
+           FROM s)
+         SELECT n_a, n_b,
+           floor(CAST(n_a AS DOUBLE) / n * 1000000.0 + 0.5) / 1000000.0
+             AS ratio_a,
+           floor(chi2 * 1000000.0 + 0.5) / 1000000.0 AS chi2,
+           CAST(CASE WHEN chi2 > 10.83 THEN 1 ELSE 0 END AS INT)
+             AS srm_flag
+         FROM c""",
     "q_training_set" ->
       """WITH rows_ AS (
            SELECT user_id, CAST(ts AS DATE) AS d,

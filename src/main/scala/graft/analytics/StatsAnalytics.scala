@@ -1455,7 +1455,11 @@ object StatsAnalytics {
   private def dyadicSmooth(src: DataFrame, valCol: String,
                            outCol: String): DataFrame =
     src.select(col("d"), col("t"))
-      .join(src.select(col("t").as("j"), col(valCol).as("xj")),
+      // broadcast: the (t, x) side is the DAY frame — domain-bounded at
+      // any corpus size — and the non-equi band join must not fall back
+      // to a CartesianProduct when its input hides behind a checkpoint
+      // with unknown stats
+      .join(broadcast(src.select(col("t").as("j"), col(valCol).as("xj"))),
         col("j") <= col("t") && col("t") - col("j") <= lit(62))
       .withColumn("k",
         when(col("j") === 1, col("t") - lit(1))
@@ -1527,6 +1531,31 @@ object StatsAnalytics {
     }
     report("naive_fc", "naive").unionAll(report("ewma_fc", "ewma"))
       .orderBy("model")
+  }
+
+  /** Sample-ratio-mismatch guardrail: the first check every A/B readout
+    * runs BEFORE looking at any metric — if the observed variant split
+    * deviates from the designed 50/50 beyond chance, the assignment
+    * path is broken and the experiment is invalid regardless of lift.
+    * One-dof chi-square against the expected half-half counts, flagged
+    * at the conventional χ² > 10.83 (p < 0.001) bar. One map-side-
+    * collapsing aggregate; every output is a rational of exact
+    * integers. */
+  def srmCheck(ev: DataFrame): DataFrame = {
+    val m = ev.filter(col("user_id").isNotNull)
+      .select(Sampling.hashBucket(col("user_id"), 2).as("variant"))
+      .agg(sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val n = d(col("n_a")) + d(col("n_b"))
+    val e = n / lit(2.0)
+    val chi2 = (d(col("n_a")) - e) * (d(col("n_a")) - e) / e +
+      (d(col("n_b")) - e) * (d(col("n_b")) - e) / e
+    m.select(col("n_a"), col("n_b"),
+      r6(d(col("n_a")) / n).as("ratio_a"),
+      r6(chi2).as("chi2"),
+      (chi2 > lit(10.83)).cast("int").as("srm_flag"))
   }
 
   /** Randomized-response local-DP audit (Warner's mechanism): each row

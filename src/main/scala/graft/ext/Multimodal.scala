@@ -84,4 +84,42 @@ object Multimodal {
         struct(col("source"),
           encode(col("text"), "UTF-8").as("payload")).as("media"),
         col("embedding"))
+
+  /** Media near-dup: a 60-bit perceptual-hash STAND-IN (SimHash voted
+    * over the payload's overlapping 4-byte shingles — byte-identical to
+    * 4-char shingles on the ASCII fixture) blocked on 15-bit chunks,
+    * then exact Hamming ≤ maxDist within blocks — the image/video dedup
+    * step of a multimodal pipeline. A real build swaps the shingle hash
+    * for a pHash/vHash of the DECODED pixels (the [[decodePartitions]]
+    * seam); everything downstream — the sketch column, chunk blocking,
+    * banded self-join, Hamming filter — is the part that scales and is
+    * exactly what ships here. Same shapes as the text SimHash family:
+    * the self-join runs on (chunk, 15-bit key) pairs, never payloads. */
+  def mediaNearDup(docs: DataFrame, maxDist: Int = 8): DataFrame = {
+    graft.plans.TextSketches.register(docs.sparkSession)
+    val payload = col("text")
+    val grams = array_distinct(transform(
+      sequence(lit(1), greatest(length(payload) - lit(3), lit(1))),
+      i => payload.substr(i, lit(4))))
+    val sh = docs.select(col("doc_id"), grams.as("gs"))
+      .select(col("doc_id"),
+        graft.plans.TextSketches.simhash60(col("gs")).as("simhash"))
+      .localCheckpoint()
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)), i =>
+        call_function("shiftright", col("simhash"), i * 15)
+          .bitwiseAND(lit(0x7FFFL))))
+        .as(Seq("chunk_id", "chunk")))
+    val a = chunked.select(col("doc_id").as("doc_id_a"),
+      col("simhash").as("sh_a"), col("chunk_id"), col("chunk"))
+    val b = chunked.select(col("doc_id").as("doc_id_b"),
+      col("simhash").as("sh_b"), col("chunk_id"), col("chunk"))
+    a.join(b, Seq("chunk_id", "chunk"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy("doc_id_a", "doc_id_b")
+  }
 }

@@ -509,6 +509,51 @@ object Similarity {
       .distinct()
   }
 
+  /** LSH bit-width tuning sweep — the report that picks `nBits` BEFORE a
+    * 100 TB dedup run commits to a bucket layout: for each candidate
+    * width, the candidate-pair volume (the cost axis: pairs the exact
+    * verifier must score) and the recall against the exact near-dup
+    * pair set (the quality axis: LSH-found pairs are bucket-verified
+    * with the same exact cosine, so they are a subset of the exact
+    * pairs and recall = found/exact). Fewer bits → bigger buckets →
+    * more candidates, higher recall. The hyperplanes are prefix-stable
+    * across widths (plane b depends only on b), so the sweep shares one
+    * plane family. The exact pair count is the documented all-pairs
+    * oracle form; each sweep arm is the bucketed join that replaces it
+    * at scale. */
+  def lshTuning(emb: DataFrame, threshold: Double = 0.3,
+                bitsList: Seq[Int] = Seq(4, 8, 12)): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val exact = embeddingNearDup(emb, threshold)
+      .agg(count(lit(1)).as("n_exact_pairs"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val arms = bitsList.map { nb =>
+      val bucketed = emb.join(lshBuckets(emb, nb), Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("bucket"),
+          l2norm(col("embedding")).as("nrm"))
+        .localCheckpoint()
+      val a = bucketed.select(col("bucket"), col("vec_id").as("va"),
+        col("embedding").as("e_a"), col("nrm").as("n_a"))
+      val b = bucketed.select(col("bucket"), col("vec_id").as("vb"),
+        col("embedding").as("e_b"), col("nrm").as("n_b"))
+      a.join(b, Seq("bucket"))
+        .filter(col("va") < col("vb"))
+        .select(round(dot(col("e_a"), col("e_b")) /
+          (col("n_a") * col("n_b")), 6).as("sim"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("sim") >= threshold, 1L).otherwise(0L))
+            .as("n_found"))
+        .withColumn("n_bits", lit(nb.toLong))
+    }
+    arms.reduce(_.unionAll(_))
+      .crossJoin(broadcast(exact))
+      .select(col("n_bits"), col("n_exact_pairs"), col("n_candidates"),
+        col("n_found"),
+        r6(col("n_found").cast("double") /
+          col("n_exact_pairs").cast("double")).as("recall"))
+      .orderBy("n_bits")
+  }
+
   /** DBSCAN role census over the thresholded cosine graph: a vector with
     * ≥ minPts neighbors at sim ≥ threshold is CORE, a non-core vector
     * adjacent to a core is BORDER, the rest is NOISE — the density

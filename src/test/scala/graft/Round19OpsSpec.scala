@@ -384,6 +384,56 @@ class Round19OpsSpec extends SparkSpec {
     assert(head >= 20.0 / nRec.toDouble - 1e-6 || nRec <= 20)
   }
 
+  // ---- media near-dup ----------------------------------------------
+
+  test("mediaNearDup: identical payloads collide at Hamming 0; a " +
+    "disjoint payload never pairs") {
+    val txt = "the quick brown fox jumps over the lazy dog " * 4
+    val other = "0123456789" * 18
+    val docs = docsDf(Seq(("1", txt, "en", "s", 10L),
+      ("2", txt, "en", "s", 10L), ("3", other, "en", "s", 10L)))
+      .withColumn("doc_id", col("doc_id").cast("long"))
+    val out = graft.ext.Multimodal.mediaNearDup(docs).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L &&
+      out(0).getInt(2) == 0)
+  }
+
+  // ---- LSH tuning sweep --------------------------------------------
+
+  test("lshTuning: candidates/found/recall are monotone non-increasing " +
+    "in nBits (coarser buckets are supersets) and bounded by exact") {
+    val rows = graft.ext.Similarity.lshTuning(
+      Tables.embeddings(spark, "/root/testdata/sf0.001")).collect()
+    assert(rows.map(_.getAs[Long]("n_bits")).toSeq == Seq(4L, 8L, 12L))
+    val cand = rows.map(_.getAs[Long]("n_candidates"))
+    val found = rows.map(_.getAs[Long]("n_found"))
+    val rec = rows.map(_.getAs[Double]("recall"))
+    assert(cand(0) >= cand(1) && cand(1) >= cand(2))
+    assert(found(0) >= found(1) && found(1) >= found(2))
+    assert(rec(0) >= rec(1) && rec(1) >= rec(2))
+    val exact = rows.head.getAs[Long]("n_exact_pairs")
+    assert(found.forall(_ <= exact))
+    assert(rec.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
+  // ---- SRM guardrail -----------------------------------------------
+
+  test("srmCheck: accounting closes and chi2 recomputes from the counts") {
+    val ev = Seq.tabulate(300)(i =>
+      (i.toLong, "2024-01-01 00:00:00", s"user$i", "view", Some(1.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val r = StatsAnalytics.srmCheck(ev).collect()(0)
+    val na = r.getAs[Long]("n_a"); val nb = r.getAs[Long]("n_b")
+    assert(na + nb == 300L)
+    val e = 150.0
+    val chi2 = (na - e) * (na - e) / e + (nb - e) * (nb - e) / e
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-5)
+    // a fair hash split of 300 users must not trip the p<0.001 gate
+    assert(r.getAs[Int]("srm_flag") == 0)
+  }
+
   test("fertility/kappa plans stay map-side: no window, no join") {
     val docs = docsDf(Seq(("d1", "a b", "en", "s", 10L)))
     for (df <- Seq(TextAnalysis.tokenizerFertility(docs),

@@ -1760,6 +1760,9 @@ object SparkEntry {
     // sample-ratio-mismatch guardrail (1-dof chi-square vs 50/50)
     "q_srm" -> ((s, d) =>
       StatsAnalytics.srmCheck(Tables.events(s, d))),
+    // Wilson-score 95% CI on the corpus signup->purchase rate
+    "q_funnel_ci" -> ((s, d) =>
+      EventAnalytics.funnelCi(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -7734,6 +7737,30 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_total
          FROM mem GROUP BY 1
          ORDER BY n_total DESC, cluster LIMIT 20""",
+    "q_funnel_ci" ->
+      """WITH m AS (SELECT
+           CAST(count(DISTINCT CASE WHEN event_type = 'signup'
+             THEN user_id END) AS BIGINT) AS n_signup,
+           CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+             THEN user_id END) AS BIGINT) AS n_purchase
+           FROM events WHERE user_id IS NOT NULL),
+         s AS (SELECT n_signup, n_purchase,
+             CAST(n_signup AS DOUBLE) AS n,
+             CAST(n_purchase AS DOUBLE) / CAST(n_signup AS DOUBLE) AS p
+           FROM m),
+         z_ AS (SELECT *, CAST(1.96 AS DOUBLE) AS z FROM s),
+         w AS (SELECT *,
+             (p + z * z / (2.0 * n)) / (1.0 + z * z / n) AS center,
+             z * sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n)) /
+               (1.0 + z * z / n) AS half
+           FROM z_)
+         SELECT n_signup, n_purchase,
+           floor(p * 1000000.0 + 0.5) / 1000000.0 AS rate,
+           floor((center - half) * 1000000.0 + 0.5) / 1000000.0
+             AS wilson_lo,
+           floor((center + half) * 1000000.0 + 0.5) / 1000000.0
+             AS wilson_hi
+         FROM w""",
     "q_lsh_tuning" -> {
       val arms = Seq(4, 8, 12).map { nb =>
         s"""bk$nb AS (

@@ -618,6 +618,34 @@ object EventAnalytics {
       round(percentile(col("delta_sec"), lit(0.9)), 2).as("p90_sec"))
   }
 
+  /** Wilson-score 95% interval on the corpus signup→purchase conversion
+    * rate — the uncertainty the [[funnel]] report needs before anyone
+    * compares two of its rates: unlike the normal approximation, Wilson
+    * stays inside [0,1] and behaves at small n or extreme p. One
+    * aggregate builds (n signups, k converters) from conditional exact
+    * distincts; the interval is scalar double arithmetic (±, ×, ÷,
+    * sqrt — all correctly rounded, hence engine-exact). */
+  def funnelCi(ev: DataFrame): DataFrame = {
+    val m = ev.filter(col("user_id").isNotNull)
+      .agg(
+        countDistinct(when(col("event_type") === "signup",
+          col("user_id"))).as("n_signup"),
+        countDistinct(when(col("event_type") === "purchase",
+          col("user_id"))).as("n_purchase"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val z = lit(1.96)
+    val n = col("n_signup").cast("double")
+    val p = col("n_purchase").cast("double") / n
+    val denom = lit(1.0) + z * z / n
+    val center = (p + z * z / (lit(2.0) * n)) / denom
+    val half = z * sqrt(p * (lit(1.0) - p) / n +
+      z * z / (lit(4.0) * n * n)) / denom
+    m.select(col("n_signup"), col("n_purchase"),
+      r6(p).as("rate"),
+      r6(center - half).as("wilson_lo"),
+      r6(center + half).as("wilson_hi"))
+  }
+
   /** Point-in-time-correct churn training set: features strictly BEFORE
     * the cutoff (horizon days behind the corpus max), label strictly
     * AFTER — the leakage discipline every supervised pipeline on event

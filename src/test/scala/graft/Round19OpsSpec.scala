@@ -434,6 +434,63 @@ class Round19OpsSpec extends SparkSpec {
     assert(r.getAs[Int]("srm_flag") == 0)
   }
 
+  // ---- Wilson funnel CI --------------------------------------------
+
+  test("funnelCi: hand-recomputed Wilson bounds bracket the rate") {
+    val rows = (1 to 4).map(i => (s"u$i", "signup")) :+ (("u1", "purchase"))
+    val ev = rows.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, "2024-01-01 00:00:00", u, t, Some(1.0), "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val r = graft.analytics.EventAnalytics.funnelCi(ev).collect()(0)
+    assert(r.getAs[Long]("n_signup") == 4L &&
+      r.getAs[Long]("n_purchase") == 1L)
+    assert(r.getAs[Double]("rate") == 0.25)
+    val (z, n, p) = (1.96, 4.0, 0.25)
+    val denom = 1.0 + z * z / n
+    val center = (p + z * z / (2.0 * n)) / denom
+    val half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n)) /
+      denom
+    assert(math.abs(r.getAs[Double]("wilson_lo") - (center - half)) < 1e-5)
+    assert(math.abs(r.getAs[Double]("wilson_hi") - (center + half)) < 1e-5)
+    assert(r.getAs[Double]("wilson_lo") <= 0.25 &&
+      0.25 <= r.getAs[Double]("wilson_hi"))
+    assert(r.getAs[Double]("wilson_lo") >= 0.0 &&
+      r.getAs[Double]("wilson_hi") <= 1.0)
+  }
+
+  // ---- partitioning invariance + plan pins -------------------------
+
+  test("welchTTest / tCloseness / mediaNearDup: partitioning-invariant " +
+    "(decimal folds leave nothing to the scheduler)") {
+    val ev = Seq.tabulate(120)(i =>
+      (i.toLong, "2024-01-01 00:00:00", s"u${i % 37}", "view",
+        Some((i % 11) * 1.25), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts")))
+    assert(StatsAnalytics.welchTTest(ev).collect().toSeq ==
+      StatsAnalytics.welchTTest(ev.repartition(13)).collect().toSeq)
+    assert(StatsAnalytics.tCloseness(ev).collect().toSeq ==
+      StatsAnalytics.tCloseness(ev.repartition(13)).collect().toSeq)
+    val txt = "the quick brown fox jumps over the lazy dog " * 4
+    val docs = docsDf(Seq(("1", txt, "en", "s", 10L),
+      ("2", txt, "en", "s", 10L), ("3", "0123456789" * 18, "en", "s", 10L)))
+      .withColumn("doc_id", col("doc_id").cast("long"))
+    assert(graft.ext.Multimodal.mediaNearDup(docs).collect().toSeq ==
+      graft.ext.Multimodal.mediaNearDup(docs.repartition(7))
+        .collect().toSeq)
+  }
+
+  test("hitsOnEdges plan: id-keyed hash joins only — no cartesian, no " +
+    "window, no per-round sort of the edge frame") {
+    val e = Seq.tabulate(40)(i => (i.toLong % 7, 100L + i % 11))
+      .toDF("c", "p").distinct()
+    val plan = GraphAnalytics.hitsOnEdges(e, 2, 20)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("WindowExec"), plan)
+  }
+
   test("fertility/kappa plans stay map-side: no window, no join") {
     val docs = docsDf(Seq(("d1", "a b", "en", "s", 10L)))
     for (df <- Seq(TextAnalysis.tokenizerFertility(docs),

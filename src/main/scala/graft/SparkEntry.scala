@@ -1763,6 +1763,12 @@ object SparkEntry {
     // Wilson-score 95% CI on the corpus signup->purchase rate
     "q_funnel_ci" -> ((s, d) =>
       EventAnalytics.funnelCi(Tables.events(s, d))),
+    // day-stratified CMH variant x conversion association
+    "q_cmh" -> ((s, d) =>
+      StatsAnalytics.cmhTest(Tables.events(s, d))),
+    // difference-in-differences over variants x time halves
+    "q_did" -> ((s, d) =>
+      StatsAnalytics.diffInDiff(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -7737,6 +7743,94 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_total
          FROM mem GROUP BY 1
          ORDER BY n_total DESC, cluster LIMIT 20""",
+    "q_cmh" ->
+      """WITH units AS (
+           SELECT CAST(ts AS DATE) AS d,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS variant,
+             user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2, 3),
+         strata AS (SELECT d,
+             CAST(sum(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0
+               END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS r1,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS r2,
+             CAST(sum(conv) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n
+           FROM units GROUP BY 1 HAVING count(*) > 1),
+         terms AS (SELECT a,
+             CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE) / CAST(n AS DOUBLE)
+               AS e,
+             CAST(r1 AS DOUBLE) * CAST(r2 AS DOUBLE) *
+               CAST(c1 AS DOUBLE) *
+               (CAST(n AS DOUBLE) - CAST(c1 AS DOUBLE)) /
+               (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+                (CAST(n AS DOUBLE) - 1.0)) AS v
+           FROM strata),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             sum(CAST(e AS DECIMAL(28,12))) AS se,
+             sum(CAST(v AS DECIMAL(28,12))) AS sv
+           FROM terms)
+         SELECT n_strata, sum_a,
+           floor(CAST(se AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS sum_expected,
+           floor((CAST(sum_a AS DOUBLE) - CAST(se AS DOUBLE)) *
+             (CAST(sum_a AS DOUBLE) - CAST(se AS DOUBLE)) /
+             CAST(sv AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS cmh_stat
+         FROM m""",
+    "q_did" ->
+      """WITH rows_ AS (
+           SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS variant,
+             CAST(ts AS DATE) AS d, value AS v
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL),
+         span AS (SELECT min(d) +
+             CAST(floor(date_diff('day', min(d), max(d)) / 2) AS INT)
+               AS mid
+           FROM rows_),
+         p AS (SELECT variant, v,
+             CASE WHEN d > mid THEN 1 ELSE 0 END AS post
+           FROM rows_ CROSS JOIN span),
+         agg AS (SELECT
+           sum(CAST(CASE WHEN variant = 0 AND post = 0 THEN v ELSE 0.0
+             END AS DECIMAL(28,12))) AS s00,
+           CAST(sum(CASE WHEN variant = 0 AND post = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n00,
+           sum(CAST(CASE WHEN variant = 0 AND post = 1 THEN v ELSE 0.0
+             END AS DECIMAL(28,12))) AS s01,
+           CAST(sum(CASE WHEN variant = 0 AND post = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n01,
+           sum(CAST(CASE WHEN variant = 1 AND post = 0 THEN v ELSE 0.0
+             END AS DECIMAL(28,12))) AS s10,
+           CAST(sum(CASE WHEN variant = 1 AND post = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n10,
+           sum(CAST(CASE WHEN variant = 1 AND post = 1 THEN v ELSE 0.0
+             END AS DECIMAL(28,12))) AS s11,
+           CAST(sum(CASE WHEN variant = 1 AND post = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n11
+           FROM p),
+         d2 AS (SELECT *,
+             CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) AS m00,
+             CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) AS m01,
+             CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) AS m10,
+             CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) AS m11
+           FROM agg)
+         SELECT n00, n01, n10, n11,
+           floor(m00 * 1000000.0 + 0.5) / 1000000.0 AS ctrl_pre,
+           floor(m01 * 1000000.0 + 0.5) / 1000000.0 AS ctrl_post,
+           floor(m10 * 1000000.0 + 0.5) / 1000000.0 AS treat_pre,
+           floor(m11 * 1000000.0 + 0.5) / 1000000.0 AS treat_post,
+           floor(((m11 - m10) - (m01 - m00)) * 1000000.0 + 0.5)
+             / 1000000.0 AS did
+         FROM d2""",
     "q_funnel_ci" ->
       """WITH m AS (SELECT
            CAST(count(DISTINCT CASE WHEN event_type = 'signup'

@@ -1533,6 +1533,92 @@ object StatsAnalytics {
       .orderBy("model")
   }
 
+  /** Cochran–Mantel–Haenszel test of variant × conversion association
+    * STRATIFIED by day — the Simpson's-paradox-safe companion to the
+    * marginal [[chiSquare]]: pooling days can manufacture or hide an
+    * association when traffic mix shifts; CMH sums each day's 2×2
+    * evidence (aₖ − Eₖ) and variance before squaring. Per-stratum cells
+    * are exact integers over (day, user) units (a user converts on a day
+    * iff any purchase event lands there); Eₖ and Vₖ are rationals of
+    * those integers, folded through DECIMAL so the stratum sum is
+    * order-independent. Shape: one corpus aggregate to (day, user)
+    * units, one to day strata, one to the scalar — no joins, no
+    * windows. */
+  def cmhTest(ev: DataFrame): DataFrame = {
+    val units = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"),
+        Sampling.hashBucket(col("user_id"), 2).as("variant"),
+        col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("conv"))
+    val strata = units.groupBy("d")
+      .agg(
+        sum(when(col("variant") === 0 && col("conv") === 1, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("r1"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("r2"),
+        sum(col("conv").cast("long")).as("c1"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+    def dd(c: Column) = c.cast("double")
+    val e = dd(col("r1")) * dd(col("c1")) / dd(col("n"))
+    val v = dd(col("r1")) * dd(col("r2")) * dd(col("c1")) *
+      (dd(col("n")) - dd(col("c1"))) /
+      (dd(col("n")) * dd(col("n")) * (dd(col("n")) - lit(1.0)))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    strata.agg(count(lit(1)).as("n_strata"),
+        sum(col("a")).as("sum_a"),
+        sum(e.cast("decimal(28,12)")).as("__se"),
+        sum(v.cast("decimal(28,12)")).as("__sv"))
+      .select(col("n_strata"), col("sum_a"),
+        r6(col("__se").cast("double")).as("sum_expected"),
+        r6((col("sum_a").cast("double") - col("__se").cast("double")) *
+          (col("sum_a").cast("double") - col("__se").cast("double")) /
+          col("__sv").cast("double")).as("cmh_stat"))
+  }
+
+  /** Difference-in-differences over the deterministic hash variants and
+    * the corpus time halves: DiD = (treat_post − treat_pre) −
+    * (ctrl_post − ctrl_pre) on mean event value — the quasi-experimental
+    * readout when randomized exposure is unavailable and both groups
+    * share a pre-period trend. The four cell means come from ONE
+    * map-side-collapsing aggregate (DECIMAL sums, exact counts); the
+    * midpoint is a one-row broadcast. */
+  def diffInDiff(ev: DataFrame): DataFrame = {
+    val rows = ev.filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(Sampling.hashBucket(col("user_id"), 2).as("variant"),
+        to_date(col("ts")).as("d"), col("value"))
+    val span = rows.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      // floor() explicitly: Spark's double→int cast truncates but
+      // DuckDB's rounds — floor is the one half-mode both share
+      .select(date_add(col("d0"),
+        floor(datediff(col("d1"), col("d0")) / 2).cast("int")).as("mid"))
+    val m = rows.crossJoin(broadcast(span))
+      .withColumn("post", (col("d") > col("mid")).cast("int"))
+    def cell(vr: Int, po: Int) = {
+      val p = col("variant") === vr && col("post") === po
+      (sum(when(p, col("value")).otherwise(lit(0.0))
+        .cast("decimal(28,12)")),
+        sum(when(p, 1L).otherwise(0L)))
+    }
+    val ((s00, n00), (s01, n01)) = (cell(0, 0), cell(0, 1))
+    val ((s10, n10), (s11, n11)) = (cell(1, 0), cell(1, 1))
+    val agg = m.agg(s00.as("s00"), n00.as("n00"), s01.as("s01"),
+      n01.as("n01"), s10.as("s10"), n10.as("n10"), s11.as("s11"),
+      n11.as("n11"))
+    def mean(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    agg.select(col("n00"), col("n01"), col("n10"), col("n11"),
+      r6(mean("s00", "n00")).as("ctrl_pre"),
+      r6(mean("s01", "n01")).as("ctrl_post"),
+      r6(mean("s10", "n10")).as("treat_pre"),
+      r6(mean("s11", "n11")).as("treat_post"),
+      r6((mean("s11", "n11") - mean("s10", "n10")) -
+        (mean("s01", "n01") - mean("s00", "n00"))).as("did"))
+  }
+
   /** Sample-ratio-mismatch guardrail: the first check every A/B readout
     * runs BEFORE looking at any metric — if the observed variant split
     * deviates from the designed 50/50 beyond chance, the assignment

@@ -434,6 +434,62 @@ class Round19OpsSpec extends SparkSpec {
     assert(r.getAs[Int]("srm_flag") == 0)
   }
 
+  // ---- CMH stratified test -----------------------------------------
+
+  test("cmhTest: statistic recomputes from the per-day 2x2 tables") {
+    val ev = Seq.tabulate(60)(i =>
+      (i.toLong, f"2024-01-${i % 3 + 1}%02d 08:00:00", s"u$i",
+        if (i % 5 == 0) "purchase" else "view", Some(1.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val r = StatsAnalytics.cmhTest(ev).collect()(0)
+    // independent recomputation from the same deterministic pieces
+    val vmap = ev.select(col("user_id"), graft.operators.Sampling
+        .hashBucket(col("user_id"), 2).cast("long").as("v"))
+      .distinct().collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val units = (0 until 60).map(i =>
+      (i % 3, vmap(s"u$i"), if (i % 5 == 0) 1 else 0))
+    var (sumA, sumE, sumV) = (0.0, 0.0, 0.0)
+    for (day <- 0 until 3) {
+      val u = units.filter(_._1 == day)
+      val n = u.size.toDouble
+      val r1 = u.count(_._2 == 0L).toDouble
+      val c1 = u.count(_._3 == 1).toDouble
+      sumA += u.count(x => x._2 == 0L && x._3 == 1)
+      sumE += r1 * c1 / n
+      sumV += r1 * (n - r1) * c1 * (n - c1) / (n * n * (n - 1.0))
+    }
+    assert(r.getAs[Long]("n_strata") == 3L)
+    assert(r.getAs[Long]("sum_a") == sumA.toLong)
+    assert(math.abs(r.getAs[Double]("cmh_stat") -
+      (sumA - sumE) * (sumA - sumE) / sumV) < 2e-5)
+  }
+
+  // ---- difference-in-differences -----------------------------------
+
+  test("diffInDiff: DiD recomputes from the four cell means") {
+    val ev = Seq.tabulate(100)(i =>
+      (i.toLong, f"2024-01-${i % 10 + 1}%02d 08:00:00", s"u${i % 23}",
+        "view", Some((i % 7) * 1.5), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val r = StatsAnalytics.diffInDiff(ev).collect()(0)
+    val vmap = ev.select(col("user_id"), graft.operators.Sampling
+        .hashBucket(col("user_id"), 2).cast("long").as("v"))
+      .distinct().collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // d0=Jan1, d1=Jan10 → mid = Jan1 + floor(9/2) = Jan 5; post = d > 5
+    val cells = (0 until 100).map { i =>
+      ((vmap(s"u${i % 23}"), if (i % 10 + 1 > 5) 1 else 0),
+        (i % 7) * 1.5)
+    }.groupBy(_._1).view.mapValues(xs =>
+      xs.map(_._2).sum / xs.size).toMap
+    val did = (cells((1L, 1)) - cells((1L, 0))) -
+      (cells((0L, 1)) - cells((0L, 0)))
+    assert(r.getAs[Long]("n00") + r.getAs[Long]("n01") +
+      r.getAs[Long]("n10") + r.getAs[Long]("n11") == 100L)
+    assert(math.abs(r.getAs[Double]("did") - did) < 2e-5)
+  }
+
   // ---- Wilson funnel CI --------------------------------------------
 
   test("funnelCi: hand-recomputed Wilson bounds bracket the rate") {

@@ -1769,6 +1769,9 @@ object SparkEntry {
     // difference-in-differences over variants x time halves
     "q_did" -> ((s, d) =>
       StatsAnalytics.diffInDiff(Tables.events(s, d))),
+    // ANALYZE-style column stats (n/null/ndv/min/max/MCV per column)
+    "q_analyze_stats" -> ((s, d) =>
+      StatsAnalytics.analyzeStats(Tables.orders(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -7743,6 +7746,56 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_total
          FROM mem GROUP BY 1
          ORDER BY n_total DESC, cluster LIMIT 20""",
+    "q_analyze_stats" ->
+      """WITH long_ AS (
+           SELECT 'o_custkey' AS cname, CAST(o_custkey AS VARCHAR) AS v
+             FROM orders
+           UNION ALL SELECT 'o_orderpriority', o_orderpriority
+             FROM orders
+           UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+           UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR)
+             FROM orders),
+         census AS (SELECT cname, v, count(*) AS cnt FROM long_
+           WHERE v IS NOT NULL GROUP BY 1, 2),
+         mcv AS (SELECT cname, v AS mcv_value,
+             CAST(cnt AS BIGINT) AS mcv_count
+           FROM (SELECT *, row_number() OVER (PARTITION BY cname
+             ORDER BY cnt DESC, v) AS rn FROM census) WHERE rn = 1),
+         base AS (
+           SELECT 'o_custkey' AS cname,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_null,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv,
+             CAST(min(o_custkey) AS VARCHAR) AS min_v,
+             CAST(max(o_custkey) AS VARCHAR) AS max_v
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0
+               END) AS BIGINT),
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+             min(o_orderpriority), max(o_orderpriority)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+             min(o_orderstatus), max(o_orderstatus)
+           FROM orders
+           UNION ALL
+           SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(count(DISTINCT o_totalprice) AS BIGINT),
+             CAST(min(o_totalprice) AS VARCHAR),
+             CAST(max(o_totalprice) AS VARCHAR)
+           FROM orders)
+         SELECT base.cname, n_rows, n_null, ndv, min_v, max_v,
+           mcv.mcv_value, mcv.mcv_count
+         FROM base JOIN mcv ON mcv.cname = base.cname
+         ORDER BY base.cname""",
     "q_cmh" ->
       """WITH units AS (
            SELECT CAST(ts AS DATE) AS d,

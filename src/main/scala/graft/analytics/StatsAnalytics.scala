@@ -290,6 +290,49 @@ object StatsAnalytics {
       .orderBy("col_name")
   }
 
+  /** ANALYZE-style column statistics over the order book — the stats a
+    * cost-based optimizer feeds on (and the deeper sibling of
+    * [[nullProfile]]): per column, row/null counts, exact NDV, typed
+    * min/max (computed in the column's own type, cast to string only
+    * for the uniform report layout), and the most-common value with its
+    * frequency. Shape: ONE multi-aggregate row for the typed stats (the
+    * same single-Expand plan as nullProfile) plus one stacked
+    * (column, value) census for the MCV — whose per-column argmax is a
+    * map-side min_by on the (−count, value) total order, never a sort.
+    * At 100 TB swap the exact NDVs for approx_count_distinct; the MCV
+    * census is the only value-cardinality frame. */
+  def analyzeStats(orders: DataFrame): DataFrame = {
+    val cols = Seq("o_custkey", "o_orderpriority", "o_orderstatus",
+      "o_totalprice")
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+      countDistinct(col(c)).as(s"__ndv_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c"))) :+
+      count(lit(1)).as("__n")
+    val base = orders.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+          lit(c).as("cname"),
+          col("__n").as("n_rows"),
+          col(s"__null_$c").as("n_null"),
+          col(s"__ndv_$c").as("ndv"),
+          col(s"__min_$c").as("min_v"),
+          col(s"__max_$c").as("max_v"))): _*)).as("s"))
+      .select(col("s.*"))
+    val census = orders.select(explode(array(cols.map(c =>
+        struct(lit(c).as("cname"), col(c).cast("string").as("v"))): _*))
+        .as("s"))
+      .select(col("s.cname"), col("s.v"))
+      .filter(col("v").isNotNull)
+      .groupBy("cname", "v").agg(count(lit(1)).as("cnt"))
+    val mcv = census.groupBy("cname")
+      .agg(min_by(struct(col("v"), col("cnt")),
+        struct((-col("cnt")).as("nc"), col("v"))).as("m"))
+      .select(col("cname"), col("m.v").as("mcv_value"),
+        col("m.cnt").as("mcv_count"))
+    base.join(mcv, Seq("cname")).orderBy("cname")
+  }
+
   /** Deterministic A/B conversion lift: users split into two variants by
     * the portable md5 hash bucket (cross-engine reproducible — same split
     * in the DuckDB oracle), conversion = any HIGH-VALUE purchase (every

@@ -434,6 +434,33 @@ class Round19OpsSpec extends SparkSpec {
     assert(r.getAs[Int]("srm_flag") == 0)
   }
 
+  // ---- ANALYZE column stats ----------------------------------------
+
+  test("analyzeStats: typed min/max, exact ndv, null count, and the " +
+    "(count desc, value) MCV per column") {
+    val orders = Seq(
+      (Some(1L), "1-URGENT", "O", 10.5), (Some(2L), "2-HIGH", "F", 20.0),
+      (Some(2L), "1-URGENT", "O", 10.5), (None, "1-URGENT", "O", 10.5))
+      .toDF("o_custkey", "o_orderpriority", "o_orderstatus",
+        "o_totalprice")
+    val out = StatsAnalytics.analyzeStats(orders).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ck = out("o_custkey")
+    assert(ck.getAs[Long]("n_rows") == 4L &&
+      ck.getAs[Long]("n_null") == 1L && ck.getAs[Long]("ndv") == 2L)
+    assert(ck.getAs[String]("min_v") == "1" &&
+      ck.getAs[String]("max_v") == "2")
+    assert(ck.getAs[String]("mcv_value") == "2" &&
+      ck.getAs[Long]("mcv_count") == 2L)
+    val tp = out("o_totalprice")
+    assert(tp.getAs[String]("min_v") == "10.5" &&
+      tp.getAs[String]("max_v") == "20.0")
+    assert(tp.getAs[String]("mcv_value") == "10.5" &&
+      tp.getAs[Long]("mcv_count") == 3L)
+    assert(out("o_orderstatus").getAs[String]("mcv_value") == "O")
+    assert(out("o_orderpriority").getAs[Long]("ndv") == 2L)
+  }
+
   // ---- CMH stratified test -----------------------------------------
 
   test("cmhTest: statistic recomputes from the per-day 2x2 tables") {

@@ -38,6 +38,7 @@ case class UserTypeCount(user_id: Long, event_type: String, n_events: Long)
 
 /** Output row for `EventStream.twsLastN`. */
 case class UserLastN(user_id: Long, n_seen: Long, last_ids: String)
+case class SessionEnd(user_id: Long, session_end_ms: Long, n_events: Long)
 
 /** Output row for `EventStream.twsPsiDrift`. */
 case class DriftPsi(event_type: String, n_seen: Long, n_early: Long,
@@ -214,6 +215,65 @@ class UserStatsProcessor
     // nearest-double image of the sum
     Iterator.single(UserStats(key, n,
       tot.setScale(2, RoundingMode.HALF_UP).doubleValue, mx))
+  }
+}
+
+/** Event-time session-timeout processor — the TIMER leg of the
+  * `transformWithState` family (Value/Map/List state cells are covered
+  * by the sibling processors): a ValueState holds the open session's
+  * (last event ms, event count) per user. A batch's rows fold in
+  * event-time order; a gap beyond `gapMs` closes the open session
+  * INLINE (append emission from handleInputRows — no watermark needed,
+  * the next event itself proves the gap), while the single re-armed
+  * EVENT-TIME TIMER at last+gap closes the trailing session once the
+  * watermark certifies silence — the case inline logic can never see.
+  * Timer hygiene: the previous timer is deleted before re-arming, so a
+  * key holds at most one live timer however many batches touch it; the
+  * expired-timer path re-checks the expiry against current state so a
+  * stale fire (input arrived after arming) is a no-op. Late rows
+  * (t ≤ last) join the open session without moving its end. */
+class SessionTimeoutProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, java.sql.Timestamp), SessionEnd] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+    TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var st: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Long)]("sess",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, java.sql.Timestamp)],
+      tv: TimerValues): Iterator[SessionEnd] = {
+    val ts = rows.map(_._2.getTime).toArray.sorted
+    var out = List.empty[SessionEnd]
+    var (last, n) = if (st.exists()) st.get() else (Long.MinValue, 0L)
+    ts.foreach { t =>
+      if (n > 0L && t - last > gapMs) {
+        out ::= SessionEnd(key, last, n)
+        n = 0L
+      }
+      last = math.max(last, t)
+      n += 1
+    }
+    getHandle.listTimers().foreach(e => getHandle.deleteTimer(e))
+    getHandle.registerTimer(last + gapMs)
+    st.update((last, n))
+    out.reverseIterator
+  }
+
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+      info: ExpiredTimerInfo): Iterator[SessionEnd] = {
+    if (!st.exists()) Iterator.empty
+    else {
+      val (last, n) = st.get()
+      if (info.getExpiryTimeInMs() < last + gapMs) Iterator.empty
+      else { st.clear(); Iterator.single(SessionEnd(key, last, n)) }
+    }
   }
 }
 
@@ -463,6 +523,29 @@ object EventStream {
       .groupByKey(_._1)
       .transformWithState(new UserLastNProcessor(n),
         TimeMode.None(), OutputMode.Update())
+      .toDF()
+  }
+
+  /** Session-close records via event-time TIMERS (see
+    * [[SessionTimeoutProcessor]]) — append-mode `transformWithState`
+    * under `TimeMode.EventTime`: mid-stream sessions close inline when
+    * the next event proves the gap; the TRAILING session closes when
+    * the watermark (from `delay` on `ts`) passes its re-armed timer.
+    * The watermarked `ts` column must survive projection down to the
+    * operator. Same RocksDB-provider requirement as the tws siblings. */
+  def twsSessionTimeout(events: DataFrame,
+                        gapMs: Long = 30L * 60L * 1000L,
+                        delay: String = "10 seconds"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", delay)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimeoutProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
       .toDF()
   }
 

@@ -367,4 +367,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("event-time TIMERS close the trailing session once the watermark " +
+    "passes it; mid-stream sessions close inline (RocksDB store)") {
+    import spark.implicits._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val root = Files.createTempDirectory("graft_timer_").toString
+      val src = s"$root/in"
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      def at(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+      // four micro-batches (maxFilesPerTrigger=1, files in write order):
+      // f1 u1@0,@5 | f2 u1@120 (inline-closes session1) | f3 u9@240
+      // (advances wm past u1's 150-min timer) | f4 u9@480 (batch whose
+      // start-of-batch wm 239:50 fires the timer → trailing u1 session)
+      Seq(Seq((1L, at(0)), (1L, at(5))), Seq((1L, at(120))),
+        Seq((9L, at(240))), Seq((9L, at(480))))
+        .foreach { rows =>
+          rows.toDF("user_id", "ts").coalesce(1)
+            .write.mode("append").parquet(src)
+        }
+      val schema = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val out = EventStream.runAvailableNow(
+        EventStream.twsSessionTimeout(stream), "append")
+      val got = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // u1: session (0,5) closed inline by the 120' event; session (120)
+      // closed by the TIMER once wm(=240'-10s) passed 150'
+      assert(got.contains((1L, at(5).getTime, 2L)), got.toString)
+      assert(got.contains((1L, at(120).getTime, 1L)), got.toString)
+      // u9's 240' session closed inline by its 480' event; the trailing
+      // 480' session's timer (510') is beyond the final watermark and
+      // must NOT have fired
+      assert(got.contains((9L, at(240).getTime, 1L)), got.toString)
+      assert(!got.exists(r => r._1 == 9L && r._2 == at(480).getTime),
+        got.toString)
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
 }

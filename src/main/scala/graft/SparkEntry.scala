@@ -1772,6 +1772,12 @@ object SparkEntry {
     // ANALYZE-style column stats (n/null/ndv/min/max/MCV per column)
     "q_analyze_stats" -> ((s, d) =>
       StatsAnalytics.analyzeStats(Tables.orders(s, d))),
+    // temporal-split leakage audit (spanning entities, cold starts)
+    "q_temporal_leakage" -> ((s, d) =>
+      EventAnalytics.temporalLeakage(Tables.events(s, d))),
+    // delta-method SE + CI for the ratio metric (value per event)
+    "q_delta_method" -> ((s, d) =>
+      StatsAnalytics.deltaMethodRatio(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -7746,6 +7752,64 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_total
          FROM mem GROUP BY 1
          ORDER BY n_total DESC, cluster LIMIT 20""",
+    "q_temporal_leakage" ->
+      """WITH rows_ AS (
+           SELECT user_id, CAST(ts AS DATE) AS d
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         cut AS (SELECT max(d) - 14 AS cutoff FROM rows_),
+         per AS (SELECT user_id,
+             CAST(sum(CASE WHEN d <= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pre,
+             CAST(sum(CASE WHEN d > cutoff THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_post
+           FROM rows_ CROSS JOIN cut GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN n_pre > 0 AND n_post = 0 THEN 1 ELSE 0
+             END) AS BIGINT) AS n_train_only,
+           CAST(sum(CASE WHEN n_pre = 0 AND n_post > 0 THEN 1 ELSE 0
+             END) AS BIGINT) AS n_test_only,
+           CAST(sum(CASE WHEN n_pre > 0 AND n_post > 0 THEN 1 ELSE 0
+             END) AS BIGINT) AS n_spanning,
+           CAST(sum(n_post) AS BIGINT) AS n_test_events,
+           floor(CAST(sum(CASE WHEN n_pre > 0 THEN n_post ELSE 0 END)
+               AS DOUBLE) / CAST(sum(n_post) AS DOUBLE) * 1000000.0
+             + 0.5) / 1000000.0 AS seen_share
+         FROM per""",
+    "q_delta_method" ->
+      """WITH per AS (
+           SELECT user_id,
+             CAST(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,6)))
+               AS DOUBLE) AS x,
+             CAST(count(*) AS DOUBLE) AS y
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(28,10))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS syy
+           FROM per),
+         d2 AS (SELECT n, CAST(n AS DOUBLE) AS nd, sx, sy, sxx, sxy, syy,
+             sx / CAST(n AS DOUBLE) AS mx, sy / CAST(n AS DOUBLE) AS my,
+             sx / sy AS r, CAST(1.96 AS DOUBLE) AS z
+           FROM m),
+         d3 AS (SELECT *,
+             (sxx - sx * sx / nd) / (nd - 1.0) AS vxx,
+             (sxy - sx * sy / nd) / (nd - 1.0) AS vxy,
+             (syy - sy * sy / nd) / (nd - 1.0) AS vyy
+           FROM d2),
+         d4 AS (SELECT *,
+             sqrt((vxx - 2.0 * r * vxy + r * r * vyy) / (nd * my * my))
+               AS se
+           FROM d3)
+         SELECT n AS n_users,
+           floor(mx * 1000000.0 + 0.5) / 1000000.0 AS mean_x,
+           floor(my * 1000000.0 + 0.5) / 1000000.0 AS mean_y,
+           floor(r * 1000000.0 + 0.5) / 1000000.0 AS ratio,
+           floor(se * 1000000.0 + 0.5) / 1000000.0 AS se_delta,
+           floor((r - z * se) * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+           floor((r + z * se) * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+         FROM d4""",
     "q_analyze_stats" ->
       """WITH long_ AS (
            SELECT 'o_custkey' AS cname, CAST(o_custkey AS VARCHAR) AS v

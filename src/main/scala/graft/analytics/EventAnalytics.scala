@@ -646,6 +646,42 @@ object EventAnalytics {
       r6(center + half).as("wilson_hi"))
   }
 
+  /** Temporal-split leakage audit — the eval-design check beside
+    * [[trainingSet]]'s builder: with a time cutoff between train and
+    * test, how many entities SPAN both sides (their test rows are
+    * scored by a model that saw their train behaviour — fine for
+    * forecasting, leakage for user-level generalization claims), how
+    * many are test-only cold starts, and what share of test EVENTS
+    * belongs to seen-in-train users. One per-user conditional aggregate
+    * plus a one-row rollup; every output is a rational of exact
+    * integers. */
+  def temporalLeakage(ev: DataFrame, horizonDays: Int = 14): DataFrame = {
+    val rows = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cut = rows.agg(date_sub(max(col("d")), horizonDays).as("cutoff"))
+    val per = rows.crossJoin(broadcast(cut))
+      .groupBy("user_id")
+      .agg(sum(when(col("d") <= col("cutoff"), 1L).otherwise(0L))
+          .as("n_pre"),
+        sum(when(col("d") > col("cutoff"), 1L).otherwise(0L))
+          .as("n_post"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    per.agg(count(lit(1)).as("n_users"),
+        sum(when(col("n_pre") > 0 && col("n_post") === 0, 1L)
+          .otherwise(0L)).as("n_train_only"),
+        sum(when(col("n_pre") === 0 && col("n_post") > 0, 1L)
+          .otherwise(0L)).as("n_test_only"),
+        sum(when(col("n_pre") > 0 && col("n_post") > 0, 1L)
+          .otherwise(0L)).as("n_spanning"),
+        sum(col("n_post")).as("n_test_events"),
+        sum(when(col("n_pre") > 0, col("n_post")).otherwise(0L))
+          .as("n_test_events_seen"))
+      .select(col("n_users"), col("n_train_only"), col("n_test_only"),
+        col("n_spanning"), col("n_test_events"),
+        r6(col("n_test_events_seen").cast("double") /
+          col("n_test_events").cast("double")).as("seen_share"))
+  }
+
   /** Point-in-time-correct churn training set: features strictly BEFORE
     * the cutoff (horizon days behind the corpus max), label strictly
     * AFTER — the leakage discipline every supervised pipeline on event

@@ -290,6 +290,43 @@ object StatsAnalytics {
       .orderBy("col_name")
   }
 
+  /** Delta-method standard error for a RATIO metric (total value per
+    * event, user as the i.i.d. unit) — the correction every
+    * experimentation platform applies because a ratio of sums is NOT a
+    * mean of ratios and the naive per-row variance understates it:
+    * Var(ΣX/ΣY) ≈ (Sxx − 2r·Sxy + r²·Syy) / (n·ȳ²) with r = x̄/ȳ
+    * (Deng et al., "Applying the Delta Method in Metric Analytics").
+    * ONE per-user pass builds (x, y); one moment aggregate DECIMAL-sums
+    * x, y, x², xy, y²; the estimate, SE, and the ±1.96 CI are scalar
+    * projections — the same two-shuffle shape as [[cuped]]. */
+  def deltaMethodRatio(ev: DataFrame): DataFrame = {
+    val per = ev.filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(coalesce(col("value"), lit(0.0)).cast("decimal(18,6)"))
+          .cast("double").as("x"),
+        count(lit(1)).cast("double").as("y"))
+    def dsum(c: Column) = sum(c.cast("decimal(28,10)")).cast("double")
+    val m = per.agg(count(lit(1)).as("n"), dsum(col("x")).as("sx"),
+      dsum(col("y")).as("sy"), dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("y") * col("y")).as("syy"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val n = col("n").cast("double")
+    val mx = col("sx") / n
+    val my = col("sy") / n
+    val r = col("sx") / col("sy")
+    val sxx = (col("sxx") - col("sx") * col("sx") / n) / (n - lit(1.0))
+    val sxy = (col("sxy") - col("sx") * col("sy") / n) / (n - lit(1.0))
+    val syy = (col("syy") - col("sy") * col("sy") / n) / (n - lit(1.0))
+    val z = lit(1.96)
+    val se = sqrt((sxx - lit(2.0) * r * sxy + r * r * syy) /
+      (n * my * my))
+    m.select(col("n").as("n_users"), r6(mx).as("mean_x"),
+      r6(my).as("mean_y"), r6(r).as("ratio"),
+      r6(se).as("se_delta"),
+      r6(r - z * se).as("ci_lo"), r6(r + z * se).as("ci_hi"))
+  }
+
   /** ANALYZE-style column statistics over the order book — the stats a
     * cost-based optimizer feeds on (and the deeper sibling of
     * [[nullProfile]]): per column, row/null counts, exact NDV, typed

@@ -434,6 +434,53 @@ class Round19OpsSpec extends SparkSpec {
     assert(r.getAs[Int]("srm_flag") == 0)
   }
 
+  // ---- temporal leakage audit --------------------------------------
+
+  test("temporalLeakage: spanning / train-only / cold-start census and " +
+    "the seen-event share") {
+    // cutoff = Jan 20 - 14 = Jan 6. A: Jan 2 + Jan 20 (spanning);
+    // B: Jan 1 (train-only); C: Jan 19, Jan 20 (test-only, 2 events)
+    val rows = Seq(("A", 2), ("A", 20), ("B", 1), ("C", 19), ("C", 20))
+    val ev = rows.zipWithIndex.map { case ((u, day), i) =>
+      (i.toLong, f"2024-01-$day%02d 08:00:00", u, "view", Some(1.0), "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val r = graft.analytics.EventAnalytics.temporalLeakage(ev).collect()(0)
+    assert(r.getAs[Long]("n_users") == 3L)
+    assert(r.getAs[Long]("n_train_only") == 1L)
+    assert(r.getAs[Long]("n_test_only") == 1L)
+    assert(r.getAs[Long]("n_spanning") == 1L)
+    assert(r.getAs[Long]("n_test_events") == 3L)
+    assert(r.getAs[Double]("seen_share") == 0.333333)
+  }
+
+  // ---- delta-method ratio SE ---------------------------------------
+
+  test("deltaMethodRatio: SE recomputes from the per-user moments") {
+    val ev = Seq.tabulate(90)(i =>
+      (i.toLong, "2024-01-01 00:00:00", s"u${i % 19}", "view",
+        Some((i % 5) * 2.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val r = StatsAnalytics.deltaMethodRatio(ev).collect()(0)
+    val per = (0 until 90).groupBy(i => i % 19).toSeq.map { case (_, is) =>
+      (is.map(i => (i % 5) * 2.0).sum, is.size.toDouble)
+    }
+    val n = per.size.toDouble
+    val (sx, sy) = (per.map(_._1).sum, per.map(_._2).sum)
+    val ratio = sx / sy
+    val vxx = per.map(p => math.pow(p._1 - sx / n, 2)).sum / (n - 1)
+    val vyy = per.map(p => math.pow(p._2 - sy / n, 2)).sum / (n - 1)
+    val vxy = per.map(p => (p._1 - sx / n) * (p._2 - sy / n)).sum / (n - 1)
+    val se = math.sqrt((vxx - 2 * ratio * vxy + ratio * ratio * vyy) /
+      (n * (sy / n) * (sy / n)))
+    assert(r.getAs[Long]("n_users") == 19L)
+    assert(math.abs(r.getAs[Double]("ratio") - ratio) < 1e-5)
+    assert(math.abs(r.getAs[Double]("se_delta") - se) < 1e-5)
+    assert(r.getAs[Double]("ci_lo") < ratio && ratio <
+      r.getAs[Double]("ci_hi"))
+  }
+
   // ---- ANALYZE column stats ----------------------------------------
 
   test("analyzeStats: typed min/max, exact ndv, null count, and the " +

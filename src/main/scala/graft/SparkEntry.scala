@@ -1778,6 +1778,12 @@ object SparkEntry {
     // delta-method SE + CI for the ratio metric (value per event)
     "q_delta_method" -> ((s, d) =>
       StatsAnalytics.deltaMethodRatio(Tables.events(s, d))),
+    // covariate-balance SMD table for the hash variants
+    "q_covariate_balance" -> ((s, d) =>
+      StatsAnalytics.covariateBalance(Tables.events(s, d))),
+    // Kish effective sample size of the quality weights per source
+    "q_ess" -> ((s, d) =>
+      graft.ext.Curation.essReport(Tables.documents(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -7752,6 +7758,67 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_total
          FROM mem GROUP BY 1
          ORDER BY n_total DESC, cluster LIMIT 20""",
+    "q_covariate_balance" ->
+      """WITH b AS (
+           SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS variant, value, ts
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         long_ AS (
+           SELECT variant, 'a_value' AS cname,
+             CAST(coalesce(value, 0.0) AS DOUBLE) AS x FROM b
+           UNION ALL SELECT variant, 'b_hour',
+             CAST(hour(ts) AS DOUBLE) FROM b
+           UNION ALL SELECT variant, 'c_dow',
+             CAST((CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) + 4)
+               % 7 AS DOUBLE) FROM b),
+         m AS (SELECT cname,
+             CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             sum(CAST(CASE WHEN variant = 0 THEN x ELSE 0.0 END
+               AS DECIMAL(28,12))) AS s_a,
+             sum(CAST(CASE WHEN variant = 1 THEN x ELSE 0.0 END
+               AS DECIMAL(28,12))) AS s_b,
+             sum(CAST(CASE WHEN variant = 0 THEN x * x ELSE 0.0 END
+               AS DECIMAL(28,12))) AS ss_a,
+             sum(CAST(CASE WHEN variant = 1 THEN x * x ELSE 0.0 END
+               AS DECIMAL(28,12))) AS ss_b
+           FROM long_ GROUP BY 1),
+         d2 AS (SELECT cname, n_a, n_b,
+             CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+             CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+             (CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) *
+               CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) /
+               (CAST(n_a AS DOUBLE) - 1.0) AS var_a,
+             (CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) *
+               CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+               (CAST(n_b AS DOUBLE) - 1.0) AS var_b
+           FROM m)
+         SELECT cname AS covariate, n_a, n_b,
+           floor(mean_a * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+           floor(mean_b * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
+           CASE WHEN var_a + var_b > 0.0
+             THEN floor((mean_b - mean_a) / sqrt((var_a + var_b) / 2.0)
+               * 1000000.0 + 0.5) / 1000000.0
+             ELSE 0.0 END AS smd
+         FROM d2 ORDER BY covariate""",
+    "q_ess" ->
+      """WITH w AS (
+           SELECT source,
+             least(1250 * n_chars, 1000000) AS w
+           FROM documents),
+         m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS sw,
+             CAST(sum(w * w) AS BIGINT) AS sww
+           FROM w GROUP BY 1)
+         SELECT source, n_docs,
+           floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) /
+             CAST(sww AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS ess,
+           floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) /
+             CAST(sww AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS ess_ratio
+         FROM m ORDER BY source""",
     "q_temporal_leakage" ->
       """WITH rows_ AS (
            SELECT user_id, CAST(ts AS DATE) AS d

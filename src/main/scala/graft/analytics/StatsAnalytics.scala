@@ -290,6 +290,54 @@ object StatsAnalytics {
       .orderBy("col_name")
   }
 
+  /** Covariate-balance table for the hash-split variants — the
+    * diagnostic read BEFORE any causal readout ([[diffInDiff]],
+    * matching, CUPED): per covariate (event value, hour-of-day, and the
+    * portable epoch-day weekday), the standardized mean difference
+    * SMD = (m₁−m₀)/√((v₀+v₁)/2); |SMD| ≳ 0.1 flags imbalance the
+    * adjustment must carry. One stacked map-side-collapsing aggregate
+    * (covariate × moment conditional DECIMAL sums) — the welchTTest fold
+    * applied per covariate. */
+  def covariateBalance(ev: DataFrame): DataFrame = {
+    val dow = ((floor(unix_micros(col("ts")) / lit(86400000000L)) +
+      lit(4)) % 7).cast("double")
+    val rows = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(Sampling.hashBucket(col("user_id"), 2).as("variant"),
+        explode(array(
+          struct(lit("a_value").as("cname"),
+            coalesce(col("value"), lit(0.0)).as("x")),
+          struct(lit("b_hour").as("cname"),
+            hour(col("ts")).cast("double").as("x")),
+          struct(lit("c_dow").as("cname"), dow.as("x")))).as("s"))
+      .select(col("variant"), col("s.cname"), col("s.x"))
+    def cSum(pred: Column, v: Column) =
+      sum(when(pred, v).otherwise(lit(0.0)).cast("decimal(28,12)"))
+    val m = rows.groupBy("cname").agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      cSum(col("variant") === 0, col("x")).as("s_a"),
+      cSum(col("variant") === 1, col("x")).as("s_b"),
+      cSum(col("variant") === 0, col("x") * col("x")).as("ss_a"),
+      cSum(col("variant") === 1, col("x") * col("x")).as("ss_b"))
+    def d(name: String) = col(name).cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val meanA = d("s_a") / d("n_a")
+    val meanB = d("s_b") / d("n_b")
+    val varA = (d("ss_a") - d("s_a") * d("s_a") / d("n_a")) /
+      (d("n_a") - lit(1.0))
+    val varB = (d("ss_b") - d("s_b") * d("s_b") / d("n_b")) /
+      (d("n_b") - lit(1.0))
+    m.select(col("cname").as("covariate"), col("n_a"), col("n_b"),
+        r6(meanA).as("mean_a"), r6(meanB).as("mean_b"),
+        // zero-variance guard: a covariate constant in BOTH variants has
+        // equal means by construction — SMD is 0, not 0/0 (ANSI division
+        // would throw)
+        when(varA + varB > lit(0.0),
+          r6((meanB - meanA) / sqrt((varA + varB) / lit(2.0))))
+          .otherwise(lit(0.0)).as("smd"))
+      .orderBy("covariate")
+  }
+
   /** Delta-method standard error for a RATIO metric (total value per
     * event, user as the i.i.d. unit) — the correction every
     * experimentation platform applies because a ratio of sums is NOT a

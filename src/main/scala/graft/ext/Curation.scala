@@ -294,4 +294,29 @@ object Curation {
             (col("n_singletons").cast("double") * col("n_tokens")), 6)))
       .orderBy("source")
   }
+
+  /** Effective sample size of the quality-weighted sampler per source —
+    * the diagnostic that tells a curation run how much of each source
+    * the weighting actually keeps: ESS = (Σw)²/Σw² (Kish), with the
+    * same integer ppm weights the weighted sampler draws by
+    * (min(1250·n_chars, 10⁶)). ESS/n near 1 means the weights are flat
+    * (weighting is a no-op); near 1/n means one document dominates.
+    * Integer moment sums in one map-side-collapsing aggregate; the
+    * ratio is exact-input double arithmetic. */
+  def essReport(docs: DataFrame): DataFrame = {
+    val w = least(lit(1250L) * col("n_chars"), lit(1000000L))
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    docs.select(col("source"), w.as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
+        sum(col("w") * col("w")).as("sww"))
+      .select(col("source"), col("n_docs"),
+        r6(col("sw").cast("double") * col("sw").cast("double") /
+          col("sww").cast("double")).as("ess"),
+        r6(col("sw").cast("double") * col("sw").cast("double") /
+          col("sww").cast("double") / col("n_docs").cast("double"))
+          .as("ess_ratio"))
+      .orderBy("source")
+  }
 }

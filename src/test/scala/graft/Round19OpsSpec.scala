@@ -481,6 +481,50 @@ class Round19OpsSpec extends SparkSpec {
       r.getAs[Double]("ci_hi"))
   }
 
+  // ---- covariate balance -------------------------------------------
+
+  test("covariateBalance: the value covariate's SMD recomputes from " +
+    "the split moments") {
+    val ev = Seq.tabulate(160)(i =>
+      (i.toLong, f"2024-01-01 ${i % 24}%02d:00:00", s"u$i", "view",
+        Some((i % 9) * 1.5), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = StatsAnalytics.covariateBalance(ev).collect()
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("a_value", "b_hour", "c_dow"))
+    val vs = ev.select(graft.operators.Sampling
+        .hashBucket(col("user_id"), 2).cast("long").as("v"), col("value"))
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    def stats(g: Long) = {
+      val xs = vs.filter(_._1 == g).map(_._2)
+      val m = xs.sum / xs.length
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1))
+    }
+    val (ma, va) = stats(0); val (mb, vb) = stats(1)
+    val smd = (mb - ma) / math.sqrt((va + vb) / 2.0)
+    val row = out.find(_.getString(0) == "a_value").get
+    assert(math.abs(row.getAs[Double]("smd") - smd) < 1e-5)
+  }
+
+  // ---- effective sample size ---------------------------------------
+
+  test("essReport: capped flat weights give ESS = n; a dominant weight " +
+    "halves the ratio") {
+    val docs = docsDf(Seq(
+      ("1", "x", "en", "s1", 800L), ("2", "x", "en", "s1", 800L),
+      ("3", "x", "en", "s2", 800L), ("4", "x", "en", "s2", 80L)))
+      .withColumn("doc_id", col("doc_id").cast("long"))
+    val out = graft.ext.Curation.essReport(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // s1: both weights cap at 1e6 → ESS = 2, ratio 1
+    assert(out("s1").getAs[Double]("ess") == 2.0)
+    assert(out("s1").getAs[Double]("ess_ratio") == 1.0)
+    // s2: w = (1e6, 1e5) → ESS = 1.21e12/1.01e12 = 1.19802
+    assert(out("s2").getAs[Double]("ess") == 1.19802)
+    assert(out("s2").getAs[Double]("ess_ratio") == 0.59901)
+  }
+
   // ---- ANALYZE column stats ----------------------------------------
 
   test("analyzeStats: typed min/max, exact ndv, null count, and the " +

@@ -1784,6 +1784,9 @@ object SparkEntry {
     // Kish effective sample size of the quality weights per source
     "q_ess" -> ((s, d) =>
       graft.ext.Curation.essReport(Tables.documents(s, d))),
+    // per-decile quantile treatment effects between the variants
+    "q_qte" -> ((s, d) =>
+      StatsAnalytics.quantileTreatmentEffect(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -7758,6 +7761,23 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_total
          FROM mem GROUP BY 1
          ORDER BY n_total DESC, cluster LIMIT 20""",
+    "q_qte" ->
+      """WITH r AS (
+           SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS variant, value AS v
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+         q AS (SELECT
+             quantile_cont(CASE WHEN variant = 0 THEN v END,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qa,
+             quantile_cont(CASE WHEN variant = 1 THEN v END,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qb
+           FROM r),
+         u AS (SELECT unnest(range(1, 10)) AS i, qa, qb FROM q)
+         SELECT CAST(i * 10 AS BIGINT) AS pct,
+           floor(qa[i] * 1000000.0 + 0.5) / 1000000.0 AS q_a,
+           floor(qb[i] * 1000000.0 + 0.5) / 1000000.0 AS q_b,
+           floor((qb[i] - qa[i]) * 1000000.0 + 0.5) / 1000000.0 AS qte
+         FROM u ORDER BY pct""",
     "q_covariate_balance" ->
       """WITH b AS (
            SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))

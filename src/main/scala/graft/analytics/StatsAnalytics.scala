@@ -290,6 +290,34 @@ object StatsAnalytics {
       .orderBy("col_name")
   }
 
+  /** Quantile treatment effects over the hash variants — the
+    * DISTRIBUTIONAL A/B readout the mean-difference tests miss: a
+    * treatment that helps the median but hurts the tail nets to zero in
+    * [[abLift]] yet shows plainly as per-decile deltas. Exact
+    * interpolating percentiles per variant (the q_value_percentiles
+    * discipline — at 100 TB swap for the approx-percentile sketch
+    * sibling), unpivoted to one row per decile with the B−A effect.
+    * One grouped aggregate + a 9-row reshape. */
+  def quantileTreatmentEffect(ev: DataFrame): DataFrame = {
+    val rows = ev.filter(col("value").isNotNull && col("user_id").isNotNull)
+      .select(Sampling.hashBucket(col("user_id"), 2).as("variant"),
+        col("value"))
+    val ps = (1 to 9).map(_ / 10.0)
+    val m = rows.groupBy("variant")
+      .agg(expr(s"percentile(value, array(${ps.mkString(", ")}))")
+        .as("qs"))
+    val a = m.filter(col("variant") === 0)
+      .select(posexplode(col("qs")).as(Seq("i", "qa")))
+    val b = m.filter(col("variant") === 1)
+      .select(posexplode(col("qs")).as(Seq("i", "qb")))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    a.join(b, Seq("i"))
+      .select(((col("i") + 1) * 10).cast("bigint").as("pct"),
+        r6(col("qa")).as("q_a"), r6(col("qb")).as("q_b"),
+        r6(col("qb") - col("qa")).as("qte"))
+      .orderBy("pct")
+  }
+
   /** Covariate-balance table for the hash-split variants — the
     * diagnostic read BEFORE any causal readout ([[diffInDiff]],
     * matching, CUPED): per covariate (event value, hour-of-day, and the

@@ -481,6 +481,29 @@ class Round19OpsSpec extends SparkSpec {
       r.getAs[Double]("ci_hi"))
   }
 
+  // ---- quantile treatment effects ----------------------------------
+
+  test("quantileTreatmentEffect: deciles are monotone, the effect " +
+    "column closes, and the result is partitioning-invariant") {
+    val ev = Seq.tabulate(200)(i =>
+      (i.toLong, "2024-01-01 00:00:00", s"u$i", "view",
+        Some((i % 31) * 0.7), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = StatsAnalytics.quantileTreatmentEffect(ev).collect()
+    assert(out.map(_.getAs[Long]("pct")).toSeq ==
+      (1 to 9).map(_ * 10L))
+    val qa = out.map(_.getAs[Double]("q_a"))
+    assert(qa.sliding(2).forall(p => p(0) <= p(1))) // monotone deciles
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("qte") -
+        (r.getAs[Double]("q_b") - r.getAs[Double]("q_a"))) < 2e-6)
+    }
+    val again = StatsAnalytics.quantileTreatmentEffect(ev.repartition(11))
+      .collect().toSeq
+    assert(again == out.toSeq)
+  }
+
   // ---- covariate balance -------------------------------------------
 
   test("covariateBalance: the value covariate's SMD recomputes from " +

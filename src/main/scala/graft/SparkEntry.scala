@@ -1787,6 +1787,9 @@ object SparkEntry {
     // per-decile quantile treatment effects between the variants
     "q_qte" -> ((s, d) =>
       StatsAnalytics.quantileTreatmentEffect(Tables.events(s, d))),
+    // seasonality-adjusted volume anomalies (weekday x hour baseline)
+    "q_seasonal_anomaly" -> ((s, d) =>
+      EventAnalytics.seasonalAnomaly(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -7761,6 +7764,35 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_total
          FROM mem GROUP BY 1
          ORDER BY n_total DESC, cluster LIMIT 20""",
+    "q_seasonal_anomaly" ->
+      """WITH pb AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST((CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) + 4)
+               % 7 AS INT) AS dow,
+             CAST(hour(ts) AS INT) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3),
+         cs AS (SELECT dow, hr, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(c * c) AS BIGINT) AS scc
+           FROM pb GROUP BY 1, 2 HAVING count(*) >= 4),
+         j AS (SELECT pb.d, pb.dow, pb.hr, pb.c,
+             CAST(n_days - 1 AS DOUBLE) AS np,
+             CAST(sc - c AS DOUBLE) / CAST(n_days - 1 AS DOUBLE)
+               AS mean_c,
+             (CAST(n_days - 1 AS DOUBLE) * (CAST(scc AS DOUBLE) -
+                CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) -
+              CAST(sc - c AS DOUBLE) * CAST(sc - c AS DOUBLE)) /
+             (CAST(n_days - 1 AS DOUBLE) *
+              (CAST(n_days - 1 AS DOUBLE) - 1.0)) AS var_c
+           FROM pb JOIN cs USING (dow, hr)),
+         z AS (SELECT *,
+             (CAST(c AS DOUBLE) - mean_c) / sqrt(var_c) AS zv
+           FROM j WHERE var_c > 0.0)
+         SELECT d, dow, hr, c,
+           floor(mean_c * 1000000.0 + 0.5) / 1000000.0 AS cell_mean,
+           floor(zv * 1000000.0 + 0.5) / 1000000.0 AS z
+         FROM z WHERE abs(zv) > 3.0 ORDER BY d, hr""",
     "q_qte" ->
       """WITH r AS (
            SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))

@@ -618,6 +618,52 @@ object EventAnalytics {
       round(percentile(col("delta_sec"), lit(0.9)), 2).as("p90_sec"))
   }
 
+  /** Seasonality-adjusted volume anomalies: each (day, hour) bucket's
+    * event count is scored against the baseline of the SAME weekday ×
+    * hour cell across the corpus — the monitoring alert that does not
+    * page every Monday morning the way a raw z-score over all hours
+    * does ([[seasonality]] builds the heat grid; this flags deviations
+    * from it). Cell mean/variance come from exact integer sums over the
+    * (day, hour) count frame (one corpus aggregate, then day-frame
+    * arithmetic); a bucket flags when |count − mean| > 3σ with the
+    * portable rational z. Cells with < 3 observed days or zero variance
+    * cannot flag (insufficient baseline). Output: the flagged buckets. */
+  def seasonalAnomaly(ev: DataFrame, zMax: Double = 3.0): DataFrame = {
+    val dow = ((floor(unix_micros(col("ts")) / lit(86400000000L)) +
+      lit(4)) % 7).cast("int")
+    val perBucket = ev.filter(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"), dow.as("dow"),
+        hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    // cell sums INCLUDE every bucket once; each bucket then scores
+    // against the LEAVE-ONE-OUT mean/variance of its cell (itself
+    // subtracted from the sums) — an in-baseline z is mathematically
+    // capped near √n and can never flag on the ~4 observations a
+    // (weekday × hour) cell has over a month of days
+    val cellStats = perBucket.groupBy("dow", "hr")
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+      .filter(col("n_days") >= 4)
+    val np = (col("n_days") - lit(1)).cast("double")
+    val looMean = (col("sc") - col("c")).cast("double") / np
+    val looVar = (np * (col("scc").cast("double") -
+        col("c").cast("double") * col("c").cast("double")) -
+      (col("sc") - col("c")).cast("double") *
+        (col("sc") - col("c")).cast("double")) /
+      (np * (np - lit(1.0)))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    perBucket.join(cellStats, Seq("dow", "hr"))
+      .withColumn("loo_mean", looMean)
+      .withColumn("loo_var", looVar)
+      .filter(col("loo_var") > 0.0)
+      .withColumn("z",
+        (col("c").cast("double") - col("loo_mean")) / sqrt(col("loo_var")))
+      .filter(abs(col("z")) > zMax)
+      .select(col("d"), col("dow"), col("hr"), col("c"),
+        r6(col("loo_mean")).as("cell_mean"), r6(col("z")).as("z"))
+      .orderBy("d", "hr")
+  }
+
   /** Wilson-score 95% interval on the corpus signup→purchase conversion
     * rate — the uncertainty the [[funnel]] report needs before anyone
     * compares two of its rates: unlike the normal approximation, Wilson

@@ -481,6 +481,32 @@ class Round19OpsSpec extends SparkSpec {
       r.getAs[Double]("ci_hi"))
   }
 
+  // ---- seasonal anomaly --------------------------------------------
+
+  test("seasonalAnomaly: a planted burst flags against its same-" +
+    "weekday-hour LOO baseline; the baseline days do not") {
+    // five consecutive same-weekday days at hour 8 with counts
+    // [10, 11, 9, 10, 50]: LOO baseline of the burst = mean 10,
+    // var 2/3 → z = 40/√(2/3) = 48.989795
+    val days = Seq(1, 8, 15, 22, 29)
+    val counts = Seq(10, 11, 9, 10, 50)
+    val rows = days.zip(counts).flatMap { case (day, n) =>
+      (0 until n).map(j => (day, j))
+    }
+    val ev = rows.zipWithIndex.map { case ((day, _), i) =>
+      (i.toLong, f"2024-01-$day%02d 08:15:00", s"u$i", "view",
+        Some(1.0), "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val out = graft.analytics.EventAnalytics.seasonalAnomaly(ev).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out(0)
+    assert(r.getAs[java.sql.Date]("d").toString == "2024-01-29")
+    assert(r.getAs[Long]("c") == 50L)
+    assert(r.getAs[Double]("cell_mean") == 10.0)
+    assert(r.getAs[Double]("z") == 48.989795)
+  }
+
   // ---- quantile treatment effects ----------------------------------
 
   test("quantileTreatmentEffect: deciles are monotone, the effect " +

@@ -1790,6 +1790,9 @@ object SparkEntry {
     // seasonality-adjusted volume anomalies (weekday x hour baseline)
     "q_seasonal_anomaly" -> ((s, d) =>
       EventAnalytics.seasonalAnomaly(Tables.events(s, d))),
+    // cumulative gains / lift table for the quality score
+    "q_gains_curve" -> ((s, d) =>
+      graft.ext.EvalOps.gainsCurve(Tables.documents(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -7764,6 +7767,43 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_total
          FROM mem GROUP BY 1
          ORDER BY n_total DESC, cluster LIMIT 20""",
+    "q_gains_curve" ->
+      """WITH t AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT y, CASE WHEN len(toks) = 0 THEN 0
+             ELSE CAST(floor(10000.0 * len(list_filter(toks,
+               x -> list_contains(['the','and','of','is','to','a','in'],
+                 x))) / len(toks) + 0.5) AS BIGINT) END AS sri
+           FROM t),
+         p AS (SELECT sri, CAST(count(*) AS BIGINT) AS n_s,
+             CAST(sum(y) AS BIGINT) AS pos_s
+           FROM s GROUP BY 1),
+         cum AS (SELECT sri,
+             CAST(sum(n_s) OVER (ORDER BY sri DESC) AS BIGINT) AS cum_n,
+             CAST(sum(pos_s) OVER (ORDER BY sri DESC) AS BIGINT)
+               AS cum_pos
+           FROM p),
+         tot AS (SELECT max(cum_n) AS n_total, max(cum_pos) AS pos_total
+           FROM cum),
+         ks AS (SELECT unnest(range(1, 11)) AS k),
+         cuts AS (SELECT k, n_total, pos_total, min(cum_n) AS n_kept
+           FROM ks CROSS JOIN tot JOIN cum
+             ON cum.cum_n * 10 >= k * n_total
+           GROUP BY 1, 2, 3),
+         f AS (SELECT cuts.k, cuts.n_total, cuts.pos_total, cuts.n_kept,
+             cum.cum_pos AS pos_kept
+           FROM cuts JOIN cum ON cum.cum_n = cuts.n_kept)
+         SELECT CAST(k AS BIGINT) AS decile, n_kept, pos_kept,
+           floor(CAST(pos_kept AS DOUBLE) / CAST(pos_total AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS recall,
+           floor(CAST(pos_kept AS DOUBLE) * CAST(n_total AS DOUBLE) /
+             (CAST(pos_total AS DOUBLE) * CAST(n_kept AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS lift
+         FROM f ORDER BY decile""",
     "q_seasonal_anomaly" ->
       """WITH pb AS (
            SELECT CAST(ts AS DATE) AS d,

@@ -639,6 +639,53 @@ object EvalOps {
       .orderBy("priority")
   }
 
+  /** Cumulative-gains / lift table for the quality score — the
+    * TARGETING readout beside [[aucReport]]'s rank quality and
+    * [[calibrationReport]]'s probability quality: "if we keep the
+    * top-k% by score, what share of the positives do we capture, and
+    * how much better than random is that?" For each decile cut, the
+    * smallest score-descending prefix covering ≥ k/10 of the corpus,
+    * its positive recall, and lift = recall/(k/10).
+    *
+    * Scale shape: the corpus collapses to one row per DISTINCT integer
+    * score (≤ 10 001 rows) exactly like the AUC report; the cumulative
+    * window, the 10×|scores| cut probe, and the min_by argmin all run
+    * on that bounded frame — the corpus shuffles once. Integer counts
+    * end-to-end; ratios are portable rationals. */
+  def gainsCurve(docs: DataFrame): DataFrame = {
+    val per = scoredDocs(docs).groupBy("sri").agg(
+      count(lit(1)).as("n_s"), sum(col("y")).as("pos_s"))
+    val w = Window.orderBy(col("sri").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per
+      .withColumn("cum_n", sum(col("n_s")).over(w))
+      .withColumn("cum_pos", sum(col("pos_s")).over(w))
+      .localCheckpoint() // bounded frame; probed by all ten cuts
+    val tot = cum.agg(max(col("cum_n")).as("n_total"),
+      max(col("cum_pos")).as("pos_total"))
+    val deciles = docs.sparkSession.range(1, 11)
+      .select(col("id").as("k"))
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    deciles.crossJoin(broadcast(tot))
+      .join(cum, col("cum_n") * 10 >= col("k") * col("n_total"))
+      .groupBy("k", "n_total", "pos_total")
+      .agg(min_by(struct(col("cum_n"), col("cum_pos")),
+        col("cum_n")).as("cut"))
+      .select(col("k").cast("bigint").as("decile"),
+        col("cut.cum_n").as("n_kept"),
+        col("cut.cum_pos").as("pos_kept"),
+        r6(col("cut.cum_pos").cast("double") /
+          col("pos_total").cast("double")).as("recall"),
+        // lift against the ACTUAL kept share (the cut can overshoot
+        // k/10 when scores tie): recall ÷ (n_kept/n_total)
+        r6(col("cut.cum_pos").cast("double") *
+          col("n_total").cast("double") /
+          (col("pos_total").cast("double") *
+            col("cut.cum_n").cast("double"))).as("lift"))
+      .orderBy("decile")
+  }
+
   /** Catalog coverage and popularity-bias report for the [[itemCF]]
     * recommender — the serving-side eval beside [[cfHitRate]]'s
     * accuracy: what share of the catalog ever appears in a top-k list

@@ -481,6 +481,34 @@ class Round19OpsSpec extends SparkSpec {
       r.getAs[Double]("ci_hi"))
   }
 
+  // ---- gains curve -------------------------------------------------
+
+  test("gainsCurve: perfect separation doubles early lift; tied zero " +
+    "scores merge the bottom deciles at the full-corpus cut") {
+    // 5 en docs with distinct positive stopword ratios, 5 fr docs at 0:
+    // deciles 1..5 keep exactly k docs (all positive, lift 2), deciles
+    // 6..10 can only cut at the tied sri=0 block → full corpus, lift 1
+    val docs = docsDf(
+      (0 until 5).map(i => (s"e$i", "the " * (i + 1) + "qq", "en", "s",
+        10L)) ++
+      (0 until 5).map(i => (s"f$i", "qq zz", "fr", "s", 10L)))
+      .withColumn("doc_id", monotonically_increasing_id())
+    val out = graft.ext.EvalOps.gainsCurve(docs).collect()
+    assert(out.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    for (r <- out) {
+      val k = r.getAs[Long]("decile")
+      if (k <= 5) {
+        assert(r.getAs[Long]("n_kept") == k)
+        assert(r.getAs[Long]("pos_kept") == k)
+        assert(r.getAs[Double]("lift") == 2.0)
+      } else {
+        assert(r.getAs[Long]("n_kept") == 10L)
+        assert(r.getAs[Double]("recall") == 1.0)
+        assert(r.getAs[Double]("lift") == 1.0)
+      }
+    }
+  }
+
   // ---- seasonal anomaly --------------------------------------------
 
   test("seasonalAnomaly: a planted burst flags against its same-" +

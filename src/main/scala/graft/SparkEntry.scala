@@ -1793,6 +1793,9 @@ object SparkEntry {
     // cumulative gains / lift table for the quality score
     "q_gains_curve" -> ((s, d) =>
       graft.ext.EvalOps.gainsCurve(Tables.documents(s, d))),
+    // per-source exact / near-dup contamination accounting
+    "q_dup_by_source" -> ((s, d) =>
+      graft.ext.DedupExt.dupBySource(Tables.documents(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -7767,6 +7770,46 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_total
          FROM mem GROUP BY 1
          ORDER BY n_total DESC, cluster LIMIT 20""",
+    "q_dup_by_source" ->
+      s"""$sketchTokenHashCte,
+         sim AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN 2*len(list_filter(hs, h -> ((h >> b) & 1) = 1))
+                      >= len(hs)
+                    THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)
+               AS simhash
+           FROM th),
+         ch AS (
+           SELECT s.doc_id, s.simhash, c.chunk_id,
+             (s.simhash >> (c.chunk_id * 15)) & 32767 AS chunk
+           FROM sim s CROSS JOIN
+             (SELECT unnest(range(0, 4)) AS chunk_id) c),
+         near AS (
+           SELECT DISTINCT b.doc_id AS doc_id
+           FROM ch a JOIN ch b ON a.chunk_id = b.chunk_id
+             AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 8),
+         fp AS (
+           SELECT doc_id,
+             sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS f
+           FROM documents),
+         keep AS (SELECT f, min(doc_id) AS keeper FROM fp GROUP BY 1),
+         ex AS (SELECT fp.doc_id FROM fp JOIN keep ON keep.f = fp.f
+           WHERE fp.doc_id <> keep.keeper)
+         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_exact_dup,
+           CAST(sum(CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_near_dup,
+           floor(CAST(sum(CASE WHEN near.doc_id IS NOT NULL THEN 1
+               ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS near_dup_rate
+         FROM documents d
+           LEFT JOIN ex ON ex.doc_id = d.doc_id
+           LEFT JOIN near ON near.doc_id = d.doc_id
+         GROUP BY 1 ORDER BY 1""",
     "q_gains_curve" ->
       """WITH t AS (
            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,

@@ -419,4 +419,41 @@ object DedupExt {
         col("golden_name"), col("brand"), col("max_price"))
       .orderBy("cluster_id")
   }
+
+  /** Per-source duplication accounting — the curation dashboard's
+    * "which feeds are polluting the corpus" table: for each source, how
+    * many of its documents are exact duplicates (share a normalized
+    * content fingerprint with a smaller doc_id — the keep-smallest
+    * convention) and how many are SimHash near-duplicates (the flagged
+    * `doc_id_b` side of the chunk-blocked candidate pairs at
+    * Hamming ≤ maxDist). Shapes are the proven family members': the
+    * fingerprint census shuffles 32-byte hashes, the near-dup probe is
+    * the banded self-join; this op only adds id-keyed flag joins and a
+    * source rollup. */
+  def dupBySource(docs: DataFrame, maxDist: Int = 8): DataFrame = {
+    val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val keeper = fp.groupBy("fp").agg(min(col("doc_id")).as("keeper"))
+    val exactDup = fp.join(keeper, Seq("fp"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("doc_id")).withColumn("is_exact", lit(1))
+    val nearDup = simhashCandidates(docs, maxDist)
+      .select(col("doc_id_b").as("doc_id")).distinct()
+      .withColumn("is_near", lit(1))
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    docs.select(col("doc_id"), col("source"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_exact"), lit(0)).cast("long"))
+          .as("n_exact_dup"),
+        sum(coalesce(col("is_near"), lit(0)).cast("long"))
+          .as("n_near_dup"))
+      .select(col("source"), col("n_docs"), col("n_exact_dup"),
+        col("n_near_dup"),
+        r6(col("n_near_dup").cast("double") /
+          col("n_docs").cast("double")).as("near_dup_rate"))
+      .orderBy("source")
+  }
 }

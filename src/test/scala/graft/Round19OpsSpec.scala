@@ -481,6 +481,31 @@ class Round19OpsSpec extends SparkSpec {
       r.getAs[Double]("ci_hi"))
   }
 
+  // ---- per-source duplication accounting ---------------------------
+
+  test("dupBySource: exact dups flag on the keep-smallest side; " +
+    "near-dups flag the larger id of each colliding pair") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    // same token multiset, different order: identical SimHash (near dup,
+    // Hamming 0) but a different normalized fingerprint (not exact)
+    val shuffled = "beta alpha delta gamma zeta epsilon theta eta " * 3
+    val docs = docsDf(Seq(
+      ("1", base, "en", "s1", 10L),
+      ("2", base, "en", "s2", 10L),      // exact dup of 1 (s2)
+      ("3", shuffled, "en", "s2", 10L),  // near dup of 1/2, not exact
+      ("4", "utterly different content here entirely", "en", "s1", 10L)))
+      .withColumn("doc_id", col("doc_id").cast("long"))
+    val out = graft.ext.DedupExt.dupBySource(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // doc 1 is the keeper: s1 has no dups; s2 carries the exact dup (2)
+    // and both 2 and 3 flag as near (larger side of their pairs)
+    assert(out("s1").getAs[Long]("n_exact_dup") == 0L)
+    assert(out("s2").getAs[Long]("n_exact_dup") == 1L)
+    assert(out("s1").getAs[Long]("n_near_dup") == 0L)
+    assert(out("s2").getAs[Long]("n_near_dup") == 2L)
+    assert(out("s2").getAs[Double]("near_dup_rate") == 1.0)
+  }
+
   // ---- gains curve -------------------------------------------------
 
   test("gainsCurve: perfect separation doubles early lift; tied zero " +

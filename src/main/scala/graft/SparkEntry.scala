@@ -1796,6 +1796,9 @@ object SparkEntry {
     // per-source exact / near-dup contamination accounting
     "q_dup_by_source" -> ((s, d) =>
       graft.ext.DedupExt.dupBySource(Tables.documents(s, d))),
+    // recency-threshold churn baseline scored on the training set
+    "q_churn_baseline" -> ((s, d) =>
+      EventAnalytics.churnBaseline(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -7770,6 +7773,53 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_total
          FROM mem GROUP BY 1
          ORDER BY n_total DESC, cluster LIMIT 20""",
+    "q_churn_baseline" ->
+      """WITH rows_ AS (
+           SELECT user_id, CAST(ts AS DATE) AS d,
+             coalesce(value, 0.0) AS v
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         cut AS (SELECT max(d) - 14 AS cutoff FROM rows_),
+         per AS (SELECT user_id,
+             CAST(sum(CASE WHEN d <= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_events,
+             CAST(date_diff('day', max(CASE WHEN d <= cutoff THEN d END),
+               max(cutoff)) AS BIGINT) AS recency_days,
+             CAST(max(CASE WHEN d > cutoff THEN 1 ELSE 0 END) AS INT)
+               AS label_active
+           FROM rows_ CROSS JOIN cut GROUP BY 1
+           HAVING sum(CASE WHEN d <= cutoff THEN 1 ELSE 0 END) > 0),
+         p AS (SELECT *, CASE WHEN recency_days <= 7 THEN 1 ELSE 0 END
+             AS pred FROM per),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN pred = 1 AND label_active = 1 THEN 1
+               ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN pred = 1 AND label_active = 0 THEN 1
+               ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN pred = 0 AND label_active = 1 THEN 1
+               ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN pred = 0 AND label_active = 0 THEN 1
+               ELSE 0 END) AS BIGINT) AS tn
+           FROM p),
+         s2 AS (SELECT *,
+             CASE WHEN tp + fp > 0
+               THEN CAST(tp AS DOUBLE) /
+                 (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+               ELSE 0.0 END AS prec,
+             CASE WHEN tp + fn > 0
+               THEN CAST(tp AS DOUBLE) /
+                 (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+               ELSE 0.0 END AS rec
+           FROM m)
+         SELECT n_users, tp, fp, fn, tn,
+           floor(prec * 1000000.0 + 0.5) / 1000000.0 AS precision,
+           floor(rec * 1000000.0 + 0.5) / 1000000.0 AS recall,
+           floor(CASE WHEN prec + rec > 0.0
+               THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS f1,
+           floor((CAST(tp AS DOUBLE) + CAST(tn AS DOUBLE)) /
+             CAST(n_users AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS accuracy
+         FROM s2""",
     "q_dup_by_source" ->
       s"""$sketchTokenHashCte,
          sim AS (

@@ -664,6 +664,41 @@ object EventAnalytics {
       .orderBy("d", "hr")
   }
 
+  /** Recency-threshold baseline evaluated on the [[trainingSet]] — the
+    * "beat this first" yardstick every churn model must clear before
+    * its complexity is justified: predict ACTIVE iff the user was seen
+    * within `recencyCut` days of the cutoff, score against the
+    * point-in-time label. Confusion counts, precision/recall/F1 (zero-
+    * guarded) and accuracy in one aggregate over the user frame —
+    * exact-integer rationals throughout. */
+  def churnBaseline(ev: DataFrame, horizonDays: Int = 14,
+                    recencyCut: Long = 7L): DataFrame = {
+    val ts = trainingSet(ev, horizonDays)
+      .withColumn("pred", (col("recency_days") <= recencyCut).cast("int"))
+    val m = ts.agg(count(lit(1)).as("n_users"),
+      sum(when(col("pred") === 1 && col("label_active") === 1, 1L)
+        .otherwise(0L)).as("tp"),
+      sum(when(col("pred") === 1 && col("label_active") === 0, 1L)
+        .otherwise(0L)).as("fp"),
+      sum(when(col("pred") === 0 && col("label_active") === 1, 1L)
+        .otherwise(0L)).as("fn"),
+      sum(when(col("pred") === 0 && col("label_active") === 0, 1L)
+        .otherwise(0L)).as("tn"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val prec = when(col("tp") + col("fp") > 0,
+      d(col("tp")) / (d(col("tp")) + d(col("fp")))).otherwise(lit(0.0))
+    val rec = when(col("tp") + col("fn") > 0,
+      d(col("tp")) / (d(col("tp")) + d(col("fn")))).otherwise(lit(0.0))
+    m.select(col("n_users"), col("tp"), col("fp"), col("fn"), col("tn"),
+      r6(prec).as("precision"), r6(rec).as("recall"),
+      r6(when(prec + rec > lit(0.0),
+        lit(2.0) * prec * rec / (prec + rec)).otherwise(lit(0.0)))
+        .as("f1"),
+      r6((d(col("tp")) + d(col("tn"))) / d(col("n_users")))
+        .as("accuracy"))
+  }
+
   /** Wilson-score 95% interval on the corpus signup→purchase conversion
     * rate — the uncertainty the [[funnel]] report needs before anyone
     * compares two of its rates: unlike the normal approximation, Wilson

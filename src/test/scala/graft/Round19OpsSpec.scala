@@ -481,6 +481,30 @@ class Round19OpsSpec extends SparkSpec {
       r.getAs[Double]("ci_hi"))
   }
 
+  // ---- churn baseline ----------------------------------------------
+
+  test("churnBaseline: confusion cells and F1 from the hand training " +
+    "set") {
+    // cutoff Jan 6, recency cut 7 → every pre-cutoff user predicts
+    // ACTIVE iff last pre-event within [cutoff-7, cutoff].
+    // A: pre Jan 5 (recency 1 → pred 1), post → label 1: TP
+    // B: pre Jan 5 (pred 1), no post: FP
+    // C: pre Jan 2 (recency 4 → pred 1), post: TP
+    val rows = Seq(("A", 5), ("A", 20), ("B", 5), ("C", 2), ("C", 19))
+    val ev = rows.zipWithIndex.map { case ((u, day), i) =>
+      (i.toLong, f"2024-01-$day%02d 08:00:00", u, "view", Some(1.0), "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val r = graft.analytics.EventAnalytics.churnBaseline(ev).collect()(0)
+    // A: TP, C: TP, B: FP → precision 2/3, recall 1, f1 = 0.8
+    assert(r.getAs[Long]("n_users") == 3L)
+    assert(r.getAs[Long]("tp") == 2L && r.getAs[Long]("fp") == 1L &&
+      r.getAs[Long]("fn") == 0L && r.getAs[Long]("tn") == 0L)
+    assert(r.getAs[Double]("precision") == 0.666667)
+    assert(r.getAs[Double]("recall") == 1.0)
+    assert(r.getAs[Double]("f1") == 0.8)
+  }
+
   // ---- per-source duplication accounting ---------------------------
 
   test("dupBySource: exact dups flag on the keep-smallest side; " +

@@ -1799,6 +1799,23 @@ object SparkEntry {
     // recency-threshold churn baseline scored on the training set
     "q_churn_baseline" -> ((s, d) =>
       EventAnalytics.churnBaseline(Tables.events(s, d))),
+    // Mann-Whitney rank-sum test over the per-user activity census
+    "q_mann_whitney" -> ((s, d) =>
+      StatsAnalytics.mannWhitney(Tables.events(s, d))),
+    // Spearman rank correlation: order frequency vs part breadth
+    "q_spearman" -> ((s, d) =>
+      StatsAnalytics.spearmanBreadth(Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+    // Theil T inequality decomposition by market segment
+    "q_theil" -> ((s, d) =>
+      StatsAnalytics.theilIndex(Tables.orders(s, d),
+        Tables.customer(s, d))),
+    // Wald-Wolfowitz runs test on the daily-revenue sign series
+    "q_runs_test" -> ((s, d) =>
+      StatsAnalytics.runsTest(Tables.events(s, d))),
+    // Cramer's V association between event type and weekday
+    "q_cramers_v" -> ((s, d) =>
+      StatsAnalytics.cramersV(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -8458,5 +8475,227 @@ object SparkEntry {
              / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
              AS map
          FROM ap""",
+    "q_mann_whitney" ->
+      """WITH per AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS g
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         census AS (
+           SELECT x,
+             CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+           FROM per GROUP BY 1),
+         ranked AS (
+           SELECT *, ca + cb AS t,
+             CAST(coalesce(sum(ca + cb) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS below
+           FROM census),
+         m AS (
+           SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             sum(CAST(CAST(ca AS DOUBLE) * (CAST(below AS DOUBLE) +
+               (CAST(t AS DOUBLE) + 1.0) / 2.0) AS DECIMAL(28,12)))
+               AS ra,
+             CAST(sum(t * t * t - t) AS BIGINT) AS tsum
+           FROM ranked),
+         s2 AS (
+           SELECT n_a, n_b,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n,
+             CAST(ra AS DOUBLE) -
+               CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0
+               AS ua,
+             CAST(tsum AS DOUBLE) AS ts FROM m),
+         s3 AS (
+           SELECT *, na * nb / 2.0 AS mu,
+             sqrt(na * nb / 12.0 * ((n + 1.0) - ts / (n * (n - 1.0))))
+               AS sigma
+           FROM s2)
+         SELECT n_a, n_b,
+           floor(ua * 1000000.0 + 0.5) / 1000000.0 AS u_a,
+           floor((na * nb - ua) * 1000000.0 + 0.5) / 1000000.0 AS u_b,
+           floor(mu * 1000000.0 + 0.5) / 1000000.0 AS mu_u,
+           floor(sigma * 1000000.0 + 0.5) / 1000000.0 AS sigma_u,
+           floor(CASE WHEN sigma > 0.0 THEN (ua - mu) / sigma
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS z
+         FROM s3""",
+    "q_spearman" ->
+      """WITH nord AS (
+           SELECT o_custkey AS cust, CAST(count(*) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         nparts AS (
+           SELECT o.o_custkey AS cust,
+             CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS y
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           GROUP BY 1),
+         pc AS (SELECT nord.cust, x, y FROM nord
+           JOIN nparts ON nord.cust = nparts.cust),
+         cx AS (SELECT x, CAST(count(*) AS BIGINT) AS t FROM pc
+           GROUP BY 1),
+         rx AS (SELECT x,
+             CAST(coalesce(sum(t) OVER (ORDER BY x ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) +
+               (CAST(t AS DOUBLE) + 1.0) / 2.0 AS r_x
+           FROM cx),
+         cy AS (SELECT y, CAST(count(*) AS BIGINT) AS t FROM pc
+           GROUP BY 1),
+         ry AS (SELECT y,
+             CAST(coalesce(sum(t) OVER (ORDER BY y ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE) +
+               (CAST(t AS DOUBLE) + 1.0) / 2.0 AS r_y
+           FROM cy),
+         ranked AS (SELECT pc.x, pc.y, rx.r_x, ry.r_y FROM pc
+           JOIN rx ON pc.x = rx.x JOIN ry ON pc.y = ry.y),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(r_x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(r_y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(r_x * r_x AS DECIMAL(28,12))) AS DOUBLE)
+               AS sxx,
+             CAST(sum(CAST(r_y * r_y AS DECIMAL(28,12))) AS DOUBLE)
+               AS syy,
+             CAST(sum(CAST(r_x * r_y AS DECIMAL(28,12))) AS DOUBLE)
+               AS sxy,
+             CAST(sum(x) AS DOUBLE) AS rsx, CAST(sum(y) AS DOUBLE)
+               AS rsy,
+             CAST(sum(x * x) AS DOUBLE) AS rsxx,
+             CAST(sum(y * y) AS DOUBLE) AS rsyy,
+             CAST(sum(x * y) AS DOUBLE) AS rsxy
+           FROM ranked)
+         SELECT n AS n_customers,
+           floor((CAST(n AS DOUBLE) * sxy - sx * sy) /
+             sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) *
+               (CAST(n AS DOUBLE) * syy - sy * sy))
+             * 1000000.0 + 0.5) / 1000000.0 AS rho_spearman,
+           floor((CAST(n AS DOUBLE) * rsxy - rsx * rsy) /
+             sqrt((CAST(n AS DOUBLE) * rsxx - rsx * rsx) *
+               (CAST(n AS DOUBLE) * rsyy - rsy * rsy))
+             * 1000000.0 + 0.5) / 1000000.0 AS r_pearson
+         FROM m""",
+    "q_theil" ->
+      """WITH spend AS (
+           SELECT o.o_custkey, c.c_mktsegment AS segment,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(28,12))) AS DOUBLE)
+               AS s
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2),
+         seg AS (
+           SELECT segment, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(s AS DECIMAL(28,12))) AS sx,
+             sum(CAST(s * ln(s) AS DECIMAL(28,12))) AS sxlnx
+           FROM spend GROUP BY 1),
+         gl AS (
+           SELECT CAST(sum(n) AS BIGINT) AS n_all, sum(sx) AS x_all,
+             sum(sxlnx) AS xlnx_all
+           FROM seg),
+         within AS (
+           SELECT 'within' AS component, segment, n AS n_customers,
+             floor(CAST(sx AS DOUBLE) / CAST(x_all AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 AS spend_share,
+             floor((CAST(sxlnx AS DOUBLE) / CAST(sx AS DOUBLE) -
+               ln(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+               * 1000000.0 + 0.5) / 1000000.0 AS theil
+           FROM seg CROSS JOIN gl),
+         betw AS (
+           SELECT 'between' AS component, '__ALL__' AS segment,
+             CAST(sum(n) AS BIGINT) AS n_customers, 1.0 AS spend_share,
+             floor(CAST(sum(CAST(
+               CAST(sx AS DOUBLE) / CAST(x_all AS DOUBLE) *
+               ln((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+                 (CAST(x_all AS DOUBLE) / CAST(n_all AS DOUBLE)))
+               AS DECIMAL(28,12))) AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS theil
+           FROM seg CROSS JOIN gl),
+         tot AS (
+           SELECT 'total' AS component, '__ALL__' AS segment,
+             n_all AS n_customers, 1.0 AS spend_share,
+             floor((CAST(xlnx_all AS DOUBLE) / CAST(x_all AS DOUBLE) -
+               ln(CAST(x_all AS DOUBLE) / CAST(n_all AS DOUBLE)))
+               * 1000000.0 + 0.5) / 1000000.0 AS theil
+           FROM gl)
+         SELECT * FROM within UNION ALL
+         SELECT * FROM betw UNION ALL SELECT * FROM tot
+         ORDER BY 1, 2""",
+    "q_runs_test" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS v
+           FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL
+             AND ts IS NOT NULL
+           GROUP BY 1),
+         med AS (SELECT quantile_cont(v, 0.5) AS med FROM daily),
+         signed AS (
+           SELECT d, CASE WHEN v > med THEN 1 ELSE 0 END AS s
+           FROM daily CROSS JOIN med WHERE v <> med),
+         runs AS (
+           SELECT s, CASE WHEN lag(s, 1) OVER (ORDER BY d) IS NULL
+               OR lag(s, 1) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END
+               AS brk
+           FROM signed),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(s) AS BIGINT) AS n_above,
+             CAST(sum(1 - s) AS BIGINT) AS n_below,
+             CAST(sum(brk) AS BIGINT) AS n_runs
+           FROM runs),
+         s2 AS (
+           SELECT *, CAST(n_above AS DOUBLE) AS n1,
+             CAST(n_below AS DOUBLE) AS n2,
+             CAST(n_above AS DOUBLE) + CAST(n_below AS DOUBLE) AS n
+           FROM m),
+         s3 AS (
+           SELECT *, 2.0 * n1 * n2 / n + 1.0 AS mu,
+             sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n) /
+               (n * n * (n - 1.0))) AS sigma
+           FROM s2)
+         SELECT n_days, n_above, n_below, n_runs,
+           floor(mu * 1000000.0 + 0.5) / 1000000.0 AS mu_runs,
+           floor(sigma * 1000000.0 + 0.5) / 1000000.0 AS sigma_runs,
+           floor(CASE WHEN sigma > 0.0
+             THEN (CAST(n_runs AS DOUBLE) - mu) / sigma ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS z
+         FROM s3""",
+    "q_cramers_v" ->
+      """WITH cells AS (
+           SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+             CAST(count(*) AS BIGINT) AS o
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+           FROM cells GROUP BY 1),
+         ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cells
+           GROUP BY 1),
+         gl AS (
+           SELECT CAST(sum(o) AS BIGINT) AS n_all,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS k,
+             CAST(count(DISTINCT dow) AS BIGINT) AS r
+           FROM cells),
+         terms AS (
+           SELECT CAST(
+               (CAST(o AS DOUBLE) - CAST(rt.rt AS DOUBLE) *
+                 CAST(ct.ct AS DOUBLE) / CAST(n_all AS DOUBLE))
+               * (CAST(o AS DOUBLE) - CAST(rt.rt AS DOUBLE) *
+                 CAST(ct.ct AS DOUBLE) / CAST(n_all AS DOUBLE))
+               / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) /
+                 CAST(n_all AS DOUBLE)) AS DECIMAL(28,12)) AS term,
+             CAST(CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) /
+               CAST(n_all AS DOUBLE) AS DECIMAL(28,12)) AS e,
+             n_all, k, r
+           FROM cells JOIN rt ON cells.event_type = rt.event_type
+             JOIN ct ON cells.dow = ct.dow CROSS JOIN gl),
+         m AS (
+           SELECT n_all, k, r, CAST(sum(term) AS DOUBLE) +
+               (CAST(n_all AS DOUBLE) - CAST(sum(e) AS DOUBLE)) AS chi2
+           FROM terms GROUP BY 1, 2, 3)
+         SELECT n_all AS n, k AS n_types, r AS n_dows,
+           floor(chi2 * 1000000.0 + 0.5) / 1000000.0 AS chi2,
+           floor(sqrt(chi2 / (CAST(n_all AS DOUBLE) *
+             least(CAST(k AS DOUBLE) - 1.0, CAST(r AS DOUBLE) - 1.0)))
+             * 1000000.0 + 0.5) / 1000000.0 AS cramers_v
+         FROM m""",
   )
 }

@@ -1828,4 +1828,249 @@ object StatsAnalytics {
       r6(pTrue).as("p_true"), r6(pObs).as("p_observed"),
       r6(pEst).as("p_estimated"), r6(abs(pEst - pTrue)).as("abs_err"))
   }
+
+  /** Mann–Whitney rank-sum test — the distribution-free sibling of
+    * [[welchTTest]], on the same deterministic hash-split A/B variants:
+    * does per-user activity DISTRIBUTION differ between the two arms,
+    * with NO normality assumption (counts are right-skewed, so Welch's
+    * t alone over-trusts its tails)? The ranked variable is the
+    * per-user event count — a small integer, so the rank computation
+    * runs over its VALUE CENSUS (one row per distinct count — bounded
+    * by the busiest user, not by user cardinality), never over the user
+    * frame: average ranks come from an exclusive cumulative sum over
+    * the census, tie correction Σ(t³−t) from the same census in exact
+    * integers, and the rank-sum R_a is a DECIMAL sum of .5-grain
+    * rationals (order-independent partial merges). Reports U for both
+    * arms and the tie-corrected normal z. */
+  def mannWhitney(ev: DataFrame): DataFrame =
+    mannWhitneyOnGroups(ev.filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("x"))
+      .withColumn("g", Sampling.hashBucket(col("user_id"), 2)))
+
+  /** [[mannWhitney]] over a prebuilt (x, g ∈ {0,1}) unit frame — the
+    * hand-traceable core. */
+  private[graft] def mannWhitneyOnGroups(per: DataFrame): DataFrame = {
+    val census = per.groupBy("x")
+      .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("cb"))
+    // global window, but over the value census (distinct per-user event
+    // counts — domain-bounded), never the user frame: see PLANS.md's
+    // global-window index
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = census
+      .withColumn("t", col("ca") + col("cb"))
+      .withColumn("below", coalesce(sum(col("ca") + col("cb")).over(w),
+        lit(0L)))
+      .withColumn("avg_rank", col("below").cast("double") +
+        (col("t").cast("double") + lit(1.0)) / lit(2.0))
+    val m = ranked.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      sum((col("ca").cast("double") * col("avg_rank"))
+        .cast("decimal(28,12)")).as("ra"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val nA = d(col("n_a")); val nB = d(col("n_b")); val n = nA + nB
+    val uA = d(col("ra")) - nA * (nA + lit(1.0)) / lit(2.0)
+    val mu = nA * nB / lit(2.0)
+    val sigma = sqrt(nA * nB / lit(12.0) *
+      ((n + lit(1.0)) - d(col("tsum")) / (n * (n - lit(1.0)))))
+    m.select(col("n_a"), col("n_b"),
+      r6(uA).as("u_a"), r6(nA * nB - uA).as("u_b"),
+      r6(mu).as("mu_u"), r6(sigma).as("sigma_u"),
+      // sigma = 0 ⇔ one arm is empty or every unit ties — z = 0, not ÷0
+      r6(when(sigma > lit(0.0), (uA - mu) / sigma).otherwise(lit(0.0)))
+        .as("z"))
+  }
+
+  /** Spearman rank correlation between per-customer order count and
+    * per-customer distinct-part breadth — "do frequent buyers buy more
+    * WIDELY?" robust to the heavy right tail that drags Pearson around.
+    * Both variables are small integers, so ranking is census-based like
+    * [[mannWhitney]]: each variable's average-rank map is built from its
+    * value census (bounded by max orders / max distinct parts per
+    * customer) and BROADCAST back onto the customer frame — the
+    * customer-cardinality frame itself is never globally sorted. ρ is
+    * Pearson over the tie-averaged ranks (the exact tie-correct form);
+    * rank products are .25-grain rationals summed in DECIMAL. The raw
+    * Pearson r ships alongside so the report shows what the rank
+    * transform absorbed. */
+  def spearmanBreadth(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val nOrd = orders.groupBy(col("o_custkey").as("cust"))
+      .agg(count(lit(1)).as("x"))
+    val nParts = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(countDistinct(col("l_partkey")).as("y"))
+    val pc = nOrd.join(nParts, Seq("cust"))
+    def rankMap(v: String): DataFrame = {
+      val census = pc.groupBy(col(v)).agg(count(lit(1)).as("t"))
+      val w = Window.orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      census.withColumn("below", coalesce(sum(col("t")).over(w), lit(0L)))
+        .select(col(v), (col("below").cast("double") +
+          (col("t").cast("double") + lit(1.0)) / lit(2.0)).as(s"r_$v"))
+    }
+    val ranked = pc.join(broadcast(rankMap("x")), Seq("x"))
+      .join(broadcast(rankMap("y")), Seq("y"))
+    def dec(c: Column) = c.cast("decimal(28,12)")
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(dec(col("r_x"))).as("sx"), sum(dec(col("r_y"))).as("sy"),
+      sum(dec(col("r_x") * col("r_x"))).as("sxx"),
+      sum(dec(col("r_y") * col("r_y"))).as("syy"),
+      sum(dec(col("r_x") * col("r_y"))).as("sxy"),
+      sum(col("x")).as("rsx"), sum(col("y")).as("rsy"),
+      sum(col("x") * col("x")).as("rsxx"),
+      sum(col("y") * col("y")).as("rsyy"),
+      sum(col("x") * col("y")).as("rsxy"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val n = d(col("n"))
+    def pearson(sx: Column, sy: Column, sxx: Column, syy: Column,
+                sxy: Column): Column =
+      (n * d(sxy) - d(sx) * d(sy)) /
+        sqrt((n * d(sxx) - d(sx) * d(sx)) * (n * d(syy) - d(sy) * d(sy)))
+    m.select(col("n").as("n_customers"),
+      r6(pearson(col("sx"), col("sy"), col("sxx"), col("syy"),
+        col("sxy"))).as("rho_spearman"),
+      r6(pearson(col("rsx"), col("rsy"), col("rsxx"), col("rsyy"),
+        col("rsxy"))).as("r_pearson"))
+  }
+
+  /** Theil T inequality index of customer spend, decomposed by market
+    * segment — the additive complement to [[giniBySegment]]: unlike
+    * Gini, Theil splits EXACTLY into between-segment and within-segment
+    * components (T = T_between + Σ share_g·T_g), so the report says how
+    * much of total spend concentration is segment mix vs within-segment
+    * dispersion. Everything reduces to three per-segment sums (n, Σx,
+    * Σx·ln x — the x·ln x terms go double → DECIMAL so partials merge
+    * order-independently): T_g = Σx ln x / X_g − ln μ_g, no window, no
+    * second pass over customers. Output is the per-segment 'within'
+    * rows plus 'between' and 'total' decomposition rows. */
+  def theilIndex(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val spend = orders.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(28,12)"))
+        .cast("double").as("s"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val seg = spend.groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s").cast("decimal(28,12)")).as("sx"),
+        sum((col("s") * log(col("s"))).cast("decimal(28,12)")).as("sxlnx"))
+    def d(c: Column) = c.cast("double")
+    val glob = seg.agg(sum(col("n")).as("n_all"),
+      sum(col("sx")).as("x_all"), sum(col("sxlnx")).as("xlnx_all"))
+    val j = seg.crossJoin(broadcast(glob))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val muG = d(col("sx")) / d(col("n"))
+    val mu = d(col("x_all")) / d(col("n_all"))
+    val share = d(col("sx")) / d(col("x_all"))
+    val within = j.select(lit("within").as("component"), col("segment"),
+      col("n").as("n_customers"), r6(share).as("spend_share"),
+      r6(d(col("sxlnx")) / d(col("sx")) - log(muG)).as("theil"))
+    val between = j
+      .select((share * log(muG / mu)).cast("decimal(28,12)").as("term"),
+        col("n"))
+      .agg(sum(col("n")).as("n_customers"),
+        sum(col("term")).cast("double").as("tb"))
+      .select(lit("between").as("component"), lit("__ALL__").as("segment"),
+        col("n_customers"), r6(lit(1.0)).as("spend_share"),
+        r6(col("tb")).as("theil"))
+    val total = glob.select(lit("total").as("component"),
+      lit("__ALL__").as("segment"), col("n_all").as("n_customers"),
+      r6(lit(1.0)).as("spend_share"),
+      r6(d(col("xlnx_all")) / d(col("x_all")) -
+        log(d(col("x_all")) / d(col("n_all")))).as("theil"))
+    within.unionAll(between).unionAll(total)
+      .orderBy(col("component"), col("segment"))
+  }
+
+  /** Wald–Wolfowitz runs test on the daily-revenue series — the
+    * randomness audit under [[cusum]] and [[changepoint]]: if the signs
+    * of daily revenue around its median cluster into fewer runs than
+    * chance allows, the series has serial structure (trend, regime,
+    * weekly cycle) and every i.i.d.-assuming monitor upstream is
+    * miscalibrated. The series is the DAY frame (one corpus aggregate;
+    * day-ordered windows are calendar-bounded), the median is the exact
+    * interpolated 0.5-quantile of ≤ a few thousand day values, ties at
+    * the median drop (the standard convention), and runs count via one
+    * lag over the day frame. Normal approximation mean/sigma/z from the
+    * exact integer run and sign counts. */
+  def runsTest(ev: DataFrame): DataFrame = {
+    val daily = ev.filter(col("event_type") === "purchase" &&
+        col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(col("value").cast("decimal(28,12)")).cast("double").as("v"))
+    val med = daily.agg(
+      expr("percentile(v, 0.5)").as("med"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(col("v") =!= col("med"))
+      .select(col("d"), (col("v") > col("med")).cast("int").as("s"))
+    val w = Window.orderBy(col("d"))
+    val runs = signed
+      .withColumn("brk",
+        when(lag(col("s"), 1).over(w).isNull ||
+          lag(col("s"), 1).over(w) =!= col("s"), 1).otherwise(0))
+    val m = runs.agg(count(lit(1)).as("n_days"),
+      sum(col("s").cast("long")).as("n_above"),
+      sum((lit(1) - col("s")).cast("long")).as("n_below"),
+      sum(col("brk").cast("long")).as("n_runs"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val n1 = d(col("n_above")); val n2 = d(col("n_below"))
+    val n = n1 + n2
+    val mu = lit(2.0) * n1 * n2 / n + lit(1.0)
+    val sigma = sqrt(lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n) /
+      (n * n * (n - lit(1.0))))
+    m.select(col("n_days"), col("n_above"), col("n_below"), col("n_runs"),
+      r6(mu).as("mu_runs"), r6(sigma).as("sigma_runs"),
+      // degenerate series (a single day per sign) has sigma = 0 —
+      // report z = 0 rather than divide
+      r6(when(sigma > lit(0.0),
+        (d(col("n_runs")) - mu) / sigma).otherwise(lit(0.0))).as("z"))
+  }
+
+  /** Cramér's V association between event type and day-of-week — the
+    * effect-SIZE companion to the χ² machinery [[mutualInfo]] and the
+    * CMH test read in bits and evidence: V normalizes χ² to [0,1] so
+    * "is the weekly mix shift big enough to matter" has a scale-free
+    * answer. One corpus aggregate to the (type × weekday) contingency
+    * cells; margins join back onto the cell frame (broadcast — both are
+    * category-bounded); χ² terms go double → DECIMAL for
+    * order-independent merge. Cells with zero observations never
+    * materialize, but their χ² contribution is exactly their expected
+    * count, and Σ_all e = N — so the absent mass folds in closed form
+    * as N − Σ_observed e (the [[tCloseness]] absent-cell trick): only
+    * existing cells are ever touched. */
+  def cramersV(ev: DataFrame): DataFrame = {
+    val cells = ev.filter(col("event_type").isNotNull && col("ts").isNotNull)
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy("dow").agg(sum(col("o")).as("ct"))
+    val glob = cells.agg(sum(col("o")).as("n_all"),
+      countDistinct(col("event_type")).as("k"),
+      countDistinct(col("dow")).as("r"))
+    def d(c: Column) = c.cast("double")
+    val e = d(col("rt")) * d(col("ct")) / d(col("n_all"))
+    val m = cells.join(broadcast(rowTot), Seq("event_type"))
+      .join(broadcast(colTot), Seq("dow"))
+      .crossJoin(broadcast(glob))
+      .select(((d(col("o")) - e) * (d(col("o")) - e) / e)
+        .cast("decimal(28,12)").as("term"),
+        e.cast("decimal(28,12)").as("e"),
+        col("n_all"), col("k"), col("r"))
+      .groupBy(col("n_all"), col("k"), col("r"))
+      .agg((sum(col("term")).cast("double") +
+        (d(col("n_all")) - sum(col("e")).cast("double"))).as("chi2"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    m.select(col("n_all").as("n"), col("k").as("n_types"),
+      col("r").as("n_dows"), r6(col("chi2")).as("chi2"),
+      r6(sqrt(col("chi2") / (d(col("n_all")) *
+        least(d(col("k")) - lit(1.0), d(col("r")) - lit(1.0)))))
+        .as("cramers_v"))
+  }
 }

@@ -1,0 +1,182 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.analytics.StatsAnalytics
+
+/** Round-11-of-build additions: Mann–Whitney rank-sum, Spearman rank
+  * correlation, Theil inequality decomposition, Wald–Wolfowitz runs
+  * test, and Cramér's V. Hand-traced fixtures plus plan pins. */
+class Round21OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ---- Mann–Whitney ------------------------------------------------
+
+  test("mannWhitney: hand-traced ranks, ties, U, and tie-corrected z") {
+    // A: x = 1,2,2   B: x = 2,3
+    // avg ranks: 1→1, 2→3 (ranks 2,3,4), 3→5
+    // R_a = 1+3+3 = 7 → U_a = 7 − 3·4/2 = 1; U_b = 6−1 = 5
+    // mu = 3; tsum = 3³−3 = 24
+    // sigma² = (6/12)·((5+1) − 24/20) = 0.5·4.8 = 2.4 → sigma ≈ 1.549193
+    // z = (1−3)/1.549193 = −1.290994
+    val per = Seq((1L, 0), (2L, 0), (2L, 0), (2L, 1), (3L, 1))
+      .toDF("x", "g")
+    val r = StatsAnalytics.mannWhitneyOnGroups(per).collect()(0)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("u_a") == 1.0)
+    assert(r.getAs[Double]("u_b") == 5.0)
+    assert(r.getAs[Double]("mu_u") == 3.0)
+    assert(r.getAs[Double]("sigma_u") == 1.549193)
+    assert(r.getAs[Double]("z") == -1.290994) // floor(−1290994.44+.5)/1e6
+  }
+
+  // ---- Spearman ----------------------------------------------------
+
+  test("spearmanBreadth: monotone fixture gives rho = 1") {
+    val orders = Seq(
+      (10L, 1L), (20L, 2L), (21L, 2L), (30L, 3L), (31L, 3L), (32L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq(
+      (10L, 100L),
+      (20L, 100L), (21L, 101L),
+      (30L, 100L), (31L, 101L), (32L, 102L))
+      .toDF("l_orderkey", "l_partkey")
+    val r = StatsAnalytics.spearmanBreadth(orders, li).collect()(0)
+    assert(r.getAs[Long]("n_customers") == 3L)
+    assert(r.getAs[Double]("rho_spearman") == 1.0)
+    assert(r.getAs[Double]("r_pearson") == 1.0)
+  }
+
+  test("spearmanBreadth: tie-averaged ranks, hand-traced rho") {
+    // customers: (x, y) = (1,1), (1,2), (2,2)
+    // rx: value 1 → (0+ (2+1)/2)=1.5, value 2 → 3
+    // ry: value 1 → 1, value 2 → (1 + (2+1)/2) = 2.5
+    // ranks: (1.5,1), (1.5,2.5), (3,2.5)
+    // n=3 Σrx=6 Σry=6 Σrx²=13.5 Σry²=13.5 Σrxry=13.125... compute:
+    // 1.5·1 + 1.5·2.5 + 3·2.5 = 1.5+3.75+7.5 = 12.75
+    // num = 3·12.75 − 36 = 2.25; den = sqrt((3·13.5−36)²) = 4.5
+    // rho = 0.5
+    val orders = Seq((10L, 1L), (20L, 2L), (30L, 3L), (31L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq(
+      (10L, 100L),
+      (20L, 100L), (20L, 101L),
+      (30L, 100L), (31L, 101L))
+      .toDF("l_orderkey", "l_partkey")
+    val r = StatsAnalytics.spearmanBreadth(orders, li).collect()(0)
+    assert(r.getAs[Double]("rho_spearman") == 0.5)
+  }
+
+  // ---- Theil -------------------------------------------------------
+
+  test("theilIndex: equal within-segment spends decompose to between only") {
+    val orders = Seq(
+      (1L, 1L, 1.0), (2L, 2L, 1.0), (3L, 3L, 2.0), (4L, 4L, 2.0))
+      .map { case (k, c, p) => (k, c, p, "O") }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val cust = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val rows = StatsAnalytics.theilIndex(orders, cust).collect()
+    val byKey = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // within each segment spends are equal → T_g = 0
+    assert(byKey(("within", "A")).getAs[Double]("theil") == 0.0)
+    assert(byKey(("within", "B")).getAs[Double]("theil") == 0.0)
+    // X=6, shares 1/3 and 2/3; μ=1.5, μ_A=1, μ_B=2
+    // T_b = (1/3)ln(2/3) + (2/3)ln(4/3) = 0.056633
+    assert(byKey(("between", "__ALL__")).getAs[Double]("theil") == 0.056633)
+    assert(byKey(("total", "__ALL__")).getAs[Double]("theil") == 0.056633)
+    assert(byKey(("within", "A")).getAs[Double]("spend_share") == 0.333333)
+    assert(byKey(("total", "__ALL__")).getAs[Long]("n_customers") == 4L)
+  }
+
+  // ---- Runs test ---------------------------------------------------
+
+  test("runsTest: hand-traced runs, mean, sigma, z") {
+    // daily values 10,20,10,20,20,10 → median 15
+    // signs B A B A A B → 5 runs, n1=n2=3
+    // mu = 2·9/6+1 = 4; sigma² = 2·9·(18−6)/(36·5) = 1.2 → 1.095445
+    // z = (5−4)/1.095445 = 0.912871
+    val ev = (1 to 6).map { i =>
+      (i.toLong, ts(f"2024-03-0$i%d 12:00:00"), 1L, "purchase",
+        if (Set(2, 4, 5).contains(i)) 20.0 else 10.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = StatsAnalytics.runsTest(ev).collect()(0)
+    assert(r.getAs[Long]("n_days") == 6L)
+    assert(r.getAs[Long]("n_above") == 3L && r.getAs[Long]("n_below") == 3L)
+    assert(r.getAs[Long]("n_runs") == 5L)
+    assert(r.getAs[Double]("mu_runs") == 4.0)
+    assert(r.getAs[Double]("sigma_runs") == 1.095445)
+    assert(r.getAs[Double]("z") == 0.912871)
+  }
+
+  test("runsTest: ties at the median drop (odd count keeps median out)") {
+    // values 10,20,30 → median 20 dropped → signs B A → 2 runs, n1=n2=1
+    val ev = Seq(
+      (1L, ts("2024-03-01 12:00:00"), 1L, "purchase", 10.0),
+      (2L, ts("2024-03-02 12:00:00"), 1L, "purchase", 20.0),
+      (3L, ts("2024-03-03 12:00:00"), 1L, "purchase", 30.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = StatsAnalytics.runsTest(ev).collect()(0)
+    assert(r.getAs[Long]("n_days") == 2L)
+    assert(r.getAs[Long]("n_runs") == 2L)
+  }
+
+  // ---- Cramér's V --------------------------------------------------
+
+  test("cramersV: perfect 2x2 association gives V = 1 (absent cells fold)") {
+    // type X only on Mon 2024-03-04, type Y only on Tue 2024-03-05,
+    // two events each. Observed cells contribute (2−1)²/1 = 1 each;
+    // the two ABSENT cells contribute their expected count 1 each via
+    // the N − Σe fold → chi2 = 4, V = sqrt(4/(4·1)) = 1.
+    val ev = Seq(
+      (1L, ts("2024-03-04 10:00:00"), 1L, "X", 1.0),
+      (2L, ts("2024-03-04 11:00:00"), 2L, "X", 1.0),
+      (3L, ts("2024-03-05 10:00:00"), 3L, "Y", 1.0),
+      (4L, ts("2024-03-05 11:00:00"), 4L, "Y", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = StatsAnalytics.cramersV(ev).collect()(0)
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("n_types") == 2L && r.getAs[Long]("n_dows") == 2L)
+    assert(r.getAs[Double]("chi2") == 4.0)
+    assert(r.getAs[Double]("cramers_v") == 1.0)
+  }
+
+  test("cramersV: independent layout gives chi2 = 0") {
+    // both types appear equally on both days → e = o for every cell
+    val ev = Seq(
+      (1L, ts("2024-03-04 10:00:00"), 1L, "X", 1.0),
+      (2L, ts("2024-03-05 10:00:00"), 2L, "X", 1.0),
+      (3L, ts("2024-03-04 11:00:00"), 3L, "Y", 1.0),
+      (4L, ts("2024-03-05 11:00:00"), 4L, "Y", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = StatsAnalytics.cramersV(ev).collect()(0)
+    assert(r.getAs[Double]("chi2") == 0.0)
+    assert(r.getAs[Double]("cramers_v") == 0.0)
+  }
+
+  // ---- plan pins ---------------------------------------------------
+
+  test("mannWhitney plan: the only window runs over the value census") {
+    // the census aggregate must sit BELOW the window in the plan — the
+    // user frame is never globally sorted
+    val per = Seq((1L, 0), (2L, 1)).toDF("x", "g")
+    val plan = StatsAnalytics.mannWhitneyOnGroups(per)
+      .queryExecution.optimizedPlan.toString
+    val winIdx = plan.indexOf("Window")
+    val aggBelow = plan.indexOf("Aggregate", winIdx)
+    assert(winIdx >= 0 && aggBelow > winIdx,
+      s"expected census Aggregate below Window:\n$plan")
+  }
+
+  test("theilIndex plan: no window anywhere — pure aggregates") {
+    val orders = Seq((1L, 1L, 1.0, "O"))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val cust = Seq((1L, "A")).toDF("c_custkey", "c_mktsegment")
+    val plan = StatsAnalytics.theilIndex(orders, cust)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"), s"unexpected window:\n$plan")
+  }
+}

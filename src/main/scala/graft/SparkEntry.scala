@@ -1816,6 +1816,18 @@ object SparkEntry {
     // Cramer's V association between event type and weekday
     "q_cramers_v" -> ((s, d) =>
       StatsAnalytics.cramersV(Tables.events(s, d))),
+    // inclusion-dependency (foreign-key) discovery across the star
+    // (events loads via Tables.events — the ts-encoding-adaptive path)
+    "q_fk_discovery" -> ((s, d) =>
+      graft.operators.DataContract.inclusionDeps(inclCands.map {
+        case (ct, cc, pt, pc) =>
+          (ct, profTable(s, d, ct), cc, pt, profTable(s, d, pt), pc)
+      })),
+    // functional-dependency audit over candidate determinant pairs
+    "q_fd_discovery" -> ((s, d) =>
+      graft.operators.DataContract.functionalDeps(fdCands.map {
+        case (t, a, b) => (t, profTable(s, d, t), a, b)
+      })),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -2049,6 +2061,69 @@ object SparkEntry {
     Iterator.iterate(BigInt(1))(p => (p * 31) % m).take(600)
       .mkString("[", ",", "]")
   }
+
+  /** Profiling-query table loader: events must go through the
+    * ts-encoding-adaptive `Tables.events` (see its scaladoc) even though
+    * the profiled columns never touch `ts`. */
+  private def profTable(s: org.apache.spark.sql.SparkSession, d: String,
+                        name: String): org.apache.spark.sql.DataFrame =
+    if (name == "events") Tables.events(s, d) else Tables.table(s, d, name)
+
+  /** Candidate lists for the schema-profiling queries — shared between the
+    * Spark query registrations and the generated per-candidate oracle SQL
+    * so both sides always profile the identical pairs. */
+  private val inclCands: Seq[(String, String, String, String)] = Seq(
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"))
+
+  private val fdCands: Seq[(String, String, String)] = Seq(
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("events", "event_id", "user_id"),
+    ("events", "user_id", "event_type"))
+
+  private val inclOracle: String = inclCands.map {
+    case (ct, cc, pt, pc) =>
+      s"""SELECT '$ct' AS child_table, '$cc' AS child_col,
+         '$pt' AS parent_table, '$pc' AS parent_col,
+         c.n_child_distinct, p.n_parent_distinct, i.n_contained,
+         floor(CAST(i.n_contained AS DOUBLE) /
+           CAST(c.n_child_distinct AS DOUBLE) * 1000000.0 + 0.5)
+           / 1000000.0 AS containment,
+         CASE WHEN i.n_contained = c.n_child_distinct THEN 1 ELSE 0 END
+           AS is_fk
+       FROM (SELECT CAST(count(DISTINCT $cc) AS BIGINT)
+           AS n_child_distinct FROM $ct WHERE $cc IS NOT NULL) c
+       CROSS JOIN (SELECT CAST(count(DISTINCT $pc) AS BIGINT)
+           AS n_parent_distinct FROM $pt WHERE $pc IS NOT NULL) p
+       CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_contained
+           FROM (SELECT DISTINCT $cc AS v FROM $ct
+             WHERE $cc IS NOT NULL) ch
+           WHERE ch.v IN (SELECT $pc FROM $pt)) i"""
+  }.mkString("", "\n UNION ALL\n ", "\n ORDER BY 1, 2, 3")
+
+  private val fdOracle: String = fdCands.map {
+    case (t, a, b) =>
+      s"""SELECT '$t' AS table_name, '$a' AS lhs, '$b' AS rhs,
+         CAST(count(*) AS BIGINT) AS n_lhs,
+         CAST(sum(nb) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_lhs,
+         CASE WHEN sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0
+           THEN 1 ELSE 0 END AS holds
+       FROM (SELECT $a AS a, count(DISTINCT $b) AS nb FROM $t
+         WHERE $a IS NOT NULL GROUP BY 1) g"""
+  }.mkString("", "\n UNION ALL\n ", "\n ORDER BY 1, 2, 3")
 
   def oracleSql: Map[String, String] = Map(
     "q_dau" ->
@@ -8697,5 +8772,7 @@ object SparkEntry {
              least(CAST(k AS DOUBLE) - 1.0, CAST(r AS DOUBLE) - 1.0)))
              * 1000000.0 + 0.5) / 1000000.0 AS cramers_v
          FROM m""",
+    "q_fk_discovery" -> inclOracle,
+    "q_fd_discovery" -> fdOracle,
   )
 }

@@ -125,4 +125,66 @@ object DataContract {
           .otherwise("changed").as("diff_type"))
       .orderBy("row_key")
   }
+
+  /** Inclusion-dependency (foreign-key) discovery — the profiling pass
+    * that tells a warehouse which column pairs actually join before
+    * anyone declares a constraint or a join plan relies on one: for each
+    * candidate (child.col ⊆ parent.col?), report both distinct
+    * cardinalities, how many child values the parent covers, and the
+    * containment ratio (=1 ⇒ the FK holds). Each candidate reduces both
+    * sides to their DISTINCT key sets first (key-cardinality, not
+    * row-cardinality — at 100 TB the semi-join probes shuffled key sets,
+    * never fact rows), so the whole report costs one distinct + one
+    * semi-join per candidate and collapses to one row before the union.
+    * Complements [[report]]: report ENFORCES the declared contracts,
+    * this DISCOVERS which contracts are declarable. */
+  def inclusionDeps(cands: Seq[(String, DataFrame, String,
+                                String, DataFrame, String)]): DataFrame =
+    cands.map { case (ct, cdf, cc, pt, pdf, pc) =>
+      val child = cdf.select(col(cc).cast("bigint").as("v"))
+        .filter(col("v").isNotNull).distinct()
+      val parent = pdf.select(col(pc).cast("bigint").as("v"))
+        .filter(col("v").isNotNull).distinct()
+      val nChild = child.agg(count(lit(1)).as("n_child_distinct"))
+      val nParent = parent.agg(count(lit(1)).as("n_parent_distinct"))
+      val nIn = child.join(parent, Seq("v"), "left_semi")
+        .agg(count(lit(1)).as("n_contained"))
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+      nChild.crossJoin(broadcast(nParent)).crossJoin(broadcast(nIn))
+        .select(lit(ct).as("child_table"), lit(cc).as("child_col"),
+          lit(pt).as("parent_table"), lit(pc).as("parent_col"),
+          col("n_child_distinct"), col("n_parent_distinct"),
+          col("n_contained"),
+          r6(col("n_contained").cast("double") /
+            col("n_child_distinct").cast("double")).as("containment"),
+          (col("n_contained") === col("n_child_distinct")).cast("int")
+            .as("is_fk"))
+    }.reduce(_ unionAll _)
+      .orderBy("child_table", "child_col", "parent_table")
+
+  /** Functional-dependency audit (A → B?) — the other half of schema
+    * profiling beside [[inclusionDeps]]: per candidate, group by the
+    * determinant and count distinct dependent values; the dependency
+    * holds iff NO determinant value maps to more than one dependent.
+    * Reports the determinant cardinality, the distinct (A,B) pair count,
+    * and how many determinant values violate — the exact denormalization
+    * evidence a modeler needs before collapsing B into A's dimension.
+    * One groupBy per candidate over a two-column projection (the
+    * aggregate collapses map-side), one row out before the union. */
+  def functionalDeps(cands: Seq[(String, DataFrame, String, String)])
+      : DataFrame =
+    cands.map { case (t, df, a, b) =>
+      val perKey = df.filter(col(a).isNotNull)
+        .groupBy(col(a)).agg(countDistinct(col(b)).as("nb"))
+      perKey.agg(count(lit(1)).as("n_lhs"),
+          sum(col("nb")).as("n_pairs"),
+          sum(when(col("nb") > 1, 1L).otherwise(0L))
+            .as("n_violating_lhs"))
+        .select(lit(t).as("table_name"), lit(a).as("lhs"),
+          lit(b).as("rhs"), col("n_lhs"), col("n_pairs"),
+          col("n_violating_lhs"),
+          (col("n_violating_lhs") === 0).cast("int").as("holds"))
+    }.reduce(_ unionAll _)
+      .orderBy("table_name", "lhs", "rhs")
 }

@@ -157,6 +157,48 @@ class Round21OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("cramers_v") == 0.0)
   }
 
+  // ---- schema profiling --------------------------------------------
+
+  test("inclusionDeps: containment ratio, FK flag, null exclusion") {
+    val child = Seq(Some(1L), Some(2L), Some(3L), Some(3L), None)
+      .toDF("ck")
+    val parent = Seq(1L, 2L, 9L).toDF("pk")
+    val r = graft.operators.DataContract.inclusionDeps(Seq(
+      ("c", child, "ck", "p", parent, "pk"))).collect()(0)
+    assert(r.getAs[Long]("n_child_distinct") == 3L) // null drops, 3 dedups
+    assert(r.getAs[Long]("n_parent_distinct") == 3L)
+    assert(r.getAs[Long]("n_contained") == 2L)      // 1,2 ⊆ parent; 3 not
+    assert(r.getAs[Double]("containment") == 0.666667)
+    assert(r.getAs[Int]("is_fk") == 0)
+  }
+
+  test("inclusionDeps: full containment flags the FK") {
+    val child = Seq(1L, 2L, 2L).toDF("ck")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = graft.operators.DataContract.inclusionDeps(Seq(
+      ("c", child, "ck", "p", parent, "pk"))).collect()(0)
+    assert(r.getAs[Double]("containment") == 1.0)
+    assert(r.getAs[Int]("is_fk") == 1)
+  }
+
+  test("functionalDeps: violating determinant counted, holds flag") {
+    // a=1 → {x}; a=2 → {y,z}: FD fails with exactly one violating key
+    val df = Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "z"))
+      .toDF("a", "b")
+    val rows = graft.operators.DataContract.functionalDeps(Seq(
+      ("t", df, "a", "b"), ("t2", df, "b", "a")))
+    val r = rows.collect()
+    val t = r.find(_.getString(0) == "t").get
+    assert(t.getAs[Long]("n_lhs") == 2L)
+    assert(t.getAs[Long]("n_pairs") == 3L)
+    assert(t.getAs[Long]("n_violating_lhs") == 1L)
+    assert(t.getAs[Int]("holds") == 0)
+    // b → a holds: x→1, y→2, z→2
+    val t2 = r.find(_.getString(0) == "t2").get
+    assert(t2.getAs[Long]("n_violating_lhs") == 0L)
+    assert(t2.getAs[Int]("holds") == 1)
+  }
+
   // ---- plan pins ---------------------------------------------------
 
   test("mannWhitney plan: the only window runs over the value census") {

@@ -1828,6 +1828,15 @@ object SparkEntry {
       graft.operators.DataContract.functionalDeps(fdCands.map {
         case (t, a, b) => (t, profTable(s, d, t), a, b)
       })),
+    // daily OHLC + VWAP candles via two-level deterministic arg-extrema
+    "q_ohlc" -> ((s, d) =>
+      EventAnalytics.ohlcDaily(Tables.events(s, d))),
+    // neighborhood-Jaccard link prediction on the co-purchase graph
+    "q_link_jaccard" -> ((s, d) =>
+      graft.analytics.GraphAnalytics.linkJaccard(s, d)),
+    // recommendation novelty vs corpus purchase entropy
+    "q_rec_novelty" -> ((s, d) =>
+      graft.ext.EvalOps.recNovelty(s, d)),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -8774,5 +8783,94 @@ object SparkEntry {
          FROM m""",
     "q_fk_discovery" -> inclOracle,
     "q_fd_discovery" -> fdOracle,
+    "q_ohlc" ->
+      """WITH rows_ AS (
+           SELECT CAST(ts AS DATE) AS d, ts, event_id, value
+           FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL
+             AND ts IS NOT NULL),
+         pt AS (
+           SELECT d, ts, arg_min(value, event_id) AS ov,
+             arg_max(value, event_id) AS cv,
+             min(value) AS mn, max(value) AS mx,
+             CAST(count(*) AS BIGINT) AS cnt,
+             sum(CAST(value AS DECIMAL(28,12))) AS sv
+           FROM rows_ GROUP BY 1, 2),
+         day_ AS (
+           SELECT d, arg_min(ov, ts) AS open, arg_max(cv, ts) AS close,
+             min(mn) AS low, max(mx) AS high,
+             CAST(sum(cnt) AS BIGINT) AS n_trades, sum(sv) AS svd
+           FROM pt GROUP BY 1)
+         SELECT d, open, high, low, close, n_trades,
+           CAST(round(svd, 2) AS DOUBLE) AS total,
+           floor(CAST(svd AS DOUBLE) / CAST(n_trades AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS vwap
+         FROM day_ ORDER BY d""",
+    "q_link_jaccard" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT pa AS a, pb AS b FROM pr
+               UNION ALL SELECT pb, pa FROM pr),
+         deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS dg
+           FROM e GROUP BY 1),
+         w AS (SELECT e1.a AS z, e1.b AS u, e2.b AS v
+           FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b),
+         sc AS (SELECT u, v, CAST(count(*) AS BIGINT)
+             AS common_neighbors
+           FROM w GROUP BY 1, 2),
+         j AS (SELECT sc.u, sc.v, sc.common_neighbors,
+             du.dg AS deg_u, dv.dg AS deg_v
+           FROM sc JOIN deg du ON du.z = sc.u
+             JOIN deg dv ON dv.z = sc.v),
+         f AS (SELECT * FROM j WHERE NOT EXISTS
+           (SELECT 1 FROM pr WHERE pr.pa = j.u AND pr.pb = j.v))
+         SELECT u AS part_a, v AS part_b, common_neighbors, deg_u, deg_v,
+           floor(CAST(common_neighbors AS DOUBLE) /
+             CAST(deg_u + deg_v - common_neighbors AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+         FROM f ORDER BY jaccard DESC, part_a, part_b LIMIT 20""",
+    "q_rec_novelty" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_orders
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2),
+         freq AS (SELECT l_partkey AS item,
+             CAST(count(*) AS BIGINT) AS n_item FROM op GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS t_rows FROM op),
+         sym AS (SELECT part_a AS item, part_b AS other, n_orders FROM pr
+           UNION ALL SELECT part_b, part_a, n_orders FROM pr),
+         sc AS (SELECT s.item, s.other,
+             s.n_orders / sqrt(CAST(fa.n_item * fb.n_item AS DOUBLE))
+               AS sim
+           FROM sym s JOIN freq fa ON fa.item = s.item
+             JOIN freq fb ON fb.item = s.other),
+         r AS (SELECT *, row_number() OVER (PARTITION BY item
+             ORDER BY sim DESC, other) AS rnk FROM sc),
+         recs AS (SELECT item, other FROM r WHERE rnk <= 5),
+         ri AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_slots,
+             CAST(sum(CAST(ln(CAST(t_rows AS DOUBLE) /
+               CAST(f.n_item AS DOUBLE)) / ln(2.0)
+               AS DECIMAL(28,12))) AS DOUBLE) AS si
+           FROM recs JOIN freq f ON f.item = recs.other CROSS JOIN tot),
+         ent AS (
+           SELECT CAST(sum(CAST(
+               (CAST(n_item AS DOUBLE) / CAST(t_rows AS DOUBLE)) *
+               (ln(CAST(t_rows AS DOUBLE) / CAST(n_item AS DOUBLE)) /
+                 ln(2.0)) AS DECIMAL(28,12))) AS DOUBLE) AS entropy
+           FROM freq CROSS JOIN tot)
+         SELECT n_slots,
+           floor(si / CAST(n_slots AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_rec_info,
+           floor(entropy * 1000000.0 + 0.5) / 1000000.0
+             AS purchase_entropy,
+           floor((si / CAST(n_slots AS DOUBLE) - entropy)
+             * 1000000.0 + 0.5) / 1000000.0 AS novelty_lift
+         FROM ri CROSS JOIN ent""",
   )
 }

@@ -699,6 +699,44 @@ object EventAnalytics {
         .as("accuracy"))
   }
 
+  /** Daily OHLC + VWAP candles over purchase values — the time-series
+    * summary [[twap]] and the forecasting family read per bucket,
+    * produced WITHOUT any window: open/close resolve through two levels
+    * of deterministic arg-extrema (min_by/max_by), each level keyed by a
+    * column that is UNIQUE within its group, so no tiebreak ambiguity
+    * survives — (1) per (day, ts): first/last value by event_id
+    * (event_id is unique), (2) per day: by ts (unique after level 1).
+    * Both levels are map-side-combining aggregates; at 100 TB the candle
+    * frame is day-cardinality and the corpus shuffles once on (day, ts)
+    * pre-aggregation, then once on day. Totals sum in DECIMAL; VWAP here
+    * degenerates to the value mean (unit volume per trade) and ships
+    * r6-rounded. */
+  def ohlcDaily(ev: DataFrame): DataFrame = {
+    val rows = ev.filter(col("event_type") === "purchase" &&
+        col("value").isNotNull && col("ts").isNotNull)
+      .select(to_date(col("ts")).as("d"), col("ts"), col("event_id"),
+        col("value"))
+    val perTs = rows.groupBy(col("d"), col("ts"))
+      .agg(min_by(col("value"), col("event_id")).as("ov"),
+        max_by(col("value"), col("event_id")).as("cv"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"),
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(28,12)")).as("sv"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    perTs.groupBy(col("d"))
+      .agg(min_by(col("ov"), col("ts")).as("open"),
+        max_by(col("cv"), col("ts")).as("close"),
+        min(col("mn")).as("low"), max(col("mx")).as("high"),
+        sum(col("cnt")).as("n_trades"),
+        sum(col("sv")).as("svd"))
+      .select(col("d"), col("open"), col("high"), col("low"), col("close"),
+        col("n_trades"),
+        round(col("svd"), 2).cast("double").as("total"),
+        r6(col("svd").cast("double") / col("n_trades").cast("double"))
+          .as("vwap"))
+      .orderBy("d")
+  }
+
   /** Wilson-score 95% interval on the corpus signup→purchase conversion
     * rate — the uncertainty the [[funnel]] report needs before anyone
     * compares two of its rates: unlike the normal approximation, Wilson

@@ -494,6 +494,52 @@ object GraphAnalytics {
       .limit(limit)
   }
 
+  /** Neighborhood-Jaccard link prediction — [[adamicAdar]]'s unweighted
+    * sibling on the same support-floored co-purchase graph: for
+    * non-adjacent pairs, |Γu ∩ Γv| / |Γu ∪ Γv|, where the union size is
+    * exactly deg(u)+deg(v)−common because the pair is non-adjacent
+    * (the anti-join guarantees v ∉ Γu). Jaccard punishes promiscuous
+    * hubs where Adamic–Adar merely discounts them, so the two rankings
+    * disagree exactly on hub-mediated pairs — worth serving both. Same
+    * wedge shape (self-join of the SIGNAL-sized edge list on the center
+    * node, never the corpus); degrees here join onto the AGGREGATED
+    * pair frame (two node-sized hash joins AQE can broadcast) instead
+    * of pre-fanout, since the pair term needs both endpoint degrees
+    * rather than a per-wedge weight. */
+  def linkJaccard(spark: SparkSession, sfDir: String,
+                  minSupport: Long = 2L, limit: Int = 20): DataFrame =
+    linkJaccardOnEdges(
+      StarAnalytics.coPurchaseCounts(spark, sfDir)
+        .filter(col("n_orders") >= minSupport)
+        .select(col("part_a").as("a"), col("part_b").as("b"))
+        .localCheckpoint(),
+      limit)
+
+  /** [[linkJaccard]] over a prebuilt canonical (a < b) edge list. */
+  private[graft] def linkJaccardOnEdges(e: DataFrame,
+                                        limit: Int): DataFrame = {
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("dg"))
+    val wedges = sym.select(col("a").as("z"), col("b").as("u"))
+      .join(sym.select(col("a").as("z"), col("b").as("v")), Seq("z"))
+      .filter(col("u") < col("v"))
+    val common = wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    common
+      .join(deg.select(col("z").as("u"), col("dg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("z").as("v"), col("dg").as("deg_v")), Seq("v"))
+      .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
+      .select(col("u").as("part_a"), col("v").as("part_b"),
+        col("common_neighbors"), col("deg_u"), col("deg_v"),
+        r6(col("common_neighbors").cast("double") /
+          (col("deg_u") + col("deg_v") - col("common_neighbors"))
+            .cast("double")).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("part_a"), col("part_b"))
+      .limit(limit)
+  }
+
   /** HITS hubs-and-authorities over the bipartite customer→part purchase
     * graph (Kleinberg): customers are hubs, parts authorities;
     * `iterations` alternating updates. L1 normalization COMMUTES with

@@ -721,6 +721,50 @@ object EvalOps {
           col("total_slots").cast("double")).as("head20_share"))
   }
 
+  /** Recommendation novelty — the third serving-side eval beside
+    * [[cfHitRate]] (accuracy) and [[recCoverage]] (catalog reach): the
+    * mean self-information −log₂ p(item) of the items the recommender
+    * actually surfaces, against the corpus purchase entropy Σ p·(−log₂ p)
+    * — which is exactly the expected self-information of recommending by
+    * popularity sampling. A lift ≤ 0 means the top-k lists are MORE
+    * popularity-concentrated than the purchase stream itself (the
+    * filter-bubble smell); > 0 means the neighbour structure surfaces
+    * tail items. Rides the memoized [[itemCF]] frame (k rows per catalog
+    * item) and the shared partFreq census; both logs compute as
+    * ln(T/n)/ln 2 so the oracle reproduces them bit-for-bit. Info terms
+    * go double → DECIMAL for order-independent merges. */
+  def recNovelty(spark: SparkSession, sfDir: String,
+                 topK: Int = 5): DataFrame = {
+    val recs = itemCF(spark, sfDir, topK).select(col("other"))
+    val freq = graft.analytics.StarAnalytics.partFreq(spark, sfDir)
+    val tot = freq.agg(sum(col("n_part")).as("t_rows"))
+    val ln2 = lit(math.log(2.0))
+    val recInfo = recs
+      .join(freq.select(col("l_partkey").as("other"), col("n_part")),
+        Seq("other"))
+      .crossJoin(broadcast(tot))
+      .select((log(col("t_rows").cast("double") /
+        col("n_part").cast("double")) / ln2)
+        .cast("decimal(28,12)").as("info"))
+      .agg(count(lit(1)).as("n_slots"),
+        sum(col("info")).cast("double").as("si"))
+    val ent = freq.crossJoin(broadcast(tot))
+      .select(((col("n_part").cast("double") /
+          col("t_rows").cast("double")) *
+        (log(col("t_rows").cast("double") /
+          col("n_part").cast("double")) / ln2))
+        .cast("decimal(28,12)").as("e"))
+      .agg(sum(col("e")).cast("double").as("entropy"))
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val meanInfo = col("si") / col("n_slots").cast("double")
+    recInfo.crossJoin(broadcast(ent))
+      .select(col("n_slots"),
+        r6(meanInfo).as("mean_rec_info"),
+        r6(col("entropy")).as("purchase_entropy"),
+        r6(meanInfo - col("entropy")).as("novelty_lift"))
+  }
+
   /** Three deterministic heuristic "annotators" labeling each document
     * good/bad — the stand-ins a labeling pipeline's agreement audit runs
     * against before trusting a rater pool: (a) raw length, (b) whitespace

@@ -199,6 +199,87 @@ class Round21OpsSpec extends SparkSpec {
     assert(t2.getAs[Int]("holds") == 1)
   }
 
+  // ---- OHLC candles ------------------------------------------------
+
+  test("ohlcDaily: open/close by time, high/low, totals, vwap") {
+    val ev = Seq(
+      (1L, ts("2024-03-01 09:00:00"), 1L, "purchase", 5.0),
+      (2L, ts("2024-03-01 12:00:00"), 1L, "purchase", 9.0),
+      (3L, ts("2024-03-01 17:00:00"), 1L, "purchase", 3.0),
+      (4L, ts("2024-03-01 10:00:00"), 1L, "view", 99.0)) // non-purchase
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.analytics.EventAnalytics.ohlcDaily(ev).collect()(0)
+    assert(r.getAs[Double]("open") == 5.0)
+    assert(r.getAs[Double]("close") == 3.0)
+    assert(r.getAs[Double]("high") == 9.0)
+    assert(r.getAs[Double]("low") == 3.0)
+    assert(r.getAs[Long]("n_trades") == 3L)
+    assert(r.getAs[Double]("total") == 17.0)
+    assert(r.getAs[Double]("vwap") == 5.666667)
+  }
+
+  test("ohlcDaily: same-timestamp ties resolve by event_id, both levels") {
+    // two events at the SAME first instant: open must be the lower
+    // event_id's value; same at the last instant for close
+    val ev = Seq(
+      (10L, ts("2024-03-01 09:00:00"), 1L, "purchase", 7.0),
+      (11L, ts("2024-03-01 09:00:00"), 1L, "purchase", 2.0),
+      (20L, ts("2024-03-01 18:00:00"), 1L, "purchase", 4.0),
+      (21L, ts("2024-03-01 18:00:00"), 1L, "purchase", 6.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.analytics.EventAnalytics.ohlcDaily(ev).collect()(0)
+    assert(r.getAs[Double]("open") == 7.0)  // min event_id at first ts
+    assert(r.getAs[Double]("close") == 6.0) // max event_id at last ts
+  }
+
+  // ---- Jaccard link prediction -------------------------------------
+
+  test("linkJaccardOnEdges: path graph, hand-traced scores") {
+    // path 1-2-3-4: candidates (1,3) and (2,4), both one wedge
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val rows = graft.analytics.GraphAnalytics.linkJaccardOnEdges(e, 20)
+      .collect()
+    assert(rows.length == 2)
+    val r13 = rows(0) // jaccard ties → part_a ascending
+    assert(r13.getAs[Long]("part_a") == 1L &&
+      r13.getAs[Long]("part_b") == 3L)
+    assert(r13.getAs[Long]("common_neighbors") == 1L)
+    assert(r13.getAs[Long]("deg_u") == 1L && r13.getAs[Long]("deg_v") == 2L)
+    assert(r13.getAs[Double]("jaccard") == 0.5)
+    assert(rows(1).getAs[Long]("part_a") == 2L &&
+      rows(1).getAs[Long]("part_b") == 4L)
+  }
+
+  test("linkJaccardOnEdges: adjacent pairs are anti-joined away") {
+    // triangle 1-2-3 plus spur 3-4: pair (1,2) shares neighbor 3 but IS
+    // an edge → excluded; (1,4)/(2,4) via 3 survive
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val rows = graft.analytics.GraphAnalytics.linkJaccardOnEdges(e, 20)
+      .collect()
+    val pairs = rows.map(r => (r.getAs[Long]("part_a"),
+      r.getAs[Long]("part_b"))).toSet
+    assert(pairs == Set((1L, 4L), (2L, 4L)))
+  }
+
+  // ---- recommendation novelty --------------------------------------
+
+  test("recNovelty: internal consistency on the smallest fixture") {
+    val r = graft.ext.EvalOps.recNovelty(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    val n = r.getAs[Long]("n_slots")
+    val mi = r.getAs[Double]("mean_rec_info")
+    val h = r.getAs[Double]("purchase_entropy")
+    val lift = r.getAs[Double]("novelty_lift")
+    assert(n > 0L)
+    assert(mi > 0.0 && h > 0.0)
+    // entropy is bounded by log2(catalog distinct items)
+    val nItems = graft.analytics.StarAnalytics
+      .partFreq(spark, "/root/testdata/sf0.001").count()
+    assert(h <= math.log(nItems.toDouble) / math.log(2.0) + 1e-9)
+    // the published lift is the r6 difference of the published terms
+    assert(math.abs(lift - (mi - h)) < 2e-6)
+  }
+
   // ---- plan pins ---------------------------------------------------
 
   test("mannWhitney plan: the only window runs over the value census") {

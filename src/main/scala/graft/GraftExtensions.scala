@@ -75,5 +75,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "token_stats(text) - one-pass token census struct (n_tokens, " +
           "n_distinct, sum_chars, per-profile stopword hits)"),
       (exprs: Seq[Expression]) => graft.plans.TokenStats(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(left, right) - Jaro-Winkler similarity " +
+          "(prefix 4, scale 0.1, boost threshold 0.7)"),
+      (exprs: Seq[Expression]) =>
+        graft.plans.JaroWinklerSim(exprs.head, exprs(1))))
   }
 }

@@ -1837,6 +1837,9 @@ object SparkEntry {
     // recommendation novelty vs corpus purchase entropy
     "q_rec_novelty" -> ((s, d) =>
       graft.ext.EvalOps.recNovelty(s, d)),
+    // fuzzy record linkage on the native Jaro-Winkler expression
+    "q_jaro_linkage" -> ((s, d) =>
+      graft.ext.DedupExt.jaroLinkage(Tables.part(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -8872,5 +8875,33 @@ object SparkEntry {
            floor((si / CAST(n_slots AS DOUBLE) - entropy)
              * 1000000.0 + 0.5) / 1000000.0 AS novelty_lift
          FROM ri CROSS JOIN ent""",
+    "q_jaro_linkage" ->
+      """WITH probes AS (
+           SELECT p_partkey AS probe_id,
+             string_split(p_name, ' ')[1] AS block_key,
+             substr(p_name, 1, length(p_name) - 1) AS probe_name
+           FROM part WHERE p_partkey % 10 = 0),
+         cands AS (
+           SELECT p_partkey AS cand_id, p_name AS cand_name,
+             string_split(p_name, ' ')[1] AS block_key
+           FROM part),
+         sc AS (
+           SELECT probe_id, probe_name, cand_id, cand_name,
+             floor(jaro_winkler_similarity(probe_name, cand_name)
+               * 1000000.0 + 0.5) / 1000000.0 AS sim
+           FROM cands JOIN probes USING (block_key)
+           WHERE 2 * least(length(cand_name), length(probe_name)) >=
+             greatest(length(cand_name), length(probe_name))),
+         f AS (SELECT * FROM sc WHERE sim >= 0.9),
+         rk AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY sim DESC, cand_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY probe_id) AS BIGINT)
+               AS n_match
+           FROM f)
+         SELECT probe_id, probe_name, cand_id AS matched_id,
+           cand_name AS matched_name, sim, n_match
+         FROM rk WHERE rn = 1 ORDER BY probe_id""",
   )
 }

@@ -253,6 +253,62 @@ object DedupExt {
       .orderBy("probe_id")
   }
 
+  /** Fuzzy record linkage on Jaro–Winkler — [[recordLinkage]]'s
+    * similarity-scored sibling for the matching regimes edit distance
+    * handles badly (prefix-weighted name matching). Same first-token
+    * blocking and same broadcast-probe shape; the comparator is the
+    * native [[graft.plans.JaroWinklerSim]] expression, so scoring stays
+    * inside WholeStageCodegen.
+    *
+    * The pre-score cut is a provably lossless LENGTH-RATIO band: Jaro
+    * J ≤ (2 + min/max)/3 (at most min(|a|,|b|) characters can match),
+    * and Winkler lifts J by at most 0.4·(1−J), so rounded JW ≥ 0.9
+    * forces J ≥ 0.833332 and hence min/max ≥ 0.499998 — for any
+    * fixture-scale string (length ≪ 2·10⁵) a rational length ratio
+    * below ½ cannot reach 0.499998, so `2·min ≥ max` keeps every
+    * possible match. The published similarity is r6-ROUNDED on both
+    * engines and the threshold applies to the rounded value, so a
+    * last-ulp disagreement between two faithful implementations cannot
+    * flip a row in or out of the result. Best match per probe is the
+    * windowless min(struct(−sim, cand_id)) ranking, map-side partial. */
+  def jaroLinkage(parts: DataFrame, probeMod: Int = 10,
+                  minSim: Double = 0.9): DataFrame = {
+    import graft.plans.JaroWinklerSim
+    JaroWinklerSim.register(parts.sparkSession)
+    val probes = parts.filter(col("p_partkey") % probeMod === 0)
+      .select(col("p_partkey").as("probe_id"),
+        substring_index(col("p_name"), " ", 1).as("pb_key"),
+        expr("substring(p_name, 1, length(p_name) - 1)").as("probe_name"))
+    // same single-split-dim parallelism note as recordLinkage: the
+    // fan-out-heavy map needs its parallelism from the input side
+    val cands = parts.select(col("p_partkey").as("cand_id"),
+      col("p_name").as("cand_name"),
+      substring_index(col("p_name"), " ", 1).as("block_key"))
+      .repartition(parts.sparkSession.sessionState.conf.numShufflePartitions)
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val scored = cands.join(broadcast(probes),
+        col("block_key") === col("pb_key") &&
+          lit(2) * least(length(col("cand_name")),
+            length(col("probe_name"))) >=
+            greatest(length(col("cand_name")), length(col("probe_name"))))
+      .select(col("probe_id"), col("probe_name"), col("cand_id"),
+        col("cand_name"),
+        r6(JaroWinklerSim.jaro_winkler(col("probe_name"),
+          col("cand_name"))).as("sim"))
+      .filter(col("sim") >= minSim)
+    scored.groupBy(col("probe_id"))
+      .agg(first(col("probe_name")).as("probe_name"),
+        min(struct((-col("sim")).as("ns"), col("cand_id"),
+          col("cand_name"))).as("best"),
+        count(lit(1)).as("n_match"))
+      .select(col("probe_id"), col("probe_name"),
+        col("best.cand_id").as("matched_id"),
+        col("best.cand_name").as("matched_name"),
+        (-col("best.ns")).as("sim"), col("n_match"))
+      .orderBy("probe_id")
+  }
+
   /** Sketch-quality report: for every LSH candidate pair, the MinHash
     * ESTIMATE of Jaccard (fraction of equal signature components — the
     * only number a sketch-only pipeline would have) next to the exact

@@ -30,6 +30,7 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
              lsh_bucket(array(CAST(1.0 AS FLOAT), CAST(-1.0 AS FLOAT)), 4, 2)
                AS lb,
              rolling_hash('abc') AS rh,
+             jaro_winkler('martha', 'marhta') AS jw,
              token_chunks(array('a','b','c','d','e'), 2) AS tc""").collect()(0)
       assert(row.getSeq[Long](row.fieldIndex("mh")).length == 4)
       assert(row.getSeq[String](row.fieldIndex("tc")) ==
@@ -37,6 +38,7 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(row.getAs[Double]("dp") == 11.0)
       assert(row.getAs[Long]("rh") ==
         graft.plans.RollingHash.reference("abc"))
+      assert(row.getAs[Double]("jw") == 0.9611111111111111)
       // same values as the Column-API registration path
       graft.plans.TextSketches.register(spark)
       val viaRegister = spark.sql(

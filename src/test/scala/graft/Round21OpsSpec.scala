@@ -280,6 +280,71 @@ class Round21OpsSpec extends SparkSpec {
     assert(math.abs(lift - (mi - h)) < 2e-6)
   }
 
+  // ---- Jaro-Winkler ------------------------------------------------
+
+  test("JaroWinklerSim: battery pinned to DuckDB jaro_winkler_similarity") {
+    // expected values captured from DuckDB 'SELECT
+    // jaro_winkler_similarity(a, b)' — the oracle's comparator
+    val cases = Seq(
+      ("", "", 0.0), ("a", "", 0.0), ("x", "y", 0.0),
+      ("abc", "abc", 1.0), ("ab", "ba", 0.0),
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("abcdefgh", "abcdefxx", 0.9),          // prefix capped at 4
+      ("crate", "trace", 0.7333333333333334), // J>0.7 but prefix 0
+      ("aXXXX", "aYYYY", 0.4666666666666666), // below boost threshold
+      ("abXXX", "abYYY", 0.6),
+      ("abcdXYZ", "abcdQRS", 0.8285714285714286),
+      ("prefixxxxlong", "prefixyyylong", 0.9076923076923077))
+    cases.foreach { case (a, b, want) =>
+      val got = graft.plans.JaroWinklerSim.similarity(a, b)
+      assert(got == want, s"similarity($a, $b) = $got, want $want")
+    }
+  }
+
+  test("jaro_winkler: codegen path agrees with the interpreted reference") {
+    graft.plans.JaroWinklerSim.register(spark)
+    val df = Seq(("martha", "marhta"), ("dixon", "dicksonx"),
+      ("aXXXX", "aYYYY"), ("", ""))
+      .toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.plans.JaroWinklerSim.jaro_winkler(col("a"), col("b"))
+          .as("s"))
+    df.collect().foreach { r =>
+      assert(r.getAs[Double]("s") ==
+        graft.plans.JaroWinklerSim.similarity(r.getString(0),
+          r.getString(1)))
+    }
+    // and it is available from plain SQL
+    val sql = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS s").collect()(0)
+    assert(sql.getAs[Double]("s") == 0.9611111111111111)
+  }
+
+  test("jaro_winkler: SQL misuse fails at analysis with a named error") {
+    graft.plans.JaroWinklerSim.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT jaro_winkler('a')").collect()
+    }
+    assert(e.getMessage.contains("jaro_winkler"))
+  }
+
+  test("jaroLinkage: length-ratio band keeps the exact-name self match") {
+    val parts = Seq(
+      (10L, "amber linen socks"), (11L, "amber linen sock"),
+      (12L, "amber wool plate"), (20L, "navy steel mug"))
+      .toDF("p_partkey", "p_name")
+    // probe 10: name truncated to "amber linen sock" — exact match with
+    // part 11 (sim 1.0) beats the near-match with its own full name
+    val r = graft.ext.DedupExt.jaroLinkage(parts, probeMod = 10)
+      .collect()
+    val p10 = r.find(_.getAs[Long]("probe_id") == 10L).get
+    assert(p10.getAs[Long]("matched_id") == 11L)
+    assert(p10.getAs[Double]("sim") == 1.0)
+    assert(p10.getAs[Long]("n_match") >= 2L) // 11 exact + 10's own name
+  }
+
   // ---- plan pins ---------------------------------------------------
 
   test("mannWhitney plan: the only window runs over the value census") {

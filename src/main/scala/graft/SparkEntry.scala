@@ -1840,6 +1840,22 @@ object SparkEntry {
     // fuzzy record linkage on the native Jaro-Winkler expression
     "q_jaro_linkage" -> ((s, d) =>
       graft.ext.DedupExt.jaroLinkage(Tables.part(s, d))),
+    // Kendall tau-b over the joint (orders, breadth) value census
+    "q_kendall_tau" -> ((s, d) =>
+      StatsAnalytics.kendallTau(Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+    // rescaled-range Hurst exponent of the daily-revenue series
+    "q_hurst" -> ((s, d) =>
+      StatsAnalytics.hurstRS(Tables.events(s, d))),
+    // Flesch-style readability with the vowel-group syllable proxy
+    "q_readability" -> ((s, d) =>
+      graft.ext.TextAnalysis.readability(Tables.documents(s, d))),
+    // precision-recall AUC over the score census
+    "q_pr_auc" -> ((s, d) =>
+      graft.ext.EvalOps.prAuc(Tables.documents(s, d))),
+    // Murphy decomposition of the Brier score over calibration deciles
+    "q_brier_decomp" -> ((s, d) =>
+      graft.ext.EvalOps.brierDecomp(Tables.documents(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -8903,5 +8919,255 @@ object SparkEntry {
          SELECT probe_id, probe_name, cand_id AS matched_id,
            cand_name AS matched_name, sim, n_match
          FROM rk WHERE rn = 1 ORDER BY probe_id""",
+    "q_kendall_tau" ->
+      """WITH nord AS (
+           SELECT o_custkey AS cust, CAST(count(*) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         nparts AS (
+           SELECT o.o_custkey AS cust,
+             CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS y
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           GROUP BY 1),
+         pc AS (SELECT nord.cust, x, y FROM nord
+           JOIN nparts ON nord.cust = nparts.cust),
+         cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS nc FROM pc
+           GROUP BY 1, 2),
+         pp AS (
+           SELECT CAST(a.nc * b.nc AS DECIMAL(38,0)) AS m,
+             a.y < b.y AS conc
+           FROM cells a JOIN cells b ON a.x < b.x AND a.y <> b.y),
+         cd AS (
+           SELECT sum(CASE WHEN conc THEN m ELSE 0 END) AS ncs,
+             sum(CASE WHEN NOT conc THEN m ELSE 0 END) AS nds
+           FROM pp),
+         tx AS (SELECT sum(CAST((t * (t - 1)) // 2 AS DECIMAL(38,0)))
+               AS t_x, CAST(sum(t) AS BIGINT) AS n_x
+           FROM (SELECT x, CAST(sum(nc) AS BIGINT) AS t FROM cells
+             GROUP BY 1)),
+         ty AS (SELECT sum(CAST((t * (t - 1)) // 2 AS DECIMAL(38,0)))
+               AS t_y
+           FROM (SELECT y, CAST(sum(nc) AS BIGINT) AS t FROM cells
+             GROUP BY 1))
+         SELECT n_x AS n_customers, CAST(ncs AS BIGINT) AS n_concordant,
+           CAST(nds AS BIGINT) AS n_discordant,
+           CAST(t_x AS BIGINT) AS ties_x, CAST(t_y AS BIGINT) AS ties_y,
+           floor((CAST(ncs AS DOUBLE) - CAST(nds AS DOUBLE)) /
+             sqrt((CAST(n_x AS DOUBLE) * (CAST(n_x AS DOUBLE) - 1.0)
+                 / 2.0 - CAST(t_x AS DOUBLE)) *
+               (CAST(n_x AS DOUBLE) * (CAST(n_x AS DOUBLE) - 1.0)
+                 / 2.0 - CAST(t_y AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS tau_b
+         FROM cd CROSS JOIN tx CROSS JOIN ty""",
+    "q_hurst" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS v
+           FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL
+             AND ts IS NOT NULL
+           GROUP BY 1),
+         idx AS (SELECT d, v,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+           FROM daily),
+         ws AS (SELECT unnest([5, 10, 15]) AS w),
+         blocked AS (
+           -- floor() before the cast: DuckDB CAST(double AS BIGINT)
+           -- ROUNDS where Spark truncates (the q_did trap)
+           SELECT w, CAST(floor((CAST(t AS DOUBLE) - 1) / w) AS BIGINT)
+               AS b, t, v
+           FROM idx CROSS JOIN ws),
+         full_ AS (SELECT w, b FROM blocked GROUP BY 1, 2
+           HAVING count(*) = w),
+         rows_ AS (SELECT blocked.* FROM blocked
+           JOIN full_ USING (w, b)),
+         m AS (
+           SELECT w, b,
+             CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / w
+               AS mean_v,
+             CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS svv
+           FROM rows_ GROUP BY 1, 2),
+         dev AS (
+           SELECT r.w, r.b, r.t, m.svv, m.mean_v,
+             CAST(sum(CAST(r.v - m.mean_v AS DECIMAL(28,12)))
+               OVER (PARTITION BY r.w, r.b ORDER BY r.t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS cum
+           FROM rows_ r JOIN m USING (w, b)),
+         rs1 AS (
+           SELECT w, b, max(cum) - min(cum) AS r,
+             sqrt(max(svv) / w - max(mean_v) * max(mean_v)) AS s
+           FROM dev GROUP BY 1, 2),
+         rs AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(CAST(r / s AS DECIMAL(28,12))) AS DOUBLE)
+               / count(*) AS rs
+           FROM rs1 WHERE s > 0.0 GROUP BY 1),
+         fit AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(ln(CAST(w AS DOUBLE)) AS DECIMAL(28,12)))
+               AS DOUBLE) AS sx,
+             CAST(sum(CAST(ln(rs) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(ln(CAST(w AS DOUBLE)) * ln(CAST(w AS DOUBLE))
+               AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(ln(CAST(w AS DOUBLE)) * ln(rs)
+               AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+           FROM rs),
+         wide AS (
+           SELECT max(CASE WHEN w = 5 THEN rs END) AS rs_a,
+             max(CASE WHEN w = 10 THEN rs END) AS rs_b,
+             max(CASE WHEN w = 15 THEN rs END) AS rs_c
+           FROM rs),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+         SELECT n_days,
+           floor(rs_a * 1000000.0 + 0.5) / 1000000.0 AS rs_5,
+           floor(rs_b * 1000000.0 + 0.5) / 1000000.0 AS rs_10,
+           floor(rs_c * 1000000.0 + 0.5) / 1000000.0 AS rs_15,
+           floor((CAST(k AS DOUBLE) * sxy - sx * sy) /
+             (CAST(k AS DOUBLE) * sxx - sx * sx) * 1000000.0 + 0.5)
+             / 1000000.0 AS hurst
+         FROM nd CROSS JOIN wide CROSS JOIN fit""",
+    "q_readability" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS toks,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS groups_,
+             greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+               AS BIGINT)) AS n_sentences
+           FROM documents),
+         s AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+             n_sentences,
+             groups_ + CAST(len(list_filter(toks,
+               x -> NOT regexp_matches(x, '[aeiouy]'))) AS BIGINT)
+               AS n_syllables
+           FROM t)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             floor((206.835 -
+               1.015 * CAST(n_words AS DOUBLE) /
+                 CAST(n_sentences AS DOUBLE) -
+               84.6 * CAST(n_syllables AS DOUBLE) /
+                 CAST(n_words AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+           ELSE 0.0 END AS flesch
+         FROM s ORDER BY doc_id""",
+    "q_pr_auc" ->
+      """WITH t AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT y, CASE WHEN len(toks) = 0 THEN 0
+             ELSE CAST(floor(10000.0 * len(list_filter(toks,
+               x -> list_contains(['the','and','of','is','to','a','in'],
+                 x))) / len(toks) + 0.5) AS BIGINT) END AS sri
+           FROM t),
+         census AS (
+           SELECT sri, CAST(count(*) AS BIGINT) AS n_s,
+             CAST(sum(y) AS BIGINT) AS pos_s
+           FROM s GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_docs,
+             CAST(sum(pos_s) AS BIGINT) AS n_pos,
+             CAST(count(*) AS BIGINT) AS n_blocks
+           FROM census),
+         pts AS (
+           SELECT sri,
+             CAST(sum(n_s) OVER (ORDER BY sri DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_n,
+             CAST(sum(pos_s) OVER (ORDER BY sri DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_pos
+           FROM census),
+         rp AS (
+           SELECT sri,
+             CAST(cum_pos AS DOUBLE) / CAST(n_pos AS DOUBLE) AS r,
+             CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE) AS p
+           FROM pts CROSS JOIN tot),
+         seg AS (
+           SELECT r, p,
+             coalesce(lag(r, 1) OVER (ORDER BY sri DESC), 0.0) AS r0,
+             coalesce(lag(p, 1) OVER (ORDER BY sri DESC), 1.0) AS p0
+           FROM rp),
+         area AS (
+           SELECT CAST(sum(CAST((r - r0) * (p + p0) / 2.0
+             AS DECIMAL(28,12))) AS DOUBLE) AS auc_pr
+           FROM seg)
+         SELECT n_docs, n_pos, n_blocks,
+           floor(auc_pr * 1000000.0 + 0.5) / 1000000.0 AS pr_auc
+         FROM tot CROSS JOIN area""",
+    "q_brier_decomp" ->
+      """WITH t AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT y, CASE WHEN len(toks) = 0 THEN 0
+             ELSE CAST(floor(10000.0 * len(list_filter(toks,
+               x -> list_contains(['the','and','of','is','to','a','in'],
+                 x))) / len(toks) + 0.5) AS BIGINT) END AS sri
+           FROM t),
+         bins AS (
+           SELECT least(9, sri // 1000) AS bucket,
+             CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(sri) AS BIGINT) AS sp,
+             CAST(sum(sri * sri) AS BIGINT) AS spp,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(sri * y) AS BIGINT) AS spy
+           FROM s GROUP BY 1),
+         gl AS (
+           SELECT CAST(sum(nb) AS BIGINT) AS n,
+             CAST(sum(sp) AS BIGINT) AS gsp,
+             CAST(sum(spp) AS BIGINT) AS gspp,
+             CAST(sum(sy) AS BIGINT) AS gsy,
+             CAST(sum(spy) AS BIGINT) AS gspy
+           FROM bins),
+         terms AS (
+           SELECT n, gsy, gspp, gspy,
+             CAST(CAST(nb AS DOUBLE) *
+               (CAST(sp AS DOUBLE) / (10000.0 * CAST(nb AS DOUBLE)) -
+                 CAST(sy AS DOUBLE) / CAST(nb AS DOUBLE)) *
+               (CAST(sp AS DOUBLE) / (10000.0 * CAST(nb AS DOUBLE)) -
+                 CAST(sy AS DOUBLE) / CAST(nb AS DOUBLE))
+               AS DECIMAL(28,12)) AS rel_t,
+             CAST(CAST(nb AS DOUBLE) *
+               (CAST(sy AS DOUBLE) / CAST(nb AS DOUBLE) -
+                 CAST(gsy AS DOUBLE) / CAST(n AS DOUBLE)) *
+               (CAST(sy AS DOUBLE) / CAST(nb AS DOUBLE) -
+                 CAST(gsy AS DOUBLE) / CAST(n AS DOUBLE))
+               AS DECIMAL(28,12)) AS res_t,
+             CAST((CAST(spp AS DOUBLE) -
+               CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE) /
+                 CAST(nb AS DOUBLE)) / 100000000.0
+               AS DECIMAL(28,12)) AS wbv_t
+           FROM bins CROSS JOIN gl),
+         agg AS (
+           SELECT n, gsy, gspp, gspy,
+             CAST(sum(rel_t) AS DOUBLE) AS rel_s,
+             CAST(sum(res_t) AS DOUBLE) AS res_s,
+             CAST(sum(wbv_t) AS DOUBLE) AS wbv_s
+           FROM terms GROUP BY 1, 2, 3, 4),
+         f AS (
+           SELECT n, rel_s / CAST(n AS DOUBLE) AS rel,
+             res_s / CAST(n AS DOUBLE) AS res,
+             wbv_s / CAST(n AS DOUBLE) AS wbv,
+             (CAST(gsy AS DOUBLE) / CAST(n AS DOUBLE)) *
+               (1.0 - CAST(gsy AS DOUBLE) / CAST(n AS DOUBLE)) AS unc,
+             (CAST(gspp AS DOUBLE) / 100000000.0 -
+               2.0 * CAST(gspy AS DOUBLE) / 10000.0 +
+               CAST(gsy AS DOUBLE)) / CAST(n AS DOUBLE) AS braw
+           FROM agg)
+         SELECT n AS n_docs,
+           floor(unc * 1000000.0 + 0.5) / 1000000.0 AS uncertainty,
+           floor(rel * 1000000.0 + 0.5) / 1000000.0 AS reliability,
+           floor(res * 1000000.0 + 0.5) / 1000000.0 AS resolution,
+           floor(wbv * 1000000.0 + 0.5) / 1000000.0 AS within_bin_var,
+           floor((rel - res + unc) * 1000000.0 + 0.5) / 1000000.0
+             AS brier_binned,
+           floor(braw * 1000000.0 + 0.5) / 1000000.0 AS brier_raw
+         FROM f""",
   )
 }

@@ -1898,14 +1898,7 @@ object StatsAnalytics {
     * Pearson r ships alongside so the report shows what the rank
     * transform absorbed. */
   def spearmanBreadth(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val nOrd = orders.groupBy(col("o_custkey").as("cust"))
-      .agg(count(lit(1)).as("x"))
-    val nParts = lineitem.select(col("l_orderkey"), col("l_partkey"))
-      .join(orders.select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("cust"))
-      .agg(countDistinct(col("l_partkey")).as("y"))
-    val pc = nOrd.join(nParts, Seq("cust"))
+    val pc = orderBreadthFrame(orders, lineitem)
     def rankMap(v: String): DataFrame = {
       val census = pc.groupBy(col(v)).agg(count(lit(1)).as("t"))
       val w = Window.orderBy(col(v))
@@ -1938,6 +1931,65 @@ object StatsAnalytics {
         col("sxy"))).as("rho_spearman"),
       r6(pearson(col("rsx"), col("rsy"), col("rsxx"), col("rsyy"),
         col("rsxy"))).as("r_pearson"))
+  }
+
+  /** Shared unit frame for the rank-correlation family: per customer,
+    * x = order count, y = distinct-part breadth. */
+  private def orderBreadthFrame(orders: DataFrame,
+                                lineitem: DataFrame): DataFrame = {
+    val nOrd = orders.groupBy(col("o_custkey").as("cust"))
+      .agg(count(lit(1)).as("x"))
+    val nParts = lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(countDistinct(col("l_partkey")).as("y"))
+    nOrd.join(nParts, Seq("cust"))
+  }
+
+  /** Kendall τ-b over the same (order count, part breadth) pairs as
+    * [[spearmanBreadth]] — the concordance-based rank correlation whose
+    * sampling behavior under ties is better understood than Spearman's.
+    * The O(n²) pair enumeration NEVER touches units: both variables are
+    * small integers, so all pair counting runs on the JOINT VALUE CENSUS
+    * (one row per distinct (x,y) cell — domain-bounded): concordant /
+    * discordant masses are Σ n₁·n₂ over cell pairs with strict agreement
+    * / reversal, a broadcast nested-loop join of the census with itself
+    * (cells² comparisons is a CONSTANT wrt corpus size — the 100 TB cost
+    * lives entirely in the one aggregate that builds the census). Tie
+    * terms come from the marginal censuses in exact integers; products
+    * go DECIMAL before the sum. */
+  def kendallTau(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cells = orderBreadthFrame(orders, lineitem)
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nc"))
+      .localCheckpoint()
+    val c2 = cells.select(col("x").as("x2"), col("y").as("y2"),
+      col("nc").as("nc2"))
+    val pairs = cells.join(broadcast(c2),
+        col("x") < col("x2") && col("y") =!= col("y2"))
+      .select((col("nc") * col("nc2")).cast("decimal(38,0)").as("m"),
+        (col("y") < col("y2")).as("conc"))
+    val cd = pairs.agg(
+      sum(when(col("conc"), col("m")).otherwise(lit(0))).as("nc_sum"),
+      sum(when(!col("conc"), col("m")).otherwise(lit(0))).as("nd_sum"))
+    def ties(key: String) = cells.groupBy(col(key))
+      .agg(sum(col("nc")).as("t"))
+      .agg(sum((col("t") * (col("t") - 1) / 2).cast("decimal(38,0)"))
+        .as(s"t_$key"),
+        sum(col("t")).as(s"n_$key"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    cd.crossJoin(broadcast(ties("x"))).crossJoin(broadcast(ties("y")))
+      .select(col("n_x").as("n_customers"),
+        col("nc_sum").cast("bigint").as("n_concordant"),
+        col("nd_sum").cast("bigint").as("n_discordant"),
+        col("t_x").cast("bigint").as("ties_x"),
+        col("t_y").cast("bigint").as("ties_y"),
+        r6((d(col("nc_sum")) - d(col("nd_sum"))) /
+          sqrt((d(col("n_x")) * (d(col("n_x")) - lit(1.0)) / lit(2.0) -
+            d(col("t_x"))) *
+            (d(col("n_x")) * (d(col("n_x")) - lit(1.0)) / lit(2.0) -
+              d(col("t_y"))))).as("tau_b"))
   }
 
   /** Theil T inequality index of customer spend, decomposed by market
@@ -2031,6 +2083,79 @@ object StatsAnalytics {
       // report z = 0 rather than divide
       r6(when(sigma > lit(0.0),
         (d(col("n_runs")) - mu) / sigma).otherwise(lit(0.0))).as("z"))
+  }
+
+  /** Rescaled-range (R/S) Hurst exponent of the daily-revenue series —
+    * the long-memory audit beside [[runsTest]]'s serial-structure check:
+    * H ≈ 0.5 is a memoryless walk, H > 0.5 persistent trending, H < 0.5
+    * mean reversion — the one-number answer to "does today's revenue
+    * anomaly predict tomorrow's". Classic Mandelbrot–Wallis R/S: for
+    * each window size w, split the day series into ⌊n/w⌋ complete
+    * blocks; per block, range of the cumulative mean-deviations over
+    * the population σ; H is the least-squares slope of ln(R/S) on ln(w).
+    * Everything after the one corpus aggregate runs on the DAY frame ×
+    * 3 window sizes (calendar-bounded; the cumulative-deviation window
+    * partitions by (w, block)); per-day deviation sums go DECIMAL. */
+  def hurstRS(ev: DataFrame, sizes: Seq[Int] = Seq(5, 10, 15)): DataFrame = {
+    val daily = ev.filter(col("event_type") === "purchase" &&
+        col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(col("value").cast("decimal(28,12)")).cast("double").as("v"))
+      .withColumn("t",
+        row_number().over(Window.orderBy(col("d"))).cast("long"))
+    val ws = daily.sparkSession.createDataFrame(
+      sizes.map(Tuple1(_))).toDF("w")
+    val blocked = daily.crossJoin(broadcast(ws))
+      .withColumn("b", ((col("t") - 1) / col("w")).cast("long"))
+    val full = blocked.groupBy(col("w"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") === col("w"))
+      .select(col("w"), col("b"))
+    val rows = blocked.join(full, Seq("w", "b"))
+    val m = rows.groupBy(col("w"), col("b"))
+      .agg((sum(col("v").cast("decimal(28,12)")).cast("double") /
+        col("w")).as("mean_v"),
+        (sum((col("v") * col("v")).cast("decimal(28,12)")).cast("double"))
+          .as("svv"))
+    val wcum = Window.partitionBy(col("w"), col("b")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dev = rows.join(m, Seq("w", "b"))
+      .withColumn("cum", sum((col("v") - col("mean_v"))
+        .cast("decimal(28,12)")).over(wcum).cast("double"))
+    val rs = dev.groupBy(col("w"), col("b"))
+      .agg((max(col("cum")) - min(col("cum"))).as("r"),
+        // svv/mean_v are group constants (joined from m) — max is the
+        // deterministic pick
+        sqrt(max(col("svv")) / col("w") -
+          max(col("mean_v")) * max(col("mean_v"))).as("s"))
+      .filter(col("s") > 0.0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_blocks"),
+        (sum((col("r") / col("s")).cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("rs"))
+    // least-squares slope of ln(rs) on ln(w) over the (tiny) size frame
+    def dec(c: Column) = c.cast("decimal(28,12)")
+    val fit = rs.select(col("w"), col("rs"),
+        log(col("w").cast("double")).as("lx"), log(col("rs")).as("ly"))
+      .agg(count(lit(1)).as("k"),
+        sum(dec(col("lx"))).cast("double").as("sx"),
+        sum(dec(col("ly"))).cast("double").as("sy"),
+        sum(dec(col("lx") * col("lx"))).cast("double").as("sxx"),
+        sum(dec(col("lx") * col("ly"))).cast("double").as("sxy"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val n = daily.agg(count(lit(1)).as("n_days"))
+    def rsAt(w: Int) = max(when(col("w") === w, col("rs")))
+    val wide = rs.agg(rsAt(sizes(0)).as("rs_a"), rsAt(sizes(1)).as("rs_b"),
+      rsAt(sizes(2)).as("rs_c"))
+    n.crossJoin(broadcast(wide)).crossJoin(broadcast(fit))
+      .select(col("n_days"),
+        r6(col("rs_a")).as(s"rs_${sizes(0)}"),
+        r6(col("rs_b")).as(s"rs_${sizes(1)}"),
+        r6(col("rs_c")).as(s"rs_${sizes(2)}"),
+        r6((d(col("k")) * col("sxy") - col("sx") * col("sy")) /
+          (d(col("k")) * col("sxx") - col("sx") * col("sx")))
+          .as("hurst"))
   }
 
   /** Cramér's V association between event type and day-of-week — the

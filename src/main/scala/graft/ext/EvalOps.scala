@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -101,6 +101,91 @@ object EvalOps {
         round(col("s_sq_tot").cast("double") / col("n_total"), 6)
           .as("brier"))
       .orderBy("bucket")
+  }
+
+  /** Precision–recall AUC of the stopword-ratio score against the
+    * `lang = 'en'` label — the imbalance-honest companion to the ROC
+    * [[auc]]: on a skewed corpus ROC-AUC stays flattering while PR-AUC
+    * collapses with precision, which is why retrieval/filter gates read
+    * this one. Trapezoidal integration over the SCORE-CENSUS operating
+    * points (score descending; the anchor point is recall 0 / precision
+    * 1, the standard convention): same ≤10 001-row census discipline as
+    * [[auc]] — the corpus aggregates once, every window runs on the
+    * census. Segment areas go DECIMAL before the sum. */
+  def prAuc(docs: DataFrame): DataFrame = {
+    val census = scoredDocs(docs).groupBy(col("sri"))
+      .agg(count(lit(1)).as("n_s"), sum(col("y")).as("pos_s"))
+    val wc = Window.orderBy(col("sri").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wl = Window.orderBy(col("sri").desc)
+    val tot = census.agg(sum(col("n_s")).as("n_docs"),
+      sum(col("pos_s")).as("n_pos"), count(lit(1)).as("n_blocks"))
+    val pts = census
+      .withColumn("cum_n", sum(col("n_s")).over(wc))
+      .withColumn("cum_pos", sum(col("pos_s")).over(wc))
+      .crossJoin(broadcast(tot))
+      .withColumn("r", col("cum_pos").cast("double") /
+        col("n_pos").cast("double"))
+      .withColumn("p", col("cum_pos").cast("double") /
+        col("cum_n").cast("double"))
+      .withColumn("r0", coalesce(lag(col("r"), 1).over(wl), lit(0.0)))
+      .withColumn("p0", coalesce(lag(col("p"), 1).over(wl), lit(1.0)))
+    val area = pts.select(((col("r") - col("r0")) *
+        (col("p") + col("p0")) / lit(2.0))
+        .cast("decimal(28,12)").as("a"))
+      .agg(sum(col("a")).cast("double").as("auc_pr"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    tot.crossJoin(broadcast(area))
+      .select(col("n_docs"), col("n_pos"), col("n_blocks"),
+        r6(col("auc_pr")).as("pr_auc"))
+  }
+
+  /** Murphy decomposition of the Brier score over the same deciles as
+    * [[calibrationReport]]: brier_binned = RELIABILITY − RESOLUTION +
+    * UNCERTAINTY, plus the within-bin score variance that separates the
+    * binned score from the raw one — the report that says WHY the Brier
+    * number is what it is (badly calibrated? undiscriminating? or just
+    * an uncertain base rate?). Every input is an integer sum (sri ≤ 10⁴
+    * keeps Σsri² within long range), so each component is a rational of
+    * exact integers assembled in one bin-census pass; per-bin
+    * double terms go DECIMAL before the cross-bin sum. */
+  def brierDecomp(docs: DataFrame): DataFrame = {
+    val bins = scoredDocs(docs)
+      .groupBy(least(lit(9L), expr("sri DIV 1000")).as("bucket"))
+      .agg(count(lit(1)).as("nb"), sum(col("sri")).as("sp"),
+        sum(col("sri") * col("sri")).as("spp"), sum(col("y")).as("sy"),
+        sum(col("sri") * col("y")).as("spy"))
+    val glob = bins.agg(sum(col("nb")).as("n"), sum(col("sp")).as("gsp"),
+      sum(col("spp")).as("gspp"), sum(col("sy")).as("gsy"),
+      sum(col("spy")).as("gspy"))
+    def d(c: Column) = c.cast("double")
+    val pbar = d(col("sp")) / (lit(10000.0) * d(col("nb")))
+    val ybarB = d(col("sy")) / d(col("nb"))
+    val ybar = d(col("gsy")) / d(col("n"))
+    val terms = bins.crossJoin(broadcast(glob))
+      .select(
+        (d(col("nb")) * (pbar - ybarB) * (pbar - ybarB))
+          .cast("decimal(28,12)").as("rel_t"),
+        (d(col("nb")) * (ybarB - ybar) * (ybarB - ybar))
+          .cast("decimal(28,12)").as("res_t"),
+        ((d(col("spp")) - d(col("sp")) * d(col("sp")) / d(col("nb"))) /
+          lit(1.0e8)).cast("decimal(28,12)").as("wbv_t"),
+        col("n"), col("gsy"), col("gspp"), col("gsp"), col("gspy"))
+      .groupBy(col("n"), col("gsy"), col("gspp"), col("gspy"))
+      .agg(sum(col("rel_t")).cast("double").as("rel_s"),
+        sum(col("res_t")).cast("double").as("res_s"),
+        sum(col("wbv_t")).cast("double").as("wbv_s"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val n = d(col("n"))
+    val rel = col("rel_s") / n
+    val res = col("res_s") / n
+    val unc = (d(col("gsy")) / n) * (lit(1.0) - d(col("gsy")) / n)
+    val braw = (d(col("gspp")) / lit(1.0e8) -
+      lit(2.0) * d(col("gspy")) / lit(10000.0) + d(col("gsy"))) / n
+    terms.select(col("n").as("n_docs"),
+      r6(unc).as("uncertainty"), r6(rel).as("reliability"),
+      r6(res).as("resolution"), r6(col("wbv_s") / n).as("within_bin_var"),
+      r6(rel - res + unc).as("brier_binned"), r6(braw).as("brier_raw"))
   }
 
   /** Leave-one-source-out data valuation: for each document source, the

@@ -1294,4 +1294,37 @@ object TextAnalysis {
           .as("chars_per_subword"))
       .orderBy("lang")
   }
+
+  /** Flesch-style readability per document — the classic prose-difficulty
+    * score as a corpus quality signal (very high or very low readability
+    * both correlate with boilerplate/garbage in web-scale filtering).
+    * Syllables use the deterministic vowel-group proxy: runs of
+    * `[aeiouy]+` counted over the lowered text (whitespace breaks groups,
+    * so the whole-text count equals the per-word sum) plus one for each
+    * vowel-less token (the max(1, ·) floor per word, folded in closed
+    * form). Sentences are `[.!?]+` runs floored at one. Everything is a
+    * map-side projection over integers; the score is the single final
+    * double expression. */
+  def readability(docs: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val nWords = size(toks).cast("long")
+    val groups = regexp_count(lower(col("text")), lit("[aeiouy]+"))
+      .cast("long")
+    val zeroVowel = size(filter(toks,
+      w => not(w.rlike("[aeiouy]")))).cast("long")
+    val nSyll = groups + zeroVowel
+    val nSent = greatest(lit(1L),
+      regexp_count(col("text"), lit("[.!?]+")).cast("long"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    docs.select(col("doc_id"), nWords.as("n_words"),
+        nSent.as("n_sentences"), nSyll.as("n_syllables"))
+      .withColumn("flesch",
+        when(col("n_words") > 0L,
+          r6(lit(206.835) -
+            lit(1.015) * d(col("n_words")) / d(col("n_sentences")) -
+            lit(84.6) * d(col("n_syllables")) / d(col("n_words"))))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
 }

@@ -345,6 +345,122 @@ class Round21OpsSpec extends SparkSpec {
     assert(p10.getAs[Long]("n_match") >= 2L) // 11 exact + 10's own name
   }
 
+  // ---- Kendall tau-b -----------------------------------------------
+
+  test("kendallTau: hand-traced concordant/discordant/tie census") {
+    // customers (x=orders, y=breadth): (1,1), (2,2), (2,1), (3,3)
+    // C=4, D=0, ties_x=1 (x=2 pair), ties_y=1 (y=1 pair)
+    // tau_b = 4 / sqrt((6-1)(6-1)) = 0.8
+    val orders = Seq(
+      (10L, 1L), (20L, 2L), (21L, 2L), (30L, 3L), (31L, 3L),
+      (40L, 4L), (41L, 4L), (42L, 4L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq(
+      (10L, 100L),                             // c1: y=1
+      (20L, 100L), (21L, 101L),                // c2: y=2
+      (30L, 100L), (31L, 100L),                // c3: y=1
+      (40L, 100L), (41L, 101L), (42L, 102L))   // c4: y=3
+      .toDF("l_orderkey", "l_partkey")
+    val r = graft.analytics.StatsAnalytics.kendallTau(orders, li)
+      .collect()(0)
+    assert(r.getAs[Long]("n_customers") == 4L)
+    assert(r.getAs[Long]("n_concordant") == 4L)
+    assert(r.getAs[Long]("n_discordant") == 0L)
+    assert(r.getAs[Long]("ties_x") == 1L && r.getAs[Long]("ties_y") == 1L)
+    assert(r.getAs[Double]("tau_b") == 0.8)
+  }
+
+  // ---- Hurst -------------------------------------------------------
+
+  private def dailySeries(vals: Seq[Double]) =
+    vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts(f"2024-03-${i + 1}%02d 12:00:00"), 1L, "purchase", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("hurstRS: alternating series is anti-persistent, trend persists") {
+    val alt = dailySeries((1 to 30).map(i =>
+      if (i % 2 == 0) 20.0 else 10.0))
+    val rAlt = graft.analytics.StatsAnalytics.hurstRS(alt).collect()(0)
+    assert(rAlt.getAs[Long]("n_days") == 30L)
+    assert(rAlt.getAs[Double]("rs_5") > 0.0)
+    assert(rAlt.getAs[Double]("hurst") < 0.5,
+      s"alternating series should mean-revert: $rAlt")
+    val trend = dailySeries((1 to 30).map(i => i * 10.0))
+    val rTr = graft.analytics.StatsAnalytics.hurstRS(trend).collect()(0)
+    assert(rTr.getAs[Double]("hurst") > 0.7,
+      s"linear trend should persist: $rTr")
+  }
+
+  test("hurstRS: R/S and H are scale-invariant in the series") {
+    val vals = (1 to 30).map(i =>
+      10.0 + (i * 2654435761L % 97).toDouble)
+    val a = graft.analytics.StatsAnalytics.hurstRS(dailySeries(vals))
+      .collect()(0)
+    val b = graft.analytics.StatsAnalytics
+      .hurstRS(dailySeries(vals.map(_ * 4.0))).collect()(0)
+    assert(a.getAs[Double]("hurst") == b.getAs[Double]("hurst"))
+    assert(a.getAs[Double]("rs_10") == b.getAs[Double]("rs_10"))
+  }
+
+  // ---- readability -------------------------------------------------
+
+  test("readability: vowel groups, sentence floor, vowel-less words") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!", "en", "s", 25L),
+      (2L, "grr 123", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.ext.TextAnalysis.readability(docs).collect()
+    val r1 = rows(0)
+    assert(r1.getAs[Long]("n_words") == 6L)
+    assert(r1.getAs[Long]("n_sentences") == 2L)
+    assert(r1.getAs[Long]("n_syllables") == 6L)
+    // 206.835 − 1.015·3 − 84.6·1 = 119.19
+    assert(r1.getAs[Double]("flesch") == 119.19)
+    val r2 = rows(1)
+    assert(r2.getAs[Long]("n_sentences") == 1L) // floor at one
+    assert(r2.getAs[Long]("n_syllables") == 2L) // two vowel-less words
+  }
+
+  // ---- PR-AUC and Brier decomposition ------------------------------
+
+  private def docsDf2(rows: Seq[(Long, String, String)]) =
+    rows.map { case (id, text, lang) => (id, text, lang, "s", 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("prAuc: perfect separation scores 1") {
+    val docs = docsDf2(Seq(
+      (1L, "the and of is to", "en"), (2L, "the of a in and", "en"),
+      (3L, "zzz qqq www", "de"), (4L, "xxx yyy zzz", "de")))
+    val r = graft.ext.EvalOps.prAuc(docs).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 4L && r.getAs[Long]("n_pos") == 2L)
+    assert(r.getAs[Double]("pr_auc") == 1.0)
+  }
+
+  test("brierDecomp: perfect binned forecasts decompose to res == unc") {
+    // sri=10000/y=1 and sri=0/y=0 in equal mass: rel=0, wbv=0,
+    // res = unc = 0.25, brier_binned = brier_raw = 0
+    val docs = docsDf2(Seq(
+      (1L, "the and the", "en"), (2L, "of is a", "en"),
+      (3L, "zzz qqq", "de"), (4L, "xxx yyy", "de")))
+    val r = graft.ext.EvalOps.brierDecomp(docs).collect()(0)
+    assert(r.getAs[Double]("reliability") == 0.0)
+    assert(r.getAs[Double]("within_bin_var") == 0.0)
+    assert(r.getAs[Double]("resolution") == 0.25)
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+    assert(r.getAs[Double]("brier_binned") == 0.0)
+    assert(r.getAs[Double]("brier_raw") == 0.0)
+  }
+
+  test("brierDecomp: published identity brier_binned = rel - res + unc") {
+    val r = graft.ext.EvalOps
+      .brierDecomp(Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect()(0)
+    val lhs = r.getAs[Double]("brier_binned")
+    val rhs = r.getAs[Double]("reliability") -
+      r.getAs[Double]("resolution") + r.getAs[Double]("uncertainty")
+    assert(math.abs(lhs - rhs) < 3e-6)
+  }
+
   // ---- plan pins ---------------------------------------------------
 
   test("mannWhitney plan: the only window runs over the value census") {

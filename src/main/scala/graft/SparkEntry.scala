@@ -1856,6 +1856,18 @@ object SparkEntry {
     // Murphy decomposition of the Brier score over calibration deciles
     "q_brier_decomp" -> ((s, d) =>
       graft.ext.EvalOps.brierDecomp(Tables.documents(s, d))),
+    // entropy rate of the event-type Markov chain + predictability gain
+    "q_markov_entropy" -> ((s, d) =>
+      EventAnalytics.markovEntropy(Tables.events(s, d))),
+    // out-of-order-arrival audit (the watermark-delay budget report)
+    "q_ooo_audit" -> ((s, d) =>
+      EventAnalytics.oooAudit(Tables.events(s, d))),
+    // weekday-seasonality strength of the daily-revenue series
+    "q_seasonal_strength" -> ((s, d) =>
+      EventAnalytics.seasonalStrength(Tables.events(s, d))),
+    // SAX symbolization of the z-normalized daily-revenue series
+    "q_sax" -> ((s, d) =>
+      StatsAnalytics.saxDaily(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -9169,5 +9181,145 @@ object SparkEntry {
              AS brier_binned,
            floor(braw * 1000000.0 + 0.5) / 1000000.0 AS brier_raw
          FROM f""",
+    "q_markov_entropy" ->
+      """WITH e AS (
+           SELECT event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+           FROM events WHERE user_id IS NOT NULL),
+         cells AS (
+           SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+           FROM e WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         rt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS ni
+           FROM cells GROUP BY 1),
+         gl AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS k
+           FROM cells),
+         rate AS (
+           SELECT nn, k, CAST(sum(CAST(
+               (CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) *
+               (ln(CAST(ni AS DOUBLE) / CAST(n AS DOUBLE)) / ln(2.0))
+               AS DECIMAL(28,12))) AS DOUBLE) AS h_rate
+           FROM cells JOIN rt USING (event_type) CROSS JOIN gl
+           GROUP BY 1, 2),
+         marg AS (
+           SELECT CAST(sum(CAST(
+               (CAST(ni AS DOUBLE) / CAST(nn AS DOUBLE)) *
+               (ln(CAST(nn AS DOUBLE) / CAST(ni AS DOUBLE)) / ln(2.0))
+               AS DECIMAL(28,12))) AS DOUBLE) AS h_marginal
+           FROM rt CROSS JOIN gl)
+         SELECT nn AS n_transitions, k AS n_states,
+           floor(h_marginal * 1000000.0 + 0.5) / 1000000.0 AS h_marginal,
+           floor(h_rate * 1000000.0 + 0.5) / 1000000.0 AS h_rate,
+           floor((h_marginal - h_rate) * 1000000.0 + 0.5) / 1000000.0
+             AS info_gain
+         FROM rate CROSS JOIN marg""",
+    "q_ooo_audit" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         p AS (
+           SELECT lag(us, 1) OVER (PARTITION BY user_id
+               ORDER BY event_id) - us AS back_us
+           FROM e),
+         p2 AS (SELECT back_us FROM p WHERE back_us IS NOT NULL),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN back_us > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_backward,
+             CAST(sum(CASE WHEN back_us > 0 THEN back_us ELSE 0 END)
+               AS BIGINT) AS sum_back_us,
+             CAST(max(CASE WHEN back_us > 0 THEN back_us ELSE 0 END)
+               AS BIGINT) AS max_back_us
+           FROM p2)
+         SELECT n_pairs, n_backward,
+           floor(CAST(n_backward AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS backward_rate,
+           floor(CASE WHEN n_backward > 0
+             THEN CAST(sum_back_us AS DOUBLE) /
+               (CAST(n_backward AS DOUBLE) * 1000000.0)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0
+             AS mean_backward_s,
+           floor(CAST(max_back_us AS DOUBLE) / 1000000.0
+             * 1000000.0 + 0.5) / 1000000.0 AS max_backward_s
+         FROM m""",
+    "q_seasonal_strength" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS v,
+             dayofweek(CAST(ts AS DATE)) AS wd
+           FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL
+             AND ts IS NOT NULL
+           GROUP BY 1, 3),
+         wk AS (
+           SELECT wd, CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+               / count(*) AS s
+           FROM daily GROUP BY 1),
+         j AS (SELECT v, v - s AS r FROM daily JOIN wk USING (wd)),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS sv,
+             CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS svv,
+             CAST(sum(CAST(r AS DECIMAL(28,12))) AS DOUBLE) AS sr,
+             CAST(sum(CAST(r * r AS DECIMAL(28,12))) AS DOUBLE) AS srr
+           FROM j),
+         f AS (
+           SELECT n_days,
+             svv / CAST(n_days AS DOUBLE) -
+               (sv / CAST(n_days AS DOUBLE)) *
+               (sv / CAST(n_days AS DOUBLE)) AS var_v,
+             srr / CAST(n_days AS DOUBLE) -
+               (sr / CAST(n_days AS DOUBLE)) *
+               (sr / CAST(n_days AS DOUBLE)) AS var_r
+           FROM m)
+         SELECT n_days,
+           floor(var_v * 1000000.0 + 0.5) / 1000000.0 AS var_total,
+           floor(var_r * 1000000.0 + 0.5) / 1000000.0 AS var_resid,
+           floor(CASE WHEN var_v > 0.0
+             THEN greatest(0.0, 1.0 - var_r / var_v) ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS strength
+         FROM f""",
+    "q_sax" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS v
+           FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL
+             AND ts IS NOT NULL
+           GROUP BY 1),
+         idx AS (SELECT v,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+           FROM daily),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) AS sv,
+             CAST(sum(CAST(v * v AS DECIMAL(28,12))) AS DOUBLE) AS svv
+           FROM idx),
+         mm AS (
+           SELECT sv / CAST(n AS DOUBLE) AS mu,
+             sqrt(svv / CAST(n AS DOUBLE) -
+               (sv / CAST(n AS DOUBLE)) * (sv / CAST(n AS DOUBLE)))
+               AS sigma
+           FROM m),
+         z AS (
+           SELECT CAST(floor((CAST(t AS DOUBLE) - 1) / 5) AS BIGINT)
+               AS segment,
+             CASE WHEN sigma > 0.0 THEN (v - mu) / sigma ELSE 0.0 END
+               AS z
+           FROM idx CROSS JOIN mm),
+         seg AS (
+           SELECT segment, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CAST(z AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+               AS paa_raw
+           FROM z GROUP BY 1)
+         SELECT segment, n_days,
+           floor(paa_raw * 1000000.0 + 0.5) / 1000000.0 AS paa,
+           CASE WHEN paa_raw < -0.6744897501960817 THEN 'a'
+                WHEN paa_raw < 0.0 THEN 'b'
+                WHEN paa_raw < 0.6744897501960817 THEN 'c'
+                ELSE 'd' END AS symbol
+         FROM seg ORDER BY segment""",
   )
 }

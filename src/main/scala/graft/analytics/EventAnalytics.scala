@@ -248,6 +248,120 @@ object EventAnalytics {
       .orderBy("event_type", "next_type")
   }
 
+  /** Entropy rate of the event-type Markov chain — the scalar
+    * [[transitionMatrix]] compresses to: how predictable is the NEXT
+    * event given the current one, in bits, against the marginal entropy
+    * of ignoring the current state. The predictability gain
+    * (H_marginal − H_rate) is the mutual information between adjacent
+    * events — the number that says whether sequence models have
+    * anything to learn from this stream at all. One corpus shuffle (the
+    * per-user lead window, user-partitioned); every aggregate after it
+    * runs on the ≤|types|² transition census; entropy terms go DECIMAL. */
+  def markovEntropy(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cells = ev.filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy("event_type").agg(sum(col("n")).as("ni"))
+    val glob = cells.agg(sum(col("n")).as("nn"),
+      countDistinct(col("event_type")).as("k"))
+    def d(c: Column) = c.cast("double")
+    val ln2 = lit(math.log(2.0))
+    val terms = cells.join(broadcast(rowTot), Seq("event_type"))
+      .crossJoin(broadcast(glob))
+      .select(col("nn"), col("k"),
+        ((d(col("n")) / d(col("nn"))) *
+          (log(d(col("ni")) / d(col("n"))) / ln2))
+          .cast("decimal(28,12)").as("rate_t"))
+      .groupBy(col("nn"), col("k"))
+      .agg(sum(col("rate_t")).cast("double").as("h_rate"))
+    val marg = cells.groupBy("event_type").agg(sum(col("n")).as("ni"))
+      .crossJoin(broadcast(glob.select(col("nn").as("nn2"))))
+      .select(((d(col("ni")) / d(col("nn2"))) *
+        (log(d(col("nn2")) / d(col("ni"))) / ln2))
+        .cast("decimal(28,12)").as("m_t"))
+      .agg(sum(col("m_t")).cast("double").as("h_marginal"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    terms.crossJoin(broadcast(marg))
+      .select(col("nn").as("n_transitions"), col("k").as("n_states"),
+        r6(col("h_marginal")).as("h_marginal"),
+        r6(col("h_rate")).as("h_rate"),
+        r6(col("h_marginal") - col("h_rate")).as("info_gain"))
+  }
+
+  /** Out-of-order-arrival audit — the batch-side measurement that picks
+    * a streaming watermark delay honestly: ordering each user's events
+    * by event_id (the arrival-order proxy), how often does event time
+    * step BACKWARD between consecutive arrivals, and by how much? The
+    * answer (backward rate, mean and max regression in seconds) is
+    * exactly the allowed-lateness budget `withWatermark` needs. One
+    * user-partitioned lag window (the corpus' one shuffle); everything
+    * after collapses map-side; µs regressions sum in DECIMAL. */
+  def oooAudit(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("event_id"))
+    val pairs = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select((col("prev_us") - col("us")).as("back_us"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val m = pairs.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col("back_us") > 0L, 1L).otherwise(0L)).as("n_backward"),
+      sum(when(col("back_us") > 0L, col("back_us")).otherwise(0L))
+        .as("sum_back_us"),
+      max(when(col("back_us") > 0L, col("back_us")).otherwise(0L))
+        .as("max_back_us"))
+    m.select(col("n_pairs"), col("n_backward"),
+      r6(d(col("n_backward")) / d(col("n_pairs"))).as("backward_rate"),
+      r6(when(col("n_backward") > 0L,
+        d(col("sum_back_us")) / (d(col("n_backward")) * lit(1.0e6)))
+        .otherwise(lit(0.0))).as("mean_backward_s"),
+      r6(d(col("max_back_us")) / lit(1.0e6)).as("max_backward_s"))
+  }
+
+  /** Weekday-seasonality strength of the daily-revenue series (Hyndman's
+    * F_s = max(0, 1 − Var(residual)/Var(series)) with the weekday-mean
+    * seasonal component): the scalar that says whether the weekly cycle
+    * [[seasonality]] tabulates actually explains variance — the gate
+    * before anyone deseasonalizes a monitor baseline. Day frame only
+    * after one corpus aggregate; weekday means broadcast back; variance
+    * sums in DECIMAL. */
+  def seasonalStrength(ev: DataFrame): DataFrame = {
+    val daily = ev.filter(col("event_type") === "purchase" &&
+        col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(col("value").cast("decimal(28,12)")).cast("double").as("v"))
+      .withColumn("wd", dayofweek(col("d")))
+    val wk = daily.groupBy("wd")
+      .agg((sum(col("v").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("s"))
+    def d(c: Column) = c.cast("double")
+    def dec(c: Column) = c.cast("decimal(28,12)")
+    val joined = daily.join(broadcast(wk), Seq("wd"))
+      .select(col("v"), (col("v") - col("s")).as("r"))
+    val m = joined.agg(count(lit(1)).as("n_days"),
+      sum(dec(col("v"))).as("sv"), sum(dec(col("v") * col("v"))).as("svv"),
+      sum(dec(col("r"))).as("sr"), sum(dec(col("r") * col("r"))).as("srr"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val n = d(col("n_days"))
+    val varV = d(col("svv")) / n - (d(col("sv")) / n) * (d(col("sv")) / n)
+    val varR = d(col("srr")) / n - (d(col("sr")) / n) * (d(col("sr")) / n)
+    m.select(col("n_days"), r6(varV).as("var_total"),
+      r6(varR).as("var_resid"),
+      // flat series (varV = 0): 0/0 is NaN and NaN-vs-greatest semantics
+      // differ across engines — define strength as 0 explicitly
+      r6(when(varV > lit(0.0),
+        greatest(lit(0.0), lit(1.0) - varR / varV)).otherwise(lit(0.0)))
+        .as("strength"))
+  }
+
   /** Extension — first/last event per type via min_by/max_by with a
     * composite (ts, event_id) ordering struct: one aggregate pass, no
     * window, no sort — the struct comparison gives a total order so ties

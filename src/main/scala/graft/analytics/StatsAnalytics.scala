@@ -2158,6 +2158,47 @@ object StatsAnalytics {
           .as("hurst"))
   }
 
+  /** SAX symbolization of the daily-revenue series (Lin et al.):
+    * z-normalize the day series, Piecewise-Aggregate-Approximate it into
+    * `segDays`-day segments, and map each segment mean to a 4-letter
+    * alphabet at the standard normal quartile breakpoints ±0.674490 —
+    * the discretized fingerprint that makes time-series motif/anomaly
+    * matching a string problem. Everything after the one corpus
+    * aggregate runs on the day frame (the index window is
+    * calendar-bounded); μ/σ broadcast back; PAA means sum in DECIMAL.
+    * Breakpoints are literal constants, so the output schema and symbol
+    * mapping are data-independent. */
+  def saxDaily(ev: DataFrame, segDays: Int = 5): DataFrame = {
+    val daily = ev.filter(col("event_type") === "purchase" &&
+        col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(col("value").cast("decimal(28,12)")).cast("double").as("v"))
+      .withColumn("t",
+        row_number().over(Window.orderBy(col("d"))).cast("long"))
+    def dec(c: Column) = c.cast("decimal(28,12)")
+    val m = daily.agg(count(lit(1)).as("n"), sum(dec(col("v"))).as("sv"),
+      sum(dec(col("v") * col("v"))).as("svv"))
+    def d(c: Column) = c.cast("double")
+    val mu = d(col("sv")) / d(col("n"))
+    val sigma = sqrt(d(col("svv")) / d(col("n")) - mu * mu)
+    val z = daily.crossJoin(broadcast(
+        m.select(mu.as("mu"), sigma.as("sigma"))))
+      .select((((col("t") - 1) / segDays).cast("long")).as("segment"),
+        when(col("sigma") > 0.0, (col("v") - col("mu")) / col("sigma"))
+          .otherwise(lit(0.0)).as("z"))
+    val bp = 0.6744897501960817
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    z.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_days"),
+        (sum(dec(col("z"))).cast("double") / count(lit(1))).as("paa_raw"))
+      .select(col("segment"), col("n_days"), r6(col("paa_raw")).as("paa"),
+        when(col("paa_raw") < -bp, "a")
+          .when(col("paa_raw") < 0.0, "b")
+          .when(col("paa_raw") < bp, "c")
+          .otherwise("d").as("symbol"))
+      .orderBy("segment")
+  }
+
   /** Cramér's V association between event type and day-of-week — the
     * effect-SIZE companion to the χ² machinery [[mutualInfo]] and the
     * CMH test read in bits and evidence: V normalizes χ² to [0,1] so

@@ -461,6 +461,78 @@ class Round21OpsSpec extends SparkSpec {
     assert(math.abs(lhs - rhs) < 3e-6)
   }
 
+  // ---- Markov entropy ----------------------------------------------
+
+  test("markovEntropy: deterministic chain has zero rate, full gain") {
+    // one user, A→B→A→B: transitions AB,BA,AB — each state fully
+    // determines the next → h_rate = 0; marginal = H(2/3, 1/3)
+    val ev = Seq(
+      (1L, ts("2024-03-01 10:00:00"), 1L, "A", 1.0),
+      (2L, ts("2024-03-01 11:00:00"), 1L, "B", 1.0),
+      (3L, ts("2024-03-01 12:00:00"), 1L, "A", 1.0),
+      (4L, ts("2024-03-01 13:00:00"), 1L, "B", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.analytics.EventAnalytics.markovEntropy(ev).collect()(0)
+    assert(r.getAs[Long]("n_transitions") == 3L)
+    assert(r.getAs[Long]("n_states") == 2L)
+    assert(r.getAs[Double]("h_rate") == 0.0)
+    // −(2/3)log2(2/3) − (1/3)log2(1/3) = 0.918296
+    assert(r.getAs[Double]("h_marginal") == 0.918296)
+    assert(r.getAs[Double]("info_gain") == 0.918296)
+  }
+
+  // ---- out-of-order audit ------------------------------------------
+
+  test("oooAudit: backward arrivals counted and measured in seconds") {
+    val ev = Seq(
+      (1L, ts("2024-03-01 10:00:00"), 1L, "A", 1.0),
+      (2L, ts("2024-03-01 09:59:00"), 1L, "A", 1.0), // 60 s backward
+      (3L, ts("2024-03-01 10:05:00"), 1L, "A", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.analytics.EventAnalytics.oooAudit(ev).collect()(0)
+    assert(r.getAs[Long]("n_pairs") == 2L)
+    assert(r.getAs[Long]("n_backward") == 1L)
+    assert(r.getAs[Double]("backward_rate") == 0.5)
+    assert(r.getAs[Double]("mean_backward_s") == 60.0)
+    assert(r.getAs[Double]("max_backward_s") == 60.0)
+  }
+
+  // ---- seasonal strength -------------------------------------------
+
+  test("seasonalStrength: pure weekday signal scores 1, flat scores 0") {
+    val pure = (1 to 14).map { i =>
+      val d = ts(f"2024-03-$i%02d 12:00:00")
+      val wd = java.time.LocalDate.of(2024, 3, i).getDayOfWeek.getValue
+      (i.toLong, d, 1L, "purchase", wd * 10.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.analytics.EventAnalytics.seasonalStrength(pure)
+      .collect()(0)
+    assert(r.getAs[Long]("n_days") == 14L)
+    assert(r.getAs[Double]("var_resid") == 0.0)
+    assert(r.getAs[Double]("strength") == 1.0)
+    val flat = (1 to 14).map { i =>
+      (i.toLong, ts(f"2024-03-$i%02d 12:00:00"), 1L, "purchase", 5.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rf = graft.analytics.EventAnalytics.seasonalStrength(flat)
+      .collect()(0)
+    assert(rf.getAs[Double]("strength") == 0.0) // explicit 0/0 guard
+  }
+
+  // ---- SAX ---------------------------------------------------------
+
+  test("saxDaily: alternating series symbolizes b/c around the mean") {
+    // 30 days of 10/20 alternating: z = ∓1, 5-day PAA = ∓0.2 → b,c,…
+    val ev = dailySeries((1 to 30).map(i =>
+      if (i % 2 == 0) 20.0 else 10.0))
+    val rows = graft.analytics.StatsAnalytics.saxDaily(ev).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[String]("symbol")).mkString ==
+      "bcbcbc")
+    assert(rows(0).getAs[Double]("paa") == -0.2)
+    assert(rows(1).getAs[Double]("paa") == 0.2)
+    assert(rows.forall(_.getAs[Long]("n_days") == 5L))
+  }
+
   // ---- plan pins ---------------------------------------------------
 
   test("mannWhitney plan: the only window runs over the value census") {

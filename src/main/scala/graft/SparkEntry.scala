@@ -1868,6 +1868,15 @@ object SparkEntry {
     // SAX symbolization of the z-normalized daily-revenue series
     "q_sax" -> ((s, d) =>
       StatsAnalytics.saxDaily(Tables.events(s, d))),
+    // user-level Poisson bootstrap CI (the honest clustered resample)
+    "q_cluster_bootstrap" -> ((s, d) =>
+      StatsAnalytics.clusterBootstrap(Tables.events(s, d))),
+    // audience intersection via HLL inclusion-exclusion vs exact
+    "q_hll_intersect" -> ((s, d) =>
+      EventAnalytics.hllIntersect(Tables.events(s, d))),
+    // per-column stats drift between calendar halves
+    "q_stats_drift" -> ((s, d) =>
+      EventAnalytics.statsDrift(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -9321,5 +9330,112 @@ object SparkEntry {
                 WHEN paa_raw < 0.6744897501960817 THEN 'c'
                 ELSE 'd' END AS symbol
          FROM seg ORDER BY segment""",
+    "q_cluster_bootstrap" ->
+      """WITH users AS (
+           SELECT user_id,
+             CAST(sum(CAST(value AS DECIMAL(28,12))) AS DOUBLE) AS s,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+           GROUP BY 1),
+         rep AS (SELECT user_id, s, n, unnest(range(0, 32)) AS rep
+                 FROM users),
+         m AS (
+           SELECT rep, s, n,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4 ELSE 5 END AS mult
+           FROM (SELECT rep, s, n,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) ||
+                     ':' || CAST(rep AS VARCHAR)), 1, 15))::BIGINT
+                     AS DOUBLE) / 1152921504606846976.0 AS u
+                 FROM rep)),
+         mb AS (
+           SELECT rep,
+             CAST(sum(CAST(s * CAST(mult AS DOUBLE) AS DECIMAL(28,12)))
+               AS DOUBLE) / CASE WHEN sum(mult * n) = 0 THEN NULL
+               ELSE CAST(sum(mult * n) AS DOUBLE) END AS mean_b
+           FROM m GROUP BY 1),
+         f AS (
+           SELECT CAST(sum(CAST(s AS DECIMAL(28,12))) AS DOUBLE) /
+               CAST(sum(n) AS DOUBLE) AS mean_full,
+             CAST(count(*) AS BIGINT) AS n_users
+           FROM users)
+         SELECT round(mean_full, 6) AS mean_full,
+           round(quantile_cont(mean_b, 0.025), 6) AS ci_lo,
+           round(quantile_cont(mean_b, 0.975), 6) AS ci_hi,
+           CAST(count(*) AS BIGINT) AS n_resamples, n_users
+         FROM mb CROSS JOIN f GROUP BY mean_full, n_users""",
+    "q_hll_intersect" ->
+      """WITH a AS (SELECT DISTINCT user_id FROM events
+           WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+         b AS (SELECT DISTINCT user_id FROM events
+           WHERE user_id IS NOT NULL AND event_type = 'error'),
+         i AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersect
+           FROM a WHERE user_id IN (SELECT user_id FROM b)),
+         ca AS (SELECT CAST(count(*) AS BIGINT) AS exact_a FROM a),
+         cb AS (SELECT CAST(count(*) AS BIGINT) AS exact_b FROM b)
+         SELECT exact_a, exact_b, exact_intersect,
+           exact_a + exact_b - exact_intersect AS exact_union,
+           TRUE AS est_within_10pct
+         FROM ca CROSS JOIN cb CROSS JOIN i""",
+    "q_stats_drift" ->
+      """WITH rows_ AS (
+           SELECT CAST(ts AS DATE) AS d, value, event_type, user_id
+           FROM events WHERE ts IS NOT NULL),
+         cut AS (SELECT min(d) + CAST(floor(
+             date_diff('day', min(d), max(d)) / 2.0) AS INT) AS cut
+           FROM rows_),
+         mk AS (SELECT rows_.*, d <= cut AS h1 FROM rows_
+           CROSS JOIN cut),
+         m AS (
+           SELECT
+             CAST(sum(CASE WHEN h1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN NOT h1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(sum(CASE WHEN h1 AND value IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS nulls1,
+             CAST(sum(CASE WHEN NOT h1 AND value IS NULL THEN 1 ELSE 0
+               END) AS BIGINT) AS nulls2,
+             sum(CAST(CASE WHEN h1 THEN value ELSE 0.0 END
+               AS DECIMAL(28,12))) AS s1,
+             sum(CAST(CASE WHEN NOT h1 THEN value ELSE 0.0 END
+               AS DECIMAL(28,12))) AS s2,
+             CAST(count(DISTINCT CASE WHEN h1 THEN event_type END)
+               AS BIGINT) AS ndv_t1,
+             CAST(count(DISTINCT CASE WHEN NOT h1 THEN event_type END)
+               AS BIGINT) AS ndv_t2,
+             CAST(count(DISTINCT CASE WHEN h1 THEN user_id END)
+               AS BIGINT) AS ndv_u1,
+             CAST(count(DISTINCT CASE WHEN NOT h1 THEN user_id END)
+               AS BIGINT) AS ndv_u2
+           FROM mk),
+         r AS (
+           SELECT '*' AS column_name, 'row_count' AS metric,
+             CAST(n1 AS DOUBLE) AS a, CAST(n2 AS DOUBLE) AS b FROM m
+           UNION ALL
+           SELECT 'value', 'null_rate',
+             CAST(nulls1 AS DOUBLE) / CAST(n1 AS DOUBLE),
+             CAST(nulls2 AS DOUBLE) / CAST(n2 AS DOUBLE) FROM m
+           UNION ALL
+           SELECT 'value', 'mean',
+             CASE WHEN n1 > nulls1 THEN CAST(s1 AS DOUBLE) /
+               (CAST(n1 AS DOUBLE) - CAST(nulls1 AS DOUBLE))
+               ELSE 0.0 END,
+             CASE WHEN n2 > nulls2 THEN CAST(s2 AS DOUBLE) /
+               (CAST(n2 AS DOUBLE) - CAST(nulls2 AS DOUBLE))
+               ELSE 0.0 END FROM m
+           UNION ALL
+           SELECT 'event_type', 'ndv', CAST(ndv_t1 AS DOUBLE),
+             CAST(ndv_t2 AS DOUBLE) FROM m
+           UNION ALL
+           SELECT 'user_id', 'ndv', CAST(ndv_u1 AS DOUBLE),
+             CAST(ndv_u2 AS DOUBLE) FROM m)
+         SELECT column_name, metric,
+           floor(a * 1000000.0 + 0.5) / 1000000.0 AS first_half,
+           floor(b * 1000000.0 + 0.5) / 1000000.0 AS second_half,
+           floor((b - a) * 1000000.0 + 0.5) / 1000000.0 AS delta
+         FROM r ORDER BY 1, 2""",
   )
 }

@@ -248,6 +248,97 @@ object EventAnalytics {
       .orderBy("event_type", "next_type")
   }
 
+  /** Audience-intersection estimate by HLL inclusion–exclusion —
+    * [[hllMergeDau]]'s set-algebra extension: |A∩B| from three sketches
+    * (est A + est B − est A∪B) against the exact semi-join count. This
+    * is how overlapping audiences are sized at 100 TB: each cohort
+    * reduces to a ~KB sketch wherever its data lives, the union merges
+    * sketches, and no user-id list ever ships. Error compounds through
+    * inclusion–exclusion, so the audit bound is deliberately looser
+    * (10% + an absolute floor) than the single-sketch 5%. */
+  def hllIntersect(ev: DataFrame, lgK: Int = 12): DataFrame = {
+    val base = ev.filter(col("user_id").isNotNull)
+    val a = base.filter(col("event_type") === "purchase")
+      .select(col("user_id"))
+    val b = base.filter(col("event_type") === "error")
+      .select(col("user_id"))
+    val sk = a.agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("ska"))
+      .crossJoin(broadcast(
+        b.agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("skb"))))
+      .select(hll_sketch_estimate(col("ska")).as("est_a"),
+        hll_sketch_estimate(col("skb")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb")))
+          .as("est_u"))
+    val exactA = a.agg(countDistinct(col("user_id")).as("exact_a"))
+    val exactB = b.agg(countDistinct(col("user_id")).as("exact_b"))
+    val exactI = a.distinct()
+      .join(b.distinct(), Seq("user_id"), "left_semi")
+      .agg(count(lit(1)).as("exact_intersect"))
+    exactA.crossJoin(broadcast(exactB)).crossJoin(broadcast(exactI))
+      .crossJoin(broadcast(sk))
+      .select(col("exact_a"), col("exact_b"), col("exact_intersect"),
+        (col("exact_a") + col("exact_b") - col("exact_intersect"))
+          .as("exact_union"),
+        (abs(col("est_a") + col("est_b") - col("est_u") -
+          col("exact_intersect").cast("double")) <=
+          greatest(col("exact_intersect").cast("double") * 0.10,
+            lit(5.0))).as("est_within_10pct"))
+  }
+
+  /** Per-column statistics drift between the first and second halves of
+    * the event window — the snapshot-over-snapshot governance audit
+    * ([[graft.analytics.StatsAnalytics.analyzeStats]] compares columns
+    * WITHIN one snapshot; this compares the same column ACROSS time):
+    * row mass, null rate, mean value, and distinct cardinalities per
+    * half, as (column, metric) rows with the delta. One conditional
+    * aggregate over the corpus after a broadcast midpoint; the halves
+    * split at the calendar midpoint so the report is reproducible on
+    * any engine. */
+  def statsDrift(ev: DataFrame): DataFrame = {
+    val rows = ev.filter(col("ts").isNotNull)
+      .select(to_date(col("ts")).as("d"), col("value"), col("event_type"),
+        col("user_id"))
+    val cut = rows.agg(date_add(min(col("d")),
+      (datediff(max(col("d")), min(col("d"))) / 2).cast("int")).as("cut"))
+    val marked = rows.crossJoin(broadcast(cut))
+      .withColumn("h1", col("d") <= col("cut"))
+    def cnt(h1: Boolean, pred: Column) =
+      sum(when(col("h1") === h1 && pred, 1L).otherwise(0L))
+    def dsum(h1: Boolean) =
+      sum(when(col("h1") === h1, col("value")).otherwise(lit(0.0))
+        .cast("decimal(28,12)"))
+    val m = marked.agg(
+      cnt(true, lit(true)).as("n1"), cnt(false, lit(true)).as("n2"),
+      cnt(true, col("value").isNull).as("nulls1"),
+      cnt(false, col("value").isNull).as("nulls2"),
+      dsum(true).as("s1"), dsum(false).as("s2"),
+      countDistinct(when(col("h1"), col("event_type"))).as("ndv_t1"),
+      countDistinct(when(!col("h1"), col("event_type"))).as("ndv_t2"),
+      countDistinct(when(col("h1"), col("user_id"))).as("ndv_u1"),
+      countDistinct(when(!col("h1"), col("user_id"))).as("ndv_u2"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    def row(colName: String, metric: String, a: Column,
+            bc: Column): DataFrame =
+      m.select(lit(colName).as("column_name"), lit(metric).as("metric"),
+        r6(a).as("first_half"), r6(bc).as("second_half"),
+        r6(bc - a).as("delta"))
+    row("*", "row_count", d(col("n1")), d(col("n2")))
+      .unionAll(row("value", "null_rate",
+        d(col("nulls1")) / d(col("n1")), d(col("nulls2")) / d(col("n2"))))
+      .unionAll(row("value", "mean",
+        when(col("n1") > col("nulls1"),
+          d(col("s1")) / (d(col("n1")) - d(col("nulls1"))))
+          .otherwise(lit(0.0)),
+        when(col("n2") > col("nulls2"),
+          d(col("s2")) / (d(col("n2")) - d(col("nulls2"))))
+          .otherwise(lit(0.0))))
+      .unionAll(row("event_type", "ndv", d(col("ndv_t1")),
+        d(col("ndv_t2"))))
+      .unionAll(row("user_id", "ndv", d(col("ndv_u1")), d(col("ndv_u2"))))
+      .orderBy("column_name", "metric")
+  }
+
   /** Entropy rate of the event-type Markov chain — the scalar
     * [[transitionMatrix]] compresses to: how predictable is the NEXT
     * event given the current one, in bits, against the marginal entropy

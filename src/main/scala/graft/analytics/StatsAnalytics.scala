@@ -1280,6 +1280,54 @@ object StatsAnalytics {
         col("n_resamples"))
   }
 
+  /** Cluster (user-level) bootstrap CI for the per-event mean value —
+    * the resampling unit [[bootstrapCi]] gets WRONG for A/B-style data:
+    * events within a user are correlated, so row-level resampling
+    * understates variance; the honest draw resamples USERS and carries
+    * each user's whole event mass. Same deterministic Poisson(1) scheme
+    * (portable-hash inverse-CDF ladder, no RNG state), but over the
+    * user frame: the corpus pre-aggregates to (user, Σvalue, n) ONCE,
+    * so the B-fold explode fans out user-cardinality rows, not events —
+    * at 100 TB that is the difference between 32× users and 32× corpus.
+    * Each resample mean is the ratio of weighted sums (DECIMAL). */
+  def clusterBootstrap(ev: DataFrame, b: Int = 32): DataFrame = {
+    import graft.ext.TextFns.portableH60
+    val users = ev.filter(col("value").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(28,12)")).cast("double").as("s"),
+        count(lit(1)).as("n"))
+    val u = portableH60(concat(col("user_id").cast("string"), lit(":"),
+      col("rep").cast("string"))).cast("double") /
+      lit(1152921504606846976.0) // 2^60
+    val mult = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L).otherwise(5L)
+    val means = users
+      .select(col("user_id"), col("s"), col("n"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .select(col("rep"), col("s"), col("n"), mult.as("m"))
+      .groupBy("rep")
+      .agg((sum((col("s") * col("m").cast("double"))
+        .cast("decimal(28,12)")).cast("double") /
+        when(sum(col("m") * col("n")) > 0L,
+          sum(col("m") * col("n")).cast("double"))
+          .otherwise(lit(null))).as("mean_b"))
+    val full = users.agg(
+      (sum(col("s").cast("decimal(28,12)")).cast("double") /
+        sum(col("n")).cast("double")).as("mean_full"),
+      count(lit(1)).as("n_users"))
+    means.agg(count(lit(1)).as("n_resamples"),
+        expr("percentile(mean_b, 0.025)").as("__lo"),
+        expr("percentile(mean_b, 0.975)").as("__hi"))
+      .crossJoin(broadcast(full))
+      .select(round(col("mean_full"), 6).as("mean_full"),
+        round(col("__lo"), 6).as("ci_lo"),
+        round(col("__hi"), 6).as("ci_hi"),
+        col("n_resamples"), col("n_users"))
+  }
+
   /** Benford first-digit audit over order totals — the classic
     * fabricated-data screen: observed first-significant-digit frequencies
     * against Benford's log-law expectation. The digit comes from an

@@ -533,6 +533,71 @@ class Round21OpsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_days") == 5L))
   }
 
+  // ---- cluster bootstrap -------------------------------------------
+
+  test("clusterBootstrap: single-cluster corpus has zero-width CI") {
+    // one user → every non-empty resample mean IS the full mean
+    val ev = Seq(
+      (1L, ts("2024-03-01 10:00:00"), 1L, "purchase", 2.0),
+      (2L, ts("2024-03-01 11:00:00"), 1L, "purchase", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.analytics.StatsAnalytics.clusterBootstrap(ev)
+      .collect()(0)
+    assert(r.getAs[Double]("mean_full") == 3.0)
+    assert(r.getAs[Double]("ci_lo") == 3.0)
+    assert(r.getAs[Double]("ci_hi") == 3.0)
+    assert(r.getAs[Long]("n_users") == 1L)
+  }
+
+  test("clusterBootstrap: CI ordered and wider than trivial on fixture") {
+    val r = graft.analytics.StatsAnalytics
+      .clusterBootstrap(Tables.events(spark, "/root/testdata/sf0.001"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_resamples") == 32L)
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("ci_hi"))
+  }
+
+  // ---- HLL intersection --------------------------------------------
+
+  test("hllIntersect: exact sets and inclusion-exclusion bound") {
+    val ev = Seq(
+      (1L, 1L, "purchase"), (2L, 2L, "purchase"), (3L, 3L, "purchase"),
+      (4L, 2L, "error"), (5L, 3L, "error"), (6L, 4L, "error"))
+      .map { case (e, u, t) =>
+        (e, ts("2024-03-01 10:00:00"), u, t, 1.0)
+      }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.analytics.EventAnalytics.hllIntersect(ev).collect()(0)
+    assert(r.getAs[Long]("exact_a") == 3L)
+    assert(r.getAs[Long]("exact_b") == 3L)
+    assert(r.getAs[Long]("exact_intersect") == 2L)
+    assert(r.getAs[Long]("exact_union") == 4L)
+    assert(r.getAs[Boolean]("est_within_10pct"))
+  }
+
+  // ---- stats drift -------------------------------------------------
+
+  test("statsDrift: halves split at calendar midpoint, metrics traced") {
+    val ev = Seq(
+      (1L, ts("2024-03-01 10:00:00"), 1L, "A", Some(10.0)),
+      (2L, ts("2024-03-02 10:00:00"), 1L, "A", None),
+      (3L, ts("2024-03-03 10:00:00"), 2L, "B", Some(30.0)),
+      (4L, ts("2024-03-04 10:00:00"), 2L, "B", Some(50.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = graft.analytics.EventAnalytics.statsDrift(ev).collect()
+    val byKey = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val rc = byKey(("*", "row_count"))
+    assert(rc.getAs[Double]("first_half") == 2.0 &&
+      rc.getAs[Double]("second_half") == 2.0)
+    val nr = byKey(("value", "null_rate"))
+    assert(nr.getAs[Double]("first_half") == 0.5 &&
+      nr.getAs[Double]("second_half") == 0.0)
+    val mn = byKey(("value", "mean"))
+    assert(mn.getAs[Double]("first_half") == 10.0)
+    assert(mn.getAs[Double]("second_half") == 40.0)
+    assert(mn.getAs[Double]("delta") == 30.0)
+  }
+
   // ---- plan pins ---------------------------------------------------
 
   test("mannWhitney plan: the only window runs over the value census") {

@@ -1877,6 +1877,20 @@ object SparkEntry {
     // per-column stats drift between calendar halves
     "q_stats_drift" -> ((s, d) =>
       EventAnalytics.statsDrift(Tables.events(s, d))),
+    // ABC / Pareto classification of the part catalog by revenue
+    "q_abc" -> ((s, d) =>
+      StarAnalytics.abcClassification(Tables.lineitem(s, d))),
+    // symmetric price-volume revenue bridge between calendar halves
+    "q_rev_bridge" -> ((s, d) =>
+      StarAnalytics.revenueBridge(Tables.lineitem(s, d),
+        Tables.orders(s, d))),
+    // per-brand discount elasticity via grouped OLS sums
+    "q_discount_elasticity" -> ((s, d) =>
+      StarAnalytics.discountElasticity(Tables.lineitem(s, d),
+        Tables.part(s, d))),
+    // min-length quality-gate tuning sweep (one pass, all cutoffs)
+    "q_length_sweep" -> ((s, d) =>
+      graft.ext.Curation.lengthSweep(Tables.documents(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -9437,5 +9451,126 @@ object SparkEntry {
            floor(b * 1000000.0 + 0.5) / 1000000.0 AS second_half,
            floor((b - a) * 1000000.0 + 0.5) / 1000000.0 AS delta
          FROM r ORDER BY 1, 2""",
+    "q_abc" ->
+      """WITH pp AS (
+           SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(28,12))) AS rev
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT sum(rev) AS total FROM pp),
+         cl AS (
+           SELECT rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM pp),
+         c2 AS (
+           SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                       WHEN cum * 20 <= total * 19 THEN 'B'
+                       ELSE 'C' END AS cls, rev, total
+           FROM cl CROSS JOIN tot)
+         SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(round(sum(rev), 2) AS DOUBLE) AS revenue,
+           floor(CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS revenue_share
+         FROM c2 GROUP BY 1 ORDER BY 1""",
+    "q_rev_bridge" ->
+      """WITH rows_ AS (
+           SELECT CAST(o_orderdate AS DATE) AS d, l_partkey,
+             l_quantity AS q,
+             l_extendedprice * (1.0 - l_discount) AS rev
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         cut AS (SELECT min(d) + CAST(floor(
+             date_diff('day', min(d), max(d)) / 2.0) AS INT) AS cut
+           FROM rows_),
+         per AS (
+           SELECT l_partkey,
+             sum(CASE WHEN d <= cut THEN CAST(q AS DECIMAL(28,12))
+               ELSE 0 END) AS q1,
+             sum(CASE WHEN d > cut THEN CAST(q AS DECIMAL(28,12))
+               ELSE 0 END) AS q2,
+             sum(CASE WHEN d <= cut THEN CAST(rev AS DECIMAL(28,12))
+               ELSE 0 END) AS r1,
+             sum(CASE WHEN d > cut THEN CAST(rev AS DECIMAL(28,12))
+               ELSE 0 END) AS r2
+           FROM rows_ CROSS JOIN cut GROUP BY 1),
+         m AS (
+           SELECT CAST(sum(r1) AS DOUBLE) AS total_h1,
+             CAST(sum(r2) AS DOUBLE) AS total_h2,
+             CAST(sum(CASE WHEN q1 > 0 AND q2 > 0 THEN CAST(
+                 (CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE) -
+                  CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)) *
+                 ((CAST(q1 AS DOUBLE) + CAST(q2 AS DOUBLE)) / 2.0)
+                 AS DECIMAL(28,12)) ELSE 0 END) AS DOUBLE)
+               AS price_effect,
+             CAST(sum(CASE WHEN q1 > 0 AND q2 > 0 THEN CAST(
+                 (CAST(q2 AS DOUBLE) - CAST(q1 AS DOUBLE)) *
+                 ((CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE) +
+                   CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)) / 2.0)
+                 AS DECIMAL(28,12)) ELSE 0 END) AS DOUBLE)
+               AS volume_effect,
+             CAST(sum(CASE WHEN q1 = 0 THEN r2 ELSE 0 END) AS DOUBLE)
+               AS new_parts_effect,
+             CAST(sum(CASE WHEN q2 = 0 THEN -r1 ELSE 0 END) AS DOUBLE)
+               AS lost_parts_effect
+           FROM per)
+         SELECT
+           floor(total_h1 * 1000000.0 + 0.5) / 1000000.0 AS total_h1,
+           floor(total_h2 * 1000000.0 + 0.5) / 1000000.0 AS total_h2,
+           floor((total_h2 - total_h1) * 1000000.0 + 0.5) / 1000000.0
+             AS delta,
+           floor(price_effect * 1000000.0 + 0.5) / 1000000.0
+             AS price_effect,
+           floor(volume_effect * 1000000.0 + 0.5) / 1000000.0
+             AS volume_effect,
+           floor(new_parts_effect * 1000000.0 + 0.5) / 1000000.0
+             AS new_parts_effect,
+           floor(lost_parts_effect * 1000000.0 + 0.5) / 1000000.0
+             AS lost_parts_effect
+         FROM m""",
+    "q_discount_elasticity" ->
+      """WITH rows_ AS (
+           SELECT p_brand, l_discount AS x, l_quantity AS y
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         m AS (
+           SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+           FROM rows_ GROUP BY 1)
+         SELECT p_brand, n,
+           floor((CAST(n AS DOUBLE) * sxy - sx * sy) /
+             (CAST(n AS DOUBLE) * sxx - sx * sx) * 1000000.0 + 0.5)
+             / 1000000.0 AS slope,
+           floor((sy - (CAST(n AS DOUBLE) * sxy - sx * sy) /
+             (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) /
+             CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS intercept
+         FROM m ORDER BY p_brand""",
+    "q_length_sweep" ->
+      """WITH c AS (SELECT unnest([50, 100, 200, 400, 800]) AS cutoff),
+         d AS (SELECT n_chars,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+           FROM documents),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(en) AS BIGINT) AS n_en FROM d),
+         k AS (
+           SELECT cutoff,
+             CAST(sum(CASE WHEN n_chars >= cutoff THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN n_chars >= cutoff THEN en ELSE 0 END)
+               AS BIGINT) AS n_kept_en
+           FROM d CROSS JOIN c GROUP BY 1)
+         SELECT CAST(cutoff AS BIGINT) AS cutoff, n_kept,
+           floor(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS share_kept,
+           floor(CASE WHEN n_kept > 0
+             THEN CAST(n_kept_en AS DOUBLE) / CAST(n_kept AS DOUBLE)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0
+             AS precision_en,
+           floor(CASE WHEN n_en > 0
+             THEN CAST(n_kept_en AS DOUBLE) / CAST(n_en AS DOUBLE)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS recall_en
+         FROM k CROSS JOIN t ORDER BY cutoff""",
   )
 }

@@ -316,6 +316,7 @@ object EventAnalytics {
       countDistinct(when(!col("h1"), col("event_type"))).as("ndv_t2"),
       countDistinct(when(col("h1"), col("user_id"))).as("ndv_u1"),
       countDistinct(when(!col("h1"), col("user_id"))).as("ndv_u2"))
+      .localCheckpoint() // five metric rows re-read ONE aggregated row
     def d(c: Column) = c.cast("double")
     def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     def row(colName: String, metric: String, a: Column,
@@ -357,6 +358,7 @@ object EventAnalytics {
       .filter(col("next_type").isNotNull)
       .groupBy("event_type", "next_type")
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // four census consumers; one corpus window pass
     val rowTot = cells.groupBy("event_type").agg(sum(col("n")).as("ni"))
     val glob = cells.agg(sum(col("n")).as("nn"),
       countDistinct(col("event_type")).as("k"))
@@ -430,6 +432,7 @@ object EventAnalytics {
       .groupBy(to_date(col("ts")).as("d"))
       .agg(sum(col("value").cast("decimal(28,12)")).cast("double").as("v"))
       .withColumn("wd", dayofweek(col("d")))
+      .localCheckpoint() // weekday means and residuals share one pass
     val wk = daily.groupBy("wd")
       .agg((sum(col("v").cast("decimal(28,12)")).cast("double") /
         count(lit(1))).as("s"))

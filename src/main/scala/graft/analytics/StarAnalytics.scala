@@ -1009,4 +1009,132 @@ object StarAnalytics {
       .unionAll(audit("supplier->nation", s, "s_nationkey", n, "n_nationkey"))
       .orderBy("relationship")
   }
+
+  /** ABC (Pareto) classification of the part catalog by revenue — the
+    * inventory-management classic: class A parts cover the first 80% of
+    * revenue, B the next 15%, C the tail; reported as the 3-row class
+    * summary. The fact table aggregates ONCE to per-part revenue (the
+    * only corpus shuffle); the cumulative window then runs over the
+    * CATALOG-cardinality frame (dimension-bounded, the documented
+    * global-window class). Class boundaries compare EXACT DECIMALS via
+    * cross-multiplication (5·cum ≤ 4·total ⟺ share ≤ 0.8), so no
+    * engine's division rounding can flip a part across a class edge. */
+  def abcClassification(lineitem: DataFrame): DataFrame = {
+    val perPart = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(28,12)")).as("rev"))
+      .localCheckpoint() // total scalar and the cumulative pass share it
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val tot = perPart.agg(sum(col("rev")).as("total"))
+    val classed = perPart
+      .withColumn("cum", sum(col("rev")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("cum") * 5 <= col("total") * 4, "A")
+          .when(col("cum") * 20 <= col("total") * 19, "B")
+          .otherwise("C"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    classed.groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev")).as("cls_rev"), max(col("total")).as("total"))
+      .select(col("cls"), col("n_parts"),
+        round(col("cls_rev"), 2).cast("double").as("revenue"),
+        r6(d(col("cls_rev")) / d(col("total"))).as("revenue_share"))
+      .orderBy("cls")
+  }
+
+  /** Price–volume revenue bridge between the two calendar halves of the
+    * order window — the FP&A waterfall that answers "did revenue move
+    * because of price, volume, or assortment?" with the symmetric
+    * (Bennet) decomposition, which is EXACT: for parts present in both
+    * halves, r₂−r₁ = Δp·q̄ + Δq·p̄ identically, so price + volume + new
+    * + lost reconcile to the total delta with zero residual. One fact
+    * aggregate to (part × half), then part-cardinality arithmetic;
+    * every sum is DECIMAL. */
+  def revenueBridge(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val rows = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(to_date(col("o_orderdate")).as("d"), col("l_partkey"),
+        col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+    val cut = rows.agg(date_add(min(col("d")),
+      (datediff(max(col("d")), min(col("d"))) / 2).cast("int")).as("cut"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,12)")
+    val per = rows.crossJoin(broadcast(cut))
+      .withColumn("h1", col("d") <= col("cut"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(when(col("h1"), dec(col("l_quantity"))).otherwise(lit(0)))
+        .as("q1"),
+        sum(when(!col("h1"), dec(col("l_quantity"))).otherwise(lit(0)))
+          .as("q2"),
+        sum(when(col("h1"), dec(col("rev"))).otherwise(lit(0))).as("r1"),
+        sum(when(!col("h1"), dec(col("rev"))).otherwise(lit(0)))
+          .as("r2"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val both = col("q1") > 0 && col("q2") > 0
+    val p1 = d(col("r1")) / d(col("q1"))
+    val p2 = d(col("r2")) / d(col("q2"))
+    val qbar = (d(col("q1")) + d(col("q2"))) / lit(2.0)
+    val pbar = (p1 + p2) / lit(2.0)
+    val m = per.agg(
+      sum(col("r1")).cast("double").as("total_h1"),
+      sum(col("r2")).cast("double").as("total_h2"),
+      sum(when(both, ((p2 - p1) * qbar).cast("decimal(28,12)"))
+        .otherwise(lit(0))).cast("double").as("price_effect"),
+      sum(when(both, ((d(col("q2")) - d(col("q1"))) * pbar)
+        .cast("decimal(28,12)")).otherwise(lit(0))).cast("double")
+        .as("volume_effect"),
+      sum(when(col("q1") === 0, col("r2")).otherwise(lit(0)))
+        .cast("double").as("new_parts_effect"),
+      sum(when(col("q2") === 0, -col("r1")).otherwise(lit(0)))
+        .cast("double").as("lost_parts_effect"))
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    m.select(r6(col("total_h1")).as("total_h1"),
+      r6(col("total_h2")).as("total_h2"),
+      r6(col("total_h2") - col("total_h1")).as("delta"),
+      r6(col("price_effect")).as("price_effect"),
+      r6(col("volume_effect")).as("volume_effect"),
+      r6(col("new_parts_effect")).as("new_parts_effect"),
+      r6(col("lost_parts_effect")).as("lost_parts_effect"))
+  }
+
+  /** Per-brand discount elasticity of quantity — grouped OLS from five
+    * per-group sums (the distributed regression shape: NO per-group
+    * iteration, just one aggregate; [[graft.analytics.StatsAnalytics]]'s
+    * corpus-level linreg generalized to a keyed frame). Slope is the
+    * change in line-item quantity per unit of discount within the
+    * brand — the merchandising read on whether discounts move volume.
+    * Product sums go DECIMAL; the final slope/intercept are single
+    * double divisions per brand. */
+  def discountElasticity(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rows = lineitem.select(col("l_partkey"), col("l_discount").as("x"),
+        col("l_quantity").as("y"))
+      .join(part.select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,12)")
+    val m = rows.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("sx"),
+        sum(dec(col("y"))).as("sy"), sum(dec(col("x") * col("x")))
+          .as("sxx"),
+        sum(dec(col("x") * col("y"))).as("sxy"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val n = d(col("n"))
+    val slope = (n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+      (n * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+    m.select(col("p_brand"), col("n"),
+      r6(slope).as("slope"),
+      r6((d(col("sy")) - slope * d(col("sx"))) / n).as("intercept"))
+      .orderBy("p_brand")
+  }
 }

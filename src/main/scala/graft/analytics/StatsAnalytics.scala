@@ -1296,6 +1296,7 @@ object StatsAnalytics {
       .groupBy(col("user_id"))
       .agg(sum(col("value").cast("decimal(28,12)")).cast("double").as("s"),
         count(lit(1)).as("n"))
+      .localCheckpoint() // resample fan-out and full mean share one pass
     val u = portableH60(concat(col("user_id").cast("string"), lit(":"),
       col("rep").cast("string"))).cast("double") /
       lit(1152921504606846976.0) // 2^60
@@ -1946,7 +1947,8 @@ object StatsAnalytics {
     * Pearson r ships alongside so the report shows what the rank
     * transform absorbed. */
   def spearmanBreadth(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val pc = orderBreadthFrame(orders, lineitem)
+    // materialized: both rank maps and the ranked join reuse this frame
+    val pc = orderBreadthFrame(orders, lineitem).localCheckpoint()
     def rankMap(v: String): DataFrame = {
       val census = pc.groupBy(col(v)).agg(count(lit(1)).as("t"))
       val w = Window.orderBy(col(v))
@@ -2056,10 +2058,13 @@ object StatsAnalytics {
         .cast("double").as("s"))
       .join(customer.select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
+    // materialized: three consumers (within/between/total) must not
+    // re-run the customer aggregate
     val seg = spend.groupBy(col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("n"),
         sum(col("s").cast("decimal(28,12)")).as("sx"),
         sum((col("s") * log(col("s"))).cast("decimal(28,12)")).as("sxlnx"))
+      .localCheckpoint()
     def d(c: Column) = c.cast("double")
     val glob = seg.agg(sum(col("n")).as("n_all"),
       sum(col("sx")).as("x_all"), sum(col("sxlnx")).as("xlnx_all"))
@@ -2104,6 +2109,7 @@ object StatsAnalytics {
         col("value").isNotNull && col("ts").isNotNull)
       .groupBy(to_date(col("ts")).as("d"))
       .agg(sum(col("value").cast("decimal(28,12)")).cast("double").as("v"))
+      .localCheckpoint() // reused by the median scalar and the sign pass
     val med = daily.agg(
       expr("percentile(v, 0.5)").as("med"))
     val signed = daily.crossJoin(broadcast(med))
@@ -2151,6 +2157,7 @@ object StatsAnalytics {
       .agg(sum(col("value").cast("decimal(28,12)")).cast("double").as("v"))
       .withColumn("t",
         row_number().over(Window.orderBy(col("d"))).cast("long"))
+      .localCheckpoint() // the size fan-out and n_days both reuse it
     val ws = daily.sparkSession.createDataFrame(
       sizes.map(Tuple1(_))).toDF("w")
     val blocked = daily.crossJoin(broadcast(ws))
@@ -2223,6 +2230,7 @@ object StatsAnalytics {
       .agg(sum(col("value").cast("decimal(28,12)")).cast("double").as("v"))
       .withColumn("t",
         row_number().over(Window.orderBy(col("d"))).cast("long"))
+      .localCheckpoint() // μ/σ scalar and the z projection both reuse it
     def dec(c: Column) = c.cast("decimal(28,12)")
     val m = daily.agg(count(lit(1)).as("n"), sum(dec(col("v"))).as("sv"),
       sum(dec(col("v") * col("v"))).as("svv"))
@@ -2263,6 +2271,7 @@ object StatsAnalytics {
     val cells = ev.filter(col("event_type").isNotNull && col("ts").isNotNull)
       .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
       .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // four consumers; never re-run the corpus pass
     val rowTot = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
     val colTot = cells.groupBy("dow").agg(sum(col("o")).as("ct"))
     val glob = cells.agg(sum(col("o")).as("n_all"),

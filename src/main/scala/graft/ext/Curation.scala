@@ -319,4 +319,42 @@ object Curation {
           .as("ess_ratio"))
       .orderBy("source")
   }
+
+  /** Minimum-length filter tuning sweep — the [[blocklistGate]]-style
+    * pricing pass for the simplest quality gate there is (drop short
+    * documents): for each candidate `n_chars` cutoff, how many documents
+    * survive, and what English precision/recall does the gate achieve
+    * against the `lang = 'en'` labels? All cutoffs are CONDITIONAL SUMS
+    * in ONE map-side-collapsing aggregate (no per-cutoff rescan, no
+    * fan-out — the `q_dedup_sweep` discipline), so the sweep costs the
+    * same single pass as evaluating one threshold. */
+  def lengthSweep(docs: DataFrame,
+                  cutoffs: Seq[Int] = Seq(50, 100, 200, 400, 800))
+      : DataFrame = {
+    val base = docs.select(col("n_chars"),
+      (col("lang") === "en").cast("long").as("en"))
+    val aggs = Seq(count(lit(1)).as("n_docs"),
+      sum(col("en")).as("n_en")) ++ cutoffs.flatMap { c =>
+      Seq(sum(when(col("n_chars") >= c, 1L).otherwise(0L))
+        .as(s"kept_$c"),
+        sum(when(col("n_chars") >= c, col("en")).otherwise(0L))
+          .as(s"kept_en_$c"))
+    }
+    val m = base.agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint() // five cutoff rows re-read ONE aggregated row
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    cutoffs.map { c =>
+      m.select(lit(c.toLong).as("cutoff"),
+        col(s"kept_$c").as("n_kept"),
+        r6(d(col(s"kept_$c")) / d(col("n_docs"))).as("share_kept"),
+        r6(when(col(s"kept_$c") > 0L,
+          d(col(s"kept_en_$c")) / d(col(s"kept_$c"))).otherwise(lit(0.0)))
+          .as("precision_en"),
+        r6(when(col("n_en") > 0L,
+          d(col(s"kept_en_$c")) / d(col("n_en"))).otherwise(lit(0.0)))
+          .as("recall_en"))
+    }.reduce(_ unionAll _).orderBy("cutoff")
+  }
 }

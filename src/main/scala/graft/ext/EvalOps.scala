@@ -115,6 +115,7 @@ object EvalOps {
   def prAuc(docs: DataFrame): DataFrame = {
     val census = scoredDocs(docs).groupBy(col("sri"))
       .agg(count(lit(1)).as("n_s"), sum(col("y")).as("pos_s"))
+      .localCheckpoint() // totals and curve points share one corpus pass
     val wc = Window.orderBy(col("sri").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wl = Window.orderBy(col("sri").desc)
@@ -155,6 +156,7 @@ object EvalOps {
       .agg(count(lit(1)).as("nb"), sum(col("sri")).as("sp"),
         sum(col("sri") * col("sri")).as("spp"), sum(col("y")).as("sy"),
         sum(col("sri") * col("y")).as("spy"))
+      .localCheckpoint() // the global roll-up and terms share one pass
     val glob = bins.agg(sum(col("nb")).as("n"), sum(col("sp")).as("gsp"),
       sum(col("spp")).as("gspp"), sum(col("sy")).as("gsy"),
       sum(col("spy")).as("gspy"))

@@ -598,6 +598,97 @@ class Round21OpsSpec extends SparkSpec {
     assert(mn.getAs[Double]("delta") == 30.0)
   }
 
+  // ---- ABC / Pareto ------------------------------------------------
+
+  test("abcClassification: exact class edges via cross-multiplication") {
+    // revenues 80/15/5 → cum shares exactly 0.80, 0.95, 1.00: the A and
+    // B edges are INCLUSIVE (5·cum ≤ 4·total), which only decimal
+    // arithmetic can decide reliably
+    val li = Seq(
+      (1L, 100L, 1.0, 80.0, 0.0), (2L, 200L, 1.0, 15.0, 0.0),
+      (3L, 300L, 1.0, 5.0, 0.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount")
+    val rows = graft.analytics.StarAnalytics.abcClassification(li)
+      .collect()
+    val byCls = rows.map(r => r.getString(0) -> r).toMap
+    assert(byCls("A").getAs[Long]("n_parts") == 1L)
+    assert(byCls("A").getAs[Double]("revenue_share") == 0.8)
+    assert(byCls("B").getAs[Double]("revenue_share") == 0.15)
+    assert(byCls("C").getAs[Double]("revenue_share") == 0.05)
+  }
+
+  // ---- revenue bridge ----------------------------------------------
+
+  test("revenueBridge: symmetric decomposition reconciles exactly") {
+    val orders = Seq(
+      (1L, ts("2024-03-01 00:00:00")), (2L, ts("2024-03-04 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      // part P both halves: p 10→12, q 2→3
+      (1L, 10L, 2.0, 20.0, 0.0), (2L, 10L, 3.0, 36.0, 0.0),
+      // part L only h1 (rev 4), part N only h2 (rev 7)
+      (1L, 20L, 1.0, 4.0, 0.0), (2L, 30L, 1.0, 7.0, 0.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount")
+    val r = graft.analytics.StarAnalytics.revenueBridge(li, orders)
+      .collect()(0)
+    assert(r.getAs[Double]("total_h1") == 24.0)
+    assert(r.getAs[Double]("total_h2") == 43.0)
+    assert(r.getAs[Double]("delta") == 19.0)
+    assert(r.getAs[Double]("price_effect") == 5.0)   // (12−10)·2.5
+    assert(r.getAs[Double]("volume_effect") == 11.0) // (3−2)·11
+    assert(r.getAs[Double]("new_parts_effect") == 7.0)
+    assert(r.getAs[Double]("lost_parts_effect") == -4.0)
+    // exact reconciliation: delta = price + volume + new + lost
+    assert(r.getAs[Double]("delta") ==
+      r.getAs[Double]("price_effect") + r.getAs[Double]("volume_effect") +
+        r.getAs[Double]("new_parts_effect") +
+        r.getAs[Double]("lost_parts_effect"))
+  }
+
+  // ---- discount elasticity -----------------------------------------
+
+  test("discountElasticity: grouped OLS slope and intercept") {
+    val li = Seq((1L, 100L, 1.0, 0.0), (2L, 100L, 2.0, 0.1))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_discount")
+    val part = Seq((100L, "BrandX")).toDF("p_partkey", "p_brand")
+    val r = graft.analytics.StarAnalytics.discountElasticity(li, part)
+      .collect()(0)
+    assert(r.getAs[String]("p_brand") == "BrandX")
+    assert(r.getAs[Double]("slope") == 10.0)
+    assert(r.getAs[Double]("intercept") == 1.0)
+  }
+
+  // ---- length sweep ------------------------------------------------
+
+  test("lengthSweep: one pass prices every cutoff") {
+    val docs = Seq(
+      (1L, "t", "en", "s", 60L), (2L, "t", "en", "s", 150L),
+      (3L, "t", "de", "s", 300L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.ext.Curation.lengthSweep(docs).collect()
+    val byCut = rows.map(r => r.getAs[Long]("cutoff") -> r).toMap
+    assert(byCut(50L).getAs[Long]("n_kept") == 3L)
+    assert(byCut(50L).getAs[Double]("precision_en") == 0.666667)
+    assert(byCut(50L).getAs[Double]("recall_en") == 1.0)
+    assert(byCut(200L).getAs[Long]("n_kept") == 1L)
+    assert(byCut(200L).getAs[Double]("precision_en") == 0.0)
+    assert(byCut(800L).getAs[Long]("n_kept") == 0L)
+    assert(byCut(800L).getAs[Double]("precision_en") == 0.0) // guard
+  }
+
+  test("lengthSweep plan: the cutoff rows never re-aggregate the corpus") {
+    val docs = Seq((1L, "t", "en", "s", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val plan = graft.ext.Curation.lengthSweep(docs)
+      .queryExecution.optimizedPlan.toString
+    // the single corpus aggregate ran EAGERLY at the localCheckpoint;
+    // the returned plan is five projections over the materialized row —
+    // any Aggregate here would mean a per-cutoff rescan
+    assert(!plan.contains("Aggregate"), plan)
+  }
+
   // ---- plan pins ---------------------------------------------------
 
   test("mannWhitney plan: the only window runs over the value census") {

@@ -1891,6 +1891,15 @@ object SparkEntry {
     // min-length quality-gate tuning sweep (one pass, all cutoffs)
     "q_length_sweep" -> ((s, d) =>
       graft.ext.Curation.lengthSweep(Tables.documents(s, d))),
+    // Ljung-Box portmanteau test over the daily-revenue ACF
+    "q_ljung_box" -> ((s, d) =>
+      StatsAnalytics.ljungBox(Tables.events(s, d))),
+    // STL-lite additive decomposition of the daily-revenue series
+    "q_stl_lite" -> ((s, d) =>
+      StatsAnalytics.stlLite(Tables.events(s, d))),
+    // rich-club coefficient of the co-purchase graph
+    "q_rich_club" -> ((s, d) =>
+      graft.analytics.GraphAnalytics.richClub(s, d)),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -9572,5 +9581,133 @@ object SparkEntry {
              THEN CAST(n_kept_en AS DOUBLE) / CAST(n_en AS DOUBLE)
              ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS recall_en
          FROM k CROSS JOIN t ORDER BY cutoff""",
+    "q_ljung_box" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS x
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         st AS (
+           SELECT CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE) AS mean_x FROM daily),
+         c AS (SELECT d, x - st.mean_x AS c FROM daily CROSS JOIN st),
+         den AS (
+           SELECT CAST(sum(CAST(c * c AS DECIMAL(28,10))) AS DOUBLE)
+             AS den FROM c),
+         l AS (
+           SELECT c,
+             lag(c, 1) OVER (ORDER BY d) AS c1,
+             lag(c, 2) OVER (ORDER BY d) AS c2,
+             lag(c, 3) OVER (ORDER BY d) AS c3,
+             lag(c, 4) OVER (ORDER BY d) AS c4,
+             lag(c, 5) OVER (ORDER BY d) AS c5,
+             lag(c, 6) OVER (ORDER BY d) AS c6,
+             lag(c, 7) OVER (ORDER BY d) AS c7
+           FROM c),
+         a AS (
+           SELECT 1 AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(c * c1 AS DECIMAL(28,10))) AS DOUBLE) AS num
+           FROM l WHERE c1 IS NOT NULL
+           UNION ALL
+           SELECT 2, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(c * c2 AS DECIMAL(28,10))) AS DOUBLE)
+           FROM l WHERE c2 IS NOT NULL
+           UNION ALL
+           SELECT 3, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(c * c3 AS DECIMAL(28,10))) AS DOUBLE)
+           FROM l WHERE c3 IS NOT NULL
+           UNION ALL
+           SELECT 4, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(c * c4 AS DECIMAL(28,10))) AS DOUBLE)
+           FROM l WHERE c4 IS NOT NULL
+           UNION ALL
+           SELECT 5, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(c * c5 AS DECIMAL(28,10))) AS DOUBLE)
+           FROM l WHERE c5 IS NOT NULL
+           UNION ALL
+           SELECT 6, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(c * c6 AS DECIMAL(28,10))) AS DOUBLE)
+           FROM l WHERE c6 IS NOT NULL
+           UNION ALL
+           SELECT 7, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(c * c7 AS DECIMAL(28,10))) AS DOUBLE)
+           FROM l WHERE c7 IS NOT NULL),
+         acf_t AS (
+           SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+             round(num / den.den, 6) AS acf
+           FROM a CROSS JOIN den),
+         t AS (
+           SELECT CAST(n_pairs AS DOUBLE) + CAST(lag AS DOUBLE) AS n,
+             CAST((acf * acf) / CAST(n_pairs AS DOUBLE)
+               AS DECIMAL(28,12)) AS term
+           FROM acf_t),
+         m AS (
+           SELECT n, CAST(count(*) AS BIGINT) AS n_lags,
+             CAST(sum(term) AS DOUBLE) AS s
+           FROM t GROUP BY 1)
+         SELECT CAST(n AS BIGINT) AS n_days, n_lags,
+           floor(n * (n + 2.0) * s * 1000000.0 + 0.5) / 1000000.0
+             AS lb_q,
+           CASE WHEN n * (n + 2.0) * s > 14.06714 THEN 1 ELSE 0 END
+             AS reject_iid
+         FROM m""",
+    "q_stl_lite" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(round(sum(CAST(value AS DECIMAL(28,12))), 2)
+               AS DOUBLE) AS v
+           FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL
+             AND ts IS NOT NULL
+           GROUP BY 1),
+         tr AS (
+           SELECT d, v,
+             CAST(sum(CAST(v AS DECIMAL(28,12))) OVER (ORDER BY d
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) /
+               CAST(count(*) OVER (ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE)
+               AS trend,
+             dayofweek(d) AS wd
+           FROM daily),
+         t2 AS (SELECT *, v - trend AS det FROM tr),
+         wk AS (
+           SELECT wd, CAST(sum(CAST(det AS DECIMAL(28,12))) AS DOUBLE)
+               / count(*) AS seasonal
+           FROM t2 GROUP BY 1)
+         SELECT d, v,
+           floor(trend * 1000000.0 + 0.5) / 1000000.0 AS trend,
+           floor(seasonal * 1000000.0 + 0.5) / 1000000.0 AS seasonal,
+           floor((det - seasonal) * 1000000.0 + 0.5) / 1000000.0
+             AS residual
+         FROM t2 JOIN wk USING (wd) ORDER BY d""",
+    "q_rich_club" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS a, b.l_partkey AS b
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         sym AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
+         deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS dg
+           FROM sym GROUP BY 1),
+         club AS (SELECT z FROM (
+             SELECT z, row_number() OVER (ORDER BY dg DESC, z) AS rn
+             FROM deg) WHERE rn <= 20),
+         w AS (SELECT CAST(count(*) AS BIGINT) AS n_within FROM pr
+           WHERE a IN (SELECT z FROM club)
+             AND b IN (SELECT z FROM club)),
+         te AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pr),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+         SELECT CAST(20 AS BIGINT) AS k, n_within, n_edges, n_nodes,
+           floor(CAST(n_within AS DOUBLE) / 190.0 * 1000000.0 + 0.5)
+             / 1000000.0 AS club_density,
+           floor(CAST(n_edges AS DOUBLE) / (CAST(n_nodes AS DOUBLE) *
+             (CAST(n_nodes AS DOUBLE) - 1.0) / 2.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS graph_density,
+           floor((CAST(n_within AS DOUBLE) / 190.0) /
+             (CAST(n_edges AS DOUBLE) / (CAST(n_nodes AS DOUBLE) *
+               (CAST(n_nodes AS DOUBLE) - 1.0) / 2.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS rich_club_ratio
+         FROM w CROSS JOIN te CROSS JOIN nn""",
   )
 }

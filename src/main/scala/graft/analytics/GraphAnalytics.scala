@@ -540,6 +540,46 @@ object GraphAnalytics {
       .limit(limit)
   }
 
+  /** Rich-club coefficient of the co-purchase graph: edge density among
+    * the top-k highest-degree parts, against the whole-graph density —
+    * the "do the hubs trade with each other" structure probe (rich-club
+    * ≫ 1 means the bestsellers co-sell as a clique; ≈ 1 means hub
+    * wiring is no denser than anywhere else). The club is a BOUNDED,
+    * deterministically-ordered head of the node frame (deg DESC, id),
+    * broadcast back onto the edge list for two semi-joins — the edge
+    * frame is the pruned signal graph and never re-shuffles. */
+  def richClub(spark: SparkSession, sfDir: String, k: Int = 20,
+               minSupport: Long = 2L): DataFrame = {
+    val e = StarAnalytics.coPurchaseCounts(spark, sfDir)
+      .filter(col("n_orders") >= minSupport)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+      .localCheckpoint()
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("dg"))
+    val club = deg.orderBy(col("dg").desc, col("z")).limit(k)
+      .select(col("z")).localCheckpoint()
+    val within = e
+      .join(broadcast(club.select(col("z").as("a"))), Seq("a"), "left_semi")
+      .join(broadcast(club.select(col("z").as("b"))), Seq("b"), "left_semi")
+      .agg(count(lit(1)).as("n_within"))
+    val tot = e.agg(count(lit(1)).as("n_edges"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val possibleClub = lit((k.toLong * (k - 1)) / 2).cast("double")
+    within.crossJoin(broadcast(tot)).crossJoin(broadcast(nNodes))
+      .select(lit(k.toLong).as("k"), col("n_within"), col("n_edges"),
+        col("n_nodes"),
+        r6(d(col("n_within")) / possibleClub).as("club_density"),
+        r6(d(col("n_edges")) / (d(col("n_nodes")) *
+          (d(col("n_nodes")) - lit(1.0)) / lit(2.0))).as("graph_density"),
+        r6((d(col("n_within")) / possibleClub) /
+          (d(col("n_edges")) / (d(col("n_nodes")) *
+            (d(col("n_nodes")) - lit(1.0)) / lit(2.0))))
+          .as("rich_club_ratio"))
+  }
+
   /** HITS hubs-and-authorities over the bipartite customer→part purchase
     * graph (Kleinberg): customers are hubs, parts authorities;
     * `iterations` alternating updates. L1 normalization COMMUTES with

@@ -880,6 +880,69 @@ object StatsAnalytics {
       .orderBy("lag")
   }
 
+  /** Ljung–Box portmanteau test on the daily-revenue ACF — the formal
+    * "is there ANY autocorrelation" gate on top of [[acfDaily]]'s
+    * per-lag probe: Q = n(n+2)·Σ_k ρ_k²/(n−k), compared against the
+    * χ²(maxLag) 5% critical value (a literal constant — no CDF needed
+    * cross-engine). Rides the exact machinery acfDaily publishes: ρ_k
+    * re-derives from the same day frame, so the statistic is a scalar
+    * fold over maxLag rows. */
+  def ljungBox(ev: DataFrame, maxLag: Int = 7): DataFrame = {
+    val a = acfDaily(ev, maxLag)
+    def d(c: Column) = c.cast("double")
+    val n = d(col("n_pairs")) + d(col("lag"))
+    val m = a.select(col("lag"), col("acf"), n.as("n"))
+      .select(col("n"),
+        ((col("acf") * col("acf")) / (col("n") - d(col("lag"))))
+          .cast("decimal(28,12)").as("term"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("n_lags"),
+        sum(col("term")).cast("double").as("s"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    // χ²(7) 95th percentile = 14.067140 (literal; both engines compare
+    // the same constant rather than evaluating a CDF)
+    val crit = if (maxLag == 7) 14.06714 else Double.NaN
+    val q = col("n") * (col("n") + lit(2.0)) * col("s")
+    m.select(col("n").cast("bigint").as("n_days"), col("n_lags"),
+      r6(q).as("lb_q"),
+      (q > lit(crit)).cast("int").as("reject_iid"))
+  }
+
+  /** STL-lite additive decomposition of the daily-revenue series:
+    * trend = centered 7-day moving average (shrinking at the edges),
+    * seasonal = weekday mean of the detrended series, residual = the
+    * rest — the per-day table behind
+    * [[graft.analytics.EventAnalytics.seasonalStrength]]'s scalar. All
+    * three components derive from the day frame (one corpus aggregate;
+    * centered window and weekday means are calendar-bounded); window
+    * sums accumulate DECIMAL so the moving average is order-exact. */
+  def stlLite(ev: DataFrame): DataFrame = {
+    val daily = ev.filter(col("event_type") === "purchase" &&
+        col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      // series values round to 2dp IN DECIMAL (portable) before any
+      // double arithmetic — double round() semantics differ per engine
+      .agg(round(sum(col("value").cast("decimal(28,12)")), 2)
+        .cast("double").as("v"))
+      .localCheckpoint() // trend window + weekday means share one pass
+    val w = Window.orderBy(col("d")).rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("trend", sum(col("v").cast("decimal(28,12)")).over(w)
+        .cast("double") / count(lit(1)).over(w).cast("double"))
+      .withColumn("det", col("v") - col("trend"))
+      .withColumn("wd", dayofweek(col("d")))
+    val wk = trended.groupBy("wd")
+      .agg((sum(col("det").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("seasonal"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    trended.join(broadcast(wk), Seq("wd"))
+      .select(col("d"), col("v"),
+        r6(col("trend")).as("trend"),
+        r6(col("seasonal")).as("seasonal"),
+        r6(col("det") - col("seasonal")).as("residual"))
+      .orderBy("d")
+  }
+
   /** Cohort LTV triangle: users cohort by FIRST-SEEN day; per (cohort,
     * day-offset) the value contribution accumulates into the running
     * lifetime value — the growth-analytics curve beside the retention

@@ -689,6 +689,45 @@ class Round21OpsSpec extends SparkSpec {
     assert(!plan.contains("Aggregate"), plan)
   }
 
+  // ---- Ljung-Box ---------------------------------------------------
+
+  test("ljungBox: alternating series rejects the iid null") {
+    val ev = dailySeries((1 to 30).map(i =>
+      if (i % 2 == 0) 20.0 else 10.0))
+    val r = graft.analytics.StatsAnalytics.ljungBox(ev).collect()(0)
+    assert(r.getAs[Long]("n_days") == 30L)
+    assert(r.getAs[Long]("n_lags") == 7L)
+    assert(r.getAs[Double]("lb_q") > 14.06714)
+    assert(r.getAs[Int]("reject_iid") == 1)
+  }
+
+  // ---- STL-lite ----------------------------------------------------
+
+  test("stlLite: additive identity v = trend + seasonal + residual") {
+    val rows = graft.analytics.StatsAnalytics
+      .stlLite(Tables.events(spark, "/root/testdata/sf0.001")).collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      val v = r.getAs[Double]("v")
+      val sumParts = r.getAs[Double]("trend") +
+        r.getAs[Double]("seasonal") + r.getAs[Double]("residual")
+      assert(math.abs(v - sumParts) < 3e-6, s"row $r")
+    }
+  }
+
+  // ---- rich club ---------------------------------------------------
+
+  test("richClub: densities consistent and bounded on the fixture") {
+    val r = graft.analytics.GraphAnalytics
+      .richClub(spark, "/root/testdata/sf0.001").collect()(0)
+    assert(r.getAs[Long]("k") == 20L)
+    val cd = r.getAs[Double]("club_density")
+    val gd = r.getAs[Double]("graph_density")
+    assert(cd >= 0.0 && cd <= 1.0)
+    assert(gd > 0.0)
+    assert(math.abs(r.getAs[Double]("rich_club_ratio") - cd / gd) < 2e-5)
+  }
+
   // ---- plan pins ---------------------------------------------------
 
   test("mannWhitney plan: the only window runs over the value census") {

@@ -1803,9 +1803,7 @@ object SparkEntry {
     "q_mann_whitney" -> ((s, d) =>
       StatsAnalytics.mannWhitney(Tables.events(s, d))),
     // Spearman rank correlation: order frequency vs part breadth
-    "q_spearman" -> ((s, d) =>
-      StatsAnalytics.spearmanBreadth(Tables.orders(s, d),
-        Tables.lineitem(s, d))),
+    "q_spearman" -> ((s, d) => StatsAnalytics.spearmanBreadthAt(s, d)),
     // Theil T inequality decomposition by market segment
     "q_theil" -> ((s, d) =>
       StatsAnalytics.theilIndex(Tables.orders(s, d),
@@ -1841,9 +1839,7 @@ object SparkEntry {
     "q_jaro_linkage" -> ((s, d) =>
       graft.ext.DedupExt.jaroLinkage(Tables.part(s, d))),
     // Kendall tau-b over the joint (orders, breadth) value census
-    "q_kendall_tau" -> ((s, d) =>
-      StatsAnalytics.kendallTau(Tables.orders(s, d),
-        Tables.lineitem(s, d))),
+    "q_kendall_tau" -> ((s, d) => StatsAnalytics.kendallTauAt(s, d)),
     // rescaled-range Hurst exponent of the daily-revenue series
     "q_hurst" -> ((s, d) =>
       StatsAnalytics.hurstRS(Tables.events(s, d))),

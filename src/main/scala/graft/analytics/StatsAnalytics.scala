@@ -2009,9 +2009,11 @@ object StatsAnalytics {
     * rank products are .25-grain rationals summed in DECIMAL. The raw
     * Pearson r ships alongside so the report shows what the rank
     * transform absorbed. */
-  def spearmanBreadth(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+  def spearmanBreadth(orders: DataFrame, lineitem: DataFrame): DataFrame =
     // materialized: both rank maps and the ranked join reuse this frame
-    val pc = orderBreadthFrame(orders, lineitem).localCheckpoint()
+    spearmanOnPairs(orderBreadthFrame(orders, lineitem).localCheckpoint())
+
+  private[graft] def spearmanOnPairs(pc: DataFrame): DataFrame = {
     def rankMap(v: String): DataFrame = {
       val census = pc.groupBy(col(v)).agg(count(lit(1)).as("t"))
       val w = Window.orderBy(col(v))
@@ -2046,6 +2048,30 @@ object StatsAnalytics {
         col("rsxy"))).as("r_pearson"))
   }
 
+  /** Memo for [[orderBreadthFrame]]: `q_spearman` and `q_kendall_tau`
+    * both consume it in one Bench run — the coPurchaseCounts sharing
+    * policy (keyed on session identity + fixture dir, materialized via
+    * localCheckpoint so the second consumer reads shuffle-free). */
+  private val breadthMemo = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), DataFrame]
+
+  private[graft] def orderBreadthAt(
+      spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame =
+    breadthMemo.getOrElseUpdate(
+      (System.identityHashCode(spark), sfDir),
+      orderBreadthFrame(graft.Tables.orders(spark, sfDir),
+        graft.Tables.lineitem(spark, sfDir)).localCheckpoint())
+
+  /** [[spearmanBreadth]] / [[kendallTau]] on the memoized fixture frame. */
+  def spearmanBreadthAt(spark: org.apache.spark.sql.SparkSession,
+                        sfDir: String): DataFrame =
+    spearmanOnPairs(orderBreadthAt(spark, sfDir))
+
+  def kendallTauAt(spark: org.apache.spark.sql.SparkSession,
+                   sfDir: String): DataFrame =
+    kendallOnPairs(orderBreadthAt(spark, sfDir))
+
   /** Shared unit frame for the rank-correlation family: per customer,
     * x = order count, y = distinct-part breadth. */
   private def orderBreadthFrame(orders: DataFrame,
@@ -2072,8 +2098,11 @@ object StatsAnalytics {
     * lives entirely in the one aggregate that builds the census). Tie
     * terms come from the marginal censuses in exact integers; products
     * go DECIMAL before the sum. */
-  def kendallTau(orders: DataFrame, lineitem: DataFrame): DataFrame = {
-    val cells = orderBreadthFrame(orders, lineitem)
+  def kendallTau(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    kendallOnPairs(orderBreadthFrame(orders, lineitem))
+
+  private[graft] def kendallOnPairs(pc: DataFrame): DataFrame = {
+    val cells = pc
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nc"))
       .localCheckpoint()
     val c2 = cells.select(col("x").as("x2"), col("y").as("y2"),

@@ -1896,6 +1896,15 @@ object SparkEntry {
     // rich-club coefficient of the co-purchase graph
     "q_rich_club" -> ((s, d) =>
       graft.analytics.GraphAnalytics.richClub(s, d)),
+    // two-component Gaussian-mixture EM, three unrolled rounds
+    "q_gmm_em" -> ((s, d) =>
+      StatsAnalytics.gmmEm(Tables.events(s, d))),
+    // one ALS half-step: closed-form per-user ridge solves at k=2
+    "q_als_step" -> ((s, d) =>
+      graft.ext.EvalOps.alsUserStep(s, d)),
+    // ABC-XYZ inventory matrix (revenue classes x weekly-demand CV)
+    "q_abc_xyz" -> ((s, d) =>
+      StarAnalytics.abcXyz(Tables.lineitem(s, d), Tables.orders(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -2192,6 +2201,80 @@ object SparkEntry {
        FROM (SELECT $a AS a, count(DISTINCT $b) AS nb FROM $t
          WHERE $a IS NOT NULL GROUP BY 1) g"""
   }.mkString("", "\n UNION ALL\n ", "\n ORDER BY 1, 2, 3")
+
+  /** Three unrolled EM rounds for the q_gmm_em oracle — generated so the
+    * per-round SQL is literally identical, mirroring the Spark fold. */
+  private val gmmOracle: String = {
+    def step(prev: String, cur: String): String =
+      s"""$cur AS (
+           SELECT sg / CAST(n AS DOUBLE) AS p1, sgx / sg AS mu1,
+             greatest(sqrt(sgxx / sg - (sgx / sg) * (sgx / sg)),
+               0.000001) AS s1,
+             shx / (CAST(n AS DOUBLE) - sg) AS mu2,
+             greatest(sqrt(shxx / (CAST(n AS DOUBLE) - sg) -
+               (shx / (CAST(n AS DOUBLE) - sg)) *
+               (shx / (CAST(n AS DOUBLE) - sg))), 0.000001) AS s2,
+             n
+           FROM (
+             SELECT max(n) AS n,
+               CAST(sum(CAST(g AS DECIMAL(28,12))) AS DOUBLE) AS sg,
+               CAST(sum(CAST(g * x AS DECIMAL(28,12))) AS DOUBLE)
+                 AS sgx,
+               CAST(sum(CAST(g * x * x AS DECIMAL(28,12))) AS DOUBLE)
+                 AS sgxx,
+               CAST(sum(CAST((1.0 - g) * x AS DECIMAL(28,12)))
+                 AS DOUBLE) AS shx,
+               CAST(sum(CAST((1.0 - g) * x * x AS DECIMAL(28,12)))
+                 AS DOUBLE) AS shxx
+             FROM (
+               SELECT x, n,
+                 CASE WHEN a + b > 0.0 THEN a / (a + b) ELSE 0.5 END
+                   AS g
+               FROM (
+                 SELECT x, n,
+                   p1 * (exp(-(x - mu1) * (x - mu1) /
+                     (2.0 * s1 * s1)) / s1) AS a,
+                   (1.0 - p1) * (exp(-(x - mu2) * (x - mu2) /
+                     (2.0 * s2 * s2)) / s2) AS b
+                 FROM xs CROSS JOIN $prev))))"""
+    s"""WITH xs AS (
+           SELECT value AS x FROM events WHERE value IS NOT NULL),
+         base AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             quantile_cont(x, 0.25) AS q1, quantile_cont(x, 0.75) AS q3,
+             sqrt(CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE)
+                 / count(*) -
+               (CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                 / count(*)) *
+               (CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE)
+                 / count(*))) AS sd
+           FROM xs),
+         i0 AS (
+           SELECT 0.5 AS p1, q1 AS mu1, greatest(sd, 0.000001) AS s1,
+             q3 AS mu2, greatest(sd, 0.000001) AS s2, n
+           FROM base),
+         ${step("i0", "i1")},
+         ${step("i1", "i2")},
+         ${step("i2", "i3")},
+         ll AS (
+           SELECT CAST(sum(CAST(ln(greatest(
+               (p1 * (exp(-(x - mu1) * (x - mu1) / (2.0 * s1 * s1))
+                  / s1) +
+                (1.0 - p1) * (exp(-(x - mu2) * (x - mu2) /
+                  (2.0 * s2 * s2)) / s2)) / 2.5066282746310002,
+               1e-300)) AS DECIMAL(28,12))) AS DOUBLE) AS sll,
+             CAST(count(*) AS BIGINT) AS n2
+           FROM xs CROSS JOIN i3)
+         SELECT n,
+           floor(p1 * 1000000.0 + 0.5) / 1000000.0 AS pi1,
+           floor(mu1 * 1000000.0 + 0.5) / 1000000.0 AS mu1,
+           floor(s1 * 1000000.0 + 0.5) / 1000000.0 AS sigma1,
+           floor(mu2 * 1000000.0 + 0.5) / 1000000.0 AS mu2,
+           floor(s2 * 1000000.0 + 0.5) / 1000000.0 AS sigma2,
+           floor(sll / CAST(n2 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS avg_loglik
+         FROM i3 CROSS JOIN ll"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_dau" ->
@@ -9705,5 +9788,91 @@ object SparkEntry {
                (CAST(n_nodes AS DOUBLE) - 1.0) / 2.0))
              * 1000000.0 + 0.5) / 1000000.0 AS rich_club_ratio
          FROM w CROSS JOIN te CROSS JOIN nn""",
+    "q_gmm_em" -> gmmOracle,
+    "q_als_step" ->
+      """WITH pairs AS (
+           SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         f AS (
+           SELECT cust,
+             (CAST(('0x' || substr(md5(CAST(item AS VARCHAR) || ':f1'),
+               1, 15))::BIGINT % 2001 AS DOUBLE) - 1000.0) / 1000.0
+               AS x1,
+             (CAST(('0x' || substr(md5(CAST(item AS VARCHAR) || ':f2'),
+               1, 15))::BIGINT % 2001 AS DOUBLE) - 1000.0) / 1000.0
+               AS x2
+           FROM pairs),
+         m AS (
+           SELECT cust, CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(x1 * x1 AS DECIMAL(28,12))) AS DOUBLE) AS a,
+             CAST(sum(CAST(x1 * x2 AS DECIMAL(28,12))) AS DOUBLE) AS b,
+             CAST(sum(CAST(x2 * x2 AS DECIMAL(28,12))) AS DOUBLE) AS dd,
+             CAST(sum(CAST(x1 AS DECIMAL(28,12))) AS DOUBLE) AS sx1,
+             CAST(sum(CAST(x2 AS DECIMAL(28,12))) AS DOUBLE) AS sx2
+           FROM f GROUP BY 1)
+         SELECT cust, n_items,
+           floor(((dd + 0.1) * sx1 - b * sx2) /
+             ((a + 0.1) * (dd + 0.1) - b * b) * 1000000.0 + 0.5)
+             / 1000000.0 AS w1,
+           floor(((a + 0.1) * sx2 - b * sx1) /
+             ((a + 0.1) * (dd + 0.1) - b * b) * 1000000.0 + 0.5)
+             / 1000000.0 AS w2
+         FROM m ORDER BY cust""",
+    "q_abc_xyz" ->
+      """WITH pp AS (
+           SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(28,12))) AS rev
+           FROM lineitem GROUP BY 1),
+         tot AS (SELECT sum(rev) AS total FROM pp),
+         cl AS (
+           SELECT l_partkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM pp),
+         cls AS (
+           SELECT l_partkey, rev, total,
+             CASE WHEN cum * 5 <= total * 4 THEN 'A'
+                  WHEN cum * 20 <= total * 19 THEN 'B'
+                  ELSE 'C' END AS cls_abc
+           FROM cl CROSS JOIN tot),
+         rows_ AS (
+           SELECT l_partkey, l_quantity, CAST(o_orderdate AS DATE) AS d
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         span AS (
+           SELECT min(d) AS d0,
+             CAST(floor(date_diff('day', min(d), max(d)) / 7.0) + 1
+               AS DOUBLE) AS n_weeks
+           FROM rows_),
+         weekly AS (
+           SELECT l_partkey, floor(date_diff('day', d0, d) / 7.0) AS wk,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE)
+               AS q,
+             max(n_weeks) AS n_weeks
+           FROM rows_ CROSS JOIN span GROUP BY 1, 2),
+         per AS (
+           SELECT l_partkey,
+             CAST(sum(CAST(q AS DECIMAL(28,12))) AS DOUBLE) AS sq,
+             CAST(sum(CAST(q * q AS DECIMAL(28,12))) AS DOUBLE) AS sqq,
+             max(n_weeks) AS w
+           FROM weekly GROUP BY 1),
+         cv AS (
+           SELECT l_partkey,
+             floor(CASE WHEN sq > 0.0
+               THEN sqrt(greatest(sqq / w - (sq / w) * (sq / w), 0.0))
+                 / (sq / w)
+               ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS cv
+           FROM per),
+         x AS (
+           SELECT l_partkey,
+             CASE WHEN cv <= 0.5 THEN 'X' WHEN cv <= 1.0 THEN 'Y'
+               ELSE 'Z' END AS cls_xyz
+           FROM cv)
+         SELECT cls_abc, cls_xyz, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(round(sum(rev), 2) AS DOUBLE) AS revenue,
+           floor(CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS revenue_share
+         FROM cls JOIN x USING (l_partkey)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

@@ -1020,33 +1020,91 @@ object StarAnalytics {
     * cross-multiplication (5·cum ≤ 4·total ⟺ share ≤ 0.8), so no
     * engine's division rounding can flip a part across a class edge. */
   def abcClassification(lineitem: DataFrame): DataFrame = {
-    val perPart = lineitem
-      .groupBy(col("l_partkey"))
-      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-        .cast("decimal(28,12)")).as("rev"))
-      .localCheckpoint() // total scalar and the cumulative pass share it
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("rev").desc, col("l_partkey"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
-    val tot = perPart.agg(sum(col("rev")).as("total"))
-    val classed = perPart
-      .withColumn("cum", sum(col("rev")).over(w))
-      .crossJoin(broadcast(tot))
-      .withColumn("cls",
-        when(col("cum") * 5 <= col("total") * 4, "A")
-          .when(col("cum") * 20 <= col("total") * 19, "B")
-          .otherwise("C"))
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
     def r6(c: org.apache.spark.sql.Column) =
       floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
-    classed.groupBy(col("cls"))
+    perPartAbc(lineitem).groupBy(col("cls"))
       .agg(count(lit(1)).as("n_parts"),
         sum(col("rev")).as("cls_rev"), max(col("total")).as("total"))
       .select(col("cls"), col("n_parts"),
         round(col("cls_rev"), 2).cast("double").as("revenue"),
         r6(d(col("cls_rev")) / d(col("total"))).as("revenue_share"))
       .orderBy("cls")
+  }
+
+  /** Per-part (revenue, total, ABC class) — the shared core of
+    * [[abcClassification]] and [[abcXyz]]. Materialized: the total
+    * scalar and the cumulative pass share the fact aggregate. */
+  private def perPartAbc(lineitem: DataFrame): DataFrame = {
+    val perPart = lineitem
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(28,12)")).as("rev"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val tot = perPart.agg(sum(col("rev")).as("total"))
+    perPart
+      .withColumn("cum", sum(col("rev")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("cum") * 5 <= col("total") * 4, "A")
+          .when(col("cum") * 20 <= col("total") * 19, "B")
+          .otherwise("C"))
+  }
+
+  /** ABC-XYZ inventory matrix: the [[abcClassification]] revenue classes
+    * crossed with demand-VARIABILITY classes — X/Y/Z by the coefficient
+    * of variation of WEEKLY quantity, with absent weeks counted as zero
+    * demand in closed form (fixed week count W ⇒ μ = Σq/W and
+    * Var = Σq²/W − μ² need only the observed weeks' sums — no calendar
+    * fan-out). The nine cells are what a supply planner reads: AX =
+    * high-value stable (automate), CZ = low-value erratic (kill).
+    * CV thresholds apply to the r6-ROUNDED value so an engine's last
+    * ulp cannot flip a class. One fact pass to (part × week), one to
+    * per-part sums, then catalog-frame arithmetic. */
+  def abcXyz(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val rows = lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), col("l_quantity"),
+        to_date(col("o_orderdate")).as("d"))
+    val span = rows.agg(min(col("d")).as("d0"),
+      (floor(datediff(max(col("d")), min(col("d"))) / 7) + 1)
+        .cast("double").as("n_weeks"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,12)")
+    val weekly = rows.crossJoin(broadcast(span))
+      .groupBy(col("l_partkey"),
+        floor(datediff(col("d"), col("d0")) / 7).as("wk"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("q"),
+        max(col("n_weeks")).as("n_weeks"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val perPart = weekly.groupBy(col("l_partkey"))
+      .agg(sum(dec(col("q"))).cast("double").as("sq"),
+        sum(dec(col("q") * col("q"))).cast("double").as("sqq"),
+        max(col("n_weeks")).as("w"))
+      .select(col("l_partkey"),
+        r6(when(col("sq") > 0.0,
+          sqrt(greatest(col("sqq") / col("w") -
+            (col("sq") / col("w")) * (col("sq") / col("w")), lit(0.0))) /
+            (col("sq") / col("w"))).otherwise(lit(0.0))).as("cv"))
+      .withColumn("cls_xyz",
+        when(col("cv") <= 0.5, "X").when(col("cv") <= 1.0, "Y")
+          .otherwise("Z"))
+    perPartAbc(lineitem)
+      .join(perPart, Seq("l_partkey"))
+      .groupBy(col("cls").as("cls_abc"), col("cls_xyz"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("cls_rev"),
+        max(col("total")).as("total"))
+      .select(col("cls_abc"), col("cls_xyz"), col("n_parts"),
+        round(col("cls_rev"), 2).cast("double").as("revenue"),
+        r6(d(col("cls_rev")) / d(col("total"))).as("revenue_share"))
+      .orderBy("cls_abc", "cls_xyz")
   }
 
   /** Price–volume revenue bridge between the two calendar halves of the

@@ -1392,6 +1392,85 @@ object StatsAnalytics {
         col("n_resamples"), col("n_users"))
   }
 
+  /** Two-component 1-D Gaussian-mixture EM over event values, three
+    * unrolled iterations — the third iterative-ML-as-relational anchor
+    * beside kmeans and the Newton logistic step: each EM round is ONE
+    * map-side-collapsing aggregate (responsibilities are a per-row
+    * projection against the broadcast single-row parameter frame;
+    * γ-weighted sums go DECIMAL), so a round costs exactly one corpus
+    * pass and the 3-round plan is the classic unrolled-lineage shape.
+    * Deterministic init (μ = exact p25/p75, shared σ, π = ½) keeps the
+    * trajectory engine-reproducible; σ floors at 1e-6 against
+    * degenerate collapse. The constant 1/√2π cancels in γ and is
+    * applied only in the final log-likelihood. */
+  def gmmEm(ev: DataFrame, iterations: Int = 3): DataFrame = {
+    val xs = ev.filter(col("value").isNotNull)
+      .select(col("value").as("x")).localCheckpoint()
+    val init = xs.agg(
+      expr("percentile(x, 0.25)").as("mu1"),
+      expr("percentile(x, 0.75)").as("mu2"),
+      count(lit(1)).as("n"),
+      sqrt(sum((col("x") * col("x")).cast("decimal(28,12)"))
+        .cast("double") / count(lit(1)) -
+        (sum(col("x").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))) *
+        (sum(col("x").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)))).as("sd"))
+      .select(lit(0.5).as("p1"), col("mu1"),
+        greatest(col("sd"), lit(1.0e-6)).as("s1"), col("mu2"),
+        greatest(col("sd"), lit(1.0e-6)).as("s2"), col("n"))
+    def phi(mu: Column, s: Column): Column =
+      exp(-(col("x") - mu) * (col("x") - mu) / (lit(2.0) * s * s)) / s
+    def step(params: DataFrame): DataFrame = {
+      val a = col("p1") * phi(col("mu1"), col("s1"))
+      val b = (lit(1.0) - col("p1")) * phi(col("mu2"), col("s2"))
+      // both densities can underflow for far-tail x: 0/0 would be NaN —
+      // split the responsibility evenly instead (same guard in the oracle)
+      val g = when(a + b > lit(0.0), a / (a + b)).otherwise(lit(0.5))
+      def dec(c: Column) = c.cast("decimal(28,12)")
+      xs.crossJoin(broadcast(params))
+        .select(g.as("g"), col("x"), col("n"))
+        .groupBy(col("n"))
+        .agg(sum(dec(col("g"))).cast("double").as("sg"),
+          sum(dec(col("g") * col("x"))).cast("double").as("sgx"),
+          sum(dec(col("g") * col("x") * col("x"))).cast("double")
+            .as("sgxx"),
+          sum(dec((lit(1.0) - col("g")) * col("x"))).cast("double")
+            .as("shx"),
+          sum(dec((lit(1.0) - col("g")) * col("x") * col("x")))
+            .cast("double").as("shxx"))
+        .select((col("sg") / col("n").cast("double")).as("p1"),
+          (col("sgx") / col("sg")).as("mu1"),
+          greatest(sqrt(col("sgxx") / col("sg") -
+            (col("sgx") / col("sg")) * (col("sgx") / col("sg"))),
+            lit(1.0e-6)).as("s1"),
+          (col("shx") / (col("n").cast("double") - col("sg"))).as("mu2"),
+          greatest(sqrt(col("shxx") / (col("n").cast("double") -
+            col("sg")) - (col("shx") / (col("n").cast("double") -
+            col("sg"))) * (col("shx") / (col("n").cast("double") -
+            col("sg")))), lit(1.0e-6)).as("s2"),
+          col("n"))
+    }
+    val fitted = (1 to iterations).foldLeft(init)((p, _) =>
+      step(p).localCheckpoint())
+    // final pass: average log-likelihood under the fitted mixture
+    val ll = xs.crossJoin(broadcast(fitted))
+      // floor the mixture density away from 0 so an underflowing tail
+      // row contributes a large-negative FINITE term, not log(0) = -Inf
+      .select(log(greatest((col("p1") * phi(col("mu1"), col("s1")) +
+        (lit(1.0) - col("p1")) * phi(col("mu2"), col("s2"))) /
+        lit(math.sqrt(2.0 * math.Pi)), lit(1.0e-300)))
+        .cast("decimal(28,12)").as("l"))
+      .agg(sum(col("l")).cast("double").as("sll"),
+        count(lit(1)).as("n2"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    fitted.crossJoin(broadcast(ll))
+      .select(col("n"), r6(col("p1")).as("pi1"),
+        r6(col("mu1")).as("mu1"), r6(col("s1")).as("sigma1"),
+        r6(col("mu2")).as("mu2"), r6(col("s2")).as("sigma2"),
+        r6(col("sll") / col("n2").cast("double")).as("avg_loglik"))
+  }
+
   /** Benford first-digit audit over order totals — the classic
     * fabricated-data screen: observed first-significant-digit frequencies
     * against Benford's log-law expectation. The digit comes from an

@@ -808,6 +808,51 @@ object EvalOps {
           col("total_slots").cast("double")).as("head20_share"))
   }
 
+  /** One ALS half-step (k = 2, ridge λ) for the implicit-feedback
+    * user–item matrix — the matrix-factorization training step as pure
+    * relational algebra, beside [[itemCF]]'s neighborhood model: fix
+    * item factors (deterministic portable-hash init in [−1, 1], so any
+    * engine regenerates them), then solve every user's regularized
+    * normal equations (XᵀX + λI)w = Xᵀ1 IN CLOSED FORM — at k = 2 the
+    * 2×2 inverse is a scalar formula over five per-user sums, so the
+    * whole sweep is ONE distinct + ONE grouped aggregate over the
+    * (user, item) purchase pairs; no per-user iteration, no solver.
+    * This is exactly how distributed ALS scales: per-user solves are
+    * embarrassingly parallel aggregates over co-partitioned ratings. */
+  def alsUserStep(spark: SparkSession, sfDir: String,
+                  lambda: Double = 0.1): DataFrame = {
+    import graft.ext.TextFns.portableH60
+    val pairs = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct()
+    def factor(tag: String): Column =
+      ((portableH60(concat(col("item").cast("string"), lit(tag)))
+        % 2001L).cast("double") - lit(1000.0)) / lit(1000.0)
+    def dec(c: Column) = c.cast("decimal(28,12)")
+    val m = pairs
+      .select(col("cust"), factor(":f1").as("x1"), factor(":f2").as("x2"))
+      .groupBy(col("cust"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("x1") * col("x1"))).cast("double").as("a"),
+        sum(dec(col("x1") * col("x2"))).cast("double").as("b"),
+        sum(dec(col("x2") * col("x2"))).cast("double").as("dd"),
+        sum(dec(col("x1"))).cast("double").as("e"),
+        sum(dec(col("x2"))).cast("double").as("f"))
+    val det = (col("a") + lit(lambda)) * (col("dd") + lit(lambda)) -
+      col("b") * col("b")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    m.select(col("cust"), col("n_items"),
+      r6(((col("dd") + lit(lambda)) * col("e") - col("b") * col("f")) /
+        det).as("w1"),
+      r6(((col("a") + lit(lambda)) * col("f") - col("b") * col("e")) /
+        det).as("w2"))
+      .orderBy("cust")
+  }
+
   /** Recommendation novelty — the third serving-side eval beside
     * [[cfHitRate]] (accuracy) and [[recCoverage]] (catalog reach): the
     * mean self-information −log₂ p(item) of the items the recommender

@@ -728,6 +728,101 @@ class Round21OpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("rich_club_ratio") - cd / gd) < 2e-5)
   }
 
+  // ---- GMM EM ------------------------------------------------------
+
+  test("gmmEm: symmetric bimodal data keeps pi = 0.5 and separates means") {
+    val ev = ((1 to 100).map(i => (i.toLong, 10.0)) ++
+      (101 to 200).map(i => (i.toLong, 50.0))).map { case (id, v) =>
+      (id, ts("2024-03-01 10:00:00"), 1L, "purchase", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.analytics.StatsAnalytics.gmmEm(ev).collect()(0)
+    // perfectly symmetric responsibilities: sg = n/2 every round
+    assert(r.getAs[Double]("pi1") == 0.5)
+    val (m1, m2) = (r.getAs[Double]("mu1"), r.getAs[Double]("mu2"))
+    assert(m1 < m2)
+    assert(m1 >= 9.0 && m1 < 25.0, s"mu1=$m1")
+    assert(m2 > 35.0 && m2 <= 51.0, s"mu2=$m2")
+    assert(r.getAs[Double]("sigma1") < 20.0)
+    assert(r.getAs[Double]("avg_loglik") > -100.0)
+  }
+
+  test("gmmEm: shift equivariance — means move with the data") {
+    def ev(shift: Double) = (1 to 60).map { i =>
+      val v = if (i % 3 == 0) 40.0 else 12.0
+      (i.toLong, ts("2024-03-01 10:00:00"), 1L, "purchase", v + shift)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r0 = graft.analytics.StatsAnalytics.gmmEm(ev(0.0)).collect()(0)
+    val r5 = graft.analytics.StatsAnalytics.gmmEm(ev(5.0)).collect()(0)
+    assert(math.abs(r5.getAs[Double]("mu1") -
+      (r0.getAs[Double]("mu1") + 5.0)) < 1e-3)
+    assert(math.abs(r5.getAs[Double]("mu2") -
+      (r0.getAs[Double]("mu2") + 5.0)) < 1e-3)
+    assert(math.abs(r5.getAs[Double]("sigma1") -
+      r0.getAs[Double]("sigma1")) < 1e-3)
+  }
+
+  // ---- ALS half-step -----------------------------------------------
+
+  test("alsUserStep: published factors satisfy the normal equations") {
+    import graft.ext.TextFns.portableH60
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.ext.EvalOps.alsUserStep(spark, sf)
+      .limit(20).collect()
+    // recompute the per-user sums with the same portable hash factors
+    val pairs = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct()
+    def factor(tag: String) =
+      ((portableH60(concat(col("item").cast("string"), lit(tag)))
+        % 2001L).cast("double") - lit(1000.0)) / lit(1000.0)
+    val sums = pairs
+      .select(col("cust"), factor(":f1").as("x1"), factor(":f2").as("x2"))
+      .groupBy("cust")
+      .agg(sum(col("x1") * col("x1")).as("a"),
+        sum(col("x1") * col("x2")).as("b"),
+        sum(col("x2") * col("x2")).as("d"),
+        sum(col("x1")).as("e"), sum(col("x2")).as("f"))
+      .collect().map(r => r.getAs[Long]("cust") -> r).toMap
+    out.foreach { r =>
+      val s = sums(r.getAs[Long]("cust"))
+      val (w1, w2) = (r.getAs[Double]("w1"), r.getAs[Double]("w2"))
+      val lhs1 = (s.getAs[Double]("a") + 0.1) * w1 +
+        s.getAs[Double]("b") * w2
+      val lhs2 = s.getAs[Double]("b") * w1 +
+        (s.getAs[Double]("d") + 0.1) * w2
+      assert(math.abs(lhs1 - s.getAs[Double]("e")) < 1e-3, s"u=$r")
+      assert(math.abs(lhs2 - s.getAs[Double]("f")) < 1e-3, s"u=$r")
+    }
+  }
+
+  // ---- ABC-XYZ -----------------------------------------------------
+
+  test("abcXyz: stable demand is X, erratic is Z; ABC classes join in") {
+    val orders = Seq(
+      (1L, ts("2024-03-01 00:00:00")), (2L, ts("2024-03-08 00:00:00")),
+      (3L, ts("2024-03-15 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      // part 1: qty 10 every week, revenue 80 total → A, CV 0 → X
+      (1L, 1L, 10.0, 20.0, 0.0), (2L, 1L, 10.0, 30.0, 0.0),
+      (3L, 1L, 10.0, 30.0, 0.0),
+      // part 2: qty 30 in week 1 only, revenue 20 → C, CV √2 → Z
+      (1L, 2L, 30.0, 20.0, 0.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount")
+    val rows = graft.analytics.StarAnalytics.abcXyz(li, orders).collect()
+    val byKey = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(byKey.contains(("A", "X")) && byKey.contains(("C", "Z")),
+      rows.mkString(", "))
+    assert(byKey(("A", "X")).getAs[Long]("n_parts") == 1L)
+    assert(byKey(("A", "X")).getAs[Double]("revenue_share") == 0.8)
+    assert(byKey(("C", "Z")).getAs[Double]("revenue_share") == 0.2)
+  }
+
   // ---- plan pins ---------------------------------------------------
 
   test("mannWhitney plan: the only window runs over the value census") {

@@ -1905,6 +1905,16 @@ object SparkEntry {
     // ABC-XYZ inventory matrix (revenue classes x weekly-demand CV)
     "q_abc_xyz" -> ((s, d) =>
       StarAnalytics.abcXyz(Tables.lineitem(s, d), Tables.orders(s, d))),
+    // PACF lags 1-3 via closed-form Durbin-Levinson over the ACF
+    "q_pacf" -> ((s, d) =>
+      StatsAnalytics.pacfDaily(Tables.events(s, d))),
+    // structured-content census (urls/emails/numbers/code, digit ratio)
+    "q_content_census" -> ((s, d) =>
+      graft.ext.TextAnalysis.contentCensus(Tables.documents(s, d))),
+    // order-to-first-ship lag distribution per priority
+    "q_fulfillment_lag" -> ((s, d) =>
+      StarAnalytics.fulfillmentLag(Tables.lineitem(s, d),
+        Tables.orders(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -9874,5 +9884,121 @@ object SparkEntry {
              * 1000000.0 + 0.5) / 1000000.0 AS revenue_share
          FROM cls JOIN x USING (l_partkey)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_pacf" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS x
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         st AS (
+           SELECT CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE) AS mean_x FROM daily),
+         c AS (SELECT d, x - st.mean_x AS c FROM daily CROSS JOIN st),
+         den AS (
+           SELECT CAST(sum(CAST(c * c AS DECIMAL(28,10))) AS DOUBLE)
+             AS den FROM c),
+         l AS (
+           SELECT c,
+             lag(c, 1) OVER (ORDER BY d) AS c1,
+             lag(c, 2) OVER (ORDER BY d) AS c2,
+             lag(c, 3) OVER (ORDER BY d) AS c3,
+             lag(c, 4) OVER (ORDER BY d) AS c4,
+             lag(c, 5) OVER (ORDER BY d) AS c5,
+             lag(c, 6) OVER (ORDER BY d) AS c6,
+             lag(c, 7) OVER (ORDER BY d) AS c7
+           FROM c),
+         a AS (
+           SELECT 1 AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(c * c1 AS DECIMAL(28,10))) AS DOUBLE) AS num
+           FROM l WHERE c1 IS NOT NULL
+           UNION ALL
+           SELECT 2, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(c * c2 AS DECIMAL(28,10))) AS DOUBLE)
+           FROM l WHERE c2 IS NOT NULL
+           UNION ALL
+           SELECT 3, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(c * c3 AS DECIMAL(28,10))) AS DOUBLE)
+           FROM l WHERE c3 IS NOT NULL
+           UNION ALL
+           SELECT 4, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(c * c4 AS DECIMAL(28,10))) AS DOUBLE)
+           FROM l WHERE c4 IS NOT NULL
+           UNION ALL
+           SELECT 5, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(c * c5 AS DECIMAL(28,10))) AS DOUBLE)
+           FROM l WHERE c5 IS NOT NULL
+           UNION ALL
+           SELECT 6, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(c * c6 AS DECIMAL(28,10))) AS DOUBLE)
+           FROM l WHERE c6 IS NOT NULL
+           UNION ALL
+           SELECT 7, CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(c * c7 AS DECIMAL(28,10))) AS DOUBLE)
+           FROM l WHERE c7 IS NOT NULL),
+         acf_t AS (
+           SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+             round(num / den.den, 6) AS acf
+           FROM a CROSS JOIN den),
+         pv AS (
+           SELECT max(CASE WHEN lag = 1 THEN acf END) AS r1,
+             max(CASE WHEN lag = 2 THEN acf END) AS r2,
+             max(CASE WHEN lag = 3 THEN acf END) AS r3,
+             max(n_pairs + lag) AS n_days
+           FROM acf_t),
+         s1 AS (
+           SELECT n_days, r1, r2, r3, r1 AS p11,
+             CASE WHEN 1.0 - r1 * r1 <> 0.0
+               THEN (r2 - r1 * r1) / (1.0 - r1 * r1) ELSE 0.0 END AS p22
+           FROM pv),
+         s2 AS (
+           SELECT *, p11 * (1.0 - p22) AS p21 FROM s1),
+         s3 AS (
+           SELECT *, CASE WHEN 1.0 - p21 * r1 - p22 * r2 <> 0.0
+             THEN (r3 - p21 * r2 - p22 * r1) /
+               (1.0 - p21 * r1 - p22 * r2)
+             ELSE 0.0 END AS p33
+           FROM s2)
+         SELECT CAST(n_days AS BIGINT) AS n_days,
+           floor(p11 * 1000000.0 + 0.5) / 1000000.0 AS pacf_1,
+           floor(p22 * 1000000.0 + 0.5) / 1000000.0 AS pacf_2,
+           floor(p33 * 1000000.0 + 0.5) / 1000000.0 AS pacf_3
+         FROM s3""",
+    "q_content_census" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'https?://[^ ]+'))
+             AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+'))
+             AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]+\.[0-9]+|[0-9]+'))
+             AS BIGINT) AS n_numbers,
+           CAST(len(regexp_extract_all(text, '[{}();=<>]{2,}'))
+             AS BIGINT) AS n_code_runs,
+           floor(CASE WHEN length(text) > 0
+             THEN CAST(len(regexp_extract_all(text, '[0-9]'))
+               AS DOUBLE) / CAST(length(text) AS DOUBLE)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0
+             AS digit_ratio
+         FROM documents ORDER BY doc_id""",
+    "q_fulfillment_lag" ->
+      """WITH fs AS (
+           SELECT l_orderkey, min(CAST(l_shipdate AS DATE))
+               AS first_ship
+           FROM lineitem GROUP BY 1),
+         lags AS (
+           SELECT o_orderpriority AS priority,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+               first_ship) AS BIGINT) AS lag_days
+           FROM fs JOIN orders ON l_orderkey = o_orderkey)
+         SELECT priority, CAST(count(*) AS BIGINT) AS n_orders,
+           floor(CAST(sum(lag_days) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS mean_days,
+           floor(quantile_cont(lag_days, 0.5) * 1000000.0 + 0.5)
+             / 1000000.0 AS p50_days,
+           floor(quantile_cont(lag_days, 0.95) * 1000000.0 + 0.5)
+             / 1000000.0 AS p95_days
+         FROM lags GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -1055,6 +1055,39 @@ object StarAnalytics {
           .otherwise("C"))
   }
 
+  /** Fulfillment-lag distribution per order priority: days from order
+    * date to FIRST shipment, summarized as mean / exact p50 / exact p95
+    * per priority — the ops-SLA read on whether priority classes
+    * actually ship faster. One fact aggregate to per-order first-ship
+    * (min l_shipdate — map-side combining), a key join to orders, then
+    * a priority-bounded aggregate; lags are small integers so the exact
+    * percentiles aggregate over a day census per group, not a sort. */
+  def fulfillmentLag(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val firstShip = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+    val lags = firstShip
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("first_ship"), to_date(col("o_orderdate")))
+          .cast("long").as("lag_days"))
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    lags.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("lag_days")).as("s"),
+        expr("percentile(lag_days, 0.5)").as("p50_raw"),
+        expr("percentile(lag_days, 0.95)").as("p95_raw"))
+      .select(col("priority"), col("n_orders"),
+        r6(col("s").cast("double") / col("n_orders").cast("double"))
+          .as("mean_days"),
+        r6(col("p50_raw")).as("p50_days"),
+        r6(col("p95_raw")).as("p95_days"))
+      .orderBy("priority")
+  }
+
   /** ABC-XYZ inventory matrix: the [[abcClassification]] revenue classes
     * crossed with demand-VARIABILITY classes — X/Y/Z by the coefficient
     * of variation of WEEKLY quantity, with absent weeks counted as zero

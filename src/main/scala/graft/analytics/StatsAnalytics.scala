@@ -943,6 +943,33 @@ object StatsAnalytics {
       .orderBy("d")
   }
 
+  /** Partial autocorrelation at lags 1–3 via the Durbin–Levinson
+    * recursion in CLOSED FORM over [[acfDaily]]'s published ρ values —
+    * the third leg of the Box–Jenkins identification triad (ACF shape,
+    * PACF cutoff, Ljung–Box significance): an AR(p) process shows PACF
+    * cutting off after lag p, which the raw ACF cannot reveal. The
+    * recursion runs on the r6-ROUNDED ρ₁..ρ₃ (three numbers — scalar
+    * algebra, no data pass beyond the ACF's own), so both engines fold
+    * identical inputs; denominators guard the |ρ|=1 degenerate case. */
+  def pacfDaily(ev: DataFrame): DataFrame = {
+    val a = acfDaily(ev, 3)
+    def at(k: Int) = max(when(col("lag") === k, col("acf")))
+    val m = a.agg(at(1).as("r1"), at(2).as("r2"), at(3).as("r3"),
+      max(col("n_pairs") + col("lag")).as("n_days"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val p11 = col("r1")
+    val den2 = lit(1.0) - col("r1") * col("r1")
+    val p22 = when(den2 =!= lit(0.0),
+      (col("r2") - col("r1") * col("r1")) / den2).otherwise(lit(0.0))
+    val p21 = p11 * (lit(1.0) - p22)
+    val den3 = lit(1.0) - p21 * col("r1") - p22 * col("r2")
+    val p33 = when(den3 =!= lit(0.0),
+      (col("r3") - p21 * col("r2") - p22 * col("r1")) / den3)
+      .otherwise(lit(0.0))
+    m.select(col("n_days"), r6(p11).as("pacf_1"), r6(p22).as("pacf_2"),
+      r6(p33).as("pacf_3"))
+  }
+
   /** Cohort LTV triangle: users cohort by FIRST-SEEN day; per (cohort,
     * day-offset) the value contribution accumulates into the running
     * lifetime value — the growth-analytics curve beside the retention

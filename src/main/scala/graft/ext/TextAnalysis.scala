@@ -1295,6 +1295,36 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Structured-content census per document — the web-curation signal
+    * that separates prose from markup/log/boilerplate payloads: counts
+    * of URLs, e-mail addresses, numeric tokens, and code-ish
+    * punctuation runs, plus the digit ratio. Every count is a map-side
+    * `regexp_count` projection (codegen'd, one pass, no tokenize) with
+    * patterns chosen to parse identically under Java and POSIX regex
+    * semantics on the ASCII fixture domain. The downstream gate uses
+    * these the way [[textStats]]' stopword ratio is used: thresholds
+    * over cheap per-doc integers. */
+  def contentCensus(docs: DataFrame): DataFrame = {
+    def rc(pat: String) =
+      regexp_count(col("text"), lit(pat)).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val nDigits = rc("[0-9]")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    docs.select(col("doc_id"),
+        rc("https?://[^ ]+").as("n_urls"),
+        rc("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+")
+          .as("n_emails"),
+        rc("[0-9]+\\.[0-9]+|[0-9]+").as("n_numbers"),
+        rc("[{}();=<>]{2,}").as("n_code_runs"),
+        nChars.as("n_chars_m"), nDigits.as("n_digits"))
+      .select(col("doc_id"), col("n_urls"), col("n_emails"),
+        col("n_numbers"), col("n_code_runs"),
+        r6(when(col("n_chars_m") > 0L,
+          col("n_digits").cast("double") / col("n_chars_m").cast("double"))
+          .otherwise(lit(0.0))).as("digit_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Flesch-style readability per document — the classic prose-difficulty
     * score as a corpus quality signal (very high or very low readability
     * both correlate with boilerplate/garbage in web-scale filtering).

@@ -823,6 +823,55 @@ class Round21OpsSpec extends SparkSpec {
     assert(byKey(("C", "Z")).getAs[Double]("revenue_share") == 0.2)
   }
 
+  // ---- PACF --------------------------------------------------------
+
+  test("pacfDaily: lag-1 PACF equals lag-1 ACF by definition") {
+    val ev = dailySeries((1 to 30).map(i =>
+      10.0 + (i * 2654435761L % 89).toDouble))
+    val acf1 = graft.analytics.StatsAnalytics
+      .acfDaily(ev, 3).collect().find(_.getAs[Long]("lag") == 1L).get
+      .getAs[Double]("acf")
+    val r = graft.analytics.StatsAnalytics.pacfDaily(ev).collect()(0)
+    assert(r.getAs[Long]("n_days") == 30L)
+    assert(math.abs(r.getAs[Double]("pacf_1") - acf1) < 2e-6)
+  }
+
+  // ---- content census ----------------------------------------------
+
+  test("contentCensus: hand-counted urls/emails/numbers/code/digits") {
+    val text = "go https://x.io mail a@b.com price 3.14 or 42 {};; ok =="
+    val docs = Seq((1L, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.ext.TextAnalysis.contentCensus(docs).collect()(0)
+    assert(r.getAs[Long]("n_urls") == 1L)
+    assert(r.getAs[Long]("n_emails") == 1L)
+    assert(r.getAs[Long]("n_numbers") == 2L)   // 3.14 counts once
+    assert(r.getAs[Long]("n_code_runs") == 2L) // {};; and ==
+    val want = math.floor(5.0 / text.length * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("digit_ratio") == want)
+  }
+
+  // ---- fulfillment lag ---------------------------------------------
+
+  test("fulfillmentLag: first-ship lags with exact percentiles") {
+    val orders = Seq(
+      (1L, ts("2024-03-01 00:00:00"), "1-URGENT"),
+      (2L, ts("2024-03-01 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, ts("2024-03-03 00:00:00")), (1L, ts("2024-03-09 00:00:00")),
+      (2L, ts("2024-03-05 00:00:00")))
+      .toDF("l_orderkey", "l_shipdate")
+    val r = graft.analytics.StarAnalytics.fulfillmentLag(li, orders)
+      .collect()(0)
+    // order 1 first ship day 3 (lag 2, later shipment ignored);
+    // order 2 lag 4 → mean 3, p50 3, p95 = 2 + 0.95·2 = 3.9
+    assert(r.getAs[Long]("n_orders") == 2L)
+    assert(r.getAs[Double]("mean_days") == 3.0)
+    assert(r.getAs[Double]("p50_days") == 3.0)
+    assert(r.getAs[Double]("p95_days") == 3.9)
+  }
+
   // ---- plan pins ---------------------------------------------------
 
   test("mannWhitney plan: the only window runs over the value census") {

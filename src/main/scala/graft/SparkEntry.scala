@@ -1915,6 +1915,17 @@ object SparkEntry {
     "q_fulfillment_lag" -> ((s, d) =>
       StarAnalytics.fulfillmentLag(Tables.lineitem(s, d),
         Tables.orders(s, d))),
+    // Croston intermittent-demand forecast (closed-form EWMA unroll)
+    "q_croston" -> ((s, d) =>
+      StarAnalytics.crostonForecast(Tables.lineitem(s, d),
+        Tables.orders(s, d))),
+    // Laspeyres / Paasche / Fisher price indices between halves
+    "q_price_index" -> ((s, d) =>
+      StarAnalytics.priceIndex(Tables.lineitem(s, d),
+        Tables.orders(s, d))),
+    // exponential-decay fit of the pooled retention curve
+    "q_retention_halflife" -> ((s, d) =>
+      EventAnalytics.retentionHalfLife(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -10000,5 +10011,139 @@ object SparkEntry {
            floor(quantile_cont(lag_days, 0.95) * 1000000.0 + 0.5)
              / 1000000.0 AS p95_days
          FROM lags GROUP BY 1 ORDER BY 1""",
+    "q_croston" ->
+      """WITH rows_ AS (
+           SELECT l_partkey, l_quantity, CAST(o_orderdate AS DATE) AS d
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         d0 AS (SELECT min(d) AS d0 FROM rows_),
+         weekly AS (
+           SELECT l_partkey,
+             CAST(floor(date_diff('day', d0, d) / 7.0) AS BIGINT) AS wk,
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE)
+               AS z
+           FROM rows_ CROSS JOIN d0 GROUP BY 1, 2
+           HAVING sum(CAST(l_quantity AS DECIMAL(28,12))) > 0),
+         idx AS (
+           SELECT l_partkey, wk, z,
+             CAST(row_number() OVER (PARTITION BY l_partkey
+               ORDER BY wk) AS DOUBLE) AS i,
+             CAST(wk - lag(wk, 1) OVER (PARTITION BY l_partkey
+               ORDER BY wk) AS DOUBLE) AS g
+           FROM weekly),
+         cnt AS (
+           SELECT l_partkey, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(CAST(z AS DECIMAL(28,12))) AS DOUBLE) AS total_z
+           FROM idx GROUP BY 1 HAVING count(*) >= 3),
+         zh AS (
+           SELECT idx.l_partkey, cnt.m, cnt.total_z,
+             CAST(sum(CAST(z * CASE WHEN i = 1.0
+                 THEN pow(0.7, CAST(m AS DOUBLE) - i)
+                 ELSE 0.3 * pow(0.7, CAST(m AS DOUBLE) - i) END
+               AS DECIMAL(28,12))) AS DOUBLE) AS z_hat
+           FROM idx JOIN cnt USING (l_partkey) GROUP BY 1, 2, 3),
+         gh AS (
+           SELECT idx.l_partkey,
+             CAST(sum(CAST(g * CASE WHEN i - 1.0 = 1.0
+                 THEN pow(0.7, CAST(m - 1 AS DOUBLE) - (i - 1.0))
+                 ELSE 0.3 * pow(0.7, CAST(m - 1 AS DOUBLE) - (i - 1.0))
+               END AS DECIMAL(28,12))) AS DOUBLE) AS g_hat
+           FROM idx JOIN cnt USING (l_partkey)
+           WHERE g IS NOT NULL GROUP BY 1)
+         SELECT l_partkey, m AS n_periods,
+           floor(z_hat * 1000000.0 + 0.5) / 1000000.0 AS z_hat,
+           floor(g_hat * 1000000.0 + 0.5) / 1000000.0 AS g_hat,
+           floor(z_hat / g_hat * 1000000.0 + 0.5) / 1000000.0
+             AS demand_rate
+         FROM zh JOIN gh USING (l_partkey)
+         ORDER BY total_z DESC, l_partkey LIMIT 20""",
+    "q_price_index" ->
+      """WITH rows_ AS (
+           SELECT CAST(o_orderdate AS DATE) AS d, l_partkey,
+             l_quantity AS q,
+             l_extendedprice * (1.0 - l_discount) AS rev
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         cut AS (SELECT min(d) + CAST(floor(
+             date_diff('day', min(d), max(d)) / 2.0) AS INT) AS cut
+           FROM rows_),
+         per AS (
+           SELECT l_partkey,
+             sum(CASE WHEN d <= cut THEN CAST(q AS DECIMAL(28,12))
+               ELSE 0 END) AS q1,
+             sum(CASE WHEN d > cut THEN CAST(q AS DECIMAL(28,12))
+               ELSE 0 END) AS q2,
+             sum(CASE WHEN d <= cut THEN CAST(rev AS DECIMAL(28,12))
+               ELSE 0 END) AS r1,
+             sum(CASE WHEN d > cut THEN CAST(rev AS DECIMAL(28,12))
+               ELSE 0 END) AS r2
+           FROM rows_ CROSS JOIN cut GROUP BY 1
+           HAVING sum(CASE WHEN d <= cut THEN CAST(q AS DECIMAL(28,12))
+               ELSE 0 END) > 0
+             AND sum(CASE WHEN d > cut THEN CAST(q AS DECIMAL(28,12))
+               ELSE 0 END) > 0),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_common_parts,
+             CAST(sum(CAST((CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)) *
+               CAST(q1 AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+               AS p2q1,
+             CAST(sum(CAST((CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)) *
+               CAST(q1 AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+               AS p1q1,
+             CAST(sum(CAST((CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)) *
+               CAST(q2 AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+               AS p2q2,
+             CAST(sum(CAST((CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)) *
+               CAST(q2 AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+               AS p1q2
+           FROM per)
+         SELECT n_common_parts,
+           floor(p2q1 / p1q1 * 1000000.0 + 0.5) / 1000000.0
+             AS laspeyres,
+           floor(p2q2 / p1q2 * 1000000.0 + 0.5) / 1000000.0 AS paasche,
+           floor(sqrt((p2q1 / p1q1) * (p2q2 / p1q2)) * 1000000.0 + 0.5)
+             / 1000000.0 AS fisher
+         FROM m""",
+    "q_retention_halflife" ->
+      """WITH rows_ AS (
+           SELECT user_id, CAST(ts AS DATE) AS d FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         cohorts AS (SELECT user_id, min(d) AS c FROM rows_ GROUP BY 1),
+         tri AS (
+           SELECT c, CAST(date_diff('day', c, d) AS BIGINT) AS k,
+             CAST(count(DISTINCT rows_.user_id) AS BIGINT) AS n
+           FROM rows_ JOIN cohorts USING (user_id) GROUP BY 1, 2),
+         base AS (SELECT c, n AS b FROM tri WHERE k = 0),
+         ld AS (SELECT max(c + CAST(k AS INT)) AS last_day FROM tri),
+         offs AS (SELECT DISTINCT k FROM tri),
+         den AS (
+           SELECT k, CAST(sum(b) AS BIGINT) AS den
+           FROM base CROSS JOIN offs CROSS JOIN ld
+           WHERE date_diff('day', c, last_day) >= k GROUP BY 1),
+         num AS (SELECT k, CAST(sum(n) AS BIGINT) AS num FROM tri
+           GROUP BY 1),
+         curve AS (
+           SELECT CAST(k AS DOUBLE) AS x,
+             ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) AS y
+           FROM num JOIN den USING (k) WHERE k >= 1 AND num > 0),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_offsets,
+             CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+           FROM curve),
+         f AS (
+           SELECT n_offsets,
+             (CAST(n_offsets AS DOUBLE) * sxy - sx * sy) /
+               (CAST(n_offsets AS DOUBLE) * sxx - sx * sx) AS slope,
+             sx, sy
+           FROM m)
+         SELECT n_offsets,
+           floor(slope * 1000000.0 + 0.5) / 1000000.0 AS slope,
+           floor((sy - slope * sx) / CAST(n_offsets AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS intercept,
+           floor(CASE WHEN slope < 0.0 THEN -ln(2.0) / slope
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0
+             AS half_life_days
+         FROM f""",
   )
 }

@@ -340,6 +340,54 @@ object EventAnalytics {
       .orderBy("column_name", "metric")
   }
 
+  /** Exponential-decay fit of the pooled retention curve — the scalar
+    * the [[retentionCohorts]] triangle exists to produce: pool each
+    * day-offset's active users over the cohorts that could have REACHED
+    * that offset (right-censoring handled by the observability join —
+    * cohort c contributes to offset k only when k days of history
+    * exist), then fit ln r_k = a + b·k by OLS over the offsets and
+    * report the half-life −ln 2 / b. Everything after the one corpus
+    * aggregate runs on the cohort × offset frame (calendar² — tiny);
+    * OLS sums go DECIMAL. */
+  def retentionHalfLife(ev: DataFrame): DataFrame = {
+    val rows = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val cohorts = rows.groupBy(col("user_id")).agg(min(col("d")).as("c"))
+    val tri = rows.join(cohorts, Seq("user_id"))
+      .groupBy(col("c"), datediff(col("d"), col("c")).cast("long").as("k"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .localCheckpoint() // offsets, bases, and L all read this frame
+    val base = tri.filter(col("k") === 0L)
+      .select(col("c"), col("n").as("b"))
+    val lastDay = tri.agg(max(date_add(col("c"),
+      col("k").cast("int"))).as("last_day"))
+    val offsets = tri.select(col("k")).distinct()
+    val den = base.crossJoin(broadcast(offsets))
+      .crossJoin(broadcast(lastDay))
+      .filter(datediff(col("last_day"), col("c")) >= col("k"))
+      .groupBy(col("k")).agg(sum(col("b")).as("den"))
+    val num = tri.groupBy(col("k")).agg(sum(col("n")).as("num"))
+    def d(c: Column) = c.cast("double")
+    val curve = num.join(den, Seq("k"))
+      .filter(col("k") >= 1L && col("num") > 0L)
+      .select(d(col("k")).as("x"),
+        log(d(col("num")) / d(col("den"))).as("y"))
+    def dec(c: Column) = c.cast("decimal(28,12)")
+    val m = curve.agg(count(lit(1)).as("n_offsets"),
+      sum(dec(col("x"))).cast("double").as("sx"),
+      sum(dec(col("y"))).cast("double").as("sy"),
+      sum(dec(col("x") * col("x"))).cast("double").as("sxx"),
+      sum(dec(col("x") * col("y"))).cast("double").as("sxy"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val n = d(col("n_offsets"))
+    val slope = (n * col("sxy") - col("sx") * col("sy")) /
+      (n * col("sxx") - col("sx") * col("sx"))
+    m.select(col("n_offsets"), r6(slope).as("slope"),
+      r6((col("sy") - slope * col("sx")) / n).as("intercept"),
+      r6(when(slope < 0.0, -log(lit(2.0)) / slope).otherwise(lit(0.0)))
+        .as("half_life_days"))
+  }
+
   /** Entropy rate of the event-type Markov chain — the scalar
     * [[transitionMatrix]] compresses to: how predictable is the NEXT
     * event given the current one, in bits, against the marginal entropy

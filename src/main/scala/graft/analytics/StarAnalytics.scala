@@ -1149,26 +1149,7 @@ object StarAnalytics {
     * aggregate to (part × half), then part-cardinality arithmetic;
     * every sum is DECIMAL. */
   def revenueBridge(lineitem: DataFrame, orders: DataFrame): DataFrame = {
-    val rows = lineitem
-      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(to_date(col("o_orderdate")).as("d"), col("l_partkey"),
-        col("l_quantity"),
-        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .as("rev"))
-    val cut = rows.agg(date_add(min(col("d")),
-      (datediff(max(col("d")), min(col("d"))) / 2).cast("int")).as("cut"))
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,12)")
-    val per = rows.crossJoin(broadcast(cut))
-      .withColumn("h1", col("d") <= col("cut"))
-      .groupBy(col("l_partkey"))
-      .agg(sum(when(col("h1"), dec(col("l_quantity"))).otherwise(lit(0)))
-        .as("q1"),
-        sum(when(!col("h1"), dec(col("l_quantity"))).otherwise(lit(0)))
-          .as("q2"),
-        sum(when(col("h1"), dec(col("rev"))).otherwise(lit(0))).as("r1"),
-        sum(when(!col("h1"), dec(col("rev"))).otherwise(lit(0)))
-          .as("r2"))
+    val per = partHalves(lineitem, orders)
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
     val both = col("q1") > 0 && col("q2") > 0
     val p1 = d(col("r1")) / d(col("q1"))
@@ -1196,6 +1177,127 @@ object StarAnalytics {
       r6(col("volume_effect")).as("volume_effect"),
       r6(col("new_parts_effect")).as("new_parts_effect"),
       r6(col("lost_parts_effect")).as("lost_parts_effect"))
+  }
+
+  /** Per-part (q, revenue) sums for the two calendar halves — shared by
+    * [[revenueBridge]] and [[priceIndex]]. */
+  private def partHalves(lineitem: DataFrame,
+                         orders: DataFrame): DataFrame = {
+    val rows = lineitem
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(to_date(col("o_orderdate")).as("d"), col("l_partkey"),
+        col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+    val cut = rows.agg(date_add(min(col("d")),
+      (datediff(max(col("d")), min(col("d"))) / 2).cast("int")).as("cut"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,12)")
+    rows.crossJoin(broadcast(cut))
+      .withColumn("h1", col("d") <= col("cut"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(when(col("h1"), dec(col("l_quantity"))).otherwise(lit(0)))
+        .as("q1"),
+        sum(when(!col("h1"), dec(col("l_quantity"))).otherwise(lit(0)))
+          .as("q2"),
+        sum(when(col("h1"), dec(col("rev"))).otherwise(lit(0))).as("r1"),
+        sum(when(!col("h1"), dec(col("rev"))).otherwise(lit(0)))
+          .as("r2"))
+  }
+
+  /** Laspeyres / Paasche / Fisher price indices between the two calendar
+    * halves — the econometric companion to [[revenueBridge]]: how much
+    * of the price movement is real once the basket is held fixed
+    * (Laspeyres fixes the OLD basket, Paasche the NEW, Fisher is their
+    * geometric mean — the "ideal" index). Unit prices are rᵢ/qᵢ per
+    * part-half; only parts traded in BOTH halves enter (the standard
+    * matched-model scope, reported alongside). Numerators/denominators
+    * are DECIMAL sums of per-part double terms; indices are three final
+    * divisions. */
+  def priceIndex(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val per = partHalves(lineitem, orders)
+      .filter(col("q1") > 0 && col("q2") > 0)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,12)")
+    val p1 = d(col("r1")) / d(col("q1"))
+    val p2 = d(col("r2")) / d(col("q2"))
+    val m = per.agg(count(lit(1)).as("n_common_parts"),
+      sum(dec(p2 * d(col("q1")))).cast("double").as("p2q1"),
+      sum(dec(p1 * d(col("q1")))).cast("double").as("p1q1"),
+      sum(dec(p2 * d(col("q2")))).cast("double").as("p2q2"),
+      sum(dec(p1 * d(col("q2")))).cast("double").as("p1q2"))
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val lasp = col("p2q1") / col("p1q1")
+    val paas = col("p2q2") / col("p1q2")
+    m.select(col("n_common_parts"), r6(lasp).as("laspeyres"),
+      r6(paas).as("paasche"), r6(sqrt(lasp * paas)).as("fisher"))
+  }
+
+  /** Croston's method for intermittent demand — the forecasting model
+    * the [[abcXyz]] Z class actually needs (EWMA of a mostly-zero weekly
+    * series just decays to noise; Croston smooths demand SIZES and
+    * inter-demand INTERVALS separately and forecasts their ratio). The
+    * sequential EWMA recursions unroll in CLOSED FORM as weighted sums
+    * over each part's nonzero-demand weeks — weight (1−α)^(m−i), the
+    * first observation carrying the remaining mass — so the whole model
+    * fits in one part-partitioned window pass plus one aggregate; no
+    * iteration, no state. Reported for the `limit` highest-demand
+    * qualifying parts (≥ 3 nonzero weeks). */
+  def crostonForecast(lineitem: DataFrame, orders: DataFrame,
+                      alpha: Double = 0.3, limit: Int = 20): DataFrame = {
+    val rows = lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), col("l_quantity"),
+        to_date(col("o_orderdate")).as("d"))
+    val d0 = rows.agg(min(col("d")).as("d0"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,12)")
+    val weekly = rows.crossJoin(broadcast(d0))
+      .groupBy(col("l_partkey"),
+        floor(datediff(col("d"), col("d0")) / 7).cast("long").as("wk"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("z"))
+      .filter(col("z") > 0.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_partkey")).orderBy(col("wk"))
+    val idx = weekly
+      .withColumn("i", row_number().over(w).cast("double"))
+      .withColumn("g",
+        (col("wk") - lag(col("wk"), 1).over(w)).cast("double"))
+    val cnt = idx.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("m"),
+        sum(dec(col("z"))).cast("double").as("total_z"))
+      .filter(col("m") >= 3)
+    val oneMinus = lit(1.0 - alpha)
+    // weight for the i-th of m observations: α(1−α)^(m−i), with the
+    // FIRST observation carrying the full remaining mass (1−α)^(m−1)
+    def ewma(v: org.apache.spark.sql.Column, first: org.apache.spark.sql.Column,
+             mCol: org.apache.spark.sql.Column,
+             iCol: org.apache.spark.sql.Column) =
+      sum(dec(v * when(first, pow(oneMinus, mCol - iCol))
+        .otherwise(lit(alpha) * pow(oneMinus, mCol - iCol))))
+        .cast("double")
+    val joined = idx.join(cnt, Seq("l_partkey"))
+    val zhat = joined
+      .groupBy(col("l_partkey"), col("m"), col("total_z"))
+      .agg(ewma(col("z"), col("i") === 1.0, col("m").cast("double"),
+        col("i")).as("z_hat"))
+    // gap EWMA runs over the m−1 gaps (i ≥ 2), re-indexed from 1
+    val gaps = joined.filter(col("g").isNotNull)
+      .select(col("l_partkey"), col("g"),
+        (col("i") - 1.0).as("gi"), (col("m") - 1).cast("double").as("gm"))
+      .groupBy(col("l_partkey"))
+      .agg(ewma(col("g"), col("gi") === 1.0, col("gm"), col("gi"))
+        .as("g_hat"))
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    zhat.join(gaps, Seq("l_partkey"))
+      .orderBy(col("total_z").desc, col("l_partkey"))
+      .limit(limit)
+      .select(col("l_partkey"), col("m").as("n_periods"),
+        r6(col("z_hat")).as("z_hat"), r6(col("g_hat")).as("g_hat"),
+        r6(col("z_hat") / col("g_hat")).as("demand_rate"))
   }
 
   /** Per-brand discount elasticity of quantity — grouped OLS from five

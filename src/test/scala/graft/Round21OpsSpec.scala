@@ -872,6 +872,67 @@ class Round21OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("p95_days") == 3.9)
   }
 
+  // ---- Croston -----------------------------------------------------
+
+  test("crostonForecast: hand-unrolled EWMA of sizes and intervals") {
+    // nonzero weeks 0,2,3 with z = 10,20,30 (alpha 0.3):
+    // z_hat = 10·0.49 + 20·0.21 + 30·0.3 = 18.1
+    // gaps [2,1]: g_hat = 2·0.7 + 1·0.3 = 1.7 → rate 10.647059
+    val orders = Seq(
+      (1L, ts("2024-03-01 00:00:00")), (2L, ts("2024-03-15 00:00:00")),
+      (3L, ts("2024-03-22 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      (1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 1L, 30.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+    val r = graft.analytics.StarAnalytics.crostonForecast(li, orders)
+      .collect()(0)
+    assert(r.getAs[Long]("n_periods") == 3L)
+    assert(r.getAs[Double]("z_hat") == 18.1)
+    assert(r.getAs[Double]("g_hat") == 1.7)
+    assert(r.getAs[Double]("demand_rate") == 10.647059)
+  }
+
+  // ---- price indices -----------------------------------------------
+
+  test("priceIndex: matched-model scope, hand-traced Fisher") {
+    val orders = Seq(
+      (1L, ts("2024-03-01 00:00:00")), (2L, ts("2024-03-04 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      // part 10 both halves: p 10→12
+      (1L, 10L, 2.0, 20.0, 0.0), (2L, 10L, 3.0, 36.0, 0.0),
+      // part 20 only h1 → excluded from the matched set
+      (1L, 20L, 1.0, 4.0, 0.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount")
+    val r = graft.analytics.StarAnalytics.priceIndex(li, orders)
+      .collect()(0)
+    assert(r.getAs[Long]("n_common_parts") == 1L)
+    assert(r.getAs[Double]("laspeyres") == 1.2)
+    assert(r.getAs[Double]("paasche") == 1.2)
+    assert(r.getAs[Double]("fisher") == 1.2)
+  }
+
+  // ---- retention half-life -----------------------------------------
+
+  test("retentionHalfLife: geometric retention fits half-life 1 day") {
+    // single cohort; actives halve daily: r_k = 2^-k → slope −ln2
+    val rows = Seq(
+      (1 to 8).map(u => (u.toLong, 1)),
+      (1 to 4).map(u => (u.toLong, 2)),
+      (1 to 2).map(u => (u.toLong, 3)),
+      Seq((1L, 4))).flatten
+    val ev = rows.zipWithIndex.map { case ((u, day), i) =>
+      (i.toLong, ts(f"2024-03-0$day%d 10:00:00"), u, "view", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.analytics.EventAnalytics.retentionHalfLife(ev)
+      .collect()(0)
+    assert(r.getAs[Long]("n_offsets") == 3L)
+    assert(r.getAs[Double]("slope") == -0.693147)
+    assert(r.getAs[Double]("half_life_days") == 1.0)
+  }
+
   // ---- plan pins ---------------------------------------------------
 
   test("mannWhitney plan: the only window runs over the value census") {

@@ -1926,6 +1926,15 @@ object SparkEntry {
     // exponential-decay fit of the pooled retention curve
     "q_retention_halflife" -> ((s, d) =>
       EventAnalytics.retentionHalfLife(Tables.events(s, d))),
+    // active-learning uncertainty-sampling batch selection
+    "q_uncertainty_batch" -> ((s, d) =>
+      graft.ext.EvalOps.uncertaintyBatch(Tables.documents(s, d))),
+    // knee / optimal operating point of the gains curve
+    "q_knee_point" -> ((s, d) =>
+      graft.ext.EvalOps.gainsKnee(Tables.documents(s, d))),
+    // Neyman allocation of a labeling budget across sources
+    "q_neyman_alloc" -> ((s, d) =>
+      graft.ext.Curation.neymanAllocation(Tables.documents(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -10145,5 +10154,88 @@ object SparkEntry {
              ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0
              AS half_life_days
          FROM f""",
+    "q_uncertainty_batch" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, CASE WHEN len(toks) = 0 THEN 0
+             ELSE CAST(floor(10000.0 * len(list_filter(toks,
+               x -> list_contains(['the','and','of','is','to','a','in'],
+                 x))) / len(toks) + 0.5) AS BIGINT) END AS sri
+           FROM t),
+         m AS (SELECT doc_id, sri, abs(sri - 5000) AS margin FROM s)
+         SELECT doc_id, sri,
+           floor(CAST(margin AS DOUBLE) / 10000.0 * 1000000.0 + 0.5)
+             / 1000000.0 AS uncertainty
+         FROM m ORDER BY margin, doc_id LIMIT 20""",
+    "q_knee_point" ->
+      """WITH t AS (
+           SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             list_filter(string_split_regex(lower(text), '\s+'),
+               x -> x <> '') AS toks
+           FROM documents),
+         s AS (
+           SELECT y, CASE WHEN len(toks) = 0 THEN 0
+             ELSE CAST(floor(10000.0 * len(list_filter(toks,
+               x -> list_contains(['the','and','of','is','to','a','in'],
+                 x))) / len(toks) + 0.5) AS BIGINT) END AS sri
+           FROM t),
+         census AS (
+           SELECT sri, CAST(count(*) AS BIGINT) AS n_s,
+             CAST(sum(y) AS BIGINT) AS pos_s
+           FROM s GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_docs,
+             CAST(sum(pos_s) AS BIGINT) AS n_pos FROM census),
+         pts AS (
+           SELECT sri,
+             CAST(sum(n_s) OVER (ORDER BY sri DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_n,
+             CAST(sum(pos_s) OVER (ORDER BY sri DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_pos
+           FROM census),
+         sc AS (
+           SELECT sri, cum_n, cum_pos, n_docs, n_pos,
+             CAST(cum_pos AS DOUBLE) / CAST(n_pos AS DOUBLE) -
+               CAST(cum_n AS DOUBLE) / CAST(n_docs AS DOUBLE) AS sep
+           FROM pts CROSS JOIN tot)
+         SELECT sri AS knee_sri, cum_n AS n_kept,
+           cum_pos AS pos_captured,
+           floor(CAST(cum_n AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS frac_kept,
+           floor(CAST(cum_pos AS DOUBLE) / CAST(n_pos AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS frac_pos,
+           floor(sep * 1000000.0 + 0.5) / 1000000.0 AS separation
+         FROM sc ORDER BY sep DESC, sri LIMIT 1""",
+    "q_neyman_alloc" ->
+      """WITH per AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             sqrt(greatest(
+               CAST(sum(CAST(n_chars * n_chars AS DECIMAL(28,12)))
+                 AS DOUBLE) / count(*) -
+               (CAST(sum(CAST(n_chars AS DECIMAL(28,12))) AS DOUBLE)
+                 / count(*)) *
+               (CAST(sum(CAST(n_chars AS DECIMAL(28,12))) AS DOUBLE)
+                 / count(*)), 0.0)) AS sigma
+           FROM documents GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(CAST(CAST(n_docs AS DOUBLE) * sigma
+               AS DECIMAL(28,12))) AS DOUBLE) AS w_tot,
+             CAST(sum(n_docs) AS BIGINT) AS n_tot
+           FROM per)
+         SELECT source, n_docs,
+           floor(sigma * 1000000.0 + 0.5) / 1000000.0 AS sigma,
+           floor(CAST(n_docs AS DOUBLE) * sigma / w_tot
+             * 1000000.0 + 0.5) / 1000000.0 AS neyman_share,
+           least(n_docs, CAST(floor(1000.0 * (CAST(n_docs AS DOUBLE) *
+             sigma / w_tot) + 0.5) AS BIGINT)) AS alloc_neyman,
+           least(n_docs, CAST(floor(1000.0 * CAST(n_docs AS DOUBLE) /
+             CAST(n_tot AS DOUBLE) + 0.5) AS BIGINT))
+             AS alloc_proportional
+         FROM per CROSS JOIN tot ORDER BY source""",
   )
 }

@@ -357,4 +357,43 @@ object Curation {
           .as("recall_en"))
     }.reduce(_ unionAll _).orderBy("cutoff")
   }
+
+  /** Neyman allocation of a labeling/sampling budget across sources:
+    * n_h ∝ N_h·σ_h — strata that are big AND internally variable get
+    * the labels; a small homogeneous source needs almost none. σ here
+    * is the per-source population spread of document length (the
+    * variance proxy a curation pass has before any labels exist). One
+    * aggregate to the source frame; the proportional allocation ships
+    * alongside so the report shows what Neyman changed. Allocations
+    * floor-round half-up and cap at the stratum size. */
+  def neymanAllocation(docs: DataFrame, budget: Int = 1000): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(28,12)")
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(dec(col("n_chars"))).cast("double").as("s"),
+        sum(dec(col("n_chars") * col("n_chars"))).cast("double")
+          .as("ss"))
+      .select(col("source"), col("n_docs"),
+        sqrt(greatest(col("ss") / col("n_docs") -
+          (col("s") / col("n_docs")) * (col("s") / col("n_docs")),
+          lit(0.0))).as("sigma"))
+      .localCheckpoint()
+    val tot = per.agg(
+      sum(dec(col("n_docs") * col("sigma"))).cast("double").as("w_tot"),
+      sum(col("n_docs")).as("n_tot"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val w = d(col("n_docs")) * col("sigma") / col("w_tot")
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), r6(col("sigma")).as("sigma"),
+        r6(w).as("neyman_share"),
+        least(col("n_docs"),
+          floor(lit(budget.toDouble) * w + lit(0.5)).cast("bigint"))
+          .as("alloc_neyman"),
+        least(col("n_docs"),
+          floor(lit(budget.toDouble) * d(col("n_docs")) /
+            d(col("n_tot")) + lit(0.5)).cast("bigint"))
+          .as("alloc_proportional"))
+      .orderBy("source")
+  }
 }

@@ -39,6 +39,65 @@ object EvalOps {
       when(col("lang") === "en", 1L).otherwise(0L).as("y"))
   }
 
+  /** Uncertainty-sampling batch selection — the active-learning staple:
+    * the `k` documents whose quality score sits CLOSEST to the decision
+    * boundary (sri = 5000, i.e. p = 0.5) are exactly the labels worth
+    * buying next (a confident model learns nothing from its confident
+    * predictions). The pick is orderBy + limit over (uncertainty
+    * margin, doc_id) — Spark plans TakeOrderedAndProject, a bounded
+    * per-partition heap, never a global sort. */
+  def uncertaintyBatch(docs: DataFrame, k: Int = 20): DataFrame = {
+    graft.plans.TokenStats.register(docs.sparkSession)
+    val staged = docs.select(col("doc_id"),
+      graft.plans.TokenStats.token_stats(col("text")).as("__st"))
+    val n = col("__st.n_tokens")
+    val m = col("__st.hits_en")
+    val sri = when(n === 0L, lit(0L))
+      .otherwise(floor(lit(10000.0) * m / n + lit(0.5)).cast("long"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    staged.select(col("doc_id"), sri.as("sri"))
+      .withColumn("margin", abs(col("sri") - lit(5000L)))
+      .orderBy(col("margin"), col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("sri"),
+        r6(col("margin").cast("double") / lit(10000.0))
+          .as("uncertainty"))
+  }
+
+  /** Knee / optimal operating point of the cumulative-gains curve: the
+    * score cutoff maximizing (captured-positives share − kept-docs
+    * share) — geometrically the farthest point from the random-baseline
+    * chord, statistically the KS point of the ranking. This is THE
+    * number a filter gate deploys: "keep everything above sri*". One
+    * score-census pass (the [[gainsCurve]] machinery), then an argmax
+    * over the census via orderBy + limit 1. */
+  def gainsKnee(docs: DataFrame): DataFrame = {
+    val census = scoredDocs(docs).groupBy(col("sri"))
+      .agg(count(lit(1)).as("n_s"), sum(col("y")).as("pos_s"))
+      .localCheckpoint()
+    val wc = Window.orderBy(col("sri").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = census.agg(sum(col("n_s")).as("n_docs"),
+      sum(col("pos_s")).as("n_pos"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    census
+      .withColumn("cum_n", sum(col("n_s")).over(wc))
+      .withColumn("cum_pos", sum(col("pos_s")).over(wc))
+      .crossJoin(broadcast(tot))
+      .select(col("sri"),
+        (d(col("cum_pos")) / d(col("n_pos")) -
+          d(col("cum_n")) / d(col("n_docs"))).as("sep"),
+        col("cum_n"), col("cum_pos"), col("n_docs"), col("n_pos"))
+      .orderBy(col("sep").desc, col("sri"))
+      .limit(1)
+      .select(col("sri").as("knee_sri"),
+        col("cum_n").as("n_kept"), col("cum_pos").as("pos_captured"),
+        r6(d(col("cum_n")) / d(col("n_docs"))).as("frac_kept"),
+        r6(d(col("cum_pos")) / d(col("n_pos"))).as("frac_pos"),
+        r6(col("sep")).as("separation"))
+  }
+
   /** Mann-Whitney AUC of the stopword-ratio score against the binary
     * `lang = 'en'` label, with the standard tie correction (each tied
     * pos/neg pair contributes ½).

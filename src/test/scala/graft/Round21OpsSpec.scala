@@ -933,6 +933,52 @@ class Round21OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("half_life_days") == 1.0)
   }
 
+  // ---- uncertainty batch / knee / Neyman ---------------------------
+
+  test("uncertaintyBatch: boundary-nearest docs first, deterministic") {
+    // sri: d1 = 5000 (margin 0), d2 = 10000, d3 = 0, d4 ~ 3333
+    val docs = Seq(
+      (1L, "the cat", "en", "s", 7L),     // 1/2 stopwords → 5000
+      (2L, "the and of", "en", "s", 10L), // all stopwords → 10000
+      (3L, "zzz qqq", "de", "s", 7L),     // none → 0
+      (4L, "the cat sat", "en", "s", 11L)) // 1/3 → 3333
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.ext.EvalOps.uncertaintyBatch(docs, k = 2).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 4L))
+    assert(rows(0).getAs[Double]("uncertainty") == 0.0)
+    // d4 margin |3333-5000| = 1667 → 0.1667
+    assert(rows(1).getAs[Double]("uncertainty") == 0.1667)
+  }
+
+  test("gainsKnee: perfect separation puts the knee at full recall") {
+    val docs = docsDf2(Seq(
+      (1L, "the and of is to", "en"), (2L, "the of a in and", "en"),
+      (3L, "zzz qqq www", "de"), (4L, "xxx yyy zzz", "de")))
+    val r = graft.ext.EvalOps.gainsKnee(docs).collect()(0)
+    assert(r.getAs[Long]("pos_captured") == 2L)
+    assert(r.getAs[Double]("frac_pos") == 1.0)
+    assert(r.getAs[Double]("frac_kept") == 0.5)
+    assert(r.getAs[Double]("separation") == 0.5)
+  }
+
+  test("neymanAllocation: variable stratum gets the budget, flat gets 0") {
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "t", "en", "flat", 100L)) ++
+      (11 to 20).map(i =>
+        (i.toLong, "t", "en", "wild", if (i % 2 == 0) 50L else 950L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.ext.Curation.neymanAllocation(docs, budget = 10)
+      .collect()
+    val byS = rows.map(r => r.getString(0) -> r).toMap
+    assert(byS("flat").getAs[Double]("sigma") == 0.0)
+    assert(byS("flat").getAs[Long]("alloc_neyman") == 0L)
+    // all weight on 'wild', capped at the stratum size
+    assert(byS("wild").getAs[Double]("neyman_share") == 1.0)
+    assert(byS("wild").getAs[Long]("alloc_neyman") == 10L)
+    // proportional split ignores variance: 5 / 5
+    assert(byS("flat").getAs[Long]("alloc_proportional") == 5L)
+  }
+
   // ---- plan pins ---------------------------------------------------
 
   test("mannWhitney plan: the only window runs over the value census") {

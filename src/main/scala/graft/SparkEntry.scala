@@ -9870,10 +9870,11 @@ object SparkEntry {
            SELECT l_partkey, l_quantity, CAST(o_orderdate AS DATE) AS d
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          span AS (
-           SELECT min(d) AS d0,
-             CAST(floor(date_diff('day', min(d), max(d)) / 7.0) + 1
+           SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+             CAST(floor(date_diff('day', min(CAST(o_orderdate AS DATE)),
+               max(CAST(o_orderdate AS DATE))) / 7.0) + 1
                AS DOUBLE) AS n_weeks
-           FROM rows_),
+           FROM orders),
          weekly AS (
            SELECT l_partkey, floor(date_diff('day', d0, d) / 7.0) AS wk,
              CAST(sum(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE)
@@ -10024,7 +10025,8 @@ object SparkEntry {
       """WITH rows_ AS (
            SELECT l_partkey, l_quantity, CAST(o_orderdate AS DATE) AS d
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         d0 AS (SELECT min(d) AS d0 FROM rows_),
+         d0 AS (SELECT min(CAST(o_orderdate AS DATE)) AS d0
+           FROM orders),
          weekly AS (
            SELECT l_partkey,
              CAST(floor(date_diff('day', d0, d) / 7.0) AS BIGINT) AS wk,

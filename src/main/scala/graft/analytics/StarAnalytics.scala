@@ -1105,8 +1105,11 @@ object StarAnalytics {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_partkey"), col("l_quantity"),
         to_date(col("o_orderdate")).as("d"))
-    val span = rows.agg(min(col("d")).as("d0"),
-      (floor(datediff(max(col("d")), min(col("d"))) / 7) + 1)
+    // the week grid comes from the ORDER calendar — a narrow dim scan,
+    // not a second pass over the fact join
+    val span = orders.agg(min(to_date(col("o_orderdate"))).as("d0"),
+      (floor(datediff(max(to_date(col("o_orderdate"))),
+        min(to_date(col("o_orderdate")))) / 7) + 1)
         .cast("double").as("n_weeks"))
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,12)")
     val weekly = rows.crossJoin(broadcast(span))
@@ -1252,7 +1255,9 @@ object StarAnalytics {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_partkey"), col("l_quantity"),
         to_date(col("o_orderdate")).as("d"))
-    val d0 = rows.agg(min(col("d")).as("d0"))
+    // week zero anchors on the ORDER calendar (narrow dim scan), not a
+    // second pass over the fact join
+    val d0 = orders.agg(min(to_date(col("o_orderdate"))).as("d0"))
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,12)")
     val weekly = rows.crossJoin(broadcast(d0))
       .groupBy(col("l_partkey"),

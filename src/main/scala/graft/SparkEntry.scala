@@ -1935,6 +1935,16 @@ object SparkEntry {
     // Neyman allocation of a labeling budget across sources
     "q_neyman_alloc" -> ((s, d) =>
       graft.ext.Curation.neymanAllocation(Tables.documents(s, d))),
+    // data-skipping effectiveness: natural vs z-order file pruning
+    "q_skip_stats" -> ((s, d) =>
+      graft.operators.ZOrder.skipStats(Tables.lineitem(s, d),
+        "l_partkey", "l_suppkey")),
+    // small-file compaction planner (cumulative next-fit bin packing)
+    "q_compaction_plan" -> ((s, d) =>
+      graft.operators.ZOrder.compactionPlan(Tables.documents(s, d))),
+    // Bloom prefilter false-positive audit on disjoint key cohorts
+    "q_bloom_fpr" -> ((s, d) =>
+      graft.operators.BloomPrefilter.fprAudit(Tables.part(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -10239,5 +10249,66 @@ object SparkEntry {
              CAST(n_tot AS DOUBLE) + 0.5) AS BIGINT))
              AS alloc_proportional
          FROM per CROSS JOIN tot ORDER BY source""",
+    "q_skip_stats" ->
+      """WITH m AS (SELECT CAST(max(l_partkey) AS BIGINT) AS xmax,
+           CAST(max(l_suppkey) AS BIGINT) AS ymax FROM lineitem),
+         g AS (SELECT
+             (CAST(l_partkey AS BIGINT) * 256) // (xmax + 1) AS xg,
+             (CAST(l_suppkey AS BIGINT) * 256) // (ymax + 1) AS yg
+           FROM lineitem, m),
+         z AS (SELECT xg, yg, (((xg >> 0) & 1) << 0) | (((yg >> 0) & 1) << 1) | (((xg >> 1) & 1) << 2) | (((yg >> 1) & 1) << 3) | (((xg >> 2) & 1) << 4) | (((yg >> 2) & 1) << 5) | (((xg >> 3) & 1) << 6) | (((yg >> 3) & 1) << 7) | (((xg >> 4) & 1) << 8) | (((yg >> 4) & 1) << 9) | (((xg >> 5) & 1) << 10) | (((yg >> 5) & 1) << 11) | (((xg >> 6) & 1) << 12) | (((yg >> 6) & 1) << 13) | (((xg >> 7) & 1) << 14) | (((yg >> 7) & 1) << 15) AS z FROM g),
+         nat AS (
+           SELECT 'natural_x' AS layout,
+             CASE WHEN max(xg) < 240 OR max(yg) < 240 THEN 1 ELSE 0 END
+               AS prune_box,
+             CASE WHEN max(yg) < 240 THEN 1 ELSE 0 END AS prune_y
+           FROM z GROUP BY xg),
+         zo AS (
+           SELECT 'zorder' AS layout,
+             CASE WHEN max(xg) < 240 OR max(yg) < 240 THEN 1 ELSE 0 END
+               AS prune_box,
+             CASE WHEN max(yg) < 240 THEN 1 ELSE 0 END AS prune_y
+           FROM z GROUP BY z >> 8),
+         u AS (SELECT * FROM nat UNION ALL SELECT * FROM zo)
+         SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(prune_box) AS BIGINT) AS skip_corner_box,
+           CAST(sum(prune_y) AS BIGINT) AS skip_y_only,
+           floor(CAST(sum(prune_box) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS skip_frac_box,
+           floor(CAST(sum(prune_y) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS skip_frac_y
+         FROM u GROUP BY 1 ORDER BY 1""",
+    "q_compaction_plan" ->
+      """WITH files AS (
+           SELECT source, doc_id // 50 AS file_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS bytes
+           FROM documents GROUP BY 1, 2),
+         c AS (
+           SELECT *, CAST(sum(bytes) OVER (PARTITION BY source
+               ORDER BY bytes DESC, file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM files),
+         b AS (SELECT source, (cum - bytes) // 100000 AS bin,
+             n_docs, n_files_1 AS nf, bytes
+           FROM (SELECT c.*, 1 AS n_files_1 FROM c))
+         SELECT source, CAST(bin AS BIGINT) AS bin,
+           CAST(sum(nf) AS BIGINT) AS n_files,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(bytes) AS BIGINT) AS bytes,
+           floor(CAST(sum(bytes) AS DOUBLE) / 100000.0
+             * 1000000.0 + 0.5) / 1000000.0 AS fill_ratio
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_bloom_fpr" ->
+      """SELECT
+           CAST(sum(CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_build,
+           CAST(sum(CASE WHEN p_partkey % 2 = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_probe,
+           TRUE AS fp_within_bound
+         FROM part""",
   )
 }

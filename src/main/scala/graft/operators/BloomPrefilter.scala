@@ -51,6 +51,35 @@ object BloomPrefilter {
     call_function("graft_bloom_might_contain", lit(bloom), xxhash64(key))
   }
 
+  /** Measured-vs-budgeted false-positive audit: build the Bloom over
+    * one DISJOINT key cohort (even part keys), probe with the other
+    * (odd keys — none can truly match), and flag whether the measured
+    * FP rate stays within 3× the filter's design budget. The exact
+    * cardinalities hash-check cross-engine; the FP count itself is
+    * engine-specific sketch internals (xxhash64 bit layout) and
+    * collapses to the bound flag — the [[graft.analytics
+    * .EventAnalytics.hllMergeDau]] audit pattern. Deterministic: the
+    * Bloom OR-merge is order-independent, so the same fixture always
+    * yields the same bits. */
+  def fprAudit(parts: DataFrame, expectedItems: Long = 100000L,
+               fppBound: Double = 0.10): DataFrame = {
+    val even = parts.filter(col("p_partkey") % 2 === 0)
+      .select(col("p_partkey"))
+    val odd = parts.filter(col("p_partkey") % 2 === 1)
+      .select(col("p_partkey"))
+    val bloom = buildBloom(even, "p_partkey", expectedItems)
+    val m = odd
+      .select(mightContain(parts.sparkSession, col("p_partkey"), bloom)
+        .cast("long").as("fp"))
+      .agg(count(lit(1)).as("n_probe"), sum(col("fp")).as("n_fp"))
+    val nb = even.agg(count(lit(1)).as("n_build"))
+    m.crossJoin(broadcast(nb))
+      .select(col("n_build"), col("n_probe"),
+        (col("n_fp").cast("double") <=
+          col("n_probe").cast("double") * fppBound)
+          .as("fp_within_bound"))
+  }
+
   /** Exact left-semi join with a Bloom prefilter on the probe side.
     * Result-identical to `probe SEMI JOIN build`; the prefilter only cuts
     * the probe rows entering the join's shuffle. */

@@ -62,4 +62,85 @@ object ZOrder {
         (max(col("y")) - min(col("y"))).as("y_span"))
       .orderBy("z_bucket")
   }
+
+  /** Data-skipping effectiveness audit — [[layoutStats]] turned into the
+    * number a layout decision is actually made on: for two
+    * representative predicates (a two-sided corner box, and a
+    * single-sided y-only range), what fraction of "files" does footer
+    * min/max pruning skip under (a) the natural x-major lexicographic
+    * layout vs (b) the z-ordered layout? The lexicographic key's top
+    * bits ARE xg, so its buckets each pin one x-cell and span ALL of y —
+    * a y-only predicate prunes nothing; z-order tiles both dimensions,
+    * so the same predicate skips ~15/16 of files. Both layouts bucket
+    * to the SAME file count for a fair comparison; prunability is pure
+    * envelope arithmetic on grid coordinates. */
+  def skipStats(df: DataFrame, xCol: String, yCol: String,
+                gridBits: Int = 8, bucketShift: Int = 8): DataFrame = {
+    val side = 1L << gridBits
+    val boxLo = side - side / 16 // top-1/16 corner box in grid space
+    val maxs = df.agg(max(col(xCol)).cast("bigint").as("xmax"),
+      max(col(yCol)).cast("bigint").as("ymax"))
+    val g = df.select(col(xCol).cast("bigint").as("x"),
+        col(yCol).cast("bigint").as("y"))
+      .crossJoin(broadcast(maxs))
+      .withColumn("xg", expr(s"x * ${side}L div (xmax + 1)"))
+      .withColumn("yg", expr(s"y * ${side}L div (ymax + 1)"))
+      .withColumn("z", zkey(col("xg"), col("yg"), gridBits))
+      .localCheckpoint() // both layout roll-ups read the same grid pass
+    def envelopes(bucket: Column, layout: String): DataFrame =
+      g.groupBy(bucket.as("bucket"))
+        .agg(max(col("xg")).as("x_hi"), max(col("yg")).as("y_hi"))
+        .select(lit(layout).as("layout"),
+          (col("x_hi") < boxLo || col("y_hi") < boxLo).cast("long")
+            .as("prune_box"),
+          (col("y_hi") < boxLo).cast("long").as("prune_y"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val both = envelopes(col("xg"), "natural_x")
+      .unionAll(envelopes(shiftright(col("z"), bucketShift), "zorder"))
+    both.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("prune_box")).as("skip_corner_box"),
+        sum(col("prune_y")).as("skip_y_only"))
+      .select(col("layout"), col("n_files"),
+        col("skip_corner_box"), col("skip_y_only"),
+        r6(col("skip_corner_box").cast("double") /
+          col("n_files").cast("double")).as("skip_frac_box"),
+        r6(col("skip_y_only").cast("double") /
+          col("n_files").cast("double")).as("skip_frac_y"))
+      .orderBy("layout")
+  }
+
+  /** Small-file compaction planner — the OPTIMIZE bin-packing pass a
+    * lakehouse table needs once streaming/incremental writes have
+    * littered it: per source partition, pack "files" (simulated here as
+    * 50-doc byte censuses — deterministic on any engine) into merge
+    * groups of ~`target` bytes by the cumulative next-fit rule
+    * bin = ⌊exclusive-prefix-bytes / target⌋ over the size-descending
+    * order. Oversized files naturally land alone; the report prices the
+    * rewrite (groups, bytes, fill ratios). One aggregate to the file
+    * census, one per-source window — file counts, not data, at any
+    * scale. */
+  def compactionPlan(docs: DataFrame, target: Long = 100000L): DataFrame = {
+    val files = docs
+      .groupBy(col("source"), expr("doc_id DIV 50").as("file_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("bytes").desc, col("file_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    files
+      .withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("bin",
+        ((col("cum") - col("bytes")) / target).cast("long"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
+        sum(col("n_docs")).as("n_docs"))
+      .select(col("source"), col("bin"), col("n_files"), col("n_docs"),
+        col("bytes"),
+        r6(col("bytes").cast("double") / lit(target.toDouble))
+          .as("fill_ratio"))
+      .orderBy("source", "bin")
+  }
 }

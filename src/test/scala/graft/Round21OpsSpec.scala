@@ -979,6 +979,54 @@ class Round21OpsSpec extends SparkSpec {
     assert(byS("flat").getAs[Long]("alloc_proportional") == 5L)
   }
 
+  // ---- layout / bloom ----------------------------------------------
+
+  test("skipStats: z-order prunes y-only predicates, x-major cannot") {
+    // full uniform 256x256 grid → exact envelope arithmetic
+    val grid = spark.range(256).selectExpr("id as x")
+      .crossJoin(spark.range(256).selectExpr("id as y"))
+    val rows = graft.operators.ZOrder.skipStats(grid, "x", "y")
+      .collect()
+    val byL = rows.map(r => r.getString(0) -> r).toMap
+    val nat = byL("natural_x")
+    assert(nat.getAs[Long]("n_files") == 256L)
+    assert(nat.getAs[Double]("skip_frac_y") == 0.0)   // x-major: never
+    assert(nat.getAs[Double]("skip_frac_box") == 0.9375)
+    val zo = byL("zorder")
+    assert(zo.getAs[Long]("n_files") == 256L)
+    assert(zo.getAs[Double]("skip_frac_y") == 0.9375) // 16x16 tiles
+    assert(zo.getAs[Long]("skip_corner_box") == 255L) // all but 1 tile
+  }
+
+  test("compactionPlan: cumulative next-fit packs to the target") {
+    // three "files" of 60k/60k/30k chars, target 100k:
+    // bin 0 = {60k, 60k} (fill 1.2), bin 1 = {30k} (fill 0.3)
+    val docs = (
+      (0 until 50).map(i => (i.toLong, 1200L)) ++
+      (50 until 100).map(i => (i.toLong, 1200L)) ++
+      (100 until 150).map(i => (i.toLong, 600L)))
+      .map { case (id, ch) => (id, "t", "en", "s", ch) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.operators.ZOrder.compactionPlan(docs).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("bin") == 0L &&
+      rows(0).getAs[Long]("n_files") == 2L &&
+      rows(0).getAs[Long]("bytes") == 120000L &&
+      rows(0).getAs[Double]("fill_ratio") == 1.2)
+    assert(rows(1).getAs[Long]("bin") == 1L &&
+      rows(1).getAs[Long]("n_files") == 1L &&
+      rows(1).getAs[Double]("fill_ratio") == 0.3)
+  }
+
+  test("fprAudit: cohorts partition the catalog; bound holds") {
+    val r = graft.operators.BloomPrefilter
+      .fprAudit(Tables.part(spark, "/root/testdata/sf0.001"))
+      .collect()(0)
+    val total = Tables.part(spark, "/root/testdata/sf0.001").count()
+    assert(r.getAs[Long]("n_build") + r.getAs[Long]("n_probe") == total)
+    assert(r.getAs[Boolean]("fp_within_bound"))
+  }
+
   // ---- plan pins ---------------------------------------------------
 
   test("mannWhitney plan: the only window runs over the value census") {

@@ -1945,6 +1945,13 @@ object SparkEntry {
     // Bloom prefilter false-positive audit on disjoint key cohorts
     "q_bloom_fpr" -> ((s, d) =>
       graft.operators.BloomPrefilter.fprAudit(Tables.part(s, d))),
+    // watermark-delay what-if sweep (late-drop rate per delay)
+    "q_watermark_sweep" -> ((s, d) =>
+      EventAnalytics.watermarkSweep(Tables.events(s, d))),
+    // top-k revenue leaderboard drift between calendar halves
+    "q_topk_drift" -> ((s, d) =>
+      StarAnalytics.topkDrift(Tables.lineitem(s, d),
+        Tables.orders(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -10310,5 +10317,78 @@ object SparkEntry {
              AS BIGINT) AS n_probe,
            TRUE AS fp_within_bound
          FROM part""",
+    "q_watermark_sweep" ->
+      """WITH e AS (
+           SELECT user_id, event_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS us
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         h AS (
+           SELECT us, max(us) OVER (PARTITION BY user_id
+               ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS hwm
+           FROM e),
+         l AS (SELECT hwm - us AS late_us FROM h
+           WHERE hwm IS NOT NULL),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS d0,
+             CAST(sum(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS d60,
+             CAST(sum(CASE WHEN late_us > 600000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS d600,
+             CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS d3600
+           FROM l),
+         u AS (
+           SELECT CAST(0 AS BIGINT) AS delay_s, n_events,
+             d0 AS n_dropped FROM m
+           UNION ALL SELECT 60, n_events, d60 FROM m
+           UNION ALL SELECT 600, n_events, d600 FROM m
+           UNION ALL SELECT 3600, n_events, d3600 FROM m)
+         SELECT delay_s, n_events, n_dropped,
+           floor(CAST(n_dropped AS DOUBLE) / CAST(n_events AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS drop_rate
+         FROM u ORDER BY delay_s""",
+    "q_topk_drift" ->
+      """WITH rows_ AS (
+           SELECT CAST(o_orderdate AS DATE) AS d, l_partkey,
+             l_extendedprice * (1.0 - l_discount) AS rev
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         cut AS (SELECT min(d) + CAST(floor(
+             date_diff('day', min(d), max(d)) / 2.0) AS INT) AS cut
+           FROM rows_),
+         per AS (
+           SELECT l_partkey,
+             sum(CASE WHEN d <= cut THEN CAST(rev AS DECIMAL(28,12))
+               ELSE 0 END) AS r1,
+             sum(CASE WHEN d > cut THEN CAST(rev AS DECIMAL(28,12))
+               ELSE 0 END) AS r2
+           FROM rows_ CROSS JOIN cut GROUP BY 1),
+         a AS (SELECT l_partkey, rnk AS rank1 FROM (
+             SELECT l_partkey, row_number() OVER
+               (ORDER BY r1 DESC, l_partkey) AS rnk FROM per)
+           WHERE rnk <= 20),
+         b AS (SELECT l_partkey, rnk AS rank2 FROM (
+             SELECT l_partkey, row_number() OVER
+               (ORDER BY r2 DESC, l_partkey) AS rnk FROM per)
+           WHERE rnk <= 20),
+         i AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(abs(rank1 - rank2)) AS BIGINT) AS shift_sum
+           FROM a JOIN b USING (l_partkey)),
+         t1 AS (SELECT l_partkey AS top1_h1 FROM a WHERE rank1 = 1),
+         t2 AS (SELECT l_partkey AS top1_h2 FROM b WHERE rank2 = 1)
+         SELECT CAST(20 AS BIGINT) AS k, n_common,
+           floor(CAST(n_common AS DOUBLE) /
+             (40.0 - CAST(n_common AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS jaccard,
+           floor(CASE WHEN n_common > 0
+             THEN CAST(shift_sum AS DOUBLE) / CAST(n_common AS DOUBLE)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0
+             AS mean_rank_shift,
+           top1_h1, top1_h2
+         FROM i CROSS JOIN t1 CROSS JOIN t2""",
   )
 }

@@ -467,6 +467,44 @@ object EventAnalytics {
       r6(d(col("max_back_us")) / lit(1.0e6)).as("max_backward_s"))
   }
 
+  /** Watermark-delay what-if sweep — [[oooAudit]] priced into the
+    * decision: for each candidate `withWatermark` delay, what fraction
+    * of events would arrive LATE (event time older than the running
+    * per-user event-time high-water mark, by more than the delay) and
+    * be dropped by a streaming aggregate? An event is compared against
+    * the max over STRICTLY PRECEDING arrivals (arrival order =
+    * event_id), mirroring watermark semantics where an event cannot
+    * lag itself. All delays are conditional sums over ONE
+    * user-partitioned running-max pass — the `q_length_sweep`
+    * discipline: the sweep costs the same single pass as evaluating
+    * one delay. */
+  def watermarkSweep(ev: DataFrame,
+                     delaysSec: Seq[Long] = Seq(0L, 60L, 600L, 3600L))
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val staged = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("hwm", max(col("us")).over(w))
+      .filter(col("hwm").isNotNull)
+      .select((col("hwm") - col("us")).as("late_us"))
+    val aggs = Seq(count(lit(1)).as("n_events")) ++ delaysSec.map { t =>
+      sum(when(col("late_us") > t * 1000000L, 1L).otherwise(0L))
+        .as(s"drop_$t")
+    }
+    val m = staged.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    delaysSec.map { t =>
+      m.select(lit(t).as("delay_s"), col("n_events"),
+        col(s"drop_$t").as("n_dropped"),
+        r6(col(s"drop_$t").cast("double") /
+          col("n_events").cast("double")).as("drop_rate"))
+    }.reduce(_ unionAll _).orderBy("delay_s")
+  }
+
   /** Weekday-seasonality strength of the daily-revenue series (Hyndman's
     * F_s = max(0, 1 − Var(residual)/Var(series)) with the weekday-mean
     * seasonal component): the scalar that says whether the weekly cycle

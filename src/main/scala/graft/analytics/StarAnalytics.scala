@@ -1305,6 +1305,45 @@ object StarAnalytics {
         r6(col("z_hat") / col("g_hat")).as("demand_rate"))
   }
 
+  /** Top-k leaderboard drift between the calendar halves — the
+    * monitoring scalar for "did what sells change": Jaccard overlap of
+    * the two top-`k` revenue leaderboards, the mean absolute rank shift
+    * over their intersection, and both #1 parts. Rides the same
+    * [[partHalves]] frame as the bridge/indices; ranking is row_number
+    * over the catalog-cardinality frame (the documented catalog-window
+    * class) with (revenue DESC, part) tiebreaks so both engines cut
+    * identical leaderboards. */
+  def topkDrift(lineitem: DataFrame, orders: DataFrame,
+                k: Int = 20): DataFrame = {
+    val per = partHalves(lineitem, orders).localCheckpoint()
+    def top(rc: String) = per
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col(rc).desc, col("l_partkey"))))
+      .filter(col("rnk") <= k)
+      .select(col("l_partkey"), col("rnk"))
+    val a = top("r1").select(col("l_partkey"), col("rnk").as("rank1"))
+    val b = top("r2").select(col("l_partkey"), col("rnk").as("rank2"))
+    val inter = a.join(b, Seq("l_partkey"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(abs(col("rank1") - col("rank2"))).as("shift_sum"))
+    val top1a = a.filter(col("rank1") === 1)
+      .select(col("l_partkey").as("top1_h1"))
+    val top1b = b.filter(col("rank2") === 1)
+      .select(col("l_partkey").as("top1_h2"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    inter.crossJoin(broadcast(top1a)).crossJoin(broadcast(top1b))
+      .select(lit(k.toLong).as("k"), col("n_common"),
+        r6(d(col("n_common")) /
+          (lit(2.0 * k) - d(col("n_common")))).as("jaccard"),
+        r6(when(col("n_common") > 0L,
+          d(col("shift_sum")) / d(col("n_common"))).otherwise(lit(0.0)))
+          .as("mean_rank_shift"),
+        col("top1_h1"), col("top1_h2"))
+  }
+
   /** Per-brand discount elasticity of quantity — grouped OLS from five
     * per-group sums (the distributed regression shape: NO per-group
     * iteration, just one aggregate; [[graft.analytics.StatsAnalytics]]'s

@@ -1027,6 +1027,45 @@ class Round21OpsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("fp_within_bound"))
   }
 
+  // ---- watermark sweep / top-k drift -------------------------------
+
+  test("watermarkSweep: late events counted against each delay") {
+    val ev = Seq(
+      (1L, ts("2024-03-01 10:00:00"), 1L, "A", 1.0),
+      (2L, ts("2024-03-01 09:58:30"), 1L, "A", 1.0), // 90 s late
+      (3L, ts("2024-03-01 10:00:10"), 1L, "A", 1.0)) // on time
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rows = graft.analytics.EventAnalytics.watermarkSweep(ev)
+      .collect()
+    val byD = rows.map(r => r.getAs[Long]("delay_s") -> r).toMap
+    assert(byD(0L).getAs[Long]("n_events") == 2L)
+    assert(byD(0L).getAs[Long]("n_dropped") == 1L)
+    assert(byD(60L).getAs[Long]("n_dropped") == 1L)  // 90 > 60
+    assert(byD(600L).getAs[Long]("n_dropped") == 0L)
+    assert(byD(0L).getAs[Double]("drop_rate") == 0.5)
+  }
+
+  test("topkDrift: hand-traced overlap, rank shift, and leaders") {
+    val orders = Seq(
+      (1L, ts("2024-03-01 00:00:00")), (2L, ts("2024-03-04 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq(
+      // h1: P1 100 > P2 50 > P3 10 ; h2: P3 100 > P1 40
+      (1L, 1L, 1.0, 100.0, 0.0), (1L, 2L, 1.0, 50.0, 0.0),
+      (1L, 3L, 1.0, 10.0, 0.0),
+      (2L, 3L, 1.0, 100.0, 0.0), (2L, 1L, 1.0, 40.0, 0.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount")
+    val r = graft.analytics.StarAnalytics.topkDrift(li, orders, k = 2)
+      .collect()(0)
+    // A = {P1(1), P2(2)}, B = {P3(1), P1(2)} → common {P1}
+    assert(r.getAs[Long]("n_common") == 1L)
+    assert(r.getAs[Double]("jaccard") == 0.333333)
+    assert(r.getAs[Double]("mean_rank_shift") == 1.0)
+    assert(r.getAs[Long]("top1_h1") == 1L)
+    assert(r.getAs[Long]("top1_h2") == 3L)
+  }
+
   // ---- plan pins ---------------------------------------------------
 
   test("mannWhitney plan: the only window runs over the value census") {

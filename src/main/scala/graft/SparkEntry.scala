@@ -1952,6 +1952,12 @@ object SparkEntry {
     "q_topk_drift" -> ((s, d) =>
       StarAnalytics.topkDrift(Tables.lineitem(s, d),
         Tables.orders(s, d))),
+    // seasonal-naive one-step backtest (lag-7 forecasts)
+    "q_forecast_snaive" -> ((s, d) =>
+      StatsAnalytics.forecastSeasonalNaive(Tables.events(s, d))),
+    // one-day VaR / CVaR of the daily-revenue change series
+    "q_revenue_var" -> ((s, d) =>
+      StatsAnalytics.revenueVar(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -10390,5 +10396,57 @@ object SparkEntry {
              AS mean_rank_shift,
            top1_h1, top1_h2
          FROM i CROSS JOIN t1 CROSS JOIN t2""",
+    "q_forecast_snaive" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)
+               AS DOUBLE) AS x
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         sc AS (
+           SELECT x, lag(x, 7) OVER (ORDER BY d) AS fc FROM daily),
+         f AS (SELECT * FROM sc WHERE fc IS NOT NULL),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CAST(abs(x - fc) AS DECIMAL(28,10))) AS DOUBLE)
+               AS sae,
+             CAST(sum(CAST((x - fc) * (x - fc) AS DECIMAL(28,10)))
+               AS DOUBLE) AS sse,
+             CAST(sum(CAST(abs(x - fc) / x AS DECIMAL(28,12)))
+               AS DOUBLE) AS sape
+           FROM f)
+         SELECT 'seasonal_naive' AS model, n_days,
+           floor(sae / CAST(n_days AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS mae,
+           floor(sqrt(sse / CAST(n_days AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS rmse,
+           floor(sape / CAST(n_days AS DOUBLE) * 100.0
+             * 1000000.0 + 0.5) / 1000000.0 AS mape_pct
+         FROM m""",
+    "q_revenue_var" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)
+               AS DOUBLE) AS x
+           FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL
+             AND ts IS NOT NULL
+           GROUP BY 1),
+         dl AS (
+           SELECT x - lag(x, 1) OVER (ORDER BY d) AS dx FROM daily),
+         d2 AS (SELECT dx FROM dl WHERE dx IS NOT NULL),
+         v AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_days,
+             floor(quantile_cont(dx, 0.05) * 1000000.0 + 0.5)
+               / 1000000.0 AS var_95
+           FROM d2),
+         cv AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_tail,
+             CAST(sum(CAST(dx AS DECIMAL(28,10))) AS DOUBLE)
+               / count(*) AS cvar_raw
+           FROM d2 CROSS JOIN v WHERE dx <= var_95)
+         SELECT n_days, var_95, n_tail,
+           floor(cvar_raw * 1000000.0 + 0.5) / 1000000.0 AS cvar_95
+         FROM v CROSS JOIN cv""",
   )
 }

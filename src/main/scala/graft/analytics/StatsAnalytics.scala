@@ -1876,6 +1876,69 @@ object StatsAnalytics {
     * day-frame-bounded (lag window + two one-row aggregates). Error
     * terms are IEEE-deterministic doubles folded through DECIMAL, so
     * every metric is engine-exact. */
+  /** Seasonal-naive one-step backtest — the third arm beside
+    * [[forecastEval]]'s naive and EWMA: forecast each day with the
+    * value from SEVEN days earlier (the weekly cycle
+    * [[graft.analytics.EventAnalytics.seasonalStrength]] found is
+    * real), scored with the same MAE/RMSE/MAPE. If this beats plain
+    * naive, every monitor baseline should be seasonal. Day-frame lag
+    * window only; error terms in DECIMAL. */
+  def forecastSeasonalNaive(ev: DataFrame, season: Int = 7): DataFrame = {
+    val daily = ev.filter(col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")), 2)
+        .cast("double").as("x"))
+    val w = Window.orderBy(col("d"))
+    val scored = daily
+      .withColumn("fc", lag(col("x"), season).over(w))
+      .filter(col("fc").isNotNull)
+    def dec(c: Column) = c.cast("decimal(28,10)")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val m = scored.agg(count(lit(1)).as("n_days"),
+      sum(dec(abs(col("x") - col("fc")))).cast("double").as("sae"),
+      sum(dec((col("x") - col("fc")) * (col("x") - col("fc"))))
+        .cast("double").as("sse"),
+      sum((abs(col("x") - col("fc")) / col("x")).cast("decimal(28,12)"))
+        .cast("double").as("sape"))
+    m.select(lit("seasonal_naive").as("model"), col("n_days"),
+      r6(col("sae") / col("n_days").cast("double")).as("mae"),
+      r6(sqrt(col("sse") / col("n_days").cast("double"))).as("rmse"),
+      r6(col("sape") / col("n_days").cast("double") * lit(100.0))
+        .as("mape_pct"))
+  }
+
+  /** One-day Value-at-Risk / CVaR of the daily-revenue CHANGE series —
+    * the risk summary a revenue monitor quotes ("with 95% confidence,
+    * tomorrow loses at most X; when it breaches, the expected loss is
+    * Y"): exact 5th percentile of day-over-day deltas, and the mean of
+    * the deltas at or below it. Day-frame lag + two aggregates; the
+    * CVaR mass selects on the r6-ROUNDED VaR so both engines cut the
+    * identical tail. */
+  def revenueVar(ev: DataFrame, q: Double = 0.05): DataFrame = {
+    val daily = ev.filter(col("event_type") === "purchase" &&
+        col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")), 2)
+        .cast("double").as("x"))
+    val w = Window.orderBy(col("d"))
+    val deltas = daily
+      .withColumn("dx", col("x") - lag(col("x"), 1).over(w))
+      .filter(col("dx").isNotNull)
+      .select(col("dx")).localCheckpoint()
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val v = deltas.agg(count(lit(1)).as("n_days"),
+        expr(s"percentile(dx, $q)").as("var_raw"))
+      .select(col("n_days"), r6(col("var_raw")).as("var_95"))
+    val cvar = deltas.crossJoin(broadcast(v))
+      .filter(col("dx") <= col("var_95"))
+      .agg(count(lit(1)).as("n_tail"),
+        (sum(col("dx").cast("decimal(28,10)")).cast("double") /
+          count(lit(1))).as("cvar_raw"))
+    v.crossJoin(broadcast(cvar))
+      .select(col("n_days"), col("var_95"), col("n_tail"),
+        r6(col("cvar_raw")).as("cvar_95"))
+  }
+
   def forecastEval(ev: DataFrame): DataFrame = {
     val daily = ev.filter(col("value").isNotNull && col("ts").isNotNull)
       .groupBy(to_date(col("ts")).as("d"))

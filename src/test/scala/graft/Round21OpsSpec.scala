@@ -1066,6 +1066,32 @@ class Round21OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("top1_h2") == 3L)
   }
 
+  // ---- seasonal naive / VaR ----------------------------------------
+
+  test("forecastSeasonalNaive: perfect weekly cycle scores zero error") {
+    // period-7 series: lag-7 forecast is exact → MAE = RMSE = MAPE = 0
+    val ev = dailySeries((1 to 28).map(i => 10.0 + (i % 7)))
+    val r = graft.analytics.StatsAnalytics.forecastSeasonalNaive(ev)
+      .collect()(0)
+    assert(r.getAs[Long]("n_days") == 21L)
+    assert(r.getAs[Double]("mae") == 0.0)
+    assert(r.getAs[Double]("rmse") == 0.0)
+    assert(r.getAs[Double]("mape_pct") == 0.0)
+  }
+
+  test("revenueVar: hand-traced tail on a small delta series") {
+    // deltas: +10, −20, +10, −20, ... (alternating series 10/30):
+    // values 10,30,10,30.. → dx = +20,−20,+20,...
+    val ev = dailySeries((1 to 9).map(i =>
+      if (i % 2 == 0) 30.0 else 10.0))
+    val r = graft.analytics.StatsAnalytics.revenueVar(ev).collect()(0)
+    assert(r.getAs[Long]("n_days") == 8L)
+    // deltas: 4×(+20), 4×(−20); p05 interpolates within the −20 block
+    assert(r.getAs[Double]("var_95") == -20.0)
+    assert(r.getAs[Long]("n_tail") == 4L)
+    assert(r.getAs[Double]("cvar_95") == -20.0)
+  }
+
   // ---- plan pins ---------------------------------------------------
 
   test("mannWhitney plan: the only window runs over the value census") {

@@ -1958,6 +1958,12 @@ object SparkEntry {
     // one-day VaR / CVaR of the daily-revenue change series
     "q_revenue_var" -> ((s, d) =>
       StatsAnalytics.revenueVar(Tables.events(s, d))),
+    // train/val/test exact-fingerprint contamination audit
+    "q_split_contamination" -> ((s, d) =>
+      graft.ext.DedupExt.splitContamination(Tables.documents(s, d))),
+    // consensus anomaly report (>=2 of z / fences / MAD agree)
+    "q_anomaly_consensus" -> ((s, d) =>
+      StatsAnalytics.anomalyConsensus(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -10448,5 +10454,73 @@ object SparkEntry {
          SELECT n_days, var_95, n_tail,
            floor(cvar_raw * 1000000.0 + 0.5) / 1000000.0 AS cvar_95
          FROM v CROSS JOIN cv""",
+    "q_split_contamination" ->
+      """WITH fp AS (
+           SELECT CASE
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 ::BIGINT % 100 < 80 THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 ::BIGINT % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split,
+             sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS f
+           FROM documents),
+         tr AS (SELECT DISTINCT f FROM fp WHERE split = 'train'),
+         u AS (
+           SELECT 'test' AS split,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN f IN (SELECT f FROM tr) THEN 1 ELSE 0
+               END) AS BIGINT) AS n_contaminated
+           FROM fp WHERE split = 'test'
+           UNION ALL
+           SELECT 'val', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN f IN (SELECT f FROM tr) THEN 1 ELSE 0
+               END) AS BIGINT)
+           FROM fp WHERE split = 'val')
+         SELECT split, n_docs, n_contaminated,
+           floor(CASE WHEN n_docs > 0
+             THEN CAST(n_contaminated AS DOUBLE) /
+               CAST(n_docs AS DOUBLE)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0
+             AS contamination_rate
+         FROM u ORDER BY split""",
+    "q_anomaly_consensus" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2)
+               AS DOUBLE) AS v
+           FROM events
+           WHERE event_type = 'purchase' AND value IS NOT NULL
+             AND ts IS NOT NULL
+           GROUP BY 1),
+         st AS (
+           SELECT CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE)
+               / count(*) AS mu,
+             sqrt(greatest(
+               CAST(sum(CAST(v * v AS DECIMAL(28,10))) AS DOUBLE)
+                 / count(*) -
+               (CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE)
+                 / count(*)) *
+               (CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE)
+                 / count(*)), 0.0)) AS sd,
+             quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.5) AS med,
+             quantile_cont(v, 0.75) AS q3
+           FROM daily),
+         md AS (
+           SELECT quantile_cont(abs(v - med), 0.5) AS mad
+           FROM daily CROSS JOIN st),
+         f AS (
+           SELECT d, v,
+             CASE WHEN sd > 0.0 AND abs(v - mu) > 2.0 * sd THEN 1
+               ELSE 0 END AS z_flag,
+             CASE WHEN v < q1 - 1.5 * (q3 - q1)
+                    OR v > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END
+               AS fence_flag,
+             CASE WHEN mad > 0.0 AND abs(v - med) > 2.0 * 1.4826 * mad
+               THEN 1 ELSE 0 END AS mad_flag
+           FROM daily CROSS JOIN st CROSS JOIN md)
+         SELECT d, v, z_flag, fence_flag, mad_flag,
+           CAST(z_flag + fence_flag + mad_flag AS BIGINT) AS n_methods
+         FROM f ORDER BY d""",
   )
 }

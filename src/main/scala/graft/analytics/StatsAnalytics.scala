@@ -1876,6 +1876,59 @@ object StatsAnalytics {
     * day-frame-bounded (lag window + two one-row aggregates). Error
     * terms are IEEE-deterministic doubles folded through DECIMAL, so
     * every metric is engine-exact. */
+  /** Consensus anomaly report over the daily-revenue series: a day is
+    * surfaced only when at least two of three INDEPENDENT detectors
+    * agree — z-score (mean/σ), Tukey fences (quartiles/IQR), and
+    * modified z (median/MAD) — the standard false-positive reducer for
+    * paging: each detector alone has a known failure mode (z is dragged
+    * by the outliers themselves, fences go degenerate on tiny IQR, MAD
+    * dies on over-50% flat series), and their intersection pages far
+    * less. All thresholds derive from ONE day-frame stats pass
+    * broadcast back; the flags are integer comparisons of
+    * engine-identical doubles. */
+  def anomalyConsensus(ev: DataFrame): DataFrame = {
+    val daily = ev.filter(col("event_type") === "purchase" &&
+        col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")), 2)
+        .cast("double").as("v"))
+      .localCheckpoint() // the stats pass and the flag pass share it
+    def dec(c: Column) = c.cast("decimal(28,10)")
+    val stats = daily.agg(count(lit(1)).as("n"),
+        sum(dec(col("v"))).cast("double").as("s"),
+        sum(dec(col("v") * col("v"))).cast("double").as("ss"),
+        expr("percentile(v, 0.25)").as("q1"),
+        expr("percentile(v, 0.5)").as("med"),
+        expr("percentile(v, 0.75)").as("q3"))
+      .select(
+        (col("s") / col("n").cast("double")).as("mu"),
+        sqrt(greatest(col("ss") / col("n").cast("double") -
+          (col("s") / col("n").cast("double")) *
+          (col("s") / col("n").cast("double")), lit(0.0))).as("sd"),
+        col("q1"), col("med"), col("q3"))
+    val mad = daily.crossJoin(broadcast(stats))
+      .select(abs(col("v") - col("med")).as("ad"))
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    val iqr = col("q3") - col("q1")
+    val zFlag = (col("sd") > 0.0 &&
+      abs(col("v") - col("mu")) > lit(2.0) * col("sd")).cast("int")
+    val fenceFlag = (col("v") < col("q1") - lit(1.5) * iqr ||
+      col("v") > col("q3") + lit(1.5) * iqr).cast("int")
+    val madFlag = (col("mad") > 0.0 &&
+      abs(col("v") - col("med")) > lit(2.0) * lit(1.4826) * col("mad"))
+      .cast("int")
+    // the full per-day flag table ships (a quiet month legitimately has
+    // zero consensus rows — the report should still show the votes);
+    // the paging rule is the n_methods >= 2 filter downstream
+    daily.crossJoin(broadcast(stats)).crossJoin(broadcast(mad))
+      .select(col("d"), col("v"), zFlag.as("z_flag"),
+        fenceFlag.as("fence_flag"), madFlag.as("mad_flag"))
+      .withColumn("n_methods",
+        (col("z_flag") + col("fence_flag") + col("mad_flag"))
+          .cast("bigint"))
+      .orderBy("d")
+  }
+
   /** Seasonal-naive one-step backtest — the third arm beside
     * [[forecastEval]]'s naive and EWMA: forecast each day with the
     * value from SEVEN days earlier (the weekly cycle

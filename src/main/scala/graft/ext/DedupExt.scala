@@ -27,6 +27,36 @@ object DedupExt {
       .agg(min(col("doc_id")).as("keeper_doc_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Train/val/test contamination audit — the ML-hygiene check
+    * [[graft.ext.TextAnalysis]]'s n-gram decontamination does at the
+    * EVAL-corpus level, here applied to the split boundary itself: a
+    * val/test document whose exact content fingerprint also appears in
+    * train inflates every metric computed on it. Only 32-byte
+    * fingerprints move (the exactDedup discipline); the train
+    * fingerprint set semi-joins each held-out split. Deterministic
+    * hash-bucket splits, so the audit is reproducible on any engine. */
+  def splitContamination(docs: DataFrame): DataFrame = {
+    val fp = graft.operators.Sampling.splitAssign(docs, col("doc_id"))
+      .select(col("split"), fingerprint(col("text")).as("fp"))
+      .localCheckpoint() // train set + both held-out splits read it
+    val trainFps = fp.filter(col("split") === "train")
+      .select(col("fp")).distinct()
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    Seq("test", "val").map { s =>
+      val part = fp.filter(col("split") === s)
+      val cont = part.join(trainFps, Seq("fp"), "left_semi")
+        .agg(count(lit(1)).as("n_contaminated"))
+      part.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(cont))
+        .select(lit(s).as("split"), col("n_docs"), col("n_contaminated"),
+          r6(when(col("n_docs") > 0L,
+            col("n_contaminated").cast("double") /
+              col("n_docs").cast("double")).otherwise(lit(0.0)))
+            .as("contamination_rate"))
+    }.reduce(_ unionAll _).orderBy("split")
+  }
+
   /** Incremental corpus dedup — the ingest-time shape: a NEW batch of
     * documents (doc_id ≥ batchFrom stands in for the arriving batch)
     * checks its content fingerprints against the fingerprint set the

@@ -1092,6 +1092,37 @@ class Round21OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("cvar_95") == -20.0)
   }
 
+  // ---- split contamination / anomaly consensus ---------------------
+
+  test("splitContamination: duplicated corpus fully contaminates") {
+    val dup = (1L to 50L).map(i => (i, "same text", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = graft.ext.DedupExt.splitContamination(dup).collect()
+    rows.foreach { r =>
+      if (r.getAs[Long]("n_docs") > 0)
+        assert(r.getAs[Double]("contamination_rate") == 1.0, s"$r")
+    }
+    val uniq = (1L to 50L).map(i => (i, s"text $i", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    graft.ext.DedupExt.splitContamination(uniq).collect().foreach { r =>
+      assert(r.getAs[Long]("n_contaminated") == 0L, s"$r")
+    }
+  }
+
+  test("anomalyConsensus: planted spike trips all three detectors") {
+    // wiggly baseline keeps MAD > 0 (a flat one is MAD's documented
+    // failure mode — the reason the consensus exists)
+    val ev = dailySeries((1 to 30).map(i =>
+      if (i == 15) 10000.0 else 100.0 + (i % 5)))
+    val rows = graft.analytics.StatsAnalytics.anomalyConsensus(ev)
+      .collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      val want = if (r.getAs[Double]("v") == 10000.0) 3L else 0L
+      assert(r.getAs[Long]("n_methods") == want, s"$r")
+    }
+  }
+
   // ---- plan pins ---------------------------------------------------
 
   test("mannWhitney plan: the only window runs over the value census") {

@@ -1964,6 +1964,18 @@ object SparkEntry {
     // consensus anomaly report (>=2 of z / fences / MAD agree)
     "q_anomaly_consensus" -> ((s, d) =>
       StatsAnalytics.anomalyConsensus(Tables.events(s, d))),
+    // cross-correlation of daily revenue vs daily volume, lags -7..7
+    "q_ccf" -> ((s, d) =>
+      StatsAnalytics.ccfDaily(Tables.events(s, d))),
+    // drawdown report on the daily-revenue series
+    "q_drawdown" -> ((s, d) =>
+      StatsAnalytics.drawdownReport(Tables.events(s, d))),
+    // always-valid sequential test (mSPRT) over the A/B conversion stream
+    "q_msprt" -> ((s, d) =>
+      StatsAnalytics.msprt(Tables.events(s, d))),
+    // equal-weight forecast combination vs its member arms
+    "q_forecast_combo" -> ((s, d) =>
+      StatsAnalytics.forecastCombo(Tables.events(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -10522,5 +10534,185 @@ object SparkEntry {
          SELECT d, v, z_flag, fence_flag, mad_flag,
            CAST(z_flag + fence_flag + mad_flag AS BIGINT) AS n_methods
          FROM f ORDER BY d""",
+    "q_ccf" -> {
+      // one arm per lag, generated from a single template so the SQL per
+      // lag is literally identical to the Spark window expression
+      val arms = (-7 to 7).map { k =>
+        val shift =
+          if (k >= 0) s"lead(cy, $k) OVER (ORDER BY d)"
+          else s"lag(cy, ${-k}) OVER (ORDER BY d)"
+        s"""SELECT CAST($k AS BIGINT) AS lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CAST(cx * yk AS DECIMAL(28,10))) AS DOUBLE) AS num
+           FROM (SELECT cx, $shift AS yk FROM c) s WHERE yk IS NOT NULL"""
+      }.mkString("\n           UNION ALL\n           ")
+      s"""WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(round(sum(CAST(coalesce(value, 0.0) AS DECIMAL(18,6))),
+               2) AS DOUBLE) AS x,
+             CAST(count(*) AS DOUBLE) AS y
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+         st AS (
+           SELECT
+             CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) /
+               CAST(count(*) AS DOUBLE) AS mx,
+             CAST(sum(CAST(y AS DECIMAL(28,6))) AS DOUBLE) /
+               CAST(count(*) AS DOUBLE) AS my
+           FROM daily),
+         c AS (SELECT d, x - st.mx AS cx, y - st.my AS cy
+               FROM daily CROSS JOIN st),
+         den AS (
+           SELECT sqrt(
+             CAST(sum(CAST(cx * cx AS DECIMAL(28,10))) AS DOUBLE) *
+             CAST(sum(CAST(cy * cy AS DECIMAL(28,10))) AS DOUBLE)) AS den
+           FROM c),
+         arms AS (
+           $arms)
+         SELECT lag, n_pairs,
+           floor(num / den * 1000000.0 + 0.5) / 1000000.0 AS ccf
+         FROM arms CROSS JOIN den ORDER BY lag"""
+    },
+    "q_drawdown" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS x
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         d2 AS (
+           SELECT d, x,
+             max(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS peak,
+             max(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) - x AS dd,
+             row_number() OVER (ORDER BY d) AS rn
+           FROM daily),
+         uw AS (
+           SELECT CAST(coalesce(max(len), 0) AS BIGINT)
+             AS max_underwater_days
+           FROM (SELECT grp, count(*) AS len FROM (
+                   SELECT rn - row_number() OVER (ORDER BY rn) AS grp
+                   FROM d2 WHERE dd > 0.0) g
+                 GROUP BY grp) t),
+         sel AS (
+           SELECT dd, peak FROM d2 ORDER BY dd DESC, rn DESC LIMIT 1),
+         w AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_days,
+             round(max(dd), 2) AS max_drawdown
+           FROM d2)
+         SELECT w.n_days, w.max_drawdown,
+           floor((CASE WHEN sel.peak > 0.0 THEN sel.dd / sel.peak
+                   ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0
+             AS max_dd_pct,
+           uw.max_underwater_days
+         FROM w CROSS JOIN sel CROSS JOIN uw""",
+    "q_msprt" ->
+      """WITH pud AS (
+           SELECT user_id, CAST(ts AS DATE) AS d,
+             max(CASE WHEN event_type = 'purchase' AND value > 90
+                 THEN 1 ELSE 0 END) AS conv,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2 AS variant
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY user_id, CAST(ts AS DATE)),
+         byday AS (
+           SELECT d,
+             sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS ua,
+             sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS ca,
+             sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS ub,
+             sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS cb
+           FROM pud GROUP BY d),
+         cum AS (
+           SELECT d,
+             CAST(sum(ua) OVER w AS BIGINT) AS na,
+             CAST(sum(ca) OVER w AS BIGINT) AS ka,
+             CAST(sum(ub) OVER w AS BIGINT) AS nb,
+             CAST(sum(cb) OVER w AS BIGINT) AS kb
+           FROM byday
+           WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)),
+         sc AS (
+           SELECT d, na, ka, nb, kb,
+             CASE WHEN na > 0 AND nb > 0
+               THEN kb * 1.0 / nb - ka * 1.0 / na ELSE 0.0 END AS theta,
+             (ka + kb) * 1.0 / (na + nb) AS pool
+           FROM cum),
+         s2 AS (
+           SELECT *, pool * (1.0 - pool) * (1.0 / na + 1.0 / nb) AS sig2
+           FROM sc),
+         lm AS (
+           SELECT *,
+             CASE WHEN na > 0 AND nb > 0 AND sig2 > 0.0
+               THEN sqrt(sig2 / (sig2 + 0.0001)) *
+                 exp(theta * theta * 0.0001 /
+                   (2.0 * sig2 * (sig2 + 0.0001)))
+               ELSE 1.0 END AS lambda
+           FROM s2),
+         p AS (
+           SELECT *,
+             floor(least(1.0, min(1.0 / lambda) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               * 1000000.0 + 0.5) / 1000000.0 AS pav
+           FROM lm)
+         SELECT d, na AS users_a, ka AS conv_a, nb AS users_b,
+           kb AS conv_b,
+           floor(theta * 1000000.0 + 0.5) / 1000000.0 AS theta,
+           floor(lambda * 1000000.0 + 0.5) / 1000000.0 AS lambda,
+           pav AS p_always_valid,
+           CAST(CASE WHEN pav <= 0.05 THEN 1 ELSE 0 END AS INT) AS reject
+         FROM p ORDER BY d""",
+    "q_forecast_combo" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS x
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         tt AS (
+           SELECT d, x, row_number() OVER (ORDER BY d) AS t FROM daily),
+         base AS (
+           SELECT t, x,
+             lag(x, 1) OVER w AS fc_naive,
+             lag(x, 7) OVER w AS fc_snaive,
+             (lag(x, 1) OVER w + lag(x, 2) OVER w + lag(x, 3) OVER w +
+              lag(x, 4) OVER w + lag(x, 5) OVER w + lag(x, 6) OVER w +
+              lag(x, 7) OVER w) / 7.0 AS fc_ma7
+           FROM tt WINDOW w AS (ORDER BY t)),
+         b2 AS (
+           SELECT *, (fc_naive + fc_snaive + fc_ma7) / 3.0 AS fc_combo
+           FROM base WHERE t >= 8),
+         sc AS (
+           SELECT 'naive' AS model, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CAST(abs(x - fc_naive) AS DECIMAL(28,10)))
+               AS DOUBLE) AS sae,
+             CAST(sum(CAST((x - fc_naive) * (x - fc_naive)
+               AS DECIMAL(28,10))) AS DOUBLE) AS sse
+           FROM b2
+           UNION ALL
+           SELECT 'snaive', CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(abs(x - fc_snaive) AS DECIMAL(28,10)))
+               AS DOUBLE),
+             CAST(sum(CAST((x - fc_snaive) * (x - fc_snaive)
+               AS DECIMAL(28,10))) AS DOUBLE)
+           FROM b2
+           UNION ALL
+           SELECT 'ma7', CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(abs(x - fc_ma7) AS DECIMAL(28,10)))
+               AS DOUBLE),
+             CAST(sum(CAST((x - fc_ma7) * (x - fc_ma7)
+               AS DECIMAL(28,10))) AS DOUBLE)
+           FROM b2
+           UNION ALL
+           SELECT 'combo', CAST(count(*) AS BIGINT),
+             CAST(sum(CAST(abs(x - fc_combo) AS DECIMAL(28,10)))
+               AS DOUBLE),
+             CAST(sum(CAST((x - fc_combo) * (x - fc_combo)
+               AS DECIMAL(28,10))) AS DOUBLE)
+           FROM b2)
+         SELECT model, n_days,
+           floor(sae / n_days * 1000000.0 + 0.5) / 1000000.0 AS mae,
+           floor(sqrt(sse / n_days) * 1000000.0 + 0.5) / 1000000.0
+             AS rmse
+         FROM sc ORDER BY model""",
   )
 }

@@ -2610,4 +2610,197 @@ object StatsAnalytics {
         least(d(col("k")) - lit(1.0), d(col("r")) - lit(1.0)))))
         .as("cramers_v"))
   }
+
+  /** Cross-correlation function between daily revenue and daily event
+    * volume at lags −maxLag..maxLag — the lead/lag probe [[acfDaily]]
+    * cannot answer (does activity LEAD spend, or trail it?). Standard
+    * CCF normalization: r_k = Σ_t (x_t−x̄)(y_{t+k}−ȳ) / √(Σ(x−x̄)²·
+    * Σ(y−ȳ)²) with full-series denominators, so |r_k| ≤ 1 and lags are
+    * comparable. Both series come out of ONE corpus aggregate (revenue
+    * and count are two measures of the same day group); everything after
+    * is |days|-sized — the lag joins are window `lag/lead` over the day
+    * frame, never a self-join of raw rows. Moment sums accumulate in
+    * DECIMAL (order-independent merge → oracle parity at any partition
+    * count); the final ratio is one IEEE division, rounded to 6dp. */
+  def ccfDaily(ev: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = ev.filter(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(coalesce(col("value"), lit(0.0))
+          .cast("decimal(18,6)")), 2).cast("double").as("x"),
+        count(lit(1)).cast("double").as("y"))
+      .localCheckpoint() // one corpus pass feeds stats + every lag arm
+    val stats = daily.agg(count(lit(1)).as("n"),
+        (sum(col("x").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("mx"),
+        (sum(col("y").cast("decimal(28,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("my"))
+    val c = daily.crossJoin(broadcast(stats))
+      .select(col("d"), (col("x") - col("mx")).as("cx"),
+        (col("y") - col("my")).as("cy"))
+    val den = c.agg(
+      sqrt(sum((col("cx") * col("cx")).cast("decimal(28,10)"))
+          .cast("double") *
+        sum((col("cy") * col("cy")).cast("decimal(28,10)"))
+          .cast("double")).as("den"))
+    val w = Window.orderBy("d")
+    def r6(cc: Column) = floor(cc * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val arms = (-maxLag to maxLag).map { k =>
+      // r_k pairs x_t with y_{t+k}: k>0 → y shifted forward (lead),
+      // k<0 → y lagged (explicit lag keeps the offset non-negative for
+      // engines that reject negative lead offsets — the oracle mirrors).
+      val yk = if (k >= 0) lead(col("cy"), k) else lag(col("cy"), -k)
+      c.withColumn("yk", yk.over(w))
+        .filter(col("yk").isNotNull)
+        .agg(sum((col("cx") * col("yk")).cast("decimal(28,10)"))
+          .cast("double").as("num"), count(lit(1)).as("n_pairs"))
+        .select(lit(k.toLong).as("lag"), col("n_pairs"), col("num"))
+    }.reduce(_.unionAll(_))
+    arms.crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        r6(col("num") / col("den")).as("ccf"))
+      .orderBy("lag")
+  }
+
+  /** Drawdown report over the DAILY revenue series (depth below the
+    * running record, not below cumulative — cumulative revenue is
+    * monotone, so its drawdown is identically zero): running peak via
+    * an expanding `max` window, per-day drawdown = peak − x, and the
+    * longest underwater streak by the gaps-and-islands rank difference
+    * (rn_all − rn_underwater is constant within a maximal run). The
+    * whole computation lives on the |days| frame after one corpus
+    * aggregate; every window is ORDER BY over that bounded frame.
+    * max_dd_pct guards peak=0 (first day defines the record, dd=0). */
+  def drawdownReport(ev: DataFrame): DataFrame = {
+    val daily = ev.filter(col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")), 2)
+        .cast("double").as("x"))
+    val w = Window.orderBy("d")
+    val dd = daily
+      .withColumn("peak", max(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("dd", col("peak") - col("x"))
+      .withColumn("rn", row_number().over(w))
+      .localCheckpoint() // |days| rows; three scalar consumers below
+    val uw = dd.filter(col("dd") > 0.0)
+      .withColumn("grp", col("rn") - row_number().over(Window.orderBy("rn")))
+      .groupBy("grp").agg(count(lit(1)).as("len"))
+      .agg(coalesce(max(col("len")), lit(0L)).as("max_underwater_days"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val worst = dd
+      .agg(count(lit(1)).as("n_days"),
+        round(max(col("dd")), 2).as("max_drawdown"),
+        max_by(struct(col("dd"), col("peak")),
+          struct(col("dd"), col("rn"))).as("m"))
+      .select(col("n_days"), col("max_drawdown"),
+        r6(when(col("m.peak") > 0.0, col("m.dd") / col("m.peak"))
+          .otherwise(lit(0.0))).as("max_dd_pct"))
+    worst.crossJoin(broadcast(uw))
+  }
+
+  /** Mixture sequential probability ratio test (mSPRT) — the
+    * always-valid p-value stream that makes DAILY peeking at the
+    * [[abLift]] experiment legitimate (a fixed-horizon z re-tested every
+    * day inflates false positives; the mSPRT martingale does not). Same
+    * portable-hash variant split and high-value-purchase conversion as
+    * abLift; per (day × variant) the user/conversion counts are exact
+    * integers, cumulated by window sums over the day frame. With normal
+    * mixture variance τ: Λ_n = √(σ²ₙ/(σ²ₙ+τ))·exp(θ̂ₙ²τ/(2σ²ₙ(σ²ₙ+τ)))
+    * where θ̂ₙ = p̂_b−p̂_a and σ²ₙ the pooled two-proportion variance;
+    * the always-valid p is the RUNNING MIN of 1/Λ (a supermartingale
+    * inverse stays valid under optional stopping). `reject` compares the
+    * ROUNDED p to α so a last-ulp exp() disagreement between engines
+    * cannot flip the flag (the q_jaro_linkage lesson). Shape: one
+    * per-(user,day) corpus pass, then |days|-frame windows — nothing
+    * data-sized after the first shuffle. */
+  def msprt(ev: DataFrame, tau: Double = 0.0001,
+            minValue: Double = 90.0, alpha: Double = 0.05): DataFrame = {
+    val perUserDay = ev.filter(col("user_id").isNotNull &&
+        col("ts").isNotNull)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > minValue, 1L).otherwise(0L)).as("conv"))
+      .withColumn("variant", Sampling.hashBucket(col("user_id"), 2))
+    val byDay = perUserDay.groupBy("d").agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("ua"),
+      sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("ca"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("ub"),
+      sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("cb"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d(c: Column) = c.cast("double")
+    val cum = byDay
+      .withColumn("na", sum(col("ua")).over(w))
+      .withColumn("ka", sum(col("ca")).over(w))
+      .withColumn("nb", sum(col("ub")).over(w))
+      .withColumn("kb", sum(col("cb")).over(w))
+    val bothArms = col("na") > 0L && col("nb") > 0L
+    val theta = when(bothArms,
+      d(col("kb")) / d(col("nb")) - d(col("ka")) / d(col("na")))
+      .otherwise(lit(0.0))
+    val pool = (d(col("ka")) + d(col("kb"))) / (d(col("na")) + d(col("nb")))
+    val sig2 = pool * (lit(1.0) - pool) *
+      (lit(1.0) / d(col("na")) + lit(1.0) / d(col("nb")))
+    // Degenerate early frames (a variant unpopulated, or zero pooled
+    // variance before the first conversion) carry no evidence: Λ = 1.
+    val lam = when(bothArms && sig2 > 0.0,
+      sqrt(sig2 / (sig2 + lit(tau))) *
+        exp(theta * theta * lit(tau) /
+          (lit(2.0) * sig2 * (sig2 + lit(tau)))))
+      .otherwise(lit(1.0))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val scored = cum
+      .withColumn("lambda", lam)
+      .withColumn("p_av", r6(least(lit(1.0),
+        min(lit(1.0) / col("lambda")).over(w))))
+    scored.select(col("d"), col("na").as("users_a"), col("ka").as("conv_a"),
+        col("nb").as("users_b"), col("kb").as("conv_b"),
+        r6(theta).as("theta"), r6(col("lambda")).as("lambda"),
+        col("p_av").as("p_always_valid"),
+        (col("p_av") <= alpha).cast("int").as("reject"))
+      .orderBy("d")
+  }
+
+  /** Equal-weight forecast-combination arm over the three established
+    * backtests — naive lag-1, seasonal lag-7, and the trailing-7 moving
+    * average — evaluated on the COMMON day set (t ≥ 8, where every arm
+    * has a forecast) so the comparison is honest: [[forecastEval]] and
+    * the snaive arm score on their own maximal windows, which are not
+    * the same days. The combination forecast is the plain mean of the
+    * three member forecasts (the hardest-to-beat baseline in the
+    * forecast-combination literature — "forecast combination puzzle").
+    * One corpus pass to the day frame; every arm is a window expression
+    * over it; error sums fold through DECIMAL. */
+  def forecastCombo(ev: DataFrame): DataFrame = {
+    val daily = ev.filter(col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")), 2)
+        .cast("double").as("x"))
+      .withColumn("t", row_number().over(Window.orderBy("d")))
+    val w = Window.orderBy("t")
+    val ma7 = (1 to 7).map(k => lag(col("x"), k).over(w))
+      .reduce(_ + _) / lit(7.0)
+    val base = daily
+      .withColumn("fc_naive", lag(col("x"), 1).over(w))
+      .withColumn("fc_snaive", lag(col("x"), 7).over(w))
+      .withColumn("fc_ma7", ma7)
+      .filter(col("t") >= 8)
+      .withColumn("fc_combo",
+        (col("fc_naive") + col("fc_snaive") + col("fc_ma7")) / lit(3.0))
+      .localCheckpoint() // |days| rows; four scoring consumers
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    def report(fcCol: String, name: String): DataFrame = {
+      val err = col("x") - col(fcCol)
+      base.agg(count(lit(1)).as("n_days"),
+          sum(abs(err).cast("decimal(28,10)")).cast("double").as("sae"),
+          sum((err * err).cast("decimal(28,10)")).cast("double").as("sse"))
+        .select(lit(name).as("model"), col("n_days"),
+          r6(col("sae") / col("n_days").cast("double")).as("mae"),
+          r6(sqrt(col("sse") / col("n_days").cast("double"))).as("rmse"))
+    }
+    report("fc_naive", "naive").unionAll(report("fc_snaive", "snaive"))
+      .unionAll(report("fc_ma7", "ma7"))
+      .unionAll(report("fc_combo", "combo"))
+      .orderBy("model")
+  }
 }

@@ -1976,6 +1976,18 @@ object SparkEntry {
     // equal-weight forecast combination vs its member arms
     "q_forecast_combo" -> ((s, d) =>
       StatsAnalytics.forecastCombo(Tables.events(s, d))),
+    // weight-of-evidence / information-value feature screen
+    "q_woe_iv" -> ((s, d) =>
+      StatsAnalytics.woeIv(Tables.customer(s, d), Tables.orders(s, d))),
+    // stratified inverse-propensity-weighted ATE (Hajek)
+    "q_ipw_ate" -> ((s, d) =>
+      StatsAnalytics.ipwAte(Tables.orders(s, d), Tables.customer(s, d))),
+    // MCC / balanced accuracy / Youden's J for the churn baseline
+    "q_mcc" -> ((s, d) =>
+      EventAnalytics.mccReport(Tables.events(s, d))),
+    // closed-form standardized ridge path (correlation space)
+    "q_ridge" -> ((s, d) =>
+      StatsAnalytics.ridgeCorr(Tables.orders(s, d), Tables.lineitem(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -10714,5 +10726,165 @@ object SparkEntry {
            floor(sqrt(sse / n_days) * 1000000.0 + 0.5) / 1000000.0
              AS rmse
          FROM sc ORDER BY model""",
+    "q_woe_iv" ->
+      """WITH tgt AS (
+           SELECT o_custkey AS c_custkey,
+             max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+               AS y
+           FROM orders GROUP BY 1),
+         base AS (
+           SELECT c.c_mktsegment, c.c_acctbal, coalesce(t.y, 0) AS y
+           FROM customer c LEFT JOIN tgt t ON c.c_custkey = t.c_custkey),
+         feats AS (
+           SELECT 'mktsegment' AS feature, c_mktsegment AS bin, y
+           FROM base
+           UNION ALL
+           SELECT 'acctbal_band',
+             CAST(CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS VARCHAR), y
+           FROM base),
+         cells AS (
+           SELECT feature, bin, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS goods,
+             CAST(count(*) - sum(y) AS BIGINT) AS bads
+           FROM feats GROUP BY 1, 2),
+         tot AS (
+           SELECT feature, CAST(sum(goods) AS BIGINT) AS g_tot,
+             CAST(sum(bads) AS BIGINT) AS b_tot
+           FROM cells GROUP BY 1),
+         sc AS (
+           SELECT c.feature, c.bin, c.n, c.goods, c.bads,
+             ln(((c.goods + 0.5) / t.g_tot) /
+                ((c.bads + 0.5) / t.b_tot)) AS woe_raw,
+             CAST((c.goods * 1.0 / t.g_tot - c.bads * 1.0 / t.b_tot) *
+               ln(((c.goods + 0.5) / t.g_tot) /
+                  ((c.bads + 0.5) / t.b_tot)) AS DECIMAL(28,12)) AS iv_term
+           FROM cells c JOIN tot t ON c.feature = t.feature)
+         SELECT feature, bin, n, goods, bads,
+           floor(woe_raw * 1000000.0 + 0.5) / 1000000.0 AS woe,
+           floor(CAST(sum(iv_term) OVER (PARTITION BY feature) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS iv_feature
+         FROM sc ORDER BY feature, bin""",
+    "q_ipw_ate" ->
+      """WITH units AS (
+           SELECT c.c_mktsegment AS stratum,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END AS t,
+             CAST(o.o_totalprice AS DOUBLE) AS y
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         st AS (
+           SELECT stratum, CAST(count(*) AS BIGINT) AS n_s,
+             CAST(sum(t) AS BIGINT) AS nt_s
+           FROM units GROUP BY 1),
+         se AS (
+           SELECT stratum, CAST(nt_s AS DOUBLE) / n_s AS e FROM st
+           WHERE CAST(nt_s AS DOUBLE) / n_s > 0.0
+             AND CAST(nt_s AS DOUBLE) / n_s < 1.0),
+         wt AS (
+           SELECT u.t, u.y, se.e FROM units u
+           JOIN se ON u.stratum = se.stratum),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(t) AS BIGINT) AS n_treated,
+             CAST(sum(CAST(t * y / e AS DECIMAL(28,10))) AS DOUBLE)
+               AS swy_t,
+             CAST(sum(CAST(t / e AS DECIMAL(28,10))) AS DOUBLE) AS sw_t,
+             CAST(sum(CAST((1 - t) * y / (1.0 - e) AS DECIMAL(28,10)))
+               AS DOUBLE) AS swy_c,
+             CAST(sum(CAST((1 - t) / (1.0 - e) AS DECIMAL(28,10)))
+               AS DOUBLE) AS sw_c,
+             CAST(sum(CAST(CASE WHEN t = 1 THEN y ELSE 0.0 END
+               AS DECIMAL(28,10))) AS DOUBLE) AS sy_t,
+             CAST(sum(CAST(CASE WHEN t = 0 THEN y ELSE 0.0 END
+               AS DECIMAL(28,10))) AS DOUBLE) AS sy_c
+           FROM wt)
+         SELECT n_units, n_treated,
+           floor((sy_t / n_treated - sy_c / (n_units - n_treated))
+             * 1000000.0 + 0.5) / 1000000.0 AS naive_diff,
+           floor((swy_t / sw_t - swy_c / sw_c) * 1000000.0 + 0.5)
+             / 1000000.0 AS ate_ipw
+         FROM agg""",
+    "q_mcc" ->
+      """WITH rows_ AS (
+           SELECT user_id, CAST(ts AS DATE) AS d
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         cut AS (SELECT max(d) - 14 AS cutoff FROM rows_),
+         per AS (SELECT user_id,
+             CAST(date_diff('day', max(CASE WHEN d <= cutoff THEN d END),
+               max(cutoff)) AS BIGINT) AS recency_days,
+             CAST(max(CASE WHEN d > cutoff THEN 1 ELSE 0 END) AS INT)
+               AS label_active
+           FROM rows_ CROSS JOIN cut GROUP BY 1
+           HAVING sum(CASE WHEN d <= cutoff THEN 1 ELSE 0 END) > 0),
+         p AS (SELECT *, CASE WHEN recency_days <= 7 THEN 1 ELSE 0 END
+             AS pred FROM per),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN pred = 1 AND label_active = 1 THEN 1
+               ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN pred = 1 AND label_active = 0 THEN 1
+               ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN pred = 0 AND label_active = 1 THEN 1
+               ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN pred = 0 AND label_active = 0 THEN 1
+               ELSE 0 END) AS BIGINT) AS tn
+           FROM p),
+         s2 AS (SELECT *,
+             CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE) *
+               CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)
+               AS denom,
+             CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) /
+               CAST(tp + fn AS DOUBLE) ELSE 0.0 END AS tpr,
+             CASE WHEN tn + fp > 0 THEN CAST(tn AS DOUBLE) /
+               CAST(tn + fp AS DOUBLE) ELSE 0.0 END AS tnr
+           FROM m)
+         SELECT n_users, tp, fp, fn, tn,
+           floor((CASE WHEN denom > 0.0
+               THEN (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE) -
+                     CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE)) / sqrt(denom)
+               ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS mcc,
+           floor((tpr + tnr) / 2.0 * 1000000.0 + 0.5) / 1000000.0
+             AS balanced_accuracy,
+           floor((tpr + tnr - 1.0) * 1000000.0 + 0.5) / 1000000.0
+             AS youden_j
+         FROM s2""",
+    "q_ridge" ->
+      """WITH per AS (
+           SELECT l_orderkey, CAST(count(*) AS DOUBLE) AS x1,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS x2
+           FROM lineitem GROUP BY 1),
+         units AS (
+           SELECT p.x1, p.x2, CAST(o.o_totalprice AS DOUBLE) AS y
+           FROM per p JOIN orders o ON p.l_orderkey = o.o_orderkey),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x1 AS DECIMAL(28,8))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(x2 AS DECIMAL(28,8))) AS DOUBLE) AS s2,
+             CAST(sum(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x1 * x1 AS DECIMAL(28,8))) AS DOUBLE) AS s11,
+             CAST(sum(CAST(x2 * x2 AS DECIMAL(28,8))) AS DOUBLE) AS s22,
+             CAST(sum(CAST(y * y AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(x1 * x2 AS DECIMAL(28,8))) AS DOUBLE) AS s12,
+             CAST(sum(CAST(x1 * y AS DECIMAL(28,8))) AS DOUBLE) AS s1y,
+             CAST(sum(CAST(x2 * y AS DECIMAL(28,8))) AS DOUBLE) AS s2y
+           FROM units),
+         r AS (
+           SELECT n,
+             (n * s12 - s1 * s2) /
+               sqrt((n * s11 - s1 * s1) * (n * s22 - s2 * s2)) AS r12,
+             (n * s1y - s1 * sy) /
+               sqrt((n * s11 - s1 * s1) * (n * syy - sy * sy)) AS r1y,
+             (n * s2y - s2 * sy) /
+               sqrt((n * s22 - s2 * s2) * (n * syy - sy * sy)) AS r2y
+           FROM m),
+         lam AS (SELECT 0.0 AS lambda UNION ALL SELECT 0.1
+                 UNION ALL SELECT 1.0)
+         SELECT lam.lambda, r.n,
+           floor(r12 * 1000000.0 + 0.5) / 1000000.0 AS r12,
+           floor(((1.0 + lam.lambda) * r1y - r12 * r2y) /
+             ((1.0 + lam.lambda) * (1.0 + lam.lambda) - r12 * r12)
+             * 1000000.0 + 0.5) / 1000000.0 AS beta1_std,
+           floor(((1.0 + lam.lambda) * r2y - r12 * r1y) /
+             ((1.0 + lam.lambda) * (1.0 + lam.lambda) - r12 * r12)
+             * 1000000.0 + 0.5) / 1000000.0 AS beta2_std
+         FROM r CROSS JOIN lam ORDER BY lam.lambda""",
   )
 }

@@ -993,6 +993,46 @@ object EventAnalytics {
         .as("accuracy"))
   }
 
+  /** Matthews correlation coefficient + balanced accuracy + Youden's J
+    * for the [[churnBaseline]] classifier — the prevalence-robust
+    * scorecard precision/recall/F1 cannot give (F1 ignores true
+    * negatives entirely; on an 80%-active fixture "predict everyone
+    * active" scores a flattering F1 and an honest MCC≈0). Identical
+    * point-in-time confusion construction, then three closed-form
+    * scalars over the four integer cells: MCC = (tp·tn − fp·fn)/
+    * √((tp+fp)(tp+fn)(tn+fp)(tn+fn)) (0 when any margin is empty — the
+    * standard convention), balanced accuracy = (TPR+TNR)/2, J = TPR +
+    * TNR − 1. One user-frame aggregate; nothing data-sized after it. */
+  def mccReport(ev: DataFrame, horizonDays: Int = 14,
+                recencyCut: Long = 7L): DataFrame = {
+    val ts = trainingSet(ev, horizonDays)
+      .withColumn("pred", (col("recency_days") <= recencyCut).cast("int"))
+    val m = ts.agg(count(lit(1)).as("n_users"),
+      sum(when(col("pred") === 1 && col("label_active") === 1, 1L)
+        .otherwise(0L)).as("tp"),
+      sum(when(col("pred") === 1 && col("label_active") === 0, 1L)
+        .otherwise(0L)).as("fp"),
+      sum(when(col("pred") === 0 && col("label_active") === 1, 1L)
+        .otherwise(0L)).as("fn"),
+      sum(when(col("pred") === 0 && col("label_active") === 0, 1L)
+        .otherwise(0L)).as("tn"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val denom = d(col("tp") + col("fp")) * d(col("tp") + col("fn")) *
+      d(col("tn") + col("fp")) * d(col("tn") + col("fn"))
+    val mcc = when(denom > 0.0,
+      (d(col("tp")) * d(col("tn")) - d(col("fp")) * d(col("fn"))) /
+        sqrt(denom)).otherwise(lit(0.0))
+    val tpr = when(col("tp") + col("fn") > 0,
+      d(col("tp")) / d(col("tp") + col("fn"))).otherwise(lit(0.0))
+    val tnr = when(col("tn") + col("fp") > 0,
+      d(col("tn")) / d(col("tn") + col("fp"))).otherwise(lit(0.0))
+    m.select(col("n_users"), col("tp"), col("fp"), col("fn"), col("tn"),
+      r6(mcc).as("mcc"),
+      r6((tpr + tnr) / lit(2.0)).as("balanced_accuracy"),
+      r6(tpr + tnr - lit(1.0)).as("youden_j"))
+  }
+
   /** Daily OHLC + VWAP candles over purchase values — the time-series
     * summary [[twap]] and the forecasting family read per bucket,
     * produced WITHOUT any window: open/close resolve through two levels

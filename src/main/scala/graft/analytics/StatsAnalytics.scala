@@ -2803,4 +2803,152 @@ object StatsAnalytics {
       .unionAll(report("fc_combo", "combo"))
       .orderBy("model")
   }
+
+  /** Weight-of-evidence / information-value screen — the classical
+    * credit-scoring featurizer: per feature bin, WoE = ln of the
+    * smoothed good/bad density ratio, and the feature's IV = Σ (g% −
+    * b%)·WoE says whether the feature separates the target at all
+    * (IV < 0.02 = useless, > 0.5 = suspicious). Target: customer ever
+    * placed a 1-URGENT order; features: market segment and a fixed-width
+    * account-balance band (map-side projection — no quantile pass, no
+    * global window). Empty-cell guard is the standard +0.5 Laplace
+    * numerator. Shape: one orders aggregate (shuffle on custkey), one
+    * dim-sized join, one bin census; totals broadcast back; the
+    * per-feature IV folds over the category-bounded bin frame. */
+  def woeIv(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val target = orders.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max(when(col("o_orderpriority") === "1-URGENT", 1L)
+        .otherwise(0L)).as("y"))
+    val base = customer.join(target, Seq("c_custkey"), "left")
+      .select(col("c_mktsegment"), col("c_acctbal"),
+        coalesce(col("y"), lit(0L)).as("y"))
+    val feats = base.select(lit("mktsegment").as("feature"),
+        col("c_mktsegment").as("bin"), col("y"))
+      .unionAll(base.select(lit("acctbal_band").as("feature"),
+        floor(col("c_acctbal") / 2000.0).cast("bigint").cast("string")
+          .as("bin"), col("y")))
+    val cells = feats.groupBy("feature", "bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("goods"))
+      .withColumn("bads", col("n") - col("goods"))
+    val tot = cells.groupBy("feature")
+      .agg(sum(col("goods")).as("g_tot"), sum(col("bads")).as("b_tot"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val woe = log(((d(col("goods")) + lit(0.5)) / d(col("g_tot"))) /
+      ((d(col("bads")) + lit(0.5)) / d(col("b_tot"))))
+    val ivTerm = (d(col("goods")) / d(col("g_tot")) -
+      d(col("bads")) / d(col("b_tot"))) * woe
+    val scored = cells.join(broadcast(tot), Seq("feature"))
+      .withColumn("woe_raw", woe)
+      .withColumn("iv_term", ivTerm.cast("decimal(28,12)"))
+    val w = Window.partitionBy("feature")
+    scored.select(col("feature"), col("bin"), col("n"), col("goods"),
+        col("bads"), r6(col("woe_raw")).as("woe"),
+        r6(sum(col("iv_term")).over(w).cast("double")).as("iv_feature"))
+      .orderBy("feature", "bin")
+  }
+
+  /** Stratified inverse-propensity-weighted average treatment effect
+    * (Hájek estimator) — the causal contrast the naive treated-vs-
+    * control mean difference gets wrong whenever treatment assignment
+    * correlates with the strata (here: order priority vs market
+    * segment). Propensity per stratum is the exact treated share (no
+    * model — this is the coarsened-exact-matching limit); weights 1/e
+    * and 1/(1−e) re-balance each stratum to the full population;
+    * strata with degenerate propensity (e ∈ {0,1}) are excluded — the
+    * positivity violation has no defined counterfactual. Per-term
+    * weighted sums fold double products through DECIMAL so the
+    * estimate is partition-order-independent. Shape: one dim join, one
+    * stratum census (broadcast back), one scalar aggregate. */
+  def ipwAte(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val units = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"))
+      .select(col("c_mktsegment").as("stratum"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+          .otherwise(0).as("t"),
+        col("o_totalprice").cast("double").as("y"))
+    val strata = units.groupBy("stratum")
+      .agg(count(lit(1)).as("n_s"), sum(col("t")).as("nt_s"))
+      .withColumn("e", col("nt_s").cast("double") / col("n_s"))
+      .filter(col("e") > 0.0 && col("e") < 1.0)
+    def dec(c: Column) = c.cast("decimal(28,10)")
+    val wt = units.join(broadcast(strata.select("stratum", "e")),
+      Seq("stratum"))
+    val agg = wt.agg(count(lit(1)).as("n_units"),
+      sum(col("t").cast("bigint")).as("n_treated"),
+      sum(dec(col("t") * col("y") / col("e"))).cast("double").as("swy_t"),
+      sum(dec(col("t") / col("e"))).cast("double").as("sw_t"),
+      sum(dec((lit(1) - col("t")) * col("y") / (lit(1.0) - col("e"))))
+        .cast("double").as("swy_c"),
+      sum(dec((lit(1) - col("t")) / (lit(1.0) - col("e"))))
+        .cast("double").as("sw_c"),
+      sum(dec(when(col("t") === 1, col("y")).otherwise(lit(0.0))))
+        .cast("double").as("sy_t"),
+      sum(dec(when(col("t") === 0, col("y")).otherwise(lit(0.0))))
+        .cast("double").as("sy_c"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    agg.select(col("n_units"), col("n_treated"),
+      r6(col("sy_t") / col("n_treated").cast("double") -
+        col("sy_c") / (col("n_units") - col("n_treated")).cast("double"))
+        .as("naive_diff"),
+      r6(col("swy_t") / col("sw_t") - col("swy_c") / col("sw_c"))
+        .as("ate_ipw"))
+  }
+
+  /** Ridge regression in correlation space — the L2-regularized sibling
+    * of [[linreg]], solved closed-form for two standardized features
+    * (order line count, total quantity → order value): b₁(λ) =
+    * ((1+λ)r₁y − r₁₂r₂y)/((1+λ)² − r₁₂²), symmetric for b₂. Working in
+    * correlation space makes λ scale-free (the textbook standardized
+    * ridge) and the whole solve a scalar projection over ONE moment
+    * aggregate — nine DECIMAL sums, no iteration, no matrix library.
+    * The λ grid is a fixed literal; shrinkage is monotone in λ, which
+    * the spec pins. At 100 TB: one lineitem shuffle on orderkey, one
+    * fact join, one scalar fold. */
+  def ridgeCorr(orders: DataFrame, lineitem: DataFrame,
+                lambdas: Seq[Double] = Seq(0.0, 0.1, 1.0)): DataFrame = {
+    val perOrder = lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).cast("double").as("x1"),
+        sum(col("l_quantity").cast("decimal(18,6)")).cast("double")
+          .as("x2"))
+    val units = perOrder.join(orders,
+        perOrder("l_orderkey") === orders("o_orderkey"))
+      .select(col("x1"), col("x2"), col("o_totalprice").cast("double")
+        .as("y"))
+    def dec(c: Column) = c.cast("decimal(28,8)")
+    val m = units.agg(count(lit(1)).as("n"),
+      sum(dec(col("x1"))).cast("double").as("s1"),
+      sum(dec(col("x2"))).cast("double").as("s2"),
+      sum(dec(col("y"))).cast("double").as("sy"),
+      sum(dec(col("x1") * col("x1"))).cast("double").as("s11"),
+      sum(dec(col("x2") * col("x2"))).cast("double").as("s22"),
+      sum(dec(col("y") * col("y"))).cast("double").as("syy"),
+      sum(dec(col("x1") * col("x2"))).cast("double").as("s12"),
+      sum(dec(col("x1") * col("y"))).cast("double").as("s1y"),
+      sum(dec(col("x2") * col("y"))).cast("double").as("s2y"))
+    def d(c: Column) = c.cast("double")
+    val n = d(col("n"))
+    def corr(sab: Column, sa: Column, sb: Column,
+             saa: Column, sbb: Column): Column =
+      (n * sab - sa * sb) /
+        sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    val base = m
+      .withColumn("r12", corr(col("s12"), col("s1"), col("s2"),
+        col("s11"), col("s22")))
+      .withColumn("r1y", corr(col("s1y"), col("s1"), col("sy"),
+        col("s11"), col("syy")))
+      .withColumn("r2y", corr(col("s2y"), col("s2"), col("sy"),
+        col("s22"), col("syy")))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    lambdas.map { lam =>
+      val opl = lit(1.0 + lam)
+      val det = opl * opl - col("r12") * col("r12")
+      base.select(lit(lam).as("lambda"), col("n"),
+        r6(col("r12")).as("r12"),
+        r6((opl * col("r1y") - col("r12") * col("r2y")) / det)
+          .as("beta1_std"),
+        r6((opl * col("r2y") - col("r12") * col("r1y")) / det)
+          .as("beta2_std"))
+    }.reduce(_.unionAll(_)).orderBy("lambda")
+  }
 }

@@ -138,4 +138,105 @@ class Round22OpsSpec extends SparkSpec {
     assert(m("ma7") == ((3L, 4.0, 4.0)))
     assert(m("combo") == ((3L, 4.0, 4.0)))
   }
+
+  // ---- woeIv -------------------------------------------------------
+
+  test("woeIv: hand-traced WoE and IV with Laplace numerators") {
+    // customers: (seg, bal, y) = (A,0,1),(A,0,0),(B,0,0),(B,5000,1)
+    // mktsegment: both bins g=1,b=1 → woe=0, IV=0
+    // acctbal_band 0: g=1,b=2 → woe=ln((1.5/2)/(2.5/2))=ln(0.6)
+    // acctbal_band 2: g=1,b=0 → woe=ln((1.5/2)/(0.5/2))=ln(3)
+    // IV = (.5-1)ln(.6) + (.5-0)ln(3) = 0.804719
+    val cust = Seq(
+      (1L, "A", 0.0), (2L, "A", 0.0), (3L, "B", 0.0), (4L, "B", 5000.0))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val orders = Seq(
+      (10L, 1L, "1-URGENT"), (11L, 2L, "5-LOW"), (12L, 4L, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val rows = StatsAnalytics.woeIv(cust, orders).collect()
+    val m = rows.map(r => (r.getAs[String]("feature"),
+      r.getAs[String]("bin")) ->
+      (r.getAs[Long]("goods"), r.getAs[Long]("bads"),
+        r.getAs[Double]("woe"), r.getAs[Double]("iv_feature"))).toMap
+    assert(m(("mktsegment", "A")) == ((1L, 1L, 0.0, 0.0)))
+    assert(m(("mktsegment", "B")) == ((1L, 1L, 0.0, 0.0)))
+    assert(m(("acctbal_band", "0")) ==
+      ((1L, 2L, -0.510826, 0.804719)))
+    assert(m(("acctbal_band", "2")) ==
+      ((1L, 0L, 1.098612, 0.804719)))
+  }
+
+  // ---- ipwAte ------------------------------------------------------
+
+  test("ipwAte: unbalanced strata re-weight to ATE 10, naive 13.33") {
+    // stratum X (e=1/3): T y=10; C y=0, y=0
+    // stratum Y (e=2/3): T y=20, y=20; C y=10
+    // stratum Z (e=1): excluded by the positivity guard
+    // naive = (10+20+20)/3 − (0+0+10)/3 = 13.333333
+    // IPW: t-arm 90/6 = 15, c-arm 30/6 = 5 → ATE = 10
+    val orders = Seq(
+      (1L, 1L, "1-URGENT", 10.0), (2L, 2L, "5-LOW", 0.0),
+      (3L, 3L, "5-LOW", 0.0),
+      (4L, 4L, "2-HIGH", 20.0), (5L, 5L, "1-URGENT", 20.0),
+      (6L, 6L, "3-MEDIUM", 10.0),
+      (7L, 7L, "1-URGENT", 99.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    val cust = Seq(
+      (1L, "X"), (2L, "X"), (3L, "X"),
+      (4L, "Y"), (5L, "Y"), (6L, "Y"),
+      (7L, "Z"))
+      .toDF("c_custkey", "c_mktsegment")
+    val r = StatsAnalytics.ipwAte(orders, cust).collect()(0)
+    assert(r.getAs[Long]("n_units") == 6L)
+    assert(r.getAs[Long]("n_treated") == 3L)
+    assert(r.getAs[Double]("naive_diff") == 13.333333)
+    assert(r.getAs[Double]("ate_ipw") == 10.0)
+  }
+
+  // ---- mccReport ---------------------------------------------------
+
+  test("mccReport: one user per confusion cell gives MCC 0") {
+    // cutoff = 2024-01-30 − 14 = 2024-01-16
+    // u1: pre 01-15 (rec 1 → pred 1), post → TP
+    // u2: pre 01-16 (rec 0 → pred 1), none → FP
+    // u3: pre 01-01 (rec 15 → pred 0), post → FN
+    // u4: pre 01-02 (rec 14 → pred 0), none → TN
+    val ev = Seq(
+      (1L, ts("2024-01-15 08:00:00"), 1.0),
+      (1L, ts("2024-01-30 08:00:00"), 1.0),
+      (2L, ts("2024-01-16 08:00:00"), 1.0),
+      (3L, ts("2024-01-01 08:00:00"), 1.0),
+      (3L, ts("2024-01-25 08:00:00"), 1.0),
+      (4L, ts("2024-01-02 08:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    val r = graft.analytics.EventAnalytics.mccReport(ev).collect()(0)
+    assert(r.getAs[Long]("tp") == 1L && r.getAs[Long]("fp") == 1L &&
+      r.getAs[Long]("fn") == 1L && r.getAs[Long]("tn") == 1L)
+    assert(r.getAs[Double]("mcc") == 0.0)
+    assert(r.getAs[Double]("balanced_accuracy") == 0.5)
+    assert(r.getAs[Double]("youden_j") == 0.0)
+  }
+
+  // ---- ridgeCorr ---------------------------------------------------
+
+  test("ridgeCorr: exact-fit fixture, hand-traced shrinkage path") {
+    // (x1,x2,y): (1,2,1),(2,1,2),(3,3,3) → r12=.5, r1y=1, r2y=.5
+    // λ=0: β=(1,0); λ=.1: (.885417,.052083); λ=1: (.466667,.133333)
+    val li = Seq(
+      (1L, 2.0),
+      (2L, 0.5), (2L, 0.5),
+      (3L, 1.0), (3L, 1.0), (3L, 1.0))
+      .toDF("l_orderkey", "l_quantity")
+    val orders = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val rows = StatsAnalytics.ridgeCorr(orders, li).collect()
+    val m = rows.map(r => r.getAs[Double]("lambda") ->
+      (r.getAs[Double]("r12"), r.getAs[Double]("beta1_std"),
+        r.getAs[Double]("beta2_std"))).toMap
+    assert(m(0.0) == ((0.5, 1.0, 0.0)))
+    assert(m(0.1) == ((0.5, 0.885417, 0.052083)))
+    assert(m(1.0) == ((0.5, 0.466667, 0.133333)))
+    // shrinkage is monotone in lambda
+    assert(m(0.0)._2 > m(0.1)._2 && m(0.1)._2 > m(1.0)._2)
+  }
 }

@@ -1988,6 +1988,15 @@ object SparkEntry {
     // closed-form standardized ridge path (correlation space)
     "q_ridge" -> ((s, d) =>
       StatsAnalytics.ridgeCorr(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // Dunning G^2 collocations (significance-aware PMI sibling)
+    "q_collocations" -> ((s, d) =>
+      graft.ext.TextAnalysis.llrCollocations(Tables.documents(s, d))),
+    // segmented type-token ratio (length-robust lexical diversity)
+    "q_segment_ttr" -> ((s, d) =>
+      graft.ext.TextAnalysis.segmentTtr(Tables.documents(s, d))),
+    // RAKE keyword extraction over stopword-delimited phrase runs
+    "q_rake_keywords" -> ((s, d) =>
+      graft.ext.TextAnalysis.rakeKeywords(Tables.documents(s, d))),
   )
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
@@ -10886,5 +10895,116 @@ object SparkEntry {
              ((1.0 + lam.lambda) * (1.0 + lam.lambda) - r12 * r12)
              * 1000000.0 + 0.5) / 1000000.0 AS beta2_std
          FROM r CROSS JOIN lam ORDER BY lam.lambda""",
+    "q_collocations" ->
+      """WITH toks AS (
+           SELECT list_filter(string_split_regex(lower(text), '\s+'),
+             x -> x <> '') AS toks FROM documents),
+         grams AS (
+           SELECT unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           FROM toks WHERE len(toks) >= 2),
+         cells AS (
+           SELECT split_part(bigram, ' ', 1) AS w1,
+             split_part(bigram, ' ', 2) AS w2,
+             CAST(count(*) AS BIGINT) AS c12
+           FROM grams GROUP BY 1, 2),
+         m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1
+                FROM cells GROUP BY 1),
+         m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2
+                FROM cells GROUP BY 1),
+         nt AS (SELECT CAST(sum(c12) AS DOUBLE) AS n FROM cells),
+         j AS (
+           SELECT c.w1, c.w2, CAST(c.c12 AS BIGINT) AS n_pair,
+             CAST(c.c12 AS DOUBLE) AS k, CAST(m1.c1 AS DOUBLE) AS c1,
+             CAST(m2.c2 AS DOUBLE) AS c2, nt.n
+           FROM cells c
+           JOIN m1 ON c.w1 = m1.w1 JOIN m2 ON c.w2 = m2.w2, nt
+           WHERE c.c12 >= 20),
+         t AS (
+           SELECT w1, w2, n_pair, k, c1, c2, n,
+             (CASE WHEN k > 0.0
+                THEN k * ln(k * n / (c1 * c2)) ELSE 0.0 END +
+              CASE WHEN c1 - k > 0.0
+                THEN (c1 - k) * ln((c1 - k) * n / (c1 * (n - c2)))
+                ELSE 0.0 END +
+              CASE WHEN c2 - k > 0.0
+                THEN (c2 - k) * ln((c2 - k) * n / ((n - c1) * c2))
+                ELSE 0.0 END +
+              CASE WHEN n - c1 - c2 + k > 0.0
+                THEN (n - c1 - c2 + k) *
+                  ln((n - c1 - c2 + k) * n / ((n - c1) * (n - c2)))
+                ELSE 0.0 END) AS s
+           FROM j)
+         SELECT w1 || ' ' || w2 AS bigram, n_pair,
+           CAST(CASE WHEN k * n > c1 * c2 THEN 1 ELSE 0 END AS INT)
+             AS positive,
+           floor(2.0 * s * 1000000.0 + 0.5) / 1000000.0 AS llr
+         FROM t ORDER BY bigram""",
+    "q_segment_ttr" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '') AS toks FROM documents),
+         nz AS (SELECT * FROM toks WHERE len(toks) > 0),
+         segs AS (
+           SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / 50.0) AS BIGINT)))
+               AS seg
+           FROM nz),
+         cells AS (
+           SELECT doc_id, seg,
+             len(toks[(seg * 50 + 1):least((seg + 1) * 50, len(toks))])
+               AS n_tok,
+             len(list_distinct(
+               toks[(seg * 50 + 1):least((seg + 1) * 50, len(toks))]))
+               AS n_d
+           FROM segs),
+         ps AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(CAST(CAST(n_d AS DOUBLE) / n_tok
+               AS DECIMAL(28,12))) AS DOUBLE) AS sttr_sum
+           FROM cells GROUP BY 1),
+         pd AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+           FROM nz)
+         SELECT d.doc_id, d.n_tokens, s.n_segments,
+           floor(CAST(d.n_distinct AS DOUBLE) / d.n_tokens
+             * 1000000.0 + 0.5) / 1000000.0 AS ttr,
+           floor(s.sttr_sum / s.n_segments * 1000000.0 + 0.5)
+             / 1000000.0 AS sttr
+         FROM pd d JOIN ps s ON d.doc_id = s.doc_id
+         ORDER BY d.doc_id""",
+    "q_rake_keywords" ->
+      """WITH frags AS (
+           SELECT unnest(string_split(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9\s]', '|', 'g'),
+             '\b(a|the|of|and|in|to|is|on|for|with|as|by|at|or|be)\b',
+             '|', 'g'), '|')) AS frag
+           FROM documents),
+         cand AS (
+           SELECT array_to_string(list_filter(string_split_regex(frag,
+             '\s+'), x -> x <> ''), ' ') AS phrase,
+             len(list_filter(string_split_regex(frag, '\s+'),
+               x -> x <> '')) AS nw
+           FROM frags),
+         pc AS (
+           SELECT phrase, CAST(count(*) AS BIGINT) AS n
+           FROM cand WHERE nw BETWEEN 1 AND 3 GROUP BY 1),
+         pw AS (SELECT phrase, n, string_split(phrase, ' ') AS words
+                FROM pc),
+         wx AS (SELECT unnest(words) AS w, n,
+                  CAST(len(words) AS BIGINT) AS l FROM pw),
+         ws AS (SELECT w, CAST(sum(n) AS BIGINT) AS freq,
+                  CAST(sum(n * l) AS BIGINT) AS degree
+                FROM wx GROUP BY 1),
+         px AS (SELECT phrase, n, unnest(string_split(phrase, ' ')) AS w
+                FROM pc WHERE n >= 5),
+         sc AS (SELECT p.phrase, p.n,
+                  CAST(s.degree AS DOUBLE) / s.freq AS wsc
+                FROM px p JOIN ws s ON p.w = s.w)
+         SELECT phrase, n, CAST(count(*) AS BIGINT) AS n_words,
+           floor(CAST(sum(CAST(wsc AS DECIMAL(28,12))) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS rake_score
+         FROM sc GROUP BY phrase, n ORDER BY phrase""",
   )
 }

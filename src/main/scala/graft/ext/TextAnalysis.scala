@@ -1357,4 +1357,129 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
       .orderBy("doc_id")
   }
+
+  /** Dunning log-likelihood-ratio (G²) collocations — the
+    * significance-aware sibling of [[bigramPmi]]: PMI over-rewards rare
+    * pairs (two hapaxes that co-occur once get the corpus-max score);
+    * G² weighs the full 2×2 contingency of positional bigram counts, so
+    * high scores need both association AND evidence. Margins come from
+    * the bigram CELL frame itself (c1 = Σ_w2 c12 per first word, c2 per
+    * second word, N = Σ all) — one corpus pass builds the cells, every
+    * margin is a reaggregation of that vocabulary-bounded frame, and
+    * both margin joins broadcast. Zero cells contribute exactly 0 (the
+    * k·ln k convention), each term is a double over exact integers —
+    * deterministic ln cross-engine, r6-rounded. */
+  def llrCollocations(docs: DataFrame, minPair: Long = 20L): DataFrame = {
+    graft.plans.TextSketches.register(docs.sparkSession)
+    val grams = docs.select(tokens(col("text")).as("toks"))
+      .select(explode(graft.plans.TextSketches.word_ngrams(col("toks"), 2))
+        .as("bigram"))
+      .select(substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
+    val cells = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // one corpus pass; margins + output read it
+    val m1 = cells.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val m2 = cells.groupBy("w2").agg(sum(col("c12")).as("c2"))
+    val nTot = cells.agg(sum(col("c12")).as("nn"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    def term(k: Column, row: Column, cl: Column, n: Column): Column =
+      when(k > 0.0, k * log(k * n / (row * cl))).otherwise(lit(0.0))
+    val n = d(col("nn"))
+    val (c1, c2, c12) = (d(col("c1")), d(col("c2")), d(col("c12")))
+    val g2 = lit(2.0) * (
+      term(c12, c1, c2, n) +
+      term(c1 - c12, c1, n - c2, n) +
+      term(c2 - c12, n - c1, c2, n) +
+      term(n - c1 - c2 + c12, n - c1, n - c2, n))
+    cells.filter(col("c12") >= minPair)
+      .join(broadcast(m1), Seq("w1"))
+      .join(broadcast(m2), Seq("w2"))
+      .crossJoin(broadcast(nTot))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("c12").as("n_pair"),
+        (c12 * n > c1 * c2).cast("int").as("positive"),
+        r6(g2).as("llr"))
+      .orderBy("bigram")
+  }
+
+  /** Segmented type–token ratio — the length-robust lexical-diversity
+    * score (plain TTR collapses as documents grow; averaging the TTR of
+    * fixed 50-token segments removes the length confound, so documents
+    * of different sizes are comparable). Both the segment cells and the
+    * whole-doc distinct count key their shuffles on doc_id, so the
+    * second aggregate is partition-local after the first; output is one
+    * row per document. Tail segments shorter than `segTokens` count —
+    * dropping them would silently bias short docs to NULL. */
+  def segmentTtr(docs: DataFrame, segTokens: Int = 50): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val segCells = toks
+      .groupBy(col("doc_id"),
+        floor(col("pos") / segTokens).cast("bigint").as("seg"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("n_d"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val perDocSeg = segCells.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum((d(col("n_d")) / d(col("n_tok"))).cast("decimal(28,12)"))
+          .cast("double").as("sttr_sum"))
+    val perDoc = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"))
+    perDoc.join(perDocSeg, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_segments"),
+        r6(d(col("n_distinct")) / d(col("n_tokens"))).as("ttr"),
+        r6(col("sttr_sum") / d(col("n_segments"))).as("sttr"))
+      .orderBy("doc_id")
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010), corpus-level: candidate
+    * phrases are maximal non-stopword runs (after punctuation→delimiter
+    * normalization), capped at `maxWords`; each word scores
+    * degree/frequency over the candidate set; a phrase scores the sum of
+    * its word scores. The corpus touches raw text exactly once — the
+    * phrase census (canonical text, count) is vocabulary-bounded, and
+    * BOTH the word statistics and the final scores derive from that
+    * census (a phrase's words are a function of its text, so exploding
+    * the weighted census equals exploding the corpus). The support
+    * floor makes the output row set deterministic; ORDER BY phrase, not
+    * by the floating score. Stopword list is a fixed public literal —
+    * the same regex runs in both engines. */
+  def rakeKeywords(docs: DataFrame, minCount: Long = 5L,
+                   maxWords: Int = 3): DataFrame = {
+    val stop = Seq("a", "the", "of", "and", "in", "to", "is", "on", "for",
+      "with", "as", "by", "at", "or", "be")
+    val stopRe = "\\b(" + stop.mkString("|") + ")\\b"
+    val marked = regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", "|"),
+      stopRe, "|")
+    val cand = docs.select(explode(split(marked, "\\|")).as("frag"))
+      .select(filter(split(col("frag"), "\\s+"), t => t =!= "")
+        .as("words"))
+      .filter(size(col("words")) >= 1 && size(col("words")) <= maxWords)
+      .select(array_join(col("words"), " ").as("phrase"))
+    val pc = cand.groupBy("phrase").agg(count(lit(1)).as("n"))
+      .withColumn("words", split(col("phrase"), " "))
+      .localCheckpoint() // phrase census: word stats + scores read it
+    val wstats = pc
+      .select(explode(col("words")).as("w"), col("n"),
+        size(col("words")).cast("bigint").as("len"))
+      .groupBy("w")
+      .agg(sum(col("n")).as("freq"), sum(col("n") * col("len"))
+        .as("degree"))
+    val wscore = wstats.select(col("w"),
+      (col("degree").cast("double") / col("freq").cast("double"))
+        .as("ws"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    pc.filter(col("n") >= minCount)
+      .select(col("phrase"), col("n"), explode(col("words")).as("w"))
+      .join(broadcast(wscore), Seq("w"))
+      .groupBy("phrase", "n")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("ws").cast("decimal(28,12)")).cast("double").as("sc"))
+      .select(col("phrase"), col("n"), col("n_words"),
+        r6(col("sc")).as("rake_score"))
+      .orderBy("phrase")
+  }
 }

@@ -239,4 +239,52 @@ class Round22OpsSpec extends SparkSpec {
     // shrinkage is monotone in lambda
     assert(m(0.0)._2 > m(0.1)._2 && m(0.1)._2 > m(1.0)._2)
   }
+
+  // ---- llrCollocations ---------------------------------------------
+
+  test("llrCollocations: hand-traced 2x2 G-squared on a b a b") {
+    // bigrams: (a,b)x2, (b,a)x1; N=3; margins c1(a)=2, c2(b)=2
+    // G2((a,b)) = 2·(2·ln(6/4) + 1·ln(3/1)) = 3.819085
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val rows = graft.ext.TextAnalysis
+      .llrCollocations(docs, minPair = 2L).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[String]("bigram") == "a b")
+    assert(r.getAs[Long]("n_pair") == 2L)
+    assert(r.getAs[Int]("positive") == 1)
+    assert(r.getAs[Double]("llr") == 3.819085)
+  }
+
+  // ---- segmentTtr --------------------------------------------------
+
+  test("segmentTtr: tail segment counts, STTR is the segment mean") {
+    // 5 tokens, segment size 3: [w1,w2,w1] ttr 2/3, [w3,w3] ttr 1/2
+    // STTR = 7/12 = 0.583333; overall TTR = 3/5
+    val docs = Seq((1L, "w1 w2 w1 w3 w3")).toDF("doc_id", "text")
+    val r = graft.ext.TextAnalysis.segmentTtr(docs, segTokens = 3)
+      .collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 5L)
+    assert(r.getAs[Long]("n_segments") == 2L)
+    assert(r.getAs[Double]("ttr") == 0.6)
+    assert(r.getAs[Double]("sttr") == 0.583333)
+  }
+
+  // ---- rakeKeywords ------------------------------------------------
+
+  test("rakeKeywords: degree/freq word scores sum per phrase") {
+    // stopwords is/the/of split: "deep learning"x2, "machine learning"x1
+    // deep: 4/2=2, learning: 6/3=2, machine: 2/1=2 → both phrases 4.0
+    val docs = Seq(
+      (1L, "deep learning is the deep learning of machine learning"))
+      .toDF("doc_id", "text")
+    val rows = graft.ext.TextAnalysis
+      .rakeKeywords(docs, minCount = 1L).collect()
+    val m = rows.map(r => r.getAs[String]("phrase") ->
+      (r.getAs[Long]("n"), r.getAs[Long]("n_words"),
+        r.getAs[Double]("rake_score"))).toMap
+    assert(m("deep learning") == ((2L, 2L, 4.0)))
+    assert(m("machine learning") == ((1L, 2L, 4.0)))
+    assert(rows.length == 2)
+  }
 }

@@ -1997,7 +1997,43 @@ object SparkEntry {
     // RAKE keyword extraction over stopword-delimited phrase runs
     "q_rake_keywords" -> ((s, d) =>
       graft.ext.TextAnalysis.rakeKeywords(Tables.documents(s, d))),
+    // candidate-key uniqueness census over a fixed combo list
+    "q_key_discovery" -> ((s, d) =>
+      graft.operators.DataContract.candidateKeys("orders",
+        Tables.orders(s, d), KeyDiscoveryCombos)),
+    // price/volume/mix decomposition by segment across calendar halves
+    "q_mix_variance" -> ((s, d) =>
+      StarAnalytics.mixVariance(Tables.orders(s, d),
+        Tables.customer(s, d))),
+    // Markov removal-effect attribution over purchase-split journeys
+    "q_markov_attribution" -> ((s, d) =>
+      EventAnalytics.markovAttribution(Tables.events(s, d))),
+    // product-quantization ADC recall gate (4x16 codebooks)
+    "q_pq_recall" -> ((s, d) =>
+      graft.ext.Similarity.pqRecall(Tables.embeddings(s, d))),
+    // stream-stream interval join: purchases within 30min of a click
+    "q_stream_interval_join" -> ((s, d) => {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val ev = graft.streaming.EventStream.readEventsStream(s, d)
+        graft.streaming.EventStream
+          .runAvailableNow(
+            graft.streaming.EventStream.streamIntervalJoin(ev), "append")
+          .orderBy("user_id", "click_id", "purchase_id")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
   )
+
+  /** The q_key_discovery profiling contract: single columns plus the
+    * plausible composite keys among non-unique columns. Fixed literal —
+    * the combo list IS the operator's schema. */
+  val KeyDiscoveryCombos: Seq[Seq[String]] = Seq(
+    Seq("o_orderkey"), Seq("o_custkey"), Seq("o_orderstatus"),
+    Seq("o_totalprice"), Seq("o_orderdate"), Seq("o_orderpriority"),
+    Seq("o_custkey", "o_orderdate"), Seq("o_custkey", "o_totalprice"),
+    Seq("o_orderdate", "o_totalprice"),
+    Seq("o_orderstatus", "o_orderpriority"))
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
   /** Shared DuckDB CTEs + literal constants for the portable sketch oracles.
@@ -11006,5 +11042,206 @@ object SparkEntry {
            floor(CAST(sum(CAST(wsc AS DECIMAL(28,12))) AS DOUBLE)
              * 1000000.0 + 0.5) / 1000000.0 AS rake_score
          FROM sc GROUP BY phrase, n ORDER BY phrase""",
+    "q_key_discovery" -> (KeyDiscoveryCombos.map { combo =>
+      val cols = combo.mkString(",")
+      val distinctExpr =
+        if (combo.length == 1) s"count(DISTINCT ${combo.head})"
+        else s"(SELECT count(*) FROM (SELECT DISTINCT $cols FROM orders))"
+      s"""SELECT 'orders' AS table_name, '$cols' AS columns,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST($distinctExpr AS BIGINT) AS n_distinct,
+            CAST(CASE WHEN $distinctExpr = count(*) THEN 1 ELSE 0 END
+              AS INT) AS is_key,
+            floor(CAST($distinctExpr AS DOUBLE) / count(*)
+              * 1000000.0 + 0.5) / 1000000.0 AS uniqueness
+          FROM orders"""
+    }.mkString("\n          UNION ALL\n          ") +
+      "\n          ORDER BY table_name, columns"),
+    "q_mix_variance" ->
+      """WITH units AS (
+           SELECT c.c_mktsegment AS segment,
+             o.o_orderdate < DATE '1998-01-01' AS p1, o.o_totalprice
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+         cells AS (
+           SELECT segment,
+             CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS q1,
+             CAST(round(sum(CAST(CASE WHEN p1 THEN o_totalprice
+               ELSE 0.0 END AS DECIMAL(28,6))), 2) AS DOUBLE) AS r1,
+             CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS q2,
+             CAST(round(sum(CAST(CASE WHEN NOT p1 THEN o_totalprice
+               ELSE 0.0 END AS DECIMAL(28,6))), 2) AS DOUBLE) AS r2
+           FROM units GROUP BY 1),
+         tot AS (SELECT CAST(sum(q1) AS BIGINT) AS qt1,
+                   CAST(sum(q2) AS BIGINT) AS qt2 FROM cells)
+         SELECT segment, q1, q2, r1, r2,
+           floor((r2 / q2 - r1 / q1) * q2 * 1000000.0 + 0.5)
+             / 1000000.0 AS price_effect,
+           floor(q1 * (CAST(qt2 AS DOUBLE) / qt1 - 1.0) * (r1 / q1)
+             * 1000000.0 + 0.5) / 1000000.0 AS volume_effect,
+           floor((q2 - q1 * (CAST(qt2 AS DOUBLE) / qt1)) * (r1 / q1)
+             * 1000000.0 + 0.5) / 1000000.0 AS mix_effect,
+           round(r2 - r1, 2) AS delta
+         FROM cells CROSS JOIN tot
+         WHERE q1 > 0 AND q2 > 0
+         ORDER BY segment""",
+    "q_markov_attribution" -> {
+      // The absorption iteration is GENERATED from one template so each
+      // recursive-CTE step is literally the Scala driver loop's fixed
+      // left-associated term order (state order: start,click,error,
+      // signup,view; removed channel's terms omitted in its variant).
+      val chans = Seq("click", "error", "signup", "view")
+      val trans = "start" +: chans
+      val tos = chans :+ "conv"
+      val pmCols = (for (f <- trans; t <- tos) yield
+        s"""coalesce(max(CASE WHEN f = '$f' AND t = '$t'
+              THEN CAST(n AS DOUBLE) / rowsum END), 0.0) AS p_${f}_$t""")
+        .mkString(",\n             ")
+      def stepExpr(target: String, removed: Option[String]): String =
+        trans.filterNot(removed.contains)
+          .map(s => s"v_$s * p_${s}_$target").mkString(" + ")
+      def iterCte(name: String, removed: Option[String]): String = {
+        val nvs = chans.map { c =>
+          if (removed.contains(c)) "CAST(0.0 AS DOUBLE)"
+          else stepExpr(c, removed)
+        }
+        s"""it_$name AS (
+           SELECT 0 AS i, CAST(1.0 AS DOUBLE) AS v_start,
+             CAST(0.0 AS DOUBLE) AS v_click,
+             CAST(0.0 AS DOUBLE) AS v_error,
+             CAST(0.0 AS DOUBLE) AS v_signup,
+             CAST(0.0 AS DOUBLE) AS v_view,
+             CAST(0.0 AS DOUBLE) AS acc
+           UNION ALL
+           SELECT i + 1, CAST(0.0 AS DOUBLE), ${nvs.mkString(",\n             ")},
+             acc + (${stepExpr("conv", removed)})
+           FROM it_$name, pm WHERE i < 50)"""
+      }
+      val iterCtes = (iterCte("base", None) +:
+        chans.map(c => iterCte(c, Some(c)))).mkString(",\n         ")
+      s"""WITH RECURSIVE rows_ AS (
+           SELECT user_id, ts, event_id, event_type FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IN
+               ('click', 'error', 'signup', 'view', 'purchase')),
+         seq0 AS (
+           SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase'
+               THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS journey
+           FROM rows_),
+         tr AS (
+           SELECT coalesce(lag(event_type) OVER (
+               PARTITION BY user_id, journey ORDER BY ts, event_id),
+             'start') AS f,
+             CASE WHEN event_type = 'purchase' THEN 'conv'
+               ELSE event_type END AS t
+           FROM seq0),
+         term AS (
+           SELECT event_type AS f, 'null' AS t FROM (
+             SELECT event_type, row_number() OVER (
+               PARTITION BY user_id, journey
+               ORDER BY ts DESC, event_id DESC) AS rn
+             FROM seq0) x
+           WHERE rn = 1 AND event_type <> 'purchase'),
+         cnt AS (
+           SELECT f, t, CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT * FROM tr UNION ALL SELECT * FROM term) u
+           GROUP BY 1, 2),
+         rs AS (SELECT f, CAST(sum(n) AS BIGINT) AS rowsum
+                FROM cnt GROUP BY 1),
+         pm AS (
+           SELECT $pmCols
+           FROM cnt JOIN rs USING (f)),
+         $iterCtes,
+         sel AS (
+           SELECT (SELECT acc FROM it_base WHERE i = 50) AS b,
+             (SELECT acc FROM it_click WHERE i = 50) AS a_click,
+             (SELECT acc FROM it_error WHERE i = 50) AS a_error,
+             (SELECT acc FROM it_signup WHERE i = 50) AS a_signup,
+             (SELECT acc FROM it_view WHERE i = 50) AS a_view),
+         tt AS (
+           SELECT *, (b - a_click) + (b - a_error) + (b - a_signup) +
+             (b - a_view) AS tot
+           FROM sel),
+         res AS (
+           SELECT 'click' AS channel, b, a_click AS a, tot FROM tt
+           UNION ALL SELECT 'error', b, a_error, tot FROM tt
+           UNION ALL SELECT 'signup', b, a_signup, tot FROM tt
+           UNION ALL SELECT 'view', b, a_view, tot FROM tt)
+         SELECT channel,
+           floor(b * 1000000.0 + 0.5) / 1000000.0 AS p_conv_base,
+           floor(a * 1000000.0 + 0.5) / 1000000.0 AS p_conv_removed,
+           floor((b - a) * 1000000.0 + 0.5) / 1000000.0
+             AS removal_effect,
+           floor((CASE WHEN tot <> 0.0 THEN (b - a) / tot ELSE 0.0 END)
+             * 1000000.0 + 0.5) / 1000000.0 AS share
+         FROM res ORDER BY channel"""
+    },
+    "q_pq_recall" ->
+      """WITH base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         cb0 AS (
+           SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+           FROM base ORDER BY vec_id LIMIT 16),
+         cb AS (
+           SELECT ms.m, cid, e[(ms.m*16+1):(ms.m*16+16)] AS cent
+           FROM cb0, (SELECT unnest(range(0, 4)) AS m) ms),
+         subs AS (
+           SELECT vec_id, ms.m, e[(ms.m*16+1):(ms.m*16+16)] AS sub
+           FROM base, (SELECT unnest(range(0, 4)) AS m) ms),
+         asg AS (
+           SELECT vec_id, m, cent FROM (
+             SELECT s.vec_id, s.m, c.cent,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY round(list_sum(list_transform(range(1, 17),
+                   i -> (s.sub[i] - c.cent[i]) * (s.sub[i] - c.cent[i])
+                 )), 6), c.cid) AS rn
+             FROM subs s JOIN cb c ON s.m = c.m) t
+           WHERE rn = 1),
+         rec AS (
+           SELECT vec_id, flatten(list(cent ORDER BY m)) AS r
+           FROM asg GROUP BY 1),
+         wn AS (
+           SELECT b.vec_id, b.e, rec.r FROM base b JOIN rec USING (vec_id)),
+         q AS (
+           SELECT vec_id AS query_id, e AS qe FROM base
+           WHERE vec_id % 10 = 0),
+         pairs AS (
+           SELECT q.query_id, w.vec_id AS neighbor_id,
+             round(list_cosine_similarity(w.e, q.qe), 6) AS sim_e,
+             round(list_cosine_similarity(w.r, q.qe), 6) AS sim_adc
+           FROM wn w CROSS JOIN q WHERE w.vec_id <> q.query_id),
+         r AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim_e DESC, neighbor_id) AS rk_e,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim_adc DESC, neighbor_id) AS rk_a
+           FROM pairs)
+         SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN rk_e <= 10 AND rk_a <= 10 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+           round(CAST(sum(CASE WHEN rk_e <= 10 AND rk_a <= 10 THEN 1
+             ELSE 0 END) AS DOUBLE) /
+             (count(DISTINCT query_id) * 10), 6) AS recall
+         FROM r""",
+    "q_stream_interval_join" ->
+      """WITH c AS (
+           SELECT user_id, event_id AS click_id, ts AS c_ts FROM events
+           WHERE event_type = 'click' AND user_id IS NOT NULL
+             AND ts IS NOT NULL),
+         p AS (
+           SELECT user_id, event_id AS purchase_id, ts AS p_ts
+           FROM events
+           WHERE event_type = 'purchase' AND user_id IS NOT NULL
+             AND ts IS NOT NULL)
+         SELECT c.user_id, c.click_id, p.purchase_id,
+           CAST(date_diff('second', c.c_ts, p.p_ts) AS BIGINT) AS gap_sec
+         FROM c JOIN p ON c.user_id = p.user_id
+           AND p.p_ts >= c.c_ts
+           AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+         ORDER BY 1, 2, 3""",
   )
 }

@@ -1165,4 +1165,102 @@ object EventAnalytics {
       .filter(col("n_events") > 0)
       .orderBy("user_id")
   }
+
+  /** Markov removal-effect attribution — the data-driven alternative to
+    * last-touch rules: model user journeys as a first-order chain over
+    * channel states with `conv`/`null` absorbers, then credit each
+    * channel by how much total conversion probability disappears when
+    * that channel's node is deleted (transitions into it leak to null —
+    * NO renormalization, per the standard removal-effect definition).
+    *
+    * Journeys split at purchases (the running purchase count BEFORE each
+    * row is the journey id); within a journey, `start` precedes the
+    * first event, a purchase absorbs to `conv`, and a journey whose last
+    * event is not a purchase terminates in `null`. The DATA-sized work —
+    * one windowed pass to transitions, one (from,to) census — is fully
+    * distributed; the census is category-bounded (≤ 5×6 cells), so
+    * collecting it is the same documented bounded-collect pattern as the
+    * CMS audit, and the 50-step absorption iteration runs driver-side on
+    * that tiny matrix with FIXED state order (start,click,error,signup,
+    * view — left-associated sums), which the oracle's recursive CTE
+    * replays term for term; zero-probability terms are exact no-ops in
+    * IEEE arithmetic, so base and removal variants stay bit-aligned. */
+  def markovAttribution(ev: DataFrame, iters: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val channels = Seq("click", "error", "signup", "view")
+    val known = channels :+ "purchase"
+    val rows = ev.filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isin(known: _*))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+    val wAll = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val seq0 = rows.withColumn("journey",
+      coalesce(sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L))
+        .over(wAll.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wj = Window.partitionBy("user_id", "journey")
+      .orderBy(col("ts"), col("event_id"))
+    val trans = seq0
+      .withColumn("f",
+        coalesce(lag(col("event_type"), 1).over(wj), lit("start")))
+      .withColumn("t", when(col("event_type") === "purchase", "conv")
+        .otherwise(col("event_type")))
+      .select(col("f"), col("t"))
+    val terminal = seq0
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "journey")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1 && col("event_type") =!= "purchase")
+      .select(col("event_type").as("f"), lit("null").as("t"))
+    // category-bounded collect (≤ 5 from-states × 6 to-states)
+    val cells = trans.unionAll(terminal)
+      .groupBy("f", "t").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val transientStates = "start" +: channels
+    val rowSums = transientStates.map(f =>
+      f -> cells.collect { case ((ff, _), n) if ff == f => n }.sum).toMap
+    def p(f: String, t: String): Double = {
+      val rs = rowSums(f)
+      if (rs == 0L) 0.0 else cells.getOrElse((f, t), 0L).toDouble / rs
+    }
+    def absorb(removed: Option[String]): Double = {
+      var v = transientStates.map(s => if (s == "start") 1.0 else 0.0)
+        .toArray
+      var acc = 0.0
+      for (_ <- 1 to iters) {
+        var step = 0.0
+        for ((s, i) <- transientStates.zipWithIndex
+             if !removed.contains(s))
+          step += v(i) * p(s, "conv")
+        acc += step
+        val nv = new Array[Double](transientStates.length)
+        for ((tc, j) <- transientStates.zipWithIndex
+             if tc != "start" && !removed.contains(tc)) {
+          var x = 0.0
+          for ((s, i) <- transientStates.zipWithIndex
+               if !removed.contains(s))
+            x += v(i) * p(s, tc)
+          nv(j) = x
+        }
+        v = nv
+      }
+      acc
+    }
+    val base = absorb(None)
+    val removedVals = channels.map(c => absorb(Some(c)))
+    val effects = removedVals.map(a => base - a)
+    val tot = effects.reduceLeft(_ + _)
+    def r6(x: Double): Double = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val spark = ev.sparkSession
+    import spark.implicits._
+    channels.lazyZip(removedVals).lazyZip(effects).toSeq.map {
+      case (c, a, e) =>
+        (c, r6(base), r6(a), r6(e),
+          r6(if (tot != 0.0) e / tot else 0.0))
+    }.toDF("channel", "p_conv_base", "p_conv_removed", "removal_effect",
+      "share")
+      .orderBy("channel")
+  }
 }

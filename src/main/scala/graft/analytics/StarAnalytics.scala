@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -1373,5 +1373,47 @@ object StarAnalytics {
       r6(slope).as("slope"),
       r6((d(col("sy")) - slope * d(col("sx"))) / n).as("intercept"))
       .orderBy("p_brand")
+  }
+
+  /** Price/volume/mix variance decomposition by market segment between
+    * the two halves of the order calendar — the FP&A companion to
+    * [[revenueBridge]] (which splits ΔR into price/volume/new/lost per
+    * ENTITY; this splits it into price/volume/MIX per SEGMENT, where
+    * "mix" is the share-shift term a plain two-factor bridge silently
+    * folds into volume): with g = Q₂ᵗᵒᵗ/Q₁ᵗᵒᵗ,
+    *   volume = q₁(g−1)·p̄₁,  mix = (q₂ − q₁g)·p̄₁,
+    *   price = (p̄₂ − p̄₁)·q₂,
+    * and the three reconcile to r₂ − r₁ algebraically. One fact pass
+    * builds the (segment × period) cells via conditional aggregation;
+    * the one-row totals broadcast back; every derived number is a
+    * scalar projection over DECIMAL-folded sums. */
+  def mixVariance(orders: DataFrame, customer: DataFrame,
+                  splitDate: String = "1998-01-01"): DataFrame = {
+    val units = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        (col("o_orderdate") < lit(splitDate)).as("p1"),
+        col("o_totalprice"))
+    val cells = units.groupBy("segment").agg(
+      sum(when(col("p1"), 1L).otherwise(0L)).as("q1"),
+      round(sum(when(col("p1"), col("o_totalprice")).otherwise(lit(0.0))
+        .cast("decimal(28,6)")), 2).cast("double").as("r1"),
+      sum(when(!col("p1"), 1L).otherwise(0L)).as("q2"),
+      round(sum(when(!col("p1"), col("o_totalprice")).otherwise(lit(0.0))
+        .cast("decimal(28,6)")), 2).cast("double").as("r2"))
+    val tot = cells.agg(sum(col("q1")).as("qt1"), sum(col("q2")).as("qt2"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val g = d(col("qt2")) / d(col("qt1"))
+    val pbar1 = col("r1") / d(col("q1"))
+    val pbar2 = col("r2") / d(col("q2"))
+    cells.crossJoin(broadcast(tot))
+      .filter(col("q1") > 0 && col("q2") > 0)
+      .select(col("segment"), col("q1"), col("q2"), col("r1"), col("r2"),
+        r6((pbar2 - pbar1) * d(col("q2"))).as("price_effect"),
+        r6(d(col("q1")) * (g - lit(1.0)) * pbar1).as("volume_effect"),
+        r6((d(col("q2")) - d(col("q1")) * g) * pbar1).as("mix_effect"),
+        round(col("r2") - col("r1"), 2).as("delta"))
+      .orderBy("segment")
   }
 }

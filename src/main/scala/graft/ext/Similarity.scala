@@ -1098,4 +1098,70 @@ object Similarity {
     }
     picks.reduce(_ unionAll _).orderBy("sel_rank")
   }
+
+  /** Product-quantization recall gate — the acceptance test for the
+    * memory-side of a 100 TB ANN index (PQ is what makes billion-vector
+    * serving fit in RAM: 64 float dims → `subspaces` uint8 codes).
+    * Codebooks are deterministic "training": the subvectors of the
+    * `codes` lowest-id vectors. Assignment is an L2 argmin per
+    * (vector × subspace) against the broadcast codebook — the distance
+    * is 6-dp-rounded before the argmin with a code-id tiebreak (the
+    * kmeansRefine convention), so sub-ulp engine differences cannot
+    * flip a code. Scoring is the asymmetric (ADC) scan: exact query
+    * against reconstructed corpus, ranked beside the exact ranking in
+    * the same [[quantizeRecall]] harness — one pair join carries both
+    * sims, two rank windows share one partitioning, recall is exact
+    * integers. At scale the corpus never shuffles for assignment (the
+    * codebook broadcasts) and the scan ships codes, not floats. */
+  def pqRecall(emb: DataFrame, k: Int = 10, queryMod: Int = 10,
+               subspaces: Int = 4, codes: Int = 16): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val dims = 64 / subspaces
+    val e = transform(col("embedding"), v => v.cast("double"))
+    val base = emb.select(col("vec_id"), e.as("e"))
+    val cb0 = base.orderBy("vec_id").limit(codes)
+      .withColumn("cid", row_number().over(Window.orderBy("vec_id")) - 1)
+    val ms = explode(sequence(lit(0), lit(subspaces - 1))).as("m")
+    val cb = cb0.select(col("cid"), col("e"), ms)
+      .select(col("m"), col("cid"),
+        slice(col("e"), col("m") * dims + 1, lit(dims)).as("cent"))
+    val subs = base.select(col("vec_id"), col("e"), ms)
+      .select(col("vec_id"), col("m"),
+        slice(col("e"), col("m") * dims + 1, lit(dims)).as("sub"))
+    val dvec = zip_with(col("sub"), col("cent"), (a, b) => a - b)
+    val assign = subs.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cid"),
+        col("cent"), round(dotD(dvec, dvec), 6).as("d2"))
+      .groupBy("vec_id", "m")
+      .agg(min_by(col("cent"), struct(col("d2"), col("cid"))).as("cent"))
+    val recon = assign.groupBy("vec_id").agg(
+      concat((0 until subspaces).map(i =>
+        max(when(col("m") === i, col("cent")))): _*).as("r"))
+    val withN = base.join(recon, Seq("vec_id"))
+      .select(col("vec_id"), col("e"), col("r"),
+        sqrt(dotD(col("e"), col("e"))).as("ne"),
+        sqrt(dotD(col("r"), col("r"))).as("nr"))
+    val q = withN.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"),
+        col("ne").as("qne"))
+    val pairs = withN.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dotD(col("e"), col("qe")) / (col("ne") * col("qne")), 6)
+          .as("sim_e"),
+        round(dotD(col("r"), col("qe")) / (col("nr") * col("qne")), 6)
+          .as("sim_adc"))
+    val we = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_e").desc, col("neighbor_id"))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_adc").desc, col("neighbor_id"))
+    pairs.withColumn("rk_e", row_number().over(we))
+      .withColumn("rk_a", row_number().over(wa))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        sum(when(col("rk_e") <= k && col("rk_a") <= k, 1L).otherwise(0L))
+          .as("n_hits"))
+      .select(col("n_queries"), col("n_hits"),
+        round(col("n_hits").cast("double") /
+          (col("n_queries") * k), 6).as("recall"))
+  }
 }

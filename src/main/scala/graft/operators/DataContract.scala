@@ -187,4 +187,32 @@ object DataContract {
           (col("n_violating_lhs") === 0).cast("int").as("holds"))
     }.reduce(_ unionAll _)
       .orderBy("table_name", "lhs", "rhs")
+
+  /** Candidate-key discovery — the uniqueness census behind both schema
+    * documentation and dedup-key selection: for each declared column
+    * combo, |distinct| vs |rows| decides `is_key`. Combos are a FIXED
+    * literal list (the profiling contract, like [[functionalDeps]]'
+    * candidate pairs), so the output row set is schema-stable. Each
+    * combo is its own narrow aggregate — column pruning reaches the
+    * scan, so a 2-column combo reads 2 columns; the alternative
+    * one-pass Expand would multiply shuffle volume by the combo count
+    * instead. countDistinct here is exact (it is the VERDICT, not a
+    * screen); the HLL pre-screen that skips hopeless combos at 100 TB
+    * composes upstream of this operator if needed. */
+  def candidateKeys(table: String, df: DataFrame,
+                    combos: Seq[Seq[String]]): DataFrame = {
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    combos.map { combo =>
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(combo.head, combo.tail: _*).as("n_distinct"))
+        .select(lit(table).as("table_name"),
+          lit(combo.mkString(",")).as("columns"),
+          col("n_rows"), col("n_distinct"),
+          (col("n_distinct") === col("n_rows")).cast("int").as("is_key"),
+          r6(col("n_distinct").cast("double") /
+            col("n_rows").cast("double")).as("uniqueness"))
+    }.reduce(_ unionAll _)
+      .orderBy("table_name", "columns")
+  }
 }

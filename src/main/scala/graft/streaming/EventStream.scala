@@ -393,6 +393,40 @@ object EventStream {
   /** Drain a streaming frame on currently-available input via the memory
     * sink and return the materialized result. `AvailableNow` processes all
     * existing files then stops — the streaming analog of a batch run. */
+  /** Stream–stream interval join: every purchase within `window` AFTER a
+    * click by the same user — the conversion-pairing primitive, run as a
+    * genuine two-stream join (both sides are filtered views of the event
+    * stream; Structured Streaming buffers each side's state and the
+    * watermark + time-range condition bound that state: a click older
+    * than watermark+window can never match again and is evicted). Inner
+    * join in append mode — no aggregate downstream, so availableNow
+    * emits the complete pair set. At 100 TB the state per key is the
+    * in-window slice only, and the join shuffles both sides once on
+    * user_id. */
+  def streamIntervalJoin(events: DataFrame,
+                         window: String = "30 minutes"): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click" && col("user_id").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase" &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $window"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts")))
+          .as("gap_sec"))
+  }
+
   def runAvailableNow(stream: DataFrame, outputMode: String): DataFrame = {
     val spark = stream.sparkSession
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"

@@ -287,4 +287,115 @@ class Round22OpsSpec extends SparkSpec {
     assert(m("machine learning") == ((1L, 2L, 4.0)))
     assert(rows.length == 2)
   }
+
+  // ---- candidateKeys -----------------------------------------------
+
+  test("candidateKeys: single columns vs the composite that is a key") {
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 2L)).toDF("a", "b")
+    val rows = graft.operators.DataContract
+      .candidateKeys("t", df, Seq(Seq("a"), Seq("b"), Seq("a", "b")))
+      .collect()
+    val m = rows.map(r => r.getAs[String]("columns") ->
+      (r.getAs[Long]("n_distinct"), r.getAs[Int]("is_key"),
+        r.getAs[Double]("uniqueness"))).toMap
+    assert(m("a") == ((2L, 0, 0.666667)))
+    assert(m("b") == ((2L, 0, 0.666667)))
+    assert(m("a,b") == ((3L, 1, 1.0)))
+  }
+
+  // ---- mixVariance -------------------------------------------------
+
+  test("mixVariance: effects reconcile to delta on a flat-volume split") {
+    // X: p1 2x10, p2 1x30 → price 20, volume 0, mix -10, delta 10
+    // Y: p1 2x20, p2 3x10 → price -30, volume 0, mix 20, delta -10
+    val orders = Seq(
+      (1L, 1L, "1997-06-01", 10.0), (2L, 1L, "1997-06-02", 10.0),
+      (3L, 1L, "1998-06-01", 30.0),
+      (4L, 2L, "1997-06-01", 20.0), (5L, 2L, "1997-06-02", 20.0),
+      (6L, 2L, "1998-06-01", 10.0), (7L, 2L, "1998-06-02", 10.0),
+      (8L, 2L, "1998-06-03", 10.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("o_orderdate")))
+    val cust = Seq((1L, "X"), (2L, "Y")).toDF("c_custkey", "c_mktsegment")
+    val rows = graft.analytics.StarAnalytics.mixVariance(orders, cust)
+      .collect()
+    val m = rows.map(r => r.getAs[String]("segment") ->
+      (r.getAs[Double]("price_effect"), r.getAs[Double]("volume_effect"),
+        r.getAs[Double]("mix_effect"), r.getAs[Double]("delta"))).toMap
+    assert(m("X") == ((20.0, 0.0, -10.0, 10.0)))
+    assert(m("Y") == ((-30.0, 0.0, 20.0, -10.0)))
+  }
+
+  // ---- markovAttribution -------------------------------------------
+
+  test("markovAttribution: removal effect lands on the converting path") {
+    // u1: view -> purchase; u2: click -> (null)
+    // base P(conv) = 0.5; removing view kills it, removing click doesn't
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view", 1.0),
+      (2L, 1L, ts("2024-01-01 10:05:00"), "purchase", 50.0),
+      (3L, 2L, ts("2024-01-01 11:00:00"), "click", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val rows = graft.analytics.EventAnalytics.markovAttribution(ev)
+      .collect()
+    val m = rows.map(r => r.getAs[String]("channel") ->
+      (r.getAs[Double]("p_conv_base"), r.getAs[Double]("p_conv_removed"),
+        r.getAs[Double]("removal_effect"), r.getAs[Double]("share")))
+      .toMap
+    assert(m("view") == ((0.5, 0.0, 0.5, 1.0)))
+    assert(m("click") == ((0.5, 0.5, 0.0, 0.0)))
+    assert(m("error") == ((0.5, 0.5, 0.0, 0.0)))
+    assert(m("signup") == ((0.5, 0.5, 0.0, 0.0)))
+  }
+
+  test("markovAttribution: purchase splits journeys, terminal goes null") {
+    // one user: view, purchase, click (trailing journey ends in null)
+    // journeys: [view -> conv], [click -> null]
+    // start row: start->view 1, start->click 1 → base = 0.5 again
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view", 1.0),
+      (2L, 1L, ts("2024-01-01 10:05:00"), "purchase", 50.0),
+      (3L, 1L, ts("2024-01-01 10:10:00"), "click", 1.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val rows = graft.analytics.EventAnalytics.markovAttribution(ev)
+      .collect()
+    val m = rows.map(r => r.getAs[String]("channel") ->
+      r.getAs[Double]("removal_effect")).toMap
+    assert(m("view") == 0.5 && m("click") == 0.0)
+  }
+
+  // ---- pqRecall ----------------------------------------------------
+
+  test("pqRecall: corpus drawn from the codebook reconstructs exactly") {
+    // vecs 0..15 ARE the codebook; 16..19 duplicate 0..3 → every
+    // reconstruction is exact, ADC ranking == exact ranking, recall 1
+    val rows = (0 until 20).map { i =>
+      val src = if (i < 16) i else i - 16
+      (i.toLong, (0 until 64).map(d => (src * 101 + d).toFloat).toArray)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val r = graft.ext.Similarity.pqRecall(emb).collect()(0)
+    assert(r.getAs[Long]("n_queries") == 2L)
+    assert(r.getAs[Long]("n_hits") == 20L)
+    assert(r.getAs[Double]("recall") == 1.0)
+  }
+
+  // ---- streamIntervalJoin (batch semantics) ------------------------
+
+  test("streamIntervalJoin: only in-window same-user pairs survive") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      (2L, 1L, ts("2024-01-01 10:15:00"), "purchase", 9.0),
+      (3L, 1L, ts("2024-01-01 11:00:00"), "purchase", 9.0),
+      (4L, 2L, ts("2024-01-01 10:10:00"), "purchase", 9.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val rows = graft.streaming.EventStream.streamIntervalJoin(ev)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Long]("user_id") == 1L)
+    assert(r.getAs[Long]("click_id") == 1L)
+    assert(r.getAs[Long]("purchase_id") == 2L)
+    assert(r.getAs[Long]("gap_sec") == 900L)
+  }
 }

@@ -10781,11 +10781,13 @@ object SparkEntry {
            SELECT c.c_mktsegment, c.c_acctbal, coalesce(t.y, 0) AS y
            FROM customer c LEFT JOIN tgt t ON c.c_custkey = t.c_custkey),
          feats AS (
-           SELECT 'mktsegment' AS feature, c_mktsegment AS bin, y
+           SELECT 'mktsegment' AS feature,
+             coalesce(c_mktsegment, 'NULL') AS bin, y
            FROM base
            UNION ALL
            SELECT 'acctbal_band',
-             CAST(CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS VARCHAR), y
+             coalesce(CAST(CAST(floor(c_acctbal / 2000.0) AS BIGINT)
+               AS VARCHAR), 'NULL'), y
            FROM base),
          cells AS (
            SELECT feature, bin, CAST(count(*) AS BIGINT) AS n,
@@ -11044,9 +11046,16 @@ object SparkEntry {
          FROM sc GROUP BY phrase, n ORDER BY phrase""",
     "q_key_discovery" -> (KeyDiscoveryCombos.map { combo =>
       val cols = combo.mkString(",")
+      // NULL convention (matches Spark's countDistinct): a tuple containing
+      // any NULL is NOT a distinct value — the composite subquery filters
+      // all-columns-NOT-NULL so both engines agree on nullable tables too
+      // (single-column count(DISTINCT c) already ignores NULLs in both).
       val distinctExpr =
         if (combo.length == 1) s"count(DISTINCT ${combo.head})"
-        else s"(SELECT count(*) FROM (SELECT DISTINCT $cols FROM orders))"
+        else {
+          val notNull = combo.map(c => s"$c IS NOT NULL").mkString(" AND ")
+          s"(SELECT count(*) FROM (SELECT DISTINCT $cols FROM orders WHERE $notNull))"
+        }
       s"""SELECT 'orders' AS table_name, '$cols' AS columns,
             CAST(count(*) AS BIGINT) AS n_rows,
             CAST($distinctExpr AS BIGINT) AS n_distinct,

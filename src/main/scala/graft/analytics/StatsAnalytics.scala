@@ -2822,11 +2822,14 @@ object StatsAnalytics {
     val base = customer.join(target, Seq("c_custkey"), "left")
       .select(col("c_mktsegment"), col("c_acctbal"),
         coalesce(col("y"), lit(0L)).as("y"))
+    // NULL bins fold to a sentinel string: Spark sorts NULLS FIRST where
+    // DuckDB defaults NULLS LAST, so a raw NULL bin would break row-order
+    // parity on nullable data; the sentinel keeps ordering engine-neutral
     val feats = base.select(lit("mktsegment").as("feature"),
-        col("c_mktsegment").as("bin"), col("y"))
+        coalesce(col("c_mktsegment"), lit("NULL")).as("bin"), col("y"))
       .unionAll(base.select(lit("acctbal_band").as("feature"),
-        floor(col("c_acctbal") / 2000.0).cast("bigint").cast("string")
-          .as("bin"), col("y")))
+        coalesce(floor(col("c_acctbal") / 2000.0).cast("bigint")
+          .cast("string"), lit("NULL")).as("bin"), col("y")))
     val cells = feats.groupBy("feature", "bin")
       .agg(count(lit(1)).as("n"), sum(col("y")).as("goods"))
       .withColumn("bads", col("n") - col("goods"))

@@ -198,7 +198,15 @@ object DataContract {
     * one-pass Expand would multiply shuffle volume by the combo count
     * instead. countDistinct here is exact (it is the VERDICT, not a
     * screen); the HLL pre-screen that skips hopeless combos at 100 TB
-    * composes upstream of this operator if needed. */
+    * composes upstream of this operator if needed.
+    *
+    * NULL convention: Spark's countDistinct drops any tuple containing a
+    * NULL (single- and multi-column alike), so a combo over nullable
+    * columns counts only fully-non-NULL tuples as distinct values while
+    * n_rows counts every row — a column set with NULLs therefore can
+    * never be is_key=1, which is the SQL key semantics we want. The
+    * DuckDB oracle mirrors this with an explicit all-columns-NOT-NULL
+    * filter inside its composite DISTINCT subquery. */
   def candidateKeys(table: String, df: DataFrame,
                     combos: Seq[Seq[String]]): DataFrame = {
     def r6(c: org.apache.spark.sql.Column) =

@@ -390,9 +390,6 @@ object EventStream {
         tsMicros(col("session_window.end")).as("session_end"),
         col("n_events"), col("session_value"))
 
-  /** Drain a streaming frame on currently-available input via the memory
-    * sink and return the materialized result. `AvailableNow` processes all
-    * existing files then stops — the streaming analog of a batch run. */
   /** Stream–stream interval join: every purchase within `window` AFTER a
     * click by the same user — the conversion-pairing primitive, run as a
     * genuine two-stream join (both sides are filtered views of the event
@@ -427,6 +424,9 @@ object EventStream {
           .as("gap_sec"))
   }
 
+  /** Drain a streaming frame on currently-available input via the memory
+    * sink and return the materialized result. `AvailableNow` processes all
+    * existing files then stops — the streaming analog of a batch run. */
   def runAvailableNow(stream: DataFrame, outputMode: String): DataFrame = {
     val spark = stream.sparkSession
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"

@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.analytics.StatsAnalytics
 import graft.operators.Sampling
 
-/** Round-12-of-build additions: cross-correlation (lead/lag), drawdown
-  * report, mSPRT always-valid sequential test, and the equal-weight
-  * forecast combination. Hand-traced fixtures. */
+/** Round-22-of-build additions: cross-correlation (lead/lag), drawdown
+  * report, mSPRT sequential test, forecast combination, WoE/IV screen,
+  * stratified IPW ATE, MCC scorecard, ridge path, Dunning-G2
+  * collocations, segmented TTR, RAKE keywords, candidate-key discovery,
+  * mix variance, Markov attribution, PQ recall, and the stream-stream
+  * interval join. Hand-traced fixtures. */
 class Round22OpsSpec extends SparkSpec {
   import spark.implicits._
 

@@ -1479,7 +1479,7 @@ object StatsAnalytics {
           col("n"))
     }
     val fitted = (1 to iterations).foldLeft(init)((p, _) =>
-      step(p).localCheckpoint())
+      step(p).localCheckpoint(false))
     // final pass: average log-likelihood under the fitted mixture
     val ll = xs.crossJoin(broadcast(fitted))
       // floor the mixture density away from 0 so an underflowing tail

@@ -657,7 +657,7 @@ object EvalOps {
         .as("sg"))
       g = u.crossJoin(broadcast(sg))
         .select(col("i"), (col("g") * lit(nD) / col("sg")).as("g"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     nodes.join(g, Seq("i"))
       .select(col("i").as("part"), col("ni").as("n_matches"),

@@ -194,7 +194,7 @@ object Similarity {
           s => s.getField("m")).as("ce"))
         .withColumn("cn", sqrt(dotD(col("ce"), col("ce"))))
         .select(col("centroid_id"), col("ce"), col("cn"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       assigned = assign()
     }
     assigned
@@ -653,7 +653,7 @@ object Similarity {
       lbl = lbl.join(nbMin, Seq("v"), "left")
         .select(col("v"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     // border = non-core with ≥1 core neighbour; adopt the min adjacent
     // core label
@@ -1031,7 +1031,7 @@ object Similarity {
       v = w.crossJoin(broadcast(nrm))
         .select(col("i").as("j"), (col("wi") / col("nrm")).as("vj"),
           col("nrm"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     // after normalization ‖v‖=1, so the final pre-normalization norm IS
     // the Rayleigh-quotient estimate of the top eigenvalue
@@ -1081,7 +1081,7 @@ object Similarity {
           struct(col("vec_id"), col("mind")),
           struct(col("mind"), (-col("vec_id")).as("nid"))).as("p"))
         .select(col("p.vec_id").as("vec_id"), col("p.mind").as("mind"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       picks += pick.select(lit(r.toLong).as("sel_rank"), col("vec_id"),
         round(col("mind"), 6).as("radius"))
       if (r < k) {
@@ -1093,7 +1093,7 @@ object Similarity {
             least(col("mind"),
               lit(1.0) - round(dotD(col("e"), col("ce")) /
                 (col("nrm") * col("cn")), 6)).as("mind"))
-          .localCheckpoint()
+          .localCheckpoint(false)
       }
     }
     picks.reduce(_ unionAll _).orderBy("sel_rank")

@@ -1240,25 +1240,20 @@ object TextAnalysis {
     * self-loops PageRank theory doesn't want). */
   def textrank(docs: DataFrame, window: Int = 2, minCooc: Long = 2L,
                k: Int = 20): DataFrame = {
-    val ts = tokens(col("text"))
-    // offset-o pairs (t[i], t[i+o]) guarded for short docs: Spark's
-    // sequence(1, 0) is DESCENDING (same hazard as TextFns.shingles) —
-    // the when() keeps sub-window documents at an empty pair list
-    def offsetPairs(o: Int): Column = {
-      val built = transform(sequence(lit(1), size(col("ts")) - o), i =>
-        struct(element_at(col("ts"), i).as("a"),
-          element_at(col("ts"), i + o).as("b")))
-      when(size(col("ts")) > o, built)
-        .otherwise(array().cast("array<struct<a:string,b:string>>"))
-    }
-    val pairCols = (1 to window).map(offsetPairs)
-    val und = docs.select(ts.as("ts"))
-      .select(explode(concat(pairCols: _*)).as("pr"))
-      .filter(col("pr.a") =!= col("pr.b"))
-      .select(least(col("pr.a"), col("pr.b")).as("ta"),
-        greatest(col("pr.a"), col("pr.b")).as("tb"))
-      .groupBy("ta", "tb").agg(count(lit(1)).as("n"))
+    // Native cooc_pairs (one JVM loop per row) replaces the HOF
+    // offset-shifted transform + least/greatest + self-filter — the
+    // interpreted-lambda formulation cost ~5 s at sf0.1 on a cold JVM
+    // (the same hazard plans/TextSketches.WordShingles documents), this
+    // is sub-second with identical pair multiset. Tokens are whitespace-
+    // split, so the space-joined canonical pair splits back losslessly.
+    graft.plans.TextSketches.register(docs.sparkSession)
+    val und = docs
+      .select(explode(graft.plans.TextSketches.cooc_pairs(
+        tokens(col("text")), window)).as("pr"))
+      .groupBy("pr").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCooc)
+      .select(substring_index(col("pr"), " ", 1).as("ta"),
+        substring_index(col("pr"), " ", -1).as("tb"), col("n"))
     val edges = und.select(col("ta").as("src"), col("tb").as("dst"),
         col("n").as("w"))
       .union(und.select(col("tb").as("src"), col("ta").as("dst"),

@@ -217,6 +217,49 @@ case class TokenChunks(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Canonicalized co-occurrence pairs over array<string> tokens: for every
+  * offset o in 1..window, the pair (t[i], t[i+o]) space-joined as
+  * "min max" (binary UTF8 order, the comparison least/greatest use), with
+  * self-pairs dropped — the TextRank graph unit. Value-identical to the
+  * HOF reference in TextAnalysis.textrank (offset-shifted transform +
+  * least/greatest + self-filter, multiplicity preserved), which walks an
+  * interpreted lambda tree per element — measured ~5 s cold for the sf0.1
+  * corpus vs sub-second here (same hazard, same cure as [[WordShingles]]).
+  * Pair ordering in the output array is (offset, position), which is
+  * irrelevant downstream: the pairs feed a commutative count aggregate. */
+case class CoocPairs(child: Expression, window: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(window >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    val space = UTF8String.fromString(" ")
+    var o = 1
+    while (o <= window) {
+      var i = 0
+      while (i < m - o) {
+        val a0 = toks.getUTF8String(i)
+        val b0 = toks.getUTF8String(i + o)
+        val a = if (a0 == null) UTF8String.EMPTY_UTF8 else a0
+        val b = if (b0 == null) UTF8String.EMPTY_UTF8 else b0
+        val c = a.compareTo(b)
+        if (c != 0) { // self-pairs carry no ranking signal (see textrank)
+          val (lo, hi) = if (c < 0) (a, b) else (b, a)
+          out += UTF8String.concatWs(space, lo, hi)
+        }
+        i += 1
+      }
+      o += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override def prettyName: String = "cooc_pairs"
+  override protected def withNewChildInternal(c: Expression): CoocPairs =
+    copy(child = c)
+}
+
 /** 60-bit SimHash over array<string> tokens: per-bit ±1 votes of each
   * token's h60, bit set where votes >= 0. Portable to DuckDB bit ops. */
 case class SimHash60(child: Expression)
@@ -276,6 +319,11 @@ object TextSketches {
       exprs => TokenChunks(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cooc_pairs",
+      exprs => CoocPairs(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
   }
 
   def word_shingles(tokens: Column, n: Int): Column =
@@ -289,6 +337,10 @@ object TextSketches {
   def token_chunks(tokens: Column, n: Int): Column =
     call_function("token_chunks", tokens,
       org.apache.spark.sql.functions.lit(n))
+
+  def cooc_pairs(tokens: Column, window: Int): Column =
+    call_function("cooc_pairs", tokens,
+      org.apache.spark.sql.functions.lit(window))
 
   def minhash_sig(tokens: Column, k: Int): Column =
     call_function("minhash_sig", tokens,

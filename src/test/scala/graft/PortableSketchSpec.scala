@@ -67,6 +67,44 @@ class PortableSketchSpec extends SparkSpec {
     assert(e1.isEmpty && e2.isEmpty)
   }
 
+  test("native cooc_pairs == HOF offset-pair reference as a MULTISET") {
+    TextSketches.register(spark)
+    // the HOF formulation textrank used before the native expression:
+    // offset-o pairs via transform + element_at, self-pairs filtered,
+    // least/greatest canonicalization, multiplicity preserved
+    def hofPairs(window: Int) = {
+      def offsetPairs(o: Int) = {
+        val built = transform(sequence(lit(1), size(col("toks")) - o), i =>
+          struct(element_at(col("toks"), i).as("a"),
+            element_at(col("toks"), i + o).as("b")))
+        when(size(col("toks")) > o, built)
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      }
+      docs.select(TextFns.tokens(col("text")).as("toks"))
+        .select(explode(concat((1 to window).map(offsetPairs): _*)).as("pr"))
+        .filter(col("pr.a") =!= col("pr.b"))
+        .select(concat_ws(" ", least(col("pr.a"), col("pr.b")),
+          greatest(col("pr.a"), col("pr.b"))).as("pair"))
+    }
+    for (w <- Seq(1, 2, 3)) {
+      val native = docs
+        .select(explode(TextSketches.cooc_pairs(
+          TextFns.tokens(col("text")), w)).as("pair"))
+      val hof = hofPairs(w)
+      assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+        s"window=$w")
+    }
+    // short/self-pair edge cases: one token → no pairs; repeated token →
+    // self-pairs dropped at every offset
+    val tiny = Seq((1L, "solo"), (2L, "dup dup dup"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = tiny
+      .select(col("doc_id"), TextSketches.cooc_pairs(
+        TextFns.tokens(col("text")), 2).as("prs"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L).isEmpty && got(2L).isEmpty && got(3L) == Seq("x y"))
+  }
+
   test("native simhash60 == HOF reference over token hashes") {
     TextSketches.register(spark)
     val base = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))

@@ -2023,6 +2023,15 @@ object SparkEntry {
           .orderBy("user_id", "click_id", "purchase_id")
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
+    // exact Shapley channel attribution over (user, day) coalitions
+    "q_shapley_attribution" -> ((s, d) =>
+      EventAnalytics.shapleyAttribution(Tables.events(s, d))),
+    // Kneser-Ney bigram perplexity on the held-out doc slice
+    "q_kneser_ney" -> ((s, d) =>
+      graft.ext.TextAnalysis.kneserNey(Tables.documents(s, d))),
+    // Gopher duplicate/top n-gram repetition gates per document
+    "q_gopher_repetition" -> ((s, d) =>
+      graft.ext.TextAnalysis.gopherRepetition(Tables.documents(s, d))),
   )
 
   /** The q_key_discovery profiling contract: single columns plus the
@@ -11252,5 +11261,130 @@ object SparkEntry {
            AND p.p_ts >= c.c_ts
            AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
          ORDER BY 1, 2, 3""",
+    "q_shapley_attribution" ->
+      """WITH units AS (
+           SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               + max(CASE WHEN event_type = 'error' THEN 2 ELSE 0 END)
+               + max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+               + max(CASE WHEN event_type = 'view' THEN 8 ELSE 0 END)
+               AS BIGINT) AS mask,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         census AS (
+           SELECT mask, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS DOUBLE) / count(*) AS v
+           FROM units GROUP BY 1),
+         chan AS (
+           SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+             ('error', CAST(2 AS BIGINT)), ('signup', CAST(4 AS BIGINT)),
+             ('view', CAST(8 AS BIGINT))) AS t(channel, bit)),
+         terms AS (
+           SELECT c.channel, s.n,
+             CAST((CASE (CASE WHEN (s.mask & 1) > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN (s.mask & 2) > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN (s.mask & 4) > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN (s.mask & 8) > 0 THEN 1 ELSE 0 END - 1)
+               WHEN 0 THEN 6.0 WHEN 1 THEN 2.0 WHEN 2 THEN 2.0
+               ELSE 6.0 END
+               * (s.v - coalesce(s0.v, 0.0))) AS DECIMAL(28,12)) AS t
+           FROM census s JOIN chan c ON (s.mask & c.bit) <> 0
+           LEFT JOIN census s0 ON s.mask - c.bit = s0.mask)
+         SELECT channel, CAST(sum(n) AS BIGINT) AS n_units,
+           floor(CAST(sum(t) AS DOUBLE) / 24.0 * 1000000.0 + 0.5)
+             / 1000000.0 AS shapley
+         FROM terms GROUP BY 1 ORDER BY 1""",
+    "q_kneser_ney" ->
+      """WITH toksT AS (
+           SELECT list_filter(string_split_regex(lower(text), '\s+'),
+             x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 10 <> 9),
+         toksE AS (
+           SELECT list_filter(string_split_regex(lower(text), '\s+'),
+             x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 10 = 9),
+         gt AS (
+           SELECT unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           FROM toksT WHERE len(toks) >= 2),
+         ge AS (
+           SELECT split_part(bigram, ' ', 1) AS w1,
+             split_part(bigram, ' ', 2) AS w2
+           FROM (SELECT unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS bigram
+             FROM toksE WHERE len(toks) >= 2)),
+         bc AS (
+           SELECT split_part(bigram, ' ', 1) AS w1,
+             split_part(bigram, ' ', 2) AS w2,
+             CAST(count(*) AS BIGINT) AS c12
+           FROM gt GROUP BY 1, 2),
+         heads AS (
+           SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1p_head
+           FROM bc GROUP BY 1),
+         cont AS (
+           SELECT w2, CAST(count(*) AS BIGINT) AS n1p_cont
+           FROM bc GROUP BY 1),
+         big AS (SELECT CAST(count(*) AS DOUBLE) AS bb FROM bc),
+         scored AS (
+           SELECT h.c1,
+             CASE WHEN h.c1 IS NULL THEN NULL ELSE
+               greatest(CAST(coalesce(b.c12, 0) AS DOUBLE) - 0.75, 0.0)
+                 / CAST(h.c1 AS DOUBLE)
+               + 0.75 * CAST(h.n1p_head AS DOUBLE)
+                 / CAST(h.c1 AS DOUBLE)
+                 * (CAST(coalesce(ct.n1p_cont, 0) AS DOUBLE) / big.bb)
+             END AS p
+           FROM ge
+           LEFT JOIN heads h ON ge.w1 = h.w1
+           LEFT JOIN bc b ON ge.w1 = b.w1 AND ge.w2 = b.w2
+           LEFT JOIN cont ct ON ge.w2 = ct.w2, big)
+         SELECT CAST(count(*) AS BIGINT) AS n_eval_bigrams,
+           CAST(sum(CASE WHEN c1 IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_scored,
+           CAST(count(*) - sum(CASE WHEN c1 IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_skipped,
+           floor(CAST(sum(CAST(ln(greatest(p, 1.0e-12))
+               AS DECIMAL(28,12))) AS DOUBLE)
+             / sum(CASE WHEN c1 IS NOT NULL THEN 1 ELSE 0 END)
+             * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob,
+           floor(exp(-(CAST(sum(CAST(ln(greatest(p, 1.0e-12))
+               AS DECIMAL(28,12))) AS DOUBLE)
+             / sum(CASE WHEN c1 IS NOT NULL THEN 1 ELSE 0 END)))
+             * 1000000.0 + 0.5) / 1000000.0 AS perplexity
+         FROM scored""",
+    "q_gopher_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '') AS toks FROM documents),
+         arms AS (SELECT * FROM (VALUES (2, 0.20, 0.20),
+           (3, 0.18, 0.18)) AS t(n, thr_dup, thr_top)),
+         grams AS (
+           SELECT t.doc_id, a.n, a.thr_dup, a.thr_top,
+             unnest(list_transform(range(1, len(t.toks) - a.n + 2),
+               i -> array_to_string(t.toks[i:i+a.n-1], ' '))) AS g
+           FROM toks t JOIN arms a ON len(t.toks) >= a.n),
+         census AS (
+           SELECT doc_id, n, thr_dup, thr_top, g,
+             CAST(count(*) AS BIGINT) AS c
+           FROM grams GROUP BY 1, 2, 3, 4, 5),
+         per AS (
+           SELECT doc_id, n, thr_dup, thr_top,
+             CAST(sum(c) AS BIGINT) AS n_grams,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_c
+           FROM census GROUP BY 1, 2, 3, 4)
+         SELECT doc_id, CAST(n AS BIGINT) AS n, n_grams,
+           floor((1.0 - CAST(n_distinct AS DOUBLE)
+             / CAST(n_grams AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+             AS dup_frac,
+           floor(CAST(top_c AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS top_share,
+           CAST(CASE WHEN (1.0 - CAST(n_distinct AS DOUBLE)
+               / CAST(n_grams AS DOUBLE)) <= thr_dup
+             AND CAST(top_c AS DOUBLE) / CAST(n_grams AS DOUBLE)
+               <= thr_top THEN 1 ELSE 0 END AS INT) AS keep
+         FROM per ORDER BY doc_id, n""",
   )
 }

@@ -1263,4 +1263,77 @@ object EventAnalytics {
       "share")
       .orderBy("channel")
   }
+
+  /** Exact Shapley-value channel attribution (Shapley 1953; the
+    * data-driven-attribution standard beside [[markovAttribution]]'s
+    * removal effects): the conversion unit is a (user, day); its
+    * coalition is the SET of channels (same whitelist as the Markov
+    * model, purchase = conversion) touched that day, encoded as a
+    * 4-bit mask. v(S) = observed conversion rate of units with
+    * coalition exactly S (unobserved coalitions contribute v = 0 — the
+    * standard observed-lattice convention, stated here so the number
+    * is interpretable). φ_i = Σ_{S∌i} |S|!·(k−1−|S|)!/k! ·
+    * (v(S∪i) − v(S)), computed with the weights scaled by k! = 24 so
+    * every weight is an exact INTEGER (6/2/2/6) and the division by 24
+    * happens once at the end — no per-term rounding; per-term doubles
+    * fold through DECIMAL so the Σ is partition-order-independent.
+    *
+    * Scale shape: one corpus aggregate to (user, day) units (shuffle on
+    * the unit key, map-side combined), one unit aggregate to the ≤2^k
+    * coalition census, then ALL Shapley algebra runs on that bounded
+    * census (a 4-row channel literal × census join + a self-join on the
+    * i-removed mask) — nothing data-scale ever moves again. At 100 TB
+    * only the two aggregates grow; the lattice stays 16 rows. */
+  def shapleyAttribution(ev: DataFrame): DataFrame = {
+    val channels = Seq("click", "error", "signup", "view")
+    val k = channels.length
+    def fact(n: Int): Long = (1 to n).foldLeft(1L)(_ * _)
+    val units = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("event_type"))
+      .groupBy("user_id", "d")
+      .agg(max(when(col("event_type") === channels.head, 1L)
+          .otherwise(0L)).as("b0"),
+        (channels.zipWithIndex.tail.map { case (c, i) =>
+          max(when(col("event_type") === c, 1L << i).otherwise(0L))
+            .as(s"b$i")
+        } :+
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y")): _*)
+      .select((0 until k).map(i => col(s"b$i")).reduce(_ + _).as("mask"),
+        col("y"))
+    val census = units.groupBy("mask")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("conv"))
+      .withColumn("v", col("conv").cast("double") / col("n").cast("double"))
+      .localCheckpoint() // ≤ 2^k rows; every term below reads it
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val chan = channels.zipWithIndex
+      .map { case (c, i) => (c, 1L << i) }
+      .toDF("channel", "bit")
+    // size-s weight scaled by k!: s!·(k−1−s)! — exact integers
+    val w24 = (0 until k).map(s => fact(s) * fact(k - 1 - s))
+    val sWithout = (0 until k).map(i =>
+      shiftright(col("mask"), i).bitwiseAND(lit(1L))).reduce(_ + _) -
+      lit(1L)
+    val wCol = w24.zipWithIndex.tail.foldLeft(
+      lit(w24.head.toDouble)) { case (acc, (wv, s)) =>
+      when(sWithout === s.toLong, lit(wv.toDouble)).otherwise(acc)
+    }
+    val terms = census.join(chan,
+        col("mask").bitwiseAND(col("bit")) =!= 0L)
+      .join(census.select(col("mask").as("m0"), col("v").as("v0")),
+        col("mask") - col("bit") === col("m0"), "left")
+      .select(col("channel"), col("n"),
+        (wCol * (col("v") - coalesce(col("v0"), lit(0.0))))
+          .cast("decimal(28,12)").as("t"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    terms.groupBy("channel")
+      .agg(sum(col("n")).as("n_units"),
+        sum(col("t")).as("st"))
+      .select(col("channel"), col("n_units"),
+        r6(col("st").cast("double") / lit(fact(k).toDouble))
+          .as("shapley"))
+      .orderBy("channel")
+  }
 }

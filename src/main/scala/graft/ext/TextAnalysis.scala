@@ -582,6 +582,121 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style n-gram repetition filters (Rae et al. 2021 §A1.1):
+    * per document and n ∈ {2, 3}, the duplicate-n-gram fraction
+    * (1 − |distinct|/|total|) and the top-n-gram share (most frequent
+    * n-gram's count over total) — the repetition gates that catch
+    * keyword-stuffed and template/boilerplate pages [[repetitionRatio]]'s
+    * unigram form misses. Fractions are over n-gram COUNTS (the paper's
+    * character-mass variant is a weighting refinement on the same
+    * census); thresholds are the fixed literals in `GopherThresholds`.
+    * Documents with fewer than n tokens have no n-gram census row (no
+    * defined ratio) — the row set is docs × {n with ≥1 gram}.
+    *
+    * Scale shape: native word_ngrams (JVM loop, multiplicity-preserving)
+    * → one (doc, gram) count shuffle → one doc-keyed aggregate. Both
+    * aggregates map-side combine; nothing leaves doc granularity. */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    graft.plans.TextSketches.register(docs.sparkSession)
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val arms = GopherThresholds.map { case (n, (thrDup, thrTop)) =>
+      val census = docs
+        .select(col("doc_id"),
+          explode(graft.plans.TextSketches.word_ngrams(
+            tokens(col("text")), n)).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+      // keep compares the UNROUNDED ratios (bit-identical in both
+      // engines: same integer inputs, same IEEE ops); the reported
+      // columns are their floor-rounded views
+      val dupFrac = lit(1.0) - col("n_distinct").cast("double") /
+        col("n_grams").cast("double")
+      val topShare = col("top_c").cast("double") /
+        col("n_grams").cast("double")
+      census.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_grams"),
+          count(lit(1)).as("n_distinct"), max(col("c")).as("top_c"))
+        .select(col("doc_id"), lit(n.toLong).as("n"), col("n_grams"),
+          r6(dupFrac).as("dup_frac"), r6(topShare).as("top_share"),
+          (dupFrac <= lit(thrDup) && topShare <= lit(thrTop))
+            .cast("int").as("keep"))
+    }
+    arms.reduce(_ unionAll _).orderBy("doc_id", "n")
+  }
+
+  /** The q_gopher_repetition gate contract: n → (max duplicate-n-gram
+    * fraction, max top-n-gram share). Fixed literals — the thresholds
+    * ARE the filter's schema, like [[graft.SparkEntry.KeyDiscoveryCombos]]. */
+  val GopherThresholds: Seq[(Int, (Double, Double))] =
+    Seq(2 -> (0.20, 0.20), 3 -> (0.18, 0.18))
+
+  /** Interpolated Kneser–Ney bigram perplexity on a held-out slice —
+    * the LM-quality scorer real corpus pipelines (CCNet, Gopher) use
+    * where [[bigramLogprob]] uses add-one smoothing: KN discounts every
+    * seen bigram by a fixed D and redistributes the withheld mass over a
+    * CONTINUATION unigram (how many distinct contexts a word completes,
+    * not how often it occurs) — the fix for add-one's over-penalizing of
+    * frequent-but-context-narrow words (Kneser & Ney 1995; Chen &
+    * Goodman 1999):
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁)
+    *              + D · N₁₊(w₁·)/c(w₁) · N₁₊(·w₂)/N₁₊(··)
+    * Train/eval split is the decontaminate convention (doc_id % 10 = 9
+    * is held out). Eval bigrams whose HEAD never appears in training are
+    * skipped and counted (no defined KN estimate); an unseen-continuation
+    * tail floors the density at 1e-12 so the logprob stays finite.
+    * Perplexity = exp(−avg logprob), computed from the UNROUNDED mean.
+    *
+    * Cross-engine determinism: all counts are exact integers; per-bigram
+    * log terms fold through DECIMAL; one double division and one exp at
+    * the report boundary, floor-rounded.
+    *
+    * Scale shape: two corpus passes (train grams, eval grams — native
+    * word_ngrams loops, no interpreted HOFs), then hash joins of the
+    * eval stream against three vocabulary-scale count frames; the output
+    * is one row. At 100 TB the count frames are the textbook distributed
+    * LM-count artifacts — nothing is collected, nothing all-pairs. */
+  def kneserNey(docs: DataFrame, evalMod: Int = 10,
+                discount: Double = 0.75): DataFrame = {
+    graft.plans.TextSketches.register(docs.sparkSession)
+    def grams(df: DataFrame) = df
+      .select(explode(graft.plans.TextSketches.word_ngrams(
+        tokens(col("text")), 2)).as("bigram"))
+      .select(substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
+    val isEval = col("doc_id") % evalMod === (evalMod - 1)
+    val bc = grams(docs.filter(!isEval))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // heads, continuations, and B all read it
+    val heads = bc.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_head"))
+    val cont = bc.groupBy(col("w2").as("cw2"))
+      .agg(count(lit(1)).as("n1p_cont"))
+    val big = bc.agg(count(lit(1)).cast("double").as("bb"))
+    val scored = grams(docs.filter(isEval))
+      .join(heads, Seq("w1"), "left")
+      .join(bc.select(col("w1").as("bw1"), col("w2").as("bw2"),
+          col("c12")),
+        col("w1") === col("bw1") && col("w2") === col("bw2"), "left")
+      .join(cont, col("w2") === col("cw2"), "left")
+      .crossJoin(broadcast(big))
+    val p = greatest(coalesce(col("c12"), lit(0L)).cast("double") -
+        lit(discount), lit(0.0)) / col("c1").cast("double") +
+      lit(discount) * col("n1p_head").cast("double") /
+        col("c1").cast("double") *
+        (coalesce(col("n1p_cont"), lit(0L)).cast("double") / col("bb"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val agg = scored.agg(count(lit(1)).as("n_eval_bigrams"),
+      sum(when(col("c1").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+      sum(when(col("c1").isNotNull,
+          log(greatest(p, lit(1.0e-12))).cast("decimal(28,12)"))
+        .otherwise(lit(null).cast("decimal(28,12)"))).as("slp"))
+    val avg = col("slp").cast("double") / col("n_scored").cast("double")
+    agg.select(col("n_eval_bigrams"), col("n_scored"),
+      (col("n_eval_bigrams") - col("n_scored")).as("n_skipped"),
+      r6(avg).as("avg_logprob"),
+      r6(exp(-avg)).as("perplexity"))
+  }
+
   /** Memo for the per-doc bigram-LM score frame: `q_bigram_logprob` and
     * `q_ccnet_buckets` both need it in one Bench run — same sharing
     * policy (and key shape) as [[docTermFreq]], localCheckpointed so the

@@ -2032,6 +2032,19 @@ object SparkEntry {
     // Gopher duplicate/top n-gram repetition gates per document
     "q_gopher_repetition" -> ((s, d) =>
       graft.ext.TextAnalysis.gopherRepetition(Tables.documents(s, d))),
+    // Hill tail-index estimator over the top order values
+    "q_hill_tail" -> ((s, d) =>
+      StatsAnalytics.hillTail(Tables.orders(s, d))),
+    // Kruskal-Wallis rank ANOVA of order frequency across segments
+    "q_kruskal_wallis" -> ((s, d) =>
+      StatsAnalytics.kruskalWallis(Tables.orders(s, d),
+        Tables.customer(s, d))),
+    // empirical-Bayes beta-binomial shrinkage of purchase rates
+    "q_eb_shrinkage" -> ((s, d) =>
+      StatsAnalytics.ebShrinkage(Tables.events(s, d))),
+    // Church-Gale term burstiness vs the Poisson expectation
+    "q_term_burstiness" -> ((s, d) =>
+      graft.ext.TextAnalysis.termBurstiness(s, d)),
   )
 
   /** The q_key_discovery profiling contract: single columns plus the
@@ -11386,5 +11399,125 @@ object SparkEntry {
              AND CAST(top_c AS DOUBLE) / CAST(n_grams AS DOUBLE)
                <= thr_top THEN 1 ELSE 0 END AS INT) AS keep
          FROM per ORDER BY doc_id, n""",
+    "q_hill_tail" ->
+      """WITH top AS (
+           SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+           ORDER BY x DESC LIMIT 101),
+         a AS (
+           SELECT CAST(sum(CAST(ln(x) AS DECIMAL(28,12))) AS DOUBLE) AS s,
+             min(x) AS xb
+           FROM top)
+         SELECT CAST(100 AS BIGINT) AS k, round(xb, 2) AS x_boundary,
+           floor(((s - ln(xb)) / 100.0 - ln(xb)) * 1000000.0 + 0.5)
+             / 1000000.0 AS hill_h,
+           floor(1.0 / ((s - ln(xb)) / 100.0 - ln(xb))
+             * 1000000.0 + 0.5) / 1000000.0 AS tail_alpha
+         FROM a""",
+    "q_kruskal_wallis" ->
+      """WITH per AS (
+           SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         cells AS (
+           SELECT p.x, c.c_mktsegment AS g, CAST(count(*) AS BIGINT) AS nxg
+           FROM per p JOIN customer c ON p.o_custkey = c.c_custkey
+           GROUP BY 1, 2),
+         census AS (
+           SELECT x, CAST(sum(nxg) AS BIGINT) AS t FROM cells GROUP BY 1),
+         ranked AS (
+           SELECT x, t, CAST(coalesce(sum(t) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS below
+           FROM census),
+         grp AS (
+           SELECT cl.g, CAST(sum(cl.nxg) AS BIGINT) AS n_g,
+             sum(CAST(CAST(cl.nxg AS DOUBLE) * (CAST(r.below AS DOUBLE)
+               + (CAST(r.t AS DOUBLE) + 1.0) / 2.0) AS DECIMAL(28,12)))
+               AS r_g
+           FROM cells cl JOIN ranked r ON cl.x = r.x GROUP BY 1),
+         ties AS (
+           SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tsum FROM census),
+         m AS (
+           SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CAST(CAST(r_g AS DOUBLE) * CAST(r_g AS DOUBLE)
+               / CAST(n_g AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS rr
+           FROM grp)
+         SELECT m.n, m.n_groups - 1 AS df,
+           floor((12.0 / (CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE)
+               + 1.0)) * m.rr - 3.0 * (CAST(m.n AS DOUBLE) + 1.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS h,
+           floor((1.0 - CAST(t.tsum AS DOUBLE)
+               / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)
+                 * CAST(m.n AS DOUBLE) - CAST(m.n AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS tie_correction,
+           floor(((12.0 / (CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE)
+               + 1.0)) * m.rr - 3.0 * (CAST(m.n AS DOUBLE) + 1.0))
+             / (1.0 - CAST(t.tsum AS DOUBLE)
+               / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)
+                 * CAST(m.n AS DOUBLE) - CAST(m.n AS DOUBLE))))
+             * 1000000.0 + 0.5) / 1000000.0 AS h_corrected
+         FROM m, ties t""",
+    "q_eb_shrinkage" ->
+      """WITH per AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS BIGINT) AS x
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         pr AS (
+           SELECT user_id, n, x, CAST(x AS DOUBLE) / n AS p FROM per),
+         mom AS (
+           SELECT CAST(count(*) AS BIGINT) AS nu,
+             CAST(sum(CAST(p AS DECIMAL(28,12))) AS DOUBLE) AS sp,
+             CAST(sum(CAST(p * p AS DECIMAL(28,12))) AS DOUBLE) AS spp
+           FROM pr),
+         m1 AS (
+           SELECT nu, spp, sp / CAST(nu AS DOUBLE) AS mu FROM mom),
+         m2 AS (
+           SELECT mu, (spp - CAST(nu AS DOUBLE) * mu * mu)
+             / (CAST(nu AS DOUBLE) - 1.0) AS v
+           FROM m1),
+         m3 AS (
+           SELECT mu, v, mu * (1.0 - mu) / v - 1.0 AS mm FROM m2),
+         prior AS (
+           SELECT CASE WHEN v > 0.0 AND mm > 0.0 THEN mu * mm END
+               AS alpha,
+             CASE WHEN v > 0.0 AND mm > 0.0 THEN (1.0 - mu) * mm END
+               AS beta
+           FROM m3)
+         SELECT user_id, n AS n_events, x AS n_purchases,
+           floor(p * 1000000.0 + 0.5) / 1000000.0 AS raw_rate,
+           floor(CASE WHEN alpha IS NOT NULL THEN
+               (CAST(x AS DOUBLE) + alpha)
+               / (CAST(n AS DOUBLE) + alpha + beta)
+             ELSE p END * 1000000.0 + 0.5) / 1000000.0 AS shrunk_rate,
+           floor(alpha * 1000000.0 + 0.5) / 1000000.0 AS alpha,
+           floor(beta * 1000000.0 + 0.5) / 1000000.0 AS beta
+         FROM pr, prior
+         ORDER BY shrunk_rate DESC, user_id LIMIT 20""",
+    "q_term_burstiness" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '') AS toks FROM documents),
+         tf AS (
+           SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+           GROUP BY 1, 2),
+         st AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS cf
+           FROM tf GROUP BY 1 HAVING count(*) >= 25),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents)
+         SELECT term, df, cf,
+           floor(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS burstiness,
+           floor((CAST(cf AS DOUBLE) / CAST(nd AS DOUBLE))
+             / (1.0 - exp(-(CAST(cf AS DOUBLE) / CAST(nd AS DOUBLE))))
+             * 1000000.0 + 0.5) / 1000000.0 AS poisson_expected,
+           floor((CAST(cf AS DOUBLE) / CAST(df AS DOUBLE))
+             / ((CAST(cf AS DOUBLE) / CAST(nd AS DOUBLE))
+               / (1.0 - exp(-(CAST(cf AS DOUBLE) / CAST(nd AS DOUBLE)))))
+             * 1000000.0 + 0.5) / 1000000.0 AS burst_ratio
+         FROM st, nd
+         ORDER BY burstiness DESC, term LIMIT 20""",
   )
 }

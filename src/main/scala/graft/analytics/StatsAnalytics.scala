@@ -2954,4 +2954,125 @@ object StatsAnalytics {
           .as("beta2_std"))
     }.reduce(_.unionAll(_)).orderBy("lambda")
   }
+
+  /** Hill tail-index estimator (Hill 1975) over the order-value
+    * distribution — the heavy-tail diagnostic behind capacity planning
+    * and VaR model choice: over the k largest values,
+    * H = (1/k)·Σ ln x₍ᵢ₎ − ln x₍ₖ₊₁₎ and α̂ = 1/H; α̂ ≲ 2 means infinite
+    * variance (plan for whales), large α̂ means the tail is
+    * exponential-ish. Σ over the k+1 frame minus one boundary term, so
+    * ties at the boundary cannot change the value multiset.
+    *
+    * Scale shape: the k+1 largest values come from TakeOrderedAndProject
+    * (bounded heap per partition, never a global sort); all arithmetic
+    * runs on that k+1-row frame with DECIMAL-folded log terms. */
+  def hillTail(orders: DataFrame, k: Int = 100): DataFrame = {
+    val top = orders.select(col("o_totalprice").cast("double").as("x"))
+      .orderBy(col("x").desc).limit(k + 1)
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    top.agg(sum(log(col("x")).cast("decimal(28,12)")).cast("double")
+          .as("s"),
+        min(col("x")).as("xb"))
+      .select(lit(k.toLong).as("k"),
+        round(col("xb"), 2).as("x_boundary"),
+        r6((col("s") - log(col("xb"))) / lit(k.toDouble) - log(col("xb")))
+          .as("hill_h"),
+        r6(lit(1.0) / ((col("s") - log(col("xb"))) / lit(k.toDouble) -
+          log(col("xb")))).as("tail_alpha"))
+  }
+
+  /** Kruskal–Wallis rank ANOVA of per-customer order counts across
+    * market segments — "does purchase frequency DIFFER by segment"
+    * without normality assumptions (the k-group extension of
+    * [[mannWhitney]]). H = 12/(N(N+1))·Σ R²_g/n_g − 3(N+1) with the
+    * standard tie correction C = 1 − Σ(t³−t)/(N³−N); reported both raw
+    * and corrected, df = groups−1. Under H₀, H ~ χ²(df) — the statistic
+    * ships and the caller brings the CDF (no special functions, so both
+    * engines agree bit-for-bit).
+    *
+    * Scale shape: the global rank window runs over the VALUE CENSUS
+    * (distinct per-customer order counts — domain-bounded, the
+    * mannWhitney discipline), never the customer frame; everything else
+    * is map-side-combined aggregates and one segment-bounded fold. */
+  def kruskalWallis(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val per = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("x"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("g"), col("x"))
+    val cells = per.groupBy("x", "g").agg(count(lit(1)).as("nxg"))
+    val census = cells.groupBy("x").agg(sum(col("nxg")).as("t"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = census
+      .withColumn("below", coalesce(sum(col("t")).over(w), lit(0L)))
+      .withColumn("avg_rank", col("below").cast("double") +
+        (col("t").cast("double") + lit(1.0)) / lit(2.0))
+    val groups = cells.join(ranked.select("x", "avg_rank"), "x")
+      .groupBy("g")
+      .agg(sum(col("nxg")).as("n_g"),
+        sum((col("nxg").cast("double") * col("avg_rank"))
+          .cast("decimal(28,12)")).as("r_g"))
+    val ties = census.agg(
+      sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val m = groups.agg(sum(col("n_g")).as("n"),
+        count(lit(1)).as("n_groups"),
+        sum((d(col("r_g")) * d(col("r_g")) / d(col("n_g")))
+          .cast("decimal(28,12)")).cast("double").as("rr"))
+      .crossJoin(broadcast(ties))
+    val n = d(col("n"))
+    val h = lit(12.0) / (n * (n + lit(1.0))) * col("rr") -
+      lit(3.0) * (n + lit(1.0))
+    val c = lit(1.0) - d(col("tsum")) / (n * n * n - n)
+    m.select(col("n"), (col("n_groups") - 1L).as("df"),
+      r6(h).as("h"), r6(c).as("tie_correction"),
+      r6(h / c).as("h_corrected"))
+  }
+
+  /** Empirical-Bayes beta-binomial shrinkage of per-user purchase rates
+    * (Robbins; the "add the prior you ESTIMATED" fix for small-n rate
+    * rankings): method-of-moments α̂, β̂ from the observed per-user rate
+    * moments — M = μ(1−μ)/v − 1, α̂ = μM, β̂ = (1−μ)M — then every user's
+    * rate shrinks to (x+α̂)/(n+α̂+β̂). Low-n flukes collapse toward the
+    * prior mean while high-n users keep their data; the top-k by shrunk
+    * rate is the ranking a naive raw-rate sort gets wrong. Sample
+    * variance (n−1); degenerate v = 0 yields no defined prior — guarded
+    * to NULL α/β and shrunk = raw so the operator stays total.
+    *
+    * Scale shape: one corpus aggregate to the user frame, one one-row
+    * moment aggregate broadcast back, TakeOrderedAndProject for the
+    * top-k — no global sort, nothing collected. */
+  def ebShrinkage(ev: DataFrame, k: Int = 20): DataFrame = {
+    val per = ev.filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("x"))
+      .withColumn("p", col("x").cast("double") / col("n").cast("double"))
+      .localCheckpoint() // moments and scoring both read it
+    def dec(c: Column) = c.cast("decimal(28,12)")
+    val mom = per.agg(count(lit(1)).as("nu"),
+      sum(dec(col("p"))).cast("double").as("sp"),
+      sum(dec(col("p") * col("p"))).cast("double").as("spp"))
+    def d(c: Column) = c.cast("double")
+    val mu = col("sp") / d(col("nu"))
+    val v = (col("spp") - d(col("nu")) * mu * mu) / (d(col("nu")) - lit(1.0))
+    val mm = mu * (lit(1.0) - mu) / v - lit(1.0)
+    val prior = mom.select(
+      when(v > lit(0.0) && mm > lit(0.0), mu * mm).as("alpha"),
+      when(v > lit(0.0) && mm > lit(0.0), (lit(1.0) - mu) * mm).as("beta"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val shrunk = when(col("alpha").isNotNull,
+      (col("x").cast("double") + col("alpha")) /
+        (col("n").cast("double") + col("alpha") + col("beta")))
+      .otherwise(col("p"))
+    per.crossJoin(broadcast(prior))
+      .select(col("user_id"), col("n").as("n_events"),
+        col("x").as("n_purchases"), r6(col("p")).as("raw_rate"),
+        r6(shrunk).as("shrunk_rate"),
+        r6(col("alpha")).as("alpha"), r6(col("beta")).as("beta"))
+      .orderBy(col("shrunk_rate").desc, col("user_id"))
+      .limit(k)
+  }
 }

@@ -42,6 +42,47 @@ object TextAnalysis {
       (System.identityHashCode(spark), sfDir),
       docTermFreqOf(graft.Tables.documents(spark, sfDir)).localCheckpoint())
 
+  /** Church–Gale term burstiness: for each term above a document-
+    * frequency floor, E[tf | tf > 0] = cf/df — how hard a term clusters
+    * into the documents it touches — against the Poisson expectation
+    * λ/(1 − e^{−λ}) at the same corpus rate λ = cf/N. A ratio near 1 is
+    * function-word behavior (spread evenly); far above 1 is topical/
+    * boilerplate clumping — the per-TERM cousin of the per-DOC
+    * [[repetitionRatio]], and the signal behind adaptive stopword lists
+    * (Church & Gale 1995). N counts ALL corpus documents (token-less
+    * docs dilute λ but cannot carry any term). Ordering is on the
+    * 6dp-ROUNDED burstiness (then term) so both engines cut the same
+    * top-k.
+    *
+    * Scale shape: rides the shared doc-term-frequency frame (one corpus
+    * tokenize, memoized across the bench run); one term-keyed aggregate,
+    * a broadcast one-row N, TakeOrderedAndProject for the top-k. */
+  def termBurstiness(spark: org.apache.spark.sql.SparkSession,
+                     sfDir: String, minDf: Long = 25L,
+                     k: Int = 20): DataFrame =
+    termBurstinessOf(docTermFreq(spark, sfDir),
+      graft.Tables.documents(spark, sfDir).agg(count(lit(1)).as("nd")),
+      minDf, k)
+
+  /** [[termBurstiness]] over a prebuilt (doc_id, term, tf) frame and a
+    * one-row corpus-size frame — the hand-traceable core. */
+  private[graft] def termBurstinessOf(docTf: DataFrame, nDocs: DataFrame,
+                                      minDf: Long, k: Int): DataFrame = {
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val stats = docTf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .filter(col("df") >= minDf)
+    val lam = col("cf").cast("double") / col("nd").cast("double")
+    val burst = col("cf").cast("double") / col("df").cast("double")
+    stats.crossJoin(broadcast(nDocs))
+      .select(col("term"), col("df"), col("cf"),
+        r6(burst).as("burstiness"),
+        r6(lam / (lit(1.0) - exp(-lam))).as("poisson_expected"),
+        r6(burst / (lam / (lit(1.0) - exp(-lam)))).as("burst_ratio"))
+      .orderBy(col("burstiness").desc, col("term"))
+      .limit(k)
+  }
+
   /** Stopword profiles for the n-gram/stopword-vote language heuristic.
     * Deterministic tie-break: profile order below. */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(

@@ -2,12 +2,14 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.analytics.EventAnalytics
+import graft.analytics.{EventAnalytics, StatsAnalytics}
 import graft.ext.TextAnalysis
 
 /** Round-23-of-build additions: exact Shapley channel attribution,
-  * Kneser–Ney bigram perplexity, and the Gopher n-gram repetition
-  * gates. Hand-traced fixtures. */
+  * Kneser–Ney bigram perplexity, the Gopher n-gram repetition gates,
+  * the Hill tail-index estimator, Kruskal–Wallis rank ANOVA,
+  * empirical-Bayes beta-binomial shrinkage, and Church–Gale term
+  * burstiness. Hand-traced fixtures. */
 class Round23OpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -113,5 +115,96 @@ class Round23OpsSpec extends SparkSpec {
     assert(r((2L, 2L)) == ((7L, 0.0, 0.142857, 1)))
     // doc 2 3-grams: 6 distinct of 6 -> top 1/6 = .166667 ≤ .18, keep 1
     assert(r((2L, 3L)) == ((6L, 0.0, 0.166667, 1)))
+  }
+
+  private def d12(x: Double) = BigDecimal(x)
+    .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+  private def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+
+  // ---- hillTail -------------------------------------------------------
+
+  test("hillTail: hand-traced top-3 (k=2) estimator") {
+    // top k+1 = [1000, 100, 10]: H = (ln1000 + ln100)/2 − ln10,
+    // boundary term dropped from the sum exactly once
+    val orders = Seq(1000.0, 100.0, 10.0, 1.0).zipWithIndex
+      .map { case (p, i) => (i.toLong, BigDecimal(p)) }
+      .toDF("o_orderkey", "o_totalprice")
+    val r = StatsAnalytics.hillTail(orders, k = 2).collect()(0)
+    assert(r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Double]("x_boundary") == 10.0)
+    val s = (d12(math.log(1000.0)) + d12(math.log(100.0)) +
+      d12(math.log(10.0))).toDouble
+    val h = (s - math.log(10.0)) / 2.0 - math.log(10.0)
+    assert(r.getAs[Double]("hill_h") == r6(h))
+    assert(r.getAs[Double]("tail_alpha") == r6(1.0 / h))
+  }
+
+  // ---- kruskalWallis --------------------------------------------------
+
+  test("kruskalWallis: hand-traced two-segment rank ANOVA with ties") {
+    // per-customer order counts: A:[1,2], B:[2,3]
+    // avg ranks: 1→1, 2→2.5 (tie pair), 3→4; R_A=3.5, R_B=6.5
+    // H = 12/(4·5)·(3.5²/2 + 6.5²/2) − 3·5 = 1.35
+    // ties: Σ(t³−t) = 6 → C = 1 − 6/60 = 0.9 → H/C = 1.5
+    val orders = Seq(
+      (1L, 10L), (2L, 20L), (2L, 21L),
+      (3L, 30L), (3L, 31L), (4L, 40L), (4L, 41L), (4L, 42L))
+      .toDF("o_custkey", "o_orderkey")
+    val customer = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val r = StatsAnalytics.kruskalWallis(orders, customer).collect()(0)
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("df") == 1L)
+    assert(r.getAs[Double]("h") == 1.35)
+    assert(r.getAs[Double]("tie_correction") == 0.9)
+    assert(r.getAs[Double]("h_corrected") == 1.5)
+  }
+
+  // ---- ebShrinkage ----------------------------------------------------
+
+  test("ebShrinkage: hand-traced method-of-moments prior and shrinkage") {
+    // rates [.25, .5, .75]: μ=.5, v=.0625, M=3 → α=β=1.5
+    // shrunk: u1 (1+1.5)/7, u2 (1+1.5)/5, u3 (3+1.5)/7
+    def evRows(u: Long, n: Int, x: Int) =
+      (1 to n).map(i => (u, if (i <= x) "purchase" else "view"))
+    val ev = (evRows(1L, 4, 1) ++ evRows(2L, 2, 1) ++ evRows(3L, 4, 3))
+      .toDF("user_id", "event_type")
+    val r = StatsAnalytics.ebShrinkage(ev).collect()
+    assert(r.map(_.getAs[Long]("user_id")).toSeq == Seq(3L, 2L, 1L))
+    val byU = r.map(x => x.getAs[Long]("user_id") ->
+      (x.getAs[Double]("raw_rate"), x.getAs[Double]("shrunk_rate"),
+        x.getAs[Double]("alpha"), x.getAs[Double]("beta"))).toMap
+    assert(byU(1L) == ((0.25, r6(2.5 / 7.0), 1.5, 1.5)))
+    assert(byU(2L) == ((0.5, 0.5, 1.5, 1.5)))
+    assert(byU(3L) == ((0.75, r6(4.5 / 7.0), 1.5, 1.5)))
+  }
+
+  test("ebShrinkage: degenerate variance keeps raw rates, NULL prior") {
+    // both users at p = .5 -> v = 0 -> no prior, shrunk == raw
+    val ev = Seq((1L, "purchase"), (1L, "view"),
+      (2L, "purchase"), (2L, "view")).toDF("user_id", "event_type")
+    val r = StatsAnalytics.ebShrinkage(ev).collect()
+    assert(r.forall(x => x.getAs[Double]("shrunk_rate") == 0.5))
+    assert(r.forall(x => x.isNullAt(x.fieldIndex("alpha"))))
+  }
+
+  // ---- termBurstiness -------------------------------------------------
+
+  test("termBurstiness: hand-traced burstiness vs Poisson expectation") {
+    // term a: df 2, cf 6 over N=4 docs -> burst 3, λ=1.5
+    // term b: df 1 below minDf=2 -> excluded
+    val docTf = Seq((1L, "a", 2L), (2L, "a", 4L), (1L, "b", 1L))
+      .toDF("doc_id", "term", "tf")
+    val nDocs = Seq(4L).toDF("nd")
+    val r = TextAnalysis.termBurstinessOf(docTf, nDocs, minDf = 2L, k = 5)
+      .collect()
+    assert(r.length == 1)
+    val lam = 6.0 / 4.0
+    val pois = lam / (1.0 - math.exp(-lam))
+    assert(r(0).getAs[String]("term") == "a")
+    assert(r(0).getAs[Long]("df") == 2L && r(0).getAs[Long]("cf") == 6L)
+    assert(r(0).getAs[Double]("burstiness") == 3.0)
+    assert(r(0).getAs[Double]("poisson_expected") == r6(pois))
+    assert(r(0).getAs[Double]("burst_ratio") == r6(3.0 / pois))
   }
 }

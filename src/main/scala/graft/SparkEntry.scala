@@ -2045,6 +2045,12 @@ object SparkEntry {
     // Church-Gale term burstiness vs the Poisson expectation
     "q_term_burstiness" -> ((s, d) =>
       graft.ext.TextAnalysis.termBurstiness(s, d)),
+    // Heaps'-law vocabulary-growth curve + log-log (K, beta) fit
+    "q_heaps_law" -> ((s, d) =>
+      graft.ext.TextAnalysis.heapsLaw(s, d)),
+    // Simpson's-paradox screen: pooled vs stratified OLS slopes
+    "q_simpson_check" -> ((s, d) =>
+      StatsAnalytics.simpsonCheck(Tables.lineitem(s, d))),
   )
 
   /** The q_key_discovery profiling contract: single columns plus the
@@ -11519,5 +11525,90 @@ object SparkEntry {
              * 1000000.0 + 0.5) / 1000000.0 AS burst_ratio
          FROM st, nd
          ORDER BY burstiness DESC, term LIMIT 20""",
+    "q_heaps_law" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '') AS toks FROM documents),
+         tf AS (
+           SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+           GROUP BY 1, 2),
+         mx AS (SELECT max(doc_id) AS max_id FROM documents),
+         wb AS (
+           SELECT t.doc_id, t.term, t.tf,
+             least(CAST(floor(t.doc_id * 10 / (m.max_id + 1)) AS BIGINT),
+               9) AS bucket
+           FROM tf t, mx m),
+         tp AS (
+           SELECT bucket, CAST(sum(tf) AS BIGINT) AS n_tokens
+           FROM wb GROUP BY 1),
+         nv AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS new_terms
+           FROM (SELECT term, min(bucket) AS bucket FROM wb GROUP BY 1)
+           GROUP BY 1),
+         curve AS (
+           SELECT tp.bucket, tp.n_tokens,
+             CAST(coalesce(nv.new_terms, 0) AS BIGINT) AS new_terms,
+             CAST(sum(tp.n_tokens) OVER (ORDER BY tp.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS tokens_cum,
+             CAST(sum(coalesce(nv.new_terms, 0)) OVER (ORDER BY tp.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS vocab_cum
+           FROM tp LEFT JOIN nv ON tp.bucket = nv.bucket),
+         ols AS (
+           SELECT CAST(count(*) AS DOUBLE) AS mq,
+             CAST(sum(CAST(ln(CAST(tokens_cum AS DOUBLE))
+               AS DECIMAL(28,12))) AS DOUBLE) AS st,
+             CAST(sum(CAST(ln(CAST(vocab_cum AS DOUBLE))
+               AS DECIMAL(28,12))) AS DOUBLE) AS sv,
+             CAST(sum(CAST(ln(CAST(tokens_cum AS DOUBLE))
+                 * ln(CAST(tokens_cum AS DOUBLE))
+               AS DECIMAL(28,12))) AS DOUBLE) AS stt,
+             CAST(sum(CAST(ln(CAST(tokens_cum AS DOUBLE))
+                 * ln(CAST(vocab_cum AS DOUBLE))
+               AS DECIMAL(28,12))) AS DOUBLE) AS stv
+           FROM curve)
+         SELECT bucket, n_tokens, new_terms, tokens_cum, vocab_cum,
+           floor((mq * stv - st * sv) / (mq * stt - st * st)
+             * 1000000.0 + 0.5) / 1000000.0 AS heaps_beta,
+           floor(exp(sv / mq - ((mq * stv - st * sv)
+               / (mq * stt - st * st)) * (st / mq))
+             * 1000000.0 + 0.5) / 1000000.0 AS heaps_k
+         FROM curve, ols ORDER BY bucket""",
+    "q_simpson_check" ->
+      """WITH base AS (
+           SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+           FROM lineitem),
+         pg AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+           FROM base GROUP BY 1),
+         pool AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(x * y AS DECIMAL(38,10))) AS DOUBLE) AS sxy
+           FROM base)
+         SELECT pg.g AS stratum, pg.n,
+           floor((CAST(pg.n AS DOUBLE) * pg.sxy - pg.sx * pg.sy)
+             / (CAST(pg.n AS DOUBLE) * pg.sxx - pg.sx * pg.sx)
+             * 1000000.0 + 0.5) / 1000000.0 AS slope_stratum,
+           floor((CAST(pool.n AS DOUBLE) * pool.sxy - pool.sx * pool.sy)
+             / (CAST(pool.n AS DOUBLE) * pool.sxx - pool.sx * pool.sx)
+             * 1000000.0 + 0.5) / 1000000.0 AS slope_pooled,
+           CAST(CASE WHEN sign((CAST(pg.n AS DOUBLE) * pg.sxy
+               - pg.sx * pg.sy) / (CAST(pg.n AS DOUBLE) * pg.sxx
+               - pg.sx * pg.sx))
+             <> sign((CAST(pool.n AS DOUBLE) * pool.sxy
+               - pool.sx * pool.sy) / (CAST(pool.n AS DOUBLE) * pool.sxx
+               - pool.sx * pool.sx)) THEN 1 ELSE 0 END AS INT)
+             AS sign_flip
+         FROM pg, pool ORDER BY 1""",
   )
 }

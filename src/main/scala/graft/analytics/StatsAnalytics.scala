@@ -3030,6 +3030,45 @@ object StatsAnalytics {
       r6(h / c).as("h_corrected"))
   }
 
+  /** Simpson's-paradox screen: the pooled OLS slope of extended price
+    * on quantity against the same slope WITHIN each return-flag stratum
+    * — the aggregation-reversal audit every metrics team needs before
+    * trusting a pooled trend (pooled and stratified slopes disagreeing
+    * in sign means the stratum mix, not the relationship, drives the
+    * pooled number). Slopes are (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) from
+    * DECIMAL-folded sums; the flip flag compares the UNROUNDED signs.
+    *
+    * Scale shape: one map-side-combined aggregate per stratum plus the
+    * same aggregate unpartitioned (broadcast back onto the bounded
+    * stratum frame) — two corpus passes, no window, no join on data. */
+  def simpsonCheck(lineitem: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,10)")
+    val base = lineitem.select(col("l_returnflag").as("g"),
+      col("l_quantity").cast("double").as("x"),
+      col("l_extendedprice").cast("double").as("y"))
+    def sums(df: org.apache.spark.sql.RelationalGroupedDataset) =
+      df.agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("y"))).cast("double").as("sy"),
+        sum(dec(col("x") * col("x"))).cast("double").as("sxx"),
+        sum(dec(col("x") * col("y"))).cast("double").as("sxy"))
+    def d(c: Column) = c.cast("double")
+    def slope = (d(col("n")) * col("sxy") - col("sx") * col("sy")) /
+      (d(col("n")) * col("sxx") - col("sx") * col("sx"))
+    val perG = sums(base.groupBy("g"))
+      .select(col("g"), col("n"), slope.as("slope_g"))
+    val pooled = sums(base.groupBy())
+      .select(slope.as("slope_pooled"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    perG.crossJoin(broadcast(pooled))
+      .select(col("g").as("stratum"), col("n"),
+        r6(col("slope_g")).as("slope_stratum"),
+        r6(col("slope_pooled")).as("slope_pooled"),
+        (signum(col("slope_g")) =!= signum(col("slope_pooled")))
+          .cast("int").as("sign_flip"))
+      .orderBy("stratum")
+  }
+
   /** Empirical-Bayes beta-binomial shrinkage of per-user purchase rates
     * (Robbins; the "add the prior you ESTIMATED" fix for small-n rate
     * rankings): method-of-moments α̂, β̂ from the observed per-user rate

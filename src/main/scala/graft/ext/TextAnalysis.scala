@@ -83,6 +83,78 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Heaps'-law vocabulary-growth fit V = K·T^β (Heaps 1978) — the
+    * corpus-scaling curve an LLM data plan extrapolates from: how fast
+    * does NEW vocabulary arrive as tokens accumulate, and where does
+    * collecting more of the same source stop paying. The corpus is cut
+    * into `buckets` doc-id ranges (integer range arithmetic off one
+    * max-id scalar — NOT a rank ntile: no data-scale window); each
+    * term's FIRST bucket credits it as new vocabulary there; cumulative
+    * (tokens, vocab) per bucket give the growth curve and a log-log OLS
+    * over the ≤`buckets` points fits (K, β). β near 0.5 is classic
+    * natural text; β falling off is the duplication/saturation signal.
+    *
+    * Scale shape: one corpus tokenize (rides the memoized doc-term
+    * frame), one term-keyed min-bucket aggregate, then everything runs
+    * on the bucket-bounded frame (windows over ≤`buckets` rows). */
+  def heapsLaw(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+               buckets: Int = 10): DataFrame =
+    heapsLawOf(docTermFreq(spark, sfDir),
+      graft.Tables.documents(spark, sfDir)
+        .agg(max(col("doc_id")).as("max_id")), buckets)
+
+  /** [[heapsLaw]] over a prebuilt (doc_id, term, tf) frame and a one-row
+    * max-doc-id frame — the hand-traceable core. */
+  private[graft] def heapsLawOf(docTf: DataFrame, maxId: DataFrame,
+                                buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // bucket by doc-id RANGE: floor(doc_id·buckets / (max+1)) — both
+    // engines evaluate the same IEEE double division (exact for ids
+    // below 2^53; at larger id domains switch to integer DIV on both
+    // sides), clamped so doc_id = max lands in the last bucket
+    val withB = docTf.crossJoin(broadcast(maxId))
+      .withColumn("bucket",
+        least(floor((col("doc_id") * lit(buckets.toLong))
+          / (col("max_id") + lit(1L))).cast("bigint"),
+          lit(buckets.toLong - 1L)))
+      .localCheckpoint() // token mass and first-bucket both read it
+    val tokensPer = withB.groupBy("bucket")
+      .agg(sum(col("tf")).as("n_tokens"))
+    val newVocab = withB.groupBy("term")
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_terms"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val curve = tokensPer.join(newVocab, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .withColumn("tokens_cum", sum(col("n_tokens")).over(w))
+      .withColumn("vocab_cum", sum(col("new_terms")).over(w))
+      .localCheckpoint() // ≤ buckets rows; the OLS reads it twice
+    def dec(c: Column) = c.cast("decimal(28,12)")
+    val lt = log(col("tokens_cum").cast("double"))
+    val lv = log(col("vocab_cum").cast("double"))
+    val ols = curve.agg(count(lit(1)).as("m"),
+      sum(dec(lt)).cast("double").as("st"),
+      sum(dec(lv)).cast("double").as("sv"),
+      sum(dec(lt * lt)).cast("double").as("stt"),
+      sum(dec(lt * lv)).cast("double").as("stv"))
+    def d(c: Column) = c.cast("double")
+    val beta = (d(col("m")) * col("stv") - col("st") * col("sv")) /
+      (d(col("m")) * col("stt") - col("st") * col("st"))
+    val kk = exp(col("sv") / d(col("m")) -
+      ((d(col("m")) * col("stv") - col("st") * col("sv")) /
+        (d(col("m")) * col("stt") - col("st") * col("st"))) *
+        (col("st") / d(col("m"))))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    curve.crossJoin(broadcast(
+        ols.select(r6(beta).as("heaps_beta"), r6(kk).as("heaps_k"))))
+      .select(col("bucket"), col("n_tokens"), col("new_terms"),
+        col("tokens_cum"), col("vocab_cum"), col("heaps_beta"),
+        col("heaps_k"))
+      .orderBy("bucket")
+  }
+
   /** Stopword profiles for the n-gram/stopword-vote language heuristic.
     * Deterministic tie-break: profile order below. */
   val LangProfiles: Seq[(String, Seq[String])] = Seq(

@@ -207,4 +207,49 @@ class Round23OpsSpec extends SparkSpec {
     assert(r(0).getAs[Double]("poisson_expected") == r6(pois))
     assert(r(0).getAs[Double]("burst_ratio") == r6(3.0 / pois))
   }
+
+  // ---- heapsLaw -------------------------------------------------------
+
+  test("heapsLaw: hand-traced two-bucket curve and log-log fit") {
+    // docs 0..3, 2 buckets -> bucket = floor(id·2/4): {0,1}→0, {2,3}→1
+    // tokens: b0 = 3, b1 = 6; first-bucket vocab: a,b → b0; c → b1
+    // curve: (T,V) = (3,2), (9,3)
+    val docTf = Seq((0L, "a", 2L), (1L, "b", 1L), (2L, "a", 1L),
+      (2L, "c", 3L), (3L, "b", 2L)).toDF("doc_id", "term", "tf")
+    val maxId = Seq(3L).toDF("max_id")
+    val r = TextAnalysis.heapsLawOf(docTf, maxId, buckets = 2).collect()
+    assert(r.length == 2)
+    val b0 = r(0); val b1 = r(1)
+    assert(b0.getAs[Long]("tokens_cum") == 3L &&
+      b0.getAs[Long]("vocab_cum") == 2L)
+    assert(b1.getAs[Long]("tokens_cum") == 9L &&
+      b1.getAs[Long]("vocab_cum") == 3L)
+    // two points -> exact fit through both, with per-term 12dp folds
+    val (lt1, lv1) = (math.log(3.0), math.log(2.0))
+    val (lt2, lv2) = (math.log(9.0), math.log(3.0))
+    val st = (d12(lt1) + d12(lt2)).toDouble
+    val sv = (d12(lv1) + d12(lv2)).toDouble
+    val stt = (d12(lt1 * lt1) + d12(lt2 * lt2)).toDouble
+    val stv = (d12(lt1 * lv1) + d12(lt2 * lv2)).toDouble
+    val beta = (2.0 * stv - st * sv) / (2.0 * stt - st * st)
+    val k = math.exp(sv / 2.0 - beta * (st / 2.0))
+    assert(b0.getAs[Double]("heaps_beta") == r6(beta))
+    assert(b0.getAs[Double]("heaps_k") == r6(k))
+  }
+
+  // ---- simpsonCheck ---------------------------------------------------
+
+  test("simpsonCheck: hand-traced stratum-vs-pooled sign reversal") {
+    // A: (1,1),(2,2) slope 1; B: (1,10),(2,8) slope −2
+    // pooled slope = (4·31 − 6·21)/(4·10 − 36) = −0.5 → A flips, B not
+    val li = Seq(("A", 1.0, 1.0), ("A", 2.0, 2.0),
+      ("B", 1.0, 10.0), ("B", 2.0, 8.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val r = StatsAnalytics.simpsonCheck(li).collect()
+      .map(x => x.getAs[String]("stratum") ->
+        (x.getAs[Double]("slope_stratum"), x.getAs[Double]("slope_pooled"),
+          x.getAs[Int]("sign_flip"))).toMap
+    assert(r("A") == ((1.0, -0.5, 1)))
+    assert(r("B") == ((-2.0, -0.5, 0)))
+  }
 }

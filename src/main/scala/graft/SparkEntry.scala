@@ -2051,6 +2051,15 @@ object SparkEntry {
     // Simpson's-paradox screen: pooled vs stratified OLS slopes
     "q_simpson_check" -> ((s, d) =>
       StatsAnalytics.simpsonCheck(Tables.lineitem(s, d))),
+    // one-way ANOVA F of order frequency across segments
+    "q_anova_f" -> ((s, d) =>
+      StatsAnalytics.anovaF(Tables.orders(s, d), Tables.customer(s, d))),
+    // Levene mean-centered variance-homogeneity test (same design)
+    "q_levene" -> ((s, d) =>
+      StatsAnalytics.levene(Tables.orders(s, d), Tables.customer(s, d))),
+    // margin-based mutual-NN bitext mining over the embedding pools
+    "q_bitext_mine" -> ((s, d) =>
+      graft.ext.Similarity.bitextMine(Tables.embeddings(s, d))),
   )
 
   /** The q_key_discovery profiling contract: single columns plus the
@@ -11610,5 +11619,121 @@ object SparkEntry {
                - pool.sx * pool.sx)) THEN 1 ELSE 0 END AS INT)
              AS sign_flip
          FROM pg, pool ORDER BY 1""",
+    "q_anova_f" ->
+      """WITH per AS (
+           SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         units AS (
+           SELECT c.c_mktsegment AS g, p.x FROM per p
+           JOIN customer c ON p.o_custkey = c.c_custkey),
+         gs AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(x) AS DOUBLE) AS s_g,
+             CAST(sum(x * x) AS DOUBLE) AS ss_g
+           FROM units GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(s_g AS DECIMAL(38,12))) AS DOUBLE) AS s
+           FROM gs),
+         terms AS (
+           SELECT t.n, t.k,
+             CAST(CAST(n_g AS DOUBLE)
+               * (s_g / CAST(n_g AS DOUBLE) - s / CAST(n AS DOUBLE))
+               * (s_g / CAST(n_g AS DOUBLE) - s / CAST(n AS DOUBLE))
+               AS DECIMAL(38,12)) AS ssb_t,
+             CAST(ss_g - s_g * s_g / CAST(n_g AS DOUBLE)
+               AS DECIMAL(38,12)) AS ssw_t
+           FROM gs, tot t),
+         m AS (
+           SELECT n, k, CAST(sum(ssb_t) AS DOUBLE) AS ssb,
+             CAST(sum(ssw_t) AS DOUBLE) AS ssw
+           FROM terms GROUP BY 1, 2)
+         SELECT n, k - 1 AS df_between, n - k AS df_within,
+           floor(ssb * 1000000.0 + 0.5) / 1000000.0 AS ss_between,
+           floor(ssw * 1000000.0 + 0.5) / 1000000.0 AS ss_within,
+           floor((ssb / CAST(k - 1 AS DOUBLE))
+             / (ssw / CAST(n - k AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS f
+         FROM m""",
+    "q_levene" ->
+      """WITH per AS (
+           SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         units AS (
+           SELECT c.c_mktsegment AS g, p.x FROM per p
+           JOIN customer c ON p.o_custkey = c.c_custkey),
+         means AS (
+           SELECT g, CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS m_g
+           FROM units GROUP BY 1),
+         z AS (
+           SELECT u.g, abs(CAST(u.x AS DOUBLE) - mn.m_g) AS z
+           FROM units u JOIN means mn ON u.g = mn.g),
+         gs AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(CAST(z AS DECIMAL(38,12))) AS DOUBLE) AS s_g,
+             CAST(sum(CAST(z * z AS DECIMAL(38,12))) AS DOUBLE) AS ss_g
+           FROM z GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(CAST(s_g AS DECIMAL(38,12))) AS DOUBLE) AS s
+           FROM gs),
+         terms AS (
+           SELECT t.n, t.k,
+             CAST(CAST(n_g AS DOUBLE)
+               * (s_g / CAST(n_g AS DOUBLE) - s / CAST(n AS DOUBLE))
+               * (s_g / CAST(n_g AS DOUBLE) - s / CAST(n AS DOUBLE))
+               AS DECIMAL(38,12)) AS ssb_t,
+             CAST(ss_g - s_g * s_g / CAST(n_g AS DOUBLE)
+               AS DECIMAL(38,12)) AS ssw_t
+           FROM gs, tot t),
+         m AS (
+           SELECT n, k, CAST(sum(ssb_t) AS DOUBLE) AS ssb,
+             CAST(sum(ssw_t) AS DOUBLE) AS ssw
+           FROM terms GROUP BY 1, 2)
+         SELECT n, k - 1 AS df_between, n - k AS df_within,
+           floor(ssb * 1000000.0 + 0.5) / 1000000.0 AS ss_between,
+           floor(ssw * 1000000.0 + 0.5) / 1000000.0 AS ss_within,
+           floor((ssb / CAST(k - 1 AS DOUBLE))
+             / (ssw / CAST(n - k AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS f
+         FROM m""",
+    "q_bitext_mine" ->
+      """WITH wn AS (
+           SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS ida, b.vec_id AS idb,
+             round(list_cosine_similarity(a.e, b.e), 6) AS sim
+           FROM wn a JOIN wn b
+           ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+         fr AS (
+           SELECT *, row_number() OVER (PARTITION BY ida
+             ORDER BY sim DESC, idb) AS rk FROM p),
+         fwd AS (
+           SELECT ida, max(CASE WHEN rk = 1 THEN idb END) AS best_idb,
+             max(CASE WHEN rk = 1 THEN sim END) AS sim_ida,
+             CAST(sum(CASE WHEN rk <= 4
+                 THEN CAST(sim AS DECIMAL(28,12)) END) AS DOUBLE)
+               / CAST(sum(CASE WHEN rk <= 4 THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS den_ida
+           FROM fr GROUP BY 1),
+         br AS (
+           SELECT *, row_number() OVER (PARTITION BY idb
+             ORDER BY sim DESC, ida) AS rk FROM p),
+         bwd AS (
+           SELECT idb, max(CASE WHEN rk = 1 THEN ida END) AS best_ida,
+             CAST(sum(CASE WHEN rk <= 4
+                 THEN CAST(sim AS DECIMAL(28,12)) END) AS DOUBLE)
+               / CAST(sum(CASE WHEN rk <= 4 THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS den_idb
+           FROM br GROUP BY 1)
+         SELECT f.ida AS src_id, f.best_idb AS dst_id, f.sim_ida AS sim,
+           floor(f.sim_ida / ((f.den_ida + b.den_idb) / 2.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS margin
+         FROM fwd f JOIN bwd b
+           ON f.best_idb = b.idb AND b.best_ida = f.ida
+         ORDER BY margin DESC, src_id""",
   )
 }

@@ -3030,6 +3030,85 @@ object StatsAnalytics {
       r6(h / c).as("h_corrected"))
   }
 
+  /** One-way ANOVA F over per-customer order counts across market
+    * segments — the parametric companion to [[kruskalWallis]] on the
+    * same design: SSB = Σ n_g(x̄_g − x̄)², SSW = Σ_g(Σx² − (Σx)²/n_g),
+    * F = (SSB/(k−1))/(SSW/(N−k)). Counts are integers, so every group
+    * sum is exact; the k-bounded between/within folds go through
+    * DECIMAL. F ~ F(k−1, N−k) under H₀ — statistic ships, caller brings
+    * the CDF (no special functions, both engines bit-agree).
+    *
+    * Scale shape: one corpus aggregate to the customer frame, one
+    * map-side-combined aggregate to the segment-bounded group frame,
+    * then one-row folds. */
+  def anovaF(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val per = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("x"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("g"), col("x"))
+    val gstats = per.groupBy("g")
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("x")).cast("double").as("s_g"),
+        sum(col("x") * col("x")).cast("double").as("ss_g"))
+    fFold(gstats)
+  }
+
+  /** Levene's variance-homogeneity test (mean-centered original form)
+    * on the same per-customer-order-count design as [[anovaF]]: the
+    * ANOVA F recomputed over z = |x − x̄_g| answers "do segments differ
+    * in SPREAD" — the assumption check before trusting anovaF's pooled
+    * within-group variance. Group means broadcast back for the centering
+    * pass; z moments fold through DECIMAL (z is a double).
+    *
+    * Scale shape: the [[anovaF]] passes plus one broadcast join of the
+    * segment-bounded means frame — still two corpus-scale aggregates. */
+  def levene(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val per = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("x"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("g"), col("x"))
+      .localCheckpoint() // the means pass and the centering pass share it
+    val means = per.groupBy("g")
+      .agg((sum(col("x")).cast("double") /
+        count(lit(1)).cast("double")).as("m_g"))
+    val z = per.join(broadcast(means), Seq("g"))
+      .select(col("g"), abs(col("x").cast("double") - col("m_g")).as("z"))
+    def dec(c: Column) = c.cast("decimal(38,12)")
+    val gstats = z.groupBy("g")
+      .agg(count(lit(1)).as("n_g"),
+        sum(dec(col("z"))).cast("double").as("s_g"),
+        sum(dec(col("z") * col("z"))).cast("double").as("ss_g"))
+    fFold(gstats)
+  }
+
+  /** Shared one-way-ANOVA fold over a (g, n_g, s_g, ss_g) group frame:
+    * grand totals broadcast back, per-group between/within terms
+    * DECIMAL-summed, one output row. */
+  private def fFold(gstats: DataFrame): DataFrame = {
+    def d(c: Column) = c.cast("double")
+    def dec(c: Column) = c.cast("decimal(38,12)")
+    val tot = gstats.agg(sum(col("n_g")).as("n"),
+      count(lit(1)).as("k"),
+      sum(dec(col("s_g"))).cast("double").as("s"))
+    val terms = gstats.crossJoin(broadcast(tot))
+      .select(col("n"), col("k"),
+        dec(d(col("n_g")) *
+          (col("s_g") / d(col("n_g")) - col("s") / d(col("n"))) *
+          (col("s_g") / d(col("n_g")) - col("s") / d(col("n"))))
+          .as("ssb_t"),
+        dec(col("ss_g") - col("s_g") * col("s_g") / d(col("n_g")))
+          .as("ssw_t"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val m = terms.groupBy("n", "k")
+      .agg(sum(col("ssb_t")).cast("double").as("ssb"),
+        sum(col("ssw_t")).cast("double").as("ssw"))
+    m.select(col("n"), (col("k") - 1L).as("df_between"),
+      (col("n") - col("k")).as("df_within"),
+      r6(col("ssb")).as("ss_between"), r6(col("ssw")).as("ss_within"),
+      r6((col("ssb") / d(col("k") - 1L)) /
+        (col("ssw") / d(col("n") - col("k")))).as("f"))
+  }
+
   /** Simpson's-paradox screen: the pooled OLS slope of extended price
     * on quantity against the same slope WITHIN each return-flag stratum
     * — the aggregation-reversal audit every metrics team needs before

@@ -1164,4 +1164,68 @@ object Similarity {
         round(col("n_hits").cast("double") /
           (col("n_queries") * k), 6).as("recall"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019): mutual
+    * nearest neighbors between two embedding pools, scored by the RATIO
+    * margin — best-pair cosine over the mean of each side's top-`kDen`
+    * neighborhood — which suppresses hub vectors that are everyone's
+    * nearest neighbor. The pools are the vec_id parity classes (the
+    * deterministic stand-in for source/target languages); a pair ships
+    * only if each side is the other's top-1. This is THE parallel-corpus
+    * miner (LASER/CCMatrix) for translation-pair harvesting.
+    *
+    * Determinism: cosines round to 6dp BEFORE ranking (the cosine_topk
+    * discipline), ties break on the partner id, and the margin
+    * denominators are DECIMAL-folded means of those rounded top-`kDen`
+    * sims — every downstream number derives from 6dp doubles both
+    * engines agree on.
+    *
+    * Scale shape: the A×B pair synthesis is the documented EXACT
+    * small-corpus oracle form (PlanLintSpec exemption, like
+    * embeddingNearDup); at 100 TB substitute the LSH-bucketed candidate
+    * frame (embeddingNearDupLSH's bucket join) — the per-side top-k
+    * aggregates (native mergeable top_k_by_score, map-side partials) and
+    * the mutuality join are already the scale shape and need no change. */
+  def bitextMine(emb: DataFrame, kDen: Int = 4): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    graft.plans.TopK.register(emb.sparkSession)
+    val withN = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val a = withN.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("ida"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+    val b = withN.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("idb"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+    val pairs = a.crossJoin(b)
+      .select(col("ida"), col("idb"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+          .as("sim"))
+      .localCheckpoint() // both direction aggregates read it
+    def side(key: String, other: String) = pairs
+      .groupBy(key)
+      .agg(graft.plans.TopK.top_k_by_score(
+        struct(col("sim"), col(other)), kDen).as("tk"))
+      .select(col(key),
+        element_at(col("tk"), 1).getField(other).as(s"best_$other"),
+        element_at(col("tk"), 1).getField("sim").as(s"sim_$key"),
+        // the step re-casts to the accumulator type (decimal + decimal
+        // widens to 29,12 and would break the HOF's type contract);
+        // scale-12 addition of ≤ kDen unit-range sims is exact
+        (aggregate(col("tk"), lit(0).cast("decimal(28,12)"),
+          (acc, x) => (acc + x.getField("sim").cast("decimal(28,12)"))
+            .cast("decimal(28,12)"))
+          .cast("double") / size(col("tk")).cast("double"))
+          .as(s"den_$key"))
+    val fwd = side("ida", "idb")
+    val bwd = side("idb", "ida")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    fwd.join(bwd,
+        fwd("best_idb") === bwd("idb") && bwd("best_ida") === fwd("ida"))
+      .select(col("ida").as("src_id"), col("idb").as("dst_id"),
+        col("sim_ida").as("sim"),
+        r6(col("sim_ida") / ((col("den_ida") + col("den_idb")) / lit(2.0)))
+          .as("margin"))
+      .orderBy(col("margin").desc, col("src_id"))
+  }
 }

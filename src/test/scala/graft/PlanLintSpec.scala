@@ -22,7 +22,9 @@ class PlanLintSpec extends SparkSpec {
   private val cartesianAllowed = Set(
     "q_embedding_neardup", // Similarity.embeddingNearDupExact: oracle form
     "q_edit_distance",     // blocked pairs, tiny blocks by design
-    "q_jaccard_pairs"      // broadcast-anchor blocking, documented
+    "q_jaccard_pairs",     // broadcast-anchor blocking, documented
+    "q_bitext_mine"        // Similarity.bitextMine: exact A×B oracle form;
+                           // scale path = LSH-bucketed candidates (scaladoc)
   )
 
   test("no query plans a CartesianProduct (outside documented oracles) " +

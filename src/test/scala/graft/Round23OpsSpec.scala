@@ -252,4 +252,76 @@ class Round23OpsSpec extends SparkSpec {
     assert(r("A") == ((1.0, -0.5, 1)))
     assert(r("B") == ((-2.0, -0.5, 0)))
   }
+
+  // ---- anovaF / levene -----------------------------------------------
+
+  private def orderFixture(counts: Map[Long, Int]) = {
+    val rows = counts.toSeq.flatMap { case (c, n) =>
+      (1 to n).map(i => (c, c * 100L + i)) }
+    rows.toDF("o_custkey", "o_orderkey")
+  }
+
+  test("anovaF: hand-traced two-segment F") {
+    // A: counts [1,2], B: [2,3] -> SSB = 1, SSW = 1, F = (1/1)/(1/2) = 2
+    val orders = orderFixture(Map(1L -> 1, 2L -> 2, 3L -> 2, 4L -> 3))
+    val customer = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val r = StatsAnalytics.anovaF(orders, customer).collect()(0)
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Long]("df_between") == 1L)
+    assert(r.getAs[Long]("df_within") == 2L)
+    assert(r.getAs[Double]("ss_between") == 1.0)
+    assert(r.getAs[Double]("ss_within") == 1.0)
+    assert(r.getAs[Double]("f") == 2.0)
+  }
+
+  test("levene: hand-traced spread difference") {
+    // A: counts [1,1,4] -> z = [1,1,2]; B: [2,2] -> z = [0,0]
+    // ANOVA on z: SSB ≈ 2.133333, SSW = 2/3, W = 9.6
+    val orders = orderFixture(Map(1L -> 1, 2L -> 1, 3L -> 4,
+      4L -> 2, 5L -> 2))
+    val customer = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B")).toDF("c_custkey", "c_mktsegment")
+    val r = StatsAnalytics.levene(orders, customer).collect()(0)
+    assert(r.getAs[Long]("n") == 5L && r.getAs[Long]("df_between") == 1L &&
+      r.getAs[Long]("df_within") == 3L)
+    // replicate the engine's IEEE/decimal sequence exactly
+    val (n, k) = (5.0, 2.0)
+    val (nA, sA, ssA) = (3.0, 4.0, 6.0)
+    val (nB, sB, ssB) = (2.0, 0.0, 0.0)
+    val s = (d12(sA) + d12(sB)).toDouble
+    def ssbT(ng: Double, sg: Double) =
+      d12(ng * (sg / ng - s / n) * (sg / ng - s / n))
+    def sswT(ng: Double, sg: Double, ssg: Double) =
+      d12(ssg - sg * sg / ng)
+    val ssb = (ssbT(nA, sA) + ssbT(nB, sB)).toDouble
+    val ssw = (sswT(nA, sA, ssA) + sswT(nB, sB, ssB)).toDouble
+    assert(r.getAs[Double]("ss_between") == r6(ssb))
+    assert(r.getAs[Double]("ss_within") == r6(ssw))
+    assert(r.getAs[Double]("f") == r6((ssb / (k - 1)) / (ssw / (n - k))))
+  }
+
+  // ---- bitextMine -----------------------------------------------------
+
+  test("bitextMine: hand-traced mutual pairs and ratio margins") {
+    // A = even ids {0:[1,0], 2:[0,1]}, B = odd {1:[1,0], 3:[.6,.8]}
+    // sims: (0,1)=1, (0,3)=.6, (2,1)=0, (2,3)=.8
+    // fwd dens: id0 (1+.6)/2=.8, id2 (.8+0)/2=.4
+    // bwd dens: id1 (1+0)/2=.5, id3 (.8+.6)/2=.7
+    // mutual: (0,1) margin 1/.65, (2,3) margin .8/.55
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.ext.Similarity.bitextMine(emb).collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("src_id") == 0L &&
+      r(0).getAs[Long]("dst_id") == 1L)
+    assert(r(0).getAs[Double]("sim") == 1.0)
+    assert(r(0).getAs[Double]("margin") == r6(1.0 / ((0.8 + 0.5) / 2.0)))
+    assert(r(1).getAs[Long]("src_id") == 2L &&
+      r(1).getAs[Long]("dst_id") == 3L)
+    assert(r(1).getAs[Double]("sim") == 0.8)
+    assert(r(1).getAs[Double]("margin") == r6(0.8 / ((0.4 + 0.7) / 2.0)))
+  }
 }

@@ -2060,6 +2060,13 @@ object SparkEntry {
     // margin-based mutual-NN bitext mining over the embedding pools
     "q_bitext_mine" -> ((s, d) =>
       graft.ext.Similarity.bitextMine(Tables.embeddings(s, d))),
+    // sparse tf-idf cosine pairs via the inverted index
+    "q_tfidf_pairs" -> ((s, d) =>
+      graft.ext.TextAnalysis.tfidfPairs(s, d)),
+    // geometric adstock carryover sweep vs daily revenue
+    "q_adstock" -> ((s, d) =>
+      EventAnalytics.adstockSweep(Tables.events(s, d),
+        decays = AdstockDecays)),
   )
 
   /** The q_key_discovery profiling contract: single columns plus the
@@ -2071,6 +2078,12 @@ object SparkEntry {
     Seq("o_custkey", "o_orderdate"), Seq("o_custkey", "o_totalprice"),
     Seq("o_orderdate", "o_totalprice"),
     Seq("o_orderstatus", "o_orderpriority"))
+
+  /** The q_adstock candidate decay grid — fixed literals shared by the
+    * Spark arms and the generated oracle SQL (the weights are computed by
+    * the SAME repeated multiplication on both sides; see
+    * EventAnalytics.adstockSweep on why pow() is banned here). */
+  val AdstockDecays: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.9)
 
   /** DuckDB oracle SQL — table names resolve to the same parquet fixtures. */
   /** Shared DuckDB CTEs + literal constants for the portable sketch oracles.
@@ -11735,5 +11748,81 @@ object SparkEntry {
          FROM fwd f JOIN bwd b
            ON f.best_idb = b.idb AND b.best_ida = f.ida
          ORDER BY margin DESC, src_id""",
+    "q_tfidf_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '') AS toks FROM documents),
+         tf AS (
+           SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM toks)
+           GROUP BY 1, 2),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         dfs AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+           GROUP BY 1 HAVING count(*) >= 2 AND count(*) <= 500),
+         posts AS (
+           SELECT t.doc_id, t.term,
+             (1.0 + ln(CAST(t.tf AS DOUBLE)))
+               * ln(CAST(nd.n_docs AS DOUBLE) / CAST(f.df AS DOUBLE)) AS w
+           FROM tf t JOIN dfs f ON t.term = f.term, nd),
+         norms AS (
+           SELECT doc_id, sqrt(CAST(sum(CAST(w * w AS DECIMAL(28,12)))
+             AS DOUBLE)) AS nrm
+           FROM posts GROUP BY 1),
+         wn AS (
+           SELECT p.term, p.doc_id, p.w / n.nrm AS wn
+           FROM posts p JOIN norms n ON p.doc_id = n.doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared_terms,
+             CAST(sum(CAST(a.wn * b.wn AS DECIMAL(28,12))) AS DOUBLE) AS s
+           FROM wn a JOIN wn b
+             ON a.term = b.term AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, n_shared_terms,
+           floor(s * 1000000.0 + 0.5) / 1000000.0 AS cosine
+         FROM pairs ORDER BY cosine DESC, doc_a, doc_b LIMIT 20""",
+    "q_adstock" -> (AdstockDecays.map { lam =>
+      val wts = Iterator.iterate(1.0)(_ * lam).take(15).toSeq
+      val wCase = wts.zipWithIndex
+        .map { case (w, i) => s"WHEN $i THEN $w" }.mkString(" ")
+      s"""SELECT * FROM (
+           WITH daily AS (
+             SELECT CAST(ts AS DATE) AS d,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS clicks,
+               CAST(round(sum(CAST(CASE WHEN event_type = 'purchase'
+                   THEN coalesce(value, 0.0) ELSE 0.0 END
+                 AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+             FROM events WHERE ts IS NOT NULL GROUP BY 1),
+           band AS (
+             SELECT a.d AS t, a.revenue, b.clicks,
+               date_diff('day', b.d, a.d) AS kk
+             FROM daily a JOIN daily b
+               ON date_diff('day', b.d, a.d) BETWEEN 0 AND 14),
+           ad AS (
+             SELECT t, revenue,
+               CAST(sum(CAST((CASE kk $wCase END)
+                 * CAST(clicks AS DOUBLE) AS DECIMAL(38,12)))
+                 AS DOUBLE) AS x
+             FROM band GROUP BY 1, 2),
+           mm AS (
+             SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(revenue AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(revenue * revenue AS DECIMAL(38,12)))
+                 AS DOUBLE) AS syy,
+               CAST(sum(CAST(x * revenue AS DECIMAL(38,12))) AS DOUBLE)
+                 AS sxy
+             FROM ad)
+           SELECT $lam AS decay, n AS n_days,
+             floor((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                 * (CAST(n AS DOUBLE) * syy - sy * sy))
+               * 1000000.0 + 0.5) / 1000000.0 AS corr_revenue
+           FROM mm)"""
+    }.mkString("\n          UNION ALL\n          ") +
+      "\n          ORDER BY decay"),
   )
 }

@@ -1264,6 +1264,64 @@ object EventAnalytics {
       .orderBy("channel")
   }
 
+  /** Adstock decay sweep (Broadbent; the marketing-mix carryover
+    * transform): daily click pressure decays geometrically into the
+    * following `horizon` days — adstock_t(λ) = Σ_{0≤k≤H} λ^k·clicks_{t−k}
+    * — and each candidate λ is priced by its Pearson correlation with
+    * daily purchase revenue. The λ that correlates best is the carryover
+    * the attribution model should assume. Decay weights are PRECOMPUTED
+    * double literals (repeated multiplication in the driver, embedded in
+    * both engines' expressions) — never a runtime pow(), whose libm
+    * differs across engines.
+    *
+    * Scale shape: one corpus aggregate to the day frame, a banded
+    * day×day self-join bounded by the CALENDAR (≤ |days|·(H+1) rows —
+    * domain-bounded, never corpus-scale), per-λ DECIMAL-folded moment
+    * aggregates over the day frame. */
+  def adstockSweep(ev: DataFrame, horizon: Int = 14,
+                   decays: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.9))
+      : DataFrame = {
+    val daily = ev.filter(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicks"),
+        round(sum(when(col("event_type") === "purchase",
+            coalesce(col("value"), lit(0.0))).otherwise(lit(0.0))
+          .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+      .localCheckpoint() // band join reads both sides; per-λ reuse
+    val lagged = daily.select(col("d").as("t"), col("revenue"))
+      .join(daily.select(col("d").as("s"), col("clicks")),
+        datediff(col("t"), col("s")).between(0, horizon))
+      .withColumn("kk", datediff(col("t"), col("s")))
+      .localCheckpoint() // every λ arm re-weights the same band frame
+    def dec(c: Column) = c.cast("decimal(38,12)")
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    decays.map { lam =>
+      // λ^k as exact repeated-multiplication literals (see scaladoc)
+      val wts = Iterator.iterate(1.0)(_ * lam).take(horizon + 1).toSeq
+      val wArr = array(wts.map(lit): _*)
+      val ad = lagged
+        .select(col("t"), col("revenue"),
+          dec(element_at(wArr, col("kk") + 1) * col("clicks")
+            .cast("double")).as("a"))
+        .groupBy("t", "revenue")
+        .agg(sum(col("a")).cast("double").as("x"))
+      val m = ad.agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("revenue"))).cast("double").as("sy"),
+        sum(dec(col("x") * col("x"))).cast("double").as("sxx"),
+        sum(dec(col("revenue") * col("revenue"))).cast("double").as("syy"),
+        sum(dec(col("x") * col("revenue"))).cast("double").as("sxy"))
+      val n = d(col("n"))
+      val corr = (n * col("sxy") - col("sx") * col("sy")) /
+        sqrt((n * col("sxx") - col("sx") * col("sx")) *
+          (n * col("syy") - col("sy") * col("sy")))
+      m.select(lit(lam).as("decay"), col("n").as("n_days"),
+        r6(corr).as("corr_revenue"))
+    }.reduce(_ unionAll _).orderBy("decay")
+  }
+
   /** Exact Shapley-value channel attribution (Shapley 1953; the
     * data-driven-attribution standard beside [[markovAttribution]]'s
     * removal effects): the conversion unit is a (user, day); its

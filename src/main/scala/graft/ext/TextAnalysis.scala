@@ -442,6 +442,58 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "df", "score", "rnk")
   }
 
+  /** Sparse tf-idf cosine document pairs via an INVERTED INDEX — the
+    * lexical document-similarity search that needs no embeddings and no
+    * all-pairs join: per-posting weights w = (1 + ln tf)·ln(N/df),
+    * L2-normalized per doc, pairs synthesized only through SHARED TERMS
+    * (self-join of the posting list on term), so two documents with no
+    * vocabulary overlap never meet. A df ceiling drops stopword-grade
+    * terms first — the classic posting-list-length bound that keeps the
+    * join linear in corpus size at any scale (df ≥ 2 is implied: df = 1
+    * terms cannot form a pair). Top-k pairs by the 6dp-rounded cosine.
+    *
+    * Scale shape: one corpus tokenize (memoized frame), two
+    * vocabulary/doc-scale aggregates (df, norms), one term-keyed
+    * self-join bounded by the df ceiling, one pair aggregate with
+    * DECIMAL-folded products, TakeOrderedAndProject for the cut. */
+  def tfidfPairs(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                 maxDf: Long = 500L, k: Int = 20): DataFrame =
+    tfidfPairsOf(docTermFreq(spark, sfDir)
+      .select("doc_id", "term", "tf"),
+      graft.Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs")),
+      maxDf, k)
+
+  /** [[tfidfPairs]] over a prebuilt (doc_id, term, tf) frame — the
+    * hand-traceable core. */
+  private[graft] def tfidfPairsOf(docTf: DataFrame, nDocs: DataFrame,
+                                  maxDf: Long, k: Int): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(28,12)")
+    val dfs = docTf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2L && col("df") <= maxDf)
+    val posts = docTf.join(dfs, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        ((lit(1.0) + log(col("tf").cast("double"))) *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+          .as("w"))
+      .localCheckpoint() // norms and the pair join both read it
+    val norms = posts.groupBy("doc_id")
+      .agg(sqrt(sum(dec(col("w") * col("w"))).cast("double")).as("nrm"))
+    val wn = posts.join(norms, "doc_id")
+      .select(col("term"), col("doc_id"), (col("w") / col("nrm")).as("wn"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    wn.join(wn.select(col("term"), col("doc_id").as("doc_b"),
+        col("wn").as("wn_b")), Seq("term"))
+      .filter(col("doc_id") < col("doc_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum(dec(col("wn") * col("wn_b"))).cast("double").as("s"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_terms"),
+        r6(col("s")).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+  }
+
   /** Composite quality gate — the keep/drop decision a training-data
     * pipeline makes from the cheap signals: token count, stopword ratio
     * (language coherence), repetition ratio (spam/boilerplate). Emits every

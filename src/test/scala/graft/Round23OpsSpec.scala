@@ -324,4 +324,55 @@ class Round23OpsSpec extends SparkSpec {
     assert(r(1).getAs[Double]("sim") == 0.8)
     assert(r(1).getAs[Double]("margin") == r6(0.8 / ((0.4 + 0.7) / 2.0)))
   }
+
+  // ---- tfidfPairs -----------------------------------------------------
+
+  test("tfidfPairs: hand-traced inverted-index cosine") {
+    // N = 4 (one doc empty); idf: b = ln(4/3), c = ln(4/2)
+    // d1: b tf2, c tf1; d2: b tf1, c tf2; d3: b tf1
+    val docTf = Seq((1L, "b", 2L), (1L, "c", 1L), (2L, "b", 1L),
+      (2L, "c", 2L), (3L, "b", 1L)).toDF("doc_id", "term", "tf")
+    val nDocs = Seq(4L).toDF("n_docs")
+    val r = TextAnalysis.tfidfPairsOf(docTf, nDocs, maxDf = 3L, k = 10)
+      .collect()
+      .map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")) ->
+        (x.getAs[Long]("n_shared_terms"), x.getAs[Double]("cosine")))
+      .toMap
+    // replicate the engine arithmetic
+    def w(tf: Long, df: Long) =
+      (1.0 + math.log(tf.toDouble)) * math.log(4.0 / df.toDouble)
+    val (w1b, w1c) = (w(2, 3), w(1, 2))
+    val (w2b, w2c) = (w(1, 3), w(2, 2))
+    val w3b = w(1, 3)
+    def nrm(ws: Double*) =
+      math.sqrt(ws.map(x => d12(x * x)).reduce(_ + _).toDouble)
+    val (n1, n2, n3) = (nrm(w1b, w1c), nrm(w2b, w2c), nrm(w3b))
+    def cos(ps: (Double, Double)*) =
+      r6(ps.map { case (a, b) => d12(a * b) }.reduce(_ + _).toDouble)
+    assert(r.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(r((1L, 2L)) ==
+      ((2L, cos((w1b / n1, w2b / n2), (w1c / n1, w2c / n2)))))
+    assert(r((1L, 3L)) == ((1L, cos((w1b / n1, w3b / n3)))))
+    assert(r((2L, 3L)) == ((1L, cos((w2b / n2, w3b / n3)))))
+  }
+
+  // ---- adstockSweep ---------------------------------------------------
+
+  test("adstockSweep: hand-traced decay-0.5 carryover correlation") {
+    // clicks [2,0,1], revenue [10,20,40]
+    // adstock(.5) = [2, 1, 1.5]; corr = −15/sqrt(1.5·1400)
+    val ev = Seq(
+      (ts("2024-01-01 10:00:00"), "click", null.asInstanceOf[java.lang.Double]),
+      (ts("2024-01-01 11:00:00"), "click", null.asInstanceOf[java.lang.Double]),
+      (ts("2024-01-01 12:00:00"), "purchase", java.lang.Double.valueOf(10.0)),
+      (ts("2024-01-02 10:00:00"), "purchase", java.lang.Double.valueOf(20.0)),
+      (ts("2024-01-03 10:00:00"), "click", null.asInstanceOf[java.lang.Double]),
+      (ts("2024-01-03 11:00:00"), "purchase", java.lang.Double.valueOf(40.0)))
+      .toDF("ts", "event_type", "value")
+    val r = EventAnalytics.adstockSweep(ev, decays = Seq(0.5)).collect()(0)
+    assert(r.getAs[Double]("decay") == 0.5)
+    assert(r.getAs[Long]("n_days") == 3L)
+    val corr = -15.0 / math.sqrt(1.5 * 1400.0)
+    assert(r.getAs[Double]("corr_revenue") == r6(corr))
+  }
 }

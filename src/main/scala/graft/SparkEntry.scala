@@ -2067,6 +2067,12 @@ object SparkEntry {
     "q_adstock" -> ((s, d) =>
       EventAnalytics.adstockSweep(Tables.events(s, d),
         decays = AdstockDecays)),
+    // McNemar paired test: recency vs frequency churn baselines
+    "q_mcnemar" -> ((s, d) =>
+      EventAnalytics.mcnemarBaselines(Tables.events(s, d))),
+    // hash-relabeling permutation test of the two-arm mean diff
+    "q_permutation_test" -> ((s, d) =>
+      EventAnalytics.permutationTest(Tables.events(s, d))),
   )
 
   /** The q_key_discovery profiling contract: single columns plus the
@@ -11824,5 +11830,102 @@ object SparkEntry {
            FROM mm)"""
     }.mkString("\n          UNION ALL\n          ") +
       "\n          ORDER BY decay"),
+    "q_mcnemar" ->
+      """WITH rows_ AS (
+           SELECT user_id, CAST(ts AS DATE) AS d,
+             coalesce(value, 0.0) AS v
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         cut AS (SELECT max(d) - 14 AS cutoff FROM rows_),
+         tsf AS (
+           SELECT user_id,
+             CAST(count(DISTINCT CASE WHEN d <= cutoff THEN d END)
+               AS BIGINT) AS days_active,
+             CAST(date_diff('day',
+               max(CASE WHEN d <= cutoff THEN d END), max(cutoff))
+               AS BIGINT) AS recency_days,
+             CAST(max(CASE WHEN d > cutoff THEN 1 ELSE 0 END) AS INT)
+               AS label_active
+           FROM rows_ CROSS JOIN cut GROUP BY 1
+           HAVING sum(CASE WHEN d <= cutoff THEN 1 ELSE 0 END) > 0),
+         pred AS (
+           SELECT CASE WHEN (CASE WHEN recency_days <= 7 THEN 1 ELSE 0
+               END) = label_active THEN 1 ELSE 0 END AS ra,
+             CASE WHEN (CASE WHEN days_active >= 5 THEN 1 ELSE 0 END)
+               = label_active THEN 1 ELSE 0 END AS rb
+           FROM tsf),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS both_right,
+             CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS b,
+             CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c,
+             CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS both_wrong
+           FROM pred)
+         SELECT n_users, both_right, b, c, both_wrong,
+           floor((CAST(both_right AS DOUBLE) + CAST(b AS DOUBLE))
+             / CAST(n_users AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS acc_recency,
+           floor((CAST(both_right AS DOUBLE) + CAST(c AS DOUBLE))
+             / CAST(n_users AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS acc_frequency,
+           floor(CASE WHEN CAST(b AS DOUBLE) + CAST(c AS DOUBLE) > 0.0
+             THEN (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+               * (CAST(b AS DOUBLE) - CAST(c AS DOUBLE))
+               / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE))
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS chi2,
+           floor(CASE WHEN CAST(b AS DOUBLE) + CAST(c AS DOUBLE) > 0.0
+             THEN (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+               * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1.0)
+               / (CAST(b AS DOUBLE) + CAST(c AS DOUBLE))
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS chi2_cc
+         FROM m""",
+    "q_permutation_test" -> {
+      val nPerms = 40
+      def bitSql(suffix: String) =
+        s"('0x' || substr(md5(CAST(user_id AS VARCHAR)$suffix), 1, 15))" +
+          "::BIGINT % 2"
+      val permCols = (1 to nPerms).map { p =>
+        val b = bitSql(s" || ':$p'")
+        s"""CAST(sum(CASE WHEN $b = 0 THEN x ELSE 0 END) AS BIGINT)
+              AS s0_$p,
+            CAST(sum(CASE WHEN $b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n0_$p"""
+      }.mkString(",\n            ")
+      def diffSql(s0: String, n0: String) =
+        s"""CASE WHEN $n0 > 0 AND n - $n0 > 0
+            THEN CAST($s0 AS DOUBLE) / CAST($n0 AS DOUBLE)
+              - (CAST(s AS DOUBLE) - CAST($s0 AS DOUBLE))
+                / CAST(n - $n0 AS DOUBLE)
+            ELSE 0.0 END"""
+      val exceed = (1 to nPerms).map { p =>
+        s"CASE WHEN abs(${diffSql(s"s0_$p", s"n0_$p")}) >= " +
+          s"abs(${diffSql("s0g", "n0g")}) THEN 1 ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH per AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events
+           WHERE user_id IS NOT NULL GROUP BY 1),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN ${bitSql("")} = 0 THEN x ELSE 0 END)
+               AS BIGINT) AS s0g,
+             CAST(sum(CASE WHEN ${bitSql("")} = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n0g,
+            $permCols
+           FROM per),
+         e AS (
+           SELECT n, s, s0g, n0g,
+             CAST($exceed AS BIGINT) AS exceed FROM m)
+         SELECT n AS n_users,
+           floor(${diffSql("s0g", "n0g")} * 1000000.0 + 0.5) / 1000000.0
+             AS diff_obs,
+           CAST($nPerms AS BIGINT) AS n_perms, exceed AS n_exceed,
+           floor((1.0 + CAST(exceed AS DOUBLE)) / ${nPerms + 1}.0
+             * 1000000.0 + 0.5) / 1000000.0 AS p_value
+         FROM e"""
+    },
   )
 }

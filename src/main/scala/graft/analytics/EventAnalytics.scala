@@ -1264,6 +1264,104 @@ object EventAnalytics {
       .orderBy("channel")
   }
 
+  /** McNemar's paired test between the two churn baselines — recency
+    * (last seen ≤ `recencyCut` days before cutoff) vs frequency
+    * (≥ `freqCut` distinct active days) — on the SAME users against the
+    * SAME holdout label: the discordant cells b (recency right,
+    * frequency wrong) and c (the reverse) carry ALL the evidence that
+    * the rules differ; users both rules get right or wrong are
+    * uninformative and McNemar correctly ignores them. χ² = (b−c)²/(b+c)
+    * plus the continuity-corrected form; both 0 by convention when
+    * b + c = 0 (no disagreement, nothing to test). This is the paired
+    * comparison an unpaired accuracy diff gets wrong on shared users.
+    *
+    * Scale shape: rides [[trainingSet]]'s one user-frame pass; a single
+    * map-side-combined aggregate to the 1-row report. */
+  def mcnemarBaselines(ev: DataFrame, horizonDays: Int = 14,
+                       recencyCut: Long = 7L,
+                       freqCut: Long = 5L): DataFrame = {
+    val ts = trainingSet(ev, horizonDays)
+      .withColumn("pa", (col("recency_days") <= recencyCut).cast("int"))
+      .withColumn("pb", (col("days_active") >= freqCut).cast("int"))
+      .withColumn("ra", (col("pa") === col("label_active")).cast("int"))
+      .withColumn("rb", (col("pb") === col("label_active")).cast("int"))
+    val m = ts.agg(count(lit(1)).as("n_users"),
+      sum(when(col("ra") === 1 && col("rb") === 1, 1L).otherwise(0L))
+        .as("both_right"),
+      sum(when(col("ra") === 1 && col("rb") === 0, 1L).otherwise(0L))
+        .as("b"),
+      sum(when(col("ra") === 0 && col("rb") === 1, 1L).otherwise(0L))
+        .as("c"),
+      sum(when(col("ra") === 0 && col("rb") === 0, 1L).otherwise(0L))
+        .as("both_wrong"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val bc = d(col("b")) + d(col("c"))
+    val chi2 = (d(col("b")) - d(col("c"))) * (d(col("b")) - d(col("c"))) /
+      bc
+    val chi2cc = (abs(d(col("b")) - d(col("c"))) - lit(1.0)) *
+      (abs(d(col("b")) - d(col("c"))) - lit(1.0)) / bc
+    m.select(col("n_users"), col("both_right"), col("b"), col("c"),
+      col("both_wrong"),
+      r6((d(col("both_right")) + d(col("b"))) / d(col("n_users")))
+        .as("acc_recency"),
+      r6((d(col("both_right")) + d(col("c"))) / d(col("n_users")))
+        .as("acc_frequency"),
+      r6(when(bc > lit(0.0), chi2).otherwise(lit(0.0))).as("chi2"),
+      r6(when(bc > lit(0.0), chi2cc).otherwise(lit(0.0))).as("chi2_cc"))
+  }
+
+  /** Random-relabeling permutation test of the two-arm mean difference
+    * of per-user event counts — the assumption-free companion to the
+    * parametric [[graft.analytics.StatsAnalytics.welchTtest]] shape:
+    * re-assign every user to a pseudo-arm via the portable hash at
+    * `nPerms` seeds and ask how often |null diff| ≥ |observed diff|;
+    * p = (1 + #exceed)/(P + 1) (the add-one Monte-Carlo estimator).
+    * Hash relabeling (binomial arm sizes) rather than an exact
+    * permutation — the standard large-N randomization-test variant, and
+    * the only one whose assignments ANY engine can recompute
+    * independently (the oracle rebuilds every arm from md5). Degenerate
+    * resamples (an empty pseudo-arm) contribute diff = 0 by guard.
+    *
+    * Scale shape: one corpus aggregate to the user frame, then ONE
+    * wide map-side-combined aggregate computes observed and all P null
+    * sums in a single pass (2P+3 codegen'd conditional sums) — the
+    * corpus is never fanned out P times. */
+  def permutationTest(ev: DataFrame, nPerms: Int = 40): DataFrame = {
+    import graft.ext.TextFns.portableH60
+    val per = ev.filter(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("x"))
+      .withColumn("g", graft.operators.Sampling
+        .hashBucket(col("user_id"), 2))
+    def bit(p: Int): Column = pmod(portableH60(
+      concat(col("user_id").cast("string"), lit(s":$p"))), lit(2L))
+    val permAggs = (1 to nPerms).flatMap { p =>
+      Seq(sum(when(bit(p) === 0L, col("x")).otherwise(0L)).as(s"s0_$p"),
+        sum(when(bit(p) === 0L, 1L).otherwise(0L)).as(s"n0_$p"))
+    }
+    val tailAggs = Seq(sum(col("x")).as("s"),
+      sum(when(col("g") === 0, col("x")).otherwise(0L)).as("s0g"),
+      sum(when(col("g") === 0, 1L).otherwise(0L)).as("n0g")) ++ permAggs
+    val m = per.agg(count(lit(1)).as("n"), tailAggs: _*)
+    def d(c: Column) = c.cast("double")
+    def diffOf(s0: Column, n0: Column): Column = {
+      val n1 = col("n") - n0
+      when(n0 > 0L && n1 > 0L,
+        d(s0) / d(n0) - (d(col("s")) - d(s0)) / d(n1))
+        .otherwise(lit(0.0))
+    }
+    val obs = diffOf(col("s0g"), col("n0g"))
+    val exceed = (1 to nPerms).map { p =>
+      when(abs(diffOf(col(s"s0_$p"), col(s"n0_$p"))) >= abs(obs), 1L)
+        .otherwise(0L)
+    }.reduce(_ + _)
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    m.select(col("n").as("n_users"), r6(obs).as("diff_obs"),
+      lit(nPerms.toLong).as("n_perms"), exceed.as("n_exceed"),
+      r6((lit(1.0) + d(exceed)) / lit((nPerms + 1).toDouble))
+        .as("p_value"))
+  }
+
   /** Adstock decay sweep (Broadbent; the marketing-mix carryover
     * transform): daily click pressure decays geometrically into the
     * following `horizon` days — adstock_t(λ) = Σ_{0≤k≤H} λ^k·clicks_{t−k}

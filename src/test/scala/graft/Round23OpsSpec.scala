@@ -375,4 +375,76 @@ class Round23OpsSpec extends SparkSpec {
     val corr = -15.0 / math.sqrt(1.5 * 1400.0)
     assert(r.getAs[Double]("corr_revenue") == r6(corr))
   }
+
+  // ---- mcnemarBaselines ------------------------------------------------
+
+  test("mcnemarBaselines: hand-traced discordant cells") {
+    // cutoff = 2024-01-06 (max day 01-20 − 14)
+    // u1 right/right, u2 right/right, u3 b, u4 wrong/wrong, u5 c, u6 b
+    def day(u: Long, ds: Seq[String]) =
+      ds.map(s => (u, ts(s + " 10:00:00"), "view",
+        null.asInstanceOf[java.lang.Double]))
+    val ev = (
+      day(1L, Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+        "2024-01-05", "2024-01-10")) ++
+      day(2L, Seq("2023-12-20")) ++
+      day(3L, Seq("2024-01-05", "2024-01-10")) ++
+      day(4L, Seq("2023-12-25", "2023-12-26", "2023-12-27", "2023-12-28",
+        "2023-12-29", "2023-12-30")) ++
+      day(5L, Seq("2023-12-20", "2023-12-21", "2023-12-22", "2023-12-23",
+        "2023-12-24", "2024-01-15")) ++
+      day(6L, Seq("2024-01-02", "2024-01-20")))
+      .toDF("user_id", "ts", "event_type", "value")
+    val r = EventAnalytics.mcnemarBaselines(ev).collect()(0)
+    assert(r.getAs[Long]("n_users") == 6L)
+    assert(r.getAs[Long]("both_right") == 2L)
+    assert(r.getAs[Long]("b") == 2L)
+    assert(r.getAs[Long]("c") == 1L)
+    assert(r.getAs[Long]("both_wrong") == 1L)
+    assert(r.getAs[Double]("acc_recency") == r6(4.0 / 6.0))
+    assert(r.getAs[Double]("acc_frequency") == 0.5)
+    assert(r.getAs[Double]("chi2") == r6(1.0 / 3.0))
+    assert(r.getAs[Double]("chi2_cc") == 0.0)
+  }
+
+  test("mcnemarBaselines: no disagreement yields chi2 = 0 by convention") {
+    // one recent-AND-frequent active user: both rules right -> b = c = 0
+    val ev = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+      "2024-01-05", "2024-01-20")
+      .map(s => (1L, ts(s + " 10:00:00"), "view",
+        null.asInstanceOf[java.lang.Double]))
+      .toDF("user_id", "ts", "event_type", "value")
+    val r = EventAnalytics.mcnemarBaselines(ev).collect()(0)
+    assert(r.getAs[Long]("b") == 0L && r.getAs[Long]("c") == 0L)
+    assert(r.getAs[Double]("chi2") == 0.0 &&
+      r.getAs[Double]("chi2_cc") == 0.0)
+  }
+
+  // ---- permutationTest -------------------------------------------------
+
+  test("permutationTest: invariants and observed-diff cross-check") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val r = EventAnalytics.permutationTest(ev, nPerms = 16).collect()(0)
+    assert(r.getAs[Long]("n_perms") == 16L)
+    val p = r.getAs[Double]("p_value")
+    assert(p >= r6(1.0 / 17.0) && p <= 1.0)
+    val ex = r.getAs[Long]("n_exceed")
+    assert(ex >= 0L && ex <= 16L)
+    // observed diff recomputed independently through hashBucket
+    import org.apache.spark.sql.functions._
+    val per = ev.filter(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("x"))
+      .withColumn("g",
+        graft.operators.Sampling.hashBucket(col("user_id"), 2))
+    val arms = per.groupBy("g")
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .collect().map(x => x.getAs[Long]("g") ->
+        (x.getAs[Long]("s"), x.getAs[Long]("n"))).toMap
+    val (s0, n0) = arms(0L); val (s1, n1) = arms(1L)
+    val expObs = s0.toDouble / n0.toDouble - s1.toDouble / n1.toDouble
+    assert(r.getAs[Double]("diff_obs") == r6(expObs))
+    // deterministic: a second run returns the identical row
+    val r2 = EventAnalytics.permutationTest(ev, nPerms = 16).collect()(0)
+    assert(r.toSeq == r2.toSeq)
+  }
 }

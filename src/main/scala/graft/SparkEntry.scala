@@ -2073,6 +2073,13 @@ object SparkEntry {
     // hash-relabeling permutation test of the two-arm mean diff
     "q_permutation_test" -> ((s, d) =>
       EventAnalytics.permutationTest(Tables.events(s, d))),
+    // post-hoc pairwise segment contrasts on the ANOVA design
+    "q_pairwise_contrasts" -> ((s, d) =>
+      StatsAnalytics.pairwiseContrasts(Tables.orders(s, d),
+        Tables.customer(s, d))),
+    // cross-language vocabulary Jaccard (code-switch audit)
+    "q_lang_vocab_overlap" -> ((s, d) =>
+      graft.ext.TextAnalysis.langVocabOverlap(s, d)),
   )
 
   /** The q_key_discovery profiling contract: single columns plus the
@@ -11927,5 +11934,63 @@ object SparkEntry {
              * 1000000.0 + 0.5) / 1000000.0 AS p_value
          FROM e"""
     },
+    "q_pairwise_contrasts" ->
+      """WITH per AS (
+           SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         units AS (
+           SELECT c.c_mktsegment AS g, p.x FROM per p
+           JOIN customer c ON p.o_custkey = c.c_custkey),
+         gs AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(x) AS DOUBLE) AS s_g,
+             CAST(sum(x * x) AS DOUBLE) AS ss_g
+           FROM units GROUP BY 1),
+         mw AS (
+           SELECT CAST(sum(CAST(ss_g - s_g * s_g / CAST(n_g AS DOUBLE)
+               AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(sum(n_g) - count(*) AS DOUBLE) AS msw
+           FROM gs)
+         SELECT a.g AS g_a, b.g AS g_b, a.n_g AS n_a, b.n_g AS n_b,
+           floor(a.s_g / CAST(a.n_g AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_a,
+           floor(b.s_g / CAST(b.n_g AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_b,
+           floor((a.s_g / CAST(a.n_g AS DOUBLE)
+             - b.s_g / CAST(b.n_g AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS diff,
+           floor(sqrt(mw.msw * (1.0 / CAST(a.n_g AS DOUBLE)
+             + 1.0 / CAST(b.n_g AS DOUBLE))) * 1000000.0 + 0.5)
+             / 1000000.0 AS se,
+           floor((a.s_g / CAST(a.n_g AS DOUBLE)
+               - b.s_g / CAST(b.n_g AS DOUBLE))
+             / sqrt(mw.msw * (1.0 / CAST(a.n_g AS DOUBLE)
+               + 1.0 / CAST(b.n_g AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS t
+         FROM gs a JOIN gs b ON a.g < b.g, mw
+         ORDER BY 1, 2""",
+    "q_lang_vocab_overlap" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, list_filter(string_split_regex(
+             lower(text), '\s+'), x -> x <> '') AS toks FROM documents),
+         lt AS (
+           SELECT DISTINCT lang, tok AS term
+           FROM (SELECT lang, unnest(toks) AS tok FROM toks)),
+         sizes AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS v FROM lt GROUP BY 1),
+         inter AS (
+           SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM lt a JOIN lt b
+             ON a.term = b.term AND a.lang < b.lang
+           GROUP BY 1, 2)
+         SELECT i.lang_a, i.lang_b, sa.v AS v_a, sb.v AS v_b, i.n_shared,
+           floor(CAST(i.n_shared AS DOUBLE)
+             / CAST(sa.v + sb.v - i.n_shared AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS vocab_jaccard
+         FROM inter i
+         JOIN sizes sa ON i.lang_a = sa.lang
+         JOIN sizes sb ON i.lang_b = sb.lang
+         ORDER BY 1, 2""",
   )
 }

@@ -3081,6 +3081,54 @@ object StatsAnalytics {
     fFold(gstats)
   }
 
+  /** Post-hoc pairwise contrasts after [[anovaF]] — every segment pair's
+    * mean difference standardized by the pooled within-group variance:
+    * t_ij = (x̄_i − x̄_j) / √(MSW·(1/n_i + 1/n_j)) (the Tukey-HSD
+    * statistic; the studentized-range CDF is the caller's, like every
+    * other distribution here). The omnibus F says "something differs";
+    * this table says WHICH pairs. MSW comes from the same DECIMAL
+    * within-group fold as [[anovaF]], so the two reports cannot drift.
+    *
+    * Scale shape: the [[anovaF]] aggregates plus a k²-bounded self-join
+    * of the segment frame — nothing data-scale after the group pass. */
+  def pairwiseContrasts(orders: DataFrame,
+                        customer: DataFrame): DataFrame = {
+    val per = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("x"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("g"), col("x"))
+    val gstats = per.groupBy("g")
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("x")).cast("double").as("s_g"),
+        sum(col("x") * col("x")).cast("double").as("ss_g"))
+      .localCheckpoint() // the MSW fold and the pair join both read it
+    def d(c: Column) = c.cast("double")
+    def dec(c: Column) = c.cast("decimal(38,12)")
+    val msw = gstats
+      .select(col("n_g"),
+        dec(col("ss_g") - col("s_g") * col("s_g") / d(col("n_g")))
+          .as("ssw_t"))
+      .agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+        sum(col("ssw_t")).cast("double").as("ssw"))
+      .select((col("ssw") / d(col("n") - col("k"))).as("msw"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val a = gstats.select(col("g").as("g_a"), col("n_g").as("n_a"),
+      col("s_g").as("s_a"))
+    val b = gstats.select(col("g").as("g_b"), col("n_g").as("n_b"),
+      col("s_g").as("s_b"))
+    val diff = col("s_a") / d(col("n_a")) - col("s_b") / d(col("n_b"))
+    val se = sqrt(col("msw") *
+      (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b"))))
+    a.join(b, col("g_a") < col("g_b"))
+      .crossJoin(broadcast(msw))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        r6(col("s_a") / d(col("n_a"))).as("mean_a"),
+        r6(col("s_b") / d(col("n_b"))).as("mean_b"),
+        r6(diff).as("diff"), r6(se).as("se"),
+        r6(diff / se).as("t"))
+      .orderBy("g_a", "g_b")
+  }
+
   /** Shared one-way-ANOVA fold over a (g, n_g, s_g, ss_g) group frame:
     * grand totals broadcast back, per-group between/within terms
     * DECIMAL-summed, one output row. */

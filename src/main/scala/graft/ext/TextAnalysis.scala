@@ -83,6 +83,46 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Cross-language vocabulary overlap — per language pair, the Jaccard
+    * of the two VOCABULARIES (distinct-term sets): high overlap between
+    * languages that should not share words is the code-switching /
+    * mislabeled-language signal a multilingual corpus audit starts from
+    * (and the token-sharing number a shared-BPE tokenizer budget needs).
+    * Union size is |V_a| + |V_b| − |V_a ∩ V_b| — no union materializes.
+    *
+    * Scale shape: rides the memoized doc-term frame; one (lang, term)
+    * distinct, one term-keyed self-join producing lang-pair-bounded
+    * intersection counts, one broadcast of the per-lang vocab sizes. */
+  def langVocabOverlap(spark: org.apache.spark.sql.SparkSession,
+                       sfDir: String): DataFrame =
+    langVocabOverlapOf(docTermFreq(spark, sfDir))
+
+  /** [[langVocabOverlap]] over a prebuilt (lang, term) frame — the
+    * hand-traceable core. */
+  private[graft] def langVocabOverlapOf(docTf: DataFrame): DataFrame = {
+    val lt = docTf
+      .select(col("lang"), col("term")).distinct()
+      .localCheckpoint() // vocab sizes and the pair join both read it
+    val sizes = lt.groupBy("lang").agg(count(lit(1)).as("v"))
+    val inter = lt.join(lt.select(col("lang").as("lang_b"),
+        col("term")), Seq("term"))
+      .filter(col("lang") < col("lang_b"))
+      .groupBy(col("lang").as("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    inter
+      .join(broadcast(sizes.select(col("lang").as("lang_a"),
+        col("v").as("v_a"))), Seq("lang_a"))
+      .join(broadcast(sizes.select(col("lang").as("lang_b"),
+        col("v").as("v_b"))), Seq("lang_b"))
+      .select(col("lang_a"), col("lang_b"), col("v_a"), col("v_b"),
+        col("n_shared"),
+        r6(col("n_shared").cast("double") /
+          (col("v_a") + col("v_b") - col("n_shared")).cast("double"))
+          .as("vocab_jaccard"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   /** Heaps'-law vocabulary-growth fit V = K·T^β (Heaps 1978) — the
     * corpus-scaling curve an LLM data plan extrapolates from: how fast
     * does NEW vocabulary arrive as tokens accumulate, and where does

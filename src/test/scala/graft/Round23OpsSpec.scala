@@ -420,6 +420,46 @@ class Round23OpsSpec extends SparkSpec {
       r.getAs[Double]("chi2_cc") == 0.0)
   }
 
+  // ---- pairwiseContrasts -----------------------------------------------
+
+  test("pairwiseContrasts: hand-traced post-hoc t on the ANOVA design") {
+    // A: [1,2], B: [2,3] -> means 1.5/2.5, MSW = 0.5
+    // se = sqrt(.5·(1/2+1/2)) = sqrt(.5), t = −1/sqrt(.5) = −√2
+    val orders = orderFixture(Map(1L -> 1, 2L -> 2, 3L -> 2, 4L -> 3))
+    val customer = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val r = StatsAnalytics.pairwiseContrasts(orders, customer)
+      .collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[String]("g_a") == "A" &&
+      row.getAs[String]("g_b") == "B")
+    assert(row.getAs[Double]("mean_a") == 1.5 &&
+      row.getAs[Double]("mean_b") == 2.5)
+    assert(row.getAs[Double]("diff") == -1.0)
+    val se = math.sqrt(0.5 * (0.5 + 0.5))
+    assert(row.getAs[Double]("se") == r6(se))
+    assert(row.getAs[Double]("t") == r6(-1.0 / se))
+  }
+
+  // ---- langVocabOverlap --------------------------------------------------
+
+  test("langVocabOverlapOf: hand-traced vocabulary Jaccard") {
+    // en vocab {a,b,c}, de vocab {b,c,d,e}: shared 2, union 5
+    val docTf = Seq(("en", "a"), ("en", "b"), ("en", "c"),
+      ("de", "b"), ("de", "c"), ("de", "d"), ("de", "e"),
+      ("en", "a")) // duplicate (lang, term) row must not double-count
+      .toDF("lang", "term")
+    val r = TextAnalysis.langVocabOverlapOf(docTf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[String]("lang_a") == "de" &&
+      row.getAs[String]("lang_b") == "en")
+    assert(row.getAs[Long]("v_a") == 4L && row.getAs[Long]("v_b") == 3L)
+    assert(row.getAs[Long]("n_shared") == 2L)
+    assert(row.getAs[Double]("vocab_jaccard") == 0.4)
+  }
+
   // ---- permutationTest -------------------------------------------------
 
   test("permutationTest: invariants and observed-diff cross-check") {

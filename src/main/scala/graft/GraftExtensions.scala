@@ -52,6 +52,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "token_chunks(tokens, n) - non-overlapping space-joined n-token chunks"),
       (exprs: Seq[Expression]) => graft.plans.TokenChunks(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("cooc_pairs"),
+      info("cooc_pairs",
+        "cooc_pairs(tokens, window) - canonical 'min max' co-occurrence " +
+          "pairs for offsets 1..window, self-pairs dropped"),
+      (exprs: Seq[Expression]) => graft.plans.CoocPairs(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((FunctionIdentifier("dot_f32"),
       info("dot_f32",
         "dot_f32(a, b) - float32-vector dot product in double precision"),

@@ -2080,6 +2080,9 @@ object SparkEntry {
     // cross-language vocabulary Jaccard (code-switch audit)
     "q_lang_vocab_overlap" -> ((s, d) =>
       graft.ext.TextAnalysis.langVocabOverlap(s, d)),
+    // embedding isotropy: exact mean pairwise cosine, zero pairs
+    "q_isotropy" -> ((s, d) =>
+      graft.ext.Similarity.embeddingIsotropy(Tables.embeddings(s, d))),
   )
 
   /** The q_key_discovery profiling contract: single columns plus the
@@ -11992,5 +11995,39 @@ object SparkEntry {
          JOIN sizes sa ON i.lang_a = sa.lang
          JOIN sizes sb ON i.lang_b = sb.lang
          ORDER BY 1, 2""",
+    "q_isotropy" ->
+      """WITH base AS (
+           SELECT embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+               embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+         scalars AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(nrm * nrm AS DECIMAL(38,12))) AS DOUBLE) AS ss,
+             CAST(sum(CAST(nrm AS DECIMAL(38,12))) AS DOUBLE) AS sn
+           FROM base),
+         xs AS (SELECT unnest(range(0, 64)) AS i, e, nrm FROM base),
+         dims AS (
+           SELECT i,
+             CAST(sum(CAST(floor(e[i + 1] * 1e12 + 0.5) AS BIGINT))
+               AS DOUBLE) / 1e12 AS sx,
+             CAST(sum(CAST(floor(e[i + 1] / nrm * 1e12 + 0.5) AS BIGINT))
+               AS DOUBLE) / 1e12 AS su
+           FROM xs GROUP BY 1),
+         vec AS (
+           SELECT CAST(sum(CAST(sx * sx AS DECIMAL(38,12))) AS DOUBLE)
+               AS ssx,
+             CAST(sum(CAST(su * su AS DECIMAL(38,12))) AS DOUBLE) AS ssu
+           FROM dims)
+         SELECT s.n AS n_vectors, CAST(64 AS BIGINT) AS dim,
+           floor(s.sn / CAST(s.n AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_norm,
+           floor((v.ssu - CAST(s.n AS DOUBLE))
+             / (CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) - 1.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS mean_cosine,
+           floor((v.ssx / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)))
+             / (s.ss / CAST(s.n AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS center_mass_share
+         FROM scalars s, vec v""",
   )
 }

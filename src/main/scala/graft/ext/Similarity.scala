@@ -1165,6 +1165,53 @@ object Similarity {
           (col("n_queries") * k), 6).as("recall"))
   }
 
+  /** Embedding-space isotropy audit (Ethayarajh 2019; Mu & Viswanath's
+    * all-but-the-top diagnosis): the EXACT mean pairwise cosine of the
+    * whole corpus, computed with ZERO pairs via the sum-vector identity
+    * Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖² (= ‖Σu‖² − n for unit vectors), plus
+    * the mean-vector share ‖μ‖²/E‖x‖² — how much of the embedding mass
+    * is one common direction. Anisotropic spaces (mean cosine ≫ 0) make
+    * raw cosine similarity scores incomparable across queries; this is
+    * the one-row report that says whether to center before the ANN ops.
+    *
+    * Scale shape: ONE corpus pass emits per-dimension partial sums of
+    * the raw and unit-normalized vectors (posexplode to a dim-bounded
+    * frame, map-side combined, scaled-long folds — the powerIteration
+    * discipline) alongside the scalar norms; everything after is
+    * dim-bounded arithmetic. No pair ever materializes at any scale. */
+  def embeddingIsotropy(emb: DataFrame, dim: Int = 64): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val base = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .withColumn("nrm", sqrt(dotD(col("e"), col("e"))))
+      .localCheckpoint() // scalar pass and per-dim pass share it
+    def dec(c: Column) = c.cast("decimal(38,12)")
+    val scalars = base.agg(count(lit(1)).as("n"),
+      sum(dec(col("nrm") * col("nrm"))).cast("double").as("ss"),
+      sum(dec(col("nrm"))).cast("double").as("sn"))
+    // per-dimension sums as scaled longs (see powerIteration: primitive
+    // long accumulation is order-independent AND stays in codegen)
+    val dims = base
+      .select(posexplode(col("e")).as(Seq("i", "xi")), col("nrm"))
+      .groupBy("i")
+      .agg((sum(floor(col("xi") * lit(1e12) + lit(0.5)).cast("bigint"))
+          .cast("double") / lit(1e12)).as("sx"),
+        (sum(floor(col("xi") / col("nrm") * lit(1e12) + lit(0.5))
+          .cast("bigint")).cast("double") / lit(1e12)).as("su"))
+    val vec = dims.agg(
+      sum(dec(col("sx") * col("sx"))).cast("double").as("ssx"),
+      sum(dec(col("su") * col("su"))).cast("double").as("ssu"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val n = d(col("n"))
+    scalars.crossJoin(broadcast(vec))
+      .select(col("n").as("n_vectors"), lit(dim.toLong).as("dim"),
+        r6(col("sn") / n).as("mean_norm"),
+        r6((col("ssu") - n) / (n * (n - lit(1.0)))).as("mean_cosine"),
+        r6((col("ssx") / (n * n)) / (col("ss") / n))
+          .as("center_mass_share"))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019): mutual
     * nearest neighbors between two embedding pools, scored by the RATIO
     * margin — best-pair cosine over the mean of each side's top-`kDen`

@@ -31,10 +31,13 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
                AS lb,
              rolling_hash('abc') AS rh,
              jaro_winkler('martha', 'marhta') AS jw,
-             token_chunks(array('a','b','c','d','e'), 2) AS tc""").collect()(0)
+             token_chunks(array('a','b','c','d','e'), 2) AS tc,
+             cooc_pairs(array('b','a','b'), 2) AS cp""").collect()(0)
       assert(row.getSeq[Long](row.fieldIndex("mh")).length == 4)
       assert(row.getSeq[String](row.fieldIndex("tc")) ==
         Seq("a b", "c d", "e"))
+      // offsets 1..2: (b,a),(a,b) canonical "a b" twice; (b,b) self-drop
+      assert(row.getSeq[String](row.fieldIndex("cp")) == Seq("a b", "a b"))
       assert(row.getAs[Double]("dp") == 11.0)
       assert(row.getAs[Long]("rh") ==
         graft.plans.RollingHash.reference("abc"))

@@ -460,6 +460,29 @@ class Round23OpsSpec extends SparkSpec {
     assert(row.getAs[Double]("vocab_jaccard") == 0.4)
   }
 
+  // ---- embeddingIsotropy -----------------------------------------------
+
+  test("embeddingIsotropy: hand-traced zero-pair mean cosine") {
+    // u = {[1,0], [0,1], [1,0]}: Σu = [2,1], ‖Σu‖² = 5
+    // mean cosine = (5 − 3)/(3·2) = 1/3; center share = (5/9)/(3/3)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = graft.ext.Similarity.embeddingIsotropy(emb, dim = 2)
+      .collect()(0)
+    assert(r.getAs[Long]("n_vectors") == 3L && r.getAs[Long]("dim") == 2L)
+    assert(r.getAs[Double]("mean_norm") == 1.0)
+    assert(r.getAs[Double]("mean_cosine") == r6(2.0 / 6.0))
+    assert(r.getAs[Double]("center_mass_share") == r6(5.0 / 9.0))
+    // mean cosine is invariant under per-vector scaling
+    val scaled = Seq(
+      (1L, Array(2.0f, 0.0f)), (2L, Array(0.0f, 4.0f)),
+      (3L, Array(8.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r2 = graft.ext.Similarity.embeddingIsotropy(scaled, dim = 2)
+      .collect()(0)
+    assert(r2.getAs[Double]("mean_cosine") == r6(2.0 / 6.0))
+  }
+
   // ---- permutationTest -------------------------------------------------
 
   test("permutationTest: invariants and observed-diff cross-check") {

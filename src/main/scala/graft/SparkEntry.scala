@@ -2083,6 +2083,10 @@ object SparkEntry {
     // embedding isotropy: exact mean pairwise cosine, zero pairs
     "q_isotropy" -> ((s, d) =>
       graft.ext.Similarity.embeddingIsotropy(Tables.embeddings(s, d))),
+    // newsvendor critical-fractile stocking quantile per part
+    "q_newsvendor" -> ((s, d) =>
+      StarAnalytics.newsvendor(Tables.lineitem(s, d),
+        Tables.orders(s, d))),
   )
 
   /** The q_key_discovery profiling contract: single columns plus the
@@ -12029,5 +12033,51 @@ object SparkEntry {
              / (s.ss / CAST(s.n AS DOUBLE)) * 1000000.0 + 0.5)
              / 1000000.0 AS center_mass_share
          FROM scalars s, vec v""",
+    "q_newsvendor" ->
+      """WITH rows_ AS (
+           SELECT l.l_partkey, l.l_quantity,
+             CAST(o.o_orderdate AS DATE) AS d
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         span AS (
+           SELECT min(CAST(o_orderdate AS DATE)) AS d0,
+             CAST(floor(date_diff('day', min(CAST(o_orderdate AS DATE)),
+               max(CAST(o_orderdate AS DATE))) / 7) + 1 AS BIGINT)
+               AS n_weeks
+           FROM orders),
+         weekly AS (
+           SELECT r.l_partkey,
+             floor(date_diff('day', s.d0, r.d) / 7) AS wk,
+             CAST(sum(CAST(r.l_quantity AS DECIMAL(28,12))) AS DOUBLE)
+               AS q,
+             max(s.n_weeks) AS n_weeks
+           FROM rows_ r, span s GROUP BY 1, 2),
+         stats AS (
+           SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_active,
+             CAST(sum(CAST(q AS DECIMAL(28,12))) AS DOUBLE) AS sq,
+             max(n_weeks) AS w
+           FROM weekly GROUP BY 1),
+         picks AS (
+           SELECT l_partkey AS pk,
+             CAST(row_number() OVER (PARTITION BY l_partkey
+               ORDER BY q, wk) AS BIGINT) AS rn, q
+           FROM weekly),
+         j AS (
+           SELECT s.l_partkey, s.n_active, s.sq, s.w,
+             CAST(floor((4 * s.w + 4) / 5) AS BIGINT) AS rank_target,
+             s.w - s.n_active AS n_zero
+           FROM stats s)
+         SELECT j.l_partkey, j.w AS n_weeks,
+           j.n_active AS n_active_weeks,
+           floor(j.sq / CAST(j.w AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_weekly,
+           CASE WHEN j.rank_target <= j.n_zero THEN 0.0
+             ELSE coalesce(p.q, 0.0) END AS q_star,
+           floor((CASE WHEN j.rank_target <= j.n_zero THEN 0.0
+               ELSE coalesce(p.q, 0.0) END
+             - j.sq / CAST(j.w AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS safety_stock
+         FROM j LEFT JOIN picks p
+           ON j.l_partkey = p.pk AND p.rn = j.rank_target - j.n_zero
+         ORDER BY mean_weekly DESC, l_partkey LIMIT 20""",
   )
 }

@@ -1098,6 +1098,75 @@ object StarAnalytics {
     * CV thresholds apply to the r6-ROUNDED value so an engine's last
     * ulp cannot flip a class. One fact pass to (part × week), one to
     * per-part sums, then catalog-frame arithmetic. */
+  /** Newsvendor stocking policy per part (the critical-fractile result:
+    * stock the cu/(cu+co) demand quantile) over the weekly demand
+    * distribution INCLUDING the zero-demand weeks a naive census of
+    * observed rows silently drops — for intermittent demand the zeros
+    * dominate the quantile, which is exactly why [[abcXyz]]'s Z-class
+    * parts need this and not a mean-based rule. Critical ratio fixed at
+    * 4/5 and the target rank computed in INTEGER arithmetic
+    * (⌈4W/5⌉ = ⌊(4W+4)/5⌋ — a double 0.8·W rounds the wrong way at
+    * W = 85), so both engines select the same order statistic. Reported
+    * per part: weeks, active weeks, mean weekly demand, the stocking
+    * quantity q*, and the implied safety stock q* − mean; top-`k` parts
+    * by total demand.
+    *
+    * Scale shape: the [[abcXyz]] weekly fan-out (one fact join, one
+    * (part, week) aggregate), then a PART-partitioned rank window (never
+    * global) and a part-keyed join of the two part-sized frames. */
+  def newsvendor(lineitem: DataFrame, orders: DataFrame,
+                 k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), col("l_quantity"),
+        to_date(col("o_orderdate")).as("d"))
+    val span = orders.agg(min(to_date(col("o_orderdate"))).as("d0"),
+      (floor(datediff(max(to_date(col("o_orderdate"))),
+        min(to_date(col("o_orderdate")))) / 7) + 1)
+        .cast("bigint").as("n_weeks"))
+    def dec(c: Column) = c.cast("decimal(28,12)")
+    val weekly = rows.crossJoin(broadcast(span))
+      .groupBy(col("l_partkey"),
+        floor(datediff(col("d"), col("d0")) / 7).as("wk"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("q"),
+        max(col("n_weeks")).as("n_weeks"))
+      .localCheckpoint() // the stats pass and the rank window share it
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val stats = weekly.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_active"),
+        sum(dec(col("q"))).cast("double").as("sq"),
+        max(col("n_weeks")).as("w"))
+    // target rank ⌈4W/5⌉ in integer arithmetic; ranks below the zero
+    // mass pick q* = 0 without touching the observed rows
+    val target = floor((lit(4L) * col("w") + lit(4L)) / lit(5L))
+      .cast("bigint")
+    val wRank = Window.partitionBy("l_partkey")
+      .orderBy(col("q"), col("wk"))
+    val picks = weekly
+      .withColumn("rn", row_number().over(wRank).cast("bigint"))
+      .select(col("l_partkey").as("pk"), col("rn"), col("q"))
+    stats
+      .withColumn("rank_target", target)
+      .withColumn("n_zero", col("w") - col("n_active"))
+      .join(picks,
+        col("l_partkey") === col("pk") &&
+          col("rn") === col("rank_target") - col("n_zero"), "left")
+      .select(col("l_partkey"), col("w").as("n_weeks"),
+        col("n_active").as("n_active_weeks"),
+        r6(col("sq") / d(col("w"))).as("mean_weekly"),
+        when(col("rank_target") <= col("n_zero"), lit(0.0))
+          .otherwise(coalesce(col("q"), lit(0.0))).as("q_star"),
+        r6(when(col("rank_target") <= col("n_zero"), lit(0.0))
+          .otherwise(coalesce(col("q"), lit(0.0))) -
+          col("sq") / d(col("w"))).as("safety_stock"))
+      .orderBy(col("mean_weekly").desc, col("l_partkey"))
+      .limit(k)
+  }
+
   def abcXyz(lineitem: DataFrame, orders: DataFrame): DataFrame = {
     val rows = lineitem
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))

@@ -483,6 +483,47 @@ class Round23OpsSpec extends SparkSpec {
     assert(r2.getAs[Double]("mean_cosine") == r6(2.0 / 6.0))
   }
 
+  // ---- newsvendor -------------------------------------------------------
+
+  test("newsvendor: zero weeks shift the critical fractile") {
+    // 5-week calendar, target rank ⌈4·5/5⌉ = 4
+    // part 100: demand {3,10} + 3 zero weeks -> rank 4 picks min obs = 3
+    // part 200: demand {1..5} -> rank 4 picks 4
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val orders = Seq((1L, d("2024-01-01")), (2L, d("2024-01-08")),
+      (3L, d("2024-01-15")), (4L, d("2024-01-22")),
+      (5L, d("2024-01-29"))).toDF("o_orderkey", "o_orderdate")
+    val li = Seq((1L, 100L, 3.0), (2L, 100L, 10.0),
+      (1L, 200L, 1.0), (2L, 200L, 2.0), (3L, 200L, 3.0),
+      (4L, 200L, 4.0), (5L, 200L, 5.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+    val r = graft.analytics.StarAnalytics.newsvendor(li, orders)
+      .collect()
+      .map(x => x.getAs[Long]("l_partkey") ->
+        (x.getAs[Long]("n_weeks"), x.getAs[Long]("n_active_weeks"),
+          x.getAs[Double]("mean_weekly"), x.getAs[Double]("q_star"),
+          x.getAs[Double]("safety_stock"))).toMap
+    assert(r(100L) == ((5L, 2L, 2.6, 3.0, r6(3.0 - 2.6))))
+    assert(r(200L) == ((5L, 5L, 3.0, 4.0, 1.0)))
+  }
+
+  test("newsvendor: all-zero-dominated part stocks zero") {
+    // 10-week calendar (target ⌈8⌉ = 8), part seen in 1 week only:
+    // n_zero = 9 >= 8 -> q* = 0
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val orders = (0 until 10).map(w =>
+      ((w + 1).toLong, java.sql.Date.valueOf(
+        java.time.LocalDate.parse("2024-01-01").plusDays(7L * w))))
+      .toDF("o_orderkey", "o_orderdate")
+    val li = Seq((1L, 100L, 42.0))
+      .toDF("l_orderkey", "l_partkey", "l_quantity")
+    val r = graft.analytics.StarAnalytics.newsvendor(li, orders)
+      .collect()(0)
+    assert(r.getAs[Long]("n_weeks") == 10L)
+    assert(r.getAs[Double]("q_star") == 0.0)
+    assert(r.getAs[Double]("safety_stock") == r6(-4.2))
+  }
+
   // ---- permutationTest -------------------------------------------------
 
   test("permutationTest: invariants and observed-diff cross-check") {

@@ -2087,6 +2087,15 @@ object SparkEntry {
     "q_newsvendor" -> ((s, d) =>
       StarAnalytics.newsvendor(Tables.lineitem(s, d),
         Tables.orders(s, d))),
+    // linear-MMD drift between the label cohorts (zero pairs)
+    "q_embedding_drift" -> ((s, d) =>
+      graft.ext.Similarity.embeddingDrift(Tables.embeddings(s, d))),
+    // participation-ratio effective rank of the covariance spectrum
+    "q_effective_rank" -> ((s, d) =>
+      graft.ext.Similarity.effectiveRank(Tables.embeddings(s, d))),
+    // clustering-vs-label purity and NMI on the IVF assignment
+    "q_cluster_nmi" -> ((s, d) =>
+      graft.ext.Similarity.clusterLabelAgreement(Tables.embeddings(s, d))),
   )
 
   /** The q_key_discovery profiling contract: single columns plus the
@@ -12079,5 +12088,130 @@ object SparkEntry {
          FROM j LEFT JOIN picks p
            ON j.l_partkey = p.pk AND p.rn = j.rank_target - j.n_zero
          ORDER BY mean_weekly DESC, l_partkey LIMIT 20""",
+    "q_embedding_drift" ->
+      """WITH base AS (
+           SELECT embedding::DOUBLE[] AS e,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS a,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+               embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+         scalars AS (
+           SELECT
+             CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN a = 1 THEN CAST(nrm AS DECIMAL(38,12))
+               END) AS DOUBLE) AS sna,
+             CAST(sum(CASE WHEN a = 0 THEN CAST(nrm AS DECIMAL(38,12))
+               END) AS DOUBLE) AS snb
+           FROM base),
+         xs AS (SELECT a, unnest(range(0, 64)) AS i, e FROM base),
+         dims AS (
+           SELECT i,
+             CAST(sum(CASE WHEN a = 1 THEN
+               CAST(floor(e[i + 1] * 1e12 + 0.5) AS BIGINT) ELSE 0 END)
+               AS DOUBLE) / 1e12 AS sxa,
+             CAST(sum(CASE WHEN a = 0 THEN
+               CAST(floor(e[i + 1] * 1e12 + 0.5) AS BIGINT) ELSE 0 END)
+               AS DOUBLE) / 1e12 AS sxb
+           FROM xs GROUP BY 1),
+         mmd AS (
+           SELECT CAST(sum(CAST(
+             (d.sxa / CAST(s.na AS DOUBLE) - d.sxb / CAST(s.nb AS DOUBLE))
+             * (d.sxa / CAST(s.na AS DOUBLE)
+               - d.sxb / CAST(s.nb AS DOUBLE))
+             AS DECIMAL(38,12))) AS DOUBLE) AS mmd2
+           FROM dims d, scalars s)
+         SELECT s.na AS n_a, s.nb AS n_b,
+           floor(m.mmd2 * 1000000.0 + 0.5) / 1000000.0 AS mmd2_linear,
+           floor(sqrt(m.mmd2) * 1000000.0 + 0.5) / 1000000.0
+             AS mean_shift,
+           floor(s.sna / CAST(s.na AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_norm_a,
+           floor(s.snb / CAST(s.nb AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_norm_b
+         FROM scalars s, mmd m""",
+    "q_effective_rank" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+         xs AS (SELECT i, e[i + 1] AS xi, e
+                FROM (SELECT unnest(range(0, 64)) AS i, e FROM e)),
+         g AS (SELECT i, j,
+                 CAST(sum(CAST(floor(xi * e[j + 1] * 1e12 + 0.5)
+                   AS BIGINT)) AS DOUBLE) / 1e12 AS g
+               FROM (SELECT i, xi, unnest(range(0, 64)) AS j, e FROM xs)
+               GROUP BY 1, 2),
+         m AS (SELECT i, CAST(sum(CAST(floor(xi * 1e12 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 1e12 AS sx
+               FROM xs GROUP BY 1),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+         cells AS (
+           SELECT gg.i, gg.j,
+             gg.g / CAST(n AS DOUBLE)
+               - (mi.sx / CAST(n AS DOUBLE)) * (mj.sx / CAST(n AS DOUBLE))
+               AS c
+           FROM g gg JOIN m mi ON gg.i = mi.i JOIN m mj ON gg.j = mj.i,
+             nn),
+         agg AS (
+           SELECT CAST(sum(CASE WHEN i = j
+               THEN CAST(c AS DECIMAL(38,12)) END) AS DOUBLE) AS tr,
+             CAST(sum(CAST(c * c AS DECIMAL(38,12))) AS DOUBLE) AS f2
+           FROM cells)
+         SELECT n AS n_vectors, CAST(64 AS BIGINT) AS dim,
+           floor(tr * 1000000.0 + 0.5) / 1000000.0 AS trace,
+           floor(tr * tr / f2 * 1000000.0 + 0.5) / 1000000.0
+             AS effective_rank
+         FROM agg, nn""",
+    "q_cluster_nmi" ->
+      """WITH c AS (
+           SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
+           FROM embeddings WHERE vec_id % 40 = 0),
+         assign AS (
+           SELECT label, centroid_id FROM (
+             SELECT e.vec_id, e.label, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_cosine_similarity(e.embedding::DOUBLE[],
+                   c.ce), 6) DESC, c.centroid_id) AS rn
+             FROM embeddings e CROSS JOIN c)
+           WHERE rn = 1),
+         cont AS (
+           SELECT centroid_id AS c, label AS l,
+             CAST(count(*) AS BIGINT) AS n
+           FROM assign GROUP BY 1, 2),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cont),
+         ncs AS (SELECT c, CAST(sum(n) AS BIGINT) AS nc
+                 FROM cont GROUP BY 1),
+         nls AS (SELECT l, CAST(sum(n) AS BIGINT) AS nl
+                 FROM cont GROUP BY 1),
+         hc AS (
+           SELECT CAST(sum(CAST(
+             -(CAST(nc AS DOUBLE) / CAST(nn AS DOUBLE))
+               * ln(CAST(nc AS DOUBLE) / CAST(nn AS DOUBLE))
+             AS DECIMAL(38,12))) AS DOUBLE) AS h_c
+           FROM ncs, tot),
+         hl AS (
+           SELECT CAST(sum(CAST(
+             -(CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE))
+               * ln(CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE))
+             AS DECIMAL(38,12))) AS DOUBLE) AS h_l
+           FROM nls, tot),
+         pur AS (
+           SELECT CAST(sum(mx) AS BIGINT) AS smx
+           FROM (SELECT c, max(n) AS mx FROM cont GROUP BY 1)),
+         mi AS (
+           SELECT CAST(sum(CAST(
+             (CAST(cont.n AS DOUBLE) / CAST(nn AS DOUBLE))
+               * ln(CAST(cont.n AS DOUBLE) * CAST(nn AS DOUBLE)
+                 / (CAST(nc AS DOUBLE) * CAST(nl AS DOUBLE)))
+             AS DECIMAL(38,12))) AS DOUBLE) AS mi
+           FROM cont JOIN ncs USING (c) JOIN nls USING (l), tot)
+         SELECT t.nn AS n_vectors,
+           floor(CAST(p.smx AS DOUBLE) / CAST(t.nn AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS purity,
+           floor(mi.mi * 1000000.0 + 0.5) / 1000000.0 AS mutual_info,
+           floor(hc.h_c * 1000000.0 + 0.5) / 1000000.0 AS h_cluster,
+           floor(hl.h_l * 1000000.0 + 0.5) / 1000000.0 AS h_label,
+           floor(CASE WHEN hc.h_c > 0.0 AND hl.h_l > 0.0
+             THEN mi.mi / sqrt(hc.h_c * hl.h_l) ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS nmi
+         FROM tot t, pur p, hc, hl, mi""",
   )
 }

@@ -1212,6 +1212,161 @@ object Similarity {
           .as("center_mass_share"))
   }
 
+  /** Linear-kernel MMD two-cohort drift test over embeddings — the
+    * representation-drift statistic between the label-derived cohorts
+    * (here label < 5 vs ≥ 5; in production, yesterday's batch vs
+    * today's): MMD²_linear = ‖μ_A − μ_B‖², computed entirely from
+    * per-dimension partial sums — the [[embeddingIsotropy]] zero-pair
+    * discipline, so the test costs one corpus pass at ANY scale where a
+    * kernel-matrix MMD would cost |A|·|B| pairs. Per-cohort mean norms
+    * ship alongside (a norm shift is drift too, and ‖μ‖ alone can miss
+    * it). */
+  def embeddingDrift(emb: DataFrame, labelSplit: Int = 5): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val base = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"),
+        (col("label") < labelSplit).cast("int").as("a"))
+      .withColumn("nrm", sqrt(dotD(col("e"), col("e"))))
+      .localCheckpoint() // scalar pass and per-dim pass share it
+    def dec(c: Column) = c.cast("decimal(38,12)")
+    val scalars = base.groupBy("a")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("nrm"))).cast("double").as("sn"))
+    val dims = base
+      .select(col("a"), posexplode(col("e")).as(Seq("i", "xi")))
+      .groupBy("a", "i")
+      .agg((sum(floor(col("xi") * lit(1e12) + lit(0.5)).cast("bigint"))
+        .cast("double") / lit(1e12)).as("sx"))
+    def d(c: Column) = c.cast("double")
+    val wide = dims.groupBy("i")
+      .agg(sum(when(col("a") === 1, col("sx")).otherwise(0.0)).as("sxa"),
+        sum(when(col("a") === 0, col("sx")).otherwise(0.0)).as("sxb"))
+    val ns = scalars.agg(
+      sum(when(col("a") === 1, col("n")).otherwise(0L)).as("na"),
+      sum(when(col("a") === 0, col("n")).otherwise(0L)).as("nb"),
+      sum(when(col("a") === 1, dec(col("sn"))).otherwise(lit(null)
+        .cast("decimal(38,12)"))).cast("double").as("sna"),
+      sum(when(col("a") === 0, dec(col("sn"))).otherwise(lit(null)
+        .cast("decimal(38,12)"))).cast("double").as("snb"))
+    val mmd = wide.crossJoin(broadcast(ns))
+      .select(dec((col("sxa") / d(col("na")) - col("sxb") / d(col("nb")))
+        * (col("sxa") / d(col("na")) - col("sxb") / d(col("nb"))))
+        .as("t"), col("na"), col("nb"), col("sna"), col("snb"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    mmd.groupBy("na", "nb", "sna", "snb")
+      .agg(sum(col("t")).cast("double").as("mmd2"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        r6(col("mmd2")).as("mmd2_linear"),
+        r6(sqrt(col("mmd2"))).as("mean_shift"),
+        r6(col("sna") / d(col("na"))).as("mean_norm_a"),
+        r6(col("snb") / d(col("nb"))).as("mean_norm_b"))
+  }
+
+  /** Effective rank of the CENTERED embedding second-moment (covariance)
+    * matrix — erank = tr(C)²/‖C‖²_F = (Σλ)²/Σλ², the participation-ratio
+    * spectrum summary (Roy & Vetterli 2007): dim means the space is
+    * isotropic, ≪ dim means representation collapse onto few directions
+    * — THE cheap embedding-health scalar beside [[embeddingIsotropy]]'s
+    * mean cosine. C comes from the dim²-bounded gram fold
+    * ([[powerIteration]]'s scaled-long discipline) minus the broadcast
+    * mean outer product; no eigendecomposition, no pairs. */
+  def effectiveRank(emb: DataFrame, dim: Int = 64): DataFrame = {
+    val xs = emb.select(col("embedding").cast("array<double>").as("e"))
+      .localCheckpoint() // the gram pass and the mean pass share it
+    val gram = xs
+      .select(posexplode(col("e")).as(Seq("i", "xi")), col("e"))
+      .select(col("i"), col("xi"),
+        posexplode(col("e")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg((sum(floor(col("xi") * col("xj") * lit(1e12) + lit(0.5))
+        .cast("bigint")).cast("double") / lit(1e12)).as("g"))
+    val means = xs
+      .select(posexplode(col("e")).as(Seq("i", "xi")))
+      .groupBy("i")
+      .agg((sum(floor(col("xi") * lit(1e12) + lit(0.5)).cast("bigint"))
+        .cast("double") / lit(1e12)).as("sx"))
+      .localCheckpoint() // joined twice below (row mean and col mean)
+    val n = xs.agg(count(lit(1)).as("n"))
+    def d(c: Column) = c.cast("double")
+    def dec(c: Column) = c.cast("decimal(38,12)")
+    // C_ij = G_ij/n − μ_i·μ_j with μ from the same quantized sums
+    val cells = gram
+      .join(means.select(col("i"), col("sx").as("si")), Seq("i"))
+      .join(means.select(col("i").as("j"), col("sx").as("sj")), Seq("j"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        (col("g") / d(col("n")) -
+          (col("si") / d(col("n"))) * (col("sj") / d(col("n"))))
+          .as("c"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    cells.agg(
+        sum(when(col("i") === col("j"), dec(col("c")))
+          .otherwise(lit(null).cast("decimal(38,12)"))).cast("double")
+          .as("tr"),
+        sum(dec(col("c") * col("c"))).cast("double").as("f2"))
+      .crossJoin(broadcast(n))
+      .select(col("n").as("n_vectors"), lit(dim.toLong).as("dim"),
+        r6(col("tr")).as("trace"),
+        r6(col("tr") * col("tr") / col("f2")).as("effective_rank"))
+  }
+
+  /** Clustering-vs-label agreement: purity and normalized mutual
+    * information of the IVF-seed nearest-centroid assignment
+    * ([[kmeansRefine]]'s argmax, identical tie-breaks) against the
+    * embedding labels — the supervised clustering eval beside the
+    * unsupervised [[silhouetteProxy]]. Entropies and the MI sum are
+    * exact count-based DECIMAL folds over the (cluster × label)-bounded
+    * contingency; NMI = I(C;L)/√(H(C)·H(L)) with the 0/0 → 0 convention
+    * on degenerate partitions. */
+  def clusterLabelAgreement(emb: DataFrame,
+                            centroidMod: Int = 40): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      col("label"), l2norm(col("embedding")).as("nrm"))
+    val cents = withNorm.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val assigned = nearestCentroid(
+      withNorm.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("label"), col("centroid_id"),
+          round(dot(col("embedding"), col("c_emb")) /
+            (col("nrm") * col("c_nrm")), 6).as("c_sim")),
+      col("label"), col("centroid_id"))
+      .select(col("best.centroid_id").as("c"), col("best.label").as("l"))
+    val cont = assigned.groupBy("c", "l").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // margins and the MI fold all read it
+    def d(c: Column) = c.cast("double")
+    def dec(c: Column) = c.cast("decimal(38,12)")
+    val tot = cont.agg(sum(col("n")).as("nn"))
+    val hc = cont.groupBy("c").agg(sum(col("n")).as("nc"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(dec(-(d(col("nc")) / d(col("nn"))) *
+        log(d(col("nc")) / d(col("nn"))))).cast("double").as("h_c"))
+    val hl = cont.groupBy("l").agg(sum(col("n")).as("nl"))
+      .crossJoin(broadcast(tot))
+      .agg(sum(dec(-(d(col("nl")) / d(col("nn"))) *
+        log(d(col("nl")) / d(col("nn"))))).cast("double").as("h_l"))
+    val purity = cont.groupBy("c").agg(max(col("n")).as("mx"))
+      .agg(sum(col("mx")).as("smx"))
+    val mi = cont
+      .join(cont.groupBy("c").agg(sum(col("n")).as("nc")), "c")
+      .join(cont.groupBy("l").agg(sum(col("n")).as("nl")), "l")
+      .crossJoin(broadcast(tot))
+      .agg(sum(dec((d(col("n")) / d(col("nn"))) *
+        log(d(col("n")) * d(col("nn")) /
+          (d(col("nc")) * d(col("nl")))))).cast("double").as("mi"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    tot.crossJoin(broadcast(purity)).crossJoin(broadcast(hc))
+      .crossJoin(broadcast(hl)).crossJoin(broadcast(mi))
+      .select(col("nn").as("n_vectors"),
+        r6(d(col("smx")) / d(col("nn"))).as("purity"),
+        r6(col("mi")).as("mutual_info"),
+        r6(col("h_c")).as("h_cluster"), r6(col("h_l")).as("h_label"),
+        r6(when(col("h_c") > 0.0 && col("h_l") > 0.0,
+          col("mi") / sqrt(col("h_c") * col("h_l"))).otherwise(lit(0.0)))
+          .as("nmi"))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019): mutual
     * nearest neighbors between two embedding pools, scored by the RATIO
     * margin — best-pair cosine over the mean of each side's top-`kDen`

@@ -524,6 +524,56 @@ class Round23OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("safety_stock") == r6(-4.2))
   }
 
+  // ---- embeddingDrift ----------------------------------------------------
+
+  test("embeddingDrift: hand-traced zero-pair linear MMD") {
+    // A (label<5): [1,0],[3,0] -> μA=[2,0]; B: [0,2] -> μB=[0,2]
+    // MMD² = 4 + 4 = 8
+    val emb = Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(3.0f, 0.0f), 1),
+      (3L, Array(0.0f, 2.0f), 9)).toDF("vec_id", "embedding", "label")
+    val r = graft.ext.Similarity.embeddingDrift(emb).collect()(0)
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 1L)
+    assert(r.getAs[Double]("mmd2_linear") == 8.0)
+    assert(r.getAs[Double]("mean_shift") == r6(math.sqrt(8.0)))
+    assert(r.getAs[Double]("mean_norm_a") == 2.0)
+    assert(r.getAs[Double]("mean_norm_b") == 2.0)
+  }
+
+  // ---- effectiveRank -------------------------------------------------------
+
+  test("effectiveRank: isotropic = dim, collapsed = 1") {
+    val iso = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(-1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val r1 = graft.ext.Similarity.effectiveRank(iso, dim = 2).collect()(0)
+    assert(r1.getAs[Double]("trace") == 1.0)
+    assert(r1.getAs[Double]("effective_rank") == 2.0)
+    val flat = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)),
+      (3L, Array(3.0f, 0.0f)), (4L, Array(4.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r2 = graft.ext.Similarity.effectiveRank(flat, dim = 2).collect()(0)
+    assert(r2.getAs[Double]("trace") == 1.25)
+    assert(r2.getAs[Double]("effective_rank") == 1.0)
+  }
+
+  // ---- clusterLabelAgreement ---------------------------------------------
+
+  test("clusterLabelAgreement: perfect clustering scores purity=NMI=1") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (40L, Array(0.0f, 1.0f), 1), (41L, Array(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = graft.ext.Similarity.clusterLabelAgreement(emb).collect()(0)
+    assert(r.getAs[Long]("n_vectors") == 4L)
+    assert(r.getAs[Double]("purity") == 1.0)
+    assert(r.getAs[Double]("nmi") == 1.0)
+    // H(C) = H(L) = ln 2; MI = ln 2 (12dp per-term folds)
+    val term = d12(0.5 * math.log(2.0))
+    assert(r.getAs[Double]("h_cluster") == r6((term + term).toDouble))
+    assert(r.getAs[Double]("mutual_info") ==
+      r6((d12(0.5 * math.log(2.0)) + d12(0.5 * math.log(2.0))).toDouble))
+  }
+
   // ---- permutationTest -------------------------------------------------
 
   test("permutationTest: invariants and observed-diff cross-check") {

@@ -10861,12 +10861,12 @@ object SparkEntry {
            FROM customer c LEFT JOIN tgt t ON c.c_custkey = t.c_custkey),
          feats AS (
            SELECT 'mktsegment' AS feature,
-             coalesce(c_mktsegment, 'NULL') AS bin, y
+             coalesce(c_mktsegment, chr(1) || 'NULL') AS bin, y
            FROM base
            UNION ALL
            SELECT 'acctbal_band',
              coalesce(CAST(CAST(floor(c_acctbal / 2000.0) AS BIGINT)
-               AS VARCHAR), 'NULL'), y
+               AS VARCHAR), chr(1) || 'NULL'), y
            FROM base),
          cells AS (
            SELECT feature, bin, CAST(count(*) AS BIGINT) AS n,
@@ -11360,7 +11360,19 @@ object SparkEntry {
                ELSE 6.0 END
                * (s.v - coalesce(s0.v, 0.0))) AS DECIMAL(28,12)) AS t
            FROM census s JOIN chan c ON (s.mask & c.bit) <> 0
-           LEFT JOIN census s0 ON s.mask - c.bit = s0.mask)
+           LEFT JOIN census s0 ON s.mask - c.bit = s0.mask
+           UNION ALL
+           SELECT c.channel, CAST(0 AS BIGINT) AS n,
+             CAST(-(CASE (CASE WHEN (s.mask & 1) > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN (s.mask & 2) > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN (s.mask & 4) > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN (s.mask & 8) > 0 THEN 1 ELSE 0 END)
+               WHEN 0 THEN 6.0 WHEN 1 THEN 2.0 WHEN 2 THEN 2.0
+               ELSE 6.0 END
+               * s.v) AS DECIMAL(28,12)) AS t
+           FROM census s JOIN chan c ON (s.mask & c.bit) = 0
+           WHERE NOT EXISTS (SELECT 1 FROM census s1
+             WHERE s1.mask = s.mask + c.bit))
          SELECT channel, CAST(sum(n) AS BIGINT) AS n_units,
            floor(CAST(sum(t) AS DOUBLE) / 24.0 * 1000000.0 + 0.5)
              / 1000000.0 AS shapley
@@ -11507,11 +11519,15 @@ object SparkEntry {
                / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)
                  * CAST(m.n AS DOUBLE) - CAST(m.n AS DOUBLE)))
              * 1000000.0 + 0.5) / 1000000.0 AS tie_correction,
-           floor(((12.0 / (CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE)
+           floor((CASE WHEN (1.0 - CAST(t.tsum AS DOUBLE)
+               / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)
+                 * CAST(m.n AS DOUBLE) - CAST(m.n AS DOUBLE))) > 0.0
+             THEN (12.0 / (CAST(m.n AS DOUBLE) * (CAST(m.n AS DOUBLE)
                + 1.0)) * m.rr - 3.0 * (CAST(m.n AS DOUBLE) + 1.0))
              / (1.0 - CAST(t.tsum AS DOUBLE)
                / (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)
-                 * CAST(m.n AS DOUBLE) - CAST(m.n AS DOUBLE))))
+                 * CAST(m.n AS DOUBLE) - CAST(m.n AS DOUBLE)))
+             ELSE 0.0 END)
              * 1000000.0 + 0.5) / 1000000.0 AS h_corrected
          FROM m, ties t""",
     "q_eb_shrinkage" ->

@@ -1426,13 +1426,18 @@ object EventAnalytics {
     * coalition is the SET of channels (same whitelist as the Markov
     * model, purchase = conversion) touched that day, encoded as a
     * 4-bit mask. v(S) = observed conversion rate of units with
-    * coalition exactly S (unobserved coalitions contribute v = 0 — the
-    * standard observed-lattice convention, stated here so the number
-    * is interpretable). φ_i = Σ_{S∌i} |S|!·(k−1−|S|)!/k! ·
-    * (v(S∪i) − v(S)), computed with the weights scaled by k! = 24 so
-    * every weight is an exact INTEGER (6/2/2/6) and the division by 24
-    * happens once at the end — no per-term rounding; per-term doubles
-    * fold through DECIMAL so the Σ is partition-order-independent.
+    * coalition exactly S; unobserved coalitions contribute v = 0 — the
+    * zero-fill convention over the FULL 2^k lattice, so
+    * φ_i = Σ_{S∌i} |S|!·(k−1−|S|)!/k! · (v(S∪i) − v(S)) includes BOTH
+    * term shapes a holey lattice produces: observed M ∋ i with v(M−i)
+    * zero-filled (leg A) and observed S ∌ i whose superset S∪i is
+    * unobserved, contributing −w·v(S) (leg B — the term an
+    * observed-masks-only iteration silently drops). The two legs
+    * coincide with the single-leg form exactly when the observed
+    * lattice is complete. Weights are scaled by k! = 24 so every weight
+    * is an exact INTEGER (6/2/2/6) and the division by 24 happens once
+    * at the end — no per-term rounding; per-term doubles fold through
+    * DECIMAL so the Σ is partition-order-independent.
     *
     * Scale shape: one corpus aggregate to (user, day) units (shuffle on
     * the unit key, map-side combined), one unit aggregate to the ≤2^k
@@ -1469,20 +1474,35 @@ object EventAnalytics {
       .toDF("channel", "bit")
     // size-s weight scaled by k!: s!·(k−1−s)! — exact integers
     val w24 = (0 until k).map(s => fact(s) * fact(k - 1 - s))
-    val sWithout = (0 until k).map(i =>
-      shiftright(col("mask"), i).bitwiseAND(lit(1L))).reduce(_ + _) -
-      lit(1L)
-    val wCol = w24.zipWithIndex.tail.foldLeft(
-      lit(w24.head.toDouble)) { case (acc, (wv, s)) =>
-      when(sWithout === s.toLong, lit(wv.toDouble)).otherwise(acc)
+    def popcnt(m: Column): Column = (0 until k).map(i =>
+      shiftright(m, i).bitwiseAND(lit(1L))).reduce(_ + _)
+    def wOf(s: Column): Column = w24.zipWithIndex.tail.foldLeft(
+      lit(w24.head.toDouble)) { case (acc, (wv, sz)) =>
+      when(s === sz.toLong, lit(wv.toDouble)).otherwise(acc)
     }
-    val terms = census.join(chan,
+    // Leg A: observed M ∋ i contribute w(|M|−1)·(v(M) − v(M−i)),
+    // with v(M−i) zero-filled when M−i is unobserved.
+    val legA = census.join(chan,
         col("mask").bitwiseAND(col("bit")) =!= 0L)
       .join(census.select(col("mask").as("m0"), col("v").as("v0")),
         col("mask") - col("bit") === col("m0"), "left")
       .select(col("channel"), col("n"),
-        (wCol * (col("v") - coalesce(col("v0"), lit(0.0))))
+        (wOf(popcnt(col("mask")) - lit(1L)) *
+          (col("v") - coalesce(col("v0"), lit(0.0))))
           .cast("decimal(28,12)").as("t"))
+    // Leg B: observed S ∌ i whose superset S∪i is UNOBSERVED contribute
+    // w(|S|)·(v(S∪i) − v(S)) = −w(|S|)·v(S) under the zero-fill
+    // convention — the term Leg A's observed-mask iteration cannot see.
+    // n is 0 here: these units never touched channel i, so they do not
+    // count toward n_units ("units that touched the channel").
+    val legB = census.join(chan,
+        col("mask").bitwiseAND(col("bit")) === 0L)
+      .join(census.select(col("mask").as("m1")),
+        col("mask") + col("bit") === col("m1"), "left_anti")
+      .select(col("channel"), lit(0L).as("n"),
+        (wOf(popcnt(col("mask"))) * (lit(0.0) - col("v")))
+          .cast("decimal(28,12)").as("t"))
+    val terms = legA.unionAll(legB)
     def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     terms.groupBy("channel")
       .agg(sum(col("n")).as("n_units"),

@@ -2824,12 +2824,17 @@ object StatsAnalytics {
         coalesce(col("y"), lit(0L)).as("y"))
     // NULL bins fold to a sentinel string: Spark sorts NULLS FIRST where
     // DuckDB defaults NULLS LAST, so a raw NULL bin would break row-order
-    // parity on nullable data; the sentinel keeps ordering engine-neutral
+    // parity on nullable data; the sentinel keeps ordering engine-neutral.
+    // The sentinel is \u0001-prefixed so it cannot collide with a genuine
+    // domain value that is literally the string "NULL" (which would
+    // silently merge two distinct bins); the oracle builds the same token
+    // with chr(1) || 'NULL'.
+    val nullBin = lit("\u0001NULL")
     val feats = base.select(lit("mktsegment").as("feature"),
-        coalesce(col("c_mktsegment"), lit("NULL")).as("bin"), col("y"))
+        coalesce(col("c_mktsegment"), nullBin).as("bin"), col("y"))
       .unionAll(base.select(lit("acctbal_band").as("feature"),
         coalesce(floor(col("c_acctbal") / 2000.0).cast("bigint")
-          .cast("string"), lit("NULL")).as("bin"), col("y")))
+          .cast("string"), nullBin).as("bin"), col("y")))
     val cells = feats.groupBy("feature", "bin")
       .agg(count(lit(1)).as("n"), sum(col("y")).as("goods"))
       .withColumn("bads", col("n") - col("goods"))
@@ -2988,7 +2993,11 @@ object StatsAnalytics {
     * standard tie correction C = 1 − Σ(t³−t)/(N³−N); reported both raw
     * and corrected, df = groups−1. Under H₀, H ~ χ²(df) — the statistic
     * ships and the caller brings the CDF (no special functions, so both
-    * engines agree bit-for-bit).
+    * engines agree bit-for-bit). Degenerate guard: if every value is
+    * identical, C = 0 and H/C is undefined — h_corrected reports 0.0
+    * (H itself is 0 there, so 0 is the right limit), mirrored by a CASE
+    * in the oracle; the sibling degenerate-denominator discipline of
+    * [[ebShrinkage]] and [[mcnemarBaselines]].
     *
     * Scale shape: the global rank window runs over the VALUE CENSUS
     * (distinct per-customer order counts — domain-bounded, the
@@ -3027,7 +3036,8 @@ object StatsAnalytics {
     val c = lit(1.0) - d(col("tsum")) / (n * n * n - n)
     m.select(col("n"), (col("n_groups") - 1L).as("df"),
       r6(h).as("h"), r6(c).as("tie_correction"),
-      r6(h / c).as("h_corrected"))
+      r6(when(c > lit(0.0), h / c).otherwise(lit(0.0)))
+        .as("h_corrected"))
   }
 
   /** One-way ANOVA F over per-customer order counts across market

@@ -1166,8 +1166,12 @@ object Similarity {
   }
 
   /** Embedding-space isotropy audit (Ethayarajh 2019; Mu & Viswanath's
-    * all-but-the-top diagnosis): the EXACT mean pairwise cosine of the
-    * whole corpus, computed with ZERO pairs via the sum-vector identity
+    * all-but-the-top diagnosis): the mean pairwise cosine of the whole
+    * corpus — exact up to the documented 1e-12 scaled-long coordinate
+    * quantization (the powerIteration wording; ssu sums quantized unit
+    * coordinates, so subtracting exactly n for the self-dot terms
+    * carries that same tiny bias) — computed with ZERO pairs via the
+    * sum-vector identity
     * Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖² (= ‖Σu‖² − n for unit vectors), plus
     * the mean-vector share ‖μ‖²/E‖x‖² — how much of the embedding mass
     * is one common direction. Anisotropic spaces (mean cosine ≫ 0) make

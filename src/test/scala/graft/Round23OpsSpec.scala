@@ -17,16 +17,26 @@ class Round23OpsSpec extends SparkSpec {
 
   // ---- shapleyAttribution -------------------------------------------
 
-  test("shapleyAttribution: hand-traced 4-unit coalition lattice") {
+  test("shapleyAttribution: hand-traced HOLEY coalition lattice " +
+    "(full-lattice zero-fill convention, both legs)") {
     // units (user, day): masks click=1 error=2 signup=4 view=8
     //   u1 d1: click + purchase          -> mask 1, y 1
     //   u2 d1: click                      -> mask 1, y 0
     //   u3 d1: view, click + purchase     -> mask 9, y 1
     //   u4 d1: purchase only              -> mask 0, y 1 (v(∅) = 1)
-    // census: v(1)=0.5 (n=2), v(9)=1 (n=1), v(0)=1 (n=1)
-    // φ(click) = [6·(v(1)−v(0)) + 2·(v(9)−v(8)=0)]/24 = (−3+2)/24 = −1/24
-    // φ(view)  = [2·(v(9)−v(1))]/24 = 1/24
-    // error/signup: never touched -> no output row (observed lattice only)
+    // census: v(1)=0.5 (n=2), v(9)=1 (n=1), v(0)=1 (n=1) — 3 of 16
+    // masks observed, so the lattice is holey and BOTH term legs fire.
+    // φ·24(click) = legA[6·(v(1)−v(0)) + 2·(v(9)−v(8)→0)] = −3+2 = −1
+    //               legB: only observed S∌click is 0, and 0∪click = 1
+    //               IS observed -> no legB term.
+    // φ·24(view)  = legA[2·(v(9)−v(1))] = 1
+    //               legB: S=0 with 0∪view = 8 UNOBSERVED -> −6·v(0) = −6
+    //               (S=1's superset 9 is observed) -> total 1−6 = −5
+    // φ·24(error) = legA: none (no observed mask contains error)
+    //               legB: S=0 -> −6·1; S=1 -> −2·0.5; S=9 -> −2·1 = −9
+    // φ·24(signup) = same shape as error = −9
+    // Efficiency check on the zero-filled game:
+    //   Σφ = (−1−5−9−9)/24 = −1 = v(1111₂→0) − v(∅→1) ✓
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), "click"),
       (1L, ts("2024-01-01 11:00:00"), "purchase"),
@@ -39,14 +49,22 @@ class Round23OpsSpec extends SparkSpec {
     val r = EventAnalytics.shapleyAttribution(ev).collect()
       .map(x => x.getAs[String]("channel") ->
         (x.getAs[Long]("n_units"), x.getAs[Double]("shapley"))).toMap
-    assert(r.keySet == Set("click", "view"))
+    assert(r.keySet == Set("click", "view", "error", "signup"))
     assert(r("click") == ((3L, -0.041667)))
-    assert(r("view") == ((1L, 0.041667)))
+    assert(r("view") == ((1L, -0.208333)))
+    assert(r("error") == ((0L, -0.375)))
+    assert(r("signup") == ((0L, -0.375)))
+    // efficiency on the holey lattice: Σφ = v(full) − v(∅) = 0 − 1
+    val total = r.values.map(_._2).sum
+    assert(math.abs(total - (-1.0)) < 1e-9)
   }
 
   test("shapleyAttribution: symmetric channels split credit equally") {
     // one unit touching both click and view, converted; v({c,v})=1 and
-    // both singletons unobserved -> φ(click)=φ(view)=2·1/24 each
+    // both singletons unobserved -> legA gives φ(click)=φ(view)=2·1/24.
+    // Under the full-lattice zero-fill convention error/signup also get
+    // legB terms: S=9 with superset 11 (resp. 13) unobserved
+    // -> −2·v(9)/24 = −1/12 each; Σφ = 0 = v(full→0) − v(∅→0) ✓
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), "click"),
       (1L, ts("2024-01-01 10:10:00"), "view"),
@@ -55,7 +73,8 @@ class Round23OpsSpec extends SparkSpec {
     val r = EventAnalytics.shapleyAttribution(ev).collect()
       .map(x => x.getAs[String]("channel") -> x.getAs[Double]("shapley"))
       .toMap
-    assert(r == Map("click" -> 0.083333, "view" -> 0.083333))
+    assert(r == Map("click" -> 0.083333, "view" -> 0.083333,
+      "error" -> -0.083333, "signup" -> -0.083333))
   }
 
   // ---- kneserNey -----------------------------------------------------

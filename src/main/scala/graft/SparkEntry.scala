@@ -2060,6 +2060,9 @@ object SparkEntry {
     // margin-based mutual-NN bitext mining over the embedding pools
     "q_bitext_mine" -> ((s, d) =>
       graft.ext.Similarity.bitextMine(Tables.embeddings(s, d))),
+    // the LSH-bucketed bitext-mining scale sibling + recall audit
+    "q_bitext_mine_lsh" -> ((s, d) =>
+      graft.ext.Similarity.bitextMineLsh(Tables.embeddings(s, d))),
     // sparse tf-idf cosine pairs via the inverted index
     "q_tfidf_pairs" -> ((s, d) =>
       graft.ext.TextAnalysis.tfidfPairs(s, d)),
@@ -11793,6 +11796,84 @@ object SparkEntry {
          FROM fwd f JOIN bwd b
            ON f.best_idb = b.idb AND b.best_ida = f.ida
          ORDER BY margin DESC, src_id""",
+    "q_bitext_mine_lsh" ->
+      s"""${lshPlanesCte(4)},
+         bk AS (
+           SELECT e.vec_id, e.embedding,
+             CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                    e.embedding[i]::DOUBLE * pl.p[i])) >= 0
+                  THEN (1::BIGINT << pl.b) ELSE 0 END) AS BIGINT) AS bucket
+           FROM embeddings e CROSS JOIN planes pl
+           GROUP BY e.vec_id, e.embedding),
+         wn AS (
+           SELECT vec_id, embedding::DOUBLE[] AS e, bucket FROM bk),
+         cand AS (
+           SELECT a.vec_id AS ida, b.vec_id AS idb,
+             round(list_cosine_similarity(a.e, b.e), 6) AS sim
+           FROM wn a JOIN wn b ON a.bucket = b.bucket
+             AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+         cfr AS (
+           SELECT *, row_number() OVER (PARTITION BY ida
+             ORDER BY sim DESC, idb) AS rk FROM cand),
+         cfwd AS (
+           SELECT ida, max(CASE WHEN rk = 1 THEN idb END) AS best_idb,
+             max(CASE WHEN rk = 1 THEN sim END) AS sim_ida,
+             CAST(sum(CASE WHEN rk <= 4
+                 THEN CAST(sim AS DECIMAL(28,12)) END) AS DOUBLE)
+               / CAST(sum(CASE WHEN rk <= 4 THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS den_ida
+           FROM cfr GROUP BY 1),
+         cbr AS (
+           SELECT *, row_number() OVER (PARTITION BY idb
+             ORDER BY sim DESC, ida) AS rk FROM cand),
+         cbwd AS (
+           SELECT idb, max(CASE WHEN rk = 1 THEN ida END) AS best_ida,
+             CAST(sum(CASE WHEN rk <= 4
+                 THEN CAST(sim AS DECIMAL(28,12)) END) AS DOUBLE)
+               / CAST(sum(CASE WHEN rk <= 4 THEN 1 ELSE 0 END)
+                 AS DOUBLE) AS den_idb
+           FROM cbr GROUP BY 1),
+         mined AS (
+           SELECT f.ida AS src_id, f.best_idb AS dst_id, f.sim_ida AS sim,
+             floor(f.sim_ida / ((f.den_ida + b.den_idb) / 2.0)
+               * 1000000.0 + 0.5) / 1000000.0 AS margin
+           FROM cfwd f JOIN cbwd b
+             ON f.best_idb = b.idb AND b.best_ida = f.ida),
+         p AS (
+           SELECT a.vec_id AS ida, b.vec_id AS idb,
+             round(list_cosine_similarity(a.e, b.e), 6) AS sim
+           FROM wn a JOIN wn b
+           ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+         fr AS (
+           SELECT *, row_number() OVER (PARTITION BY ida
+             ORDER BY sim DESC, idb) AS rk FROM p),
+         fwd AS (
+           SELECT ida, max(CASE WHEN rk = 1 THEN idb END) AS best_idb
+           FROM fr GROUP BY 1),
+         br AS (
+           SELECT *, row_number() OVER (PARTITION BY idb
+             ORDER BY sim DESC, ida) AS rk FROM p),
+         bwd AS (
+           SELECT idb, max(CASE WHEN rk = 1 THEN ida END) AS best_ida
+           FROM br GROUP BY 1),
+         exact AS (
+           SELECT f.ida AS src_id, f.best_idb AS dst_id
+           FROM fwd f JOIN bwd b
+             ON f.best_idb = b.idb AND b.best_ida = f.ida),
+         audit AS (
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact)
+               AS n_exact_pairs,
+             (SELECT CAST(count(*) AS BIGINT) FROM mined m
+               JOIN exact e ON m.src_id = e.src_id
+                 AND m.dst_id = e.dst_id) AS n_hits)
+         SELECT m.src_id, m.dst_id, m.sim, m.margin, a.n_exact_pairs,
+           CASE WHEN a.n_exact_pairs > 0
+             THEN floor(CAST(a.n_hits AS DOUBLE)
+               / CAST(a.n_exact_pairs AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0
+             ELSE 0.0 END AS recall_vs_exact
+         FROM mined m, audit a
+         ORDER BY m.margin DESC, m.src_id""",
     "q_tfidf_pairs" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(string_split_regex(lower(text),

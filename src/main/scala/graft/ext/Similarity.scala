@@ -1407,7 +1407,18 @@ object Similarity {
       .select(col("ida"), col("idb"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
           .as("sim"))
-      .localCheckpoint() // both direction aggregates read it
+    bitextCore(pairs, kDen)
+      .orderBy(col("margin").desc, col("src_id"))
+  }
+
+  /** Shared bitext-mining core over a candidate `(ida, idb, sim)` frame:
+    * per-side bounded-heap top-`kDen` (native mergeable top_k_by_score,
+    * map-side partials), ratio-margin denominators, mutual-top-1 join.
+    * The candidate frame is whatever the caller can afford — exact A×B
+    * for [[bitextMine]]'s oracle form, LSH-bucketed for
+    * [[bitextMineLsh]]'s 100 TB form — and the core never changes. */
+  private def bitextCore(pairsIn: DataFrame, kDen: Int): DataFrame = {
+    val pairs = pairsIn.localCheckpoint() // both direction aggregates read it
     def side(key: String, other: String) = pairs
       .groupBy(key)
       .agg(graft.plans.TopK.top_k_by_score(
@@ -1432,6 +1443,64 @@ object Similarity {
         col("sim_ida").as("sim"),
         r6(col("sim_ida") / ((col("den_ida") + col("den_idb")) / lit(2.0)))
           .as("margin"))
+  }
+
+  /** LSH-bucketed bitext mining — [[bitextMine]]'s 100 TB shape: the A×B
+    * candidate synthesis is replaced by the random-hyperplane bucket join
+    * ([[embeddingNearDupLSH]]'s blocking), so candidates are only pairs
+    * whose signatures collide and no all-pairs frame ever materializes;
+    * the top-k denominators, ratio margin, and mutuality join are the
+    * shared [[bitextCore]], unchanged. Ships with a recall-vs-exact audit
+    * (the [[annRecall]] discipline): the exact mutual-top-1 pair set is
+    * recomputed over the full A×B frame with the bounded B pool BROADCAST
+    * (the bruteForceTopK audit shape — a BroadcastNestedLoopJoin, not a
+    * CartesianProduct; in production the audit runs on a sampled slice),
+    * and every mined row carries `n_exact_pairs` and the pair-set
+    * `recall_vs_exact`. Mined-but-not-exact pairs exist by construction
+    * (a vector's true best partner can straddle buckets, making a weaker
+    * mutual pair win inside the bucket) — that is exactly what the audit
+    * is for; fewer bits → bigger buckets → recall → 1. */
+  def bitextMineLsh(emb: DataFrame, kDen: Int = 4,
+                    nBits: Int = 4): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    graft.plans.TopK.register(emb.sparkSession)
+    // one bucketing + norm pass feeds the candidate join AND both exact
+    // audit pools
+    val withN = emb.join(lshBuckets(emb, nBits), Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        l2norm(col("embedding")).as("nrm"))
+      .localCheckpoint()
+    val a = withN.filter(col("vec_id") % 2 === 0)
+      .select(col("bucket"), col("vec_id").as("ida"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+    val b = withN.filter(col("vec_id") % 2 === 1)
+      .select(col("bucket"), col("vec_id").as("idb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+    // each vector has exactly ONE signature, so the bucket equi-join
+    // emits each colliding pair once — no dedup needed
+    val cand = a.join(b, Seq("bucket"))
+      .select(col("ida"), col("idb"),
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+          .as("sim"))
+    val mined = bitextCore(cand, kDen).localCheckpoint()
+    val exactPairs = bitextCore(
+      a.drop("bucket").crossJoin(broadcast(b.drop("bucket")))
+        .select(col("ida"), col("idb"),
+          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("sim")), kDen)
+      .select(col("src_id"), col("dst_id"))
+      .localCheckpoint()
+    val audit = exactPairs.agg(count(lit(1)).as("n_exact_pairs"))
+      .crossJoin(mined.join(exactPairs, Seq("src_id", "dst_id"),
+        "left_semi").agg(count(lit(1)).as("n_hits")))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    mined.crossJoin(broadcast(audit))
+      .select(col("src_id"), col("dst_id"), col("sim"), col("margin"),
+        col("n_exact_pairs"),
+        r6(when(col("n_exact_pairs") > 0L,
+          col("n_hits").cast("double") /
+            col("n_exact_pairs").cast("double")).otherwise(lit(0.0)))
+          .as("recall_vs_exact"))
       .orderBy(col("margin").desc, col("src_id"))
   }
 }

@@ -24,7 +24,8 @@ class PlanLintSpec extends SparkSpec {
     "q_edit_distance",     // blocked pairs, tiny blocks by design
     "q_jaccard_pairs",     // broadcast-anchor blocking, documented
     "q_bitext_mine"        // Similarity.bitextMine: exact A×B oracle form;
-                           // scale path = LSH-bucketed candidates (scaladoc)
+                           // scale sibling REGISTERED as q_bitext_mine_lsh
+                           // (LSH-bucketed candidates + recall audit)
   )
 
   test("no query plans a CartesianProduct (outside documented oracles) " +

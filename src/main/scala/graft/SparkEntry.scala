@@ -1754,6 +1754,12 @@ object SparkEntry {
     // media near-dup: payload-shingle SimHash, chunk-blocked Hamming
     "q_media_neardup" -> ((s, d) =>
       graft.ext.Multimodal.mediaNearDup(Tables.documents(s, d))),
+    // native integer-DCT perceptual hash per media payload
+    "q_media_phash" -> ((s, d) =>
+      graft.ext.Multimodal.mediaPHash(Tables.documents(s, d))),
+    // media near-dup over the perceptual hash, chunk-blocked Hamming
+    "q_media_phash_neardup" -> ((s, d) =>
+      graft.ext.Multimodal.mediaNearDupPHash(Tables.documents(s, d))),
     // LSH bit-width tuning: candidates vs recall per nBits
     "q_lsh_tuning" -> ((s, d) =>
       graft.ext.Similarity.lshTuning(Tables.embeddings(s, d))),
@@ -2338,6 +2344,44 @@ object SparkEntry {
            ((('0x'||substr(md5(b::VARCHAR||':'||d::VARCHAR),1,15))::BIGINT
              % 2000001) - 1000000)/1000000.0) AS p
          FROM (SELECT unnest(range(0, $nBits)) AS b))"""
+
+  /** Shared pHash CTE chain (→ `ph2(doc_id, phash)`): the integer-DCT
+    * perceptual hash of graft.plans.PHash63, recomputed in DuckDB from
+    * the SAME quantized cosine table the native expression multiplies
+    * by (PHash63.cqSqlLiteral) — every coefficient, the lower-median
+    * pick, and all 63 bits are integer-exact on both engines. The
+    * separable two-stage DCT (rows then columns) keeps the SQL at
+    * ~3k products per doc instead of 16k. */
+  private val phashCte: String =
+    s"""WITH cq AS (SELECT ${graft.plans.PHash63.cqSqlLiteral} AS t),
+         d AS (
+           SELECT doc_id, text, length(text) AS n FROM documents),
+         px AS (
+           SELECT doc_id, CASE WHEN n = 0
+               THEN list_transform(range(0, 256), i -> 0::BIGINT)
+               ELSE list_transform(range(0, 256), i ->
+                 ascii(substr(text, CAST((i % n) + 1 AS INT), 1))::BIGINT)
+             END AS p
+           FROM d),
+         s1 AS (
+           SELECT doc_id, list_transform(range(0, 16), r ->
+             list_transform(range(0, 8), v ->
+               list_sum(list_transform(range(0, 16), c ->
+                 p[r * 16 + c + 1] * t[v + 1][c + 1])))) AS m
+           FROM px, cq),
+         co AS (
+           SELECT doc_id, flatten(list_transform(range(0, 8), u ->
+             list_transform(range(0, 8), v ->
+               list_sum(list_transform(range(0, 16), r ->
+                 t[u + 1][r + 1] * m[r + 1][v + 1]))))) AS cs
+           FROM s1, cq),
+         ph AS (SELECT doc_id, cs, list_sort(cs[2:])[32] AS med FROM co),
+         ph2 AS (
+           SELECT doc_id, CAST(list_sum(list_transform(range(1, 64), i ->
+               CASE WHEN cs[i + 1] > med
+                 THEN (1::BIGINT << CAST(i - 1 AS INT))
+                 ELSE 0::BIGINT END)) AS BIGINT) AS phash
+           FROM ph)"""
 
   /** Literal list of 31^i mod 2^64 (i < 600) for the rolling-hash oracle —
     * DuckDB has no modpow, so the powers ship as data. HUGEINT arithmetic
@@ -8740,6 +8784,23 @@ object SparkEntry {
              AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
          SELECT doc_id_a, doc_id_b, hamming FROM cand
          WHERE hamming <= 8 ORDER BY doc_id_a, doc_id_b""",
+    "q_media_phash" ->
+      s"""$phashCte
+         SELECT doc_id, phash FROM ph2 ORDER BY doc_id""",
+    "q_media_phash_neardup" ->
+      s"""$phashCte,
+         ch AS (
+           SELECT p2.doc_id, p2.phash, c.chunk_id,
+             (p2.phash >> (c.chunk_id * 16)) & 65535 AS chunk
+           FROM ph2 p2 CROSS JOIN
+             (SELECT unnest(range(0, 4)) AS chunk_id) c),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+           FROM ch a JOIN ch b ON a.chunk_id = b.chunk_id
+             AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         SELECT doc_id_a, doc_id_b, hamming FROM cand
+         WHERE hamming <= 12 ORDER BY doc_id_a, doc_id_b""",
     "q_srm" ->
       """WITH m AS (SELECT
            CAST(sum(CASE WHEN ('0x' ||

@@ -85,16 +85,64 @@ object Multimodal {
           encode(col("text"), "UTF-8").as("payload")).as("media"),
         col("embedding"))
 
+  /** Per-media 63-bit perceptual hash (the pHash leg of the media
+    * near-dup family): payload bytes → 16×16 grayscale downsample →
+    * integer DCT → median-thresholded 8×8 low-frequency block, all in
+    * the native [[graft.plans.PHash63]] expression. The downsample is
+    * the documented decode seam; the DCT/median/bit-pack math is the
+    * real thing and is bit-exactly reproduced by the DuckDB oracle from
+    * the shared quantized cosine table. `mod` optionally bounds the
+    * audited slice; the default hashes everything — the production
+    * shape, one codegen'd scan pass at ~3k integer mul-adds per doc. */
+  def mediaPHash(docs: DataFrame, mod: Int = 1): DataFrame = {
+    graft.plans.PHash63.register(docs.sparkSession)
+    (if (mod <= 1) docs else docs.filter(col("doc_id") % mod === 0))
+      .select(col("doc_id"),
+        graft.plans.PHash63.phash63(encode(col("text"), "UTF-8"))
+          .as("phash"))
+      .orderBy("doc_id")
+  }
+
+  /** Media near-dup over the pHash sketch — [[mediaNearDup]]'s SimHash
+    * stand-in replaced by the perceptual hash proper, same 100 TB
+    * blocking: 63-bit hashes split into 4 16-bit chunks (pigeonhole:
+    * any pair within Hamming 3·16 shares a clean chunk; in practice
+    * near-dup payloads collide on several), candidates pair within a
+    * chunk, exact Hamming ≤ maxDist verifies. The self-join moves
+    * (chunk, id, hash) — never payloads. */
+  def mediaNearDupPHash(docs: DataFrame, maxDist: Int = 12,
+                        mod: Int = 1): DataFrame = {
+    val ph = mediaPHash(docs, mod).localCheckpoint()
+    val chunked = ph.select(col("doc_id"), col("phash"),
+      posexplode(transform(sequence(lit(0), lit(3)), i =>
+        call_function("shiftright", col("phash"), i * 16)
+          .bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("chunk_id", "chunk")))
+    val a = chunked.select(col("doc_id").as("doc_id_a"),
+      col("phash").as("ph_a"), col("chunk_id"), col("chunk"))
+    val b = chunked.select(col("doc_id").as("doc_id_b"),
+      col("phash").as("ph_b"), col("chunk_id"), col("chunk"))
+    a.join(b, Seq("chunk_id", "chunk"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   /** Media near-dup: a 60-bit perceptual-hash STAND-IN (SimHash voted
     * over the payload's overlapping 4-byte shingles — byte-identical to
     * 4-char shingles on the ASCII fixture) blocked on 15-bit chunks,
     * then exact Hamming ≤ maxDist within blocks — the image/video dedup
-    * step of a multimodal pipeline. A real build swaps the shingle hash
-    * for a pHash/vHash of the DECODED pixels (the [[decodePartitions]]
-    * seam); everything downstream — the sketch column, chunk blocking,
-    * banded self-join, Hamming filter — is the part that scales and is
-    * exactly what ships here. Same shapes as the text SimHash family:
-    * the self-join runs on (chunk, 15-bit key) pairs, never payloads. */
+    * step of a multimodal pipeline. The pHash leg is now REGISTERED
+    * beside this one: [[mediaNearDupPHash]] runs the same blocked
+    * pipeline over the native DCT perceptual hash
+    * ([[graft.plans.PHash63]], q_media_phash / q_media_phash_neardup);
+    * everything downstream — the sketch column, chunk blocking, banded
+    * self-join, Hamming filter — is the part that scales and is shared.
+    * Same shapes as the text SimHash family: the self-join runs on
+    * (chunk, 15-bit key) pairs, never payloads. */
   def mediaNearDup(docs: DataFrame, maxDist: Int = 8): DataFrame = {
     graft.plans.TextSketches.register(docs.sparkSession)
     val payload = col("text")

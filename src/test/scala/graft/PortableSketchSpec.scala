@@ -139,4 +139,44 @@ class PortableSketchSpec extends SparkSpec {
       }.toMap
     assert(got == exp)
   }
+
+  test("PHash63 == independent BigInt recompute; structural invariants") {
+    graft.plans.PHash63.register(spark)
+    // independent reference: same quantized table, BigInt accumulation
+    // throughout — a Long overflow anywhere in the expression's two-stage
+    // fold would diverge here
+    def ref(bytes: Array[Byte]): Long = {
+      val cq = graft.plans.PHash63.cq
+      val n = bytes.length
+      val p = Array.tabulate(256)(i =>
+        if (n == 0) BigInt(0) else BigInt(bytes(i % n) & 0xFF))
+      val coeffs = (0 until 8).flatMap { u =>
+        (0 until 8).map { v =>
+          (for (r <- 0 until 16; c <- 0 until 16)
+            yield p(r * 16 + c) * cq(v)(c) * cq(u)(r)).sum
+        }
+      }
+      val med = coeffs.drop(1).sorted.apply(31)
+      (1 until 64).foldLeft(0L) { (acc, i) =>
+        if (coeffs(i) > med) acc | (1L << (i - 1)) else acc
+      }
+    }
+    val samples = Seq("hello perceptual world", "", "a",
+      "the quick brown fox jumps over the lazy dog " * 10,
+      "graft phash test 12345!@#")
+    val got = samples.toDF("s")
+      .select(graft.plans.PHash63.phash63(encode(col("s"), "UTF-8")))
+      .as[Long].collect().toSeq
+    val exp = samples.map(s => ref(s.getBytes("UTF-8")))
+    assert(got == exp)
+    // empty payload: zero grid -> zero coefficients -> no bit exceeds
+    // the (zero) median
+    assert(ref(Array.emptyByteArray) == 0L)
+    // byte-wrap downsample invariant: s ++ s rasterizes identically
+    val dup = Seq(("abcdwxyz", "abcdwxyzabcdwxyz")).toDF("a", "b")
+      .select(graft.plans.PHash63.phash63(encode(col("a"), "UTF-8")),
+        graft.plans.PHash63.phash63(encode(col("b"), "UTF-8")))
+      .as[(Long, Long)].collect()(0)
+    assert(dup._1 == dup._2)
+  }
 }

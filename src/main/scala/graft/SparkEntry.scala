@@ -598,6 +598,30 @@ object SparkEntry {
     "q_triangles" -> ((s, d) =>
       graft.analytics.GraphAnalytics.coPurchaseTriangles(s, d)),
     // ---- top principal direction via power iteration on the Gram ----
+    // top-2 PCA of the embedding gram via deflated power iteration
+    "q_pca_top2" -> ((s, d) =>
+      graft.ext.Similarity.pcaTop2(Tables.embeddings(s, d))),
+    // exact 1-Wasserstein drift between hash-cohort count distributions
+    "q_wasserstein" -> ((s, d) =>
+      StatsAnalytics.wasserstein1(Tables.events(s, d))),
+    // GPD peaks-over-threshold tail fit (probability-weighted moments)
+    "q_gpd_tail" -> ((s, d) =>
+      StatsAnalytics.gpdTail(Tables.orders(s, d))),
+    // instrumental-variable Wald/LATE with a weekend-first instrument
+    "q_wald_iv" -> ((s, d) =>
+      StatsAnalytics.waldIv(Tables.events(s, d))),
+    // sharp regression discontinuity at the order-price cutoff
+    "q_rdd" -> ((s, d) =>
+      StatsAnalytics.rdd(Tables.orders(s, d), Tables.lineitem(s, d))),
+    // Qini uplift curve at score-census thresholds
+    "q_qini" -> ((s, d) =>
+      StatsAnalytics.qiniCurve(Tables.events(s, d))),
+    // U-shaped (40/20/40) position-based multi-touch attribution
+    "q_position_attribution" -> ((s, d) =>
+      EventAnalytics.positionAttribution(Tables.events(s, d))),
+    // closeness/harmonic centrality of top-degree co-purchase hubs
+    "q_closeness" -> ((s, d) =>
+      graft.analytics.GraphAnalytics.closeness(s, d)),
     "q_power_iteration" -> ((s, d) =>
       graft.ext.Similarity.powerIteration(Tables.embeddings(s, d))),
     // ---- NDCG@k of the cosine ranking against label relevance ----
@@ -3622,6 +3646,415 @@ object SparkEntry {
          SELECT CAST(j AS BIGINT) AS dim_id, round(vj, 6) AS loading,
            round(nrm, 6) AS eigenvalue
          FROM v4 ORDER BY dim_id""",
+    "q_pca_top2" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+         xs AS (SELECT i, e[i + 1] AS xi, e
+                FROM (SELECT unnest(range(0, 64)) AS i, e FROM e)),
+         g AS (SELECT i, j,
+                 CAST(sum(CAST(floor(xi * e[j + 1] * 1e12 + 0.5)
+                   AS BIGINT)) AS DOUBLE) / 1e12 AS a
+               FROM (SELECT i, xi, unnest(range(0, 64)) AS j, e FROM xs)
+               GROUP BY 1, 2),
+         v0 AS (SELECT unnest(range(0, 64)) AS j, 1.0::DOUBLE AS vj),
+         w1 AS (SELECT i, CAST(sum(CAST(a * vj AS DECIMAL(28,12)))
+                  AS DOUBLE) AS wi
+                FROM g JOIN v0 ON g.j = v0.j GROUP BY 1),
+         n1 AS (SELECT sqrt(CAST(sum(CAST(wi * wi AS DECIMAL(28,12)))
+                  AS DOUBLE)) AS nrm FROM w1),
+         v1 AS (SELECT i AS j, wi / nrm AS vj FROM w1 CROSS JOIN n1),
+         w2 AS (SELECT i, CAST(sum(CAST(a * vj AS DECIMAL(28,12)))
+                  AS DOUBLE) AS wi
+                FROM g JOIN v1 ON g.j = v1.j GROUP BY 1),
+         n2 AS (SELECT sqrt(CAST(sum(CAST(wi * wi AS DECIMAL(28,12)))
+                  AS DOUBLE)) AS nrm FROM w2),
+         v2 AS (SELECT i AS j, wi / nrm AS vj FROM w2 CROSS JOIN n2),
+         w3 AS (SELECT i, CAST(sum(CAST(a * vj AS DECIMAL(28,12)))
+                  AS DOUBLE) AS wi
+                FROM g JOIN v2 ON g.j = v2.j GROUP BY 1),
+         n3 AS (SELECT sqrt(CAST(sum(CAST(wi * wi AS DECIMAL(28,12)))
+                  AS DOUBLE)) AS nrm FROM w3),
+         v3 AS (SELECT i AS j, wi / nrm AS vj FROM w3 CROSS JOIN n3),
+         w4 AS (SELECT i, CAST(sum(CAST(a * vj AS DECIMAL(28,12)))
+                  AS DOUBLE) AS wi
+                FROM g JOIN v3 ON g.j = v3.j GROUP BY 1),
+         n4 AS (SELECT sqrt(CAST(sum(CAST(wi * wi AS DECIMAL(28,12)))
+                  AS DOUBLE)) AS nrm FROM w4),
+         v4 AS (SELECT i AS j, wi / nrm AS vj, nrm
+                FROM w4 CROSS JOIN n4),
+         g2 AS (SELECT g.i, g.j, g.a - va.nrm * va.vj * vb.vj AS a
+                FROM g JOIN v4 va ON g.i = va.j
+                JOIN v4 vb ON g.j = vb.j),
+         y1 AS (SELECT i, CAST(sum(CAST(a * vj AS DECIMAL(28,12)))
+                  AS DOUBLE) AS wi
+                FROM g2 JOIN v0 ON g2.j = v0.j GROUP BY 1),
+         m1 AS (SELECT sqrt(CAST(sum(CAST(wi * wi AS DECIMAL(28,12)))
+                  AS DOUBLE)) AS nrm FROM y1),
+         u1 AS (SELECT i AS j, wi / nrm AS vj FROM y1 CROSS JOIN m1),
+         y2 AS (SELECT i, CAST(sum(CAST(a * vj AS DECIMAL(28,12)))
+                  AS DOUBLE) AS wi
+                FROM g2 JOIN u1 ON g2.j = u1.j GROUP BY 1),
+         m2 AS (SELECT sqrt(CAST(sum(CAST(wi * wi AS DECIMAL(28,12)))
+                  AS DOUBLE)) AS nrm FROM y2),
+         u2 AS (SELECT i AS j, wi / nrm AS vj FROM y2 CROSS JOIN m2),
+         y3 AS (SELECT i, CAST(sum(CAST(a * vj AS DECIMAL(28,12)))
+                  AS DOUBLE) AS wi
+                FROM g2 JOIN u2 ON g2.j = u2.j GROUP BY 1),
+         m3 AS (SELECT sqrt(CAST(sum(CAST(wi * wi AS DECIMAL(28,12)))
+                  AS DOUBLE)) AS nrm FROM y3),
+         u3 AS (SELECT i AS j, wi / nrm AS vj FROM y3 CROSS JOIN m3),
+         y4 AS (SELECT i, CAST(sum(CAST(a * vj AS DECIMAL(28,12)))
+                  AS DOUBLE) AS wi
+                FROM g2 JOIN u3 ON g2.j = u3.j GROUP BY 1),
+         m4 AS (SELECT sqrt(CAST(sum(CAST(wi * wi AS DECIMAL(28,12)))
+                  AS DOUBLE)) AS nrm FROM y4),
+         u4 AS (SELECT i AS j, wi / nrm AS vj, nrm
+                FROM y4 CROSS JOIN m4)
+         SELECT CAST(v4.j AS BIGINT) AS dim_id,
+           round(v4.vj, 6) AS loading_1, round(u4.vj, 6) AS loading_2,
+           round(v4.nrm, 6) AS eigenvalue_1,
+           round(u4.nrm, 6) AS eigenvalue_2,
+           floor(u4.nrm / v4.nrm * 1000000.0 + 0.5) / 1000000.0
+             AS lambda_ratio
+         FROM v4 JOIN u4 ON v4.j = u4.j ORDER BY dim_id""",
+    "q_wasserstein" ->
+      """WITH per AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS g
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         census AS (
+           SELECT x,
+             CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+           FROM per GROUP BY 1),
+         stepped AS (
+           SELECT x, ca, cb,
+             CAST(sum(ca) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cuma,
+             CAST(sum(cb) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumb,
+             CAST(sum(ca) OVER () AS BIGINT) AS na,
+             CAST(sum(cb) OVER () AS BIGINT) AS nb,
+             lead(x, 1) OVER (ORDER BY x) - x AS gap
+           FROM census),
+         m AS (
+           SELECT CAST(max(na) AS BIGINT) AS n_a,
+             CAST(max(nb) AS BIGINT) AS n_b,
+             min(x) AS xmin, max(x) AS xmax,
+             CAST(sum(CASE WHEN gap IS NOT NULL AND na > 0 AND nb > 0
+               THEN CAST(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+                 - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 * CAST(gap AS DOUBLE) AS DECIMAL(28,12))
+               ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) AS w1
+           FROM stepped)
+         SELECT n_a, n_b,
+           floor(w1 * 1000000.0 + 0.5) / 1000000.0 AS w1,
+           CASE WHEN xmax > xmin
+             THEN floor(w1 / CAST(xmax - xmin AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0
+             ELSE 0.0 END AS w1_normalized
+         FROM m""",
+    "q_gpd_tail" ->
+      """WITH top AS (
+           SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+           ORDER BY x DESC LIMIT 101),
+         u AS (SELECT min(x) AS u FROM top),
+         ranked AS (
+           SELECT u.u, t.x - u.u AS y,
+             CAST(row_number() OVER (ORDER BY t.x - u.u) AS BIGINT) AS r
+           FROM top t CROSS JOIN u),
+         m AS (
+           SELECT max(u) AS u,
+             CAST(sum(CAST(y AS DECIMAL(28,12))) AS DOUBLE) / 101.0 AS a0,
+             CAST(sum(CAST(y * (101.0 - CAST(r AS DOUBLE))
+               AS DECIMAL(28,12))) AS DOUBLE) / 10100.0 AS a1
+           FROM ranked)
+         SELECT CAST(101 AS BIGINT) AS n_excesses,
+           round(u, 2) AS threshold,
+           floor(a0 * 1000000.0 + 0.5) / 1000000.0 AS mean_excess,
+           CASE WHEN a0 - 2.0 * a1 <> 0.0
+             THEN floor((2.0 - a0 / (a0 - 2.0 * a1)) * 1000000.0 + 0.5)
+               / 1000000.0
+             ELSE 0.0 END AS shape_xi,
+           CASE WHEN a0 - 2.0 * a1 <> 0.0
+             THEN floor((2.0 * a0 * a1 / (a0 - 2.0 * a1))
+               * 1000000.0 + 0.5) / 1000000.0
+             ELSE 0.0 END AS scale_sigma
+         FROM m""",
+    "q_wald_iv" ->
+      """WITH per AS (
+           SELECT user_id,
+             CAST(hour(min(ts)) AS INT) AS h1,
+             CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+               END) >= 14 THEN 1 ELSE 0 END AS t,
+             CAST(sum(CAST(CASE WHEN event_type = 'purchase'
+                 THEN coalesce(value, 0.0) ELSE 0.0 END
+               AS DECIMAL(18,6))) AS DOUBLE) AS y
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         zz AS (
+           SELECT CASE WHEN h1 < 12 THEN 1 ELSE 0 END AS z, t, y
+           FROM per),
+         m AS (
+           SELECT
+             CAST(sum(CASE WHEN z = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN z = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(sum(CASE WHEN z = 1 THEN CAST(y AS DECIMAL(28,12))
+               ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) AS sy1,
+             CAST(sum(CASE WHEN z = 0 THEN CAST(y AS DECIMAL(28,12))
+               ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) AS sy0,
+             CAST(sum(CASE WHEN z = 1 THEN t ELSE 0 END) AS BIGINT)
+               AS st1,
+             CAST(sum(CASE WHEN z = 0 THEN t ELSE 0 END) AS BIGINT)
+               AS st0
+           FROM zz)
+         SELECT n1 AS n_z1, n0 AS n_z0,
+           CASE WHEN n1 > 0 AND n0 > 0
+             THEN floor(sy1 / CAST(n1 AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 ELSE 0.0 END AS y_mean_z1,
+           CASE WHEN n1 > 0 AND n0 > 0
+             THEN floor(sy0 / CAST(n0 AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 ELSE 0.0 END AS y_mean_z0,
+           CASE WHEN n1 > 0 AND n0 > 0
+             THEN floor((CAST(st1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(st0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END
+             AS first_stage,
+           CAST(CASE WHEN n1 > 0 AND n0 > 0
+             AND abs(CAST(st1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(st0 AS DOUBLE) / CAST(n0 AS DOUBLE)) >= 0.01
+             THEN 0 ELSE 1 END AS INT) AS weak_instrument,
+           CASE WHEN n1 > 0 AND n0 > 0
+             AND abs(CAST(st1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(st0 AS DOUBLE) / CAST(n0 AS DOUBLE)) >= 0.01
+             THEN floor((sy1 / CAST(n1 AS DOUBLE)
+                 - sy0 / CAST(n0 AS DOUBLE))
+               / (CAST(st1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(st0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0
+             ELSE 0.0 END AS wald_late
+         FROM m""",
+    "q_rdd" ->
+      """WITH band AS (
+           SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS x
+           FROM orders
+           WHERE abs(CAST(o_totalprice AS DOUBLE) - 150000.0)
+             <= 30000.0),
+         per AS (
+           SELECT l.l_orderkey, b.x,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS y
+           FROM lineitem l JOIN band b ON l.l_orderkey = b.o_orderkey
+           GROUP BY 1, 2),
+         uu AS (
+           SELECT x - 150000.0 AS u, y,
+             CASE WHEN x >= 150000.0 THEN 1 ELSE 0 END AS side
+           FROM per),
+         m AS (
+           SELECT
+             CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nl,
+             CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nr,
+             CAST(sum(CASE WHEN side = 0 THEN CAST(u AS DECIMAL(28,12))
+               ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) AS sul,
+             CAST(sum(CASE WHEN side = 1 THEN CAST(u AS DECIMAL(28,12))
+               ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) AS sur,
+             CAST(sum(CASE WHEN side = 0 THEN CAST(y AS DECIMAL(28,12))
+               ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) AS syl,
+             CAST(sum(CASE WHEN side = 1 THEN CAST(y AS DECIMAL(28,12))
+               ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) AS syr,
+             CAST(sum(CASE WHEN side = 0
+               THEN CAST(u * y AS DECIMAL(28,12))
+               ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) AS suyl,
+             CAST(sum(CASE WHEN side = 1
+               THEN CAST(u * y AS DECIMAL(28,12))
+               ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) AS suyr,
+             CAST(sum(CASE WHEN side = 0
+               THEN CAST(u * u AS DECIMAL(28,12))
+               ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) AS suul,
+             CAST(sum(CASE WHEN side = 1
+               THEN CAST(u * u AS DECIMAL(28,12))
+               ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) AS suur
+           FROM uu),
+         ab AS (
+           SELECT nl, nr,
+             CASE WHEN nl >= 2
+                 AND CAST(nl AS DOUBLE) * suul - sul * sul <> 0.0
+               THEN (syl * suul - sul * suyl)
+                 / (CAST(nl AS DOUBLE) * suul - sul * sul)
+               ELSE 0.0 END AS al,
+             CASE WHEN nr >= 2
+                 AND CAST(nr AS DOUBLE) * suur - sur * sur <> 0.0
+               THEN (syr * suur - sur * suyr)
+                 / (CAST(nr AS DOUBLE) * suur - sur * sur)
+               ELSE 0.0 END AS ar,
+             CASE WHEN nl >= 2
+                 AND CAST(nl AS DOUBLE) * suul - sul * sul <> 0.0
+               THEN (CAST(nl AS DOUBLE) * suyl - sul * syl)
+                 / (CAST(nl AS DOUBLE) * suul - sul * sul)
+               ELSE 0.0 END AS bl,
+             CASE WHEN nr >= 2
+                 AND CAST(nr AS DOUBLE) * suur - sur * sur <> 0.0
+               THEN (CAST(nr AS DOUBLE) * suyr - sur * syr)
+                 / (CAST(nr AS DOUBLE) * suur - sur * sur)
+               ELSE 0.0 END AS br
+           FROM m)
+         SELECT nl AS n_left, nr AS n_right,
+           floor(al * 1000000.0 + 0.5) / 1000000.0 AS alpha_left,
+           floor(ar * 1000000.0 + 0.5) / 1000000.0 AS alpha_right,
+           floor(bl * 1000000.0 + 0.5) / 1000000.0 AS slope_left,
+           floor(br * 1000000.0 + 0.5) / 1000000.0 AS slope_right,
+           floor((ar - al) * 1000000.0 + 0.5) / 1000000.0 AS tau_jump
+         FROM ab""",
+    "q_qini" ->
+      """WITH per AS (
+           SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS s,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS y,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS g
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         census AS (
+           SELECT s,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nt,
+             CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nc,
+             CAST(sum(CASE WHEN g = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS ct,
+             CAST(sum(CASE WHEN g = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS cc
+           FROM per GROUP BY 1),
+         cum AS (
+           SELECT s,
+             CAST(sum(nt) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cnt,
+             CAST(sum(nc) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cnc,
+             CAST(sum(ct) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cct,
+             CAST(sum(cc) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ccc
+           FROM census)
+         SELECT s AS score_cutoff, cnt AS n_treated, cnc AS n_control,
+           cct AS conv_treated, ccc AS conv_control,
+           CASE WHEN cnt > 0 AND cnc > 0
+             THEN floor((CAST(cct AS DOUBLE) / CAST(cnt AS DOUBLE)
+               - CAST(ccc AS DOUBLE) / CAST(cnc AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0
+             ELSE 0.0 END AS uplift_rate,
+           CASE WHEN cnt > 0 AND cnc > 0
+             THEN floor((CAST(cct AS DOUBLE)
+               - CAST(ccc AS DOUBLE) * CAST(cnt AS DOUBLE)
+                 / CAST(cnc AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0
+             ELSE 0.0 END AS qini
+         FROM cum ORDER BY score_cutoff DESC""",
+    "q_position_attribution" ->
+      """WITH p AS (
+           SELECT event_id AS p_id, user_id AS p_user,
+             epoch_us(ts) AS p_us, value
+           FROM events WHERE user_id IS NOT NULL
+             AND event_type = 'purchase' AND value IS NOT NULL),
+         t AS (
+           SELECT user_id AS t_user, epoch_us(ts) AS t_us,
+             event_type AS channel
+           FROM events WHERE user_id IS NOT NULL
+             AND event_type IN ('view', 'click')),
+         j AS (
+           SELECT p.p_id, p.value, t.t_us, t.channel
+           FROM p LEFT JOIN t ON p.p_user = t.t_user
+             AND t.t_us <= p.p_us
+             AND t.t_us >= p.p_us - 604800000000),
+         r AS (
+           SELECT p_id, value, channel,
+             CASE WHEN channel IS NOT NULL THEN row_number() OVER (
+               PARTITION BY p_id ORDER BY t_us, channel) END AS rk,
+             CAST(sum(CASE WHEN channel IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY p_id) AS BIGINT) AS n
+           FROM j),
+         credited AS (
+           SELECT p_id, coalesce(channel, 'direct') AS channel,
+             CASE WHEN channel IS NOT NULL
+               THEN value * (CASE WHEN n = 1 THEN 1.0
+                 WHEN n = 2 THEN 0.5
+                 WHEN rk = 1 OR rk = n THEN 0.4
+                 ELSE 0.2 / CAST(greatest(n - 2, 1) AS DOUBLE) END)
+               ELSE value END AS credit
+           FROM r)
+         SELECT channel,
+           CAST(count(DISTINCT p_id) AS BIGINT) AS n_purchases,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(round(sum(CAST(credit AS DECIMAL(28,12))), 2) AS DOUBLE)
+             AS credit
+         FROM credited GROUP BY 1 ORDER BY 1""",
+    "q_closeness" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (
+           SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT pa AS a, pb AS b FROM pr
+               UNION ALL SELECT pb, pa FROM pr),
+         seeds AS (
+           SELECT a AS src FROM (
+             SELECT a, count(*) AS deg FROM e GROUP BY 1
+             ORDER BY deg DESC, a LIMIT 5)),
+         v0 AS (SELECT src, src AS node, CAST(0 AS BIGINT) AS hop
+                FROM seeds),
+         f1 AS (SELECT DISTINCT v0.src, e.b AS node
+                FROM v0 JOIN e ON v0.node = e.a),
+         n1 AS (SELECT src, node, CAST(1 AS BIGINT) AS hop FROM f1
+                WHERE NOT EXISTS (SELECT 1 FROM v0
+                  WHERE v0.src = f1.src AND v0.node = f1.node)),
+         v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM n1),
+         f2 AS (SELECT DISTINCT n1.src, e.b AS node
+                FROM n1 JOIN e ON n1.node = e.a),
+         n2 AS (SELECT src, node, CAST(2 AS BIGINT) AS hop FROM f2
+                WHERE NOT EXISTS (SELECT 1 FROM v1
+                  WHERE v1.src = f2.src AND v1.node = f2.node)),
+         v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM n2),
+         f3 AS (SELECT DISTINCT n2.src, e.b AS node
+                FROM n2 JOIN e ON n2.node = e.a),
+         n3 AS (SELECT src, node, CAST(3 AS BIGINT) AS hop FROM f3
+                WHERE NOT EXISTS (SELECT 1 FROM v2
+                  WHERE v2.src = f3.src AND v2.node = f3.node)),
+         v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM n3),
+         f4 AS (SELECT DISTINCT n3.src, e.b AS node
+                FROM n3 JOIN e ON n3.node = e.a),
+         n4 AS (SELECT src, node, CAST(4 AS BIGINT) AS hop FROM f4
+                WHERE NOT EXISTS (SELECT 1 FROM v3
+                  WHERE v3.src = f4.src AND v3.node = f4.node)),
+         v4 AS (SELECT * FROM v3 UNION ALL SELECT * FROM n4),
+         m AS (
+           SELECT src,
+             CAST(count(*) - 1 AS BIGINT) AS n_reached,
+             CAST(sum(hop) AS BIGINT) AS sum_dist,
+             CAST(sum(CASE WHEN hop > 0
+               THEN CAST(1.0 / CAST(hop AS DOUBLE) AS DECIMAL(28,12))
+               ELSE CAST(0 AS DECIMAL(28,12)) END) AS DOUBLE) AS harm
+           FROM v4 GROUP BY 1)
+         SELECT CAST(src AS BIGINT) AS src, n_reached, sum_dist,
+           CASE WHEN sum_dist > 0
+             THEN floor(CAST(n_reached AS DOUBLE)
+               / CAST(greatest(sum_dist, 1) AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0
+             ELSE 0.0 END AS closeness,
+           floor(harm * 1000000.0 + 0.5) / 1000000.0
+             AS harmonic_centrality
+         FROM m ORDER BY src""",
     "q_mixture_weights" ->
       """WITH t AS (
            SELECT source,

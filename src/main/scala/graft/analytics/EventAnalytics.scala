@@ -840,6 +840,64 @@ object EventAnalytics {
       .orderBy("channel")
   }
 
+  /** Position-based (U-shaped, 40/20/40) multi-touch attribution — the
+    * position-weighted member of the attribution family beside
+    * [[attribution]]'s linear split, [[markovAttribution]]'s removal
+    * effects, and [[shapleyAttribution]]'s coalition values: the FIRST
+    * touch in the purchase's lookback window earns 40%, the LAST 40%,
+    * and the middles split the remaining 20% evenly; single-touch paths
+    * take 100%, touchless purchases credit `direct` in full. Touch
+    * order is (ts, channel) — the channel tiebreak makes equal-
+    * timestamp paths deterministic on any engine.
+    *
+    * Scale shape: the same bounded per-purchase touch join as
+    * [[attribution]]; the rank/count windows partition by PURCHASE
+    * (per-purchase-bounded — never a global window), per-row credit is
+    * the same IEEE expression on both engines, and the cross-purchase
+    * sum folds DECIMAL(28,12). The middle-split divisor is
+    * greatest-guarded (codegen CSE + ANSI — the waldIv discipline). */
+  def positionAttribution(ev: DataFrame, windowDays: Int = 7): DataFrame = {
+    val winUs = windowDays * 86400L * 1000000L
+    val p = ev.filter(col("user_id").isNotNull &&
+        col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("p_us"), col("value"))
+    val t = ev.filter(col("user_id").isNotNull &&
+        col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), unix_micros(col("ts")).as("t_us"),
+        col("event_type").as("channel"))
+    val joined = p.join(t,
+      col("p_user") === col("t_user") && col("t_us") <= col("p_us") &&
+        col("t_us") >= col("p_us") - lit(winUs), "left")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_id")).orderBy(col("t_us"), col("channel"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_id"))
+    val ranked = joined
+      .withColumn("rk", when(col("channel").isNotNull,
+        row_number().over(wOrd)))
+      .withColumn("n", sum(when(col("channel").isNotNull, 1L)
+        .otherwise(0L)).over(wAll))
+    // n = 1 → 100%; n = 2 → 50/50 (the credits must still sum to 1 —
+    // 40/40 would silently drop a fifth of the purchase); n ≥ 3 →
+    // 40/20.../40
+    val weight = when(col("n") === 1L, lit(1.0))
+      .when(col("n") === 2L, lit(0.5))
+      .when(col("rk") === 1L || col("rk") === col("n"), lit(0.4))
+      .otherwise(lit(0.2) /
+        greatest(col("n") - 2L, lit(1L)).cast("double"))
+    val credited = ranked.select(col("p_id"),
+      coalesce(col("channel"), lit("direct")).as("channel"),
+      when(col("channel").isNotNull, col("value") * weight)
+        .otherwise(col("value")).as("credit"))
+    credited.groupBy("channel")
+      .agg(countDistinct(col("p_id")).as("n_purchases"),
+        count(lit(1)).as("n_touches"),
+        round(sum(col("credit").cast("decimal(28,12)")), 2).cast("double")
+          .as("credit"))
+      .orderBy("channel")
+  }
+
   /** Pairwise audience overlap: for every pair of event types, the
     * Jaccard similarity of their DISTINCT user sets — "do the people who
     * error also purchase?". The per-user type set is bounded by the type

@@ -139,6 +139,74 @@ object GraphAnalytics {
       rounds)
   }
 
+  /** Closeness + harmonic centrality of the top-degree co-purchase hubs
+    * via bounded multi-source BFS — "how near is this hub to the whole
+    * catalog", the recommender-seeding question [[coPurchaseBfs]]'s
+    * single-source census stops short of. Seeds are the `k`
+    * highest-degree nodes (degree DESC, id ASC — deterministic
+    * TakeOrdered); `rounds` frontier expansions bound the horizon, so
+    * the output is the centrality of the REACHED ball (deterministic
+    * whether or not the graph is exhausted — both engines run the same
+    * budget). closeness = n_reached / Σ dist over reached nodes;
+    * harmonic = Σ 1/dist (robust to disconnection), each 1/d quantized
+    * through DECIMAL so the sum is partition-order-independent.
+    *
+    * Scale shape: [[bfsHops]] per seed, fused — the visited state is
+    * (src, node)-keyed, every round is one hash join + distinct +
+    * anti-join, localCheckpoint keeps the plan flat; k seeds multiply
+    * the state, never the edge list. */
+  def closeness(spark: SparkSession, sfDir: String, k: Int = 5,
+                rounds: Int = 4, minSupport: Long = 2L): DataFrame = {
+    val pairs = StarAnalytics.coPurchaseCounts(spark, sfDir)
+      .filter(col("n_orders") >= minSupport)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+    closenessOf(
+      pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b"))),
+      k, rounds)
+  }
+
+  /** [[closeness]] over a prebuilt symmetric (a, b) edge frame — the
+    * hand-graph-testable core (the [[bfsHops]] separation). */
+  private[graft] def closenessOf(symEdges: DataFrame, k: Int,
+                                 rounds: Int): DataFrame = {
+    val edges = symEdges.localCheckpoint()
+    val seeds = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("a")).limit(k)
+      .select(col("a").as("src"))
+      .localCheckpoint()
+    var visited = seeds
+      .select(col("src"), col("src").as("node"), lit(0L).as("hop"))
+      .localCheckpoint()
+    for (h <- 1 to rounds) {
+      val frontier = visited.filter(col("hop") === (h - 1).toLong)
+      val next = frontier.join(edges, col("node") === col("a"))
+        .select(col("src"), col("b").as("node")).distinct()
+        .join(visited.select(col("src").as("vs"), col("node").as("vn")),
+          col("src") === col("vs") && col("node") === col("vn"),
+          "left_anti")
+        .select(col("src"), col("node"))
+        .withColumn("hop", lit(h.toLong))
+      visited = visited.unionAll(next).localCheckpoint(false)
+    }
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    visited.groupBy("src")
+      .agg((count(lit(1)) - 1L).as("n_reached"),
+        sum(col("hop")).as("sum_dist"),
+        sum(when(col("hop") > 0L,
+            (lit(1.0) / d(col("hop"))).cast("decimal(28,12)"))
+          .otherwise(lit(0).cast("decimal(28,12)"))).cast("double")
+          .as("harm"))
+      .select(col("src").cast("bigint").as("src"), col("n_reached"),
+        col("sum_dist"),
+        r6(when(col("sum_dist") > 0L,
+          d(col("n_reached")) / d(greatest(col("sum_dist"), lit(1L))))
+          .otherwise(lit(0.0))).as("closeness"),
+        r6(col("harm")).as("harmonic_centrality"))
+      .orderBy("src")
+  }
+
   /** The BFS core over a symmetric (a, b) edge frame: seeds at min(a) and
     * reports the per-hop census. Separated from the co-purchase wrapper
     * so the frontier algebra is testable on hand graphs. */

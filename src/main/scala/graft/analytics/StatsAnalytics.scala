@@ -2219,6 +2219,248 @@ object StatsAnalytics {
         .as("z"))
   }
 
+  /** Instrumental-variable Wald estimator — the causal family's answer
+    * when treatment is self-selected but an as-if-random INSTRUMENT
+    * shifts it: here Z = "user's first event fell in the morning"
+    * (hour < 12 — first-touch timing is plausibly exogenous to later
+    * spend), treatment T = heavy clicker (≥ 14 clicks, the corpus
+    * median split), outcome Y = total purchase value. LATE =
+    * (Ȳ_{Z=1} − Ȳ_{Z=0}) / (T̄_{Z=1} − T̄_{Z=0}) — the effect of heavy
+    * clicking for instrument-compliers, immune to the confounding that
+    * biases the naive heavy-vs-light contrast. The first stage ships
+    * beside the estimate with a weak-instrument flag (empty arm OR
+    * |first stage| < 0.01): a Wald ratio over a null first stage is
+    * noise, and the flag says so instead of letting the ratio explode
+    * (0-guarded). On the fixtures both paths run: sf0.01's first stage
+    * clears the gate (LATE reported), sf0.1's does not (flag = 1).
+    *
+    * Scale shape: one user aggregate (shuffle on user, map-side
+    * combined), then a one-row conditional fold — nothing else moves.
+    * Per-user revenue folds through DECIMAL(18,6) (the revenue
+    * discipline), so Y is bit-stable across engines. */
+  def waldIv(ev: DataFrame, clickSplit: Long = 14L): DataFrame = {
+    val per = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy("user_id")
+      .agg(min(col("ts")).as("first_ts"),
+        (sum(when(col("event_type") === "click", 1L).otherwise(0L)) >=
+          clickSplit).cast("long").as("t"),
+        sum(when(col("event_type") === "purchase",
+            coalesce(col("value"), lit(0.0))).otherwise(lit(0.0))
+          .cast("decimal(18,6)")).as("yd"))
+      .select((hour(col("first_ts")) < 12).cast("int").as("z"), col("t"),
+        col("yd").cast("double").as("y"))
+    def dec(c: Column) = c.cast("decimal(28,12)")
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val m = per.agg(
+      sum(when(col("z") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("z") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("z") === 1, dec(col("y")))
+        .otherwise(lit(0).cast("decimal(28,12)"))).cast("double")
+        .as("sy1"),
+      sum(when(col("z") === 0, dec(col("y")))
+        .otherwise(lit(0).cast("decimal(28,12)"))).cast("double")
+        .as("sy0"),
+      sum(when(col("z") === 1, col("t")).otherwise(0L)).as("st1"),
+      sum(when(col("z") === 0, col("t")).otherwise(0L)).as("st0"))
+    val ok = col("n1") > 0L && col("n0") > 0L
+    // divisors are STRUCTURALLY nonzero (greatest / sentinel), with the
+    // `when(ok, …)` gates supplying the semantics: codegen's common-
+    // subexpression elimination hoists shared subexpressions OUT of
+    // CASE branches, so under ANSI mode a guarded-but-shared x/n with
+    // n = 0 still throws DIVIDE_BY_ZERO — the divisor itself must never
+    // be zero. (Empty-arm case: st1 = sy1 = 0, so /1 yields 0 anyway.)
+    val y1 = d(col("sy1")) / d(greatest(col("n1"), lit(1L)))
+    val y0 = d(col("sy0")) / d(greatest(col("n0"), lit(1L)))
+    val t1 = d(col("st1")) / d(greatest(col("n1"), lit(1L)))
+    val t0 = d(col("st0")) / d(greatest(col("n0"), lit(1L)))
+    val fs = t1 - t0
+    val fsDiv = when(abs(fs) >= lit(0.01), fs).otherwise(lit(1.0))
+    m.select(col("n1").as("n_z1"), col("n0").as("n_z0"),
+      r6(when(ok, y1).otherwise(lit(0.0))).as("y_mean_z1"),
+      r6(when(ok, y0).otherwise(lit(0.0))).as("y_mean_z0"),
+      r6(when(ok, fs).otherwise(lit(0.0))).as("first_stage"),
+      // 1 = do NOT trust wald_late: empty arm OR null first stage
+      when(ok && abs(fs) >= lit(0.01), 0).otherwise(1)
+        .cast("int").as("weak_instrument"),
+      r6(when(ok && abs(fs) >= lit(0.01), (y1 - y0) / fsDiv)
+        .otherwise(lit(0.0))).as("wald_late"))
+  }
+
+  /** Sharp regression-discontinuity estimate at an order-price cutoff:
+    * does the average line-item discount JUMP as orders cross the
+    * threshold? Local linear fits on each side of the cutoff within a
+    * bandwidth (the standard RDD estimator): per side, OLS of per-order
+    * mean discount on the centered running variable u = price − cutoff;
+    * τ = α_right − α_left is the discontinuity at u = 0. Closed-form
+    * OLS over conditional sums (the [[grouped-OLS|discount-elasticity]]
+    * discipline), every fold through DECIMAL; degenerate sides (n < 2
+    * or zero variance) report 0 with the n columns saying why.
+    *
+    * Scale shape: the band filter prunes orders FIRST (pushdown-able
+    * predicate), the banded keys join lineitem (AQE broadcasts the
+    * small banded side at any scale where RDD is meaningful), one
+    * per-order aggregate, one one-row conditional fold. */
+  def rdd(orders: DataFrame, lineitem: DataFrame,
+          cutoff: Double = 150000.0, bandwidth: Double = 30000.0)
+      : DataFrame = {
+    val band = orders.select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("x"))
+      .filter(abs(col("x") - lit(cutoff)) <= lit(bandwidth))
+    def dec(c: Column) = c.cast("decimal(28,12)")
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val perOrder = lineitem
+      .join(band, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("x"))
+      .agg((sum(col("l_discount").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("y"))
+      .select((col("x") - lit(cutoff)).as("u"), col("y"),
+        (col("x") >= lit(cutoff)).cast("int").as("side"))
+    def side(s: Int, c: Column) =
+      sum(when(col("side") === s, dec(c))
+        .otherwise(lit(0).cast("decimal(28,12)"))).cast("double")
+    def sideN(s: Int) = sum(when(col("side") === s, 1L).otherwise(0L))
+    val m = perOrder.agg(
+      sideN(0).as("nl"), sideN(1).as("nr"),
+      side(0, col("u")).as("sul"), side(1, col("u")).as("sur"),
+      side(0, col("y")).as("syl"), side(1, col("y")).as("syr"),
+      side(0, col("u") * col("y")).as("suyl"),
+      side(1, col("u") * col("y")).as("suyr"),
+      side(0, col("u") * col("u")).as("suul"),
+      side(1, col("u") * col("u")).as("suur"))
+    def alpha(n: Column, su: Column, sy: Column, suy: Column,
+              suu: Column): (Column, Column) = {
+      val den = d(n) * suu - su * su
+      // sentinel divisor: the shared den subexpression gets hoisted out
+      // of the CASE branches by codegen CSE, so under ANSI the divisor
+      // itself must be structurally nonzero (the waldIv discipline)
+      val denDiv = when(den =!= 0.0, den).otherwise(lit(1.0))
+      (when(n >= 2L && den =!= 0.0,
+        (sy * suu - su * suy) / denDiv).otherwise(lit(0.0)),
+        when(n >= 2L && den =!= 0.0,
+          (d(n) * suy - su * sy) / denDiv).otherwise(lit(0.0)))
+    }
+    val (al, bl) = alpha(col("nl"), col("sul"), col("syl"),
+      col("suyl"), col("suul"))
+    val (ar, br) = alpha(col("nr"), col("sur"), col("syr"),
+      col("suyr"), col("suur"))
+    m.select(col("nl").as("n_left"), col("nr").as("n_right"),
+      r6(al).as("alpha_left"), r6(ar).as("alpha_right"),
+      r6(bl).as("slope_left"), r6(br).as("slope_right"),
+      r6(ar - al).as("tau_jump"))
+  }
+
+  /** Qini uplift curve at score-census thresholds — the uplift-model
+    * eval between the hash-assigned variants ([[mannWhitney]]'s
+    * instrument): targeting score s = per-user click count, outcome =
+    * purchased ever. For every distinct score cutoff (descending), the
+    * treated-vs-control conversion contrast among users scoring ≥ s:
+    * uplift_rate = convT/nT − convC/nC and the Qini number
+    * qini = convT − convC·nT/nC (Radcliffe's absolute formulation).
+    * Thresholding on the VALUE CENSUS keeps the curve exact and the
+    * window domain-bounded — the decile formulation would need a
+    * global rank over USERS, the very anti-pattern the census
+    * discipline exists to avoid; census cutoffs are a superset of any
+    * decile grid anyway.
+    *
+    * Scale shape: one user aggregate, one census aggregate, cumulative
+    * windows over the census. */
+  def qiniCurve(ev: DataFrame): DataFrame = {
+    val per = ev.filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("s"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      .withColumn("g", Sampling.hashBucket(col("user_id"), 2))
+    val census = per.groupBy("s").agg(
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("nt"),
+      sum(when(col("g") === 0, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("g") === 1, col("y")).otherwise(0L)).as("ct"),
+      sum(when(col("g") === 0, col("y")).otherwise(0L)).as("cc"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val cum = census
+      .withColumn("cnt", sum(col("nt")).over(w))
+      .withColumn("cnc", sum(col("nc")).over(w))
+      .withColumn("cct", sum(col("ct")).over(w))
+      .withColumn("ccc", sum(col("cc")).over(w))
+    val ok = col("cnt") > 0L && col("cnc") > 0L
+    // structurally-nonzero divisors (codegen CSE hoists shared
+    // subexpressions out of the CASE branches — see waldIv)
+    val dnt = d(greatest(col("cnt"), lit(1L)))
+    val dnc = d(greatest(col("cnc"), lit(1L)))
+    cum.select(col("s").as("score_cutoff"),
+      col("cnt").as("n_treated"), col("cnc").as("n_control"),
+      col("cct").as("conv_treated"), col("ccc").as("conv_control"),
+      r6(when(ok, d(col("cct")) / dnt -
+        d(col("ccc")) / dnc).otherwise(lit(0.0)))
+        .as("uplift_rate"),
+      r6(when(ok, d(col("cct")) -
+        d(col("ccc")) * d(col("cnt")) / dnc)
+        .otherwise(lit(0.0))).as("qini"))
+      .orderBy(col("score_cutoff").desc)
+  }
+
+  /** Exact 1-Wasserstein (earth-mover) distance between the two
+    * hash-cohort distributions of per-user event counts — the
+    * magnitude-aware companion to [[mannWhitney]] (which only ranks)
+    * and [[ksTest]] (which takes the sup): W₁ = ∫|F_A − F_B| dx,
+    * evaluated exactly on the merged VALUE CENSUS as
+    * Σᵢ |cumA_i/n_A − cumB_i/n_B| · (x_{i+1} − x_i). The cumulative
+    * counts are integers, the gap is an integer, and each term folds
+    * through DECIMAL — bit-identical across engines. Also reports W₁
+    * normalized by the observed range (scale-free [0, 1] drift score).
+    *
+    * Scale shape: one user-frame aggregate (shuffle on user), one
+    * census aggregate, then the global window runs over the CENSUS
+    * (distinct count values — domain-bounded, the mannWhitney
+    * discipline), never the user frame. */
+  def wasserstein1(ev: DataFrame): DataFrame = {
+    val per = ev.filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("x"))
+      .withColumn("g", Sampling.hashBucket(col("user_id"), 2))
+    val census = per.groupBy("x")
+      .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy(col("x"))
+    val wTot = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val stepped = census
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+      .withColumn("na", sum(col("ca")).over(wTot))
+      .withColumn("nb", sum(col("cb")).over(wTot))
+      .withColumn("gap", lead(col("x"), 1).over(wAll) - col("x"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val m = stepped.agg(
+      max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+      min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      // empty-cohort guard: with n_a or n_b = 0 the CDF ratio is
+      // undefined — every term drops and W₁ reports 0. Divisors are
+      // greatest-guarded so the guarded branch never divides by zero
+      // even if codegen CSE hoists it (ANSI mode; see waldIv).
+      sum(when(col("gap").isNotNull && col("na") > 0L && col("nb") > 0L,
+          (abs(d(col("cuma")) / d(greatest(col("na"), lit(1L))) -
+            d(col("cumb")) / d(greatest(col("nb"), lit(1L)))) *
+            d(col("gap")))
+            .cast("decimal(28,12)"))
+        .otherwise(lit(0).cast("decimal(28,12)"))).cast("double")
+        .as("w1"))
+    m.select(col("n_a"), col("n_b"), r6(col("w1")).as("w1"),
+      r6(when(col("xmax") > col("xmin"),
+        col("w1") / d(greatest(col("xmax") - col("xmin"), lit(1L))))
+        .otherwise(lit(0.0)))
+        .as("w1_normalized"))
+  }
+
   /** Spearman rank correlation between per-customer order count and
     * per-customer distinct-part breadth — "do frequent buyers buy more
     * WIDELY?" robust to the heavy right tail that drags Pearson around.
@@ -2984,6 +3226,51 @@ object StatsAnalytics {
           .as("hill_h"),
         r6(lit(1.0) / ((col("s") - log(col("xb"))) / lit(k.toDouble) -
           log(col("xb")))).as("tail_alpha"))
+  }
+
+  /** Generalized-Pareto tail fit over peaks-over-threshold excesses via
+    * probability-weighted moments (Hosking & Wallis 1987) — the
+    * two-parameter companion to [[hillTail]]'s single index: threshold
+    * u = the (k+1)-th largest order price, excesses y = x − u over the
+    * whole top-(k+1) frame (boundary ties contribute zero excesses — a
+    * stated convention, deterministic because TakeOrdered returns a
+    * deterministic VALUE multiset even when boundary rows tie). PWM is
+    * closed-form over order statistics: a₀ = Σy/n,
+    * a₁ = Σ(n−r)·y₍ᵣ₎ / (n(n−1)) with r the ascending rank (rank
+    * assignment inside a tied block cannot change the sum — tied y are
+    * equal), then ξ = 2 − a₀/(a₀ − 2a₁), σ = 2·a₀·a₁/(a₀ − 2a₁); both
+    * 0-guarded when a₀ − 2a₁ degenerates (all excesses equal). ξ > 0
+    * means a genuinely heavy (Pareto-like) tail; ξ ≈ 0 exponential.
+    *
+    * Scale shape: hillTail's — the k+1 extremes come from
+    * TakeOrderedAndProject (bounded heap per partition, never a global
+    * sort); ranking and both PWM folds run on that k+1-row frame with
+    * DECIMAL sums. */
+  def gpdTail(orders: DataFrame, k: Int = 100): DataFrame = {
+    val top = orders.select(col("o_totalprice").cast("double").as("x"))
+      .orderBy(col("x").desc).limit(k + 1)
+    val u = top.agg(min(col("x")).as("u"))
+    val n = (k + 1).toLong
+    def dec(c: Column) = c.cast("decimal(28,12)")
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val ranked = top.crossJoin(broadcast(u))
+      .select(col("u"), (col("x") - col("u")).as("y"))
+      .withColumn("r", row_number().over(Window.orderBy(col("y")))
+        .cast("bigint"))
+    val m = ranked.agg(max(col("u")).as("u"),
+      (sum(dec(col("y"))).cast("double") / lit(n.toDouble)).as("a0"),
+      (sum(dec(col("y") * (lit(n.toDouble) - d(col("r")))))
+        .cast("double") / lit((n * (n - 1)).toDouble)).as("a1"))
+    val den = col("a0") - lit(2.0) * col("a1")
+    // sentinel divisor (codegen CSE + ANSI; see waldIv)
+    val denDiv = when(den =!= 0.0, den).otherwise(lit(1.0))
+    m.select(lit(n).as("n_excesses"), round(col("u"), 2).as("threshold"),
+      r6(col("a0")).as("mean_excess"),
+      r6(when(den =!= 0.0, lit(2.0) - col("a0") / denDiv)
+        .otherwise(lit(0.0))).as("shape_xi"),
+      r6(when(den =!= 0.0, lit(2.0) * col("a0") * col("a1") / denDiv)
+        .otherwise(lit(0.0))).as("scale_sigma"))
   }
 
   /** Kruskal–Wallis rank ANOVA of per-customer order counts across

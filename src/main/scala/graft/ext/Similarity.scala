@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1002,23 +1002,36 @@ object Similarity {
     * are IEEE-identical in DuckDB — the whole trajectory, including the
     * eigenvector's sign, is bit-reproducible cross-engine. */
   def powerIteration(emb: DataFrame, dim: Int = 64,
-                     iters: Int = 4): DataFrame = {
-    val spark = emb.sparkSession
-    def dsum(c: Column) =
-      sum(c.cast("decimal(28,12)")).cast("double")
-    val xs = emb.select(col("embedding").cast("array<double>").as("e"))
-    // cell terms as SCALED LONGS, not decimals: the n·d² outer-product
-    // stream is the one data-sized stage, and a primitive long sum stays
-    // in whole-stage codegen (~6× over 128-bit decimal accumulation)
-    // while remaining order-independent. floor(z+0.5) is the portable
-    // round-half-up both engines evaluate identically.
-    val gram = xs
+                     iters: Int = 4): DataFrame =
+    topEigen(gramMatrix(emb), emb.sparkSession, dim, iters)
+      .select(col("j").cast("bigint").as("dim_id"),
+        round(col("vj"), 6).as("loading"),
+        round(col("nrm"), 6).as("eigenvalue"))
+      .orderBy("dim_id")
+
+  /** The n·d² second-moment (gram) fold shared by [[powerIteration]] and
+    * [[pcaTop2]]: cell terms as SCALED LONGS, not decimals — the
+    * outer-product stream is the one data-sized stage, and a primitive
+    * long sum stays in whole-stage codegen (~6× over 128-bit decimal
+    * accumulation) while remaining order-independent. floor(z+0.5) is
+    * the portable round-half-up both engines evaluate identically. */
+  private def gramMatrix(emb: DataFrame): DataFrame =
+    emb.select(col("embedding").cast("array<double>").as("e"))
       .select(posexplode(col("e")).as(Seq("i", "xi")), col("e"))
       .select(col("i"), col("xi"), posexplode(col("e")).as(Seq("j", "xj")))
       .groupBy("i", "j")
       .agg((sum(floor(col("xi") * col("xj") * lit(1e12) + lit(0.5))
         .cast("bigint")).cast("double") / lit(1e12)).as("a"))
       .localCheckpoint()
+
+  /** `iters` power-iteration rounds from the all-ones start over a
+    * dim²-bounded (i, j, a) matrix frame → (j, vj, nrm); after
+    * normalization ‖v‖=1, so the final pre-normalization norm IS the
+    * Rayleigh-quotient estimate of the top eigenvalue. */
+  private def topEigen(gram: DataFrame, spark: SparkSession, dim: Int,
+                       iters: Int): DataFrame = {
+    def dsum(c: Column) =
+      sum(c.cast("decimal(28,12)")).cast("double")
     var v = spark.range(dim)
       .select(col("id").cast("int").as("j"), lit(1.0).as("vj"),
         lit(0.0).as("nrm"))
@@ -1033,11 +1046,45 @@ object Similarity {
           col("nrm"))
         .localCheckpoint(false)
     }
-    // after normalization ‖v‖=1, so the final pre-normalization norm IS
-    // the Rayleigh-quotient estimate of the top eigenvalue
-    v.select(col("j").cast("bigint").as("dim_id"),
-        round(col("vj"), 6).as("loading"),
-        round(col("nrm"), 6).as("eigenvalue"))
+    v
+  }
+
+  /** Top-2 PCA of the embedding second-moment matrix via DEFLATED power
+    * iteration — the planar projection behind embedding-space maps and
+    * the first step past [[embeddingEffectiveRank]]'s single collapse
+    * scalar: extract (v₁, λ₁) with [[topEigen]], deflate
+    * A′ = A − λ₁·v₁v₁ᵀ on the dim²-bounded matrix frame (two broadcast
+    * joins of the d-row eigenvector — nothing data-sized moves), and
+    * re-run the same iteration on A′ for (v₂, λ₂). Every arithmetic
+    * step is the proven powerIteration discipline (scaled-long gram,
+    * DECIMAL mat-vec folds, fixed iteration count), so both eigenpairs
+    * are bit-identical across engines and partition orders; the output
+    * also carries λ₂/λ₁ (the planarity ratio) per row.
+    *
+    * Scale shape: ONE corpus pass builds the gram; everything after is
+    * dim²-bounded algebra — at 100 TB only the gram fold grows. */
+  def pcaTop2(emb: DataFrame, dim: Int = 64, iters: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val gram = gramMatrix(emb)
+    val e1 = topEigen(gram, spark, dim, iters).localCheckpoint()
+    val deflated = gram
+      .join(broadcast(e1.select(col("j").as("i"), col("vj").as("vi"))),
+        Seq("i"))
+      .join(broadcast(e1.select(col("j"), col("vj").as("vjd"),
+        col("nrm").as("l1"))), Seq("j"))
+      .select(col("i"), col("j"),
+        (col("a") - col("l1") * col("vi") * col("vjd")).as("a"))
+      .localCheckpoint()
+    val e2 = topEigen(deflated, spark, dim, iters)
+      .select(col("j"), col("vj").as("vj2"), col("nrm").as("nrm2"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    e1.join(e2, Seq("j"))
+      .select(col("j").cast("bigint").as("dim_id"),
+        round(col("vj"), 6).as("loading_1"),
+        round(col("vj2"), 6).as("loading_2"),
+        round(col("nrm"), 6).as("eigenvalue_1"),
+        round(col("nrm2"), 6).as("eigenvalue_2"),
+        r6(col("nrm2") / col("nrm")).as("lambda_ratio"))
       .orderBy("dim_id")
   }
 

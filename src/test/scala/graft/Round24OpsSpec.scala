@@ -1,9 +1,20 @@
 package graft
 
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{EventAnalytics, GraphAnalytics, StatsAnalytics}
+
 /** Round-24-of-build additions: the LSH-bucketed bitext-mining scale
-  * sibling and its recall-vs-exact audit. */
+  * sibling + recall audit, deflated top-2 PCA, exact 1-Wasserstein
+  * drift, GPD tail fit, Wald IV, sharp RDD, the Qini uplift curve,
+  * position-based attribution, and closeness centrality. */
 class Round24OpsSpec extends SparkSpec {
   import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
 
   test("bitextMineLsh: nBits=0 degenerates to the exact miner with " +
     "recall 1") {
@@ -54,5 +65,259 @@ class Round24OpsSpec extends SparkSpec {
         r6(hits.toDouble / exactPairs.size))
       assert(r.getAs[Double]("margin") > 0.0)
     }
+  }
+
+  // ---- pcaTop2 --------------------------------------------------------
+
+  test("pcaTop2: axis-separable fixture recovers both principal axes") {
+    // gram of {(±3,0), (0,±2)} is diag(18, 8): top eigenpair is axis 0
+    // at λ=18, the deflated top is axis 1 at λ=8
+    val emb = Seq(
+      (1L, Array(3.0f, 0.0f)), (2L, Array(-3.0f, 0.0f)),
+      (3L, Array(0.0f, 2.0f)), (4L, Array(0.0f, -2.0f)))
+      .toDF("vec_id", "embedding")
+    val r = graft.ext.Similarity.pcaTop2(emb, dim = 2).collect()
+      .map(x => x.getAs[Long]("dim_id") -> x).toMap
+    assert(r.size == 2)
+    // first component concentrates on dim 0 (4 iters from all-ones
+    // leave a tiny dim-1 residue), second on dim 1
+    // 4 iterations from the all-ones start leave a small residue on
+    // the off-axis (ratio contracts by λ1/λ2 = 2.25 per round)
+    assert(math.abs(r(0L).getAs[Double]("loading_1")) > 0.98)
+    assert(math.abs(r(1L).getAs[Double]("loading_2")) > 0.98)
+    assert(math.abs(r(0L).getAs[Double]("eigenvalue_1") - 18.0) < 0.3)
+    assert(math.abs(r(0L).getAs[Double]("eigenvalue_2") - 8.0) < 0.3)
+    // near-orthogonality of the recovered pair
+    val dot = (0L to 1L).map(j => r(j).getAs[Double]("loading_1") *
+      r(j).getAs[Double]("loading_2")).sum
+    assert(math.abs(dot) < 0.1)
+    val ratio = r(0L).getAs[Double]("lambda_ratio")
+    assert(ratio > 0.0 && ratio < 1.0)
+  }
+
+  // ---- wasserstein1 ---------------------------------------------------
+
+  test("wasserstein1: degenerate single-value census is zero") {
+    // every user has exactly 2 events -> one census row, no gap term
+    val ev = (1L to 20L).flatMap(u => Seq(
+      (u, ts("2024-01-01 10:00:00"), "view"),
+      (u, ts("2024-01-01 11:00:00"), "click")))
+      .toDF("user_id", "ts", "event_type")
+    val r = StatsAnalytics.wasserstein1(ev).collect()(0)
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == 20L)
+    assert(r.getAs[Double]("w1") == 0.0)
+    assert(r.getAs[Double]("w1_normalized") == 0.0)
+  }
+
+  test("wasserstein1 == scala recompute over the hashed cohorts") {
+    val ev = (1L to 40L).flatMap { u =>
+      (0 until (1 + (u % 5)).toInt).map(i =>
+        (u, ts(f"2024-01-01 ${10 + i}%02d:00:00"), "view")) }
+      .toDF("user_id", "ts", "event_type")
+    val per = ev.groupBy("user_id").agg(count(lit(1)).as("x"))
+      .withColumn("g",
+        graft.operators.Sampling.hashBucket(col("user_id"), 2)
+          .cast("int"))
+      .as[(Long, Long, Int)].collect().map { case (_, x, g) => (x, g) }
+    val na = per.count(_._2 == 0).toDouble
+    val nb = per.count(_._2 == 1).toDouble
+    val xs = per.map(_._1).distinct.sorted
+    var (cuma, cumb, w1) = (0.0, 0.0, BigDecimal(0))
+    for (i <- xs.indices) {
+      cuma += per.count(p => p._1 == xs(i) && p._2 == 0)
+      cumb += per.count(p => p._1 == xs(i) && p._2 == 1)
+      if (i + 1 < xs.length)
+        w1 += BigDecimal(math.abs(cuma / na - cumb / nb) *
+          (xs(i + 1) - xs(i)))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val r = StatsAnalytics.wasserstein1(ev).collect()(0)
+    assert(r.getAs[Long]("n_a") == na.toLong)
+    assert(r.getAs[Long]("n_b") == nb.toLong)
+    assert(r.getAs[Double]("w1") == r6(w1.toDouble))
+  }
+
+  // ---- gpdTail --------------------------------------------------------
+
+  test("gpdTail: hand-traced PWM fit (xi = 0.2, sigma = 12)") {
+    // top-4 of {100,90,80,70,60,50}: u = 70, excesses {0,10,20,30}
+    // a0 = 15, a1 = (3·0 + 2·10 + 1·20 + 0·30)/12 = 10/3
+    // xi = 2 − 15/(15 − 20/3) = 0.2; sigma = 2·15·(10/3)/(25/3) = 12
+    val orders = Seq(100.0, 90.0, 80.0, 70.0, 60.0, 50.0)
+      .toDF("o_totalprice")
+    val r = StatsAnalytics.gpdTail(orders, k = 3).collect()(0)
+    assert(r.getAs[Long]("n_excesses") == 4L)
+    assert(r.getAs[Double]("threshold") == 70.0)
+    assert(r.getAs[Double]("mean_excess") == 15.0)
+    assert(r.getAs[Double]("shape_xi") == 0.2)
+    assert(r.getAs[Double]("scale_sigma") == 12.0)
+  }
+
+  // ---- waldIv ---------------------------------------------------------
+
+  test("waldIv: hand-traced LATE with a real first stage") {
+    // z = morning-first; t = clicks >= 2
+    //   u1 z=1 t=1 y=100 ; u2 z=1 t=0 y=0
+    //   u3 z=0 t=1 y=40  ; u4 z=0 t=1 y=20
+    // ybar: 50 vs 30; tbar: 0.5 vs 1.0 -> fs = −0.5, late = 20/−0.5
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00"), "click", None),
+      (1L, ts("2024-01-01 08:10:00"), "click", None),
+      (1L, ts("2024-01-01 12:00:00"), "purchase", Some(100.0)),
+      (2L, ts("2024-01-01 09:00:00"), "view", None),
+      (3L, ts("2024-01-01 15:00:00"), "click", None),
+      (3L, ts("2024-01-01 15:10:00"), "click", None),
+      (3L, ts("2024-01-01 16:00:00"), "purchase", Some(40.0)),
+      (4L, ts("2024-01-01 16:00:00"), "click", None),
+      (4L, ts("2024-01-01 16:10:00"), "click", None),
+      (4L, ts("2024-01-01 17:00:00"), "purchase", Some(20.0)))
+      .toDF("user_id", "ts", "event_type", "value")
+    val r = StatsAnalytics.waldIv(ev, clickSplit = 2L).collect()(0)
+    assert(r.getAs[Long]("n_z1") == 2L && r.getAs[Long]("n_z0") == 2L)
+    assert(r.getAs[Double]("y_mean_z1") == 50.0)
+    assert(r.getAs[Double]("y_mean_z0") == 30.0)
+    assert(r.getAs[Double]("first_stage") == -0.5)
+    assert(r.getAs[Int]("weak_instrument") == 0)
+    assert(r.getAs[Double]("wald_late") == -40.0)
+  }
+
+  test("waldIv: degenerate instrument arm reports zeros and the flag") {
+    // every user is morning-first -> z = 0 arm empty
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00"), "click", Some(1.0)),
+      (2L, ts("2024-01-01 09:00:00"), "view", None))
+      .toDF("user_id", "ts", "event_type", "value")
+    val r = StatsAnalytics.waldIv(ev, clickSplit = 1L).collect()(0)
+    assert(r.getAs[Long]("n_z0") == 0L)
+    assert(r.getAs[Int]("weak_instrument") == 1)
+    assert(r.getAs[Double]("wald_late") == 0.0)
+    assert(r.getAs[Double]("first_stage") == 0.0)
+  }
+
+  // ---- rdd ------------------------------------------------------------
+
+  test("rdd: hand-traced two-point local lines and jump") {
+    // left (−40, .10), (−10, .04): alpha .02, slope −.002
+    // right (10, .05), (40, .08): alpha .04, slope .001 -> tau .02
+    val orders = Seq((1L, 60.0), (2L, 90.0), (3L, 110.0), (4L, 140.0),
+      (5L, 500.0)).toDF("o_orderkey", "o_totalprice")
+    val lineitem = Seq((1L, 0.10), (2L, 0.04), (3L, 0.05), (4L, 0.08),
+      (5L, 0.99)).toDF("l_orderkey", "l_discount")
+    val r = StatsAnalytics.rdd(orders, lineitem,
+      cutoff = 100.0, bandwidth = 50.0).collect()(0)
+    assert(r.getAs[Long]("n_left") == 2L && r.getAs[Long]("n_right") == 2L)
+    assert(r.getAs[Double]("alpha_left") == 0.02)
+    assert(r.getAs[Double]("alpha_right") == 0.04)
+    assert(r.getAs[Double]("slope_left") == -0.002)
+    assert(r.getAs[Double]("slope_right") == 0.001)
+    assert(r.getAs[Double]("tau_jump") == 0.02)
+  }
+
+  // ---- qiniCurve ------------------------------------------------------
+
+  test("qiniCurve == scala recompute over the hashed variants") {
+    val ev = (1L to 30L).flatMap { u =>
+      val clicks = (0 until (u % 4).toInt).map(i =>
+        (u, ts(f"2024-01-02 ${10 + i}%02d:00:00"), "click"))
+      val buy = if (u % 3 == 0)
+        Seq((u, ts("2024-01-02 20:00:00"), "purchase")) else Nil
+      clicks ++ buy ++ Seq((u, ts("2024-01-02 09:00:00"), "view")) }
+      .toDF("user_id", "ts", "event_type")
+    val per = ev.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("s"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      .withColumn("g",
+        graft.operators.Sampling.hashBucket(col("user_id"), 2)
+          .cast("int"))
+      .as[(Long, Long, Long, Int)].collect()
+      .map { case (_, s, y, g) => (s, y, g) }
+    val out = StatsAnalytics.qiniCurve(ev).collect()
+    val cutoffs = per.map(_._1).distinct.sorted.reverse
+    assert(out.map(_.getAs[Long]("score_cutoff")).toSeq == cutoffs.toSeq)
+    for (row <- out) {
+      val c = row.getAs[Long]("score_cutoff")
+      val above = per.filter(_._1 >= c)
+      val nt = above.count(_._3 == 1).toLong
+      val nc = above.count(_._3 == 0).toLong
+      val ct = above.filter(_._3 == 1).map(_._2).sum
+      val cc = above.filter(_._3 == 0).map(_._2).sum
+      assert(row.getAs[Long]("n_treated") == nt)
+      assert(row.getAs[Long]("n_control") == nc)
+      if (nt > 0 && nc > 0) {
+        assert(row.getAs[Double]("uplift_rate") ==
+          r6(ct.toDouble / nt - cc.toDouble / nc))
+        assert(row.getAs[Double]("qini") ==
+          r6(ct.toDouble - cc.toDouble * nt / nc))
+      } else {
+        assert(row.getAs[Double]("qini") == 0.0)
+      }
+    }
+  }
+
+  // ---- positionAttribution -------------------------------------------
+
+  test("positionAttribution: hand-traced U-shape, single, and direct") {
+    // u1: view, click, view -> purchase 100: 40/20/40 -> view 80, click 20
+    // u2: touchless purchase 50 -> direct
+    // u3: single click -> purchase 10: click takes all 10
+    val ev = Seq(
+      (1L, "e1", ts("2024-01-01 10:00:00"), "view", None),
+      (1L, "e2", ts("2024-01-01 10:05:00"), "click", None),
+      (1L, "e3", ts("2024-01-01 10:10:00"), "view", None),
+      (1L, "p1", ts("2024-01-01 11:00:00"), "purchase", Some(100.0)),
+      (2L, "p2", ts("2024-01-01 10:00:00"), "purchase", Some(50.0)),
+      (3L, "e4", ts("2024-01-01 09:00:00"), "click", None),
+      (3L, "p3", ts("2024-01-01 09:30:00"), "purchase", Some(10.0)))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val r = EventAnalytics.positionAttribution(ev).collect()
+      .map(x => x.getAs[String]("channel") ->
+        (x.getAs[Long]("n_purchases"), x.getAs[Long]("n_touches"),
+          x.getAs[Double]("credit"))).toMap
+    assert(r == Map(
+      "view" -> ((1L, 2L, 80.0)),
+      "click" -> ((2L, 2L, 30.0)),
+      "direct" -> ((1L, 1L, 50.0))))
+  }
+
+  test("positionAttribution: two-touch path splits 50/50") {
+    val ev = Seq(
+      (1L, "e1", ts("2024-01-01 10:00:00"), "view", None),
+      (1L, "e2", ts("2024-01-01 10:05:00"), "click", None),
+      (1L, "p1", ts("2024-01-01 11:00:00"), "purchase", Some(100.0)))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val r = EventAnalytics.positionAttribution(ev).collect()
+      .map(x => x.getAs[String]("channel") -> x.getAs[Double]("credit"))
+      .toMap
+    assert(r == Map("view" -> 50.0, "click" -> 50.0))
+  }
+
+  // ---- closeness ------------------------------------------------------
+
+  test("closenessOf: hand graph distances, closeness, harmonic") {
+    // edges: 0-1, 0-2, 0-3, 3-4, 4-5; degrees 0:3, 3:2, 4:2, rest 1
+    // seeds (k=2, deg desc then id): {0, 3}
+    // from 0: d = 1,1,1,2,3 -> sum 8, harmonic 1+1+1+1/2+1/3
+    // from 3: d = 1,1,2,2,2 -> sum 8, harmonic 1+1+3/2
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val sym = pairs.unionAll(pairs.select(col("b").as("a"),
+      col("a").as("b")))
+    val r = GraphAnalytics.closenessOf(sym, k = 2, rounds = 4).collect()
+      .map(x => x.getAs[Long]("src") ->
+        (x.getAs[Long]("n_reached"), x.getAs[Long]("sum_dist"),
+          x.getAs[Double]("closeness"),
+          x.getAs[Double]("harmonic_centrality"))).toMap
+    assert(r.keySet == Set(0L, 3L))
+    assert(r(0L)._1 == 5L && r(0L)._2 == 8L)
+    assert(r(0L)._3 == 0.625)
+    assert(r(0L)._4 == r6(BigDecimal(1).setScale(12).toDouble * 3 +
+      BigDecimal(0.5).setScale(12).toDouble +
+      BigDecimal(1.0 / 3).setScale(12,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(r(3L)._1 == 5L && r(3L)._2 == 8L)
+    assert(r(3L)._3 == 0.625)
+    assert(r(3L)._4 == 3.5)
   }
 }

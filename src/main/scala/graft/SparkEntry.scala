@@ -619,6 +619,15 @@ object SparkEntry {
     // U-shaped (40/20/40) position-based multi-touch attribution
     "q_position_attribution" -> ((s, d) =>
       EventAnalytics.positionAttribution(Tables.events(s, d))),
+    // Nelson–Aalen cumulative hazard + Breslow survival
+    "q_nelson_aalen" -> ((s, d) =>
+      StatsAnalytics.nelsonAalen(Tables.events(s, d))),
+    // lag-1 Granger causality: do clicks predict next-day revenue
+    "q_granger" -> ((s, d) =>
+      StatsAnalytics.grangerLag1(Tables.events(s, d))),
+    // exact periodogram at candidate periods (literal trig tables)
+    "q_periodogram" -> ((s, d) =>
+      StatsAnalytics.periodogram(Tables.events(s, d))),
     // closeness/harmonic centrality of top-degree co-purchase hubs
     "q_closeness" -> ((s, d) =>
       graft.analytics.GraphAnalytics.closeness(s, d)),
@@ -5127,6 +5136,159 @@ object SparkEntry {
            CASE WHEN zf = 1 THEN 0.0
                 ELSE round(exp(CAST(lsum AS DOUBLE)), 6) END AS s_km
          FROM s ORDER BY t""",
+    "q_nelson_aalen" ->
+      """WITH life AS (
+           SELECT user_id,
+             date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+               AS lifetime,
+             max(CAST(ts AS DATE)) AS last_d
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         h AS (SELECT max(last_d) AS h FROM life),
+         pt AS (
+           SELECT CAST(lifetime AS BIGINT) AS t,
+             CAST(sum(CASE WHEN last_d = h.h THEN 0 ELSE 1 END) AS BIGINT)
+               AS d,
+             CAST(sum(CASE WHEN last_d = h.h THEN 1 ELSE 0 END) AS BIGINT)
+               AS c
+           FROM life CROSS JOIN h GROUP BY 1),
+         tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM pt),
+         r AS (
+           SELECT t, d, c,
+             n_total - coalesce(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+           FROM pt CROSS JOIN tot),
+         s AS (
+           SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+             sum(CASE WHEN d > 0
+                   THEN CAST(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                     AS DECIMAL(28,12))
+                   ELSE CAST(0 AS DECIMAL(28,12)) END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) AS hsum
+           FROM r)
+         SELECT t, n_risk, d, c,
+           floor(CAST(hsum AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS h_na,
+           floor(exp(-(CAST(hsum AS DOUBLE))) * 1000000.0 + 0.5)
+             / 1000000.0 AS s_breslow
+         FROM s ORDER BY t""",
+    "q_granger" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(round(sum(CAST(CASE WHEN event_type = 'purchase'
+                 THEN coalesce(value, 0.0) ELSE 0.0 END
+               AS DECIMAL(18,6))), 2) AS DOUBLE) AS y,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS DOUBLE) AS x
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+         lagged AS (
+           SELECT y, lag(y) OVER (ORDER BY d) AS yl,
+             lag(x) OVER (ORDER BY d) AS xl
+           FROM daily),
+         rr AS (SELECT * FROM lagged WHERE yl IS NOT NULL),
+         m0 AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(yl AS DECIMAL(38,12))) AS DOUBLE) AS su,
+             CAST(sum(CAST(xl AS DECIMAL(38,12))) AS DOUBLE) AS sv
+           FROM rr),
+         cm AS (
+           SELECT max(n) AS n,
+             CAST(sum(CAST((yl - su / CAST(n AS DOUBLE))
+               * (yl - su / CAST(n AS DOUBLE)) AS DECIMAL(38,12)))
+               AS DOUBLE) AS suu,
+             CAST(sum(CAST((xl - sv / CAST(n AS DOUBLE))
+               * (xl - sv / CAST(n AS DOUBLE)) AS DECIMAL(38,12)))
+               AS DOUBLE) AS svv,
+             CAST(sum(CAST((yl - su / CAST(n AS DOUBLE))
+               * (xl - sv / CAST(n AS DOUBLE)) AS DECIMAL(38,12)))
+               AS DOUBLE) AS suv,
+             CAST(sum(CAST((yl - su / CAST(n AS DOUBLE))
+               * (y - sy / CAST(n AS DOUBLE)) AS DECIMAL(38,12)))
+               AS DOUBLE) AS suy,
+             CAST(sum(CAST((xl - sv / CAST(n AS DOUBLE))
+               * (y - sy / CAST(n AS DOUBLE)) AS DECIMAL(38,12)))
+               AS DOUBLE) AS svy,
+             CAST(sum(CAST((y - sy / CAST(n AS DOUBLE))
+               * (y - sy / CAST(n AS DOUBLE)) AS DECIMAL(38,12)))
+               AS DOUBLE) AS syy
+           FROM rr CROSS JOIN m0),
+         ded AS (
+           SELECT *, suu * svv - suv * suv AS det,
+             CASE WHEN suu * svv - suv * suv <> 0.0
+               THEN suu * svv - suv * suv ELSE 1.0 END AS det_div,
+             CASE WHEN suu <> 0.0 THEN suu ELSE 1.0 END AS suu_div
+           FROM cm),
+         bc AS (
+           SELECT *,
+             (svv * suy - suv * svy) / det_div AS b,
+             (suu * svy - suv * suy) / det_div AS c
+           FROM ded),
+         rs AS (
+           SELECT *,
+             syy - b * suy - c * svy AS rssu,
+             syy - suy * suy / suu_div AS rssr,
+             (det <> 0.0 AND suu <> 0.0 AND n > 3) AS ok
+           FROM bc),
+         f AS (
+           SELECT *,
+             CASE WHEN rssu <> 0.0 THEN rssu ELSE 1.0 END AS rssu_div
+           FROM rs)
+         SELECT CAST(n AS BIGINT) AS n_obs,
+           CASE WHEN ok THEN floor(b * 1000000.0 + 0.5) / 1000000.0
+             ELSE 0.0 END AS beta_y_lag,
+           CASE WHEN ok THEN floor(c * 1000000.0 + 0.5) / 1000000.0
+             ELSE 0.0 END AS beta_x_lag,
+           CASE WHEN ok THEN floor(rssu * 1000000.0 + 0.5) / 1000000.0
+             ELSE 0.0 END AS rss_unrestricted,
+           CASE WHEN ok THEN floor(rssr * 1000000.0 + 0.5) / 1000000.0
+             ELSE 0.0 END AS rss_restricted,
+           CASE WHEN ok AND rssu <> 0.0
+             THEN floor((rssr - rssu) * (CAST(n AS DOUBLE) - 3.0)
+               / rssu_div * 1000000.0 + 0.5) / 1000000.0
+             ELSE 0.0 END AS f_stat,
+           CAST(CASE WHEN ok AND rssu <> 0.0
+             AND (rssr - rssu) * (CAST(n AS DOUBLE) - 3.0) / rssu_div
+               > 4.20
+             THEN 1 ELSE 0 END AS INT) AS granger_at_f420
+         FROM f""",
+    "q_periodogram" -> {
+      val arms = (2 to 14).map { p =>
+        def cse(tab: Array[Double]): String =
+          s"CASE CAST(t % $p AS INT) " +
+            (1 until p).map(r =>
+              s"WHEN $r THEN CAST(${tab(r)} AS DOUBLE)").mkString(" ") +
+            s" ELSE CAST(${tab(0)} AS DOUBLE) END"
+        val cosCase = cse(graft.analytics.PeriodogramTables.cosTab(p))
+        val sinCase = cse(graft.analytics.PeriodogramTables.sinTab(p))
+        s"""SELECT CAST($p AS BIGINT) AS period,
+            CAST(n AS BIGINT) AS n_days,
+            floor((sc * sc + ss * ss) / CAST(n AS DOUBLE)
+              * 1000000.0 + 0.5) / 1000000.0 AS power
+          FROM (SELECT max(n) AS n,
+            CAST(sum(CAST(c * ($cosCase) AS DECIMAL(38,12)))
+              AS DOUBLE) AS sc,
+            CAST(sum(CAST(c * ($sinCase) AS DECIMAL(38,12)))
+              AS DOUBLE) AS ss
+            FROM centered) a$p"""
+      }.mkString(" UNION ALL ")
+      s"""WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS x
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         m0 AS (
+           SELECT CAST(count(*) AS BIGINT) AS n, min(d) AS d0,
+             CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx
+           FROM daily),
+         centered AS (
+           SELECT CAST(date_diff('day', d0, d) AS BIGINT) AS t,
+             x - sx / CAST(n AS DOUBLE) AS c, n
+           FROM daily CROSS JOIN m0)
+         SELECT * FROM ($arms) ORDER BY period"""
+    },
     "q_dp_counts" ->
       """WITH c AS (
            SELECT event_type, CAST(count(*) AS BIGINT) AS true_n

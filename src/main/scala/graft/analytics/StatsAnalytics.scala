@@ -516,19 +516,27 @@ object StatsAnalytics {
     * windowed-double products would be engine-order-dependent; summed
     * logs of IEEE-identical terms are not. At-risk counts derive from an
     * exclusive integer prefix sum. */
-  def survivalKm(ev: DataFrame): DataFrame = {
+  /** The (t, d, c) lifetime event table shared by [[survivalKm]] and
+    * [[nelsonAalen]]: per-user lifetime in days, censored iff the user
+    * was still active on the corpus horizon, grouped into per-lifetime
+    * death/censor counts. */
+  private def lifetimeTable(ev: DataFrame): DataFrame = {
     val life = ev.filter(col("user_id").isNotNull)
       .select(col("user_id"), to_date(col("ts")).as("d"))
       .groupBy("user_id")
       .agg(datediff(max(col("d")), min(col("d"))).as("lifetime"),
         max(col("d")).as("last_d"))
     val horizon = life.agg(max(col("last_d")).as("h"))
-    val perT = life.crossJoin(broadcast(horizon))
+    life.crossJoin(broadcast(horizon))
       .select(col("lifetime").cast("bigint").as("t"),
         when(col("last_d") === col("h"), 1L).otherwise(0L).as("censored"))
       .groupBy("t")
       .agg(sum(lit(1L) - col("censored")).as("d"),
         sum(col("censored")).as("c"))
+  }
+
+  def survivalKm(ev: DataFrame): DataFrame = {
+    val perT = lifetimeTable(ev)
     val w = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wPrev = Window.orderBy("t")
@@ -906,6 +914,156 @@ object StatsAnalytics {
     m.select(col("n").cast("bigint").as("n_days"), col("n_lags"),
       r6(q).as("lb_q"),
       (q > lit(crit)).cast("int").as("reject_iid"))
+  }
+
+  /** Nelson–Aalen cumulative hazard over the same lifetime event table
+    * as [[survivalKm]] — the estimator survival analysis prefers when
+    * the HAZARD (instantaneous churn intensity) is the object, plus
+    * the Breslow survival exp(−H) as the KM cross-check: at every
+    * death time, H accumulates d/n_risk exactly (each ratio quantized
+    * through DECIMAL, cumulative-summed over the day-bounded lifetime
+    * frame — partition-order-independent). Censoring enters through
+    * n_risk, identically to KM.
+    *
+    * Scale shape: one user aggregate, then everything runs on the
+    * lifetime census (≤ horizon-days rows). */
+  def nelsonAalen(ev: DataFrame): DataFrame = {
+    val perT = lifetimeTable(ev)
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = perT.agg(sum(col("d") + col("c")).as("n_total"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val hTerm = when(col("d") > 0L,
+      (col("d").cast("double") / col("n_risk").cast("double"))
+        .cast("decimal(28,12)"))
+      .otherwise(lit(0).cast("decimal(28,12)"))
+    perT.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("d") + col("c")).over(wPrev),
+          lit(0L)))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        r6(sum(hTerm).over(w).cast("double")).as("h_na"),
+        r6(exp(-sum(hTerm).over(w).cast("double"))).as("s_breslow"))
+      .orderBy("t")
+  }
+
+  /** Lag-1 Granger causality test: do daily CLICKS help predict daily
+    * REVENUE beyond revenue's own lag? Unrestricted
+    * y_t = a + b·y_{t−1} + c·x_{t−1} vs restricted y_t = a + b·y_{t−1};
+    * F = (RSS_r − RSS_u)·(n−3)/RSS_u with both regressions solved
+    * CLOSED-FORM from centered second moments (Cramer on the 2×2
+    * normal equations — the grouped-OLS discipline, every moment a
+    * DECIMAL fold). The reject flag compares against the literal 4.20
+    * (≈ F(1, 25) at 5% — a fixed constant both engines compare, no CDF;
+    * stated in the column name, calibrated to the fixture's ~30-day
+    * series). Degenerate moments (D = 0, RSS_u = 0) report 0 with the
+    * structurally-nonzero sentinel divisors (waldIv discipline).
+    *
+    * Scale shape: one day aggregate; lags, moments, and the F fold all
+    * run on the day-bounded frame. */
+  def grangerLag1(ev: DataFrame): DataFrame = {
+    val daily = ev.filter(col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(when(col("event_type") === "purchase",
+          coalesce(col("value"), lit(0.0))).otherwise(lit(0.0))
+          .cast("decimal(18,6)")), 2).cast("double").as("y"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .cast("double").as("x"))
+    val w = Window.orderBy("d")
+    val rows = daily
+      .withColumn("yl", lag(col("y"), 1).over(w))
+      .withColumn("xl", lag(col("x"), 1).over(w))
+      .filter(col("yl").isNotNull)
+    def dec(c: Column) = c.cast("decimal(38,12)")
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val m0 = rows.agg(count(lit(1)).as("n"),
+      sum(dec(col("y"))).cast("double").as("sy"),
+      sum(dec(col("yl"))).cast("double").as("su"),
+      sum(dec(col("xl"))).cast("double").as("sv"))
+    val cm = rows.crossJoin(broadcast(m0))
+      .select(
+        (col("y") - col("sy") / d(col("n"))).as("cy"),
+        (col("yl") - col("su") / d(col("n"))).as("cu"),
+        (col("xl") - col("sv") / d(col("n"))).as("cv"),
+        col("n"))
+      .agg(max(col("n")).as("n"),
+        sum(dec(col("cu") * col("cu"))).cast("double").as("suu"),
+        sum(dec(col("cv") * col("cv"))).cast("double").as("svv"),
+        sum(dec(col("cu") * col("cv"))).cast("double").as("suv"),
+        sum(dec(col("cu") * col("cy"))).cast("double").as("suy"),
+        sum(dec(col("cv") * col("cy"))).cast("double").as("svy"),
+        sum(dec(col("cy") * col("cy"))).cast("double").as("syy"))
+    val det = col("suu") * col("svv") - col("suv") * col("suv")
+    val detDiv = when(det =!= 0.0, det).otherwise(lit(1.0))
+    val suuDiv = when(col("suu") =!= 0.0, col("suu")).otherwise(lit(1.0))
+    val b = (col("svv") * col("suy") - col("suv") * col("svy")) / detDiv
+    val c = (col("suu") * col("svy") - col("suv") * col("suy")) / detDiv
+    val rssU = col("syy") - b * col("suy") - c * col("svy")
+    val rssR = col("syy") - col("suy") * col("suy") / suuDiv
+    val rssUDiv = when(rssU =!= 0.0, rssU).otherwise(lit(1.0))
+    val ok = det =!= 0.0 && col("suu") =!= 0.0 && col("n") > 3L
+    val f = (rssR - rssU) * (d(col("n")) - lit(3.0)) / rssUDiv
+    cm.select(col("n").as("n_obs"),
+      r6(when(ok, b).otherwise(lit(0.0))).as("beta_y_lag"),
+      r6(when(ok, c).otherwise(lit(0.0))).as("beta_x_lag"),
+      r6(when(ok, rssU).otherwise(lit(0.0))).as("rss_unrestricted"),
+      r6(when(ok, rssR).otherwise(lit(0.0))).as("rss_restricted"),
+      r6(when(ok && rssU =!= 0.0, f).otherwise(lit(0.0))).as("f_stat"),
+      when(ok && rssU =!= 0.0 && f > lit(4.20), 1).otherwise(0)
+        .cast("int").as("granger_at_f420"))
+  }
+
+  /** Exact periodogram of the daily-revenue series at candidate integer
+    * periods — "WHICH cycle does this series carry" (the spectral
+    * generalization of [[graft.analytics.EventAnalytics
+    * .seasonalStrength]]'s fixed weekday question): for each period p,
+    * power_p = (Σ c_t·cos(2πt_p/p))² + (Σ c_t·sin(2πt/p))² over the
+    * mean-centered series, normalized by n. The trig values come from
+    * LITERAL tables generated once in Scala and interpolated into BOTH
+    * the Column expressions and the oracle SQL (cos/sin are
+    * libm-divergent across engines — the adstock weight-literal
+    * discipline), keyed by t mod p, so the expression is a bounded CASE
+    * and every product is the same IEEE double on both engines.
+    *
+    * Scale shape: one day aggregate; each period arm is one fold over
+    * the day-bounded centered frame (arms unioned, the acfDaily
+    * shape). */
+  def periodogram(ev: DataFrame,
+                  periods: Seq[Int] = (2 to 14)): DataFrame = {
+    val daily = ev.filter(col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(round(sum(col("value").cast("decimal(18,6)")), 2)
+        .cast("double").as("x"))
+    val m0 = daily.agg(count(lit(1)).as("n"), min(col("d")).as("d0"),
+      sum(col("x").cast("decimal(28,6)")).cast("double").as("sx"))
+    val centered = daily.crossJoin(broadcast(m0))
+      .select(datediff(col("d"), col("d0")).cast("bigint").as("t"),
+        (col("x") - col("sx") / col("n").cast("double")).as("c"),
+        col("n"))
+      .localCheckpoint() // every period arm folds it
+    def dec(c: Column) = c.cast("decimal(38,12)")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val arms = periods.map { p =>
+      def trig(table: Int => Double): Column =
+        (1 until p).foldLeft(lit(table(0))) { (acc, r) =>
+          when(col("t") % p === r.toLong, lit(table(r))).otherwise(acc)
+        }
+      val cosC = trig(r => PeriodogramTables.cosTab(p)(r))
+      val sinC = trig(r => PeriodogramTables.sinTab(p)(r))
+      centered.agg(max(col("n")).as("n"),
+          sum(dec(col("c") * cosC)).cast("double").as("sc"),
+          sum(dec(col("c") * sinC)).cast("double").as("ss"))
+        .select(lit(p.toLong).as("period"), col("n"),
+          ((col("sc") * col("sc") + col("ss") * col("ss")) /
+            col("n").cast("double")).as("pw"))
+    }
+    arms.reduce(_ unionAll _)
+      .select(col("period"), col("n").cast("bigint").as("n_days"),
+        r6(col("pw")).as("power"))
+      .orderBy("period")
   }
 
   /** STL-lite additive decomposition of the daily-revenue series:
@@ -3538,4 +3696,17 @@ object StatsAnalytics {
       .orderBy(col("shrunk_rate").desc, col("user_id"))
       .limit(k)
   }
+}
+
+/** Literal trig tables for [[StatsAnalytics.periodogram]], shared
+  * verbatim between the Column expressions and the DuckDB oracle SQL:
+  * cos/sin are libm-divergent across engines, so both sides multiply by
+  * the SAME double literals (the adstock weight-literal discipline).
+  * Scala's Double.toString is the shortest round-tripping decimal, so
+  * the SQL parse recovers bit-identical values. */
+object PeriodogramTables {
+  val cosTab: Map[Int, Array[Double]] = (2 to 14).map(p =>
+    p -> Array.tabulate(p)(r => math.cos(2.0 * math.Pi * r / p))).toMap
+  val sinTab: Map[Int, Array[Double]] = (2 to 14).map(p =>
+    p -> Array.tabulate(p)(r => math.sin(2.0 * math.Pi * r / p))).toMap
 }

@@ -293,6 +293,110 @@ class Round24OpsSpec extends SparkSpec {
     assert(r == Map("view" -> 50.0, "click" -> 50.0))
   }
 
+  // ---- nelsonAalen ----------------------------------------------------
+
+  test("nelsonAalen: hand-traced hazard accumulation and censoring") {
+    // horizon = day2. u1: day1 only -> death at t=0; u3: day2 only ->
+    // censored at t=0; u2: day1..day2 -> censored at t=1
+    // t=0: n_risk 3, d 1, c 1 -> H = 1/3 ; t=1: n_risk 1, d 0, c 1
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-02 10:00:00")),
+      (3L, ts("2024-01-02 10:00:00")))
+      .toDF("user_id", "ts")
+    val r = StatsAnalytics.nelsonAalen(ev).collect()
+      .map(x => x.getAs[Long]("t") ->
+        (x.getAs[Long]("n_risk"), x.getAs[Long]("d"), x.getAs[Long]("c"),
+          x.getAs[Double]("h_na"), x.getAs[Double]("s_breslow"))).toMap
+    val h = BigDecimal(1.0 / 3)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0L) == ((3L, 1L, 1L, r6(h), r6(math.exp(-h)))))
+    assert(r(1L) == ((1L, 0L, 1L, r6(h), r6(math.exp(-h)))))
+  }
+
+  // ---- grangerLag1 ----------------------------------------------------
+
+  test("grangerLag1 == scala recompute on a seeded series") {
+    val rnd = new scala.util.Random(24003)
+    val days = (0 until 20).map { t =>
+      val clicks = 1 + rnd.nextInt(5)
+      val value = 50.0 + 10.0 * rnd.nextInt(8)
+      (t, clicks, value)
+    }
+    val ev = days.flatMap { case (t, clicks, value) =>
+      val day = f"2024-01-${t + 1}%02d"
+      (0 until clicks).map(i =>
+        (1L + i, ts(s"$day 10:0$i:00"), "click", None)) :+
+        ((99L, ts(s"$day 12:00:00"), "purchase", Some(value)))
+    }.toDF("user_id", "ts", "event_type", "value")
+    // recompute with the engine's quantization: per-day y is the 2dp
+    // rounded decimal sum (exact here), lags on the day order, moments
+    // as 12dp-quantized products summed exactly
+    def q12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val y = days.map(_._3)
+    val x = days.map(_._2.toDouble)
+    val yy = y.drop(1); val u = y.dropRight(1); val v = x.dropRight(1)
+    val n = yy.length
+    val sy = yy.map(q12).sum.toDouble / n
+    val su = u.map(q12).sum.toDouble / n
+    val sv = v.map(q12).sum.toDouble / n
+    def mom(a: Seq[Double], am: Double, b: Seq[Double], bm: Double) =
+      a.zip(b).map { case (ai, bi) => q12((ai - am) * (bi - bm)) }
+        .sum.toDouble
+    val (suu, svv, suv) = (mom(u, su, u, su), mom(v, sv, v, sv),
+      mom(u, su, v, sv))
+    val (suy, svy, syy) = (mom(u, su, yy, sy), mom(v, sv, yy, sy),
+      mom(yy, sy, yy, sy))
+    val det = suu * svv - suv * suv
+    val b = (svv * suy - suv * svy) / det
+    val c = (suu * svy - suv * suy) / det
+    val rssU = syy - b * suy - c * svy
+    val rssR = syy - suy * suy / suu
+    val f = (rssR - rssU) * (n - 3.0) / rssU
+    val r = StatsAnalytics.grangerLag1(ev).collect()(0)
+    assert(r.getAs[Long]("n_obs") == n.toLong)
+    assert(r.getAs[Double]("beta_y_lag") == r6(b))
+    assert(r.getAs[Double]("beta_x_lag") == r6(c))
+    assert(r.getAs[Double]("f_stat") == r6(f))
+    assert(r.getAs[Int]("granger_at_f420") == (if (f > 4.20) 1 else 0))
+  }
+
+  test("grangerLag1: constant regressor degenerates to zeros") {
+    // x constant -> svv = 0 -> det = 0 -> ok false
+    val ev = (0 until 6).flatMap { t =>
+      val day = f"2024-01-${t + 1}%02d"
+      Seq((1L, ts(s"$day 10:00:00"), "click", None),
+        (2L, ts(s"$day 12:00:00"), "purchase", Some(10.0 * (t + 1))))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val r = StatsAnalytics.grangerLag1(ev).collect()(0)
+    assert(r.getAs[Double]("f_stat") == 0.0)
+    assert(r.getAs[Int]("granger_at_f420") == 0)
+    assert(r.getAs[Double]("beta_x_lag") == 0.0)
+  }
+
+  // ---- periodogram ----------------------------------------------------
+
+  test("periodogram: a planted weekly cycle dominates every other " +
+    "period") {
+    // 28 days of v(t) = 100 + 50·cos(2πt/7): four exact weekly cycles
+    val ev = (0 until 28).map { t =>
+      val day = t + 1
+      (1L, ts(f"2024-01-$day%02d 12:00:00"), "purchase",
+        Some(100.0 + 50.0 * math.cos(2.0 * math.Pi * t / 7.0)))
+    }.toDF("user_id", "ts", "event_type", "value")
+    val r = StatsAnalytics.periodogram(ev).collect()
+      .map(x => x.getAs[Long]("period") -> x.getAs[Double]("power"))
+      .toMap
+    assert(r.size == 13)
+    val p7 = r(7L)
+    // analytic power: (50·n/2)²/n = 2500·28/4 = 17500
+    assert(math.abs(p7 - 17500.0) < 1.0)
+    // incommensurate periods carry real spectral leakage over a 28-day
+    // window (measured max ≈ p7/2.7) — assert dominance, not silence
+    r.filter(_._1 != 7L).values.foreach(p => assert(p7 > 2.0 * p))
+  }
+
   // ---- closeness ------------------------------------------------------
 
   test("closenessOf: hand graph distances, closeness, harmonic") {

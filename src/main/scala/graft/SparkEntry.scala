@@ -1349,6 +1349,13 @@ object SparkEntry {
     "q_source_kl" -> ((s, d) =>
       graft.ext.Curation.sourceKL(Tables.documents(s, d),
         tfOpt = Some(graft.ext.TextAnalysis.docTermFreq(s, d)))),
+    // one DoReMi Group-DRO mixture-reweighting step over sources
+    "q_doremi_step" -> ((s, d) =>
+      graft.ext.Curation.doremiStep(Tables.documents(s, d),
+        tfOpt = Some(graft.ext.TextAnalysis.docTermFreq(s, d)))),
+    // Dirichlet-smoothed query-likelihood retrieval
+    "q_dirichlet_ql" -> ((s, d) =>
+      graft.ext.TextAnalysis.dirichletQL(Tables.documents(s, d))),
     // ---- merkle-style cross-engine table digest (anti-entropy) ----
     "q_table_digest" -> ((s, d) =>
       graft.operators.DataContract.tableDigest(
@@ -6038,6 +6045,71 @@ object SparkEntry {
              AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_divergence
          FROM st JOIN c USING (token) JOIN ps USING (source) CROSS JOIN tot
          GROUP BY source, n_source ORDER BY source""",
+    "q_doremi_step" ->
+      """WITH tok AS (
+           SELECT source, unnest(list_filter(
+             string_split_regex(lower(text), '\s+'), x -> x <> ''))
+             AS token
+           FROM documents),
+         st AS (
+           SELECT source, token, CAST(count(*) AS BIGINT) AS n
+           FROM tok GROUP BY 1, 2),
+         c AS (SELECT token, CAST(sum(n) AS BIGINT) AS ct
+               FROM st GROUP BY 1),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n_corpus FROM c),
+         ps AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_source
+                FROM st GROUP BY 1),
+         kl AS (
+           SELECT source, n_source AS n_tokens,
+             round(CAST(sum(CAST(
+               (n::DOUBLE / n_source) *
+                 ln((n::DOUBLE * n_corpus) / (n_source::DOUBLE * ct))
+               AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl
+           FROM st JOIN c USING (token) JOIN ps USING (source)
+             CROSS JOIN tot
+           GROUP BY source, n_source),
+         nt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total FROM kl),
+         base AS (
+           SELECT source, n_tokens, kl,
+             CAST(n_tokens AS DOUBLE) / CAST(n_total AS DOUBLE) AS w0,
+             CAST(n_tokens AS DOUBLE) / CAST(n_total AS DOUBLE)
+               * exp(1.0 * kl) AS wraw
+           FROM kl CROSS JOIN nt),
+         z AS (SELECT CAST(sum(CAST(wraw AS DECIMAL(28,12))) AS DOUBLE)
+               AS z FROM base)
+         SELECT source, n_tokens, kl AS excess_loss,
+           floor(w0 * 1000000.0 + 0.5) / 1000000.0 AS weight_before,
+           floor(wraw / z * 1000000.0 + 0.5) / 1000000.0 AS weight_after
+         FROM base, z ORDER BY source""",
+    "q_dirichlet_ql" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text),
+             '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks
+               FROM toks),
+         tot AS (SELECT CAST(sum(CAST(dl AS DECIMAL(28,6))) AS DOUBLE)
+                 AS total_tokens FROM d),
+         focc AS (
+           SELECT doc_id, term FROM (
+             SELECT doc_id, unnest(toks) AS term FROM toks)
+           WHERE term IN ('table', 'join', 'spark')),
+         ctf AS (SELECT term, CAST(count(*) AS DOUBLE) AS ctf
+                 FROM focc GROUP BY 1),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM focc GROUP BY 1, 2),
+         x AS (
+           SELECT dd.doc_id, dd.dl, c.term, c.ctf, t.tf
+           FROM (SELECT doc_id, dl FROM d) dd CROSS JOIN ctf c
+           LEFT JOIN tf t ON dd.doc_id = t.doc_id AND c.term = t.term)
+         SELECT doc_id,
+           round(CAST(sum(CAST(ln((coalesce(tf, 0.0)
+               + 2000.0 * ctf / tot.total_tokens) / (dl + 2000.0))
+             AS DECIMAL(28,12))) AS DOUBLE), 6) AS ql_score,
+           CAST(sum(CASE WHEN tf IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_terms_hit
+         FROM x, tot GROUP BY doc_id
+         ORDER BY ql_score DESC, doc_id LIMIT 20""",
     "q_table_digest" ->
       """WITH h AS (
            SELECT ('0x'||substr(md5(

@@ -107,6 +107,42 @@ object Curation {
       .orderBy("source")
   }
 
+  /** One DoReMi-style mixture-reweighting step (Xie et al. 2023's
+    * Group-DRO update, public method) over the per-source domains: the
+    * excess loss of each source is its unigram KL vs the corpus blend —
+    * exactly [[sourceKL]]'s statistic: KL(source‖corpus) =
+    * E_{w~source}[−ln p(w|corpus)] − E_{w~source}[−ln p(w|source)], the
+    * reference-vs-own-model loss gap — and the domain weights take one
+    * multiplicative update w′_s ∝ w_s · exp(η · excess_s), renormalized.
+    * Sources whose text the corpus blend models badly (high excess) get
+    * UPWEIGHTED — DoReMi's worst-case-domain training signal. The
+    * update consumes sourceKL's published 6dp-rounded KL (stated, so
+    * both engines exponentiate the same literal-rounded number); the
+    * normalizer folds DECIMAL over the source-bounded frame.
+    *
+    * Scale shape: everything data-sized is inside sourceKL (one token
+    * aggregate); the update itself is a ≤|sources|-row fold. */
+  def doremiStep(docs: DataFrame, eta: Double = 1.0,
+                 tfOpt: Option[DataFrame] = None): DataFrame = {
+    val kl = sourceKL(docs, tfOpt)
+    val tot = kl.agg(sum(col("n_tokens")).as("n_total"))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val base = kl.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        col("kl_divergence").as("excess"),
+        (col("n_tokens").cast("double") / col("n_total").cast("double"))
+          .as("w0"))
+      .withColumn("wraw", col("w0") * exp(lit(eta) * col("excess")))
+    val z = base.agg(sum(col("wraw").cast("decimal(28,12)"))
+      .cast("double").as("z"))
+    base.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"),
+        col("excess").as("excess_loss"),
+        r6(col("w0")).as("weight_before"),
+        r6(col("wraw") / col("z")).as("weight_after"))
+      .orderBy("source")
+  }
+
   /** DSIR-style hashed n-gram importance model (Data Selection via
     * Importance Resampling, Xie et al. 2023 — public method): fit two
     * bag-of-hashed-ngram distributions, one over a deterministic "target"

@@ -1101,6 +1101,52 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    * 2001) — the language-modeling scorer beside [[bm25]]'s
+    * probabilistic one: score(q, d) = Σ_{w∈q} ln((tf_{w,d} + μ·p(w|C))
+    * / (dl_d + μ)), where p(w|C) is the collection unigram model. The
+    * smoothing term matters precisely when tf = 0, so every document
+    * scores every collection-present query term (docs × |q| rows — a
+    * bounded fan-out, not a join explosion); query terms absent from
+    * the whole collection carry no mass under Dirichlet smoothing and
+    * are dropped (stated — the standard convention). Per-term logs are
+    * IEEE-identical across engines; the per-doc sum folds DECIMAL.
+    *
+    * Scale shape: one filtered occurrence pass for tf (the bm25
+    * filter-first discipline), one token-count pass for dl and the
+    * collection model, a broadcast of the |q|-row model, one doc-keyed
+    * aggregate, TakeOrdered top-k. */
+  def dirichletQL(docs: DataFrame,
+                  terms: Seq[String] = Seq("table", "join", "spark"),
+                  mu: Double = 2000.0, topK: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("double").as("dl"),
+        col("__toks"))
+    val totals = toks.agg(sum(col("dl").cast("decimal(28,6)"))
+      .cast("double").as("total_tokens"))
+    val occ = toks
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val ctf = occ.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("ctf"))
+    val tf = occ.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val termScore = log((coalesce(col("tf"), lit(0.0)) +
+      lit(mu) * col("ctf") / col("total_tokens")) /
+      (col("dl") + lit(mu)))
+    toks.select(col("doc_id"), col("dl"))
+      .crossJoin(broadcast(ctf))
+      .join(tf, Seq("doc_id", "term"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(termScore.cast("decimal(28,12)")).cast("double"), 6)
+          .as("ql_score"),
+        sum(when(col("tf").isNotNull, 1L).otherwise(0L))
+          .as("n_terms_hit"))
+      .orderBy(col("ql_score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** One BPE merge-candidate step: corpus-wide frequency of adjacent
     * character pairs inside tokens — the statistic a byte-pair-encoding
     * tokenizer maximizes when inducing its next merge. Pair extraction is

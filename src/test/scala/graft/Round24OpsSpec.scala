@@ -397,6 +397,68 @@ class Round24OpsSpec extends SparkSpec {
     r.filter(_._1 != 7L).values.foreach(p => assert(p7 > 2.0 * p))
   }
 
+  // ---- doremiStep -----------------------------------------------------
+
+  test("doremiStep: high-excess source upweights; weights renormalize") {
+    // source A "a a b" (n=3), source B "a b b b" (n=4);
+    // corpus a:3 b:4 total 7 — recompute with the engine quantization
+    val docs = Seq((1L, "A", "a a b"), (2L, "B", "a b b b"))
+      .toDF("doc_id", "source", "text")
+    def q12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def kl(terms: Seq[(Long, Long)], ns: Long): Double = {
+      val raw = terms.map { case (n, ct) =>
+        q12((n.toDouble / ns) *
+          math.log((n.toDouble * 7) / (ns.toDouble * ct))) }.sum.toDouble
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val klA = kl(Seq((2L, 3L), (1L, 4L)), 3L)
+    val klB = kl(Seq((1L, 3L), (3L, 4L)), 4L)
+    val w0A = 3.0 / 7; val w0B = 4.0 / 7
+    val rawA = w0A * math.exp(1.0 * klA)
+    val rawB = w0B * math.exp(1.0 * klB)
+    val z = (q12(rawA) + q12(rawB)).toDouble
+    val r = graft.ext.Curation.doremiStep(docs).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Double]("excess_loss"), x.getAs[Double]("weight_before"),
+          x.getAs[Double]("weight_after"))).toMap
+    assert(r("A") == ((klA, r6(w0A), r6(rawA / z))))
+    assert(r("B") == ((klB, r6(w0B), r6(rawB / z))))
+    // a proper distribution, and the higher-excess source gained share
+    assert(math.abs(r("A")._3 + r("B")._3 - 1.0) < 2e-6)
+    val gained = if (klA > klB) "A" else "B"
+    assert(r(gained)._3 > r(gained)._2 - 1e-9)
+  }
+
+  // ---- dirichletQL ----------------------------------------------------
+
+  test("dirichletQL: hand-traced smoothing, ranking, and zero-hit doc") {
+    // mu=8; collection: table:3 join:1 spark:1, total 8 tokens
+    // d1 "table join": ln(.4)+ln(.2)+ln(.1)
+    // d2 "table table spark x": ln(5/12)+ln(1/12)+ln(2/12)
+    // d3 "nothing here": ln(.3)+ln(.1)+ln(.1), zero hits
+    val docs = Seq((1L, "table join"), (2L, "table table spark x"),
+      (3L, "nothing here")).toDF("doc_id", "text")
+    def q12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def score(parts: Seq[Double]): Double = BigDecimal(
+      parts.map(p => q12(math.log(p))).sum.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s1 = score(Seq((1 + 8.0 * 3 / 8) / 10, (1 + 8.0 * 1 / 8) / 10,
+      (0 + 8.0 * 1 / 8) / 10))
+    val s2 = score(Seq((2 + 8.0 * 3 / 8) / 12, (0 + 8.0 * 1 / 8) / 12,
+      (1 + 8.0 * 1 / 8) / 12))
+    val s3 = score(Seq((0 + 8.0 * 3 / 8) / 10, (0 + 8.0 * 1 / 8) / 10,
+      (0 + 8.0 * 1 / 8) / 10))
+    val r = graft.ext.TextAnalysis.dirichletQL(docs, mu = 8.0)
+      .collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Double]("ql_score"),
+        x.getAs[Long]("n_terms_hit")))
+    assert(r.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(r(0)._2 == s1 && r(1)._2 == s2 && r(2)._2 == s3)
+    assert(r(0)._3 == 2L && r(1)._3 == 2L && r(2)._3 == 0L)
+  }
+
   // ---- closeness ------------------------------------------------------
 
   test("closenessOf: hand graph distances, closeness, harmonic") {

@@ -628,6 +628,12 @@ object SparkEntry {
     // exact periodogram at candidate periods (literal trig tables)
     "q_periodogram" -> ((s, d) =>
       StatsAnalytics.periodogram(Tables.events(s, d))),
+    // VanderWeele-Ding E-value for unmeasured confounding
+    "q_evalue" -> ((s, d) =>
+      StatsAnalytics.eValue(Tables.events(s, d))),
+    // information-gain feature ranking vs the is-purchase label
+    "q_info_gain" -> ((s, d) =>
+      StatsAnalytics.infoGainRanking(Tables.events(s, d))),
     // closeness/harmonic centrality of top-degree co-purchase hubs
     "q_closeness" -> ((s, d) =>
       graft.analytics.GraphAnalytics.closeness(s, d)),
@@ -5260,6 +5266,90 @@ object SparkEntry {
                > 4.20
              THEN 1 ELSE 0 END AS INT) AS granger_at_f420
          FROM f""",
+    "q_evalue" ->
+      """WITH per AS (
+           SELECT user_id,
+             CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+               END) >= 14 THEN 1 ELSE 0 END AS e,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS y
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         m AS (
+           SELECT
+             CAST(sum(CASE WHEN e = 1 AND y = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS a,
+             CAST(sum(CASE WHEN e = 1 AND y = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS b,
+             CAST(sum(CASE WHEN e = 0 AND y = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c,
+             CAST(sum(CASE WHEN e = 0 AND y = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS dd
+           FROM per),
+         rr AS (
+           SELECT *,
+             (a + b > 0 AND c + dd > 0 AND a > 0 AND c > 0) AS ok,
+             (CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE))
+               / (CAST(c AS DOUBLE) / CAST(c + dd AS DOUBLE)) AS r
+           FROM m),
+         st AS (
+           SELECT *,
+             CASE WHEN r >= 1.0 THEN r
+               ELSE (CAST(c AS DOUBLE) / CAST(c + dd AS DOUBLE))
+                 / (CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE)) END
+               AS rstar
+           FROM rr)
+         SELECT a AS n_exp_pos, b AS n_exp_neg, c AS n_unexp_pos,
+           dd AS n_unexp_neg,
+           CASE WHEN ok THEN floor(r * 1000000.0 + 0.5) / 1000000.0
+             ELSE 1.0 END AS risk_ratio,
+           CASE WHEN ok
+             THEN floor((rstar + sqrt(rstar * (rstar - 1.0)))
+               * 1000000.0 + 0.5) / 1000000.0
+             ELSE 1.0 END AS e_value
+         FROM st""",
+    "q_info_gain" -> {
+      val arms = Seq("hour_q", "dow", "value_band", "has_value").map {
+        f =>
+          s"""SELECT '$f' AS feature, CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(CAST(CAST(nvl AS DOUBLE)
+               * ln(CAST(nvl AS DOUBLE) / CAST(nv AS DOUBLE))
+               AS DECIMAL(28,12))) AS DOUBLE) AS s
+           FROM (SELECT $f AS v, label, CAST(count(*) AS BIGINT) AS nvl
+                 FROM base GROUP BY 1, 2) cl
+           JOIN (SELECT $f AS v, CAST(count(*) AS BIGINT) AS nv
+                 FROM base GROUP BY 1) pv USING (v)"""
+      }.mkString(" UNION ALL ")
+      s"""WITH base AS (
+           SELECT CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END AS INT) AS label,
+             CAST(hour(ts) // 6 AS INT) AS hour_q,
+             CAST((CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) + 4)
+               % 7 AS INT) AS dow,
+             CAST(CASE WHEN value IS NULL THEN -1
+               ELSE least(floor(value / 100.0), 9.0) END AS INT)
+               AS value_band,
+             CAST(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS has_value
+           FROM events WHERE ts IS NOT NULL),
+         hl AS (
+           SELECT nt,
+             ln(CAST(nt AS DOUBLE)) - snln / CAST(nt AS DOUBLE)
+               AS h_label
+           FROM (SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(sum(CAST(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+               AS DECIMAL(28,12))) AS DOUBLE) AS snln
+             FROM (SELECT label, CAST(count(*) AS BIGINT) AS n
+                   FROM base GROUP BY 1)))
+         SELECT feature, n_cells,
+           floor(h_label * 1000000.0 + 0.5) / 1000000.0 AS h_label,
+           floor((h_label + s / CAST(nt AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS info_gain,
+           CASE WHEN h_label > 0.0
+             THEN floor((h_label + s / CAST(nt AS DOUBLE)) / h_label
+               * 1000000.0 + 0.5) / 1000000.0
+             ELSE 0.0 END AS ig_ratio
+         FROM ($arms) CROSS JOIN hl ORDER BY feature"""
+    },
     "q_periodogram" -> {
       val arms = (2 to 14).map { p =>
         def cse(tab: Array[Double]): String =

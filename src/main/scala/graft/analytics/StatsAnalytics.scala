@@ -2509,6 +2509,111 @@ object StatsAnalytics {
       r6(ar - al).as("tau_jump"))
   }
 
+  /** VanderWeele–Ding E-value for unmeasured confounding — the
+    * sensitivity number every observational contrast in this family
+    * ([[ipwAte]], [[waldIv]], the naive heavy-vs-light split) should
+    * ship with: how strong would an unmeasured confounder have to be
+    * (on the risk-ratio scale, with BOTH exposure and outcome) to
+    * explain the observed association away? E = RR* + √(RR*·(RR*−1))
+    * with RR* = max(RR, 1/RR); E = 1 means "any confounding at all
+    * could do it". Exposure: heavy clicker (≥ `clickSplit` clicks);
+    * outcome: purchased. Degenerate margins (an empty arm or a zero
+    * outcome rate) report E = 1 with the count columns saying why —
+    * divisors are structurally nonzero (waldIv discipline).
+    *
+    * Scale shape: one user aggregate, one 2×2 fold. */
+  def eValue(ev: DataFrame, clickSplit: Long = 14L): DataFrame = {
+    val per = ev.filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg((sum(when(col("event_type") === "click", 1L).otherwise(0L)) >=
+        clickSplit).cast("long").as("e"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    val m = per.agg(
+      sum(when(col("e") === 1L && col("y") === 1L, 1L).otherwise(0L))
+        .as("a"),
+      sum(when(col("e") === 1L && col("y") === 0L, 1L).otherwise(0L))
+        .as("b"),
+      sum(when(col("e") === 0L && col("y") === 1L, 1L).otherwise(0L))
+        .as("c"),
+      sum(when(col("e") === 0L && col("y") === 0L, 1L).otherwise(0L))
+        .as("dd"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val n1 = col("a") + col("b")
+    val n0 = col("c") + col("dd")
+    val ok = n1 > 0L && n0 > 0L && col("a") > 0L && col("c") > 0L
+    val p1 = d(col("a")) / d(greatest(n1, lit(1L)))
+    val p0 = d(col("c")) / d(greatest(n0, lit(1L)))
+    val p0Div = when(p0 =!= 0.0, p0).otherwise(lit(1.0))
+    val p1Div = when(p1 =!= 0.0, p1).otherwise(lit(1.0))
+    val rr = p1 / p0Div
+    val rrStar = when(rr >= lit(1.0), rr).otherwise(p0 / p1Div)
+    m.select(col("a").as("n_exp_pos"), col("b").as("n_exp_neg"),
+      col("c").as("n_unexp_pos"), col("dd").as("n_unexp_neg"),
+      r6(when(ok, rr).otherwise(lit(1.0))).as("risk_ratio"),
+      r6(when(ok, rrStar + sqrt(rrStar * (rrStar - lit(1.0))))
+        .otherwise(lit(1.0))).as("e_value"))
+  }
+
+  /** Information-gain ranking of candidate event features against the
+    * is-purchase label — the feature-selection screen a training-set
+    * builder runs before committing columns: for each feature
+    * (hour-of-day quartered, portable weekday, value band, has-value),
+    * IG = H(label) − H(label | feature) over the event frame, plus the
+    * normalized IG/H(label). All entropies fold p·ln p terms through
+    * DECIMAL over CATEGORY-BOUNDED censuses; the label entropy is
+    * shared by every arm. Zero-entropy labels (all one class) report
+    * 0s (sentinel divisor — waldIv discipline).
+    *
+    * Scale shape: one aggregate per feature arm into a ≤|cells| census
+    * (map-side combined), unioned; nothing data-scale moves twice. */
+  def infoGainRanking(ev: DataFrame): DataFrame = {
+    val base = ev.filter(col("ts").isNotNull)
+      .select(
+        (col("event_type") === "purchase").cast("int").as("label"),
+        (hour(col("ts")) / 6).cast("int").as("hour_q"),
+        ((floor(unix_micros(col("ts")) / lit(86400000000L)) + lit(4)) % 7)
+          .cast("int").as("dow"),
+        when(col("value").isNull, -1)
+          .otherwise(least(floor(col("value") / 100.0), lit(9.0)))
+          .cast("int").as("value_band"),
+        col("value").isNotNull.cast("int").as("has_value"))
+      .localCheckpoint() // every feature arm scans it
+    def dec(c: Column) = c.cast("decimal(28,12)")
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    // H(label): binary entropy from the label census
+    val hLabel = base.groupBy("label").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("nt"),
+        sum(dec(d(col("n")) * log(d(col("n"))))).cast("double").as("snln"))
+      .select(col("nt"),
+        (log(d(col("nt"))) - col("snln") / d(col("nt"))).as("h_label"))
+      .localCheckpoint()
+    val arms = Seq("hour_q", "dow", "value_band", "has_value").map { f =>
+      // H(label|feature) = Σ_v p(v)·H(label|v), from the (v, label)
+      // census: Σ_v,l −(n_vl/N)·ln(n_vl/n_v)
+      val cells = base.groupBy(col(f).as("v"), col("label"))
+        .agg(count(lit(1)).as("nvl"))
+      val perV = cells.groupBy("v").agg(sum(col("nvl")).as("nv"))
+      cells.join(perV, Seq("v"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(dec(d(col("nvl")) * log(d(col("nvl")) / d(col("nv")))))
+            .cast("double").as("s"))
+        .select(lit(f).as("feature"), col("n_cells"), col("s"))
+    }
+    arms.reduce(_ unionAll _)
+      .crossJoin(broadcast(hLabel))
+      .select(col("feature"), col("n_cells"),
+        r6(col("h_label")).as("h_label"),
+        r6(col("h_label") + col("s") / d(col("nt"))).as("info_gain"),
+        r6(when(col("h_label") > 0.0,
+          (col("h_label") + col("s") / d(col("nt"))) /
+            when(col("h_label") > 0.0, col("h_label")).otherwise(lit(1.0)))
+          .otherwise(lit(0.0))).as("ig_ratio"))
+      .orderBy("feature")
+  }
+
   /** Qini uplift curve at score-census thresholds — the uplift-model
     * eval between the hash-assigned variants ([[mannWhitney]]'s
     * instrument): targeting score s = per-user click count, outcome =

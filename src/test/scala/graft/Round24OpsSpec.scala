@@ -459,6 +459,66 @@ class Round24OpsSpec extends SparkSpec {
     assert(r(0)._3 == 2L && r(1)._3 == 2L && r(2)._3 == 0L)
   }
 
+  // ---- eValue ---------------------------------------------------------
+
+  test("eValue: hand-traced 2x2 risk ratio and E-value") {
+    // exposed (clicked): 3 purchasers + 1 not; unexposed: 1 + 3
+    // p1 = 3/4, p0 = 1/4 -> RR = 3, E = 3 + sqrt(6)
+    val ev = (Seq(
+      (1L, "click"), (1L, "purchase"), (2L, "click"), (2L, "purchase"),
+      (3L, "click"), (3L, "purchase"), (4L, "click"),
+      (5L, "purchase"), (6L, "view"), (7L, "view"), (8L, "view"))
+      .map { case (u, t) => (u, ts("2024-01-01 10:00:00"), t) })
+      .toDF("user_id", "ts", "event_type")
+    val r = StatsAnalytics.eValue(ev, clickSplit = 1L).collect()(0)
+    assert(r.getAs[Long]("n_exp_pos") == 3L)
+    assert(r.getAs[Long]("n_exp_neg") == 1L)
+    assert(r.getAs[Long]("n_unexp_pos") == 1L)
+    assert(r.getAs[Long]("n_unexp_neg") == 3L)
+    assert(r.getAs[Double]("risk_ratio") == 3.0)
+    assert(r.getAs[Double]("e_value") == r6(3.0 + math.sqrt(6.0)))
+  }
+
+  test("eValue: protective exposure inverts the ratio for E") {
+    // exposed purchase LESS: p1 = 1/4, p0 = 3/4 -> RR = 1/3,
+    // RR* = 3 -> same E as the harmful direction
+    val ev = (Seq(
+      (1L, "click"), (1L, "purchase"), (2L, "click"), (3L, "click"),
+      (4L, "click"),
+      (5L, "purchase"), (6L, "purchase"), (7L, "purchase"), (8L, "view"))
+      .map { case (u, t) => (u, ts("2024-01-01 10:00:00"), t) })
+      .toDF("user_id", "ts", "event_type")
+    val r = StatsAnalytics.eValue(ev, clickSplit = 1L).collect()(0)
+    assert(r.getAs[Double]("risk_ratio") == r6((1.0 / 4) / (3.0 / 4)))
+    assert(r.getAs[Double]("e_value") == r6(3.0 + math.sqrt(6.0)))
+  }
+
+  // ---- infoGainRanking ------------------------------------------------
+
+  test("infoGainRanking: perfect and useless features rank correctly") {
+    // purchases at hour 13 with value 150; views at hour 2, no value;
+    // all on one day: hour_q / value_band / has_value are PERFECT
+    // (ig_ratio 1), dow is useless (single cell, ig 0)
+    val ev = Seq(
+      (1L, ts("2024-01-01 13:00:00"), "purchase", Some(150.0)),
+      (2L, ts("2024-01-01 13:30:00"), "purchase", Some(150.0)),
+      (3L, ts("2024-01-01 02:00:00"), "view", None),
+      (4L, ts("2024-01-01 02:30:00"), "view", None))
+      .toDF("user_id", "ts", "event_type", "value")
+    val r = StatsAnalytics.infoGainRanking(ev).collect()
+      .map(x => x.getAs[String]("feature") ->
+        (x.getAs[Double]("h_label"), x.getAs[Double]("info_gain"),
+          x.getAs[Double]("ig_ratio"))).toMap
+    assert(r.keySet ==
+      Set("hour_q", "dow", "value_band", "has_value"))
+    r.values.foreach(v => assert(math.abs(v._1 - math.log(2.0)) < 1e-6))
+    assert(r("dow")._2 == 0.0 && r("dow")._3 == 0.0)
+    for (f <- Seq("hour_q", "value_band", "has_value")) {
+      assert(r(f)._2 == r(f)._1, f) // IG = H(label): fully informative
+      assert(r(f)._3 == 1.0, f)
+    }
+  }
+
   // ---- closeness ------------------------------------------------------
 
   test("closenessOf: hand graph distances, closeness, harmonic") {

@@ -634,6 +634,18 @@ object SparkEntry {
     // information-gain feature ranking vs the is-purchase label
     "q_info_gain" -> ((s, d) =>
       StatsAnalytics.infoGainRanking(Tables.events(s, d))),
+    // per-segment overdispersion (Poisson plausibility) of order counts
+    "q_overdispersion" -> ((s, d) =>
+      StatsAnalytics.overdispersion(Tables.orders(s, d),
+        Tables.customer(s, d))),
+    // two-round IPF raking of dow x type cells to uniform margins
+    "q_raking" -> ((s, d) =>
+      StatsAnalytics.raking(Tables.events(s, d))),
+    // Luhn mod-10 PII-plausibility audit of digit runs
+    "q_luhn_audit" -> ((s, d) =>
+      graft.ext.Curation.luhnAudit(Tables.customer(s, d)
+        .select(col("c_mktsegment").as("source"),
+          col("c_name").as("text")))),
     // closeness/harmonic centrality of top-degree co-purchase hubs
     "q_closeness" -> ((s, d) =>
       graft.analytics.GraphAnalytics.closeness(s, d)),
@@ -5266,6 +5278,115 @@ object SparkEntry {
                > 4.20
              THEN 1 ELSE 0 END AS INT) AS granger_at_f420
          FROM f""",
+    "q_overdispersion" ->
+      """WITH per AS (
+           SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
+           FROM orders GROUP BY 1),
+         j AS (
+           SELECT c.c_mktsegment AS segment, p.x
+           FROM per p JOIN customer c ON p.o_custkey = c.c_custkey),
+         m AS (
+           SELECT segment, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM j GROUP BY 1),
+         v AS (
+           SELECT *, (n > 1 AND sx > 0) AS ok,
+             CAST(sx AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE)
+               AS mean_c,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE)
+                 / CAST(greatest(n, 1) AS DOUBLE))
+               / CAST(greatest(n - 1, 1) AS DOUBLE) AS var_c
+           FROM m),
+         dd AS (
+           SELECT *, var_c / (CASE WHEN mean_c <> 0.0 THEN mean_c
+             ELSE 1.0 END) AS disp
+           FROM v)
+         SELECT segment, n,
+           floor(mean_c * 1000000.0 + 0.5) / 1000000.0 AS mean_count,
+           CASE WHEN ok THEN floor(var_c * 1000000.0 + 0.5) / 1000000.0
+             ELSE 0.0 END AS var_count,
+           CASE WHEN ok THEN floor(disp * 1000000.0 + 0.5) / 1000000.0
+             ELSE 0.0 END AS dispersion,
+           CASE WHEN ok THEN floor((CAST(n AS DOUBLE) - 1.0) * disp
+               * 1000000.0 + 0.5) / 1000000.0
+             ELSE 0.0 END AS chi2_stat,
+           CAST(CASE WHEN ok AND disp > 1.5 THEN 1 ELSE 0 END AS INT)
+             AS overdispersed_at_1_5
+         FROM dd ORDER BY segment""",
+    "q_raking" ->
+      """WITH cells AS (
+           SELECT CAST((CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT)
+               + 4) % 7 AS INT) AS dow,
+             event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         tot AS (
+           SELECT CAST(sum(n) AS BIGINT) AS nt,
+             CAST(count(DISTINCT dow) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS n_cols
+           FROM cells),
+         base AS (
+           SELECT dow, event_type, n,
+             CAST(nt AS DOUBLE) / CAST(n_rows AS DOUBLE) AS t_row,
+             CAST(nt AS DOUBLE) / CAST(n_cols AS DOUBLE) AS t_col
+           FROM cells CROSS JOIN tot),
+         rowsum AS (
+           SELECT dow, CAST(sum(CAST(n AS DECIMAL(28,12))) AS DOUBLE)
+             AS rs
+           FROM base GROUP BY 1),
+         w1 AS (
+           SELECT b.dow, b.event_type, b.n, b.t_row, b.t_col,
+             CAST(b.n AS DOUBLE) * b.t_row
+               / (CASE WHEN r.rs <> 0.0 THEN r.rs ELSE 1.0 END) AS w
+           FROM base b JOIN rowsum r USING (dow)),
+         colsum AS (
+           SELECT event_type,
+             CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE) AS cs
+           FROM w1 GROUP BY 1),
+         w2 AS (
+           SELECT w1.dow, w1.event_type, w1.n, w1.t_row,
+             w1.w * w1.t_col
+               / (CASE WHEN c.cs <> 0.0 THEN c.cs ELSE 1.0 END) AS w
+           FROM w1 JOIN colsum c USING (event_type)),
+         rowresid AS (
+           SELECT dow,
+             CAST(sum(CAST(w AS DECIMAL(28,12))) AS DOUBLE)
+               - max(t_row) AS row_resid
+           FROM w2 GROUP BY 1)
+         SELECT w2.dow, w2.event_type, w2.n,
+           floor(w2.w * 1000000.0 + 0.5) / 1000000.0 AS raked_weight,
+           floor(rr.row_resid * 1000000.0 + 0.5) / 1000000.0
+             AS row_margin_residual
+         FROM w2 JOIN rowresid rr USING (dow)
+         ORDER BY dow, event_type""",
+    "q_luhn_audit" ->
+      """WITH cands AS (
+           SELECT c_mktsegment AS source,
+             unnest(regexp_extract_all(c_name, '[0-9]{8,19}')) AS c
+           FROM customer),
+         scored AS (
+           SELECT source,
+             CASE WHEN CAST(list_sum(list_transform(
+                 range(1, length(c) + 1), i ->
+                 CASE WHEN (length(c) - i) % 2 = 1
+                   THEN CASE WHEN (ascii(substr(c, CAST(i AS INT), 1))
+                       - 48) * 2 > 9
+                     THEN (ascii(substr(c, CAST(i AS INT), 1)) - 48)
+                       * 2 - 9
+                     ELSE (ascii(substr(c, CAST(i AS INT), 1)) - 48) * 2
+                     END
+                   ELSE ascii(substr(c, CAST(i AS INT), 1)) - 48 END))
+               AS BIGINT) % 10 = 0
+             THEN 1 ELSE 0 END AS ok
+           FROM cands)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(ok) AS BIGINT) AS n_luhn_valid,
+           floor(CAST(sum(ok) AS DOUBLE)
+             / CAST(greatest(count(*), 1) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS valid_rate
+         FROM scored GROUP BY 1 ORDER BY 1""",
     "q_evalue" ->
       """WITH per AS (
            SELECT user_id,

@@ -2509,6 +2509,105 @@ object StatsAnalytics {
       r6(ar - al).as("tau_jump"))
   }
 
+  /** Per-segment overdispersion check of per-customer order counts —
+    * the "is Poisson even plausible" gate before any count model
+    * (negative-binomial vs Poisson is THE first modeling fork):
+    * dispersion D = s²/x̄ per market segment, with the index-of-
+    * dispersion statistic (n−1)·D ~ χ²(n−1) under Poisson. D ≫ 1 means
+    * clumping (model with NB), D ≪ 1 regularity. The flag compares D
+    * against a stated literal 1.5. Variance via the exact sums
+    * (Σx, Σx² are integers — no cancellation), divisors structurally
+    * guarded (waldIv discipline).
+    *
+    * Scale shape: one customer aggregate, one segment-bounded fold. */
+  def overdispersion(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val per = orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("x"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("x"))
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val m = per.groupBy("segment")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val ok = col("n") > 1L && col("sx") > 0L
+    val mean = d(col("sx")) / d(greatest(col("n"), lit(1L)))
+    val variance = (d(col("sxx")) - d(col("sx")) * d(col("sx")) /
+      d(greatest(col("n"), lit(1L)))) /
+      d(greatest(col("n") - 1L, lit(1L)))
+    val meanDiv = when(mean =!= 0.0, mean).otherwise(lit(1.0))
+    val disp = variance / meanDiv
+    m.select(col("segment"), col("n"),
+      r6(mean).as("mean_count"),
+      r6(when(ok, variance).otherwise(lit(0.0))).as("var_count"),
+      r6(when(ok, disp).otherwise(lit(0.0))).as("dispersion"),
+      r6(when(ok, (d(col("n")) - lit(1.0)) * disp).otherwise(lit(0.0)))
+        .as("chi2_stat"),
+      when(ok && disp > lit(1.5), 1).otherwise(0).cast("int")
+        .as("overdispersed_at_1_5"))
+      .orderBy("segment")
+  }
+
+  /** Two-round iterative proportional fitting (raking) of the
+    * weekday × event-type cell counts to UNIFORM target margins — the
+    * survey-weighting step that rebalances a logged sample to known
+    * population margins: round 1 scales every cell so each weekday row
+    * sums to total/7, round 2 rescales so each event-type column sums
+    * to total/|types|. Reports per-cell raw counts, the raked weight,
+    * and the post-fit row/column margin residuals (column margins fit
+    * exactly after round 2; row margins show the classic one-round
+    * drift that further IPF rounds would shrink). Bounded cells (≤ 7 ×
+    * |types|), all ratios double with DECIMAL margin folds, divisors
+    * structurally nonzero.
+    *
+    * Scale shape: one corpus aggregate into the bounded cell census;
+    * both IPF rounds are cell-frame algebra. */
+  def raking(ev: DataFrame): DataFrame = {
+    val cells = ev.filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .groupBy(((floor(unix_micros(col("ts")) / lit(86400000000L)) +
+        lit(4)) % 7).cast("int").as("dow"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // both rounds and the total read it
+    def dec(c: Column) = c.cast("decimal(28,12)")
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val tot = cells.agg(sum(col("n")).as("nt"),
+      countDistinct(col("dow")).as("n_rows"),
+      countDistinct(col("event_type")).as("n_cols"))
+    val base = cells.crossJoin(broadcast(tot))
+      .select(col("dow"), col("event_type"), col("n"),
+        (d(col("nt")) / d(col("n_rows"))).as("t_row"),
+        (d(col("nt")) / d(col("n_cols"))).as("t_col"))
+    // round 1: fit row (dow) margins
+    val rowSum = base.groupBy("dow")
+      .agg(sum(dec(col("n"))).cast("double").as("rs"))
+    val w1 = base.join(broadcast(rowSum), Seq("dow"))
+      .select(col("dow"), col("event_type"), col("n"), col("t_row"),
+        col("t_col"),
+        (d(col("n")) * col("t_row") /
+          when(col("rs") =!= 0.0, col("rs")).otherwise(lit(1.0)))
+          .as("w"))
+    // round 2: fit column (event_type) margins
+    val colSum = w1.groupBy("event_type")
+      .agg(sum(dec(col("w"))).cast("double").as("cs"))
+    val w2 = w1.join(broadcast(colSum), Seq("event_type"))
+      .select(col("dow"), col("event_type"), col("n"), col("t_row"),
+        (col("w") * col("t_col") /
+          when(col("cs") =!= 0.0, col("cs")).otherwise(lit(1.0)))
+          .as("w"))
+    // residual: how far each dow row still is from its target margin
+    val rowResid = w2.groupBy("dow")
+      .agg(sum(dec(col("w"))).cast("double").as("rs2"),
+        max(col("t_row")).as("tr"))
+      .select(col("dow"), (col("rs2") - col("tr")).as("row_resid"))
+    w2.join(broadcast(rowResid), Seq("dow"))
+      .select(col("dow"), col("event_type"), col("n"),
+        r6(col("w")).as("raked_weight"),
+        r6(col("row_resid")).as("row_margin_residual"))
+      .orderBy("dow", "event_type")
+  }
+
   /** VanderWeele–Ding E-value for unmeasured confounding — the
     * sensitivity number every observational contrast in this family
     * ([[ipwAte]], [[waldIv]], the naive heavy-vs-light split) should

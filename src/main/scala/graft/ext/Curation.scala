@@ -107,6 +107,47 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Luhn mod-10 audit of digit runs — the PII-plausibility screen that
+    * separates card-number-shaped leaks from harmless ids: a RANDOM
+    * digit run passes Luhn ~10% of the time, so a source whose long
+    * digit runs validate at ~100% is leaking real card numbers while
+    * ~10% is the innocent null rate. Input is any (source, text) frame;
+    * the fixture audits customer names (zero-padded ids — the null
+    * distribution the screen calibrates against). The per-candidate
+    * checksum is a bounded HOF fold (≤ 19 integer terms over an
+    * ALREADY-extracted rare candidate — not a corpus-hot path, so the
+    * interpreted-lambda cost is irrelevant; the regex extraction is the
+    * data-sized stage and it is codegen'd). DuckDB reproduces the fold
+    * with list_transform over the same positional arithmetic.
+    *
+    * Scale shape: one regexp-extract scan, explode of the (rare)
+    * candidates, one source-bounded aggregate. */
+  def luhnAudit(rows: DataFrame,
+                pattern: String = "[0-9]{8,19}"): DataFrame = {
+    val cands = rows.select(col("source"),
+        explode(expr(s"regexp_extract_all(text, '$pattern', 0)"))
+          .as("c"))
+    // Luhn: from the RIGHT, double every second digit, subtract 9 when
+    // the double exceeds 9, sum; valid iff sum % 10 == 0
+    val luhnSum = aggregate(
+      transform(sequence(lit(1), length(col("c"))), i => {
+        val d = ascii(col("c").substr(i, lit(1))) - lit(48)
+        val dbl = d * 2
+        val adj = when(dbl > 9, dbl - 9).otherwise(dbl)
+        when((length(col("c")) - i) % 2 === 1, adj).otherwise(d)
+      }),
+      lit(0), (acc, x) => acc + x)
+    cands.select(col("source"), (luhnSum % 10 === 0).cast("long").as("ok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(col("ok")).as("n_luhn_valid"))
+      .withColumn("valid_rate",
+        floor(col("n_luhn_valid").cast("double") /
+          greatest(col("n_candidates"), lit(1L)).cast("double") *
+          lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+      .orderBy("source")
+  }
+
   /** One DoReMi-style mixture-reweighting step (Xie et al. 2023's
     * Group-DRO update, public method) over the per-source domains: the
     * excess loss of each source is its unigram KL vs the corpus blend —

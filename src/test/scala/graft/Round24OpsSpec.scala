@@ -519,6 +519,75 @@ class Round24OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- overdispersion -------------------------------------------------
+
+  test("overdispersion: flat segment vs clumped segment") {
+    // S: counts 1,1,1,1 -> var 0, disp 0; T: counts 1,9 -> mean 5,
+    // var 32, disp 6.4, chi2 6.4, flagged
+    val orders = (Seq.fill(1)(1L) ++ Seq.fill(1)(2L) ++ Seq.fill(1)(3L) ++
+      Seq.fill(1)(4L) ++ Seq.fill(1)(5L) ++ Seq.fill(9)(6L))
+      .toDF("o_custkey")
+    val customer = Seq((1L, "S"), (2L, "S"), (3L, "S"), (4L, "S"),
+      (5L, "T"), (6L, "T")).toDF("c_custkey", "c_mktsegment")
+    val r = StatsAnalytics.overdispersion(orders, customer).collect()
+      .map(x => x.getAs[String]("segment") ->
+        (x.getAs[Long]("n"), x.getAs[Double]("mean_count"),
+          x.getAs[Double]("var_count"), x.getAs[Double]("dispersion"),
+          x.getAs[Double]("chi2_stat"),
+          x.getAs[Int]("overdispersed_at_1_5"))).toMap
+    assert(r("S") == ((4L, 1.0, 0.0, 0.0, 0.0, 0)))
+    assert(r("T") == ((2L, 5.0, 32.0, 6.4, 6.4, 1)))
+  }
+
+  // ---- raking ---------------------------------------------------------
+
+  test("raking: round 2 fits column margins exactly; residuals " +
+    "reconcile") {
+    // two days (different weekdays), two types, skewed counts
+    val ev = (Seq.fill(30)(("2024-01-01", "view")) ++
+      Seq.fill(10)(("2024-01-01", "click")) ++
+      Seq.fill(10)(("2024-01-02", "view")) ++
+      Seq.fill(10)(("2024-01-02", "click")))
+      .zipWithIndex
+      .map { case ((day, t), i) => (i.toLong, ts(s"$day 10:00:00"), t) }
+      .toDF("user_id", "ts", "event_type")
+    val out = StatsAnalytics.raking(ev).collect()
+      .map(x => (x.getAs[Int]("dow"), x.getAs[String]("event_type"),
+        x.getAs[Long]("n"), x.getAs[Double]("raked_weight"),
+        x.getAs[Double]("row_margin_residual")))
+    assert(out.length == 4)
+    val total = 60.0
+    // column margins exact after the column-fitting round
+    for (t <- Seq("view", "click")) {
+      val cs = out.filter(_._2 == t).map(_._4).sum
+      assert(math.abs(cs - total / 2) < 1e-5, s"$t -> $cs")
+    }
+    // weights stay a reweighting of the same mass
+    assert(math.abs(out.map(_._4).sum - total) < 1e-5)
+    // published row residual equals the recomputed row drift
+    for (dw <- out.map(_._1).distinct) {
+      val rs = out.filter(_._1 == dw).map(_._4).sum
+      val resid = out.filter(_._1 == dw).map(_._5).head
+      assert(math.abs((rs - total / 2) - resid) < 1e-5)
+    }
+  }
+
+  // ---- luhnAudit ------------------------------------------------------
+
+  test("luhnAudit: known-valid and corrupted card numbers") {
+    // 4539148803436467 is Luhn-valid; flipping the last digit breaks it
+    val rows = Seq(
+      ("A", "card 4539148803436467 end"),
+      ("A", "id 4539148803436468"),
+      ("B", "no digits here"))
+      .toDF("source", "text")
+    val r = graft.ext.Curation.luhnAudit(rows).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_candidates"), x.getAs[Long]("n_luhn_valid"),
+          x.getAs[Double]("valid_rate"))).toMap
+    assert(r == Map("A" -> ((2L, 1L, 0.5))))
+  }
+
   // ---- closeness ------------------------------------------------------
 
   test("closenessOf: hand graph distances, closeness, harmonic") {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.CleanFns._
 import graft.operators.{Dedup, Quarantine, Upsert}
-import graft.analytics.{EventAnalytics, StarAnalytics, StatsAnalytics}
+import graft.analytics.{EventAnalytics, InferenceAnalytics, StarAnalytics, StatsAnalytics}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with DuckDB oracle SQL over the same fixture tables.
@@ -649,6 +649,58 @@ object SparkEntry {
     // closeness/harmonic centrality of top-degree co-purchase hubs
     "q_closeness" -> ((s, d) =>
       graft.analytics.GraphAnalytics.closeness(s, d)),
+    // Page–Hinkley sequential mean-shift monitor on daily value
+    "q_page_hinkley" -> ((s, d) =>
+      InferenceAnalytics.pageHinkley(Tables.events(s, d))),
+    // Theta-method (M3) 7-day forecast of the daily value series
+    "q_theta_forecast" -> ((s, d) =>
+      InferenceAnalytics.thetaForecast(Tables.events(s, d))),
+    // normalized spectral entropy + dominant period of the day series
+    "q_spectral_entropy" -> ((s, d) =>
+      InferenceAnalytics.spectralEntropy(Tables.events(s, d))),
+    // two-cohort log-rank churn test on the md5 user split
+    "q_logrank" -> ((s, d) =>
+      InferenceAnalytics.logRank(Tables.events(s, d))),
+    // restricted mean survival time at 7/14/21/28-day horizons
+    "q_rmst" -> ((s, d) =>
+      InferenceAnalytics.rmst(Tables.events(s, d))),
+    // Cochran's Q: did the five event surfaces reach equal user shares
+    "q_cochran_q" -> ((s, d) =>
+      InferenceAnalytics.cochranQ(Tables.events(s, d))),
+    // Friedman rank test of priority order-value profiles across nations
+    "q_friedman" -> ((s, d) =>
+      InferenceAnalytics.friedman(Tables.orders(s, d),
+        Tables.customer(s, d))),
+    // Krippendorff's alpha: do an order's lines agree on return flags
+    "q_krippendorff" -> ((s, d) =>
+      InferenceAnalytics.krippendorffAlpha(Tables.lineitem(s, d))),
+    // doubly-robust AIPW treatment effect with cell nuisance models
+    "q_aipw_ate" -> ((s, d) =>
+      InferenceAnalytics.aipwAte(Tables.events(s, d))),
+    // Jelinek–Mercer interpolated bigram perplexity (held-out slice)
+    "q_jelinek_mercer" -> ((s, d) =>
+      graft.ext.TextAnalysis.jelinekMercer(Tables.documents(s, d))),
+    // natural vs z-order vs Hilbert data-skipping shoot-out
+    "q_hilbert_skip" -> ((s, d) =>
+      graft.operators.Hilbert.skipStats3(Tables.lineitem(s, d),
+        "l_partkey", "l_suppkey")),
+    // Mann–Kendall trend test + Theil–Sen slope of the daily series
+    "q_mann_kendall" -> ((s, d) =>
+      InferenceAnalytics.mannKendall(Tables.events(s, d))),
+    // TOST equivalence of per-user spend across the md5 A/B split
+    "q_tost" -> ((s, d) =>
+      InferenceAnalytics.tost(Tables.events(s, d))),
+    // JS / Hellinger / total-variation per-source distribution battery
+    "q_dist_distances" -> ((s, d) =>
+      graft.ext.Curation.distributionDistances(Tables.documents(s, d),
+        tfOpt = Some(graft.ext.TextAnalysis.docTermFreq(s, d)))),
+    // Chao1 vocabulary-richness estimate per source
+    "q_chao1" -> ((s, d) =>
+      graft.ext.Curation.chao1(Tables.documents(s, d),
+        tfOpt = Some(graft.ext.TextAnalysis.docTermFreq(s, d)))),
+    // per-source character entropy rate / redundancy (native char grams)
+    "q_char_entropy" -> ((s, d) =>
+      graft.ext.TextAnalysis.charEntropy(Tables.documents(s, d))),
     "q_power_iteration" -> ((s, d) =>
       graft.ext.Similarity.powerIteration(Tables.embeddings(s, d))),
     // ---- NDCG@k of the cosine ranking against label relevance ----
@@ -2586,6 +2638,91 @@ object SparkEntry {
            floor(sll / CAST(n2 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
              AS avg_loglik
          FROM i3 CROSS JOIN ll"""
+  }
+
+  /** The periodogram oracle, extracted so q_spectral_entropy can fold the
+    * SAME power census (DuckDB allows a WITH-bearing statement as a
+    * subquery, so the reuse is verbatim). */
+  private val periodogramOracleSql: String = {
+    val arms = (2 to 14).map { p =>
+      def cse(tab: Array[Double]): String =
+        s"CASE CAST(t % $p AS INT) " +
+          (1 until p).map(r =>
+            s"WHEN $r THEN CAST(${tab(r)} AS DOUBLE)").mkString(" ") +
+          s" ELSE CAST(${tab(0)} AS DOUBLE) END"
+      val cosCase = cse(graft.analytics.PeriodogramTables.cosTab(p))
+      val sinCase = cse(graft.analytics.PeriodogramTables.sinTab(p))
+      s"""SELECT CAST($p AS BIGINT) AS period,
+          CAST(n AS BIGINT) AS n_days,
+          floor((sc * sc + ss * ss) / CAST(n AS DOUBLE)
+            * 1000000.0 + 0.5) / 1000000.0 AS power
+        FROM (SELECT max(n) AS n,
+          CAST(sum(CAST(c * ($cosCase) AS DECIMAL(38,12)))
+            AS DOUBLE) AS sc,
+          CAST(sum(CAST(c * ($sinCase) AS DECIMAL(38,12)))
+            AS DOUBLE) AS ss
+          FROM centered) a$p"""
+    }.mkString(" UNION ALL ")
+    s"""WITH daily AS (
+         SELECT CAST(ts AS DATE) AS d,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS x
+         FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+         GROUP BY 1),
+       m0 AS (
+         SELECT CAST(count(*) AS BIGINT) AS n, min(d) AS d0,
+           CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx
+         FROM daily),
+       centered AS (
+         SELECT CAST(date_diff('day', d0, d) AS BIGINT) AS t,
+           x - sx / CAST(n AS DOUBLE) AS c, n
+         FROM daily CROSS JOIN m0)
+       SELECT * FROM ($arms) ORDER BY period"""
+  }
+
+  /** The daily total-value series CTE shared by the sequential-monitor
+    * oracles (the InferenceAnalytics.dailySeries construction). */
+  private val dailyCte: String =
+    """daily AS (
+         SELECT CAST(ts AS DATE) AS d,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS x
+         FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+         GROUP BY 1)"""
+
+  /** CASE lookup of 0.5^k (k = `expr`, beyond-table → 0 on BOTH engines)
+    * — the ThetaTables.pow05 literals, exact binary powers of two. */
+  private def pow05Case(expr: String): String =
+    s"CASE CAST($expr AS INT) " +
+      (0 until graft.analytics.ThetaTables.maxPow).map(i =>
+        s"WHEN $i THEN CAST(${graft.analytics.ThetaTables.pow05(i)} " +
+          "AS DOUBLE)").mkString(" ") + " ELSE CAST(0.0 AS DOUBLE) END"
+
+  /** The unrolled Hilbert xy→d walk as 8 chained CTEs over fresh column
+    * names per level (DuckDB lateral alias resolution makes same-name
+    * reuse in one SELECT ambiguous) — the operators.Hilbert.withHilbert
+    * chain, verbatim in SQL. Input CTE must expose xg, yg, z. */
+  private val hilbertStepsCte: String = {
+    val init = "h0 AS (SELECT xg, yg, cnt, z, xg AS hx0, yg AS hy0, " +
+      "CAST(0 AS BIGINT) AS hd0 FROM grid)"
+    val steps = (7 to 0 by -1).zipWithIndex.map { case (i, idx) =>
+      val s = 1L << i
+      val (a, b) = (idx, idx + 1)
+      s"""h$b AS (SELECT xg, yg, cnt, z,
+          hd$a + ${s * s} * (CASE
+            WHEN (hx$a & $s) = 0 AND (hy$a & $s) = 0 THEN 0
+            WHEN (hx$a & $s) = 0 AND (hy$a & $s) > 0 THEN 1
+            WHEN (hx$a & $s) > 0 AND (hy$a & $s) > 0 THEN 2
+            ELSE 3 END) AS hd$b,
+          CASE WHEN (hy$a & $s) > 0 THEN hx$a
+               WHEN (hx$a & $s) > 0 THEN ${s - 1} - hy$a
+               ELSE hy$a END AS hx$b,
+          CASE WHEN (hy$a & $s) > 0 THEN hy$a
+               WHEN (hx$a & $s) > 0 THEN ${s - 1} - hx$a
+               ELSE hx$a END AS hy$b
+        FROM h$a)"""
+    }
+    (init +: steps).mkString(",\n       ")
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -5471,42 +5608,811 @@ object SparkEntry {
              ELSE 0.0 END AS ig_ratio
          FROM ($arms) CROSS JOIN hl ORDER BY feature"""
     },
-    "q_periodogram" -> {
-      val arms = (2 to 14).map { p =>
-        def cse(tab: Array[Double]): String =
-          s"CASE CAST(t % $p AS INT) " +
-            (1 until p).map(r =>
-              s"WHEN $r THEN CAST(${tab(r)} AS DOUBLE)").mkString(" ") +
-            s" ELSE CAST(${tab(0)} AS DOUBLE) END"
-        val cosCase = cse(graft.analytics.PeriodogramTables.cosTab(p))
-        val sinCase = cse(graft.analytics.PeriodogramTables.sinTab(p))
-        s"""SELECT CAST($p AS BIGINT) AS period,
-            CAST(n AS BIGINT) AS n_days,
-            floor((sc * sc + ss * ss) / CAST(n AS DOUBLE)
-              * 1000000.0 + 0.5) / 1000000.0 AS power
-          FROM (SELECT max(n) AS n,
-            CAST(sum(CAST(c * ($cosCase) AS DECIMAL(38,12)))
-              AS DOUBLE) AS sc,
-            CAST(sum(CAST(c * ($sinCase) AS DECIMAL(38,12)))
-              AS DOUBLE) AS ss
-            FROM centered) a$p"""
-      }.mkString(" UNION ALL ")
-      s"""WITH daily AS (
-           SELECT CAST(ts AS DATE) AS d,
-             CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
-               AS x
-           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
-           GROUP BY 1),
-         m0 AS (
-           SELECT CAST(count(*) AS BIGINT) AS n, min(d) AS d0,
-             CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx
+    "q_periodogram" -> periodogramOracleSql,
+    "q_page_hinkley" ->
+      s"""WITH $dailyCte,
+         sd0 AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
            FROM daily),
-         centered AS (
-           SELECT CAST(date_diff('day', d0, d) AS BIGINT) AS t,
-             x - sx / CAST(n AS DOUBLE) AS c, n
-           FROM daily CROSS JOIN m0)
-         SELECT * FROM ($arms) ORDER BY period"""
+         sd AS (
+           SELECT n,
+             CASE WHEN n > 1 THEN sqrt(greatest(
+                 (sxx - sx * sx / CAST(n AS DOUBLE))
+                   / CAST(greatest(n - 1, 1) AS DOUBLE), 0.0))
+               ELSE 0.0 END AS sd
+           FROM sd0),
+         w1 AS (
+           SELECT d, x,
+             CAST(sum(CAST(x AS DECIMAL(28,6))) OVER win AS DOUBLE)
+               / CAST(count(*) OVER win AS DOUBLE) AS run_mean
+           FROM daily WINDOW win AS (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         w2 AS (
+           SELECT d, x, run_mean,
+             CAST(sum(CAST(x - run_mean AS DECIMAL(28,12))) OVER win
+               AS DOUBLE) AS m_stat
+           FROM w1 WINDOW win AS (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         w3 AS (
+           SELECT d, x, run_mean, m_stat,
+             m_stat - min(m_stat) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ph_stat
+           FROM w2)
+         SELECT strftime(d, '%Y-%m-%d') AS d, x,
+           floor(run_mean * 1000000.0 + 0.5) / 1000000.0 AS run_mean,
+           floor(m_stat * 1000000.0 + 0.5) / 1000000.0 AS m_stat,
+           floor(ph_stat * 1000000.0 + 0.5) / 1000000.0 AS ph_stat,
+           floor(2.0 * sd * 1000000.0 + 0.5) / 1000000.0 AS band_2sd,
+           CAST(CASE WHEN ph_stat > 2.0 * sd THEN 1 ELSE 0 END AS INT)
+             AS alarm_2sd
+         FROM w3 CROSS JOIN sd ORDER BY d""",
+    "q_theta_forecast" ->
+      s"""WITH $dailyCte,
+         idx AS (
+           SELECT x, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+           FROM daily),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS st,
+             CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(t * t AS DECIMAL(38,12))) AS DOUBLE) AS stt,
+             CAST(sum(CAST(CAST(t AS DOUBLE) * x AS DECIMAL(38,12)))
+               AS DOUBLE) AS stx
+           FROM idx),
+         ab AS (
+           SELECT n,
+             CASE WHEN CAST(n AS DOUBLE) * stt - st * st <> 0.0
+               THEN (CAST(n AS DOUBLE) * stx - st * sx)
+                 / (CASE WHEN CAST(n AS DOUBLE) * stt - st * st <> 0.0
+                     THEN CAST(n AS DOUBLE) * stt - st * st ELSE 1.0 END)
+               ELSE 0.0 END AS b,
+             CASE WHEN CAST(n AS DOUBLE) * stt - st * st <> 0.0
+               THEN (sx * stt - st * stx)
+                 / (CASE WHEN CAST(n AS DOUBLE) * stt - st * st <> 0.0
+                     THEN CAST(n AS DOUBLE) * stt - st * st ELSE 1.0 END)
+               ELSE sx / CAST(greatest(n, 1) AS DOUBLE) END AS a
+           FROM m),
+         wz AS (
+           SELECT i.t, i.x, ab.n, ab.a, ab.b,
+             (CASE WHEN i.t = 1 THEN ${pow05Case("n - t")}
+               ELSE ${pow05Case("n - t + 1")} END) AS w,
+             2.0 * i.x - (ab.a + ab.b * CAST(i.t AS DOUBLE)) AS z
+           FROM idx i CROSS JOIN ab),
+         ses AS (
+           SELECT max(n) AS n, max(a) AS a, max(b) AS b,
+             CAST(sum(CAST(w * z AS DECIMAL(38,12))) AS DOUBLE) AS ses
+           FROM wz),
+         hs AS (SELECT CAST(1 AS BIGINT) AS h UNION ALL
+           SELECT CAST(2 AS BIGINT) UNION ALL SELECT CAST(3 AS BIGINT)
+           UNION ALL SELECT CAST(4 AS BIGINT)
+           UNION ALL SELECT CAST(5 AS BIGINT)
+           UNION ALL SELECT CAST(6 AS BIGINT)
+           UNION ALL SELECT CAST(7 AS BIGINT))
+         SELECT h, n AS n_days,
+           floor((a + b * CAST(n + h AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS trend_part,
+           floor(ses * 1000000.0 + 0.5) / 1000000.0 AS ses_part,
+           floor((a + b * CAST(n + h AS DOUBLE) + ses) / 2.0
+             * 1000000.0 + 0.5) / 1000000.0 AS forecast
+         FROM ses CROSS JOIN hs ORDER BY h""",
+    "q_spectral_entropy" -> {
+      val lnK = graft.analytics.ThetaTables.lnPeriods
+      s"""WITH pg AS (SELECT * FROM ($periodogramOracleSql) pgsub),
+         tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_periods,
+             CAST(max(n_days) AS BIGINT) AS n_days,
+             CAST(sum(CAST(power AS DECIMAL(28,12))) AS DOUBLE) AS sp,
+             max(power) AS pmax
+           FROM pg),
+         ranked AS (
+           SELECT pg.period, pg.power, tot.n_periods, tot.n_days,
+             tot.sp, tot.pmax,
+             row_number() OVER (ORDER BY pg.power DESC, pg.period)
+               AS rnk
+           FROM pg CROSS JOIN tot),
+         ent AS (
+           SELECT max(n_periods) AS n_periods, max(n_days) AS n_days,
+             max(sp) AS sp, max(pmax) AS pmax,
+             CAST(sum(CASE WHEN power /
+                 (CASE WHEN sp <> 0.0 THEN sp ELSE 1.0 END) > 0.0
+               THEN CAST(-(power /
+                   (CASE WHEN sp <> 0.0 THEN sp ELSE 1.0 END))
+                 * ln(power /
+                   (CASE WHEN sp <> 0.0 THEN sp ELSE 1.0 END))
+                 AS DECIMAL(28,12))
+               ELSE CAST(0.0 AS DECIMAL(28,12)) END) AS DOUBLE) AS h,
+             max(CASE WHEN rnk = 1 THEN period END) AS dominant_period
+           FROM ranked)
+         SELECT n_periods, n_days,
+           floor(sp * 1000000.0 + 0.5) / 1000000.0 AS total_power,
+           floor(CASE WHEN sp <> 0.0 THEN h ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS spectral_entropy,
+           floor(CASE WHEN sp <> 0.0 THEN h / CAST($lnK AS DOUBLE)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0
+             AS spectral_entropy_norm,
+           dominant_period,
+           floor(CASE WHEN sp <> 0.0 THEN pmax /
+               (CASE WHEN sp <> 0.0 THEN sp ELSE 1.0 END)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS max_share
+         FROM ent"""
     },
+    "q_logrank" ->
+      """WITH life AS (
+           SELECT user_id,
+             CAST(date_diff('day', min(CAST(ts AS DATE)),
+               max(CAST(ts AS DATE))) AS BIGINT) AS t,
+             max(CAST(ts AS DATE)) AS last_d,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS grp
+           FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+         h AS (SELECT max(last_d) AS h FROM life),
+         pt AS (
+           SELECT t,
+             CAST(sum(CASE WHEN grp = 0 AND last_d <> h.h THEN 1 ELSE 0
+               END) AS BIGINT) AS d0,
+             CAST(sum(CASE WHEN grp = 0 AND last_d = h.h THEN 1 ELSE 0
+               END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN grp = 1 AND last_d <> h.h THEN 1 ELSE 0
+               END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN grp = 1 AND last_d = h.h THEN 1 ELSE 0
+               END) AS BIGINT) AS c1
+           FROM life CROSS JOIN h GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(d0 + c0) AS BIGINT) AS n0t,
+             CAST(sum(d1 + c1) AS BIGINT) AS n1t
+           FROM pt),
+         r AS (
+           SELECT t, d0, c0, d1, c1, n0t, n1t,
+             n0t - coalesce(sum(d0 + c0) OVER win, 0) AS n0,
+             n1t - coalesce(sum(d1 + c1) OVER win, 0) AS n1
+           FROM pt CROSS JOIN tot
+           WINDOW win AS (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         rr AS (SELECT *, n0 + n1 AS nr, d0 + d1 AS dd FROM r),
+         terms AS (
+           SELECT n0t, n1t, d1,
+             CASE WHEN dd > 0
+               THEN CAST(CAST(dd AS DOUBLE) * (CAST(n1 AS DOUBLE)
+                   / CAST(greatest(nr, 1) AS DOUBLE)) AS DECIMAL(28,12))
+               ELSE CAST(0.0 AS DECIMAL(28,12)) END AS e1t,
+             CASE WHEN dd > 0 AND nr > 1
+               THEN CAST(CAST(dd AS DOUBLE) * (CAST(n1 AS DOUBLE)
+                   / CAST(greatest(nr, 1) AS DOUBLE))
+                 * (1.0 - CAST(n1 AS DOUBLE)
+                   / CAST(greatest(nr, 1) AS DOUBLE))
+                 * CAST(nr - dd AS DOUBLE)
+                 / CAST(greatest(nr - 1, 1) AS DOUBLE) AS DECIMAL(28,12))
+               ELSE CAST(0.0 AS DECIMAL(28,12)) END AS vt
+           FROM rr),
+         agg AS (
+           SELECT max(n0t) AS n_users_a, max(n1t) AS n_users_b,
+             CAST(sum(d1) AS BIGINT) AS o1,
+             CAST(sum(e1t) AS DOUBLE) AS e1,
+             CAST(sum(vt) AS DOUBLE) AS vsum
+           FROM terms)
+         SELECT n_users_a, n_users_b, o1,
+           floor(e1 * 1000000.0 + 0.5) / 1000000.0 AS e1,
+           floor(vsum * 1000000.0 + 0.5) / 1000000.0 AS var_sum,
+           floor(CASE WHEN vsum <> 0.0
+             THEN (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1)
+               / (CASE WHEN vsum <> 0.0 THEN vsum ELSE 1.0 END)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS chi2_stat,
+           CAST(CASE WHEN vsum <> 0.0 AND
+               (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1)
+                 / (CASE WHEN vsum <> 0.0 THEN vsum ELSE 1.0 END)
+               > 3.841 THEN 1 ELSE 0 END AS INT) AS reject_at_3841
+         FROM agg""",
+    "q_rmst" ->
+      """WITH life AS (
+           SELECT user_id,
+             date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+               AS lifetime,
+             max(CAST(ts AS DATE)) AS last_d
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         h AS (SELECT max(last_d) AS h FROM life),
+         pt AS (
+           SELECT CAST(lifetime AS BIGINT) AS t,
+             CAST(sum(CASE WHEN last_d = h.h THEN 0 ELSE 1 END) AS BIGINT)
+               AS d,
+             CAST(sum(CASE WHEN last_d = h.h THEN 1 ELSE 0 END) AS BIGINT)
+               AS c
+           FROM life CROSS JOIN h GROUP BY 1),
+         tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM pt),
+         r AS (
+           SELECT t, d, c,
+             n_total - coalesce(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+           FROM pt CROSS JOIN tot),
+         s AS (
+           SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+             sum(CASE WHEN d > 0 AND d < n_risk
+                   THEN CAST(ln(1.0 - CAST(d AS DOUBLE) /
+                     CAST(n_risk AS DOUBLE)) AS DECIMAL(28,12))
+                   ELSE CAST(0.0 AS DECIMAL(28,12)) END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) AS lsum,
+             max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND
+                 CURRENT ROW) AS zf
+           FROM r),
+         km AS (
+           SELECT t,
+             CASE WHEN zf = 1 THEN 0.0
+                  ELSE round(exp(CAST(lsum AS DOUBLE)), 6) END AS s_km
+           FROM s),
+         kn AS (
+           SELECT t, s_km,
+             coalesce(lead(t) OVER (ORDER BY t), 1000000) AS t_next
+           FROM km),
+         tmin AS (SELECT min(t) AS t_min FROM km),
+         taus AS (SELECT CAST(7 AS BIGINT) AS tau UNION ALL
+           SELECT CAST(14 AS BIGINT) UNION ALL SELECT CAST(21 AS BIGINT)
+           UNION ALL SELECT CAST(28 AS BIGINT)),
+         arms AS (
+           SELECT tau,
+             CAST(sum(CAST(s_km * CAST(greatest(least(t_next, tau)
+               - least(t, tau), 0) AS DOUBLE) AS DECIMAL(28,12)))
+               AS DOUBLE) AS auc
+           FROM kn CROSS JOIN taus GROUP BY tau)
+         SELECT a.tau,
+           floor((CAST(least(tm.t_min, a.tau) AS DOUBLE) + a.auc)
+             * 1000000.0 + 0.5) / 1000000.0 AS rmst,
+           floor((CAST(least(tm.t_min, a.tau) AS DOUBLE) + a.auc)
+             / CAST(a.tau AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS rmst_share
+         FROM arms a CROSS JOIN tmin tm ORDER BY tau""",
+    "q_cochran_q" ->
+      """WITH per AS (
+           SELECT user_id,
+             CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x_click,
+             CAST(max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x_error,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS BIGINT) AS x_purchase,
+             CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x_signup,
+             CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS x_view
+           FROM events WHERE user_id IS NOT NULL
+             AND event_type IS NOT NULL
+           GROUP BY 1),
+         w AS (SELECT *,
+             x_click + x_error + x_purchase + x_signup + x_view AS r
+           FROM per),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(x_click) AS BIGINT) AS c_click,
+             CAST(sum(x_error) AS BIGINT) AS c_error,
+             CAST(sum(x_purchase) AS BIGINT) AS c_purchase,
+             CAST(sum(x_signup) AS BIGINT) AS c_signup,
+             CAST(sum(x_view) AS BIGINT) AS c_view,
+             CAST(sum(r) AS BIGINT) AS nn,
+             CAST(sum(r * r) AS BIGINT) AS r2
+           FROM w)
+         SELECT n_blocks, c_click, c_error, c_purchase, c_signup,
+           c_view, nn AS n_total, CAST(5 AS INT) AS k,
+           CAST(4 AS INT) AS df,
+           floor(CASE WHEN 5 * nn - r2 > 0
+             THEN CAST(4 * (5 * (c_click * c_click + c_error * c_error
+               + c_purchase * c_purchase + c_signup * c_signup
+               + c_view * c_view) - nn * nn) AS DOUBLE)
+               / CAST(greatest(5 * nn - r2, 1) AS DOUBLE)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS q_stat,
+           CAST(CASE WHEN 5 * nn - r2 > 0 AND
+               CAST(4 * (5 * (c_click * c_click + c_error * c_error
+                 + c_purchase * c_purchase + c_signup * c_signup
+                 + c_view * c_view) - nn * nn) AS DOUBLE)
+                 / CAST(greatest(5 * nn - r2, 1) AS DOUBLE) > 9.488
+             THEN 1 ELSE 0 END AS INT) AS reject_at_9488
+         FROM m""",
+    "q_friedman" ->
+      """WITH cells0 AS (
+           SELECT c.c_nationkey AS block, o.o_orderpriority AS treat,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS v_raw
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2),
+         cells AS (
+           SELECT block, treat,
+             floor(v_raw * 1000000.0 + 0.5) / 1000000.0 AS v
+           FROM cells0),
+         comp AS (
+           SELECT *, count(*) OVER (PARTITION BY block) AS kc
+           FROM cells),
+         keep AS (SELECT * FROM comp WHERE kc = 5),
+         ranked AS (
+           SELECT *,
+             CAST(rank() OVER (PARTITION BY block ORDER BY v)
+               AS DOUBLE) AS minrank,
+             count(*) OVER (PARTITION BY block, v) AS ties
+           FROM keep),
+         mid AS (
+           SELECT *, minrank + CAST(ties - 1 AS DOUBLE) / 2.0 AS midrank
+           FROM ranked),
+         rj AS (
+           SELECT treat, CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(CAST(midrank AS DECIMAL(28,12))) AS DOUBLE) AS rsum
+           FROM mid GROUP BY 1),
+         tiesum AS (
+           SELECT CAST(coalesce(sum(tt * tt * tt - tt), 0) AS BIGINT)
+             AS ts
+           FROM (SELECT block, v, count(*) AS tt FROM mid GROUP BY 1, 2)),
+         m AS (
+           SELECT CAST(max(nb) AS BIGINT) AS n_blocks,
+             CAST(sum(CAST(rsum * rsum AS DECIMAL(28,12))) AS DOUBLE)
+               AS sr2
+           FROM rj),
+         q AS (
+           SELECT n_blocks, ts,
+             12.0 / (CAST(n_blocks AS DOUBLE) * 5.0 * 6.0) * sr2
+               - 3.0 * CAST(n_blocks AS DOUBLE) * 6.0 AS q_raw,
+             1.0 - CAST(ts AS DOUBLE)
+               / (CAST(n_blocks AS DOUBLE) * 5.0 * 24.0) AS corr
+           FROM m CROSS JOIN tiesum)
+         SELECT n_blocks, CAST(5 AS INT) AS k, CAST(4 AS INT) AS df,
+           floor(CASE WHEN n_blocks > 0 THEN q_raw ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS q_stat,
+           floor(CASE WHEN n_blocks > 0 AND corr <> 0.0
+             THEN q_raw / (CASE WHEN corr <> 0.0 THEN corr ELSE 1.0 END)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS q_corrected,
+           CAST(CASE WHEN n_blocks > 0 AND corr <> 0.0 AND
+               q_raw / (CASE WHEN corr <> 0.0 THEN corr ELSE 1.0 END)
+                 > 9.488
+             THEN 1 ELSE 0 END AS INT) AS reject_at_9488
+         FROM q""",
+    "q_krippendorff" ->
+      """WITH nuc AS (
+           SELECT l_orderkey AS u, l_returnflag AS c,
+             CAST(count(*) AS BIGINT) AS nuc
+           FROM lineitem GROUP BY 1, 2),
+         mu AS (
+           SELECT u, CAST(sum(nuc) AS BIGINT) AS m
+           FROM nuc GROUP BY 1 HAVING CAST(sum(nuc) AS BIGINT) >= 2),
+         kept AS (SELECT n.u, n.c, n.nuc, mu.m
+           FROM nuc n JOIN mu USING (u)),
+         occ AS (
+           SELECT
+             CAST(sum(CAST(CAST(nuc * (nuc - 1) AS DOUBLE)
+               / CAST(greatest(m - 1, 1) AS DOUBLE) AS DECIMAL(28,12)))
+               AS DOUBLE) AS o_agree,
+             CAST(sum(nuc) AS BIGINT) AS n,
+             CAST(count(DISTINCT u) AS BIGINT) AS n_units,
+             CAST(count(DISTINCT c) AS BIGINT) AS n_categories
+           FROM kept),
+         nc AS (
+           SELECT CAST(sum(ncat * (ncat - 1)) AS BIGINT) AS sne
+           FROM (SELECT c, CAST(sum(nuc) AS BIGINT) AS ncat
+             FROM kept GROUP BY 1)),
+         fin AS (
+           SELECT n_units, n, n_categories,
+             1.0 - o_agree / CAST(greatest(n, 1) AS DOUBLE) AS d_o,
+             1.0 - CAST(sne AS DOUBLE) / (CAST(n AS DOUBLE)
+               * CAST(greatest(n - 1, 1) AS DOUBLE)) AS d_e
+           FROM occ CROSS JOIN nc)
+         SELECT n_units, n AS n_ratings, n_categories,
+           floor(CASE WHEN n > 1 THEN d_o ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS d_observed,
+           floor(CASE WHEN n > 1 THEN d_e ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS d_expected,
+           floor(CASE WHEN n > 1 AND d_e <> 0.0
+             THEN 1.0 - d_o / (CASE WHEN d_e <> 0.0 THEN d_e ELSE 1.0
+               END)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS alpha,
+           CAST(CASE WHEN n > 1 AND d_e <> 0.0 AND
+               1.0 - d_o / (CASE WHEN d_e <> 0.0 THEN d_e ELSE 1.0 END)
+                 >= 0.8
+             THEN 1 ELSE 0 END AS INT) AS reliable_at_0_8
+         FROM fin""",
+    "q_aipw_ate" ->
+      """WITH per AS (
+           SELECT user_id,
+             CAST(CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1
+               ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS BIGINT) AS t,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS BIGINT) AS y,
+             least(count(DISTINCT CAST(ts AS DATE)), 3) AS x
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         cells AS (
+           SELECT x, CAST(count(*) AS BIGINT) AS nx,
+             CAST(sum(t) AS BIGINT) AS n1,
+             CAST(sum(t * y) AS BIGINT) AS s1y,
+             CAST(sum((1 - t) * y) AS BIGINT) AS s0y
+           FROM per GROUP BY 1),
+         ncells AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(CASE WHEN n1 > 0 AND n1 < nx THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_cells_kept,
+             CAST(sum(nx) AS BIGINT) AS n_users
+           FROM cells),
+         kept AS (
+           SELECT *,
+             CAST(s1y AS DOUBLE) / CAST(greatest(n1, 1) AS DOUBLE)
+               AS m1,
+             CAST(s0y AS DOUBLE) / CAST(greatest(nx - n1, 1) AS DOUBLE)
+               AS m0
+           FROM cells WHERE n1 > 0 AND n1 < nx),
+         j AS (
+           SELECT p.t, p.y, k.nx, k.n1, k.m1, k.m0
+           FROM per p JOIN kept k USING (x)),
+         folds AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(CAST(m1 - m0 + CAST(t AS DOUBLE)
+                 * (CAST(y AS DOUBLE) - m1) * (CAST(nx AS DOUBLE)
+                   / CAST(greatest(n1, 1) AS DOUBLE))
+               - (1.0 - CAST(t AS DOUBLE)) * (CAST(y AS DOUBLE) - m0)
+                 * (CAST(nx AS DOUBLE)
+                   / CAST(greatest(nx - n1, 1) AS DOUBLE))
+               AS DECIMAL(28,12))) AS DOUBLE) AS spsi,
+             CAST(sum(CAST(CAST(t AS DOUBLE) * CAST(y AS DOUBLE)
+                 * (CAST(nx AS DOUBLE)
+                   / CAST(greatest(n1, 1) AS DOUBLE))
+               - (1.0 - CAST(t AS DOUBLE)) * CAST(y AS DOUBLE)
+                 * (CAST(nx AS DOUBLE)
+                   / CAST(greatest(nx - n1, 1) AS DOUBLE))
+               AS DECIMAL(28,12))) AS DOUBLE) AS sipw,
+             CAST(sum(CAST(m1 - m0 AS DECIMAL(28,12))) AS DOUBLE)
+               AS sreg
+           FROM j)
+         SELECT n_users, n_kept AS n_users_kept,
+           n_users - n_kept AS n_users_dropped, n_cells, n_cells_kept,
+           floor(CASE WHEN n_kept > 0
+             THEN sreg / CAST(greatest(n_kept, 1) AS DOUBLE)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS ate_reg,
+           floor(CASE WHEN n_kept > 0
+             THEN sipw / CAST(greatest(n_kept, 1) AS DOUBLE)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS ate_ipw,
+           floor(CASE WHEN n_kept > 0
+             THEN spsi / CAST(greatest(n_kept, 1) AS DOUBLE)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS ate_aipw
+         FROM folds CROSS JOIN ncells""",
+    "q_jelinek_mercer" -> {
+      val l = 0.7
+      val l1 = 1.0 - l
+      s"""WITH toksT AS (
+           SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 10 <> 9),
+         toksE AS (
+           SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+             x -> x <> '') AS toks
+           FROM documents WHERE doc_id % 10 = 9),
+         gt AS (
+           SELECT unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           FROM toksT WHERE len(toks) >= 2),
+         ge AS (
+           SELECT split_part(bigram, ' ', 1) AS w1,
+             split_part(bigram, ' ', 2) AS w2
+           FROM (SELECT unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS bigram
+             FROM toksE WHERE len(toks) >= 2)),
+         bc AS (
+           SELECT split_part(bigram, ' ', 1) AS w1,
+             split_part(bigram, ' ', 2) AS w2,
+             CAST(count(*) AS BIGINT) AS c12
+           FROM gt GROUP BY 1, 2),
+         heads AS (
+           SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+         uni AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS cu
+           FROM (SELECT unnest(toks) AS w FROM toksT) GROUP BY 1),
+         tu AS (SELECT CAST(sum(cu) AS BIGINT) AS nu FROM uni),
+         scored AS (
+           SELECT
+             CASE WHEN h.c1 IS NOT NULL
+               THEN CAST(coalesce(b.c12, 0) AS DOUBLE)
+                 / CAST(greatest(h.c1, 1) AS DOUBLE)
+               ELSE 0.0 END AS pcond,
+             CAST(coalesce(u.cu, 0) AS DOUBLE)
+               / CAST(greatest(tu.nu, 1) AS DOUBLE) AS puni,
+             CASE WHEN h.c1 IS NULL THEN 1 ELSE 0 END AS unseen
+           FROM ge
+           LEFT JOIN heads h ON ge.w1 = h.w1
+           LEFT JOIN bc b ON ge.w1 = b.w1 AND ge.w2 = b.w2
+           LEFT JOIN uni u ON ge.w2 = u.w, tu),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_eval_bigrams,
+             CAST(sum(unseen) AS BIGINT) AS n_unseen_heads,
+             CAST(sum(CAST(ln(greatest($l * pcond + $l1 * puni, 1.0e-12))
+               AS DECIMAL(28,12))) AS DOUBLE) AS slp
+           FROM scored)
+         SELECT n_eval_bigrams, n_unseen_heads,
+           CAST($l AS DOUBLE) AS lambda,
+           floor(CASE WHEN n_eval_bigrams > 0
+             THEN slp / CAST(greatest(n_eval_bigrams, 1) AS DOUBLE)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob,
+           floor(CASE WHEN n_eval_bigrams > 0
+             THEN exp(-(slp / CAST(greatest(n_eval_bigrams, 1)
+               AS DOUBLE)))
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS perplexity
+         FROM agg"""
+    },
+    "q_hilbert_skip" -> {
+      val inter = (0 until 8).map(b =>
+        s"(((xg >> $b) & 1) << ${2 * b}) | (((yg >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" | ")
+      def armSql(layout: String, key: String): String =
+        s"""SELECT '$layout' AS layout, max(xg) AS x_hi, max(yg) AS y_hi,
+             max(xg) - min(xg) AS x_span, max(yg) - min(yg) AS y_span
+           FROM (SELECT xg, yg,
+             coalesce(sum(cnt) OVER (ORDER BY $key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // 2048 AS f
+             FROM h8) sub_$layout
+           GROUP BY f"""
+      s"""WITH m AS (SELECT CAST(max(l_partkey) AS BIGINT) AS xmax,
+           CAST(max(l_suppkey) AS BIGINT) AS ymax FROM lineitem),
+         grid0 AS (
+           SELECT (CAST(l_partkey AS BIGINT) * 256) // (xmax + 1) AS xg,
+             (CAST(l_suppkey AS BIGINT) * 256) // (ymax + 1) AS yg
+           FROM lineitem, m),
+         cellsc AS (
+           SELECT xg, yg, CAST(count(*) AS BIGINT) AS cnt
+           FROM grid0 GROUP BY 1, 2),
+         grid AS (SELECT xg, yg, cnt, $inter AS z FROM cellsc),
+         $hilbertStepsCte,
+         e1 AS (${armSql("natural_x", "xg * 256 + yg")}),
+         e2 AS (${armSql("zorder", "z")}),
+         e3 AS (${armSql("hilbert", "hd8")}),
+         uni AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+           UNION ALL SELECT * FROM e3),
+         fin AS (
+           SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN x_hi < 240 OR y_hi < 240 THEN 1 ELSE 0
+               END) AS BIGINT) AS skip_corner_box,
+             CAST(sum(CASE WHEN y_hi < 240 THEN 1 ELSE 0 END) AS BIGINT)
+               AS skip_y_only,
+             CAST(sum(x_span + y_span) AS BIGINT) AS sum_envelope_span
+           FROM uni GROUP BY 1)
+         SELECT layout, n_files, skip_corner_box, skip_y_only,
+           floor(CAST(skip_corner_box AS DOUBLE)
+             / CAST(n_files AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS skip_frac_box,
+           floor(CAST(skip_y_only AS DOUBLE) / CAST(n_files AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS skip_frac_y,
+           sum_envelope_span
+         FROM fin ORDER BY layout"""
+    },
+    "q_mann_kendall" ->
+      s"""WITH $dailyCte,
+         idx AS (
+           SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t, x
+           FROM daily),
+         pairs AS (
+           SELECT a.t AS ta, b.t AS tb,
+             CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+               ELSE 0 END AS sgn,
+             (b.x - a.x) / CAST(b.t - a.t AS DOUBLE) AS slope
+           FROM idx a JOIN idx b ON b.t > a.t),
+         sfold AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(sgn) AS BIGINT) AS s
+           FROM pairs),
+         tiescte AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(coalesce(sum(tt * (tt - 1) * (2 * tt + 5)), 0)
+               AS BIGINT) AS tsum
+           FROM (SELECT x, count(*) AS tt FROM daily GROUP BY 1)),
+         ranked AS (
+           SELECT slope,
+             row_number() OVER (ORDER BY slope, ta, tb) AS rn
+           FROM pairs),
+         med AS (
+           SELECT CAST(sum(CAST(slope AS DECIMAL(28,12))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS sen_slope
+           FROM ranked CROSS JOIN sfold
+           WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2),
+         fin AS (
+           SELECT *,
+             (CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)
+               * (2.0 * CAST(n_days AS DOUBLE) + 5.0)
+               - CAST(tsum AS DOUBLE)) / 18.0 AS var_s
+           FROM sfold CROSS JOIN tiescte CROSS JOIN med),
+         fin2 AS (
+           SELECT *,
+             sqrt(CASE WHEN var_s > 0.0 THEN var_s ELSE 1.0 END) AS sdv
+           FROM fin),
+         fin3 AS (
+           SELECT *,
+             CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sdv
+                  WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sdv
+                  ELSE 0.0 END AS z
+           FROM fin2)
+         SELECT n_days, n_pairs, s AS s_stat,
+           floor(CASE WHEN var_s > 0.0 THEN var_s ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS var_s,
+           floor(CASE WHEN var_s > 0.0 THEN z ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS z_stat,
+           floor(sen_slope * 1000000.0 + 0.5) / 1000000.0 AS sen_slope,
+           CAST(CASE WHEN var_s > 0.0 AND abs(z) > 1.96
+             THEN (CASE WHEN s > 0 THEN 1 ELSE -1 END)
+             ELSE 0 END AS INT) AS trend_at_196
+         FROM fin3""",
+    "q_tost" ->
+      """WITH pu AS (
+           SELECT user_id,
+             CAST(round(sum(CAST(CASE WHEN event_type = 'purchase'
+                 THEN coalesce(value, 0.0) ELSE 0.0 END
+               AS DECIMAL(18,6))), 2) AS DOUBLE) AS spend,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS variant
+           FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+         m AS (
+           SELECT
+             CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS na,
+             CAST(sum(CASE WHEN variant = 0
+               THEN CAST(spend AS DECIMAL(38,12))
+               ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS DOUBLE) AS sxa,
+             CAST(sum(CASE WHEN variant = 0
+               THEN CAST(spend * spend AS DECIMAL(38,12))
+               ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS DOUBLE) AS sxxa,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS nb,
+             CAST(sum(CASE WHEN variant = 1
+               THEN CAST(spend AS DECIMAL(38,12))
+               ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS DOUBLE) AS sxb,
+             CAST(sum(CASE WHEN variant = 1
+               THEN CAST(spend * spend AS DECIMAL(38,12))
+               ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS DOUBLE) AS sxxb
+           FROM pu),
+         calc AS (
+           SELECT *,
+             sxa / CAST(greatest(na, 1) AS DOUBLE) AS ma,
+             sxb / CAST(greatest(nb, 1) AS DOUBLE) AS mb,
+             (sxxa - sxa * sxa / CAST(greatest(na, 1) AS DOUBLE))
+               / CAST(greatest(na - 1, 1) AS DOUBLE) AS va,
+             (sxxb - sxb * sxb / CAST(greatest(nb, 1) AS DOUBLE))
+               / CAST(greatest(nb - 1, 1) AS DOUBLE) AS vb
+           FROM m),
+         c2 AS (
+           SELECT *,
+             mb - ma AS diff,
+             0.05 * ((sxa + sxb)
+               / CAST(greatest(na + nb, 1) AS DOUBLE)) AS delta,
+             va / CAST(greatest(na, 1) AS DOUBLE)
+               + vb / CAST(greatest(nb, 1) AS DOUBLE) AS se2
+           FROM calc),
+         c3 AS (
+           SELECT *,
+             sqrt(CASE WHEN se2 > 0.0 THEN se2 ELSE 1.0 END) AS se,
+             (na > 1 AND nb > 1 AND se2 > 0.0) AS ok
+           FROM c2)
+         SELECT na AS users_a, nb AS users_b,
+           floor(ma * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+           floor(mb * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
+           floor(diff * 1000000.0 + 0.5) / 1000000.0 AS diff,
+           floor(delta * 1000000.0 + 0.5) / 1000000.0 AS margin,
+           floor(CASE WHEN ok THEN se ELSE 0.0 END * 1000000.0 + 0.5)
+             / 1000000.0 AS se,
+           floor(CASE WHEN ok THEN (diff + delta) / se ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS t_lower,
+           floor(CASE WHEN ok THEN (delta - diff) / se ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS t_upper,
+           CAST(CASE WHEN ok AND (diff + delta) / se > 1.645
+               AND (delta - diff) / se > 1.645
+             THEN 1 ELSE 0 END AS INT) AS equivalent_at_1645
+         FROM c3""",
+    "q_dist_distances" -> {
+      val ln2 = graft.ext.DistanceTables.ln2
+      s"""WITH tok AS (
+           SELECT source, unnest(list_filter(
+             string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+             AS token
+           FROM documents),
+         st AS (
+           SELECT source, token, CAST(count(*) AS BIGINT) AS n
+           FROM tok GROUP BY 1, 2),
+         c AS (SELECT token, CAST(sum(n) AS BIGINT) AS ct
+               FROM st GROUP BY 1),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n_corpus FROM c),
+         ps AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_source
+                FROM st GROUP BY 1),
+         pq AS (
+           SELECT source, n_source,
+             CAST(n AS DOUBLE) / CAST(n_source AS DOUBLE) AS p,
+             CAST(ct AS DOUBLE) / CAST(n_corpus AS DOUBLE) AS q
+           FROM st JOIN c USING (token) JOIN ps USING (source)
+           CROSS JOIN tot),
+         folds AS (
+           SELECT source, n_source,
+             CAST(sum(CAST(sqrt(p * q) AS DECIMAL(28,12))) AS DOUBLE)
+               AS bc,
+             CAST(sum(CAST(abs(p - q) AS DECIMAL(28,12))) AS DOUBLE)
+               AS tvin,
+             CAST(sum(CAST(q AS DECIMAL(28,12))) AS DOUBLE) AS covq,
+             CAST(sum(CAST(p * ln((2.0 * p) / (p + q))
+               AS DECIMAL(28,12))) AS DOUBLE) AS jsp,
+             CAST(sum(CAST(q * ln((2.0 * q) / (p + q))
+               AS DECIMAL(28,12))) AS DOUBLE) AS jsq
+           FROM pq GROUP BY 1, 2)
+         SELECT source, n_source AS n_tokens,
+           floor((0.5 * jsp + 0.5 * (jsq + $ln2 * (1.0 - covq)))
+             * 1000000.0 + 0.5) / 1000000.0 AS js_divergence,
+           floor(sqrt(greatest(1.0 - bc, 0.0)) * 1000000.0 + 0.5)
+             / 1000000.0 AS hellinger,
+           floor(0.5 * (tvin + (1.0 - covq)) * 1000000.0 + 0.5)
+             / 1000000.0 AS total_variation,
+           floor(covq * 1000000.0 + 0.5) / 1000000.0 AS coverage_q
+         FROM folds ORDER BY source"""
+    },
+    "q_chao1" ->
+      """WITH tok AS (
+           SELECT source, unnest(list_filter(
+             string_split_regex(lower(text), '\s+'), x -> x <> ''))
+             AS token
+           FROM documents),
+         st AS (
+           SELECT source, token, CAST(count(*) AS BIGINT) AS n
+           FROM tok GROUP BY 1, 2),
+         m AS (
+           SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f1,
+             CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS f2
+           FROM st GROUP BY 1),
+         fin AS (
+           SELECT *,
+             CAST(vocab AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE)
+               / (2.0 * CAST(f2 + 1 AS DOUBLE)) AS chao
+           FROM m)
+         SELECT source, n_tokens, vocab, f1, f2,
+           floor(chao * 1000000.0 + 0.5) / 1000000.0 AS chao1,
+           floor((chao - CAST(vocab AS DOUBLE)) / chao
+             * 1000000.0 + 0.5) / 1000000.0 AS unseen_frac
+         FROM fin ORDER BY source""",
+    "q_char_entropy" ->
+      """WITH u AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS u_n,
+             CAST(count(*) AS BIGINT) AS u_v,
+             CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+               AS DECIMAL(28,12))) AS DOUBLE) AS u_sc
+           FROM (
+             SELECT source, g, CAST(count(*) AS BIGINT) AS c
+             FROM (SELECT source, unnest(list_transform(
+                 range(1, length(text) + 1),
+                 i -> substr(text, CAST(i AS INT), 1))) AS g
+               FROM documents WHERE text IS NOT NULL)
+             GROUP BY 1, 2)
+           GROUP BY 1),
+         b AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS b_n,
+             CAST(count(*) AS BIGINT) AS b_v,
+             CAST(sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+               AS DECIMAL(28,12))) AS DOUBLE) AS b_sc
+           FROM (
+             SELECT source, g, CAST(count(*) AS BIGINT) AS c
+             FROM (SELECT source, unnest(list_transform(
+                 range(1, length(text)),
+                 i -> substr(text, CAST(i AS INT), 2))) AS g
+               FROM documents WHERE text IS NOT NULL)
+             GROUP BY 1, 2)
+           GROUP BY 1),
+         fin AS (
+           SELECT *,
+             ln(CAST(greatest(u_n, 1) AS DOUBLE))
+               - u_sc / CAST(greatest(u_n, 1) AS DOUBLE) AS hu,
+             ln(CAST(greatest(b_n, 1) AS DOUBLE))
+               - b_sc / CAST(greatest(b_n, 1) AS DOUBLE) AS hb
+           FROM u JOIN b USING (source))
+         SELECT source, u_n AS n_chars, u_v AS alphabet,
+           b_n AS n_bigrams,
+           floor(hu * 1000000.0 + 0.5) / 1000000.0 AS h_unigram,
+           floor(hb * 1000000.0 + 0.5) / 1000000.0 AS h_bigram,
+           floor((hb - hu) * 1000000.0 + 0.5) / 1000000.0
+             AS cond_entropy,
+           floor(CASE WHEN u_v > 1
+             THEN 1.0 - (hb - hu)
+               / ln(CAST(greatest(u_v, 1) AS DOUBLE))
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS redundancy
+         FROM fin ORDER BY source""",
     "q_dp_counts" ->
       """WITH c AS (
            SELECT event_type, CAST(count(*) AS BIGINT) AS true_n

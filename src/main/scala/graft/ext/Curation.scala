@@ -122,6 +122,95 @@ object Curation {
     *
     * Scale shape: one regexp-extract scan, explode of the (rare)
     * candidates, one source-bounded aggregate. */
+  /** Per-source divergence battery beyond [[sourceKL]]'s single number —
+    * Jensen–Shannon, Hellinger, and total variation between each
+    * source's unigram distribution p and the corpus blend q, the three
+    * distances mixture audits quote because each answers a different
+    * question (JS: symmetric information drift; Hellinger: geometric
+    * separation, bounds TV; TV: worst-case probability mass an
+    * adversarial classifier could exploit). Tokens OUTSIDE a source's
+    * support still carry q mass; their JS and TV contributions reduce
+    * in closed form to ln2·(1−covq) and (1−covq) where covq is the
+    * corpus mass the source's vocabulary covers — so the data-sized
+    * work stays on the (source, token) frame and nothing iterates the
+    * full vocab × sources cross. ln 2 is a Scala literal shared with
+    * the oracle. Per-term addends fold through DECIMAL.
+    *
+    * Scale shape: identical to sourceKL — one corpus token shuffle,
+    * vocab-bounded joins with corpus marginals broadcast back. */
+  def distributionDistances(docs: DataFrame,
+                            tfOpt: Option[DataFrame] = None): DataFrame = {
+    val st = tfOpt
+      .map(_.groupBy(col("source"), col("term").as("token"))
+        .agg(sum(col("tf")).as("n")))
+      .getOrElse(docs.select(col("source"),
+          explode(tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("n")))
+      .localCheckpoint() // corpus marginal + the joined fold both read it
+    val corpus = st.groupBy("token").agg(sum(col("n")).as("ct"))
+    val total = corpus.agg(sum(col("ct")).as("n_corpus"))
+    val perSource = st.groupBy("source").agg(sum(col("n")).as("n_source"))
+    val p = col("n").cast("double") / col("n_source").cast("double")
+    val q = col("ct").cast("double") / col("n_corpus").cast("double")
+    def dc(c: Column) = c.cast("decimal(28,12)")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val ln2 = DistanceTables.ln2
+    val folds = st.join(broadcast(corpus), Seq("token"))
+      .join(broadcast(perSource), Seq("source"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("source"), col("n_source"))
+      .agg(
+        sum(dc(sqrt(p * q))).cast("double").as("bc"),
+        sum(dc(abs(p - q))).cast("double").as("tvin"),
+        sum(dc(q)).cast("double").as("covq"),
+        sum(dc(p * log((lit(2.0) * p) / (p + q)))).cast("double")
+          .as("jsp"),
+        sum(dc(q * log((lit(2.0) * q) / (p + q)))).cast("double")
+          .as("jsq"))
+    val js = lit(0.5) * col("jsp") +
+      lit(0.5) * (col("jsq") + lit(ln2) * (lit(1.0) - col("covq")))
+    val tv = lit(0.5) * (col("tvin") + (lit(1.0) - col("covq")))
+    val hel = sqrt(greatest(lit(1.0) - col("bc"), lit(0.0)))
+    folds.select(col("source"), col("n_source").as("n_tokens"),
+      r6(js).as("js_divergence"), r6(hel).as("hellinger"),
+      r6(tv).as("total_variation"), r6(col("covq")).as("coverage_q"))
+      .orderBy("source")
+  }
+
+  /** Chao1 vocabulary-richness estimate per source — "how many distinct
+    * terms does this source REALLY have", the species-richness number
+    * that tells a curator whether a source's vocabulary is saturated
+    * (chao1 ≈ observed) or still growing (chao1 ≫ observed) — the
+    * capture-side complement of [[goodTuring]]'s unseen-MASS estimate.
+    * Bias-corrected form V + F₁(F₁−1)/(2(F₂+1)) (Chao 1984), defined
+    * even with no doubletons. Everything is exact integer counts of
+    * counts; the two ratios are the report boundary.
+    *
+    * Scale shape: one corpus token shuffle → vocab-bounded counts →
+    * source-bounded count-of-count folds. */
+  def chao1(docs: DataFrame,
+            tfOpt: Option[DataFrame] = None): DataFrame = {
+    val st = tfOpt
+      .map(_.groupBy(col("source"), col("term").as("token"))
+        .agg(sum(col("tf")).as("n")))
+      .getOrElse(docs.select(col("source"),
+          explode(tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("n")))
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val m = st.groupBy("source")
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("n") === 2L, 1L).otherwise(0L)).as("f2"))
+    val chao = col("vocab").cast("double") +
+      (col("f1") * (col("f1") - 1L)).cast("double") /
+        (lit(2.0) * (col("f2") + 1L).cast("double"))
+    m.select(col("source"), col("n_tokens"), col("vocab"),
+      col("f1"), col("f2"), r6(chao).as("chao1"),
+      r6((chao - col("vocab").cast("double")) / chao).as("unseen_frac"))
+      .orderBy("source")
+  }
+
   def luhnAudit(rows: DataFrame,
                 pattern: String = "[0-9]{8,19}"): DataFrame = {
     val cands = rows.select(col("source"),
@@ -473,4 +562,10 @@ object Curation {
           .as("alloc_proportional"))
       .orderBy("source")
   }
+}
+
+/** Literal constants for [[Curation.distributionDistances]], shared
+  * verbatim with the oracle SQL (the PeriodogramTables discipline). */
+object DistanceTables {
+  val ln2: Double = math.log(2.0)
 }

@@ -902,6 +902,116 @@ object TextAnalysis {
       r6(exp(-avg)).as("perplexity"))
   }
 
+  /** Jelinek–Mercer (deleted-interpolation) bigram perplexity on the
+    * same held-out slice as [[kneserNey]] — the third smoothing of the
+    * LM-quality triplet (add-one in [[bigramLogprob]], absolute
+    * discounting in KN): P(w₂|w₁) = λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/N,
+    * λ = 0.7 (Jelinek & Mercer 1980; Chen & Goodman 1999 find this the
+    * robust non-KN baseline). Unlike KN, NOTHING is skipped: an unseen
+    * head simply drops the conditional term and backs all the way off
+    * to the train unigram, and a fully-unseen word floors the density
+    * at 1e-12 — so n_scored ≡ n_eval_bigrams and the perplexity is an
+    * honest whole-slice number. Counts are exact integers; per-bigram
+    * log terms fold through DECIMAL; one division + exp at the report
+    * boundary.
+    *
+    * Scale shape: identical to KN — two corpus gram passes, hash joins
+    * of the eval stream against vocabulary-scale count frames, one
+    * output row. */
+  def jelinekMercer(docs: DataFrame, evalMod: Int = 10,
+                    lambda: Double = 0.7): DataFrame = {
+    graft.plans.TextSketches.register(docs.sparkSession)
+    def grams(df: DataFrame) = df
+      .select(explode(graft.plans.TextSketches.word_ngrams(
+        tokens(col("text")), 2)).as("bigram"))
+      .select(substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
+    val isEval = col("doc_id") % evalMod === (evalMod - 1)
+    val train = docs.filter(!isEval)
+    val bc = grams(train)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // heads and the bigram join both read it
+    val heads = bc.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val uni = train
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val totU = uni.agg(sum(col("cu")).as("nu"))
+    val scored = grams(docs.filter(isEval))
+      .join(heads, Seq("w1"), "left")
+      .join(bc.select(col("w1").as("bw1"), col("w2").as("bw2"),
+          col("c12")),
+        col("w1") === col("bw1") && col("w2") === col("bw2"), "left")
+      .join(uni.select(col("w").as("uw"), col("cu")),
+        col("w2") === col("uw"), "left")
+      .crossJoin(broadcast(totU))
+    val pCond = when(col("c1").isNotNull,
+      coalesce(col("c12"), lit(0L)).cast("double") /
+        greatest(col("c1"), lit(1L)).cast("double"))
+      .otherwise(lit(0.0))
+    val pUni = coalesce(col("cu"), lit(0L)).cast("double") /
+      greatest(col("nu"), lit(1L)).cast("double")
+    val p = lit(lambda) * pCond + lit(1.0 - lambda) * pUni
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val agg = scored.agg(count(lit(1)).as("n_eval_bigrams"),
+      sum(when(col("c1").isNull, 1L).otherwise(0L))
+        .as("n_unseen_heads"),
+      sum(log(greatest(p, lit(1.0e-12))).cast("decimal(28,12)"))
+        .as("slp"))
+    val avg = col("slp").cast("double") /
+      greatest(col("n_eval_bigrams"), lit(1L)).cast("double")
+    val ok = col("n_eval_bigrams") > 0L
+    agg.select(col("n_eval_bigrams"), col("n_unseen_heads"),
+      lit(lambda).as("lambda"),
+      r6(when(ok, avg).otherwise(lit(0.0))).as("avg_logprob"),
+      r6(when(ok, exp(-avg)).otherwise(lit(0.0))).as("perplexity"))
+  }
+
+  /** Per-source character-level entropy rate — the compression-ratio
+    * proxy curation uses to flag templated/boilerplate sources without
+    * running a compressor: H₁ (char unigram entropy), H₂ (char bigram
+    * entropy), the conditional entropy H₂−H₁ ("bits per next char"),
+    * and redundancy 1 − (H₂−H₁)/ln|Σ| against the source's own measured
+    * alphabet. Low conditional entropy = the next character is nearly
+    * determined = generated/templated text. Uses the identity
+    * H = ln N − Σc·ln c / N so each arm is counts + one fold (no
+    * probability join); grams come from the native [[graft.plans
+    * .TextSketches.CharNgrams]] loop (the corpus-hot explode must not
+    * be an interpreted HOF — the WordShingles rule at char granularity).
+    *
+    * Scale shape: two corpus gram shuffles keyed (source, gram) with
+    * map-side combine, then alphabet²-bounded folds. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    graft.plans.TextSketches.register(docs.sparkSession)
+    def dc(c: Column) = c.cast("decimal(28,12)")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    def armFold(n: Int, pre: String): DataFrame =
+      docs.filter(col("text").isNotNull)
+        .select(col("source"),
+          explode(graft.plans.TextSketches.char_ngrams(col("text"), n))
+            .as("g"))
+        .groupBy("source", "g").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as(s"${pre}_n"),
+          count(lit(1)).as(s"${pre}_v"),
+          sum(dc(col("c").cast("double") *
+            log(col("c").cast("double")))).cast("double").as(s"${pre}_sc"))
+    def h(pre: String): Column =
+      log(greatest(col(s"${pre}_n"), lit(1L)).cast("double")) -
+        col(s"${pre}_sc") /
+          greatest(col(s"${pre}_n"), lit(1L)).cast("double")
+    val j = armFold(1, "u").join(armFold(2, "b"), Seq("source"))
+    val cond = h("b") - h("u")
+    val lnAlpha = log(greatest(col("u_v"), lit(1L)).cast("double"))
+    val ok = col("u_v") > 1L
+    j.select(col("source"), col("u_n").as("n_chars"),
+      col("u_v").as("alphabet"), col("b_n").as("n_bigrams"),
+      r6(h("u")).as("h_unigram"), r6(h("b")).as("h_bigram"),
+      r6(cond).as("cond_entropy"),
+      r6(when(ok, lit(1.0) - cond / lnAlpha).otherwise(lit(0.0)))
+        .as("redundancy"))
+      .orderBy("source")
+  }
+
   /** Memo for the per-doc bigram-LM score frame: `q_bigram_logprob` and
     * `q_ccnet_buckets` both need it in one Bench run — same sharing
     * policy (and key shape) as [[docTermFreq]], localCheckpointed so the

@@ -176,6 +176,38 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     copy(child = c)
 }
 
+/** Every overlapping character n-gram of a string, multiplicity
+  * preserved, in one JVM loop per row — the char-level sibling of
+  * [[WordShingles]] for entropy-rate / language-model-over-characters
+  * work, where the HOF composition `transform(sequence(1, length(s)−n+1),
+  * i -> substring(s, i, n))` would walk an interpreted lambda tree per
+  * character of the corpus (the exact hazard WordShingles was built to
+  * kill; same cure). Positions are CODE POINTS (UTF8String.substring),
+  * matching SQL substr semantics on both engines. Shorter-than-n input →
+  * empty array. */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val m = s.numChars()
+    if (m < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](m - n + 1)
+      var i = 0
+      while (i <= m - n) {
+        out(i) = s.substring(i, i + n)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+  override def prettyName: String = "char_ngrams"
+  override protected def withNewChildInternal(c: Expression): CharNgrams =
+    copy(child = c)
+}
+
 /** Non-overlapping n-token chunks, space-joined (the unit of chunk-level
   * corpus dedup). Matches the HOF composition
   * `transform(sequence(0, max(ceil(m/n)-1, 0)), i -> concat_ws(' ',
@@ -324,6 +356,11 @@ object TextSketches {
       exprs => CoocPairs(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngrams",
+      exprs => CharNgrams(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
   }
 
   def word_shingles(tokens: Column, n: Int): Column =
@@ -336,6 +373,10 @@ object TextSketches {
 
   def token_chunks(tokens: Column, n: Int): Column =
     call_function("token_chunks", tokens,
+      org.apache.spark.sql.functions.lit(n))
+
+  def char_ngrams(text: Column, n: Int): Column =
+    call_function("char_ngrams", text,
       org.apache.spark.sql.functions.lit(n))
 
   def cooc_pairs(tokens: Column, window: Int): Column =

@@ -1,0 +1,455 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.InferenceAnalytics
+
+/** Round-25-of-build additions: Page–Hinkley drift monitor, Theta-method
+  * forecast, spectral entropy, log-rank + RMST survival contrasts,
+  * Cochran's Q / Friedman / Krippendorff agreement tests, AIPW doubly
+  * robust ATE, Jelinek–Mercer perplexity, and the Hilbert-curve
+  * data-skipping arm. */
+class Round25OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+
+  private def ev(rows: (Long, String, String, java.lang.Double)*) =
+    rows.zipWithIndex.map { case ((uid, et, t, v), i) =>
+      (i.toLong, uid, et, ts(t), v)
+    }.toDF("event_id", "user_id", "event_type", "ts", "value")
+
+  // ---- pageHinkley ----------------------------------------------------
+
+  test("pageHinkley: a level shift drives PH up and fires the 2sd alarm") {
+    // 6 days at 10, then 6 days at 100: the running mean trails the
+    // shifted level, deviations go positive, PH must strictly grow
+    // through the post-shift days and end above the 2sd band
+    val rows = (1 to 6).map(d => (1L, "view",
+      f"2024-01-$d%02d 00:00:00", java.lang.Double.valueOf(10.0))) ++
+      (7 to 12).map(d => (1L, "view",
+        f"2024-01-$d%02d 00:00:00", java.lang.Double.valueOf(100.0)))
+    val out = InferenceAnalytics.pageHinkley(ev(rows: _*)).collect()
+    assert(out.length == 12)
+    val ph = out.map(_.getAs[Double]("ph_stat"))
+    assert(ph.take(6).forall(_ == 0.0)) // constant prefix: no drift
+    assert(ph.slice(7, 12).zip(ph.slice(6, 11)).forall { case (b, a) =>
+      b > a }) // post-shift PH strictly increasing
+    assert(out.last.getAs[Int]("alarm_2sd") == 1)
+    // m_stat identity on day 7: sum of (x_i - runmean_i); prefix terms
+    // are 0, day 7 contributes 90*6/7
+    assert(out(6).getAs[Double]("m_stat") ==
+      r6(100.0 - (6 * 10.0 + 100.0) / 7.0))
+  }
+
+  test("pageHinkley: constant series never alarms") {
+    val rows = (1 to 9).map(d => (1L, "view",
+      f"2024-01-$d%02d 00:00:00", java.lang.Double.valueOf(42.0)))
+    val out = InferenceAnalytics.pageHinkley(ev(rows: _*)).collect()
+    assert(out.forall(_.getAs[Double]("ph_stat") == 0.0))
+    assert(out.forall(_.getAs[Int]("alarm_2sd") == 0))
+  }
+
+  // ---- thetaForecast --------------------------------------------------
+
+  test("thetaForecast: constant series forecasts the constant at every " +
+    "horizon") {
+    // x = c: trend is (a=c, b=0), theta2 line is c, SES of a constant
+    // is the constant, so trend, SES, and the combination all equal c
+    val rows = (1 to 10).map(d => (1L, "view",
+      f"2024-01-$d%02d 00:00:00", java.lang.Double.valueOf(55.25)))
+    val out = InferenceAnalytics.thetaForecast(ev(rows: _*)).collect()
+    assert(out.length == 7)
+    out.foreach { r =>
+      assert(r.getAs[Double]("trend_part") == 55.25)
+      assert(r.getAs[Double]("ses_part") == 55.25)
+      assert(r.getAs[Double]("forecast") == 55.25)
+    }
+  }
+
+  test("thetaForecast: linear series extrapolates the trend line " +
+    "exactly in the trend part") {
+    // x_t = 10t: OLS recovers a=0, b=10 exactly; SES lags the theta2
+    // line (which equals the trend line), so the forecast sits between
+    // the flat SES level and the extrapolated trend
+    val rows = (1 to 10).map(d => (1L, "view",
+      f"2024-01-$d%02d 00:00:00", java.lang.Double.valueOf(10.0 * d)))
+    val out = InferenceAnalytics.thetaForecast(ev(rows: _*)).collect()
+      .sortBy(_.getAs[Long]("h"))
+    out.zipWithIndex.foreach { case (r, i) =>
+      val h = i + 1
+      assert(math.abs(r.getAs[Double]("trend_part") - 10.0 * (10 + h))
+        < 1e-6)
+      assert(r.getAs[Double]("forecast") < r.getAs[Double]("trend_part"))
+      assert(r.getAs[Double]("forecast") > r.getAs[Double]("ses_part"))
+    }
+  }
+
+  // ---- spectralEntropy ------------------------------------------------
+
+  test("spectralEntropy: a pure 7-day cycle concentrates the spectrum " +
+    "on period 7") {
+    // 28 days of a period-7 two-level square wave: the periodogram must
+    // put its max at p=7 and the normalized entropy well below 1
+    val rows = (1 to 28).map { d =>
+      val v = if (d % 7 < 2) 1000.0 else 10.0
+      (1L, "view", f"2024-01-$d%02d 00:00:00", java.lang.Double.valueOf(v))
+    }
+    val out = InferenceAnalytics.spectralEntropy(ev(rows: _*)).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("dominant_period") == 7L)
+    assert(r.getAs[Long]("n_periods") == 13L)
+    assert(r.getAs[Double]("spectral_entropy_norm") < 0.8)
+    assert(r.getAs[Double]("max_share") > 0.3)
+  }
+
+  test("spectralEntropy: a constant series has zero power everywhere " +
+    "and reports the guarded zeros") {
+    val rows = (1 to 20).map(d => (1L, "view",
+      f"2024-01-$d%02d 00:00:00", java.lang.Double.valueOf(5.0)))
+    val r = InferenceAnalytics.spectralEntropy(ev(rows: _*)).collect().head
+    assert(r.getAs[Double]("total_power") == 0.0)
+    assert(r.getAs[Double]("spectral_entropy") == 0.0)
+    assert(r.getAs[Double]("max_share") == 0.0)
+  }
+
+  // ---- logRank --------------------------------------------------------
+
+  /** The Sampling.hashBucket split, recomputed independently so the
+    * fixture can build per-group truth. */
+  private def bucket(uid: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(uid.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % 2
+  }
+
+  test("logRank: hand-folded statistic matches on a mixed fixture") {
+    // users 1..12: half live 1 day (die at t=0... they span to their own
+    // last day), horizon carriers censored. Build: users with lifetimes
+    // 0 or 2 days; user 99 extends the horizon so nobody else is
+    // censored except the t=2 group's horizon-day members.
+    val horizon = "2024-01-05 00:00:00"
+    val rows = (1L to 12L).flatMap { u =>
+      if (u % 3 == 0L)
+        Seq((u, "view", "2024-01-01 00:00:00",
+          java.lang.Double.valueOf(1.0)),
+          (u, "view", "2024-01-03 00:00:00",
+            java.lang.Double.valueOf(1.0)))
+      else
+        Seq((u, "view", "2024-01-01 00:00:00",
+          java.lang.Double.valueOf(1.0)))
+    } :+ ((99L, "view", horizon, java.lang.Double.valueOf(1.0)))
+    val out = InferenceAnalytics.logRank(ev(rows: _*)).collect().head
+    // brute-force the same statistic from the known buckets
+    val lifes = (1L to 12L).map(u =>
+      (bucket(u), if (u % 3 == 0L) 2L else 0L, false)) :+
+      ((bucket(99L), 0L, true)) // 99 is the horizon carrier: censored
+    val times = lifes.map(_._2).distinct.sorted
+    var (o1, e1, v) = (0.0, 0.0, 0.0)
+    var at = lifes
+    for (t <- times) {
+      val n1 = at.count(_._1 == 1L).toDouble
+      val n = at.length.toDouble
+      val deaths = at.filter(x => x._2 == t && !x._3)
+      val d = deaths.length.toDouble
+      if (d > 0) {
+        o1 += deaths.count(_._1 == 1L)
+        e1 += d * n1 / n
+        if (n > 1) v += d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1)
+      }
+      at = at.filter(_._2 > t)
+    }
+    assert(out.getAs[Long]("o1") == o1.toLong)
+    assert(out.getAs[Double]("e1") == r6(e1))
+    assert(out.getAs[Double]("var_sum") == r6(v))
+    assert(out.getAs[Double]("chi2_stat") ==
+      r6((o1 - e1) * (o1 - e1) / v))
+  }
+
+  test("logRank: no deaths (everyone censored on the horizon) reports " +
+    "the guarded zeros") {
+    val rows = (1L to 6L).map(u => (u, "view", "2024-01-03 00:00:00",
+      java.lang.Double.valueOf(1.0)))
+    val out = InferenceAnalytics.logRank(ev(rows: _*)).collect().head
+    assert(out.getAs[Long]("o1") == 0L)
+    assert(out.getAs[Double]("chi2_stat") == 0.0)
+    assert(out.getAs[Int]("reject_at_3841") == 0)
+  }
+
+  // ---- rmst -----------------------------------------------------------
+
+  test("rmst: all-censored population retains everyone — RMST equals " +
+    "tau at every horizon") {
+    // every user spans day 1..day 1 and the horizon is day 1: all
+    // censored at t=0, S=1 forever, so the integral is exactly tau
+    val rows = (1L to 5L).map(u => (u, "view", "2024-01-01 00:00:00",
+      java.lang.Double.valueOf(1.0)))
+    val out = InferenceAnalytics.rmst(ev(rows: _*)).collect()
+    assert(out.map(_.getAs[Long]("tau")).toSeq == Seq(7L, 14L, 21L, 28L))
+    out.foreach { r =>
+      assert(r.getAs[Double]("rmst") == r.getAs[Long]("tau").toDouble)
+      assert(r.getAs[Double]("rmst_share") == 1.0)
+    }
+  }
+
+  test("rmst: a single death step integrates the two-level curve " +
+    "exactly") {
+    // 4 users: 2 die at t=2 (last event day 3), 2 censored at t=4 (the
+    // horizon, day 5). KM: S=1 on [0,2), drops to 0.5 at t=2.
+    // RMST(7) = min(t_min,7) + S(2)*(4-2) + S(4)*(7-4)
+    //   t_min=2 → 2*1 is the initial segment via least(t_min,tau)=2
+    //           + 0.5*2 + 0.5*3 = 2 + 1 + 1.5 = 4.5
+    val rows = Seq(
+      (1L, "view", "2024-01-01 00:00:00", java.lang.Double.valueOf(1.0)),
+      (1L, "view", "2024-01-03 00:00:00", java.lang.Double.valueOf(1.0)),
+      (2L, "view", "2024-01-01 00:00:00", java.lang.Double.valueOf(1.0)),
+      (2L, "view", "2024-01-03 00:00:00", java.lang.Double.valueOf(1.0)),
+      (3L, "view", "2024-01-01 00:00:00", java.lang.Double.valueOf(1.0)),
+      (3L, "view", "2024-01-05 00:00:00", java.lang.Double.valueOf(1.0)),
+      (4L, "view", "2024-01-01 00:00:00", java.lang.Double.valueOf(1.0)),
+      (4L, "view", "2024-01-05 00:00:00", java.lang.Double.valueOf(1.0)))
+    val out = InferenceAnalytics.rmst(ev(rows: _*)).collect()
+      .map(r => r.getAs[Long]("tau") -> r.getAs[Double]("rmst")).toMap
+    assert(out(7L) == 4.5)
+    assert(out(14L) == 2.0 + 0.5 * 2 + 0.5 * 10) // 2 + 1 + 5
+  }
+
+  // ---- cochranQ -------------------------------------------------------
+
+  test("cochranQ: hand-computed statistic on a 4-user fixture") {
+    // flags per user over (click,error,purchase,signup,view):
+    // u1: click+view, u2: click, u3: click+purchase+view, u4: all five
+    val rows = Seq(
+      (1L, "click"), (1L, "view"),
+      (2L, "click"),
+      (3L, "click"), (3L, "purchase"), (3L, "view"),
+      (4L, "click"), (4L, "error"), (4L, "purchase"), (4L, "signup"),
+      (4L, "view"))
+      .map { case (u, t) => (u, t, "2024-01-01 00:00:00",
+        java.lang.Double.valueOf(1.0)) }
+    val out = InferenceAnalytics.cochranQ(ev(rows: _*)).collect().head
+    // C = (4,1,2,1,3), N=11, R=(2,1,3,5), ΣR²=39
+    // Q = 4*(5*(16+1+4+1+9) − 121)/(5*11 − 39) = 4*(155−121)/16 = 8.5
+    assert(out.getAs[Long]("n_blocks") == 4L)
+    assert(out.getAs[Long]("c_click") == 4L)
+    assert(out.getAs[Long]("n_total") == 11L)
+    assert(out.getAs[Double]("q_stat") == 8.5)
+    assert(out.getAs[Int]("reject_at_9488") == 0)
+  }
+
+  test("cochranQ: all-or-none users make the denominator vanish and " +
+    "the guard reports 0") {
+    val rows = (1L to 3L).flatMap(u => Seq("click", "error", "purchase",
+      "signup", "view").map(t => (u, t, "2024-01-01 00:00:00",
+      java.lang.Double.valueOf(1.0))))
+    val out = InferenceAnalytics.cochranQ(ev(rows: _*)).collect().head
+    assert(out.getAs[Double]("q_stat") == 0.0)
+    assert(out.getAs[Int]("reject_at_9488") == 0)
+  }
+
+  // ---- friedman -------------------------------------------------------
+
+  test("friedman: perfectly consistent priority ranking maximizes the " +
+    "statistic") {
+    // 4 nations × 5 priorities, order value strictly increasing in the
+    // priority index in every nation: rank matrix is identical rows, so
+    // R_j = n·j and Q hits its maximum n(k−1) = 16; no ties → corr = 1
+    val cust = (1L to 4L).map(c => (c, c)).toDF("c_custkey", "c_nationkey")
+    val orders = (1L to 4L).flatMap { n =>
+      (1 to 5).map(p => (n * 10 + p, n,
+        s"$p-PRIO", 100.0 * p + n)) // distinct values, same ordering
+    }.toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    val out = InferenceAnalytics.friedman(orders, cust).collect().head
+    assert(out.getAs[Long]("n_blocks") == 4L)
+    assert(out.getAs[Double]("q_stat") == 16.0)
+    assert(out.getAs[Double]("q_corrected") == 16.0)
+    assert(out.getAs[Int]("reject_at_9488") == 1)
+  }
+
+  test("friedman: incomplete blocks are excluded") {
+    val cust = Seq((1L, 1L), (2L, 2L)).toDF("c_custkey", "c_nationkey")
+    // nation 1 has all 5 priorities, nation 2 only 2
+    val orders = ((1 to 5).map(p => (10L + p, 1L, s"$p-P", p * 10.0)) ++
+      (1 to 2).map(p => (20L + p, 2L, s"$p-P", p * 10.0)))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+    val out = InferenceAnalytics.friedman(orders, cust).collect().head
+    assert(out.getAs[Long]("n_blocks") == 1L)
+  }
+
+  // ---- krippendorffAlpha ----------------------------------------------
+
+  test("krippendorffAlpha: perfect within-order agreement gives " +
+    "alpha = 1") {
+    val li = Seq(
+      (1L, "A"), (1L, "A"), (1L, "A"),
+      (2L, "B"), (2L, "B"),
+      (3L, "A"), (3L, "A"))
+      .toDF("l_orderkey", "l_returnflag")
+    val out = InferenceAnalytics.krippendorffAlpha(li).collect().head
+    assert(out.getAs[Long]("n_units") == 3L)
+    assert(out.getAs[Long]("n_ratings") == 7L)
+    assert(out.getAs[Double]("d_observed") == 0.0)
+    assert(out.getAs[Double]("alpha") == 1.0)
+    assert(out.getAs[Int]("reliable_at_0_8") == 1)
+  }
+
+  test("krippendorffAlpha: hand-computed mixed fixture, and " +
+    "single-rating units are excluded") {
+    // units: (A,A), (A,B), plus a 1-rating unit that must not count
+    val li = Seq(
+      (1L, "A"), (1L, "A"),
+      (2L, "A"), (2L, "B"),
+      (3L, "B"))
+      .toDF("l_orderkey", "l_returnflag")
+    val out = InferenceAnalytics.krippendorffAlpha(li).collect().head
+    assert(out.getAs[Long]("n_units") == 2L)
+    assert(out.getAs[Long]("n_ratings") == 4L)
+    // o_agree = unit1: 2·1/1 = 2 (A); unit2: 0 → D_o = 1 − 2/4 = 0.5
+    // n_A=3, n_B=1 → D_e = 1 − (3·2 + 1·0)/(4·3) = 0.5
+    // alpha = 1 − 0.5/0.5 = 0
+    assert(out.getAs[Double]("d_observed") == 0.5)
+    assert(out.getAs[Double]("d_expected") == 0.5)
+    assert(out.getAs[Double]("alpha") == 0.0)
+  }
+
+  // ---- aipwAte --------------------------------------------------------
+
+  test("aipwAte: constant unit effect is recovered exactly by all three " +
+    "estimators") {
+    // one active-day cell (everyone 1 day), treated users (≥14 clicks)
+    // purchase, controls don't: m1=1, m0=0, psi = 1 identically
+    val rows = (1L to 10L).flatMap { u =>
+      val treated = u <= 4
+      val clicks = if (treated) (1 to 14).map(_ => (u, "click",
+        "2024-01-01 00:10:00", java.lang.Double.valueOf(0.0))) else Seq()
+      val base = Seq((u, "view", "2024-01-01 00:00:00",
+        java.lang.Double.valueOf(0.0)))
+      val buy = if (treated) Seq((u, "purchase", "2024-01-01 01:00:00",
+        java.lang.Double.valueOf(9.0))) else Seq()
+      base ++ clicks ++ buy
+    }
+    val out = InferenceAnalytics.aipwAte(ev(rows: _*)).collect().head
+    assert(out.getAs[Long]("n_users") == 10L)
+    assert(out.getAs[Long]("n_users_kept") == 10L)
+    assert(out.getAs[Double]("ate_reg") == 1.0)
+    assert(out.getAs[Double]("ate_ipw") == 1.0)
+    assert(out.getAs[Double]("ate_aipw") == 1.0)
+  }
+
+  test("aipwAte: a no-overlap cell is dropped and accounted") {
+    // cell x=1 (1 active day): mixed treated/control → kept;
+    // cell x=2 (2 active days): all treated → dropped
+    val rows =
+      (1L to 4L).flatMap { u =>
+        val treated = u <= 2
+        Seq((u, "view", "2024-01-01 00:00:00",
+          java.lang.Double.valueOf(0.0))) ++
+          (if (treated) (1 to 14).map(_ => (u, "click",
+            "2024-01-01 00:10:00", java.lang.Double.valueOf(0.0)))
+          else Seq())
+      } ++
+      (5L to 6L).flatMap { u =>
+        Seq((u, "view", "2024-01-01 00:00:00",
+          java.lang.Double.valueOf(0.0)),
+          (u, "view", "2024-01-02 00:00:00",
+            java.lang.Double.valueOf(0.0))) ++
+          (1 to 14).map(_ => (u, "click", "2024-01-01 00:10:00",
+            java.lang.Double.valueOf(0.0)))
+      }
+    val out = InferenceAnalytics.aipwAte(ev(rows: _*)).collect().head
+    assert(out.getAs[Long]("n_cells") == 2L)
+    assert(out.getAs[Long]("n_cells_kept") == 1L)
+    assert(out.getAs[Long]("n_users_kept") == 4L)
+    assert(out.getAs[Long]("n_users_dropped") == 2L)
+  }
+
+  // ---- jelinekMercer ----------------------------------------------------
+
+  test("jelinekMercer: hand-computed perplexity on a two-doc corpus, " +
+    "nothing skipped") {
+    // train doc 0: "a b a b" → c(a b)=2, c(b a)=1, c1(a)=2, c1(b)=1;
+    // unigrams a:2 b:2, N=4. eval doc 9: "a b" → p = 0.7·(2/2) +
+    // 0.3·(2/4) = 0.85
+    val docs = Seq(
+      (0L, "a b a b", "en", "s0", 7L),
+      (9L, "a b", "en", "s0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ext.TextAnalysis.jelinekMercer(docs).collect().head
+    assert(out.getAs[Long]("n_eval_bigrams") == 1L)
+    assert(out.getAs[Long]("n_unseen_heads") == 0L)
+    assert(out.getAs[Double]("avg_logprob") == r6(math.log(0.85)))
+    assert(out.getAs[Double]("perplexity") ==
+      r6(math.exp(-math.log(0.85))))
+  }
+
+  test("jelinekMercer: unseen head backs off to the train unigram " +
+    "instead of being skipped") {
+    // eval bigram "z b": head z unseen in training → p = 0.3·P_uni(b)
+    val docs = Seq(
+      (0L, "a b a b", "en", "s0", 7L),
+      (9L, "z b", "en", "s0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ext.TextAnalysis.jelinekMercer(docs).collect().head
+    assert(out.getAs[Long]("n_eval_bigrams") == 1L)
+    assert(out.getAs[Long]("n_unseen_heads") == 1L)
+    assert(out.getAs[Double]("avg_logprob") ==
+      r6(math.log(0.3 * 0.5)))
+  }
+
+  // ---- Hilbert ----------------------------------------------------------
+
+  test("Hilbert.withHilbert: order-1 curve visits the four quadrants in " +
+    "the canonical order") {
+    val df = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("xg", "yg")
+    val out = graft.operators.Hilbert.withHilbert(df, "xg", "yg", 1, "h")
+      .collect().map(r => (r.getAs[Long]("xg"), r.getAs[Long]("yg")) ->
+        r.getAs[Long]("h")).toMap
+    assert(out((0L, 0L)) == 0L)
+    assert(out((0L, 1L)) == 1L)
+    assert(out((1L, 1L)) == 2L)
+    assert(out((1L, 0L)) == 3L)
+  }
+
+  test("Hilbert.withHilbert: bijective and neighbor-contiguous on the " +
+    "full 16x16 grid") {
+    val pts = for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong, y.toLong)
+    val df = pts.toDF("xg", "yg")
+    val out = graft.operators.Hilbert.withHilbert(df, "xg", "yg", 4, "h")
+      .collect().map(r => r.getAs[Long]("h") ->
+        (r.getAs[Long]("xg"), r.getAs[Long]("yg"))).toMap
+    assert(out.keySet == (0L until 256L).toSet) // bijection onto 0..255
+    // the defining Hilbert property: consecutive indices are GRID
+    // NEIGHBORS (L1 distance exactly 1) — any rotation/reflection bug
+    // in the walk breaks this within the first few steps
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = out(d); val (x2, y2) = out(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
+
+  test("Hilbert.skipStats3: equal file counts, and the curve layouts " +
+    "dominate natural on the y-only predicate") {
+    val rnd = new scala.util.Random(25001)
+    val df = (1 to 4000).map(_ => (rnd.nextInt(10000).toLong,
+      rnd.nextInt(500).toLong)).toDF("pk", "sk")
+    val out = graft.operators.Hilbert
+      .skipStats3(df, "pk", "sk", gridBits = 8, rowsPerFile = 256L)
+      .collect().map(r => r.getAs[String]("layout") -> r).toMap
+    val nf = out.values.map(_.getAs[Long]("n_files")).toSet
+    assert(nf.size == 1) // same size-bounded cut for all three arms
+    val natY = out("natural_x").getAs[Double]("skip_frac_y")
+    assert(out("zorder").getAs[Double]("skip_frac_y") > natY)
+    assert(out("hilbert").getAs[Double]("skip_frac_y") > natY)
+    // the Hilbert walk never jumps, so its total envelope is no wider
+    // than Morton's on the same cut
+    assert(out("hilbert").getAs[Long]("sum_envelope_span") <=
+      out("zorder").getAs[Long]("sum_envelope_span"))
+  }
+}

@@ -701,6 +701,27 @@ object SparkEntry {
     // per-source character entropy rate / redundancy (native char grams)
     "q_char_entropy" -> ((s, d) =>
       graft.ext.TextAnalysis.charEntropy(Tables.documents(s, d))),
+    // MAUVE divergence frontier between the embedding parity cohorts
+    "q_mauve_frontier" -> ((s, d) =>
+      graft.ext.Similarity.mauveFrontier(Tables.embeddings(s, d))),
+    // BH FDR step-up over the five-metric permutation A/B readout
+    "q_bh_fdr" -> ((s, d) =>
+      InferenceAnalytics.bhFdr(Tables.events(s, d))),
+    // two-sample Anderson-Darling + CvM: weekday vs weekend revenue
+    "q_anderson_darling" -> ((s, d) =>
+      InferenceAnalytics.andersonDarling(Tables.events(s, d))),
+    // Kaplan-Meier with Greenwood variance confidence bands
+    "q_km_greenwood" -> ((s, d) =>
+      InferenceAnalytics.kmGreenwood(Tables.events(s, d))),
+    // O'Brien-Fleming group-sequential weekly interim monitoring
+    "q_group_sequential" -> ((s, d) =>
+      InferenceAnalytics.groupSequential(Tables.events(s, d))),
+    // exact Bayesian A/B: P(B>A) under Beta posteriors (Lanczos lgamma)
+    "q_bayes_ab" -> ((s, d) =>
+      InferenceAnalytics.bayesAb(Tables.events(s, d))),
+    // GEV block-maxima fit by probability-weighted moments
+    "q_gev_maxima" -> ((s, d) =>
+      InferenceAnalytics.gevMaxima(Tables.events(s, d))),
     "q_power_iteration" -> ((s, d) =>
       graft.ext.Similarity.powerIteration(Tables.embeddings(s, d))),
     // ---- NDCG@k of the cosine ranking against label relevance ----
@@ -6413,6 +6434,467 @@ object SparkEntry {
                / ln(CAST(greatest(u_v, 1) AS DOUBLE))
              ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS redundancy
          FROM fin ORDER BY source""",
+    "q_mauve_frontier" -> {
+      val arms = graft.ext.Similarity.MauveLambdas.map { l =>
+        val l1 = 1.0 - l
+        s"""SELECT CAST($l AS DOUBLE) AS lambda,
+             max(nn0) AS n_a, max(nn1) AS n_b, max(kk) AS n_clusters,
+             floor(CAST(sum(CAST(p * ln(p / ($l * p + $l1 * q))
+               AS DECIMAL(28,12))) AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS kl_p_m,
+             floor(CAST(sum(CAST(q * ln(q / ($l * p + $l1 * q))
+               AS DECIMAL(28,12))) AS DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS kl_q_m,
+             floor(exp(-(CAST(sum(CAST(q * ln(q / ($l * p + $l1 * q))
+               AS DECIMAL(28,12))) AS DOUBLE))) * 1000000.0 + 0.5)
+               / 1000000.0 AS frontier_x,
+             floor(exp(-(CAST(sum(CAST(p * ln(p / ($l * p + $l1 * q))
+               AS DECIMAL(28,12))) AS DOUBLE))) * 1000000.0 + 0.5)
+               / 1000000.0 AS frontier_y
+           FROM pq"""
+      }.mkString(" UNION ALL ")
+      s"""WITH c AS (
+           SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
+           FROM embeddings WHERE vec_id % 40 = 0),
+         assign AS (
+           SELECT vec_id % 2 AS g, centroid_id FROM (
+             SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_cosine_similarity(e.embedding::DOUBLE[],
+                   c.ce), 6) DESC, c.centroid_id) AS rn
+             FROM embeddings e CROSS JOIN c)
+           WHERE rn = 1),
+         cont AS (
+           SELECT centroid_id,
+             CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1
+           FROM assign GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n0) AS BIGINT) AS nn0,
+             CAST(sum(n1) AS BIGINT) AS nn1,
+             CAST(count(*) AS BIGINT) AS kk
+           FROM cont),
+         pq AS (
+           SELECT
+             (CAST(n0 AS DOUBLE) + 1.0)
+               / (CAST(nn0 AS DOUBLE) + CAST(kk AS DOUBLE)) AS p,
+             (CAST(n1 AS DOUBLE) + 1.0)
+               / (CAST(nn1 AS DOUBLE) + CAST(kk AS DOUBLE)) AS q,
+             nn0, nn1, kk
+           FROM cont CROSS JOIN tot)
+         SELECT * FROM ($arms) ORDER BY lambda"""
+    },
+    "q_bh_fdr" -> {
+      val nPerms = 60
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      def bitSql(suffix: String) =
+        s"('0x' || substr(md5(CAST(user_id AS VARCHAR)$suffix), 1, 15))" +
+          "::BIGINT % 2"
+      val baseCols = types.map(t =>
+        s"""CAST(sum(x_$t) AS BIGINT) AS s_$t,
+            CAST(sum(CASE WHEN ${bitSql("")} = 0 THEN x_$t ELSE 0 END)
+              AS BIGINT) AS s0g_$t""").mkString(",\n            ")
+      val permCols = (1 to nPerms).map { p =>
+        val b = bitSql(s" || ':$p'")
+        (s"""CAST(sum(CASE WHEN $b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n0_$p""" +:
+          types.map(t =>
+            s"""CAST(sum(CASE WHEN $b = 0 THEN x_$t ELSE 0 END)
+              AS BIGINT) AS s0_${p}_$t""")).mkString(",\n            ")
+      }.mkString(",\n            ")
+      def diffSql(s0: String, n0: String, s: String) =
+        s"""CASE WHEN $n0 > 0 AND n - $n0 > 0
+            THEN CAST($s0 AS DOUBLE) / CAST($n0 AS DOUBLE)
+              - (CAST($s AS DOUBLE) - CAST($s0 AS DOUBLE))
+                / CAST(n - $n0 AS DOUBLE)
+            ELSE 0.0 END"""
+      val metricSelects = types.map { t =>
+        val obs = diffSql(s"s0g_$t", "n0g", s"s_$t")
+        val exceed = (1 to nPerms).map { p =>
+          s"CASE WHEN abs(${diffSql(s"s0_${p}_$t", s"n0_$p", s"s_$t")})" +
+            s" >= abs($obs) THEN 1 ELSE 0 END"
+        }.mkString(" + ")
+        s"""SELECT '$t' AS metric,
+             floor(($obs) * 1000000.0 + 0.5) / 1000000.0 AS diff_obs,
+             floor((1.0 + CAST($exceed AS DOUBLE)) / ${nPerms + 1}.0
+               * 1000000.0 + 0.5) / 1000000.0 AS p_value
+           FROM m"""
+      }.mkString(" UNION ALL ")
+      val perFlags = types.map(t =>
+        s"""CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)
+            AS BIGINT) AS x_$t""").mkString(",\n            ")
+      s"""WITH per AS (
+           SELECT user_id,
+            $perFlags
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN ${bitSql("")} = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n0g,
+            $baseCols,
+            $permCols
+           FROM per),
+         melted AS ($metricSelects),
+         ranked AS (
+           SELECT *,
+             CAST(row_number() OVER (ORDER BY p_value, metric)
+               AS BIGINT) AS rank
+           FROM melted),
+         kfound AS (
+           SELECT *,
+             floor(CAST(rank AS DOUBLE) * 0.1 / 5.0 * 1000000.0 + 0.5)
+               / 1000000.0 AS bh_cutoff,
+             coalesce(max(CASE WHEN p_value <=
+                 CAST(rank AS DOUBLE) * 0.1 / 5.0 THEN rank END)
+               OVER (), 0) AS kmax
+           FROM ranked)
+         SELECT metric, diff_obs, p_value, rank, bh_cutoff,
+           CAST(CASE WHEN rank <= kmax THEN 1 ELSE 0 END AS INT)
+             AS discovery_at_q10
+         FROM kfound ORDER BY metric"""
+    },
+    "q_anderson_darling" ->
+      s"""WITH $dailyCte,
+         dg AS (
+           SELECT d, x,
+             CAST((CAST(floor(epoch_us(CAST(d AS TIMESTAMP))
+               / 86400000000) AS BIGINT) + 4) % 7 AS INT) AS dow
+           FROM daily),
+         g2 AS (
+           SELECT d, x,
+             CAST(CASE WHEN dow = 0 OR dow = 6 THEN 1 ELSE 0 END
+               AS BIGINT) AS grp
+           FROM dg),
+         tot AS (
+           SELECT CAST(sum(grp) AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS nn
+           FROM g2),
+         ranked AS (
+           SELECT g2.x, g2.grp, tot.m, tot.nn,
+             CAST(row_number() OVER (ORDER BY x, d) AS BIGINT) AS i,
+             CAST(sum(grp) OVER (ORDER BY x, d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS mi
+           FROM g2 CROSS JOIN tot),
+         terms AS (
+           SELECT m, nn,
+             CASE WHEN i < nn
+               THEN CAST(CAST(mi * nn - m * i AS DOUBLE)
+                 * CAST(mi * nn - m * i AS DOUBLE)
+                 / CAST(i * (nn - i) AS DOUBLE) AS DECIMAL(28,12))
+               ELSE CAST(0.0 AS DECIMAL(28,12)) END AS adt,
+             CAST((CAST(mi AS DOUBLE) / CAST(greatest(m, 1) AS DOUBLE)
+                 - CAST(i - mi AS DOUBLE)
+                   / CAST(greatest(nn - m, 1) AS DOUBLE))
+               * (CAST(mi AS DOUBLE) / CAST(greatest(m, 1) AS DOUBLE)
+                 - CAST(i - mi AS DOUBLE)
+                   / CAST(greatest(nn - m, 1) AS DOUBLE))
+               AS DECIMAL(28,12)) AS cvt
+           FROM ranked),
+         folds AS (
+           SELECT max(m) AS m, max(nn) AS nn,
+             CAST(sum(adt) AS DOUBLE) AS adsum,
+             CAST(sum(cvt) AS DOUBLE) AS cvmsum
+           FROM terms),
+         fin AS (
+           SELECT *,
+             CAST(greatest(m, 1) AS DOUBLE)
+               * CAST(greatest(nn - m, 1) AS DOUBLE) AS nm,
+             (m > 0 AND nn - m > 0) AS ok
+           FROM folds)
+         SELECT nn - m AS n_weekday, m AS n_weekend,
+           floor(CASE WHEN ok THEN adsum / nm ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS ad_stat,
+           floor(CASE WHEN ok
+             THEN cvmsum * nm / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS cvm_stat,
+           CAST(CASE WHEN ok AND adsum / nm > 2.492 THEN 1 ELSE 0 END
+             AS INT) AS ad_reject_at_2492,
+           CAST(CASE WHEN ok AND cvmsum * nm
+               / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) > 0.461
+             THEN 1 ELSE 0 END AS INT) AS cvm_reject_at_0461
+         FROM fin""",
+    "q_km_greenwood" ->
+      """WITH life AS (
+           SELECT user_id,
+             date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+               AS lifetime,
+             max(CAST(ts AS DATE)) AS last_d
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         h AS (SELECT max(last_d) AS h FROM life),
+         pt AS (
+           SELECT CAST(lifetime AS BIGINT) AS t,
+             CAST(sum(CASE WHEN last_d = h.h THEN 0 ELSE 1 END) AS BIGINT)
+               AS d,
+             CAST(sum(CASE WHEN last_d = h.h THEN 1 ELSE 0 END) AS BIGINT)
+               AS c
+           FROM life CROSS JOIN h GROUP BY 1),
+         tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM pt),
+         r AS (
+           SELECT t, d, c,
+             n_total - coalesce(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+           FROM pt CROSS JOIN tot),
+         s AS (
+           SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+             sum(CASE WHEN d > 0 AND d < n_risk
+                   THEN CAST(ln(1.0 - CAST(d AS DOUBLE) /
+                     CAST(n_risk AS DOUBLE)) AS DECIMAL(28,12))
+                   ELSE CAST(0.0 AS DECIMAL(28,12)) END)
+               OVER win AS lsum,
+             sum(CASE WHEN d > 0 AND d < n_risk
+                   THEN CAST(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE)
+                     * CAST(greatest(n_risk - d, 1) AS DOUBLE))
+                     AS DECIMAL(28,12))
+                   ELSE CAST(0.0 AS DECIMAL(28,12)) END)
+               OVER win AS gsum,
+             max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+               OVER win AS zf
+           FROM r
+           WINDOW win AS (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT t, n_risk, d, c,
+           CASE WHEN zf = 1 THEN 0.0
+                ELSE round(exp(CAST(lsum AS DOUBLE)), 6) END AS s_km,
+           floor(CASE WHEN zf = 1 THEN 0.0
+             ELSE exp(CAST(lsum AS DOUBLE))
+               * sqrt(CAST(gsum AS DOUBLE)) END * 1000000.0 + 0.5)
+             / 1000000.0 AS se_greenwood,
+           floor(CASE WHEN zf = 1 THEN 0.0
+             ELSE greatest(exp(CAST(lsum AS DOUBLE))
+               - 1.96 * (exp(CAST(lsum AS DOUBLE))
+                 * sqrt(CAST(gsum AS DOUBLE))), 0.0) END
+             * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+           floor(CASE WHEN zf = 1 THEN 0.0
+             ELSE least(exp(CAST(lsum AS DOUBLE))
+               + 1.96 * (exp(CAST(lsum AS DOUBLE))
+                 * sqrt(CAST(gsum AS DOUBLE))), 1.0) END
+             * 1000000.0 + 0.5) / 1000000.0 AS ci_hi
+         FROM s ORDER BY t""",
+    "q_group_sequential" -> {
+      val looks = 4
+      val spCols = (1 to looks).map { k =>
+        s"""CAST(round(sum(CAST(CASE WHEN event_type = 'purchase'
+              AND date_diff('day', d0.d0, CAST(ts AS DATE)) < ${7 * k}
+              THEN coalesce(value, 0.0) ELSE 0.0 END
+              AS DECIMAL(18,6))), 2) AS DOUBLE) AS sp_$k"""
+      }.mkString(",\n            ")
+      val mCols = (1 to looks).map { k =>
+        val in = s"first_off < ${7 * k}"
+        s"""CAST(sum(CASE WHEN $in AND variant = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS na_$k,
+            CAST(sum(CASE WHEN $in AND variant = 0
+              THEN CAST(sp_$k AS DECIMAL(38,12))
+              ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS DOUBLE) AS sxa_$k,
+            CAST(sum(CASE WHEN $in AND variant = 0
+              THEN CAST(sp_$k * sp_$k AS DECIMAL(38,12))
+              ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS DOUBLE)
+              AS sxxa_$k,
+            CAST(sum(CASE WHEN $in AND variant = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nb_$k,
+            CAST(sum(CASE WHEN $in AND variant = 1
+              THEN CAST(sp_$k AS DECIMAL(38,12))
+              ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS DOUBLE) AS sxb_$k,
+            CAST(sum(CASE WHEN $in AND variant = 1
+              THEN CAST(sp_$k * sp_$k AS DECIMAL(38,12))
+              ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS DOUBLE)
+              AS sxxb_$k"""
+      }.mkString(",\n            ")
+      val melts = (1 to looks).map { k =>
+        val bound = graft.analytics.ObfTables.boundary(looks, k)
+        s"""SELECT CAST($k AS BIGINT) AS week,
+             na_$k AS n_a, nb_$k AS n_b,
+             floor((sxb_$k / CAST(greatest(nb_$k, 1) AS DOUBLE)
+               - sxa_$k / CAST(greatest(na_$k, 1) AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS diff,
+             floor(CASE WHEN ok_$k THEN se_$k ELSE 0.0 END
+               * 1000000.0 + 0.5) / 1000000.0 AS se,
+             floor(CASE WHEN ok_$k THEN z_$k ELSE 0.0 END
+               * 1000000.0 + 0.5) / 1000000.0 AS z_stat,
+             CAST($bound AS DOUBLE) AS obf_bound,
+             CAST(CASE WHEN ok_$k AND abs(z_$k) > $bound
+               THEN 1 ELSE 0 END AS INT) AS crossed
+           FROM z"""
+      }.mkString(" UNION ALL ")
+      val seZ = (1 to looks).map { k =>
+        s"""sqrt(CASE WHEN se2_$k > 0.0 THEN se2_$k ELSE 1.0 END)
+              AS se_$k,
+            (na_$k > 1 AND nb_$k > 1 AND se2_$k > 0.0) AS ok_$k,
+            (sxb_$k / CAST(greatest(nb_$k, 1) AS DOUBLE)
+              - sxa_$k / CAST(greatest(na_$k, 1) AS DOUBLE))
+              / sqrt(CASE WHEN se2_$k > 0.0 THEN se2_$k ELSE 1.0 END)
+              AS z_$k"""
+      }.mkString(",\n            ")
+      val se2s = (1 to looks).map { k =>
+        s"""((sxxa_$k - sxa_$k * sxa_$k
+                / CAST(greatest(na_$k, 1) AS DOUBLE))
+              / CAST(greatest(na_$k - 1, 1) AS DOUBLE))
+              / CAST(greatest(na_$k, 1) AS DOUBLE)
+            + ((sxxb_$k - sxb_$k * sxb_$k
+                / CAST(greatest(nb_$k, 1) AS DOUBLE))
+              / CAST(greatest(nb_$k - 1, 1) AS DOUBLE))
+              / CAST(greatest(nb_$k, 1) AS DOUBLE) AS se2_$k"""
+      }.mkString(",\n            ")
+      s"""WITH d0 AS (
+           SELECT min(CAST(ts AS DATE)) AS d0 FROM events
+           WHERE user_id IS NOT NULL),
+         per AS (
+           SELECT user_id,
+             CAST(min(date_diff('day', d0.d0, CAST(ts AS DATE)))
+               AS BIGINT) AS first_off,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS variant,
+            $spCols
+           FROM events, d0 WHERE user_id IS NOT NULL GROUP BY user_id),
+         m AS (
+           SELECT
+            $mCols
+           FROM per),
+         s2 AS (
+           SELECT *,
+            $se2s
+           FROM m),
+         z AS (
+           SELECT *,
+            $seZ
+           FROM s2),
+         melted AS ($melts)
+         SELECT *,
+           CAST(max(crossed) OVER (ORDER BY week
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+             AS stopped_by_now
+         FROM melted ORDER BY week"""
+    },
+    "q_bayes_ab" -> {
+      import graft.analytics.PortableGamma.{lbetaSql => lb}
+      s"""WITH pu AS (
+           SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value > 90
+                 THEN 1 ELSE 0 END) AS converted,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS variant
+           FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+         agg AS (
+           SELECT
+             CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS users_a,
+             CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+               AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS users_b,
+             CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+               AS BIGINT) AS conv_b
+           FROM pu),
+         st AS (
+           SELECT *,
+             CAST(conv_a + 1 AS DOUBLE) AS a1,
+             CAST(users_a - conv_a + 1 AS DOUBLE) AS b1,
+             CAST(conv_b + 1 AS DOUBLE) AS a2,
+             CAST(users_b - conv_b + 1 AS DOUBLE) AS b2
+           FROM agg),
+         terms AS (
+           SELECT st.*,
+             CAST(unnest(range(0, CAST(a2 AS BIGINT))) AS DOUBLE) AS iD
+           FROM st),
+         summed AS (
+           SELECT CAST(sum(CAST(exp(
+               ${lb("a1 + iD", "b1 + b2")}
+               - ln(b2 + iD)
+               - ${lb("1.0 + iD", "b2")}
+               - ${lb("a1", "b1")})
+             AS DECIMAL(28,12))) AS DOUBLE) AS pr
+           FROM terms)
+         SELECT users_a, conv_a, users_b, conv_b,
+           floor(CAST(conv_a AS DOUBLE)
+             / CAST(greatest(users_a, 1) AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS rate_a,
+           floor(CAST(conv_b AS DOUBLE)
+             / CAST(greatest(users_b, 1) AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS rate_b,
+           floor(pr * 1000000.0 + 0.5) / 1000000.0 AS prob_b_beats_a,
+           CAST(CASE WHEN pr > 0.95 THEN 1 ELSE 0 END AS INT)
+             AS decide_b_at_95
+         FROM st CROSS JOIN summed"""
+    },
+    "q_gev_maxima" -> {
+      import graft.analytics.PortableGamma
+      val ln2 = PortableGamma.ln2
+      val ln2ln3 = PortableGamma.ln2OverLn3
+      val eg = PortableGamma.eulerGamma
+      s"""WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d, max(value) AS x
+           FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1),
+         ranked AS (
+           SELECT x,
+             CAST(row_number() OVER (ORDER BY x, d) AS BIGINT) AS j
+           FROM daily),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM ranked),
+         folds AS (
+           SELECT max(nn) AS nn,
+             CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS s0,
+             CAST(sum(CAST(x * (CAST(j - 1 AS DOUBLE)
+               / CAST(greatest(nn - 1, 1) AS DOUBLE))
+               AS DECIMAL(38,12))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(x * (CAST((j - 1) * (j - 2) AS DOUBLE)
+               / CAST(greatest((nn - 1) * (nn - 2), 1) AS DOUBLE))
+               AS DECIMAL(38,12))) AS DOUBLE) AS s2
+           FROM ranked CROSS JOIN tot),
+         c1 AS (
+           SELECT nn,
+             s0 / CAST(greatest(nn, 1) AS DOUBLE) AS b0,
+             s1 / CAST(greatest(nn, 1) AS DOUBLE) AS b1,
+             s2 / CAST(greatest(nn, 1) AS DOUBLE) AS b2
+           FROM folds),
+         c2 AS (SELECT *, 2.0 * b1 - b0 AS num, 3.0 * b2 - b0 AS den
+           FROM c1),
+         c3 AS (SELECT *,
+             num / (CASE WHEN den <> 0.0 THEN den ELSE 1.0 END)
+               - $ln2ln3 AS cc
+           FROM c2),
+         c4 AS (SELECT *, 7.859 * cc + 2.9554 * cc * cc AS k FROM c3),
+         c5 AS (SELECT *,
+             (abs(k) < 1.0e-9) AS gum,
+             exp(${PortableGamma.lgammaSql("1.0 + k")}) AS gk,
+             exp(-k * $ln2) AS t2
+           FROM c4),
+         c6 AS (SELECT *, gk * (1.0 - t2) AS sigden FROM c5),
+         c7 AS (SELECT *,
+             CASE WHEN gum THEN num / $ln2
+               ELSE num * k / (CASE WHEN sigden <> 0.0 THEN sigden
+                 ELSE 1.0 END) END AS sigma
+           FROM c6),
+         c8 AS (SELECT *,
+             CASE WHEN gum THEN b0 - $eg * sigma
+               ELSE b0 + sigma * (gk - 1.0)
+                 / (CASE WHEN k <> 0.0 THEN k ELSE 1.0 END) END AS mu
+           FROM c7),
+         c9 AS (SELECT *, -ln(1.0 - 1.0 / 30.0) AS yv FROM c8),
+         c10 AS (SELECT *,
+             CASE WHEN gum THEN mu - sigma * ln(yv)
+               ELSE mu + sigma * (exp(-k * ln(yv)) - 1.0)
+                 / (CASE WHEN k <> 0.0 THEN k ELSE 1.0 END) END AS rl,
+             (den <> 0.0 AND nn > 2) AS ok
+           FROM c9)
+         SELECT nn AS n_days,
+           floor(b0 * 1000000.0 + 0.5) / 1000000.0 AS b0,
+           floor(b1 * 1000000.0 + 0.5) / 1000000.0 AS b1,
+           floor(b2 * 1000000.0 + 0.5) / 1000000.0 AS b2,
+           floor(CASE WHEN ok THEN k ELSE 0.0 END * 1000000.0 + 0.5)
+             / 1000000.0 AS shape_k,
+           floor(CASE WHEN ok THEN sigma ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS sigma,
+           floor(CASE WHEN ok THEN mu ELSE 0.0 END * 1000000.0 + 0.5)
+             / 1000000.0 AS mu,
+           floor(CASE WHEN ok THEN rl ELSE 0.0 END * 1000000.0 + 0.5)
+             / 1000000.0 AS return_level_30,
+           CAST(CASE WHEN ok AND gum THEN 1 ELSE 0 END AS INT)
+             AS gumbel_limit
+         FROM c10"""
+    },
     "q_dp_counts" ->
       """WITH c AS (
            SELECT event_type, CAST(count(*) AS BIGINT) AS true_n

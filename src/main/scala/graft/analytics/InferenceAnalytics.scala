@@ -444,6 +444,89 @@ object InferenceAnalytics {
         .as("reliable_at_0_8"))
   }
 
+  /** Benjamini–Hochberg FDR over a multi-metric A/B readout — the
+    * correction an experimentation platform applies when one rollout is
+    * judged on FIVE metrics at once (per-user counts of each event
+    * type): testing each at 5% alone inflates the false-discovery rate,
+    * so BH step-up finds the largest k with p_(k) ≤ k·q/m and declares
+    * only those. P-values are hash-relabeling permutation tails (the
+    * [[EventAnalytics.permutationTest]] machinery, one shared relabeling
+    * per permutation across all metrics — preserving the metrics'
+    * correlation, as the joint test requires), so no CDF is needed and
+    * both engines fold the identical integers. One row per metric with
+    * its observed diff, permutation p, BH rank/cutoff, and the
+    * discovery flag at q = 0.1. The permutation count (60) is sized to
+    * the correction: the smallest achievable p is 1/(perms+1), and the
+    * rank-1 BH cutoff is q/m = 0.02, so perms must exceed m/q − 1 = 49
+    * for ANY discovery to be possible — an FDR gate with fewer
+    * permutations than that silently never fires.
+    *
+    * Scale shape: ONE pass over the user frame computes all
+    * 5 + 5·(perms+1) conditional sums (one wide map-side-combined
+    * aggregate — the permutation never re-shuffles); the melt and BH
+    * walk run on the 5-row metric frame. */
+  def bhFdr(ev: DataFrame, nPerms: Int = 60,
+            qFdr: Double = 0.1): DataFrame = {
+    import graft.ext.TextFns.portableH60
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val mCount = types.size
+    val perUser = ev.filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(types.map(t => sum(when(col("event_type") === t, 1L)
+        .otherwise(0L)).as(s"x_$t")).head,
+        types.map(t => sum(when(col("event_type") === t, 1L)
+          .otherwise(0L)).as(s"x_$t")).tail: _*)
+      .withColumn("g", Sampling.hashBucket(col("user_id"), 2))
+    def bit(p: Int): Column = pmod(portableH60(
+      concat(col("user_id").cast("string"), lit(s":$p"))), lit(2L))
+    val aggs: Seq[Column] =
+      Seq(sum(when(col("g") === 0L, 1L).otherwise(0L)).as("n0g")) ++
+      types.map(t => sum(col(s"x_$t")).as(s"s_$t")) ++
+      types.map(t => sum(when(col("g") === 0L, col(s"x_$t"))
+        .otherwise(0L)).as(s"s0g_$t")) ++
+      (1 to nPerms).map(p => sum(when(bit(p) === 0L, 1L).otherwise(0L))
+        .as(s"n0_$p")) ++
+      (1 to nPerms).flatMap(p => types.map(t =>
+        sum(when(bit(p) === 0L, col(s"x_$t")).otherwise(0L))
+          .as(s"s0_${p}_$t")))
+    val m = perUser.agg(count(lit(1)).as("n"), aggs: _*)
+      .localCheckpoint() // the 5 metric melts all read this one row
+    def d(c: Column) = c.cast("double")
+    def diffOf(s0: Column, n0: Column, s: Column): Column = {
+      val n1 = col("n") - n0
+      when(n0 > 0L && n1 > 0L,
+        d(s0) / d(n0) - (d(s) - d(s0)) / d(n1)).otherwise(lit(0.0))
+    }
+    val metricRows = types.map { t =>
+      val obs = diffOf(col(s"s0g_$t"), col("n0g"), col(s"s_$t"))
+      val exceed = (1 to nPerms).map { p =>
+        when(abs(diffOf(col(s"s0_${p}_$t"), col(s"n0_$p"),
+          col(s"s_$t"))) >= abs(obs), 1L).otherwise(0L)
+      }.reduce(_ + _)
+      m.select(lit(t).as("metric"), r6(obs).as("diff_obs"),
+        r6((lit(1.0) + d(exceed)) / lit((nPerms + 1).toDouble))
+          .as("p_value"))
+    }
+    val melted = metricRows.reduce(_ unionAll _)
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = melted
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("p_value"), col("metric"))).cast("bigint"))
+      .withColumn("bh_cutoff",
+        r6(col("rank").cast("double") * lit(qFdr) /
+          lit(mCount.toDouble)))
+    ranked
+      .withColumn("kmax", coalesce(max(
+        when(col("p_value") <= col("rank").cast("double") * lit(qFdr) /
+          lit(mCount.toDouble), col("rank"))).over(wAll), lit(0L)))
+      .select(col("metric"), col("diff_obs"), col("p_value"),
+        col("rank"), col("bh_cutoff"),
+        when(col("rank") <= col("kmax"), 1).otherwise(0).cast("int")
+          .as("discovery_at_q10"))
+      .orderBy("metric")
+  }
+
   /** Mann–Kendall trend test + Sen's slope on the daily value series —
     * the nonparametric "is this metric drifting, and how fast" pair
     * operations dashboards run because neither needs the residuals to
@@ -625,6 +708,331 @@ object InferenceAnalytics {
         r6(when(ok, col("sipw") / nk).otherwise(lit(0.0))).as("ate_ipw"),
         r6(when(ok, col("spsi") / nk).otherwise(lit(0.0))).as("ate_aipw"))
   }
+
+  /** Two-sample Anderson–Darling + Cramér–von Mises on the weekday vs
+    * weekend daily-revenue distributions — the distribution-equality
+    * tests that outrank [[StatsAnalytics]]'s KS at the tails (AD
+    * weights the extremes by 1/(F(1−F))), asked on the question ops
+    * teams actually argue about: is weekend revenue just a shifted
+    * weekday, or a different shape entirely. Pooled-rank forms (Pettitt
+    * 1976): with M_i = weekend observations among the first i pooled
+    * order statistics, AD = Σ_{i<N} (M_i·N − m·i)²/(i(N−i)) / (n·m) and
+    * CvM = Σ_i (M_i/m − (i−M_i)/n)² · nm/N². Ties are broken by date —
+    * a fixed permutation both engines sort identically, stated here
+    * because the classic midrank variant would need a different fold.
+    * Flags at the literal 5% values 2.492 (AD) and 0.461 (CvM).
+    *
+    * Scale shape: one day aggregate; the rank walk runs on the
+    * day-bounded frame. */
+  def andersonDarling(ev: DataFrame): DataFrame = {
+    val daily = dailySeries(ev)
+      .withColumn("dow", ((floor(unix_micros(
+        col("d").cast("timestamp")) / lit(86400000000L)) + lit(4)) % 7)
+        .cast("int"))
+      .withColumn("grp",
+        when(col("dow") === 0 || col("dow") === 6, 1L).otherwise(0L))
+    val w = Window.orderBy(col("x"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = daily.agg(sum(col("grp")).as("m"),
+      count(lit(1)).as("nn"))
+    val ranked = daily.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(Window.orderBy(col("x"),
+        col("d"))).cast("bigint"))
+      .withColumn("mi", sum(col("grp")).over(w))
+    def d(c: Column) = c.cast("double")
+    def dc(c: Column) = c.cast("decimal(28,12)")
+    val nSmall = col("nn") - col("m") // weekday count n
+    val adTerm = when(col("i") < col("nn"),
+      dc(d(col("mi") * col("nn") - col("m") * col("i")) *
+        d(col("mi") * col("nn") - col("m") * col("i")) /
+        d(col("i") * (col("nn") - col("i")))))
+      .otherwise(dc(lit(0.0)))
+    val cvmTerm = dc((d(col("mi")) / d(greatest(col("m"), lit(1L))) -
+      d(col("i") - col("mi")) / d(greatest(nSmall, lit(1L)))) *
+      (d(col("mi")) / d(greatest(col("m"), lit(1L))) -
+        d(col("i") - col("mi")) / d(greatest(nSmall, lit(1L)))))
+    val folds = ranked.agg(max(col("m")).as("m"), max(col("nn")).as("nn"),
+      sum(adTerm).cast("double").as("adsum"),
+      sum(cvmTerm).cast("double").as("cvmsum"))
+    val ok = col("m") > 0L && col("nn") - col("m") > 0L
+    val nm = d(greatest(col("m"), lit(1L))) *
+      d(greatest(col("nn") - col("m"), lit(1L)))
+    val ad = col("adsum") / nm
+    val cvm = col("cvmsum") * nm / (d(col("nn")) * d(col("nn")))
+    folds.select((col("nn") - col("m")).as("n_weekday"),
+      col("m").as("n_weekend"),
+      r6(when(ok, ad).otherwise(lit(0.0))).as("ad_stat"),
+      r6(when(ok, cvm).otherwise(lit(0.0))).as("cvm_stat"),
+      when(ok && ad > lit(2.492), 1).otherwise(0).cast("int")
+        .as("ad_reject_at_2492"),
+      when(ok && cvm > lit(0.461), 1).otherwise(0).cast("int")
+        .as("cvm_reject_at_0461"))
+  }
+
+  /** Kaplan–Meier with Greenwood confidence bands — the error bars the
+    * published survival curve ([[StatsAnalytics.survivalKm]], whose
+    * 6dp s_km this reproduces exactly) must carry before anyone acts
+    * on it: Var(S) = S²·Σ_{t_k≤t} d/(n(n−d)), the ±1.96·se band
+    * clamped to [0, 1]. The absorbing S = 0 state (everyone at risk
+    * died) zeroes the band too — its variance term is undefined and
+    * the estimate is exact there.
+    *
+    * Scale shape: one user aggregate, then window folds on the
+    * day-bounded risk table. */
+  def kmGreenwood(ev: DataFrame): DataFrame = {
+    val life = ev.filter(col("user_id").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id")
+      .agg(datediff(max(col("d")), min(col("d"))).cast("bigint").as("t"),
+        max(col("d")).as("last_d"))
+    val horizon = life.agg(max(col("last_d")).as("h"))
+    val pt = life.crossJoin(broadcast(horizon))
+      .select(col("t"),
+        when(col("last_d") === col("h"), 1L).otherwise(0L).as("cen"))
+      .groupBy("t")
+      .agg(sum(lit(1L) - col("cen")).as("d"), sum(col("cen")).as("c"))
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = pt.agg(sum(col("d") + col("c")).as("n_total"))
+    def dd(c: Column) = c.cast("double")
+    val logTerm = when(col("d") > 0 && col("d") < col("n_risk"),
+      log(lit(1.0) - dd(col("d")) / dd(col("n_risk")))
+        .cast("decimal(28,12)")).otherwise(lit(0.0).cast("decimal(28,12)"))
+    val gwTerm = when(col("d") > 0 && col("d") < col("n_risk"),
+      (dd(col("d")) / (dd(col("n_risk")) *
+        dd(greatest(col("n_risk") - col("d"), lit(1L)))))
+        .cast("decimal(28,12)")).otherwise(lit(0.0).cast("decimal(28,12)"))
+    val zeroFlag = max(when(col("d") === col("n_risk"), 1L).otherwise(0L))
+      .over(w)
+    val sRaw = exp(sum(logTerm).over(w).cast("double"))
+    val se = sRaw * sqrt(sum(gwTerm).over(w).cast("double"))
+    pt.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("d") + col("c")).over(wPrev),
+          lit(0L)))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        when(zeroFlag === 1L, lit(0.0)).otherwise(round(sRaw, 6))
+          .as("s_km"),
+        r6(when(zeroFlag === 1L, lit(0.0)).otherwise(se))
+          .as("se_greenwood"),
+        r6(when(zeroFlag === 1L, lit(0.0))
+          .otherwise(greatest(sRaw - lit(1.96) * se, lit(0.0))))
+          .as("ci_lo"),
+        r6(when(zeroFlag === 1L, lit(0.0))
+          .otherwise(least(sRaw + lit(1.96) * se, lit(1.0))))
+          .as("ci_hi"))
+      .orderBy("t")
+  }
+
+  /** O'Brien–Fleming group-sequential monitoring of the A/B spend
+    * metric — the interim-analysis discipline that lets an experiment
+    * peek weekly WITHOUT inflating its false-positive rate: the week-k
+    * Welch z is compared against the escalating boundary
+    * C·√(K/k) (C = 2.024, the two-sided 5% OBF constant for K = 4
+    * looks), so early stops demand overwhelming evidence and the final
+    * look pays almost no penalty. Users enter the denominator at their
+    * first event; spend accumulates cumulatively — all K interim
+    * readouts fold in ONE pass over the user frame (the bhFdr wide-agg
+    * shape). Boundaries are Scala-computed literals shared with the
+    * oracle.
+    *
+    * Scale shape: one user aggregate with 4·K conditional sums, then a
+    * K-row melt. */
+  def groupSequential(ev: DataFrame, looks: Int = 4): DataFrame = {
+    val base = ev.filter(col("user_id").isNotNull)
+    val d0 = base.agg(min(to_date(col("ts"))).as("d0"))
+    val perAggs: Seq[Column] =
+      min(datediff(to_date(col("ts")), col("d0"))).cast("bigint")
+        .as("first_off") +:
+      (1 to looks).map(k => round(sum(when(
+        col("event_type") === "purchase" &&
+          datediff(to_date(col("ts")), col("d0")) < k * 7,
+        coalesce(col("value"), lit(0.0))).otherwise(lit(0.0))
+        .cast("decimal(18,6)")), 2).cast("double").as(s"sp_$k"))
+    val per = base.crossJoin(broadcast(d0))
+      .groupBy("user_id")
+      .agg(perAggs.head, perAggs.tail: _*)
+      .withColumn("variant", Sampling.hashBucket(col("user_id"), 2))
+    def dc(c: Column) = c.cast("decimal(38,12)")
+    val aggs: Seq[Column] = (1 to looks).flatMap { k =>
+      val in = col("first_off") < (k * 7).toLong
+      Seq(
+        sum(when(in && col("variant") === 0L, 1L).otherwise(0L))
+          .as(s"na_$k"),
+        sum(when(in && col("variant") === 0L, dc(col(s"sp_$k")))
+          .otherwise(dc(lit(0.0)))).cast("double").as(s"sxa_$k"),
+        sum(when(in && col("variant") === 0L,
+          dc(col(s"sp_$k") * col(s"sp_$k")))
+          .otherwise(dc(lit(0.0)))).cast("double").as(s"sxxa_$k"),
+        sum(when(in && col("variant") === 1L, 1L).otherwise(0L))
+          .as(s"nb_$k"),
+        sum(when(in && col("variant") === 1L, dc(col(s"sp_$k")))
+          .otherwise(dc(lit(0.0)))).cast("double").as(s"sxb_$k"),
+        sum(when(in && col("variant") === 1L,
+          dc(col(s"sp_$k") * col(s"sp_$k")))
+          .otherwise(dc(lit(0.0)))).cast("double").as(s"sxxb_$k"))
+    }
+    val m = per.agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint() // the K melts all read this one row
+    val rows = (1 to looks).map { k =>
+      val naD = greatest(col(s"na_$k"), lit(1L)).cast("double")
+      val nbD = greatest(col(s"nb_$k"), lit(1L)).cast("double")
+      val ma = col(s"sxa_$k") / naD
+      val mb = col(s"sxb_$k") / nbD
+      val va = (col(s"sxxa_$k") - col(s"sxa_$k") * col(s"sxa_$k") / naD) /
+        greatest(col(s"na_$k") - 1L, lit(1L)).cast("double")
+      val vb = (col(s"sxxb_$k") - col(s"sxb_$k") * col(s"sxb_$k") / nbD) /
+        greatest(col(s"nb_$k") - 1L, lit(1L)).cast("double")
+      val se2 = va / naD + vb / nbD
+      val se = sqrt(when(se2 > 0.0, se2).otherwise(lit(1.0)))
+      val ok = col(s"na_$k") > 1L && col(s"nb_$k") > 1L && se2 > 0.0
+      val z = (mb - ma) / se
+      val bound = ObfTables.boundary(looks, k)
+      m.select(lit(k.toLong).as("week"),
+        col(s"na_$k").as("n_a"), col(s"nb_$k").as("n_b"),
+        r6(mb - ma).as("diff"),
+        r6(when(ok, se).otherwise(lit(0.0))).as("se"),
+        r6(when(ok, z).otherwise(lit(0.0))).as("z_stat"),
+        lit(bound).as("obf_bound"),
+        when(ok && abs(z) > lit(bound), 1).otherwise(0).cast("int")
+          .as("crossed"))
+    }
+    val melted = rows.reduce(_ unionAll _)
+    val wCum = Window.orderBy("week")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    melted
+      .withColumn("stopped_by_now",
+        max(col("crossed")).over(wCum).cast("int"))
+      .orderBy("week")
+  }
+
+  /** Exact Bayesian A/B — P(rate_B > rate_A) under independent
+    * Beta(1+conv, 1+non-conv) posteriors, by the closed finite sum
+    * (Cook 2005): P = Σ_{i<a₂} exp(lnB(a₁+i, b₁+b₂) − ln(b₂+i)
+    * − lnB(1+i, b₂) − lnB(a₁, b₁)) — the number a decision memo
+    * actually wants where [[StatsAnalytics.abLift]] reports a
+    * frequentist lift. All four log-Beta calls run through the shared
+    * [[PortableGamma]] Lanczos literals, so DuckDB reproduces every
+    * term; the sum frame is CONVERSIONS-bounded (a₂ rows — experiment
+    * scale, not corpus scale: by the time conversions reach the
+    * millions the CLT normal answer is identical to this sum's, and
+    * this exact form is what validates that approximation).
+    *
+    * Scale shape: one user aggregate → a conversions-bounded exploded
+    * sum → one row. */
+  def bayesAb(ev: DataFrame, minValue: Double = 90.0): DataFrame = {
+    val per = ev.filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > minValue, 1L).otherwise(0L)).as("converted"))
+      .withColumn("variant", Sampling.hashBucket(col("user_id"), 2))
+    val m = per.agg(
+      sum(when(col("variant") === 0L, 1L).otherwise(0L)).as("users_a"),
+      sum(when(col("variant") === 0L, col("converted")).otherwise(0L))
+        .as("conv_a"),
+      sum(when(col("variant") === 1L, 1L).otherwise(0L)).as("users_b"),
+      sum(when(col("variant") === 1L, col("converted")).otherwise(0L))
+        .as("conv_b"))
+      .withColumn("a1", (col("conv_a") + 1L).cast("double"))
+      .withColumn("b1", (col("users_a") - col("conv_a") + 1L)
+        .cast("double"))
+      .withColumn("a2", (col("conv_b") + 1L).cast("double"))
+      .withColumn("b2", (col("users_b") - col("conv_b") + 1L)
+        .cast("double"))
+      .localCheckpoint() // the sum frame and the report both read it
+    import PortableGamma.{lbeta, lgamma}
+    val terms = m
+      .select(col("*"), explode(sequence(lit(0L),
+        (col("a2") - lit(1.0)).cast("bigint"))).as("i"))
+      .select(col("*"), col("i").cast("double").as("iD"))
+    val logTerm = lbeta(col("a1") + col("iD"), col("b1") + col("b2")) -
+      log(col("b2") + col("iD")) -
+      lbeta(lit(1.0) + col("iD"), col("b2")) -
+      lbeta(col("a1"), col("b1"))
+    val p = terms.agg(
+      sum(exp(logTerm).cast("decimal(28,12)")).cast("double").as("pr"))
+    def d(c: Column) = c.cast("double")
+    m.crossJoin(broadcast(p))
+      .select(col("users_a"), col("conv_a"), col("users_b"),
+        col("conv_b"),
+        r6(d(col("conv_a")) / greatest(col("users_a"), lit(1L))
+          .cast("double")).as("rate_a"),
+        r6(d(col("conv_b")) / greatest(col("users_b"), lit(1L))
+          .cast("double")).as("rate_b"),
+        r6(col("pr")).as("prob_b_beats_a"),
+        when(col("pr") > lit(0.95), 1).otherwise(0).cast("int")
+          .as("decide_b_at_95"))
+  }
+
+  /** GEV fit of the daily-maximum transaction value by probability-
+    * weighted moments (Hosking, Wallis & Wood 1985) — block-maxima
+    * extreme-value analysis, the complement of [[StatsAnalytics
+    * .gpdTail]]'s peaks-over-threshold: blocks are days, the fitted
+    * (k, σ, μ) price "what is the largest single transaction we should
+    * expect in T days" (the 30-day return level ships as a column).
+    * PWM b₀/b₁/b₂ fold over the sorted day-bounded frame; the shape
+    * comes from Hosking's c-approximation, Γ(1+k) from the shared
+    * [[PortableGamma]] Lanczos literals, and the |k| < 1e-9 Gumbel
+    * limit takes the closed σ = (2b₁−b₀)/ln2, μ = b₀ − γ·σ branch on
+    * BOTH engines.
+    *
+    * Scale shape: one day aggregate; rank weights and every fold run
+    * on the day-bounded frame. */
+  def gevMaxima(ev: DataFrame, returnDays: Int = 30): DataFrame = {
+    val daily = ev.filter(col("value").isNotNull && col("ts").isNotNull)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(max(col("value")).as("x"))
+    val ranked = daily
+      .withColumn("j", row_number().over(Window.orderBy(col("x"),
+        col("d"))).cast("bigint"))
+    def d(c: Column) = c.cast("double")
+    def dc(c: Column) = c.cast("decimal(38,12)")
+    val n = col("nn")
+    val tot = ranked.agg(count(lit(1)).as("nn"))
+    val folds = ranked.crossJoin(broadcast(tot))
+      .agg(max(col("nn")).as("nn"),
+        sum(dc(col("x"))).cast("double").as("s0"),
+        sum(dc(col("x") * (d(col("j") - 1L) /
+          d(greatest(col("nn") - 1L, lit(1L)))))).cast("double").as("s1"),
+        sum(dc(col("x") * (d((col("j") - 1L) * (col("j") - 2L)) /
+          d(greatest((col("nn") - 1L) * (col("nn") - 2L), lit(1L))))))
+          .cast("double").as("s2"))
+    val nD = d(greatest(n, lit(1L)))
+    val b0 = col("s0") / nD
+    val b1 = col("s1") / nD
+    val b2 = col("s2") / nD
+    val num = lit(2.0) * b1 - b0
+    val den = lit(3.0) * b2 - b0
+    val denDiv = when(den =!= 0.0, den).otherwise(lit(1.0))
+    val cc = num / denDiv - lit(PortableGamma.ln2OverLn3)
+    val k = lit(7.8590) * cc + lit(2.9554) * cc * cc
+    val gumbel = abs(k) < lit(1.0e-9)
+    val gk = exp(PortableGamma.lgamma(lit(1.0) + k))
+    val two2negk = exp(-k * lit(PortableGamma.ln2))
+    val sigDen = gk * (lit(1.0) - two2negk)
+    val sigDenDiv = when(sigDen =!= 0.0, sigDen).otherwise(lit(1.0))
+    val kDiv = when(k =!= 0.0, k).otherwise(lit(1.0))
+    val sigma = when(gumbel, num / lit(PortableGamma.ln2))
+      .otherwise(num * k / sigDenDiv)
+    val mu = when(gumbel, b0 - lit(PortableGamma.eulerGamma) * sigma)
+      .otherwise(b0 + sigma * (gk - lit(1.0)) / kDiv)
+    // 30-day return level: y = −ln(1 − 1/T);
+    // GEV: μ + σ(y^(−k) − 1)/k; Gumbel: μ − σ·ln(y)
+    val y = -log(lit(1.0) - lit(1.0) / lit(returnDays.toDouble))
+    val rl = when(gumbel, mu - sigma * log(y))
+      .otherwise(mu + sigma * (exp(-k * log(y)) - lit(1.0)) / kDiv)
+    val ok = den =!= 0.0 && n > 2L
+    folds.select(n.as("n_days"),
+      r6(b0).as("b0"), r6(b1).as("b1"), r6(b2).as("b2"),
+      r6(when(ok, k).otherwise(lit(0.0))).as("shape_k"),
+      r6(when(ok, sigma).otherwise(lit(0.0))).as("sigma"),
+      r6(when(ok, mu).otherwise(lit(0.0))).as("mu"),
+      r6(when(ok, rl).otherwise(lit(0.0)))
+        .as(s"return_level_$returnDays"),
+      when(ok && gumbel, 1).otherwise(0).cast("int").as("gumbel_limit"))
+  }
 }
 
 /** Literal weight/constant tables for [[InferenceAnalytics]], shared
@@ -638,4 +1046,68 @@ object ThetaTables {
   /** ln(13) — the [[InferenceAnalytics.spectralEntropy]] normalizer for
     * the 13-period periodogram census. */
   val lnPeriods: Double = math.log(13.0)
+}
+
+/** O'Brien–Fleming boundary literals for
+  * [[InferenceAnalytics.groupSequential]]: C·√(K/k) with C the
+  * two-sided 5% OBF constant for K looks (Pocock/OBF tables; K = 4 →
+  * C = 2.024). Scala-computed doubles, shared verbatim with the oracle. */
+object ObfTables {
+  val c4: Double = 2.024
+  def boundary(looks: Int, k: Int): Double = {
+    require(looks == 4, "OBF constant tabled for K = 4 only")
+    c4 * math.sqrt(looks.toDouble / k)
+  }
+}
+
+/** Portable log-gamma: the 9-term Lanczos approximation (g = 7) emitted
+  * BOTH as a Column expression and as a SQL string from the same
+  * coefficient literals, so Spark and DuckDB evaluate the identical
+  * left-associated arithmetic — the trick that unlocks exact-Beta and
+  * GEV math without any engine-specific special function. Valid for
+  * z ≥ 0.5 (every caller here feeds z ≥ 1, so no reflection branch);
+  * |relative error| < 1e-13 on that domain, far inside the 6dp report
+  * rounding. ln/exp are the only libm calls — the survivalKm precedent. */
+object PortableGamma {
+  val g = 7.0
+  val coefs: Array[Double] = Array(
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+  val halfLn2Pi: Double = 0.5 * math.log(2.0 * math.Pi)
+
+  def lgamma(z: Column): Column = {
+    val x = coefs.zipWithIndex.tail.foldLeft(lit(coefs(0))) {
+      case (acc, (c, i)) => acc + lit(c) / (z + lit((i - 1).toDouble))
+    }
+    // lnΓ(z) = ½ln2π + (z−½)·ln t − t + ln A(z), t = z + g − ½ — the
+    // series index c_i/(z−1+i) and the exponent shift belong to the
+    // SAME convention (validated against libm lgamma to ~1e-13;
+    // Round25OpsSpec pins reference values — the first cut paired the
+    // shifted series with the UNSHIFTED exponent, which both engines
+    // reproduced in perfect agreement while being wrong by ~e^1.2)
+    lit(halfLn2Pi) + (z - lit(0.5)) * log(z + lit(g - 0.5)) -
+      (z + lit(g - 0.5)) + log(x)
+  }
+
+  /** The SAME formula over a SQL expression string — caller must pass
+    * the identical value the Column side sees. */
+  def lgammaSql(z: String): String = {
+    val x = coefs.zipWithIndex.tail.foldLeft(s"${coefs(0)}") {
+      case (acc, (c, i)) => s"$acc + $c / (($z) + ${(i - 1).toDouble})"
+    }
+    s"($halfLn2Pi + (($z) - 0.5) * ln(($z) + ${g - 0.5})" +
+      s" - (($z) + ${g - 0.5}) + ln($x))"
+  }
+
+  /** ln Beta(x, y) on both sides. */
+  def lbeta(x: Column, y: Column): Column =
+    lgamma(x) + lgamma(y) - lgamma(x + y)
+  def lbetaSql(x: String, y: String): String =
+    s"(${lgammaSql(x)} + ${lgammaSql(y)} - ${lgammaSql(s"($x) + ($y)")})"
+
+  /** Constants the GEV/Gumbel arms share with their oracles. */
+  val ln2: Double = math.log(2.0)
+  val ln2OverLn3: Double = math.log(2.0) / math.log(3.0)
+  val eulerGamma: Double = 0.5772156649015329
 }

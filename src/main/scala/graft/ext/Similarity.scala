@@ -1418,6 +1418,79 @@ object Similarity {
           .as("nmi"))
   }
 
+  /** The λ grid and smoothing convention for [[mauveFrontier]] — Scala
+    * literals shared verbatim with the oracle (1−λ is COMPUTED here, not
+    * re-typed in SQL, so both engines multiply by the identical double). */
+  val MauveLambdas: Seq[Double] = (1 to 9).map(_ / 10.0)
+
+  /** MAUVE-style divergence frontier (Pillutla et al. 2021) between the
+    * two md5-parity embedding cohorts — the modern "do these two text
+    * populations occupy the same embedding space" eval, approximated
+    * exactly the way the paper does: quantize both populations onto a
+    * shared cluster vocabulary (the IVF centroid assignment every
+    * sibling query here reuses), then trace KL(p‖m_λ) and KL(q‖m_λ)
+    * against the mixtures m_λ = λp+(1−λ)q over a λ grid. A frontier
+    * hugging the axes means the cohorts diverge (a model-vs-human or
+    * train-vs-eval drift signal); a frontier pinned at the origin means
+    * they blend. Add-one smoothing over the occupied clusters keeps
+    * every KL finite; cohorts are vec_id parity (deterministic, same
+    * convention as the hash splits). One row per λ with the frontier
+    * coordinates (exp(−KL), the paper's scaling at c = 1).
+    *
+    * Scale shape: one broadcast centroid fan-out (the ivfTopK shape) →
+    * cluster-bounded contingency; all 9 λ arms fold the ≤ |centroids|
+    * frame. */
+  def mauveFrontier(emb: DataFrame, centroidMod: Int = 40): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val withNorm = emb.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+    val cents = withNorm.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val assigned = nearestCentroid(
+      withNorm.crossJoin(broadcast(cents))
+        .select(col("vec_id"), (col("vec_id") % 2).as("cohort"),
+          col("centroid_id"),
+          round(dot(col("embedding"), col("c_emb")) /
+            (col("nrm") * col("c_nrm")), 6).as("c_sim")),
+      col("cohort"), col("centroid_id"))
+      .select(col("best.centroid_id").as("c"),
+        col("best.cohort").as("g"))
+    val cont = assigned.groupBy("c")
+      .agg(sum(when(col("g") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("g") === 1L, 1L).otherwise(0L)).as("n1"))
+    val tot = cont.agg(sum(col("n0")).as("nn0"), sum(col("n1")).as("nn1"),
+      count(lit(1)).as("kk"))
+    def d(c: Column) = c.cast("double")
+    def dec(c: Column) = c.cast("decimal(28,12)")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val pq = cont.crossJoin(broadcast(tot))
+      .select(
+        ((d(col("n0")) + lit(1.0)) / (d(col("nn0")) + d(col("kk"))))
+          .as("p"),
+        ((d(col("n1")) + lit(1.0)) / (d(col("nn1")) + d(col("kk"))))
+          .as("q"),
+        col("nn0"), col("nn1"), col("kk"))
+      .localCheckpoint() // all λ arms fold the same cluster frame
+    val arms = MauveLambdas.map { l =>
+      val l1 = 1.0 - l
+      val m = lit(l) * col("p") + lit(l1) * col("q")
+      pq.agg(
+          max(col("nn0")).as("n_a"), max(col("nn1")).as("n_b"),
+          max(col("kk")).as("n_clusters"),
+          sum(dec(col("p") * log(col("p") / m))).cast("double")
+            .as("klp"),
+          sum(dec(col("q") * log(col("q") / m))).cast("double")
+            .as("klq"))
+        .select(lit(l).as("lambda"), col("n_a"), col("n_b"),
+          col("n_clusters"),
+          r6(col("klp")).as("kl_p_m"), r6(col("klq")).as("kl_q_m"),
+          r6(exp(-col("klq"))).as("frontier_x"),
+          r6(exp(-col("klp"))).as("frontier_y"))
+    }
+    arms.reduce(_ unionAll _).orderBy("lambda")
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019): mutual
     * nearest neighbors between two embedding pools, scored by the RATIO
     * margin — best-pair cosine over the mean of each side's top-`kDen`

@@ -434,6 +434,391 @@ class Round25OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- mannKendall ------------------------------------------------------
+
+  test("mannKendall: strictly increasing series gives the closed-form " +
+    "S, variance, Z, and a unit Sen slope") {
+    val rows = (1 to 10).map(d => (1L, "view",
+      f"2024-01-$d%02d 00:00:00", java.lang.Double.valueOf(d.toDouble)))
+    val out = InferenceAnalytics.mannKendall(ev(rows: _*)).collect().head
+    assert(out.getAs[Long]("n_days") == 10L)
+    assert(out.getAs[Long]("n_pairs") == 45L)
+    assert(out.getAs[Long]("s_stat") == 45L)
+    // no ties: Var = 10·9·25/18 = 125; Z = 44/sqrt(125)
+    assert(out.getAs[Double]("var_s") == 125.0)
+    assert(out.getAs[Double]("z_stat") == r6(44.0 / math.sqrt(125.0)))
+    assert(out.getAs[Double]("sen_slope") == 1.0)
+    assert(out.getAs[Int]("trend_at_196") == 1)
+  }
+
+  test("mannKendall: constant series is all ties — zero variance, " +
+    "guarded zeros, no trend") {
+    val rows = (1 to 8).map(d => (1L, "view",
+      f"2024-01-$d%02d 00:00:00", java.lang.Double.valueOf(7.0)))
+    val out = InferenceAnalytics.mannKendall(ev(rows: _*)).collect().head
+    assert(out.getAs[Long]("s_stat") == 0L)
+    assert(out.getAs[Double]("var_s") == 0.0)
+    assert(out.getAs[Double]("z_stat") == 0.0)
+    assert(out.getAs[Double]("sen_slope") == 0.0)
+    assert(out.getAs[Int]("trend_at_196") == 0)
+  }
+
+  // ---- tost -------------------------------------------------------------
+
+  test("tost: hand-folded Welch machinery on known md5 buckets") {
+    val uids = (1L to 20L)
+    val rows = uids.map(u => (u, "purchase", "2024-01-01 00:00:00",
+      java.lang.Double.valueOf(u.toDouble)))
+    val out = InferenceAnalytics.tost(ev(rows: _*)).collect().head
+    val arms = uids.groupBy(bucket)
+    val a = arms(0L).map(_.toDouble); val b = arms(1L).map(_.toDouble)
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    def variance(xs: Seq[Double]) = {
+      val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      (sxx - sx * sx / xs.size) / (xs.size - 1)
+    }
+    val diff = mean(b) - mean(a)
+    val delta = 0.05 * ((a.sum + b.sum) / uids.size)
+    val se = math.sqrt(variance(a) / a.size + variance(b) / b.size)
+    assert(out.getAs[Long]("users_a") == a.size.toLong)
+    assert(out.getAs[Long]("users_b") == b.size.toLong)
+    assert(out.getAs[Double]("diff") == r6(diff))
+    assert(out.getAs[Double]("margin") == r6(delta))
+    assert(out.getAs[Double]("t_lower") == r6((diff + delta) / se))
+    assert(out.getAs[Double]("t_upper") == r6((delta - diff) / se))
+  }
+
+  test("tost: zero-variance arms take the guard path, not a division") {
+    val rows = (1L to 8L).map(u => (u, "purchase", "2024-01-01 00:00:00",
+      java.lang.Double.valueOf(10.0)))
+    val out = InferenceAnalytics.tost(ev(rows: _*)).collect().head
+    assert(out.getAs[Double]("se") == 0.0)
+    assert(out.getAs[Int]("equivalent_at_1645") == 0)
+  }
+
+  // ---- chao1 / distributionDistances / charEntropy -----------------------
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.map { case (id, txt, src) => (id, txt, "en", src, txt.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("chao1: count-of-count arithmetic on two hand fixtures") {
+    val out = graft.ext.Curation.chao1(
+      docs((1L, "a a b b c", "s1"), (2L, "a b c", "s2")))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // s1: counts a:2 b:2 c:1 → V=3 F1=1 F2=2 → chao1 = 3 + 0/6 = 3
+    assert(out("s1").getAs[Long]("vocab") == 3L)
+    assert(out("s1").getAs[Long]("f1") == 1L)
+    assert(out("s1").getAs[Long]("f2") == 2L)
+    assert(out("s1").getAs[Double]("chao1") == 3.0)
+    // s2: all singletons → V=3 F1=3 F2=0 → chao1 = 3 + 6/2 = 6
+    assert(out("s2").getAs[Double]("chao1") == 6.0)
+    assert(out("s2").getAs[Double]("unseen_frac") == 0.5)
+  }
+
+  test("distributionDistances: a lone source equals the corpus — every " +
+    "distance is zero and coverage is 1") {
+    val out = graft.ext.Curation.distributionDistances(
+      docs((1L, "a b b c", "only"))).collect().head
+    assert(out.getAs[Double]("js_divergence") == 0.0)
+    assert(out.getAs[Double]("hellinger") == 0.0)
+    assert(out.getAs[Double]("total_variation") == 0.0)
+    assert(out.getAs[Double]("coverage_q") == 1.0)
+  }
+
+  test("distributionDistances: disjoint equal halves hit the " +
+    "closed-form TV and Hellinger") {
+    val out = graft.ext.Curation.distributionDistances(
+      docs((1L, "a a", "sa"), (2L, "b b", "sb")))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    // p = {a:1}, q = {a:.5, b:.5}: TV = 0.5(|1-.5| + (1-.5)) = 0.5;
+    // BC = sqrt(.5) → H = sqrt(1 - sqrt(.5)); covq = .5
+    Seq("sa", "sb").foreach { s =>
+      assert(out(s).getAs[Double]("total_variation") == 0.5)
+      assert(out(s).getAs[Double]("hellinger") ==
+        r6(math.sqrt(1.0 - math.sqrt(1.0 * 0.5))))
+      assert(out(s).getAs[Double]("coverage_q") == 0.5)
+      val js = out(s).getAs[Double]("js_divergence")
+      assert(js > 0.0 && js < math.log(2.0))
+    }
+  }
+
+  test("charEntropy: alternating two-char text matches the hand fold; " +
+    "single-char text is zero everywhere") {
+    val out = graft.ext.TextAnalysis.charEntropy(
+      docs((1L, "abab", "alt"), (2L, "aaaa", "mono")))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val mono = out("mono")
+    assert(mono.getAs[Long]("alphabet") == 1L)
+    assert(mono.getAs[Double]("h_unigram") == 0.0)
+    assert(mono.getAs[Double]("cond_entropy") == 0.0)
+    assert(mono.getAs[Double]("redundancy") == 0.0) // guarded |Σ|=1
+    val alt = out("alt")
+    // unigrams a:2 b:2 → H1 = ln4 − (4·ln2)/4 = ln2;
+    // bigrams ab:2 ba:1 → H2 = ln3 − (2·ln2)/3
+    val h1 = math.log(4.0) - 4.0 * math.log(2.0) / 4.0
+    val h2 = math.log(3.0) - 2.0 * math.log(2.0) / 3.0
+    assert(alt.getAs[Double]("h_unigram") == r6(h1))
+    assert(alt.getAs[Double]("h_bigram") == r6(h2))
+    assert(alt.getAs[Double]("cond_entropy") == r6(h2 - h1))
+  }
+
+  test("char_ngrams: native expression emits overlapping grams in " +
+    "order, empty under length n") {
+    graft.plans.TextSketches.register(spark)
+    val out = Seq(("abcd", 1L), ("x", 2L)).toDF("t", "id")
+      .select(col("id"), graft.plans.TextSketches.char_ngrams(col("t"), 2)
+        .as("g")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("ab", "bc", "cd"))
+    assert(out(2L) == Seq())
+  }
+
+  // ---- mauveFrontier ------------------------------------------------------
+
+  test("mauveFrontier: identical parity cohorts pin the frontier at " +
+    "(1,1) for every lambda") {
+    // vectors come in identical (even, odd) pairs → the two cohorts'
+    // cluster histograms are equal → both KLs are exactly 0
+    val rnd = new scala.util.Random(25002)
+    val emb = (0L until 80L by 2L).flatMap { i =>
+      val v = Array.fill(8)(rnd.nextGaussian().toFloat)
+      Seq((i, v, 0), (i + 1L, v, 0))
+    }.toDF("vec_id", "embedding", "label")
+    val out = graft.ext.Similarity.mauveFrontier(emb).collect()
+    assert(out.length == 9)
+    out.foreach { r =>
+      assert(r.getAs[Double]("kl_p_m") == 0.0)
+      assert(r.getAs[Double]("kl_q_m") == 0.0)
+      assert(r.getAs[Double]("frontier_x") == 1.0)
+      assert(r.getAs[Double]("frontier_y") == 1.0)
+      assert(r.getAs[Long]("n_a") == 40L)
+      assert(r.getAs[Long]("n_b") == 40L)
+    }
+  }
+
+  test("mauveFrontier: divergent cohorts bend the frontier off the " +
+    "corner, monotonically in lambda") {
+    // even ids cluster near +e1, odd ids near -e1 → histograms disjoint
+    val rnd = new scala.util.Random(25003)
+    val emb = (0L until 80L).map { i =>
+      val base = Array.fill(8)(0.05f * rnd.nextGaussian().toFloat)
+      base(0) = if (i % 2 == 0) 1.0f else -1.0f
+      (i, base, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = graft.ext.Similarity.mauveFrontier(emb).collect()
+      .sortBy(_.getAs[Double]("lambda"))
+    assert(out.forall(_.getAs[Double]("kl_p_m") > 0.0))
+    // KL(p ‖ λp+(1−λ)q) shrinks as λ→1 (mixture approaches p)
+    val klps = out.map(_.getAs[Double]("kl_p_m"))
+    assert(klps.zip(klps.tail).forall { case (a, b) => b < a })
+    val klqs = out.map(_.getAs[Double]("kl_q_m"))
+    assert(klqs.zip(klqs.tail).forall { case (a, b) => b > a })
+  }
+
+  // ---- bhFdr --------------------------------------------------------------
+
+  test("bhFdr: null data discovers nothing — every p is 1 and kmax " +
+    "is 0") {
+    val rows = (1L to 30L).flatMap(u => Seq("click", "error", "purchase",
+      "signup", "view").map(t => (u, t, "2024-01-01 00:00:00",
+      java.lang.Double.valueOf(1.0))))
+    val out = InferenceAnalytics.bhFdr(ev(rows: _*)).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      assert(r.getAs[Double]("diff_obs") == 0.0)
+      assert(r.getAs[Double]("p_value") == 1.0)
+      assert(r.getAs[Int]("discovery_at_q10") == 0)
+    }
+    assert(out.map(_.getAs[Long]("rank")).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("bhFdr: a planted single-metric effect is the only discovery") {
+    // clicks follow the REAL variant split exactly; other metrics are
+    // constant → click's permutation tail is minimal, rest are p = 1
+    val uids = (1L to 40L)
+    val rows = uids.flatMap { u =>
+      val heavy = bucket(u) == 1L
+      Seq((u, "view", "2024-01-01 00:00:00",
+        java.lang.Double.valueOf(1.0))) ++
+        (if (heavy) (1 to 10).map(_ => (u, "click",
+          "2024-01-01 00:05:00", java.lang.Double.valueOf(1.0)))
+        else Seq())
+    }
+    val out = InferenceAnalytics.bhFdr(ev(rows: _*)).collect()
+      .map(r => r.getAs[String]("metric") -> r).toMap
+    assert(out("click").getAs[Double]("p_value") < 0.1)
+    assert(out("click").getAs[Int]("discovery_at_q10") == 1)
+    Seq("error", "purchase", "signup", "view").foreach { t =>
+      assert(out(t).getAs[Int]("discovery_at_q10") == 0)
+    }
+  }
+
+  // ---- PortableGamma / bayesAb / GEV / Greenwood / GST / AD ------------
+
+  test("PortableGamma.lgamma: matches reference lgamma values to 1e-12") {
+    import graft.analytics.PortableGamma
+    // reference values from an independent libm (CPython math.lgamma)
+    val ref = Seq(
+      1.0 -> 0.0, 2.0 -> 0.0,
+      0.9953 -> 0.0027311236547027384,
+      5.5 -> 3.9578139676187165,
+      10.0 -> 12.801827480081467)
+    val df = ref.map(_._1).toDF("z")
+      .select(col("z"), PortableGamma.lgamma(col("z")).as("lg"))
+      .collect().map(r => r.getAs[Double]("z") -> r.getAs[Double]("lg"))
+      .toMap
+    ref.foreach { case (z, expect) =>
+      assert(math.abs(df(z) - expect) < 1e-12, s"lgamma($z)")
+    }
+  }
+
+  test("bayesAb: Beta(2,1) vs Beta(1,2) closed form P = 5/6") {
+    // one non-converting user in arm A, one converting in arm B →
+    // posteriors Beta(1,2) and Beta(2,1); P(B>A) integrates to 5/6
+    val aUser = (1L to 50L).find(bucket(_) == 0L).get
+    val bUser = (1L to 50L).find(bucket(_) == 1L).get
+    val rows = Seq(
+      (aUser, "purchase", "2024-01-01 00:00:00",
+        java.lang.Double.valueOf(10.0)), // below the 90 threshold
+      (bUser, "purchase", "2024-01-01 00:00:00",
+        java.lang.Double.valueOf(100.0)))
+    val out = InferenceAnalytics.bayesAb(ev(rows: _*)).collect().head
+    assert(out.getAs[Long]("users_a") == 1L)
+    assert(out.getAs[Long]("conv_a") == 0L)
+    assert(out.getAs[Long]("conv_b") == 1L)
+    assert(math.abs(out.getAs[Double]("prob_b_beats_a") - 5.0 / 6.0)
+      < 1e-6)
+  }
+
+  test("bayesAb: a one-sided landslide is detected with high " +
+    "probability") {
+    val uids = (1L to 40L)
+    val rows = uids.map { u =>
+      val v = if (bucket(u) == 1L) 100.0 else 10.0
+      (u, "purchase", "2024-01-01 00:00:00", java.lang.Double.valueOf(v))
+    }
+    val out = InferenceAnalytics.bayesAb(ev(rows: _*)).collect().head
+    assert(out.getAs[Double]("prob_b_beats_a") > 0.999)
+    assert(out.getAs[Int]("decide_b_at_95") == 1)
+  }
+
+  test("kmGreenwood: two-level curve carries the closed-form Greenwood " +
+    "band") {
+    // 4 users: 2 die at t=2, 2 censored at the t=4 horizon →
+    // S(2) = 0.5, Var = S²·(2/(4·2)) → se = 0.25
+    val rows = Seq(
+      (1L, "view", "2024-01-01 00:00:00", java.lang.Double.valueOf(1.0)),
+      (1L, "view", "2024-01-03 00:00:00", java.lang.Double.valueOf(1.0)),
+      (2L, "view", "2024-01-01 00:00:00", java.lang.Double.valueOf(1.0)),
+      (2L, "view", "2024-01-03 00:00:00", java.lang.Double.valueOf(1.0)),
+      (3L, "view", "2024-01-01 00:00:00", java.lang.Double.valueOf(1.0)),
+      (3L, "view", "2024-01-05 00:00:00", java.lang.Double.valueOf(1.0)),
+      (4L, "view", "2024-01-01 00:00:00", java.lang.Double.valueOf(1.0)),
+      (4L, "view", "2024-01-05 00:00:00", java.lang.Double.valueOf(1.0)))
+    val out = InferenceAnalytics.kmGreenwood(ev(rows: _*)).collect()
+      .map(r => r.getAs[Long]("t") -> r).toMap
+    val at2 = out(2L)
+    assert(at2.getAs[Double]("s_km") == 0.5)
+    assert(at2.getAs[Double]("se_greenwood") == 0.25)
+    assert(at2.getAs[Double]("ci_lo") == r6(0.5 - 1.96 * 0.25))
+    assert(at2.getAs[Double]("ci_hi") == r6(0.5 + 1.96 * 0.25))
+    // censoring-only step: survival and band unchanged
+    val at4 = out(4L)
+    assert(at4.getAs[Double]("s_km") == 0.5)
+    assert(at4.getAs[Double]("se_greenwood") == 0.25)
+  }
+
+  test("groupSequential: an overwhelming arm difference crosses the " +
+    "first OBF boundary and latches the stop flag") {
+    val uids = (1L to 40L)
+    val rows = uids.zipWithIndex.map { case (u, i) =>
+      val spend = if (bucket(u) == 1L) 1000.0 + (i % 2) else 1.0 + (i % 2)
+      (u, "purchase", "2024-01-01 12:00:00",
+        java.lang.Double.valueOf(spend))
+    }
+    val out = InferenceAnalytics.groupSequential(ev(rows: _*)).collect()
+      .sortBy(_.getAs[Long]("week"))
+    assert(out.length == 4)
+    out.zipWithIndex.foreach { case (r, i) =>
+      val k = i + 1
+      assert(r.getAs[Double]("obf_bound") ==
+        graft.analytics.ObfTables.boundary(4, k))
+      assert(r.getAs[Int]("crossed") == 1)
+      assert(r.getAs[Int]("stopped_by_now") == 1)
+    }
+  }
+
+  test("andersonDarling: brute-force fold agrees, and separated " +
+    "distributions reject") {
+    // weekdays at ~10, weekends at ~1000 over 4 weeks: the pooled-rank
+    // walk puts all weekday days first, which the brute force below
+    // reproduces exactly
+    val rows = (1 to 28).map { dd =>
+      val date = java.time.LocalDate.of(2024, 1, dd)
+      val wknd = date.getDayOfWeek.getValue >= 6
+      val v = (if (wknd) 1000.0 else 10.0) + dd * 0.01 // unique values
+      (1L, "view", f"2024-01-$dd%02d 00:00:00",
+        java.lang.Double.valueOf(v))
+    }
+    val out = InferenceAnalytics.andersonDarling(ev(rows: _*))
+      .collect().head
+    // brute force on the same daily series
+    val daily = rows.map { case (_, _, t, v) =>
+      (t.take(10), math.floor(v.doubleValue * 100 + 0.5) / 100) }
+    val wk = daily.map { case (dstr, x) =>
+      val dow = java.time.LocalDate.parse(dstr).getDayOfWeek.getValue
+      (x, if (dow >= 6) 1L else 0L)
+    }.sortBy(_._1)
+    val nn = wk.length; val m = wk.count(_._2 == 1L)
+    val n = nn - m
+    var mi = 0L; var ad = 0.0; var cvm = 0.0
+    wk.zipWithIndex.foreach { case ((_, g), idx) =>
+      val i = idx + 1
+      mi += g
+      if (i < nn)
+        ad += math.pow(mi * nn - m.toLong * i, 2).toDouble /
+          (i.toLong * (nn - i))
+      val f = mi.toDouble / m - (i - mi).toDouble / n
+      cvm += f * f
+    }
+    assert(out.getAs[Long]("n_weekday") == n.toLong)
+    assert(out.getAs[Long]("n_weekend") == m.toLong)
+    assert(math.abs(out.getAs[Double]("ad_stat") - ad / (n.toDouble * m))
+      < 1e-6)
+    assert(math.abs(out.getAs[Double]("cvm_stat") -
+      cvm * (n.toDouble * m) / (nn.toDouble * nn)) < 1e-6)
+    assert(out.getAs[Int]("ad_reject_at_2492") == 1)
+    assert(out.getAs[Int]("cvm_reject_at_0461") == 1)
+  }
+
+  test("gevMaxima: PWM moments match a plain-Scala fold and the " +
+    "fitted location sits near the block-maxima mass") {
+    val rnd = new scala.util.Random(25004)
+    val vals = (1 to 30).map(_ => 100.0 + rnd.nextDouble() * 50.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (1L, "view", f"2024-01-${i + 1}%02d 00:00:00",
+        java.lang.Double.valueOf(v))
+    }
+    val out = InferenceAnalytics.gevMaxima(ev(rows: _*)).collect().head
+    val xs = vals.sorted
+    val n = xs.length
+    val b0 = xs.sum / n
+    val b1 = xs.zipWithIndex.map { case (x, j0) =>
+      x * j0 / (n - 1.0) }.sum / n
+    val b2 = xs.zipWithIndex.map { case (x, j0) =>
+      x * (j0.toLong * (j0 - 1L)) / ((n - 1.0) * (n - 2.0)) }.sum / n
+    assert(math.abs(out.getAs[Double]("b0") - b0) < 1e-4)
+    assert(math.abs(out.getAs[Double]("b1") - b1) < 1e-4)
+    assert(math.abs(out.getAs[Double]("b2") - b2) < 1e-4)
+    val mu = out.getAs[Double]("mu")
+    val sigma = out.getAs[Double]("sigma")
+    assert(sigma > 0.0)
+    assert(mu > xs.head && mu < xs.last) // location inside the sample
+    assert(out.getAs[Double]("return_level_30") > mu)
+  }
+
   test("Hilbert.skipStats3: equal file counts, and the curve layouts " +
     "dominate natural on the y-only predicate") {
     val rnd = new scala.util.Random(25001)

@@ -722,6 +722,22 @@ object SparkEntry {
     // GEV block-maxima fit by probability-weighted moments
     "q_gev_maxima" -> ((s, d) =>
       InferenceAnalytics.gevMaxima(Tables.events(s, d))),
+    // Pike hazard ratio + ln-scale CI on the log-rank risk table
+    "q_hazard_ratio" -> ((s, d) =>
+      InferenceAnalytics.hazardRatio(Tables.events(s, d))),
+    // negative-binomial vs Poisson fit of per-customer order counts
+    "q_nb_fit" -> ((s, d) =>
+      InferenceAnalytics.nbFit(Tables.orders(s, d))),
+    // partial correlation: clicks vs purchases given views
+    "q_partial_corr" -> ((s, d) =>
+      InferenceAnalytics.partialCorr(Tables.events(s, d))),
+    // Lin's concordance between snaive forecast and realized revenue
+    "q_lin_ccc" -> ((s, d) =>
+      InferenceAnalytics.linCcc(Tables.events(s, d))),
+    // exact hypergeometric rare-term enrichment per source
+    "q_term_enrichment" -> ((s, d) =>
+      graft.ext.Curation.termEnrichment(Tables.documents(s, d),
+        tfOpt = Some(graft.ext.TextAnalysis.docTermFreq(s, d)))),
     "q_power_iteration" -> ((s, d) =>
       graft.ext.Similarity.powerIteration(Tables.embeddings(s, d))),
     // ---- NDCG@k of the cosine ranking against label relevance ----
@@ -6894,6 +6910,318 @@ object SparkEntry {
            CAST(CASE WHEN ok AND gum THEN 1 ELSE 0 END AS INT)
              AS gumbel_limit
          FROM c10"""
+    },
+    "q_hazard_ratio" ->
+      """WITH life AS (
+           SELECT user_id,
+             CAST(date_diff('day', min(CAST(ts AS DATE)),
+               max(CAST(ts AS DATE))) AS BIGINT) AS t,
+             max(CAST(ts AS DATE)) AS last_d,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 2 AS grp
+           FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+         h AS (SELECT max(last_d) AS h FROM life),
+         pt AS (
+           SELECT t,
+             CAST(sum(CASE WHEN grp = 0 AND last_d <> h.h THEN 1 ELSE 0
+               END) AS BIGINT) AS d0,
+             CAST(sum(CASE WHEN grp = 0 AND last_d = h.h THEN 1 ELSE 0
+               END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN grp = 1 AND last_d <> h.h THEN 1 ELSE 0
+               END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN grp = 1 AND last_d = h.h THEN 1 ELSE 0
+               END) AS BIGINT) AS c1
+           FROM life CROSS JOIN h GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(d0 + c0) AS BIGINT) AS n0t,
+             CAST(sum(d1 + c1) AS BIGINT) AS n1t
+           FROM pt),
+         r AS (
+           SELECT t, d0, c0, d1, c1, n0t, n1t,
+             n0t - coalesce(sum(d0 + c0) OVER win, 0) AS n0,
+             n1t - coalesce(sum(d1 + c1) OVER win, 0) AS n1
+           FROM pt CROSS JOIN tot
+           WINDOW win AS (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         rr AS (SELECT *, n0 + n1 AS nr, d0 + d1 AS dd FROM r),
+         terms AS (
+           SELECT d1, d0,
+             CASE WHEN dd > 0
+               THEN CAST(CAST(dd AS DOUBLE) * (CAST(n1 AS DOUBLE)
+                   / CAST(greatest(nr, 1) AS DOUBLE)) AS DECIMAL(28,12))
+               ELSE CAST(0.0 AS DECIMAL(28,12)) END AS e1t,
+             CASE WHEN dd > 0
+               THEN CAST(CAST(dd AS DOUBLE) * (CAST(n0 AS DOUBLE)
+                   / CAST(greatest(nr, 1) AS DOUBLE)) AS DECIMAL(28,12))
+               ELSE CAST(0.0 AS DECIMAL(28,12)) END AS e0t
+           FROM rr),
+         agg AS (
+           SELECT CAST(sum(d1) AS BIGINT) AS o1,
+             CAST(sum(d0) AS BIGINT) AS o0,
+             CAST(sum(e1t) AS DOUBLE) AS e1,
+             CAST(sum(e0t) AS DOUBLE) AS e0
+           FROM terms),
+         fin AS (
+           SELECT *,
+             (o1 > 0 AND o0 > 0 AND e1 > 0.0 AND e0 > 0.0) AS ok,
+             (CAST(o1 AS DOUBLE)
+               / (CASE WHEN e1 <> 0.0 THEN e1 ELSE 1.0 END))
+               / (CASE WHEN (CAST(o0 AS DOUBLE)
+                   / (CASE WHEN e0 <> 0.0 THEN e0 ELSE 1.0 END)) <> 0.0
+                 THEN (CAST(o0 AS DOUBLE)
+                   / (CASE WHEN e0 <> 0.0 THEN e0 ELSE 1.0 END))
+                 ELSE 1.0 END) AS hr,
+             sqrt(1.0 / (CASE WHEN e1 <> 0.0 THEN e1 ELSE 1.0 END)
+               + 1.0 / (CASE WHEN e0 <> 0.0 THEN e0 ELSE 1.0 END)) AS se
+           FROM agg)
+         SELECT o1, o0,
+           floor(e1 * 1000000.0 + 0.5) / 1000000.0 AS e1,
+           floor(e0 * 1000000.0 + 0.5) / 1000000.0 AS e0,
+           floor(CASE WHEN ok THEN hr ELSE 0.0 END * 1000000.0 + 0.5)
+             / 1000000.0 AS hazard_ratio,
+           floor(CASE WHEN ok THEN exp(ln(hr) - 1.96 * se) ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS ci_lo,
+           floor(CASE WHEN ok THEN exp(ln(hr) + 1.96 * se) ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS ci_hi,
+           CAST(CASE WHEN ok AND exp(ln(hr) - 1.96 * se) > 1.0 THEN 1
+                WHEN ok AND exp(ln(hr) + 1.96 * se) < 1.0 THEN -1
+                ELSE 0 END AS INT) AS direction_at_95
+         FROM fin""",
+    "q_nb_fit" -> {
+      import graft.analytics.PortableGamma.{lgammaSql => lg}
+      s"""WITH census AS (
+           SELECT x, CAST(count(*) AS BIGINT) AS nk
+           FROM (SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
+             FROM orders GROUP BY 1)
+           GROUP BY 1),
+         mom AS (
+           SELECT CAST(sum(nk) AS BIGINT) AS n,
+             CAST(sum(x * nk) AS BIGINT) AS sx,
+             CAST(sum(x * x * nk) AS BIGINT) AS sxx
+           FROM census),
+         stats AS (
+           SELECT n,
+             CAST(sx AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE) AS m,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE)
+                 / CAST(greatest(n, 1) AS DOUBLE))
+               / CAST(greatest(n - 1, 1) AS DOUBLE) AS v
+           FROM mom),
+         st2 AS (
+           SELECT *, (v > m) AS od,
+             CASE WHEN m > 0.0 THEN m ELSE 1.0 END AS mdiv,
+             CASE WHEN v - m <> 0.0 THEN v - m ELSE 1.0 END AS vmdiv
+           FROM stats),
+         st3 AS (SELECT *, m * m / vmdiv AS r FROM st2),
+         st4 AS (SELECT *, r / (r + mdiv) AS p FROM st3),
+         j AS (SELECT c.x, c.nk, s.* FROM census c CROSS JOIN st4 s),
+         folds AS (
+           SELECT max(n) AS n, max(m) AS m, max(v) AS v,
+             max(CASE WHEN od THEN 1 ELSE 0 END) AS odi,
+             CAST(sum(CAST(CAST(nk AS DOUBLE)
+               * (CAST(x AS DOUBLE) * ln(mdiv) - m
+                 - ${lg("CAST(x AS DOUBLE) + 1.0")})
+               AS DECIMAL(38,12))) AS DOUBLE) AS llp,
+             CAST(sum(CASE WHEN od THEN CAST(CAST(nk AS DOUBLE)
+               * (${lg("CAST(x AS DOUBLE) + r")} - ${lg("r")}
+                 - ${lg("CAST(x AS DOUBLE) + 1.0")}
+                 + r * ln(greatest(p, 1.0e-300))
+                 + CAST(x AS DOUBLE) * ln(greatest(1.0 - p, 1.0e-300)))
+               AS DECIMAL(38,12))
+               ELSE CAST(0.0 AS DECIMAL(38,12)) END) AS DOUBLE) AS lln,
+             max(CASE WHEN od THEN r ELSE 0.0 END) AS r,
+             max(CASE WHEN od THEN p ELSE 0.0 END) AS p
+           FROM j)
+         SELECT n AS n_customers,
+           floor(m * 1000000.0 + 0.5) / 1000000.0 AS mean_count,
+           floor(v * 1000000.0 + 0.5) / 1000000.0 AS var_count,
+           floor(r * 1000000.0 + 0.5) / 1000000.0 AS nb_r,
+           floor(p * 1000000.0 + 0.5) / 1000000.0 AS nb_p,
+           floor(llp * 1000000.0 + 0.5) / 1000000.0 AS ll_poisson,
+           floor(CASE WHEN odi = 1 THEN lln ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS ll_nb,
+           floor(CASE WHEN odi = 1 THEN 2.0 * (lln - llp) ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS llr,
+           CAST(CASE WHEN odi = 1 AND 2.0 * (lln - llp) > 3.841
+             THEN 1 ELSE 0 END AS INT) AS prefer_nb_at_3841,
+           CAST(CASE WHEN odi = 1 THEN 0 ELSE 1 END AS INT)
+             AS equidispersed
+         FROM folds"""
+    },
+    "q_partial_corr" ->
+      """WITH per AS (
+           SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS DOUBLE) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+               END) AS DOUBLE) AS y,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS DOUBLE) AS z
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(z AS DECIMAL(38,12))) AS DOUBLE) AS sz,
+             CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(z * z AS DECIMAL(38,12))) AS DOUBLE) AS szz,
+             CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * z AS DECIMAL(38,12))) AS DOUBLE) AS sxz,
+             CAST(sum(CAST(y * z AS DECIMAL(38,12))) AS DOUBLE) AS syz
+           FROM per),
+         rs AS (
+           SELECT n,
+             CASE WHEN sqrt(greatest((CAST(n AS DOUBLE) * sxx - sx * sx)
+                 * (CAST(n AS DOUBLE) * syy - sy * sy), 0.0)) <> 0.0
+               THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CASE WHEN sqrt(greatest((CAST(n AS DOUBLE) * sxx
+                     - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy),
+                     0.0)) <> 0.0
+                   THEN sqrt(greatest((CAST(n AS DOUBLE) * sxx - sx * sx)
+                     * (CAST(n AS DOUBLE) * syy - sy * sy), 0.0))
+                   ELSE 1.0 END)
+               ELSE 0.0 END AS rxy,
+             CASE WHEN sqrt(greatest((CAST(n AS DOUBLE) * sxx - sx * sx)
+                 * (CAST(n AS DOUBLE) * szz - sz * sz), 0.0)) <> 0.0
+               THEN (CAST(n AS DOUBLE) * sxz - sx * sz)
+                 / (CASE WHEN sqrt(greatest((CAST(n AS DOUBLE) * sxx
+                     - sx * sx) * (CAST(n AS DOUBLE) * szz - sz * sz),
+                     0.0)) <> 0.0
+                   THEN sqrt(greatest((CAST(n AS DOUBLE) * sxx - sx * sx)
+                     * (CAST(n AS DOUBLE) * szz - sz * sz), 0.0))
+                   ELSE 1.0 END)
+               ELSE 0.0 END AS rxz,
+             CASE WHEN sqrt(greatest((CAST(n AS DOUBLE) * syy - sy * sy)
+                 * (CAST(n AS DOUBLE) * szz - sz * sz), 0.0)) <> 0.0
+               THEN (CAST(n AS DOUBLE) * syz - sy * sz)
+                 / (CASE WHEN sqrt(greatest((CAST(n AS DOUBLE) * syy
+                     - sy * sy) * (CAST(n AS DOUBLE) * szz - sz * sz),
+                     0.0)) <> 0.0
+                   THEN sqrt(greatest((CAST(n AS DOUBLE) * syy - sy * sy)
+                     * (CAST(n AS DOUBLE) * szz - sz * sz), 0.0))
+                   ELSE 1.0 END)
+               ELSE 0.0 END AS ryz
+           FROM m),
+         pp AS (
+           SELECT *,
+             sqrt(greatest((1.0 - rxz * rxz) * (1.0 - ryz * ryz), 0.0))
+               AS pden
+           FROM rs),
+         fin AS (
+           SELECT *,
+             (rxy - rxz * ryz)
+               / (CASE WHEN pden <> 0.0 THEN pden ELSE 1.0 END)
+               AS partial
+           FROM pp)
+         SELECT n AS n_users,
+           floor(rxy * 1000000.0 + 0.5) / 1000000.0
+             AS r_click_purchase,
+           floor(rxz * 1000000.0 + 0.5) / 1000000.0 AS r_click_view,
+           floor(ryz * 1000000.0 + 0.5) / 1000000.0 AS r_purchase_view,
+           floor(CASE WHEN pden <> 0.0 THEN partial ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS r_partial_given_view,
+           CAST(CASE WHEN pden <> 0.0 AND abs(partial) < abs(rxy) / 2.0
+             THEN 1 ELSE 0 END AS INT) AS mostly_confounded
+         FROM fin""",
+    "q_lin_ccc" ->
+      s"""WITH $dailyCte,
+         pairs AS (
+           SELECT x, lag(x, 7) OVER (ORDER BY d) AS yhat FROM daily),
+         pp AS (SELECT * FROM pairs WHERE yhat IS NOT NULL),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(yhat AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(yhat * yhat AS DECIMAL(38,12))) AS DOUBLE)
+               AS syy,
+             CAST(sum(CAST(x * yhat AS DECIMAL(38,12))) AS DOUBLE)
+               AS sxy
+           FROM pp),
+         c1 AS (
+           SELECT n,
+             sx / CAST(greatest(n, 1) AS DOUBLE) AS mx,
+             sy / CAST(greatest(n, 1) AS DOUBLE) AS my,
+             sxx / CAST(greatest(n, 1) AS DOUBLE)
+               - (sx / CAST(greatest(n, 1) AS DOUBLE))
+                 * (sx / CAST(greatest(n, 1) AS DOUBLE)) AS vx,
+             syy / CAST(greatest(n, 1) AS DOUBLE)
+               - (sy / CAST(greatest(n, 1) AS DOUBLE))
+                 * (sy / CAST(greatest(n, 1) AS DOUBLE)) AS vy,
+             sxy / CAST(greatest(n, 1) AS DOUBLE)
+               - (sx / CAST(greatest(n, 1) AS DOUBLE))
+                 * (sy / CAST(greatest(n, 1) AS DOUBLE)) AS cxy
+           FROM m),
+         c2 AS (
+           SELECT *,
+             vx + vy + (mx - my) * (mx - my) AS cden,
+             sqrt(greatest(vx * vy, 0.0)) AS pden
+           FROM c1)
+         SELECT n AS n_pairs,
+           floor(mx * 1000000.0 + 0.5) / 1000000.0 AS mean_actual,
+           floor(my * 1000000.0 + 0.5) / 1000000.0 AS mean_snaive,
+           floor(CASE WHEN n > 1 AND pden <> 0.0
+             THEN cxy / (CASE WHEN pden <> 0.0 THEN pden ELSE 1.0 END)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS pearson,
+           floor(CASE WHEN n > 1 AND cden <> 0.0
+             THEN 2.0 * cxy
+               / (CASE WHEN cden <> 0.0 THEN cden ELSE 1.0 END)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS lin_ccc,
+           CAST(CASE WHEN n > 1 AND cden <> 0.0 AND 2.0 * cxy
+               / (CASE WHEN cden <> 0.0 THEN cden ELSE 1.0 END) > 0.9
+             THEN 1 ELSE 0 END AS INT) AS substantial_at_0_9
+         FROM c2""",
+    "q_term_enrichment" -> {
+      import graft.analytics.PortableGamma
+      def lc(n: String, k: String) = PortableGamma.lchooseSql(n, k)
+      s"""WITH tok AS (
+           SELECT source, unnest(list_filter(
+             string_split_regex(lower(text), '\\s+'), x -> x <> ''))
+             AS token
+           FROM documents),
+         st AS (
+           SELECT source, token, CAST(count(*) AS BIGINT) AS k
+           FROM tok GROUP BY 1, 2),
+         corpus AS (
+           SELECT token, CAST(sum(k) AS BIGINT) AS kk
+           FROM st GROUP BY 1),
+         tot AS (SELECT CAST(sum(kk) AS BIGINT) AS n_tot FROM corpus),
+         ps AS (SELECT source, CAST(sum(k) AS BIGINT) AS n_s
+                FROM st GROUP BY 1),
+         rare AS (
+           SELECT token, kk FROM corpus CROSS JOIN tot
+           WHERE kk >= 10 AND kk <= least(1000, n_tot // 500)),
+         cands AS (
+           SELECT st.source, st.token, st.k, c.kk, ps.n_s, t.n_tot
+           FROM st
+           JOIN rare c USING (token)
+           JOIN ps USING (source) CROSS JOIN tot t
+           WHERE st.k >= 3),
+         terms AS (
+           SELECT *, unnest(range(k, least(kk, n_s) + 1)) AS i
+           FROM cands),
+         summed AS (
+           SELECT source, token, k, kk, n_s, n_tot,
+             CAST(sum(CAST(exp(
+               ${lc("CAST(kk AS DOUBLE)", "CAST(i AS DOUBLE)")}
+               + ${lc("CAST(n_tot - kk AS DOUBLE)",
+                      "CAST(n_s - i AS DOUBLE)")}
+               - ${lc("CAST(n_tot AS DOUBLE)", "CAST(n_s AS DOUBLE)")})
+               AS DECIMAL(28,12))) AS DOUBLE) AS p_raw
+           FROM terms GROUP BY 1, 2, 3, 4, 5, 6)
+         SELECT source, token, k AS k_obs, kk AS corpus_count,
+           floor(CAST(n_s AS DOUBLE) * CAST(kk AS DOUBLE)
+             / CAST(n_tot AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS expected,
+           floor(p_raw * 1000000.0 + 0.5) / 1000000.0 AS p_enrich,
+           floor(-ln(greatest(p_raw, 1.0e-300))
+             / ${PortableGamma.ln10} * 1000000.0 + 0.5) / 1000000.0
+             AS neg_log10_p
+         FROM summed
+         ORDER BY floor(p_raw * 1000000.0 + 0.5) / 1000000.0, source,
+           token
+         LIMIT 20"""
     },
     "q_dp_counts" ->
       """WITH c AS (

@@ -200,7 +200,11 @@ object InferenceAnalytics {
     *
     * Scale shape: one user aggregate, then everything runs on the
     * day-bounded risk table. */
-  def logRank(ev: DataFrame): DataFrame = {
+  /** The two-cohort risk table [[logRank]] and [[hazardRatio]] share:
+    * per event time t, the per-group deaths/censorings and the
+    * number-at-risk walk (md5 cohort split, last-day-is-horizon
+    * censoring — the lifetimeTable conventions, grouped). */
+  private def cohortRiskTable(ev: DataFrame): DataFrame = {
     val life = ev.filter(col("user_id").isNotNull)
       .select(col("user_id"), to_date(col("ts")).as("d"))
       .groupBy("user_id")
@@ -225,13 +229,17 @@ object InferenceAnalytics {
       .rowsBetween(Window.unboundedPreceding, -1)
     val tot = pt.agg(sum(col("d0") + col("c0")).as("n0t"),
       sum(col("d1") + col("c1")).as("n1t"))
-    val risk = pt.crossJoin(broadcast(tot))
+    pt.crossJoin(broadcast(tot))
       .withColumn("n0", col("n0t") -
         coalesce(sum(col("d0") + col("c0")).over(wPrev), lit(0L)))
       .withColumn("n1", col("n1t") -
         coalesce(sum(col("d1") + col("c1")).over(wPrev), lit(0L)))
       .withColumn("nr", col("n0") + col("n1"))
       .withColumn("dd", col("d0") + col("d1"))
+  }
+
+  def logRank(ev: DataFrame): DataFrame = {
+    val risk = cohortRiskTable(ev)
     val frac1 = col("n1").cast("double") /
       greatest(col("nr"), lit(1L)).cast("double")
     val e1 = col("dd").cast("double") * frac1
@@ -255,6 +263,106 @@ object InferenceAnalytics {
         .as("chi2_stat"),
       when(col("vsum") =!= 0.0 && chi2 > lit(3.841), 1).otherwise(0)
         .cast("int").as("reject_at_3841"))
+  }
+
+  /** Cohort hazard ratio from the log-rank O/E decomposition — the
+    * effect SIZE the [[logRank]] test's yes/no verdict needs beside it:
+    * HR = (O₁/E₁)/(O₀/E₀) (the Pike estimator), with the standard
+    * ln-scale CI from se = √(1/E₁ + 1/E₀) at the literal 1.96. Shares
+    * [[cohortRiskTable]] verbatim, so the test and the estimate can
+    * never disagree about the risk sets.
+    *
+    * Scale shape: one user aggregate, day-bounded folds. */
+  def hazardRatio(ev: DataFrame): DataFrame = {
+    val risk = cohortRiskTable(ev)
+    def dz(c: Column) = c.cast("decimal(28,12)")
+    val nrDiv = greatest(col("nr"), lit(1L)).cast("double")
+    val e1t = col("dd").cast("double") * (col("n1").cast("double") / nrDiv)
+    val e0t = col("dd").cast("double") * (col("n0").cast("double") / nrDiv)
+    val agg = risk.agg(
+      sum(col("d1")).as("o1"), sum(col("d0")).as("o0"),
+      sum(when(col("dd") > 0L, dz(e1t)).otherwise(dz(lit(0.0))))
+        .cast("double").as("e1"),
+      sum(when(col("dd") > 0L, dz(e0t)).otherwise(dz(lit(0.0))))
+        .cast("double").as("e0"))
+    val ok = col("o1") > 0L && col("o0") > 0L &&
+      col("e1") > 0.0 && col("e0") > 0.0
+    def dv(c: Column) = when(c =!= 0.0, c).otherwise(lit(1.0))
+    val hr = (col("o1").cast("double") / dv(col("e1"))) /
+      dv(col("o0").cast("double") / dv(col("e0")))
+    val se = sqrt(lit(1.0) / dv(col("e1")) + lit(1.0) / dv(col("e0")))
+    agg.select(col("o1"), col("o0"),
+      r6(col("e1")).as("e1"), r6(col("e0")).as("e0"),
+      r6(when(ok, hr).otherwise(lit(0.0))).as("hazard_ratio"),
+      r6(when(ok, exp(log(hr) - lit(1.96) * se)).otherwise(lit(0.0)))
+        .as("ci_lo"),
+      r6(when(ok, exp(log(hr) + lit(1.96) * se)).otherwise(lit(0.0)))
+        .as("ci_hi"),
+      when(ok && exp(log(hr) - lit(1.96) * se) > lit(1.0), 1)
+        .when(ok && exp(log(hr) + lit(1.96) * se) < lit(1.0), -1)
+        .otherwise(0).cast("int").as("direction_at_95"))
+  }
+
+  /** Negative-binomial vs Poisson fit of per-customer order counts —
+    * the model-choice question behind [[StatsAnalytics
+    * .overdispersion]]'s ratio: if orders were Poisson the dispersion
+    * would be 1; when it is not, the NB method-of-moments fit
+    * (r = m²/(v−m), p = r/(r+m)) says HOW the excess clusters, and the
+    * log-likelihood ratio (NB log-likelihoods need lnΓ — the shared
+    * [[PortableGamma]] literals) says whether the extra parameter earns
+    * its keep at the literal χ²(1) bar. The whole computation runs on
+    * the count-of-counts census (≤ max-orders-per-customer rows), so
+    * the lgamma chain is never row-scale.
+    *
+    * Scale shape: one customer aggregate → a census-bounded fold. */
+  def nbFit(orders: DataFrame): DataFrame = {
+    val census = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("nk"))
+      .localCheckpoint() // moments and both likelihood folds read it
+    def d(c: Column) = c.cast("double")
+    def dz(c: Column) = c.cast("decimal(38,12)")
+    val mom = census.agg(sum(col("nk")).as("n"),
+      sum(col("x") * col("nk")).as("sx"),
+      sum(col("x") * col("x") * col("nk")).as("sxx"))
+    val nD = d(greatest(col("n"), lit(1L)))
+    val m = d(col("sx")) / nD
+    val v = (d(col("sxx")) - d(col("sx")) * d(col("sx")) / nD) /
+      d(greatest(col("n") - 1L, lit(1L)))
+    val stats = mom.select(col("n"), m.as("m"), v.as("v"),
+      (v > m).as("overdispersed"))
+    val j = census.crossJoin(broadcast(stats))
+    val mDiv = when(col("m") > 0.0, col("m")).otherwise(lit(1.0))
+    val vmDiv = when(col("v") - col("m") =!= 0.0, col("v") - col("m"))
+      .otherwise(lit(1.0))
+    val r = col("m") * col("m") / vmDiv
+    val p = r / (r + mDiv)
+    val kD = d(col("x"))
+    import PortableGamma.lgamma
+    val llPois = dz(d(col("nk")) * (kD * log(mDiv) - col("m") -
+      lgamma(kD + lit(1.0))))
+    val llNb = dz(d(col("nk")) * (lgamma(kD + r) - lgamma(r) -
+      lgamma(kD + lit(1.0)) + r * log(greatest(p, lit(1.0e-300))) +
+      kD * log(greatest(lit(1.0) - p, lit(1.0e-300)))))
+    val folds = j.agg(max(col("n")).as("n"), max(col("m")).as("m"),
+      max(col("v")).as("v"),
+      max(when(col("overdispersed"), 1L).otherwise(0L)).as("od"),
+      sum(llPois).cast("double").as("llp"),
+      sum(when(col("overdispersed"), llNb)
+        .otherwise(dz(lit(0.0)))).cast("double").as("lln"),
+      max(when(col("overdispersed"), r).otherwise(lit(0.0))).as("r"),
+      max(when(col("overdispersed"), p).otherwise(lit(0.0))).as("p"))
+    val llr = lit(2.0) * (col("lln") - col("llp"))
+    val od = col("od") === 1L
+    folds.select(col("n").as("n_customers"),
+      r6(col("m")).as("mean_count"), r6(col("v")).as("var_count"),
+      r6(col("r")).as("nb_r"), r6(col("p")).as("nb_p"),
+      r6(col("llp")).as("ll_poisson"),
+      r6(when(od, col("lln")).otherwise(lit(0.0))).as("ll_nb"),
+      r6(when(od, llr).otherwise(lit(0.0))).as("llr"),
+      when(od && llr > lit(3.841), 1).otherwise(0).cast("int")
+        .as("prefer_nb_at_3841"),
+      when(od, 0).otherwise(1).cast("int").as("equidispersed"))
   }
 
   /** Restricted mean survival time — ∫₀^τ S(t)dt from the KM curve, the
@@ -709,6 +817,110 @@ object InferenceAnalytics {
         r6(when(ok, col("spsi") / nk).otherwise(lit(0.0))).as("ate_aipw"))
   }
 
+  /** First-order partial correlation — does clicking correlate with
+    * purchasing ONCE browsing volume is held fixed: r_xy·z =
+    * (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) over per-user (clicks,
+    * purchases, views). The raw r_xy answer is confounded by overall
+    * activity; the partial is the one a funnel owner should read. All
+    * nine moments fold in ONE pass through DECIMAL; the three Pearson
+    * r's and the partial are scalar algebra with sentinel-guarded
+    * roots.
+    *
+    * Scale shape: one user aggregate, one scalar fold. */
+  def partialCorr(ev: DataFrame): DataFrame = {
+    val per = ev.filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .cast("double").as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast("double").as("y"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .cast("double").as("z"))
+    def dz(c: Column) = c.cast("decimal(38,12)")
+    val m = per.agg(count(lit(1)).as("n"),
+      sum(dz(col("x"))).cast("double").as("sx"),
+      sum(dz(col("y"))).cast("double").as("sy"),
+      sum(dz(col("z"))).cast("double").as("sz"),
+      sum(dz(col("x") * col("x"))).cast("double").as("sxx"),
+      sum(dz(col("y") * col("y"))).cast("double").as("syy"),
+      sum(dz(col("z") * col("z"))).cast("double").as("szz"),
+      sum(dz(col("x") * col("y"))).cast("double").as("sxy"),
+      sum(dz(col("x") * col("z"))).cast("double").as("sxz"),
+      sum(dz(col("y") * col("z"))).cast("double").as("syz"))
+    val nD = col("n").cast("double")
+    def cov(sab: Column, sa: Column, sb: Column) = nD * sab - sa * sb
+    def varT(saa: Column, sa: Column) = nD * saa - sa * sa
+    def rOf(sab: Column, sa: Column, sb: Column,
+            saa: Column, sbb: Column): Column = {
+      val den = sqrt(greatest(varT(saa, sa) * varT(sbb, sb), lit(0.0)))
+      val denDiv = when(den =!= 0.0, den).otherwise(lit(1.0))
+      when(den =!= 0.0, cov(sab, sa, sb) / denDiv).otherwise(lit(0.0))
+    }
+    val rxy = rOf(col("sxy"), col("sx"), col("sy"), col("sxx"),
+      col("syy"))
+    val rxz = rOf(col("sxz"), col("sx"), col("sz"), col("sxx"),
+      col("szz"))
+    val ryz = rOf(col("syz"), col("sy"), col("sz"), col("syy"),
+      col("szz"))
+    val pden = sqrt(greatest((lit(1.0) - rxz * rxz) *
+      (lit(1.0) - ryz * ryz), lit(0.0)))
+    val pdenDiv = when(pden =!= 0.0, pden).otherwise(lit(1.0))
+    val partial = (rxy - rxz * ryz) / pdenDiv
+    m.select(col("n").as("n_users"),
+      r6(rxy).as("r_click_purchase"), r6(rxz).as("r_click_view"),
+      r6(ryz).as("r_purchase_view"),
+      r6(when(pden =!= 0.0, partial).otherwise(lit(0.0)))
+        .as("r_partial_given_view"),
+      when(pden =!= 0.0 && abs(partial) < abs(rxy) / lit(2.0), 1)
+        .otherwise(0).cast("int").as("mostly_confounded"))
+  }
+
+  /** Lin's concordance correlation between the seasonal-naive forecast
+    * (same weekday last week) and the realized daily revenue — the
+    * AGREEMENT metric a forecast consumer wants where Pearson only
+    * measures linearity: CCC = 2·s_xy / (s_x² + s_y² + (x̄−ȳ)²)
+    * penalizes both scale and location bias, so a forecast that is
+    * correlated but consistently high scores low. Population moments
+    * (stated), DECIMAL folds, sentinel-guarded denominators.
+    *
+    * Scale shape: one day aggregate, one lag projection, one scalar
+    * fold — all day-bounded. */
+  def linCcc(ev: DataFrame): DataFrame = {
+    val daily = dailySeries(ev)
+    val pairs = daily
+      .withColumn("yhat", lag(col("x"), 7).over(Window.orderBy("d")))
+      .filter(col("yhat").isNotNull)
+    def dz(c: Column) = c.cast("decimal(38,12)")
+    val m = pairs.agg(count(lit(1)).as("n"),
+      sum(dz(col("x"))).cast("double").as("sx"),
+      sum(dz(col("yhat"))).cast("double").as("sy"),
+      sum(dz(col("x") * col("x"))).cast("double").as("sxx"),
+      sum(dz(col("yhat") * col("yhat"))).cast("double").as("syy"),
+      sum(dz(col("x") * col("yhat"))).cast("double").as("sxy"))
+    val nD = greatest(col("n"), lit(1L)).cast("double")
+    val mx = col("sx") / nD
+    val my = col("sy") / nD
+    val vx = col("sxx") / nD - mx * mx
+    val vy = col("syy") / nD - my * my
+    val cxy = col("sxy") / nD - mx * my
+    val cccDen = vx + vy + (mx - my) * (mx - my)
+    val cccDiv = when(cccDen =!= 0.0, cccDen).otherwise(lit(1.0))
+    val ccc = lit(2.0) * cxy / cccDiv
+    val pDen = sqrt(greatest(vx * vy, lit(0.0)))
+    val pDiv = when(pDen =!= 0.0, pDen).otherwise(lit(1.0))
+    val pearson = cxy / pDiv
+    val ok = col("n") > 1L
+    m.select(col("n").as("n_pairs"),
+      r6(mx).as("mean_actual"), r6(my).as("mean_snaive"),
+      r6(when(ok && pDen =!= 0.0, pearson).otherwise(lit(0.0)))
+        .as("pearson"),
+      r6(when(ok && cccDen =!= 0.0, ccc).otherwise(lit(0.0)))
+        .as("lin_ccc"),
+      when(ok && cccDen =!= 0.0 && ccc > lit(0.9), 1).otherwise(0)
+        .cast("int").as("substantial_at_0_9"))
+  }
+
   /** Two-sample Anderson–Darling + Cramér–von Mises on the weekday vs
     * weekend daily-revenue distributions — the distribution-equality
     * tests that outrank [[StatsAnalytics]]'s KS at the tails (AD
@@ -1105,6 +1317,18 @@ object PortableGamma {
     lgamma(x) + lgamma(y) - lgamma(x + y)
   def lbetaSql(x: String, y: String): String =
     s"(${lgammaSql(x)} + ${lgammaSql(y)} - ${lgammaSql(s"($x) + ($y)")})"
+
+  /** ln C(n, k) on both sides — callers pass DOUBLE expressions with
+    * n ≥ k ≥ 0, so every lgamma argument is ≥ 1. */
+  def lchoose(n: Column, k: Column): Column =
+    lgamma(n + lit(1.0)) - lgamma(k + lit(1.0)) -
+      lgamma(n - k + lit(1.0))
+  def lchooseSql(n: String, k: String): String =
+    s"(${lgammaSql(s"($n) + 1.0")} - ${lgammaSql(s"($k) + 1.0")}" +
+      s" - ${lgammaSql(s"($n) - ($k) + 1.0")})"
+
+  /** ln 10 — the enrichment report's −log₁₀ conversion constant. */
+  val ln10: Double = math.log(10.0)
 
   /** Constants the GEV/Gumbel arms share with their oracles. */
   val ln2: Double = math.log(2.0)

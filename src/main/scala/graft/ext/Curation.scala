@@ -211,6 +211,74 @@ object Curation {
       .orderBy("source")
   }
 
+  /** Exact hypergeometric rare-term enrichment — WHICH sources
+    * over-represent which rare terms, the corpus-forensics query behind
+    * contamination hunts and topic audits: for every rare term (corpus
+    * count ≤ 1/500 of the corpus, absolutely capped at maxCfAbs so the
+    * audit scales) a source mentions at least minK times, the exact
+    * upper tail P(X ≥ k) of the hypergeometric (N corpus tokens, K term
+    * tokens, n_s source draws), computed term-by-term through the
+    * shared [[graft.analytics.PortableGamma]] ln-choose literals so
+    * DuckDB reproduces every addend. The i-sum is bounded by maxCfAbs
+    * addends per candidate and candidates are rare-vocab × sources —
+    * never corpus-row-scale. Top `topN` by ascending p, deterministic
+    * tiebreak.
+    *
+    * Scale shape: one corpus token shuffle → rare-vocab-bounded
+    * candidate frame → a ≤ maxCf-wide exploded sum per candidate. */
+  def termEnrichment(docs: DataFrame,
+                     tfOpt: Option[DataFrame] = None,
+                     minCf: Long = 10L, maxCfAbs: Long = 1000L,
+                     minK: Long = 3L, topN: Int = 20): DataFrame = {
+    import graft.analytics.PortableGamma
+    val st = tfOpt
+      .map(_.groupBy(col("source"), col("term").as("token"))
+        .agg(sum(col("tf")).as("k")))
+      .getOrElse(docs.select(col("source"),
+          explode(tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("k")))
+      .localCheckpoint() // corpus marginal + candidates both read it
+    val corpus = st.groupBy("token").agg(sum(col("k")).as("kk"))
+    val total = corpus.agg(sum(col("kk")).as("n_tot"))
+    val perSource = st.groupBy("source").agg(sum(col("k")).as("n_s"))
+    // "rare" is RELATIVE (≤ 1/500 of the corpus) so the audit stays
+    // meaningful as the corpus grows, but absolutely capped so the
+    // per-candidate i-sum stays ≤ maxCfAbs addends at ANY scale
+    val rare = corpus.crossJoin(broadcast(total))
+      .filter(col("kk") >= minCf &&
+        col("kk") <= least(lit(maxCfAbs), expr("n_tot div 500")))
+      .select(col("token"), col("kk"))
+    val cands = st
+      .join(broadcast(rare), Seq("token"))
+      .filter(col("k") >= minK)
+      .join(broadcast(perSource), Seq("source"))
+      .crossJoin(broadcast(total))
+    def d(c: Column) = c.cast("double")
+    def dz(c: Column) = c.cast("decimal(28,12)")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val terms = cands
+      .select(col("*"),
+        explode(sequence(col("k"), least(col("kk"), col("n_s"))))
+          .as("i"))
+    val logTerm = PortableGamma.lchoose(d(col("kk")), d(col("i"))) +
+      PortableGamma.lchoose(d(col("n_tot") - col("kk")),
+        d(col("n_s") - col("i"))) -
+      PortableGamma.lchoose(d(col("n_tot")), d(col("n_s")))
+    val p = terms.groupBy(col("source"), col("token"), col("k"),
+        col("kk"), col("n_s"), col("n_tot"))
+      .agg(sum(exp(logTerm).cast("decimal(28,12)")).cast("double")
+        .as("p_raw"))
+    p.select(col("source"), col("token"), col("k").as("k_obs"),
+        col("kk").as("corpus_count"),
+        r6(d(col("n_s")) * d(col("kk")) / d(col("n_tot")))
+          .as("expected"),
+        r6(col("p_raw")).as("p_enrich"),
+        r6(-log(greatest(col("p_raw"), lit(1.0e-300))) /
+          lit(PortableGamma.ln10)).as("neg_log10_p"))
+      .orderBy(col("p_enrich"), col("source"), col("token"))
+      .limit(topN)
+  }
+
   def luhnAudit(rows: DataFrame,
                 pattern: String = "[0-9]{8,19}"): DataFrame = {
     val cands = rows.select(col("source"),

@@ -819,6 +819,181 @@ class Round25OpsSpec extends SparkSpec {
     assert(out.getAs[Double]("return_level_30") > mu)
   }
 
+  // ---- wave 5: hazardRatio / nbFit / partialCorr / linCcc / enrichment --
+
+  /** Plain-Scala Lanczos lgamma (same published coefficients, separate
+    * code path through scala.math) for brute-force expectations. */
+  private def lgRef(z: Double): Double = {
+    val c = graft.analytics.PortableGamma.coefs
+    var x = c(0)
+    for (i <- 1 until c.length) x += c(i) / (z + i - 1)
+    val t = z + 6.5
+    0.5 * math.log(2 * math.Pi) + (z - 0.5) * math.log(t) - t +
+      math.log(x)
+  }
+
+  test("hazardRatio: brute-force O/E fold on known buckets") {
+    val horizon = "2024-01-05 00:00:00"
+    val rows = (1L to 12L).flatMap { u =>
+      if (u % 3 == 0L)
+        Seq((u, "view", "2024-01-01 00:00:00",
+          java.lang.Double.valueOf(1.0)),
+          (u, "view", "2024-01-03 00:00:00",
+            java.lang.Double.valueOf(1.0)))
+      else
+        Seq((u, "view", "2024-01-01 00:00:00",
+          java.lang.Double.valueOf(1.0)))
+    } :+ ((99L, "view", horizon, java.lang.Double.valueOf(1.0)))
+    val out = InferenceAnalytics.hazardRatio(ev(rows: _*)).collect().head
+    val lifes = (1L to 12L).map(u =>
+      (bucket(u), if (u % 3 == 0L) 2L else 0L, false)) :+
+      ((bucket(99L), 0L, true))
+    var (o1, o0, e1, e0) = (0L, 0L, 0.0, 0.0)
+    var at = lifes
+    for (t <- lifes.map(_._2).distinct.sorted) {
+      val n1 = at.count(_._1 == 1L).toDouble
+      val n0 = at.count(_._1 == 0L).toDouble
+      val deaths = at.filter(x => x._2 == t && !x._3)
+      val d = deaths.length.toDouble
+      if (d > 0) {
+        o1 += deaths.count(_._1 == 1L); o0 += deaths.count(_._1 == 0L)
+        e1 += d * n1 / (n1 + n0); e0 += d * n0 / (n1 + n0)
+      }
+      at = at.filter(_._2 > t)
+    }
+    assert(out.getAs[Long]("o1") == o1)
+    assert(out.getAs[Long]("o0") == o0)
+    assert(out.getAs[Double]("e1") == r6(e1))
+    val hr = (o1 / e1) / (o0 / e0)
+    assert(out.getAs[Double]("hazard_ratio") == r6(hr))
+    val se = math.sqrt(1 / e1 + 1 / e0)
+    assert(out.getAs[Double]("ci_lo") ==
+      r6(math.exp(math.log(hr) - 1.96 * se)))
+  }
+
+  test("nbFit: overdispersed counts recover the MoM r/p and the " +
+    "likelihoods match a plain-Scala fold") {
+    // counts {1,1,5,5}: m = 3, v = 16/3 > m
+    val orders = Seq(1L -> 1, 2L -> 1, 3L -> 5, 4L -> 5).flatMap {
+      case (c, k) => (1 to k).map(i => (c * 100 + i, c)) }
+      .toDF("o_orderkey", "o_custkey")
+    val out = InferenceAnalytics.nbFit(orders).collect().head
+    val m = 3.0; val v = 16.0 / 3.0
+    assert(out.getAs[Double]("mean_count") == r6(m))
+    assert(out.getAs[Double]("var_count") == r6(v))
+    val r = m * m / (v - m); val p = r / (r + m)
+    assert(out.getAs[Double]("nb_r") == r6(r))
+    assert(out.getAs[Double]("nb_p") == r6(p))
+    val counts = Seq(1.0, 1.0, 5.0, 5.0)
+    val llp = counts.map(k =>
+      k * math.log(m) - m - lgRef(k + 1)).sum
+    val lln = counts.map(k => lgRef(k + r) - lgRef(r) - lgRef(k + 1) +
+      r * math.log(p) + k * math.log(1 - p)).sum
+    assert(math.abs(out.getAs[Double]("ll_poisson") - llp) < 1e-6)
+    assert(math.abs(out.getAs[Double]("ll_nb") - lln) < 1e-6)
+    assert(out.getAs[Int]("equidispersed") == 0)
+  }
+
+  test("nbFit: constant counts are equidispersed and take the guard " +
+    "path") {
+    val orders = (1L to 6L).flatMap(c => (1 to 3).map(i =>
+      (c * 100 + i, c))).toDF("o_orderkey", "o_custkey")
+    val out = InferenceAnalytics.nbFit(orders).collect().head
+    assert(out.getAs[Double]("var_count") == 0.0)
+    assert(out.getAs[Int]("equidispersed") == 1)
+    assert(out.getAs[Double]("ll_nb") == 0.0)
+    assert(out.getAs[Int]("prefer_nb_at_3841") == 0)
+  }
+
+  test("partialCorr: constant view counts make the partial collapse " +
+    "to the raw correlation") {
+    // y == x exactly, z constant: r_xy = 1, the z legs guard to 0,
+    // partial = r_xy
+    val rows = (1L to 10L).flatMap { u =>
+      val k = (u % 5 + 1).toInt
+      (1 to k).flatMap(_ => Seq(
+        (u, "click", "2024-01-01 00:00:00",
+          java.lang.Double.valueOf(1.0)),
+        (u, "purchase", "2024-01-01 00:00:00",
+          java.lang.Double.valueOf(1.0)))) ++
+        Seq((u, "view", "2024-01-01 00:00:00",
+          java.lang.Double.valueOf(1.0)))
+    }
+    val out = InferenceAnalytics.partialCorr(ev(rows: _*)).collect().head
+    assert(out.getAs[Double]("r_click_purchase") == 1.0)
+    assert(out.getAs[Double]("r_click_view") == 0.0)
+    assert(out.getAs[Double]("r_purchase_view") == 0.0)
+    assert(out.getAs[Double]("r_partial_given_view") == 1.0)
+  }
+
+  test("partialCorr: clicks identical to views make the z-leg " +
+    "degenerate and the guard reports 0") {
+    // x == z: r_xz = 1 → pden = 0 → guarded partial
+    val rnd = new scala.util.Random(25005)
+    val rows = (1L to 10L).flatMap { u =>
+      val k = (u % 4 + 1).toInt
+      (1 to k).flatMap(_ => Seq(
+        (u, "click", "2024-01-01 00:00:00",
+          java.lang.Double.valueOf(1.0)),
+        (u, "view", "2024-01-01 00:00:00",
+          java.lang.Double.valueOf(1.0)))) ++
+        (1 to rnd.nextInt(3)).map(_ => (u, "purchase",
+          "2024-01-01 00:00:00", java.lang.Double.valueOf(1.0)))
+    }
+    val out = InferenceAnalytics.partialCorr(ev(rows: _*)).collect().head
+    assert(out.getAs[Double]("r_click_view") == 1.0)
+    assert(out.getAs[Double]("r_partial_given_view") == 0.0)
+  }
+
+  test("linCcc: a perfectly periodic week scores CCC = 1; a level " +
+    "shift keeps Pearson at 1 but drops CCC") {
+    def series(shift: Double) = (1 to 21).map { dd =>
+      val base = 100.0 + 10.0 * (dd % 7)
+      val v = if (dd > 14) base + shift else base
+      (1L, "view", f"2024-01-$dd%02d 00:00:00",
+        java.lang.Double.valueOf(v))
+    }
+    val perfect = InferenceAnalytics.linCcc(ev(series(0.0): _*))
+      .collect().head
+    assert(perfect.getAs[Double]("pearson") == 1.0)
+    assert(perfect.getAs[Double]("lin_ccc") == 1.0)
+    assert(perfect.getAs[Int]("substantial_at_0_9") == 1)
+    val shifted = InferenceAnalytics.linCcc(ev(series(50.0): _*))
+      .collect().head
+    assert(shifted.getAs[Double]("lin_ccc") <
+      shifted.getAs[Double]("pearson"))
+  }
+
+  test("termEnrichment: a term concentrated in one source tops the " +
+    "report with the exact hypergeometric tail") {
+    // corpus 10000 tokens across 20 docs in 10 sources; the rare term
+    // 'zq' (10 occurrences) lives entirely in source s0 (1000 tokens)
+    val filler = (1 to 490).map(i => s"w${i % 37}").mkString(" ")
+    val docs = (0 until 20).map { i =>
+      val src = s"s${i / 2}"
+      val text =
+        if (i == 0) (Seq.fill(10)("zq") ++ Seq.fill(490)("f")).mkString(" ")
+        else filler + " " + (1 to 10).map(_ => "f").mkString(" ")
+      (i.toLong, text, "en", src, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ext.Curation.termEnrichment(docs).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getAs[String]("source") == "s0")
+    assert(top.getAs[String]("token") == "zq")
+    assert(top.getAs[Long]("k_obs") == 10L)
+    assert(top.getAs[Long]("corpus_count") == 10L)
+    assert(top.getAs[Double]("expected") == r6(1000.0 * 10.0 / 10000.0))
+    // exact P(X ≥ 10) = Π_{j<10} (1000−j)/(10000−j) ≈ 1e-10 — below
+    // the 6dp report rounding (p_enrich legitimately reports 0), which
+    // is exactly what the −log10 column is for
+    val pExact = (0 until 10).map(j =>
+      (1000.0 - j) / (10000.0 - j)).product
+    assert(top.getAs[Double]("p_enrich") == 0.0)
+    assert(math.abs(top.getAs[Double]("neg_log10_p") -
+      (-math.log10(pExact))) < 1e-4)
+  }
+
   test("Hilbert.skipStats3: equal file counts, and the curve layouts " +
     "dominate natural on the y-only predicate") {
     val rnd = new scala.util.Random(25001)

@@ -738,6 +738,9 @@ object SparkEntry {
     "q_term_enrichment" -> ((s, d) =>
       graft.ext.Curation.termEnrichment(Tables.documents(s, d),
         tfOpt = Some(graft.ext.TextAnalysis.docTermFreq(s, d)))),
+    // whitening effectiveness: exact mean cosine before/after (x-mu)/sd
+    "q_whitening_isotropy" -> ((s, d) =>
+      graft.ext.Similarity.whiteningIsotropy(Tables.embeddings(s, d))),
     "q_power_iteration" -> ((s, d) =>
       graft.ext.Similarity.powerIteration(Tables.embeddings(s, d))),
     // ---- NDCG@k of the cosine ranking against label relevance ----
@@ -2716,6 +2719,43 @@ object SparkEntry {
          FROM daily CROSS JOIN m0)
        SELECT * FROM ($arms) ORDER BY period"""
   }
+
+  /** The isotropy oracle, extracted so q_whitening_isotropy can reuse
+    * the raw-space mean-cosine verbatim (the periodogram-reuse trick). */
+  private val isotropyOracleSql: String =
+    """WITH base AS (
+           SELECT embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+               embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+         scalars AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(nrm * nrm AS DECIMAL(38,12))) AS DOUBLE) AS ss,
+             CAST(sum(CAST(nrm AS DECIMAL(38,12))) AS DOUBLE) AS sn
+           FROM base),
+         xs AS (SELECT unnest(range(0, 64)) AS i, e, nrm FROM base),
+         dims AS (
+           SELECT i,
+             CAST(sum(CAST(floor(e[i + 1] * 1e12 + 0.5) AS BIGINT))
+               AS DOUBLE) / 1e12 AS sx,
+             CAST(sum(CAST(floor(e[i + 1] / nrm * 1e12 + 0.5) AS BIGINT))
+               AS DOUBLE) / 1e12 AS su
+           FROM xs GROUP BY 1),
+         vec AS (
+           SELECT CAST(sum(CAST(sx * sx AS DECIMAL(38,12))) AS DOUBLE)
+               AS ssx,
+             CAST(sum(CAST(su * su AS DECIMAL(38,12))) AS DOUBLE) AS ssu
+           FROM dims)
+         SELECT s.n AS n_vectors, CAST(64 AS BIGINT) AS dim,
+           floor(s.sn / CAST(s.n AS DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS mean_norm,
+           floor((v.ssu - CAST(s.n AS DOUBLE))
+             / (CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) - 1.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS mean_cosine,
+           floor((v.ssx / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)))
+             / (s.ss / CAST(s.n AS DOUBLE)) * 1000000.0 + 0.5)
+             / 1000000.0 AS center_mass_share
+         FROM scalars s, vec v"""
 
   /** The daily total-value series CTE shared by the sequential-monitor
     * oracles (the InferenceAnalytics.dailySeries construction). */
@@ -14760,40 +14800,60 @@ object SparkEntry {
          JOIN sizes sa ON i.lang_a = sa.lang
          JOIN sizes sb ON i.lang_b = sb.lang
          ORDER BY 1, 2""",
-    "q_isotropy" ->
-      """WITH base AS (
-           SELECT embedding::DOUBLE[] AS e,
-             sqrt(list_dot_product(embedding::DOUBLE[],
-               embedding::DOUBLE[])) AS nrm
-           FROM embeddings),
-         scalars AS (
-           SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(nrm * nrm AS DECIMAL(38,12))) AS DOUBLE) AS ss,
-             CAST(sum(CAST(nrm AS DECIMAL(38,12))) AS DOUBLE) AS sn
-           FROM base),
-         xs AS (SELECT unnest(range(0, 64)) AS i, e, nrm FROM base),
-         dims AS (
+    "q_isotropy" -> isotropyOracleSql,
+    "q_whitening_isotropy" ->
+      s"""WITH iso AS (SELECT * FROM ($isotropyOracleSql) isosub),
+         base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         ex AS (
+           SELECT vec_id, i, e[i + 1] AS xi
+           FROM base CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii),
+         ds0 AS (
+           SELECT i, CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(CAST(floor(xi * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e12 AS sx,
+             CAST(sum(CAST(floor(xi * xi * 1e12 + 0.5) AS BIGINT))
+               AS DOUBLE) / 1e12 AS sxx
+           FROM ex GROUP BY 1),
+         ds AS (
+           SELECT i, sx / CAST(nd AS DOUBLE) AS mu,
+             sqrt(greatest(sxx / CAST(nd AS DOUBLE)
+               - (sx / CAST(nd AS DOUBLE)) * (sx / CAST(nd AS DOUBLE)),
+               1.0e-12)) AS sd
+           FROM ds0),
+         w AS (
+           SELECT vec_id, i, (xi - mu) / sd AS w
+           FROM ex JOIN ds USING (i)),
+         nrm AS (
+           SELECT vec_id,
+             sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,12))) AS DOUBLE))
+               AS nrm
+           FROM w GROUP BY 1),
+         ntot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nrm),
+         units AS (
            SELECT i,
-             CAST(sum(CAST(floor(e[i + 1] * 1e12 + 0.5) AS BIGINT))
-               AS DOUBLE) / 1e12 AS sx,
-             CAST(sum(CAST(floor(e[i + 1] / nrm * 1e12 + 0.5) AS BIGINT))
-               AS DOUBLE) / 1e12 AS su
-           FROM xs GROUP BY 1),
-         vec AS (
-           SELECT CAST(sum(CAST(sx * sx AS DECIMAL(38,12))) AS DOUBLE)
-               AS ssx,
-             CAST(sum(CAST(su * su AS DECIMAL(38,12))) AS DOUBLE) AS ssu
-           FROM dims)
-         SELECT s.n AS n_vectors, CAST(64 AS BIGINT) AS dim,
-           floor(s.sn / CAST(s.n AS DOUBLE) * 1000000.0 + 0.5)
-             / 1000000.0 AS mean_norm,
-           floor((v.ssu - CAST(s.n AS DOUBLE))
-             / (CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) - 1.0))
-             * 1000000.0 + 0.5) / 1000000.0 AS mean_cosine,
-           floor((v.ssx / (CAST(s.n AS DOUBLE) * CAST(s.n AS DOUBLE)))
-             / (s.ss / CAST(s.n AS DOUBLE)) * 1000000.0 + 0.5)
-             / 1000000.0 AS center_mass_share
-         FROM scalars s, vec v""",
+             CAST(sum(CAST(floor((CASE WHEN nrm <> 0.0
+               THEN w / (CASE WHEN nrm <> 0.0 THEN nrm ELSE 1.0 END)
+               ELSE 0.0 END) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e12 AS su
+           FROM w JOIN nrm USING (vec_id) GROUP BY 1),
+         ssuw AS (
+           SELECT CAST(sum(CAST(su * su AS DECIMAL(38,12))) AS DOUBLE)
+             AS ssu_w
+           FROM units),
+         fin AS (
+           SELECT n, ssu_w, iso.mean_cosine AS mcr,
+             floor((ssu_w - CAST(n AS DOUBLE))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS mcw
+           FROM ntot CROSS JOIN ssuw CROSS JOIN iso)
+         SELECT n AS n_vectors, CAST(64 AS BIGINT) AS dim,
+           mcr AS mean_cosine_raw, mcw AS mean_cosine_whitened,
+           floor((mcr - mcw) * 1000000.0 + 0.5) / 1000000.0
+             AS anisotropy_removed,
+           CAST(CASE WHEN abs(mcw) < abs(mcr) THEN 1 ELSE 0 END AS INT)
+             AS whitening_helps
+         FROM fin""",
     "q_newsvendor" ->
       """WITH rows_ AS (
            SELECT l.l_partkey, l.l_quantity,

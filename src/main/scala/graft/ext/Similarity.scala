@@ -1418,6 +1418,74 @@ object Similarity {
           .as("nmi"))
   }
 
+  /** Whitening effectiveness audit — does per-dimension standardization
+    * (x−μ)/σ cure the anisotropy [[embeddingIsotropy]] measures?
+    * Embedding spaces collapse toward a common direction (Ethayarajh
+    * 2019), which wrecks cosine retrieval; whitening is the standard
+    * cheap fix, and this op prices it: the EXACT mean pairwise cosine
+    * (the zero-pair sum-vector identity — never a pair join) before and
+    * after whitening, plus the improvement. Dimension statistics use
+    * the scaled-long accumulation discipline (order-independent AND
+    * codegen-friendly, see powerIteration); σ is floored at 1e-6 so a
+    * constant dimension whitens to zero instead of exploding; a
+    * zero-norm whitened vector (a vector AT the mean) contributes zero
+    * unit mass via the sentinel divisor (stated — the bias is one
+    * vector's worth).
+    *
+    * Scale shape: one explode pass (n·dim rows) feeding a dim-keyed
+    * aggregate, one vec-keyed norm aggregate, one dim-keyed unit fold —
+    * three shuffles, all on key spaces that broadcast back; nothing is
+    * ever pairwise. */
+  def whiteningIsotropy(emb: DataFrame, dim: Int = 64): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val ex = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("i", "xi")))
+      .localCheckpoint() // dim stats and the whitened walk both read it
+    def slSum(c: Column) =
+      sum(floor(c * lit(1e12) + lit(0.5)).cast("bigint")).cast("double") /
+        lit(1e12)
+    def dec(c: Column) = c.cast("decimal(38,12)")
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val dimStats = ex.groupBy("i")
+      .agg(count(lit(1)).as("nd"), slSum(col("xi")).as("sx"),
+        slSum(col("xi") * col("xi")).as("sxx"))
+      .select(col("i"), (col("sx") / d(col("nd"))).as("mu"),
+        sqrt(greatest(col("sxx") / d(col("nd")) -
+          (col("sx") / d(col("nd"))) * (col("sx") / d(col("nd"))),
+          lit(1.0e-12))).as("sd"))
+    val w = ex.join(broadcast(dimStats), Seq("i"))
+      .select(col("vec_id"), col("i"),
+        ((col("xi") - col("mu")) / col("sd")).as("w"))
+      .localCheckpoint() // the norm pass and the unit fold both read it
+    val nrm = w.groupBy("vec_id")
+      .agg(sqrt(sum(dec(col("w") * col("w"))).cast("double")).as("nrm"))
+    val nTot = nrm.agg(count(lit(1)).as("n"))
+    val nrmDiv = when(col("nrm") =!= 0.0, col("nrm")).otherwise(lit(1.0))
+    val units = w.join(nrm, Seq("vec_id"))
+      .select(col("i"),
+        when(col("nrm") =!= 0.0, col("w") / nrmDiv).otherwise(lit(0.0))
+          .as("u"))
+      .groupBy("i").agg(slSum(col("u")).as("su"))
+    val ssuW = units.agg(sum(dec(col("su") * col("su"))).cast("double")
+      .as("ssu_w"))
+    val raw = embeddingIsotropy(emb, dim)
+      .select(col("mean_cosine").as("mean_cosine_raw"))
+    val n = d(col("n"))
+    nTot.crossJoin(broadcast(ssuW)).crossJoin(broadcast(raw))
+      .select(col("n").as("n_vectors"), lit(dim.toLong).as("dim"),
+        col("mean_cosine_raw"),
+        r6((col("ssu_w") - n) / (n * (n - lit(1.0))))
+          .as("mean_cosine_whitened"),
+        r6(col("mean_cosine_raw") -
+          r6((col("ssu_w") - n) / (n * (n - lit(1.0)))))
+          .as("anisotropy_removed"),
+        when(abs(r6((col("ssu_w") - n) / (n * (n - lit(1.0))))) <
+          abs(col("mean_cosine_raw")), 1).otherwise(0).cast("int")
+          .as("whitening_helps"))
+  }
+
   /** The λ grid and smoothing convention for [[mauveFrontier]] — Scala
     * literals shared verbatim with the oracle (1−λ is COMPUTED here, not
     * re-typed in SQL, so both engines multiply by the identical double). */

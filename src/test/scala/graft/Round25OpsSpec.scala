@@ -994,6 +994,47 @@ class Round25OpsSpec extends SparkSpec {
       (-math.log10(pExact))) < 1e-4)
   }
 
+  test("whiteningIsotropy: an anisotropic cloud is cured, and both " +
+    "cosines match the brute-force pairwise mean") {
+    // every vector = common direction + small noise → raw mean pairwise
+    // cosine near 1; whitening subtracts the shared mean and rescales
+    val rnd = new scala.util.Random(25006)
+    val vecs = (0L until 24L).map { i =>
+      val v = Array.tabulate(8)(d =>
+        (2.0 + 0.05 * rnd.nextGaussian()) * (if (d == 0) 1.0f else 0.1f))
+      (i, v.map(_.toFloat), 0)
+    }
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val out = graft.ext.Similarity.whiteningIsotropy(emb, dim = 8)
+      .collect().head
+    // brute force with the SAME conventions (population sd with the
+    // 1e-12 floor; unnormalized pairwise mean over ordered pairs)
+    val xs = vecs.map(_._2.map(_.toDouble))
+    def meanCos(vs: Seq[Array[Double]]): Double = {
+      val us = vs.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+      val pairs = for (a <- us.indices; b <- us.indices if a < b)
+        yield us(a).zip(us(b)).map { case (x, y) => x * y }.sum
+      pairs.sum / pairs.size
+    }
+    val rawBf = meanCos(xs)
+    assert(math.abs(out.getAs[Double]("mean_cosine_raw") - rawBf) < 1e-4)
+    assert(rawBf > 0.9)
+    val dimn = 8
+    val mu = Array.tabulate(dimn)(d => xs.map(_(d)).sum / xs.size)
+    val sd = Array.tabulate(dimn) { d =>
+      val m2 = xs.map(v => v(d) * v(d)).sum / xs.size
+      math.sqrt(math.max(m2 - mu(d) * mu(d), 1e-12))
+    }
+    val wBf = xs.map(v => Array.tabulate(dimn)(d => (v(d) - mu(d)) / sd(d)))
+    val whiteBf = meanCos(wBf)
+    assert(math.abs(out.getAs[Double]("mean_cosine_whitened") - whiteBf)
+      < 1e-4)
+    assert(out.getAs[Int]("whitening_helps") == 1)
+  }
+
   test("Hilbert.skipStats3: equal file counts, and the curve layouts " +
     "dominate natural on the y-only predicate") {
     val rnd = new scala.util.Random(25001)

@@ -741,6 +741,12 @@ object SparkEntry {
     // whitening effectiveness: exact mean cosine before/after (x-mu)/sd
     "q_whitening_isotropy" -> ((s, d) =>
       graft.ext.Similarity.whiteningIsotropy(Tables.embeddings(s, d))),
+    // empirical upper-tail dependence of price vs quantity
+    "q_tail_dependence" -> ((s, d) =>
+      InferenceAnalytics.tailDependence(Tables.lineitem(s, d))),
+    // record-counts drift test vs the harmonic-number expectation
+    "q_record_counts" -> ((s, d) =>
+      InferenceAnalytics.recordCounts(Tables.events(s, d))),
     "q_power_iteration" -> ((s, d) =>
       graft.ext.Similarity.powerIteration(Tables.embeddings(s, d))),
     // ---- NDCG@k of the cosine ranking against label relevance ----
@@ -14853,6 +14859,90 @@ object SparkEntry {
              AS anisotropy_removed,
            CAST(CASE WHEN abs(mcw) < abs(mcr) THEN 1 ELSE 0 END AS INT)
              AS whitening_helps
+         FROM fin""",
+    "q_tail_dependence" ->
+      """WITH base AS (
+           SELECT l_orderkey, l_linenumber,
+             CAST(l_extendedprice AS DOUBLE) AS x,
+             CAST(l_quantity AS DOUBLE) AS y
+           FROM lineitem),
+         n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+         tx AS (
+           SELECT x AS thr_x FROM (
+             SELECT x, CAST(row_number() OVER (ORDER BY x, l_orderkey,
+               l_linenumber) AS BIGINT) AS rn
+             FROM base) r CROSS JOIN n0
+           WHERE rn = greatest(CAST(ceil(0.95 * CAST(n AS DOUBLE))
+             AS BIGINT), 1)),
+         ty AS (
+           SELECT y AS thr_y FROM (
+             SELECT y, CAST(row_number() OVER (ORDER BY y, l_orderkey,
+               l_linenumber) AS BIGINT) AS rn
+             FROM base) r CROSS JOIN n0
+           WHERE rn = greatest(CAST(ceil(0.95 * CAST(n AS DOUBLE))
+             AS BIGINT), 1)),
+         folds AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             max(thr_x) AS thr_x, max(thr_y) AS thr_y,
+             CAST(sum(CASE WHEN x > thr_x THEN 1 ELSE 0 END) AS BIGINT)
+               AS nx,
+             CAST(sum(CASE WHEN y > thr_y THEN 1 ELSE 0 END) AS BIGINT)
+               AS ny,
+             CAST(sum(CASE WHEN x > thr_x AND y > thr_y THEN 1 ELSE 0
+               END) AS BIGINT) AS nj
+           FROM base CROSS JOIN tx CROSS JOIN ty)
+         SELECT n AS n_rows,
+           floor(thr_x * 1000000.0 + 0.5) / 1000000.0 AS price_q95,
+           floor(thr_y * 1000000.0 + 0.5) / 1000000.0 AS qty_q95,
+           nx AS n_price_exceed, ny AS n_qty_exceed,
+           nj AS n_joint_exceed,
+           floor(CASE WHEN ny > 0 AND nx > 0
+             THEN CAST(nj AS DOUBLE) / CAST(greatest(ny, 1) AS DOUBLE)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0
+             AS lambda_upper,
+           floor(CASE WHEN ny > 0 AND nx > 0
+             THEN CAST(nx AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0
+             AS indep_baseline,
+           CAST(CASE WHEN ny > 0 AND nx > 0 AND
+               CAST(nj AS DOUBLE) / CAST(greatest(ny, 1) AS DOUBLE)
+                 > 2.0 * (CAST(nx AS DOUBLE)
+                   / CAST(greatest(n, 1) AS DOUBLE))
+             THEN 1 ELSE 0 END AS INT) AS tail_dependent_at_2x
+         FROM folds""",
+    "q_record_counts" ->
+      s"""WITH $dailyCte,
+         flagged AS (
+           SELECT x,
+             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS rn,
+             max(x) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prevmax
+           FROM daily),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(CASE WHEN prevmax IS NULL OR x > prevmax THEN 1
+               ELSE 0 END) AS BIGINT) AS n_records,
+             CAST(sum(CAST(1.0 / CAST(rn AS DOUBLE) AS DECIMAL(28,12)))
+               AS DOUBLE) AS h1,
+             CAST(sum(CAST(1.0 / CAST(rn * rn AS DOUBLE)
+               AS DECIMAL(28,12))) AS DOUBLE) AS h2
+           FROM flagged),
+         fin AS (
+           SELECT *, h1 - h2 AS var_r,
+             (CAST(n_records AS DOUBLE) - h1)
+               / sqrt(CASE WHEN h1 - h2 > 0.0 THEN h1 - h2 ELSE 1.0 END)
+               AS z
+           FROM m)
+         SELECT n_days, n_records,
+           floor(h1 * 1000000.0 + 0.5) / 1000000.0 AS expected_records,
+           floor(CASE WHEN var_r > 0.0 THEN var_r ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS var_records,
+           floor(CASE WHEN var_r > 0.0 THEN z ELSE 0.0 END
+             * 1000000.0 + 0.5) / 1000000.0 AS z_stat,
+           CAST(CASE WHEN var_r > 0.0 AND z > 1.96 THEN 1
+                WHEN var_r > 0.0 AND z < -1.96 THEN -1
+                ELSE 0 END AS INT) AS drift_at_196
          FROM fin""",
     "q_newsvendor" ->
       """WITH rows_ AS (

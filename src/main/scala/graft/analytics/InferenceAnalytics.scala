@@ -921,6 +921,98 @@ object InferenceAnalytics {
         .cast("int").as("substantial_at_0_9"))
   }
 
+  /** Empirical upper-tail dependence between line price and quantity —
+    * the copula question risk controls ask that correlation cannot
+    * answer: when one variable is extreme, how often is the OTHER
+    * extreme too? λ̂_U = P(X > x₀.₉₅ ∣ Y > y₀.₉₅) against the
+    * independence baseline P(X > x₀.₉₅); a ratio ≫ 1 means joint
+    * blow-ups cluster. Thresholds are EXACT order statistics
+    * (deterministic tiebreak on the row key), found by the rank walk —
+    * oracle-grade here; at 100 TB the same thresholds come from a
+    * two-pass histogram refinement and the dependence fold is
+    * unchanged, which is the part that matters.
+    *
+    * Scale shape: two rank walks for the thresholds + one fold. */
+  def tailDependence(lineitem: DataFrame, q: Double = 0.95): DataFrame = {
+    val base = lineitem.select(col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice").cast("double").as("x"),
+      col("l_quantity").cast("double").as("y"))
+      .localCheckpoint() // both rank walks + the fold read it
+    val n0 = base.agg(count(lit(1)).as("n"))
+    def threshold(c: String): DataFrame = {
+      val ranked = base
+        .withColumn("rn", row_number().over(Window.orderBy(col(c),
+          col("l_orderkey"), col("l_linenumber"))).cast("bigint"))
+      ranked.crossJoin(broadcast(n0))
+        .filter(col("rn") ===
+          greatest(ceil(lit(q) * col("n").cast("double")).cast("bigint"),
+            lit(1L)))
+        .select(col(c).as(s"thr_$c"))
+    }
+    val folds = base
+      .crossJoin(broadcast(threshold("x")))
+      .crossJoin(broadcast(threshold("y")))
+      .agg(count(lit(1)).as("n"),
+        max(col("thr_x")).as("thr_x"), max(col("thr_y")).as("thr_y"),
+        sum(when(col("x") > col("thr_x"), 1L).otherwise(0L)).as("nx"),
+        sum(when(col("y") > col("thr_y"), 1L).otherwise(0L)).as("ny"),
+        sum(when(col("x") > col("thr_x") && col("y") > col("thr_y"), 1L)
+          .otherwise(0L)).as("nj"))
+    def d(c: Column) = c.cast("double")
+    val cond = d(col("nj")) / d(greatest(col("ny"), lit(1L)))
+    val baseRate = d(col("nx")) / d(greatest(col("n"), lit(1L)))
+    val okT = col("ny") > 0L && col("nx") > 0L
+    folds.select(col("n").as("n_rows"),
+      r6(col("thr_x")).as("price_q95"), r6(col("thr_y")).as("qty_q95"),
+      col("nx").as("n_price_exceed"), col("ny").as("n_qty_exceed"),
+      col("nj").as("n_joint_exceed"),
+      r6(when(okT, cond).otherwise(lit(0.0))).as("lambda_upper"),
+      r6(when(okT, baseRate).otherwise(lit(0.0))).as("indep_baseline"),
+      when(okT && cond > lit(2.0) * baseRate, 1).otherwise(0).cast("int")
+        .as("tail_dependent_at_2x"))
+  }
+
+  /** Record-counts trend test on the daily value series — the
+    * distribution-free "is this series drifting up" check that needs NO
+    * distributional assumption at all: under exchangeability the
+    * expected number of running-maximum records in n days is the
+    * harmonic number H_n with variance H_n − H_n⁽²⁾, both computed
+    * EXACTLY as folds over the day index; the z-flag at the literal
+    * 1.96 reads excess records as upward drift. The cheap companion to
+    * [[mannKendall]] (O(n) vs O(n²) in days — at a 10-year horizon the
+    * pair frame is 6.6M rows, this is 3650).
+    *
+    * Scale shape: one day aggregate, two window passes, one fold. */
+  def recordCounts(ev: DataFrame): DataFrame = {
+    val daily = dailySeries(ev)
+    val wPrev = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = daily
+      .withColumn("rn", row_number().over(Window.orderBy("d"))
+        .cast("bigint"))
+      .withColumn("prevmax", max(col("x")).over(wPrev))
+      .withColumn("rec",
+        when(col("prevmax").isNull || col("x") > col("prevmax"), 1L)
+          .otherwise(0L))
+    def dz(c: Column) = c.cast("decimal(28,12)")
+    val m = flagged.agg(count(lit(1)).as("n_days"),
+      sum(col("rec")).as("n_records"),
+      sum(dz(lit(1.0) / col("rn").cast("double"))).cast("double")
+        .as("h1"),
+      sum(dz(lit(1.0) / (col("rn") * col("rn")).cast("double")))
+        .cast("double").as("h2"))
+    val varR = col("h1") - col("h2")
+    val sdDiv = sqrt(when(varR > 0.0, varR).otherwise(lit(1.0)))
+    val z = (col("n_records").cast("double") - col("h1")) / sdDiv
+    val ok = varR > 0.0
+    m.select(col("n_days"), col("n_records"),
+      r6(col("h1")).as("expected_records"),
+      r6(when(ok, varR).otherwise(lit(0.0))).as("var_records"),
+      r6(when(ok, z).otherwise(lit(0.0))).as("z_stat"),
+      when(ok && z > lit(1.96), 1).when(ok && z < lit(-1.96), -1)
+        .otherwise(0).cast("int").as("drift_at_196"))
+  }
+
   /** Two-sample Anderson–Darling + Cramér–von Mises on the weekday vs
     * weekend daily-revenue distributions — the distribution-equality
     * tests that outrank [[StatsAnalytics]]'s KS at the tails (AD

@@ -1035,6 +1035,47 @@ class Round25OpsSpec extends SparkSpec {
     assert(out.getAs[Int]("whitening_helps") == 1)
   }
 
+  test("tailDependence: comonotone tails are fully dependent, " +
+    "antithetic tails are empty") {
+    // y = x: both exceed together → lambda 1; y = -x: never joint
+    val n = 100
+    val co = (1 to n).map(i => (i.toLong, 1, i.toDouble, i.toDouble))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice",
+        "l_quantity")
+    val outCo = InferenceAnalytics.tailDependence(co).collect().head
+    assert(outCo.getAs[Double]("lambda_upper") == 1.0)
+    assert(outCo.getAs[Int]("tail_dependent_at_2x") == 1)
+    // threshold = 95th order stat = 95 → 5 exceedances
+    assert(outCo.getAs[Long]("n_price_exceed") == 5L)
+    assert(outCo.getAs[Long]("n_joint_exceed") == 5L)
+    val anti = (1 to n).map(i => (i.toLong, 1, i.toDouble, -i.toDouble))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice",
+        "l_quantity")
+    val outAnti = InferenceAnalytics.tailDependence(anti).collect().head
+    assert(outAnti.getAs[Long]("n_joint_exceed") == 0L)
+    assert(outAnti.getAs[Double]("lambda_upper") == 0.0)
+  }
+
+  test("recordCounts: a strictly increasing series is all records; a " +
+    "constant one has exactly one") {
+    val up = (1 to 12).map(d => (1L, "view",
+      f"2024-01-$d%02d 00:00:00", java.lang.Double.valueOf(d.toDouble)))
+    val outUp = InferenceAnalytics.recordCounts(ev(up: _*)).collect().head
+    assert(outUp.getAs[Long]("n_records") == 12L)
+    val h1 = (1 to 12).map(1.0 / _).sum
+    val h2 = (1 to 12).map(i => 1.0 / (i.toLong * i)).sum
+    assert(outUp.getAs[Double]("expected_records") == r6(h1))
+    assert(outUp.getAs[Double]("z_stat") ==
+      r6((12.0 - h1) / math.sqrt(h1 - h2)))
+    assert(outUp.getAs[Int]("drift_at_196") == 1)
+    val flat = (1 to 12).map(d => (1L, "view",
+      f"2024-01-$d%02d 00:00:00", java.lang.Double.valueOf(3.0)))
+    val outFlat = InferenceAnalytics.recordCounts(ev(flat: _*))
+      .collect().head
+    assert(outFlat.getAs[Long]("n_records") == 1L)
+    assert(outFlat.getAs[Int]("drift_at_196") == 0)
+  }
+
   test("Hilbert.skipStats3: equal file counts, and the curve layouts " +
     "dominate natural on the y-only predicate") {
     val rnd = new scala.util.Random(25001)

@@ -5781,8 +5781,7 @@ object SparkEntry {
            floor((a + b * CAST(n + h AS DOUBLE) + ses) / 2.0
              * 1000000.0 + 0.5) / 1000000.0 AS forecast
          FROM ses CROSS JOIN hs ORDER BY h""",
-    "q_spectral_entropy" -> {
-      val lnK = graft.analytics.ThetaTables.lnPeriods
+    "q_spectral_entropy" ->
       s"""WITH pg AS (SELECT * FROM ($periodogramOracleSql) pgsub),
          tot AS (
            SELECT CAST(count(*) AS BIGINT) AS n_periods,
@@ -5813,15 +5812,15 @@ object SparkEntry {
            floor(sp * 1000000.0 + 0.5) / 1000000.0 AS total_power,
            floor(CASE WHEN sp <> 0.0 THEN h ELSE 0.0 END
              * 1000000.0 + 0.5) / 1000000.0 AS spectral_entropy,
-           floor(CASE WHEN sp <> 0.0 THEN h / CAST($lnK AS DOUBLE)
+           floor(CASE WHEN sp <> 0.0 AND n_periods > 1
+             THEN h / ln(CAST(n_periods AS DOUBLE))
              ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0
              AS spectral_entropy_norm,
            dominant_period,
            floor(CASE WHEN sp <> 0.0 THEN pmax /
                (CASE WHEN sp <> 0.0 THEN sp ELSE 1.0 END)
              ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0 AS max_share
-         FROM ent"""
-    },
+         FROM ent""",
     "q_logrank" ->
       """WITH life AS (
            SELECT user_id,

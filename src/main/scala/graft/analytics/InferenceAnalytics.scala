@@ -153,7 +153,9 @@ object InferenceAnalytics {
     * shares, normalized by ln(K); near 0 means one period owns the
     * spectrum (strong seasonality), near 1 means white noise. The
     * dominant period is the deterministic argmax (power DESC, period
-    * ASC). ln(K) is a Scala-side literal shared with the oracle.
+    * ASC). The normalizer is ln of the MEASURED census size (not a
+    * baked constant), so a different period grid cannot silently
+    * denormalize the report.
     *
     * Scale shape: everything after the day aggregate runs on the
     * 13-row period census. */
@@ -180,7 +182,8 @@ object InferenceAnalytics {
     ent.select(col("n_periods"), col("n_days"),
       r6(col("sp")).as("total_power"),
       r6(when(ok, col("h")).otherwise(lit(0.0))).as("spectral_entropy"),
-      r6(when(ok, col("h") / lit(ThetaTables.lnPeriods))
+      r6(when(ok && col("n_periods") > 1L,
+        col("h") / log(col("n_periods").cast("double")))
         .otherwise(lit(0.0))).as("spectral_entropy_norm"),
       col("dominant_period"),
       r6(when(ok, col("pmax") / spDiv).otherwise(lit(0.0)))
@@ -1347,9 +1350,6 @@ object InferenceAnalytics {
 object ThetaTables {
   val maxPow = 64
   val pow05: Array[Double] = Array.tabulate(maxPow)(k => math.pow(0.5, k))
-  /** ln(13) — the [[InferenceAnalytics.spectralEntropy]] normalizer for
-    * the 13-period periodogram census. */
-  val lnPeriods: Double = math.log(13.0)
 }
 
 /** O'Brien–Fleming boundary literals for

@@ -747,6 +747,15 @@ object SparkEntry {
     // record-counts drift test vs the harmonic-number expectation
     "q_record_counts" -> ((s, d) =>
       InferenceAnalytics.recordCounts(Tables.events(s, d))),
+    // Diebold-Mariano: snaive-vs-naive forecast loss comparison
+    "q_diebold_mariano" -> ((s, d) =>
+      InferenceAnalytics.dieboldMariano(Tables.events(s, d))),
+    // pinball (quantile) loss of the snaive forecast at tau grid
+    "q_pinball_loss" -> ((s, d) =>
+      InferenceAnalytics.pinballLoss(Tables.events(s, d))),
+    // Calinski-Harabasz + Davies-Bouldin internal cluster validity
+    "q_cluster_validity" -> ((s, d) =>
+      graft.ext.Similarity.clusterValidity(Tables.embeddings(s, d))),
     "q_power_iteration" -> ((s, d) =>
       graft.ext.Similarity.powerIteration(Tables.embeddings(s, d))),
     // ---- NDCG@k of the cosine ranking against label relevance ----
@@ -14943,6 +14952,159 @@ object SparkEntry {
                 WHEN var_r > 0.0 AND z < -1.96 THEN -1
                 ELSE 0 END AS INT) AS drift_at_196
          FROM fin""",
+    "q_diebold_mariano" ->
+      s"""WITH $dailyCte,
+         lagged AS (
+           SELECT x, lag(x, 7) OVER (ORDER BY d) AS f1,
+             lag(x, 1) OVER (ORDER BY d) AS f2
+           FROM daily),
+         rows_ AS (
+           SELECT x, (x - f1) * (x - f1) AS l1,
+             (x - f2) * (x - f2) AS l2
+           FROM lagged WHERE f1 IS NOT NULL AND f2 IS NOT NULL),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l1 AS DECIMAL(38,12))) AS DOUBLE) AS sl1,
+             CAST(sum(CAST(l2 AS DECIMAL(38,12))) AS DOUBLE) AS sl2,
+             CAST(sum(CAST(l1 - l2 AS DECIMAL(38,12))) AS DOUBLE) AS sd,
+             CAST(sum(CAST((l1 - l2) * (l1 - l2) AS DECIMAL(38,12)))
+               AS DOUBLE) AS sdd
+           FROM rows_),
+         c1 AS (
+           SELECT n, sl1, sl2,
+             sd / CAST(greatest(n, 1) AS DOUBLE) AS mean_d,
+             sdd / CAST(greatest(n, 1) AS DOUBLE)
+               - (sd / CAST(greatest(n, 1) AS DOUBLE))
+                 * (sd / CAST(greatest(n, 1) AS DOUBLE)) AS var_d
+           FROM m),
+         c2 AS (
+           SELECT *,
+             mean_d / sqrt(CASE WHEN var_d > 0.0
+               THEN var_d / CAST(greatest(n, 1) AS DOUBLE)
+               ELSE 1.0 END) AS dm,
+             (n > 1 AND var_d > 0.0) AS ok
+           FROM c1)
+         SELECT n AS n_days,
+           floor(sl1 / CAST(greatest(n, 1) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS mse_snaive,
+           floor(sl2 / CAST(greatest(n, 1) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS mse_naive,
+           floor(mean_d * 1000000.0 + 0.5) / 1000000.0
+             AS mean_loss_diff,
+           floor(CASE WHEN ok THEN dm ELSE 0.0 END * 1000000.0 + 0.5)
+             / 1000000.0 AS dm_stat,
+           CAST(CASE WHEN ok AND dm < -1.96 THEN 1
+                WHEN ok AND dm > 1.96 THEN -1
+                ELSE 0 END AS INT) AS snaive_better_at_196
+         FROM c2""",
+    "q_pinball_loss" -> {
+      val arms = Seq(0.1, 0.5, 0.9).map { t =>
+        val t1 = t - 1.0
+        s"""SELECT CAST($t AS DOUBLE) AS tau,
+             CAST(count(*) AS BIGINT) AS n_days,
+             floor(CAST(sum(CAST(greatest($t * err, $t1 * err)
+               AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(greatest(count(*), 1) AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 AS pinball,
+             floor(CAST(sum(CAST(abs(err) AS DECIMAL(38,12)))
+               AS DOUBLE) / CAST(greatest(count(*), 1) AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 AS mae
+           FROM rows_"""
+      }.mkString(" UNION ALL ")
+      s"""WITH $dailyCte,
+         lagged AS (
+           SELECT x, lag(x, 7) OVER (ORDER BY d) AS yhat FROM daily),
+         rows_ AS (
+           SELECT x - yhat AS err FROM lagged WHERE yhat IS NOT NULL)
+         SELECT * FROM ($arms) ORDER BY tau"""
+    },
+    "q_cluster_validity" ->
+      """WITH c AS (
+           SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
+           FROM embeddings WHERE vec_id % 40 = 0),
+         assign AS (
+           SELECT e, nrm, cid FROM (
+             SELECT emb.vec_id, emb.embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(emb.embedding::DOUBLE[],
+                 emb.embedding::DOUBLE[])) AS nrm,
+               c.centroid_id AS cid,
+               row_number() OVER (PARTITION BY emb.vec_id ORDER BY
+                 round(list_cosine_similarity(emb.embedding::DOUBLE[],
+                   c.ce), 6) DESC, c.centroid_id) AS rn
+             FROM embeddings emb CROSS JOIN c)
+           WHERE rn = 1),
+         cd AS (
+           SELECT cid, i,
+             CAST(sum(CAST(e[i + 1] AS DECIMAL(38,12))) AS DOUBLE)
+               AS sxi
+           FROM assign CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ii
+           GROUP BY 1, 2),
+         perc AS (
+           SELECT cid, CAST(count(*) AS BIGINT) AS nk,
+             CAST(sum(CAST(nrm * nrm AS DECIMAL(38,12))) AS DOUBLE)
+               AS ssq
+           FROM assign GROUP BY 1),
+         s2 AS (
+           SELECT cid,
+             CAST(sum(CAST(sxi * sxi AS DECIMAL(38,12))) AS DOUBLE)
+               AS s2
+           FROM cd GROUP BY 1),
+         clusters AS (
+           SELECT p.cid, p.nk, p.ssq, s.s2,
+             p.ssq - s.s2 / CAST(p.nk AS DOUBLE) AS wk,
+             sqrt(greatest((p.ssq - s.s2 / CAST(p.nk AS DOUBLE))
+               / CAST(p.nk AS DOUBLE), 0.0)) AS sk
+           FROM perc p JOIN s2 s ON p.cid = s.cid),
+         gdim AS (
+           SELECT CAST(sum(CAST(gx * gx AS DECIMAL(38,12))) AS DOUBLE)
+             AS g2
+           FROM (SELECT i,
+             CAST(sum(CAST(sxi AS DECIMAL(38,12))) AS DOUBLE) AS gx
+             FROM cd GROUP BY 1)),
+         tot AS (
+           SELECT CAST(count(*) AS BIGINT) AS kk,
+             CAST(sum(nk) AS BIGINT) AS nn,
+             CAST(sum(CAST(wk AS DECIMAL(38,12))) AS DOUBLE) AS w_tot,
+             CAST(sum(CAST(s2 / CAST(nk AS DOUBLE) AS DECIMAL(38,12)))
+               AS DOUBLE) AS bplus
+           FROM clusters),
+         mj AS (
+           SELECT cd.cid, cd.i, cd.sxi / CAST(cl.nk AS DOUBLE) AS mu
+           FROM cd JOIN clusters cl ON cd.cid = cl.cid),
+         paird AS (
+           SELECT a.cid AS ca, b.cid AS cb,
+             sqrt(greatest(CAST(sum(CAST((a.mu - b.mu) * (a.mu - b.mu)
+               AS DECIMAL(38,12))) AS DOUBLE), 0.0)) AS dij
+           FROM mj a JOIN mj b ON a.i = b.i AND a.cid <> b.cid
+           GROUP BY 1, 2),
+         dbper AS (
+           SELECT ca,
+             max(CASE WHEN dij <> 0.0
+               THEN (sa.sk + sb.sk)
+                 / (CASE WHEN dij <> 0.0 THEN dij ELSE 1.0 END)
+               ELSE 0.0 END) AS ri
+           FROM paird p
+           JOIN clusters sa ON p.ca = sa.cid
+           JOIN clusters sb ON p.cb = sb.cid
+           GROUP BY 1),
+         dbm AS (
+           SELECT CAST(count(*) AS BIGINT) AS kdb,
+             CAST(sum(CAST(ri AS DECIMAL(38,12))) AS DOUBLE) AS sri
+           FROM dbper)
+         SELECT nn AS n_vectors, kk AS n_clusters,
+           floor(w_tot * 1000000.0 + 0.5) / 1000000.0 AS within_ss,
+           floor(greatest(bplus - g2 / CAST(nn AS DOUBLE), 0.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS between_ss,
+           floor(CASE WHEN kk > 1 AND nn > kk AND w_tot > 0.0
+             THEN ((bplus - g2 / CAST(nn AS DOUBLE))
+                 / (CAST(kk AS DOUBLE) - 1.0))
+               / ((CASE WHEN w_tot <> 0.0 THEN w_tot ELSE 1.0 END)
+                 / (CAST(nn AS DOUBLE) - CAST(kk AS DOUBLE)))
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0
+             AS calinski_harabasz,
+           floor(sri / CAST(greatest(kdb, 1) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS davies_bouldin
+         FROM tot CROSS JOIN dbm CROSS JOIN gdim""",
     "q_newsvendor" ->
       """WITH rows_ AS (
            SELECT l.l_partkey, l.l_quantity,

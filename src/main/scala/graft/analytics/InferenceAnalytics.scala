@@ -677,9 +677,14 @@ object InferenceAnalytics {
     val ranked = pairs
       .withColumn("rn", row_number().over(
         Window.orderBy(col("slope"), col("ta"), col("tb"))))
+    // integer DIV, not `/`: Spark's `/` on two longs is DOUBLE division,
+    // so `rn === (n+1)/2` compares against 138.5 and silently never
+    // matches the lower middle — caught by the reversal-antisymmetry
+    // property (the oracle's `//` took both middles; the hash compare
+    // passed only because the fixture's middle slopes happened to tie)
     val med = ranked.crossJoin(broadcast(sFold.select(col("n_pairs"))))
-      .filter(col("rn") === (col("n_pairs") + 1L) / 2L ||
-        col("rn") === (col("n_pairs") + 2L) / 2L)
+      .filter(col("rn") === expr("(n_pairs + 1) div 2") ||
+        col("rn") === expr("(n_pairs + 2) div 2"))
       .agg((sum(col("slope").cast("decimal(28,12)")).cast("double") /
         count(lit(1)).cast("double")).as("sen_slope"))
     val m = sFold.crossJoin(broadcast(ties)).crossJoin(broadcast(med))
@@ -922,6 +927,81 @@ object InferenceAnalytics {
         .as("lin_ccc"),
       when(ok && cccDen =!= 0.0 && ccc > lit(0.9), 1).otherwise(0)
         .cast("int").as("substantial_at_0_9"))
+  }
+
+  /** Diebold–Mariano forecast comparison — IS the seasonal-naive
+    * (same weekday last week) forecast actually better than the plain
+    * naive (yesterday), or is the gap noise? The test every forecast
+    * bake-off should end with: loss differential d_t = e²_snaive −
+    * e²_naive, DM = d̄ / √(Var_p(d)/n) (population variance, lag-0 —
+    * the short-horizon form, stated; HAC would matter for h-step
+    * overlapping errors). Sign says who wins, the literal 1.96 says
+    * whether to care. DECIMAL folds throughout.
+    *
+    * Scale shape: one day aggregate, two lag projections, one fold. */
+  def dieboldMariano(ev: DataFrame): DataFrame = {
+    val daily = dailySeries(ev)
+    val w = Window.orderBy("d")
+    val rows = daily
+      .withColumn("f1", lag(col("x"), 7).over(w))
+      .withColumn("f2", lag(col("x"), 1).over(w))
+      .filter(col("f1").isNotNull && col("f2").isNotNull)
+      .select(col("x"),
+        ((col("x") - col("f1")) * (col("x") - col("f1"))).as("l1"),
+        ((col("x") - col("f2")) * (col("x") - col("f2"))).as("l2"))
+      .withColumn("dd", col("l1") - col("l2"))
+    def dz(c: Column) = c.cast("decimal(38,12)")
+    val m = rows.agg(count(lit(1)).as("n"),
+      sum(dz(col("l1"))).cast("double").as("sl1"),
+      sum(dz(col("l2"))).cast("double").as("sl2"),
+      sum(dz(col("dd"))).cast("double").as("sd"),
+      sum(dz(col("dd") * col("dd"))).cast("double").as("sdd"))
+    val nD = greatest(col("n"), lit(1L)).cast("double")
+    val meanD = col("sd") / nD
+    val varD = col("sdd") / nD - meanD * meanD
+    val seDiv = sqrt(when(varD > 0.0, varD / nD).otherwise(lit(1.0)))
+    val dm = meanD / seDiv
+    val ok = col("n") > 1L && varD > 0.0
+    m.select(col("n").as("n_days"),
+      r6(col("sl1") / nD).as("mse_snaive"),
+      r6(col("sl2") / nD).as("mse_naive"),
+      r6(meanD).as("mean_loss_diff"),
+      r6(when(ok, dm).otherwise(lit(0.0))).as("dm_stat"),
+      when(ok && dm < lit(-1.96), 1).when(ok && dm > lit(1.96), -1)
+        .otherwise(0).cast("int").as("snaive_better_at_196"))
+  }
+
+  /** Pinball (quantile) loss of the seasonal-naive forecast at the
+    * τ ∈ {0.1, 0.5, 0.9} grid — the metric that scores a forecast as a
+    * QUANTILE estimate, the lingua franca of demand/capacity planning
+    * (M5 uncertainty track): L_τ = mean(max(τ·(y−ŷ), (τ−1)·(y−ŷ))).
+    * The τ = 0.5 row is MAE/2 by identity, shipped as the mae column
+    * for the cross-check. One row per τ; DECIMAL folds.
+    *
+    * Scale shape: one day aggregate, one lag projection, three
+    * day-bounded fold arms. */
+  def pinballLoss(ev: DataFrame,
+                  taus: Seq[Double] = Seq(0.1, 0.5, 0.9)): DataFrame = {
+    val daily = dailySeries(ev)
+    val rows = daily
+      .withColumn("yhat", lag(col("x"), 7).over(Window.orderBy("d")))
+      .filter(col("yhat").isNotNull)
+      .withColumn("err", col("x") - col("yhat"))
+      .localCheckpoint() // every τ arm folds the same frame
+    def dz(c: Column) = c.cast("decimal(38,12)")
+    val arms = taus.map { t =>
+      val loss = greatest(lit(t) * col("err"),
+        lit(t - 1.0) * col("err"))
+      rows.agg(count(lit(1)).as("n"),
+          sum(dz(loss)).cast("double").as("sl"),
+          sum(dz(abs(col("err")))).cast("double").as("sa"))
+        .select(lit(t).as("tau"), col("n").as("n_days"),
+          r6(col("sl") / greatest(col("n"), lit(1L)).cast("double"))
+            .as("pinball"),
+          r6(col("sa") / greatest(col("n"), lit(1L)).cast("double"))
+            .as("mae"))
+    }
+    arms.reduce(_ unionAll _).orderBy("tau")
   }
 
   /** Empirical upper-tail dependence between line price and quantity —

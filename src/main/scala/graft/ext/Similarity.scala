@@ -1418,6 +1418,107 @@ object Similarity {
           .as("nmi"))
   }
 
+  /** Internal cluster-validity pair for the IVF assignment —
+    * Calinski–Harabasz (between/within variance ratio; higher = crisper)
+    * and Davies–Bouldin (mean worst-pair overlap; lower = crisper) —
+    * the geometry-side complements of [[silhouette]] (point-level) and
+    * [[clusterLabelAgreement]] (label-level). Both reduce EXACTLY to
+    * per-cluster per-dimension sums: W_k = Σ‖x‖² − ‖Σx‖²/n_k,
+    * B = Σ_k ‖Σx‖²/n_k − ‖Σ_global x‖²/N, centroid distances from the
+    * per-dim mean differences, and the DB scatter s_k = √(W_k/n_k)
+    * (the centroid-diameter variant — stated; the mean-absolute-radius
+    * variant needs a second per-point pass for no audit benefit).
+    * Assignment is the house cosine-argmax to vec_id%40 seeds; the
+    * validity geometry is Euclidean (stated).
+    *
+    * Scale shape: one broadcast assignment fan-out, one (cluster, dim)
+    * aggregate; everything after — including the cluster-pair distance
+    * walk — is K²·dim-bounded. */
+  def clusterValidity(emb: DataFrame, centroidMod: Int = 40): DataFrame = {
+    graft.plans.VectorOps.register(emb.sparkSession)
+    val withNorm = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"),
+      sqrt(dotD(col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>"))).as("nrm"))
+    val cents = withNorm.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("centroid_id"), col("e").as("ce"),
+        col("nrm").as("cn"))
+    val assigned = nearestCentroid(
+      withNorm.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("e"), col("nrm"), col("centroid_id"),
+          round(dotD(col("e"), col("ce")) / (col("nrm") * col("cn")), 6)
+            .as("c_sim")),
+      col("e"), col("nrm"), col("centroid_id"))
+      .select(col("best.centroid_id").as("c"), col("best.e").as("e"),
+        col("best.nrm").as("nrm"))
+    def dz(c: Column) = c.cast("decimal(38,12)")
+    def d(c: Column) = c.cast("double")
+    def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    // per-(cluster, dim) coordinate sums + per-cluster scalar moments
+    val cd = assigned
+      .select(col("c"), col("nrm"), posexplode(col("e")).as(Seq("i", "xi")))
+      .groupBy("c", "i")
+      .agg(sum(dz(col("xi"))).cast("double").as("sxi"))
+      .localCheckpoint() // cluster folds + global fold + pair walk
+    val perC = assigned.groupBy("c")
+      .agg(count(lit(1)).as("nk"),
+        sum(dz(col("nrm") * col("nrm"))).cast("double").as("ssq"))
+    val s2 = cd.groupBy("c")
+      .agg(sum(dz(col("sxi") * col("sxi"))).cast("double").as("s2"))
+    val clusters = perC.join(s2, "c")
+      .select(col("c"), col("nk"), col("ssq"), col("s2"),
+        (col("ssq") - col("s2") / d(col("nk"))).as("wk"),
+        sqrt(greatest((col("ssq") - col("s2") / d(col("nk"))) /
+          d(col("nk")), lit(0.0))).as("sk"))
+      .localCheckpoint() // CH fold + both pair-walk sides
+    val globalDim = cd.groupBy("i")
+      .agg(sum(dz(col("sxi"))).cast("double").as("gx"))
+      .agg(sum(dz(col("gx") * col("gx"))).cast("double").as("g2"))
+    val tot = clusters.agg(count(lit(1)).as("kk"), sum(col("nk")).as("nn"),
+      sum(dz(col("wk"))).cast("double").as("w_tot"),
+      sum(dz(col("s2") / d(col("nk")))).cast("double").as("bplus"))
+    // cluster-pair centroid distances from per-dim mean differences
+    val mj = cd.join(broadcast(clusters.select(col("c"), col("nk"))), "c")
+      .select(col("c"), col("i"), (col("sxi") / d(col("nk"))).as("mu"))
+    val pairD = mj.select(col("c").as("ca"), col("i"), col("mu").as("ma"))
+      .join(mj.select(col("c").as("cb"), col("i"), col("mu").as("mb")),
+        Seq("i"))
+      .filter(col("ca") =!= col("cb"))
+      .groupBy("ca", "cb")
+      .agg(sqrt(greatest(sum(dz((col("ma") - col("mb")) *
+        (col("ma") - col("mb")))).cast("double"), lit(0.0))).as("dij"))
+    val dbPer = pairD
+      .join(broadcast(clusters.select(col("c").as("ca"),
+        col("sk").as("sa"))), Seq("ca"))
+      .join(broadcast(clusters.select(col("c").as("cb"),
+        col("sk").as("sb"))), Seq("cb"))
+      .select(col("ca"),
+        ((col("sa") + col("sb")) /
+          when(col("dij") =!= 0.0, col("dij")).otherwise(lit(1.0)))
+          .as("rij"),
+        (col("dij") =!= 0.0).as("okp"))
+      .groupBy("ca")
+      .agg(max(when(col("okp"), col("rij")).otherwise(lit(0.0)))
+        .as("ri"))
+      .agg(count(lit(1)).as("kdb"),
+        sum(dz(col("ri"))).cast("double").as("sri"))
+    val nD = d(col("nn"))
+    val kD = d(col("kk"))
+    val b = col("bplus") - col("g2") / nD
+    val okCh = col("kk") > 1L && col("nn") > col("kk") &&
+      col("w_tot") > 0.0
+    val wDiv = when(col("w_tot") =!= 0.0, col("w_tot")).otherwise(lit(1.0))
+    val ch = (b / (kD - lit(1.0))) /
+      (wDiv / (nD - kD))
+    tot.crossJoin(broadcast(dbPer)).crossJoin(broadcast(globalDim))
+      .select(col("nn").as("n_vectors"), col("kk").as("n_clusters"),
+        r6(col("w_tot")).as("within_ss"),
+        r6(greatest(b, lit(0.0))).as("between_ss"),
+        r6(when(okCh, ch).otherwise(lit(0.0))).as("calinski_harabasz"),
+        r6(col("sri") / d(greatest(col("kdb"), lit(1L))))
+          .as("davies_bouldin"))
+  }
+
   /** Whitening effectiveness audit — does per-dimension standardization
     * (x−μ)/σ cure the anisotropy [[embeddingIsotropy]] measures?
     * Embedding spaces collapse toward a common direction (Ethayarajh

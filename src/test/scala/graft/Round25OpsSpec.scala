@@ -1076,6 +1076,88 @@ class Round25OpsSpec extends SparkSpec {
     assert(outFlat.getAs[Int]("drift_at_196") == 0)
   }
 
+  test("dieboldMariano: a perfectly periodic week makes snaive win " +
+    "decisively") {
+    // period-7 series: snaive error is 0 every day, naive error varies
+    val rows = (1 to 28).map { dd =>
+      (1L, "view", f"2024-01-$dd%02d 00:00:00",
+        java.lang.Double.valueOf(100.0 + 10.0 * (dd % 7)))
+    }
+    val out = InferenceAnalytics.dieboldMariano(ev(rows: _*))
+      .collect().head
+    assert(out.getAs[Double]("mse_snaive") == 0.0)
+    assert(out.getAs[Double]("mse_naive") > 0.0)
+    assert(out.getAs[Double]("dm_stat") < -1.96)
+    assert(out.getAs[Int]("snaive_better_at_196") == 1)
+  }
+
+  test("pinballLoss: constant positive error prices each tau linearly " +
+    "and tau=0.5 is MAE/2") {
+    // second week = first week + 5: err = +5 on every scored day
+    val rows = (1 to 14).map { dd =>
+      val v = 100.0 + (if (dd > 7) 5.0 else 0.0)
+      (1L, "view", f"2024-01-$dd%02d 00:00:00",
+        java.lang.Double.valueOf(v))
+    }
+    val out = InferenceAnalytics.pinballLoss(ev(rows: _*)).collect()
+      .map(r => r.getAs[Double]("tau") -> r).toMap
+    assert(out(0.1).getAs[Double]("pinball") == 0.5)
+    assert(out(0.5).getAs[Double]("pinball") == 2.5)
+    assert(out(0.9).getAs[Double]("pinball") == 4.5)
+    assert(out(0.5).getAs[Double]("mae") == 5.0)
+  }
+
+  test("clusterValidity: two tight separated clusters match the " +
+    "brute-force CH and DB") {
+    // seeds 0 and 40 anchor opposite clusters; members hug their seed
+    val rnd = new scala.util.Random(25007)
+    val pts = (0L until 80L).map { i =>
+      val side = if (i < 40L) 1.0 else -1.0
+      val v = Array.tabulate(8)(d =>
+        (if (d == 0) 10.0 * side else 0.0) + 0.1 * rnd.nextGaussian())
+      (i, v)
+    }
+    val emb = pts.map { case (i, v) => (i, v.map(_.toFloat), 0) }
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.ext.Similarity.clusterValidity(emb).collect().head
+    // brute force with the same assignment rule (cosine argmax to seeds
+    // 0 and 40) and the same W/B/s_k formulas
+    val seeds = Seq(0L, 40L).map(i => pts(i.toInt)._2)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val byC = pts.map { case (_, v) =>
+      val sims = seeds.map(s => math.floor(cos(v, s) * 1e6 + 0.5) / 1e6)
+      (if (sims(0) >= sims(1)) 0 else 1, v)
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = pts.size
+    def ssq(vs: Seq[Array[Double]]) = vs.map(_.map(x => x * x).sum).sum
+    def sumv(vs: Seq[Array[Double]]) =
+      Array.tabulate(8)(d => vs.map(_(d)).sum)
+    val wks = byC.values.map { vs =>
+      ssq(vs) - sumv(vs).map(x => x * x).sum / vs.size }.toSeq
+    val w = wks.sum
+    val gsum = sumv(pts.map(_._2))
+    val bplus = byC.values.map(vs =>
+      sumv(vs).map(x => x * x).sum / vs.size).sum
+    val b = bplus - gsum.map(x => x * x).sum / n
+    val ch = (b / (2 - 1)) / (w / (n - 2))
+    assert(math.abs(out.getAs[Double]("calinski_harabasz") - ch) <
+      1e-3 * ch)
+    val sks = byC.values.map(vs => math.sqrt((ssq(vs) -
+      sumv(vs).map(x => x * x).sum / vs.size) / vs.size)).toSeq
+    val mus = byC.values.map(vs => sumv(vs).map(_ / vs.size)).toSeq
+    val dij = math.sqrt(mus(0).zip(mus(1))
+      .map { case (x, y) => (x - y) * (x - y) }.sum)
+    val db = (sks(0) + sks(1)) / dij // both clusters share the one pair
+    assert(math.abs(out.getAs[Double]("davies_bouldin") - db) <
+      1e-3 * db + 1e-6)
+    assert(out.getAs[Long]("n_clusters") == 2L)
+    assert(out.getAs[Double]("calinski_harabasz") > 100.0) // separated
+  }
+
   test("Hilbert.skipStats3: equal file counts, and the curve layouts " +
     "dominate natural on the y-only predicate") {
     val rnd = new scala.util.Random(25001)

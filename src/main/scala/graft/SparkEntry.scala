@@ -6945,7 +6945,7 @@ object SparkEntry {
          c9 AS (SELECT *, -ln(1.0 - 1.0 / 30.0) AS yv FROM c8),
          c10 AS (SELECT *,
              CASE WHEN gum THEN mu - sigma * ln(yv)
-               ELSE mu + sigma * (exp(-k * ln(yv)) - 1.0)
+               ELSE mu + sigma * (1.0 - exp(k * ln(yv)))
                  / (CASE WHEN k <> 0.0 THEN k ELSE 1.0 END) END AS rl,
              (den <> 0.0 AND nn > 2) AS ok
            FROM c9)
@@ -7253,7 +7253,8 @@ object SparkEntry {
            JOIN ps USING (source) CROSS JOIN tot t
            WHERE st.k >= 3),
          terms AS (
-           SELECT *, unnest(range(k, least(kk, n_s) + 1)) AS i
+           SELECT *, unnest(range(greatest(k, n_s - (n_tot - kk)),
+             least(kk, n_s) + 1)) AS i
            FROM cands),
          summed AS (
            SELECT source, token, k, kk, n_s, n_tot,
@@ -15082,14 +15083,17 @@ object SparkEntry {
              max(CASE WHEN dij <> 0.0
                THEN (sa.sk + sb.sk)
                  / (CASE WHEN dij <> 0.0 THEN dij ELSE 1.0 END)
-               ELSE 0.0 END) AS ri
+               ELSE 0.0 END) AS ri,
+             CAST(sum(CASE WHEN dij = 0.0 AND ca < cb THEN 1 ELSE 0
+               END) AS BIGINT) AS degi
            FROM paird p
            JOIN clusters sa ON p.ca = sa.cid
            JOIN clusters sb ON p.cb = sb.cid
            GROUP BY 1),
          dbm AS (
            SELECT CAST(count(*) AS BIGINT) AS kdb,
-             CAST(sum(CAST(ri AS DECIMAL(38,12))) AS DOUBLE) AS sri
+             CAST(sum(CAST(ri AS DECIMAL(38,12))) AS DOUBLE) AS sri,
+             CAST(sum(degi) AS BIGINT) AS deg_pairs
            FROM dbper)
          SELECT nn AS n_vectors, kk AS n_clusters,
            floor(w_tot * 1000000.0 + 0.5) / 1000000.0 AS within_ss,
@@ -15102,8 +15106,11 @@ object SparkEntry {
                  / (CAST(nn AS DOUBLE) - CAST(kk AS DOUBLE)))
              ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0
              AS calinski_harabasz,
-           floor(sri / CAST(greatest(kdb, 1) AS DOUBLE)
-             * 1000000.0 + 0.5) / 1000000.0 AS davies_bouldin
+           floor(CASE WHEN kk > 1
+             THEN coalesce(sri, 0.0) / CAST(greatest(kdb, 1) AS DOUBLE)
+             ELSE 0.0 END * 1000000.0 + 0.5) / 1000000.0
+             AS davies_bouldin,
+           coalesce(deg_pairs, 0) AS degenerate_pairs
          FROM tot CROSS JOIN dbm CROSS JOIN gdim""",
     "q_newsvendor" ->
       """WITH rows_ AS (

@@ -1112,9 +1112,12 @@ object InferenceAnalytics {
     * Scale shape: one day aggregate; the rank walk runs on the
     * day-bounded frame. */
   def andersonDarling(ev: DataFrame): DataFrame = {
+    // epoch day via datediff on DATE values — TZ-free by construction
+    // (a DATE→TIMESTAMP cast would shift with the session timezone for
+    // library callers without the entry points' pinned UTC session)
     val daily = dailySeries(ev)
-      .withColumn("dow", ((floor(unix_micros(
-        col("d").cast("timestamp")) / lit(86400000000L)) + lit(4)) % 7)
+      .withColumn("dow",
+        ((datediff(col("d"), lit("1970-01-01")) + lit(4)) % 7)
         .cast("int"))
       .withColumn("grp",
         when(col("dow") === 0 || col("dow") === 6, 1L).otherwise(0L))
@@ -1217,8 +1220,9 @@ object InferenceAnalytics {
     * metric — the interim-analysis discipline that lets an experiment
     * peek weekly WITHOUT inflating its false-positive rate: the week-k
     * Welch z is compared against the escalating boundary
-    * C·√(K/k) (C = 2.024, the two-sided 5% OBF constant for K = 4
-    * looks), so early stops demand overwhelming evidence and the final
+    * C·√(K/k) (C the two-sided 5% OBF constant tabled in [[ObfTables]]
+    * for K = 1…5 looks, e.g. K = 4 → 2.024),
+    * so early stops demand overwhelming evidence and the final
     * look pays almost no penalty. Users enter the denominator at their
     * first event; spend accumulates cumulatively — all K interim
     * readouts fold in ONE pass over the user frame (the bhFdr wide-agg
@@ -1405,11 +1409,14 @@ object InferenceAnalytics {
       .otherwise(num * k / sigDenDiv)
     val mu = when(gumbel, b0 - lit(PortableGamma.eulerGamma) * sigma)
       .otherwise(b0 + sigma * (gk - lit(1.0)) / kDiv)
-    // 30-day return level: y = −ln(1 − 1/T);
-    // GEV: μ + σ(y^(−k) − 1)/k; Gumbel: μ − σ·ln(y)
+    // 30-day return level: y = −ln(1 − 1/T). The fit above is in
+    // HOSKING's shape convention (k = −ξ), so the quantile form is
+    // Hosking's x(F) = μ + σ(1 − y^k)/k; Gumbel limit: μ − σ·ln(y).
+    // (The modern-ξ form μ + σ(y^(−ξ) − 1)/ξ with k substituted for ξ
+    // flips the tail sign — the round-9 ADVICE bug.)
     val y = -log(lit(1.0) - lit(1.0) / lit(returnDays.toDouble))
     val rl = when(gumbel, mu - sigma * log(y))
-      .otherwise(mu + sigma * (exp(-k * log(y)) - lit(1.0)) / kDiv)
+      .otherwise(mu + sigma * (lit(1.0) - exp(k * log(y))) / kDiv)
     val ok = den =!= 0.0 && n > 2L
     folds.select(n.as("n_days"),
       r6(b0).as("b0"), r6(b1).as("b1"), r6(b2).as("b2"),
@@ -1434,13 +1441,17 @@ object ThetaTables {
 
 /** O'Brien–Fleming boundary literals for
   * [[InferenceAnalytics.groupSequential]]: C·√(K/k) with C the
-  * two-sided 5% OBF constant for K looks (Pocock/OBF tables; K = 4 →
-  * C = 2.024). Scala-computed doubles, shared verbatim with the oracle. */
+  * two-sided 5% OBF constant C_B(K, 0.05) for K looks (Jennison &
+  * Turnbull, "Group Sequential Methods", Table 2.3: K = 1…5 →
+  * 1.960, 1.977, 2.004, 2.024, 2.040). Scala-computed doubles,
+  * shared verbatim with the oracle. */
 object ObfTables {
-  val c4: Double = 2.024
+  val cByLooks: Map[Int, Double] =
+    Map(1 -> 1.960, 2 -> 1.977, 3 -> 2.004, 4 -> 2.024, 5 -> 2.040)
   def boundary(looks: Int, k: Int): Double = {
-    require(looks == 4, "OBF constant tabled for K = 4 only")
-    c4 * math.sqrt(looks.toDouble / k)
+    val c = cByLooks.getOrElse(looks, throw new IllegalArgumentException(
+      s"OBF constant tabled for K in 1..5 only, got $looks"))
+    c * math.sqrt(looks.toDouble / k)
   }
 }
 

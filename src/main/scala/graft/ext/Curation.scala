@@ -256,10 +256,15 @@ object Curation {
     def d(c: Column) = c.cast("double")
     def dz(c: Column) = c.cast("decimal(28,12)")
     def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    // lower bound max(k, n_s − (n_tot − kk)): below it the second
+    // lchoose would see n_s − i > n_tot − kk, i.e. more non-term draws
+    // than non-term tokens exist — exactly-zero-probability terms whose
+    // lgamma argument would go non-positive (NaN), so skip them.
     val terms = cands
       .select(col("*"),
-        explode(sequence(col("k"), least(col("kk"), col("n_s"))))
-          .as("i"))
+        explode(sequence(
+          greatest(col("k"), col("n_s") - (col("n_tot") - col("kk"))),
+          least(col("kk"), col("n_s")))).as("i"))
     val logTerm = PortableGamma.lchoose(d(col("kk")), d(col("i"))) +
       PortableGamma.lchoose(d(col("n_tot") - col("kk")),
         d(col("n_s") - col("i"))) -

@@ -1492,16 +1492,22 @@ object Similarity {
         col("sk").as("sa"))), Seq("ca"))
       .join(broadcast(clusters.select(col("c").as("cb"),
         col("sk").as("sb"))), Seq("cb"))
-      .select(col("ca"),
+      .select(col("ca"), col("cb"),
         ((col("sa") + col("sb")) /
           when(col("dij") =!= 0.0, col("dij")).otherwise(lit(1.0)))
           .as("rij"),
         (col("dij") =!= 0.0).as("okp"))
       .groupBy("ca")
+      // dij = 0 pairs (coincident centroids, maximal overlap) are
+      // DEGENERATE, not best-separated: skip them in the max but count
+      // each unordered pair once into the surfaced flag column
       .agg(max(when(col("okp"), col("rij")).otherwise(lit(0.0)))
-        .as("ri"))
+        .as("ri"),
+        sum(when(!col("okp") && col("ca") < col("cb"), 1L)
+          .otherwise(0L)).as("degi"))
       .agg(count(lit(1)).as("kdb"),
-        sum(dz(col("ri"))).cast("double").as("sri"))
+        sum(dz(col("ri"))).cast("double").as("sri"),
+        sum(col("degi")).as("deg_pairs"))
     val nD = d(col("nn"))
     val kD = d(col("kk"))
     val b = col("bplus") - col("g2") / nD
@@ -1515,8 +1521,12 @@ object Similarity {
         r6(col("w_tot")).as("within_ss"),
         r6(greatest(b, lit(0.0))).as("between_ss"),
         r6(when(okCh, ch).otherwise(lit(0.0))).as("calinski_harabasz"),
-        r6(col("sri") / d(greatest(col("kdb"), lit(1L))))
-          .as("davies_bouldin"))
+        // kk = 1 → no pairs → sri aggregates to null; guard to 0
+        r6(when(col("kk") > 1L,
+          coalesce(col("sri"), lit(0.0)) /
+            d(greatest(col("kdb"), lit(1L)))).otherwise(lit(0.0)))
+          .as("davies_bouldin"),
+        coalesce(col("deg_pairs"), lit(0L)).as("degenerate_pairs"))
   }
 
   /** Whitening effectiveness audit — does per-dimension standardization

@@ -748,6 +748,17 @@ class Round25OpsSpec extends SparkSpec {
       assert(r.getAs[Int]("crossed") == 1)
       assert(r.getAs[Int]("stopped_by_now") == 1)
     }
+    // non-default K values resolve their own tabled constant (the
+    // round-9 ADVICE API fix: looks used to throw for anything but 4)
+    val out3 = InferenceAnalytics
+      .groupSequential(ev(rows: _*), looks = 3).collect()
+      .sortBy(_.getAs[Long]("week"))
+    assert(out3.length == 3)
+    assert(out3.head.getAs[Double]("obf_bound") ==
+      2.004 * math.sqrt(3.0))
+    intercept[IllegalArgumentException] {
+      graft.analytics.ObfTables.boundary(7, 1)
+    }
   }
 
   test("andersonDarling: brute-force fold agrees, and separated " +
@@ -817,6 +828,40 @@ class Round25OpsSpec extends SparkSpec {
     assert(sigma > 0.0)
     assert(mu > xs.head && mu < xs.last) // location inside the sample
     assert(out.getAs[Double]("return_level_30") > mu)
+  }
+
+  test("gevMaxima: pinned return levels (independent libm-lgamma PWM " +
+    "reference) on heavy- and bounded-tail fixtures") {
+    // Reference values computed by an independent Python implementation
+    // of the Hosking PWM fit + Hosking quantile x(F) = mu + s(1-y^k)/k
+    // using math.lgamma (libm), NOT the shared Lanczos path. The
+    // round-9 ADVICE bug (modern-xi quantile form with Hosking k)
+    // yields 174.04 / 203.62 instead — far outside tolerance.
+    def fixture(vals: Seq[Double]) = ev(vals.zipWithIndex.map {
+      case (v, i) => (1L, "view", f"2024-01-${i + 1}%02d 00:00:00",
+        java.lang.Double.valueOf(v))
+    }: _*)
+    // heavy tail: Frechet-ish inverse CDF (xi ~ 0.4, Hosking k < 0)
+    val heavy = (1 to 30).map(i =>
+      100.0 * math.pow(1.0 - i / 31.0, -0.4))
+    val h = InferenceAnalytics.gevMaxima(fixture(heavy)).collect().head
+    assert(math.abs(h.getAs[Double]("shape_k") - (-0.391541)) < 1e-4)
+    assert(math.abs(h.getAs[Double]("sigma") - 27.317259) < 1e-3)
+    assert(math.abs(h.getAs[Double]("mu") - 122.814042) < 1e-3)
+    assert(math.abs(h.getAs[Double]("return_level_30") - 315.551287)
+      < 1e-3)
+    // bounded tail: uniform quantiles (Hosking k > 0) — the return
+    // level must stay BELOW the finite upper endpoint mu + sigma/k
+    // (171.542); the flipped form diverges past it (203.62).
+    val bnd = (1 to 30).map(i => 100.0 + 50.0 * (i / 31.0))
+    val b = InferenceAnalytics.gevMaxima(fixture(bnd)).collect().head
+    val bk = b.getAs[Double]("shape_k")
+    val bs = b.getAs[Double]("sigma")
+    val bm = b.getAs[Double]("mu")
+    assert(math.abs(bk - 0.284631) < 1e-4)
+    assert(math.abs(b.getAs[Double]("return_level_30") - 151.804710)
+      < 1e-3)
+    assert(b.getAs[Double]("return_level_30") < bm + bs / bk)
   }
 
   // ---- wave 5: hazardRatio / nbFit / partialCorr / linCcc / enrichment --
@@ -1156,6 +1201,23 @@ class Round25OpsSpec extends SparkSpec {
       1e-3 * db + 1e-6)
     assert(out.getAs[Long]("n_clusters") == 2L)
     assert(out.getAs[Double]("calinski_harabasz") > 100.0) // separated
+    assert(out.getAs[Long]("degenerate_pairs") == 0L)
+  }
+
+  test("clusterValidity: a single occupied cluster yields a guarded 0 " +
+    "Davies-Bouldin, not null") {
+    // only vec_ids 0..39 exist so seed 0 is the only centroid: the
+    // pair frame is empty and the round-9 ADVICE null path is hit
+    val rnd = new scala.util.Random(25008)
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d =>
+        (1.0 + 0.01 * rnd.nextGaussian()).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val out = graft.ext.Similarity.clusterValidity(emb).collect().head
+    assert(out.getAs[Long]("n_clusters") == 1L)
+    assert(!out.isNullAt(out.fieldIndex("davies_bouldin")))
+    assert(out.getAs[Double]("davies_bouldin") == 0.0)
+    assert(out.getAs[Long]("degenerate_pairs") == 0L)
   }
 
   test("Hilbert.skipStats3: equal file counts, and the curve layouts " +

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -84,13 +84,31 @@ object PortableHash {
   * value with md5 + list_min (see SparkEntry's q_minhash_signatures
   * oracle). */
 case class MinHashSig(child: Expression, k: Int, nGram: Int = 3)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   private lazy val as: Array[Long] = Array.tabulate(k)(PortableHash.a)
   private lazy val bs: Array[Long] = Array.tabulate(k)(PortableHash.b)
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.sig(input.asInstanceOf[ArrayData], k, nGram, as, bs)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    // one static call per row; coefficient arrays ride along as
+    // broadcast-once reference objects (the JaroWinkler discipline)
+    val asRef = ctx.addReferenceObj("mhAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.MinHashSig.sig($c, $k, $nGram, " +
+        s"$asRef, $bsRef);")
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+object MinHashSig {
+  /** Per-row kernel shared by the interpreted and generated paths. */
+  def sig(arr: ArrayData, k: Int, nGram: Int,
+          as: Array[Long], bs: Array[Long]): ArrayData = {
     val P = PortableHash.P
-    val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val mins = Array.fill(k)(P)
     val tokBytes = new Array[Array[Byte]](n)
@@ -126,8 +144,6 @@ case class MinHashSig(child: Expression, k: Int, nGram: Int = 3)
     }
     new GenericArrayData(mins)
   }
-  override protected def withNewChildInternal(c: Expression): MinHashSig =
-    copy(child = c)
 }
 
 /** Distinct word n-gram shingles over array<string> tokens, assembled in
@@ -140,11 +156,24 @@ case class MinHashSig(child: Expression, k: Int, nGram: Int = 3)
   * `distinct = false` keeps every occurrence in order (`word_ngrams`) —
   * the multiplicity-preserving form n-gram language models need. */
 case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.shingles(input.asInstanceOf[ArrayData], n, distinct)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.WordShingles.shingles($c, $n, $distinct);")
+  override def prettyName: String =
+    if (distinct) "word_shingles" else "word_ngrams"
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
+object WordShingles {
+  /** Per-row kernel shared by the interpreted and generated paths. */
+  def shingles(toks: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val m = toks.numElements()
     if (m < n) new GenericArrayData(Array.empty[Any])
     else {
@@ -170,10 +199,6 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
       else new GenericArrayData(all)
     }
   }
-  override def prettyName: String =
-    if (distinct) "word_shingles" else "word_ngrams"
-  override protected def withNewChildInternal(c: Expression): WordShingles =
-    copy(child = c)
 }
 
 /** Every overlapping character n-gram of a string, multiplicity
@@ -186,11 +211,23 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
   * matching SQL substr semantics on both engines. Shorter-than-n input →
   * empty array. */
 case class CharNgrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  override def nullSafeEval(input: Any): Any =
+    CharNgrams.ngrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.CharNgrams.ngrams($c, $n);")
+  override def prettyName: String = "char_ngrams"
+  override protected def withNewChildInternal(c: Expression): CharNgrams =
+    copy(child = c)
+}
+
+object CharNgrams {
+  /** Per-row kernel shared by the interpreted and generated paths. */
+  def ngrams(s: UTF8String, n: Int): ArrayData = {
     val m = s.numChars()
     if (m < n) new GenericArrayData(Array.empty[Any])
     else {
@@ -203,9 +240,6 @@ case class CharNgrams(child: Expression, n: Int)
       new GenericArrayData(out)
     }
   }
-  override def prettyName: String = "char_ngrams"
-  override protected def withNewChildInternal(c: Expression): CharNgrams =
-    copy(child = c)
 }
 
 /** Non-overlapping n-token chunks, space-joined (the unit of chunk-level
@@ -216,11 +250,23 @@ case class CharNgrams(child: Expression, n: Int)
   * (non-codegen), and on a cold JVM the lambda-tree walk dominated the
   * chunk query's runtime exactly as it did for shingle assembly. */
 case class TokenChunks(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    TokenChunks.chunks(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TokenChunks.chunks($c, $n);")
+  override def prettyName: String = "token_chunks"
+  override protected def withNewChildInternal(c: Expression): TokenChunks =
+    copy(child = c)
+}
+
+object TokenChunks {
+  /** Per-row kernel shared by the interpreted and generated paths. */
+  def chunks(toks: ArrayData, n: Int): ArrayData = {
     val m = toks.numElements()
     val nChunks = math.max((m + n - 1) / n, 1)
     val out = new Array[Any](nChunks)
@@ -244,9 +290,6 @@ case class TokenChunks(child: Expression, n: Int)
     }
     new GenericArrayData(out)
   }
-  override def prettyName: String = "token_chunks"
-  override protected def withNewChildInternal(c: Expression): TokenChunks =
-    copy(child = c)
 }
 
 /** Canonicalized co-occurrence pairs over array<string> tokens: for every
@@ -260,11 +303,23 @@ case class TokenChunks(child: Expression, n: Int)
   * Pair ordering in the output array is (offset, position), which is
   * irrelevant downstream: the pairs feed a commutative count aggregate. */
 case class CoocPairs(child: Expression, window: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(window >= 1)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    CoocPairs.pairs(input.asInstanceOf[ArrayData], window)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.CoocPairs.pairs($c, $window);")
+  override def prettyName: String = "cooc_pairs"
+  override protected def withNewChildInternal(c: Expression): CoocPairs =
+    copy(child = c)
+}
+
+object CoocPairs {
+  /** Per-row kernel shared by the interpreted and generated paths. */
+  def pairs(toks: ArrayData, window: Int): ArrayData = {
     val m = toks.numElements()
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
     val space = UTF8String.fromString(" ")
@@ -287,18 +342,26 @@ case class CoocPairs(child: Expression, window: Int)
     }
     new GenericArrayData(out.toArray)
   }
-  override def prettyName: String = "cooc_pairs"
-  override protected def withNewChildInternal(c: Expression): CoocPairs =
-    copy(child = c)
 }
 
 /** 60-bit SimHash over array<string> tokens: per-bit ±1 votes of each
   * token's h60, bit set where votes >= 0. Portable to DuckDB bit ops. */
 case class SimHash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(SimHash60.hash(input.asInstanceOf[ArrayData]))
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.SimHash60.hash($c);")
+  override protected def withNewChildInternal(c: Expression): SimHash60 =
+    copy(child = c)
+}
+
+object SimHash60 {
+  /** Per-row kernel shared by the interpreted and generated paths. */
+  def hash(arr: ArrayData): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](60)
     var i = 0
@@ -320,10 +383,8 @@ case class SimHash60(child: Expression)
       if (votes(b) >= 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
-  override protected def withNewChildInternal(c: Expression): SimHash60 =
-    copy(child = c)
 }
 
 object TextSketches {

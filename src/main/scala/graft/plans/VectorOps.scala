@@ -2,7 +2,6 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -105,16 +104,33 @@ case class DotF64(left: Expression, right: Expression)
   * precomputed once per expression instance; the per-row cost is one
   * nBits×dims fused multiply-add loop. */
 case class LshBucket(child: Expression, nBits: Int, dims: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   private lazy val planes: Array[Array[Double]] =
     Array.tabulate(nBits, dims) { (b, d) =>
       val s = org.apache.spark.unsafe.types.UTF8String.fromString(s"$b:$d")
       (PortableHash.h60(s) % 2000001L - 1000000L) / 1.0e6
     }
-  override def nullSafeEval(input: Any): Any = {
-    val e = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      LshBucket.bucket(input.asInstanceOf[ArrayData], planes, nBits, dims))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.LshBucket.bucket($c, $planesRef, " +
+        s"$nBits, $dims);")
+  }
+  override protected def withNewChildInternal(c: Expression): LshBucket =
+    copy(child = c)
+}
+
+object LshBucket {
+  /** Per-row kernel shared by the interpreted and generated paths. */
+  def bucket(e: ArrayData, planes: Array[Array[Double]],
+             nBits: Int, dims: Int): Long = {
     val n = math.min(e.numElements(), dims)
     var out = 0L
     var b = 0
@@ -126,10 +142,8 @@ case class LshBucket(child: Expression, nBits: Int, dims: Int)
       if (acc >= 0.0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
-  override protected def withNewChildInternal(c: Expression): LshBucket =
-    copy(child = c)
 }
 
 object VectorOps {

@@ -1925,6 +1925,12 @@ object SparkEntry {
     // media near-dup over the perceptual hash, chunk-blocked Hamming
     "q_media_phash_neardup" -> ((s, d) =>
       graft.ext.Multimodal.mediaNearDupPHash(Tables.documents(s, d))),
+    // pHash over a GENUINELY DECODED P5 PGM payload (encode->parse->DCT)
+    "q_pgm_phash" -> ((s, d) =>
+      graft.ext.Multimodal.mediaPHashDecoded(Tables.documents(s, d))),
+    // known-pair near-dup recall over the decoded-PGM perceptual hash
+    "q_pgm_neardup" -> ((s, d) =>
+      graft.ext.Multimodal.mediaNearDupPgm(Tables.documents(s, d))),
     // LSH bit-width tuning: candidates vs recall per nBits
     "q_lsh_tuning" -> ((s, d) =>
       graft.ext.Similarity.lshTuning(Tables.embeddings(s, d))),
@@ -2547,6 +2553,45 @@ object SparkEntry {
                  THEN (1::BIGINT << CAST(i - 1 AS INT))
                  ELSE 0::BIGINT END)) AS BIGINT) AS phash
            FROM ph)"""
+
+  /** Raster CTE for the decoded-PGM pHash arm: the oracle computes the
+    * 16×16 raster STRAIGHT from the pixel formula (md5 first byte, +8
+    * clamp for odd ids, nearest-neighbor floor indices for the 24×24 →
+    * 16×16 downsample) — deliberately NOT from the PGM container, so any
+    * header/stride bug in the Spark-side encode→decode round trip breaks
+    * this compare. DCT/median/bit-pack identical to [[phashCte]]. */
+  private val pgmPhashCte: String = {
+    // source pixel index for p16 cell i (24×24 source, floor map)
+    val srcIdx = "((i // 16) * 24 // 16) * 24 + ((i % 16) * 24 // 16)"
+    val basePx = "('0x' || substr(md5(CAST(doc_id // 2 AS VARCHAR) || " +
+      s"':' || CAST($srcIdx AS VARCHAR)), 1, 2))::BIGINT"
+    s"""WITH cq AS (SELECT ${graft.plans.PHash63.cqSqlLiteral} AS t),
+         d AS (SELECT doc_id FROM documents WHERE doc_id % 10 < 2),
+         px AS (
+           SELECT doc_id, list_transform(range(0, 256), i ->
+             CASE WHEN doc_id % 2 = 1
+               THEN least($basePx + 8, 255) ELSE $basePx END) AS p
+           FROM d),
+         s1 AS (
+           SELECT doc_id, list_transform(range(0, 16), r ->
+             list_transform(range(0, 8), v ->
+               list_sum(list_transform(range(0, 16), c ->
+                 p[r * 16 + c + 1] * t[v + 1][c + 1])))) AS m
+           FROM px, cq),
+         co AS (
+           SELECT doc_id, flatten(list_transform(range(0, 8), u ->
+             list_transform(range(0, 8), v ->
+               list_sum(list_transform(range(0, 16), r ->
+                 t[u + 1][r + 1] * m[r + 1][v + 1]))))) AS cs
+           FROM s1, cq),
+         ph AS (SELECT doc_id, cs, list_sort(cs[2:])[32] AS med FROM co),
+         ph2 AS (
+           SELECT doc_id, CAST(list_sum(list_transform(range(1, 64), i ->
+               CASE WHEN cs[i + 1] > med
+                 THEN (1::BIGINT << CAST(i - 1 AS INT))
+                 ELSE 0::BIGINT END)) AS BIGINT) AS phash
+           FROM ph)"""
+  }
 
   /** Literal list of 31^i mod 2^64 (i < 600) for the rolling-hash oracle —
     * DuckDB has no modpow, so the powers ship as data. HUGEINT arithmetic
@@ -11450,6 +11495,25 @@ object SparkEntry {
              AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
          SELECT doc_id_a, doc_id_b, hamming FROM cand
          WHERE hamming <= 12 ORDER BY doc_id_a, doc_id_b""",
+    "q_pgm_phash" ->
+      s"""$pgmPhashCte
+         SELECT doc_id, phash FROM ph2 ORDER BY doc_id""",
+    "q_pgm_neardup" ->
+      s"""$pgmPhashCte,
+         ch AS (
+           SELECT p2.doc_id, p2.phash, c.chunk_id,
+             (p2.phash >> (c.chunk_id * 16)) & 65535 AS chunk
+           FROM ph2 p2 CROSS JOIN
+             (SELECT unnest(range(0, 4)) AS chunk_id) c),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+           FROM ch a JOIN ch b ON a.chunk_id = b.chunk_id
+             AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         SELECT doc_id_a, doc_id_b, hamming,
+           CAST(CASE WHEN doc_id_a // 2 = doc_id_b // 2 THEN 1 ELSE 0
+             END AS INT) AS is_true_pair
+         FROM cand WHERE hamming <= 12 ORDER BY doc_id_a, doc_id_b""",
     "q_srm" ->
       """WITH m AS (SELECT
            CAST(sum(CASE WHEN ('0x' ||

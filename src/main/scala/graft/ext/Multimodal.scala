@@ -103,6 +103,74 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** The pHash arm with a GENUINE decode step (closes the round-9
+    * byte-wrap seam): each selected doc gets a deterministic synthetic
+    * grayscale image (pixel i = first byte of md5("<doc_id div 2>:<i>"),
+    * so consecutive ids 10k/10k+1 share a base image and the odd one is
+    * brightness-shifted by +8 clamped — a KNOWN near-dup pair), encoded
+    * into a real binary P5 PGM container (header + raw raster bytes,
+    * built columnar via hex → unhex), then DECODED by the strict
+    * [[graft.plans.PgmPHash63]] parser, nearest-neighbor downsampled and
+    * perceptually hashed. The oracle computes the raster straight from
+    * the pixel formula — so a stride/header/off-by-one bug anywhere in
+    * the encode→decode round trip breaks the cross-engine hash compare.
+    * `mod` keeps id%mod ∈ {0,1} so every kept doc has its pair present.
+    *
+    * Scale shape: one codegen'd scan pass per doc (w·h md5 calls + the
+    * 16×16 DCT); no shuffle until the terminal sort. */
+  def mediaPHashDecoded(docs: DataFrame, w: Int = 24, h: Int = 24,
+                        mod: Int = 10): DataFrame = {
+    graft.plans.PHash63.register(docs.sparkSession)
+    docs.filter(col("doc_id") % mod < 2)
+      .select(col("doc_id"),
+        concat(lit(s"P5 $w $h 255\n").cast("binary"),
+          unhex(array_join(
+            transform(sequence(lit(0), lit(w * h - 1)), i =>
+              lpad(hex(
+                when(col("doc_id") % 2 === 1,
+                  least(conv(substring(md5(concat(
+                    expr("doc_id div 2").cast("string"), lit(":"),
+                    i.cast("string"))), 1, 2), 16, 10).cast("int")
+                    + lit(8), lit(255)))
+                  .otherwise(conv(substring(md5(concat(
+                    expr("doc_id div 2").cast("string"), lit(":"),
+                    i.cast("string"))), 1, 2), 16, 10).cast("int"))),
+                2, "0")), ""))).as("payload"))
+      .select(col("doc_id"),
+        graft.plans.PHash63.pgmPhash63(col("payload")).as("phash"))
+      .orderBy("doc_id")
+  }
+
+  /** Known-pair near-dup recovery over the DECODED pHash arm: the same
+    * 16-bit chunk blocking + Hamming verify as [[mediaNearDupPHash]],
+    * run on [[mediaPHashDecoded]] hashes. The fixture construction
+    * guarantees (10k, 10k+1) ground-truth pairs, so the output doubles
+    * as a recall audit: a row per recovered pair plus an `is_true_pair`
+    * flag (base-image identity), oracle-checked end to end. */
+  def mediaNearDupPgm(docs: DataFrame, maxDist: Int = 12,
+                      mod: Int = 10): DataFrame = {
+    val ph = mediaPHashDecoded(docs, mod = mod).localCheckpoint()
+    val chunked = ph.select(col("doc_id"), col("phash"),
+      posexplode(transform(sequence(lit(0), lit(3)), i =>
+        call_function("shiftright", col("phash"), i * 16)
+          .bitwiseAND(lit(0xFFFFL))))
+        .as(Seq("chunk_id", "chunk")))
+    val a = chunked.select(col("doc_id").as("doc_id_a"),
+      col("phash").as("ph_a"), col("chunk_id"), col("chunk"))
+    val b = chunked.select(col("doc_id").as("doc_id_b"),
+      col("phash").as("ph_b"), col("chunk_id"), col("chunk"))
+    a.join(b, Seq("chunk_id", "chunk"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_id_a"), col("doc_id_b"), col("hamming"),
+        (expr("doc_id_a div 2") === expr("doc_id_b div 2"))
+          .cast("int").as("is_true_pair"))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
   /** Media near-dup over the pHash sketch — [[mediaNearDup]]'s SimHash
     * stand-in replaced by the perceptual hash proper, same 100 TB
     * blocking: 63-bit hashes split into 4 16-bit chunks (pigeonhole:

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** 63-bit perceptual hash (pHash) of a binary payload: DCT-II over a
@@ -30,18 +31,39 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * raster of the decoded image.
   */
 case class PHash63(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(PHash63.hash(input.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.PHash63.hash($c);")
+  override def prettyName: String = "phash63"
+  override protected def withNewChildInternal(c: Expression): PHash63 =
+    copy(child = c)
+}
+
+object PHash63 {
+  /** Per-row kernel shared by the interpreted and generated paths:
+    * byte-wrap downsample (the decode seam) → integer DCT → lower-median
+    * bit pack. [[hashRaster]] is the same math minus the seam. */
+  def hash(bytes: Array[Byte]): Long = {
     val n = bytes.length
-    val cq = PHash63.cq
     // 16×16 grayscale downsample via byte wrap (the decode seam)
     val p = new Array[Long](256)
     if (n > 0) {
       var i = 0
       while (i < 256) { p(i) = (bytes(i % n) & 0xFF).toLong; i += 1 }
     }
+    hashRaster(p)
+  }
+
+  /** DCT + median + bit-pack over an already-decoded 256-long grayscale
+    * raster (row-major 16×16, values 0..255) — the entry the real-decode
+    * arm uses so the perceptual math is exercised on image-shaped data. */
+  def hashRaster(p: Array[Long]): Long = {
+    val cq = PHash63.cq
     // separable DCT: rows first (16 rows × 8 freqs), then columns
     val s1 = new Array[Long](16 * 8) // s1(r*8+v) = Σ_c p(r,c)·cq(v)(c)
     var r = 0
@@ -79,14 +101,8 @@ case class PHash63(child: Expression)
       if (coeffs(i) > med) out |= (1L << (i - 1))
       i += 1
     }
-    java.lang.Long.valueOf(out)
+    out
   }
-  override def prettyName: String = "phash63"
-  override protected def withNewChildInternal(c: Expression): PHash63 =
-    copy(child = c)
-}
-
-object PHash63 {
   /** Quantized DCT-II basis, shared verbatim with the DuckDB oracle:
     * cq(k)(x) = round(cos(π·(2x+1)·k / 32) · 1e6), k < 8, x < 16. */
   val cq: Array[Array[Long]] = Array.tabulate(8, 16) { (k, x) =>
@@ -98,10 +114,102 @@ object PHash63 {
   def cqSqlLiteral: String =
     cq.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "phash63", exprs => PHash63(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pgm_phash63", exprs => PgmPHash63(exprs.head), "built-in")
+  }
 
   def phash63(payload: Column): Column =
     org.apache.spark.sql.functions.call_function("phash63", payload)
+
+  def pgmPhash63(payload: Column): Column =
+    org.apache.spark.sql.functions.call_function("pgm_phash63", payload)
+}
+
+/** pHash over a GENUINELY DECODED image: the payload is a binary P5 PGM
+  * (the simplest real raster container — `P5 <w> <h> <maxval≤255>` header
+  * then w·h raw grayscale bytes), parsed by a strict embedded decoder,
+  * nearest-neighbor downsampled to the 16×16 grid
+  * (p16(r,c) = img[⌊r·h/16⌋][⌊c·w/16⌋] — the floor-index map the oracle
+  * reproduces), then run through the SAME [[PHash63.hashRaster]] DCT /
+  * median / bit-pack as the byte-wrap arm. This closes the round-9 decode
+  * seam: the perceptual math is exercised on image-shaped rasters, and a
+  * header/stride/off-by-one bug in the decoder breaks the cross-engine
+  * hash compare (the oracle computes the raster from the pixel formula,
+  * not from the container). Malformed payloads → null, not an exception —
+  * corrupt media must quarantine, not kill the scan (F1 discipline).
+  * Grammar is strict by design: single-space separators, no comment
+  * lines, maxval ≤ 255 — a fixture container, not a general codec. */
+case class PgmPHash63(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else PgmPHash63.hashPgm(v.asInstanceOf[Array[Byte]])
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = true;
+      long ${ev.value} = 0L;
+      if (!${c.isNull}) {
+        java.lang.Long r = graft.plans.PgmPHash63.hashPgm(${c.value});
+        if (r != null) { ${ev.isNull} = false; ${ev.value} = r.longValue(); }
+      }""")
+  }
+  override def prettyName: String = "pgm_phash63"
+  override protected def withNewChildInternal(c: Expression): PgmPHash63 =
+    copy(child = c)
+}
+
+object PgmPHash63 {
+  /** Strict P5 parse → 16×16 nearest-neighbor raster → [[PHash63
+    * .hashRaster]]. Returns null (boxed) on any malformed input. */
+  def hashPgm(bytes: Array[Byte]): java.lang.Long = {
+    val n = bytes.length
+    if (n < 7 || bytes(0) != 'P' || bytes(1) != '5') return null
+    var pos = 2
+    def readInt(): Long = {
+      // exactly one whitespace byte, then 1+ digits
+      if (pos >= n || !Character.isWhitespace(bytes(pos).toChar))
+        return -1L
+      pos += 1
+      var v = 0L
+      var digits = 0
+      while (pos < n && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0')
+        if (v > 1000000L) return -1L // reject absurd dims early
+        pos += 1
+        digits += 1
+      }
+      if (digits == 0) -1L else v
+    }
+    val w = readInt()
+    val h = readInt()
+    val maxval = readInt()
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return null
+    // single whitespace byte terminates the header
+    if (pos >= n || !Character.isWhitespace(bytes(pos).toChar)) return null
+    pos += 1
+    if (n - pos < w * h) return null
+    val p = new Array[Long](256)
+    var r = 0
+    while (r < 16) {
+      val sr = r * h / 16
+      var c = 0
+      while (c < 16) {
+        val sc = c * w / 16
+        p(r * 16 + c) = (bytes(pos + (sr * w + sc).toInt) & 0xFF).toLong
+        c += 1
+      }
+      r += 1
+    }
+    java.lang.Long.valueOf(PHash63.hashRaster(p))
+  }
 }

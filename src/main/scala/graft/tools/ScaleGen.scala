@@ -1,0 +1,126 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.FloatType
+
+/** Deterministic fixture scaler: replicates a driver fixture directory
+  * (TESTDATA.md schemas) `reps`× with referential integrity preserved, so
+  * the engine can be oracle-verified and benchmarked at 100× the sf0.01
+  * correctness gate (VERDICT r9 item 1).
+  *
+  * Shape contract:
+  *   - Every surrogate key domain (custkey, orderkey, partkey, suppkey,
+  *     event_id, user_id, doc_id, vec_id) is remapped `key + rep*1e7` —
+  *     the offset exceeds every fixture key (max 149,999 at sf0.1), so
+  *     replicas never collide and every FK pair (o_custkey→c_custkey,
+  *     l_orderkey→o_orderkey, doc_id↔vec_id, …) lands in the same replica:
+  *     join fan-outs grow linearly, exactly like a bigger day of real data.
+  *   - region/nation are fixed dimensions (they do not scale in TPC-H
+  *     either); all other tables grow `reps`×.
+  *   - documents.text and embeddings.embedding are deterministically
+  *     perturbed for rep>0 (an xxhash64-derived suffix token / ±0.01
+  *     per-dimension nudge): a 10× corpus of EXACT duplicates would turn
+  *     every near-dup operator into a degenerate clique workload, which is
+  *     not the distribution the scale claim is about. rep 0 is bit-for-bit
+  *     the source fixture. documents.n_chars is recomputed to preserve the
+  *     fixture invariant n_chars = length(text).
+  *   - Replica 0 of every row is byte-identical to the source, so sf1 ⊇
+  *     sf0.1 row-wise and any sf0.1-verified aggregate can be sanity-read
+  *     out of the sf1 result.
+  *
+  * Output encoding matches the driver fixture: ONE plain parquet file per
+  * table named `<table>.parquet` (the DuckDB oracle harness reads that
+  * exact path), written with 8 MiB row groups so Spark's scan splitter
+  * still yields ≥16 splits on the largest table — single-file is an oracle
+  *-harness constraint, not the cluster story (a real 100 TB table is
+  * thousands of files; see Tables.scaladoc).
+  *
+  * Determinism: every transform is a pure column expression of (key, rep)
+  * — no rand(), no time. Two runs produce identical bytes modulo parquet
+  * footer timestamps.
+  */
+object ScaleGen {
+  private val Off = 10_000_000L
+
+  private def shift(c: String, rep: Column): Column = col(c) + rep * lit(Off)
+
+  def main(args: Array[String]): Unit = {
+    val inDir  = args(0)
+    val outDir = args(1)
+    val reps   = if (args.length > 2) args(2).toInt else 10
+    val cpus   = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val rep  = col("rep")
+    val fan  = explode(sequence(lit(0L), lit(reps - 1L))).as("rep")
+
+    def scaled(name: String)(f: DataFrame => DataFrame): (String, DataFrame) = {
+      val src = spark.read.parquet(s"$inDir/$name.parquet")
+      name -> f(src.select(col("*"), fan)).drop("rep")
+    }
+    def fixed(name: String): (String, DataFrame) =
+      name -> spark.read.parquet(s"$inDir/$name.parquet")
+
+    val tables: Seq[(String, DataFrame)] = Seq(
+      fixed("region"),
+      fixed("nation"),
+      scaled("customer")(_.withColumn("c_custkey", shift("c_custkey", rep))),
+      scaled("supplier")(_.withColumn("s_suppkey", shift("s_suppkey", rep))),
+      scaled("part")(_.withColumn("p_partkey", shift("p_partkey", rep))),
+      scaled("orders")(
+        _.withColumn("o_orderkey", shift("o_orderkey", rep))
+          .withColumn("o_custkey", shift("o_custkey", rep))),
+      scaled("lineitem")(
+        _.withColumn("l_orderkey", shift("l_orderkey", rep))
+          .withColumn("l_partkey", shift("l_partkey", rep))
+          .withColumn("l_suppkey", shift("l_suppkey", rep))),
+      scaled("events")(
+        _.withColumn("event_id", shift("event_id", rep))
+          .withColumn("user_id", shift("user_id", rep))),
+      scaled("documents") { d =>
+        val text = when(rep === 0, col("text")).otherwise(concat(
+          col("text"), lit(" rv"), rep.cast("string"), lit("x"),
+          pmod(xxhash64(col("doc_id"), rep), lit(9973L)).cast("string")))
+        d.withColumn("doc_id", shift("doc_id", rep))
+          .withColumn("text", text)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      },
+      scaled("embeddings") { e =>
+        // ±0.01 deterministic per-dimension nudge for rep>0; keeps cosine
+        // neighborhoods intact while breaking exact-duplicate degeneracy
+        val perturbed = transform(col("embedding"), (x, i) =>
+          (x + (pmod(xxhash64(col("vec_id"), rep, i), lit(2001L)) - lit(1000L))
+            .cast("double") / lit(100000.0)).cast(FloatType))
+        e.withColumn("vec_id", shift("vec_id", rep))
+          .withColumn("embedding",
+            when(rep === 0, col("embedding")).otherwise(perturbed))
+      }
+    )
+
+    val out = new java.io.File(outDir)
+    out.mkdirs()
+    tables.foreach { case (name, df) =>
+      val tmp = s"$outDir/_tmp_$name"
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (8 * 1024 * 1024).toString)
+        .parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      require(part.length == 1, s"$name: expected 1 part file, got ${part.length}")
+      val dst = new java.io.File(outDir, s"$name.parquet")
+      if (dst.exists()) dst.delete()
+      java.nio.file.Files.move(part.head.toPath, dst.toPath)
+      new java.io.File(tmp).listFiles().foreach(_.delete())
+      new java.io.File(tmp).delete()
+      println(s"[scalegen] $name: ${spark.read.parquet(dst.getPath).count()} rows")
+    }
+    spark.stop()
+  }
+}

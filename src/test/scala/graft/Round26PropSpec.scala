@@ -184,4 +184,38 @@ class Round26PropSpec extends SparkSpec {
     assert(math.abs(lhs - a.getAs[Long]("n_joint_exceed")) < 1e-3 ||
       math.abs(rhs - a.getAs[Long]("n_joint_exceed")) < 1e-3)
   }
+
+  test("linCcc: a weekly-periodic series makes the snaive forecast " +
+    "exact (CCC = 1), and a pure linear trend degrades CCC to the " +
+    "closed-form 2v/(2v + 49) while Pearson stays 1") {
+    // one event per day, value = daily revenue exactly (dailySeries
+    // sums values per day; integers survive the 2dp round untouched)
+    def series(v: Int => Double) = ev((0 until 28).map { d =>
+      (d.toLong, "view", f"2024-01-${d + 1}%02d 12:00:00",
+        java.lang.Double.valueOf(v(d)))
+    }: _*)
+    // periodic: x(d) = 10 + 2*(d mod 7) → yhat(d) = x(d-7) = x(d)
+    val periodic = InferenceAnalytics
+      .linCcc(series(d => 10.0 + 2.0 * (d % 7))).collect().head
+    assert(periodic.getAs[Long]("n_pairs") == 21L)
+    assert(periodic.getAs[Double]("pearson") == 1.0)
+    assert(periodic.getAs[Double]("lin_ccc") == 1.0)
+    assert(periodic.getAs[Double]("mean_actual") ==
+      periodic.getAs[Double]("mean_snaive"))
+    // trend: x(d) = 10 + 2*(d mod 7) + d → yhat = x − 7 exactly, so
+    // vx = vy, cxy = vx, Δ = 7: Pearson is blind to the constant bias
+    // (= 1) while CCC = 2vx/(2vx + 49) — the agreement/linearity split
+    // this metric exists for, pinned in closed form
+    val trended = InferenceAnalytics
+      .linCcc(series(d => 10.0 + 2.0 * (d % 7) + d)).collect().head
+    val xs = (7 until 28).map(d => 10.0 + 2.0 * (d % 7) + d)
+    val mx = xs.sum / xs.size
+    val vx = xs.map(x => (x - mx) * (x - mx)).sum / xs.size
+    val expected = 2.0 * vx / (2.0 * vx + 49.0)
+    assert(trended.getAs[Double]("pearson") == 1.0)
+    assert(math.abs(trended.getAs[Double]("lin_ccc") - r6(expected))
+      < 2e-6, s"ccc ${trended.getAs[Double]("lin_ccc")} vs $expected")
+    assert(trended.getAs[Double]("lin_ccc") <
+      trended.getAs[Double]("pearson")) // |CCC| ≤ |r| always
+  }
 }

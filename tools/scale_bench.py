@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Min-of-N bench floors for the sf1 scale proof (VERDICT r9 item 1).
+
+Runs graft.Bench on the same query subset at two fixture scales, N cold-JVM
+reps each, collects per-query minima, and emits a per-row cost-growth table:
+a query whose (sf1 time / sf1 rows) exceeds 2x its (sf0.1 time / sf0.1 rows)
+is flagged for plan investigation. Dev tool only — the shipped library does
+not depend on this."""
+import json, os, shutil, subprocess, sys, tempfile
+
+REPO = "/root/repo"
+DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
+
+def run_bench(sf_dir: str, queries: list[str], reps: int, cpus: str, mem: str):
+    """Returns {query: [t1..tN]}. Each rep is a fresh JVM (sbt runMain)."""
+    times: dict[str, list[float]] = {q: [] for q in queries}
+    saved = None
+    if os.path.exists(DETAIL):
+        saved = DETAIL + ".orig"
+        shutil.copy(DETAIL, saved)
+    try:
+        for rep in range(reps):
+            env = dict(os.environ,
+                       SPARK_GRAFT_SF_DIR=sf_dir,
+                       SPARK_GRAFT_CPUS=cpus,
+                       SPARK_DRIVER_MEM=mem)
+            cmd = ["sbt", "-batch",
+                   "runMain graft.Bench " + " ".join(queries)]
+            r = subprocess.run(cmd, cwd=REPO, env=env,
+                               capture_output=True, text=True, timeout=3600)
+            d = json.load(open(DETAIL))
+            errs = d.get("failed", [])
+            if errs:
+                print(f"[scale_bench] rep {rep} FAILED queries: {errs}",
+                      file=sys.stderr)
+            for q in queries:
+                if q in d and isinstance(d[q], float):
+                    times[q].append(d[q])
+            print(f"[scale_bench] {sf_dir} rep {rep}: "
+                  f"total={d.get('total_sec')} errors={d.get('errors')}")
+    finally:
+        if saved:
+            shutil.move(saved, DETAIL)
+    return times
+
+def main():
+    queries = open("/tmp/sf1_subset.txt").read().strip().split(",")
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
+    out = {}
+    for label, sf in [("sf0.1", "/root/testdata/sf0.1"),
+                      ("sf1", os.path.join(REPO, "scale/sf1"))]:
+        out[label] = run_bench(sf, queries, reps, cpus, mem)
+    floors = {label: {q: (min(ts) if ts else None)
+                      for q, ts in d.items()}
+              for label, d in out.items()}
+    result = {"reps": reps, "cpus": cpus,
+              "raw": out, "floors": floors}
+    json.dump(result, open("/tmp/scale_bench.json", "w"), indent=1)
+    # growth table: rows scale 10x for every scaled table, so per-row cost
+    # growth == time growth / 10
+    print(f"\n{'query':34s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s} "
+          f"{'perrow':>7s}")
+    flagged = []
+    for q in sorted(queries):
+        a, b = floors["sf0.1"].get(q), floors["sf1"].get(q)
+        if a is None or b is None:
+            print(f"{q:34s} MISSING"); flagged.append(q); continue
+        ratio = b / a if a > 0 else float("inf")
+        perrow = ratio / 10.0
+        flag = " <-- INVESTIGATE" if perrow > 2.0 else ""
+        if flag:
+            flagged.append(q)
+        print(f"{q:34s} {a:8.3f} {b:8.3f} {ratio:7.2f} {perrow:7.2f}{flag}")
+    print(f"\nflagged: {flagged}")
+
+if __name__ == "__main__":
+    main()

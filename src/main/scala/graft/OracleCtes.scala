@@ -146,26 +146,26 @@ private[graft] object OracleCtes {
 
 
   val sketchShingleCte: String =
-    """WITH toks AS (
+    """WITH toks AS MATERIALIZED (
          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
            x -> x <> '') AS toks
          FROM documents),
-       sh AS (
+       sh AS MATERIALIZED (
          SELECT doc_id, list_distinct(list_transform(
            range(1, greatest(len(toks)-1, 1)),
            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
          FROM toks),
-       hs AS (
+       hs AS MATERIALIZED (
          SELECT doc_id, list_transform(sh, s ->
            ('0x'||substr(md5(s),1,15))::BIGINT % 2147483647) AS hs
          FROM sh)"""
 
   val sketchTokenHashCte: String =
-    """WITH toks AS (
+    """WITH toks AS MATERIALIZED (
          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
            x -> x <> '') AS toks
          FROM documents),
-       th AS (
+       th AS MATERIALIZED (
          SELECT doc_id, list_transform(toks, t ->
            ('0x'||substr(md5(t),1,15))::BIGINT) AS hs
          FROM toks)"""

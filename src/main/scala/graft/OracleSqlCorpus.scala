@@ -1084,48 +1084,48 @@ private[graft] object OracleSqlCorpus {
          FROM nodes n JOIN g2 ON n.i = g2.i
          ORDER BY round(g2.g, 9) DESC, part LIMIT 20""",
     "q_golden_record" ->
-      """WITH RECURSIVE probes AS (
+      """WITH RECURSIVE probes AS MATERIALIZED (
            SELECT p_partkey AS probe_id,
              string_split(p_name, ' ')[1] AS block_key,
              substr(p_name, 1, length(p_name) - 1) AS probe_name
            FROM part WHERE p_partkey % 10 = 0),
-         cands AS (
+         cands AS MATERIALIZED (
            SELECT p_partkey AS cand_id, p_name AS cand_name,
              string_split(p_name, ' ')[1] AS block_key
            FROM part),
-         lp AS (
+         lp AS MATERIALIZED (
            SELECT probe_id, cand_id,
              CAST(levenshtein(probe_name, cand_name) AS BIGINT) AS dist
            FROM cands JOIN probes USING (block_key)),
-         best AS (
+         best AS MATERIALIZED (
            SELECT probe_id, cand_id FROM (
              SELECT *, row_number() OVER (PARTITION BY probe_id
                ORDER BY dist, cand_id) AS rn
              FROM lp)
            WHERE rn = 1 AND dist <= 2 AND cand_id <> probe_id),
-         edges AS (
+         edges AS MATERIALIZED (
            SELECT probe_id AS a, cand_id AS b FROM best
            UNION SELECT cand_id, probe_id FROM best),
          reach(src, dst) AS (
            SELECT a, b FROM edges
            UNION
            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-         comp AS (
+         comp AS MATERIALIZED (
            SELECT src AS node, least(src, min(dst)) AS cluster_id
            FROM reach GROUP BY src),
-         mem AS (
+         mem AS MATERIALIZED (
            SELECT c.cluster_id, p.p_partkey, p.p_name, p.p_brand,
              p.p_retailprice
            FROM comp c JOIN part p ON p.p_partkey = c.node),
-         bm AS (
+         bm AS MATERIALIZED (
            SELECT cluster_id, p_brand, CAST(count(*) AS BIGINT) AS c
            FROM mem GROUP BY 1, 2),
-         bmode AS (
+         bmode AS MATERIALIZED (
            SELECT cluster_id, p_brand AS brand FROM (
              SELECT *, row_number() OVER (PARTITION BY cluster_id
                ORDER BY c DESC, p_brand) AS rn FROM bm)
            WHERE rn = 1),
-         ag AS (
+         ag AS MATERIALIZED (
            SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
              min(p_partkey) AS golden_id,
              min_by(p_name, p_partkey) AS golden_name,

@@ -573,29 +573,29 @@ private[graft] object OracleSqlEtl {
          SELECT count(*) AS n_candidate_pairs FROM pairs""",
     "q_dedup_pipeline" ->
       s"""${sketchShingleCte.replace("WITH toks", "WITH RECURSIVE toks")},
-         sigl AS (
+         sigl AS MATERIALIZED (
            SELECT doc_id, list_transform(range(0, 32), i ->
              CASE WHEN len(hs) = 0 THEN 2147483647
                   ELSE list_min(list_transform(hs, h ->
                     (($minhashA)[i+1] * h + ($minhashB)[i+1])
                       % 2147483647)) END) AS sig
            FROM hs),
-         banded AS (
+         banded AS MATERIALIZED (
            SELECT doc_id, b.j AS band_id,
              ('0x'||substr(md5(array_to_string(
                sig[b.j*2+1 : b.j*2+2], ',')),1,15))::BIGINT AS band_hash
            FROM sigl CROSS JOIN (SELECT unnest(range(0, 16)) AS j) b),
-         buckets AS (
+         buckets AS MATERIALIZED (
            SELECT band_id, band_hash, list(doc_id) AS bucket
            FROM banded GROUP BY 1, 2
            HAVING count(*) BETWEEN 2 AND 50),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT DISTINCT p[1] AS doc_id_a, p[2] AS doc_id_b FROM (
              SELECT unnest(flatten(list_transform(bucket, x ->
                list_transform(list_filter(bucket, y -> y > x),
                  y -> [x, y])))) AS p
              FROM buckets)),
-         verified AS (
+         verified AS MATERIALIZED (
            SELECT p.doc_id_a AS a, p.doc_id_b AS b
            FROM pairs p
            JOIN sh sa ON sa.doc_id = p.doc_id_a
@@ -606,13 +606,13 @@ private[graft] object OracleSqlEtl {
                    (len(sa.sh) + len(sb.sh)
                      - len(list_intersect(sa.sh, sb.sh))), 6)
                  END >= 0.5),
-         edges AS (SELECT a, b FROM verified
+         edges AS MATERIALIZED (SELECT a, b FROM verified
                    UNION SELECT b, a FROM verified),
          reach(src, dst) AS (
            SELECT a, b FROM edges
            UNION
            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-         comp AS (
+         comp AS MATERIALIZED (
            SELECT src AS node, least(src, min(dst)) AS cluster
            FROM reach GROUP BY src)
          SELECT d.doc_id,
@@ -1942,22 +1942,22 @@ private[graft] object OracleSqlEtl {
              AS cum_value
          FROM p ORDER BY user_id, event_id""",
     "q_dedup_clusters" ->
-      """WITH RECURSIVE pre AS (
+      """WITH RECURSIVE pre AS MATERIALIZED (
            SELECT doc_id, substr(text, 1, 64) AS p64,
              substr(text, 1, 32) AS p32
            FROM documents),
-         e0 AS (
+         e0 AS MATERIALIZED (
            SELECT a.doc_id AS a, b.doc_id AS b FROM pre a JOIN pre b
              ON a.p64 = b.p64 AND a.doc_id < b.doc_id
            UNION
            SELECT a.doc_id, b.doc_id FROM pre a JOIN pre b
              ON a.p32 = b.p32 AND a.doc_id < b.doc_id),
-         edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         edges AS MATERIALIZED (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
          reach(src, dst) AS (
            SELECT a, b FROM edges
            UNION
            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-         comp AS (
+         comp AS MATERIALIZED (
            SELECT src AS node, least(src, min(dst)) AS cluster
            FROM reach GROUP BY src)
          SELECT d.doc_id,

@@ -1451,10 +1451,10 @@ private[graft] object OracleSqlStats {
                / 1000000.0 AS frontier_y
            FROM pq"""
       }.mkString(" UNION ALL ")
-      s"""WITH c AS (
+      s"""WITH c AS MATERIALIZED (
            SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
            FROM embeddings WHERE vec_id % 40 = 0),
-         assign AS (
+         assign AS MATERIALIZED (
            SELECT vec_id % 2 AS g, centroid_id FROM (
              SELECT e.vec_id, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -1462,19 +1462,19 @@ private[graft] object OracleSqlStats {
                    c.ce), 6) DESC, c.centroid_id) AS rn
              FROM embeddings e CROSS JOIN c)
            WHERE rn = 1),
-         cont AS (
+         cont AS MATERIALIZED (
            SELECT centroid_id,
              CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n0,
              CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS n1
            FROM assign GROUP BY 1),
-         tot AS (
+         tot AS MATERIALIZED (
            SELECT CAST(sum(n0) AS BIGINT) AS nn0,
              CAST(sum(n1) AS BIGINT) AS nn1,
              CAST(count(*) AS BIGINT) AS kk
            FROM cont),
-         pq AS (
+         pq AS MATERIALIZED (
            SELECT
              (CAST(n0 AS DOUBLE) + 1.0)
                / (CAST(nn0 AS DOUBLE) + CAST(kk AS DOUBLE)) AS p,

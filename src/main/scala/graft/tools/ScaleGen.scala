@@ -61,8 +61,23 @@ object ScaleGen {
     val rep  = col("rep")
     val fan  = explode(sequence(lit(0L), lit(reps - 1L))).as("rep")
 
-    def scaled(name: String)(f: DataFrame => DataFrame): (String, DataFrame) = {
+    def scaled(name: String, keyCols: String*)(
+        f: DataFrame => DataFrame): (String, DataFrame) = {
       val src = spark.read.parquet(s"$inDir/$name.parquet")
+      // The rep*Off shift is collision-free only if every source key fits
+      // under Off. Re-running ScaleGen on already-scaled output (sf1→sf10)
+      // would silently break FK integrity, so fail loudly instead.
+      if (keyCols.nonEmpty) {
+        val maxes = src.agg(
+          max(col(keyCols.head)).cast("long").as(keyCols.head),
+          keyCols.tail.map(c => max(col(c)).cast("long").as(c)): _*).head()
+        keyCols.zipWithIndex.foreach { case (c, i) =>
+          val m = if (maxes.isNullAt(i)) 0L else maxes.getLong(i)
+          require(m < Off,
+            s"$name.$c max=$m >= replica offset $Off — input already looks " +
+              "scaled; refusing to generate colliding surrogate keys")
+        }
+      }
       name -> f(src.select(col("*"), fan)).drop("rep")
     }
     def fixed(name: String): (String, DataFrame) =
@@ -71,20 +86,20 @@ object ScaleGen {
     val tables: Seq[(String, DataFrame)] = Seq(
       fixed("region"),
       fixed("nation"),
-      scaled("customer")(_.withColumn("c_custkey", shift("c_custkey", rep))),
-      scaled("supplier")(_.withColumn("s_suppkey", shift("s_suppkey", rep))),
-      scaled("part")(_.withColumn("p_partkey", shift("p_partkey", rep))),
-      scaled("orders")(
+      scaled("customer", "c_custkey")(_.withColumn("c_custkey", shift("c_custkey", rep))),
+      scaled("supplier", "s_suppkey")(_.withColumn("s_suppkey", shift("s_suppkey", rep))),
+      scaled("part", "p_partkey")(_.withColumn("p_partkey", shift("p_partkey", rep))),
+      scaled("orders", "o_orderkey", "o_custkey")(
         _.withColumn("o_orderkey", shift("o_orderkey", rep))
           .withColumn("o_custkey", shift("o_custkey", rep))),
-      scaled("lineitem")(
+      scaled("lineitem", "l_orderkey", "l_partkey", "l_suppkey")(
         _.withColumn("l_orderkey", shift("l_orderkey", rep))
           .withColumn("l_partkey", shift("l_partkey", rep))
           .withColumn("l_suppkey", shift("l_suppkey", rep))),
-      scaled("events")(
+      scaled("events", "event_id", "user_id")(
         _.withColumn("event_id", shift("event_id", rep))
           .withColumn("user_id", shift("user_id", rep))),
-      scaled("documents") { d =>
+      scaled("documents", "doc_id") { d =>
         val text = when(rep === 0, col("text")).otherwise(concat(
           col("text"), lit(" rv"), rep.cast("string"), lit("x"),
           pmod(xxhash64(col("doc_id"), rep), lit(9973L)).cast("string")))
@@ -92,7 +107,7 @@ object ScaleGen {
           .withColumn("text", text)
           .withColumn("n_chars", length(col("text")).cast("long"))
       },
-      scaled("embeddings") { e =>
+      scaled("embeddings", "vec_id") { e =>
         // ±0.01 deterministic per-dimension nudge for rep>0; keeps cosine
         // neighborhoods intact while breaking exact-duplicate degeneracy
         val perturbed = transform(col("embedding"), (x, i) =>

@@ -198,10 +198,12 @@ class Round26PropSpec extends SparkSpec {
     val periodic = InferenceAnalytics
       .linCcc(series(d => 10.0 + 2.0 * (d % 7))).collect().head
     assert(periodic.getAs[Long]("n_pairs") == 21L)
-    assert(periodic.getAs[Double]("pearson") == 1.0)
-    assert(periodic.getAs[Double]("lin_ccc") == 1.0)
-    assert(periodic.getAs[Double]("mean_actual") ==
-      periodic.getAs[Double]("mean_snaive"))
+    // tight epsilon rather than exact equality: Spark aggregation order
+    // is not pinned across versions, only the metric value is
+    assert(math.abs(periodic.getAs[Double]("pearson") - 1.0) < 1e-12)
+    assert(math.abs(periodic.getAs[Double]("lin_ccc") - 1.0) < 1e-12)
+    assert(math.abs(periodic.getAs[Double]("mean_actual") -
+      periodic.getAs[Double]("mean_snaive")) < 1e-12)
     // trend: x(d) = 10 + 2*(d mod 7) + d → yhat = x − 7 exactly, so
     // vx = vy, cxy = vx, Δ = 7: Pearson is blind to the constant bias
     // (= 1) while CCC = 2vx/(2vx + 49) — the agreement/linearity split
@@ -212,7 +214,7 @@ class Round26PropSpec extends SparkSpec {
     val mx = xs.sum / xs.size
     val vx = xs.map(x => (x - mx) * (x - mx)).sum / xs.size
     val expected = 2.0 * vx / (2.0 * vx + 49.0)
-    assert(trended.getAs[Double]("pearson") == 1.0)
+    assert(math.abs(trended.getAs[Double]("pearson") - 1.0) < 1e-12)
     assert(math.abs(trended.getAs[Double]("lin_ccc") - r6(expected))
       < 2e-6, s"ccc ${trended.getAs[Double]("lin_ccc")} vs $expected")
     assert(trended.getAs[Double]("lin_ccc") <

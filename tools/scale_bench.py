@@ -26,8 +26,23 @@ def run_bench(sf_dir: str, queries: list[str], reps: int, cpus: str, mem: str):
                        SPARK_DRIVER_MEM=mem)
             cmd = ["sbt", "-batch",
                    "runMain graft.Bench " + " ".join(queries)]
+            # A crashed rep must not silently re-read a stale DETAIL file
+            # (the prior rep's, or the committed repo copy) — that would
+            # corrupt the min-of-N floors. Delete first, check exit code,
+            # skip the rep loudly on any failure.
+            if os.path.exists(DETAIL):
+                os.remove(DETAIL)
             r = subprocess.run(cmd, cwd=REPO, env=env,
                                capture_output=True, text=True, timeout=3600)
+            if r.returncode != 0:
+                print(f"[scale_bench] ERROR: rep {rep} sbt exited "
+                      f"{r.returncode}; skipping rep\n{r.stdout[-2000:]}\n"
+                      f"{r.stderr[-2000:]}", file=sys.stderr)
+                continue
+            if not os.path.exists(DETAIL):
+                print(f"[scale_bench] ERROR: rep {rep} produced no "
+                      f"{DETAIL}; skipping rep", file=sys.stderr)
+                continue
             d = json.load(open(DETAIL))
             errs = d.get("failed", [])
             if errs:

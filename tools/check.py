@@ -2,10 +2,17 @@
 """Local stand-in for the driver's correctness gate: read Verify's parquet
 dumps, run each oracle_sql.json query in DuckDB over the same fixture dir,
 and diff (schema, row count, column-sorted value hash). Dev tool only — the
-shipped Scala library does not depend on this."""
-import sys, json, glob
+shipped Scala library does not depend on this.
+
+Scale mode (VERDICT r10 item 1): the full 463-query registry at sf1 is
+bound by single-threaded DuckDB oracle time, so the compare now shards
+across worker processes (--jobs) with per-connection PRAGMA threads
+(--threads) and records per-query wall time; --json dumps the full result
+table for the SCALE_r11 evidence file."""
+import sys, json, glob, os, time, argparse
 import duckdb
 import pandas as pd
+from concurrent.futures import ProcessPoolExecutor
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -25,52 +32,118 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     r = pd.DataFrame(out)
     return r.sort_values(by=list(r.columns), kind="mergesort").reset_index(drop=True)
 
-def main(sf_dir: str, out_dir: str) -> int:
-    con = duckdb.connect()
+_CON = None
+_SF = None
+
+def _init(sf_dir: str, threads: int):
+    global _CON, _SF
+    _SF = sf_dir
+    _CON = duckdb.connect()
+    _CON.sql(f"PRAGMA threads={threads}")
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    fails = 0
-    for name, sql in sorted(oracle.items()):
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not files:
-            print(f"FAIL {name}: no spark output"); fails += 1; continue
-        try:
-            got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
-            exp = con.sql(sql).df()
-        except Exception as e:
-            print(f"FAIL {name}: {e}"); fails += 1; continue
-        if sorted(got.columns) != sorted(exp.columns):
-            print(f"FAIL {name}: cols got={sorted(got.columns)} exp={sorted(exp.columns)}")
-            fails += 1; continue
-        if len(got) != len(exp):
-            print(f"FAIL {name}: rows got={len(got)} exp={len(exp)}"); fails += 1; continue
+        _CON.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+def _check_one(task):
+    """Returns {name, ok, msg, oracle_sec, total_sec, rows}."""
+    name, sql, out_dir = task
+    t0 = time.time()
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        return {"name": name, "ok": False, "msg": "no spark output",
+                "oracle_sec": 0.0, "total_sec": time.time() - t0, "rows": 0}
+    try:
+        got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        t1 = time.time()
+        exp = _CON.sql(sql).df()
+        oracle_sec = time.time() - t1
+    except Exception as e:
+        return {"name": name, "ok": False, "msg": str(e)[:500],
+                "oracle_sec": 0.0, "total_sec": time.time() - t0, "rows": 0}
+    res = {"name": name, "oracle_sec": round(oracle_sec, 3),
+           "rows": int(len(got))}
+    if sorted(got.columns) != sorted(exp.columns):
+        res.update(ok=False, msg=f"cols got={sorted(got.columns)} "
+                                 f"exp={sorted(exp.columns)}")
+    elif len(got) != len(exp):
+        res.update(ok=False, msg=f"rows got={len(got)} exp={len(exp)}")
+    else:
         g, e = norm(got), norm(exp)
         if not g.equals(e):
             diff = (g != e) & ~(g.isna() & e.isna())
             bad_cols = [c for c in g.columns if diff[c].any()]
             idx = diff.any(axis=1)
-            print(f"FAIL {name}: values differ in {bad_cols} "
-                  f"({int(idx.sum())}/{len(g)} rows)")
+            detail = []
             for c in bad_cols[:3]:
                 i = diff[c].idxmax()
-                print(f"  {c}[{i}]: got={g[c][i]!r} exp={e[c][i]!r}")
-            fails += 1; continue
-        print(f"PASS {name} ({len(got)} rows)")
+                detail.append(f"{c}[{i}]: got={g[c][i]!r} exp={e[c][i]!r}")
+            res.update(ok=False,
+                       msg=f"values differ in {bad_cols} "
+                           f"({int(idx.sum())}/{len(g)} rows); "
+                           + "; ".join(detail))
+        else:
+            res.update(ok=True, msg="")
+    res["total_sec"] = round(time.time() - t0, 3)
+    return res
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("out_dir", nargs="?", default="/tmp/verify_out")
+    ap.add_argument("--jobs", type=int, default=1,
+                    help="worker processes for the oracle compare")
+    ap.add_argument("--threads", type=int, default=1,
+                    help="PRAGMA threads per DuckDB connection")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names to check")
+    ap.add_argument("--json", default=None,
+                    help="write the full result table to this path")
+    a = ap.parse_args()
+
+    oracle = json.load(open(f"{a.out_dir}/oracle_sql.json"))
+    if a.only:
+        keep = set(a.only.split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
+    tasks = [(n, s, a.out_dir) for n, s in sorted(oracle.items())]
+    t0 = time.time()
+    if a.jobs <= 1:
+        _init(a.sf_dir, a.threads)
+        results = [_check_one(t) for t in tasks]
+    else:
+        with ProcessPoolExecutor(max_workers=a.jobs, initializer=_init,
+                                 initargs=(a.sf_dir, a.threads)) as pool:
+            results = list(pool.map(_check_one, tasks, chunksize=1))
+    fails = 0
+    for r in sorted(results, key=lambda r: r["name"]):
+        if r["ok"]:
+            print(f"PASS {r['name']} ({r['rows']} rows, "
+                  f"{r['oracle_sec']:.1f}s oracle)")
+        else:
+            print(f"FAIL {r['name']}: {r['msg']}")
+            fails += 1
     # queries with no oracle: rows-only check
-    import os
     declared = set(oracle)
-    for d in sorted(glob.glob(f"{out_dir}/*/")):
-        name = os.path.basename(d.rstrip("/"))
-        if name not in declared:
-            files = glob.glob(f"{d}/*.parquet")
-            n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
-            print(f"{'PASS' if n > 0 else 'FAIL'} {name} (rows-only: {n})")
-            fails += 0 if n > 0 else 1
-    print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
+    rows_only = []
+    if not a.only:
+        for d in sorted(glob.glob(f"{a.out_dir}/*/")):
+            name = os.path.basename(d.rstrip("/"))
+            if name not in declared:
+                files = glob.glob(f"{d}/*.parquet")
+                n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+                print(f"{'PASS' if n > 0 else 'FAIL'} {name} (rows-only: {n})")
+                rows_only.append({"name": name, "ok": n > 0, "rows": n})
+                fails += 0 if n > 0 else 1
+    wall = round(time.time() - t0, 1)
+    print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'} "
+          f"({len(results)} compared, wall {wall}s, "
+          f"jobs={a.jobs} threads={a.threads})")
+    if a.json:
+        json.dump({"sf_dir": a.sf_dir, "jobs": a.jobs,
+                   "threads": a.threads, "wall_sec": wall,
+                   "n_compared": len(results), "n_failures": fails,
+                   "results": sorted(results, key=lambda r: r["name"]),
+                   "rows_only": rows_only},
+                  open(a.json, "w"), indent=1)
     return 1 if fails else 0
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-    sys.exit(main(sf, out))
+    sys.exit(main())

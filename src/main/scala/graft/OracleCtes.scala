@@ -261,6 +261,48 @@ private[graft] object OracleCtes {
   }
 
 
+  /** Gradient-SimHash CTE for the decoded-raster SimHash arm
+    * (→ `sim(doc_id, simhash)`): the oracle rebuilds the FULL 24×24
+    * raster straight from the pixel formula (never the PGM container),
+    * takes the row-major byte gradient mod 256, renders each 4-byte
+    * shingle as the same lowercase-hex gram string
+    * graft.plans.PgmGradHex emits, and majority-votes the md5-based
+    * 60-bit simhash exactly like the q_media_neardup oracle — so a
+    * decode/stride/hex bug anywhere in the Spark encode→decode→gradient
+    * path breaks this compare. */
+  val pgmGradSimhashCte: String = {
+    val basePx = "('0x' || substr(md5(CAST(doc_id // 2 AS VARCHAR) || " +
+      "':' || CAST(i AS VARCHAR)), 1, 2))::BIGINT"
+    s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 < 2),
+         px AS (
+           SELECT doc_id, list_transform(range(0, 576), i ->
+             CASE WHEN doc_id % 2 = 1
+               THEN least($basePx + 8, 255) ELSE $basePx END) AS p
+           FROM d),
+         gr AS (
+           SELECT doc_id, list_transform(range(0, 575), i ->
+             (p[i + 2] - p[i + 1] + 256) % 256) AS g
+           FROM px),
+         gs AS (
+           SELECT doc_id, list_distinct(list_transform(range(0, 572),
+             j -> printf('%02x%02x%02x%02x',
+               g[j + 1], g[j + 2], g[j + 3], g[j + 4]))) AS grams
+           FROM gr),
+         th AS (
+           SELECT doc_id, list_transform(grams, t ->
+             ('0x'||substr(md5(t),1,15))::BIGINT) AS hs
+           FROM gs),
+         sim AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN 2*len(list_filter(hs, h -> ((h >> b) & 1) = 1))
+                      >= len(hs)
+                    THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT)
+               AS simhash
+           FROM th)"""
+  }
+
+
   /** Literal list of 31^i mod 2^64 (i < 600) for the rolling-hash oracle —
     * DuckDB has no modpow, so the powers ship as data. HUGEINT arithmetic
     * reproduces the JVM's wrap-around exactly; the oracle is byte-exact for

@@ -937,6 +937,39 @@ private[graft] object OracleSqlEval1 {
            floor(CAST(aa AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
              AS adamic_adar
          FROM f ORDER BY adamic_adar DESC, part_a, part_b LIMIT 20""",
+    // hub-capped sibling: wedge enumeration restricted to each center's
+    // 8 smallest-id neighbors; degrees (and the 1/ln discount) stay TRUE;
+    // truncated-center count rides every row as n_capped_hubs
+    "q_adamic_adar_capped" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT pa AS a, pb AS b FROM pr
+               UNION ALL SELECT pb, pa FROM pr),
+         deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS dg
+           FROM e GROUP BY 1),
+         kept AS (SELECT a, b FROM
+           (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b)
+              AS rn FROM e)
+           WHERE rn <= 8),
+         cap AS (SELECT CAST(count(*) AS BIGINT) AS n_capped_hubs
+           FROM deg WHERE dg > 8),
+         w AS (SELECT k1.a AS z, k1.b AS u, k2.b AS v
+           FROM kept k1 JOIN kept k2 ON k1.a = k2.a AND k1.b < k2.b),
+         sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+             sum(CAST(1.0 / ln(CAST(dg AS DOUBLE)) AS DECIMAL(28,12)))
+               AS aa
+           FROM w JOIN deg USING (z) GROUP BY 1, 2),
+         f AS (SELECT * FROM sc WHERE NOT EXISTS
+           (SELECT 1 FROM pr WHERE pr.pa = sc.u AND pr.pb = sc.v))
+         SELECT u AS part_a, v AS part_b, common_neighbors,
+           floor(CAST(aa AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS adamic_adar,
+           n_capped_hubs
+         FROM f CROSS JOIN cap
+         ORDER BY adamic_adar DESC, part_a, part_b LIMIT 20""",
     "q_hits" ->
       """WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -1656,6 +1689,34 @@ private[graft] object OracleSqlEval1 {
            CAST(CASE WHEN doc_id_a // 2 = doc_id_b // 2 THEN 1 ELSE 0
              END AS INT) AS is_true_pair
          FROM cand WHERE hamming <= 12 ORDER BY doc_id_a, doc_id_b""",
+    "q_pgm_simhash" ->
+      s"""$pgmGradSimhashCte
+         SELECT doc_id, simhash FROM sim ORDER BY doc_id""",
+    // multi-probe blocking: each side emits the 10-bit chunk plus its 10
+    // single-bit-flip variants (balanced 1-probe MIH) — collide iff some
+    // chunk differs by <= 2 bits, guaranteed for total Hamming <= 17
+    "q_pgm_simhash_neardup" ->
+      s"""$pgmGradSimhashCte,
+         ch AS (
+           SELECT s.doc_id, s.simhash, c.chunk_id,
+             (s.simhash >> (c.chunk_id * 10)) & 1023 AS chunk
+           FROM sim s CROSS JOIN
+             (SELECT unnest(range(0, 6)) AS chunk_id) c),
+         pv AS MATERIALIZED (
+           SELECT doc_id, simhash, chunk_id,
+             CASE WHEN v.b = -1 THEN chunk
+                  ELSE xor(chunk, (1::BIGINT << v.b)) END AS probe
+           FROM ch CROSS JOIN
+             (SELECT unnest(range(-1, 10)) AS b) v),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           FROM pv a JOIN pv b ON a.chunk_id = b.chunk_id
+             AND a.probe = b.probe AND a.doc_id < b.doc_id)
+         SELECT doc_id_a, doc_id_b, hamming,
+           CAST(CASE WHEN doc_id_a // 2 = doc_id_b // 2 THEN 1 ELSE 0
+             END AS INT) AS is_true_pair
+         FROM cand WHERE hamming <= 20 ORDER BY doc_id_a, doc_id_b""",
     "q_srm" ->
       """WITH m AS (SELECT
            CAST(sum(CASE WHEN ('0x' ||
@@ -2100,6 +2161,42 @@ private[graft] object OracleSqlEval1 {
              CAST(deg_u + deg_v - common_neighbors AS DOUBLE)
              * 1000000.0 + 0.5) / 1000000.0 AS jaccard
          FROM f ORDER BY jaccard DESC, part_a, part_b LIMIT 20""",
+    // hub-capped sibling of q_link_jaccard: capped enumeration, true
+    // degrees in the denominator (conservative on truncated hubs)
+    "q_link_jaccard_capped" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+           FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         e AS (SELECT pa AS a, pb AS b FROM pr
+               UNION ALL SELECT pb, pa FROM pr),
+         deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS dg
+           FROM e GROUP BY 1),
+         kept AS (SELECT a, b FROM
+           (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b)
+              AS rn FROM e)
+           WHERE rn <= 8),
+         cap AS (SELECT CAST(count(*) AS BIGINT) AS n_capped_hubs
+           FROM deg WHERE dg > 8),
+         w AS (SELECT k1.a AS z, k1.b AS u, k2.b AS v
+           FROM kept k1 JOIN kept k2 ON k1.a = k2.a AND k1.b < k2.b),
+         sc AS (SELECT u, v, CAST(count(*) AS BIGINT)
+             AS common_neighbors
+           FROM w GROUP BY 1, 2),
+         j AS (SELECT sc.u, sc.v, sc.common_neighbors,
+             du.dg AS deg_u, dv.dg AS deg_v
+           FROM sc JOIN deg du ON du.z = sc.u
+             JOIN deg dv ON dv.z = sc.v),
+         f AS (SELECT * FROM j WHERE NOT EXISTS
+           (SELECT 1 FROM pr WHERE pr.pa = j.u AND pr.pb = j.v))
+         SELECT u AS part_a, v AS part_b, common_neighbors, deg_u, deg_v,
+           floor(CAST(common_neighbors AS DOUBLE) /
+             CAST(deg_u + deg_v - common_neighbors AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+           n_capped_hubs
+         FROM f CROSS JOIN cap
+         ORDER BY jaccard DESC, part_a, part_b LIMIT 20""",
     "q_rec_novelty" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,

@@ -479,12 +479,24 @@ object SparkEntry {
         .orderBy("win_start", "event_type")),
 
     // ---- window: ntile decile summary over order totals ----
+    // ntile(10) OVER (ORDER BY ...) would single-task the whole orders
+    // table; instead the global row number comes from the distributed
+    // two-pass GlobalRank and the decile is ntile's closed form
+    // (first n%10 buckets take one extra row) — same result, range-
+    // partitioned shuffle instead of a corpus window
     "q_value_deciles" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_totalprice"),
-          ntile(10).over(w).as("decile"))
+      val ranked = graft.operators.GlobalRank.withRowNumber(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice"), col("o_orderkey")), "rn")
+      val tot = ranked.agg(count(lit(1)).as("n"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("decile",
+          when(col("rn") <= expr("(n % 10) * (n div 10 + 1)"),
+            expr("(rn - 1) div (n div 10 + 1) + 1"))
+          .otherwise(expr(
+            "n % 10 + (rn - 1 - (n % 10) * (n div 10 + 1)) div (n div 10)"
+              + " + 1"))
+          .cast("int"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n"),
           round(min("o_totalprice"), 2).as("lo"),
@@ -1888,6 +1900,9 @@ object SparkEntry {
     // Adamic-Adar link prediction on the co-purchase graph
     "q_adamic_adar" -> ((s, d) =>
       graft.analytics.GraphAnalytics.adamicAdar(s, d)),
+    // hub-capped Adamic-Adar: wedge fanout bounded per center node
+    "q_adamic_adar_capped" -> ((s, d) =>
+      graft.analytics.GraphAnalytics.adamicAdarCapped(s, d)),
     // HITS authorities over the bipartite customer-part graph
     "q_hits" -> ((s, d) =>
       graft.analytics.GraphAnalytics.hits(s, d)),
@@ -1931,6 +1946,12 @@ object SparkEntry {
     "q_pgm_phash" -> ((s, d) =>
       graft.ext.Multimodal.mediaPHashDecoded(Tables.documents(s, d))),
     // known-pair near-dup recall over the decoded-PGM perceptual hash
+    // gradient SimHash over genuinely decoded PGM rasters
+    "q_pgm_simhash" -> ((s, d) =>
+      graft.ext.Multimodal.mediaSimHashPgm(Tables.documents(s, d))),
+    // multi-probe (1-probe MIH) near-dup recovery over the raster SimHash
+    "q_pgm_simhash_neardup" -> ((s, d) =>
+      graft.ext.Multimodal.mediaNearDupSimHashPgm(Tables.documents(s, d))),
     "q_pgm_neardup" -> ((s, d) =>
       graft.ext.Multimodal.mediaNearDupPgm(Tables.documents(s, d))),
     // LSH bit-width tuning: candidates vs recall per nBits
@@ -2011,6 +2032,9 @@ object SparkEntry {
     // neighborhood-Jaccard link prediction on the co-purchase graph
     "q_link_jaccard" -> ((s, d) =>
       graft.analytics.GraphAnalytics.linkJaccard(s, d)),
+    // hub-capped neighborhood Jaccard (bounded wedge enumeration)
+    "q_link_jaccard_capped" -> ((s, d) =>
+      graft.analytics.GraphAnalytics.linkJaccardCapped(s, d)),
     // recommendation novelty vs corpus purchase entropy
     "q_rec_novelty" -> ((s, d) =>
       graft.ext.EvalOps.recNovelty(s, d)),

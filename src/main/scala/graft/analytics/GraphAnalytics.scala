@@ -614,6 +614,115 @@ object GraphAnalytics {
       .limit(limit)
   }
 
+  /** Hub-capped Adamic–Adar — the 100 TB-hardened scale sibling of
+    * [[adamicAdar]]. Uncapped wedge enumeration is Σ_z deg(z)²: one hub
+    * product with 10⁵ co-purchase partners yields 10¹⁰ wedges from a
+    * single key regardless of support flooring. Here each center node
+    * contributes wedges only from its `hubCap` smallest-id neighbors
+    * (row_number over (a ORDER BY b) ≤ cap — Spark rewrites the
+    * rank-filter to a map-side WindowGroupLimit, so no center's full
+    * adjacency ever sorts in one task), bounding wedges to |V|·cap².
+    * The 1/ln(deg) weight keeps the TRUE degree (node-sized aggregate,
+    * cheap exactly) — capping truncates enumeration, not the discount.
+    * Overflow is accounted, not hidden: `n_capped_hubs` (centers whose
+    * adjacency was truncated) rides every row, the same discipline as
+    * the LSH bucket caps (DedupExt.minhashCandidatesFromSigs). With
+    * cap ≥ max degree the capped ranking is IDENTICAL to [[adamicAdar]]
+    * — property-tested in Round27PropSpec. */
+  def adamicAdarCapped(spark: SparkSession, sfDir: String,
+                       minSupport: Long = 2L, hubCap: Int = 8,
+                       limit: Int = 20): DataFrame =
+    adamicAdarCappedOnEdges(prunedEdges(spark, sfDir, minSupport),
+      hubCap, limit)
+
+  private[graft] def prunedEdges(spark: SparkSession, sfDir: String,
+                                 minSupport: Long): DataFrame =
+    StarAnalytics.coPurchaseCounts(spark, sfDir)
+      .filter(col("n_orders") >= minSupport)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+      .localCheckpoint()
+
+  private[graft] def adamicAdarCappedOnEdges(e: DataFrame, hubCap: Int,
+                                             limit: Int): DataFrame = {
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("deg"))
+    val kept = sym.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("a")).orderBy(col("b"))))
+      .filter(col("rn") <= hubCap)
+      .select(col("a"), col("b"))
+    val capped = deg.filter(col("deg") > hubCap)
+      .agg(count(lit(1)).as("n_capped_hubs"))
+    val left = kept.select(col("a").as("z"), col("b").as("u"))
+      .join(deg, Seq("z"))
+    val wedges = left
+      .join(kept.select(col("a").as("z"), col("b").as("v")), Seq("z"))
+      .filter(col("u") < col("v"))
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    wedges
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum((lit(1.0) / log(col("deg").cast("double")))
+          .cast("decimal(28,12)")).as("aa"))
+      .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
+      .crossJoin(broadcast(capped))
+      .select(col("u").as("part_a"), col("v").as("part_b"),
+        col("common_neighbors"),
+        r6(col("aa").cast("double")).as("adamic_adar"),
+        col("n_capped_hubs"))
+      .orderBy(col("adamic_adar").desc, col("part_a"), col("part_b"))
+      .limit(limit)
+  }
+
+  /** Hub-capped neighborhood Jaccard — [[linkJaccard]]'s scale sibling,
+    * same enumeration cap as [[adamicAdarCapped]]. Degrees in the
+    * Jaccard denominator stay TRUE degrees, so a capped score is a
+    * conservative under-estimate on truncated hubs and exact elsewhere;
+    * cap ≥ max degree reduces to [[linkJaccard]] (Round27PropSpec). */
+  def linkJaccardCapped(spark: SparkSession, sfDir: String,
+                        minSupport: Long = 2L, hubCap: Int = 8,
+                        limit: Int = 20): DataFrame =
+    linkJaccardCappedOnEdges(prunedEdges(spark, sfDir, minSupport),
+      hubCap, limit)
+
+  private[graft] def linkJaccardCappedOnEdges(e: DataFrame, hubCap: Int,
+                                              limit: Int): DataFrame = {
+    val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("dg"))
+    val kept = sym.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("a")).orderBy(col("b"))))
+      .filter(col("rn") <= hubCap)
+      .select(col("a"), col("b"))
+    val capped = deg.filter(col("dg") > hubCap)
+      .agg(count(lit(1)).as("n_capped_hubs"))
+    val wedges = kept.select(col("a").as("z"), col("b").as("u"))
+      .join(kept.select(col("a").as("z"), col("b").as("v")), Seq("z"))
+      .filter(col("u") < col("v"))
+    val common = wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    common
+      .join(deg.select(col("z").as("u"), col("dg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("z").as("v"), col("dg").as("deg_v")), Seq("v"))
+      .join(e, col("u") === col("a") && col("v") === col("b"), "left_anti")
+      .crossJoin(broadcast(capped))
+      .select(col("u").as("part_a"), col("v").as("part_b"),
+        col("common_neighbors"), col("deg_u"), col("deg_v"),
+        r6(col("common_neighbors").cast("double") /
+          (col("deg_u") + col("deg_v") - col("common_neighbors"))
+            .cast("double")).as("jaccard"),
+        col("n_capped_hubs"))
+      .orderBy(col("jaccard").desc, col("part_a"), col("part_b"))
+      .limit(limit)
+  }
+
   /** Rich-club coefficient of the co-purchase graph: edge density among
     * the top-k highest-degree parts, against the whole-graph density —
     * the "do the hubs trade with each other" structure probe (rich-club

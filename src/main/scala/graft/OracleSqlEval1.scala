@@ -2784,6 +2784,11 @@ private[graft] object OracleSqlEval1 {
            floor(CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE)
              * 1000000.0 + 0.5) / 1000000.0 AS revenue_share
          FROM c2 GROUP BY 1 ORDER BY 1""",
+    // per-half sums are EXACT integer micros (floor(x*1e6+0.5) of
+    // IEEE-identical doubles) — see StarAnalytics.partHalves: per-row
+    // double->DECIMAL casts round differently across engines, and a
+    // zipf hot part accumulates the divergence past the r6 rounding in
+    // the cancellation-sensitive (p2-p1) term
     "q_rev_bridge" ->
       """WITH rows_ AS (
            SELECT CAST(o_orderdate AS DATE) AS d, l_partkey,
@@ -2795,34 +2800,38 @@ private[graft] object OracleSqlEval1 {
            FROM rows_),
          per AS (
            SELECT l_partkey,
-             sum(CASE WHEN d <= cut THEN CAST(q AS DECIMAL(28,12))
+             sum(CASE WHEN d <= cut
+               THEN CAST(floor(q * 1000000.0 + 0.5) AS BIGINT)
                ELSE 0 END) AS q1,
-             sum(CASE WHEN d > cut THEN CAST(q AS DECIMAL(28,12))
+             sum(CASE WHEN d > cut
+               THEN CAST(floor(q * 1000000.0 + 0.5) AS BIGINT)
                ELSE 0 END) AS q2,
-             sum(CASE WHEN d <= cut THEN CAST(rev AS DECIMAL(28,12))
+             sum(CASE WHEN d <= cut
+               THEN CAST(floor(rev * 1000000.0 + 0.5) AS BIGINT)
                ELSE 0 END) AS r1,
-             sum(CASE WHEN d > cut THEN CAST(rev AS DECIMAL(28,12))
+             sum(CASE WHEN d > cut
+               THEN CAST(floor(rev * 1000000.0 + 0.5) AS BIGINT)
                ELSE 0 END) AS r2
            FROM rows_ CROSS JOIN cut GROUP BY 1),
          m AS (
-           SELECT CAST(sum(r1) AS DOUBLE) AS total_h1,
-             CAST(sum(r2) AS DOUBLE) AS total_h2,
+           SELECT CAST(sum(r1) AS DOUBLE) / 1000000.0 AS total_h1,
+             CAST(sum(r2) AS DOUBLE) / 1000000.0 AS total_h2,
              CAST(sum(CASE WHEN q1 > 0 AND q2 > 0 THEN CAST(
                  (CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE) -
                   CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)) *
-                 ((CAST(q1 AS DOUBLE) + CAST(q2 AS DOUBLE)) / 2.0)
+                 ((CAST(q1 AS DOUBLE) + CAST(q2 AS DOUBLE)) / 2000000.0)
                  AS DECIMAL(28,12)) ELSE 0 END) AS DOUBLE)
                AS price_effect,
              CAST(sum(CASE WHEN q1 > 0 AND q2 > 0 THEN CAST(
-                 (CAST(q2 AS DOUBLE) - CAST(q1 AS DOUBLE)) *
+                 (CAST(q2 AS DOUBLE) - CAST(q1 AS DOUBLE)) / 1000000.0 *
                  ((CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE) +
                    CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)) / 2.0)
                  AS DECIMAL(28,12)) ELSE 0 END) AS DOUBLE)
                AS volume_effect,
              CAST(sum(CASE WHEN q1 = 0 THEN r2 ELSE 0 END) AS DOUBLE)
-               AS new_parts_effect,
+               / 1000000.0 AS new_parts_effect,
              CAST(sum(CASE WHEN q2 = 0 THEN -r1 ELSE 0 END) AS DOUBLE)
-               AS lost_parts_effect
+               / 1000000.0 AS lost_parts_effect
            FROM per)
          SELECT
            floor(total_h1 * 1000000.0 + 0.5) / 1000000.0 AS total_h1,

@@ -422,33 +422,39 @@ private[graft] object OracleSqlEval2 {
            FROM rows_),
          per AS (
            SELECT l_partkey,
-             sum(CASE WHEN d <= cut THEN CAST(q AS DECIMAL(28,12))
+             sum(CASE WHEN d <= cut
+               THEN CAST(floor(q * 1000000.0 + 0.5) AS BIGINT)
                ELSE 0 END) AS q1,
-             sum(CASE WHEN d > cut THEN CAST(q AS DECIMAL(28,12))
+             sum(CASE WHEN d > cut
+               THEN CAST(floor(q * 1000000.0 + 0.5) AS BIGINT)
                ELSE 0 END) AS q2,
-             sum(CASE WHEN d <= cut THEN CAST(rev AS DECIMAL(28,12))
+             sum(CASE WHEN d <= cut
+               THEN CAST(floor(rev * 1000000.0 + 0.5) AS BIGINT)
                ELSE 0 END) AS r1,
-             sum(CASE WHEN d > cut THEN CAST(rev AS DECIMAL(28,12))
+             sum(CASE WHEN d > cut
+               THEN CAST(floor(rev * 1000000.0 + 0.5) AS BIGINT)
                ELSE 0 END) AS r2
            FROM rows_ CROSS JOIN cut GROUP BY 1
-           HAVING sum(CASE WHEN d <= cut THEN CAST(q AS DECIMAL(28,12))
+           HAVING sum(CASE WHEN d <= cut
+               THEN CAST(floor(q * 1000000.0 + 0.5) AS BIGINT)
                ELSE 0 END) > 0
-             AND sum(CASE WHEN d > cut THEN CAST(q AS DECIMAL(28,12))
+             AND sum(CASE WHEN d > cut
+               THEN CAST(floor(q * 1000000.0 + 0.5) AS BIGINT)
                ELSE 0 END) > 0),
          m AS (
            SELECT CAST(count(*) AS BIGINT) AS n_common_parts,
              CAST(sum(CAST((CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)) *
-               CAST(q1 AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-               AS p2q1,
+               (CAST(q1 AS DOUBLE) / 1000000.0) AS DECIMAL(28,12)))
+               AS DOUBLE) AS p2q1,
              CAST(sum(CAST((CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)) *
-               CAST(q1 AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-               AS p1q1,
+               (CAST(q1 AS DOUBLE) / 1000000.0) AS DECIMAL(28,12)))
+               AS DOUBLE) AS p1q1,
              CAST(sum(CAST((CAST(r2 AS DOUBLE) / CAST(q2 AS DOUBLE)) *
-               CAST(q2 AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-               AS p2q2,
+               (CAST(q2 AS DOUBLE) / 1000000.0) AS DECIMAL(28,12)))
+               AS DOUBLE) AS p2q2,
              CAST(sum(CAST((CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)) *
-               CAST(q2 AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
-               AS p1q2
+               (CAST(q2 AS DOUBLE) / 1000000.0) AS DECIMAL(28,12)))
+               AS DOUBLE) AS p1q2
            FROM per)
          SELECT n_common_parts,
            floor(p2q1 / p1q1 * 1000000.0 + 0.5) / 1000000.0
@@ -688,9 +694,11 @@ private[graft] object OracleSqlEval2 {
            FROM rows_),
          per AS MATERIALIZED (
            SELECT l_partkey,
-             sum(CASE WHEN d <= cut THEN CAST(rev AS DECIMAL(28,12))
+             sum(CASE WHEN d <= cut
+               THEN CAST(floor(rev * 1000000.0 + 0.5) AS BIGINT)
                ELSE 0 END) AS r1,
-             sum(CASE WHEN d > cut THEN CAST(rev AS DECIMAL(28,12))
+             sum(CASE WHEN d > cut
+               THEN CAST(floor(rev * 1000000.0 + 0.5) AS BIGINT)
                ELSE 0 END) AS r2
            FROM rows_ CROSS JOIN cut GROUP BY 1),
          a AS MATERIALIZED (SELECT l_partkey, rnk AS rank1 FROM (

@@ -1225,22 +1225,24 @@ object StarAnalytics {
     val per = partHalves(lineitem, orders)
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
     val both = col("q1") > 0 && col("q2") > 0
+    // q/r are micro-units: the unit-price ratio is scale-free, the
+    // basket/volume factors divide by 1e6 back to real units
     val p1 = d(col("r1")) / d(col("q1"))
     val p2 = d(col("r2")) / d(col("q2"))
-    val qbar = (d(col("q1")) + d(col("q2"))) / lit(2.0)
+    val qbar = (d(col("q1")) + d(col("q2"))) / lit(2000000.0)
     val pbar = (p1 + p2) / lit(2.0)
     val m = per.agg(
-      sum(col("r1")).cast("double").as("total_h1"),
-      sum(col("r2")).cast("double").as("total_h2"),
+      (sum(col("r1")).cast("double") / lit(1000000.0)).as("total_h1"),
+      (sum(col("r2")).cast("double") / lit(1000000.0)).as("total_h2"),
       sum(when(both, ((p2 - p1) * qbar).cast("decimal(28,12)"))
         .otherwise(lit(0))).cast("double").as("price_effect"),
-      sum(when(both, ((d(col("q2")) - d(col("q1"))) * pbar)
-        .cast("decimal(28,12)")).otherwise(lit(0))).cast("double")
+      sum(when(both, ((d(col("q2")) - d(col("q1"))) / lit(1000000.0)
+        * pbar).cast("decimal(28,12)")).otherwise(lit(0))).cast("double")
         .as("volume_effect"),
-      sum(when(col("q1") === 0, col("r2")).otherwise(lit(0)))
-        .cast("double").as("new_parts_effect"),
-      sum(when(col("q2") === 0, -col("r1")).otherwise(lit(0)))
-        .cast("double").as("lost_parts_effect"))
+      (sum(when(col("q1") === 0, col("r2")).otherwise(lit(0L)))
+        .cast("double") / lit(1000000.0)).as("new_parts_effect"),
+      (sum(when(col("q2") === 0, -col("r1")).otherwise(lit(0L)))
+        .cast("double") / lit(1000000.0)).as("lost_parts_effect"))
     def r6(c: org.apache.spark.sql.Column) =
       floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     m.select(r6(col("total_h1")).as("total_h1"),
@@ -1252,8 +1254,18 @@ object StarAnalytics {
       r6(col("lost_parts_effect")).as("lost_parts_effect"))
   }
 
-  /** Per-part (q, revenue) sums for the two calendar halves — shared by
-    * [[revenueBridge]] and [[priceIndex]]. */
+  /** Per-part (q, revenue) sums for the two calendar halves in EXACT
+    * integer MICRO-units — shared by [[revenueBridge]], [[priceIndex]]
+    * and [[topkDrift]]. Per-row values quantize as floor(x·10⁶ + 0.5)
+    * BIGINT before summation: the previous double→DECIMAL per-row casts
+    * round differently across engines (Spark renders the shortest
+    * decimal string, DuckDB scales the binary value), and the zipf skew
+    * campaign showed one hot part accumulating that divergence past the
+    * r6 output rounding in the bridge's cancellation-sensitive p₂−p₁
+    * term. floor of an IEEE-identical double is bit-identical in both
+    * engines, integer sums are exact (≤ ~10¹⁷ at sf100), and
+    * unit-price ratios r/q are unit-free (micros cancel); consumers
+    * divide by 10⁶ once where real units surface. */
   private def partHalves(lineitem: DataFrame,
                          orders: DataFrame): DataFrame = {
     val rows = lineitem
@@ -1265,16 +1277,17 @@ object StarAnalytics {
           .as("rev"))
     val cut = rows.agg(date_add(min(col("d")),
       (datediff(max(col("d")), min(col("d"))) / 2).cast("int")).as("cut"))
-    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,12)")
+    def mic(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1000000.0) + lit(0.5)).cast("bigint")
     rows.crossJoin(broadcast(cut))
       .withColumn("h1", col("d") <= col("cut"))
       .groupBy(col("l_partkey"))
-      .agg(sum(when(col("h1"), dec(col("l_quantity"))).otherwise(lit(0)))
+      .agg(sum(when(col("h1"), mic(col("l_quantity"))).otherwise(lit(0L)))
         .as("q1"),
-        sum(when(!col("h1"), dec(col("l_quantity"))).otherwise(lit(0)))
+        sum(when(!col("h1"), mic(col("l_quantity"))).otherwise(lit(0L)))
           .as("q2"),
-        sum(when(col("h1"), dec(col("rev"))).otherwise(lit(0))).as("r1"),
-        sum(when(!col("h1"), dec(col("rev"))).otherwise(lit(0)))
+        sum(when(col("h1"), mic(col("rev"))).otherwise(lit(0L))).as("r1"),
+        sum(when(!col("h1"), mic(col("rev"))).otherwise(lit(0L)))
           .as("r2"))
   }
 
@@ -1292,13 +1305,16 @@ object StarAnalytics {
       .filter(col("q1") > 0 && col("q2") > 0)
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(28,12)")
+    // micro-unit inputs: prices are scale-free ratios, the basket
+    // quantities divide by 1e6 back to real units
     val p1 = d(col("r1")) / d(col("q1"))
     val p2 = d(col("r2")) / d(col("q2"))
+    def units(c: org.apache.spark.sql.Column) = d(c) / lit(1000000.0)
     val m = per.agg(count(lit(1)).as("n_common_parts"),
-      sum(dec(p2 * d(col("q1")))).cast("double").as("p2q1"),
-      sum(dec(p1 * d(col("q1")))).cast("double").as("p1q1"),
-      sum(dec(p2 * d(col("q2")))).cast("double").as("p2q2"),
-      sum(dec(p1 * d(col("q2")))).cast("double").as("p1q2"))
+      sum(dec(p2 * units(col("q1")))).cast("double").as("p2q1"),
+      sum(dec(p1 * units(col("q1")))).cast("double").as("p1q1"),
+      sum(dec(p2 * units(col("q2")))).cast("double").as("p2q2"),
+      sum(dec(p1 * units(col("q2")))).cast("double").as("p1q2"))
     def r6(c: org.apache.spark.sql.Column) =
       floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     val lasp = col("p2q1") / col("p1q1")

@@ -35,11 +35,16 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 _CON = None
 _SF = None
 
-def _init(sf_dir: str, threads: int):
+def _init(sf_dir: str, threads: int, mem: str = ""):
     global _CON, _SF
     _SF = sf_dir
     _CON = duckdb.connect()
     _CON.sql(f"PRAGMA threads={threads}")
+    if mem:
+        # bound each worker so a parallel compare cannot OOM-kill the
+        # pool (DuckDB spills to temp instead)
+        _CON.sql(f"PRAGMA memory_limit='{mem}'")
+        _CON.sql(f"PRAGMA temp_directory='/tmp/duckdb_spill_{os.getpid()}'")
     for t in TABLES:
         _CON.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
@@ -95,22 +100,30 @@ def main() -> int:
                     help="PRAGMA threads per DuckDB connection")
     ap.add_argument("--only", default=None,
                     help="comma-separated query names to check")
+    ap.add_argument("--exclude", default=None,
+                    help="comma-separated query names to skip (e.g. the "
+                         "documented all-pairs oracle forms at sf1)")
     ap.add_argument("--json", default=None,
                     help="write the full result table to this path")
+    ap.add_argument("--mem", default="",
+                    help="DuckDB memory_limit per worker (e.g. 10GB)")
     a = ap.parse_args()
 
     oracle = json.load(open(f"{a.out_dir}/oracle_sql.json"))
     if a.only:
         keep = set(a.only.split(","))
         oracle = {k: v for k, v in oracle.items() if k in keep}
+    if a.exclude:
+        drop = set(a.exclude.split(","))
+        oracle = {k: v for k, v in oracle.items() if k not in drop}
     tasks = [(n, s, a.out_dir) for n, s in sorted(oracle.items())]
     t0 = time.time()
     if a.jobs <= 1:
-        _init(a.sf_dir, a.threads)
+        _init(a.sf_dir, a.threads, a.mem)
         results = [_check_one(t) for t in tasks]
     else:
         with ProcessPoolExecutor(max_workers=a.jobs, initializer=_init,
-                                 initargs=(a.sf_dir, a.threads)) as pool:
+                                 initargs=(a.sf_dir, a.threads, a.mem)) as pool:
             results = list(pool.map(_check_one, tasks, chunksize=1))
     fails = 0
     for r in sorted(results, key=lambda r: r["name"]):

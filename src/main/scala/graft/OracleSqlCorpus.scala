@@ -233,8 +233,11 @@ private[graft] object OracleSqlCorpus {
          FROM big JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY total_qty DESC, o_orderkey LIMIT 100""",
+    // exact integer-micros sum — see StarAnalytics.disjunctiveRevenue
     "q_disjunctive_revenue" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT round(CAST(sum(CAST(floor(l_extendedprice *
+           (1.0 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000.0, 2) AS revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey
          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
                 AND l_quantity BETWEEN 1 AND 11)

@@ -58,18 +58,33 @@ private[graft] object OracleSqlStats {
          FROM events e JOIN st USING (event_type)
          WHERE abs((e.value - st.mu) / st.sd) > 2.5
          ORDER BY e.event_id""",
+    // order-statistic cutoffs (k-th smallest, k = ceil(q*n)) from the
+    // per-group value census — interpolating quantile_cont diverges
+    // from Spark's percentile inside tie groups (see
+    // StatsProfiling.winsorize); decimal sums for order-free partials
     "q_winsorize" ->
-      """WITH pct AS (SELECT event_type,
-                        quantile_cont(value, 0.05) AS p_lo,
-                        quantile_cont(value, 0.95) AS p_hi
-                      FROM events GROUP BY 1)
+      """WITH v AS (SELECT event_type, value FROM events
+           WHERE value IS NOT NULL),
+         nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM v GROUP BY 1),
+         census AS (SELECT event_type, value, count(*) AS c
+           FROM v GROUP BY 1, 2),
+         cum AS (SELECT event_type, value,
+             sum(c) OVER (PARTITION BY event_type ORDER BY value)
+               AS cum
+           FROM census),
+         cuts AS (SELECT event_type,
+             min(CASE WHEN cum >= ceil(0.05 * n) THEN value END) AS p_lo,
+             min(CASE WHEN cum >= ceil(0.95 * n) THEN value END) AS p_hi
+           FROM cum JOIN nn USING (event_type) GROUP BY 1)
          SELECT e.event_type, CAST(count(e.value) AS BIGINT) AS n,
            CAST(sum(CASE WHEN e.value < p_lo OR e.value > p_hi
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
-           round(sum(e.value), 2) AS raw_sum,
-           round(sum(least(greatest(e.value, p_lo), p_hi)), 2)
-             AS winsorized_sum
-         FROM events e JOIN pct USING (event_type)
+           CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS raw_sum,
+           CAST(round(sum(CAST(least(greatest(e.value, p_lo), p_hi)
+             AS DECIMAL(18,6))), 2) AS DOUBLE) AS winsorized_sum
+         FROM events e JOIN cuts USING (event_type)
          GROUP BY 1 ORDER BY 1""",
     "q_ab_lift" ->
       """WITH pu AS (

@@ -344,10 +344,15 @@ object StarAnalytics {
         col("l_quantity").between(10, 20)) ||
       (col("p_brand") === "Brand#19" && col("p_size").between(1, 15) &&
         col("l_quantity").between(20, 30))
+    // exact integer-micros sum (the partHalves discipline): a plain
+    // double sum of ~1.7e9 magnitude carries one-ulp order noise that
+    // flipped the round-2 boundary at sf1
     l.join(p, col("l_partkey") === col("p_partkey"))
       .filter(cond)
-      .agg(round(sum(col("l_extendedprice") *
-        (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(floor(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * lit(1000000.0) + lit(0.5))
+          .cast("bigint")).cast("double") / lit(1000000.0), 2)
+        .as("revenue"))
   }
 
   /** TPC-H Q22-shaped idle high-balance accounts: customers whose balance

@@ -242,25 +242,45 @@ private[analytics] trait StatsProfiling {
       .orderBy("event_type")
   }
 
-  /** Winsorization: clip values to the per-group [p_lo, p_hi] percentile
-    * band (robust-scaling step for training-data value columns). Pass 1
-    * computes exact percentiles per group (swap in approx_percentile at the
-    * 100 TB design point — mergeable, one pass); pass 2 broadcasts the
-    * |groups|-row percentile frame and clips map-side. Output is the
-    * per-group before/after summary. */
+  /** Winsorization: clip values to the per-group [p_lo, p_hi] band
+    * (robust-scaling step for training-data value columns). The cutoffs
+    * are ORDER STATISTICS — the k-th smallest value with
+    * k = ceil(q·n) — selected from the per-group value census, not
+    * interpolating percentiles: interpolation diverges across engines
+    * when the rank lands inside a tie group (found at sf1, where the
+    * replica structure repeats every value ~10×), while the k-th value
+    * is integer-exact everywhere. The census is value-domain-bounded
+    * (2-decimal money values), so the per-group cumulative window is a
+    * bounded frame; the |groups|-row cutoff frame broadcasts and the
+    * clip runs map-side. Sums go through DECIMAL so partials merge
+    * order-independently. Output is the per-group before/after
+    * summary. */
   def winsorize(ev: DataFrame, lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
-    val pct = ev.groupBy("event_type")
-      .agg(expr(s"percentile(value, $lo)").as("p_lo"),
-        expr(s"percentile(value, $hi)").as("p_hi"))
-    ev.join(broadcast(pct), "event_type")
+    val vals = ev.filter(col("value").isNotNull)
+    val census = vals.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"))
+    val cum = census.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val n = vals.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val cuts = cum.join(broadcast(n), "event_type")
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cum") >= ceil(lit(lo) * col("n")),
+          col("value"))).as("p_lo"),
+        min(when(col("cum") >= ceil(lit(hi) * col("n")),
+          col("value"))).as("p_hi"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    ev.join(broadcast(cuts), "event_type")
       .withColumn("clipped",
         least(greatest(col("value"), col("p_lo")), col("p_hi")))
       .groupBy("event_type")
       .agg(count(col("value")).as("n"),
         sum(when(col("value") < col("p_lo") || col("value") > col("p_hi"),
           1L).otherwise(0L)).as("n_clipped"),
-        round(sum(col("value")), 2).as("raw_sum"),
-        round(sum(col("clipped")), 2).as("winsorized_sum"))
+        round(sum(dec(col("value"))), 2).cast("double").as("raw_sum"),
+        round(sum(dec(col("clipped"))), 2).cast("double")
+          .as("winsorized_sum"))
       .orderBy("event_type")
   }
 

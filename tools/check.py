@@ -19,12 +19,22 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize dtypes for hashing: floats to 9dp repr, ints to int64
+    # canonicalize dtypes for hashing: floats quantize to 12 SIGNIFICANT
+    # digits (capped at 9 decimal places) — a fixed 9-decimal-place
+    # round demands absolute precision a double cannot carry at 1e9+
+    # magnitudes (sf1 sums hit one-ulp order noise at the 16th digit);
+    # ints to int64
     out = {}
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_float_dtype(s):
-            out[c] = s.round(9)
+            import numpy as np
+            x = s.to_numpy(dtype="float64")
+            mag = np.floor(np.log10(np.maximum(np.abs(x), 1e-300)))
+            dec = np.clip(11 - mag, 0, 9)
+            scale = np.power(10.0, dec)
+            out[c] = pd.Series(np.round(x * scale) / scale,
+                               index=s.index)
         elif pd.api.types.is_integer_dtype(s):
             out[c] = s.astype("Int64")
         else:

@@ -1424,30 +1424,30 @@ private[graft] object OracleSqlCorpus {
          ORDER BY n_orders DESC, part_a, part_b LIMIT 20""",
     // 3 unrolled BFS rounds: frontier ⋈ edges -> distinct -> anti-visited
     "q_bfs_hops" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         pr AS (
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS MATERIALIZED (
            SELECT a.l_partkey AS pa, b.l_partkey AS pb
            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
              AND a.l_partkey < b.l_partkey
            GROUP BY 1, 2 HAVING count(*) >= 2),
-         e AS (SELECT pa AS a, pb AS b FROM pr
+         e AS MATERIALIZED (SELECT pa AS a, pb AS b FROM pr
                UNION ALL SELECT pb, pa FROM pr),
-         v0 AS (SELECT min(a) AS node, CAST(0 AS BIGINT) AS hop FROM e),
-         f1 AS (SELECT DISTINCT e.b AS node
+         v0 AS MATERIALIZED (SELECT min(a) AS node, CAST(0 AS BIGINT) AS hop FROM e),
+         f1 AS MATERIALIZED (SELECT DISTINCT e.b AS node
            FROM v0 JOIN e ON v0.node = e.a),
-         n1 AS (SELECT node, CAST(1 AS BIGINT) AS hop FROM f1
+         n1 AS MATERIALIZED (SELECT node, CAST(1 AS BIGINT) AS hop FROM f1
            WHERE node NOT IN (SELECT node FROM v0)),
-         v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM n1),
-         f2 AS (SELECT DISTINCT e.b AS node
+         v1 AS MATERIALIZED (SELECT * FROM v0 UNION ALL SELECT * FROM n1),
+         f2 AS MATERIALIZED (SELECT DISTINCT e.b AS node
            FROM n1 JOIN e ON n1.node = e.a),
-         n2 AS (SELECT node, CAST(2 AS BIGINT) AS hop FROM f2
+         n2 AS MATERIALIZED (SELECT node, CAST(2 AS BIGINT) AS hop FROM f2
            WHERE node NOT IN (SELECT node FROM v1)),
-         v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM n2),
-         f3 AS (SELECT DISTINCT e.b AS node
+         v2 AS MATERIALIZED (SELECT * FROM v1 UNION ALL SELECT * FROM n2),
+         f3 AS MATERIALIZED (SELECT DISTINCT e.b AS node
            FROM n2 JOIN e ON n2.node = e.a),
-         n3 AS (SELECT node, CAST(3 AS BIGINT) AS hop FROM f3
+         n3 AS MATERIALIZED (SELECT node, CAST(3 AS BIGINT) AS hop FROM f3
            WHERE node NOT IN (SELECT node FROM v2)),
-         v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM n3)
+         v3 AS MATERIALIZED (SELECT * FROM v2 UNION ALL SELECT * FROM n3)
          SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes,
            CAST(min(node) AS BIGINT) AS min_node,
            CAST(max(node) AS BIGINT) AS max_node
@@ -1813,43 +1813,43 @@ private[graft] object OracleSqlCorpus {
          FROM deg LEFT JOIN tc ON deg.part = tc.part
          ORDER BY clustering_coef DESC, deg.part LIMIT 20""",
     "q_pagerank" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         pairs AS (
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pairs AS MATERIALIZED (
            SELECT a.l_partkey AS pa, b.l_partkey AS pb,
              CAST(count(*) AS BIGINT) AS n
            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
              AND a.l_partkey < b.l_partkey
            GROUP BY 1, 2
            HAVING count(*) >= 2),
-         edges AS (
+         edges AS MATERIALIZED (
            SELECT pa AS src, pb AS dst, n AS w FROM pairs
            UNION ALL SELECT pb, pa, n FROM pairs),
-         outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
-         e AS (
+         outw AS MATERIALIZED (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+         e AS MATERIALIZED (
            SELECT edges.src, dst, CAST(w AS DOUBLE) / ow AS frac
            FROM edges JOIN outw USING (src)),
-         nodes AS (SELECT DISTINCT src AS id FROM e),
-         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-         r0 AS (SELECT id, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
-         c1 AS (
+         nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+         nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         r0 AS MATERIALIZED (SELECT id, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+         c1 AS MATERIALIZED (
            SELECT dst, CAST(sum(CAST(rank * frac AS DECIMAL(38,18)))
              AS DOUBLE) AS inflow
            FROM e JOIN r0 ON e.src = r0.id GROUP BY 1),
-         r1 AS (
+         r1 AS MATERIALIZED (
            SELECT id, (1 - 0.85) / n + 0.85 * coalesce(inflow, 0.0) AS rank
            FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.dst),
-         c2 AS (
+         c2 AS MATERIALIZED (
            SELECT dst, CAST(sum(CAST(rank * frac AS DECIMAL(38,18)))
              AS DOUBLE) AS inflow
            FROM e JOIN r1 ON e.src = r1.id GROUP BY 1),
-         r2 AS (
+         r2 AS MATERIALIZED (
            SELECT id, (1 - 0.85) / n + 0.85 * coalesce(inflow, 0.0) AS rank
            FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.dst),
-         c3 AS (
+         c3 AS MATERIALIZED (
            SELECT dst, CAST(sum(CAST(rank * frac AS DECIMAL(38,18)))
              AS DOUBLE) AS inflow
            FROM e JOIN r2 ON e.src = r2.id GROUP BY 1),
-         r3 AS (
+         r3 AS MATERIALIZED (
            SELECT id, (1 - 0.85) / n + 0.85 * coalesce(inflow, 0.0) AS rank
            FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.dst)
          SELECT id, round(rank, 9) AS rank FROM r3

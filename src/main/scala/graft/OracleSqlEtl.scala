@@ -896,10 +896,10 @@ private[graft] object OracleSqlEtl {
              AS is_dup
          FROM fp WHERE doc_id >= 250 ORDER BY doc_id""",
     "q_semdedup" ->
-      """WITH c AS (
+      """WITH c AS MATERIALIZED (
            SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
            FROM embeddings WHERE vec_id % 40 = 0),
-         assign AS (
+         assign AS MATERIALIZED (
            SELECT vec_id, embedding, centroid_id FROM (
              SELECT e.vec_id, e.embedding, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -907,7 +907,7 @@ private[graft] object OracleSqlEtl {
                    DESC, c.centroid_id) AS rn
              FROM embeddings e CROSS JOIN c)
            WHERE rn = 1),
-         drops AS (
+         drops AS MATERIALIZED (
            SELECT DISTINCT b.vec_id
            FROM assign a JOIN assign b
              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
@@ -1454,45 +1454,45 @@ private[graft] object OracleSqlEtl {
              AS credit
          FROM credited GROUP BY 1 ORDER BY 1""",
     "q_closeness" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         pr AS (
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS MATERIALIZED (
            SELECT a.l_partkey AS pa, b.l_partkey AS pb
            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
              AND a.l_partkey < b.l_partkey
            GROUP BY 1, 2 HAVING count(*) >= 2),
-         e AS (SELECT pa AS a, pb AS b FROM pr
+         e AS MATERIALIZED (SELECT pa AS a, pb AS b FROM pr
                UNION ALL SELECT pb, pa FROM pr),
-         seeds AS (
+         seeds AS MATERIALIZED (
            SELECT a AS src FROM (
              SELECT a, count(*) AS deg FROM e GROUP BY 1
              ORDER BY deg DESC, a LIMIT 5)),
-         v0 AS (SELECT src, src AS node, CAST(0 AS BIGINT) AS hop
+         v0 AS MATERIALIZED (SELECT src, src AS node, CAST(0 AS BIGINT) AS hop
                 FROM seeds),
-         f1 AS (SELECT DISTINCT v0.src, e.b AS node
+         f1 AS MATERIALIZED (SELECT DISTINCT v0.src, e.b AS node
                 FROM v0 JOIN e ON v0.node = e.a),
-         n1 AS (SELECT src, node, CAST(1 AS BIGINT) AS hop FROM f1
+         n1 AS MATERIALIZED (SELECT src, node, CAST(1 AS BIGINT) AS hop FROM f1
                 WHERE NOT EXISTS (SELECT 1 FROM v0
                   WHERE v0.src = f1.src AND v0.node = f1.node)),
-         v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM n1),
-         f2 AS (SELECT DISTINCT n1.src, e.b AS node
+         v1 AS MATERIALIZED (SELECT * FROM v0 UNION ALL SELECT * FROM n1),
+         f2 AS MATERIALIZED (SELECT DISTINCT n1.src, e.b AS node
                 FROM n1 JOIN e ON n1.node = e.a),
-         n2 AS (SELECT src, node, CAST(2 AS BIGINT) AS hop FROM f2
+         n2 AS MATERIALIZED (SELECT src, node, CAST(2 AS BIGINT) AS hop FROM f2
                 WHERE NOT EXISTS (SELECT 1 FROM v1
                   WHERE v1.src = f2.src AND v1.node = f2.node)),
-         v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM n2),
-         f3 AS (SELECT DISTINCT n2.src, e.b AS node
+         v2 AS MATERIALIZED (SELECT * FROM v1 UNION ALL SELECT * FROM n2),
+         f3 AS MATERIALIZED (SELECT DISTINCT n2.src, e.b AS node
                 FROM n2 JOIN e ON n2.node = e.a),
-         n3 AS (SELECT src, node, CAST(3 AS BIGINT) AS hop FROM f3
+         n3 AS MATERIALIZED (SELECT src, node, CAST(3 AS BIGINT) AS hop FROM f3
                 WHERE NOT EXISTS (SELECT 1 FROM v2
                   WHERE v2.src = f3.src AND v2.node = f3.node)),
-         v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM n3),
-         f4 AS (SELECT DISTINCT n3.src, e.b AS node
+         v3 AS MATERIALIZED (SELECT * FROM v2 UNION ALL SELECT * FROM n3),
+         f4 AS MATERIALIZED (SELECT DISTINCT n3.src, e.b AS node
                 FROM n3 JOIN e ON n3.node = e.a),
-         n4 AS (SELECT src, node, CAST(4 AS BIGINT) AS hop FROM f4
+         n4 AS MATERIALIZED (SELECT src, node, CAST(4 AS BIGINT) AS hop FROM f4
                 WHERE NOT EXISTS (SELECT 1 FROM v3
                   WHERE v3.src = f4.src AND v3.node = f4.node)),
-         v4 AS (SELECT * FROM v3 UNION ALL SELECT * FROM n4),
-         m AS (
+         v4 AS MATERIALIZED (SELECT * FROM v3 UNION ALL SELECT * FROM n4),
+         m AS MATERIALIZED (
            SELECT src,
              CAST(count(*) - 1 AS BIGINT) AS n_reached,
              CAST(sum(hop) AS BIGINT) AS sum_dist,

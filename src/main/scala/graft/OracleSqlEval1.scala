@@ -563,30 +563,30 @@ private[graft] object OracleSqlEval1 {
     // The cross-community sum stays integral (4m·e_c − d_c²) and
     // divides by 4m² once — order-independent on both engines.
     "q_modularity" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS MATERIALIZED (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
              AND a.l_partkey < b.l_partkey
            GROUP BY 1, 2 HAVING count(*) >= 2),
-         lab AS (SELECT pr.part_a AS a, pr.part_b AS b,
+         lab AS MATERIALIZED (SELECT pr.part_a AS a, pr.part_b AS b,
              pa.p_brand AS ba, pb.p_brand AS bb
            FROM pr JOIN part pa ON pa.p_partkey = pr.part_a
              JOIN part pb ON pb.p_partkey = pr.part_b),
-         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lab),
-         intra AS (SELECT ba AS brand, CAST(count(*) AS BIGINT) AS e_c
+         mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM lab),
+         intra AS MATERIALIZED (SELECT ba AS brand, CAST(count(*) AS BIGINT) AS e_c
            FROM lab WHERE ba = bb GROUP BY 1),
-         dir AS (SELECT a AS node, ba AS brand FROM lab
+         dir AS MATERIALIZED (SELECT a AS node, ba AS brand FROM lab
            UNION ALL SELECT b, bb FROM lab),
-         ds AS (SELECT brand, CAST(count(*) AS BIGINT) AS d_c,
+         ds AS MATERIALIZED (SELECT brand, CAST(count(*) AS BIGINT) AS d_c,
              CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
            FROM dir GROUP BY 1),
-         per AS (SELECT ds.brand, ds.n_nodes,
+         per AS MATERIALIZED (SELECT ds.brand, ds.n_nodes,
              CAST(coalesce(intra.e_c, 0) AS BIGINT) AS e_c, ds.d_c,
              4 * mm.m * CAST(coalesce(intra.e_c, 0) AS BIGINT)
                - ds.d_c * ds.d_c AS num, mm.m
            FROM ds LEFT JOIN intra ON intra.brand = ds.brand
              CROSS JOIN mm),
-         tot AS (SELECT CAST(sum(num) AS BIGINT) AS num_tot,
+         tot AS MATERIALIZED (SELECT CAST(sum(num) AS BIGINT) AS num_tot,
              max(m) AS m2 FROM per)
          SELECT per.brand, per.n_nodes, per.e_c AS n_intra_edges,
            per.d_c AS degree_sum,

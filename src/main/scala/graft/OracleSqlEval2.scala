@@ -2695,10 +2695,10 @@ private[graft] object OracleSqlEval2 {
              AS effective_rank
          FROM agg, nn""",
     "q_cluster_nmi" ->
-      """WITH c AS (
+      """WITH c AS MATERIALIZED (
            SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ce
            FROM embeddings WHERE vec_id % 40 = 0),
-         assign AS (
+         assign AS MATERIALIZED (
            SELECT label, centroid_id FROM (
              SELECT e.vec_id, e.label, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -2706,31 +2706,31 @@ private[graft] object OracleSqlEval2 {
                    c.ce), 6) DESC, c.centroid_id) AS rn
              FROM embeddings e CROSS JOIN c)
            WHERE rn = 1),
-         cont AS (
+         cont AS MATERIALIZED (
            SELECT centroid_id AS c, label AS l,
              CAST(count(*) AS BIGINT) AS n
            FROM assign GROUP BY 1, 2),
-         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cont),
-         ncs AS (SELECT c, CAST(sum(n) AS BIGINT) AS nc
+         tot AS MATERIALIZED (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cont),
+         ncs AS MATERIALIZED (SELECT c, CAST(sum(n) AS BIGINT) AS nc
                  FROM cont GROUP BY 1),
-         nls AS (SELECT l, CAST(sum(n) AS BIGINT) AS nl
+         nls AS MATERIALIZED (SELECT l, CAST(sum(n) AS BIGINT) AS nl
                  FROM cont GROUP BY 1),
-         hc AS (
+         hc AS MATERIALIZED (
            SELECT CAST(sum(CAST(
              -(CAST(nc AS DOUBLE) / CAST(nn AS DOUBLE))
                * ln(CAST(nc AS DOUBLE) / CAST(nn AS DOUBLE))
              AS DECIMAL(38,12))) AS DOUBLE) AS h_c
            FROM ncs, tot),
-         hl AS (
+         hl AS MATERIALIZED (
            SELECT CAST(sum(CAST(
              -(CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE))
                * ln(CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE))
              AS DECIMAL(38,12))) AS DOUBLE) AS h_l
            FROM nls, tot),
-         pur AS (
+         pur AS MATERIALIZED (
            SELECT CAST(sum(mx) AS BIGINT) AS smx
            FROM (SELECT c, max(n) AS mx FROM cont GROUP BY 1)),
-         mi AS (
+         mi AS MATERIALIZED (
            SELECT CAST(sum(CAST(
              (CAST(cont.n AS DOUBLE) / CAST(nn AS DOUBLE))
                * ln(CAST(cont.n AS DOUBLE) * CAST(nn AS DOUBLE)

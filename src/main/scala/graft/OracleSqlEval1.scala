@@ -916,22 +916,22 @@ private[graft] object OracleSqlEval1 {
              AS kappa
          FROM q""",
     "q_adamic_adar" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb
            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
              AND a.l_partkey < b.l_partkey
            GROUP BY 1, 2 HAVING count(*) >= 2),
-         e AS (SELECT pa AS a, pb AS b FROM pr
+         e AS MATERIALIZED (SELECT pa AS a, pb AS b FROM pr
                UNION ALL SELECT pb, pa FROM pr),
-         deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS dg
+         deg AS MATERIALIZED (SELECT a AS z, CAST(count(*) AS BIGINT) AS dg
            FROM e GROUP BY 1),
-         w AS (SELECT e1.a AS z, e1.b AS u, e2.b AS v
+         w AS MATERIALIZED (SELECT e1.a AS z, e1.b AS u, e2.b AS v
            FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b),
-         sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+         sc AS MATERIALIZED (SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
              sum(CAST(1.0 / ln(CAST(dg AS DOUBLE)) AS DECIMAL(28,12)))
                AS aa
            FROM w JOIN deg USING (z) GROUP BY 1, 2),
-         f AS (SELECT * FROM sc WHERE NOT EXISTS
+         f AS MATERIALIZED (SELECT * FROM sc WHERE NOT EXISTS
            (SELECT 1 FROM pr WHERE pr.pa = sc.u AND pr.pb = sc.v))
          SELECT u AS part_a, v AS part_b, common_neighbors,
            floor(CAST(aa AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
@@ -941,28 +941,28 @@ private[graft] object OracleSqlEval1 {
     // 8 smallest-id neighbors; degrees (and the 1/ln discount) stay TRUE;
     // truncated-center count rides every row as n_capped_hubs
     "q_adamic_adar_capped" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb
            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
              AND a.l_partkey < b.l_partkey
            GROUP BY 1, 2 HAVING count(*) >= 2),
-         e AS (SELECT pa AS a, pb AS b FROM pr
+         e AS MATERIALIZED (SELECT pa AS a, pb AS b FROM pr
                UNION ALL SELECT pb, pa FROM pr),
-         deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS dg
+         deg AS MATERIALIZED (SELECT a AS z, CAST(count(*) AS BIGINT) AS dg
            FROM e GROUP BY 1),
-         kept AS (SELECT a, b FROM
+         kept AS MATERIALIZED (SELECT a, b FROM
            (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b)
               AS rn FROM e)
            WHERE rn <= 8),
-         cap AS (SELECT CAST(count(*) AS BIGINT) AS n_capped_hubs
+         cap AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_capped_hubs
            FROM deg WHERE dg > 8),
-         w AS (SELECT k1.a AS z, k1.b AS u, k2.b AS v
+         w AS MATERIALIZED (SELECT k1.a AS z, k1.b AS u, k2.b AS v
            FROM kept k1 JOIN kept k2 ON k1.a = k2.a AND k1.b < k2.b),
-         sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+         sc AS MATERIALIZED (SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
              sum(CAST(1.0 / ln(CAST(dg AS DOUBLE)) AS DECIMAL(28,12)))
                AS aa
            FROM w JOIN deg USING (z) GROUP BY 1, 2),
-         f AS (SELECT * FROM sc WHERE NOT EXISTS
+         f AS MATERIALIZED (SELECT * FROM sc WHERE NOT EXISTS
            (SELECT 1 FROM pr WHERE pr.pa = sc.u AND pr.pb = sc.v))
          SELECT u AS part_a, v AS part_b, common_neighbors,
            floor(CAST(aa AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
@@ -2136,25 +2136,25 @@ private[graft] object OracleSqlEval1 {
              * 1000000.0 + 0.5) / 1000000.0 AS vwap
          FROM day_ ORDER BY d""",
     "q_link_jaccard" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb
            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
              AND a.l_partkey < b.l_partkey
            GROUP BY 1, 2 HAVING count(*) >= 2),
-         e AS (SELECT pa AS a, pb AS b FROM pr
+         e AS MATERIALIZED (SELECT pa AS a, pb AS b FROM pr
                UNION ALL SELECT pb, pa FROM pr),
-         deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS dg
+         deg AS MATERIALIZED (SELECT a AS z, CAST(count(*) AS BIGINT) AS dg
            FROM e GROUP BY 1),
-         w AS (SELECT e1.a AS z, e1.b AS u, e2.b AS v
+         w AS MATERIALIZED (SELECT e1.a AS z, e1.b AS u, e2.b AS v
            FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b),
-         sc AS (SELECT u, v, CAST(count(*) AS BIGINT)
+         sc AS MATERIALIZED (SELECT u, v, CAST(count(*) AS BIGINT)
              AS common_neighbors
            FROM w GROUP BY 1, 2),
-         j AS (SELECT sc.u, sc.v, sc.common_neighbors,
+         j AS MATERIALIZED (SELECT sc.u, sc.v, sc.common_neighbors,
              du.dg AS deg_u, dv.dg AS deg_v
            FROM sc JOIN deg du ON du.z = sc.u
              JOIN deg dv ON dv.z = sc.v),
-         f AS (SELECT * FROM j WHERE NOT EXISTS
+         f AS MATERIALIZED (SELECT * FROM j WHERE NOT EXISTS
            (SELECT 1 FROM pr WHERE pr.pa = j.u AND pr.pb = j.v))
          SELECT u AS part_a, v AS part_b, common_neighbors, deg_u, deg_v,
            floor(CAST(common_neighbors AS DOUBLE) /
@@ -2164,31 +2164,31 @@ private[graft] object OracleSqlEval1 {
     // hub-capped sibling of q_link_jaccard: capped enumeration, true
     // degrees in the denominator (conservative on truncated hubs)
     "q_link_jaccard_capped" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pr AS MATERIALIZED (SELECT a.l_partkey AS pa, b.l_partkey AS pb
            FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
              AND a.l_partkey < b.l_partkey
            GROUP BY 1, 2 HAVING count(*) >= 2),
-         e AS (SELECT pa AS a, pb AS b FROM pr
+         e AS MATERIALIZED (SELECT pa AS a, pb AS b FROM pr
                UNION ALL SELECT pb, pa FROM pr),
-         deg AS (SELECT a AS z, CAST(count(*) AS BIGINT) AS dg
+         deg AS MATERIALIZED (SELECT a AS z, CAST(count(*) AS BIGINT) AS dg
            FROM e GROUP BY 1),
-         kept AS (SELECT a, b FROM
+         kept AS MATERIALIZED (SELECT a, b FROM
            (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b)
               AS rn FROM e)
            WHERE rn <= 8),
-         cap AS (SELECT CAST(count(*) AS BIGINT) AS n_capped_hubs
+         cap AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_capped_hubs
            FROM deg WHERE dg > 8),
-         w AS (SELECT k1.a AS z, k1.b AS u, k2.b AS v
+         w AS MATERIALIZED (SELECT k1.a AS z, k1.b AS u, k2.b AS v
            FROM kept k1 JOIN kept k2 ON k1.a = k2.a AND k1.b < k2.b),
-         sc AS (SELECT u, v, CAST(count(*) AS BIGINT)
+         sc AS MATERIALIZED (SELECT u, v, CAST(count(*) AS BIGINT)
              AS common_neighbors
            FROM w GROUP BY 1, 2),
-         j AS (SELECT sc.u, sc.v, sc.common_neighbors,
+         j AS MATERIALIZED (SELECT sc.u, sc.v, sc.common_neighbors,
              du.dg AS deg_u, dv.dg AS deg_v
            FROM sc JOIN deg du ON du.z = sc.u
              JOIN deg dv ON dv.z = sc.v),
-         f AS (SELECT * FROM j WHERE NOT EXISTS
+         f AS MATERIALIZED (SELECT * FROM j WHERE NOT EXISTS
            (SELECT 1 FROM pr WHERE pr.pa = j.u AND pr.pb = j.v))
          SELECT u AS part_a, v AS part_b, common_neighbors, deg_u, deg_v,
            floor(CAST(common_neighbors AS DOUBLE) /

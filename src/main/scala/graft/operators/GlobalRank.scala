@@ -47,9 +47,17 @@ object GlobalRank {
                     numPartitions: Int = 0): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // The id-stamped frame feeds TWO plan branches (offset aggregate +
+    // final join). monotonically_increasing_id is nondeterministic and
+    // partition-id assignment depends on sampled range boundaries, so a
+    // re-evaluation under a future AQE/sampling change could hand the
+    // two branches DIFFERENT ids. Lazy localCheckpoint pins one
+    // materialization both branches read (same pattern as the
+    // InferenceAnalytics shared rank walks).
     val sorted = df.repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__gr_mid", monotonically_increasing_id())
+      .localCheckpoint(false)
     val offs = sorted
       .groupBy(shiftright(col("__gr_mid"), 33).as("__gr_pid"))
       .agg(count(lit(1)).as("__gr_cnt"))
@@ -70,13 +78,19 @@ object GlobalRank {
     * total order `sortCols` (the distributed form of
     * `sum(v).over(Window.orderBy(...).rowsBetween(unboundedPreceding,
     * 0))`). Nulls in `valueCol` contribute nothing, matching the window
-    * form. */
+    * form: the result is null ONLY while the entire global prefix is
+    * null (sum-over-empty), never merely because one range partition's
+    * local prefix happens to be all-null. */
   def withPrefixSum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
                     out: String, numPartitions: Int = 0): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // Same two-branch hazard as withRowNumber: spark_partition_id()
+    // must agree between the local-scan branch and the offsets branch,
+    // so the pid-stamped frame is pinned with a lazy localCheckpoint.
     val ranged = df.repartitionByRange(n, sortCols: _*)
       .withColumn("__gr_pid", spark_partition_id())
+      .localCheckpoint(false)
     val wLocal = Window.partitionBy(col("__gr_pid"))
       .orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -93,15 +107,21 @@ object GlobalRank {
     // addends are first narrowed (losslessly, 25 integer digits of
     // headroom) to decimal(37,s) and the result cast back
     val lcType = local.schema(local.schema.fieldIndex("__gr_lc")).dataType
-    val (lcC, offC) = lcType match {
+    val (lcC, offC, zero) = lcType match {
       case dt: org.apache.spark.sql.types.DecimalType =>
         val t = org.apache.spark.sql.types.DecimalType(37, dt.scale)
-        (col("__gr_lc").cast(t), coalesce(col("__gr_off").cast(t),
-          lit(0).cast(t)))
-      case _ => (col("__gr_lc"), coalesce(col("__gr_off"), lit(0)))
+        (col("__gr_lc").cast(t), col("__gr_off").cast(t), lit(0).cast(t))
+      case _ => (col("__gr_lc"), col("__gr_off"), lit(0))
     }
+    // Null iff the ENTIRE global prefix is null (lc and off both null);
+    // a non-null offset must survive an all-null local prefix — the
+    // single-partition window form returns the earlier partitions'
+    // total there, not null.
     local.join(broadcast(offs), Seq("__gr_pid"))
-      .withColumn(out, (lcC + offC).cast(lcType))
+      .withColumn(out,
+        when(lcC.isNull && offC.isNull, lit(null))
+          .otherwise(coalesce(lcC, zero) + coalesce(offC, zero))
+          .cast(lcType))
       .drop("__gr_pid", "__gr_lc", "__gr_off")
   }
 }

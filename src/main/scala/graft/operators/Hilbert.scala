@@ -85,6 +85,16 @@ object Hilbert {
     * granularity after the census. */
   def skipStats3(df: DataFrame, xCol: String, yCol: String,
                  gridBits: Int = 8, rowsPerFile: Long = 2048L): DataFrame = {
+    // structural scale guard: the three layout walks are windows over
+    // the grid-cell census, bounded by 4^gridBits rows REGARDLESS of
+    // corpus size — but only while gridBits stays small. 8 bits per
+    // axis = 65,536 cells, comfortably one task; this require keeps the
+    // bound a property of the operator (not a lint exemption), so a
+    // caller cannot silently turn the census corpus-sized.
+    require(gridBits >= 1 && gridBits <= 8,
+      s"gridBits=$gridBits: census bound 4^gridBits must stay " +
+        "single-task sized (<= 65,536 cells); raise deliberately only " +
+        "with a distributed walk")
     val side = 1L << gridBits
     val boxLo = side - side / 16
     val maxs = df.agg(max(col(xCol)).cast("bigint").as("xmax"),
@@ -96,8 +106,11 @@ object Hilbert {
       .withColumn("yg", expr(s"y * ${side}L div (ymax + 1)"))
       .groupBy("xg", "yg").agg(count(lit(1)).as("cnt"))
       .withColumn("z", ZOrder.zkey(col("xg"), col("yg"), gridBits))
-    val g = withHilbert(g0, "xg", "yg", gridBits, "h")
-      .localCheckpoint() // all three layout walks read this cell census
+    // all three layout walks read this cell census; persist (not
+    // localCheckpoint) keeps the groupBy VISIBLE in the logical plan,
+    // so the boundedness lint proves the census-bounded windows
+    // structurally instead of via a growth exemption
+    val g = withHilbert(g0, "xg", "yg", gridBits, "h").persist()
     def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     def arm(key: Column, layout: String): DataFrame = {
       val wPrev = Window.orderBy(key)

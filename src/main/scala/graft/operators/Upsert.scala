@@ -102,8 +102,16 @@ object Upsert {
     // gets for free from dense_rank (duplicate natural keys would
     // otherwise take distinct row_number ids and silently diverge);
     // it folds into the range exchange already paid here.
+    // EXPLICIT partition count: a bare repartitionByRange is an AQE
+    // coalesce target, and on a small-ish key frame AQE collapses it to
+    // ONE partition — turning the per-pid rank window below into a
+    // single-partition corpus window (caught by the r12 near-constant-
+    // partition lint: NDV(__pid)=1 with a corpus-linear feed). Pinning
+    // numShufflePartitions keeps the rank parallel at every scale, the
+    // same contract GlobalRank.withRowNumber pins.
     val ranged = dim.select(col(naturalKey)).distinct()
-      .repartitionByRange(col(naturalKey))
+      .repartitionByRange(
+        spark.sessionState.conf.numShufflePartitions, col(naturalKey))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("n"))

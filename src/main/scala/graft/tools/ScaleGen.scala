@@ -46,9 +46,13 @@ object ScaleGen {
   private def shift(c: String, rep: Column): Column = col(c) + rep * lit(Off)
 
   def main(args: Array[String]): Unit = {
-    val inDir  = args(0)
-    val outDir = args(1)
-    val reps   = if (args.length > 2) args(2).toInt else 10
+    // flags are filtered out BEFORE positional parsing so
+    // `ScaleGen <in> <out> --zipf` works without an explicit reps
+    // (previously args(2).toInt choked on the flag)
+    val pos    = args.filterNot(_.startsWith("--"))
+    val inDir  = pos(0)
+    val outDir = pos(1)
+    val reps   = pos.lift(2).map(_.toInt).getOrElse(10)
     // --zipf (VERDICT r10 item 2): after scaling, make the fixture
     // zipfian the way 100 TB event data actually is — ~20% of events
     // collapse onto ONE user_id and ~20% of lineitem onto ONE
@@ -57,6 +61,14 @@ object ScaleGen {
     // keys, present in every output. With reps=1 this yields a
     // same-row-count skewed twin of the input for apples-to-apples
     // skew-vs-uniform floors (tools/skew_bench.py).
+    // VERDICT r11 item 2 extends --zipf to the text/embedding arms:
+    // documents get a hot vocabulary (~20% of cold-doc tokens drawn
+    // from 10 hot terms) and a duplicate-heavy hot domain (~20% of
+    // docs collapse onto `src_hot` with only 50 distinct template
+    // texts — half exact duplicates, half one-token near-duplicates),
+    // and embeddings get one hot cluster (~20% of vectors land within
+    // ±0.04 of one fixed centroid). These are the distributions the
+    // LSH bucket caps and IVF probe behavior exist for.
     val zipf = args.contains("--zipf")
     val cpus   = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -134,9 +146,48 @@ object ScaleGen {
         val text = when(rep === 0, col("text")).otherwise(concat(
           col("text"), lit(" rv"), rep.cast("string"), lit("x"),
           pmod(xxhash64(col("doc_id"), rep), lit(9973L)).cast("string")))
-        d.withColumn("doc_id", shift("doc_id", rep))
+        val base = d.withColumn("doc_id", shift("doc_id", rep))
           .withColumn("text", text)
-          .withColumn("n_chars", length(col("text")).cast("long"))
+        val skewed = if (!zipf) base else {
+          // (a) duplicate-heavy hot domain: ~20% of docs move to
+          // `src_hot` and collapse onto 50 template texts — half of
+          // them byte-identical exact duplicates, half carrying a
+          // unique one-token tail (near-duplicates at Jaccard ≳ 0.98).
+          // This is the giant-LSH-bucket / giant-dedup-clique shape.
+          val hotDoc = pmod(xxhash64(col("doc_id"), lit(17L)),
+            lit(5L)) === 0L
+          val tmpl = pmod(xxhash64(col("doc_id"), lit(7L)), lit(50L))
+          val vocab30 = array(Seq("key", "agg", "row", "scan", "slow",
+            "fast", "table", "value", "part", "hash", "merge", "batch",
+            "a", "the", "line", "sort", "window", "spark", "order",
+            "data", "column", "join", "small", "customer", "query",
+            "big", "group", "stream", "filter", "code").map(lit): _*)
+          val tmplText = array_join(transform(sequence(lit(0), lit(59)),
+            j => element_at(vocab30,
+              (pmod(xxhash64(tmpl, j), lit(30L)) + lit(1L))
+                .cast("int"))), " ")
+          val nearTail = when(
+            pmod(xxhash64(col("doc_id"), lit(11L)), lit(2L)) === 0L,
+            concat(lit(" nd"), pmod(xxhash64(col("doc_id"), lit(13L)),
+              lit(9973L)).cast("string"))).otherwise(lit(""))
+          // (b) hot vocabulary on the COLD 80%: ~20% of their tokens
+          // are re-drawn from 10 hot terms, so the doc-term matrix and
+          // shingle space get the head-heavy token distribution of web
+          // text while each doc stays distinct.
+          val hot10 = array(Seq("table", "query", "value", "spark",
+            "scan", "key", "row", "fast", "sort", "agg").map(lit): _*)
+          val coldText = array_join(transform(split(col("text"), " "),
+            (t, i) => when(
+              pmod(xxhash64(col("doc_id"), i), lit(5L)) === 0L,
+              element_at(hot10,
+                (pmod(xxhash64(col("doc_id"), i, lit(3L)), lit(10L))
+                  + lit(1L)).cast("int"))).otherwise(t)), " ")
+          base.withColumn("text",
+              when(hotDoc, concat(tmplText, nearTail)).otherwise(coldText))
+            .withColumn("source",
+              when(hotDoc, lit("src_hot")).otherwise(col("source")))
+        }
+        skewed.withColumn("n_chars", length(col("text")).cast("long"))
       },
       scaled("embeddings", "vec_id") { e =>
         // ±0.01 deterministic per-dimension nudge for rep>0; keeps cosine
@@ -144,9 +195,26 @@ object ScaleGen {
         val perturbed = transform(col("embedding"), (x, i) =>
           (x + (pmod(xxhash64(col("vec_id"), rep, i), lit(2001L)) - lit(1000L))
             .cast("double") / lit(100000.0)).cast(FloatType))
-        e.withColumn("vec_id", shift("vec_id", rep))
+        val base = e.withColumn("vec_id", shift("vec_id", rep))
           .withColumn("embedding",
             when(rep === 0, col("embedding")).otherwise(perturbed))
+        if (!zipf) base
+        else {
+          // one hot cluster: ~20% of vectors are rewritten to a fixed
+          // deterministic centroid (components in [-1,1]) plus a ±0.04
+          // per-dimension nudge — the one-giant-IVF-cell /
+          // one-giant-LSH-bucket shape ANN blocking must survive
+          val hotVec = pmod(xxhash64(col("vec_id"), lit(23L)),
+            lit(5L)) === 0L
+          val clustered = transform(col("embedding"), (x, i) =>
+            (((pmod(xxhash64(lit(4242L), i), lit(2001L)) - lit(1000L))
+                .cast("double") / lit(1000.0)) +
+              ((pmod(xxhash64(col("vec_id"), i, lit(5L)), lit(81L))
+                - lit(40L)).cast("double") / lit(1000.0)))
+              .cast(FloatType))
+          base.withColumn("embedding",
+            when(hotVec, clustered).otherwise(col("embedding")))
+        }
       }
     )
 

@@ -128,6 +128,35 @@ class Round27PropSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("GlobalRank.withPrefixSum null semantics match the window form " +
+    "(all-null range-partition prefix)") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // ids 0..299 sorted ascending; the first 130 values are NULL, so
+    // with numPartitions = 5 at least the first range partition's local
+    // prefix is entirely null. The window form returns null only while
+    // the GLOBAL prefix is all-null, then the running sum of non-nulls;
+    // a partition-local coalesce bug would instead null out (or zero
+    // out) rows whose local prefix is null.
+    val rnd = new scala.util.Random(27007)
+    val df = (0L until 300L).map { i =>
+      val v = if (i < 130) null
+        else BigDecimal(rnd.nextInt(100000), 4).bigDecimal
+      (i, v)
+    }.toDF("id", "v")
+      .select(col("id"), col("v").cast("decimal(28,12)").as("v"))
+      .repartition(6)
+    val w = W.orderBy(col("id")).rowsBetween(W.unboundedPreceding, 0)
+    val want = df.withColumn("c", sum(col("v")).over(w))
+      .select("id", "c").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1))).toMap
+    val got = graft.operators.GlobalRank.withPrefixSum(df,
+        Seq(col("id")), col("v"), "c", numPartitions = 5)
+      .select("id", "c").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1))).toMap
+    assert(got === want)
+    assert(want(0L) == null && want(299L) != null) // fixture is live
+  }
+
   test("decoded-raster SimHash arm recovers every constructed true pair") {
     // ids kept by mod=10 are {0,1,10,11,20,21,30,31}; base-image pairs
     // are (0,1), (10,11), (20,21), (30,31)

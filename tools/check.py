@@ -17,12 +17,31 @@ from concurrent.futures import ProcessPoolExecutor
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
+def float_decs(dfs) -> dict:
+    """One quantization granularity per float column, derived from the
+    max |value| across ALL frames being compared (12 significant digits,
+    capped at 9 decimal places). Per-value magnitudes made the compare
+    flaky when the two engines straddled a power of 10 (0.99...95 vs
+    1.00...05 quantized at different decimal granularities); a shared
+    per-column magnitude cannot disagree between the sides."""
+    import numpy as np
+    decs = {}
+    for df in dfs:
+        for c in df.columns:
+            if pd.api.types.is_float_dtype(df[c]):
+                x = df[c].to_numpy(dtype="float64")
+                finite = np.abs(x[np.isfinite(x)])
+                m = float(finite.max()) if finite.size else 0.0
+                decs[c] = max(decs.get(c, 0.0), m)
+    return {c: float(np.clip(11 - np.floor(np.log10(max(m, 1e-300))),
+                             0, 9)) for c, m in decs.items()}
+
+def norm(df: pd.DataFrame, decs: dict) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize dtypes for hashing: floats quantize to 12 SIGNIFICANT
-    # digits (capped at 9 decimal places) — a fixed 9-decimal-place
+    # canonicalize dtypes for hashing: floats quantize at the SHARED
+    # per-column granularity from float_decs (a fixed 9-decimal-place
     # round demands absolute precision a double cannot carry at 1e9+
-    # magnitudes (sf1 sums hit one-ulp order noise at the 16th digit);
+    # magnitudes — sf1 sums hit one-ulp order noise at the 16th digit);
     # ints to int64
     out = {}
     for c in df.columns:
@@ -30,9 +49,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_float_dtype(s):
             import numpy as np
             x = s.to_numpy(dtype="float64")
-            mag = np.floor(np.log10(np.maximum(np.abs(x), 1e-300)))
-            dec = np.clip(11 - mag, 0, 9)
-            scale = np.power(10.0, dec)
+            scale = 10.0 ** decs.get(c, 9.0)
             out[c] = pd.Series(np.round(x * scale) / scale,
                                index=s.index)
         elif pd.api.types.is_integer_dtype(s):
@@ -58,6 +75,19 @@ def _init(sf_dir: str, threads: int, mem: str = ""):
     for t in TABLES:
         _CON.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+def _spill_gb() -> float:
+    d = f"/tmp/duckdb_spill_{os.getpid()}"
+    if not os.path.isdir(d):
+        return 0.0
+    total = 0
+    for root, _, files in os.walk(d):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total / 1e9
+
 def _check_one(task):
     """Returns {name, ok, msg, oracle_sec, total_sec, rows}."""
     name, sql, out_dir = task
@@ -71,18 +101,20 @@ def _check_one(task):
         t1 = time.time()
         exp = _CON.sql(sql).df()
         oracle_sec = time.time() - t1
+        spill_gb = _spill_gb()
     except Exception as e:
         return {"name": name, "ok": False, "msg": str(e)[:500],
                 "oracle_sec": 0.0, "total_sec": time.time() - t0, "rows": 0}
     res = {"name": name, "oracle_sec": round(oracle_sec, 3),
-           "rows": int(len(got))}
+           "spill_gb": round(spill_gb, 2), "rows": int(len(got))}
     if sorted(got.columns) != sorted(exp.columns):
         res.update(ok=False, msg=f"cols got={sorted(got.columns)} "
                                  f"exp={sorted(exp.columns)}")
     elif len(got) != len(exp):
         res.update(ok=False, msg=f"rows got={len(got)} exp={len(exp)}")
     else:
-        g, e = norm(got), norm(exp)
+        decs = float_decs([got, exp])
+        g, e = norm(got, decs), norm(exp, decs)
         if not g.equals(e):
             diff = (g != e) & ~(g.isna() & e.isna())
             bad_cols = [c for c in g.columns if diff[c].any()]
@@ -117,6 +149,18 @@ def main() -> int:
                     help="write the full result table to this path")
     ap.add_argument("--mem", default="",
                     help="DuckDB memory_limit per worker (e.g. 10GB)")
+    ap.add_argument("--max-oracle-sec", type=float, default=120.0,
+                    help="per-query oracle wall ceiling — an oracle-side "
+                         "quadratic regression should fail LOUDLY, not by "
+                         "OOM or judge patience; 0 disables")
+    ap.add_argument("--max-spill-gb", type=float, default=30.0,
+                    help="per-query DuckDB spill-dir ceiling in GB "
+                         "(only observable when --mem sets a spill dir); "
+                         "0 disables")
+    ap.add_argument("--budget-exempt", default=None,
+                    help="comma-separated query names allowed to exceed "
+                         "the oracle budget (the documented all-pairs "
+                         "oracle forms)")
     a = ap.parse_args()
 
     oracle = json.load(open(f"{a.out_dir}/oracle_sql.json"))
@@ -136,8 +180,29 @@ def main() -> int:
                                  initargs=(a.sf_dir, a.threads, a.mem)) as pool:
             results = list(pool.map(_check_one, tasks, chunksize=1))
     fails = 0
+    exempt = set((a.budget_exempt or "").split(",")) - {""}
     for r in sorted(results, key=lambda r: r["name"]):
-        if r["ok"]:
+        # oracle budget: a correct-but-runaway oracle is an evidence bug
+        # (60 GB / 300 s DuckDB wedges nearly OOM-killed the r11 skew
+        # run) — flag it as loudly as a value mismatch
+        over = []
+        if a.max_oracle_sec and r["oracle_sec"] > a.max_oracle_sec:
+            over.append(f"oracle {r['oracle_sec']:.1f}s > "
+                        f"{a.max_oracle_sec:.0f}s ceiling")
+        if a.max_spill_gb and r.get("spill_gb", 0) > a.max_spill_gb:
+            over.append(f"spill {r['spill_gb']:.1f}GB > "
+                        f"{a.max_spill_gb:.0f}GB ceiling")
+        if over and r["name"] in exempt:
+            print(f"PASS {r['name']} (BUDGET-EXEMPT: {'; '.join(over)})"
+                  if r["ok"] else f"FAIL {r['name']}: {r['msg']}")
+            fails += 0 if r["ok"] else 1
+            continue
+        if over:
+            r["budget_exceeded"] = True
+            print(f"BUDGET {r['name']}: {'; '.join(over)}"
+                  + ("" if r["ok"] else f"; AND FAIL: {r['msg']}"))
+            fails += 1
+        elif r["ok"]:
             print(f"PASS {r['name']} ({r['rows']} rows, "
                   f"{r['oracle_sec']:.1f}s oracle)")
         else:

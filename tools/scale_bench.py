@@ -24,8 +24,9 @@ def run_bench(sf_dir: str, queries: list[str], reps: int, cpus: str, mem: str):
                        SPARK_GRAFT_SF_DIR=sf_dir,
                        SPARK_GRAFT_CPUS=cpus,
                        SPARK_DRIVER_MEM=mem)
+            # [] = full registry (Bench's no-arg mode)
             cmd = ["sbt", "-batch",
-                   "runMain graft.Bench " + " ".join(queries)]
+                   ("runMain graft.Bench " + " ".join(queries)).strip()]
             # A crashed rep must not silently re-read a stale DETAIL file
             # (the prior rep's, or the committed repo copy) — that would
             # corrupt the min-of-N floors. Delete first, check exit code,
@@ -33,7 +34,7 @@ def run_bench(sf_dir: str, queries: list[str], reps: int, cpus: str, mem: str):
             if os.path.exists(DETAIL):
                 os.remove(DETAIL)
             r = subprocess.run(cmd, cwd=REPO, env=env,
-                               capture_output=True, text=True, timeout=3600)
+                               capture_output=True, text=True, timeout=10800)
             if r.returncode != 0:
                 print(f"[scale_bench] ERROR: rep {rep} sbt exited "
                       f"{r.returncode}; skipping rep\n{r.stdout[-2000:]}\n"
@@ -48,9 +49,19 @@ def run_bench(sf_dir: str, queries: list[str], reps: int, cpus: str, mem: str):
             if errs:
                 print(f"[scale_bench] rep {rep} FAILED queries: {errs}",
                       file=sys.stderr)
-            for q in queries:
-                if q in d and isinstance(d[q], float):
-                    times[q].append(d[q])
+            if not queries:
+                # full-registry mode: harvest the query list from the
+                # first successful rep's detail keys
+                meta = {"total_sec", "errors", "failed", "sf"}
+                for q in d:
+                    if q not in meta and q not in times:
+                        times[q] = []
+            for q in (queries or [q for q in times]):
+                # whole-second floors land as JSON integers — accept
+                # both (bool is an int subclass, exclude it)
+                if q in d and isinstance(d[q], (int, float)) \
+                        and not isinstance(d[q], bool):
+                    times[q].append(float(d[q]))
             print(f"[scale_bench] {sf_dir} rep {rep}: "
                   f"total={d.get('total_sec')} errors={d.get('errors')}")
     finally:
@@ -59,7 +70,13 @@ def run_bench(sf_dir: str, queries: list[str], reps: int, cpus: str, mem: str):
     return times
 
 def main():
-    queries = open("/tmp/sf1_subset.txt").read().strip().split(",")
+    # /tmp/sf1_subset.txt: comma-separated names, or the literal ALL
+    # (or a missing file) for the full registry (VERDICT r11 item 3)
+    try:
+        raw = open("/tmp/sf1_subset.txt").read().strip()
+    except FileNotFoundError:
+        raw = "ALL"
+    queries = [] if raw == "ALL" else raw.split(",")
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
@@ -78,7 +95,9 @@ def main():
     print(f"\n{'query':34s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s} "
           f"{'perrow':>7s}")
     flagged = []
-    for q in sorted(queries):
+    names = sorted(queries) if queries else \
+        sorted(set(floors["sf0.1"]) | set(floors["sf1"]))
+    for q in names:
         a, b = floors["sf0.1"].get(q), floors["sf1"].get(q)
         if a is None or b is None:
             print(f"{q:34s} MISSING"); flagged.append(q); continue

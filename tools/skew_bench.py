@@ -42,8 +42,11 @@ def run_bench(sf_dir, queries, reps, cpus, mem):
             print(f"[skew_bench] rep {rep} FAILED queries: {errs}",
                   file=sys.stderr)
         for q in queries:
-            if q in d and isinstance(d[q], float):
-                times[q].append(d[q])
+            # whole-second floors land as JSON integers — accept both
+            # (bool is an int subclass, exclude it)
+            if q in d and isinstance(d[q], (int, float)) \
+                    and not isinstance(d[q], bool):
+                times[q].append(float(d[q]))
         print(f"[skew_bench] {sf_dir} rep {rep}: "
               f"total={d.get('total_sec')} errors={d.get('errors')}")
     return times

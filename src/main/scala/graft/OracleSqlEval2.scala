@@ -1387,7 +1387,7 @@ private[graft] object OracleSqlEval2 {
            WHERE user_id IS NOT NULL AND ts IS NOT NULL
              AND event_type IN
                ('click', 'error', 'signup', 'view', 'purchase')),
-         seq0 AS (
+         seq0 AS MATERIALIZED (
            SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase'
                THEN 1 ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1408,13 +1408,13 @@ private[graft] object OracleSqlEval2 {
                ORDER BY ts DESC, event_id DESC) AS rn
              FROM seq0) x
            WHERE rn = 1 AND event_type <> 'purchase'),
-         cnt AS (
+         cnt AS MATERIALIZED (
            SELECT f, t, CAST(count(*) AS BIGINT) AS n
            FROM (SELECT * FROM tr UNION ALL SELECT * FROM term) u
            GROUP BY 1, 2),
          rs AS (SELECT f, CAST(sum(n) AS BIGINT) AS rowsum
                 FROM cnt GROUP BY 1),
-         pm AS (
+         pm AS MATERIALIZED (
            SELECT $pmCols
            FROM cnt JOIN rs USING (f)),
          $iterCtes,

@@ -529,21 +529,62 @@ object GraphAnalytics {
     * via an anti-join on the canonical pair. Every common neighbor z of
     * a wedge has deg ≥ 2, so ln(deg) ≥ ln 2 — no division guard needed.
     * Per-term doubles go DECIMAL before the pair sum so partials merge
-    * order-independently. */
+    * order-independently.
+    *
+    * SMALL-FIXTURE ONLY at default budget: this exact form is the
+    * oracle baseline for [[adamicAdarCapped]], and its Σ_z C(deg z, 2)
+    * wedge table is quadratic in hub degree. [[requireWedgeBudget]]
+    * trips (fail-fast, before the fanout is scheduled) once the exact
+    * enumeration would exceed `maxWedges` — every evidence fixture
+    * (sf0.01 13 k, sf1 14 k, the zipf twin 2.0e8) fits under the 1e9
+    * default; one 10⁵-degree hub alone (5e9 wedges) does not. At scale
+    * use the capped sibling; raising `maxWedges` is an explicit
+    * opt-in. */
   def adamicAdar(spark: SparkSession, sfDir: String,
-                 minSupport: Long = 2L, limit: Int = 20): DataFrame =
+                 minSupport: Long = 2L, limit: Int = 20,
+                 maxWedges: Long = DefaultWedgeBudget): DataFrame =
     adamicAdarOnEdges(
       StarAnalytics.coPurchaseCounts(spark, sfDir)
         .filter(col("n_orders") >= minSupport)
         .select(col("part_a").as("a"), col("part_b").as("b"))
         .localCheckpoint(),
-      limit)
+      limit, maxWedges)
+
+  /** Default ceiling for the exact wedge enumerators: comfortably above
+    * every evidence fixture (max observed 2.0e8 on the zipf twin),
+    * comfortably below what one web-scale hub produces (deg 10⁵ →
+    * 5e9 wedges from a single center). */
+  private[graft] val DefaultWedgeBudget: Long = 1000000000L
+
+  /** Fail-fast budget guard for the UNCAPPED wedge enumerators: one
+    * node-sized aggregate over the (checkpointed, signal-sized)
+    * symmetric edge list computes the exact wedge count Σ_z C(deg z, 2)
+    * and refuses to schedule a quadratic fanout past `maxWedges`,
+    * naming the hub-capped scale sibling. deg·(deg−1) is even, so the
+    * integer halving is exact; longs hold it to deg ≈ 3e9. */
+  private[graft] def requireWedgeBudget(sym: DataFrame, maxWedges: Long,
+                                        op: String,
+                                        sibling: String): Unit = {
+    val row = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      .agg(sum((col("d") * (col("d") - lit(1)) / lit(2)).cast("long"))
+        .as("w"), max(col("d")).as("m"))
+      .head()
+    val (w, m) = (if (row.isNullAt(0)) 0L else row.getLong(0),
+      if (row.isNullAt(1)) 0L else row.getLong(1))
+    require(w <= maxWedges,
+      s"$op: exact wedge enumeration would build $w wedges " +
+        s"(Σ_z C(deg z, 2); max degree $m) over budget $maxWedges. " +
+        s"This uncapped form is a small-fixture oracle baseline — use " +
+        s"$sibling (hub-capped, |V|·cap² wedges) at scale, or raise " +
+        s"maxWedges explicitly.")
+  }
 
   /** [[adamicAdar]] over a prebuilt canonical (a < b) edge list — the
     * testable core. */
-  private[graft] def adamicAdarOnEdges(e: DataFrame,
-                                       limit: Int): DataFrame = {
+  private[graft] def adamicAdarOnEdges(e: DataFrame, limit: Int,
+      maxWedges: Long = DefaultWedgeBudget): DataFrame = {
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    requireWedgeBudget(sym, maxWedges, "adamicAdar", "adamicAdarCapped")
     val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("deg"))
     // deg attaches to the EDGE frame (2|E| rows) before the wedge
     // fanout, so the Σ_z deg(z)² wedge table never shuffles again for a
@@ -579,20 +620,26 @@ object GraphAnalytics {
     * node, never the corpus); degrees here join onto the AGGREGATED
     * pair frame (two node-sized hash joins AQE can broadcast) instead
     * of pre-fanout, since the pair term needs both endpoint degrees
-    * rather than a per-wedge weight. */
+    * rather than a per-wedge weight.
+    *
+    * SMALL-FIXTURE ONLY at default budget — same [[requireWedgeBudget]]
+    * fail-fast as [[adamicAdar]]; [[linkJaccardCapped]] is the scale
+    * path. */
   def linkJaccard(spark: SparkSession, sfDir: String,
-                  minSupport: Long = 2L, limit: Int = 20): DataFrame =
+                  minSupport: Long = 2L, limit: Int = 20,
+                  maxWedges: Long = DefaultWedgeBudget): DataFrame =
     linkJaccardOnEdges(
       StarAnalytics.coPurchaseCounts(spark, sfDir)
         .filter(col("n_orders") >= minSupport)
         .select(col("part_a").as("a"), col("part_b").as("b"))
         .localCheckpoint(),
-      limit)
+      limit, maxWedges)
 
   /** [[linkJaccard]] over a prebuilt canonical (a < b) edge list. */
-  private[graft] def linkJaccardOnEdges(e: DataFrame,
-                                        limit: Int): DataFrame = {
+  private[graft] def linkJaccardOnEdges(e: DataFrame, limit: Int,
+      maxWedges: Long = DefaultWedgeBudget): DataFrame = {
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    requireWedgeBudget(sym, maxWedges, "linkJaccard", "linkJaccardCapped")
     val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("dg"))
     val wedges = sym.select(col("a").as("z"), col("b").as("u"))
       .join(sym.select(col("a").as("z"), col("b").as("v")), Seq("z"))

@@ -172,6 +172,29 @@ class Round19OpsSpec extends SparkSpec {
       math.floor(1.0 / math.log(2.0) * 1e6 + 0.5) / 1e6) // 1.442695
   }
 
+  test("uncapped wedge enumerators refuse to schedule past the wedge " +
+    "budget, fail-fast, naming the capped sibling") {
+    // star on center 9: deg(9)=4 → C(4,2)=6 wedges; budget 5 trips
+    // BEFORE any action on the result frame (the guard is eager).
+    val e = Seq((1L, 9L), (2L, 9L), (3L, 9L), (9L, 10L)).toDF("a", "b")
+    val exAa = intercept[IllegalArgumentException] {
+      GraphAnalytics.adamicAdarOnEdges(e, limit = 10, maxWedges = 5L)
+    }
+    assert(exAa.getMessage.contains("adamicAdarCapped"))
+    assert(exAa.getMessage.contains("6 wedges"))
+    val exLj = intercept[IllegalArgumentException] {
+      GraphAnalytics.linkJaccardOnEdges(e, limit = 10, maxWedges = 5L)
+    }
+    assert(exLj.getMessage.contains("linkJaccardCapped"))
+    // at budget == wedge count both run: 6 predicted pairs among the
+    // 4 leaves of the star, minus the existing (none of the leaf pairs
+    // are edges) → C(4,2) = 6 rows each.
+    assert(GraphAnalytics.adamicAdarOnEdges(e, 10, maxWedges = 6L)
+      .count() == 6L)
+    assert(GraphAnalytics.linkJaccardOnEdges(e, 10, maxWedges = 6L)
+      .count() == 6L)
+  }
+
   // ---- HITS ---------------------------------------------------------
 
   test("hitsOnEdges: L1-normalized authorities sum to ~1 and rank by " +

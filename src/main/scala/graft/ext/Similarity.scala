@@ -463,11 +463,35 @@ object Similarity {
       .withColumn("dim_id", col("dim_id").cast("bigint"))
   }
 
+  /** Default ceiling for the exact all-pairs baselines: above every
+    * evidence fixture (sf1's 20 k vectors → 2.0e8 pairs), below any
+    * corpus where the exact form has business running (1e6 vectors →
+    * 5e11 pairs). Same discipline as GraphAnalytics.DefaultWedgeBudget. */
+  private[graft] val DefaultPairBudget: Long = 1000000000L
+
+  /** Fail-fast budget guard for the exact all-pairs forms: counts are
+    * one job on the (already-loaded) embedding frame, and the require
+    * trips BEFORE a quadratic crossJoin is scheduled, naming the
+    * LSH-blocked scale sibling. BigInt: two 2^31-row sides overflow a
+    * long product. */
+  private def requirePairBudget(nPairs: BigInt, maxPairs: Long,
+                                op: String, sibling: String): Unit =
+    require(nPairs <= maxPairs,
+      s"$op: exact all-pairs synthesis would score $nPairs pairs over " +
+        s"budget $maxPairs. This form is a small-fixture oracle " +
+        s"baseline — use $sibling (LSH-blocked, no all-pairs frame) at " +
+        s"scale, or raise maxPairs explicitly.")
+
   /** Embedding-cosine near-dup pairs, exact: all (a < b) pairs with
     * cosine ≥ threshold. This is the small-corpus baseline and the oracle
     * for the LSH-blocked variant below — at 100 TB the all-pairs join is
-    * never run; `embeddingNearDupLSH` is the scale path. */
-  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.3): DataFrame = {
+    * never run; `embeddingNearDupLSH` is the scale path, and
+    * [[requirePairBudget]] enforces that in code past `maxPairs`. */
+  def embeddingNearDup(emb: DataFrame, threshold: Double = 0.3,
+                       maxPairs: Long = DefaultPairBudget): DataFrame = {
+    val n = BigInt(emb.count())
+    requirePairBudget(n * (n - 1) / 2, maxPairs,
+      "embeddingNearDup", "embeddingNearDupLSH")
     graft.plans.VectorOps.register(emb.sparkSession)
     val withNorm = emb.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("nrm"))
@@ -1691,7 +1715,13 @@ object Similarity {
     * frame (embeddingNearDupLSH's bucket join) — the per-side top-k
     * aggregates (native mergeable top_k_by_score, map-side partials) and
     * the mutuality join are already the scale shape and need no change. */
-  def bitextMine(emb: DataFrame, kDen: Int = 4): DataFrame = {
+  def bitextMine(emb: DataFrame, kDen: Int = 4,
+                 maxPairs: Long = DefaultPairBudget): DataFrame = {
+    // one pass counts both parity sides; trips before the A×B synthesis
+    val parity = emb.groupBy((col("vec_id") % 2).as("p")).count()
+      .collect().map(r => r.getLong(1)).padTo(2, 0L)
+    requirePairBudget(BigInt(parity(0)) * BigInt(parity(1)), maxPairs,
+      "bitextMine", "bitextMineLsh")
     graft.plans.VectorOps.register(emb.sparkSession)
     graft.plans.TopK.register(emb.sparkSession)
     val withN = emb.select(col("vec_id"), col("embedding"),

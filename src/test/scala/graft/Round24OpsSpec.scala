@@ -615,4 +615,28 @@ class Round24OpsSpec extends SparkSpec {
     assert(r(3L)._3 == 0.625)
     assert(r(3L)._4 == 3.5)
   }
+
+  test("exact all-pairs baselines refuse to schedule past the pair " +
+    "budget, naming the LSH sibling") {
+    val rnd = new scala.util.Random(24099)
+    val emb = (0L until 10L).map { i =>
+      (i, Array.fill(4)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "embedding")
+    // 10 vectors: C(10,2)=45 unordered pairs; 5 even × 5 odd = 25 A×B
+    val exNd = intercept[IllegalArgumentException] {
+      graft.ext.Similarity.embeddingNearDup(emb, 0.3, maxPairs = 44L)
+    }
+    assert(exNd.getMessage.contains("embeddingNearDupLSH"))
+    assert(exNd.getMessage.contains("45 pairs"))
+    val exBm = intercept[IllegalArgumentException] {
+      graft.ext.Similarity.bitextMine(emb, maxPairs = 24L)
+    }
+    assert(exBm.getMessage.contains("bitextMineLsh"))
+    assert(exBm.getMessage.contains("25 pairs"))
+    // at budget == pair count both still run
+    assert(graft.ext.Similarity.embeddingNearDup(emb, -1.0,
+      maxPairs = 45L).count() == 45L)
+    assert(graft.ext.Similarity.bitextMine(emb, maxPairs = 25L)
+      .count() >= 1L)
+  }
 }

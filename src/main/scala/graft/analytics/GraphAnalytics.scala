@@ -560,18 +560,29 @@ object GraphAnalytics {
     * node-sized aggregate over the (checkpointed, signal-sized)
     * symmetric edge list computes the exact wedge count Σ_z C(deg z, 2)
     * and refuses to schedule a quadratic fanout past `maxWedges`,
-    * naming the hub-capped scale sibling. deg·(deg−1) is even, so the
-    * integer halving is exact; longs hold it to deg ≈ 3e9. */
+    * naming the hub-capped scale sibling. The per-node product and the
+    * sum run in DECIMAL(38,0) — Spark's `/` is double division, which
+    * loses integer precision above deg ≈ 9.4e7, and a long sum can
+    * wrap; decimals keep the count exact to 38 digits, and deg·(deg−1)
+    * is even so the driver-side halving of the summed products is
+    * exact too. A null sum over a nonempty node frame can only mean
+    * decimal overflow (> 1e38 wedge-pairs) — refuse outright. */
   private[graft] def requireWedgeBudget(sym: DataFrame, maxWedges: Long,
                                         op: String,
                                         sibling: String): Unit = {
     val row = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
-      .agg(sum((col("d") * (col("d") - lit(1)) / lit(2)).cast("long"))
-        .as("w"), max(col("d")).as("m"))
+      .agg(sum(col("d").cast("decimal(38,0)") *
+          (col("d") - lit(1)).cast("decimal(38,0)")).as("w2"),
+        max(col("d")).as("m"), count(lit(1)).as("nz"))
       .head()
-    val (w, m) = (if (row.isNullAt(0)) 0L else row.getLong(0),
-      if (row.isNullAt(1)) 0L else row.getLong(1))
-    require(w <= maxWedges,
+    require(row.getLong(2) == 0L || !row.isNullAt(0),
+      s"$op: exact wedge count overflowed DECIMAL(38,0) — the " +
+        s"enumeration is astronomically over budget $maxWedges; use " +
+        s"$sibling.")
+    val w = (if (row.isNullAt(0)) BigInt(0)
+      else BigInt(row.getDecimal(0).toBigInteger)) / 2
+    val m = if (row.isNullAt(1)) 0L else row.getLong(1)
+    require(w <= BigInt(maxWedges),
       s"$op: exact wedge enumeration would build $w wedges " +
         s"(Σ_z C(deg z, 2); max degree $m) over budget $maxWedges. " +
         s"This uncapped form is a small-fixture oracle baseline — use " +

@@ -1717,10 +1717,16 @@ object Similarity {
     * the mutuality join are already the scale shape and need no change. */
   def bitextMine(emb: DataFrame, kDen: Int = 4,
                  maxPairs: Long = DefaultPairBudget): DataFrame = {
-    // one pass counts both parity sides; trips before the A×B synthesis
-    val parity = emb.groupBy((col("vec_id") % 2).as("p")).count()
-      .collect().map(r => r.getLong(1)).padTo(2, 0L)
-    requirePairBudget(BigInt(parity(0)) * BigInt(parity(1)), maxPairs,
+    // one pass counts both parity sides with predicates that exactly
+    // mirror the A/B filters below — a null or negative vec_id (% 2 →
+    // null / −1) belongs to neither side and counts toward neither
+    // factor, so the budget is precisely |A|·|B|, never the product of
+    // two arbitrary groupBy rows; trips before the A×B synthesis
+    val sides = emb.agg(
+      count(when(col("vec_id") % 2 === 0, lit(1))).as("na"),
+      count(when(col("vec_id") % 2 === 1, lit(1))).as("nb")).head()
+    requirePairBudget(
+      BigInt(sides.getLong(0)) * BigInt(sides.getLong(1)), maxPairs,
       "bitextMine", "bitextMineLsh")
     graft.plans.VectorOps.register(emb.sparkSession)
     graft.plans.TopK.register(emb.sparkSession)

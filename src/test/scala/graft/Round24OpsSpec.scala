@@ -638,5 +638,22 @@ class Round24OpsSpec extends SparkSpec {
       maxPairs = 45L).count() == 45L)
     assert(graft.ext.Similarity.bitextMine(emb, maxPairs = 25L)
       .count() >= 1L)
+    // the guard must mirror the A/B parity filters exactly: a null
+    // vec_id (% 2 → null) and a negative one (% 2 → −1) belong to
+    // NEITHER side, so they inflate neither budget factor — still
+    // 5 × 5 = 25 pairs, and budget 25 still passes
+    val dirty = (0L until 10L).map { i =>
+      (Option(i), Array.fill(4)(rnd.nextGaussian().toFloat)) }
+      .toDF("vec_id", "embedding")
+      .unionAll(Seq(
+        (Option(-3L), Array.fill(4)(rnd.nextGaussian().toFloat)),
+        (Option.empty[Long], Array.fill(4)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding"))
+    val exDirty = intercept[IllegalArgumentException] {
+      graft.ext.Similarity.bitextMine(dirty, maxPairs = 24L)
+    }
+    assert(exDirty.getMessage.contains("25 pairs"))
+    assert(graft.ext.Similarity.bitextMine(dirty, maxPairs = 25L)
+      .count() >= 1L)
   }
 }

@@ -99,9 +99,14 @@ def _check_one(task):
     try:
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
         t1 = time.time()
+        # delta, not cumulative: a pooled worker's spill dir carries
+        # leftovers from earlier queries, so snapshot before and charge
+        # only this query's growth (best-effort — spill DuckDB deletes
+        # before the query returns is invisible to both snapshots)
+        spill0 = _spill_gb()
         exp = _CON.sql(sql).df()
         oracle_sec = time.time() - t1
-        spill_gb = _spill_gb()
+        spill_gb = max(0.0, _spill_gb() - spill0)
     except Exception as e:
         return {"name": name, "ok": False, "msg": str(e)[:500],
                 "oracle_sec": 0.0, "total_sec": time.time() - t0, "rows": 0}
@@ -154,9 +159,11 @@ def main() -> int:
                          "quadratic regression should fail LOUDLY, not by "
                          "OOM or judge patience; 0 disables")
     ap.add_argument("--max-spill-gb", type=float, default=30.0,
-                    help="per-query DuckDB spill-dir ceiling in GB "
-                         "(only observable when --mem sets a spill dir); "
-                         "0 disables")
+                    help="per-query DuckDB spill-dir ceiling in GB, "
+                         "measured as the spill-dir GROWTH across the "
+                         "query (best-effort: spill deleted mid-query "
+                         "is under-counted; only observable when --mem "
+                         "sets a spill dir); 0 disables")
     ap.add_argument("--budget-exempt", default=None,
                     help="comma-separated query names allowed to exceed "
                          "the oracle budget (the documented all-pairs "

@@ -70,30 +70,38 @@ object Bench {
     // as "0.057 s each, rc=0" exactly this way).
     val runs = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val err: Option[String] =
-        try { fn(spark, sfDir).count(); None }
+      // keep the count: for the pair-enumeration forms the OUTPUT rows
+      // are the scale story ("time grew 12x because pairs grew 100x"),
+      // so the detail file records them instead of re-arguing it
+      val res: Either[String, Long] =
+        try Right(fn(spark, sfDir).count())
         catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      (name, (System.nanoTime() - t0) / 1e9, res)
     }
     // A thrown query's time-to-throw is NOT a timing: it is excluded from
     // total_sec and from the compact line's queries map entirely, so a slow
     // failure can never masquerade as a plausible per-query number. Failures
     // surface as the error count / failed list / ERROR detail rows instead.
-    val results = runs.collect { case (n, t, None) => (n, t) }
-    val failed = runs.collect { case (n, _, Some(m)) => (n, m) }
+    val results = runs.collect { case (n, t, Right(_)) => (n, t) }
+    val rowCounts = runs.collect { case (n, _, Right(c)) => (n, c) }
+    val failed = runs.collect { case (n, _, Left(m)) => (n, m) }
     failed.foreach { case (n, m) => System.err.println(s"[bench] FAILED $n: $m") }
     val total = results.map(_._2).sum
     // Full breakdown (slowest first) for offline reading; failed queries are
     // marked with an explicit error string instead of their time-to-throw.
+    // "rows" carries each query's OUTPUT row count so the scale/skew
+    // evidence tables can show output growth next to time growth.
+    val rowsJson = rowCounts.sortBy(_._1)
+      .map { case (k, c) => s""""$k": $c""" }.mkString("{", ", ", "}")
     val detail = (results.sortBy(-_._2)
       .map { case (k, v) => s"""  "$k": ${f3(v)}""" } ++
       failed.map { case (k, _) => s"""  "$k": "ERROR"""" })
       .mkString(
         s"""{\n  "total_sec": ${f3(total)},\n  "errors": ${failed.length},\n""" +
           s"""  "failed": [${failed.map(f => s""""${f._1}"""").mkString(", ")}],\n""" +
-          s"""  "sf": "$sfDir",\n""",
+          s"""  "sf": "$sfDir",\n  "rows": $rowsJson,\n""",
         ",\n", "\n}\n")
     try java.nio.file.Files.writeString(
       java.nio.file.Path.of("BENCH_DETAIL.json"), detail)

@@ -25,6 +25,14 @@ object SparkEntry {
     * quarantined type, FIXTURES.md §B). */
   val AllowedRawTypes: Seq[String] = Seq("signup", "purchase", "view", "click")
 
+  /** Scratch root for the sink-roundtrip / warehouse queries. Relative
+    * to the JVM's working dir by default; `SPARK_GRAFT_TMP` overrides it
+    * so CONCURRENT Verify processes (the partition-invariance campaign
+    * runs one per execution shape) never collide on each other's
+    * half-written files. */
+  private[graft] val scratchRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_TMP", "target/tmp")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     StarAnalytics.regionRevenue(spark, "/root/testdata/sf0.001")
@@ -349,7 +357,7 @@ object SparkEntry {
 
     // ---- K-group: ORC sink+source roundtrip (columnar format #2) ----
     "q_orc_roundtrip" -> ((s, d) => {
-      val tmp = "target/tmp/orc_events"
+      val tmp = s"$scratchRoot/orc_events"
       Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
         .write.mode("overwrite").orc(tmp)
@@ -361,7 +369,7 @@ object SparkEntry {
 
     // ---- K1/K2+S1/S6: CSV and JSONL sink+source roundtrips ----
     "q_csv_roundtrip" -> ((s, d) => {
-      val tmp = "target/tmp/csv_events"
+      val tmp = s"$scratchRoot/csv_events"
       val src = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
       src.write.mode("overwrite").option("header", true).csv(tmp)
@@ -372,7 +380,7 @@ object SparkEntry {
         .orderBy("event_type")
     }),
     "q_jsonl_roundtrip" -> ((s, d) => {
-      val tmp = "target/tmp/jsonl_events"
+      val tmp = s"$scratchRoot/jsonl_events"
       val src = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
       src.write.mode("overwrite").json(tmp)
@@ -389,7 +397,7 @@ object SparkEntry {
     // old files — the schema-drift tolerance the reference implements by
     // hand-patching columns (SURVEY.md §1.3) done at the source level.
     "q_schema_evolution" -> ((s, d) => {
-      val tmp = "target/tmp/schema_evo"
+      val tmp = s"$scratchRoot/schema_evo"
       val ev = Tables.events(s, d)
       ev.filter(col("event_id") % 2 === 0)
         .select(col("event_id"), col("event_type"))
@@ -1044,7 +1052,7 @@ object SparkEntry {
     // batch 2 extend the batch-1 id range in sorted order).
     "q_upsert_intl" -> ((s, d) => {
       val intl = intlCanonical(s, d) // memo is already checkpointed
-      val root = "target/tmp/intl_wh"
+      val root = s"$scratchRoot/intl_wh"
       val hp = new org.apache.hadoop.fs.Path(root)
       val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(hp)) fs.delete(hp, true)
@@ -1156,14 +1164,23 @@ object SparkEntry {
 
     // ---- window: percent_rank / cume_dist (relative standing) ----
     "q_value_ranks" -> ((s, d) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("o_orderpriority")
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.orders(s, d)
-        .select(col("o_orderpriority"), col("o_orderkey"),
+      // percent_rank/cume_dist over a 5-NDV priority key: the direct
+      // Window.partitionBy form funnels ~20% of the corpus through one
+      // task at ANY scale (the concentration-share lint's first catch),
+      // so the ranks come from the grouped two-pass primitive — the
+      // total order (price, orderkey) makes rank ≡ row_number, hence
+      // pr = (rn−1)/(n−1) and cd = rn/n exactly
+      val ranked = graft.operators.GlobalRank.withGroupRowNumber(
+        Tables.orders(s, d).select("o_orderpriority", "o_orderkey",
+          "o_totalprice"),
+        Seq(col("o_orderpriority")),
+        Seq(col("o_totalprice"), col("o_orderkey")), "rn", "ng")
+      ranked.select(col("o_orderpriority"), col("o_orderkey"),
           col("o_totalprice"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
+          round(when(col("ng") > 1L, (col("rn") - 1L).cast("double") /
+            (col("ng") - 1L).cast("double")).otherwise(0.0), 6).as("pr"),
+          round(col("rn").cast("double") / col("ng").cast("double"), 6)
+            .as("cd"))
         .filter(col("o_orderkey") % 100 === 0) // thin the dump, ranks intact
         .orderBy("o_orderpriority", "o_orderkey")
     }),

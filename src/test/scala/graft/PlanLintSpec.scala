@@ -238,6 +238,146 @@ class PlanLintSpec extends SparkSpec {
         offenders.mkString(", "))
   }
 
+  /** Low-NDV windows adjudicated as domain-bounded (name → why). The
+    * lint's first run (r13) flagged two queries: q_value_ranks was a
+    * REAL corpus-linear hot task and migrated onto
+    * GlobalRank.withGroupRowNumber; q_winsorize is exempt below. */
+  private val concentrationExempt: Map[String, String] = Map(
+    "q_winsorize" -> ("the cumulative window's feed is the per-group " +
+      "VALUE CENSUS (event_type, value, count), hard-capped by the " +
+      "2-decimal money domain: max per-group distinct values measured " +
+      "206 (sf0.001) / 1,826 (sf0.01) / 9,913 (sf0.1) / 9,913 (sf1) — " +
+      "EXACTLY FLAT across the 10x sf0.1->sf1 row step, bound " +
+      "~5.6e4 = |2dp values in [0, 560]|. The lint flags it only " +
+      "because the tiny fixtures sit below saturation."))
+
+  test("low-NDV partitioned Windows (1 < key NDV < 32 at sf0.01) keep " +
+    "their biggest key group scale-bounded (concentration-share lint)") {
+    // The NDV<=1 pass above catches constant keys; a 2..31-NDV key (a
+    // boolean flag, a small enum) still concentrates a CONSTANT corpus
+    // fraction in one window task — every executor past the NDV count
+    // idles while the hot task sorts O(corpus) rows (VERDICT r12 item
+    // 3). For each partitioned logical Window whose key NDV sits below
+    // the driver-contract parallelism (32 = the local[32] contract;
+    // cluster parallelism is higher, so a key below even this bound
+    // guarantees concentration), ONE aggregate pass per scale measures
+    // (ndv, max group rows, feed rows); a window is an offender when
+    // its biggest group grows with the corpus while its feed SHARE does
+    // not shrink — the signature of a fixed key space carving up a
+    // growing corpus. Bounded feeds (census/day-grain children) stay
+    // flat and pass; keyspace-growing windows see their share shrink
+    // and pass; rank-filter windows (logical WindowGroupLimit below —
+    // Spark's partial mode caps the shuffled rows per group map-side)
+    // are structurally safe and excluded.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal,
+      NamedExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      LogicalPlan, Window => LWindow, WindowGroupLimit}
+    import org.apache.spark.sql.classic.GraftTestBridge.ofRows
+    import org.apache.spark.sql.functions.{col, count => fcount, lit,
+      max => fmax, sum => fsum}
+
+    val P = 32L
+    def pwindows(p: LogicalPlan): Seq[LWindow] =
+      p.collect { case w: LWindow if w.partitionSpec.nonEmpty &&
+        !w.child.exists(_.isInstanceOf[WindowGroupLimit]) => w }
+
+    case class GStats(ndv: Long, maxG: Long, feed: Long) {
+      def share: Double = maxG.toDouble / math.max(feed, 1L).toDouble
+    }
+    val cache = scala.collection.mutable.Map
+      .empty[(LogicalPlan, Seq[Any]), GStats]
+    def groupStats(w: LWindow): GStats = cache.getOrElseUpdate(
+      (w.child.canonicalized, w.partitionSpec.map(_.canonicalized)), {
+        val named = w.partitionSpec.zipWithIndex.map {
+          case (ne: NamedExpression, _) => ne
+          case (e, i) => Alias(e, s"__lint_k$i")()
+        }
+        val cnt = Alias(Count(Literal(1)).toAggregateExpression(),
+          "__lint_cnt")()
+        val counts = ofRows(spark,
+          Aggregate(w.partitionSpec, named :+ cnt, w.child))
+        val r = counts.agg(fcount(lit(1)), fmax(col("__lint_cnt")),
+          fsum(col("__lint_cnt"))).head()
+        GStats(r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))
+      })
+    // the offender criterion, named so the anti-vacuity self-test below
+    // exercises EXACTLY what the registry sweep applies
+    def concentrated(small: GStats, big: GStats): Boolean =
+      big.ndv > 1L && big.ndv < P &&
+        big.maxG > 1000L && big.maxG > 3L * math.max(small.maxG, 1L) &&
+        big.share > 0.5 * small.share
+
+    var partitionedSeen = 0
+    val suspects = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[Int]]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val ws = pwindows(fn(spark, sf).queryExecution.optimizedPlan)
+      partitionedSeen += ws.size
+      val idx = ws.zipWithIndex.collect {
+        case (w, i) if { val s = groupStats(w); s.ndv > 1L && s.ndv < P }
+          => i
+      }
+      if (idx.nonEmpty && !concentrationExempt.contains(name))
+        suspects(name) = idx
+    }
+    // lower bar than the NDV pass: the WindowGroupLimit exclusion
+    // removes the ~30 rank-filter windows from this traversal (57 seen
+    // on the r13 registry)
+    assert(partitionedSeen > 40,
+      s"traversal saw only $partitionedSeen partitioned Windows - " +
+        "lint blind?")
+
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    for ((name, idx) <- suspects) {
+      val fn = SparkEntry.queries(name)
+      val both = Seq(sf, "/root/testdata/sf0.01").map { d =>
+        pwindows(fn(spark, d).queryExecution.optimizedPlan)
+      }
+      if (both(0).size != both(1).size)
+        offenders += s"$name (plan shape differs across scales)"
+      else for (i <- idx) {
+        val (sSmall, sBig) = (groupStats(both(0)(i)),
+          groupStats(both(1)(i)))
+        if (concentrated(sSmall, sBig))
+          offenders += (s"$name (window $i: ndv=${sBig.ndv}, max group " +
+            s"${sSmall.maxG} -> ${sBig.maxG} rows, share " +
+            f"${sSmall.share}%.3f -> ${sBig.share}%.3f)")
+      }
+    }
+    assert(offenders.isEmpty,
+      "low-NDV partitioned Window with corpus-growing hot group in: " +
+        offenders.mkString(", "))
+
+    // Anti-vacuity: the registry may legitimately contain zero low-NDV
+    // offenders, so prove the criterion itself has teeth on a KNOWN-BAD
+    // shape — a 2-NDV parity key over the full events corpus measured
+    // through the same groupStats/concentrated machinery must flag,
+    // and the same frame keyed by near-unique user_id must pass.
+    def statsFor(d: String, key: org.apache.spark.sql.Column): GStats = {
+      val w = pwindows(graft.Tables.events(spark, d)
+        .withColumn("__k", key)
+        .withColumn("__r", org.apache.spark.sql.functions.sum(lit(1))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__k")).orderBy(col("event_id"))))
+        .queryExecution.optimizedPlan)
+      assert(w.size == 1, s"self-test expected 1 window, saw ${w.size}")
+      groupStats(w.head)
+    }
+    val parity = Seq(sf, "/root/testdata/sf0.01")
+      .map(d => statsFor(d, org.apache.spark.sql.functions
+        .abs(org.apache.spark.sql.functions.hash(col("event_id"))) % 2))
+    assert(concentrated(parity(0), parity(1)),
+      s"anti-vacuity: 2-NDV parity window not flagged ($parity)")
+    val byUser = Seq(sf, "/root/testdata/sf0.01")
+      .map(d => statsFor(d, col("user_id")))
+    assert(!concentrated(byUser(0), byUser(1)),
+      s"anti-vacuity: high-NDV user window wrongly flagged ($byUser)")
+  }
+
   test("no query plans a CartesianProduct (outside documented oracles) " +
     "or an interpreted UDF") {
     val offendersCart = scala.collection.mutable.ListBuffer.empty[String]

@@ -157,6 +157,49 @@ class Round27PropSpec extends SparkSpec {
     assert(want(0L) == null && want(299L) != null) // fixture is live
   }
 
+  test("GlobalRank.withGroupRowNumber == per-group row_number, null " +
+    "group keys form one group, outCount == group size") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // 3-NDV key incl. nulls over scattered input — the low-NDV shape
+    // the concentration-share lint flags; groups MUST span range
+    // partitions (500 rows, 5 partitions) for the offsets to matter
+    val rnd = new scala.util.Random(27013)
+    val df = Seq.fill(500)((rnd.nextInt(3), rnd.nextLong()))
+      .zipWithIndex.map { case ((g, v), i) =>
+        (i.toLong, if (g == 2) null else s"g$g", v) }
+      .toDF("id", "g", "v")
+      .repartition(7)
+    val w = W.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    val want = df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("ng", count(lit(1)).over(W.partitionBy(col("g"))))
+      .select("id", "rn", "ng").collect()
+      .map(r => (r.getLong(0), (r.getInt(1).toLong, r.getLong(2)))).toMap
+    val got = graft.operators.GlobalRank.withGroupRowNumber(df,
+        Seq(col("g")), Seq(col("v").desc, col("id")), "rn", "ng",
+        numPartitions = 5)
+      .select("id", "rn", "ng").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+    // fixture is live: the null group exists and is non-trivial
+    assert(want.values.map(_._2).toSet.size == 3)
+  }
+
+  test("GlobalRank.withGroupRowNumber: expression group keys and no " +
+    "outCount leave the schema clean") {
+    val df = (0L until 100L).map(i => (i, i % 7)).toDF("id", "x")
+      .repartition(4)
+    val out = graft.operators.GlobalRank.withGroupRowNumber(df,
+      Seq(col("x") % 2), Seq(col("id")), "rn", numPartitions = 3)
+    assert(out.columns.toSeq == Seq("id", "x", "rn"))
+    val m = out.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // even-x group = {i : i%7 in {0,2,4,6}}, 4 per 7-cycle: id 98
+    // (98%7=0) has 14 full cycles × 4 = 56 group rows below it;
+    // odd-x group has 3 per cycle: id 99 (99%7=1) has 14 × 3 = 42
+    assert(m(0L) == 1L && m(2L) == 2L && m(98L) == 57L)
+    assert(m(1L) == 1L && m(99L) == 43L)
+  }
+
   test("decoded-raster SimHash arm recovers every constructed true pair") {
     // ids kept by mod=10 are {0,1,10,11,20,21,30,31}; base-image pairs
     // are (0,1), (10,11), (20,21), (30,31)

@@ -12,8 +12,11 @@ REPO = "/root/repo"
 DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
 
 def run_bench(sf_dir: str, queries: list[str], reps: int, cpus: str, mem: str):
-    """Returns {query: [t1..tN]}. Each rep is a fresh JVM (sbt runMain)."""
+    """Returns ({query: [t1..tN]}, {query: output_rows}). Each rep is a
+    fresh JVM (sbt runMain); output rows are deterministic, so the last
+    successful rep's counts win (and a cross-rep mismatch is an error)."""
     times: dict[str, list[float]] = {q: [] for q in queries}
+    rows: dict[str, int] = {}
     saved = None
     if os.path.exists(DETAIL):
         saved = DETAIL + ".orig"
@@ -52,7 +55,7 @@ def run_bench(sf_dir: str, queries: list[str], reps: int, cpus: str, mem: str):
             if not queries:
                 # full-registry mode: harvest the query list from the
                 # first successful rep's detail keys
-                meta = {"total_sec", "errors", "failed", "sf"}
+                meta = {"total_sec", "errors", "failed", "sf", "rows"}
                 for q in d:
                     if q not in meta and q not in times:
                         times[q] = []
@@ -62,12 +65,20 @@ def run_bench(sf_dir: str, queries: list[str], reps: int, cpus: str, mem: str):
                 if q in d and isinstance(d[q], (int, float)) \
                         and not isinstance(d[q], bool):
                     times[q].append(float(d[q]))
+            # output-row telemetry (Bench "rows" since r13): counts are
+            # deterministic — flag a cross-rep mismatch loudly
+            for q, c in d.get("rows", {}).items():
+                if q in rows and rows[q] != c:
+                    print(f"[scale_bench] ERROR: {q} output rows moved "
+                          f"across reps ({rows[q]} != {c}) — "
+                          "nondeterministic query?", file=sys.stderr)
+                rows[q] = c
             print(f"[scale_bench] {sf_dir} rep {rep}: "
                   f"total={d.get('total_sec')} errors={d.get('errors')}")
     finally:
         if saved:
             shutil.move(saved, DETAIL)
-    return times
+    return times, rows
 
 def main():
     # /tmp/sf1_subset.txt: comma-separated names, or the literal ALL
@@ -80,20 +91,24 @@ def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     mem = os.environ.get("SPARK_DRIVER_MEM", "48g")
-    out = {}
+    out, rows = {}, {}
     for label, sf in [("sf0.1", "/root/testdata/sf0.1"),
                       ("sf1", os.path.join(REPO, "scale/sf1"))]:
-        out[label] = run_bench(sf, queries, reps, cpus, mem)
+        out[label], rows[label] = run_bench(sf, queries, reps, cpus, mem)
     floors = {label: {q: (min(ts) if ts else None)
                       for q, ts in d.items()}
               for label, d in out.items()}
     result = {"reps": reps, "cpus": cpus,
-              "raw": out, "floors": floors}
+              "raw": out, "floors": floors, "rows": rows}
     json.dump(result, open("/tmp/scale_bench.json", "w"), indent=1)
-    # growth table: rows scale 10x for every scaled table, so per-row cost
-    # growth == time growth / 10
+    # growth table: input rows scale 10x for every scaled table, so
+    # per-(input-)row cost growth == time growth / 10. The out0.1/out1/
+    # outx columns carry OUTPUT rows so an output-bound form (a pair
+    # enumerator whose result mass grows superlinearly) reads directly
+    # as "time grew because output grew" instead of being re-adjudicated
+    # in prose each round.
     print(f"\n{'query':34s} {'sf0.1':>8s} {'sf1':>8s} {'ratio':>7s} "
-          f"{'perrow':>7s}")
+          f"{'perrow':>7s} {'out0.1':>10s} {'out1':>11s} {'outx':>7s}")
     flagged = []
     names = sorted(queries) if queries else \
         sorted(set(floors["sf0.1"]) | set(floors["sf1"]))
@@ -103,10 +118,15 @@ def main():
             print(f"{q:34s} MISSING"); flagged.append(q); continue
         ratio = b / a if a > 0 else float("inf")
         perrow = ratio / 10.0
+        ra, rb = rows["sf0.1"].get(q), rows["sf1"].get(q)
+        outx = (f"{rb / max(ra, 1):7.2f}"
+                if ra is not None and rb is not None else "      ?")
         flag = " <-- INVESTIGATE" if perrow > 2.0 else ""
         if flag:
             flagged.append(q)
-        print(f"{q:34s} {a:8.3f} {b:8.3f} {ratio:7.2f} {perrow:7.2f}{flag}")
+        print(f"{q:34s} {a:8.3f} {b:8.3f} {ratio:7.2f} {perrow:7.2f} "
+              f"{ra if ra is not None else '?':>10} "
+              f"{rb if rb is not None else '?':>11} {outx}{flag}")
     print(f"\nflagged: {flagged}")
 
 if __name__ == "__main__":

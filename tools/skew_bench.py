@@ -17,6 +17,7 @@ DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
 
 def run_bench(sf_dir, queries, reps, cpus, mem):
     times = {q: [] for q in queries}
+    rows = {}
     for rep in range(reps):
         env = dict(os.environ,
                    SPARK_GRAFT_SF_DIR=sf_dir,
@@ -47,9 +48,16 @@ def run_bench(sf_dir, queries, reps, cpus, mem):
             if q in d and isinstance(d[q], (int, float)) \
                     and not isinstance(d[q], bool):
                 times[q].append(float(d[q]))
+        # output-row telemetry (Bench "rows" since r13): deterministic,
+        # so a cross-rep mismatch is reported, last rep wins
+        for q, c in d.get("rows", {}).items():
+            if q in rows and rows[q] != c:
+                print(f"[skew_bench] ERROR: {q} output rows moved "
+                      f"across reps ({rows[q]} != {c})", file=sys.stderr)
+            rows[q] = c
         print(f"[skew_bench] {sf_dir} rep {rep}: "
               f"total={d.get('total_sec')} errors={d.get('errors')}")
-    return times
+    return times, rows
 
 
 def main():
@@ -62,18 +70,24 @@ def main():
     if os.path.exists(DETAIL):
         saved = open(DETAIL).read()
     try:
-        out = {}
+        out, rows = {}, {}
         for label, sf in [("uniform", "/root/testdata/sf0.1"),
                           ("zipf", os.path.join(REPO, "scale/sf0.1zipf"))]:
-            out[label] = run_bench(sf, queries, reps, cpus, mem)
+            out[label], rows[label] = run_bench(sf, queries, reps, cpus,
+                                               mem)
     finally:
         if saved is not None:
             open(DETAIL, "w").write(saved)
     floors = {label: {q: (min(ts) if ts else None) for q, ts in d.items()}
               for label, d in out.items()}
-    result = {"reps": reps, "cpus": cpus, "raw": out, "floors": floors}
+    result = {"reps": reps, "cpus": cpus, "raw": out, "floors": floors,
+              "rows": rows}
     json.dump(result, open("/tmp/skew_bench.json", "w"), indent=1)
-    print(f"\n{'query':34s} {'uniform':>8s} {'zipf':>8s} {'ratio':>7s}")
+    # out-u/out-z/outx: OUTPUT rows per arm — a pair enumerator whose
+    # zipf floor moves because the hot domain genuinely emits more pairs
+    # reads directly off the outx column
+    print(f"\n{'query':34s} {'uniform':>8s} {'zipf':>8s} {'ratio':>7s} "
+          f"{'out-u':>10s} {'out-z':>10s} {'outx':>7s}")
     flagged = []
     for q in sorted(queries):
         a, b = floors["uniform"].get(q), floors["zipf"].get(q)
@@ -82,10 +96,15 @@ def main():
             flagged.append(q)
             continue
         ratio = b / a if a > 0 else float("inf")
+        ra, rb = rows["uniform"].get(q), rows["zipf"].get(q)
+        outx = (f"{rb / max(ra, 1):7.2f}"
+                if ra is not None and rb is not None else "      ?")
         flag = " <-- SKEW-SENSITIVE" if ratio > 3.0 else ""
         if flag:
             flagged.append(q)
-        print(f"{q:34s} {a:8.3f} {b:8.3f} {ratio:7.2f}{flag}")
+        print(f"{q:34s} {a:8.3f} {b:8.3f} {ratio:7.2f} "
+              f"{ra if ra is not None else '?':>10} "
+              f"{rb if rb is not None else '?':>10} {outx}{flag}")
     print(f"\nflagged: {flagged}")
 
 

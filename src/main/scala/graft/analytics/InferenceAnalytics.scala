@@ -581,6 +581,16 @@ object InferenceAnalytics {
     import graft.ext.TextFns.portableH60
     val types = Seq("click", "error", "purchase", "signup", "view")
     val mCount = types.size
+    // Permutations ride a LONG frame — explode the per-user counts to
+    // one row per (user, permutation), hash the relabeling bit once per
+    // row, and fold 7 sums per permutation id — instead of the previous
+    // 366-aggregate wide form whose per-permutation md5 subtrees cost
+    // ~2 s of Catalyst planning per run at ANY data size (the plan text
+    // alone was 240 KB). Integer folds are identical either way (same
+    // md5 bits, same conditional sums, addition regrouped over the same
+    // values), so the result is bit-equal; the explode adds one
+    // map-side-combined pass over nPerms·|users| narrow rows, which is
+    // the standard shape for permutation sweeps at corpus scale.
     val perUser = ev.filter(col("user_id").isNotNull)
       .groupBy("user_id")
       .agg(types.map(t => sum(when(col("event_type") === t, 1L)
@@ -588,32 +598,51 @@ object InferenceAnalytics {
         types.map(t => sum(when(col("event_type") === t, 1L)
           .otherwise(0L)).as(s"x_$t")).tail: _*)
       .withColumn("g", Sampling.hashBucket(col("user_id"), 2))
-    def bit(p: Int): Column = pmod(portableH60(
-      concat(col("user_id").cast("string"), lit(s":$p"))), lit(2L))
-    val aggs: Seq[Column] =
+      .localCheckpoint(false) // base + permutation passes share one scan
+    val baseAggs: Seq[Column] =
       Seq(sum(when(col("g") === 0L, 1L).otherwise(0L)).as("n0g")) ++
       types.map(t => sum(col(s"x_$t")).as(s"s_$t")) ++
       types.map(t => sum(when(col("g") === 0L, col(s"x_$t"))
-        .otherwise(0L)).as(s"s0g_$t")) ++
-      (1 to nPerms).map(p => sum(when(bit(p) === 0L, 1L).otherwise(0L))
-        .as(s"n0_$p")) ++
-      (1 to nPerms).flatMap(p => types.map(t =>
-        sum(when(bit(p) === 0L, col(s"x_$t")).otherwise(0L))
-          .as(s"s0_${p}_$t")))
-    val m = perUser.agg(count(lit(1)).as("n"), aggs: _*)
-      .localCheckpoint() // the 5 metric melts all read this one row
+        .otherwise(0L)).as(s"s0g_$t"))
+    // 60 rows: per-permutation group-0 size and per-metric group-0 sums,
+    // with the SAME portable hash bit as the wide form (":p" suffix via
+    // string concat of the integer permutation id).
+    val bitCol = pmod(portableH60(concat(col("user_id").cast("string"),
+      lit(":"), col("__perm").cast("string"))), lit(2L))
+    val perPerm = perUser
+      .select(col("user_id") +: types.map(t => col(s"x_$t")) :+
+        explode(sequence(lit(1), lit(nPerms))).as("__perm"): _*)
+      .withColumn("__b", bitCol)
+      .groupBy("__perm")
+      .agg(sum(when(col("__b") === 0L, 1L).otherwise(0L)).as("n0"),
+        types.map(t => sum(when(col("__b") === 0L, col(s"x_$t"))
+          .otherwise(0L)).as(s"s0_$t")): _*)
     def d(c: Column) = c.cast("double")
     def diffOf(s0: Column, n0: Column, s: Column): Column = {
       val n1 = col("n") - n0
       when(n0 > 0L && n1 > 0L,
         d(s0) / d(n0) - (d(s) - d(s0)) / d(n1)).otherwise(lit(0.0))
     }
+    val base = perUser.agg(count(lit(1)).as("n"), baseAggs: _*)
+    // Exceedance counts: one aggregate over the 60-row permutation frame
+    // joined to the single base row. sum(when) over the permutation rows
+    // adds the same 0/1 longs the wide form's reduce(_+_) added.
+    // coalesce(..., nPerms): with ZERO users the permutation frame is
+    // empty while the wide form still folded 60 vacuous indicators of 1
+    // (diffOf's otherwise-0 on both sides, |0| >= |0|).
+    val exceeds = perPerm.crossJoin(broadcast(base))
+      .select(types.map { t =>
+        val obs = diffOf(col(s"s0g_$t"), col("n0g"), col(s"s_$t"))
+        when(abs(diffOf(col(s"s0_$t"), col("n0"), col(s"s_$t"))) >=
+          abs(obs), 1L).otherwise(0L).as(s"ex_$t")
+      }: _*)
+      .agg(sum(col(s"ex_${types.head}")).as(s"exceed_${types.head}"),
+        types.tail.map(t => sum(col(s"ex_$t")).as(s"exceed_$t")): _*)
+    val m = base.crossJoin(broadcast(exceeds))
+      .localCheckpoint() // the 5 metric melts all read this one row
     val metricRows = types.map { t =>
       val obs = diffOf(col(s"s0g_$t"), col("n0g"), col(s"s_$t"))
-      val exceed = (1 to nPerms).map { p =>
-        when(abs(diffOf(col(s"s0_${p}_$t"), col(s"n0_$p"),
-          col(s"s_$t"))) >= abs(obs), 1L).otherwise(0L)
-      }.reduce(_ + _)
+      val exceed = coalesce(col(s"exceed_$t"), lit(nPerms.toLong))
       m.select(lit(t).as("metric"), r6(obs).as("diff_obs"),
         r6((lit(1.0) + d(exceed)) / lit((nPerms + 1).toDouble))
           .as("p_value"))
@@ -1391,42 +1420,62 @@ object InferenceAnalytics {
         sum(dc(col("x") * (d((col("j") - 1L) * (col("j") - 2L)) /
           d(greatest((col("nn") - 1L) * (col("nn") - 2L), lit(1L))))))
           .cast("double").as("s2"))
+    // The fit chain is factored through LAYERED projections on the
+    // 1-row folds frame: rl ⊃ mu ⊃ sigma ⊃ gk ⊃ lgamma(1+k) ⊃ k, and
+    // inlining every layer into every output column (the previous form)
+    // ballooned the plan to ~370 KB of repeated Lanczos literals that
+    // cost the optimizer ~0.9 s per run at any data size. CollapseProject
+    // keeps the layers apart (non-cheap producers referenced repeatedly
+    // are not re-inlined), and each named column evaluates the SAME
+    // double arithmetic as before — bit-identical output.
     val nD = d(greatest(n, lit(1L)))
-    val b0 = col("s0") / nD
-    val b1 = col("s1") / nD
-    val b2 = col("s2") / nD
-    val num = lit(2.0) * b1 - b0
-    val den = lit(3.0) * b2 - b0
-    val denDiv = when(den =!= 0.0, den).otherwise(lit(1.0))
-    val cc = num / denDiv - lit(PortableGamma.ln2OverLn3)
-    val k = lit(7.8590) * cc + lit(2.9554) * cc * cc
-    val gumbel = abs(k) < lit(1.0e-9)
-    val gk = exp(PortableGamma.lgamma(lit(1.0) + k))
-    val two2negk = exp(-k * lit(PortableGamma.ln2))
-    val sigDen = gk * (lit(1.0) - two2negk)
-    val sigDenDiv = when(sigDen =!= 0.0, sigDen).otherwise(lit(1.0))
-    val kDiv = when(k =!= 0.0, k).otherwise(lit(1.0))
-    val sigma = when(gumbel, num / lit(PortableGamma.ln2))
-      .otherwise(num * k / sigDenDiv)
-    val mu = when(gumbel, b0 - lit(PortableGamma.eulerGamma) * sigma)
-      .otherwise(b0 + sigma * (gk - lit(1.0)) / kDiv)
+    val staged = folds
+      .withColumn("b0", col("s0") / nD)
+      .withColumn("b1", col("s1") / nD)
+      .withColumn("b2", col("s2") / nD)
+      .withColumn("num", lit(2.0) * col("b1") - col("b0"))
+      .withColumn("den", lit(3.0) * col("b2") - col("b0"))
+      .withColumn("cc", col("num") /
+        when(col("den") =!= 0.0, col("den")).otherwise(lit(1.0)) -
+        lit(PortableGamma.ln2OverLn3))
+      .withColumn("k",
+        lit(7.8590) * col("cc") + lit(2.9554) * col("cc") * col("cc"))
+      .withColumn("gumbel", abs(col("k")) < lit(1.0e-9))
+      .withColumn("gk", exp(PortableGamma.lgamma(lit(1.0) + col("k"))))
+      .withColumn("kdiv",
+        when(col("k") =!= 0.0, col("k")).otherwise(lit(1.0)))
+      .withColumn("sigma", {
+        val two2negk = exp(-col("k") * lit(PortableGamma.ln2))
+        val sigDen = col("gk") * (lit(1.0) - two2negk)
+        val sigDenDiv = when(sigDen =!= 0.0, sigDen).otherwise(lit(1.0))
+        when(col("gumbel"), col("num") / lit(PortableGamma.ln2))
+          .otherwise(col("num") * col("k") / sigDenDiv)
+      })
+      .withColumn("mu",
+        when(col("gumbel"),
+          col("b0") - lit(PortableGamma.eulerGamma) * col("sigma"))
+        .otherwise(col("b0") +
+          col("sigma") * (col("gk") - lit(1.0)) / col("kdiv")))
     // 30-day return level: y = −ln(1 − 1/T). The fit above is in
     // HOSKING's shape convention (k = −ξ), so the quantile form is
     // Hosking's x(F) = μ + σ(1 − y^k)/k; Gumbel limit: μ − σ·ln(y).
     // (The modern-ξ form μ + σ(y^(−ξ) − 1)/ξ with k substituted for ξ
     // flips the tail sign — the round-9 ADVICE bug.)
     val y = -log(lit(1.0) - lit(1.0) / lit(returnDays.toDouble))
-    val rl = when(gumbel, mu - sigma * log(y))
-      .otherwise(mu + sigma * (lit(1.0) - exp(k * log(y))) / kDiv)
-    val ok = den =!= 0.0 && n > 2L
-    folds.select(n.as("n_days"),
-      r6(b0).as("b0"), r6(b1).as("b1"), r6(b2).as("b2"),
-      r6(when(ok, k).otherwise(lit(0.0))).as("shape_k"),
-      r6(when(ok, sigma).otherwise(lit(0.0))).as("sigma"),
-      r6(when(ok, mu).otherwise(lit(0.0))).as("mu"),
+    val rl = when(col("gumbel"), col("mu") - col("sigma") * log(y))
+      .otherwise(col("mu") +
+        col("sigma") * (lit(1.0) - exp(col("k") * log(y))) / col("kdiv"))
+    val ok = col("den") =!= 0.0 && n > 2L
+    staged.select(n.as("n_days"),
+      r6(col("b0")).as("b0"), r6(col("b1")).as("b1"),
+      r6(col("b2")).as("b2"),
+      r6(when(ok, col("k")).otherwise(lit(0.0))).as("shape_k"),
+      r6(when(ok, col("sigma")).otherwise(lit(0.0))).as("sigma"),
+      r6(when(ok, col("mu")).otherwise(lit(0.0))).as("mu"),
       r6(when(ok, rl).otherwise(lit(0.0)))
         .as(s"return_level_$returnDays"),
-      when(ok && gumbel, 1).otherwise(0).cast("int").as("gumbel_limit"))
+      when(ok && col("gumbel"), 1).otherwise(0).cast("int")
+        .as("gumbel_limit"))
   }
 }
 

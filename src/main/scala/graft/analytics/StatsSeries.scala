@@ -98,21 +98,28 @@ private[analytics] trait StatsSeries {
       .select(col("n"), (col("sx") / col("n").cast("double")).as("mean_x"))
     val centered = daily.crossJoin(broadcast(stats))
       .select(col("d"), col("n"), (col("x") - col("mean_x")).as("c"))
-    val denom = centered
-      .agg(sum((col("c") * col("c")).cast("decimal(28,10)"))
-        .cast("double").as("den"), max(col("n")).as("n"))
+    // All maxLag arms fold in ONE window pass + ONE aggregate (the
+    // previous per-lag union re-ran the day window and a global agg
+    // maxLag times — 8 extra exchanges of pure scheduling overhead).
+    // sum() skips the null products exactly where the old per-arm
+    // filter(cl IS NOT NULL) dropped rows, and count(cl_k) counts the
+    // same non-null pairs, so every (num, n_pairs, den) is bit-equal.
     val w = Window.orderBy("d")
-    val lagged = (1 to maxLag).map { k =>
-      centered
-        .withColumn("cl", lag(col("c"), k).over(w))
-        .filter(col("cl").isNotNull)
-        .agg(sum((col("c") * col("cl")).cast("decimal(28,10)"))
-          .cast("double").as("num"), count(lit(1)).as("n_pairs"))
-        .select(lit(k.toLong).as("lag"), col("n_pairs"), col("num"))
-    }.reduce(_.unionAll(_))
-    lagged.crossJoin(broadcast(denom))
-      .select(col("lag"), col("n_pairs"),
-        round(col("num") / col("den"), 6).as("acf"))
+    val laggedCols = (1 to maxLag).map(k =>
+      s"cl_$k" -> lag(col("c"), k).over(w)).toMap
+    val folds = centered.withColumns(laggedCols)
+      .agg(sum((col("c") * col("c")).cast("decimal(28,10)"))
+          .cast("double").as("den"),
+        (1 to maxLag).flatMap(k => Seq(
+          sum((col("c") * col(s"cl_$k")).cast("decimal(28,10)"))
+            .cast("double").as(s"num_$k"),
+          count(col(s"cl_$k")).as(s"np_$k"))): _*)
+    folds
+      .select(col("den"), explode(array((1 to maxLag).map(k =>
+        struct(lit(k.toLong).as("lag"), col(s"np_$k").as("n_pairs"),
+          col(s"num_$k").as("num"))): _*)).as("r"))
+      .select(col("r.lag").as("lag"), col("r.n_pairs").as("n_pairs"),
+        round(col("r.num") / col("den"), 6).as("acf"))
       .orderBy("lag")
   }
 

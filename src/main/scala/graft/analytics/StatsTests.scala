@@ -372,27 +372,38 @@ private[analytics] trait StatsTests {
     val c = daily.crossJoin(broadcast(stats))
       .select(col("d"), (col("x") - col("mx")).as("cx"),
         (col("y") - col("my")).as("cy"))
-    val den = c.agg(
-      sqrt(sum((col("cx") * col("cx")).cast("decimal(28,10)"))
-          .cast("double") *
-        sum((col("cy") * col("cy")).cast("decimal(28,10)"))
-          .cast("double")).as("den"))
     val w = Window.orderBy("d")
     def r6(cc: Column) = floor(cc * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
-    val arms = (-maxLag to maxLag).map { k =>
-      // r_k pairs x_t with y_{t+k}: k>0 → y shifted forward (lead),
-      // k<0 → y lagged (explicit lag keeps the offset non-negative for
-      // engines that reject negative lead offsets — the oracle mirrors).
+    // All 2·maxLag+1 arms fold in ONE window pass + ONE aggregate (the
+    // previous per-lag union re-ran the day window and a global agg 15
+    // times). k>0 → y shifted forward (lead), k<0 → explicit lag keeps
+    // the offset non-negative for engines that reject negative lead
+    // offsets — the oracle mirrors. sum() skips null products exactly
+    // where the old per-arm filter(yk IS NOT NULL) dropped rows and
+    // count(yk_k) counts the same non-null pairs, so every (num,
+    // n_pairs, den) is bit-equal; den folds over the SAME frame (the
+    // added lag columns never drop rows).
+    def nm(k: Int) = if (k < 0) s"m${-k}" else s"p$k"
+    val ykCols = (-maxLag to maxLag).map { k =>
       val yk = if (k >= 0) lead(col("cy"), k) else lag(col("cy"), -k)
-      c.withColumn("yk", yk.over(w))
-        .filter(col("yk").isNotNull)
-        .agg(sum((col("cx") * col("yk")).cast("decimal(28,10)"))
-          .cast("double").as("num"), count(lit(1)).as("n_pairs"))
-        .select(lit(k.toLong).as("lag"), col("n_pairs"), col("num"))
-    }.reduce(_.unionAll(_))
-    arms.crossJoin(broadcast(den))
-      .select(col("lag"), col("n_pairs"),
-        r6(col("num") / col("den")).as("ccf"))
+      s"yk_${nm(k)}" -> yk.over(w)
+    }.toMap
+    val folds = c.withColumns(ykCols)
+      .agg(sqrt(sum((col("cx") * col("cx")).cast("decimal(28,10)"))
+            .cast("double") *
+          sum((col("cy") * col("cy")).cast("decimal(28,10)"))
+            .cast("double")).as("den"),
+        (-maxLag to maxLag).flatMap(k => Seq(
+          sum((col("cx") * col(s"yk_${nm(k)}")).cast("decimal(28,10)"))
+            .cast("double").as(s"num_${nm(k)}"),
+          count(col(s"yk_${nm(k)}")).as(s"np_${nm(k)}"))): _*)
+    folds
+      .select(col("den"), explode(array((-maxLag to maxLag).map(k =>
+        struct(lit(k.toLong).as("lag"),
+          col(s"np_${nm(k)}").as("n_pairs"),
+          col(s"num_${nm(k)}").as("num"))): _*)).as("r"))
+      .select(col("r.lag").as("lag"), col("r.n_pairs").as("n_pairs"),
+        r6(col("r.num") / col("den")).as("ccf"))
       .orderBy("lag")
   }
 

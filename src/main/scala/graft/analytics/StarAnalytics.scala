@@ -1174,11 +1174,25 @@ object StarAnalytics {
   }
 
   def abcXyz(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    // ONE fact pass carries both measures: weekly quantity (the XYZ cv
+    // input) and revenue (the ABC census input) fold from the same
+    // lineitem ⋈ orders frame — previously the ABC side re-scanned and
+    // re-aggregated lineitem separately and joined back on part, i.e.
+    // one extra corpus scan, aggregate, and join per run. Revenue
+    // regroups through the weekly level in DECIMAL (exact at any
+    // grouping), so per-part totals are bit-equal to the direct
+    // per-row sum (the inner join keeps every lineitem row — the
+    // fixtures' referential integrity is oracle-checked by
+    // q_ref_integrity, and the DuckDB oracle for THIS query folds the
+    // same joined frame).
     val rows = lineitem
-      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
       .join(orders.select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(28,12)").as("rv"),
         to_date(col("o_orderdate")).as("d"))
     // the week grid comes from the ORDER calendar — a narrow dim scan,
     // not a second pass over the fact join
@@ -1191,6 +1205,7 @@ object StarAnalytics {
       .groupBy(col("l_partkey"),
         floor(datediff(col("d"), col("d0")) / 7).as("wk"))
       .agg(sum(dec(col("l_quantity"))).cast("double").as("q"),
+        sum(col("rv")).as("rv"),
         max(col("n_weeks")).as("n_weeks"))
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
     def r6(c: org.apache.spark.sql.Column) =
@@ -1198,8 +1213,9 @@ object StarAnalytics {
     val perPart = weekly.groupBy(col("l_partkey"))
       .agg(sum(dec(col("q"))).cast("double").as("sq"),
         sum(dec(col("q") * col("q"))).cast("double").as("sqq"),
+        sum(col("rv")).cast("decimal(38,12)").as("rev"),
         max(col("n_weeks")).as("w"))
-      .select(col("l_partkey"),
+      .select(col("l_partkey"), col("rev"),
         r6(when(col("sq") > 0.0,
           sqrt(greatest(col("sqq") / col("w") -
             (col("sq") / col("w")) * (col("sq") / col("w")), lit(0.0))) /
@@ -1207,8 +1223,16 @@ object StarAnalytics {
       .withColumn("cls_xyz",
         when(col("cv") <= 0.5, "X").when(col("cv") <= 1.0, "Y")
           .otherwise("Z"))
-    perPartAbc(lineitem)
-      .join(perPart, Seq("l_partkey"))
+      .localCheckpoint() // the total scalar and the cumulative pass share it
+    val tot = perPart.agg(sum(col("rev")).as("total"))
+    val classified = graft.operators.GlobalRank.withPrefixSum(perPart,
+      Seq(col("rev").desc, col("l_partkey")), col("rev"), "cum")
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("cum") * 5 <= col("total") * 4, "A")
+          .when(col("cum") * 20 <= col("total") * 19, "B")
+          .otherwise("C"))
+    classified
       .groupBy(col("cls").as("cls_abc"), col("cls_xyz"))
       .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("cls_rev"),
         max(col("total")).as("total"))
@@ -1355,15 +1379,25 @@ object StarAnalytics {
         floor(datediff(col("d"), col("d0")) / 7).cast("long").as("wk"))
       .agg(sum(dec(col("l_quantity"))).cast("double").as("z"))
       .filter(col("z") > 0.0)
+    // m and total_z ride the SAME (partkey-keyed) window exchange that
+    // already computes the row index and lag — the previous separate
+    // per-part aggregate + join back re-shuffled the weekly frame twice
+    // for numbers the window pass has in hand. The z- and gap-EWMAs then
+    // fold in ONE per-part aggregate: the gap addends are null exactly
+    // on the i=1 row the old gaps-branch filter dropped (lag(wk) over
+    // the first row), so sum() skips them identically; (m−1)−(i−1) and
+    // m−i are the same exact small-integer doubles. Every addend is
+    // bit-equal to the two-branch form, so the fold is too.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("l_partkey")).orderBy(col("wk"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_partkey"))
     val idx = weekly
       .withColumn("i", row_number().over(w).cast("double"))
       .withColumn("g",
         (col("wk") - lag(col("wk"), 1).over(w)).cast("double"))
-    val cnt = idx.groupBy(col("l_partkey"))
-      .agg(count(lit(1)).as("m"),
-        sum(dec(col("z"))).cast("double").as("total_z"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("total_z", sum(dec(col("z"))).over(wAll).cast("double"))
       .filter(col("m") >= 3)
     val oneMinus = lit(1.0 - alpha)
     // weight for the i-th of m observations: α(1−α)^(m−i), with the
@@ -1374,21 +1408,14 @@ object StarAnalytics {
       sum(dec(v * when(first, pow(oneMinus, mCol - iCol))
         .otherwise(lit(alpha) * pow(oneMinus, mCol - iCol))))
         .cast("double")
-    val joined = idx.join(cnt, Seq("l_partkey"))
-    val zhat = joined
-      .groupBy(col("l_partkey"), col("m"), col("total_z"))
-      .agg(ewma(col("z"), col("i") === 1.0, col("m").cast("double"),
-        col("i")).as("z_hat"))
-    // gap EWMA runs over the m−1 gaps (i ≥ 2), re-indexed from 1
-    val gaps = joined.filter(col("g").isNotNull)
-      .select(col("l_partkey"), col("g"),
-        (col("i") - 1.0).as("gi"), (col("m") - 1).cast("double").as("gm"))
-      .groupBy(col("l_partkey"))
-      .agg(ewma(col("g"), col("gi") === 1.0, col("gm"), col("gi"))
-        .as("g_hat"))
     def r6(c: org.apache.spark.sql.Column) =
       floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
-    zhat.join(gaps, Seq("l_partkey"))
+    idx
+      .groupBy(col("l_partkey"), col("m"), col("total_z"))
+      .agg(ewma(col("z"), col("i") === 1.0, col("m").cast("double"),
+          col("i")).as("z_hat"),
+        ewma(col("g"), col("i") - 1.0 === 1.0,
+          (col("m") - 1).cast("double"), col("i") - 1.0).as("g_hat"))
       .orderBy(col("total_z").desc, col("l_partkey"))
       .limit(limit)
       .select(col("l_partkey"), col("m").as("n_periods"),

@@ -19,9 +19,16 @@ object Profile {
     @volatile var stages = 0
     @volatile var tasks = 0
     @volatile var taskMs = 0L
+    val stageLog =
+      new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long)]
     override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
-    override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
       stages += 1
+      val i = s.stageInfo
+      val dur = (for (a <- i.completionTime; b <- i.submissionTime)
+        yield a - b).getOrElse(-1L)
+      stageLog.add((i.name.linesIterator.next(), i.numTasks, dur))
+    }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       tasks += 1
       if (t.taskInfo != null) taskMs += t.taskInfo.duration
@@ -73,6 +80,14 @@ object Profile {
           f"med=${times.sorted.apply(reps / 2)}%.3f last=$tLast%.3f " +
           f"jobs=${after._1 - before._1}%d stages=${after._2 - before._2}%d " +
           f"tasks=${after._3 - before._3}%d taskSec=${(after._4 - before._4) / 1e3}%.2f")
+        if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+          import scala.jdk.CollectionConverters._
+          counts.stageLog.asScala.toSeq.sortBy(-_._3).take(12).foreach {
+            case (nm, nt, dur) =>
+              println(f"    stage $dur%6dms tasks=$nt%-4d $nm")
+          }
+        }
+        counts.stageLog.clear()
       }
     }
     spark.stop()

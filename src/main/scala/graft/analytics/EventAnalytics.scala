@@ -316,7 +316,7 @@ object EventAnalytics {
       countDistinct(when(!col("h1"), col("event_type"))).as("ndv_t2"),
       countDistinct(when(col("h1"), col("user_id"))).as("ndv_u1"),
       countDistinct(when(!col("h1"), col("user_id"))).as("ndv_u2"))
-      .localCheckpoint() // five metric rows re-read ONE aggregated row
+      .localCheckpoint(false) // five metric rows re-read ONE aggregated row
     def d(c: Column) = c.cast("double")
     def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     def row(colName: String, metric: String, a: Column,
@@ -356,7 +356,7 @@ object EventAnalytics {
     val tri = rows.join(cohorts, Seq("user_id"))
       .groupBy(col("c"), datediff(col("d"), col("c")).cast("long").as("k"))
       .agg(countDistinct(col("user_id")).as("n"))
-      .localCheckpoint() // offsets, bases, and L all read this frame
+      .localCheckpoint(false) // offsets, bases, and L all read this frame
     val base = tri.filter(col("k") === 0L)
       .select(col("c"), col("n").as("b"))
     val lastDay = tri.agg(max(date_add(col("c"),
@@ -406,7 +406,7 @@ object EventAnalytics {
       .filter(col("next_type").isNotNull)
       .groupBy("event_type", "next_type")
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // four census consumers; one corpus window pass
+      .localCheckpoint(false) // four census consumers; one corpus window pass
     val rowTot = cells.groupBy("event_type").agg(sum(col("n")).as("ni"))
     val glob = cells.agg(sum(col("n")).as("nn"),
       countDistinct(col("event_type")).as("k"))
@@ -495,7 +495,7 @@ object EventAnalytics {
       sum(when(col("late_us") > t * 1000000L, 1L).otherwise(0L))
         .as(s"drop_$t")
     }
-    val m = staged.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val m = staged.agg(aggs.head, aggs.tail: _*).localCheckpoint(false)
     def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     delaysSec.map { t =>
       m.select(lit(t).as("delay_s"), col("n_events"),
@@ -518,7 +518,7 @@ object EventAnalytics {
       .groupBy(to_date(col("ts")).as("d"))
       .agg(sum(col("value").cast("decimal(28,12)")).cast("double").as("v"))
       .withColumn("wd", dayofweek(col("d")))
-      .localCheckpoint() // weekday means and residuals share one pass
+      .localCheckpoint(false) // weekday means and residuals share one pass
     val wk = daily.groupBy("wd")
       .agg((sum(col("v").cast("decimal(28,12)")).cast("double") /
         count(lit(1))).as("s"))
@@ -1444,12 +1444,12 @@ object EventAnalytics {
         round(sum(when(col("event_type") === "purchase",
             coalesce(col("value"), lit(0.0))).otherwise(lit(0.0))
           .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
-      .localCheckpoint() // band join reads both sides; per-λ reuse
+      .localCheckpoint(false) // band join reads both sides; per-λ reuse
     val lagged = daily.select(col("d").as("t"), col("revenue"))
       .join(daily.select(col("d").as("s"), col("clicks")),
         datediff(col("t"), col("s")).between(0, horizon))
       .withColumn("kk", datediff(col("t"), col("s")))
-      .localCheckpoint() // every λ arm re-weights the same band frame
+      .localCheckpoint(false) // every λ arm re-weights the same band frame
     def dec(c: Column) = c.cast("decimal(38,12)")
     def d(c: Column) = c.cast("double")
     def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
@@ -1524,7 +1524,7 @@ object EventAnalytics {
     val census = units.groupBy("mask")
       .agg(count(lit(1)).as("n"), sum(col("y")).as("conv"))
       .withColumn("v", col("conv").cast("double") / col("n").cast("double"))
-      .localCheckpoint() // ≤ 2^k rows; every term below reads it
+      .localCheckpoint(false) // ≤ 2^k rows; every term below reads it
     val spark = ev.sparkSession
     import spark.implicits._
     val chan = channels.zipWithIndex

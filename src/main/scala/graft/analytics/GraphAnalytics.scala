@@ -37,8 +37,8 @@ object GraphAnalytics {
     val outw = edges.groupBy("src").agg(sum(col("w")).as("outw"))
     val e = edges.join(outw, "src")
       .select(col("src"), col("dst"), (col("w") / col("outw")).as("frac"))
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("id")).distinct().localCheckpoint()
+      .localCheckpoint(false)
+    val nodes = e.select(col("src").as("id")).distinct().localCheckpoint(false)
     val n = nodes.count()
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations)
@@ -169,14 +169,14 @@ object GraphAnalytics {
     * hand-graph-testable core (the [[bfsHops]] separation). */
   private[graft] def closenessOf(symEdges: DataFrame, k: Int,
                                  rounds: Int): DataFrame = {
-    val edges = symEdges.localCheckpoint()
+    val edges = symEdges.localCheckpoint(false)
     val seeds = edges.groupBy("a").agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("a")).limit(k)
       .select(col("a").as("src"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var visited = seeds
       .select(col("src"), col("src").as("node"), lit(0L).as("hop"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (h <- 1 to rounds) {
       val frontier = visited.filter(col("hop") === (h - 1).toLong)
       val next = frontier.join(edges, col("node") === col("a"))
@@ -211,10 +211,10 @@ object GraphAnalytics {
     * reports the per-hop census. Separated from the co-purchase wrapper
     * so the frontier algebra is testable on hand graphs. */
   def bfsHops(symEdges: DataFrame, rounds: Int): DataFrame = {
-    val edges = symEdges.localCheckpoint()
+    val edges = symEdges.localCheckpoint(false)
     var visited = edges.agg(min(col("a")).as("node"))
       .withColumn("hop", lit(0L))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (k <- 1 to rounds) {
       val frontier = visited.filter(col("hop") === (k - 1).toLong)
       val next = frontier.join(edges, col("node") === col("a"))
@@ -270,9 +270,9 @@ object GraphAnalytics {
     * reaches the driver. */
   def kCorePeel(symEdges: DataFrame, k: Int = 2,
                 rounds: Int = 3): DataFrame = {
-    var edges = symEdges.localCheckpoint()
+    var edges = symEdges.localCheckpoint(false)
     var nodes = edges.select(col("a").as("node")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var removed: DataFrame = null
     for (r <- 1 to rounds) {
       val keepIds = edges.groupBy(col("a").as("dn"))
@@ -481,7 +481,7 @@ object GraphAnalytics {
                        limit: Int = 20): DataFrame = {
     var labels = symEdges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       labels = lpaRound(symEdges, labels).localCheckpoint(false)
     }
@@ -547,7 +547,7 @@ object GraphAnalytics {
       StarAnalytics.coPurchaseCounts(spark, sfDir)
         .filter(col("n_orders") >= minSupport)
         .select(col("part_a").as("a"), col("part_b").as("b"))
-        .localCheckpoint(),
+        .localCheckpoint(false),
       limit, maxWedges)
 
   /** Default ceiling for the exact wedge enumerators: comfortably above
@@ -643,7 +643,7 @@ object GraphAnalytics {
       StarAnalytics.coPurchaseCounts(spark, sfDir)
         .filter(col("n_orders") >= minSupport)
         .select(col("part_a").as("a"), col("part_b").as("b"))
-        .localCheckpoint(),
+        .localCheckpoint(false),
       limit, maxWedges)
 
   /** [[linkJaccard]] over a prebuilt canonical (a < b) edge list. */
@@ -698,12 +698,12 @@ object GraphAnalytics {
     StarAnalytics.coPurchaseCounts(spark, sfDir)
       .filter(col("n_orders") >= minSupport)
       .select(col("part_a").as("a"), col("part_b").as("b"))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
   private[graft] def adamicAdarCappedOnEdges(e: DataFrame, hubCap: Int,
                                              limit: Int): DataFrame = {
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("deg"))
     val kept = sym.withColumn("rn",
         org.apache.spark.sql.functions.row_number().over(
@@ -749,7 +749,7 @@ object GraphAnalytics {
   private[graft] def linkJaccardCappedOnEdges(e: DataFrame, hubCap: Int,
                                               limit: Int): DataFrame = {
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("dg"))
     val kept = sym.withColumn("rn",
         org.apache.spark.sql.functions.row_number().over(
@@ -794,11 +794,11 @@ object GraphAnalytics {
     val e = StarAnalytics.coPurchaseCounts(spark, sfDir)
       .filter(col("n_orders") >= minSupport)
       .select(col("part_a").as("a"), col("part_b").as("b"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("dg"))
     val club = deg.orderBy(col("dg").desc, col("z")).limit(k)
-      .select(col("z")).localCheckpoint()
+      .select(col("z")).localCheckpoint(false)
     val within = e
       .join(broadcast(club.select(col("z").as("a"))), Seq("a"), "left_semi")
       .join(broadcast(club.select(col("z").as("b"))), Seq("b"), "left_semi")
@@ -846,7 +846,7 @@ object GraphAnalytics {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
-        .localCheckpoint(),
+        .localCheckpoint(false),
       iterations, limit)
 
   /** [[hits]] over a prebuilt bipartite (c, p) edge list — the testable

@@ -322,7 +322,7 @@ object InferenceAnalytics {
     val census = orders.groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("x"))
       .groupBy("x").agg(count(lit(1)).as("nk"))
-      .localCheckpoint() // moments and both likelihood folds read it
+      .localCheckpoint(false) // moments and both likelihood folds read it
     def d(c: Column) = c.cast("double")
     def dz(c: Column) = c.cast("decimal(38,12)")
     val mom = census.agg(sum(col("nk")).as("n"),
@@ -384,7 +384,7 @@ object InferenceAnalytics {
     val km = StatsAnalytics.survivalKm(ev)
       .withColumn("t_next", coalesce(lead(col("t"), 1).over(w),
         lit(1000000L)))
-      .localCheckpoint() // every τ arm folds the same curve
+      .localCheckpoint(false) // every τ arm folds the same curve
     val tmin = km.agg(min(col("t")).as("t_min"))
     val arms = taus.map { tau =>
       val tl = lit(tau.toLong)
@@ -639,15 +639,23 @@ object InferenceAnalytics {
       .agg(sum(col(s"ex_${types.head}")).as(s"exceed_${types.head}"),
         types.tail.map(t => sum(col(s"ex_$t")).as(s"exceed_$t")): _*)
     val m = base.crossJoin(broadcast(exceeds))
-      .localCheckpoint() // the 5 metric melts all read this one row
-    val metricRows = types.map { t =>
-      val obs = diffOf(col(s"s0g_$t"), col("n0g"), col(s"s_$t"))
-      val exceed = coalesce(col(s"exceed_$t"), lit(nPerms.toLong))
-      m.select(lit(t).as("metric"), r6(obs).as("diff_obs"),
-        r6((lit(1.0) + d(exceed)) / lit((nPerms + 1).toDouble))
-          .as("p_value"))
-    }
-    val melted = metricRows.reduce(_ unionAll _)
+    // ONE explode(array(struct…)) melts the single stats row into the 5
+    // metric rows — the previous per-metric select + unionAll re-read
+    // the row 5x and needed an eager localCheckpoint (a whole extra job
+    // at construction time) to avoid re-running the permutation
+    // pipeline per metric. Same expressions per metric, same row order
+    // (array order = types order = the old union order), so the melt is
+    // value-identical.
+    val melted = m
+      .select(explode(array(types.map { t =>
+        val obs = diffOf(col(s"s0g_$t"), col("n0g"), col(s"s_$t"))
+        val exceed = coalesce(col(s"exceed_$t"), lit(nPerms.toLong))
+        struct(lit(t).as("metric"), r6(obs).as("diff_obs"),
+          r6((lit(1.0) + d(exceed)) / lit((nPerms + 1).toDouble))
+            .as("p_value"))
+      }: _*)).as("r"))
+      .select(col("r.metric").as("metric"),
+        col("r.diff_obs").as("diff_obs"), col("r.p_value").as("p_value"))
     val wAll = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val ranked = melted
@@ -687,7 +695,7 @@ object InferenceAnalytics {
       .withColumn("t", row_number().over(Window.orderBy("d"))
         .cast("bigint"))
       .select(col("t"), col("x"))
-      .localCheckpoint() // both self-join sides + the tie census read it
+      .localCheckpoint(false) // both self-join sides + the tie census read it
     val pairs = idx.select(col("t").as("ta"), col("x").as("xa"))
       .join(idx.select(col("t").as("tb"), col("x").as("xb")),
         col("tb") > col("ta"))
@@ -696,7 +704,7 @@ object InferenceAnalytics {
           .when(col("xb") < col("xa"), -1L).otherwise(0L).as("sgn"),
         ((col("xb") - col("xa")) /
           (col("tb") - col("ta")).cast("double")).as("slope"))
-      .localCheckpoint() // the S fold and the median walk both read it
+      .localCheckpoint(false) // the S fold and the median walk both read it
     val sFold = pairs.agg(count(lit(1)).as("n_pairs"),
       sum(col("sgn")).as("s"))
     val ties = daily.groupBy("x").agg(count(lit(1)).as("tt"))
@@ -1016,7 +1024,7 @@ object InferenceAnalytics {
       .withColumn("yhat", lag(col("x"), 7).over(Window.orderBy("d")))
       .filter(col("yhat").isNotNull)
       .withColumn("err", col("x") - col("yhat"))
-      .localCheckpoint() // every τ arm folds the same frame
+      .localCheckpoint(false) // every τ arm folds the same frame
     def dz(c: Column) = c.cast("decimal(38,12)")
     val arms = taus.map { t =>
       val loss = greatest(lit(t) * col("err"),
@@ -1049,7 +1057,7 @@ object InferenceAnalytics {
     val base = lineitem.select(col("l_orderkey"), col("l_linenumber"),
       col("l_extendedprice").cast("double").as("x"),
       col("l_quantity").cast("double").as("y"))
-      .localCheckpoint() // both rank walks + the fold read it
+      .localCheckpoint(false) // both rank walks + the fold read it
     val n0 = base.agg(count(lit(1)).as("n"))
     def threshold(c: String): DataFrame = {
       // exact order statistic without a corpus-wide single-partition
@@ -1296,7 +1304,7 @@ object InferenceAnalytics {
           .otherwise(dc(lit(0.0)))).cast("double").as(s"sxxb_$k"))
     }
     val m = per.agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint() // the K melts all read this one row
+      .localCheckpoint(false) // the K melts all read this one row
     val rows = (1 to looks).map { k =>
       val naD = greatest(col(s"na_$k"), lit(1L)).cast("double")
       val nbD = greatest(col(s"nb_$k"), lit(1L)).cast("double")
@@ -1362,7 +1370,7 @@ object InferenceAnalytics {
       .withColumn("a2", (col("conv_b") + 1L).cast("double"))
       .withColumn("b2", (col("users_b") - col("conv_b") + 1L)
         .cast("double"))
-      .localCheckpoint() // the sum frame and the report both read it
+      .localCheckpoint(false) // the sum frame and the report both read it
     import PortableGamma.{lbeta, lgamma}
     val terms = m
       .select(col("*"), explode(sequence(lit(0L),

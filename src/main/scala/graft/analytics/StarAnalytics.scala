@@ -766,7 +766,7 @@ object StarAnalytics {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val idSpace = broadcast(Tables.part(spark, sfDir)
       .agg((max(col("p_partkey")) + 1L).as("p_n")))
     val cands = pos.select(col("cust")).distinct()
@@ -1045,7 +1045,7 @@ object StarAnalytics {
       .groupBy(col("l_partkey"))
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast("decimal(28,12)")).as("rev"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val tot = perPart.agg(sum(col("rev")).as("total"))
     // the cumulative-revenue walk is a distributed two-pass prefix sum
     // (GlobalRank.withPrefixSum) — the part catalog scales with the
@@ -1139,7 +1139,7 @@ object StarAnalytics {
         floor(datediff(col("d"), col("d0")) / 7).as("wk"))
       .agg(sum(dec(col("l_quantity"))).cast("double").as("q"),
         max(col("n_weeks")).as("n_weeks"))
-      .localCheckpoint() // the stats pass and the rank window share it
+      .localCheckpoint(false) // the stats pass and the rank window share it
     def d(c: Column) = c.cast("double")
     def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     val stats = weekly.groupBy("l_partkey")
@@ -1223,7 +1223,7 @@ object StarAnalytics {
       .withColumn("cls_xyz",
         when(col("cv") <= 0.5, "X").when(col("cv") <= 1.0, "Y")
           .otherwise("Z"))
-      .localCheckpoint() // the total scalar and the cumulative pass share it
+      .localCheckpoint(false) // the total scalar and the cumulative pass share it
     val tot = perPart.agg(sum(col("rev")).as("total"))
     val classified = graft.operators.GlobalRank.withPrefixSum(perPart,
       Seq(col("rev").desc, col("l_partkey")), col("rev"), "cum")
@@ -1433,7 +1433,7 @@ object StarAnalytics {
     * identical leaderboards. */
   def topkDrift(lineitem: DataFrame, orders: DataFrame,
                 k: Int = 20): DataFrame = {
-    val per = partHalves(lineitem, orders).localCheckpoint()
+    val per = partHalves(lineitem, orders).localCheckpoint(false)
     def top(rc: String) = per
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -36,7 +36,7 @@ private[analytics] trait StatsCausal {
       .withColumn("t", row_number().over(Window.orderBy("d")))
       // day-frame barrier: both convolution passes and the final join
       // read this ≤|days| frame, not the corpus
-      .localCheckpoint()
+      .localCheckpoint(false)
     val withS1 = daily.join(dyadicSmooth(daily, "x", "v1"), Seq("d", "t"))
     val out = withS1.join(dyadicSmooth(withS1, "v1", "v2"), Seq("d", "t"))
     def r4(c: Column) = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
@@ -75,7 +75,7 @@ private[analytics] trait StatsCausal {
       .groupBy(to_date(col("ts")).as("d"))
       .agg(round(sum(col("value").cast("decimal(18,6)")), 2)
         .cast("double").as("v"))
-      .localCheckpoint() // the stats pass and the flag pass share it
+      .localCheckpoint(false) // the stats pass and the flag pass share it
     def dec(c: Column) = c.cast("decimal(28,10)")
     val stats = daily.agg(count(lit(1)).as("n"),
         sum(dec(col("v"))).cast("double").as("s"),
@@ -160,7 +160,7 @@ private[analytics] trait StatsCausal {
     val deltas = daily
       .withColumn("dx", col("x") - lag(col("x"), 1).over(w))
       .filter(col("dx").isNotNull)
-      .select(col("dx")).localCheckpoint()
+      .select(col("dx")).localCheckpoint(false)
     def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     val v = deltas.agg(count(lit(1)).as("n_days"),
         expr(s"percentile(dx, $q)").as("var_raw"))
@@ -181,13 +181,13 @@ private[analytics] trait StatsCausal {
       .agg(round(sum(col("value").cast("decimal(18,6)")), 2)
         .cast("double").as("x"))
       .withColumn("t", row_number().over(Window.orderBy("d")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val w = Window.orderBy("t")
     val base = daily.join(dyadicSmooth(daily, "x", "s1"), Seq("d", "t"))
       .withColumn("naive_fc", lag(col("x"), 1).over(w))
       .withColumn("ewma_fc", lag(col("s1"), 1).over(w))
       .filter(col("t") >= 2)
-      .localCheckpoint()
+      .localCheckpoint(false)
     def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     def report(fcCol: String, name: String): DataFrame = {
       val err = col("x") - col(fcCol)
@@ -593,7 +593,7 @@ private[analytics] trait StatsCausal {
         lit(4)) % 7).cast("int").as("dow"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint() // both rounds and the total read it
+      .localCheckpoint(false) // both rounds and the total read it
     def dec(c: Column) = c.cast("decimal(28,12)")
     def d(c: Column) = c.cast("double")
     def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
@@ -703,7 +703,7 @@ private[analytics] trait StatsCausal {
           .otherwise(least(floor(col("value") / 100.0), lit(9.0)))
           .cast("int").as("value_band"),
         col("value").isNotNull.cast("int").as("has_value"))
-      .localCheckpoint() // every feature arm scans it
+      .localCheckpoint(false) // every feature arm scans it
     def dec(c: Column) = c.cast("decimal(28,12)")
     def d(c: Column) = c.cast("double")
     def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
@@ -713,7 +713,7 @@ private[analytics] trait StatsCausal {
         sum(dec(d(col("n")) * log(d(col("n"))))).cast("double").as("snln"))
       .select(col("nt"),
         (log(d(col("nt"))) - col("snln") / d(col("nt"))).as("h_label"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val arms = Seq("hour_q", "dow", "value_band", "has_value").map { f =>
       // H(label|feature) = Σ_v p(v)·H(label|v), from the (v, label)
       // census: Σ_v,l −(n_vl/N)·ln(n_vl/n_v)
@@ -862,7 +862,7 @@ private[analytics] trait StatsCausal {
     * transform absorbed. */
   def spearmanBreadth(orders: DataFrame, lineitem: DataFrame): DataFrame =
     // materialized: both rank maps and the ranked join reuse this frame
-    spearmanOnPairs(orderBreadthFrame(orders, lineitem).localCheckpoint())
+    spearmanOnPairs(orderBreadthFrame(orders, lineitem).localCheckpoint(false))
 
   private[graft] def spearmanOnPairs(pc: DataFrame): DataFrame = {
     def rankMap(v: String): DataFrame = {

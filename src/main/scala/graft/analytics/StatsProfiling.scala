@@ -769,7 +769,7 @@ private[analytics] trait StatsProfiling {
         sum(col("o_totalprice").cast("decimal(18,6)")).as("mon"))
       .crossJoin(broadcast(horizon))
       .withColumn("recency", datediff(col("h"), col("last_d")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val ps = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
     val bounds = perCust.agg(
       percentile_approx(col("recency"), ps, lit(accuracy)).as("rb"),

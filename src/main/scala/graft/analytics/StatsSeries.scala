@@ -278,7 +278,7 @@ private[analytics] trait StatsSeries {
       .select(datediff(col("d"), col("d0")).cast("bigint").as("t"),
         (col("x") - col("sx") / col("n").cast("double")).as("c"),
         col("n"))
-      .localCheckpoint() // every period arm folds it
+      .localCheckpoint(false) // every period arm folds it
     def dec(c: Column) = c.cast("decimal(38,12)")
     def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     val arms = periods.map { p =>
@@ -317,7 +317,7 @@ private[analytics] trait StatsSeries {
       // double arithmetic — double round() semantics differ per engine
       .agg(round(sum(col("value").cast("decimal(28,12)")), 2)
         .cast("double").as("v"))
-      .localCheckpoint() // trend window + weekday means share one pass
+      .localCheckpoint(false) // trend window + weekday means share one pass
     val w = Window.orderBy(col("d")).rowsBetween(-3, 3)
     val trended = daily
       .withColumn("trend", sum(col("v").cast("decimal(28,12)")).over(w)
@@ -552,7 +552,7 @@ private[analytics] trait StatsSeries {
     // scoring pass — localCheckpoint so the orders scan+shuffle runs once
     val per = orders.groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,6)")).as("spend"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val ps = array((1 to 9).map(i => lit(i / 10.0)): _*)
     val bounds = per.agg(
       percentile_approx(col("spend"), ps, lit(accuracy)).as("sb"))
@@ -779,7 +779,7 @@ private[analytics] trait StatsSeries {
       .groupBy(col("user_id"))
       .agg(sum(col("value").cast("decimal(28,12)")).cast("double").as("s"),
         count(lit(1)).as("n"))
-      .localCheckpoint() // resample fan-out and full mean share one pass
+      .localCheckpoint(false) // resample fan-out and full mean share one pass
     val u = portableH60(concat(col("user_id").cast("string"), lit(":"),
       col("rep").cast("string"))).cast("double") /
       lit(1152921504606846976.0) // 2^60
@@ -825,7 +825,7 @@ private[analytics] trait StatsSeries {
     * applied only in the final log-likelihood. */
   def gmmEm(ev: DataFrame, iterations: Int = 3): DataFrame = {
     val xs = ev.filter(col("value").isNotNull)
-      .select(col("value").as("x")).localCheckpoint()
+      .select(col("value").as("x")).localCheckpoint(false)
     val init = xs.agg(
       expr("percentile(x, 0.25)").as("mu1"),
       expr("percentile(x, 0.75)").as("mu2"),

@@ -61,7 +61,7 @@ private[analytics] trait StatsTests {
   private[graft] def kendallOnPairs(pc: DataFrame): DataFrame = {
     val cells = pc
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nc"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val c2 = cells.select(col("x").as("x2"), col("y").as("y2"),
       col("nc").as("nc2"))
     val pairs = cells.join(broadcast(c2),
@@ -113,7 +113,7 @@ private[analytics] trait StatsTests {
       .agg(count(lit(1)).as("n"),
         sum(col("s").cast("decimal(28,12)")).as("sx"),
         sum((col("s") * log(col("s"))).cast("decimal(28,12)")).as("sxlnx"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     def d(c: Column) = c.cast("double")
     val glob = seg.agg(sum(col("n")).as("n_all"),
       sum(col("sx")).as("x_all"), sum(col("sxlnx")).as("xlnx_all"))
@@ -158,7 +158,7 @@ private[analytics] trait StatsTests {
         col("value").isNotNull && col("ts").isNotNull)
       .groupBy(to_date(col("ts")).as("d"))
       .agg(sum(col("value").cast("decimal(28,12)")).cast("double").as("v"))
-      .localCheckpoint() // reused by the median scalar and the sign pass
+      .localCheckpoint(false) // reused by the median scalar and the sign pass
     val med = daily.agg(
       expr("percentile(v, 0.5)").as("med"))
     val signed = daily.crossJoin(broadcast(med))
@@ -206,7 +206,7 @@ private[analytics] trait StatsTests {
       .agg(sum(col("value").cast("decimal(28,12)")).cast("double").as("v"))
       .withColumn("t",
         row_number().over(Window.orderBy(col("d"))).cast("long"))
-      .localCheckpoint() // the size fan-out and n_days both reuse it
+      .localCheckpoint(false) // the size fan-out and n_days both reuse it
     val ws = daily.sparkSession.createDataFrame(
       sizes.map(Tuple1(_))).toDF("w")
     val blocked = daily.crossJoin(broadcast(ws))
@@ -279,7 +279,7 @@ private[analytics] trait StatsTests {
       .agg(sum(col("value").cast("decimal(28,12)")).cast("double").as("v"))
       .withColumn("t",
         row_number().over(Window.orderBy(col("d"))).cast("long"))
-      .localCheckpoint() // μ/σ scalar and the z projection both reuse it
+      .localCheckpoint(false) // μ/σ scalar and the z projection both reuse it
     def dec(c: Column) = c.cast("decimal(28,12)")
     val m = daily.agg(count(lit(1)).as("n"), sum(dec(col("v"))).as("sv"),
       sum(dec(col("v") * col("v"))).as("svv"))
@@ -320,7 +320,7 @@ private[analytics] trait StatsTests {
     val cells = ev.filter(col("event_type").isNotNull && col("ts").isNotNull)
       .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
       .agg(count(lit(1)).as("o"))
-      .localCheckpoint() // four consumers; never re-run the corpus pass
+      .localCheckpoint(false) // four consumers; never re-run the corpus pass
     val rowTot = cells.groupBy("event_type").agg(sum(col("o")).as("rt"))
     val colTot = cells.groupBy("dow").agg(sum(col("o")).as("ct"))
     val glob = cells.agg(sum(col("o")).as("n_all"),
@@ -363,7 +363,7 @@ private[analytics] trait StatsTests {
       .agg(round(sum(coalesce(col("value"), lit(0.0))
           .cast("decimal(18,6)")), 2).cast("double").as("x"),
         count(lit(1)).cast("double").as("y"))
-      .localCheckpoint() // one corpus pass feeds stats + every lag arm
+      .localCheckpoint(false) // one corpus pass feeds stats + every lag arm
     val stats = daily.agg(count(lit(1)).as("n"),
         (sum(col("x").cast("decimal(28,6)")).cast("double") /
           count(lit(1)).cast("double")).as("mx"),
@@ -427,7 +427,7 @@ private[analytics] trait StatsTests {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("dd", col("peak") - col("x"))
       .withColumn("rn", row_number().over(w))
-      .localCheckpoint() // |days| rows; three scalar consumers below
+      .localCheckpoint(false) // |days| rows; three scalar consumers below
     val uw = dd.filter(col("dd") > 0.0)
       .withColumn("grp", col("rn") - row_number().over(Window.orderBy("rn")))
       .groupBy("grp").agg(count(lit(1)).as("len"))
@@ -533,7 +533,7 @@ private[analytics] trait StatsTests {
       .filter(col("t") >= 8)
       .withColumn("fc_combo",
         (col("fc_naive") + col("fc_snaive") + col("fc_ma7")) / lit(3.0))
-      .localCheckpoint() // |days| rows; four scoring consumers
+      .localCheckpoint(false) // |days| rows; four scoring consumers
     def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     def report(fcCol: String, name: String): DataFrame = {
       val err = col("x") - col(fcCol)
@@ -868,7 +868,7 @@ private[analytics] trait StatsTests {
       .join(customer.select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("g"), col("x"))
-      .localCheckpoint() // the means pass and the centering pass share it
+      .localCheckpoint(false) // the means pass and the centering pass share it
     val means = per.groupBy("g")
       .agg((sum(col("x")).cast("double") /
         count(lit(1)).cast("double")).as("m_g"))
@@ -902,7 +902,7 @@ private[analytics] trait StatsTests {
       .agg(count(lit(1)).as("n_g"),
         sum(col("x")).cast("double").as("s_g"),
         sum(col("x") * col("x")).cast("double").as("ss_g"))
-      .localCheckpoint() // the MSW fold and the pair join both read it
+      .localCheckpoint(false) // the MSW fold and the pair join both read it
     def d(c: Column) = c.cast("double")
     def dec(c: Column) = c.cast("decimal(38,12)")
     val msw = gstats
@@ -1017,7 +1017,7 @@ private[analytics] trait StatsTests {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .as("x"))
       .withColumn("p", col("x").cast("double") / col("n").cast("double"))
-      .localCheckpoint() // moments and scoring both read it
+      .localCheckpoint(false) // moments and scoring both read it
     def dec(c: Column) = c.cast("decimal(28,12)")
     val mom = per.agg(count(lit(1)).as("nu"),
       sum(dec(col("p"))).cast("double").as("sp"),

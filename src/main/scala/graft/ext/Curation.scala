@@ -86,7 +86,7 @@ object Curation {
       .getOrElse(docs.select(col("source"),
           explode(tokens(col("text"))).as("token"))
         .groupBy("source", "token").agg(count(lit(1)).as("n")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val corpus = st.groupBy("token").agg(sum(col("n")).as("ct"))
     val total = corpus.agg(sum(col("ct")).as("n_corpus"))
     val perSource = st.groupBy("source").agg(sum(col("n")).as("n_source"))
@@ -146,7 +146,7 @@ object Curation {
       .getOrElse(docs.select(col("source"),
           explode(tokens(col("text"))).as("token"))
         .groupBy("source", "token").agg(count(lit(1)).as("n")))
-      .localCheckpoint() // corpus marginal + the joined fold both read it
+      .localCheckpoint(false) // corpus marginal + the joined fold both read it
     val corpus = st.groupBy("token").agg(sum(col("n")).as("ct"))
     val total = corpus.agg(sum(col("ct")).as("n_corpus"))
     val perSource = st.groupBy("source").agg(sum(col("n")).as("n_source"))
@@ -237,7 +237,7 @@ object Curation {
       .getOrElse(docs.select(col("source"),
           explode(tokens(col("text"))).as("token"))
         .groupBy("source", "token").agg(count(lit(1)).as("k")))
-      .localCheckpoint() // corpus marginal + candidates both read it
+      .localCheckpoint(false) // corpus marginal + candidates both read it
     val corpus = st.groupBy("token").agg(sum(col("k")).as("kk"))
     val total = corpus.agg(sum(col("kk")).as("n_tot"))
     val perSource = st.groupBy("source").agg(sum(col("k")).as("n_s"))
@@ -474,7 +474,7 @@ object Curation {
       .getOrElse(docs.select(col("source"),
           explode(tokens(col("text"))).as("token"))
         .groupBy("source", "token").agg(count(lit(1)).as("n")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val vocab = st.groupBy("token").agg(sum(col("n")).as("cnt"))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("cnt").desc, col("token"))))
@@ -580,7 +580,7 @@ object Curation {
           .as(s"kept_en_$c"))
     }
     val m = base.agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint() // five cutoff rows re-read ONE aggregated row
+      .localCheckpoint(false) // five cutoff rows re-read ONE aggregated row
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
     def r6(c: org.apache.spark.sql.Column) =
       floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
@@ -616,7 +616,7 @@ object Curation {
         sqrt(greatest(col("ss") / col("n_docs") -
           (col("s") / col("n_docs")) * (col("s") / col("n_docs")),
           lit(0.0))).as("sigma"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val tot = per.agg(
       sum(dec(col("n_docs") * col("sigma"))).cast("double").as("w_tot"),
       sum(col("n_docs")).as("n_tot"))

@@ -28,7 +28,7 @@ object DedupCluster {
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     // Seed with min(self, neighbours) — equivalent to one propagation round
     // for free (no join), so star/clique graphs often converge in 1 pass.
     // Checkpoints in the loop are LAZY: the convergence checksum right

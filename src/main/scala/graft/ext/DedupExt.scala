@@ -38,7 +38,7 @@ object DedupExt {
   def splitContamination(docs: DataFrame): DataFrame = {
     val fp = graft.operators.Sampling.splitAssign(docs, col("doc_id"))
       .select(col("split"), fingerprint(col("text")).as("fp"))
-      .localCheckpoint() // train set + both held-out splits read it
+      .localCheckpoint(false) // train set + both held-out splits read it
     val trainFps = fp.filter(col("split") === "train")
       .select(col("fp")).distinct()
     def r6(c: org.apache.spark.sql.Column) =
@@ -117,7 +117,7 @@ object DedupExt {
     // clones the whole tokens→shingles→minhash tree into a size()>0 filter
     // (with the token array re-inlined per element_at — measured ~20×).
     // The signature frame is k longs per doc — the cheap thing to pin.
-    minhashCandidatesFromSigs(minhashSignatures(docs, k).localCheckpoint(),
+    minhashCandidatesFromSigs(minhashSignatures(docs, k).localCheckpoint(false),
       k, bands, bucketCap)
 
   /** LSH banding/bucketing over a PRE-MATERIALIZED (doc_id, sig) frame —
@@ -154,16 +154,16 @@ object DedupExt {
     // Tokenize ONCE; signatures and verification shingles both read the
     // pinned token frame instead of re-scanning + re-splitting documents.
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val sigs = toks.select(col("doc_id"),
       graft.plans.TextSketches.minhash_sig(col("toks"), 32).as("sig"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val cands = minhashCandidatesFromSigs(sigs)
     // localCheckpoint: the shingle frame feeds both sides of the
     // candidate-verification join.
     val sh = toks.select(col("doc_id"),
         graft.plans.TextSketches.word_shingles(col("toks"), 3).as("sh"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val verified = cands
       .join(sh.select(col("doc_id").as("doc_id_a"), col("sh").as("sh_a")),
         "doc_id_a")
@@ -350,13 +350,13 @@ object DedupExt {
   def minhashEstimateVsExact(docs: DataFrame, k: Int = 32): DataFrame = {
     graft.plans.TextSketches.register(docs.sparkSession)
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val sigs = toks.select(col("doc_id"),
       graft.plans.TextSketches.minhash_sig(col("toks"), k).as("sig"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val sh = toks.select(col("doc_id"),
         graft.plans.TextSketches.word_shingles(col("toks"), 3).as("sh"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val est = size(filter(
       zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
       b => b)) / lit(k)
@@ -392,7 +392,7 @@ object DedupExt {
   def simhashCandidates(docs: DataFrame, maxDist: Int = 8): DataFrame = {
     // localCheckpoint: the signature frame feeds both join sides below —
     // without it tokenization + per-token hashing runs twice per doc.
-    val sh = simhashes(docs).localCheckpoint()
+    val sh = simhashes(docs).localCheckpoint(false)
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)), i =>
         call_function("shiftright", col("simhash"), i * 15)
@@ -429,7 +429,7 @@ object DedupExt {
   def dedupSweep(docs: DataFrame,
                  thresholdsPerMille: Seq[Int] = Seq(2, 5, 10, 15, 20))
       : DataFrame = {
-    val pairs = jaccardPairs(docs).localCheckpoint()
+    val pairs = jaccardPairs(docs).localCheckpoint(false)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     pairs
       .select(col("doc_id_b"), col("jaccard"),
@@ -489,7 +489,7 @@ object DedupExt {
     val mem = parts.join(comp, parts("p_partkey") === comp("node"))
       .select(col("comp").as("cluster_id"), col("p_partkey"),
         col("p_name"), col("p_brand"), col("p_retailprice"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val brandMode = mem.groupBy("cluster_id", "p_brand")
       .agg(count(lit(1)).as("c"))
       .groupBy("cluster_id")

@@ -74,7 +74,7 @@ object EvalOps {
   def gainsKnee(docs: DataFrame): DataFrame = {
     val census = scoredDocs(docs).groupBy(col("sri"))
       .agg(count(lit(1)).as("n_s"), sum(col("y")).as("pos_s"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val wc = Window.orderBy(col("sri").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val tot = census.agg(sum(col("n_s")).as("n_docs"),
@@ -174,7 +174,7 @@ object EvalOps {
   def prAuc(docs: DataFrame): DataFrame = {
     val census = scoredDocs(docs).groupBy(col("sri"))
       .agg(count(lit(1)).as("n_s"), sum(col("y")).as("pos_s"))
-      .localCheckpoint() // totals and curve points share one corpus pass
+      .localCheckpoint(false) // totals and curve points share one corpus pass
     val wc = Window.orderBy(col("sri").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val wl = Window.orderBy(col("sri").desc)
@@ -215,7 +215,7 @@ object EvalOps {
       .agg(count(lit(1)).as("nb"), sum(col("sri")).as("sp"),
         sum(col("sri") * col("sri")).as("spp"), sum(col("y")).as("sy"),
         sum(col("sri") * col("y")).as("spy"))
-      .localCheckpoint() // the global roll-up and terms share one pass
+      .localCheckpoint(false) // the global roll-up and terms share one pass
     val glob = bins.agg(sum(col("nb")).as("n"), sum(col("sp")).as("gsp"),
       sum(col("spp")).as("gspp"), sum(col("sy")).as("gsy"),
       sum(col("spy")).as("gspy"))
@@ -627,19 +627,29 @@ object EvalOps {
         .as("m"))
       .select(col("m.pa").as("pa"), col("m.pb").as("pb"),
         when(col("m.qb") > col("m.qa"), 0L).otherwise(1L).as("win_a"))
+    // pairs and nodes pin LAZILY (pairs is read 4x through sym/nodes,
+    // nodes 3x through the rounds and the report; lazy = stored inside
+    // the first job that needs them — the old EAGER checkpoints ran 3
+    // separate materialization jobs plus a nodes.count() job at
+    // DataFrame-construction time, ~full seconds of per-run wall before
+    // the query's own job even started). sym is a narrow double-read of
+    // the pinned pairs frame — not worth its own pin.
     val pairs = matches.groupBy("pa", "pb")
       .agg(count(lit(1)).as("n"), sum(col("win_a")).as("wa"))
       .filter(col("n") >= minMatches)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val sym = pairs.select(col("pa").as("i"), col("pb").as("j"), col("n"))
       .union(pairs.select(col("pb").as("i"), col("pa").as("j"), col("n")))
-      .localCheckpoint()
     val nodes = pairs.select(col("pa").as("i"), col("wa").as("w"), col("n"))
       .union(pairs.select(col("pb").as("i"), (col("n") - col("wa")).as("w"),
         col("n")))
       .groupBy("i").agg(sum(col("w")).as("wi"), sum(col("n")).as("ni"))
-      .localCheckpoint()
-    val nD = nodes.count().toDouble
+      .localCheckpoint(false)
+    // the identifiability rescale's N rides the plan as a broadcast
+    // scalar instead of a driver-side count(): count(1) over the same
+    // nodes frame is the same exact integer, and its double cast
+    // multiplies identically to the old literal.
+    val nCnt = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     var g = nodes.select(col("i"), lit(1.0).as("g"))
     for (_ <- 1 to rounds) {
       val den = sym
@@ -655,8 +665,8 @@ object EvalOps {
         .select(col("i"), (col("wi") / col("den")).as("g"))
       val sg = u.agg(sum(col("g").cast("decimal(38,18)")).cast("double")
         .as("sg"))
-      g = u.crossJoin(broadcast(sg))
-        .select(col("i"), (col("g") * lit(nD) / col("sg")).as("g"))
+      g = u.crossJoin(broadcast(sg)).crossJoin(broadcast(nCnt))
+        .select(col("i"), (col("g") * col("n_nodes") / col("sg")).as("g"))
         .localCheckpoint(false)
     }
     nodes.join(g, Seq("i"))
@@ -806,7 +816,7 @@ object EvalOps {
     val cum = per
       .withColumn("cum_n", sum(col("n_s")).over(w))
       .withColumn("cum_pos", sum(col("pos_s")).over(w))
-      .localCheckpoint() // bounded frame; probed by all ten cuts
+      .localCheckpoint(false) // bounded frame; probed by all ten cuts
     val tot = cum.agg(max(col("cum_n")).as("n_total"),
       max(col("cum_pos")).as("pos_total"))
     val deciles = docs.sparkSession.range(1, 11)
@@ -847,7 +857,7 @@ object EvalOps {
     val catalog = Tables.part(spark, sfDir)
       .agg(count(lit(1)).as("catalog_size"))
     val counts = recs.groupBy("other").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val head = counts.orderBy(col("c").desc, col("other")).limit(headN)
       .agg(sum(col("c")).as("head_c"))
     val tot = counts.agg(count(lit(1)).as("n_recommended"),

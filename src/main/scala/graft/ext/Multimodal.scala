@@ -156,7 +156,7 @@ object Multimodal {
     * flag (base-image identity), oracle-checked end to end. */
   def mediaNearDupPgm(docs: DataFrame, maxDist: Int = 12,
                       mod: Int = 10): DataFrame = {
-    val ph = mediaPHashDecoded(docs, mod = mod).localCheckpoint()
+    val ph = mediaPHashDecoded(docs, mod = mod).localCheckpoint(false)
     val chunked = ph.select(col("doc_id"), col("phash"),
       posexplode(transform(sequence(lit(0), lit(3)), i =>
         call_function("shiftright", col("phash"), i * 16)
@@ -202,7 +202,7 @@ object Multimodal {
       .select(col("doc_id"), pgmPayload(w, h).as("payload"))
       .select(col("doc_id"),
         graft.plans.PHash63.pgmGradHex(col("payload")).as("hx"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     hx.select(col("doc_id"),
         array_distinct(transform(sequence(lit(0), lit(nGrams - 1)), j =>
           col("hx").substr(j * lit(2) + lit(1), lit(8)))).as("gs"))
@@ -227,7 +227,7 @@ object Multimodal {
     * rasters; the 11× key fan-out is the documented multi-probe cost. */
   def mediaNearDupSimHashPgm(docs: DataFrame, maxDist: Int = 20,
                              mod: Int = 10): DataFrame = {
-    val sh = mediaSimHashPgm(docs, mod = mod).localCheckpoint()
+    val sh = mediaSimHashPgm(docs, mod = mod).localCheckpoint(false)
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(5)), i =>
         call_function("shiftright", col("simhash"), i * 10)
@@ -264,7 +264,7 @@ object Multimodal {
     * (chunk, id, hash) — never payloads. */
   def mediaNearDupPHash(docs: DataFrame, maxDist: Int = 12,
                         mod: Int = 1): DataFrame = {
-    val ph = mediaPHash(docs, mod).localCheckpoint()
+    val ph = mediaPHash(docs, mod).localCheckpoint(false)
     val chunked = ph.select(col("doc_id"), col("phash"),
       posexplode(transform(sequence(lit(0), lit(3)), i =>
         call_function("shiftright", col("phash"), i * 16)
@@ -304,7 +304,7 @@ object Multimodal {
     val sh = docs.select(col("doc_id"), grams.as("gs"))
       .select(col("doc_id"),
         graft.plans.TextSketches.simhash60(col("gs")).as("simhash"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)), i =>
         call_function("shiftright", col("simhash"), i * 15)

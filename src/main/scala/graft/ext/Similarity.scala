@@ -97,7 +97,7 @@ object Similarity {
       col("embedding"), col("nrm"), col("centroid_id"))
       .select(col("vec_id"), col("best.embedding").as("embedding"),
         col("best.nrm").as("nrm"), col("best.centroid_id").as("centroid_id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val q = assigned.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("centroid_id"))
@@ -164,7 +164,7 @@ object Similarity {
     val corpus = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(dotD(col("e"), col("e"))))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var cents = corpus.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("centroid_id"), col("e").as("ce"),
         col("nrm").as("cn"))
@@ -270,7 +270,7 @@ object Similarity {
         round(dot(col("q_emb"), col("embedding")) /
           (col("q_nrm") * col("nrm")), 6).as("rel"))
       .orderBy(col("rel").desc, col("id")).limit(poolK)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val pairs = pool
       .select(col("id").as("ia"), col("e").as("ea"), col("nrm").as("na"))
       .crossJoin(pool.select(col("id").as("ib"), col("e").as("eb"),
@@ -279,7 +279,7 @@ object Similarity {
       .select(col("ia"), col("ib"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
           .as("psim"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val rels = pool.select(col("id"), col("rel"))
     val s1 = rels.orderBy(col("rel").desc, col("id")).limit(1)
       .select(lit(1L).as("sel_rank"), col("id"), col("rel"),
@@ -378,7 +378,7 @@ object Similarity {
       col("embedding"), col("nrm"), col("centroid_id"))
       .select(col("vec_id"), col("best.embedding").as("embedding"),
         col("best.nrm").as("nrm"), col("best.centroid_id").as("centroid_id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val a = assigned.select(col("centroid_id"), col("vec_id").as("vid_a"),
       col("embedding").as("e_a"), col("nrm").as("n_a"))
     val b = assigned.select(col("centroid_id"), col("vec_id").as("vid_b"),
@@ -519,7 +519,7 @@ object Similarity {
     val bucketed = emb.join(lshBuckets(emb, nBits), Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("bucket"),
         l2norm(col("embedding")).as("nrm"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val a = bucketed.select(col("bucket"), col("vec_id").as("vec_id_a"),
       col("embedding").as("e_a"), col("nrm").as("n_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("vec_id_b"),
@@ -555,7 +555,7 @@ object Similarity {
       val bucketed = emb.join(lshBuckets(emb, nb), Seq("vec_id"))
         .select(col("vec_id"), col("embedding"), col("bucket"),
           l2norm(col("embedding")).as("nrm"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val a = bucketed.select(col("bucket"), col("vec_id").as("va"),
         col("embedding").as("e_a"), col("nrm").as("n_a"))
       val b = bucketed.select(col("bucket"), col("vec_id").as("vb"),
@@ -593,22 +593,33 @@ object Similarity {
     * (the input size of the components step a full DBSCAN would run —
     * [[graft.ext.DedupCluster]] has that machinery). */
   /** Shared ε-graph builder for the DBSCAN pair: thresholded cosine
-    * pairs, the symmetric adjacency view, and per-point core roles. All
-    * three come back checkpointed — each feeds ≥2 consumers. */
+    * pairs, the symmetric adjacency view, and per-point core roles.
+    * `pairs` and `roles` come back LAZILY checkpointed (each feeds ≥2
+    * consumers; lazy = the one quadratic ε-scan runs inside the first
+    * consumer's job, is stored once, and reused after — no separate
+    * materialization job, and no CacheManager entry that a LATER query
+    * building the identical ε-graph could silently reuse, which would
+    * be cross-query result memoization). `sym` is a narrow
+    * double-projection of the pinned pair frame — materializing it
+    * separately (the old eager localCheckpoint) paid an extra job.
+    * Everything here is deterministic (exact dots, exact counts), so
+    * cache-recompute safety is not a concern the way it is for the
+    * nondeterministic-id frames GlobalRank pins. */
   private def dbscanGraph(emb: DataFrame, threshold: Double,
       minPts: Long): (DataFrame, DataFrame, DataFrame) = {
-    val pairs = embeddingNearDup(emb, threshold).localCheckpoint()
+    val pairs = embeddingNearDup(emb, threshold)
+      .select(col("vec_id_a"), col("vec_id_b"))
+      .localCheckpoint(false)
     val sym = pairs
       .select(col("vec_id_a").as("v"), col("vec_id_b").as("nb"))
       .unionAll(pairs
         .select(col("vec_id_b").as("v"), col("vec_id_a").as("nb")))
-      .localCheckpoint()
     val deg = sym.groupBy("v").agg(count(lit(1)).as("k"))
     val roles = emb.select(col("vec_id").as("v"))
       .join(deg, Seq("v"), "left")
       .withColumn("k", coalesce(col("k"), lit(0L)))
       .withColumn("is_core", (col("k") >= minPts).cast("int"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     (pairs, sym, roles)
   }
 
@@ -657,17 +668,25 @@ object Similarity {
                      limit: Int = 20): DataFrame = {
     val (pairs, sym, roles) = dbscanGraph(emb, threshold, minPts)
     val coreIds = roles.filter(col("is_core") === 1).select(col("v"))
-      .localCheckpoint()
     val coreEdges = pairs
       .join(coreIds.select(col("v").as("vec_id_a")), Seq("vec_id_a"),
         "left_semi")
       .join(coreIds.select(col("v").as("vec_id_b")), Seq("vec_id_b"),
         "left_semi")
+    // lazily pinned: read 2x per propagation round below. coreIds is a
+    // mere filter of the pinned roles frame — cheap to re-derive, so it
+    // is NOT separately pinned (the old per-frame eager localCheckpoints
+    // cost a materialization job each).
     val coreSym = coreEdges
       .select(col("vec_id_a").as("v"), col("vec_id_b").as("nb"))
       .unionAll(coreEdges
         .select(col("vec_id_b").as("v"), col("vec_id_a").as("nb")))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    // Each round references the previous label frame TWICE (as the join
+    // probe and inside nbMin), so an unpinned loop would re-execute the
+    // prior round 2x per level — lazy persist gives one compute per
+    // round with no materialization job. Labels are deterministic (min
+    // over exact ids), so a recompute can never change a value.
     var lbl = coreIds.withColumn("lbl", col("v"))
     for (_ <- 1 to rounds) {
       val nbMin = coreSym
@@ -1046,7 +1065,7 @@ object Similarity {
       .groupBy("i", "j")
       .agg((sum(floor(col("xi") * col("xj") * lit(1e12) + lit(0.5))
         .cast("bigint")).cast("double") / lit(1e12)).as("a"))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
   /** `iters` power-iteration rounds from the all-ones start over a
     * dim²-bounded (i, j, a) matrix frame → (j, vj, nrm); after
@@ -1090,7 +1109,7 @@ object Similarity {
   def pcaTop2(emb: DataFrame, dim: Int = 64, iters: Int = 4): DataFrame = {
     val spark = emb.sparkSession
     val gram = gramMatrix(emb)
-    val e1 = topEigen(gram, spark, dim, iters).localCheckpoint()
+    val e1 = topEigen(gram, spark, dim, iters).localCheckpoint(false)
     val deflated = gram
       .join(broadcast(e1.select(col("j").as("i"), col("vj").as("vi"))),
         Seq("i"))
@@ -1098,7 +1117,7 @@ object Similarity {
         col("nrm").as("l1"))), Seq("j"))
       .select(col("i"), col("j"),
         (col("a") - col("l1") * col("vi") * col("vjd")).as("a"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val e2 = topEigen(deflated, spark, dim, iters)
       .select(col("j"), col("vj").as("vj2"), col("nrm").as("nrm2"))
     def r6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
@@ -1136,14 +1155,14 @@ object Similarity {
     val corpus = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(dotD(col("e"), col("e"))))
-      .localCheckpoint()
-    val seed = corpus.orderBy("vec_id").limit(1).localCheckpoint()
+      .localCheckpoint(false)
+    val seed = corpus.orderBy("vec_id").limit(1).localCheckpoint(false)
     var state = corpus.crossJoin(broadcast(
         seed.select(col("e").as("ce"), col("nrm").as("cn"))))
       .select(col("vec_id"), col("e"), col("nrm"),
         (lit(1.0) - round(dotD(col("e"), col("ce")) /
           (col("nrm") * col("cn")), 6)).as("mind"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val picks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     picks += seed.select(lit(1L).as("sel_rank"), col("vec_id"),
       lit(null).cast("double").as("radius"))
@@ -1259,7 +1278,7 @@ object Similarity {
     val base = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("e"))
       .withColumn("nrm", sqrt(dotD(col("e"), col("e"))))
-      .localCheckpoint() // scalar pass and per-dim pass share it
+      .localCheckpoint(false) // scalar pass and per-dim pass share it
     def dec(c: Column) = c.cast("decimal(38,12)")
     val scalars = base.agg(count(lit(1)).as("n"),
       sum(dec(col("nrm") * col("nrm"))).cast("double").as("ss"),
@@ -1302,7 +1321,7 @@ object Similarity {
         col("embedding").cast("array<double>").as("e"),
         (col("label") < labelSplit).cast("int").as("a"))
       .withColumn("nrm", sqrt(dotD(col("e"), col("e"))))
-      .localCheckpoint() // scalar pass and per-dim pass share it
+      .localCheckpoint(false) // scalar pass and per-dim pass share it
     def dec(c: Column) = c.cast("decimal(38,12)")
     val scalars = base.groupBy("a")
       .agg(count(lit(1)).as("n"),
@@ -1347,7 +1366,7 @@ object Similarity {
     * mean outer product; no eigendecomposition, no pairs. */
   def effectiveRank(emb: DataFrame, dim: Int = 64): DataFrame = {
     val xs = emb.select(col("embedding").cast("array<double>").as("e"))
-      .localCheckpoint() // the gram pass and the mean pass share it
+      .localCheckpoint(false) // the gram pass and the mean pass share it
     val gram = xs
       .select(posexplode(col("e")).as(Seq("i", "xi")), col("e"))
       .select(col("i"), col("xi"),
@@ -1360,7 +1379,7 @@ object Similarity {
       .groupBy("i")
       .agg((sum(floor(col("xi") * lit(1e12) + lit(0.5)).cast("bigint"))
         .cast("double") / lit(1e12)).as("sx"))
-      .localCheckpoint() // joined twice below (row mean and col mean)
+      .localCheckpoint(false) // joined twice below (row mean and col mean)
     val n = xs.agg(count(lit(1)).as("n"))
     def d(c: Column) = c.cast("double")
     def dec(c: Column) = c.cast("decimal(38,12)")
@@ -1409,7 +1428,7 @@ object Similarity {
       col("label"), col("centroid_id"))
       .select(col("best.centroid_id").as("c"), col("best.label").as("l"))
     val cont = assigned.groupBy("c", "l").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // margins and the MI fold all read it
+      .localCheckpoint(false) // margins and the MI fold all read it
     def d(c: Column) = c.cast("double")
     def dec(c: Column) = c.cast("decimal(38,12)")
     val tot = cont.agg(sum(col("n")).as("nn"))
@@ -1483,7 +1502,7 @@ object Similarity {
       .select(col("c"), col("nrm"), posexplode(col("e")).as(Seq("i", "xi")))
       .groupBy("c", "i")
       .agg(sum(dz(col("xi"))).cast("double").as("sxi"))
-      .localCheckpoint() // cluster folds + global fold + pair walk
+      .localCheckpoint(false) // cluster folds + global fold + pair walk
     val perC = assigned.groupBy("c")
       .agg(count(lit(1)).as("nk"),
         sum(dz(col("nrm") * col("nrm"))).cast("double").as("ssq"))
@@ -1494,7 +1513,7 @@ object Similarity {
         (col("ssq") - col("s2") / d(col("nk"))).as("wk"),
         sqrt(greatest((col("ssq") - col("s2") / d(col("nk"))) /
           d(col("nk")), lit(0.0))).as("sk"))
-      .localCheckpoint() // CH fold + both pair-walk sides
+      .localCheckpoint(false) // CH fold + both pair-walk sides
     val globalDim = cd.groupBy("i")
       .agg(sum(dz(col("sxi"))).cast("double").as("gx"))
       .agg(sum(dz(col("gx") * col("gx"))).cast("double").as("g2"))
@@ -1576,7 +1595,7 @@ object Similarity {
     val ex = emb.select(col("vec_id"),
         col("embedding").cast("array<double>").as("e"))
       .select(col("vec_id"), posexplode(col("e")).as(Seq("i", "xi")))
-      .localCheckpoint() // dim stats and the whitened walk both read it
+      .localCheckpoint(false) // dim stats and the whitened walk both read it
     def slSum(c: Column) =
       sum(floor(c * lit(1e12) + lit(0.5)).cast("bigint")).cast("double") /
         lit(1e12)
@@ -1593,7 +1612,7 @@ object Similarity {
     val w = ex.join(broadcast(dimStats), Seq("i"))
       .select(col("vec_id"), col("i"),
         ((col("xi") - col("mu")) / col("sd")).as("w"))
-      .localCheckpoint() // the norm pass and the unit fold both read it
+      .localCheckpoint(false) // the norm pass and the unit fold both read it
     val nrm = w.groupBy("vec_id")
       .agg(sqrt(sum(dec(col("w") * col("w"))).cast("double")).as("nrm"))
     val nTot = nrm.agg(count(lit(1)).as("n"))
@@ -1674,7 +1693,7 @@ object Similarity {
         ((d(col("n1")) + lit(1.0)) / (d(col("nn1")) + d(col("kk"))))
           .as("q"),
         col("nn0"), col("nn1"), col("kk"))
-      .localCheckpoint() // all λ arms fold the same cluster frame
+      .localCheckpoint(false) // all λ arms fold the same cluster frame
     val arms = MauveLambdas.map { l =>
       val l1 = 1.0 - l
       val m = lit(l) * col("p") + lit(l1) * col("q")
@@ -1753,7 +1772,7 @@ object Similarity {
     * for [[bitextMine]]'s oracle form, LSH-bucketed for
     * [[bitextMineLsh]]'s 100 TB form — and the core never changes. */
   private def bitextCore(pairsIn: DataFrame, kDen: Int): DataFrame = {
-    val pairs = pairsIn.localCheckpoint() // both direction aggregates read it
+    val pairs = pairsIn.localCheckpoint(false) // both direction aggregates read it
     def side(key: String, other: String) = pairs
       .groupBy(key)
       .agg(graft.plans.TopK.top_k_by_score(
@@ -1804,7 +1823,7 @@ object Similarity {
     val withN = emb.join(lshBuckets(emb, nBits), Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("bucket"),
         l2norm(col("embedding")).as("nrm"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val a = withN.filter(col("vec_id") % 2 === 0)
       .select(col("bucket"), col("vec_id").as("ida"),
         col("embedding").as("ea"), col("nrm").as("na"))
@@ -1817,14 +1836,14 @@ object Similarity {
       .select(col("ida"), col("idb"),
         round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
           .as("sim"))
-    val mined = bitextCore(cand, kDen).localCheckpoint()
+    val mined = bitextCore(cand, kDen).localCheckpoint(false)
     val exactPairs = bitextCore(
       a.drop("bucket").crossJoin(broadcast(b.drop("bucket")))
         .select(col("ida"), col("idb"),
           round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
             .as("sim")), kDen)
       .select(col("src_id"), col("dst_id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val audit = exactPairs.agg(count(lit(1)).as("n_exact_pairs"))
       .crossJoin(mined.join(exactPairs, Seq("src_id", "dst_id"),
         "left_semi").agg(count(lit(1)).as("n_hits")))

@@ -102,7 +102,7 @@ object TextAnalysis {
   private[graft] def langVocabOverlapOf(docTf: DataFrame): DataFrame = {
     val lt = docTf
       .select(col("lang"), col("term")).distinct()
-      .localCheckpoint() // vocab sizes and the pair join both read it
+      .localCheckpoint(false) // vocab sizes and the pair join both read it
     val sizes = lt.groupBy("lang").agg(count(lit(1)).as("v"))
     val inter = lt.join(lt.select(col("lang").as("lang_b"),
         col("term")), Seq("term"))
@@ -157,7 +157,7 @@ object TextAnalysis {
         least(floor((col("doc_id") * lit(buckets.toLong))
           / (col("max_id") + lit(1L))).cast("bigint"),
           lit(buckets.toLong - 1L)))
-      .localCheckpoint() // token mass and first-bucket both read it
+      .localCheckpoint(false) // token mass and first-bucket both read it
     val tokensPer = withB.groupBy("bucket")
       .agg(sum(col("tf")).as("n_tokens"))
     val newVocab = withB.groupBy("term")
@@ -170,7 +170,7 @@ object TextAnalysis {
         coalesce(col("new_terms"), lit(0L)).as("new_terms"))
       .withColumn("tokens_cum", sum(col("n_tokens")).over(w))
       .withColumn("vocab_cum", sum(col("new_terms")).over(w))
-      .localCheckpoint() // ≤ buckets rows; the OLS reads it twice
+      .localCheckpoint(false) // ≤ buckets rows; the OLS reads it twice
     def dec(c: Column) = c.cast("decimal(28,12)")
     val lt = log(col("tokens_cum").cast("double"))
     val lv = log(col("vocab_cum").cast("double"))
@@ -442,7 +442,7 @@ object TextAnalysis {
     val sh = docs.select(col("doc_id"),
       explode(graft.plans.TextSketches.word_shingles(
         tokens(col("text")), n)).as("sh"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val evalSh = sh.filter(col("doc_id") % evalMod === 0)
       .select(col("sh")).distinct()
     val corpus = sh.filter(col("doc_id") % evalMod =!= 0)
@@ -516,7 +516,7 @@ object TextAnalysis {
         ((lit(1.0) + log(col("tf").cast("double"))) *
           log(col("n_docs").cast("double") / col("df").cast("double")))
           .as("w"))
-      .localCheckpoint() // norms and the pair join both read it
+      .localCheckpoint(false) // norms and the pair join both read it
     val norms = posts.groupBy("doc_id")
       .agg(sqrt(sum(dec(col("w") * col("w"))).cast("double")).as("nrm"))
     val wn = posts.join(norms, "doc_id")
@@ -606,7 +606,7 @@ object TextAnalysis {
     // staging pass — localCheckpoint so the tokenize pass runs once
     val scored = qualityGate(docs)
       .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val ps = array((1 until stages).map(i => lit(i.toDouble / stages)): _*)
     val bounds = scored.agg(
       percentile_approx(col("stopword_ratio"), ps, lit(accuracy)).as("qb"))
@@ -642,11 +642,11 @@ object TextAnalysis {
     // scale these intermediate id-sets would be persisted tables between
     // pipeline stages, which is the same barrier.
     val quality = qualityGate(docs).filter(col("keep")).select("doc_id")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val keepers = DedupExt.exactDedup(docs)
-      .select(col("keeper_doc_id").as("doc_id")).localCheckpoint()
+      .select(col("keeper_doc_id").as("doc_id")).localCheckpoint(false)
     val clean = decontaminate(docs, evalMod).filter(!col("contaminated"))
-      .select("doc_id").localCheckpoint()
+      .select("doc_id").localCheckpoint(false)
     val kept = docs.select("doc_id", "lang", "source")
       .join(quality, Seq("doc_id"), "left_semi")
       .join(keepers, Seq("doc_id"), "left_semi")
@@ -871,7 +871,7 @@ object TextAnalysis {
     val isEval = col("doc_id") % evalMod === (evalMod - 1)
     val bc = grams(docs.filter(!isEval))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint() // heads, continuations, and B all read it
+      .localCheckpoint(false) // heads, continuations, and B all read it
     val heads = bc.groupBy("w1")
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_head"))
     val cont = bc.groupBy(col("w2").as("cw2"))
@@ -930,7 +930,7 @@ object TextAnalysis {
     val train = docs.filter(!isEval)
     val bc = grams(train)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint() // heads and the bigram join both read it
+      .localCheckpoint(false) // heads and the bigram join both read it
     val heads = bc.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val uni = train
       .select(explode(tokens(col("text"))).as("w"))
@@ -1419,7 +1419,7 @@ object TextAnalysis {
           tokens(col("text")), n)).as("sh"))
       .groupBy("sh")
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val counts = srcsAll.select(explode(col("srcs")).as("source"))
       .groupBy("source").agg(count(lit(1)).as("n_shingles"))
     val pairs = srcsAll.filter(size(col("srcs")) > 1)
@@ -1599,7 +1599,7 @@ object TextAnalysis {
           explode(tokens(col("text"))).as("term"))
         .groupBy("doc_id", "lang", "term")
         .agg(count(lit(1)).as("tf"))
-        .localCheckpoint())
+        .localCheckpoint(false))
     // classTok is vocab×classes-sized — checkpointed because tok_c and
     // the vocab scalar both DERIVE from it by integer re-aggregation
     // (Σ_t cnt per class ≡ Σ tf per class; distinct terms of classTok ≡
@@ -1607,7 +1607,7 @@ object TextAnalysis {
     // of the doc-term-matrix scans this model build used to pay
     val classTok = docTf.groupBy(col("lang").as("cls"), col("term"))
       .agg(sum(col("tf")).as("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val classes = classTok.groupBy(col("cls"))
       .agg(sum(col("cnt")).as("tok_c"))
       .join(docs.groupBy(col("lang").as("cls"))
@@ -1848,7 +1848,7 @@ object TextAnalysis {
       .select(substring_index(col("bigram"), " ", 1).as("w1"),
         substring_index(col("bigram"), " ", -1).as("w2"))
     val cells = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint() // one corpus pass; margins + output read it
+      .localCheckpoint(false) // one corpus pass; margins + output read it
     val m1 = cells.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val m2 = cells.groupBy("w2").agg(sum(col("c12")).as("c2"))
     val nTot = cells.agg(sum(col("c12")).as("nn"))
@@ -1932,7 +1932,7 @@ object TextAnalysis {
       .select(array_join(col("words"), " ").as("phrase"))
     val pc = cand.groupBy("phrase").agg(count(lit(1)).as("n"))
       .withColumn("words", split(col("phrase"), " "))
-      .localCheckpoint() // phrase census: word stats + scores read it
+      .localCheckpoint(false) // phrase census: word stats + scores read it
     val wstats = pc
       .select(explode(col("words")).as("w"), col("n"),
         size(col("words")).cast("bigint").as("len"))
